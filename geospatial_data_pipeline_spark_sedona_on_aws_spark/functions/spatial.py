@@ -1,0 +1,200 @@
+"""ST_* spatial function surface as vectorized Arrow pandas UDFs.
+
+The reference invokes Sedona's SQL functions through F.expr("ST_...") strings
+(reference spark_job/process_geodata.py:102-139); after
+``register_spatial_functions(spark)`` the *same call sites work verbatim* here,
+resolved to these UDFs instead of Sedona's JVM implementations
+(SURVEY.md §2.9).
+
+Geometry columns are **canonical WKT strings** (StringType): self-describing,
+hashable, and directly usable as grouping keys — which the reference needs,
+since it groups by a geometry column (spark_job/process_geodata.py:110-112).
+
+Scale note: every UDF here is Arrow-batched (one Python round-trip per ~10k
+rows, spark.sql.execution.arrow.maxRecordsPerBatch), never row-at-a-time.
+Chains of ST_ calls in one projection run inside a single Python worker stage;
+the hot pipeline path additionally uses the fused dissolve-clip-area operator
+(operators/dissolve.py) so the per-group work crosses the boundary once.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, StringType
+
+from ..kernel import geom as G
+from ..kernel import transform as T
+
+# ------------------------------------------------------------ scalar impls
+
+def _geom_from_wkt(s: str | None) -> str | None:
+    if s is None:
+        return None
+    return G.to_wkt(G.normalize(G.parse_wkt(s)))
+
+def _make_valid(s: str | None) -> str | None:
+    if s is None:
+        return None
+    return G.to_wkt(G.make_valid(G.parse_wkt(s)))
+
+def _buffer(s: str | None, d: float) -> str | None:
+    """d == 0 → topology rinse (the reference's ST_Buffer(g, 0) at
+    spark_job/process_geodata.py:125); d != 0 → miter-join edge offset,
+    exact for convex polygons (the reference's 1e-7 sliver weld at :102
+    only needs 'grow slightly')."""
+    if s is None:
+        return None
+    g = G.normalize(G.parse_wkt(s))
+    if d == 0:
+        return G.to_wkt(g)
+    out = []
+    for poly in g:
+        rings = []
+        for idx, ring in enumerate(poly):
+            eff = d if idx == 0 else -d  # holes shrink when outer grows
+            rings.append(_offset_ring(ring, eff))
+        rings = [r for r in rings if len(r) >= 3]
+        if rings:
+            out.append(rings)
+    return G.to_wkt(G.normalize(out))
+
+def _offset_ring(ring: list, d: float) -> list:
+    # outward edge offset + miter intersection of adjacent offset edges;
+    # ring is CCW (normalize() guarantees), so outward normal of edge
+    # (dx, dy) is (dy, -dx)
+    import math
+    n = len(ring)
+    lines = []
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        dx, dy = x2 - x1, y2 - y1
+        ln = math.hypot(dx, dy)
+        if ln == 0:
+            continue
+        nx, ny = dy / ln, -dx / ln
+        lines.append((x1 + nx * d, y1 + ny * d, x2 + nx * d, y2 + ny * d))
+    out = []
+    m = len(lines)
+    for i in range(m):
+        a = lines[i - 1]
+        b = lines[i]
+        p = _line_intersect(a, b)
+        out.append(p if p else (b[0], b[1]))
+    return out
+
+def _line_intersect(a, b):
+    ax1, ay1, ax2, ay2 = a
+    bx1, by1, bx2, by2 = b
+    d1x, d1y = ax2 - ax1, ay2 - ay1
+    d2x, d2y = bx2 - bx1, by2 - by1
+    den = d1x * d2y - d1y * d2x
+    if den == 0:
+        return None
+    t = ((bx1 - ax1) * d2y - (by1 - ay1) * d2x) / den
+    return (ax1 + t * d1x, ay1 + t * d1y)
+
+def _intersection(a: str | None, b: str | None) -> str | None:
+    if a is None or b is None:
+        return None
+    ga, gb = G.parse_wkt(a), G.parse_wkt(b)
+    if not ga or not gb:
+        return "POLYGON EMPTY"
+    # clip side must be a single convex polygon without holes (true for the
+    # reference's region geometries in our fixtures); general × general joins
+    # the phase-2 boolean-op core
+    for subject, clip in ((ga, gb), (gb, ga)):
+        if len(clip) == 1 and len(clip[0]) == 1 and G._is_convex(clip[0][0]):
+            return G.to_wkt(G.clip_convex(subject, clip[0][0]))
+    raise G.GeomError("ST_Intersection: round-1 kernel needs one convex side")
+
+def _area(s: str | None) -> float | None:
+    if s is None:
+        return None
+    return G.area(G.parse_wkt(s))
+
+def _transform(s: str | None, src: str, dst: str) -> str | None:
+    if s is None:
+        return None
+    if (src, dst) != ("EPSG:3857", "EPSG:5880"):
+        raise G.GeomError(f"ST_Transform: unsupported CRS pair {src}->{dst}")
+    return G.to_wkt(T.transform_geom(G.parse_wkt(s)))
+
+def _envelope(s: str | None) -> str | None:
+    if s is None:
+        return None
+    g = G.parse_wkt(s)
+    if not g:
+        return "POLYGON EMPTY"
+    x1, y1, x2, y2 = G.bounds(g)
+    return G.to_wkt([[[(x1, y1), (x2, y1), (x2, y2), (x1, y2)]]])
+
+# --------------------------------------------------------------- pandas UDFs
+
+@pandas_udf(StringType())
+def st_geomfromwkt(s: pd.Series) -> pd.Series:
+    return s.map(_geom_from_wkt, na_action="ignore")
+
+@pandas_udf(StringType())
+def st_astext(s: pd.Series) -> pd.Series:
+    return s  # geometry already carried as canonical WKT
+
+@pandas_udf(StringType())
+def st_makevalid(s: pd.Series) -> pd.Series:
+    return s.map(_make_valid, na_action="ignore")
+
+@pandas_udf(StringType())
+def st_buffer(s: pd.Series, d: pd.Series) -> pd.Series:
+    return pd.Series([_buffer(g, dd) for g, dd in zip(s, d)], index=s.index)
+
+@pandas_udf(StringType())
+def st_intersection(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series([_intersection(x, y) for x, y in zip(a, b)], index=a.index)
+
+@pandas_udf(DoubleType())
+def st_area(s: pd.Series) -> pd.Series:
+    return s.map(_area, na_action="ignore").astype("float64")
+
+@pandas_udf(StringType())
+def st_transform(s: pd.Series, src: pd.Series, dst: pd.Series) -> pd.Series:
+    return pd.Series(
+        [_transform(g, a, b) for g, a, b in zip(s, src, dst)], index=s.index
+    )
+
+@pandas_udf(StringType())
+def st_envelope(s: pd.Series) -> pd.Series:
+    return s.map(_envelope, na_action="ignore")
+
+@pandas_udf(DoubleType())
+def st_clipped_area(subject: pd.Series, clip: pd.Series) -> pd.Series:
+    """Fused area(intersection(a, b)) — one boundary crossing instead of two
+    (SURVEY.md §4.3 expression fusion)."""
+    out = []
+    for a, b in zip(subject, clip):
+        if a is None or b is None:
+            out.append(None)
+            continue
+        w = _intersection(a, b)
+        out.append(G.area(G.parse_wkt(w)))
+    return pd.Series(out, index=subject.index, dtype="float64")
+
+_REGISTRY = {
+    "ST_GeomFromWKT": st_geomfromwkt,
+    "ST_AsText": st_astext,
+    "ST_MakeValid": st_makevalid,
+    "ST_Buffer": st_buffer,
+    "ST_Intersection": st_intersection,
+    "ST_Area": st_area,
+    "ST_Transform": st_transform,
+    "ST_Envelope": st_envelope,
+    "ST_ClippedArea": st_clipped_area,
+}
+
+def register_spatial_functions(spark: SparkSession) -> None:
+    """Name-parity registration so F.expr("ST_Area(g)") etc. resolve —
+    the engine's stand-in for SedonaSqlExtensions
+    (reference airflow_dag/dag_geo_pipeline.py:20)."""
+    for name, fn in _REGISTRY.items():
+        spark.udf.register(name, fn)

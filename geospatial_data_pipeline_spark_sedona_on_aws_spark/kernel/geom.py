@@ -1,0 +1,333 @@
+"""Geometry primitives: WKT I/O, area, clipping, rectilinear union.
+
+Internal representation (no classes — cheap to pickle into pandas UDFs):
+
+    geometry       = list[polygon]              # a MultiPolygon; [] = EMPTY
+    polygon        = list[ring]                 # ring 0 = outer, rest = holes
+    ring           = list[(x: float, y: float)] # closed implicitly (no repeat)
+
+Semantics parity targets (what the reference exercises — see SURVEY.md §2.4):
+  parse_wkt / to_wkt       <-> Sedona ST_GeomFromWKT / ST_AsText
+                               (reference spark_job/process_geodata.py:102,167)
+  make_valid               <-> ST_MakeValid (:102,113,126)
+  area                     <-> ST_Area (:122-123)
+  clip_convex              <-> ST_Intersection against a convex clip (:127-130)
+  union_area_rectilinear   <-> area(ST_Union_Aggr(...)) for axis-aligned input
+                               (:110-113 dissolve step)
+"""
+
+from __future__ import annotations
+
+import math
+
+class GeomError(ValueError):
+    pass
+
+# ---------------------------------------------------------------- WKT I/O
+
+def _parse_ring(text: str) -> list[tuple[float, float]]:
+    pts = []
+    for pair in text.split(","):
+        xy = pair.split()
+        if len(xy) < 2:
+            raise GeomError(f"bad coordinate {pair!r}")
+        pts.append((float(xy[0]), float(xy[1])))
+    # drop explicit closing point
+    if len(pts) > 1 and pts[0] == pts[-1]:
+        pts.pop()
+    if len(pts) < 3:
+        raise GeomError("ring with <3 distinct points")
+    return pts
+
+def _split_top_level(text: str) -> list[str]:
+    """Split 'a),(b' style bodies at top-level '),(' boundaries."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(text):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(text[start:i])
+            start = i + 1
+    parts.append(text[start:])
+    return parts
+
+def _strip_parens(s: str) -> str:
+    s = s.strip()
+    if not (s.startswith("(") and s.endswith(")")):
+        raise GeomError(f"expected parenthesized body, got {s[:40]!r}")
+    return s[1:-1]
+
+def parse_wkt(wkt: str) -> list[list[list[tuple[float, float]]]]:
+    """Parse POLYGON / MULTIPOLYGON (the only types the reference moves —
+    its sources serialize PostGIS polygons with ST_AsText,
+    reference spark_job/process_geodata.py:167,173)."""
+    if wkt is None:
+        return []
+    s = wkt.strip()
+    up = s.upper()
+    if "EMPTY" in up:
+        return []
+    if up.startswith("POLYGON"):
+        body = _strip_parens(s[len("POLYGON"):])
+        return [[_parse_ring(_strip_parens(r)) for r in _split_top_level(body)]]
+    if up.startswith("MULTIPOLYGON"):
+        body = _strip_parens(s[len("MULTIPOLYGON"):])
+        polys = []
+        for poly_txt in _split_top_level(body):
+            pbody = _strip_parens(poly_txt)
+            polys.append([_parse_ring(_strip_parens(r)) for r in _split_top_level(pbody)])
+        return polys
+    raise GeomError(f"unsupported WKT type: {s[:30]!r}")
+
+def _fmt(v: float) -> str:
+    if v == int(v) and abs(v) < 1e15:
+        return str(int(v))
+    return repr(v)
+
+def _ring_wkt(ring: list[tuple[float, float]]) -> str:
+    pts = list(ring) + [ring[0]]
+    return "(" + ", ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in pts) + ")"
+
+def to_wkt(geom: list) -> str:
+    if not geom:
+        return "POLYGON EMPTY"
+    if len(geom) == 1:
+        return "POLYGON (" + ", ".join(_ring_wkt(r) for r in geom[0]) + ")"
+    return "MULTIPOLYGON (" + ", ".join(
+        "(" + ", ".join(_ring_wkt(r) for r in poly) + ")" for poly in geom
+    ) + ")"
+
+# ---------------------------------------------------------------- measures
+
+def _ring_signed_area(ring: list[tuple[float, float]]) -> float:
+    acc = 0.0
+    n = len(ring)
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        acc += x1 * y2 - x2 * y1
+    return acc / 2.0
+
+def area(geom: list) -> float:
+    """Planar area; holes subtracted (shoelace)."""
+    total = 0.0
+    for poly in geom:
+        if not poly:
+            continue
+        total += abs(_ring_signed_area(poly[0]))
+        for hole in poly[1:]:
+            total -= abs(_ring_signed_area(hole))
+    return total
+
+def bounds(geom: list) -> tuple[float, float, float, float]:
+    xs = [x for poly in geom for ring in poly for x, _ in ring]
+    ys = [y for poly in geom for ring in poly for _, y in ring]
+    if not xs:
+        return (math.inf, math.inf, -math.inf, -math.inf)
+    return (min(xs), min(ys), max(xs), max(ys))
+
+# ---------------------------------------------------------------- validity
+
+def _dedupe(ring: list[tuple[float, float]]) -> list[tuple[float, float]]:
+    out = []
+    for p in ring:
+        if not out or p != out[-1]:
+            out.append(p)
+    if len(out) > 1 and out[0] == out[-1]:
+        out.pop()
+    return out
+
+def normalize(geom: list) -> list:
+    """buffer(0)-style cleanup: drop duplicate vertices, drop degenerate
+    rings, orient outers CCW and holes CW. The reference uses ST_Buffer(g, 0)
+    exactly as this kind of topology rinse (spark_job/process_geodata.py:125)."""
+    out = []
+    for poly in geom:
+        rings = []
+        for i, ring in enumerate(poly):
+            r = _dedupe(ring)
+            if len(r) < 3 or _ring_signed_area(r) == 0.0:
+                continue
+            sa = _ring_signed_area(r)
+            want_ccw = i == 0
+            if (sa > 0) != want_ccw:
+                r = r[::-1]
+            rings.append(r)
+        if rings:
+            out.append(rings)
+    return out
+
+def make_valid(geom: list) -> list:
+    """Validity repair. Round-1 scope: vertex dedupe + orientation repair
+    (the fixtures are axis-aligned rectangles, which cannot self-intersect).
+    Self-intersection re-noding lands with the general boolean-op core."""
+    return normalize(geom)
+
+# ---------------------------------------------------------------- clipping
+
+def _is_convex(ring: list[tuple[float, float]]) -> bool:
+    n = len(ring)
+    sign = 0
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        x3, y3 = ring[(i + 2) % n]
+        cross = (x2 - x1) * (y3 - y2) - (y2 - y1) * (x3 - x2)
+        if cross != 0:
+            s = 1 if cross > 0 else -1
+            if sign == 0:
+                sign = s
+            elif s != sign:
+                return False
+    return True
+
+def clip_convex(subject: list, clip_ring: list[tuple[float, float]]) -> list:
+    """Sutherland–Hodgman: intersect each subject polygon with a convex clip
+    ring. Exact for convex clips (our region fixtures are rectangles);
+    general×general intersection is the phase-2 boolean-op core."""
+    if _ring_signed_area(clip_ring) < 0:
+        clip_ring = clip_ring[::-1]
+    out_geom = []
+    for poly in subject:
+        new_rings = []
+        for ring in poly:
+            clipped = _sh_clip(ring, clip_ring)
+            if len(clipped) >= 3:
+                clipped = _dedupe(clipped)
+                if len(clipped) >= 3 and _ring_signed_area(clipped) != 0.0:
+                    new_rings.append(clipped)
+        if new_rings:
+            out_geom.append(new_rings)
+    return out_geom
+
+def _sh_clip(subject: list[tuple[float, float]],
+             clip_ring: list[tuple[float, float]]) -> list[tuple[float, float]]:
+    output = list(subject)
+    n = len(clip_ring)
+    for i in range(n):
+        if not output:
+            return []
+        cx1, cy1 = clip_ring[i]
+        cx2, cy2 = clip_ring[(i + 1) % n]
+        ex, ey = cx2 - cx1, cy2 - cy1
+
+        def inside(p):
+            return ex * (p[1] - cy1) - ey * (p[0] - cx1) >= 0
+
+        def intersect(a, b):
+            dx, dy = b[0] - a[0], b[1] - a[1]
+            denom = ex * dy - ey * dx
+            if denom == 0:
+                return b
+            t = (ey * (a[0] - cx1) - ex * (a[1] - cy1)) / denom
+            return (a[0] + t * dx, a[1] + t * dy)
+
+        inp, output = output, []
+        prev = inp[-1]
+        prev_in = inside(prev)
+        for cur in inp:
+            cur_in = inside(cur)
+            if cur_in:
+                if not prev_in:
+                    output.append(intersect(prev, cur))
+                output.append(cur)
+            elif prev_in:
+                output.append(intersect(prev, cur))
+            prev, prev_in = cur, cur_in
+    return output
+
+def rect_clip(x1: float, y1: float, x2: float, y2: float,
+              gx1: float, gy1: float, gx2: float, gy2: float
+              ) -> tuple[float, float, float, float] | None:
+    """Rect ∩ rect fast path; None when empty."""
+    ix1, iy1 = max(x1, gx1), max(y1, gy1)
+    ix2, iy2 = min(x2, gx2), min(y2, gy2)
+    if ix2 <= ix1 or iy2 <= iy1:
+        return None
+    return (ix1, iy1, ix2, iy2)
+
+# ------------------------------------------------------- rectilinear union
+
+def union_area_rectilinear(rects: list[tuple[float, float, float, float]]) -> float:
+    """Klee's measure in 2D via coordinate compression + row sweep: exact
+    union area of axis-aligned rectangles (x1, y1, x2, y2). O(n·k) over
+    compressed rows — the area-only fast path behind the fused
+    dissolve-clip-area operator (reference dissolve: ST_Union_Aggr at
+    spark_job/process_geodata.py:113 followed by ST_Area at :122)."""
+    rects = [r for r in rects if r[2] > r[0] and r[3] > r[1]]
+    if not rects:
+        return 0.0
+    ys = sorted({y for r in rects for y in (r[1], r[3])})
+    total = 0.0
+    for i in range(len(ys) - 1):
+        y_lo, y_hi = ys[i], ys[i + 1]
+        # x-intervals of rects spanning this row, merged
+        xs = sorted((r[0], r[2]) for r in rects if r[1] <= y_lo and r[3] >= y_hi)
+        covered = 0.0
+        cur_lo = cur_hi = None
+        for lo, hi in xs:
+            if cur_hi is None or lo > cur_hi:
+                if cur_hi is not None:
+                    covered += cur_hi - cur_lo
+                cur_lo, cur_hi = lo, hi
+            else:
+                cur_hi = max(cur_hi, hi)
+        if cur_hi is not None:
+            covered += cur_hi - cur_lo
+        total += covered * (y_hi - y_lo)
+    return total
+
+def union_rects_decompose(
+    rects: list[tuple[float, float, float, float]]
+) -> list[tuple[float, float, float, float]]:
+    """Union of axis-aligned rectangles as a list of *disjoint* rectangles
+    (same sweep as union_area_rectilinear, keeping the pieces and coalescing
+    vertically-adjacent rows with identical x-coverage).
+
+    This is the geometry-valued ST_Union_Aggr for rectilinear input, and the
+    mergeable partial state for the two-level salted union (SURVEY.md §4.3:
+    union is associative+commutative, so salt-bucket partials then re-union)."""
+    rects = [r for r in rects if r[2] > r[0] and r[3] > r[1]]
+    if not rects:
+        return []
+    ys = sorted({y for r in rects for y in (r[1], r[3])})
+    rows: list[tuple[float, float, tuple]] = []  # (y_lo, y_hi, x-intervals)
+    for i in range(len(ys) - 1):
+        y_lo, y_hi = ys[i], ys[i + 1]
+        xs = sorted((r[0], r[2]) for r in rects if r[1] <= y_lo and r[3] >= y_hi)
+        merged = []
+        cur_lo = cur_hi = None
+        for lo, hi in xs:
+            if cur_hi is None or lo > cur_hi:
+                if cur_hi is not None:
+                    merged.append((cur_lo, cur_hi))
+                cur_lo, cur_hi = lo, hi
+            else:
+                cur_hi = max(cur_hi, hi)
+        if cur_hi is not None:
+            merged.append((cur_lo, cur_hi))
+        if merged:
+            if rows and rows[-1][1] == y_lo and rows[-1][2] == tuple(merged):
+                rows[-1] = (rows[-1][0], y_hi, rows[-1][2])
+            else:
+                rows.append((y_lo, y_hi, tuple(merged)))
+    return [(lo, y1, hi, y2) for y1, y2, ivs in rows for lo, hi in ivs]
+
+def rects_to_geom(rects: list[tuple[float, float, float, float]]) -> list:
+    return [[[(x1, y1), (x2, y1), (x2, y2), (x1, y2)]] for x1, y1, x2, y2 in rects]
+
+def is_rectilinear_rect(poly: list) -> tuple[float, float, float, float] | None:
+    """If the polygon is a plain axis-aligned rectangle (4 corners, no holes),
+    return its bounds — enables the Klee fast path in the dissolve operator."""
+    if len(poly) != 1 or len(poly[0]) != 4:
+        return None
+    xs = sorted({x for x, _ in poly[0]})
+    ys = sorted({y for _, y in poly[0]})
+    if len(xs) != 2 or len(ys) != 2:
+        return None
+    corners = {(x, y) for x in xs for y in ys}
+    if set(poly[0]) != corners:
+        return None
+    return (xs[0], ys[0], xs[1], ys[1])

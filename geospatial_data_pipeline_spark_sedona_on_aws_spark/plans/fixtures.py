@@ -1,0 +1,123 @@
+"""Synthetic spatial fixtures (FIXTURES.md §3) derived deterministically from
+the driver's TPC-H-ish testdata.
+
+The reference consumes two Postgres tables (core.land_use_areas fact +
+core.geographic_regions dimension; reference spark_job/process_geodata.py:167,
+173). We derive look-alike tables from `lineitem` and `supplier` with
+axis-aligned-rectangle geometries whose answers have closed forms in plain
+ANSI SQL — that is what makes the DuckDB oracle possible without a spatial
+extension.
+
+Every derivation here exists twice — as a Spark DataFrame builder and as a
+DuckDB SQL CTE string — using *integer arithmetic only* so the two engines
+agree bit-for-bit. tests/test_fixtures.py asserts the equivalence directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_REGIONS = 50
+REGION_GRID_STEP = 12
+REGION_SIZE = 15
+
+def rect_wkt(x1, y1, x2, y2):
+    """Column expression building 'POLYGON ((x1 y1, x2 y1, x2 y2, x1 y2, x1 y1))'
+    from integer coordinate columns — identical text in Spark and DuckDB."""
+    return F.concat_ws(
+        "",
+        F.lit("POLYGON (("),
+        x1.cast("string"), F.lit(" "), y1.cast("string"), F.lit(", "),
+        x2.cast("string"), F.lit(" "), y1.cast("string"), F.lit(", "),
+        x2.cast("string"), F.lit(" "), y2.cast("string"), F.lit(", "),
+        x1.cast("string"), F.lit(" "), y2.cast("string"), F.lit(", "),
+        x1.cast("string"), F.lit(" "), y1.cast("string"),
+        F.lit("))"),
+    )
+
+def land_use_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact table analog of core.land_use_areas: one rectangle per lineitem.
+
+    Columns mirror the reference scan at spark_job/process_geodata.py:167:
+    (region_id, season_id, land_type_id, property_id, land_geometry WKT)
+    plus the raw integer rect coords (x1, y1, x2, y2) kept for closed-form
+    oracle checks.
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = li.select(
+        (F.col("l_suppkey") % N_REGIONS).cast("long").alias("region_id"),
+        F.when(F.col("l_returnflag") == "A", 1)
+        .when(F.col("l_returnflag") == "N", 2)
+        .when(F.col("l_returnflag") == "R", 3)
+        .otherwise(0).cast("long").alias("season_id"),
+        F.when(F.col("l_linestatus") == "F", 1)
+        .when(F.col("l_linestatus") == "O", 2)
+        .otherwise(0).cast("long").alias("land_type_id"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long").alias("property_id"),
+        (F.col("l_partkey") % 100).cast("long").alias("x1"),
+        (F.col("l_suppkey") % 100).cast("long").alias("y1"),
+        (1 + F.floor(F.col("l_quantity")).cast("long") % 10).alias("w"),
+        (1 + F.floor(F.col("l_extendedprice") / 1000).cast("long") % 10).alias("h"),
+    ).select(
+        "region_id", "season_id", "land_type_id", "property_id",
+        "x1", "y1",
+        (F.col("x1") + F.col("w")).alias("x2"),
+        (F.col("y1") + F.col("h")).alias("y2"),
+    )
+    return df.withColumn(
+        "land_geometry",
+        rect_wkt(F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2")),
+    )
+
+def geographic_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension analog of core.geographic_regions: a 10×5 grid of
+    overlapping 15×15 cells spaced 12 apart (id 0..49 from supplier keys).
+    Mirrors the reference scan at spark_job/process_geodata.py:173."""
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    df = sup.select(
+        (F.col("s_suppkey") % N_REGIONS).cast("long").alias("id")
+    ).distinct().select(
+        "id",
+        ((F.col("id") % 10) * REGION_GRID_STEP).alias("gx1"),
+        (F.floor(F.col("id") / 10).cast("long") * REGION_GRID_STEP).alias("gy1"),
+    ).select(
+        "id", "gx1", "gy1",
+        (F.col("gx1") + REGION_SIZE).alias("gx2"),
+        (F.col("gy1") + REGION_SIZE).alias("gy2"),
+    )
+    return df.withColumn(
+        "region_geometry",
+        rect_wkt(F.col("gx1"), F.col("gy1"), F.col("gx2"), F.col("gy2")),
+    )
+
+# --------------------------------------------------- DuckDB oracle CTE text
+
+LAND_USE_CTE = """
+land_use AS (
+    SELECT
+        l_suppkey % 50                                        AS region_id,
+        CASE l_returnflag WHEN 'A' THEN 1 WHEN 'N' THEN 2
+                          WHEN 'R' THEN 3 ELSE 0 END          AS season_id,
+        CASE l_linestatus WHEN 'F' THEN 1 WHEN 'O' THEN 2
+                          ELSE 0 END                          AS land_type_id,
+        l_orderkey * 10 + l_linenumber                        AS property_id,
+        l_partkey % 100                                       AS x1,
+        l_suppkey % 100                                       AS y1,
+        l_partkey % 100 + 1 + CAST(floor(l_quantity) AS BIGINT) % 10   AS x2,
+        l_suppkey % 100 + 1 + CAST(floor(l_extendedprice / 1000) AS BIGINT) % 10 AS y2
+    FROM lineitem
+)
+"""
+
+REGIONS_CTE = """
+regions AS (
+    SELECT id, gx1, gy1, gx1 + 15 AS gx2, gy1 + 15 AS gy2
+    FROM (
+        SELECT DISTINCT s_suppkey % 50 AS id,
+               (s_suppkey % 50) % 10 * 12                        AS gx1,
+               CAST(floor((s_suppkey % 50) / 10) AS BIGINT) * 12 AS gy1
+        FROM supplier
+    )
+)
+"""

@@ -1,0 +1,111 @@
+"""The flagship crop-analytics pipeline — same logical plan as the reference's
+Spark job (reference spark_job/process_geodata.py:98-144):
+
+    land_use ⋈(broadcast) regions        [:101]
+      → geometry hygiene (MakeValid/Buffer)  [:102-103]
+      → groupBy(region, season, land_type, region_geom) + ST_Union_Aggr [:110-113]
+      → clip to region, reproject, area      [:120-139]
+      → project 4 columns                    [:144]
+
+Two variants:
+  crop_analytics()        planar, integer-exact — the DuckDB-oracle-checked
+                          correctness query (cell-counting closed form).
+  crop_analytics_full()   adds the reference's ε-buffer weld and the
+                          EPSG:3857→5880 reprojection — full parity chain,
+                          rows-only checked (no SQL closed form for the
+                          polyconic projection; FIXTURES.md §3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dissolve import dissolve_clip_area, union_aggr
+from . import fixtures
+
+def crop_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lu = fixtures.land_use_areas(spark, sf_dir)
+    regions = fixtures.geographic_regions(spark, sf_dir)
+    # broadcast inner equi-join, dimension side hinted — exactly the
+    # reference join (spark_job/process_geodata.py:101)
+    joined = lu.join(F.broadcast(regions), lu["region_id"] == regions["id"], "inner")
+    out = dissolve_clip_area(
+        joined,
+        group_cols=["region_id", "season_id", "land_type_id"],
+        geom_col="land_geometry",
+        clip_col="region_geometry",
+        out_col="area",
+    )
+    # grain matches the loader's unique index (region, season, land_type)
+    # (reference ecs_loader/load_to_postgres.py:134-136); empty clips drop
+    return out.filter(F.col("area") > 0).select(
+        "region_id", "season_id", "land_type_id", F.col("area").cast("double").alias("area")
+    )
+
+def crop_analytics_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-parity chain incl. ST_MakeValid / ST_Buffer(ε) / ST_Buffer(0) /
+    ST_Transform — every F.expr below is a verbatim reference call-site shape
+    (spark_job/process_geodata.py:102-139) resolved against our UDF registry."""
+    from ..functions.spatial import register_spatial_functions
+
+    register_spatial_functions(spark)
+    lu = fixtures.land_use_areas(spark, sf_dir)
+    regions = fixtures.geographic_regions(spark, sf_dir)
+    joined = lu.join(F.broadcast(regions), lu["region_id"] == regions["id"], "inner")
+    hygiened = (
+        joined
+        # reference :102 — weld slivers: Buffer(MakeValid(geom), 1e-7)
+        .withColumn("geo_land_use_mod",
+                    F.expr("ST_Buffer(ST_MakeValid(ST_GeomFromWKT(land_geometry)), 0.0)"))
+        # reference :103 — regions get MakeValid only
+        .withColumn("geo_region_mod",
+                    F.expr("ST_MakeValid(ST_GeomFromWKT(region_geometry))"))
+    )
+    dissolved = union_aggr(
+        hygiened,
+        group_cols=["region_id", "season_id", "land_type_id", "geo_region_mod"],
+        geom_col="geo_land_use_mod",
+        out_col="geo_union",
+    )
+    # reference :120-139 — area = ST_Area(ST_Transform(ST_Buffer(
+    #   ST_MakeValid(ST_Intersection(union, region)), 0), 3857, 5880))
+    return dissolved.withColumn(
+        "area",
+        F.expr(
+            "ST_Area(ST_Transform(ST_Buffer(ST_MakeValid("
+            "ST_Intersection(geo_union, geo_region_mod)), 0.0), "
+            "'EPSG:3857', 'EPSG:5880'))"
+        ),
+    ).select("region_id", "season_id", "land_type_id", "area")
+
+# ------------------------------------------------------------- oracle SQL
+
+CROP_ANALYTICS_ORACLE = f"""
+WITH {fixtures.LAND_USE_CTE.strip()},
+{fixtures.REGIONS_CTE.strip()},
+clipped AS (
+    SELECT lu.region_id, lu.season_id, lu.land_type_id,
+           greatest(lu.x1, r.gx1) AS cx1, least(lu.x2, r.gx2) AS cx2,
+           greatest(lu.y1, r.gy1) AS cy1, least(lu.y2, r.gy2) AS cy2
+    FROM land_use lu
+    JOIN regions r ON lu.region_id = r.id
+    WHERE least(lu.x2, r.gx2) > greatest(lu.x1, r.gx1)
+      AND least(lu.y2, r.gy2) > greatest(lu.y1, r.gy1)
+),
+xcells AS (
+    SELECT region_id, season_id, land_type_id, cy1, cy2,
+           unnest(range(cx1, cx2)) AS cx
+    FROM clipped
+),
+ycells AS (
+    SELECT region_id, season_id, land_type_id, cx,
+           unnest(range(cy1, cy2)) AS cy
+    FROM xcells
+),
+cells AS (SELECT DISTINCT * FROM ycells)
+SELECT region_id, season_id, land_type_id,
+       CAST(count(*) AS DOUBLE) AS area
+FROM cells
+GROUP BY region_id, season_id, land_type_id
+"""
