@@ -75,14 +75,15 @@ def detect_lang(text: Column) -> Column:
     """Stopword-overlap language heuristic: argmax over LANG_STOPWORDS of
     in-vocabulary token count (ties broken by language-code order)."""
     toks = tokens(text)
+
+    def lang_score(ws: tuple[str, ...]) -> Column:
+        vocab = F.array(*[F.lit(w) for w in ws])
+        return F.size(
+            F.filter(toks, lambda t: F.array_contains(vocab, t))
+        ).cast("long")
+
     scored = F.array(*[
-        F.struct(
-            F.size(F.filter(
-                toks,
-                lambda t, ws=ws: F.array_contains(F.array(*[F.lit(w) for w in ws]), t),
-            )).cast("long").alias("score"),
-            F.lit(code).alias("lang"),
-        )
+        F.struct(lang_score(ws).alias("score"), F.lit(code).alias("lang"))
         for code, ws in sorted(LANG_STOPWORDS.items())
     ])
     # max by (score, then reversed-lang so that on score ties the

@@ -1,0 +1,259 @@
+"""Deduplication operators over the `documents` table (north-star extension,
+BASELINE.json): exact dedup, MinHash+LSH near-dup, SimHash, n-gram Jaccard.
+
+All hashing is the portable md5-derived 60-bit hash (functions/text.py
+portable_hash60) so each operator has an *exact* DuckDB oracle — no
+engine-specific hash functions in anything the correctness gate checks.
+
+Scale design:
+  - signatures are computed without exploding (array lambdas inside one
+    projection → whole-stage codegen, no shuffle);
+  - the only shuffles are the LSH band groupBy (small: docs × bands) and the
+    candidate self-join (banded, so it never goes quadratic);
+  - exact dedup is a single hash aggregate on md5(text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TXT
+
+# MinHash parameters (shared literal constants with the SQL oracle)
+MINHASH_K = 16
+MINHASH_P = 1_000_000_007
+BANDS = 4
+ROWS_PER_BAND = MINHASH_K // BANDS
+# k-th permutation: h_k(x) = (A[k]*x + B[k]) mod P  (x already reduced mod P)
+A = [2 * k + 3 for k in range(MINHASH_K)]
+B = [5 * k + 1 for k in range(MINHASH_K)]
+SHINGLE_K = 3
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+# ------------------------------------------------------------- exact dedup
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-groupBy exact dedup: canonical doc per md5(text), dup count."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+EXACT_DEDUP_ORACLE = """
+SELECT md5(text) AS content_hash,
+       min(doc_id) AS canonical_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+# ---------------------------------------------------------------- minhash
+
+def _signature_col(shingles):
+    """16-element MinHash signature from distinct 3-word shingles, computed
+    entirely with array lambdas (no explode, no shuffle)."""
+    hashes = F.transform(shingles, lambda s: TXT.portable_hash60(s) % MINHASH_P)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(MINHASH_K - 1)),
+        lambda k: F.array_min(
+            F.transform(
+                hashes,
+                lambda h: (F.element_at(F.array(*[F.lit(a) for a in A]), (k + 1).cast("int")) * h
+                           + F.element_at(F.array(*[F.lit(b) for b in B]), (k + 1).cast("int"))
+                           ) % MINHASH_P,
+            )
+        ),
+    )
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("doc_id", TXT.word_shingles(F.col("text"), SHINGLE_K).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select("doc_id", _signature_col(F.col("sh")).alias("sig"))
+    )
+
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs: docs agreeing on any LSH band (4 bands × 4
+    rows). Banding keeps the self-join linear-ish: join key is the band
+    bucket hash, never all-pairs."""
+    sig = minhash_signatures(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(F.concat_ws(",", F.transform(
+                        F.slice(F.col("sig"), (b * ROWS_PER_BAND + 1).cast("int"), ROWS_PER_BAND),
+                        lambda v: v.cast("string"),
+                    ))).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+_SIG_SQL = f"""
+shingled AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - {SHINGLE_K - 1}, 0) + 1),
+               i -> concat_ws(' ', string_split(text, ' ')[i],
+                              string_split(text, ' ')[i+1],
+                              string_split(text, ' ')[i+2])
+           )) AS shingles
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= {SHINGLE_K}
+),
+hashed AS (
+    SELECT doc_id,
+           list_transform(shingles,
+               s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {MINHASH_P}) AS hs
+    FROM shingled WHERE len(shingles) > 0
+),
+perms AS (SELECT unnest(range(0, {MINHASH_K})) AS k),
+sig AS (
+    SELECT doc_id, k,
+           list_aggregate(list_transform(hs,
+               h -> ((2*k + 3) * h + (5*k + 1)) % {MINHASH_P}), 'min') AS m
+    FROM hashed, perms
+)
+"""
+
+MINHASH_LSH_ORACLE = f"""
+WITH {_SIG_SQL.strip()},
+bands AS (
+    SELECT doc_id, k // {ROWS_PER_BAND} AS band,
+           md5(string_agg(m::VARCHAR, ',' ORDER BY k)) AS bucket
+    FROM sig
+    GROUP BY doc_id, k // {ROWS_PER_BAND}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+# ----------------------------------------------------------------- simhash
+
+SIMHASH_BITS = 16
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over distinct tokens (portable 60-bit hash reduced to
+    16 bits; bit votes +1/-1; bit set when vote sum >= 0)."""
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(TXT.tokens(F.col("text")))).alias("tok"),
+    ).withColumn("h", TXT.portable_hash60(F.col("tok")) % (1 << SIMHASH_BITS))
+    votes = tok.groupBy("doc_id").agg(*[
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(SIMHASH_BITS)
+    ])
+    sim = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{i}") >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return votes.select("doc_id", sim.cast("long").alias("simhash"))
+
+SIMHASH_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+    FROM documents
+),
+hashed AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(tok), 1, 15))::BIGINT % {1 << SIMHASH_BITS} AS h
+    FROM tok
+),
+votes AS (
+    SELECT doc_id,
+           {", ".join(
+               f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+               for i in range(SIMHASH_BITS)
+           )}
+    FROM hashed GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST({" + ".join(
+           f"CASE WHEN s{i} >= 0 THEN {1 << i} ELSE 0 END"
+           for i in range(SIMHASH_BITS)
+       )} AS BIGINT) AS simhash
+FROM votes
+"""
+
+# ----------------------------------------------------------- n-gram jaccard
+
+JACCARD_THRESHOLD = 0.6
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs with 3-word-shingle Jaccard >= 0.6, via distinct
+    shingle explode + equi-self-join (shared-shingle prefilter — pairs with
+    zero overlap never materialize)."""
+    d = _docs(spark, sf_dir)
+    sh = d.select(
+        "doc_id",
+        F.explode(TXT.word_shingles(F.col("text"), SHINGLE_K)).alias("s"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.s") == F.col("b.s"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "doc_a").join(nb, "doc_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+NGRAM_JACCARD_ORACLE = f"""
+WITH sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - {SHINGLE_K - 1}, 0) + 1),
+               i -> concat_ws(' ', string_split(text, ' ')[i],
+                              string_split(text, ' ')[i+1],
+                              string_split(text, ' ')[i+2])
+           ))) AS s
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= {SHINGLE_K}
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       inter / (na.n + nb.n - inter) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE inter / (na.n + nb.n - inter) >= {JACCARD_THRESHOLD}
+"""

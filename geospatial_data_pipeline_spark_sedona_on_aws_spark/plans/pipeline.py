@@ -79,6 +79,48 @@ def crop_analytics_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).select("region_id", "season_id", "land_type_id", "area")
 
+def st_area_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-parcel ST_Area through the registered UDF (closed form: w·h)."""
+    from ..functions.spatial import register_spatial_functions
+
+    register_spatial_functions(spark)
+    lu = fixtures.land_use_areas(spark, sf_dir)
+    return lu.select(
+        "property_id",
+        F.expr("ST_Area(ST_GeomFromWKT(land_geometry))").alias("area"),
+    )
+
+ST_AREA_RECT_ORACLE = f"""
+WITH {fixtures.LAND_USE_CTE.strip()}
+SELECT property_id, CAST((x2 - x1) * (y2 - y1) AS DOUBLE) AS area
+FROM land_use
+"""
+
+def st_intersection_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-parcel clipped area via the fused ST_ClippedArea UDF
+    (closed form: overlap of two rectangles)."""
+    from ..functions.spatial import register_spatial_functions
+
+    register_spatial_functions(spark)
+    lu = fixtures.land_use_areas(spark, sf_dir)
+    regions = fixtures.geographic_regions(spark, sf_dir)
+    joined = lu.join(F.broadcast(regions), lu["region_id"] == regions["id"], "inner")
+    return joined.select(
+        "property_id",
+        F.expr("ST_ClippedArea(land_geometry, region_geometry)").alias("clipped_area"),
+    )
+
+ST_INTERSECTION_AREA_ORACLE = f"""
+WITH {fixtures.LAND_USE_CTE.strip()},
+{fixtures.REGIONS_CTE.strip()}
+SELECT lu.property_id,
+       CAST(greatest(0, least(lu.x2, r.gx2) - greatest(lu.x1, r.gx1))
+          * greatest(0, least(lu.y2, r.gy2) - greatest(lu.y1, r.gy1)) AS DOUBLE)
+           AS clipped_area
+FROM land_use lu
+JOIN regions r ON lu.region_id = r.id
+"""
+
 # ------------------------------------------------------------- oracle SQL
 
 CROP_ANALYTICS_ORACLE = f"""

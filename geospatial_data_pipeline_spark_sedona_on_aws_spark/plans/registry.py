@@ -1,0 +1,101 @@
+"""Central query registry: every implemented operator from SURVEY.md §2 (plus
+the north-star extensions) as a named (spark, sf_dir) -> DataFrame callable,
+with its DuckDB oracle SQL where SQL-expressible.
+
+__spark_entry__.py re-exports these for the driver's correctness gate.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..multimodal import binary as MM
+from ..operators import dedup as DD
+from ..operators import similarity as SIM
+from ..operators import spatial_join as SJ
+from ..streaming import events as EV
+from . import pipeline as P
+from . import relational as R
+from . import text_queries as TQ
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {
+    # --- spatial (reference parity: SURVEY.md §2.1-2.4) ---
+    "crop_analytics": P.crop_analytics,
+    "crop_analytics_full": P.crop_analytics_full,   # rows-only (polyconic CRS)
+    "st_area_rect": P.st_area_rect,
+    "st_intersection_area": P.st_intersection_area,
+    "spatial_range_join": SJ.spatial_range_join,
+    # --- relational breadth (SURVEY.md §7 phase 3) ---
+    "q1_pricing_summary": R.q1_pricing_summary,
+    "q3_shipping_priority": R.q3_shipping_priority,
+    "nation_revenue": R.nation_revenue,
+    "late_ship_orders": R.late_ship_orders,
+    "customers_without_orders": R.customers_without_orders,
+    "distinct_agg": R.distinct_agg,
+    "rollup_sales": R.rollup_sales,
+    "pivot_order_status": R.pivot_order_status,
+    "set_ops": R.set_ops,
+    "filter_sort_limit": R.filter_sort_limit,
+    "scalar_functions": R.scalar_functions,
+    "top_customers_per_nation": R.top_customers_per_nation,
+    "part_window_stats": R.part_window_stats,
+    # --- events / streaming ---
+    "events_windowed": EV.events_windowed,
+    "sessionize_events": EV.sessionize,
+    "events_json_extract": EV.events_json_extract,
+    "events_windowed_streaming": EV.events_windowed_streaming,
+    # --- text analysis ---
+    "text_stats": TQ.text_stats,
+    "quality_scores": TQ.quality_scores,
+    "lang_detect": TQ.lang_detect,
+    # --- dedup ---
+    "exact_dedup": DD.exact_dedup,
+    "minhash_lsh_candidates": DD.minhash_lsh_candidates,
+    "simhash": DD.simhash,
+    "ngram_jaccard_pairs": DD.ngram_jaccard_pairs,
+    # --- similarity search ---
+    "embedding_topk_cosine": SIM.topk_cosine,
+    "embedding_lsh_ann": SIM.lsh_ann,
+    # --- multimodal plumbing ---
+    "multimodal_features": MM.multimodal_features,
+}
+
+ORACLES: dict[str, str] = {
+    "crop_analytics": P.CROP_ANALYTICS_ORACLE,
+    "st_area_rect": P.ST_AREA_RECT_ORACLE,
+    "st_intersection_area": P.ST_INTERSECTION_AREA_ORACLE,
+    "spatial_range_join": SJ.SPATIAL_RANGE_JOIN_ORACLE,
+    "q1_pricing_summary": R.Q1_ORACLE,
+    "q3_shipping_priority": R.Q3_ORACLE,
+    "nation_revenue": R.NATION_REVENUE_ORACLE,
+    "late_ship_orders": R.LATE_SHIP_ORACLE,
+    "customers_without_orders": R.CUSTOMERS_WITHOUT_ORDERS_ORACLE,
+    "distinct_agg": R.DISTINCT_AGG_ORACLE,
+    "rollup_sales": R.ROLLUP_SALES_ORACLE,
+    "pivot_order_status": R.PIVOT_ORACLE,
+    "set_ops": R.SET_OPS_ORACLE,
+    "filter_sort_limit": R.FILTER_SORT_LIMIT_ORACLE,
+    "scalar_functions": R.SCALAR_FUNCTIONS_ORACLE,
+    "top_customers_per_nation": R.TOP_CUSTOMERS_ORACLE,
+    "part_window_stats": R.PART_WINDOW_STATS_ORACLE,
+    "events_windowed": EV.EVENTS_WINDOWED_ORACLE,
+    "sessionize_events": EV.SESSIONIZE_ORACLE,
+    "events_json_extract": EV.EVENTS_JSON_ORACLE,
+    "events_windowed_streaming": EV.EVENTS_WINDOWED_STREAMING_ORACLE,
+    "text_stats": TQ.TEXT_STATS_ORACLE,
+    "quality_scores": TQ.QUALITY_ORACLE,
+    "lang_detect": TQ.LANG_DETECT_ORACLE,
+    "exact_dedup": DD.EXACT_DEDUP_ORACLE,
+    "minhash_lsh_candidates": DD.MINHASH_LSH_ORACLE,
+    "simhash": DD.SIMHASH_ORACLE,
+    "ngram_jaccard_pairs": DD.NGRAM_JACCARD_ORACLE,
+    "embedding_topk_cosine": SIM.TOPK_COSINE_ORACLE,
+    "embedding_lsh_ann": SIM.LSH_ANN_ORACLE,
+    "multimodal_features": MM.MULTIMODAL_FEATURES_ORACLE,
+    # crop_analytics_full intentionally omitted: EPSG:5880 reprojection has
+    # no plain-SQL closed form (FIXTURES.md §3) → driver rows-only check.
+}

@@ -1,0 +1,373 @@
+"""Relational operator breadth (SURVEY.md §7 phase 3): filters, sorts,
+limits, joins of every flavor, distinct/rollup/pivot aggregates, window
+functions, set ops, scalar functions — thin idiomatic DataFrame plans, each
+with an exactly-equivalent DuckDB oracle.
+
+The reference exercises only one join and one aggregation shape
+(SURVEY.md §2.2-2.3); these fill out the engine surface a real user of a
+Spark-based analytics engine needs.
+
+Cross-engine determinism rules used throughout:
+  - double-typed measures are summed as DECIMAL(18,2) (exact, order-free)
+    and cast back to double at the end;
+  - averages are computed as exact-sum / count in double;
+  - every ORDER BY ... LIMIT has a unique-key tie-break;
+  - no round() on half-representable values (engines differ on ties).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+def _dec(c) -> F.Column:
+    return F.col(c).cast("decimal(18,2)") if isinstance(c, str) else c.cast("decimal(18,2)")
+
+# ----------------------------------------------------------- q1 pricing
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    charge = disc_price * (1 + _dec("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+# --------------------------------------------------- q3 shipping priority
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    revenue = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+Q3_ORACLE = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+# ------------------------------------------------------- nation revenue
+
+def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-way join with broadcast dims: revenue per nation and region."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    revenue = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+NATION_REVENUE_ORACLE = """
+SELECT r_name, n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+# --------------------------------------------------- semi / anti joins
+
+def late_ship_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join with a correlated extra predicate (TPC-H Q4 shape):
+    orders having at least one lineitem shipped after the order date."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    sel = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > orders["o_orderdate"]),
+        "left_semi",
+    )
+    return sel.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+LATE_SHIP_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+)
+GROUP BY o_orderpriority
+"""
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no 1995 orders, per segment."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(F.year("o_orderdate") == 1995)
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_balance"),
+        )
+    )
+
+CUSTOMERS_WITHOUT_ORDERS_ORACLE = """
+SELECT c_mktsegment, count(*) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND year(o_orderdate) = 1995)
+GROUP BY c_mktsegment
+"""
+
+# ------------------------------------------------ distinct / rollup / pivot
+
+def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_distinct_cust"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.count("*").alias("n_orders"),
+    )
+
+DISTINCT_AGG_ORACLE = """
+SELECT o_orderstatus,
+       count(DISTINCT o_custkey) AS n_distinct_cust,
+       count(DISTINCT o_orderpriority) AS n_priorities,
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.sum(_dec("o_totalprice")).cast("double").alias("total_sales"),
+        F.count("*").alias("n_orders"),
+    )
+
+ROLLUP_SALES_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales,
+       count(*) AS n_orders
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+def pivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+PIVOT_ORACLE = """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+# ------------------------------------------------------------- set ops
+
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(1994 buyers ∩ BUILDING customers) ∪ (negative-balance ∖ 1994 buyers)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    buyers_1994 = orders.where(F.year("o_orderdate") == 1994).select(
+        F.col("o_custkey").alias("custkey")
+    ).distinct()
+    building = cust.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    negative = cust.where(F.col("c_acctbal") < 0).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return (
+        buyers_1994.intersect(building)
+        .union(negative.subtract(buyers_1994))
+        .distinct()
+    )
+
+SET_OPS_ORACLE = """
+(SELECT DISTINCT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1994
+ INTERSECT
+ SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+UNION
+(SELECT c_custkey FROM customer WHERE c_acctbal < 0
+ EXCEPT
+ SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1994)
+"""
+
+# ----------------------------------------------------- sort/limit/scalars
+
+def filter_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.where((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 100000))
+        .select(
+            "o_orderkey", "o_custkey", "o_totalprice",
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.month("o_orderdate").cast("long").alias("order_month"),
+            F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+FILTER_SORT_LIMIT_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       CAST(month(o_orderdate) AS BIGINT) AS order_month,
+       CAST(day(o_orderdate) AS BIGINT) AS order_day
+FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice > 100000
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/math scalar surface in one projection (all codegen'd JVM-side)."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.floor("p_retailprice").cast("long").alias("price_floor"),
+        F.ceil("p_retailprice").cast("long").alias("price_ceil"),
+        F.abs(F.col("p_size") - 25).cast("long").alias("size_dev"),
+        (F.col("p_size") % 7).cast("long").alias("size_mod"),
+        F.sqrt(F.col("p_size").cast("double")).alias("size_sqrt"),
+        F.coalesce(F.nullif("p_brand", F.lit("Brand#00")), F.lit("UNKNOWN")).alias("brand_nz"),
+    )
+
+SCALAR_FUNCTIONS_ORACLE = """
+SELECT p_partkey,
+       upper(p_brand) AS brand_upper,
+       lower(p_type) AS type_lower,
+       CAST(length(p_name) AS BIGINT) AS name_len,
+       substring(p_name, 1, 8) AS name_prefix,
+       concat_ws('|', p_brand, p_type) AS brand_type,
+       CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+       CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+       CAST(abs(p_size - 25) AS BIGINT) AS size_dev,
+       CAST(p_size % 7 AS BIGINT) AS size_mod,
+       sqrt(CAST(p_size AS DOUBLE)) AS size_sqrt,
+       coalesce(nullif(p_brand, 'Brand#00'), 'UNKNOWN') AS brand_nz
+FROM part
+"""
+
+# ------------------------------------------------------------- windows
+
+def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        cust.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "c_nationkey",
+            F.col("rank").cast("int").alias("rank"),
+            "c_custkey", "c_name", "c_acctbal",
+        )
+    )
+
+TOP_CUSTOMERS_ORACLE = """
+SELECT c_nationkey, CAST(rank AS INT) AS rank, c_custkey, c_name, c_acctbal
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS rank
+    FROM customer
+)
+WHERE rank <= 3
+"""
+
+def part_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank + lag + running decimal sum inside one brand-partitioned
+    window — the analytic-function trifecta."""
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.asc("p_retailprice"), F.asc("p_partkey"))
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return part.select(
+        "p_brand", "p_partkey", "p_retailprice",
+        F.dense_rank().over(
+            Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"))
+        ).cast("long").alias("price_rank"),
+        (F.col("p_retailprice") - F.lag("p_retailprice").over(w)).alias("price_step"),
+        F.sum(_dec("p_retailprice")).over(wr).cast("double").alias("running_total"),
+    )
+
+PART_WINDOW_STATS_ORACLE = """
+SELECT p_brand, p_partkey, p_retailprice,
+       CAST(dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS BIGINT) AS price_rank,
+       p_retailprice - lag(p_retailprice) OVER w AS price_step,
+       CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) OVER (
+            PARTITION BY p_brand ORDER BY p_retailprice ASC, p_partkey ASC
+            ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+FROM part
+WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice ASC, p_partkey ASC)
+"""

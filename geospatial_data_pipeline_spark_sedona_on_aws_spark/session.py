@@ -35,6 +35,9 @@ def get_spark(app_name: str = "geospatial-engine", shuffle_partitions: int | Non
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # driver testdata stores event timestamps as TIMESTAMP(NANOS);
+        # read as long + convert (streaming/events.py)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # broadcast dims up to 64 MB — the reference broadcasts its region
         # dimension explicitly (spark_job/process_geodata.py:101)

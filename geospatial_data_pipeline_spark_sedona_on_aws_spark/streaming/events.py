@@ -1,0 +1,182 @@
+"""Event-stream operators over the `events` table.
+
+The reference has no streaming surface (SURVEY.md §2.8 — its temporal model
+is scheduled full-refresh batch), so this module is pure extension: the
+standard event-analytics set, each with a batch formulation (DuckDB-oracle
+checkable) and, for the windowed aggregate, a Structured Streaming
+formulation (readStream + watermark + window + availableNow trigger) proven
+equivalent to the batch one.
+
+Money/measure sums go through DECIMAL so partial-aggregation order can't
+perturb the result vs the oracle (doubles aren't associative; decimals are).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SESSION_GAP_MIN = 30
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects; read nanos as long (spark.sql.legacy.parquet.nanosAsLong,
+    set in session.py) and convert to a microsecond timestamp."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes)["ts"] in ("bigint", "long"):
+        # integer division — ts/1000 through double would lose sub-µs bits
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return ev
+
+def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event_type: count + exact sum(value)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+EVENTS_WINDOWED_ORACLE = """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min idle gap): lag + cumulative sum of
+    gap markers inside a per-user window — the classic batch formulation."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn(
+        "new_session",
+        F.when(
+            (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)))
+            > SESSION_GAP_MIN * 60,
+            1,
+        ).otherwise(0),
+    ).withColumn("session_seq", F.sum("new_session").over(w))
+    return (
+        marked.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_seq").cast("long").alias("session_seq"),
+            "n_events", "session_start", "session_end", "sum_value",
+        )
+    )
+
+SESSIONIZE_ORACLE = f"""
+WITH marked AS (
+    SELECT *,
+           CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                     - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT)
+                     > {SESSION_GAP_MIN * 60}
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+    SELECT *, sum(new_session) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM marked
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM sessions
+GROUP BY user_id, session_seq
+"""
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured path: pull the integer `k` out of the props JSON blob
+    with a portable regex, aggregate per event_type."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn(
+            "k", F.regexp_extract(F.col("props"), '"k":\\s*(\\d+)', 1).cast("long")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.count("*").alias("n"),
+        )
+    )
+
+EVENTS_JSON_ORACLE = """
+SELECT event_type,
+       sum(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS sum_k,
+       max(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS max_k,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+def events_windowed_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same tumbling-window aggregate executed as a Structured Streaming
+    job: readStream over the events parquet → 10-min watermark → F.window →
+    availableNow trigger into an in-memory sink. Returns the sink table —
+    values must equal the batch formulation (and the DuckDB oracle).
+    """
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema).format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    if dict(stream.dtypes)["ts"] in ("bigint", "long"):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+    name = "events_windowed_stream_sink"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            agg.writeStream.format("memory").queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+EVENTS_WINDOWED_STREAMING_ORACLE = """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
