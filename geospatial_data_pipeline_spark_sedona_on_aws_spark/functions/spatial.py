@@ -46,6 +46,7 @@ def _buffer(s: str | None, d: float) -> str | None:
     only needs 'grow slightly')."""
     if s is None:
         return None
+    d = float(d)  # SQL numeric literals may arrive as decimal.Decimal
     g = G.normalize(G.parse_wkt(s))
     if d == 0:
         return G.to_wkt(g)

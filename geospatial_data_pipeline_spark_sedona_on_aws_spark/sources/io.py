@@ -1,0 +1,90 @@
+"""Sources and sinks (SURVEY.md §2.1).
+
+The reference moves data Postgres →(JDBC)→ Spark →(headerless CSV on S3)→
+COPY→Postgres. Locally the system of record is parquet; the adapters keep the
+reference's *shapes*: a range-partitioned scan API identical to its
+`_read_data_from_db` (reference spark_job/process_geodata.py:74-96) and a CSV
+sink with its exact writer options (:146-160).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Primary scan path: parquet (splittable, self-describing; Catalyst
+    handles partition planning, predicate pushdown, column pruning — the
+    automatic versions of the reference's manual O1-O3, SURVEY.md §4)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+def read_bounds(df: DataFrame, partition_column: str) -> tuple:
+    """Eager min/max bounds scan feeding range partitioning — the
+    reference's `_read_data_bounds` (spark_job/process_geodata.py:54-72):
+    a 2-value global aggregate collected to the driver. On parquet the
+    min/max come from footer stats, so this is metadata-only."""
+    row = df.agg(
+        F.max(partition_column).alias("mx"), F.min(partition_column).alias("mn")
+    ).first()
+    return row["mx"], row["mn"]
+
+def read_jdbc_partitioned(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str,
+    lower_bound,
+    upper_bound,
+    num_partitions: int = 100,
+    fetchsize: int = 10_000,
+    properties: dict | None = None,
+) -> DataFrame:
+    """JDBC-shaped source adapter, API-identical to the reference's
+    `_read_data_from_db` (spark_job/process_geodata.py:74-96): 100-way
+    range-partitioned parallel read with fetchsize=10000. Requires a JDBC
+    driver jar on the classpath — unused in local tests (parquet instead),
+    kept as the production scan path."""
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("partitionColumn", partition_column)
+        .option("lowerBound", str(lower_bound))
+        .option("upperBound", str(upper_bound))
+        .option("numPartitions", str(num_partitions))
+        .option("fetchsize", str(fetchsize))
+    )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+def write_csv_sink(
+    df: DataFrame,
+    path: str,
+    num_partitions: int = 10,
+    max_records_per_file: int = 10_000,
+) -> None:
+    """The reference's S3 CSV sink, option-for-option
+    (spark_job/process_geodata.py:146-160): repartition(10), headerless,
+    comma-delimited, overwrite, ≤10k records/file."""
+    (
+        df.repartition(num_partitions)
+        .write.option("maxRecordsPerFile", max_records_per_file)
+        .option("header", "false")
+        .option("delimiter", ",")
+        .mode("overwrite")
+        .csv(path)
+    )
+
+def read_csv_sink(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Loader-side read-back of the headerless CSV interchange files —
+    Spark lists and parallelizes the directory natively (replaces the
+    reference's boto3 pagination loop, ecs_loader/load_to_postgres.py:145-163).
+    Schema is positional, mirroring the loader's positional COPY
+    (ecs_loader/load_to_postgres.py:184)."""
+    return (
+        spark.read.schema(schema)
+        .option("header", "false")
+        .option("delimiter", ",")
+        .csv(path)
+    )

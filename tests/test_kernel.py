@@ -1,0 +1,125 @@
+"""Geometry-kernel unit + property tests (SURVEY.md §5: closed-form
+rectangle oracles plus Hypothesis invariants for the general paths)."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel import geom as G
+from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel import transform as T
+
+RECT = "POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))"
+
+def test_wkt_round_trip():
+    g = G.parse_wkt(RECT)
+    assert G.to_wkt(g) == RECT
+    assert G.parse_wkt(G.to_wkt(g)) == g
+
+def test_multipolygon_round_trip():
+    w = "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))"
+    assert G.to_wkt(G.parse_wkt(w)) == w
+
+def test_empty():
+    assert G.parse_wkt("POLYGON EMPTY") == []
+    assert G.area([]) == 0.0
+    assert G.to_wkt([]) == "POLYGON EMPTY"
+
+def test_area_with_hole():
+    w = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))"
+    assert G.area(G.parse_wkt(w)) == 96.0
+
+def test_clip_convex_rect():
+    g = G.parse_wkt(RECT)
+    out = G.clip_convex(g, [(2, 1), (10, 1), (10, 10), (2, 10)])
+    assert G.area(out) == 4.0
+
+def test_clip_disjoint_empty():
+    g = G.parse_wkt(RECT)
+    assert G.clip_convex(g, [(100, 100), (101, 100), (101, 101), (100, 101)]) == []
+
+def test_klee_union_area():
+    assert G.union_area_rectilinear([(0, 0, 4, 3), (2, 1, 5, 4), (10, 10, 11, 11)]) == 18.0
+    assert G.union_area_rectilinear([]) == 0.0
+    # full containment
+    assert G.union_area_rectilinear([(0, 0, 10, 10), (2, 2, 3, 3)]) == 100.0
+
+def test_union_decompose_matches_klee():
+    rects = [(0, 0, 4, 3), (2, 1, 5, 4), (1, 2, 6, 8), (10, 0, 12, 2)]
+    pieces = G.union_rects_decompose(rects)
+    # pieces are disjoint and cover the same area
+    total = sum((x2 - x1) * (y2 - y1) for x1, y1, x2, y2 in pieces)
+    assert total == G.union_area_rectilinear(rects)
+    for i, a in enumerate(pieces):
+        for b in pieces[i + 1:]:
+            assert G.rect_clip(*a, *b) is None
+
+def test_normalize_orientation():
+    # CW outer ring gets flipped to CCW
+    g = G.parse_wkt("POLYGON ((0 0, 0 3, 4 3, 4 0, 0 0))")
+    n = G.normalize(g)
+    assert G._ring_signed_area(n[0][0]) > 0
+    assert G.area(n) == 12.0
+
+def test_transform_known_point():
+    # projection origin: lon0=-54, lat0=0 → false easting/northing exactly
+    x, y = T.polyconic_forward(math.radians(-54.0), 0.0)
+    assert (x, y) == (5_000_000.0, 10_000_000.0)
+    # Brasília (EPSG:5880 published coords ≈ 5.65M E, 8.24M N)
+    x, y = T.polyconic_forward(math.radians(-47.8828), math.radians(-15.7939))
+    assert abs(x - 5_655_325) < 1000 and abs(y - 8_243_641) < 1000
+
+def test_webmercator_round():
+    lon, lat = T.webmercator_inverse(0.0, 0.0)
+    assert lon == 0.0 and lat == 0.0
+
+rect_coords = st.tuples(
+    st.integers(-100, 100), st.integers(-100, 100),
+    st.integers(1, 50), st.integers(1, 50),
+)
+
+def _mk(r):
+    x, y, w, h = r
+    return (x, y, x + w, y + h)
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(rect_coords, min_size=0, max_size=12))
+def test_prop_union_bounds(rs):
+    rects = [_mk(r) for r in rs]
+    u = G.union_area_rectilinear(rects)
+    total = sum((x2 - x1) * (y2 - y1) for x1, y1, x2, y2 in rects)
+    mx = max(((x2 - x1) * (y2 - y1) for x1, y1, x2, y2 in rects), default=0)
+    assert mx <= u <= total  # union ≤ sum, ≥ largest member
+    # idempotent under duplication
+    assert G.union_area_rectilinear(rects + rects) == u
+    # decomposition agrees
+    pieces = G.union_rects_decompose(rects)
+    assert sum((x2 - x1) * (y2 - y1) for x1, y1, x2, y2 in pieces) == u
+
+@settings(max_examples=200, deadline=None)
+@given(rect_coords, rect_coords)
+def test_prop_clip_area(a, b):
+    ra, rb = _mk(a), _mk(b)
+    ga = G.rects_to_geom([ra])
+    clip_ring = G.rects_to_geom([rb])[0][0]
+    inter = G.clip_convex(ga, clip_ring)
+    expected = G.rect_clip(*ra, *rb)
+    got = G.area(inter)
+    want = (expected[2] - expected[0]) * (expected[3] - expected[1]) if expected else 0.0
+    assert got == want
+    assert got <= min((ra[2] - ra[0]) * (ra[3] - ra[1]),
+                      (rb[2] - rb[0]) * (rb[3] - rb[1]))
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(rect_coords, min_size=1, max_size=6))
+def test_prop_wkt_round_trip(rs):
+    g = G.rects_to_geom([_mk(r) for r in rs])
+    assert G.parse_wkt(G.to_wkt(g)) == g
+
+@settings(max_examples=100, deadline=None)
+@given(st.floats(-19.9e6, 19.9e6), st.floats(-19.9e6, 19.9e6))
+def test_prop_transform_finite(x, y):
+    px, py = T.mercator_to_polyconic(x, y)
+    assert math.isfinite(px) and math.isfinite(py)

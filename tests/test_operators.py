@@ -1,0 +1,129 @@
+"""Operator-level tests: dissolve/union_aggr, spatial UDFs, dedup,
+similarity, multimodal plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions.spatial import (
+    register_spatial_functions,
+)
+from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel import geom as G
+from geospatial_data_pipeline_spark_sedona_on_aws_spark.operators.dissolve import (
+    dissolve_clip_area,
+    union_aggr,
+)
+
+from tests.conftest import SF_SMOKE
+
+def test_union_aggr_small(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))"),
+            (1, "POLYGON ((2 1, 5 1, 5 4, 2 4, 2 1))"),
+            (2, "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"),
+        ],
+        "k int, g string",
+    )
+    out = {r["k"]: r["geometry"] for r in union_aggr(df, ["k"], "g").collect()}
+    assert G.area(G.parse_wkt(out[1])) == 12 + 9 - 4
+    assert G.area(G.parse_wkt(out[2])) == 1.0
+
+def test_union_aggr_salting_consistency(spark):
+    # same result regardless of salt fan-out
+    df = spark.createDataFrame(
+        [(1, f"POLYGON (({x} 0, {x+2} 0, {x+2} 2, {x} 2, {x} 0))") for x in range(20)],
+        "k int, g string",
+    )
+    for salt in (1, 4, 32):
+        out = union_aggr(df, ["k"], "g", salt=salt).collect()
+        assert G.area(G.parse_wkt(out[0]["geometry"])) == 42.0  # x spans 0..21, merged
+
+def test_dissolve_clip_area_small(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))", "POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))"),
+            (1, "POLYGON ((3 3, 5 3, 5 5, 3 5, 3 3))", "POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))"),
+        ],
+        "k int, g string, clip string",
+    )
+    out = dissolve_clip_area(df, ["k"], "g", "clip").collect()
+    # clip(0-4 sq) = 2x2 = 4 ; clip(3-5 sq) = 3..5×3..5 = 4 ; overlap 3..4×3..4 = 1
+    assert out[0]["area"] == 4 + 4 - 1
+
+def test_st_udfs_via_sql(spark):
+    register_spatial_functions(spark)
+    df = spark.createDataFrame(
+        [("POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))", "POLYGON ((2 1, 9 1, 9 9, 2 9, 2 1))")],
+        "a string, b string",
+    )
+    row = df.select(
+        F.expr("ST_Area(a)").alias("area"),
+        F.expr("ST_Area(ST_Intersection(a, b))").alias("ia"),
+        F.expr("ST_ClippedArea(a, b)").alias("fused"),
+        F.expr("ST_AsText(ST_MakeValid(ST_GeomFromWKT(a)))").alias("rt"),
+        F.expr("ST_Area(ST_Buffer(a, 1.0))").alias("grown"),
+        F.expr("ST_Envelope(a)").alias("env"),
+    ).first()
+    assert row["area"] == 12.0
+    assert row["ia"] == 4.0 and row["fused"] == 4.0
+    assert row["rt"] == "POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))"
+    # miter buffer of a rectangle grows each side by 1: (4+2)*(3+2)
+    assert row["grown"] == 30.0
+    assert row["env"] == "POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))"
+
+def test_st_transform_udf(spark):
+    register_spatial_functions(spark)
+    # 100 m Mercator square at the equator near the EPSG:5880 central
+    # meridian (lon0 = -54° → Mercator x ≈ -6,011,000 m), where polyconic
+    # scale distortion is minimal
+    x0 = -6_011_000
+    wkt = (f"POLYGON (({x0} 0, {x0 + 100} 0, {x0 + 100} 100, "
+           f"{x0} 100, {x0} 0))")
+    df = spark.createDataFrame([(wkt,)], "g string")
+    area = df.select(
+        F.expr("ST_Area(ST_Transform(g, 'EPSG:3857', 'EPSG:5880'))").alias("a")
+    ).first()["a"]
+    assert 9_800 < area < 10_200
+
+def test_minhash_detects_exact_dupes(spark):
+    import pandas as pd
+
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.operators import dedup as DD
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": [
+                "the quick brown fox jumps over the lazy dog again and again",
+                "the quick brown fox jumps over the lazy dog again and again",
+                "completely different words in this entirely unrelated document text here",
+            ],
+        })
+    )
+    docs.createOrReplaceTempView("__docs_tmp")
+    sig = DD.minhash_signatures.__wrapped__ if hasattr(DD.minhash_signatures, "__wrapped__") else None
+    # identical docs share all bands; the unrelated doc shares none
+    d = docs
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions import text as TXT
+
+    sigs = (
+        d.select("doc_id", TXT.word_shingles(F.col("text"), 3).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select("doc_id", DD._signature_col(F.col("sh")).alias("sig"))
+        .collect()
+    )
+    by_id = {r["doc_id"]: r["sig"] for r in sigs}
+    assert by_id[1] == by_id[2]
+    assert by_id[1] != by_id[3]
+
+def test_multimodal_plumbing(spark):
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.multimodal.binary import (
+        multimodal_features,
+    )
+
+    out = multimodal_features(spark, SF_SMOKE)
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    rows = out.join(docs, "doc_id").select("n_bytes", "n_chars").collect()
+    assert len(rows) == docs.count()
+    assert all(r["n_bytes"] == r["n_chars"] for r in rows)  # ASCII text

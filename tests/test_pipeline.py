@@ -1,0 +1,102 @@
+"""Flagship pipeline + blue-green publish end-to-end (FIXTURES.md §4)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from geospatial_data_pipeline_spark_sedona_on_aws_spark.plans import (
+    catalog,
+    fixtures,
+    pipeline,
+)
+
+from tests.conftest import SF_SMOKE
+
+def test_fixture_parity_spark_vs_duckdb(spark, duck):
+    """The Spark fixture derivation and the oracle CTE text must agree
+    bit-for-bit — this is the foundation of every spatial oracle."""
+    s = fixtures.land_use_areas(spark, SF_SMOKE).toPandas()
+    o = duck.execute(
+        f"WITH {fixtures.LAND_USE_CTE.strip()} SELECT * FROM land_use"
+    ).df()
+    key = ["property_id", "region_id", "season_id", "land_type_id", "x1", "y1", "x2", "y2"]
+    assert sorted(map(tuple, s[key].values.tolist())) == sorted(map(tuple, o[key].values.tolist()))
+
+    sr = fixtures.geographic_regions(spark, SF_SMOKE).toPandas().sort_values("id")
+    orc = duck.execute(
+        f"WITH {fixtures.REGIONS_CTE.strip()} SELECT * FROM regions ORDER BY id"
+    ).df()
+    assert sr[["id", "gx1", "gy1", "gx2", "gy2"]].values.tolist() == \
+        orc[["id", "gx1", "gy1", "gx2", "gy2"]].values.tolist()
+
+def test_crop_analytics_matches_oracle(spark, duck):
+    s = pipeline.crop_analytics(spark, SF_SMOKE).toPandas()
+    o = duck.execute(pipeline.CROP_ANALYTICS_ORACLE).df()
+    key = ["region_id", "season_id", "land_type_id"]
+    s = s.sort_values(key).reset_index(drop=True)
+    o = o.sort_values(key).reset_index(drop=True)
+    assert len(s) == len(o)
+    assert (s["area"] == o["area"]).all()
+
+def test_full_chain_positive_areas(spark):
+    rows = pipeline.crop_analytics_full(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    assert all(r["area"] >= 0 for r in rows)
+
+def test_blue_green_publish(spark, tmp_path):
+    df1 = pipeline.crop_analytics(spark, SF_SMOKE)
+    name1 = catalog.publish_snapshot(
+        spark, df1, "crop_analytics", "2026-01-01",
+        grain=["region_id", "season_id", "land_type_id"],
+    )
+    assert spark.table("vw_crop_analytics").count() == df1.count()
+    # second snapshot repoints the view and retention drops the first
+    df2 = df1.withColumn("area", F.col("area") * 2)
+    name2 = catalog.publish_snapshot(
+        spark, df2, "crop_analytics", "2026-01-02",
+        grain=["region_id", "season_id", "land_type_id"],
+    )
+    assert catalog.list_snapshots(spark, "crop_analytics") == [name2]
+    v = spark.table("vw_crop_analytics")
+    base = df1.agg(F.sum("area")).first()[0]
+    assert v.agg(F.sum("area")).first()[0] == pytest.approx(2 * base)
+    # view still resolves after the old table is gone
+    assert v.count() == df1.count()
+
+def test_grain_violation_detected(spark):
+    dup = spark.createDataFrame(
+        [(1, 1, 1, 2.0), (1, 1, 1, 3.0)],
+        "region_id int, season_id int, land_type_id int, area double",
+    )
+    with pytest.raises(catalog.GrainViolation):
+        catalog.publish_snapshot(
+            spark, dup, "crop_dup", "2026-01-01",
+            grain=["region_id", "season_id", "land_type_id"],
+        )
+
+def test_csv_sink_round_trip(spark, tmp_path):
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.sources.io import (
+        read_csv_sink,
+        write_csv_sink,
+    )
+
+    df = pipeline.crop_analytics(spark, SF_SMOKE)
+    path = str(tmp_path / "csv_out")
+    write_csv_sink(df, path, num_partitions=3, max_records_per_file=20)
+    back = read_csv_sink(
+        spark, path,
+        "region_id long, season_id long, land_type_id long, area double",
+    )
+    assert back.count() == df.count()
+    assert back.agg(F.sum("area")).first()[0] == df.agg(F.sum("area")).first()[0]
+
+def test_entry_contract(spark):
+    import __spark_entry__ as E
+
+    df = E.entry(spark)
+    assert df.count() > 0
+    qs, os_ = E.queries(), E.oracle_sql()
+    assert set(os_) <= set(qs)
+    # every oracle-less query is documented as rows-only
+    assert set(qs) - set(os_) == {"crop_analytics_full"}

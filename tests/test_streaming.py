@@ -1,0 +1,32 @@
+"""Structured Streaming equivalence: the availableNow windowed aggregate must
+equal the batch formulation row-for-row."""
+
+from __future__ import annotations
+
+from geospatial_data_pipeline_spark_sedona_on_aws_spark.streaming import events as EV
+
+from tests.conftest import SF_SMOKE
+
+def test_streaming_matches_batch(spark):
+    stream_out = EV.events_windowed_streaming(spark, SF_SMOKE).toPandas()
+    batch = EV.events_windowed(spark, SF_SMOKE).toPandas()
+    key = ["window_start", "event_type"]
+    s = stream_out.sort_values(key).reset_index(drop=True)
+    b = batch.sort_values(key).reset_index(drop=True)
+    assert len(s) == len(b)
+    assert (s["n_events"].values == b["n_events"].values).all()
+    assert (s["sum_value"].values == b["sum_value"].values).all()
+
+def test_sessionize_gap_semantics(spark):
+    out = EV.sessionize(spark, SF_SMOKE)
+    pdf = out.toPandas()
+    assert (pdf["n_events"] >= 1).all()
+    assert (pdf["session_end"] >= pdf["session_start"]).all()
+    # sessions of one user don't overlap
+    one = pdf.sort_values(["user_id", "session_start"])
+    prev_end = None
+    prev_user = None
+    for _, r in one.iterrows():
+        if prev_user == r["user_id"]:
+            assert r["session_start"] > prev_end
+        prev_user, prev_end = r["user_id"], r["session_end"]
