@@ -1,0 +1,67 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is forced with a count() action (no driver materialization of
+results — the plan runs fully distributed; collect cost excluded).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "crop_analytics",
+    "spatial_range_join",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "nation_revenue",
+    "top_customers_per_nation",
+    "events_windowed",
+    "sessionize_events",
+    "text_stats",
+    "exact_dedup",
+    "minhash_lsh_candidates",
+    "ngram_jaccard_pairs",
+    "embedding_topk_cosine",
+    "embedding_lsh_ann",
+]
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.plans.registry import QUERIES
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM + Python-worker warmup so q1 doesn't pay the cold-start
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+if __name__ == "__main__":
+    main()

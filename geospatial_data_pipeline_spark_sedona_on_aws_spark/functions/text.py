@@ -111,19 +111,28 @@ def portable_hash60(col: Column) -> Column:
     that the DuckDB oracle must reproduce (minhash, simhash, LSH)."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
-def word_shingles(text: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles (space-joined) — the dedup unit for
-    minhash / jaccard near-dup detection."""
-    toks = tokens(text)
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles (space-joined) from a *materialized* token
+    array column. Callers must pass a named array column (select the token
+    split into its own column first): passing tokens(text) directly would
+    re-split the whole text for every element_at — O(len²) per document."""
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     sh = F.transform(
         idx,
         lambda i: F.concat_ws(
-            " ", *[F.element_at(tokens(text), (i + j + 1).cast("int")) for j in range(k)]
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
         ),
     )
-    return F.when(n >= k, F.array_distinct(sh)).otherwise(F.array())
+    return F.when(n >= k, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of a text column — the dedup unit for
+    minhash / jaccard near-dup detection. Prefer the two-step
+    tokens → shingles_from_tokens form in hot paths (see that docstring)."""
+    return shingles_from_tokens(tokens(text), k)
 
 def register_text_functions(spark) -> None:  # pragma: no cover - thin veneer
     """Text helpers are pure Column builders (no UDFs) — nothing to register;

@@ -31,7 +31,22 @@ B = [5 * k + 1 for k in range(MINHASH_K)]
 SHINGLE_K = 3
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    """Documents scan, re-spread across cores: the testdata is one small
+    parquet file (one split), which would serialize every downstream stage;
+    on a real cluster the source arrives in many splits and this repartition
+    is a no-op cost-wise relative to the signature computation."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.repartition(d.sparkSession.sparkContext.defaultParallelism)
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh) with sh = distinct 3-word shingles, tokens materialized
+    once (two-step select: split → shingle) so shingling is O(len)."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("doc_id", TXT.tokens(F.col("text")).alias("toks"))
+        .select("doc_id", TXT.shingles_from_tokens(F.col("toks"), SHINGLE_K).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
 
 # ------------------------------------------------------------- exact dedup
 
@@ -56,29 +71,37 @@ GROUP BY md5(text)
 
 # ---------------------------------------------------------------- minhash
 
-def _signature_col(shingles):
-    """16-element MinHash signature from distinct 3-word shingles, computed
-    entirely with array lambdas (no explode, no shuffle)."""
-    hashes = F.transform(shingles, lambda s: TXT.portable_hash60(s) % MINHASH_P)
+def _sig_from_hashes(hashes):
+    """16-element MinHash signature from a *materialized* per-shingle hash
+    array, via array lambdas (no explode, no shuffle). The md5-derived base
+    hash is computed once per shingle; the 16 permutations are cheap integer
+    affine maps over it."""
+    arr_a = F.array(*[F.lit(a) for a in A])
+    arr_b = F.array(*[F.lit(b) for b in B])
     return F.transform(
         F.sequence(F.lit(0), F.lit(MINHASH_K - 1)),
         lambda k: F.array_min(
             F.transform(
                 hashes,
-                lambda h: (F.element_at(F.array(*[F.lit(a) for a in A]), (k + 1).cast("int")) * h
-                           + F.element_at(F.array(*[F.lit(b) for b in B]), (k + 1).cast("int"))
-                           ) % MINHASH_P,
+                lambda h: (F.element_at(arr_a, (k + 1).cast("int")) * h
+                           + F.element_at(arr_b, (k + 1).cast("int"))) % MINHASH_P,
             )
         ),
     )
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
-    return (
-        d.select("doc_id", TXT.word_shingles(F.col("text"), SHINGLE_K).alias("sh"))
-        .filter(F.size("sh") > 0)
-        .select("doc_id", _signature_col(F.col("sh")).alias("sig"))
+def _signature_col(shingles):
+    """Signature straight from a shingle column (test/API convenience)."""
+    return _sig_from_hashes(
+        F.transform(shingles, lambda s: TXT.portable_hash60(s) % MINHASH_P)
     )
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _doc_shingles(spark, sf_dir).select(
+        # materialize the per-shingle hashes once, then take the 16 mins
+        "doc_id", F.transform(
+            F.col("sh"), lambda s: TXT.portable_hash60(s) % MINHASH_P
+        ).alias("hs"),
+    ).select("doc_id", _sig_from_hashes(F.col("hs")).alias("sig"))
 
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs: docs agreeing on any LSH band (4 bands × 4
@@ -210,10 +233,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All document pairs with 3-word-shingle Jaccard >= 0.6, via distinct
     shingle explode + equi-self-join (shared-shingle prefilter — pairs with
     zero overlap never materialize)."""
-    d = _docs(spark, sf_dir)
-    sh = d.select(
-        "doc_id",
-        F.explode(TXT.word_shingles(F.col("text"), SHINGLE_K)).alias("s"),
+    sh = _doc_shingles(spark, sf_dir).select(
+        "doc_id", F.explode("sh").alias("s")
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
