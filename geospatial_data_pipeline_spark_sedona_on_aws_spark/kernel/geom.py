@@ -331,3 +331,36 @@ def is_rectilinear_rect(poly: list) -> tuple[float, float, float, float] | None:
     if set(poly[0]) != corners:
         return None
     return (xs[0], ys[0], xs[1], ys[1])
+
+def rectilinear_decompose(geom: list) -> list[tuple[float, float, float, float]]:
+    """Decompose an arbitrary *rectilinear* geometry (axis-aligned edges only;
+    any shape — L/T/U polygons, holes, multipolygons) into disjoint rectangles
+    by even-odd scanline: split the y-range at every vertex, and within each
+    band pair up the crossings of the band midline with vertical edges.
+
+    Raises GeomError on any non-axis-parallel edge — that input needs the
+    general boolean-ops kernel (SURVEY.md §7 phase 2)."""
+    rects: list[tuple[float, float, float, float]] = []
+    for poly in geom:
+        fast = is_rectilinear_rect(poly)
+        if fast is not None:
+            rects.append(fast)
+            continue
+        edges = []
+        for ring in poly:
+            n = len(ring)
+            for i in range(n):
+                (ax, ay), (bx, by) = ring[i], ring[(i + 1) % n]
+                if ax != bx and ay != by:
+                    raise GeomError(
+                        "rectilinear_decompose: non-axis-parallel edge "
+                        "(general kernel required)")
+                if ax == bx and ay != by:
+                    edges.append((ax, min(ay, by), max(ay, by)))
+        ys = sorted({y for ring in poly for _, y in ring})
+        for y_lo, y_hi in zip(ys, ys[1:]):
+            mid = (y_lo + y_hi) / 2.0
+            xs = sorted(x for x, e_lo, e_hi in edges if e_lo < mid < e_hi)
+            for a, b in zip(xs[::2], xs[1::2]):
+                rects.append((a, y_lo, b, y_hi))
+    return rects

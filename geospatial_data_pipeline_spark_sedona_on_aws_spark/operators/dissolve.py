@@ -3,43 +3,43 @@
 Reproduces the reference's aggregation core — groupBy 4 keys (one of them a
 geometry) + ST_Union_Aggr, then clip to the region polygon and take the area
 (reference spark_job/process_geodata.py:110-113 and :120-139) — as Spark
-grouped-map pandas UDFs over the pure-Python kernel.
+dataflow over the pure-Python/numpy kernel.
 
 Scale design (SURVEY.md §4.3): a grouped-map UDAF has no partial aggregation,
-so one huge group (a region with millions of parcels) lands in one task. Union
-is associative and commutative, so we run a *two-level salted union*:
+so one huge group (a region with millions of parcels) would land in one task.
+Union is associative and commutative, so dissolve_clip_area runs the classic
+combiner decomposition instead:
 
-    stage 1  groupBy(keys + salt)  -> partial union per salt bucket
-             (disjoint-rect decomposition = mergeable state)
-    stage 2  groupBy(keys)         -> union of the ≤ SALT partial states
+    stage 1  JVM-side WKT parse + clip  (whole-stage codegen, no Python)
+    stage 2  map-side combine           (mapInPandas: per-partition, per-key
+             disjoint-rect decomposition — mergeable partial state, NO shuffle)
+    stage 3  groupBy(keys)              (the ONLY shuffle: compact numeric
+             partials, never raw rows) -> vectorized exact union area
 
-Both stages are map-side-partitionable shuffles on the grouping keys; no
-driver collect anywhere.
+union_aggr (the geometry-valued variant) keeps the two-level salted shape for
+the same reason.
 """
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Iterator, Sequence
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..kernel import geom as G
+from ..kernel import rectnp as R
 
 DEFAULT_SALT = 16
 
 def _poly_rects(wkt: str) -> list[tuple[float, float, float, float]]:
-    """Parse a WKT geometry whose polygons are axis-aligned rectangles into
-    bounds tuples; raises GeomError on non-rectilinear input (general
-    boolean union is the phase-2 kernel core)."""
-    out = []
-    for poly in G.parse_wkt(wkt):
-        r = G.is_rectilinear_rect(poly)
-        if r is None:
-            raise G.GeomError("union: non-rectilinear input needs phase-2 kernel")
-        out.append(r)
-    return out
+    """Parse a WKT geometry with axis-aligned edges (rectangles, L/T/U
+    shapes, holes, multipolygons) into disjoint bounds tuples; raises
+    GeomError on non-rectilinear input (general boolean union is the
+    phase-2 kernel core)."""
+    return G.rectilinear_decompose(G.parse_wkt(wkt))
 
 def union_aggr(df: DataFrame, group_cols: Sequence[str], geom_col: str,
                out_col: str = "geometry", salt: int = DEFAULT_SALT) -> DataFrame:
@@ -54,13 +54,13 @@ def union_aggr(df: DataFrame, group_cols: Sequence[str], geom_col: str,
     def stage(col: str):
         def run(pdf: pd.DataFrame) -> pd.DataFrame:
             rects = [r for w in pdf[col] if w is not None for r in _poly_rects(w)]
-            merged = G.union_rects_decompose(rects)
+            merged = R.union_decompose(np.array(rects, dtype=np.float64).reshape(-1, 4))
             head = pdf.iloc[[0]][keys].reset_index(drop=True)
-            head[out_col] = [G.to_wkt(G.rects_to_geom(merged))]
+            head[out_col] = [G.to_wkt(G.rects_to_geom([tuple(r) for r in merged]))]
             return head
         return run
 
-    salted = df.withColumn("__salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt)))
+    salted = df.withColumn("__salt", F.pmod(F.spark_partition_id(), F.lit(salt)))
     partials = salted.groupBy(*keys, "__salt").applyInPandas(
         stage(geom_col), schema=out_schema
     )
@@ -68,61 +68,148 @@ def union_aggr(df: DataFrame, group_cols: Sequence[str], geom_col: str,
         stage(out_col), schema=out_schema
     )
 
+def _clip_one(geom_wkt: str | None, clip_wkt: str | None
+              ) -> list[tuple[float, float, float, float]]:
+    """General-kernel clip of one geometry to one clip polygon, returned as
+    the rect decomposition of the result (fallback off the JVM fast path)."""
+    if geom_wkt is None or clip_wkt is None:
+        return []
+    clip_geom = G.parse_wkt(clip_wkt)
+    # clip rects are disjoint (rectilinear_decompose), so rect ∩ clip_j are
+    # disjoint across j and the downstream Klee union stays exact
+    clip_rects = G.rectilinear_decompose(clip_geom)
+    pieces: list[tuple[float, float, float, float]] = []
+    for rect in _poly_rects(geom_wkt):
+        for crect in clip_rects:
+            c = G.rect_clip(*rect, *crect)
+            if c is not None:
+                pieces.append(c)
+    return pieces
+
 def dissolve_clip_area(df: DataFrame, group_cols: Sequence[str], geom_col: str,
                        clip_col: str, out_col: str = "area",
                        salt: int = DEFAULT_SALT) -> DataFrame:
     """Fused area(clip ∩ union(geoms)) per group — the engine's hot path for
-    the reference's flagship computation (spark_job/process_geodata.py:110-139)
-    with ONE Python-boundary crossing per stage instead of five UDF stages.
+    the reference's flagship computation (spark_job/process_geodata.py:110-139).
 
     Clip distributes over union, so each geometry is clipped to its group's
-    clip polygon *before* the union; the clipped pieces then union via Klee's
-    measure. clip_col must be constant within a group (it is a grouping key in
-    the reference, :110-112).
+    clip polygon *before* the union; the clipped pieces then union exactly
+    (Klee's measure). clip_col must be constant within a group (it is a
+    grouping key in the reference, :110-112).
+
+    Execution shape (the part that matters at 100 TB):
+      1. WKT is parsed *in the JVM* (split + cast inside whole-stage codegen)
+         for the canonical-rectangle fast path; the clip is pure
+         greatest/least arithmetic, also JVM-side. Only 4 doubles per
+         surviving row ever reach Python — never the WKT strings.
+      2. Non-rectangular WKT takes a general-kernel mapInPandas fallback that
+         emits the same (keys, bounds) rows.
+      3. Map-side combine (mapInPandas, no shuffle): each input partition
+         groups its rows locally and reduces them to a disjoint-rect
+         decomposition per key — the mergeable partial state of the union.
+      4. The ONLY shuffle moves those compact numeric partials on the group
+         key; the final per-key task computes the exact union area with the
+         vectorized kernel (grid method, memory-capped). A group with a
+         billion member rows arrives as ≤ (#map partitions × its footprint
+         complexity) partial rects, not a billion rows.
     """
     keys = list(group_cols)
     key_schema = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}"
         for f in df.select(*keys).schema.fields
     )
+    bounds_schema = (f"{key_schema}, `__x1` double, `__y1` double, "
+                     f"`__x2` double, `__y2` double")
+    bcols = ["__x1", "__y1", "__x2", "__y2"]
 
-    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
-        clip_wkt = pdf[clip_col].iloc[0]
-        pieces: list[tuple[float, float, float, float]] = []
-        if clip_wkt is not None:
-            clip_geom = G.parse_wkt(clip_wkt)
-            crect = G.is_rectilinear_rect(clip_geom[0]) if len(clip_geom) == 1 else None
-            for w in pdf[geom_col]:
-                if w is None:
-                    continue
-                for rect in _poly_rects(w):
-                    if crect is not None:
-                        c = G.rect_clip(*rect, *crect)
-                        if c is not None:
-                            pieces.append(c)
-                    else:
-                        clipped = G.clip_convex(G.rects_to_geom([rect]), clip_geom[0][0])
-                        for poly in clipped:
-                            r = G.is_rectilinear_rect(poly)
-                            if r is not None:
-                                pieces.append(r)
-        merged = G.union_rects_decompose(pieces)
-        head = pdf.iloc[[0]][keys + [clip_col]].reset_index(drop=True)
-        head["__pieces"] = [G.to_wkt(G.rects_to_geom(merged))]
-        return head
+    # ---- stage 1: JVM-side parse + clip (rect fast path) -------------------
+    # One pass, one consumer: fast rows leave the JVM as 4 clipped doubles
+    # (WKT nulled out); the rare non-rectangular rows keep their WKT (bounds
+    # nulled) and are kernel-clipped inside the combine stage below. No
+    # branch-and-union, so the upstream scan/join runs exactly once.
+    def wkt_nums(col: str):
+        toks = F.filter(F.split(F.col(col), "[^-0-9.eE+]+"), lambda x: x != "")
+        return F.transform(toks, lambda x: x.cast("double"))
 
+    def is_rect(arr):
+        # 10 numbers (5 corner pairs): closed axis-aligned rectangle read
+        # (x1 y1, x2 y1, x2 y2, x1 y2, x1 y1). try_element_at, NOT element_at:
+        # conjunction does not short-circuit in codegen, so a shorter array
+        # (e.g. a triangle's 8 numbers) must yield NULL -> false, not throw.
+        e = lambda i: F.try_element_at(arr, F.lit(i))  # noqa: E731
+        return (
+            (F.size(arr) == 10)
+            & (e(1) == e(7)) & (e(2) == e(4)) & (e(3) == e(5)) & (e(6) == e(8))
+            & (e(9) == e(1)) & (e(10) == e(2)) & (e(3) > e(1)) & (e(6) > e(2))
+        )
+
+    parsed = df.select(
+        *keys, geom_col, clip_col,
+        wkt_nums(geom_col).alias("__g"), wkt_nums(clip_col).alias("__c"),
+    ).withColumn(
+        "__fast",
+        F.col(geom_col).isNotNull() & F.col(clip_col).isNotNull()
+        & is_rect(F.col("__g")) & is_rect(F.col("__c")),
+    )
+
+    eg = lambda i: F.element_at(F.col("__g"), i)  # noqa: E731
+    ec = lambda i: F.element_at(F.col("__c"), i)  # noqa: E731
+    fast = F.col("__fast")
+    routed = (
+        parsed.select(
+            *keys,
+            F.when(fast, F.greatest(eg(1), ec(1))).alias("__x1"),
+            F.when(fast, F.greatest(eg(2), ec(2))).alias("__y1"),
+            F.when(fast, F.least(eg(3), ec(3))).alias("__x2"),
+            F.when(fast, F.least(eg(6), ec(6))).alias("__y2"),
+            F.when(~fast, F.col(geom_col)).alias("__gw"),
+            F.when(~fast, F.col(clip_col)).alias("__cw"),
+            fast.alias("__fast"),
+        )
+        # drop empty fast-path clips JVM-side; keep every slow-path row
+        .where(~fast | ((F.col("__x2") > F.col("__x1"))
+                        & (F.col("__y2") > F.col("__y1"))))
+    )
+
+    # ---- stage 2: map-side combine (partial union per partition, NO shuffle)
+    def combine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: list[pd.DataFrame] = []
+        for pdf in batches:
+            slow = pdf.loc[~pdf["__fast"]]
+            if len(slow):
+                gw, cw = slow["__gw"].to_numpy(), slow["__cw"].to_numpy()
+                kv_rows = list(slow[keys].itertuples(index=False, name=None))
+                rows = [
+                    kv_rows[i] + piece
+                    for i in range(len(slow))
+                    for piece in _clip_one(gw[i], cw[i])
+                ]
+                if rows:
+                    acc.append(pd.DataFrame(rows, columns=keys + bcols))
+                pdf = pdf.loc[pdf["__fast"]]
+            if len(pdf):
+                acc.append(pdf[keys + bcols])
+        if not acc:
+            return
+        whole = pd.concat(acc, ignore_index=True)
+        parts = []
+        for kv, grp in whole.groupby(keys, sort=False):
+            dec = R.union_decompose(grp[bcols].to_numpy(dtype=np.float64))
+            part = pd.DataFrame(dec, columns=bcols)
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            for k, v in zip(keys, kv):
+                part[k] = v
+            parts.append(part[keys + bcols])
+        yield pd.concat(parts, ignore_index=True)
+
+    partials = routed.mapInPandas(combine, schema=bounds_schema)
+
+    # ---- stage 3: the only shuffle — exact union area per group ------------
     def final(pdf: pd.DataFrame) -> pd.DataFrame:
-        rects = [r for w in pdf["__pieces"] for r in _poly_rects(w)]
         head = pdf.iloc[[0]][keys].reset_index(drop=True)
-        head[out_col] = [G.union_area_rectilinear(rects)]
+        head[out_col] = [R.union_area(pdf[bcols].to_numpy(dtype=np.float64))]
         return head
 
-    salted = df.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt))
-    )
-    partials = salted.groupBy(*keys, "__salt").applyInPandas(
-        partial, schema=f"{key_schema}, `{clip_col}` string, `__pieces` string"
-    )
     return partials.groupBy(*keys).applyInPandas(
         final, schema=f"{key_schema}, `{out_col}` double"
     )

@@ -34,6 +34,19 @@ def assert_unique_grain(df: DataFrame, keys: list[str]) -> None:
     if dup:
         raise GrainViolation(f"duplicate grain {keys}: {dup[0]}")
 
+def _clear_orphaned_location(spark: SparkSession, name: str) -> None:
+    """A killed session leaves the managed table's directory on disk while the
+    (in-memory) catalog forgets the table; the next CREATE then fails with
+    LOCATION_ALREADY_EXISTS. If the catalog does not know the table but its
+    warehouse location exists, remove the orphan (scheme-agnostic Hadoop FS)."""
+    if spark.catalog.tableExists(name):
+        return
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    path = spark._jvm.org.apache.hadoop.fs.Path(f"{warehouse}/{name.lower()}")
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(path):
+        fs.delete(path, True)
+
 def publish_snapshot(
     spark: SparkSession,
     df: DataFrame,
@@ -46,6 +59,7 @@ def publish_snapshot(
     name = snapshot_name(table, date)
     if grain:
         assert_unique_grain(df, grain)
+    _clear_orphaned_location(spark, name)
     df.write.mode("overwrite").saveAsTable(name)
     spark.sql(f"CREATE OR REPLACE VIEW vw_{table} AS SELECT * FROM {name}")
     drop_old_snapshots(spark, table)

@@ -44,6 +44,12 @@ def land_use_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus the raw integer rect coords (x1, y1, x2, y2) kept for closed-form
     oracle checks.
     """
+    # The driver testdata is a single-row-group parquet file, so the scan
+    # yields ONE real split regardless of maxPartitionBytes; the downstream
+    # geometry parse is CPU-bound, so fan out to all cores first (narrow
+    # integer columns — the WKT strings are built *after* the exchange).
+    # On a real multi-file table the scan splits natively and this exchange
+    # is skipped.
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     df = li.select(
         (F.col("l_suppkey") % N_REGIONS).cast("long").alias("region_id"),
@@ -65,6 +71,7 @@ def land_use_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("x1") + F.col("w")).alias("x2"),
         (F.col("y1") + F.col("h")).alias("y2"),
     )
+    df = df.repartition(spark.sparkContext.defaultParallelism)
     return df.withColumn(
         "land_geometry",
         rect_wkt(F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2")),

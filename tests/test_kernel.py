@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -108,9 +110,10 @@ def test_prop_clip_area(a, b):
     expected = G.rect_clip(*ra, *rb)
     got = G.area(inter)
     want = (expected[2] - expected[0]) * (expected[3] - expected[1]) if expected else 0.0
-    assert got == want
+    # Sutherland–Hodgman introduces ~1 ulp of roundoff at edge intersections
+    assert got == pytest.approx(want, rel=1e-12, abs=1e-12)
     assert got <= min((ra[2] - ra[0]) * (ra[3] - ra[1]),
-                      (rb[2] - rb[0]) * (rb[3] - rb[1]))
+                      (rb[2] - rb[0]) * (rb[3] - rb[1])) + 1e-9
 
 @settings(max_examples=100, deadline=None)
 @given(st.lists(rect_coords, min_size=1, max_size=6))
@@ -123,3 +126,44 @@ def test_prop_wkt_round_trip(rs):
 def test_prop_transform_finite(x, y):
     px, py = T.mercator_to_polyconic(x, y)
     assert math.isfinite(px) and math.isfinite(py)
+
+# ---------------------------------------------------------------- rectnp
+# The vectorized hot-path twin (kernel/rectnp.py) must agree exactly with
+# the pure-Python Klee sweep, including through its memory-capped split path.
+
+import numpy as np
+
+from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel import rectnp as R
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(
+    st.integers(0, 40), st.integers(0, 40),
+    st.integers(1, 9), st.integers(1, 9)), max_size=40))
+def test_prop_rectnp_matches_pure_python(rs):
+    rects = [(x, y, x + w, y + h) for x, y, w, h in rs]
+    arr = np.array(rects, dtype=np.float64).reshape(-1, 4)
+    want = G.union_area_rectilinear(rects)
+    assert abs(R.union_area(arr) - want) < 1e-9
+    dec = R.union_decompose(arr)
+    # pieces are disjoint (their plain area sum == union area) and re-union
+    # to the same area
+    assert abs(float(((dec[:, 2] - dec[:, 0]) * (dec[:, 3] - dec[:, 1])).sum()) - want) < 1e-9
+    assert abs(R.union_area(dec) - want) < 1e-9
+
+def test_rectnp_split_path(monkeypatch):
+    monkeypatch.setattr(R, "MAX_CELLS", 64)
+    rng = np.random.default_rng(7)
+    rects = np.empty((300, 4))
+    rects[:, 0] = rng.random(300) * 50
+    rects[:, 1] = rng.random(300) * 50
+    rects[:, 2] = rects[:, 0] + rng.random(300) * 10
+    rects[:, 3] = rects[:, 1] + rng.random(300) * 10
+    want = G.union_area_rectilinear([tuple(r) for r in rects])
+    assert abs(R.union_area(rects) - want) < 1e-6
+    assert abs(R.union_area(R.union_decompose(rects)) - want) < 1e-6
+
+def test_rectnp_degenerate_and_empty():
+    assert R.union_area(np.empty((0, 4))) == 0.0
+    assert len(R.union_decompose(np.empty((0, 4)))) == 0
+    # zero-extent rects are dropped
+    assert R.union_area(np.array([[1.0, 1.0, 1.0, 5.0]])) == 0.0
