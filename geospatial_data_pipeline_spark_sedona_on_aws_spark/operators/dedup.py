@@ -15,7 +15,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TXT
@@ -38,15 +38,34 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return d.repartition(d.sparkSession.sparkContext.defaultParallelism)
 
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sh) with sh = distinct 3-word shingles, tokens materialized
-    once (two-step select: split → shingle) so shingling is O(len)."""
+def _doc_shingle_rows(spark: SparkSession, sf_dir: str,
+                      distinct: bool = True) -> DataFrame:
+    """(doc_id, s) rows of 3-word shingles via posexplode + window lead —
+    whole-stage codegen end to end. The array-lambda form (transform +
+    concat_ws over element_at) evaluates every lambda *interpreted* and
+    measures ~3× slower; the window shuffle keys on doc_id, which downstream
+    per-doc aggregates then reuse (no second exchange).
+
+    distinct=False skips the dedup shuffle for consumers where duplicate
+    shingles cannot change the answer (min-aggregation in MinHash)."""
     d = _docs(spark, sf_dir)
-    return (
-        d.select("doc_id", TXT.tokens(F.col("text")).alias("toks"))
-        .select("doc_id", TXT.shingles_from_tokens(F.col("toks"), SHINGLE_K).alias("sh"))
-        .filter(F.size("sh") > 0)
+    tok = d.select(
+        "doc_id", F.posexplode(TXT.tokens(F.col("text"))).alias("pos", "tok")
     )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    last = F.lead("tok", SHINGLE_K - 1).over(w)
+    sh = (
+        tok.select(
+            "doc_id",
+            F.concat_ws(" ", "tok", *[
+                F.lead("tok", j).over(w) for j in range(1, SHINGLE_K)
+            ]).alias("s"),
+            last.alias("__ok"),
+        )
+        .where(F.col("__ok").isNotNull())
+        .select("doc_id", "s")
+    )
+    return sh.distinct() if distinct else sh
 
 # ------------------------------------------------------------- exact dedup
 
@@ -96,17 +115,51 @@ def _signature_col(shingles):
     )
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _doc_shingles(spark, sf_dir).select(
-        # materialize the per-shingle hashes once, then take the 16 mins
-        "doc_id", F.transform(
-            F.col("sh"), lambda s: TXT.portable_hash60(s) % MINHASH_P
-        ).alias("hs"),
-    ).select("doc_id", _sig_from_hashes(F.col("hs")).alias("sig"))
+    """Signatures via explode + 16 min-aggregates, NOT nested array lambdas:
+    higher-order functions are evaluated *interpreted* (outside whole-stage
+    codegen), so 16 perms × |shingles| lambda evals per doc cost ~µs each —
+    while codegen'd min() aggregates with map-side partial aggregation chew
+    the same arithmetic at memory bandwidth. Duplicate shingles can't change
+    a min, so the distinct shuffle is skipped; the groupBy reuses the shingle
+    window's doc_id partitioning (no extra exchange)."""
+    h = _doc_shingle_rows(spark, sf_dir, distinct=False).select(
+        "doc_id", (TXT.portable_hash60(F.col("s")) % MINHASH_P).alias("h")
+    )
+    flat = h.groupBy("doc_id").agg(*[
+        F.min((F.lit(A[k]) * F.col("h") + F.lit(B[k])) % MINHASH_P).alias(f"m{k}")
+        for k in range(MINHASH_K)
+    ])
+    return flat.select(
+        "doc_id", F.array(*[F.col(f"m{k}") for k in range(MINHASH_K)]).alias("sig")
+    )
+
+def _bucket_pairs(grouped: DataFrame, ids_col: str = "ids") -> DataFrame:
+    """(doc_a, doc_b) for every unordered pair within each bucket's sorted
+    doc-id array. One scan of the bucket table — replaces a bucket self-join,
+    which would compute the (expensive) upstream twice and shuffle it twice.
+    Bucket fan-out is quadratic in bucket size by construction of LSH/shingle
+    buckets (near-dup clusters are small); callers guard with size >= 2."""
+    ids = F.col(ids_col)
+    pair_arrays = F.transform(
+        F.sequence(F.lit(0), F.size(ids) - 2),
+        lambda i: F.transform(
+            F.slice(ids, i + 2, F.size(ids)),
+            lambda x: F.struct(
+                F.element_at(ids, (i + 1).cast("int")).alias("doc_a"),
+                x.alias("doc_b"),
+            ),
+        ),
+    )
+    return grouped.select(F.explode(F.flatten(pair_arrays)).alias("p")).select(
+        F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")
+    )
 
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs: docs agreeing on any LSH band (4 bands × 4
-    rows). Banding keeps the self-join linear-ish: join key is the band
-    bucket hash, never all-pairs."""
+    rows). Pairs are generated inside each (band, bucket) group from the
+    collected doc list — the signature pipeline runs ONCE (a self-join would
+    recompute it per side) and the only shuffles are the band groupBy and the
+    final distinct."""
     sig = minhash_signatures(spark, sf_dir)
     bands = sig.select(
         "doc_id",
@@ -123,17 +176,12 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(b, ["band", "bucket"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .distinct()
+    grouped = (
+        bands.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
     )
+    return _bucket_pairs(grouped).distinct()
 
 _SIG_SQL = f"""
 shingled AS (
@@ -230,23 +278,28 @@ FROM votes
 JACCARD_THRESHOLD = 0.6
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All document pairs with 3-word-shingle Jaccard >= 0.6, via distinct
-    shingle explode + equi-self-join (shared-shingle prefilter — pairs with
-    zero overlap never materialize)."""
-    sh = _doc_shingles(spark, sf_dir).select(
-        "doc_id", F.explode("sh").alias("s")
-    )
+    """All document pairs with 3-word-shingle Jaccard >= 0.6: group distinct
+    shingle rows by shingle, emit in-bucket pairs (shared-shingle prefilter —
+    pairs with zero overlap never materialize), count pair occurrences =
+    intersection size. The shingle pipeline is scanned once for the pair
+    stream and once for the per-doc sizes (vs three times with a self-join)."""
+    sh = _doc_shingle_rows(spark, sf_dir, distinct=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
+    grouped = (
+        sh.groupBy("s")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
     inter = (
-        a.join(b, F.col("a.s") == F.col("b.s"))
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        _bucket_pairs(grouped)
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     return (
+        # no broadcast hint: sizes is one row per doc (huge at scale); let
+        # AQE pick broadcast when the filtered side turns out small
         inter.join(na, "doc_a").join(nb, "doc_b")
         .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
