@@ -43,8 +43,19 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM + Python-worker warmup so q1 doesn't pay the cold-start
-    spark.range(1000).selectExpr("sum(id)").collect()
+    # JVM + Python-worker warmup so the first query doesn't pay cold-start:
+    # spin up the Arrow worker pool on every core and JIT the common
+    # codegen/shuffle paths (none of this touches the measured data)
+    spark.range(32_000).repartition(spark.sparkContext.defaultParallelism) \
+        .mapInPandas(lambda it: it, "id long").selectExpr("sum(id)").collect()
+    warm = spark.range(10_000).selectExpr("id % 7 AS key", "id AS val",
+                                          "repeat('x', 20) AS s")
+    warm.groupBy("key").applyInPandas(
+        lambda p: p.head(1), "key long, val long, s string"
+    ).count()
+    warm.selectExpr(
+        "sum(aggregate(transform(split(s, 'x'), t -> length(t)), 0L, (a, b) -> a + b))"
+    ).collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -34,6 +34,35 @@ from ..kernel import rectnp as R
 
 DEFAULT_SALT = 16
 
+def wkt_nums(col):
+    """All numbers in a WKT string as array<double> — a whole-stage-codegen
+    parse (split + cast), no Python."""
+    toks = F.filter(F.split(F.col(col) if isinstance(col, str) else col,
+                            "[^-0-9.eE+]+"), lambda x: x != "")
+    return F.transform(toks, lambda x: x.cast("double"))
+
+def is_rect(arr):
+    """True iff the 10-number corner array reads as a closed axis-aligned
+    rectangle (x1 y1, x2 y1, x2 y2, x1 y2, x1 y1). try_element_at, NOT
+    element_at: conjunction does not short-circuit in codegen, so a shorter
+    array (e.g. a triangle's 8 numbers) must yield NULL -> false, not throw."""
+    e = lambda i: F.try_element_at(arr, F.lit(i))  # noqa: E731
+    return (
+        (F.size(arr) == 10)
+        & (e(1) == e(7)) & (e(2) == e(4)) & (e(3) == e(5)) & (e(6) == e(8))
+        & (e(9) == e(1)) & (e(10) == e(2)) & (e(3) > e(1)) & (e(6) > e(2))
+    )
+
+def rect_bounds(col) -> list:
+    """(x1, y1, x2, y2) Columns of a canonical-rectangle WKT column, NULL
+    when the WKT is not a canonical rectangle. Meant for pre-parsing a
+    *dimension side* once before a join (see dissolve_clip_area's
+    clip_bounds) instead of per joined fact row."""
+    arr = wkt_nums(col)
+    ok = is_rect(arr)
+    e = lambda i: F.try_element_at(arr, F.lit(i))  # noqa: E731
+    return [F.when(ok, e(i)) for i in (1, 2, 3, 6)]
+
 def _poly_rects(wkt: str) -> list[tuple[float, float, float, float]]:
     """Parse a WKT geometry with axis-aligned edges (rectangles, L/T/U
     shapes, holes, multipolygons) into disjoint bounds tuples; raises
@@ -88,7 +117,8 @@ def _clip_one(geom_wkt: str | None, clip_wkt: str | None
 
 def dissolve_clip_area(df: DataFrame, group_cols: Sequence[str], geom_col: str,
                        clip_col: str, out_col: str = "area",
-                       salt: int = DEFAULT_SALT) -> DataFrame:
+                       salt: int = DEFAULT_SALT,
+                       clip_bounds: Sequence[str] | None = None) -> DataFrame:
     """Fused area(clip ∩ union(geoms)) per group — the engine's hot path for
     the reference's flagship computation (spark_job/process_geodata.py:110-139).
 
@@ -112,6 +142,12 @@ def dissolve_clip_area(df: DataFrame, group_cols: Sequence[str], geom_col: str,
          vectorized kernel (grid method, memory-capped). A group with a
          billion member rows arrives as ≤ (#map partitions × its footprint
          complexity) partial rects, not a billion rows.
+
+    clip_bounds: optional names of 4 columns (x1, y1, x2, y2) holding the
+    clip rectangle pre-parsed on the *dimension side before the join* — the
+    engine's dimension-side projection pushdown. Skips re-parsing the same
+    clip WKT once per fact row (it is constant within a region); clip_col is
+    then only consulted on the slow (non-rectangular geometry) path.
     """
     keys = list(group_cols)
     key_schema = ", ".join(
@@ -127,29 +163,27 @@ def dissolve_clip_area(df: DataFrame, group_cols: Sequence[str], geom_col: str,
     # (WKT nulled out); the rare non-rectangular rows keep their WKT (bounds
     # nulled) and are kernel-clipped inside the combine stage below. No
     # branch-and-union, so the upstream scan/join runs exactly once.
-    def wkt_nums(col: str):
-        toks = F.filter(F.split(F.col(col), "[^-0-9.eE+]+"), lambda x: x != "")
-        return F.transform(toks, lambda x: x.cast("double"))
-
-    def is_rect(arr):
-        # 10 numbers (5 corner pairs): closed axis-aligned rectangle read
-        # (x1 y1, x2 y1, x2 y2, x1 y2, x1 y1). try_element_at, NOT element_at:
-        # conjunction does not short-circuit in codegen, so a shorter array
-        # (e.g. a triangle's 8 numbers) must yield NULL -> false, not throw.
-        e = lambda i: F.try_element_at(arr, F.lit(i))  # noqa: E731
-        return (
-            (F.size(arr) == 10)
-            & (e(1) == e(7)) & (e(2) == e(4)) & (e(3) == e(5)) & (e(6) == e(8))
-            & (e(9) == e(1)) & (e(10) == e(2)) & (e(3) > e(1)) & (e(6) > e(2))
-        )
-
+    if clip_bounds is not None:
+        bx1, by1, bx2, by2 = [F.col(c).cast("double") for c in clip_bounds]
+        # synthesize the clip's corner array from the pre-parsed bounds so
+        # the routing below is one code path; is_rect over it reduces to
+        # cheap arithmetic on 4 values
+        c_arr = F.array(bx1, by1, bx2, by1, bx2, by2, bx1, by2, bx1, by1)
+    else:
+        c_arr = wkt_nums(clip_col)
     parsed = df.select(
         *keys, geom_col, clip_col,
-        wkt_nums(geom_col).alias("__g"), wkt_nums(clip_col).alias("__c"),
+        wkt_nums(geom_col).alias("__g"), c_arr.alias("__c"),
     ).withColumn(
         "__fast",
-        F.col(geom_col).isNotNull() & F.col(clip_col).isNotNull()
-        & is_rect(F.col("__g")) & is_rect(F.col("__c")),
+        # coalesce: a NULL from three-valued logic (e.g. a cast failure
+        # inside the corner array) must route to the slow path, not
+        # evaporate in the downstream ~fast filter
+        F.coalesce(
+            F.col(geom_col).isNotNull() & F.col(clip_col).isNotNull()
+            & is_rect(F.col("__g")) & is_rect(F.col("__c")),
+            F.lit(False),
+        ),
     )
 
     eg = lambda i: F.element_at(F.col("__g"), i)  # noqa: E731

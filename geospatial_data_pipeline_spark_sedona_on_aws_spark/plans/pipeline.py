@@ -25,8 +25,18 @@ from ..operators.dissolve import dissolve_clip_area, union_aggr
 from . import fixtures
 
 def crop_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dissolve import rect_bounds
+
     lu = fixtures.land_use_areas(spark, sf_dir)
     regions = fixtures.geographic_regions(spark, sf_dir)
+    # dimension-side projection pushdown: parse each region's WKT once on the
+    # 50-row dim (before the broadcast) instead of once per joined fact row
+    rx1, ry1, rx2, ry2 = rect_bounds(F.col("region_geometry"))
+    regions = regions.select(
+        "id", "region_geometry",
+        rx1.alias("__cb_x1"), ry1.alias("__cb_y1"),
+        rx2.alias("__cb_x2"), ry2.alias("__cb_y2"),
+    )
     # broadcast inner equi-join, dimension side hinted — exactly the
     # reference join (spark_job/process_geodata.py:101)
     joined = lu.join(F.broadcast(regions), lu["region_id"] == regions["id"], "inner")
@@ -36,6 +46,7 @@ def crop_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         geom_col="land_geometry",
         clip_col="region_geometry",
         out_col="area",
+        clip_bounds=["__cb_x1", "__cb_y1", "__cb_x2", "__cb_y2"],
     )
     # grain matches the loader's unique index (region, season, land_type)
     # (reference ecs_loader/load_to_postgres.py:134-136); empty clips drop
