@@ -88,3 +88,82 @@ SELECT doc_id,
            c -> CAST(ascii(c) AS BIGINT)), 'sum') % 997 AS byte_sum_mod
 FROM documents
 """
+
+# ------------------------------------------------- resize / frame sampling
+
+RESIZE_BYTES = 128    # stand-in for image resize target (bytes kept)
+FRAME_BYTES = 64      # stand-in frame size for frame sampling
+SAMPLE_EVERY = 4      # keep every 4th frame
+
+def resize_payload(media: DataFrame) -> DataFrame:
+    """mapInPandas 'resize': truncate each payload to RESIZE_BYTES and report
+    the kept-byte checksum — the exact batch/shape/partitioning a real image
+    resize (PIL thumbnail) plugs into; the byte math is the deterministic
+    stand-in for decoded pixels."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            kept = pdf["payload"].map(lambda b: b[:RESIZE_BYTES])
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "resized_bytes": kept.map(len),
+                "resized_sum_mod": kept.map(lambda b: sum(b) % 997),
+            })
+
+    return media.mapInPandas(
+        run, schema="doc_id long, resized_bytes long, resized_sum_mod long"
+    )
+
+def frame_sample(media: DataFrame) -> DataFrame:
+    """mapInPandas frame sampling: split each payload into FRAME_BYTES-sized
+    frames, keep every SAMPLE_EVERY-th (video keyframe sampling shape)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = [payload[i:i + FRAME_BYTES]
+                          for i in range(0, len(payload), FRAME_BYTES)]
+                sampled = frames[::SAMPLE_EVERY]
+                rows.append((doc_id, len(frames), len(sampled),
+                             sum(len(f) for f in sampled)))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_frames", "n_sampled", "sampled_bytes"])
+
+    return media.mapInPandas(
+        run,
+        schema="doc_id long, n_frames long, n_sampled long, sampled_bytes long",
+    )
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return resize_payload(attach_binary_payload(docs))
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return frame_sample(attach_binary_payload(docs))
+
+MULTIMODAL_RESIZE_ORACLE = f"""
+SELECT doc_id,
+       CAST(least(strlen(text), {RESIZE_BYTES}) AS BIGINT) AS resized_bytes,
+       COALESCE(list_aggregate(list_transform(
+           string_split(substring(text, 1, {RESIZE_BYTES}), ''),
+           c -> CAST(ascii(c) AS BIGINT)), 'sum'), 0) % 997 AS resized_sum_mod
+FROM documents
+"""
+
+MULTIMODAL_FRAME_SAMPLE_ORACLE = f"""
+WITH m AS (
+    SELECT doc_id, strlen(text) AS n,
+           CAST(ceil(strlen(text) / {FRAME_BYTES}.0) AS BIGINT) AS n_frames
+    FROM documents
+)
+SELECT doc_id, n_frames,
+       CAST(CASE WHEN n_frames = 0 THEN 0
+            ELSE (n_frames - 1) // {SAMPLE_EVERY} + 1 END AS BIGINT) AS n_sampled,
+       CAST(COALESCE(list_aggregate(list_transform(
+           range(0, n_frames::INT, {SAMPLE_EVERY}),
+           k -> least({FRAME_BYTES}, n - {FRAME_BYTES} * k)), 'sum'), 0)
+           AS BIGINT) AS sampled_bytes
+FROM m
+"""

@@ -230,3 +230,43 @@ ranked AS (
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
 FROM ranked WHERE rank <= {LSH_TOPK}
 """
+
+# ------------------------------------------------------- cosine near-dup
+
+NEAR_DUP_THRESHOLD = 0.35  # testdata embeddings are near-orthogonal random
+                           # vectors (max pairwise cos ≈ 0.51); real corpora
+                           # would use ~0.9+
+
+def cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: unordered doc pairs sharing an
+    LSH bucket with cosine >= NEAR_DUP_THRESHOLD — the dedup-flavored variant
+    of lsh_ann (threshold filter instead of top-k). Same scale shape: the
+    bucket equi-join never goes all-pairs."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", "embedding", _bucket(F.col("embedding")).alias("bucket"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"), dim=None)).alias("nrm"),
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    return (
+        a.join(b, "bucket")
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("doc_a"),
+            F.col("b.vec_id").alias("doc_b"),
+            (_dot(F.col("a.embedding"), F.col("b.embedding"), dim=None)
+             / (F.col("a.nrm") * F.col("b.nrm"))).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= NEAR_DUP_THRESHOLD)
+    )
+
+COSINE_NEAR_DUP_ORACLE = f"""
+WITH bucketed AS (
+    SELECT vec_id, embedding, CAST({_BUCKET_SQL} AS BIGINT) AS bucket
+    FROM embeddings
+)
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       {_cos_sql('a.embedding', 'b.embedding')} AS cos_sim
+FROM bucketed a JOIN bucketed b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {NEAR_DUP_THRESHOLD}
+"""

@@ -48,10 +48,12 @@ QUERIES: dict[str, QueryFn] = {
     "sessionize_events": EV.sessionize,
     "events_json_extract": EV.events_json_extract,
     "events_windowed_streaming": EV.events_windowed_streaming,
+    "sessionize_events_stateful": EV.sessionize_streaming,
     # --- text analysis ---
     "text_stats": TQ.text_stats,
     "quality_scores": TQ.quality_scores,
     "lang_detect": TQ.lang_detect,
+    "token_counts": TQ.token_counts,
     # --- dedup ---
     "exact_dedup": DD.exact_dedup,
     "minhash_lsh_candidates": DD.minhash_lsh_candidates,
@@ -60,8 +62,11 @@ QUERIES: dict[str, QueryFn] = {
     # --- similarity search ---
     "embedding_topk_cosine": SIM.topk_cosine,
     "embedding_lsh_ann": SIM.lsh_ann,
+    "embedding_cosine_near_dup": SIM.cosine_near_dup,
     # --- multimodal plumbing ---
     "multimodal_features": MM.multimodal_features,
+    "multimodal_resize": MM.multimodal_resize,
+    "multimodal_frame_sample": MM.multimodal_frame_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -86,6 +91,7 @@ ORACLES: dict[str, str] = {
     "sessionize_events": EV.SESSIONIZE_ORACLE,
     "events_json_extract": EV.EVENTS_JSON_ORACLE,
     "events_windowed_streaming": EV.EVENTS_WINDOWED_STREAMING_ORACLE,
+    "sessionize_events_stateful": EV.SESSIONIZE_STREAMING_ORACLE,
     "text_stats": TQ.TEXT_STATS_ORACLE,
     "quality_scores": TQ.QUALITY_ORACLE,
     "lang_detect": TQ.LANG_DETECT_ORACLE,
@@ -95,7 +101,11 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard_pairs": DD.NGRAM_JACCARD_ORACLE,
     "embedding_topk_cosine": SIM.TOPK_COSINE_ORACLE,
     "embedding_lsh_ann": SIM.LSH_ANN_ORACLE,
+    "embedding_cosine_near_dup": SIM.COSINE_NEAR_DUP_ORACLE,
     "multimodal_features": MM.MULTIMODAL_FEATURES_ORACLE,
+    "multimodal_resize": MM.MULTIMODAL_RESIZE_ORACLE,
+    "multimodal_frame_sample": MM.MULTIMODAL_FRAME_SAMPLE_ORACLE,
+    "token_counts": TQ.TOKEN_COUNTS_ORACLE,
     # crop_analytics_full intentionally omitted: EPSG:5880 reprojection has
     # no plain-SQL closed form (FIXTURES.md §3) → driver rows-only check.
 }

@@ -90,3 +90,27 @@ SELECT doc_id, labeled_lang,
             ELSE 'fr' END AS detected_lang
 FROM s
 """
+
+# BPE-ish subword tokenization: letter runs, single digits, single
+# punctuation marks — the GPT-2-style pre-tokenizer shape, expressible
+# identically in Java regex (Spark) and RE2 (DuckDB)
+BPE_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and BPE-ish subword units
+    (the pre-tokenizer count an LLM-data pipeline budgets by)."""
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        TXT.n_tokens(t).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_PATTERN), F.lit(0)))
+            .cast("long").alias("bpe_tokens"),
+    )
+
+TOKEN_COUNTS_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT) AS bpe_tokens
+FROM documents
+"""

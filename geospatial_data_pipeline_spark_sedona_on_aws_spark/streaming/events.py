@@ -180,3 +180,99 @@ SELECT date_trunc('hour', ts) AS window_start,
 FROM events
 GROUP BY 1, 2
 """
+
+def sessionize_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization as a *custom stateful streaming operator*:
+    readStream → groupBy(user) → applyInPandasWithState, keeping the open
+    session (last ts + running aggregates) as group state across micro-batches
+    and emitting a session row whenever the 30-min gap closes it (update
+    mode). With the availableNow trigger the final micro-batch also emits the
+    still-open session, so the result equals the batch formulation
+    (sessionize) and shares its DuckDB oracle.
+
+    Money sums accumulate as exact DECIMAL(18,2) cents (decimal.Decimal over
+    the exact binary double, HALF_UP) — the same rounding Spark's
+    cast(value AS DECIMAL(18,2)) applies in the batch/oracle formulations.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema).format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    if dict(stream.dtypes)["ts"] in ("bigint", "long"):
+        stream = stream.withColumn("ts_us", F.expr("ts div 1000"))
+    else:
+        stream = stream.withColumn("ts_us", F.unix_micros("ts"))
+    stream = stream.select("user_id", "event_id", "ts_us", "value")
+
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+
+    def fn(key, pdfs, state: GroupState):
+        import decimal
+
+        import pandas as pd
+
+        cent = decimal.Decimal("0.01")
+
+        def cents(v: float) -> int:
+            return int(decimal.Decimal(v).quantize(
+                cent, rounding=decimal.ROUND_HALF_UP) * 100)
+
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts_us", "event_id"])
+        if state.exists:
+            seq, n, start_us, end_us, sum_cents = state.get
+        else:
+            seq, n, start_us, end_us, sum_cents = 0, 0, None, None, 0
+        out = []
+        for ts_us, value in zip(rows["ts_us"], rows["value"]):
+            ts_us = int(ts_us)
+            if n and ts_us - end_us > gap_us:
+                out.append((key[0], seq, n, start_us, end_us, sum_cents))
+                seq, n, start_us, sum_cents = seq + 1, 0, ts_us, 0
+            if not n:
+                start_us = ts_us
+            n += 1
+            end_us = ts_us
+            sum_cents += cents(float(value))
+        state.update((seq, n, start_us, end_us, sum_cents))
+        # availableNow: this is the last chance to surface the open session;
+        # if more data arrived later, update mode would re-emit it corrected
+        out.append((key[0], seq, n, start_us, end_us, sum_cents))
+        df = pd.DataFrame(out, columns=[
+            "user_id", "session_seq", "n_events", "start_us", "end_us", "cents"])
+        yield pd.DataFrame({
+            "user_id": df["user_id"],
+            "session_seq": df["session_seq"],
+            "n_events": df["n_events"],
+            "session_start": pd.to_datetime(df["start_us"], unit="us"),
+            "session_end": pd.to_datetime(df["end_us"], unit="us"),
+            "sum_value": df["cents"] / 100.0,
+        })
+
+    out_schema = ("user_id long, session_seq long, n_events long, "
+                  "session_start timestamp, session_end timestamp, "
+                  "sum_value double")
+    state_schema = ("seq long, n long, start_us long, end_us long, "
+                    "sum_cents long")
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+    name = "sessionize_stream_sink"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            sessions.writeStream.format("memory").queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+# same semantics as the batch sessionize — shares its oracle
+SESSIONIZE_STREAMING_ORACLE = SESSIONIZE_ORACLE
