@@ -24,6 +24,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType, StringType
 
+from ..kernel import boolean as B
 from ..kernel import geom as G
 from ..kernel import transform as T
 
@@ -103,13 +104,12 @@ def _intersection(a: str | None, b: str | None) -> str | None:
     ga, gb = G.parse_wkt(a), G.parse_wkt(b)
     if not ga or not gb:
         return "POLYGON EMPTY"
-    # clip side must be a single convex polygon without holes (true for the
-    # reference's region geometries in our fixtures); general × general joins
-    # the phase-2 boolean-op core
+    # convex fast path (Sutherland–Hodgman keeps the minimal vertex count);
+    # otherwise the general banded-sweep boolean core (kernel/boolean.py)
     for subject, clip in ((ga, gb), (gb, ga)):
         if len(clip) == 1 and len(clip[0]) == 1 and G._is_convex(clip[0][0]):
             return G.to_wkt(G.clip_convex(subject, clip[0][0]))
-    raise G.GeomError("ST_Intersection: round-1 kernel needs one convex side")
+    return G.to_wkt(B.intersection_geom(ga, gb))
 
 def _area(s: str | None) -> float | None:
     if s is None:

@@ -29,6 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..kernel import boolean as B
 from ..kernel import geom as G
 from ..kernel import rectnp as R
 
@@ -82,9 +83,16 @@ def union_aggr(df: DataFrame, group_cols: Sequence[str], geom_col: str,
 
     def stage(col: str):
         def run(pdf: pd.DataFrame) -> pd.DataFrame:
-            rects = [r for w in pdf[col] if w is not None for r in _poly_rects(w)]
-            merged = R.union_decompose(np.array(rects, dtype=np.float64).reshape(-1, 4))
             head = pdf.iloc[[0]][keys].reset_index(drop=True)
+            wkts = [w for w in pdf[col] if w is not None]
+            try:
+                rects = [r for w in wkts for r in _poly_rects(w)]
+            except G.GeomError:
+                # general geometry: banded-sweep union (phase-2 kernel)
+                merged_geom = B.union_geom([G.parse_wkt(w) for w in wkts])
+                head[out_col] = [G.to_wkt(merged_geom)]
+                return head
+            merged = R.union_decompose(np.array(rects, dtype=np.float64).reshape(-1, 4))
             head[out_col] = [G.to_wkt(G.rects_to_geom([tuple(r) for r in merged]))]
             return head
         return run
@@ -98,22 +106,30 @@ def union_aggr(df: DataFrame, group_cols: Sequence[str], geom_col: str,
     )
 
 def _clip_one(geom_wkt: str | None, clip_wkt: str | None
-              ) -> list[tuple[float, float, float, float]]:
-    """General-kernel clip of one geometry to one clip polygon, returned as
-    the rect decomposition of the result (fallback off the JVM fast path)."""
+              ) -> tuple[list[tuple[float, float, float, float]], str | None]:
+    """Kernel clip of one geometry to one clip polygon (fallback off the JVM
+    fast path). Returns (rect_pieces, general_wkt): rectilinear inputs clip
+    to exact disjoint rects; anything else goes through the phase-2
+    banded-sweep intersection and comes back as a geometry WKT partial."""
     if geom_wkt is None or clip_wkt is None:
-        return []
+        return [], None
+    geom = G.parse_wkt(geom_wkt)
     clip_geom = G.parse_wkt(clip_wkt)
-    # clip rects are disjoint (rectilinear_decompose), so rect ∩ clip_j are
-    # disjoint across j and the downstream Klee union stays exact
-    clip_rects = G.rectilinear_decompose(clip_geom)
+    try:
+        # clip rects are disjoint (rectilinear_decompose), so rect ∩ clip_j
+        # are disjoint across j and the downstream Klee union stays exact
+        grects = G.rectilinear_decompose(geom)
+        clip_rects = G.rectilinear_decompose(clip_geom)
+    except G.GeomError:
+        clipped = B.intersection_geom(geom, clip_geom)
+        return [], (G.to_wkt(clipped) if clipped else None)
     pieces: list[tuple[float, float, float, float]] = []
-    for rect in _poly_rects(geom_wkt):
+    for rect in grects:
         for crect in clip_rects:
             c = G.rect_clip(*rect, *crect)
             if c is not None:
                 pieces.append(c)
-    return pieces
+    return pieces, None
 
 def dissolve_clip_area(df: DataFrame, group_cols: Sequence[str], geom_col: str,
                        clip_col: str, out_col: str = "area",
@@ -155,7 +171,7 @@ def dissolve_clip_area(df: DataFrame, group_cols: Sequence[str], geom_col: str,
         for f in df.select(*keys).schema.fields
     )
     bounds_schema = (f"{key_schema}, `__x1` double, `__y1` double, "
-                     f"`__x2` double, `__y2` double")
+                     f"`__x2` double, `__y2` double, `__gwkt` string")
     bcols = ["__x1", "__y1", "__x2", "__y2"]
 
     # ---- stage 1: JVM-side parse + clip (rect fast path) -------------------
@@ -208,40 +224,63 @@ def dissolve_clip_area(df: DataFrame, group_cols: Sequence[str], geom_col: str,
     # ---- stage 2: map-side combine (partial union per partition, NO shuffle)
     def combine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc: list[pd.DataFrame] = []
+        gacc: list[tuple] = []  # (keys..., clipped geometry) general partials
         for pdf in batches:
             slow = pdf.loc[~pdf["__fast"]]
             if len(slow):
                 gw, cw = slow["__gw"].to_numpy(), slow["__cw"].to_numpy()
                 kv_rows = list(slow[keys].itertuples(index=False, name=None))
-                rows = [
-                    kv_rows[i] + piece
-                    for i in range(len(slow))
-                    for piece in _clip_one(gw[i], cw[i])
-                ]
+                rows = []
+                for i in range(len(slow)):
+                    pieces, gwkt = _clip_one(gw[i], cw[i])
+                    rows.extend(kv_rows[i] + piece for piece in pieces)
+                    if gwkt is not None:
+                        gacc.append(kv_rows[i] + (gwkt,))
                 if rows:
                     acc.append(pd.DataFrame(rows, columns=keys + bcols))
                 pdf = pdf.loc[pdf["__fast"]]
             if len(pdf):
                 acc.append(pdf[keys + bcols])
-        if not acc:
-            return
-        whole = pd.concat(acc, ignore_index=True)
         parts = []
-        for kv, grp in whole.groupby(keys, sort=False):
-            dec = R.union_decompose(grp[bcols].to_numpy(dtype=np.float64))
-            part = pd.DataFrame(dec, columns=bcols)
-            kv = kv if isinstance(kv, tuple) else (kv,)
-            for k, v in zip(keys, kv):
-                part[k] = v
-            parts.append(part[keys + bcols])
-        yield pd.concat(parts, ignore_index=True)
+        if acc:
+            whole = pd.concat(acc, ignore_index=True)
+            for kv, grp in whole.groupby(keys, sort=False):
+                dec = R.union_decompose(grp[bcols].to_numpy(dtype=np.float64))
+                part = pd.DataFrame(dec, columns=bcols)
+                part["__gwkt"] = None
+                kv = kv if isinstance(kv, tuple) else (kv,)
+                for k, v in zip(keys, kv):
+                    part[k] = v
+                parts.append(part[keys + bcols + ["__gwkt"]])
+        if gacc:
+            gdf = pd.DataFrame(gacc, columns=keys + ["__gwkt"])
+            # map-side combine for general partials too: one unioned
+            # geometry per key per partition
+            for kv, grp in gdf.groupby(keys, sort=False):
+                u = B.union_geom([G.parse_wkt(w) for w in grp["__gwkt"]])
+                kv = kv if isinstance(kv, tuple) else (kv,)
+                parts.append(pd.DataFrame(
+                    [kv + (None, None, None, None, G.to_wkt(u))],
+                    columns=keys + bcols + ["__gwkt"]))
+        if parts:
+            yield pd.concat(parts, ignore_index=True)
 
     partials = routed.mapInPandas(combine, schema=bounds_schema)
 
     # ---- stage 3: the only shuffle — exact union area per group ------------
     def final(pdf: pd.DataFrame) -> pd.DataFrame:
         head = pdf.iloc[[0]][keys].reset_index(drop=True)
-        head[out_col] = [R.union_area(pdf[bcols].to_numpy(dtype=np.float64))]
+        gwkts = pdf["__gwkt"].dropna()
+        rect_rows = pdf.loc[pdf["__gwkt"].isna(), bcols].to_numpy(dtype=np.float64)
+        if len(gwkts):
+            # mixed partials: exact general union of the trapezoid partials
+            # plus the rect partials (rects are polygons too)
+            geoms = [G.parse_wkt(w) for w in gwkts]
+            if len(rect_rows):
+                geoms.append(G.rects_to_geom([tuple(r) for r in rect_rows]))
+            head[out_col] = [B.union_area(geoms)]
+        else:
+            head[out_col] = [R.union_area(rect_rows)]
         return head
 
     return partials.groupBy(*keys).applyInPandas(

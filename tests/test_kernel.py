@@ -167,3 +167,46 @@ def test_rectnp_degenerate_and_empty():
     assert len(R.union_decompose(np.empty((0, 4)))) == 0
     # zero-extent rects are dropped
     assert R.union_area(np.array([[1.0, 1.0, 1.0, 5.0]])) == 0.0
+
+# ---------------------------------------------------------------- boolean
+# Phase-2 general boolean ops (kernel/boolean.py): banded trapezoid sweep.
+
+from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel import boolean as B
+
+@settings(max_examples=200, deadline=None)
+@given(rect_coords, rect_coords)
+def test_prop_boolean_rect_closed_forms(a, b):
+    ra, rb = _mk(a), _mk(b)
+    ga, gb = G.rects_to_geom([ra]), G.rects_to_geom([rb])
+    want = (max(0, min(ra[2], rb[2]) - max(ra[0], rb[0]))
+            * max(0, min(ra[3], rb[3]) - max(ra[1], rb[1])))
+    assert B.intersection_area(ga, gb) == pytest.approx(want, abs=1e-9)
+    wu = ((ra[2]-ra[0])*(ra[3]-ra[1]) + (rb[2]-rb[0])*(rb[3]-rb[1]) - want)
+    assert B.union_area([ga, gb]) == pytest.approx(wu, abs=1e-9)
+    # geometry outputs re-area identically
+    assert G.area(B.intersection_geom(ga, gb)) == pytest.approx(want, abs=1e-9)
+    assert G.area(B.union_geom([ga, gb])) == pytest.approx(wu, abs=1e-9)
+
+tri_pts = st.tuples(st.integers(0, 20), st.integers(0, 20))
+
+@settings(max_examples=200, deadline=None)
+@given(tri_pts, tri_pts, tri_pts, rect_coords)
+def test_prop_boolean_matches_convex_clip(p1, p2, p3, r):
+    ar2 = ((p2[0]-p1[0])*(p3[1]-p1[1]) - (p2[1]-p1[1])*(p3[0]-p1[0]))
+    if ar2 == 0:
+        return
+    tri = [p1, p2, p3] if ar2 > 0 else [p3, p2, p1]
+    rect = _mk(r)
+    grect = G.rects_to_geom([rect])
+    want = G.area(G.clip_convex(grect, tri))
+    assert B.intersection_area(grect, [[tri]]) == pytest.approx(want, abs=1e-7)
+
+def test_boolean_holes_and_self():
+    hole = [[[(0, 0), (10, 0), (10, 10), (0, 10)], [(4, 4), (6, 4), (6, 6), (4, 6)]]]
+    assert B.union_area([hole]) == pytest.approx(96.0)
+    assert B.intersection_area(hole, G.rects_to_geom([(3, 3, 7, 7)])) == pytest.approx(12.0)
+    tri = [[[(0, 0), (8, 0), (4, 6)]]]
+    assert B.union_area([tri, tri]) == pytest.approx(G.area(tri))
+    assert B.intersection_area(tri, tri) == pytest.approx(G.area(tri))
+    assert B.intersection_area(tri, []) == 0.0
+    assert B.union_area([]) == 0.0
