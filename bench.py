@@ -31,6 +31,7 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "embedding_topk_cosine",
     "embedding_lsh_ann",
+    "embedding_ivf_ann",
 ]
 
 def main() -> None:

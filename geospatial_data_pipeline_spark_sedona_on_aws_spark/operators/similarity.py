@@ -270,3 +270,116 @@ FROM bucketed a JOIN bucketed b
   ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {NEAR_DUP_THRESHOLD}
 """
+
+# ------------------------------------------------------------------ IVF ANN
+
+IVF_NLIST = 16   # coarse centroids = embeddings of the 16 lowest vec_ids
+                 # (deterministic stand-in for a trained k-means codebook)
+IVF_TOPK = 5
+
+def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest coarse centroid
+    (inverted lists), then search queries only against their own list.
+
+    Scale shape: the codebook is tiny and broadcast (driver-collected here);
+    assignment is one vectorized numpy pass per Arrow batch; the only
+    shuffle groups by list id; in-list pair scoring is a per-group matrix
+    op. At 100 TB the lists shard naturally — nothing is ever all-pairs.
+    Numerics use the same per-dim fold order as the DuckDB oracle
+    (bitwise-equal cosines, deterministic argmax with id tie-break)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir)
+    crows = (
+        emb.where(F.col("vec_id") < IVF_NLIST)
+        .select("vec_id", "embedding").collect()
+    )
+    c_ids = np.array([r.vec_id for r in crows], dtype=np.int64)
+    CENT = np.array([r.embedding for r in crows], dtype=np.float64)
+    order = np.argsort(c_ids)
+    c_ids, CENT = c_ids[order], CENT[order]
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            dots, vn, cn = _fold_dots(V, CENT)
+            sims = dots / (vn[:, None] * cn[None, :])
+            # nearest centroid, ties to the lowest centroid id (c_ids is
+            # sorted ascending, argmax takes the first maximum)
+            best = sims.argmax(axis=1)
+            out = pdf[["vec_id", "embedding"]].copy()
+            out["list_id"] = c_ids[best]
+            yield out
+
+    assigned = emb.select("vec_id", "embedding").mapInPandas(
+        assign, schema="vec_id long, embedding array<float>, list_id long"
+    )
+
+    def list_sims(key, pdf: pd.DataFrame):
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        qmask = ids < N_QUERY_VECS
+        if not qmask.any() or len(ids) < 2:
+            return pd.DataFrame({
+                "query_id": np.empty(0, np.int64),
+                "neighbor_id": np.empty(0, np.int64),
+                "cos_sim": np.empty(0, np.float64),
+            })
+        V = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        Q = V[qmask]
+        qids = ids[qmask]
+        dots, vn, qn = _fold_dots(V, Q)
+        sims = dots / (vn[:, None] * qn[None, :])
+        n, m = sims.shape
+        mask = ids[:, None] != qids[None, :]
+        return pd.DataFrame({
+            "query_id": np.tile(qids, n)[mask.ravel()],
+            "neighbor_id": np.repeat(ids, m)[mask.ravel()],
+            "cos_sim": sims.ravel()[mask.ravel()],
+        })
+
+    pairs = assigned.groupBy("list_id").applyInPandas(
+        list_sims, schema="query_id long, neighbor_id long, cos_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= IVF_TOPK)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+IVF_ANN_ORACLE = f"""
+WITH cent AS (
+    SELECT vec_id AS cid, embedding AS cv
+    FROM embeddings WHERE vec_id < {IVF_NLIST}
+),
+scored AS (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_cos_sql('e.embedding', 'c.cv')} DESC, c.cid ASC
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent c
+),
+assigned AS (
+    SELECT vec_id, embedding, cid AS list_id FROM scored WHERE rn = 1
+),
+pairs AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {_cos_sql('c.embedding', 'q.embedding')} AS cos_sim
+    FROM assigned q JOIN assigned c
+      ON q.list_id = c.list_id AND c.vec_id != q.vec_id
+    WHERE q.vec_id < {N_QUERY_VECS}
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+    FROM pairs
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
+FROM ranked WHERE rank <= {IVF_TOPK}
+"""

@@ -37,6 +37,8 @@ QUERIES: dict[str, QueryFn] = {
     "customers_without_orders": R.customers_without_orders,
     "distinct_agg": R.distinct_agg,
     "rollup_sales": R.rollup_sales,
+    "cube_sales": R.cube_sales,
+    "grouping_sets": R.order_priority_grouping_sets,
     "pivot_order_status": R.pivot_order_status,
     "set_ops": R.set_ops,
     "filter_sort_limit": R.filter_sort_limit,
@@ -63,6 +65,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_topk_cosine": SIM.topk_cosine,
     "embedding_lsh_ann": SIM.lsh_ann,
     "embedding_cosine_near_dup": SIM.cosine_near_dup,
+    "embedding_ivf_ann": SIM.ivf_ann,
     # --- multimodal plumbing ---
     "multimodal_features": MM.multimodal_features,
     "multimodal_resize": MM.multimodal_resize,
@@ -81,6 +84,8 @@ ORACLES: dict[str, str] = {
     "customers_without_orders": R.CUSTOMERS_WITHOUT_ORDERS_ORACLE,
     "distinct_agg": R.DISTINCT_AGG_ORACLE,
     "rollup_sales": R.ROLLUP_SALES_ORACLE,
+    "cube_sales": R.CUBE_SALES_ORACLE,
+    "grouping_sets": R.GROUPING_SETS_ORACLE,
     "pivot_order_status": R.PIVOT_ORACLE,
     "set_ops": R.SET_OPS_ORACLE,
     "filter_sort_limit": R.FILTER_SORT_LIMIT_ORACLE,
@@ -102,6 +107,7 @@ ORACLES: dict[str, str] = {
     "embedding_topk_cosine": SIM.TOPK_COSINE_ORACLE,
     "embedding_lsh_ann": SIM.LSH_ANN_ORACLE,
     "embedding_cosine_near_dup": SIM.COSINE_NEAR_DUP_ORACLE,
+    "embedding_ivf_ann": SIM.IVF_ANN_ORACLE,
     "multimodal_features": MM.MULTIMODAL_FEATURES_ORACLE,
     "multimodal_resize": MM.MULTIMODAL_RESIZE_ORACLE,
     "multimodal_frame_sample": MM.MULTIMODAL_FRAME_SAMPLE_ORACLE,

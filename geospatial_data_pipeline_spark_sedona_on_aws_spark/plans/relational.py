@@ -371,3 +371,44 @@ SELECT p_brand, p_partkey, p_retailprice,
 FROM part
 WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice ASC, p_partkey ASC)
 """
+
+def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dims + GROUPING() disambiguation (a NULL key value vs a
+    rollup-level NULL are different things; grouping bits make the hash
+    comparison unambiguous)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.sum(_dec("o_totalprice")).cast("double").alias("total_sales"),
+        F.count("*").alias("n_orders"),
+        F.grouping_id().cast("long").alias("grp"),
+    )
+
+CUBE_SALES_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales,
+       count(*) AS n_orders,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS grp
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+def order_priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via Spark SQL (the DataFrame API has no
+    grouping-sets method; SQL text is the idiomatic route in both engines)."""
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__orders_gs")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               CAST(grouping_id() AS BIGINT) AS grp
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+GROUPING_SETS_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS grp
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
