@@ -281,26 +281,39 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All document pairs with 3-word-shingle Jaccard >= 0.6: group distinct
     shingle rows by shingle, emit in-bucket pairs (shared-shingle prefilter —
     pairs with zero overlap never materialize), count pair occurrences =
-    intersection size. The shingle pipeline is scanned once for the pair
-    stream and once for the per-doc sizes (vs three times with a self-join)."""
+    intersection size.
+
+    Single pass over the shingle pipeline: each doc's shingle count rides
+    along as a window count and travels inside the bucket structs, so the
+    union sizes need no separate sizes branch (which would recompute the
+    scan/window/distinct subtree) and no post-hoc joins."""
+    from pyspark.sql import Window
+
     sh = _doc_shingle_rows(spark, sf_dir, distinct=True)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sh = sh.withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
     grouped = (
         sh.groupBy("s")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("ids"))
         .where(F.size("ids") >= 2)
     )
-    inter = (
-        _bucket_pairs(grouped)
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
+    ids = F.col("ids")
+    pair_arrays = F.transform(
+        F.sequence(F.lit(0), F.size(ids) - 2),
+        lambda i: F.transform(
+            F.slice(ids, i + 2, F.size(ids)),
+            lambda x: F.struct(
+                F.element_at(ids, (i + 1).cast("int")).alias("a"),
+                x.alias("b"),
+            ),
+        ),
     )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    pairs = grouped.select(F.explode(F.flatten(pair_arrays)).alias("p")).select(
+        F.col("p.a.doc_id").alias("doc_a"), F.col("p.a.n").alias("na"),
+        F.col("p.b.doc_id").alias("doc_b"), F.col("p.b.n").alias("nb"),
+    )
     return (
-        # no broadcast hint: sizes is one row per doc (huge at scale); let
-        # AQE pick broadcast when the filtered side turns out small
-        inter.join(na, "doc_a").join(nb, "doc_b")
+        pairs.groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count("*").alias("inter"))
         .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
