@@ -22,7 +22,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import DoubleType, StringType
+from pyspark.sql.types import BooleanType, DoubleType, StringType
 
 from ..kernel import boolean as B
 from ..kernel import geom as G
@@ -111,6 +111,96 @@ def _intersection(a: str | None, b: str | None) -> str | None:
             return G.to_wkt(G.clip_convex(subject, clip[0][0]))
     return G.to_wkt(B.intersection_geom(ga, gb))
 
+def _union2(a: str | None, b: str | None) -> str | None:
+    if a is None or b is None:
+        return None
+    return G.to_wkt(B.union_geom([G.parse_wkt(a), G.parse_wkt(b)]))
+
+def _difference(a: str | None, b: str | None) -> str | None:
+    if a is None or b is None:
+        return None
+    return G.to_wkt(B.difference_geom(G.parse_wkt(a), G.parse_wkt(b)))
+
+def _contains(a: str | None, b: str | None) -> bool | None:
+    """Area-based containment: a contains b iff area(a ∩ b) == area(b)
+    (boundary-touching counts as contained — matches SQL/MM 'covers' more
+    closely than strict 'contains'; documented engine choice)."""
+    if a is None or b is None:
+        return None
+    ga, gb = G.parse_wkt(a), G.parse_wkt(b)
+    ab = G.area(gb)
+    if ab == 0:
+        return False
+    return abs(B.intersection_area(ga, gb) - ab) <= 1e-9 * max(ab, 1.0)
+
+def _seg_pt_dist2(px, py, x1, y1, x2, y2) -> float:
+    dx, dy = x2 - x1, y2 - y1
+    ln2 = dx * dx + dy * dy
+    t = 0.0 if ln2 == 0 else max(0.0, min(1.0, ((px - x1) * dx + (py - y1) * dy) / ln2))
+    cx, cy = x1 + t * dx, y1 + t * dy
+    return (px - cx) ** 2 + (py - cy) ** 2
+
+def _distance(a: str | None, b: str | None) -> float | None:
+    """Min distance between two polygon geometries (0 when they overlap or
+    touch). Boundaries of disjoint polygons never cross, so the minimum is
+    attained at a vertex-to-edge pair."""
+    import math
+
+    if a is None or b is None:
+        return None
+    ga, gb = G.parse_wkt(a), G.parse_wkt(b)
+    if not ga or not gb:
+        return None
+    if B.intersection_area(ga, gb) > 0:
+        return 0.0
+    def segs(g):
+        for poly in g:
+            for ring in poly:
+                n = len(ring)
+                for i in range(n):
+                    yield (*ring[i], *ring[(i + 1) % n])
+    best = float("inf")
+    sb = list(segs(gb))
+    for ax1, ay1, ax2, ay2 in segs(ga):
+        for bx1, by1, bx2, by2 in sb:
+            best = min(
+                best,
+                _seg_pt_dist2(ax1, ay1, bx1, by1, bx2, by2),
+                _seg_pt_dist2(ax2, ay2, bx1, by1, bx2, by2),
+                _seg_pt_dist2(bx1, by1, ax1, ay1, ax2, ay2),
+                _seg_pt_dist2(bx2, by2, ax1, ay1, ax2, ay2),
+            )
+    return math.sqrt(best)
+
+def _centroid(s: str | None) -> str | None:
+    """Area-weighted centroid over all polygons (holes subtract), returned
+    as POINT WKT."""
+    if s is None:
+        return None
+    g = G.normalize(G.parse_wkt(s))
+    if not g:
+        return None
+    sa = sx = sy = 0.0
+    for poly in g:
+        for ri, ring in enumerate(poly):
+            n = len(ring)
+            a2 = cx = cy = 0.0
+            for i in range(n):
+                x1, y1 = ring[i]
+                x2, y2 = ring[(i + 1) % n]
+                cross = x1 * y2 - x2 * y1
+                a2 += cross
+                cx += (x1 + x2) * cross
+                cy += (y1 + y2) * cross
+            # normalize() orients outer CCW (a2>0) and holes CW (a2<0),
+            # so signed accumulation subtracts holes automatically
+            sa += a2 / 2.0
+            sx += cx / 6.0
+            sy += cy / 6.0
+    if sa == 0:
+        return None
+    return f"POINT ({sx / sa:.10g} {sy / sa:.10g})"
+
 def _area(s: str | None) -> float | None:
     if s is None:
         return None
@@ -168,6 +258,31 @@ def st_transform(s: pd.Series, src: pd.Series, dst: pd.Series) -> pd.Series:
 def st_envelope(s: pd.Series) -> pd.Series:
     return s.map(_envelope, na_action="ignore")
 
+@pandas_udf(StringType())
+def st_union(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series([_union2(x, y) for x, y in zip(a, b)], index=a.index)
+
+@pandas_udf(StringType())
+def st_difference(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series([_difference(x, y) for x, y in zip(a, b)], index=a.index)
+
+@pandas_udf(BooleanType())
+def st_contains(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series([_contains(x, y) for x, y in zip(a, b)], index=a.index)
+
+@pandas_udf(BooleanType())
+def st_within(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series([_contains(y, x) for x, y in zip(a, b)], index=a.index)
+
+@pandas_udf(DoubleType())
+def st_distance(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series([_distance(x, y) for x, y in zip(a, b)],
+                     index=a.index, dtype="float64")
+
+@pandas_udf(StringType())
+def st_centroid(s: pd.Series) -> pd.Series:
+    return s.map(_centroid, na_action="ignore")
+
 @pandas_udf(DoubleType())
 def st_clipped_area(subject: pd.Series, clip: pd.Series) -> pd.Series:
     """Fused area(intersection(a, b)) — one boundary crossing instead of two
@@ -191,6 +306,12 @@ _REGISTRY = {
     "ST_Transform": st_transform,
     "ST_Envelope": st_envelope,
     "ST_ClippedArea": st_clipped_area,
+    "ST_Union": st_union,
+    "ST_Difference": st_difference,
+    "ST_Contains": st_contains,
+    "ST_Within": st_within,
+    "ST_Distance": st_distance,
+    "ST_Centroid": st_centroid,
 }
 
 def register_spatial_functions(spark: SparkSession) -> None:

@@ -179,3 +179,57 @@ def union_geom(geoms: list[list]) -> list:
         if p:
             out.append(p)
     return out
+
+def difference_traps(ga: list, gb: list):
+    """Yield trapezoids of ga \\ gb (per band: A's intervals minus B's)."""
+    ea, eb = _edges(ga), _edges(gb)
+    if not ea:
+        return
+    if not eb:
+        for y_lo, y_hi, ivs in _bands_of(ea):
+            for lo, hi in ivs:
+                yield lo, hi, y_lo, y_hi
+        return
+    ys = _critical_ys([ea, eb])
+    for y_lo, y_hi in zip(ys, ys[1:]):
+        if y_hi - y_lo <= _EPS:
+            continue
+        ym = (y_lo + y_hi) / 2.0
+        ia = _band_intervals(ea, y_lo, y_hi)
+        ib = sorted(_band_intervals(eb, y_lo, y_hi),
+                    key=lambda iv: _x_at(iv[0], ym))
+        for la, ha in ia:
+            # walk B's intervals, emitting the uncovered slices of [la, ha]
+            cur = la
+            for lb, hb in ib:
+                if _x_at(hb, ym) <= _x_at(cur, ym):
+                    continue
+                if _x_at(lb, ym) >= _x_at(ha, ym):
+                    break
+                if _x_at(lb, ym) > _x_at(cur, ym):
+                    yield cur, lb, y_lo, y_hi
+                if _x_at(hb, ym) < _x_at(ha, ym):
+                    cur = hb
+                else:
+                    cur = None
+                    break
+            if cur is not None and _x_at(cur, ym) < _x_at(ha, ym):
+                yield cur, ha, y_lo, y_hi
+
+def _bands_of(edges: list):
+    ys = _critical_ys([edges])
+    for y_lo, y_hi in zip(ys, ys[1:]):
+        if y_hi - y_lo > _EPS:
+            yield y_lo, y_hi, _band_intervals(edges, y_lo, y_hi)
+
+def difference_area(ga: list, gb: list) -> float:
+    return sum(_trap_area(lo, hi, y0, y1)
+               for lo, hi, y0, y1 in difference_traps(ga, gb))
+
+def difference_geom(ga: list, gb: list) -> list:
+    out = []
+    for lo, hi, y0, y1 in difference_traps(ga, gb):
+        p = _trap_poly(lo, hi, y0, y1)
+        if p:
+            out.append(p)
+    return out

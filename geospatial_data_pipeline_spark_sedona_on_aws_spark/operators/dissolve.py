@@ -244,14 +244,30 @@ def dissolve_clip_area(df: DataFrame, group_cols: Sequence[str], geom_col: str,
         parts = []
         if acc:
             whole = pd.concat(acc, ignore_index=True)
-            for kv, grp in whole.groupby(keys, sort=False):
-                dec = R.union_decompose(grp[bcols].to_numpy(dtype=np.float64))
-                part = pd.DataFrame(dec, columns=bcols)
-                part["__gwkt"] = None
-                kv = kv if isinstance(kv, tuple) else (kv,)
-                for k, v in zip(keys, kv):
-                    part[k] = v
-                parts.append(part[keys + bcols + ["__gwkt"]])
+            # numpy grouping (lexsort + boundary split): one array pass and
+            # ONE output frame — pandas groupby would build a small DataFrame
+            # per (key, partition) group, which dominates at thousands of
+            # groups per partition
+            kmat = whole[keys].to_numpy()
+            bmat = whole[bcols].to_numpy(dtype=np.float64)
+            order = np.lexsort(tuple(kmat[:, i] for i in range(kmat.shape[1] - 1, -1, -1)))
+            kmat, bmat = kmat[order], bmat[order]
+            change = np.empty(len(kmat), dtype=bool)
+            change[0] = True
+            change[1:] = (kmat[1:] != kmat[:-1]).any(axis=1)
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], len(kmat))
+            out_k, out_b = [], []
+            for s, e in zip(starts, ends):
+                dec = R.union_decompose(bmat[s:e])
+                out_b.append(dec)
+                out_k.append(np.repeat(kmat[s:s + 1], len(dec), axis=0))
+            kcat = np.concatenate(out_k)
+            part = pd.DataFrame(np.concatenate(out_b), columns=bcols)
+            for i, k in enumerate(keys):
+                part.insert(i, k, kcat[:, i])
+            part["__gwkt"] = None
+            parts.append(part)
         if gacc:
             gdf = pd.DataFrame(gacc, columns=keys + ["__gwkt"])
             # map-side combine for general partials too: one unioned

@@ -162,3 +162,36 @@ SELECT region_id, season_id, land_type_id,
 FROM cells
 GROUP BY region_id, season_id, land_type_id
 """
+
+def st_geometry_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Contains / ST_Distance / ST_Difference-area through the registered
+    UDF surface, per (parcel, region) pair — each has a rectangle closed form
+    for the oracle."""
+    from ..functions.spatial import register_spatial_functions
+
+    register_spatial_functions(spark)
+    lu = fixtures.land_use_areas(spark, sf_dir)
+    regions = fixtures.geographic_regions(spark, sf_dir)
+    joined = lu.join(F.broadcast(regions), lu["region_id"] == regions["id"], "inner")
+    return joined.select(
+        "property_id",
+        F.expr("ST_Contains(region_geometry, land_geometry)").alias("contained"),
+        F.expr("ST_Distance(land_geometry, region_geometry)").alias("dist"),
+        F.expr("ST_Area(ST_Difference(land_geometry, region_geometry))").alias("outside_area"),
+    )
+
+ST_GEOMETRY_OPS_ORACLE = f"""
+WITH {fixtures.LAND_USE_CTE.strip()},
+{fixtures.REGIONS_CTE.strip()}
+SELECT lu.property_id,
+       (r.gx1 <= lu.x1 AND lu.x2 <= r.gx2 AND
+        r.gy1 <= lu.y1 AND lu.y2 <= r.gy2) AS contained,
+       sqrt(greatest(r.gx1 - lu.x2, lu.x1 - r.gx2, 0) ^ 2
+          + greatest(r.gy1 - lu.y2, lu.y1 - r.gy2, 0) ^ 2) AS dist,
+       CAST((lu.x2 - lu.x1) * (lu.y2 - lu.y1)
+          - greatest(0, least(lu.x2, r.gx2) - greatest(lu.x1, r.gx1))
+          * greatest(0, least(lu.y2, r.gy2) - greatest(lu.y1, r.gy1))
+          AS DOUBLE) AS outside_area
+FROM land_use lu
+JOIN regions r ON lu.region_id = r.id
+"""

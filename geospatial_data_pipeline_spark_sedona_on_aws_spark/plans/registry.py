@@ -28,6 +28,7 @@ QUERIES: dict[str, QueryFn] = {
     "crop_analytics_full": P.crop_analytics_full,   # rows-only (polyconic CRS)
     "st_area_rect": P.st_area_rect,
     "st_intersection_area": P.st_intersection_area,
+    "st_geometry_ops": P.st_geometry_ops,
     "spatial_range_join": SJ.spatial_range_join,
     # --- relational breadth (SURVEY.md §7 phase 3) ---
     "q1_pricing_summary": R.q1_pricing_summary,
@@ -76,6 +77,7 @@ ORACLES: dict[str, str] = {
     "crop_analytics": P.CROP_ANALYTICS_ORACLE,
     "st_area_rect": P.ST_AREA_RECT_ORACLE,
     "st_intersection_area": P.ST_INTERSECTION_AREA_ORACLE,
+    "st_geometry_ops": P.ST_GEOMETRY_OPS_ORACLE,
     "spatial_range_join": SJ.SPATIAL_RANGE_JOIN_ORACLE,
     "q1_pricing_summary": R.Q1_ORACLE,
     "q3_shipping_priority": R.Q3_ORACLE,

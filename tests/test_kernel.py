@@ -210,3 +210,45 @@ def test_boolean_holes_and_self():
     assert B.intersection_area(tri, tri) == pytest.approx(G.area(tri))
     assert B.intersection_area(tri, []) == 0.0
     assert B.union_area([]) == 0.0
+
+def test_difference_closed_forms():
+    ga = G.rects_to_geom([(0, 0, 10, 10)])
+    gb = G.rects_to_geom([(5, 5, 15, 15)])
+    assert B.difference_area(ga, gb) == pytest.approx(75.0)
+    assert G.area(B.difference_geom(ga, gb)) == pytest.approx(75.0)
+    # A \ A = empty; A \ disjoint = A
+    assert B.difference_area(ga, ga) == pytest.approx(0.0)
+    assert B.difference_area(ga, G.rects_to_geom([(50, 50, 60, 60)])) == pytest.approx(100.0)
+    # tri minus strip: 18 - 6
+    tri = [[[(0, 0), (6, 0), (3, 6)]]]
+    strip = G.rects_to_geom([(0, 2, 6, 4)])
+    assert B.difference_area(tri, strip) == pytest.approx(12.0)
+
+@settings(max_examples=200, deadline=None)
+@given(rect_coords, rect_coords)
+def test_prop_difference_partition(a, b):
+    # A\B and A∩B partition A
+    ga, gb = G.rects_to_geom([_mk(a)]), G.rects_to_geom([_mk(b)])
+    assert (B.difference_area(ga, gb) + B.intersection_area(ga, gb)
+            == pytest.approx(G.area(ga), abs=1e-9))
+
+def test_spatial_predicates():
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions import spatial as SP
+    outer = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+    inner = "POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))"
+    far = "POLYGON ((20 14, 22 14, 22 16, 20 16, 20 14))"
+    tri = "POLYGON ((1 1, 5 1, 3 5, 1 1))"
+    assert SP._contains(outer, inner) is True
+    assert SP._contains(inner, outer) is False
+    assert SP._contains(outer, tri) is True        # general shape inside
+    assert SP._distance(outer, inner) == 0.0
+    assert SP._distance(outer, far) == pytest.approx((10**2 + 4**2) ** 0.5)
+    assert SP._centroid(inner) == "POINT (3 3)"
+    # centroid with hole: symmetric hole keeps the centroid at the center
+    holed = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))"
+    assert SP._centroid(holed) == "POINT (5 5)"
+    # union2 / difference round-trip areas
+    u = SP._union2(outer, far)
+    assert G.area(G.parse_wkt(u)) == pytest.approx(104.0)
+    d = SP._difference(outer, inner)
+    assert G.area(G.parse_wkt(d)) == pytest.approx(96.0)
