@@ -159,11 +159,47 @@ def normalize(geom: list) -> list:
             out.append(rings)
     return out
 
+def _has_self_intersections(geom: list) -> bool:
+    """Any two edges of the same polygon properly crossing (interior-to-
+    interior)? Endpoint touching is allowed — that's valid topology."""
+    for poly in geom:
+        edges = []
+        for ring in poly:
+            n = len(ring)
+            for i in range(n):
+                edges.append((ring[i], ring[(i + 1) % n]))
+        m = len(edges)
+        for i in range(m):
+            (ax1, ay1), (ax2, ay2) = edges[i]
+            for j in range(i + 1, m):
+                (bx1, by1), (bx2, by2) = edges[j]
+                d1x, d1y = ax2 - ax1, ay2 - ay1
+                d2x, d2y = bx2 - bx1, by2 - by1
+                den = d1x * d2y - d1y * d2x
+                if den == 0:
+                    continue
+                t = ((bx1 - ax1) * d2y - (by1 - ay1) * d2x) / den
+                u = ((bx1 - ax1) * d1y - (by1 - ay1) * d1x) / den
+                if 1e-12 < t < 1 - 1e-12 and 1e-12 < u < 1 - 1e-12:
+                    return True
+    return False
+
 def make_valid(geom: list) -> list:
-    """Validity repair. Round-1 scope: vertex dedupe + orientation repair
-    (the fixtures are axis-aligned rectangles, which cannot self-intersect).
-    Self-intersection re-noding lands with the general boolean-op core."""
-    return normalize(geom)
+    """Validity repair (ST_MakeValid semantics under the even-odd rule):
+    vertex dedupe + ring re-orientation always; when a polygon self-
+    intersects (bowtie, folded ring, crossing hole), re-node it through the
+    general banded sweep — the even-odd trapezoid decomposition of the raw
+    edge set IS the valid multipolygon the drawing represents."""
+    # detect on the RAW (deduped) rings: a symmetric bowtie has signed area
+    # exactly 0 and would be dropped as degenerate by normalize() before the
+    # repair could see it
+    raw = [[_dedupe(r) for r in poly] for poly in geom]
+    raw = [[r for r in poly if len(r) >= 3] for poly in raw]
+    raw = [poly for poly in raw if poly]
+    if not _has_self_intersections(raw):
+        return normalize(raw)
+    from . import boolean as B
+    return normalize(B.union_geom([raw]))
 
 # ---------------------------------------------------------------- clipping
 

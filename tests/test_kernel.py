@@ -252,3 +252,15 @@ def test_spatial_predicates():
     assert G.area(G.parse_wkt(u)) == pytest.approx(104.0)
     d = SP._difference(outer, inner)
     assert G.area(G.parse_wkt(d)) == pytest.approx(96.0)
+
+def test_make_valid_self_intersections():
+    # symmetric bowtie: signed area 0, even-odd fill = two triangles (8)
+    bow = G.parse_wkt("POLYGON ((0 0, 4 4, 4 0, 0 4, 0 0))")
+    v = G.make_valid(bow)
+    assert G.area(v) == pytest.approx(8.0)
+    # valid input passes through normalize untouched (no trapezoid blowup)
+    rect = G.parse_wkt("POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))")
+    assert G.make_valid(rect) == G.normalize(rect)
+    # CW-wound ring is just reoriented
+    cw = G.parse_wkt("POLYGON ((0 0, 0 3, 4 3, 4 0, 0 0))")
+    assert G.area(G.make_valid(cw)) == 12.0
