@@ -30,6 +30,7 @@ QUERIES: dict[str, QueryFn] = {
     "st_intersection_area": P.st_intersection_area,
     "st_geometry_ops": P.st_geometry_ops,
     "spatial_range_join": SJ.spatial_range_join,
+    "geo_range_join": SJ.geo_range_join_count,
     # --- relational breadth (SURVEY.md §7 phase 3) ---
     "q1_pricing_summary": R.q1_pricing_summary,
     "q3_shipping_priority": R.q3_shipping_priority,
@@ -79,6 +80,7 @@ ORACLES: dict[str, str] = {
     "st_intersection_area": P.ST_INTERSECTION_AREA_ORACLE,
     "st_geometry_ops": P.ST_GEOMETRY_OPS_ORACLE,
     "spatial_range_join": SJ.SPATIAL_RANGE_JOIN_ORACLE,
+    "geo_range_join": SJ.SPATIAL_RANGE_JOIN_ORACLE,
     "q1_pricing_summary": R.Q1_ORACLE,
     "q3_shipping_priority": R.Q3_ORACLE,
     "nation_revenue": R.NATION_REVENUE_ORACLE,

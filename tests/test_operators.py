@@ -127,3 +127,39 @@ def test_multimodal_plumbing(spark):
     rows = out.join(docs, "doc_id").select("n_bytes", "n_chars").collect()
     assert len(rows) == docs.count()
     assert all(r["n_bytes"] == r["n_chars"] for r in rows)  # ASCII text
+
+def test_geo_range_join_mixed_shapes_vs_brute_force(spark):
+    import random
+
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel import boolean as B
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel import geom as G
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.operators.spatial_join import (
+        geo_range_join,
+    )
+
+    random.seed(5)
+
+    def rect(x, y, w, h):
+        return f"POLYGON (({x} {y}, {x+w} {y}, {x+w} {y+h}, {x} {y+h}, {x} {y}))"
+
+    def tri(x, y, s):
+        return f"POLYGON (({x} {y}, {x+s} {y}, {x+s/2} {y+s}, {x} {y}))"
+
+    A = [(i, rect(random.randint(0, 40), random.randint(0, 40),
+                  random.randint(2, 10), random.randint(2, 10))) for i in range(15)] \
+        + [(100 + i, tri(random.randint(0, 40), random.randint(0, 40),
+                         random.randint(3, 10))) for i in range(8)]
+    Bt = [(i, rect(random.randint(0, 40), random.randint(0, 40),
+                   random.randint(2, 10), random.randint(2, 10))) for i in range(12)] \
+        + [(100 + i, tri(random.randint(0, 40), random.randint(0, 40),
+                         random.randint(3, 10))) for i in range(6)]
+    out = geo_range_join(
+        spark.createDataFrame(A, "aid long, ga string"), "ga",
+        spark.createDataFrame(Bt, "bid long, gb string"), "gb",
+    )
+    got = sorted((r.aid, r.bid) for r in out.select("aid", "bid").collect())
+    want = sorted(
+        (aid, bid) for aid, ga in A for bid, gb in Bt
+        if B.intersection_area(G.parse_wkt(ga), G.parse_wkt(gb)) > 0
+    )
+    assert got == want
