@@ -54,13 +54,18 @@ def _buffer(s: str | None, d: float) -> str | None:
     out = []
     for poly in g:
         rings = []
-        for idx, ring in enumerate(poly):
-            eff = d if idx == 0 else -d  # holes shrink when outer grows
-            rings.append(_offset_ring(ring, eff))
+        for ring in poly:
+            # same +d for every ring: normalize() winds holes CW, which
+            # already flips the outward normal, so a positive offset grows
+            # the outer ring AND shrinks holes (double-negating d here made
+            # holes grow — caught by the hole-buffer probe)
+            rings.append(_offset_ring(ring, d))
         rings = [r for r in rings if len(r) >= 3]
         if rings:
             out.append(rings)
-    return G.to_wkt(G.normalize(out))
+    # miter joins at reflex vertices can fold the offset ring onto itself;
+    # make_valid re-nodes any such self-intersection (banded sweep)
+    return G.to_wkt(G.make_valid(out))
 
 def _offset_ring(ring: list, d: float) -> list:
     # outward edge offset + miter intersection of adjacent offset edges;

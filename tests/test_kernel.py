@@ -264,3 +264,37 @@ def test_make_valid_self_intersections():
     # CW-wound ring is just reoriented
     cw = G.parse_wkt("POLYGON ((0 0, 0 3, 4 3, 4 0, 0 0))")
     assert G.area(G.make_valid(cw)) == 12.0
+
+def test_fuzz_boolean_vs_sutherland_hodgman():
+    """Random convex polygons (sorted angles on a circle => simple): the
+    banded sweep must agree with the independent Sutherland-Hodgman clip
+    and satisfy the inclusion-exclusion identities."""
+    import random as _r
+
+    _r.seed(11)
+    checked = 0
+    while checked < 150:
+        def conv(n, cx, cy, r):
+            angs = sorted(_r.uniform(0, 2 * math.pi) for _ in range(n))
+            return [(cx + r * math.cos(a), cy + r * math.sin(a)) for a in angs]
+        ga = [[conv(_r.randint(3, 9), _r.uniform(0, 50), _r.uniform(0, 50), _r.uniform(1, 20))]]
+        gb = [[conv(_r.randint(3, 9), _r.uniform(0, 50), _r.uniform(0, 50), _r.uniform(1, 20))]]
+        if abs(G._ring_signed_area(ga[0][0])) < 1e-6 or abs(G._ring_signed_area(gb[0][0])) < 1e-6:
+            continue
+        checked += 1
+        aa, ab = G.area(ga), G.area(gb)
+        inter = B.intersection_area(ga, gb)
+        assert inter == pytest.approx(G.area(G.clip_convex(ga, gb[0][0])), abs=1e-6)
+        assert B.union_area([ga, gb]) + inter == pytest.approx(aa + ab, abs=1e-6)
+        assert B.difference_area(ga, gb) + inter == pytest.approx(aa, abs=1e-6)
+
+def test_buffer_hole_direction():
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions import spatial as SP
+    H = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))"
+    # positive buffer grows the outer ring AND shrinks the hole
+    assert G.area(G.parse_wkt(SP._buffer(H, 0.5))) == pytest.approx(120.0)
+    # negative buffer shrinks outer, grows hole
+    assert G.area(G.parse_wkt(SP._buffer(H, -0.5))) == pytest.approx(72.0)
+    # concave L with miter joins: exact rectilinear offset closed form
+    L = "POLYGON ((0 0, 10 0, 10 4, 6 4, 6 10, 0 10, 0 0))"
+    assert G.area(G.parse_wkt(SP._buffer(L, 1.0))) == pytest.approx(120.0)
