@@ -57,6 +57,15 @@ def main() -> None:
     warm.selectExpr(
         "sum(aggregate(transform(split(s, 'x'), t -> length(t)), 0L, (a, b) -> a + b))"
     ).collect()
+    # steady-state warmup: run the heavy queries once at the SMOKE scale
+    # (sf0.001 — different files, ~100x less data) so janino/JIT compile of
+    # their codegen stages isn't billed to the measured sf run
+    for name in ("crop_analytics", "minhash_lsh_candidates",
+                 "ngram_jaccard_pairs", "embedding_topk_cosine"):
+        try:
+            QUERIES[name](spark, "/root/testdata/sf0.001").count()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

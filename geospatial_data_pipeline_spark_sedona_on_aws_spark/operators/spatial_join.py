@@ -141,9 +141,12 @@ def spatial_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("y1") < F.col("gy2")) & (F.col("gy1") < F.col("y2"))
         )
         .select("id", "property_id")
-        .dropDuplicates(["id", "property_id"])
     )
-    return pairs.groupBy("id").agg(F.count("*").alias("n_overlapping"))
+    # countDistinct dedups multi-cell matches itself — a separate
+    # dropDuplicates would add a second shuffle for nothing
+    return pairs.groupBy("id").agg(
+        F.countDistinct("property_id").alias("n_overlapping")
+    )
 
 # count(DISTINCT ...) because property_id is not unique in the synthetic
 # fixture (the driver's lineitem has duplicate (orderkey, linenumber) pairs)

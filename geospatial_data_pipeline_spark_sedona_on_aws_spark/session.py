@@ -38,7 +38,9 @@ def get_spark(app_name: str = "geospatial-engine", shuffle_partitions: int | Non
         # driver testdata stores event timestamps as TIMESTAMP(NANOS);
         # read as long + convert (streaming/events.py)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # bigger Arrow batches amortize the per-batch Python round-trip for
+        # the numeric kernels (rows here are narrow: keys + a few doubles)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
         # broadcast dims up to 64 MB — the reference broadcasts its region
         # dimension explicitly (spark_job/process_geodata.py:101)
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
