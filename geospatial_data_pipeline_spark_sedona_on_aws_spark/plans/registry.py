@@ -53,6 +53,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_json_extract": EV.events_json_extract,
     "events_windowed_streaming": EV.events_windowed_streaming,
     "sessionize_events_stateful": EV.sessionize_streaming,
+    "asof_join": EV.asof_join,
     # --- text analysis ---
     "text_stats": TQ.text_stats,
     "quality_scores": TQ.quality_scores,
@@ -101,6 +102,7 @@ ORACLES: dict[str, str] = {
     "events_json_extract": EV.EVENTS_JSON_ORACLE,
     "events_windowed_streaming": EV.EVENTS_WINDOWED_STREAMING_ORACLE,
     "sessionize_events_stateful": EV.SESSIONIZE_STREAMING_ORACLE,
+    "asof_join": EV.ASOF_JOIN_ORACLE,
     "text_stats": TQ.TEXT_STATS_ORACLE,
     "quality_scores": TQ.QUALITY_ORACLE,
     "lang_detect": TQ.LANG_DETECT_ORACLE,

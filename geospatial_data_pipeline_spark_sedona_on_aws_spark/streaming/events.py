@@ -276,3 +276,63 @@ def sessionize_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # same semantics as the batch sessionize — shares its oracle
 SESSIONIZE_STREAMING_ORACLE = SESSIONIZE_ORACLE
+
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — for every 'purchase' event, the most recent prior (or
+    simultaneous) 'click' by the same user, with its value.
+
+    Spark has no ASOF JOIN operator; the scalable formulation is the tagged
+    union + last(ignorenulls) running window: both sides shuffle ONCE on
+    user_id, the window scans each user's timeline in ts order, and every
+    left row picks up the right side's last-seen state. No range self-join,
+    no per-row subquery — this is the shape that survives a billion events
+    per user bucket. Ordering (ts, tag, event_id) is total, so ties are
+    deterministic in both engines (click-before-purchase at equal ts)."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    left = ev.where(F.col("event_type") == "purchase")
+    right = ev.where(F.col("event_type") == "click")
+    tagged = left.select(
+        "event_id", "user_id", "ts", F.lit(1).alias("tag"),
+        F.lit(None).cast("double").alias("rv"),
+    ).unionByName(right.select(
+        "event_id", "user_id", "ts", F.lit(0).alias("tag"),
+        F.col("value").cast("double").alias("rv"),
+    ))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        tagged
+        .withColumn("last_click_ts",
+                    F.last(F.when(F.col("tag") == 0, F.col("ts")), ignorenulls=True).over(w))
+        .withColumn("last_click_value",
+                    F.last(F.when(F.col("tag") == 0, F.col("rv")), ignorenulls=True).over(w))
+        .where(F.col("tag") == 1)
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "last_click_ts", "last_click_value"
+    )
+
+ASOF_JOIN_ORACLE = """
+WITH tagged AS (
+    SELECT event_id, user_id, ts, 1 AS tag, CAST(NULL AS DOUBLE) AS rv
+    FROM events WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT event_id, user_id, ts, 0 AS tag, CAST(value AS DOUBLE) AS rv
+    FROM events WHERE event_type = 'click'
+),
+x AS (
+    SELECT *,
+           last_value(CASE WHEN tag = 0 THEN ts END IGNORE NULLS) OVER w AS last_click_ts,
+           last_value(CASE WHEN tag = 0 THEN rv END IGNORE NULLS) OVER w AS last_click_value
+    FROM tagged
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, tag, event_id
+                 ROWS UNBOUNDED PRECEDING)
+)
+SELECT event_id, user_id, ts, last_click_ts, last_click_value
+FROM x WHERE tag = 1
+"""
