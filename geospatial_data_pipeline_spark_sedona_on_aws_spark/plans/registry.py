@@ -54,6 +54,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_windowed_streaming": EV.events_windowed_streaming,
     "sessionize_events_stateful": EV.sessionize_streaming,
     "asof_join": EV.asof_join,
+    "interval_range_join": EV.interval_range_join,
     # --- text analysis ---
     "text_stats": TQ.text_stats,
     "quality_scores": TQ.quality_scores,
@@ -103,6 +104,7 @@ ORACLES: dict[str, str] = {
     "events_windowed_streaming": EV.EVENTS_WINDOWED_STREAMING_ORACLE,
     "sessionize_events_stateful": EV.SESSIONIZE_STREAMING_ORACLE,
     "asof_join": EV.ASOF_JOIN_ORACLE,
+    "interval_range_join": EV.INTERVAL_RANGE_JOIN_ORACLE,
     "text_stats": TQ.TEXT_STATS_ORACLE,
     "quality_scores": TQ.QUALITY_ORACLE,
     "lang_detect": TQ.LANG_DETECT_ORACLE,

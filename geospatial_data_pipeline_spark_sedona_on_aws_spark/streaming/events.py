@@ -336,3 +336,61 @@ x AS (
 SELECT event_id, user_id, ts, last_click_ts, last_click_value
 FROM x WHERE tag = 1
 """
+
+RANGE_JOIN_WINDOW_MIN = 5
+
+def interval_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal range join: for every 'error' event, how many 'click' events
+    by the same user landed within ±5 minutes.
+
+    A naive formulation is an inequality join (cross product per user); the
+    scale shape buckets time into window-sized cells, explodes each left row
+    to its bucket and both neighbors, equi-joins on (user_id, bucket) — the
+    only shuffle, with bounded fan-out — and applies the exact |Δt| filter
+    after. Same pattern as the spatial grid join, one dimension down."""
+    ev = _events(spark, sf_dir)
+    win_us = RANGE_JOIN_WINDOW_MIN * 60 * 1_000_000
+    us = lambda c: F.unix_micros(F.col(c))  # noqa: E731
+    left = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", us("ts").alias("t_err"),
+    ).withColumn(
+        "bucket",
+        F.explode(F.array(
+            F.floor(F.col("t_err") / win_us) - 1,
+            F.floor(F.col("t_err") / win_us),
+            F.floor(F.col("t_err") / win_us) + 1,
+        )),
+    )
+    right = ev.where(F.col("event_type") == "click").select(
+        "user_id", us("ts").alias("t_clk"),
+    ).withColumn("bucket", F.floor(F.col("t_clk") / win_us))
+    joined = (
+        left.join(right, ["user_id", "bucket"])
+        .where(F.abs(F.col("t_clk") - F.col("t_err")) <= win_us)
+        .groupBy("error_id")
+        .agg(F.count("*").alias("n_nearby_clicks"))
+    )
+    base = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id")
+    )
+    return base.join(joined, "error_id", "left").select(
+        "error_id", F.coalesce("n_nearby_clicks", F.lit(0)).alias("n_nearby_clicks")
+    )
+
+INTERVAL_RANGE_JOIN_ORACLE = f"""
+WITH err AS (
+    SELECT event_id AS error_id, user_id,
+           CAST(floor(epoch_us(ts)) AS BIGINT) AS t_err
+    FROM events WHERE event_type = 'error'
+),
+clk AS (
+    SELECT user_id, CAST(floor(epoch_us(ts)) AS BIGINT) AS t_clk
+    FROM events WHERE event_type = 'click'
+)
+SELECT e.error_id,
+       count(c.t_clk) AS n_nearby_clicks
+FROM err e LEFT JOIN clk c
+  ON e.user_id = c.user_id
+ AND abs(c.t_clk - e.t_err) <= {RANGE_JOIN_WINDOW_MIN * 60 * 1000000}
+GROUP BY e.error_id
+"""
