@@ -37,10 +37,12 @@ DEFAULT_SALT = 16
 
 def wkt_nums(col):
     """All numbers in a WKT string as array<double> — a whole-stage-codegen
-    parse (split + cast), no Python."""
-    toks = F.filter(F.split(F.col(col) if isinstance(col, str) else col,
-                            "[^-0-9.eE+]+"), lambda x: x != "")
-    return F.transform(toks, lambda x: x.cast("double"))
+    parse: trim the non-numeric prefix/suffix, split, cast the whole array.
+    No higher-order functions: HOF lambdas (filter/transform) evaluate
+    *interpreted*, which dominated the join/dissolve stages at ~µs/element."""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.regexp_replace(c, r"^[^-0-9.]+|[^-0-9.eE+]+$", "")
+    return F.split(trimmed, "[^-0-9.eE+]+").cast("array<double>")
 
 def is_rect(arr):
     """True iff the 10-number corner array reads as a closed axis-aligned

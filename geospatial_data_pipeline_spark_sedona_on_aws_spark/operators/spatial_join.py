@@ -38,32 +38,46 @@ def _cells(df: DataFrame, x1: str, y1: str, x2: str, y2: str) -> DataFrame:
         )
     )
 
+_NUM = r"-?[0-9.eE+]+"
+
+def _wkt_axis(col, axis: int):
+    """array<double> of just the x (axis=0) or y (axis=1) coordinates of a
+    WKT string: a global regex keeps one number of each `x y` pair, then
+    trim + split + array cast — all whole-stage codegen, no lambdas."""
+    c = F.col(col) if isinstance(col, str) else col
+    only = F.regexp_replace(c, f"({_NUM})\\s+({_NUM})", "$1" if axis == 0 else "$2")
+    only = F.regexp_replace(only, r"^[^-0-9.]+|[^-0-9.eE+]+$", "")
+    return F.split(only, r"[^-0-9.eE+]+").cast("array<double>")
+
 def wkt_bbox(col):
     """(x1, y1, x2, y2) bounding-box Columns of ANY WKT geometry, computed
-    in the JVM: WKT numbers alternate x y, so the bbox is min/max over the
-    even/odd positions — whole-stage codegen, no Python, no rect assumption."""
-    from .dissolve import wkt_nums
-
-    nums = wkt_nums(col)
-    xs = F.filter(nums, lambda x, i: i % 2 == 0)
-    ys = F.filter(nums, lambda x, i: i % 2 == 1)
+    in the JVM — whole-stage codegen, no Python, no rect assumption."""
+    xs, ys = _wkt_axis(col, 0), _wkt_axis(col, 1)
     return (F.array_min(xs), F.array_min(ys), F.array_max(xs), F.array_max(ys))
 
 def geo_range_join(a_df: DataFrame, a_geom: str, b_df: DataFrame, b_geom: str,
-                   grid: float = GRID) -> DataFrame:
+                   grid: float = GRID,
+                   keep: list[str] | None = None,
+                   broadcast_b: bool = True) -> DataFrame:
     """General spatial range join on WKT geometry columns: rows of a × b
-    whose geometries overlap. Returns a's and b's columns (geometry WKT
-    retained) for every overlapping pair.
+    whose geometries overlap. Returns `keep` columns (default: all of a's
+    and b's) for every overlapping pair; `keep` is also the pair identity
+    for dedup, so pass the columns that identify a pair.
 
     Plan shape (the one that survives 100 TB — Sedona's partitioned spatial
     join in DataFrame terms):
       1. JVM bbox per row (codegen), explode to covering grid cells;
-      2. equi-join on cell id — the ONLY shuffle key, never a cross join;
-      3. bbox-overlap prefilter (codegen);
-      4. exact predicate: if both WKTs are canonical rectangles the bbox
-         test IS exact (JVM, done); otherwise the pair crosses to the
-         kernel's general intersection test in an Arrow batch;
-      5. dropDuplicates on the pair key (a pair can meet in several cells).
+      2. equi-join on cell id — hash-partitioned, never a cross join;
+      3. bbox-overlap prefilter (codegen), then immediate projection to
+         `keep` — WKT strings survive ONLY on rows that need the kernel
+         (nulled for rectangle pairs), so the dedup shuffle moves narrow
+         rows no matter how wide the geometries are;
+      4. dropDuplicates on `keep` — also the materialization point both
+         result branches share (ReusedExchange), so the candidate subtree
+         runs once;
+      5. exact predicate: for rectangle pairs the bbox test is already
+         exact (JVM, done); remaining pairs cross to the kernel's general
+         intersection test in an Arrow batch.
     """
     from collections.abc import Iterator
 
@@ -94,36 +108,59 @@ def geo_range_join(a_df: DataFrame, a_geom: str, b_df: DataFrame, b_geom: str,
                 F.floor(F.col(y1) / grid), F.floor(F.col(y2) / grid)))
         )
 
+    keep_all = keep or (list(a_df.columns)
+                        + [c for c in b_df.columns if c not in a_df.columns])
+    both_rect = F.coalesce(F.col("__arect") & F.col("__brect"), F.lit(False))
+    b_cells = cells(b, "__bx1", "__by1", "__bx2", "__by2")
+    if broadcast_b:
+        # cell-id cardinality can be low (dense data, coarse grid), which
+        # would skew a shuffle join onto a handful of keys — broadcast the
+        # dimension side when it fits (caller disables for large×large,
+        # where the cell keys are plentiful and the shuffle join is right)
+        b_cells = F.broadcast(b_cells)
     cand = (
         cells(a, "__ax1", "__ay1", "__ax2", "__ay2")
-        .join(cells(b, "__bx1", "__by1", "__bx2", "__by2"), ["__cx", "__cy"])
+        .join(b_cells, ["__cx", "__cy"])
         .where(
             (F.col("__ax1") < F.col("__bx2")) & (F.col("__bx1") < F.col("__ax2"))
             & (F.col("__ay1") < F.col("__by2")) & (F.col("__by1") < F.col("__ay2"))
         )
-        .drop("__cx", "__cy")
-        .dropDuplicates([a_geom, b_geom] + [
-            c for c in a_df.columns + b_df.columns if c not in (a_geom, b_geom)
-        ])
+        .select(
+            *keep_all,
+            both_rect.alias("__fastpair"),
+            F.when(~both_rect, F.col(a_geom)).alias("__ga"),
+            F.when(~both_rect, F.col(b_geom)).alias("__gb"),
+        )
+        .dropDuplicates(keep_all)
     )
 
-    both_rect = F.coalesce(F.col("__arect") & F.col("__brect"), F.lit(False))
-    fast = cand.where(both_rect)
+    # ONE pass over the deduped candidates: rectangle pairs ride through on
+    # the flag (no parsing), only the rare general pairs hit the kernel.
+    # A fast/slow branch-and-union would recompute the candidate subtree
+    # per branch (column pruning makes the copies differ, defeating
+    # ReuseExchange) — measured 2-4x slower.
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in cand.select(*keep_all).schema.fields
+    )
 
     def exact(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 continue
-            keep = [
-                KB.intersection_area(KG.parse_wkt(ga), KG.parse_wkt(gb)) > 0
-                for ga, gb in zip(pdf[a_geom], pdf[b_geom])
-            ]
-            yield pdf.loc[keep]
+            fastmask = pdf["__fastpair"].fillna(False).to_numpy(dtype=bool)
+            slow = pdf.loc[~fastmask]
+            if len(slow):
+                ok = [
+                    KB.intersection_area(KG.parse_wkt(ga), KG.parse_wkt(gb)) > 0
+                    for ga, gb in zip(slow["__ga"], slow["__gb"])
+                ]
+                keep_rows = pdf.loc[fastmask, keep_all]
+                yield pd.concat([keep_rows, slow.loc[ok, keep_all]])
+            else:
+                yield pdf.loc[fastmask, keep_all]
 
-    slow = cand.where(~both_rect).mapInPandas(exact, schema=cand.schema)
-    keep_cols = list(a_df.columns) + [c for c in b_df.columns
-                                      if c not in a_df.columns]
-    return fast.unionByName(slow).select(*keep_cols)
+    return cand.mapInPandas(exact, schema=out_schema)
 
 def spatial_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For every region, how many land-use parcels *spatially* overlap it
@@ -167,7 +204,10 @@ def geo_range_join_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same answer as spatial_range_join — one operator, two front doors."""
     lu = fixtures.land_use_areas(spark, sf_dir).select("property_id", "land_geometry")
     rg = fixtures.geographic_regions(spark, sf_dir).select("id", "region_geometry")
-    pairs = geo_range_join(rg, "region_geometry", lu, "land_geometry")
+    # parcels stream as side a; the 50-region dim is side b (broadcast);
+    # keep only the id pair so no WKT reaches any shuffle
+    pairs = geo_range_join(lu, "land_geometry", rg, "region_geometry",
+                           keep=["id", "property_id"])
     return pairs.groupBy("id").agg(
         F.countDistinct("property_id").alias("n_overlapping")
     )
