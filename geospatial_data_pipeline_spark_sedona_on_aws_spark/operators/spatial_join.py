@@ -131,7 +131,11 @@ def geo_range_join(a_df: DataFrame, a_geom: str, b_df: DataFrame, b_geom: str,
             F.when(~both_rect, F.col(a_geom)).alias("__ga"),
             F.when(~both_rect, F.col(b_geom)).alias("__gb"),
         )
-        .dropDuplicates(keep_all)
+        # dedup on ALL columns, not a subset: the extras are functionally
+        # dependent on the pair, and subset-dedup would turn them into
+        # first() aggregates — which forces a SortAggregate over every
+        # candidate row instead of a hash aggregate
+        .dropDuplicates()
     )
 
     # ONE pass over the deduped candidates: rectangle pairs ride through on
