@@ -18,6 +18,7 @@ from ..operators import spatial_join as SJ
 from ..streaming import events as EV
 from . import pipeline as P
 from . import relational as R
+from . import sketches as SK
 from . import text_queries as TQ
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -70,6 +71,12 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_lsh_ann": SIM.lsh_ann,
     "embedding_cosine_near_dup": SIM.cosine_near_dup,
     "embedding_ivf_ann": SIM.ivf_ann,
+    # --- sketches / sampling / skew (scale machinery) ---
+    "hll_distinct": SK.hll_distinct,
+    "hash_sample": SK.hash_sample,
+    "stratified_sample": SK.stratified_sample,
+    "histogram_quantile": SK.histogram_quantile,
+    "salted_agg_topk": SK.salted_agg_topk,
     # --- multimodal plumbing ---
     "multimodal_features": MM.multimodal_features,
     "multimodal_resize": MM.multimodal_resize,
@@ -116,6 +123,11 @@ ORACLES: dict[str, str] = {
     "embedding_lsh_ann": SIM.LSH_ANN_ORACLE,
     "embedding_cosine_near_dup": SIM.COSINE_NEAR_DUP_ORACLE,
     "embedding_ivf_ann": SIM.IVF_ANN_ORACLE,
+    "hll_distinct": SK.HLL_DISTINCT_ORACLE,
+    "hash_sample": SK.HASH_SAMPLE_ORACLE,
+    "stratified_sample": SK.STRATIFIED_SAMPLE_ORACLE,
+    "histogram_quantile": SK.HISTOGRAM_QUANTILE_ORACLE,
+    "salted_agg_topk": SK.SALTED_AGG_ORACLE,
     "multimodal_features": MM.MULTIMODAL_FEATURES_ORACLE,
     "multimodal_resize": MM.MULTIMODAL_RESIZE_ORACLE,
     "multimodal_frame_sample": MM.MULTIMODAL_FRAME_SAMPLE_ORACLE,

@@ -1,0 +1,313 @@
+"""Sketch, sampling, and skew-mitigation operators — the approximate /
+single-pass machinery a 100 TB training-data pipeline leans on when exact
+global answers are too expensive.
+
+The reference has none of these (its only aggregate is the spatial dissolve,
+SURVEY.md §2.3); they extend the engine the same way the dedup/similarity
+families do. Every operator here is *cross-engine deterministic*: the sketch
+arithmetic is written so Spark and DuckDB produce bit-identical doubles —
+hashes go through the md5-derived portable_hash60, register sums stay in
+exact BIGINT powers of two, and the final floating-point expression is the
+same literal arithmetic in both engines (no libm calls like ln/exp whose
+last-ulp behavior differs).
+
+Scale notes per operator:
+  hll_distinct        two hash aggregates over (group, 256 buckets) — the
+                      shuffle carries ≤ 256 rows per group regardless of
+                      input size; this is the partial-aggregatable substitute
+                      for countDistinct's exact (and shuffle-heavy) expand.
+  hash_sample         a deterministic WHERE over a key hash — fully pushed
+                      into the scan stage, no shuffle, reproducible across
+                      runs/engines (unlike df.sample's RNG).
+  stratified_sample   per-stratum rates via the same hash — one pass computes
+                      population AND sample aggregates together.
+  histogram_quantile  fixed-domain equi-width histogram: one hash aggregate
+                      to ≤ 64 rows, then driver-scale interpolation — the
+                      single-pass alternative to a global sort for
+                      percentiles.
+  salted_agg_topk     two-phase (key, salt)->key aggregation: a hot key is
+                      spread over 32 partial groups before the final merge,
+                      so one skewed supplier can't pin the job on one task.
+                      DECIMAL partials keep the re-association exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import portable_hash60
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+def _dec(c) -> F.Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("decimal(18,2)")
+
+# ------------------------------------------------------------------ HLL
+
+HLL_M = 256          # 2^8 buckets: low 8 hash bits
+HLL_REM_BITS = 52    # remaining 60-8 bits feed the rank
+_TWO53 = 1 << 53     # register scale: term = 2^(53 - rho), exact in BIGINT
+
+def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct customers per order priority via a HyperLogLog
+    sketch built from first principles on the portable hash (Flajolet et al.
+    2007's raw estimator, no bias/linear-counting corrections — those need
+    ln(), which is not bit-portable across engines).
+
+    rho (the register value) is computed with integer/string ops only:
+    rho = 53 - bit_length(remainder); the register sum accumulates
+    2^(53-rho) as an exact BIGINT (max 256·2^53 < 2^63), so partial
+    aggregation order cannot perturb it. Only the final
+    alpha·m²·2^53 / S division is floating point, and it is the same
+    IEEE expression in both engines. Exact countDistinct rides along to
+    show the sketch's error."""
+    o = _t(spark, sf_dir, "orders")
+    h = portable_hash60(F.col("o_custkey").cast("string"))
+    rem = F.shiftright(h, 8)
+    rho = F.when(rem > 0, F.lit(53) - F.length(F.bin(rem))).otherwise(F.lit(53))
+    regs = (
+        o.select(
+            F.col("o_orderpriority").alias("priority"),
+            F.pmod(h, F.lit(HLL_M)).alias("b"),
+            rho.alias("rho"),
+        )
+        .groupBy("priority", "b")
+        .agg(F.max("rho").alias("m"))
+    )
+    # F.shiftleft only takes a literal shift; the SQL form accepts a column
+    sums = regs.groupBy("priority").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - m)")).alias("s_present"),
+        F.count("*").alias("nb"),
+    )
+    s_total = (
+        F.col("s_present")
+        + (F.lit(HLL_M) - F.col("nb")) * F.lit(_TWO53).cast("long")
+    ).cast("double")
+    est = (
+        F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0))
+        * F.lit(65536.0) * F.lit(float(_TWO53)) / s_total
+    )
+    exact = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.countDistinct("o_custkey").alias("exact_distinct")
+    )
+    return (
+        sums.join(F.broadcast(exact), "priority")
+        .select(
+            "priority",
+            "exact_distinct",
+            F.col("nb").alias("buckets_used"),
+            est.alias("hll_estimate"),
+        )
+    )
+
+HLL_DISTINCT_ORACLE = """
+WITH h AS (
+    SELECT o_orderpriority AS priority,
+           ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS hv
+    FROM orders
+),
+r AS (
+    SELECT priority, hv % 256 AS b,
+           CASE WHEN hv // 256 > 0 THEN 53 - length(bin(hv // 256))
+                ELSE 53 END AS rho
+    FROM h
+),
+regs AS (SELECT priority, b, max(rho) AS m FROM r GROUP BY priority, b),
+s AS (
+    SELECT priority,
+           sum(1::BIGINT << (53 - m)) AS s_present,
+           count(*) AS nb
+    FROM regs GROUP BY priority
+),
+e AS (
+    SELECT o_orderpriority AS priority,
+           count(DISTINCT o_custkey) AS exact_distinct
+    FROM orders GROUP BY 1
+)
+SELECT s.priority, e.exact_distinct, s.nb AS buckets_used,
+       0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9007199254740992.0
+         / CAST(s.s_present + (256 - s.nb) * (1::BIGINT << 53) AS DOUBLE)
+         AS hll_estimate
+FROM s JOIN e ON s.priority = e.priority
+"""
+
+# ------------------------------------------------------- deterministic sample
+
+SAMPLE_PERMILLE = 50  # 5%
+
+def hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5% row sample of lineitem: keep rows whose key hash
+    lands in [0, 50) mod 1000. Unlike df.sample (seeded RNG per partition
+    split, not reproducible across engines or even repartitionings), a hash
+    sample is a pure row-local predicate — it pushes into the scan, shuffles
+    nothing, and the same rows are chosen on any engine at any parallelism."""
+    li = _t(spark, sf_dir, "lineitem")
+    key = F.concat_ws(
+        "|", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+    )
+    sampled = li.where(F.pmod(portable_hash60(key), F.lit(1000)) < SAMPLE_PERMILLE)
+    return sampled.groupBy("l_returnflag").agg(
+        F.count("*").alias("sample_rows"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sample_qty"),
+    )
+
+HASH_SAMPLE_ORACLE = f"""
+SELECT l_returnflag,
+       count(*) AS sample_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sample_qty
+FROM lineitem
+WHERE ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|'
+                          || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT
+      % 1000 < {SAMPLE_PERMILLE}
+GROUP BY l_returnflag
+"""
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with per-stratum rates (urgent orders kept at 50%,
+    high at 20%, the rest at 5%) — the standard shape for building an
+    importance-weighted training subset. One pass computes the population and
+    sample aggregates together; the rate is a row-local CASE, so the plan is
+    scan → single hash aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    permille = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", 500)
+        .when(F.col("o_orderpriority") == "2-HIGH", 200)
+        .otherwise(50)
+    )
+    picked = F.pmod(portable_hash60(F.col("o_orderkey").cast("string")), F.lit(1000)) < permille
+    return o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").alias("population"),
+        F.sum(F.when(picked, 1).otherwise(0)).alias("sampled"),
+        F.sum(F.when(picked, _dec("o_totalprice"))).cast("double").alias("sampled_totalprice"),
+    )
+
+STRATIFIED_SAMPLE_ORACLE = """
+WITH flagged AS (
+    SELECT o_orderpriority AS priority, o_totalprice,
+           ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000
+             < CASE o_orderpriority WHEN '1-URGENT' THEN 500
+                                    WHEN '2-HIGH' THEN 200
+                                    ELSE 50 END AS picked
+    FROM orders
+)
+SELECT priority,
+       count(*) AS population,
+       sum(CASE WHEN picked THEN 1 ELSE 0 END) AS sampled,
+       CAST(sum(CASE WHEN picked THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+            AS DOUBLE) AS sampled_totalprice
+FROM flagged
+GROUP BY priority
+"""
+
+# ------------------------------------------------- histogram quantile sketch
+
+HIST_LO = 900.0
+HIST_HI = 105000.0
+HIST_BINS = 64
+HIST_W = (HIST_HI - HIST_LO) / HIST_BINS  # 1626.5625, exact in binary
+
+def histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p95/p99 of l_extendedprice from a fixed-domain equi-width
+    histogram: one hash aggregate reduces any input to ≤ 64 (bin, count)
+    rows; quantiles interpolate linearly inside the covering bin. This is
+    the single-pass, partial-aggregatable alternative to a global sort —
+    the estimate's resolution is the bin width, and the arithmetic
+    (floor, cumulative sums in BIGINT, one interpolation expression) is
+    bit-identical in DuckDB."""
+    li = _t(spark, sf_dir, "lineitem")
+    bin_col = F.least(
+        F.lit(HIST_BINS - 1),
+        F.greatest(F.lit(0), F.floor((F.col("l_extendedprice") - HIST_LO) / HIST_W)),
+    ).cast("int")
+    hist = li.select(bin_col.alias("bin")).groupBy("bin").agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    total = hist.agg(F.sum("cnt").alias("n"))
+    qs = spark.range(1).select(
+        F.explode(F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))).alias("quantile")
+    )
+    j = (
+        qs.crossJoin(F.broadcast(total))
+        .join(cum, F.col("cum").cast("double") >= F.col("quantile") * F.col("n"))
+        .withColumn(
+            "rn", F.row_number().over(Window.partitionBy("quantile").orderBy("bin"))
+        )
+        .where(F.col("rn") == 1)
+    )
+    est = (
+        F.lit(HIST_LO)
+        + F.col("bin").cast("double") * F.lit(HIST_W)
+        + (F.col("quantile") * F.col("n") - (F.col("cum") - F.col("cnt")).cast("double"))
+        / F.col("cnt").cast("double") * F.lit(HIST_W)
+    )
+    return j.select("quantile", est.alias("estimate"))
+
+HISTOGRAM_QUANTILE_ORACLE = f"""
+WITH b AS (
+    SELECT CAST(least({HIST_BINS - 1},
+                greatest(0, floor((l_extendedprice - {HIST_LO!r}) / {HIST_W!r})))
+           AS INT) AS bin
+    FROM lineitem
+),
+hist AS (SELECT bin, count(*) AS cnt FROM b GROUP BY bin),
+c AS (
+    SELECT bin, cnt,
+           sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+    FROM hist
+),
+tot AS (SELECT sum(cnt) AS n FROM hist),
+q AS (SELECT unnest([0.5, 0.95, 0.99]) AS quantile),
+hit AS (
+    SELECT q.quantile, c.bin, c.cnt, c.cum, tot.n,
+           row_number() OVER (PARTITION BY q.quantile ORDER BY c.bin) AS rn
+    FROM q CROSS JOIN tot
+    JOIN c ON CAST(c.cum AS DOUBLE) >= q.quantile * tot.n
+)
+SELECT quantile,
+       {HIST_LO!r} + CAST(bin AS DOUBLE) * {HIST_W!r}
+         + (quantile * n - CAST(cum - cnt AS DOUBLE))
+           / CAST(cnt AS DOUBLE) * {HIST_W!r} AS estimate
+FROM hit WHERE rn = 1
+"""
+
+# ------------------------------------------------------- salted aggregation
+
+SALT_BUCKETS = 32
+TOPK_SUPPLIERS = 20
+
+def salted_agg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 suppliers by revenue through an explicitly salted two-phase
+    aggregation: phase 1 aggregates (l_suppkey, salt) so a pathologically hot
+    supplier is spread across 32 partial groups on 32 different reducers;
+    phase 2 merges the ≤ 32 partials per key. With DECIMAL partials the
+    re-association is exact, so the result is identical to a direct groupBy
+    (the oracle) — this is the skew shape AQE can't always save you from
+    when the aggregation itself (not a join) is the hot spot."""
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    partial = (
+        li.withColumn("__salt", F.pmod(F.col("l_orderkey"), F.lit(SALT_BUCKETS)))
+        .groupBy("l_suppkey", "__salt")
+        .agg(F.sum(revenue).alias("r"), F.count("*").alias("c"))
+    )
+    merged = partial.groupBy("l_suppkey").agg(
+        F.sum("r").cast("double").alias("revenue"),
+        F.sum("c").alias("n_items"),
+    )
+    return merged.orderBy(F.desc("revenue"), F.asc("l_suppkey")).limit(TOPK_SUPPLIERS)
+
+SALTED_AGG_ORACLE = f"""
+SELECT l_suppkey,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+GROUP BY l_suppkey
+ORDER BY revenue DESC, l_suppkey ASC
+LIMIT {TOPK_SUPPLIERS}
+"""

@@ -1,0 +1,70 @@
+"""Sketch / sampling / skew operators: cross-engine equality with the DuckDB
+oracle (the determinism contract) plus semantic checks that the sketches
+actually approximate what they claim."""
+
+from __future__ import annotations
+
+import duckdb
+
+from geospatial_data_pipeline_spark_sedona_on_aws_spark.plans import sketches as SK
+
+from tests.conftest import SF_SMOKE
+
+SF_MID = "/root/testdata/sf0.01"
+
+
+def _cmp(spark_df, duck, oracle, key):
+    s = spark_df.toPandas().sort_values(key).reset_index(drop=True)
+    o = duck.execute(oracle).df().sort_values(key).reset_index(drop=True)
+    assert len(s) == len(o)
+    for c in o.columns:
+        assert (s[c] == o[c]).all(), c
+
+
+def test_hll_matches_oracle(spark, duck):
+    _cmp(SK.hll_distinct(spark, SF_SMOKE), duck, SK.HLL_DISTINCT_ORACLE, "priority")
+
+
+def test_hll_accuracy_at_valid_cardinality():
+    # the raw estimator is only meaningful for n >~ 2.5·m; sf0.01 has
+    # ~1300 distinct customers per priority against m=256 buckets
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF_MID}/orders.parquet'")
+    df = con.execute(SK.HLL_DISTINCT_ORACLE).df()
+    rel_err = (df["hll_estimate"] - df["exact_distinct"]).abs() / df["exact_distinct"]
+    assert (rel_err < 0.25).all()
+
+
+def test_hash_sample_matches_oracle_and_rate(spark, duck):
+    _cmp(SK.hash_sample(spark, SF_SMOKE), duck, SK.HASH_SAMPLE_ORACLE, "l_returnflag")
+    total = duck.execute("SELECT count(*) FROM lineitem").fetchone()[0]
+    sampled = duck.execute(SK.HASH_SAMPLE_ORACLE).df()["sample_rows"].sum()
+    # 5% nominal rate; md5 is uniform, so the realized rate is close
+    assert 0.02 < sampled / total < 0.09
+
+
+def test_stratified_sample_matches_oracle_and_rates(spark, duck):
+    _cmp(SK.stratified_sample(spark, SF_SMOKE), duck,
+         SK.STRATIFIED_SAMPLE_ORACLE, "priority")
+    df = duck.execute(SK.STRATIFIED_SAMPLE_ORACLE).df().set_index("priority")
+    nominal = {"1-URGENT": 0.5, "2-HIGH": 0.2, "3-MEDIUM": 0.05}
+    for prio, rate in nominal.items():
+        realized = df.loc[prio, "sampled"] / df.loc[prio, "population"]
+        assert abs(realized - rate) < 0.12, (prio, realized)
+
+
+def test_histogram_quantile_matches_oracle_and_exact(spark, duck):
+    _cmp(SK.histogram_quantile(spark, SF_SMOKE), duck,
+         SK.HISTOGRAM_QUANTILE_ORACLE, "quantile")
+    # each estimate is within one bin width of the exact percentile
+    est = duck.execute(SK.HISTOGRAM_QUANTILE_ORACLE).df().set_index("quantile")
+    for q in (0.5, 0.95, 0.99):
+        exact = duck.execute(
+            f"SELECT quantile_cont(l_extendedprice, {q}) FROM lineitem"
+        ).fetchone()[0]
+        assert abs(est.loc[q, "estimate"] - exact) <= SK.HIST_W, q
+
+
+def test_salted_agg_equals_unsalted_oracle(spark, duck):
+    # the whole point of salting: bit-identical to the direct groupBy
+    _cmp(SK.salted_agg_topk(spark, SF_SMOKE), duck, SK.SALTED_AGG_ORACLE, "l_suppkey")
