@@ -76,6 +76,44 @@ def write_csv_sink(
         .csv(path)
     )
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed managed table: co-locates rows by hash(bucket_cols) at WRITE
+    time so later joins/aggregations on those columns need no shuffle — the
+    100 TB answer to a fact table that is joined on the same key every day.
+    Each bucket is also sorted (sort-merge joins skip the sort stage).
+    `mode=overwrite` keeps snapshot-rebuild semantics."""
+    from ..plans.catalog import _clear_orphaned_location
+
+    _clear_orphaned_location(df.sparkSession, table)
+    # one file per bucket: repartition on the bucket key with numPartitions ==
+    # numBuckets (same murmur3 hash), so readers can trust per-bucket
+    # sortedness — multi-file buckets force a Sort back into every join
+    (
+        df.repartition(num_buckets, *[F.col(c) for c in bucket_cols])
+        .write.mode("overwrite")
+        .bucketBy(num_buckets, *bucket_cols)
+        .sortBy(*(sort_cols or bucket_cols))
+        .saveAsTable(table)
+    )
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: list[str]
+) -> DataFrame:
+    """Join two equally-bucketed tables on their bucket key. With matching
+    bucket counts Spark plans a shuffle-free (and with sortBy, sort-free)
+    sort-merge join — tests assert the physical plan contains no Exchange."""
+    return spark.table(left_table).join(spark.table(right_table), on)
+
+def physical_plan(df: DataFrame) -> str:
+    """The executed physical plan as text (for plan-shape assertions)."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
 def read_csv_sink(spark: SparkSession, path: str, schema: str) -> DataFrame:
     """Loader-side read-back of the headerless CSV interchange files —
     Spark lists and parallelizes the directory natively (replaces the

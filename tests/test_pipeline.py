@@ -100,3 +100,37 @@ def test_entry_contract(spark):
     assert set(os_) <= set(qs)
     # every oracle-less query is documented as rows-only
     assert set(qs) - set(os_) == {"crop_analytics_full"}
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """Co-located bucketed tables join without any Exchange in the plan —
+    the write-time partitioning investment that pays off at every read."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.sources import io as IO
+
+    for t in ("b_lineitem", "b_orders"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    IO.write_bucketed(li.withColumnRenamed("l_orderkey", "okey"), "b_lineitem", ["okey"], 8)
+    IO.write_bucketed(o.withColumnRenamed("o_orderkey", "okey"), "b_orders", ["okey"], 8)
+
+    # at test scale AQE would (rightly) broadcast; force the sort-merge path
+    # the buckets exist for, then check it needs neither shuffle nor sort
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # SPARK-28632: since 3.0 per-bucket sortedness is only trusted behind the
+    # legacy flag (and only with one file per bucket, which write_bucketed
+    # guarantees); without it the shuffle still disappears but a Sort stays
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try:
+        joined = IO.bucketed_join(spark, "b_lineitem", "b_orders", ["okey"])
+        plan = IO.physical_plan(joined.select("okey", "l_quantity", "o_totalprice"))
+        assert "SortMergeJoin" in plan, plan
+        assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan, plan
+        assert "+- Sort " not in plan, plan  # sortBy buckets arrive pre-sorted
+        # and the result is the plain join's result
+        n_plain = li.join(o, li["l_orderkey"] == o["o_orderkey"]).count()
+        assert joined.count() == n_plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
