@@ -54,6 +54,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_json_extract": EV.events_json_extract,
     "events_windowed_streaming": EV.events_windowed_streaming,
     "sessionize_events_stateful": EV.sessionize_streaming,
+    "streaming_dedup": EV.streaming_dedup,
     "asof_join": EV.asof_join,
     "interval_range_join": EV.interval_range_join,
     # --- text analysis ---
@@ -110,6 +111,7 @@ ORACLES: dict[str, str] = {
     "events_json_extract": EV.EVENTS_JSON_ORACLE,
     "events_windowed_streaming": EV.EVENTS_WINDOWED_STREAMING_ORACLE,
     "sessionize_events_stateful": EV.SESSIONIZE_STREAMING_ORACLE,
+    "streaming_dedup": EV.STREAMING_DEDUP_ORACLE,
     "asof_join": EV.ASOF_JOIN_ORACLE,
     "interval_range_join": EV.INTERVAL_RANGE_JOIN_ORACLE,
     "text_stats": TQ.TEXT_STATS_ORACLE,

@@ -181,6 +181,43 @@ FROM events
 GROUP BY 1, 2
 """
 
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: the first occurrence of each
+    (user_id, event_type) pair across the stream, via dropDuplicates state.
+
+    Emitting only the key columns keeps the result deterministic (which
+    physical row "wins" inside a key is arrival-order dependent; the key set
+    is not), so the oracle is a plain SELECT DISTINCT. At 100 TB the state
+    store is the concern, not the compute: production would add
+    `withWatermark` + dropDuplicatesWithinWatermark to bound state to the
+    dedup horizon; availableNow over a finite source doesn't need it and a
+    watermark here could drop legitimate first-arrivals if file order
+    disagrees with event time across micro-batches."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema).format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    deduped = stream.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    name = "streaming_dedup_sink"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            deduped.writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+STREAMING_DEDUP_ORACLE = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
 def sessionize_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization as a *custom stateful streaming operator*:
     readStream → groupBy(user) → applyInPandasWithState, keeping the open

@@ -1,0 +1,86 @@
+"""Physical-plan shape assertions: the scale properties the engine is
+designed around, locked in as regression tests. A query that still returns
+the right rows but re-grows a shuffle, loses a pushed filter, or starts
+scanning dead columns is a performance bug — these tests catch it at the
+plan level, where it's cheap to see."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from geospatial_data_pipeline_spark_sedona_on_aws_spark.operators import similarity as SIM
+from geospatial_data_pipeline_spark_sedona_on_aws_spark.plans import pipeline as P
+from geospatial_data_pipeline_spark_sedona_on_aws_spark.plans import relational as R
+from geospatial_data_pipeline_spark_sedona_on_aws_spark.sources.io import physical_plan
+
+from tests.conftest import SF_SMOKE
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    plan = physical_plan(R.q1_pricing_summary(spark, SF_SMOKE))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q3_broadcasts_the_dimension(spark):
+    plan = physical_plan(R.q3_shipping_priority(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    # the BUILDING filter reaches the customer scan, not a post-join Filter
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_topk_cosine_prunes_embedding_columns(spark):
+    plan = physical_plan(SIM.topk_cosine(spark, SF_SMOKE))
+    scans = [l for l in plan.splitlines() if "FileScan" in l and "embeddings" in l]
+    assert scans, plan
+    for line in scans:
+        m = re.search(r"ReadSchema: struct<([^>]*)>", line)
+        assert m, line
+        cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        # only the id and the vector leave the scan — `label` is pruned
+        assert cols <= {"vec_id", "embedding"}, cols
+
+
+def test_crop_analytics_single_shuffle(spark):
+    """The fused dissolve: broadcast join + map-side combine means exactly
+    one Exchange (the final per-key merge) in the whole flagship plan."""
+    plan = physical_plan(P.crop_analytics(spark, SF_SMOKE))
+    # exactly one shuffle carries the fact rows (the per-key partial merge);
+    # the only other hash exchange sits on the ~50-row dimension derivation
+    # upstream of its BroadcastExchange
+    fact_shuffles = re.findall(r"Exchange hashpartitioning\(region_id", plan)
+    all_shuffles = re.findall(r"Exchange hashpartitioning", plan)
+    assert len(fact_shuffles) == 1, plan
+    assert len(all_shuffles) <= 2, plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_whole_stage_codegen_covers_relational_plans(spark):
+    # executedPlan().toString() pre-AQE doesn't mark codegen stages; the
+    # codegen explain mode reports the fused subtrees directly
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    # AQE's AdaptiveSparkPlan hides codegen subtrees until execution;
+    # disable it for the inspection only
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        with contextlib.redirect_stdout(buf):
+            R.nation_revenue(spark, SF_SMOKE).explain(mode="codegen")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", buf.getvalue())
+    assert m and int(m.group(1)) >= 1, buf.getvalue()[:500]
+
+
+def test_hash_sample_predicate_reaches_scan_stage(spark):
+    """The deterministic sample is a row-local predicate evaluated inside the
+    scan's codegen stage — no shuffle happens before sampling."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.plans import sketches as SK
+
+    df = SK.hash_sample(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    scan_stage = plan.split("Exchange")[-1]  # text below the last Exchange
+    assert "md5" in scan_stage and "FileScan" in scan_stage, plan

@@ -30,3 +30,11 @@ def test_sessionize_gap_semantics(spark):
         if prev_user == r["user_id"]:
             assert r["session_start"] > prev_end
         prev_user, prev_end = r["user_id"], r["session_end"]
+
+
+def test_streaming_dedup_matches_distinct(spark, duck):
+    s = EV.streaming_dedup(spark, SF_SMOKE).toPandas()
+    o = duck.execute(EV.STREAMING_DEDUP_ORACLE).df()
+    key = ["user_id", "event_type"]
+    assert sorted(map(tuple, s[key].values.tolist())) == \
+        sorted(map(tuple, o[key].values.tolist()))
