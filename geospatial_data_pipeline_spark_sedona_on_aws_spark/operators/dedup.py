@@ -283,14 +283,18 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs with zero overlap never materialize), count pair occurrences =
     intersection size.
 
-    Single pass over the shingle pipeline: each doc's shingle count rides
-    along as a window count and travels inside the bucket structs, so the
-    union sizes need no separate sizes branch (which would recompute the
-    scan/window/distinct subtree) and no post-hoc joins."""
-    from pyspark.sql import Window
-
-    sh = _doc_shingle_rows(spark, sf_dir, distinct=True)
-    sh = sh.withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
+    Single pass over the shingle pipeline: collect_set per doc dedupes AND
+    yields the shingle count in one aggregate that reuses the lead-window's
+    doc_id partitioning (zero extra exchange) — replacing the previous
+    distinct-shuffle + re-shuffled window count. The whole query moves data
+    twice: once onto doc_id for shingling, once onto the shingle for bucket
+    pairing. Set order from collect_set is nondeterministic but only the
+    size and membership are consumed."""
+    sh = _doc_shingle_rows(spark, sf_dir, distinct=False)
+    sh = (
+        sh.groupBy("doc_id").agg(F.collect_set("s").alias("__ss"))
+        .select("doc_id", F.size("__ss").alias("n"), F.explode("__ss").alias("s"))
+    )
     grouped = (
         sh.groupBy("s")
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("ids"))
