@@ -165,6 +165,101 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
 FROM ranked WHERE rank <= {TOPK}
 """
 
+QUANT_SCALE = 127
+
+def quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar quantization + exact integer top-k: each float dimension
+    maps to round(x·127) clamped to [-127, 127], and neighbors rank by the
+    integer dot product of the quantized vectors.
+
+    This is the memory/IO scale path for ANN: 4× smaller vectors (64 bytes
+    vs 256 per embedding), integer SIMD dot products, and — unlike float
+    scoring — the ranking is *perfectly* deterministic across engines and
+    partition orders because integer addition is associative (max |dot| =
+    64·127² ≈ 1.03e6, nowhere near overflow). Same execution shape as
+    topk_cosine: closure-broadcast query batch, Arrow-batched candidate
+    stream, partition-local top-k before the final window."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    def quant(X: "np.ndarray") -> "np.ndarray":
+        # identical arithmetic to the oracle: floor(x·127 + 0.5), clamped
+        return np.maximum(
+            -QUANT_SCALE,
+            np.minimum(QUANT_SCALE, np.floor(X * 127.0 + 0.5)),
+        ).astype(np.int64)
+
+    emb = _emb(spark, sf_dir)
+    qrows = (
+        emb.where(F.col("vec_id") < N_QUERY_VECS)
+        .select("vec_id", "embedding").collect()
+    )
+    q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    Q = quant(np.array([r.embedding for r in qrows], dtype=np.float64))
+
+    def compute(batches):
+        parts = []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            C = quant(np.array(pdf["embedding"].tolist(), dtype=np.float64))
+            dots = C @ Q.T  # exact int64
+            n, m = dots.shape
+            mask = ids[:, None] != q_ids[None, :]
+            parts.append(pd.DataFrame({
+                "query_id": np.tile(q_ids, n)[mask.ravel()],
+                "neighbor_id": np.repeat(ids, m)[mask.ravel()],
+                "qdot": dots.ravel()[mask.ravel()],
+            }))
+        if not parts:
+            return
+        allp = pd.concat(parts, ignore_index=True)
+        allp = allp.sort_values(
+            ["query_id", "qdot", "neighbor_id"], ascending=[True, False, True]
+        )
+        yield allp.groupby("query_id", sort=False).head(TOPK)
+
+    pairs = emb.select("vec_id", "embedding").mapInPandas(
+        compute, schema="query_id long, neighbor_id long, qdot long"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qdot"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOPK)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "qdot")
+    )
+
+_QUANT_SQL = (
+    "list_transform(embedding, x -> CAST(greatest(-127, least(127, "
+    "floor(CAST(x AS DOUBLE) * 127.0 + 0.5))) AS BIGINT))"
+)
+
+QUANTIZED_TOPK_ORACLE = f"""
+WITH q AS (
+    SELECT vec_id AS query_id, {_QUANT_SQL} AS qv
+    FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+),
+c AS (
+    SELECT vec_id, {_QUANT_SQL} AS cv FROM embeddings
+),
+pairs AS (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           CAST(list_sum(list_transform(range(1, {EMBED_DIM} + 1),
+                i -> q.qv[i] * c.cv[i])) AS BIGINT) AS qdot
+    FROM q JOIN c ON c.vec_id != q.query_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY qdot DESC, neighbor_id ASC) AS rank
+    FROM pairs
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, qdot
+FROM ranked WHERE rank <= {TOPK}
+"""
+
 def _bucket(v: Column) -> Column:
     """Axis-projection LSH bucket: bit p = (v[p*8 + 1] >= 0)."""
     out = None

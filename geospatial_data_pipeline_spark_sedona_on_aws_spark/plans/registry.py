@@ -72,6 +72,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_lsh_ann": SIM.lsh_ann,
     "embedding_cosine_near_dup": SIM.cosine_near_dup,
     "embedding_ivf_ann": SIM.ivf_ann,
+    "embedding_quantized_topk": SIM.quantized_topk,
     # --- sketches / sampling / skew (scale machinery) ---
     "hll_distinct": SK.hll_distinct,
     "hash_sample": SK.hash_sample,
@@ -125,6 +126,7 @@ ORACLES: dict[str, str] = {
     "embedding_lsh_ann": SIM.LSH_ANN_ORACLE,
     "embedding_cosine_near_dup": SIM.COSINE_NEAR_DUP_ORACLE,
     "embedding_ivf_ann": SIM.IVF_ANN_ORACLE,
+    "embedding_quantized_topk": SIM.QUANTIZED_TOPK_ORACLE,
     "hll_distinct": SK.HLL_DISTINCT_ORACLE,
     "hash_sample": SK.HASH_SAMPLE_ORACLE,
     "stratified_sample": SK.STRATIFIED_SAMPLE_ORACLE,

@@ -163,3 +163,25 @@ def test_geo_range_join_mixed_shapes_vs_brute_force(spark):
         if B.intersection_area(G.parse_wkt(ga), G.parse_wkt(gb)) > 0
     )
     assert got == want
+
+
+def test_quantized_topk_matches_oracle_and_recalls_exact(spark, duck):
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.operators import (
+        similarity as SIM,
+    )
+
+    s = SIM.quantized_topk(spark, SF_SMOKE).toPandas()
+    o = duck.execute(SIM.QUANTIZED_TOPK_ORACLE).df()
+    key = ["query_id", "rank"]
+    s = s.sort_values(key).reset_index(drop=True)
+    o = o.sort_values(key).reset_index(drop=True)
+    assert len(s) == len(o)
+    for c in ("query_id", "neighbor_id", "rank", "qdot"):
+        assert (s[c] == o[c]).all(), c
+
+    # int8 quantization must preserve most of the exact cosine neighborhood
+    exact = SIM.topk_cosine(spark, SF_SMOKE).toPandas()
+    e_sets = exact.groupby("query_id")["neighbor_id"].apply(set)
+    q_sets = s.groupby("query_id")["neighbor_id"].apply(set)
+    recalls = [len(e_sets[q] & q_sets[q]) / len(e_sets[q]) for q in e_sets.index]
+    assert sum(recalls) / len(recalls) > 0.6, sum(recalls) / len(recalls)
