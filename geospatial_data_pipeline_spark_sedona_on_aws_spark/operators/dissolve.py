@@ -136,7 +136,8 @@ def _clip_one(geom_wkt: str | None, clip_wkt: str | None
 def dissolve_clip_area(df: DataFrame, group_cols: Sequence[str], geom_col: str,
                        clip_col: str, out_col: str = "area",
                        salt: int = DEFAULT_SALT,
-                       clip_bounds: Sequence[str] | None = None) -> DataFrame:
+                       clip_bounds: Sequence[str] | None = None,
+                       geom_bounds: Sequence[str] | None = None) -> DataFrame:
     """Fused area(clip ∩ union(geoms)) per group — the engine's hot path for
     the reference's flagship computation (spark_job/process_geodata.py:110-139).
 
@@ -161,11 +162,15 @@ def dissolve_clip_area(df: DataFrame, group_cols: Sequence[str], geom_col: str,
          billion member rows arrives as ≤ (#map partitions × its footprint
          complexity) partial rects, not a billion rows.
 
-    clip_bounds: optional names of 4 columns (x1, y1, x2, y2) holding the
-    clip rectangle pre-parsed on the *dimension side before the join* — the
-    engine's dimension-side projection pushdown. Skips re-parsing the same
-    clip WKT once per fact row (it is constant within a region); clip_col is
-    then only consulted on the slow (non-rectangular geometry) path.
+    clip_bounds / geom_bounds: optional names of 4 columns (x1, y1, x2, y2)
+    holding the rectangle pre-parsed as numeric columns — the engine's
+    bbox-covering-column pushdown (same idea as GeoParquet's `bbox` covering
+    column: carry the cheap numeric representation next to the geometry and
+    touch the text/WKB form only when the bbox can't answer). clip_bounds is
+    typically pre-parsed once on the *dimension side before the join*;
+    geom_bounds on the fact side skips WKT construction AND parsing entirely
+    for canonical rectangles. A row whose bounds are NULL (or degenerate)
+    routes to the WKT slow path, so mixed rect/general tables work.
     """
     keys = list(group_cols)
     key_schema = ", ".join(
@@ -181,39 +186,39 @@ def dissolve_clip_area(df: DataFrame, group_cols: Sequence[str], geom_col: str,
     # (WKT nulled out); the rare non-rectangular rows keep their WKT (bounds
     # nulled) and are kernel-clipped inside the combine stage below. No
     # branch-and-union, so the upstream scan/join runs exactly once.
-    if clip_bounds is not None:
-        bx1, by1, bx2, by2 = [F.col(c).cast("double") for c in clip_bounds]
-        # synthesize the clip's corner array from the pre-parsed bounds so
-        # the routing below is one code path; is_rect over it reduces to
-        # cheap arithmetic on 4 values
-        c_arr = F.array(bx1, by1, bx2, by1, bx2, by2, bx1, by2, bx1, by1)
-    else:
-        c_arr = wkt_nums(clip_col)
-    parsed = df.select(
-        *keys, geom_col, clip_col,
-        wkt_nums(geom_col).alias("__g"), c_arr.alias("__c"),
-    ).withColumn(
-        "__fast",
-        # coalesce: a NULL from three-valued logic (e.g. a cast failure
-        # inside the corner array) must route to the slow path, not
-        # evaporate in the downstream ~fast filter
-        F.coalesce(
-            F.col(geom_col).isNotNull() & F.col(clip_col).isNotNull()
-            & is_rect(F.col("__g")) & is_rect(F.col("__c")),
-            F.lit(False),
-        ),
-    )
+    def _side(wkt_col: str, bounds: Sequence[str] | None):
+        """(ok, x1, y1, x2, y2) expressions for one geometry side: from the
+        numeric bbox columns when given (pure arithmetic, no strings), else
+        from a codegen WKT parse."""
+        if bounds is not None:
+            bx1, by1, bx2, by2 = [F.col(c).cast("double") for c in bounds]
+            ok = (bx1.isNotNull() & by1.isNotNull()
+                  & (bx2 > bx1) & (by2 > by1))
+            return ok, bx1, by1, bx2, by2
+        arr = wkt_nums(wkt_col)
+        e = lambda i: F.try_element_at(arr, F.lit(i))  # noqa: E731
+        return (F.col(wkt_col).isNotNull() & is_rect(arr),
+                e(1), e(2), e(3), e(6))
 
-    eg = lambda i: F.element_at(F.col("__g"), i)  # noqa: E731
-    ec = lambda i: F.element_at(F.col("__c"), i)  # noqa: E731
+    g_ok, gx1, gy1, gx2, gy2 = _side(geom_col, geom_bounds)
+    c_ok, cx1, cy1, cx2, cy2 = _side(clip_col, clip_bounds)
+    # coalesce: a NULL from three-valued logic (e.g. a cast failure) must
+    # route to the slow path, not evaporate in the downstream ~fast filter
+    fast_expr = F.coalesce(g_ok & c_ok, F.lit(False))
+    parsed = df.select(*keys, geom_col, clip_col, fast_expr.alias("__fast"),
+                       gx1.alias("__gx1"), gy1.alias("__gy1"),
+                       gx2.alias("__gx2"), gy2.alias("__gy2"),
+                       cx1.alias("__cx1"), cy1.alias("__cy1"),
+                       cx2.alias("__cx2"), cy2.alias("__cy2"))
+
     fast = F.col("__fast")
     routed = (
         parsed.select(
             *keys,
-            F.when(fast, F.greatest(eg(1), ec(1))).alias("__x1"),
-            F.when(fast, F.greatest(eg(2), ec(2))).alias("__y1"),
-            F.when(fast, F.least(eg(3), ec(3))).alias("__x2"),
-            F.when(fast, F.least(eg(6), ec(6))).alias("__y2"),
+            F.when(fast, F.greatest(F.col("__gx1"), F.col("__cx1"))).alias("__x1"),
+            F.when(fast, F.greatest(F.col("__gy1"), F.col("__cy1"))).alias("__y1"),
+            F.when(fast, F.least(F.col("__gx2"), F.col("__cx2"))).alias("__x2"),
+            F.when(fast, F.least(F.col("__gy2"), F.col("__cy2"))).alias("__y2"),
             F.when(~fast, F.col(geom_col)).alias("__gw"),
             F.when(~fast, F.col(clip_col)).alias("__cw"),
             fast.alias("__fast"),
@@ -286,21 +291,43 @@ def dissolve_clip_area(df: DataFrame, group_cols: Sequence[str], geom_col: str,
     partials = routed.mapInPandas(combine, schema=bounds_schema)
 
     # ---- stage 3: the only shuffle — exact union area per group ------------
-    def final(pdf: pd.DataFrame) -> pd.DataFrame:
-        head = pdf.iloc[[0]][keys].reset_index(drop=True)
-        gwkts = pdf["__gwkt"].dropna()
-        rect_rows = pdf.loc[pdf["__gwkt"].isna(), bcols].to_numpy(dtype=np.float64)
-        if len(gwkts):
-            # mixed partials: exact general union of the trapezoid partials
-            # plus the rect partials (rects are polygons too)
-            geoms = [G.parse_wkt(w) for w in gwkts]
-            if len(rect_rows):
-                geoms.append(G.rects_to_geom([tuple(r) for r in rect_rows]))
-            head[out_col] = [B.union_area(geoms)]
-        else:
-            head[out_col] = [R.union_area(rect_rows)]
-        return head
+    # repartition(keys) + mapInPandas instead of groupBy().applyInPandas:
+    # grouped-map ships ONE Arrow batch and one pandas frame PER GROUP
+    # (~ms of fixed cost each — 287 groups cost >1s serially); here each
+    # partition arrives as one batch and groups split with a numpy lexsort,
+    # so per-group cost is just the kernel call.
+    def final_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        frames = [p for p in batches if len(p)]
+        if not frames:
+            return
+        whole = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+        kmat = whole[keys].to_numpy()
+        order = np.lexsort(tuple(kmat[:, i] for i in range(kmat.shape[1] - 1, -1, -1)))
+        kmat = kmat[order]
+        bmat = whole[bcols].to_numpy(dtype=np.float64)[order]
+        gw = whole["__gwkt"].to_numpy()[order]
+        change = np.empty(len(kmat), dtype=bool)
+        change[0] = True
+        change[1:] = (kmat[1:] != kmat[:-1]).any(axis=1)
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(kmat))
+        areas = np.empty(len(starts), dtype=np.float64)
+        for gi, (s, e) in enumerate(zip(starts, ends)):
+            gwkts = [w for w in gw[s:e] if w is not None]
+            if gwkts:
+                # mixed partials: exact general union of the trapezoid
+                # partials plus the rect partials (rects are polygons too)
+                rect_rows = bmat[s:e][pd.isna(gw[s:e])]
+                geoms = [G.parse_wkt(w) for w in gwkts]
+                if len(rect_rows):
+                    geoms.append(G.rects_to_geom([tuple(r) for r in rect_rows]))
+                areas[gi] = B.union_area(geoms)
+            else:
+                areas[gi] = R.union_area(bmat[s:e])
+        out = pd.DataFrame(kmat[starts], columns=keys)
+        out[out_col] = areas
+        yield out
 
-    return partials.groupBy(*keys).applyInPandas(
-        final, schema=f"{key_schema}, `{out_col}` double"
+    return partials.repartition(*keys).mapInPandas(
+        final_partition, schema=f"{key_schema}, `{out_col}` double"
     )

@@ -36,7 +36,7 @@ def rect_wkt(x1, y1, x2, y2):
         F.lit("))"),
     )
 
-def land_use_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
+def land_use_areas(spark: SparkSession, sf_dir: str, wkt: bool = True) -> DataFrame:
     """Fact table analog of core.land_use_areas: one rectangle per lineitem.
 
     Columns mirror the reference scan at spark_job/process_geodata.py:167:
@@ -72,6 +72,14 @@ def land_use_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("y1") + F.col("h")).alias("y2"),
     )
     df = df.repartition(spark.sparkContext.defaultParallelism)
+    if not wkt:
+        # wkt=False: caller adds land_geometry AFTER its join. Catalyst can't
+        # defer a projection across a join, so building the WKT here would
+        # materialize ~90-char strings for every fact row even when a
+        # bbox-covering fast path never reads them; built post-join, the
+        # concat_ws collapses into the consumer's conditional and only the
+        # slow-path rows pay for it.
+        return df
     return df.withColumn(
         "land_geometry",
         rect_wkt(F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2")),

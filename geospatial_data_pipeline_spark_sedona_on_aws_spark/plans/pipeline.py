@@ -27,7 +27,7 @@ from . import fixtures
 def crop_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dissolve import rect_bounds
 
-    lu = fixtures.land_use_areas(spark, sf_dir)
+    lu = fixtures.land_use_areas(spark, sf_dir, wkt=False)
     regions = fixtures.geographic_regions(spark, sf_dir)
     # dimension-side projection pushdown: parse each region's WKT once on the
     # 50-row dim (before the broadcast) instead of once per joined fact row
@@ -40,6 +40,12 @@ def crop_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast inner equi-join, dimension side hinted — exactly the
     # reference join (spark_job/process_geodata.py:101)
     joined = lu.join(F.broadcast(regions), lu["region_id"] == regions["id"], "inner")
+    # geometry column added POST-join so the concat_ws inlines into the
+    # dissolve's slow-path conditional — fast-path (bbox) rows never build it
+    joined = joined.withColumn(
+        "land_geometry",
+        fixtures.rect_wkt(F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2")),
+    )
     out = dissolve_clip_area(
         joined,
         group_cols=["region_id", "season_id", "land_type_id"],
@@ -47,6 +53,10 @@ def crop_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         clip_col="region_geometry",
         out_col="area",
         clip_bounds=["__cb_x1", "__cb_y1", "__cb_x2", "__cb_y2"],
+        # bbox covering columns ride next to the WKT (GeoParquet-style), so
+        # the rect fast path never builds or parses a geometry string;
+        # Catalyst prunes the WKT construction out of the fast branch
+        geom_bounds=["x1", "y1", "x2", "y2"],
     )
     # grain matches the loader's unique index (region, season, land_type)
     # (reference ecs_loader/load_to_postgres.py:134-136); empty clips drop
