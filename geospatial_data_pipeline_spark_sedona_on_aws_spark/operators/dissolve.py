@@ -76,7 +76,17 @@ def _poly_rects(wkt: str) -> list[tuple[float, float, float, float]]:
 def union_aggr(df: DataFrame, group_cols: Sequence[str], geom_col: str,
                out_col: str = "geometry", salt: int = DEFAULT_SALT) -> DataFrame:
     """ST_Union_Aggr: per-group geometric union, geometry-valued output
-    (canonical WKT). Two-level salted to keep skewed groups off one task."""
+    (canonical WKT).
+
+    Two-level combiner decomposition (union is associative+commutative):
+    stage 1 unions each key's geometries *within each input partition* with
+    NO shuffle — the partition id is the natural salt, so a skewed group's
+    rows reduce map-side to one partial per partition. The only shuffle then
+    moves one WKT partial per (key, partition) and stage 2 merges them.
+    Both stages are mapInPandas over whole partitions (pandas groupby
+    inside), not groupBy().applyInPandas — grouped-map ships one Arrow batch
+    per GROUP (~ms fixed cost each), which dominates at thousands of groups.
+    """
     keys = list(group_cols)
     out_schema = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}"
@@ -84,28 +94,35 @@ def union_aggr(df: DataFrame, group_cols: Sequence[str], geom_col: str,
     ) + f", `{out_col}` string"
 
     def stage(col: str):
-        def run(pdf: pd.DataFrame) -> pd.DataFrame:
-            head = pdf.iloc[[0]][keys].reset_index(drop=True)
-            wkts = [w for w in pdf[col] if w is not None]
+        def one_group(wkts: list) -> str:
             try:
                 rects = [r for w in wkts for r in _poly_rects(w)]
             except G.GeomError:
                 # general geometry: banded-sweep union (phase-2 kernel)
-                merged_geom = B.union_geom([G.parse_wkt(w) for w in wkts])
-                head[out_col] = [G.to_wkt(merged_geom)]
-                return head
-            merged = R.union_decompose(np.array(rects, dtype=np.float64).reshape(-1, 4))
-            head[out_col] = [G.to_wkt(G.rects_to_geom([tuple(r) for r in merged]))]
-            return head
+                return G.to_wkt(B.union_geom([G.parse_wkt(w) for w in wkts]))
+            merged = R.union_decompose(
+                np.array(rects, dtype=np.float64).reshape(-1, 4))
+            return G.to_wkt(G.rects_to_geom([tuple(r) for r in merged]))
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            frames = [p for p in batches if len(p)]
+            if not frames:
+                return
+            whole = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+            rows_k, rows_u = [], []
+            for kv, grp in whole.groupby(keys, sort=False, dropna=False):
+                wkts = [w for w in grp[col] if w is not None]
+                rows_k.append(kv if isinstance(kv, tuple) else (kv,))
+                rows_u.append(one_group(wkts))
+            out = pd.DataFrame(rows_k, columns=keys)
+            out[out_col] = rows_u
+            yield out
         return run
 
-    salted = df.withColumn("__salt", F.pmod(F.spark_partition_id(), F.lit(salt)))
-    partials = salted.groupBy(*keys, "__salt").applyInPandas(
-        stage(geom_col), schema=out_schema
-    )
-    return partials.groupBy(*keys).applyInPandas(
-        stage(out_col), schema=out_schema
-    )
+    partials = df.select(*keys, geom_col).mapInPandas(
+        stage(geom_col), schema=out_schema)
+    return partials.repartition(*keys).mapInPandas(
+        stage(out_col), schema=out_schema)
 
 def _clip_one(geom_wkt: str | None, clip_wkt: str | None
               ) -> tuple[list[tuple[float, float, float, float]], str | None]:

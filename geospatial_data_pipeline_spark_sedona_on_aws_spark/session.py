@@ -34,6 +34,15 @@ def get_spark(app_name: str = "geospatial-engine", shuffle_partitions: int | Non
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE coalesces by shuffle BYTES, but several engine stages are
+        # CPU-bound per row on small data (pair explode, window shingling),
+        # where 64 MB targets collapse them to 1-4 tasks. 4 MB keeps those
+        # stages wide on local[32]; on a real cluster override upward
+        # (SPARK_GRAFT_ADVISORY_PARTITION) — at 100 TB the default 64m is
+        # right because stage inputs are no longer overhead-dominated.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "4m"))
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # driver testdata stores event timestamps as TIMESTAMP(NANOS);
         # read as long + convert (streaming/events.py)
