@@ -1,0 +1,108 @@
+"""Connected components over candidate-pair edges — the step that turns
+near-duplicate PAIRS (minhash/ngram/simhash output) into dedup CLUSTERS so a
+pipeline can keep one canonical document per cluster.
+
+The reference has no graph operators (SURVEY.md §2 — its surface ends at the
+relational pipeline); this is north-star extension machinery for the LLM-data
+pipeline (BASELINE.json): near-dup candidate pairs are only half of dedup —
+grouping them transitively is what yields the keep/drop decision.
+
+Scale design: label propagation, one DataFrame iteration per round.
+- Each round is: labels ⋈ edges (shuffle on the join key) → min-aggregate.
+  Rounds needed = graph diameter; near-dup clusters are small and dense, so
+  diameter is tiny (2-4) in practice. For adversarial long chains the round
+  count is capped and the cap is an explicit parameter.
+- Every round ends in `localCheckpoint` — without it the loop's lineage
+  doubles per round and Spark replans/re-executes the whole history each
+  iteration (the classic iterative-DataFrame trap).
+- Convergence is detected with a count of changed labels (one extra action
+  per round on an already-checkpointed frame).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as DD
+
+def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
+                         max_rounds: int = 20) -> DataFrame:
+    """(node, component) with component = min node id reachable — exact
+    connected components via min-label propagation.
+
+    edges: undirected edge list (each pair listed once, either direction).
+    Output contains every node that appears in an edge; isolated nodes are
+    the caller's union (they are their own component by definition).
+    """
+    both = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = both.select(F.col("a").alias("node")).distinct() \
+                 .select("node", F.col("node").alias("comp"))
+    for _ in range(max_rounds):
+        # candidate label for each node: min over (own, neighbors' labels)
+        nbr = (
+            both.join(labels, both["b"] == labels["node"], "inner")
+            .select(F.col("a").alias("node"), "comp")
+        )
+        new_labels = (
+            labels.select("node", "comp").union(nbr)
+            .groupBy("node").agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)  # truncate iterative lineage
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("comp", "old"), "node")
+            .where(F.col("comp") != F.col("old")).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", "comp")
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup dedup clusters over `documents`: 3-gram Jaccard >= 0.6 pairs
+    → transitive closure → (doc_id, cluster_id, is_canonical). Docs with no
+    near-dup are their own cluster. cluster_id = min doc_id in the cluster,
+    canonical = the min doc (the keep-decision a dedup pipeline applies)."""
+    pairs = DD.ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    docs = DD._docs(spark, sf_dir).select("doc_id")
+    out = (
+        docs.join(comp, docs["doc_id"] == comp["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("comp"), F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", (F.col("doc_id") == F.col("cluster_id")))
+    )
+    return out
+
+# The oracle replays the pair SQL, then computes min-reachable-label with a
+# recursive CTE (UNION dedupes, so the recursion reaches a fixpoint).
+DEDUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+    {DD.NGRAM_JACCARD_ORACLE.strip().rstrip(';')}
+),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach AS (
+    SELECT a AS node, a AS comp FROM edges
+    UNION
+    SELECT e.a AS node, r.comp
+    FROM reach r JOIN edges e ON e.b = r.node
+),
+labels AS (
+    SELECT node, min(comp) AS comp FROM reach GROUP BY node
+)
+SELECT d.doc_id,
+       coalesce(l.comp, d.doc_id) AS cluster_id,
+       d.doc_id = coalesce(l.comp, d.doc_id) AS is_canonical
+FROM documents d LEFT JOIN labels l ON l.node = d.doc_id
+"""

@@ -13,8 +13,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..multimodal import binary as MM
 from ..operators import dedup as DD
+from ..operators import graph as GR
 from ..operators import similarity as SIM
 from ..operators import spatial_join as SJ
+from ..sources import layout as LAY
 from ..streaming import events as EV
 from . import pipeline as P
 from . import relational as R
@@ -32,6 +34,7 @@ QUERIES: dict[str, QueryFn] = {
     "st_geometry_ops": P.st_geometry_ops,
     "spatial_range_join": SJ.spatial_range_join,
     "geo_range_join": SJ.geo_range_join_count,
+    "zorder_curve": LAY.zorder_curve,
     # --- relational breadth (SURVEY.md §7 phase 3) ---
     "q1_pricing_summary": R.q1_pricing_summary,
     "q3_shipping_priority": R.q3_shipping_priority,
@@ -48,6 +51,8 @@ QUERIES: dict[str, QueryFn] = {
     "scalar_functions": R.scalar_functions,
     "top_customers_per_nation": R.top_customers_per_nation,
     "part_window_stats": R.part_window_stats,
+    "scd2_history": R.scd2_history,
+    "cdc_merge": R.cdc_merge,
     # --- events / streaming ---
     "events_windowed": EV.events_windowed,
     "sessionize_events": EV.sessionize,
@@ -57,16 +62,19 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_dedup": EV.streaming_dedup,
     "asof_join": EV.asof_join,
     "interval_range_join": EV.interval_range_join,
+    "stream_stream_join": EV.stream_stream_join,
     # --- text analysis ---
     "text_stats": TQ.text_stats,
     "quality_scores": TQ.quality_scores,
     "lang_detect": TQ.lang_detect,
     "token_counts": TQ.token_counts,
+    "bm25_term_scores": TQ.bm25_term_scores,
     # --- dedup ---
     "exact_dedup": DD.exact_dedup,
     "minhash_lsh_candidates": DD.minhash_lsh_candidates,
     "simhash": DD.simhash,
     "ngram_jaccard_pairs": DD.ngram_jaccard_pairs,
+    "dedup_clusters": GR.dedup_clusters,
     # --- similarity search ---
     "embedding_topk_cosine": SIM.topk_cosine,
     "embedding_lsh_ann": SIM.lsh_ann,
@@ -79,6 +87,8 @@ QUERIES: dict[str, QueryFn] = {
     "stratified_sample": SK.stratified_sample,
     "histogram_quantile": SK.histogram_quantile,
     "salted_agg_topk": SK.salted_agg_topk,
+    "cms_heavy_hitters": SK.cms_heavy_hitters,
+    "bloom_pruned_orders": SK.bloom_pruned_orders,
     # --- multimodal plumbing ---
     "multimodal_features": MM.multimodal_features,
     "multimodal_resize": MM.multimodal_resize,
@@ -115,6 +125,11 @@ ORACLES: dict[str, str] = {
     "streaming_dedup": EV.STREAMING_DEDUP_ORACLE,
     "asof_join": EV.ASOF_JOIN_ORACLE,
     "interval_range_join": EV.INTERVAL_RANGE_JOIN_ORACLE,
+    "stream_stream_join": EV.STREAM_STREAM_JOIN_ORACLE,
+    "scd2_history": R.SCD2_HISTORY_ORACLE,
+    "cdc_merge": R.CDC_MERGE_ORACLE,
+    "bm25_term_scores": TQ.BM25_ORACLE,
+    "zorder_curve": LAY.ZORDER_CURVE_ORACLE,
     "text_stats": TQ.TEXT_STATS_ORACLE,
     "quality_scores": TQ.QUALITY_ORACLE,
     "lang_detect": TQ.LANG_DETECT_ORACLE,
@@ -122,6 +137,7 @@ ORACLES: dict[str, str] = {
     "minhash_lsh_candidates": DD.MINHASH_LSH_ORACLE,
     "simhash": DD.SIMHASH_ORACLE,
     "ngram_jaccard_pairs": DD.NGRAM_JACCARD_ORACLE,
+    "dedup_clusters": GR.DEDUP_CLUSTERS_ORACLE,
     "embedding_topk_cosine": SIM.TOPK_COSINE_ORACLE,
     "embedding_lsh_ann": SIM.LSH_ANN_ORACLE,
     "embedding_cosine_near_dup": SIM.COSINE_NEAR_DUP_ORACLE,
@@ -132,6 +148,8 @@ ORACLES: dict[str, str] = {
     "stratified_sample": SK.STRATIFIED_SAMPLE_ORACLE,
     "histogram_quantile": SK.HISTOGRAM_QUANTILE_ORACLE,
     "salted_agg_topk": SK.SALTED_AGG_ORACLE,
+    "cms_heavy_hitters": SK.CMS_HEAVY_HITTERS_ORACLE,
+    "bloom_pruned_orders": SK.BLOOM_PRUNED_ORDERS_ORACLE,
     "multimodal_features": MM.MULTIMODAL_FEATURES_ORACLE,
     "multimodal_resize": MM.MULTIMODAL_RESIZE_ORACLE,
     "multimodal_frame_sample": MM.MULTIMODAL_FRAME_SAMPLE_ORACLE,

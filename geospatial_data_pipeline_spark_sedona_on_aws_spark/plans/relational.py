@@ -412,3 +412,105 @@ SELECT o_orderstatus, o_orderpriority,
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """
+
+# --------------------------------------------------- SCD2 / CDC operators
+
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build: each customer's order
+    stream becomes versioned rows with [valid_from, valid_to) intervals and
+    a current flag — the snapshot-to-history derivation every warehouse-load
+    pipeline needs (the reference only ever rebuilds full snapshots;
+    blue-green publish S7-S9 pairs with this for incremental history).
+
+    One window over (custkey ORDER BY date, orderkey): valid_to = next
+    version's valid_from. No self-join — the window shuffle is the only
+    exchange, and it scales by key cardinality, not history depth.
+    """
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderdate").alias("valid_from"),
+            F.col("o_orderkey").alias("version_key"),
+            F.col("o_totalprice").alias("attr_totalprice"),
+        )
+        .withColumn("valid_to", F.lead("valid_from").over(
+            Window.partitionBy("custkey").orderBy("valid_from", "version_key")))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
+
+SCD2_HISTORY_ORACLE = """
+SELECT o_custkey AS custkey,
+       o_orderdate AS valid_from,
+       o_orderkey AS version_key,
+       o_totalprice AS attr_totalprice,
+       lead(o_orderdate) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS valid_to,
+       lead(o_orderdate) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
+FROM orders
+"""
+
+def merge_upsert(snapshot: DataFrame, changes: DataFrame, key: str,
+                 value_cols: list, op_col: str = "op") -> DataFrame:
+    """MERGE INTO semantics on plain DataFrames: changes carry op in
+    {'upsert','delete'}; matched upserts replace the snapshot row, unmatched
+    upserts insert, deletes drop, untouched snapshot rows pass through.
+
+    Shape: ONE full-outer join on the key — no per-row driver logic, no
+    multiple passes; at scale this is a single co-partitioned shuffle (or
+    broadcast when the change batch is small, which AQE picks up).
+    """
+    s = snapshot.alias("s")
+    c = changes.alias("c")
+    joined = s.join(c, F.col(f"s.{key}") == F.col(f"c.{key}"), "full_outer")
+    keep = F.col(f"c.{key}").isNull() | (F.col(f"c.{op_col}") != "delete")
+    return joined.where(keep).select(
+        F.coalesce(F.col(f"c.{key}"), F.col(f"s.{key}")).alias(key),
+        *[
+            F.when(F.col(f"c.{key}").isNotNull(), F.col(f"c.{v}"))
+            .otherwise(F.col(f"s.{v}")).alias(v)
+            for v in value_cols
+        ],
+    )
+
+def cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply: the latest order per customer becomes a change record —
+    final status 'F' customers are deletes, everyone else upserts a new
+    balance; applied to the customer snapshot with merge_upsert."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_acctbal").alias("balance"),
+    )
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey"))
+    latest = (
+        o.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_totalprice").alias("balance"),
+            F.when(F.col("o_orderstatus") == "F", F.lit("delete"))
+            .otherwise(F.lit("upsert")).alias("op"),
+        )
+    )
+    return merge_upsert(cust, latest, "custkey", ["balance"])
+
+CDC_MERGE_ORACLE = """
+WITH latest AS (
+    SELECT o_custkey AS custkey,
+           o_totalprice AS balance,
+           CASE WHEN o_orderstatus = 'F' THEN 'delete' ELSE 'upsert' END AS op
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders
+    ) WHERE rn = 1
+)
+SELECT coalesce(l.custkey, c.c_custkey) AS custkey,
+       CASE WHEN l.custkey IS NOT NULL THEN l.balance ELSE c.c_acctbal END AS balance
+FROM customer c FULL OUTER JOIN latest l ON l.custkey = c.c_custkey
+WHERE l.custkey IS NULL OR l.op != 'delete'
+"""

@@ -311,3 +311,144 @@ GROUP BY l_suppkey
 ORDER BY revenue DESC, l_suppkey ASC
 LIMIT {TOPK_SUPPLIERS}
 """
+
+# --------------------------------------------------- count-min heavy hitters
+
+CMS_D = 4       # hash rows
+CMS_W = 256     # buckets per row
+CMS_MIN_EST = 25
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter customers by order count via a Count-Min sketch built
+    from first principles: d=4 portable hashes into w=256 buckets each; a
+    key's estimate is the min of its d bucket counts (never an
+    underestimate; collisions only inflate).
+
+    Scale story: the sketch build is ONE hash aggregate whose output is
+    ≤ d·w = 1024 rows no matter how many orders stream through — the
+    mergeable partial state a 100 TB pass reduces to. The probe here rides
+    the same query for the oracle's sake; in production the 1024-row sketch
+    is broadcast and probed without touching the raw data again.
+    """
+    o = _t(spark, sf_dir, "orders")
+    rows = F.array(*[
+        F.pmod(portable_hash60(F.concat(F.col("o_custkey").cast("string"),
+                                        F.lit(f"#cms{i}"))), F.lit(CMS_W))
+        for i in range(CMS_D)
+    ])
+    # build: explode (row, bucket) pairs -> bucket counts (≤ d·w rows out)
+    sketch = (
+        o.select(F.posexplode(rows).alias("r", "bucket"))
+        .groupBy("r", "bucket").agg(F.count("*").alias("cnt"))
+    )
+    # probe: distinct keys -> d (row,bucket) probes -> min of the d counts
+    keys = o.select("o_custkey").distinct().select(
+        "o_custkey", F.posexplode(rows).alias("r", "bucket")
+    )
+    est = (
+        keys.join(sketch, ["r", "bucket"], "inner")
+        .groupBy("o_custkey").agg(F.min("cnt").alias("est"))
+        .where(F.col("est") >= CMS_MIN_EST)
+    )
+    return est.select("o_custkey", "est")
+
+_CMS_HASH = ("('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || '#cms{i}'), 1, 15))::BIGINT"
+             f" % {CMS_W}")
+
+CMS_HEAVY_HITTERS_ORACLE = f"""
+WITH probes AS (
+    SELECT o_custkey, r, CASE r
+        {' '.join(f"WHEN {i} THEN {_CMS_HASH.format(i=i)}" for i in range(CMS_D))}
+    END AS bucket
+    FROM orders, (SELECT unnest(range(0, {CMS_D})) AS r)
+),
+sketch AS (
+    SELECT r, bucket, count(*) AS cnt FROM probes GROUP BY r, bucket
+),
+keyprobes AS (SELECT DISTINCT o_custkey, r, bucket FROM probes)
+SELECT k.o_custkey, min(s.cnt) AS est
+FROM keyprobes k JOIN sketch s ON s.r = k.r AND s.bucket = k.bucket
+GROUP BY k.o_custkey
+HAVING min(s.cnt) >= {CMS_MIN_EST}
+"""
+
+# ------------------------------------------------ bloom-filter join pruning
+
+BLOOM_M = 1 << 14   # bits
+BLOOM_K = 5         # hashes
+BLOOM_WORDS = BLOOM_M // 64
+
+def _bloom_positions(key, k: int = BLOOM_K, m: int = BLOOM_M) -> list:
+    return [
+        F.pmod(portable_hash60(F.concat(key.cast("string"),
+                                        F.lit(f"#bf{i}"))), F.lit(m))
+        for i in range(k)
+    ]
+
+def bloom_semi_join(fact: DataFrame, fact_key: str,
+                    dim: DataFrame, dim_key: str) -> DataFrame:
+    """Semi join with a Bloom-filter pre-filter: the dim keys build a
+    m=16384-bit / k=5 filter (as 256 OR-aggregated longs, collected once),
+    which prunes fact rows *before* the join shuffle; the exact semi join
+    then removes the filter's false positives, so the result is EXACTLY the
+    semi join.
+
+    At scale this is the classic shuffle-volume win: the fact side usually
+    dwarfs the dim side, and rows failing the bloom test die in the scan
+    stage (whole-stage codegen bitwise ops against 256 broadcast literals)
+    instead of crossing the wire to a join task. Spark's own runtime bloom
+    (spark.sql.optimizer.runtime.bloomFilter.enabled) does this adaptively;
+    this operator is the explicit, engine-controlled form.
+    """
+    # build: explode each dim key to its k bit positions, OR them into
+    # 64-bit words — ≤ 256 (word, bits) rows leave the dim scan
+    pos_arr = F.array(*_bloom_positions(F.col(dim_key)))
+    bits = (
+        dim.select(F.explode(pos_arr).alias("p"))
+        .select((F.col("p") / F.lit(64)).cast("int").alias("w"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("b"))
+        .groupBy("w").agg(F.bit_or("b").alias("bits"))
+        .collect()
+    )
+    words = [0] * BLOOM_WORDS
+    for r in bits:
+        words[r["w"]] = r["bits"]
+    pref = bloom_prefilter(fact, fact_key, words)
+    return pref.join(dim.select(F.col(dim_key).alias(fact_key)).distinct(),
+                     on=fact_key, how="left_semi")
+
+def bloom_prefilter(fact: DataFrame, fact_key: str, words: list) -> DataFrame:
+    """fact rows whose key passes the bloom filter given as 256 long words.
+    The predicate is a SQL string because the Python shiftleft API takes
+    only a literal shift — SQL's takes a column."""
+    return fact.where(_bloom_predicate_sql(fact_key, words))
+
+def _bloom_predicate_sql(fact_key: str, words: list) -> str:
+    """SQL predicate string: all k bloom bits set for this key."""
+    warr = "array(" + ",".join(f"CAST({w} AS BIGINT)" for w in words) + ")"
+    terms = []
+    for i in range(BLOOM_K):
+        pos = (f"(CAST(conv(substr(md5(concat(CAST({fact_key} AS STRING), "
+               f"'#bf{i}')), 1, 15), 16, 10) AS BIGINT) % {BLOOM_M})")
+        terms.append(
+            f"(element_at({warr}, CAST({pos} / 64 AS INT) + 1) & "
+            f"shiftleft(CAST(1 AS BIGINT), CAST({pos} % 64 AS INT))) != 0"
+        )
+    return " AND ".join(terms)
+
+def bloom_pruned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders of BUILDING-segment customers via bloom prefilter + exact semi
+    join (the bloom is transparent in the result — the oracle is the plain
+    semi join)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    return (
+        bloom_semi_join(o, "o_custkey", c.select(F.col("c_custkey")), "c_custkey")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+BLOOM_PRUNED_ORDERS_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+"""

@@ -114,3 +114,92 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT) AS bpe_tokens
 FROM documents
 """
+
+# ------------------------------------------------------------ BM25 scoring
+
+BM25_TERMS = ("spark", "query", "table")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+def bm25_term_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(document, term) BM25 relevance for a fixed query term set — the
+    retrieval-quality scoring a training-data pipeline uses to mine
+    domain-relevant documents.
+
+    Kept per-term (no sum over terms) deliberately: every factor — tf, df,
+    the Robertson idf ratio (N - df + 0.5)/(df + 0.5), the length
+    normalization — is +,-,*,/ arithmetic, so Spark and DuckDB agree
+    bit-for-bit. A cross-term sum would fold doubles in engine-dependent
+    order; log()-based idf would hit libm last-ulp drift. (The idf ratio is
+    the standard BM25 idf before the log — monotone in it, so rankings per
+    term are identical.)
+
+    Scale: one pass builds per-doc tf for all query terms at once (array
+    filter sizes, no explode), one 3-row df aggregate joins back broadcast.
+    """
+    d = _docs(spark, sf_dir)
+    toks = TXT.tokens(F.col("text"))
+    base = d.select(
+        "doc_id", toks.alias("__t"), F.size(toks).alias("dl")
+    )
+    avgdl = base.agg(
+        (F.sum("dl") / F.count("*")).alias("avgdl"),
+        F.count("*").alias("n_docs"),
+    )
+    tf_cols = [
+        F.size(F.filter(F.col("__t"), lambda t: t == F.lit(term))).alias(f"tf_{i}")
+        for i, term in enumerate(BM25_TERMS)
+    ]
+    tfs = base.select("doc_id", "dl", *tf_cols)
+    # document frequency per term: one tiny aggregate, broadcast back
+    dfs = tfs.agg(*[
+        F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+        for i in range(len(BM25_TERMS))
+    ])
+    joined = tfs.crossJoin(F.broadcast(dfs)).crossJoin(F.broadcast(avgdl))
+    rows = []
+    for i, term in enumerate(BM25_TERMS):
+        tf = F.col(f"tf_{i}").cast("double")
+        dfc = F.col(f"df_{i}").cast("double")
+        n = F.col("n_docs").cast("double")
+        idf = (n - dfc + F.lit(0.5)) / (dfc + F.lit(0.5))
+        denom = tf + F.lit(BM25_K1) * (
+            F.lit(1.0) - F.lit(BM25_B)
+            + F.lit(BM25_B) * F.col("dl").cast("double") / F.col("avgdl")
+        )
+        score = idf * (tf * F.lit(BM25_K1 + 1.0)) / denom
+        rows.append(F.struct(
+            F.lit(term).alias("term"),
+            F.when(tf > 0, score).otherwise(F.lit(0.0)).alias("bm25"),
+        ))
+    return (
+        joined.select("doc_id", F.explode(F.array(*rows)).alias("s"))
+        .select("doc_id", F.col("s.term").alias("term"), F.col("s.bm25").alias("bm25"))
+    )
+
+def _bm25_sql_term(i: int, term: str) -> str:
+    tf = f"CAST(len(list_filter(string_split(text, ' '), t -> t = '{term}')) AS DOUBLE)"
+    return f"""
+    SELECT doc_id, '{term}' AS term,
+           CASE WHEN {tf} > 0 THEN
+             ((n_docs - df_{i} + 0.5) / (df_{i} + 0.5))
+             * ({tf} * {BM25_K1 + 1.0!r})
+             / ({tf} + {BM25_K1!r} * (1.0 - {BM25_B!r} + {BM25_B!r}
+                * CAST(len(string_split(text, ' ')) AS DOUBLE) / avgdl))
+           ELSE 0.0 END AS bm25
+    FROM documents, stats
+    """
+
+BM25_ORACLE = f"""
+WITH stats AS (
+    SELECT sum(len(string_split(text, ' '))) / count(*) AS avgdl,
+           CAST(count(*) AS DOUBLE) AS n_docs,
+           {", ".join(
+               f"CAST(sum(CASE WHEN len(list_filter(string_split(text, ' '), "
+               f"t -> t = '{term}')) > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_{i}"
+               for i, term in enumerate(BM25_TERMS)
+           )}
+    FROM documents
+)
+{" UNION ALL ".join(_bm25_sql_term(i, t) for i, t in enumerate(BM25_TERMS))}
+"""

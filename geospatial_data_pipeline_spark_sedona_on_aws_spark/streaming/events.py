@@ -431,3 +431,75 @@ FROM err e LEFT JOIN clk c
  AND abs(c.t_clk - e.t_err) <= {RANGE_JOIN_WINDOW_MIN * 60 * 1000000}
 GROUP BY e.error_id
 """
+
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (view → purchase attribution): each purchase
+    joins the same user's views from the previous 30 minutes. Both sides are
+    Structured Streaming readers with watermarks; the join carries the
+    event-time range condition Spark needs to bound state retention (without
+    it the join state grows forever — the canonical stream-stream trap).
+
+    availableNow trigger + memory sink so the result is a finite table the
+    DuckDB batch oracle reproduces exactly.
+
+    Scale: state is partitioned by user_id (the equi key); the watermark +
+    time bound let each micro-batch evict view rows older than 30 min past
+    the watermark, so state size tracks the join window, not the stream.
+    """
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def read(alias: str, typ: str) -> DataFrame:
+        s = (
+            spark.readStream.schema(raw_schema).format("parquet")
+            .option("pathGlobFilter", "events.parquet").load(sf_dir)
+        )
+        if dict(s.dtypes)["ts"] in ("bigint", "long"):
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return (
+            s.where(F.col("event_type") == typ)
+            .select(
+                F.col("event_id").alias(f"{alias}_id"),
+                F.col("user_id").alias(f"{alias}_user"),
+                F.col("ts").alias(f"{alias}_ts"),
+                F.col("value").alias(f"{alias}_value"),
+            )
+            .withWatermark(f"{alias}_ts", "10 minutes")
+        )
+
+    views, purchases = read("v", "view"), read("p", "purchase")
+    joined = views.join(
+        purchases,
+        F.expr(
+            "v_user = p_user AND "
+            "p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 30 MINUTES"
+        ),
+        "inner",
+    ).select(
+        F.col("v_user").alias("user_id"), "v_id", "p_id",
+        F.unix_micros("v_ts").alias("view_us"),
+        F.unix_micros("p_ts").alias("purchase_us"),
+    )
+    name = "stream_stream_join_sink"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            joined.writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+STREAM_STREAM_JOIN_ORACLE = """
+SELECT v.user_id,
+       v.event_id AS v_id,
+       p.event_id AS p_id,
+       epoch_us(v.ts) AS view_us,
+       epoch_us(p.ts) AS purchase_us
+FROM events v
+JOIN events p
+  ON v.event_type = 'view' AND p.event_type = 'purchase'
+ AND v.user_id = p.user_id
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+"""

@@ -1,0 +1,109 @@
+"""New extension operators: connected components, CMS heavy hitters, bloom
+join pruning, SCD2/CDC merge, BM25, z-order layout."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from geospatial_data_pipeline_spark_sedona_on_aws_spark.operators.graph import connected_components
+from geospatial_data_pipeline_spark_sedona_on_aws_spark.plans import relational as R
+from geospatial_data_pipeline_spark_sedona_on_aws_spark.plans import sketches as SK
+from geospatial_data_pipeline_spark_sedona_on_aws_spark.sources import layout as LAY
+
+from tests.conftest import SF_SMOKE
+
+
+def test_connected_components_exact(spark):
+    # two components {1,2,3,4} (chain) and {10,11}; 20 isolated via caller
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["src", "dst"])
+    got = {r["node"]: r["comp"]
+           for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain(spark):
+    # a 12-node path needs multiple propagation rounds
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["src", "dst"])
+    got = connected_components(edges)
+    assert got.select("comp").distinct().count() == 1
+    assert got.agg(F.min("comp")).first()[0] == 0
+
+
+def test_cms_never_underestimates(spark):
+    sf = "/root/testdata/sf0.01"  # smoke scale has no key above the threshold
+    est = {r["o_custkey"]: r["est"]
+           for r in SK.cms_heavy_hitters(spark, sf).collect()}
+    exact = {r["o_custkey"]: r["n"] for r in (
+        spark.read.parquet(f"{sf}/orders.parquet")
+        .groupBy("o_custkey").agg(F.count("*").alias("n")).collect())}
+    assert est
+    for k, e in est.items():
+        assert e >= exact[k], f"CMS underestimated key {k}"
+
+
+def test_bloom_prefilter_no_false_negatives_and_prunes(spark):
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    c = spark.read.parquet(f"{SF_SMOKE}/customer.parquet") \
+             .where(F.col("c_mktsegment") == "BUILDING")
+    # build the filter exactly as bloom_semi_join does
+    pos_arr = F.array(*SK._bloom_positions(F.col("c_custkey")))
+    bits = (
+        c.select(F.explode(pos_arr).alias("p"))
+        .select((F.col("p") / F.lit(64)).cast("int").alias("w"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("b"))
+        .groupBy("w").agg(F.bit_or("b").alias("bits")).collect()
+    )
+    words = [0] * SK.BLOOM_WORDS
+    for r in bits:
+        words[r["w"]] = r["bits"]
+    pref = SK.bloom_prefilter(o, "o_custkey", words)
+    n_pref, n_all = pref.count(), o.count()
+    true_keys = {r["c_custkey"] for r in c.collect()}
+    n_true = o.where(F.col("o_custkey").isin(true_keys)).count()
+    assert n_true <= n_pref < n_all          # no false negatives, real pruning
+    # and the full operator is exactly the semi join
+    semi = o.join(c.select(F.col("c_custkey").alias("o_custkey")).distinct(),
+                  "o_custkey", "left_semi")
+    assert SK.bloom_semi_join(
+        o, "o_custkey", c.select("c_custkey"), "c_custkey").count() == semi.count()
+
+
+def test_merge_upsert_semantics(spark):
+    snap = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], ["k", "v"])
+    changes = spark.createDataFrame(
+        [(2, 99.0, "upsert"), (3, 0.0, "delete"), (4, 40.0, "upsert")],
+        ["k", "v", "op"])
+    got = {r["k"]: r["v"] for r in
+           R.merge_upsert(snap, changes, "k", ["v"]).collect()}
+    assert got == {1: 10.0, 2: 99.0, 4: 40.0}  # keep, update, insert; 3 deleted
+
+
+def test_zorder_write_clusters_files(spark, tmp_path):
+    lu = spark.createDataFrame(
+        [(i, i % 16, (i // 16) % 16) for i in range(4096)],
+        ["pid", "x", "y"])
+    path = str(tmp_path / "zordered")
+    LAY.write_zordered(lu, "x", "y", path, num_files=8)
+    back = spark.read.parquet(path).withColumn("f", F.input_file_name())
+    spans = back.groupBy("f").agg(
+        (F.max("x") - F.min("x")).alias("dx"),
+        (F.max("y") - F.min("y")).alias("dy"),
+    ).collect()
+    assert len(spans) >= 4
+    # clustered layout: average per-file tile span must be far below the
+    # full 16-wide domain a random layout would give every file
+    avg_span = sum((r["dx"] + r["dy"]) / 2 for r in spans) / len(spans)
+    assert avg_span <= 12, avg_span
+
+
+def test_zorder_value_bit_interleave():
+    import duckdb
+    sql = LAY.zorder_sql("x", "y")
+    got = duckdb.sql(
+        f"SELECT {sql} AS z FROM (SELECT 5 AS x, 3 AS y)").fetchone()[0]
+    # x=0b101 -> bits 0,4; y=0b011 -> bits 1,3  => 0b...11011 = 27? compute:
+    # x bits: 1<<0, 0<<2, 1<<4 = 17 ; y bits: 1<<1, 1<<3, 0<<5 = 10 -> 27
+    assert got == 27
