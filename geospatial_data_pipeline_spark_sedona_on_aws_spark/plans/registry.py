@@ -53,6 +53,8 @@ QUERIES: dict[str, QueryFn] = {
     "part_window_stats": R.part_window_stats,
     "scd2_history": R.scd2_history,
     "cdc_merge": R.cdc_merge,
+    "q18_large_orders": R.q18_large_orders,
+    "nation_trade_flows": R.nation_trade_flows,
     # --- events / streaming ---
     "events_windowed": EV.events_windowed,
     "sessionize_events": EV.sessionize,
@@ -69,6 +71,7 @@ QUERIES: dict[str, QueryFn] = {
     "lang_detect": TQ.lang_detect,
     "token_counts": TQ.token_counts,
     "bm25_term_scores": TQ.bm25_term_scores,
+    "udtf_token_explode": TQ.udtf_token_explode,
     # --- dedup ---
     "exact_dedup": DD.exact_dedup,
     "minhash_lsh_candidates": DD.minhash_lsh_candidates,
@@ -128,7 +131,10 @@ ORACLES: dict[str, str] = {
     "stream_stream_join": EV.STREAM_STREAM_JOIN_ORACLE,
     "scd2_history": R.SCD2_HISTORY_ORACLE,
     "cdc_merge": R.CDC_MERGE_ORACLE,
+    "q18_large_orders": R.Q18_ORACLE,
+    "nation_trade_flows": R.NATION_TRADE_FLOWS_ORACLE,
     "bm25_term_scores": TQ.BM25_ORACLE,
+    "udtf_token_explode": TQ.UDTF_TOKEN_EXPLODE_ORACLE,
     "zorder_curve": LAY.ZORDER_CURVE_ORACLE,
     "text_stats": TQ.TEXT_STATS_ORACLE,
     "quality_scores": TQ.QUALITY_ORACLE,

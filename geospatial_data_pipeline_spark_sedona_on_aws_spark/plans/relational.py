@@ -514,3 +514,87 @@ SELECT coalesce(l.custkey, c.c_custkey) AS custkey,
 FROM customer c FULL OUTER JOIN latest l ON l.custkey = c.c_custkey
 WHERE l.custkey IS NULL OR l.op != 'delete'
 """
+
+# ----------------------------------------------- additional TPC-H-shape plans
+
+Q18_QTY_THRESHOLD = 250
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): the aggregate-subquery-filter
+    pattern — orders whose lineitem quantity total clears a threshold, joined
+    back to customer detail.
+
+    Scale shape: the inner aggregate reduces lineitem BEFORE any join (the
+    heavy table is aggregated at its own grain first — never join-then-
+    aggregate when the filter is on the aggregate), and its survivors are a
+    tiny set that AQE broadcast-joins back to orders/customer.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("total_qty"))
+        .where(F.col("total_qty") > Q18_QTY_THRESHOLD)
+    )
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice", F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+Q18_ORACLE = f"""
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       CAST(total_qty AS DOUBLE) AS total_qty
+FROM (
+    SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+    FROM lineitem GROUP BY l_orderkey
+    HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > {Q18_QTY_THRESHOLD}
+)
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): revenue per (supplier nation →
+    customer nation) pair — two independent dimension branches hanging off
+    the same fact row, both ending in broadcast joins against the 25-row
+    nation table."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    revenue = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    n1 = nation.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(n1), supp["s_nationkey"] == n1["sk"])
+        .join(F.broadcast(n2), cust["c_nationkey"] == n2["ck"])
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+NATION_TRADE_FLOWS_ORACLE = """
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+GROUP BY 1, 2
+"""

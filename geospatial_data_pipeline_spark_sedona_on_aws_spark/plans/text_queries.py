@@ -203,3 +203,42 @@ WITH stats AS (
 )
 {" UNION ALL ".join(_bm25_sql_term(i, t) for i, t in enumerate(BM25_TERMS))}
 """
+
+# ------------------------------------------------------------- Python UDTF
+
+def udtf_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize via a Python UDTF (Spark 4 user-defined TABLE function) in a
+    LATERAL join — the one UDF shape the engine had not yet exercised
+    (scalar pandas UDFs: functions/spatial.py; grouped-map: dissolve;
+    mapInPandas: multimodal). UDTFs run row-at-a-time in Python, so this is
+    API-surface parity, NOT a hot path — the engine's native tokenizer
+    (functions/text.py tokens()) is the production form; capped here to 50
+    docs to keep the correctness gate cheap."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: bigint, tok: string")
+    class TokenExplode:
+        def eval(self, text: str):
+            if text:
+                for i, t in enumerate(text.split(" ")):
+                    yield i, t
+
+    spark.udtf.register("token_explode", TokenExplode)
+    _docs(spark, sf_dir).where(F.col("doc_id") < 50) \
+        .createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        "SELECT doc_id, t.pos AS pos, t.tok AS tok "
+        "FROM __udtf_docs, LATERAL token_explode(text) t"
+    )
+
+UDTF_TOKEN_EXPLODE_ORACLE = """
+SELECT doc_id, s.pos AS pos, s.tok AS tok
+FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+               range(1, len(string_split(text, ' ')) + 1),
+               i -> {'pos': CAST(i - 1 AS BIGINT),
+                     'tok': string_split(text, ' ')[i]})) AS s
+    FROM documents WHERE doc_id < 50
+)
+"""
