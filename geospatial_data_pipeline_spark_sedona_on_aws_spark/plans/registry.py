@@ -65,6 +65,7 @@ QUERIES: dict[str, QueryFn] = {
     "asof_join": EV.asof_join,
     "interval_range_join": EV.interval_range_join,
     "stream_stream_join": EV.stream_stream_join,
+    "streaming_snapshot_publish": EV.streaming_snapshot_publish,
     # --- text analysis ---
     "text_stats": TQ.text_stats,
     "quality_scores": TQ.quality_scores,
@@ -92,6 +93,7 @@ QUERIES: dict[str, QueryFn] = {
     "salted_agg_topk": SK.salted_agg_topk,
     "cms_heavy_hitters": SK.cms_heavy_hitters,
     "bloom_pruned_orders": SK.bloom_pruned_orders,
+    "reservoir_per_group": SK.reservoir_per_group,
     # --- multimodal plumbing ---
     "multimodal_features": MM.multimodal_features,
     "multimodal_resize": MM.multimodal_resize,
@@ -156,6 +158,8 @@ ORACLES: dict[str, str] = {
     "salted_agg_topk": SK.SALTED_AGG_ORACLE,
     "cms_heavy_hitters": SK.CMS_HEAVY_HITTERS_ORACLE,
     "bloom_pruned_orders": SK.BLOOM_PRUNED_ORDERS_ORACLE,
+    "reservoir_per_group": SK.RESERVOIR_ORACLE,
+    "streaming_snapshot_publish": EV.STREAMING_SNAPSHOT_PUBLISH_ORACLE,
     "multimodal_features": MM.MULTIMODAL_FEATURES_ORACLE,
     "multimodal_resize": MM.MULTIMODAL_RESIZE_ORACLE,
     "multimodal_frame_sample": MM.MULTIMODAL_FRAME_SAMPLE_ORACLE,

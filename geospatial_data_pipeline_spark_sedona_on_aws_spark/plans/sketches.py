@@ -452,3 +452,41 @@ SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders
 WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
 """
+
+# ----------------------------------------- per-group reservoir (exact-k) sample
+
+RESERVOIR_K = 5
+
+def reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-k uniform sample per group (here: 5 orders per priority class)
+    via hash ranking: rank rows inside each group by the portable hash of
+    their key and keep the k smallest. Statistically this is a reservoir
+    sample with a deterministic, engine-independent tiebreak — rerunning at
+    any parallelism, or in DuckDB, picks the same rows (df.sample cannot
+    promise either).
+
+    Scale: one window shuffle on the group key; no global sort. For groups
+    too hot for one reducer, the same trick composes with salting: take k
+    per (group, salt) then k of those — min-k is a mergeable aggregate.
+    """
+    o = _t(spark, sf_dir, "orders")
+    h = portable_hash60(F.col("o_orderkey").cast("string"))
+    w = Window.partitionBy("o_orderpriority").orderBy(h.asc(), F.col("o_orderkey").asc())
+    return (
+        o.select("o_orderpriority", "o_orderkey", "o_totalprice",
+                 F.row_number().over(w).alias("pick"))
+        .where(F.col("pick") <= RESERVOIR_K)
+    )
+
+RESERVOIR_ORACLE = f"""
+SELECT o_orderpriority, o_orderkey, o_totalprice, pick
+FROM (
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT ASC,
+                        o_orderkey ASC) AS pick
+    FROM orders
+)
+WHERE pick <= {RESERVOIR_K}
+"""

@@ -107,3 +107,22 @@ def test_zorder_value_bit_interleave():
     # x=0b101 -> bits 0,4; y=0b011 -> bits 1,3  => 0b...11011 = 27? compute:
     # x bits: 1<<0, 0<<2, 1<<4 = 17 ; y bits: 1<<1, 1<<3, 0<<5 = 10 -> 27
     assert got == 27
+
+
+def test_streaming_snapshot_publish_blue_green(spark):
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.plans.catalog import list_snapshots
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.streaming.events import streaming_snapshot_publish
+
+    out = streaming_snapshot_publish(spark, SF_SMOKE, table="events_hourly_t")
+    # the published view equals the batch aggregate
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    ts = F.timestamp_micros(F.expr("ts div 1000")) \
+        if dict(ev.dtypes)["ts"] in ("bigint", "long") else F.col("ts")
+    batch = (
+        ev.withColumn("ts", ts)
+        .groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .agg(F.count("*").alias("n")).count()
+    )
+    assert out.count() == batch
+    # retention: at most one snapshot table remains behind the view
+    assert len(list_snapshots(spark, "events_hourly_t")) == 1
