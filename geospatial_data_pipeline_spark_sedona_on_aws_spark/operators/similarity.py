@@ -478,3 +478,134 @@ ranked AS (
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
 FROM ranked WHERE rank <= {IVF_TOPK}
 """
+
+# ----------------------------------------------------- quantized k-means
+
+KMEANS_K = 4
+KMEANS_ITERS = 3
+EMB_DIM = 64
+
+def kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over int8-quantized embeddings — the iterative
+    clustering step of a semantic-dedup / data-mixing pipeline, built so
+    every iteration is EXACT integer arithmetic and therefore has a full
+    DuckDB oracle (float k-means cannot hash-match across engines: the
+    centroid means fold in engine-dependent order).
+
+    Determinism contract: vectors quantize with the same floor(x·127+0.5)
+    clamp as quantized_topk; distances are integer sums over a fixed dim
+    order; ties in argmin break to the lowest center id; centroid update is
+    floor(sum/count) with the division done in IEEE double (both engines
+    produce the identical double for exact-integer operands). Init =
+    quantized vectors of vec_id 0..k-1. Empty clusters drop (both sides).
+
+    Scale shape per iteration: one mapInPandas assignment pass (centers
+    ride the closure — k·64 ints), one posexplode + hash aggregate to
+    (cluster, dim) partial sums (≤ k·64 rows cross the shuffle regardless
+    of input size), and a 256-row collect to rebuild centers. The iteration
+    count is the only driver-side loop — the classic mergeable-state
+    decomposition, same as MLlib's own k-means.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = _emb(spark, sf_dir)
+
+    def quant(X: "np.ndarray") -> "np.ndarray":
+        return np.maximum(-127, np.minimum(127, np.floor(X * 127.0 + 0.5))
+                          ).astype(np.int64)
+
+    init_rows = (
+        emb.where(F.col("vec_id") < KMEANS_K)
+        .select("vec_id", "embedding").collect()
+    )
+    centers = np.zeros((KMEANS_K, EMB_DIM), dtype=np.int64)
+    for r in init_rows:
+        centers[r.vec_id] = quant(np.array(r.embedding, dtype=np.float64))
+    center_ids = np.arange(KMEANS_K, dtype=np.int64)
+
+    def assign_fn(C: "np.ndarray", cids: "np.ndarray", with_dims: bool):
+        def run(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = quant(np.array(list(pdf["embedding"]), dtype=np.float64))
+                # (n, k) integer squared distances; argmin ties -> first
+                # (= lowest center id, cids kept sorted)
+                d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                best = d.argmin(axis=1)
+                out = pd.DataFrame({
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cluster": cids[best],
+                    "dist": d[np.arange(len(X)), best],
+                })
+                if with_dims:
+                    out["q"] = list(X)
+                yield out
+        return run
+
+    # ITERS-1 update rounds; the final assignment (below) is iteration ITERS
+    for _ in range(KMEANS_ITERS - 1):
+        assigned = emb.mapInPandas(
+            assign_fn(centers, center_ids, True),
+            schema="vec_id long, cluster long, dist long, q array<long>",
+        )
+        sums = (
+            assigned.select("cluster", F.posexplode("q").alias("d", "v"))
+            .groupBy("cluster", "d")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        by_c: dict = {}
+        for r in sums:
+            by_c.setdefault(r["cluster"], [0] * (EMB_DIM + 1))
+            by_c[r["cluster"]][r["d"]] = (r["s"], r["n"])
+        center_ids = np.array(sorted(by_c), dtype=np.int64)
+        centers = np.array([
+            [int(np.floor(by_c[c][d][0] / by_c[c][d][1])) for d in range(EMB_DIM)]
+            for c in center_ids
+        ], dtype=np.int64)
+
+    return emb.mapInPandas(
+        assign_fn(centers, center_ids, False),
+        schema="vec_id long, cluster long, dist long",
+    )
+
+def _kmeans_oracle() -> str:
+    q = ("list_transform(embedding, x -> GREATEST(-127, LEAST(127, "
+         "CAST(floor(x * 127 + 0.5) AS BIGINT))))")
+    dist = ("list_aggregate(list_transform(range(1, 65), "
+            "i -> (e.q[i] - c.q[i]) * (e.q[i] - c.q[i])), 'sum')")
+    parts = [f"qe AS (SELECT vec_id, {q} AS q FROM embeddings)",
+             f"c0 AS (SELECT vec_id AS cid, q FROM qe WHERE vec_id < {KMEANS_K})"]
+    prev = "c0"
+    for it in range(1, KMEANS_ITERS + 1):
+        parts.append(f"""d{it} AS (
+    SELECT e.vec_id, c.cid, {dist} AS dist
+    FROM qe e CROSS JOIN {prev} c
+)""")
+        parts.append(f"""a{it} AS (
+    SELECT vec_id, cid AS cluster, dist FROM (
+        SELECT vec_id, cid, dist,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d{it}
+    ) WHERE rn = 1
+)""")
+        if it < KMEANS_ITERS:
+            parts.append(f"""u{it} AS (
+    SELECT a.cluster AS cid, dd.d,
+           sum(e.q[dd.d]) AS s, count(*) AS n
+    FROM a{it} a JOIN qe e ON e.vec_id = a.vec_id
+    CROSS JOIN (SELECT unnest(range(1, 65)) AS d) dd
+    GROUP BY 1, 2
+)""")
+            parts.append(f"""c{it} AS (
+    SELECT cid,
+           list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY d) AS q
+    FROM u{it} GROUP BY cid
+)""")
+            prev = f"c{it}"
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT vec_id, cluster, dist FROM a{KMEANS_ITERS}")
+
+KMEANS_QUANTIZED_ORACLE = _kmeans_oracle()

@@ -85,6 +85,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_cosine_near_dup": SIM.cosine_near_dup,
     "embedding_ivf_ann": SIM.ivf_ann,
     "embedding_quantized_topk": SIM.quantized_topk,
+    "kmeans_quantized": SIM.kmeans_quantized,
     # --- sketches / sampling / skew (scale machinery) ---
     "hll_distinct": SK.hll_distinct,
     "hash_sample": SK.hash_sample,
@@ -151,6 +152,7 @@ ORACLES: dict[str, str] = {
     "embedding_cosine_near_dup": SIM.COSINE_NEAR_DUP_ORACLE,
     "embedding_ivf_ann": SIM.IVF_ANN_ORACLE,
     "embedding_quantized_topk": SIM.QUANTIZED_TOPK_ORACLE,
+    "kmeans_quantized": SIM.KMEANS_QUANTIZED_ORACLE,
     "hll_distinct": SK.HLL_DISTINCT_ORACLE,
     "hash_sample": SK.HASH_SAMPLE_ORACLE,
     "stratified_sample": SK.STRATIFIED_SAMPLE_ORACLE,

@@ -126,3 +126,19 @@ def test_streaming_snapshot_publish_blue_green(spark):
     assert out.count() == batch
     # retention: at most one snapshot table remains behind the view
     assert len(list_snapshots(spark, "events_hourly_t")) == 1
+
+
+def test_kmeans_quantized_improves_over_init(spark):
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.operators import similarity as SIM
+    import numpy as np
+
+    out = SIM.kmeans_quantized(spark, SF_SMOKE).toPandas()
+    assert len(out) == spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").count()
+    assert set(out["cluster"]) <= set(range(SIM.KMEANS_K))
+    # Lloyd iterations must not do worse than assigning to the init centers
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").toPandas()
+    X = np.maximum(-127, np.minimum(127, np.floor(
+        np.array(list(emb["embedding"]), dtype=np.float64) * 127.0 + 0.5)))
+    C0 = X[np.argsort(emb["vec_id"].to_numpy())[:SIM.KMEANS_K]]
+    d0 = ((X[:, None, :] - C0[None, :, :]) ** 2).sum(axis=2).min(axis=1).sum()
+    assert out["dist"].sum() <= d0
