@@ -126,3 +126,18 @@ def read_csv_sink(spark: SparkSession, path: str, schema: str) -> DataFrame:
         .option("delimiter", ",")
         .csv(path)
     )
+
+def write_partitioned(df: DataFrame, path: str, partition_cols: list,
+                      max_records_per_file: int = 100_000) -> None:
+    """Hive-style partitioned parquet layout (dir-per-partition-value).
+    At 100 TB this is the first-line pruning mechanism: a filter on the
+    partition column eliminates whole directories at PLANNING time (the
+    scan's PartitionFilters — no file even gets listed), ahead of row-group
+    stats and bloom pruning which work per file. Combine with
+    write_zordered's in-file clustering for the full pruning stack."""
+    (
+        df.write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )

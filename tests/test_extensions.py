@@ -142,3 +142,21 @@ def test_kmeans_quantized_improves_over_init(spark):
     C0 = X[np.argsort(emb["vec_id"].to_numpy())[:SIM.KMEANS_K]]
     d0 = ((X[:, None, :] - C0[None, :, :]) ** 2).sum(axis=2).min(axis=1).sum()
     assert out["dist"].sum() <= d0
+
+
+def test_partitioned_write_prunes_at_planning_time(spark, tmp_path):
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.sources.io import physical_plan, write_partitioned
+
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet") \
+        .withColumn("order_year", F.year("o_orderdate"))
+    path = str(tmp_path / "orders_by_year")
+    write_partitioned(o, path, ["order_year"])
+    back = spark.read.parquet(path).where(F.col("order_year") == 1995)
+    plan = physical_plan(back)
+    assert "PartitionFilters" in plan and "order_year" in plan
+    # pruned scan must read strictly fewer files than the full table
+    n_files_all = spark.read.parquet(path).select(
+        F.input_file_name()).distinct().count()
+    n_files_pruned = back.select(F.input_file_name()).distinct().count()
+    assert 0 < n_files_pruned < n_files_all
+    assert back.count() == o.where(F.col("order_year") == 1995).count()
