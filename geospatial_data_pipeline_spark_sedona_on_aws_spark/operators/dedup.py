@@ -34,9 +34,14 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents scan, re-spread across cores: the testdata is one small
     parquet file (one split), which would serialize every downstream stage;
     on a real cluster the source arrives in many splits and this repartition
-    is a no-op cost-wise relative to the signature computation."""
+    is a no-op cost-wise relative to the signature computation.
+
+    Hash-partitioned on doc_id (not round-robin): every downstream per-doc
+    window/groupBy then reuses this distribution, so the exchange moves the
+    ~narrow doc rows ONCE instead of re-shuffling the ~300×-larger exploded
+    shingle stream into the window."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return d.repartition(d.sparkSession.sparkContext.defaultParallelism)
+    return d.repartition(d.sparkSession.sparkContext.defaultParallelism, "doc_id")
 
 def _doc_shingle_rows(spark: SparkSession, sf_dir: str,
                       distinct: bool = True) -> DataFrame:
