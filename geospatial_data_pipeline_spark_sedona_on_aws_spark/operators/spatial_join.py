@@ -176,22 +176,44 @@ def spatial_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     rg_cells = _cells(regions.select("id", "gx1", "gy1", "gx2", "gy2"),
                       "gx1", "gy1", "gx2", "gy2")
     pairs = (
-        lu_cells.join(rg_cells, ["cx", "cy"])
+        lu_cells.join(F.broadcast(rg_cells), ["cx", "cy"])
         .where(
             (F.col("x1") < F.col("gx2")) & (F.col("gx1") < F.col("x2"))
             & (F.col("y1") < F.col("gy2")) & (F.col("gy1") < F.col("y2"))
+            # reference-point dedup (the standard partitioned-spatial-join
+            # trick): a pair meeting in several cells is counted ONLY in the
+            # cell containing the intersection's lower-left corner, so the
+            # aggregate needs no distinct — dup elimination is a row-local
+            # predicate instead of a second shuffle
+            & (F.col("cx") == F.floor(F.greatest("x1", "gx1") / GRID))
+            & (F.col("cy") == F.floor(F.greatest("y1", "gy1") / GRID))
         )
         .select("id", "property_id")
     )
-    # countDistinct dedups multi-cell matches itself — a separate
-    # dropDuplicates would add a second shuffle for nothing
+    # distinct-free: each overlapping pair survives exactly once, and since
+    # the parcel side never shuffles (broadcast cells + row-local dedup),
+    # the count aggregate's map-side partials are the only exchange
     return pairs.groupBy("id").agg(
-        F.countDistinct("property_id").alias("n_overlapping")
+        F.count("property_id").alias("n_overlapping")
     )
 
-# count(DISTINCT ...) because property_id is not unique in the synthetic
-# fixture (the driver's lineitem has duplicate (orderkey, linenumber) pairs)
+# plain count(*): reference-point dedup emits each overlapping (region,
+# parcel-row) pair exactly once, matching the oracle join's row count
 SPATIAL_RANGE_JOIN_ORACLE = f"""
+WITH {fixtures.LAND_USE_CTE.strip()},
+{fixtures.REGIONS_CTE.strip()}
+SELECT r.id, count(*) AS n_overlapping
+FROM regions r
+JOIN land_use lu
+  ON lu.x1 < r.gx2 AND r.gx1 < lu.x2
+ AND lu.y1 < r.gy2 AND r.gy1 < lu.y2
+GROUP BY r.id
+"""
+
+# count(DISTINCT ...) for the WKT-driven variant: its pair generator dedups
+# on the pair KEY, and property_id is not unique in the synthetic fixture
+# (the driver's lineitem has duplicate (orderkey, linenumber) pairs)
+GEO_RANGE_JOIN_ORACLE = f"""
 WITH {fixtures.LAND_USE_CTE.strip()},
 {fixtures.REGIONS_CTE.strip()}
 SELECT r.id, count(DISTINCT lu.property_id) AS n_overlapping

@@ -107,7 +107,7 @@ ORACLES: dict[str, str] = {
     "st_intersection_area": P.ST_INTERSECTION_AREA_ORACLE,
     "st_geometry_ops": P.ST_GEOMETRY_OPS_ORACLE,
     "spatial_range_join": SJ.SPATIAL_RANGE_JOIN_ORACLE,
-    "geo_range_join": SJ.SPATIAL_RANGE_JOIN_ORACLE,
+    "geo_range_join": SJ.GEO_RANGE_JOIN_ORACLE,
     "q1_pricing_summary": R.Q1_ORACLE,
     "q3_shipping_priority": R.Q3_ORACLE,
     "nation_revenue": R.NATION_REVENUE_ORACLE,
