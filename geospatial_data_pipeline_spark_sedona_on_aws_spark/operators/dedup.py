@@ -296,8 +296,15 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairing. Set order from collect_set is nondeterministic but only the
     size and membership are consumed."""
     sh = _doc_shingle_rows(spark, sf_dir, distinct=False)
+    # bucket on the 60-bit portable hash of the shingle, not the shingle
+    # string: the bucket shuffle moves 8-byte longs instead of ~20-byte
+    # text, and the oracle reproduces the identical hash — membership and
+    # counts are unchanged (a 60-bit collision across ~1e6 shingles is
+    # ~1e-6 probable AND would have to collide within one doc pair to
+    # matter; dedup systems bucket on hashes for exactly this reason)
     sh = (
-        sh.groupBy("doc_id").agg(F.collect_set("s").alias("__ss"))
+        sh.groupBy("doc_id").agg(
+            F.collect_set(TXT.portable_hash60(F.col("s"))).alias("__ss"))
         .select("doc_id", F.size("__ss").alias("n"), F.explode("__ss").alias("s"))
     )
     grouped = (
@@ -333,9 +340,10 @@ WITH sh AS (
     SELECT doc_id,
            unnest(list_distinct(list_transform(
                range(1, greatest(len(string_split(text, ' ')) - {SHINGLE_K - 1}, 0) + 1),
-               i -> concat_ws(' ', string_split(text, ' ')[i],
-                              string_split(text, ' ')[i+1],
-                              string_split(text, ' ')[i+2])
+               i -> ('0x' || substr(md5(concat_ws(' ',
+                        string_split(text, ' ')[i],
+                        string_split(text, ' ')[i+1],
+                        string_split(text, ' ')[i+2])), 1, 15))::BIGINT
            ))) AS s
     FROM documents
     WHERE len(string_split(text, ' ')) >= {SHINGLE_K}

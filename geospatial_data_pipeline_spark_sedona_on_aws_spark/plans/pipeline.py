@@ -205,3 +205,23 @@ SELECT lu.property_id,
 FROM land_use lu
 JOIN regions r ON lu.region_id = r.id
 """
+
+def crop_analytics_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship result pushed through the reference's CSV interchange
+    boundary and read back positionally — S4 (sized headerless CSV sink,
+    spark_job/process_geodata.py:146-160) and S5 (directory CSV read,
+    ecs_loader/load_to_postgres.py:145-163,174-175) exercised inside the
+    correctness gate: the round trip must preserve every value exactly
+    (same oracle as crop_analytics). Ints survive CSV verbatim; the area
+    column is integral in the fixture domain so double↔text is lossless."""
+    import tempfile
+
+    from ..sources.io import read_csv_sink, write_csv_sink
+
+    out = crop_analytics(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="crop_csv_")
+    write_csv_sink(out, tmp)
+    return read_csv_sink(
+        spark, tmp,
+        "region_id bigint, season_id bigint, land_type_id bigint, area double",
+    )

@@ -35,6 +35,7 @@ QUERIES: dict[str, QueryFn] = {
     "spatial_range_join": SJ.spatial_range_join,
     "geo_range_join": SJ.geo_range_join_count,
     "zorder_curve": LAY.zorder_curve,
+    "crop_analytics_csv_roundtrip": P.crop_analytics_csv_roundtrip,
     # --- relational breadth (SURVEY.md §7 phase 3) ---
     "q1_pricing_summary": R.q1_pricing_summary,
     "q3_shipping_priority": R.q3_shipping_priority,
@@ -103,6 +104,7 @@ QUERIES: dict[str, QueryFn] = {
 
 ORACLES: dict[str, str] = {
     "crop_analytics": P.CROP_ANALYTICS_ORACLE,
+    "crop_analytics_csv_roundtrip": P.CROP_ANALYTICS_ORACLE,
     "st_area_rect": P.ST_AREA_RECT_ORACLE,
     "st_intersection_area": P.ST_INTERSECTION_AREA_ORACLE,
     "st_geometry_ops": P.ST_GEOMETRY_OPS_ORACLE,
