@@ -166,6 +166,9 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     recompute it per side) and the only shuffles are the band groupBy and the
     final distinct."""
     sig = minhash_signatures(spark, sf_dir)
+    # bucket id = 60-bit hash of the band's signature slice (not the md5
+    # hex): the band shuffle keys on an 8-byte long instead of a 32-char
+    # string — same grouping, 4x less shuffle key volume
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -173,7 +176,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sequence(F.lit(0), F.lit(BANDS - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.md5(F.concat_ws(",", F.transform(
+                    TXT.portable_hash60(F.concat_ws(",", F.transform(
                         F.slice(F.col("sig"), (b * ROWS_PER_BAND + 1).cast("int"), ROWS_PER_BAND),
                         lambda v: v.cast("string"),
                     ))).alias("bucket"),
@@ -219,7 +222,7 @@ MINHASH_LSH_ORACLE = f"""
 WITH {_SIG_SQL.strip()},
 bands AS (
     SELECT doc_id, k // {ROWS_PER_BAND} AS band,
-           md5(string_agg(m::VARCHAR, ',' ORDER BY k)) AS bucket
+           ('0x' || substr(md5(string_agg(m::VARCHAR, ',' ORDER BY k)), 1, 15))::BIGINT AS bucket
     FROM sig
     GROUP BY doc_id, k // {ROWS_PER_BAND}
 )

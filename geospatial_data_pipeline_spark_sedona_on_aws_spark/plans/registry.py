@@ -96,6 +96,7 @@ QUERIES: dict[str, QueryFn] = {
     "cms_heavy_hitters": SK.cms_heavy_hitters,
     "bloom_pruned_orders": SK.bloom_pruned_orders,
     "reservoir_per_group": SK.reservoir_per_group,
+    "profile_table": SK.profile_table,
     # --- multimodal plumbing ---
     "multimodal_features": MM.multimodal_features,
     "multimodal_resize": MM.multimodal_resize,
@@ -163,6 +164,7 @@ ORACLES: dict[str, str] = {
     "cms_heavy_hitters": SK.CMS_HEAVY_HITTERS_ORACLE,
     "bloom_pruned_orders": SK.BLOOM_PRUNED_ORDERS_ORACLE,
     "reservoir_per_group": SK.RESERVOIR_ORACLE,
+    "profile_table": SK.PROFILE_TABLE_ORACLE,
     "streaming_snapshot_publish": EV.STREAMING_SNAPSHOT_PUBLISH_ORACLE,
     "multimodal_features": MM.MULTIMODAL_FEATURES_ORACLE,
     "multimodal_resize": MM.MULTIMODAL_RESIZE_ORACLE,

@@ -490,3 +490,52 @@ FROM (
 )
 WHERE pick <= {RESERVOIR_K}
 """
+
+# ------------------------------------------------------------ table profiling
+
+PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data-profiling: per-column null count, distinct estimate
+    proxy (exact here for the oracle), min/max/sum — the health check a
+    pipeline runs before trusting an input drop.
+
+    ONE scan computes every column's stats simultaneously (no per-column
+    passes); the unpivot to (column, stat-row) form happens on the ≤
+    |cols| aggregated rows, never on the raw data. Sums go through DECIMAL
+    so the profile is bit-stable across partitionings and engines.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in PROFILE_COLS:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+            F.sum(_dec(c)).cast("double").alias(f"{c}__sum"),
+        ]
+    wide = li.agg(*aggs)
+    rows = F.array(*[
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_val"),
+            F.col(f"{c}__max").alias("max_val"),
+            F.col(f"{c}__sum").alias("sum_val"),
+        )
+        for c in PROFILE_COLS
+    ])
+    return wide.select(F.explode(rows).alias("p")).select("p.*")
+
+PROFILE_TABLE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column,
+       count(CASE WHEN {c} IS NULL THEN 1 END) AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct,
+       CAST(min({c}) AS DOUBLE) AS min_val,
+       CAST(max({c}) AS DOUBLE) AS max_val,
+       CAST(sum(CAST({c} AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+FROM lineitem"""
+    for c in PROFILE_COLS
+)

@@ -141,3 +141,26 @@ def write_partitioned(df: DataFrame, path: str, partition_cols: list,
         .partitionBy(*partition_cols)
         .parquet(path)
     )
+
+def compact_files(spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024,
+                  out_path: str | None = None) -> int:
+    """Small-file compaction: rewrite a parquet directory into files sized
+    for the scan path. The 100 TB failure mode this fixes: streaming or
+    over-parallel writers leave thousands of KB-scale files, and every
+    downstream query then pays per-file open/footer/listing cost dwarfing
+    the actual IO. Sizing uses the directory's real bytes (Hadoop FS
+    content summary — no data pass), then one round-robin repartition to
+    ceil(bytes/target) writes right-sized files. Returns the file count."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = fs.getContentSummary(hpath).getLength()
+    n = max(1, -(-total // target_file_bytes))  # ceil
+    df = spark.read.parquet(path)
+    dest = out_path or path + "__compacted"
+    df.repartition(int(n)).write.mode("overwrite").parquet(dest)
+    out_files = [
+        f for f in fs.listStatus(jvm.org.apache.hadoop.fs.Path(dest))
+        if f.getPath().getName().endswith(".parquet")
+    ]
+    return len(out_files)

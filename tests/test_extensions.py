@@ -160,3 +160,27 @@ def test_partitioned_write_prunes_at_planning_time(spark, tmp_path):
     n_files_pruned = back.select(F.input_file_name()).distinct().count()
     assert 0 < n_files_pruned < n_files_all
     assert back.count() == o.where(F.col("order_year") == 1995).count()
+
+
+def test_compact_files_reduces_count_preserves_rows(spark, tmp_path):
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.sources.io import compact_files
+
+    src = str(tmp_path / "fragmented")
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    o.repartition(64).write.parquet(src)  # 64 tiny files
+    n_out = compact_files(spark, src, target_file_bytes=8 * 1024 * 1024)
+    assert n_out < 64
+    back = spark.read.parquet(src + "__compacted")
+    assert back.count() == o.count()
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    # day 1 writes (k, v); day 2 adds a column — mergeSchema reads both
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], ["k", "v"]).write.parquet(p + "/d=1")
+    spark.createDataFrame([(2, "b", 9.5)], ["k", "v", "score"]) \
+        .write.parquet(p + "/d=2")
+    df = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(df.columns) >= {"k", "v", "score"}
+    rows = {r["k"]: (r["v"], r["score"]) for r in df.collect()}
+    assert rows[1] == ("a", None) and rows[2] == ("b", 9.5)
