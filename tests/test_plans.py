@@ -84,3 +84,38 @@ def test_hash_sample_predicate_reaches_scan_stage(spark):
     plan = physical_plan(df)
     scan_stage = plan.split("Exchange")[-1]  # text below the last Exchange
     assert "md5" in scan_stage and "FileScan" in scan_stage, plan
+
+
+def test_q18_aggregates_lineitem_before_join(spark):
+    """The aggregate-subquery-filter plan must reduce lineitem at its own
+    grain BEFORE joining: in plan text (children printed below parents),
+    the lineitem-side aggregate appears under the join, never above it."""
+    df = R.q18_large_orders(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    join_pos = min((plan.find(s) for s in ("SortMergeJoin", "BroadcastHashJoin")
+                    if plan.find(s) >= 0), default=-1)
+    agg_pos = plan.find("HashAggregate")
+    assert join_pos >= 0 and agg_pos > join_pos, plan[:800]
+
+
+def test_spatial_range_join_no_distinct_expand(spark):
+    """Reference-point dedup means the plan needs no distinct: exactly one
+    aggregate pair (partial+final count), parcel side never exchanged
+    except for the fixture spread."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.operators import spatial_join as SJ
+
+    plan = physical_plan(SJ.spatial_range_join(spark, SF_SMOKE))
+    assert "Expand" not in plan  # countDistinct would plan an Expand
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bloom_predicate_evaluates_in_scan_stage(spark):
+    """The bloom probe is a row-local filter fused with the fact scan —
+    below any Exchange in the plan (rows die before they could shuffle)."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.plans import sketches as SK
+
+    df = SK.bloom_pruned_orders(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    scan_stage = plan.split("Exchange")[-1]
+    assert "FileScan" in scan_stage
+    assert "shiftleft" in plan and "md5" in plan
