@@ -74,6 +74,8 @@ QUERIES: dict[str, QueryFn] = {
     "token_counts": TQ.token_counts,
     "bm25_term_scores": TQ.bm25_term_scores,
     "udtf_token_explode": TQ.udtf_token_explode,
+    "training_mix": TQ.training_mix,
+    "event_funnel": TQ.event_funnel,
     # --- dedup ---
     "exact_dedup": DD.exact_dedup,
     "minhash_lsh_candidates": DD.minhash_lsh_candidates,
@@ -141,6 +143,8 @@ ORACLES: dict[str, str] = {
     "nation_trade_flows": R.NATION_TRADE_FLOWS_ORACLE,
     "bm25_term_scores": TQ.BM25_ORACLE,
     "udtf_token_explode": TQ.UDTF_TOKEN_EXPLODE_ORACLE,
+    "training_mix": TQ.TRAINING_MIX_ORACLE,
+    "event_funnel": TQ.EVENT_FUNNEL_ORACLE,
     "zorder_curve": LAY.ZORDER_CURVE_ORACLE,
     "text_stats": TQ.TEXT_STATS_ORACLE,
     "quality_scores": TQ.QUALITY_ORACLE,

@@ -5,7 +5,7 @@ native Column functions (functions/text.py) with an exact DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TXT
@@ -241,4 +241,137 @@ FROM (
                      'tok': string_split(text, ' ')[i]})) AS s
     FROM documents WHERE doc_id < 50
 )
+"""
+
+# -------------------------------------------------- training-mix pipeline
+
+MIX_QUALITY_MIN = 0.55
+# per-language keep rates (permille) — the "data mixture" a training run
+# dials in; shared literals with the oracle
+MIX_PERMILLE = {"en": 800, "de": 500, "fr": 500, "es": 500}
+MIX_DEFAULT_PERMILLE = 200
+
+def training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone composition a training-data pipeline actually runs, as
+    ONE Spark plan: exact-dedup (keep the min doc_id per content hash) →
+    quality floor → per-language deterministic downsampling to the target
+    mixture. Every stage is a primitive this engine already ships
+    (exact_dedup, quality_scores, hash_sample) — this query is their
+    end-to-end composition, oracle-checked as a whole.
+
+    Plan shape: one window over md5(text) for the dedup (no self-join),
+    row-local quality + sampling predicates (no shuffle after the window),
+    so the whole mixture materializes in a single pass over documents.
+    """
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    kept = (
+        d.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .withColumn("quality", TXT.quality_score(F.col("text")))
+        .where(F.col("quality") >= MIX_QUALITY_MIN)
+    )
+    rate = F.lit(MIX_DEFAULT_PERMILLE)
+    for lang, pm in MIX_PERMILLE.items():
+        rate = F.when(F.col("lang") == lang, pm).otherwise(rate)
+    sampled = kept.where(
+        F.pmod(TXT.portable_hash60(F.col("doc_id").cast("string")), F.lit(1000)) < rate
+    )
+    return sampled.select("doc_id", "lang", "quality")
+
+_MIX_RATE_SQL = "CASE lang " + " ".join(
+    f"WHEN '{lang}' THEN {pm}" for lang, pm in MIX_PERMILLE.items()
+) + f" ELSE {MIX_DEFAULT_PERMILLE} END"
+
+TRAINING_MIX_ORACLE = f"""
+WITH dedup AS (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents
+),
+q AS (
+    SELECT doc_id, lang,
+           len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')) * 0.4
+           + least(len(list_filter(string_split(text, ' '), t -> list_contains({_SW}, t)))
+                   / len(string_split(text, ' ')) * 5.0, 1.0) * 0.3
+           + (CASE WHEN list_aggregate(list_transform(string_split(text, ' '),
+                        t -> CAST(length(t) AS BIGINT)), 'sum')
+                        / len(string_split(text, ' ')) BETWEEN 3.0 AND 8.0
+               THEN 1.0 ELSE 0.5 END) * 0.3 AS quality
+    FROM dedup WHERE rn = 1
+)
+SELECT doc_id, lang, quality
+FROM q
+WHERE quality >= {MIX_QUALITY_MIN}
+  AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000
+      < {_MIX_RATE_SQL}
+"""
+
+# --------------------------------------------------------- funnel analysis
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_WINDOW_MIN = 120
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel conversion: per user, did a view happen, then a click
+    after it, then a purchase after that (each within 2h of the previous
+    step)? Returns per-step user counts — the product-analytics query every
+    event pipeline serves.
+
+    Implementation is windowless sequence matching via per-user min-scan:
+    step 1 time = min(view ts); step k time = min(ts of step-k events after
+    step k-1) — expressed as conditional aggregates over ONE groupBy(user),
+    no joins, no explode: a single shuffle regardless of funnel depth.
+    """
+    from ..streaming.events import _events
+
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("t1"),
+        *[F.collect_list(F.when(F.col("event_type") == typ, us)).alias(f"__{typ}")
+          for typ in FUNNEL_STEPS[1:]],
+    )
+    win_us = FUNNEL_WINDOW_MIN * 60 * 1_000_000
+    t_prev = F.col("t1")
+    steps = [F.col("t1").isNotNull().cast("long").alias("s1_view")]
+    for i, typ in enumerate(FUNNEL_STEPS[1:], start=2):
+        # earliest event of this type after the previous step, within window
+        tk = F.array_min(F.filter(
+            F.col(f"__{typ}"),
+            lambda t: t.isNotNull() & (t > t_prev) & (t <= t_prev + win_us),
+        ))
+        steps.append((tk.isNotNull() & t_prev.isNotNull()).cast("long")
+                     .alias(f"s{i}_{typ}"))
+        t_prev = F.when(t_prev.isNotNull(), tk)
+    return per_user.select(*steps).agg(
+        *[F.sum(f"s{i}_{typ}").alias(f"n_{typ}")
+          for i, typ in enumerate(FUNNEL_STEPS, start=1)]
+    )
+
+EVENT_FUNNEL_ORACLE = f"""
+WITH per_user AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t1
+    FROM events GROUP BY user_id
+),
+s2 AS (
+    SELECT p.user_id, p.t1,
+           min(CASE WHEN e.event_type = 'click' AND epoch_us(e.ts) > p.t1
+                     AND epoch_us(e.ts) <= p.t1 + {FUNNEL_WINDOW_MIN * 60 * 1_000_000}
+                THEN epoch_us(e.ts) END) AS t2
+    FROM per_user p LEFT JOIN events e ON e.user_id = p.user_id
+    GROUP BY p.user_id, p.t1
+),
+s3 AS (
+    SELECT s.user_id, s.t1, s.t2,
+           min(CASE WHEN e.event_type = 'purchase' AND epoch_us(e.ts) > s.t2
+                     AND epoch_us(e.ts) <= s.t2 + {FUNNEL_WINDOW_MIN * 60 * 1_000_000}
+                THEN epoch_us(e.ts) END) AS t3
+    FROM s2 s LEFT JOIN events e ON e.user_id = s.user_id
+    GROUP BY s.user_id, s.t1, s.t2
+)
+SELECT sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS n_view,
+       sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS n_click,
+       sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS n_purchase
+FROM s3
 """
