@@ -184,3 +184,22 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert set(df.columns) >= {"k", "v", "score"}
     rows = {r["k"]: (r["v"], r["score"]) for r in df.collect()}
     assert rows[1] == ("a", None) and rows[2] == ("b", 9.5)
+
+
+def test_corrupt_csv_rows_are_isolated_not_fatal(spark, tmp_path):
+    """PERMISSIVE ingestion: malformed rows land in _corrupt_record instead
+    of failing the job — the posture a 100 TB ingest needs (one bad file
+    must not kill a day's pipeline)."""
+    p = tmp_path / "dirty.csv"
+    p.write_text("1,alpha,10.5\n2,beta\nnot,a,number\n4,delta,7.25\n")
+    df = (
+        spark.read.schema("id int, name string, score double, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(str(p))
+    )
+    rows = df.collect()
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert {r["id"] for r in good} >= {1, 4}
+    assert len(bad) >= 1  # the non-numeric row is quarantined, not fatal
