@@ -56,6 +56,8 @@ QUERIES: dict[str, QueryFn] = {
     "cdc_merge": R.cdc_merge,
     "q18_large_orders": R.q18_large_orders,
     "nation_trade_flows": R.nation_trade_flows,
+    "q4_order_priority": R.q4_order_priority,
+    "q17_small_quantity": R.q17_small_quantity_revenue,
     # --- events / streaming ---
     "events_windowed": EV.events_windowed,
     "sessionize_events": EV.sessionize,
@@ -141,6 +143,8 @@ ORACLES: dict[str, str] = {
     "cdc_merge": R.CDC_MERGE_ORACLE,
     "q18_large_orders": R.Q18_ORACLE,
     "nation_trade_flows": R.NATION_TRADE_FLOWS_ORACLE,
+    "q4_order_priority": R.Q4_ORACLE,
+    "q17_small_quantity": R.Q17_ORACLE,
     "bm25_term_scores": TQ.BM25_ORACLE,
     "udtf_token_explode": TQ.UDTF_TOKEN_EXPLODE_ORACLE,
     "training_mix": TQ.TRAINING_MIX_ORACLE,

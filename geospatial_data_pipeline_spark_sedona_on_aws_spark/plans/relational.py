@@ -598,3 +598,61 @@ JOIN nation sn ON s_nationkey = sn.n_nationkey
 JOIN nation cn ON c_nationkey = cn.n_nationkey
 GROUP BY 1, 2
 """
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS correlated subquery — orders with at least one
+    lineitem shipped more than 90 days after the order date, per priority. Written as the literal
+    EXISTS in SQL so Catalyst's subquery decorrelation (rewrite to left-semi
+    join) does the planning — the engine does not hand-decorrelate."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__q4_orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__q4_lineitem")
+    return spark.sql("""
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM __q4_orders
+        WHERE EXISTS (
+            SELECT 1 FROM __q4_lineitem
+            WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 90 DAYS
+        )
+        GROUP BY o_orderpriority
+    """)
+
+Q4_ORACLE = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 90 DAYS
+)
+GROUP BY o_orderpriority
+"""
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery — lineitems whose
+    quantity is below 20% of their part's average quantity; yearly-revenue
+    style sum. DECIMAL for the final sum; the avg comparison itself is a
+    filter (no float crosses the hash)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__q17_lineitem")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("__q17_part")
+    return spark.sql("""
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_qty_revenue,
+               count(*) AS n_items
+        FROM __q17_lineitem, __q17_part
+        WHERE p_partkey = l_partkey
+          AND p_brand = 'Brand#13'
+          AND l_quantity < (
+              SELECT 0.2 * avg(l_quantity) FROM __q17_lineitem
+              WHERE l_partkey = p_partkey
+          )
+    """)
+
+Q17_ORACLE = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_qty_revenue,
+       count(*) AS n_items
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND p_brand = 'Brand#13'
+  AND l_quantity < (
+      SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+      WHERE l2.l_partkey = p_partkey
+  )
+"""
