@@ -69,6 +69,7 @@ QUERIES: dict[str, QueryFn] = {
     "interval_range_join": EV.interval_range_join,
     "stream_stream_join": EV.stream_stream_join,
     "streaming_snapshot_publish": EV.streaming_snapshot_publish,
+    "stream_static_enrich": EV.stream_static_enrich,
     # --- text analysis ---
     "text_stats": TQ.text_stats,
     "quality_scores": TQ.quality_scores,
@@ -174,6 +175,7 @@ ORACLES: dict[str, str] = {
     "reservoir_per_group": SK.RESERVOIR_ORACLE,
     "profile_table": SK.PROFILE_TABLE_ORACLE,
     "streaming_snapshot_publish": EV.STREAMING_SNAPSHOT_PUBLISH_ORACLE,
+    "stream_static_enrich": EV.STREAM_STATIC_ENRICH_ORACLE,
     "multimodal_features": MM.MULTIMODAL_FEATURES_ORACLE,
     "multimodal_resize": MM.MULTIMODAL_RESIZE_ORACLE,
     "multimodal_frame_sample": MM.MULTIMODAL_FRAME_SAMPLE_ORACLE,

@@ -568,3 +568,50 @@ SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
 FROM events
 GROUP BY 1, 2
 """
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against a static
+    customer dimension (user_id % |customers| → segment), aggregated per
+    segment. The static side needs no watermark and no state — Spark
+    re-plans it per micro-batch, and with a small dim it stays a broadcast
+    hash join inside the streaming plan. Completes the join matrix:
+    stream-stream (stream_stream_join), stream-static (here), static-static
+    (everything else).
+    """
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema).format("parquet")
+        .option("pathGlobFilter", "events.parquet").load(sf_dir)
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("ck"), "c_mktsegment"
+    )
+    n_cust = cust.count()
+    enriched = stream.withColumn(
+        "ck", F.pmod(F.col("user_id"), F.lit(n_cust)) + 1
+    ).join(F.broadcast(cust), "ck", "inner")
+    agg = (
+        enriched.groupBy("c_mktsegment", "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"))
+    )
+    name = "stream_static_enrich_sink"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            agg.writeStream.format("memory").queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+STREAM_STATIC_ENRICH_ORACLE = """
+SELECT c_mktsegment, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+JOIN customer ON c_custkey = user_id % (SELECT count(*) FROM customer) + 1
+GROUP BY 1, 2
+"""
