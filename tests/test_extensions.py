@@ -203,3 +203,30 @@ def test_corrupt_csv_rows_are_isolated_not_fatal(spark, tmp_path):
     bad = [r for r in rows if r["_corrupt_record"] is not None]
     assert {r["id"] for r in good} >= {1, 4}
     assert len(bad) >= 1  # the non-numeric row is quarantined, not fatal
+
+
+def test_dissolve_geom_bounds_null_routes_to_wkt_path(spark):
+    """bbox covering columns with NULLs: rows with bounds take the numeric
+    fast path, rows without fall back to their WKT — same answer either
+    way, including a non-rectangular (L-shape) geometry."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.operators.dissolve import dissolve_clip_area
+
+    clip = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+    rows = [
+        # (key, wkt, x1, y1, x2, y2) — first two rects have bounds, the
+        # third rect and the L-shape must go through the WKT slow path
+        (1, "POLYGON ((1 1, 4 1, 4 4, 1 4, 1 1))", 1.0, 1.0, 4.0, 4.0),
+        (1, "POLYGON ((3 3, 6 3, 6 6, 3 6, 3 3))", 3.0, 3.0, 6.0, 6.0),
+        (1, "POLYGON ((8 8, 9 8, 9 9, 8 9, 8 8))", None, None, None, None),
+        (2, "POLYGON ((0 0, 6 0, 6 2, 2 2, 2 6, 0 6, 0 0))",
+         None, None, None, None),  # L-shape, area 20
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, g string, bx1 double, by1 double, bx2 double, by2 double"
+    ).withColumn("clip", F.lit(clip))
+    out = {r["k"]: r["area"] for r in dissolve_clip_area(
+        df, ["k"], "g", "clip",
+        geom_bounds=["bx1", "by1", "bx2", "by2"],
+    ).collect()}
+    # k=1: union of 3x3 + 3x3 overlapping at 1x1 -> 17, plus 1x1 -> 18
+    assert out == {1: 18.0, 2: 20.0}
