@@ -352,6 +352,12 @@ def union_rects_decompose(
     return [(lo, y1, hi, y2) for y1, y2, ivs in rows for lo, hi in ivs]
 
 def rects_to_geom(rects: list[tuple[float, float, float, float]]) -> list:
+    """One multipolygon from bounds tuples. CONTRACT: rects must be
+    pairwise disjoint (e.g. a union_decompose result). OGC multipolygons
+    forbid overlapping members; feeding overlaps builds an *invalid*
+    geometry whose area follows even-odd parity (overlap XORs out), not
+    union. To union overlapping rects, pass each as its own geometry to
+    boolean.union_geom / union_area (fuzz-verified semantics)."""
     return [[[(x1, y1), (x2, y1), (x2, y2), (x1, y2)]] for x1, y1, x2, y2 in rects]
 
 def is_rectilinear_rect(poly: list) -> tuple[float, float, float, float] | None:
