@@ -122,3 +122,40 @@ def test_bloom_predicate_evaluates_in_scan_stage(spark):
     scan_stage = plan.split("Exchange")[-1]
     assert "FileScan" in scan_stage
     assert "shiftleft" in plan and "md5" in plan
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """Skew machinery end to end: a hot join key plans SortMergeJoin, AQE
+    detects the oversized partition at runtime and splits it —
+    `skew=true` / `AQEShuffleRead ... skewed` in the executed plan.
+    Thresholds are lowered so local-scale data trips the same code path a
+    100 TB hot key would."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    keys = ["spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.autoBroadcastJoinThreshold"]
+    old = {k: conf.get(k, None) for k in keys}
+    try:
+        conf.set(keys[0], "64KB")
+        conf.set(keys[1], "32KB")
+        conf.set(keys[2], "2")
+        conf.set(keys[3], "-1")  # force SMJ so the skew path is exercised
+        fact = spark.range(300_000).select(
+            F.when(F.col("id") % 10 == 0, F.lit(7))
+            .otherwise(F.pmod("id", F.lit(1000))).alias("k"),
+            F.col("id").alias("v"), F.repeat(F.lit("x"), 40).alias("pad"))
+        dim = spark.range(1000).select(F.col("id").alias("k"),
+                                       F.col("id").alias("w"))
+        j = fact.join(dim, "k").groupBy().agg(F.sum("v").alias("s"))
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:1500]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
