@@ -364,3 +364,57 @@ JOIN sizes na ON na.doc_id = doc_a
 JOIN sizes nb ON nb.doc_id = doc_b
 WHERE inter / (na.n + nb.n - inter) >= {JACCARD_THRESHOLD}
 """
+
+# ------------------------------------------------------- contamination check
+
+EVAL_SET_MAX_DOC = 20        # doc_id < 20 plays the held-out benchmark set
+CONTAM_MIN_SHARED = 3        # shared 3-gram threshold
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: which corpus documents share ≥ 3
+    distinct 3-word shingles with any eval-set document (doc_id < 20 plays
+    the held-out benchmark)? The decontamination pass every training-data
+    pipeline runs before training (n-gram collision check à la the
+    dedup/contamination literature).
+
+    Asymmetric by construction: eval shingles are a bounded set, so the
+    plan is shingle corpus → semi-join-style match on the 60-bit shingle
+    hash against the (small) eval shingle side → count per (corpus, eval)
+    pair. The eval side is tiny at any corpus scale — the join broadcasts —
+    and the corpus side reuses the doc_id-partitioned shingle stream; no
+    all-pairs stage exists.
+    """
+    sh = _doc_shingle_rows(spark, sf_dir, distinct=False).select(
+        "doc_id", TXT.portable_hash60(F.col("s")).alias("h")
+    ).dropDuplicates(["doc_id", "h"])
+    ev = (
+        sh.where(F.col("doc_id") < EVAL_SET_MAX_DOC)
+        .select(F.col("doc_id").alias("eval_doc"), "h")
+    )
+    corpus = sh.where(F.col("doc_id") >= EVAL_SET_MAX_DOC)
+    return (
+        corpus.join(F.broadcast(ev), "h")
+        .groupBy("doc_id", "eval_doc")
+        .agg(F.count("*").alias("shared_shingles"))
+        .where(F.col("shared_shingles") >= CONTAM_MIN_SHARED)
+    )
+
+CONTAMINATION_ORACLE = f"""
+WITH sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - {SHINGLE_K - 1}, 0) + 1),
+               i -> ('0x' || substr(md5(concat_ws(' ',
+                        string_split(text, ' ')[i],
+                        string_split(text, ' ')[i+1],
+                        string_split(text, ' ')[i+2])), 1, 15))::BIGINT
+           ))) AS h
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= {SHINGLE_K}
+)
+SELECT c.doc_id, e.doc_id AS eval_doc, count(*) AS shared_shingles
+FROM sh c JOIN sh e ON c.h = e.h
+WHERE c.doc_id >= {EVAL_SET_MAX_DOC} AND e.doc_id < {EVAL_SET_MAX_DOC}
+GROUP BY 1, 2
+HAVING count(*) >= {CONTAM_MIN_SHARED}
+"""

@@ -85,6 +85,7 @@ QUERIES: dict[str, QueryFn] = {
     "simhash": DD.simhash,
     "ngram_jaccard_pairs": DD.ngram_jaccard_pairs,
     "dedup_clusters": GR.dedup_clusters,
+    "contamination_check": DD.contamination_check,
     # --- similarity search ---
     "embedding_topk_cosine": SIM.topk_cosine,
     "embedding_lsh_ann": SIM.lsh_ann,
@@ -159,6 +160,7 @@ ORACLES: dict[str, str] = {
     "simhash": DD.SIMHASH_ORACLE,
     "ngram_jaccard_pairs": DD.NGRAM_JACCARD_ORACLE,
     "dedup_clusters": GR.DEDUP_CLUSTERS_ORACLE,
+    "contamination_check": DD.CONTAMINATION_ORACLE,
     "embedding_topk_cosine": SIM.TOPK_COSINE_ORACLE,
     "embedding_lsh_ann": SIM.LSH_ANN_ORACLE,
     "embedding_cosine_near_dup": SIM.COSINE_NEAR_DUP_ORACLE,
