@@ -61,7 +61,13 @@ def publish_snapshot(
         assert_unique_grain(df, grain)
     _clear_orphaned_location(spark, name)
     df.write.mode("overwrite").saveAsTable(name)
+    # overwriting an existing snapshot version (re-run of the same refresh)
+    # must invalidate the cached file index, or readers of the view hit
+    # FAILED_READ_FILE on the replaced part files; refresh both the table
+    # and the view (view resolution caches the underlying relation)
+    spark.catalog.refreshTable(name)
     spark.sql(f"CREATE OR REPLACE VIEW vw_{table} AS SELECT * FROM {name}")
+    spark.catalog.refreshTable(f"vw_{table}")
     drop_old_snapshots(spark, table)
     return name
 

@@ -558,6 +558,15 @@ def streaming_snapshot_publish(spark: SparkSession, sf_dir: str,
             .start()
         )
         q.awaitTermination()
+    # the publishes above ran in foreachBatch's CLONED session; the relation
+    # cache is per-session, so on a re-run (snapshot overwritten) THIS
+    # session still holds the old file listing — refresh here, in the
+    # session the caller reads from
+    from ..plans.catalog import list_snapshots
+
+    for snap in list_snapshots(spark, table):
+        spark.catalog.refreshTable(snap)
+    spark.catalog.refreshTable(f"vw_{table}")
     return spark.table(f"vw_{table}")
 
 STREAMING_SNAPSHOT_PUBLISH_ORACLE = """

@@ -230,3 +230,16 @@ def test_dissolve_geom_bounds_null_routes_to_wkt_path(spark):
     ).collect()}
     # k=1: union of 3x3 + 3x3 overlapping at 1x1 -> 17, plus 1x1 -> 18
     assert out == {1: 18.0, 2: 20.0}
+
+
+def test_streaming_snapshot_publish_is_rerunnable(spark):
+    """A restarted incremental refresh (fresh checkpoint, batch ids reset)
+    republishes the same snapshot version: overwrite + view swap stay
+    consistent and retention still holds exactly one snapshot."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.plans.catalog import list_snapshots
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.streaming.events import streaming_snapshot_publish
+
+    a = streaming_snapshot_publish(spark, SF_SMOKE, table="events_rerun_t").count()
+    b = streaming_snapshot_publish(spark, SF_SMOKE, table="events_rerun_t").count()
+    assert a == b
+    assert len(list_snapshots(spark, "events_rerun_t")) == 1
