@@ -237,3 +237,58 @@ def geo_range_join_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("id").agg(
         F.countDistinct("property_id").alias("n_overlapping")
     )
+
+def points_in_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon join — the most common geospatial query shape:
+    synthetic points (one per order, coordinates from order attributes)
+    counted per containing region.
+
+    Points are the cheap case of the grid join: each point lands in exactly
+    ONE cell (no explode fan-out on the big side), the region cells
+    broadcast, and containment is a row-local bbox check — so the plan is
+    scan → broadcast join → filter → one count aggregate. At 100 TB the
+    point side streams through unshuffled; this is strictly lighter than
+    the rect-rect range join.
+
+    Overlapping regions both count their shared points (the grid is 12
+    apart with 15-wide cells), so the per-region counts legitimately
+    double-count boundary points — same semantics as the SQL oracle.
+    """
+    o = _t_orders(spark, sf_dir)
+    pts = o.select(
+        F.col("o_orderkey").alias("point_id"),
+        (F.col("o_custkey") % 100).alias("px"),
+        ((F.col("o_orderkey") * 7) % 100).alias("py"),
+    )
+    regions = fixtures.geographic_regions(spark, sf_dir)
+    rg_cells = _cells(regions.select("id", "gx1", "gy1", "gx2", "gy2"),
+                      "gx1", "gy1", "gx2", "gy2")
+    pt_cells = pts.select(
+        "point_id", "px", "py",
+        F.floor(F.col("px") / GRID).alias("cx"),
+        F.floor(F.col("py") / GRID).alias("cy"),
+    )
+    return (
+        pt_cells.join(F.broadcast(rg_cells), ["cx", "cy"])
+        .where((F.col("gx1") <= F.col("px")) & (F.col("px") < F.col("gx2"))
+               & (F.col("gy1") <= F.col("py")) & (F.col("py") < F.col("gy2")))
+        .groupBy("id").agg(F.count("*").alias("n_points"))
+    )
+
+def _t_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+POINTS_IN_REGIONS_ORACLE = f"""
+WITH {fixtures.REGIONS_CTE.strip()},
+pts AS (
+    SELECT o_orderkey AS point_id,
+           o_custkey % 100 AS px,
+           (o_orderkey * 7) % 100 AS py
+    FROM orders
+)
+SELECT r.id, count(*) AS n_points
+FROM regions r
+JOIN pts p ON r.gx1 <= p.px AND p.px < r.gx2
+          AND r.gy1 <= p.py AND p.py < r.gy2
+GROUP BY r.id
+"""

@@ -35,6 +35,7 @@ QUERIES: dict[str, QueryFn] = {
     "spatial_range_join": SJ.spatial_range_join,
     "geo_range_join": SJ.geo_range_join_count,
     "zorder_curve": LAY.zorder_curve,
+    "points_in_regions": SJ.points_in_regions,
     "crop_analytics_csv_roundtrip": P.crop_analytics_csv_roundtrip,
     # --- relational breadth (SURVEY.md §7 phase 3) ---
     "q1_pricing_summary": R.q1_pricing_summary,
@@ -117,6 +118,7 @@ ORACLES: dict[str, str] = {
     "st_geometry_ops": P.ST_GEOMETRY_OPS_ORACLE,
     "spatial_range_join": SJ.SPATIAL_RANGE_JOIN_ORACLE,
     "geo_range_join": SJ.GEO_RANGE_JOIN_ORACLE,
+    "points_in_regions": SJ.POINTS_IN_REGIONS_ORACLE,
     "q1_pricing_summary": R.Q1_ORACLE,
     "q3_shipping_priority": R.Q3_ORACLE,
     "nation_revenue": R.NATION_REVENUE_ORACLE,
