@@ -38,7 +38,14 @@ def _clear_orphaned_location(spark: SparkSession, name: str) -> None:
     """A killed session leaves the managed table's directory on disk while the
     (in-memory) catalog forgets the table; the next CREATE then fails with
     LOCATION_ALREADY_EXISTS. If the catalog does not know the table but its
-    warehouse location exists, remove the orphan (scheme-agnostic Hadoop FS)."""
+    warehouse location exists, remove the orphan (scheme-agnostic Hadoop FS).
+
+    Only safe for the default in-memory catalog, where "not in this session's
+    catalog" implies "no live owner". With a shared metastore (hive) another
+    session/database may legitimately own the location, so we refuse to touch
+    the filesystem there and let CREATE surface the conflict instead."""
+    if spark.conf.get("spark.sql.catalogImplementation", "in-memory") != "in-memory":
+        return
     if spark.catalog.tableExists(name):
         return
     warehouse = spark.conf.get("spark.sql.warehouse.dir")

@@ -20,10 +20,31 @@ from pyspark.sql import functions as F
 
 SESSION_GAP_MIN = 30
 
+def _ensure_event_confs(spark: SparkSession) -> None:
+    """The query-entry contract is (spark, sf_dir) with a CALLER-owned session,
+    so the two confs events queries depend on must be (re)applied at runtime,
+    not only in session.py's builder (getOrCreate silently drops builder confs
+    when a session already exists):
+
+    - spark.sql.legacy.parquet.nanosAsLong: events.parquet stores ts as
+      TIMESTAMP(NANOS), which Spark's parquet reader otherwise rejects
+      (PARQUET_TYPE_ILLEGAL). Runtime-settable SQL conf.
+    - spark.sql.session.timeZone=UTC: date_trunc/timestamp rendering must
+      match the DuckDB oracle regardless of the host zone.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+def _events_schema(spark: SparkSession, sf_dir: str):
+    """Schema of the raw events source, readable on any session."""
+    _ensure_event_confs(spark)
+    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects; read nanos as long (spark.sql.legacy.parquet.nanosAsLong,
-    set in session.py) and convert to a microsecond timestamp."""
+    reader rejects; read nanos as long (spark.sql.legacy.parquet.nanosAsLong)
+    and convert to a microsecond timestamp."""
+    _ensure_event_confs(spark)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(ev.dtypes)["ts"] in ("bigint", "long"):
         # integer division — ts/1000 through double would lose sub-µs bits
@@ -140,7 +161,7 @@ def events_windowed_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     availableNow trigger into an in-memory sink. Returns the sink table —
     values must equal the batch formulation (and the DuckDB oracle).
     """
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw_schema = _events_schema(spark, sf_dir)
     stream = (
         spark.readStream.schema(raw_schema).format("parquet")
         .option("pathGlobFilter", "events.parquet")
@@ -193,7 +214,7 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup horizon; availableNow over a finite source doesn't need it and a
     watermark here could drop legitimate first-arrivals if file order
     disagrees with event time across micro-batches."""
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw_schema = _events_schema(spark, sf_dir)
     stream = (
         spark.readStream.schema(raw_schema).format("parquet")
         .option("pathGlobFilter", "events.parquet")
@@ -233,7 +254,7 @@ def sessionize_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw_schema = _events_schema(spark, sf_dir)
     stream = (
         spark.readStream.schema(raw_schema).format("parquet")
         .option("pathGlobFilter", "events.parquet")
@@ -309,7 +330,23 @@ def sessionize_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    return spark.table(name)
+    # The memory sink accumulates update-mode re-emissions: if availableNow
+    # splits the source into several micro-batches, a session open at a batch
+    # boundary is emitted once per batch (each emission more complete than the
+    # last). Within a (user_id, session_seq) key, n_events and session_end are
+    # monotone across emissions, so keeping the max-(n_events, session_end)
+    # row recovers exactly the final state — batch-equivalent regardless of
+    # how the file source was split.
+    from pyspark.sql import Window as W
+
+    sink = spark.table(name)
+    w_latest = W.partitionBy("user_id", "session_seq").orderBy(
+        F.desc("n_events"), F.desc("session_end"))
+    return (
+        sink.withColumn("_rn", F.row_number().over(w_latest))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 # same semantics as the batch sessionize — shares its oracle
 SESSIONIZE_STREAMING_ORACLE = SESSIONIZE_ORACLE
@@ -446,7 +483,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     time bound let each micro-batch evict view rows older than 30 min past
     the watermark, so state size tracks the join window, not the stream.
     """
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw_schema = _events_schema(spark, sf_dir)
 
     def read(alias: str, typ: str) -> DataFrame:
         s = (
@@ -519,7 +556,7 @@ def streaming_snapshot_publish(spark: SparkSession, sf_dir: str,
     """
     from ..plans.catalog import publish_snapshot
 
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw_schema = _events_schema(spark, sf_dir)
     stream = (
         spark.readStream.schema(raw_schema).format("parquet")
         .option("pathGlobFilter", "events.parquet").load(sf_dir)
@@ -587,7 +624,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream-stream (stream_stream_join), stream-static (here), static-static
     (everything else).
     """
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw_schema = _events_schema(spark, sf_dir)
     stream = (
         spark.readStream.schema(raw_schema).format("parquet")
         .option("pathGlobFilter", "events.parquet").load(sf_dir)

@@ -68,9 +68,21 @@ def main() -> None:
     only = set(sys.argv[2:])
 
     import __spark_entry__ as E
-    from geospatial_data_pipeline_spark_sedona_on_aws_spark.session import get_spark
 
-    spark = get_spark()
+    # Deliberately a BARE session (not session.py's get_spark): the driver's
+    # gate supplies its own SparkSession without our builder confs, so the
+    # local replica must prove every query works on one too — round 1's
+    # events-family failure (nanosAsLong only in the builder) was invisible
+    # locally precisely because this script used get_spark().
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .appName("oracle-gate-sim")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
