@@ -22,6 +22,7 @@ from . import pipeline as P
 from . import relational as R
 from . import sketches as SK
 from . import text_queries as TQ
+from . import tpch as T
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -59,6 +60,23 @@ QUERIES: dict[str, QueryFn] = {
     "nation_trade_flows": R.nation_trade_flows,
     "q4_order_priority": R.q4_order_priority,
     "q17_small_quantity": R.q17_small_quantity_revenue,
+    # --- TPC-H breadth (plans/tpch.py: remaining canonical shapes) ---
+    "q2_min_cost_supplier": T.q2_min_cost_supplier,
+    "q5_local_supplier_volume": T.q5_local_supplier_volume,
+    "q6_forecast_revenue": T.q6_forecast_revenue,
+    "q8_market_share": T.q8_market_share,
+    "q9_product_profit": T.q9_product_profit,
+    "q10_returned_items": T.q10_returned_items,
+    "q11_important_parts": T.q11_important_parts,
+    "q12_late_priority": T.q12_late_priority,
+    "q13_customer_distribution": T.q13_customer_distribution,
+    "q14_promo_revenue": T.q14_promo_revenue,
+    "q15_top_supplier": T.q15_top_supplier,
+    "q16_parts_supplier_count": T.q16_parts_supplier_count,
+    "q19_disjunctive_revenue": T.q19_disjunctive_revenue,
+    "q20_dominant_suppliers": T.q20_dominant_suppliers,
+    "q21_waiting_suppliers": T.q21_waiting_suppliers,
+    "q22_dormant_customers": T.q22_dormant_customers,
     # --- events / streaming ---
     "events_windowed": EV.events_windowed,
     "sessionize_events": EV.sessionize,
@@ -149,6 +167,22 @@ ORACLES: dict[str, str] = {
     "nation_trade_flows": R.NATION_TRADE_FLOWS_ORACLE,
     "q4_order_priority": R.Q4_ORACLE,
     "q17_small_quantity": R.Q17_ORACLE,
+    "q2_min_cost_supplier": T.Q2_ORACLE,
+    "q5_local_supplier_volume": T.Q5_ORACLE,
+    "q6_forecast_revenue": T.Q6_ORACLE,
+    "q8_market_share": T.Q8_ORACLE,
+    "q9_product_profit": T.Q9_ORACLE,
+    "q10_returned_items": T.Q10_ORACLE,
+    "q11_important_parts": T.Q11_ORACLE,
+    "q12_late_priority": T.Q12_ORACLE,
+    "q13_customer_distribution": T.Q13_ORACLE,
+    "q14_promo_revenue": T.Q14_ORACLE,
+    "q15_top_supplier": T.Q15_ORACLE,
+    "q16_parts_supplier_count": T.Q16_ORACLE,
+    "q19_disjunctive_revenue": T.Q19_ORACLE,
+    "q20_dominant_suppliers": T.Q20_ORACLE,
+    "q21_waiting_suppliers": T.Q21_ORACLE,
+    "q22_dormant_customers": T.Q22_ORACLE,
     "bm25_term_scores": TQ.BM25_ORACLE,
     "udtf_token_explode": TQ.UDTF_TOKEN_EXPLODE_ORACLE,
     "training_mix": TQ.TRAINING_MIX_ORACLE,
