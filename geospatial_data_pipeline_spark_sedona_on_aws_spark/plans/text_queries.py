@@ -375,3 +375,183 @@ SELECT sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS n_view,
        sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS n_purchase
 FROM s3
 """
+
+# ------------------------------------------- repetition (Gopher-style) rules
+
+def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition quality signals (the Gopher-rules family):
+    fraction of all bigrams taken by the single most frequent bigram, and
+    fraction of duplicate tokens. Catching boilerplate/spam by repetition is
+    a standard LLM-corpus filter.
+
+    Scale shape: bigrams explode ~n_tokens rows/doc, then reduce through TWO
+    hash aggregates keyed by doc_id(+bigram) — both get map-side partial
+    aggregation, and the second input is already one row per distinct
+    (doc, bigram). No window over the exploded set, no self-join.
+    """
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.expr(
+        "transform(sequence(1, size(tk) - 1),"
+        " i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"
+    )
+    per_bigram = (
+        d.select("doc_id", toks.alias("tk"))
+        .where(F.size(F.col("tk")) >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bigram"),
+                (F.size(F.col("tk")) - F.size(F.array_distinct(F.col("tk"))))
+                .alias("n_dup_tokens"),
+                F.size(F.col("tk")).alias("n_tokens"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("cnt"),
+             F.first("n_dup_tokens").alias("n_dup_tokens"),
+             F.first("n_tokens").alias("n_tokens"))
+    )
+    return (
+        per_bigram.groupBy("doc_id")
+        .agg(
+            (F.max("cnt") / F.sum("cnt")).alias("top_bigram_frac"),
+            (F.first("n_dup_tokens") / F.first("n_tokens"))
+            .alias("dup_token_frac"),
+        )
+    )
+
+REPETITION_SCORES_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    WHERE len(string_split(text, ' ')) >= 2
+),
+idx AS (
+    SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks
+),
+bg AS (
+    SELECT doc_id,
+           tk[i] || ' ' || tk[i + 1] AS bigram,
+           len(tk) - len(list_distinct(tk)) AS n_dup_tokens,
+           len(tk) AS n_tokens
+    FROM idx
+),
+per_bigram AS (
+    SELECT doc_id, bigram, count(*) AS cnt,
+           any_value(n_dup_tokens) AS n_dup_tokens,
+           any_value(n_tokens) AS n_tokens
+    FROM bg GROUP BY doc_id, bigram
+)
+SELECT doc_id,
+       max(cnt) / sum(cnt) AS top_bigram_frac,
+       any_value(n_dup_tokens) / any_value(n_tokens) AS dup_token_frac
+FROM per_bigram GROUP BY doc_id
+"""
+
+# ----------------------------------------------- corpus-level top-k n-grams
+
+NGRAM_TOPK = 50
+
+def ngram_topk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide bigram frequency top-k: the frequency table behind
+    contamination screens and tokenizer diagnostics. ONE hash aggregate
+    (map-side combined — the shuffle carries distinct bigrams per task, not
+    the exploded stream) then a driver-side k-row limit; ties broken by the
+    bigram itself so the result set is deterministic."""
+    d = _docs(spark, sf_dir)
+    bigrams = F.expr(
+        "transform(sequence(1, size(tk) - 1),"
+        " i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"
+    )
+    return (
+        d.select(F.split(F.col("text"), " ").alias("tk"))
+        .where(F.size(F.col("tk")) >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(NGRAM_TOPK)
+    )
+
+NGRAM_TOPK_CORPUS_ORACLE = f"""
+WITH toks AS (
+    SELECT string_split(text, ' ') AS tk FROM documents
+    WHERE len(string_split(text, ' ')) >= 2
+),
+idx AS (
+    SELECT tk, unnest(range(1, len(tk))) AS i FROM toks
+),
+bg AS (
+    SELECT tk[i] || ' ' || tk[i + 1] AS bigram FROM idx
+)
+SELECT bigram, count(*) AS n
+FROM bg GROUP BY bigram
+ORDER BY n DESC, bigram ASC
+LIMIT {NGRAM_TOPK}
+"""
+
+# --------------------------------------------------------- PII redaction
+
+# patterns restricted to syntax with IDENTICAL semantics in Java regex
+# (Spark) and RE2 (DuckDB): literal classes, bounded repeats, \\d, \\b
+PII_EMAIL = r"[a-z0-9.]+@[a-z0-9.]+\.[a-z]+"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}-\d{4}\b"
+
+def redact_pii(text: F.Column) -> F.Column:
+    """Email → IP → phone, in that order (emails may contain digit runs and
+    dots that the later patterns would otherwise bite into)."""
+    out = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IP, "<IP>")
+    return F.regexp_replace(out, PII_PHONE, "<PHONE>")
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII scrub (email/IP/phone) with per-class counts.
+
+    The synthetic corpus contains no PII-shaped strings, so the query first
+    APPENDS deterministic doc_id-derived contact lines — the redaction is
+    then real work on every row and stays exactly reproducible in the
+    oracle. All JVM-side (regexp_replace/regexp_count): codegen'd, no
+    Python boundary, scales embarrassingly (row-local, zero shuffles)."""
+    d = _docs(spark, sf_dir)
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id"),
+        F.lit("@mail"), F.pmod(F.col("doc_id"), F.lit(10)), F.lit(".example"),
+        F.lit(" ip 10.0."), F.pmod(F.col("doc_id"), F.lit(256)),
+        F.lit("."), F.pmod(F.col("doc_id") * 7, F.lit(256)),
+        F.lit(" tel 555-"), F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)), 4, "0"),
+    )
+    return d.select(
+        "doc_id",
+        redact_pii(aug).alias("redacted"),
+        F.regexp_count(aug, F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(
+            F.regexp_replace(aug, PII_EMAIL, "<EMAIL>"), F.lit(PII_IP)
+        ).alias("n_ips"),
+        F.regexp_count(
+            F.regexp_replace(
+                F.regexp_replace(aug, PII_EMAIL, "<EMAIL>"), PII_IP, "<IP>"),
+            F.lit(PII_PHONE),
+        ).alias("n_phones"),
+    )
+
+_PII_AUG_SQL = (
+    "text || ' contact user' || doc_id || '@mail' || (doc_id % 10) || '.example'"
+    " || ' ip 10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256)"
+    " || ' tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+PII_REDACT_ORACLE = rf"""
+WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents)
+SELECT doc_id,
+       regexp_replace(
+           regexp_replace(
+               regexp_replace(t, '{PII_EMAIL}', '<EMAIL>', 'g'),
+               '{PII_IP}', '<IP>', 'g'),
+           '{PII_PHONE}', '<PHONE>', 'g') AS redacted,
+       len(regexp_extract_all(t, '{PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(
+           regexp_replace(t, '{PII_EMAIL}', '<EMAIL>', 'g'), '{PII_IP}'))
+           AS n_ips,
+       len(regexp_extract_all(
+           regexp_replace(
+               regexp_replace(t, '{PII_EMAIL}', '<EMAIL>', 'g'),
+               '{PII_IP}', '<IP>', 'g'), '{PII_PHONE}')) AS n_phones
+FROM aug
+"""

@@ -243,3 +243,46 @@ def test_streaming_snapshot_publish_is_rerunnable(spark):
     b = streaming_snapshot_publish(spark, SF_SMOKE, table="events_rerun_t").count()
     assert a == b
     assert len(list_snapshots(spark, "events_rerun_t")) == 1
+
+
+def test_pii_redaction_patterns(spark):
+    """Real PII shapes (not in the synthetic corpus): emails, IPv4s, and
+    short phone forms are all replaced; look-alikes (version strings,
+    plain words) survive."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.plans.text_queries import redact_pii
+
+    rows = [
+        (1, "write to bob.smith@corp.example.com for access"),
+        (2, "server at 192.168.0.17 answered"),
+        (3, "call 555-0134 now"),
+        (4, "mixed: a@b.io via 10.0.0.1 tel 555-9999"),
+        (5, "no pii here just words"),
+        (6, "version 1.2.3 is not an ip"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    out = {r["id"]: r["r"] for r in df.select(
+        "id", redact_pii(df["t"]).alias("r")).collect()}
+    assert out[1] == "write to <EMAIL> for access"
+    assert out[2] == "server at <IP> answered"
+    assert out[3] == "call <PHONE> now"
+    assert out[4] == "mixed: <EMAIL> via <IP> tel <PHONE>"
+    assert out[5] == "no pii here just words"
+    assert out[6] == "version 1.2.3 is not an ip"  # only 3 octets — no match
+
+
+def test_repetition_scores_flag_repeats(spark, tmp_path):
+    """A doc that is one bigram repeated scores ~1.0 top-bigram fraction;
+    an all-distinct doc scores the uniform minimum."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.plans.text_queries import repetition_scores
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam"),
+         (2, "one two three four five six")],
+        "doc_id long, text string")
+    p = str(tmp_path / "documents.parquet")
+    df.write.parquet(p)
+    out = {r["doc_id"]: r for r in repetition_scores(spark, str(tmp_path)).collect()}
+    assert out[1]["top_bigram_frac"] == 1.0
+    assert out[1]["dup_token_frac"] == 5 / 6
+    assert out[2]["top_bigram_frac"] == 1 / 5
+    assert out[2]["dup_token_frac"] == 0.0
