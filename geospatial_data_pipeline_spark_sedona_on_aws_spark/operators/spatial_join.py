@@ -292,3 +292,79 @@ JOIN pts p ON r.gx1 <= p.px AND p.px < r.gx2
           AND r.gy1 <= p.py AND p.py < r.gy2
 GROUP BY r.id
 """
+
+# ------------------------------------------------------- spatial KNN join
+
+KNN_K = 3
+
+def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-nearest-neighbor spatial join: for every point, the KNN_K regions
+    with the closest centroid (squared euclidean; ties by region id).
+
+    Plan shape: the 50-region dimension collapses to ONE array-of-structs
+    row, broadcast to every task; each point computes distance + top-k
+    entirely ROW-LOCALLY (transform → array_sort → slice) and explodes only
+    its k winners. The point side never shuffles and no per-pair row ever
+    materializes — at 100 TB this is scan → map → done, the same shape as a
+    dimension-array lookup join. For dims too big to broadcast as an array,
+    the scale path is the grid variant: land each point in its cell, probe
+    an expanding ring of neighbor cells until k candidates are bounded by
+    the ring distance (classic grid-KNN; same _cells machinery as above).
+
+    Distances stay in exact integer arithmetic (doubled coordinates avoid
+    the 0.5 centroid fraction) so cross-engine comparison is bit-exact.
+    """
+    o = _t_orders(spark, sf_dir)
+    pts = o.select(
+        F.col("o_orderkey").alias("point_id"),
+        (F.col("o_custkey") % 100).alias("px"),
+        ((F.col("o_orderkey") * 7) % 100).alias("py"),
+    )
+    regions = fixtures.geographic_regions(spark, sf_dir)
+    dim = regions.agg(F.collect_list(F.struct(
+        (F.col("gx1") + F.col("gx2")).alias("sx"),
+        (F.col("gy1") + F.col("gy2")).alias("sy"),
+        F.col("id"),
+    )).alias("dims"))
+    dx = lambda d: 2 * F.col("px") - d["sx"]  # noqa: E731
+    dy = lambda d: 2 * F.col("py") - d["sy"]  # noqa: E731
+    cand = F.transform(F.col("dims"), lambda d: F.struct(
+        (dx(d) * dx(d) + dy(d) * dy(d)).cast("bigint").alias("dist2"),
+        d["id"].alias("region_id"),
+    ))
+    # array_sort on structs is lexicographic (dist2, then region_id) — the
+    # tie-break is part of the sort key, no second pass needed
+    nn = F.slice(F.array_sort(cand), 1, KNN_K)
+    return (
+        pts.crossJoin(F.broadcast(dim))
+        .select("point_id", F.posexplode(nn).alias("pos", "nn"))
+        .select(
+            "point_id",
+            (F.col("pos") + 1).cast("bigint").alias("rank"),
+            F.col("nn.region_id").alias("region_id"),
+            F.col("nn.dist2").alias("dist2"),
+        )
+    )
+
+KNN_JOIN_ORACLE = f"""
+WITH {fixtures.REGIONS_CTE.strip()},
+pts AS (
+    SELECT o_orderkey AS point_id,
+           o_custkey % 100 AS px,
+           (o_orderkey * 7) % 100 AS py
+    FROM orders
+),
+d AS (
+    SELECT p.point_id, r.id AS region_id,
+           (2 * p.px - (r.gx1 + r.gx2)) * (2 * p.px - (r.gx1 + r.gx2))
+         + (2 * p.py - (r.gy1 + r.gy2)) * (2 * p.py - (r.gy1 + r.gy2)) AS dist2
+    FROM pts p CROSS JOIN regions r
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY point_id ORDER BY dist2, region_id) AS rank
+    FROM d
+)
+SELECT point_id, rank, region_id, dist2
+FROM ranked WHERE rank <= {KNN_K}
+"""

@@ -307,6 +307,9 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = (
         li.groupBy("l_partkey")
         .agg(F.sum(_rev()).alias("value_dec"))
+        # shared by the filter branch and the scalar total: cache the
+        # per-part aggregate (tiny vs the fact) so lineitem scans once
+        .persist()
     )
     # scalar threshold: derived from the SAME aggregate, so Spark reuses the
     # shuffle (exchange reuse) rather than rescanning the fact table; the
@@ -452,7 +455,13 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     supp = _t(spark, sf_dir, "supplier")
-    per_supp = li.groupBy("l_suppkey").agg(F.sum(_rev()).alias("rev_dec"))
+    # per_supp feeds BOTH the main branch and the scalar max; persist the
+    # (one row per supplier) aggregate so the fact table is scanned ONCE —
+    # planner-level exchange reuse does not fire here (the two consumers
+    # push different constraint sets into their copies), and a cached
+    # post-aggregate is orders of magnitude smaller than the fact anyway
+    per_supp = (li.groupBy("l_suppkey").agg(F.sum(_rev()).alias("rev_dec"))
+                .persist())
     mx = per_supp.agg(F.max("rev_dec").alias("max_rev"))
     return (
         per_supp.crossJoin(F.broadcast(mx))

@@ -661,3 +661,84 @@ FROM events
 JOIN customer ON c_custkey = user_id % (SELECT count(*) FROM customer) + 1
 GROUP BY 1, 2
 """
+
+# ------------------------------------------------- sliding / session windows
+
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping window (1h length, 30min slide): each event lands in exactly
+    window/slide = 2 windows. F.window expands rows BEFORE the aggregate, so
+    the shuffle carries 2x rows keyed by (window, type) — still one hash
+    aggregate with map-side combine; at 100TB the fan-out factor is the
+    window/slide ratio, chosen small on purpose."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+             .alias("sum_value"))
+        .select(F.col("window.start").alias("window_start"),
+                "event_type", "n_events", "sum_value")
+    )
+
+# an event at epoch second e belongs to the two 30-min-aligned starts
+# floor(e/1800)*1800 and floor(e/1800)*1800 - 1800 (window 3600 > slide 1800)
+EVENTS_SLIDING_WINDOW_ORACLE = """
+WITH w AS (
+    SELECT event_type, value,
+           make_timestamp(unnest([
+               CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) * 1000000,
+               (CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) - 1800) * 1000000
+           ])) AS window_start
+    FROM events
+)
+SELECT window_start, event_type, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM w
+GROUP BY window_start, event_type
+"""
+
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via the BUILT-IN F.session_window (the
+    declarative counterpart of the applyInPandasWithState sessionizer
+    above): windows merge while consecutive events are <= 30min apart.
+    Native aggregate — session merging happens JVM-side inside the
+    aggregation, one shuffle on user_id, no Python boundary."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id",
+                   F.session_window("ts", f"{SESSION_GAP_MIN} minutes"))
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+             .alias("sum_value"))
+        .select("user_id",
+                F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("session_end"),
+                "n_events", "sum_value")
+    )
+
+# session_window's end = last event ts + gap; same gaps-and-islands core as
+# SESSIONIZE_ORACLE with the strict-> boundary (diff > gap opens a session)
+EVENTS_SESSION_WINDOW_ORACLE = f"""
+WITH marked AS (
+    SELECT *,
+           CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                     - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT)
+                     > {SESSION_GAP_MIN * 60}
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+    SELECT *, sum(new_session) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM marked
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE AS session_end,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM sessions
+GROUP BY user_id, session_seq
+"""

@@ -159,3 +159,63 @@ def test_aqe_splits_skewed_join_partition(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_q6_all_predicates_reach_the_scan(spark):
+    """Q6 is the pure-pushdown query: every filter must appear in
+    PushedFilters and the scan must read only the 4 referenced columns."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.plans import tpch as T
+
+    plan = physical_plan(T.q6_forecast_revenue(spark, SF_SMOKE))
+    # explain truncates the PushedFilters list, so assert on DataFilters
+    # (the scan-stage predicates) — every one must sit in the scan node
+    scan = next(l for l in plan.splitlines()
+                if "FileScan" in l and "lineitem" in l)
+    for frag in ("isnotnull(l_shipdate", "isnotnull(l_discount",
+                 "isnotnull(l_quantity"):
+        assert frag in scan, f"missing scan filter {frag}\n{scan}"
+    assert "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), " \
+           "IsNotNull(l_quantity), GreaterThanOrEqual" in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols <= {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}, cols
+
+
+def test_q15_scans_the_fact_once(spark):
+    """The scalar max threshold derives from the SAME per-supplier aggregate
+    as the main branch; the cached aggregate means no live lineitem scan
+    appears outside the (single) cache build plan."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.plans import tpch as T
+
+    plan = physical_plan(T.q15_top_supplier(spark, SF_SMOKE))
+    live = plan.split("InMemoryRelation")[0]
+    live_scans = [l for l in live.splitlines()
+                  if "FileScan" in l and "lineitem" in l]
+    assert not live_scans, plan
+    assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+def test_q21_single_fact_shuffle_for_window_pair(spark):
+    """The EXISTS / NOT-EXISTS pair is expressed as window counts over ONE
+    shuffle of the joined fact — no self-join of lineitem."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.plans import tpch as T
+
+    plan = physical_plan(T.q21_waiting_suppliers(spark, SF_SMOKE))
+    n_lineitem_scans = len([l for l in plan.splitlines()
+                            if "FileScan" in l and "lineitem" in l])
+    assert n_lineitem_scans == 1, plan
+    shuffles = re.findall(r"Exchange hashpartitioning\(l_orderkey", plan)
+    assert len(shuffles) == 1, plan
+
+
+def test_knn_join_point_side_never_shuffles(spark):
+    """The KNN join must be scan → broadcast-array join → row-local top-k:
+    no Exchange may touch the orders (point) side."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.operators import spatial_join as SJ
+
+    plan = physical_plan(SJ.knn_join(spark, SF_SMOKE))
+    # the only exchanges allowed are on the 50-row dimension aggregation
+    # (single-partition collect_list) — never a hashpartitioning of points
+    assert "Exchange hashpartitioning(point_id" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
