@@ -38,3 +38,21 @@ def test_streaming_dedup_matches_distinct(spark, duck):
     key = ["user_id", "event_type"]
     assert sorted(map(tuple, s[key].values.tolist())) == \
         sorted(map(tuple, o[key].values.tolist()))
+
+
+def test_events_queries_survive_a_fresh_default_session(spark):
+    """Round-1 regression: the driver owns its SparkSession, so events
+    queries must set their required confs (nanosAsLong, UTC zone) at
+    runtime. newSession() starts from default SQLConf — exactly the
+    driver's shape; without the runtime confs every events read throws
+    PARQUET_TYPE_ILLEGAL."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.streaming import events as EV
+
+    fresh = spark.newSession()
+    # simulate the driver's conf state (builder confs absent / adverse)
+    fresh.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    fresh.conf.set("spark.sql.session.timeZone", "America/Sao_Paulo")
+    n = EV.events_windowed(fresh, SF_SMOKE).count()
+    assert n > 0
+    assert fresh.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+    assert fresh.conf.get("spark.sql.session.timeZone") == "UTC"
