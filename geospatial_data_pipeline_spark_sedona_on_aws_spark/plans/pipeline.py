@@ -225,3 +225,21 @@ def crop_analytics_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, tmp,
         "region_id bigint, season_id bigint, land_type_id bigint, area double",
     )
+
+def crop_analytics_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship result pushed through a JSON-lines interchange boundary
+    and read back with an explicit schema — the non-parquet text-sink path
+    exercised inside the correctness gate (same oracle as crop_analytics;
+    ints survive JSON verbatim and the fixture's areas are integral, so
+    double↔text is lossless)."""
+    import tempfile
+
+    from ..sources.io import read_jsonl_sink, write_jsonl_sink
+
+    out = crop_analytics(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="crop_jsonl_")
+    write_jsonl_sink(out, tmp)
+    return read_jsonl_sink(
+        spark, tmp,
+        "region_id bigint, season_id bigint, land_type_id bigint, area double",
+    )

@@ -656,3 +656,70 @@ WHERE p_partkey = l_partkey
       WHERE l2.l_partkey = p_partkey
   )
 """
+
+# ------------------------------------------------------ window-function zoo
+
+def window_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every window-function family over one shuffle of `orders`: ranking
+    (row_number/rank/dense_rank/ntile), distribution (percent_rank/
+    cume_dist), offsets (lag/lead), a ROWS running total, and a RANGE
+    30-day-interval rolling sum. All windows share the o_custkey partition
+    key, so the whole zoo rides ONE Exchange; ordering differences only
+    re-sort within partitions. Money through DECIMAL as everywhere."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    wseq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wpri = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    # RANGE frame needs a numeric order key: day count from a fixed epoch —
+    # zone-free (NTZ date arithmetic), identical in both engines
+    wrange = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.datediff(F.col("o_orderdate"), F.lit("1990-01-01")))
+        .rangeBetween(-30, 0)
+    )
+    dec_price = F.col("o_totalprice").cast("decimal(18,2)")
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.row_number().over(wseq).alias("rn"),
+        F.rank().over(wpri).alias("rnk"),
+        F.dense_rank().over(wpri).alias("drnk"),
+        F.lag("o_orderkey").over(wseq).alias("prev_key"),
+        F.lead("o_orderkey").over(wseq).alias("next_key"),
+        F.ntile(4).over(wseq).alias("quartile"),
+        F.percent_rank().over(wpri).alias("pr"),
+        F.cume_dist().over(wpri).alias("cd"),
+        F.sum(dec_price).over(
+            wseq.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double").alias("run_total"),
+        F.sum(dec_price).over(wrange).cast("double").alias("d30_total"),
+    )
+
+WINDOW_ZOO_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       CAST(row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey) AS INT) AS rn,
+       CAST(rank() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderpriority) AS INT) AS rnk,
+       CAST(dense_rank() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderpriority) AS INT) AS drnk,
+       lag(o_orderkey) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey) AS prev_key,
+       lead(o_orderkey) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey) AS next_key,
+       CAST(ntile(4) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey) AS INT) AS quartile,
+       percent_rank() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderpriority) AS pr,
+       cume_dist() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderpriority) AS cd,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run_total,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+            PARTITION BY o_custkey
+            ORDER BY date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+            RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+            AS d30_total
+FROM orders
+"""

@@ -127,6 +127,21 @@ def read_csv_sink(spark: SparkSession, path: str, schema: str) -> DataFrame:
         .csv(path)
     )
 
+def write_jsonl_sink(df: DataFrame, path: str, num_partitions: int = 10) -> None:
+    """JSON-lines interchange sink: the text format for systems that can't
+    consume parquet (webhooks, legacy loaders). Same sizing discipline as
+    the CSV sink; one JSON object per line, splittable on read."""
+    df.repartition(num_partitions).write.mode("overwrite").json(path)
+
+
+def read_jsonl_sink(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Read back JSON-lines with an EXPLICIT schema — never schema
+    inference, which at 100 TB costs a full extra pass over the data and
+    can flip types between runs (the same discipline as the parquet
+    readers; SURVEY.md §1.3)."""
+    return spark.read.schema(schema).json(path)
+
+
 def write_partitioned(df: DataFrame, path: str, partition_cols: list,
                       max_records_per_file: int = 100_000) -> None:
     """Hive-style partitioned parquet layout (dir-per-partition-value).
