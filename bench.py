@@ -32,6 +32,14 @@ HEADLINE = [
     "embedding_topk_cosine",
     "embedding_lsh_ann",
     "embedding_ivf_ann",
+    # round 2 additions (kept after the original 15 so round-over-round
+    # per-query comparisons stay aligned)
+    "q5_local_supplier_volume",
+    "q9_product_profit",
+    "window_zoo",
+    "repetition_scores",
+    "spatial_knn_join",
+    "events_session_window",
 ]
 
 def main() -> None:

@@ -418,3 +418,68 @@ WHERE c.doc_id >= {EVAL_SET_MAX_DOC} AND e.doc_id < {EVAL_SET_MAX_DOC}
 GROUP BY 1, 2
 HAVING count(*) >= {CONTAM_MIN_SHARED}
 """
+
+def ngram_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hash-bucketed candidate pairs re-verified against the TRUE
+    shingle STRING sets — the scale-path answer to the 60-bit-collision
+    caveat on ngram_jaccard_pairs: a collision can only ever ADD a
+    candidate (equal strings always hash equal, so no true pair is
+    missed), and this exact per-pair recheck removes any such addition.
+
+    Cost model at 100 TB: candidate pairs are a vanishing fraction of the
+    corpus (they already share >= 1 shingle and passed the threshold on
+    hashes), so the verification join broadcasts the pair list and moves
+    full shingle arrays ONLY for candidate docs; the exact intersection is
+    row-local array math (array_intersect), no extra shuffle beyond the
+    two candidate-side joins."""
+    cands = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    d = _docs(spark, sf_dir)
+    sets = d.select(
+        "doc_id",
+        F.array_distinct(TXT.word_shingles(F.col("text"), SHINGLE_K))
+        .alias("ss"),
+    )
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("ssa"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("ssb"))
+    inter = F.size(F.array_intersect(F.col("ssa"), F.col("ssb")))
+    return (
+        a.join(F.broadcast(cands), "doc_a")
+        .join(b, "doc_b")
+        .withColumn("inter", inter)
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.size("ssa") + F.size("ssb") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+# pure string-shingle Jaccard (no hashing anywhere): because candidate
+# generation can only over-generate, verified output == the exact answer
+NGRAM_JACCARD_VERIFIED_ORACLE = f"""
+WITH sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - {SHINGLE_K - 1}, 0) + 1),
+               i -> concat_ws(' ',
+                        string_split(text, ' ')[i],
+                        string_split(text, ' ')[i+1],
+                        string_split(text, ' ')[i+2])
+           ))) AS s
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= {SHINGLE_K}
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       inter / (na.n + nb.n - inter) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE inter / (na.n + nb.n - inter) >= {JACCARD_THRESHOLD}
+"""

@@ -304,9 +304,10 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: the 50-region dimension collapses to ONE array-of-structs
     row, broadcast to every task; each point computes distance + top-k
     entirely ROW-LOCALLY (transform → array_sort → slice) and explodes only
-    its k winners. The point side never shuffles and no per-pair row ever
-    materializes — at 100 TB this is scan → map → done, the same shape as a
-    dimension-array lookup join. For dims too big to broadcast as an array,
+    its k winners. The point side never hash-shuffles and no per-pair row
+    ever materializes — at 100 TB this is scan → map → done, the same shape
+    as a dimension-array lookup join (the one round-robin repartition below
+    exists only to split the fixture's single-row-group file). For dims too big to broadcast as an array,
     the scale path is the grid variant: land each point in its cell, probe
     an expanding ring of neighbor cells until k candidates are bounded by
     the ring distance (classic grid-KNN; same _cells machinery as above).
@@ -320,6 +321,11 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_custkey") % 100).alias("px"),
         ((F.col("o_orderkey") * 7) % 100).alias("py"),
     )
+    # the testdata parquet is single-row-group → ONE scan split; the
+    # distance/sort work is CPU-bound per point, so spread the narrow
+    # (id, x, y) rows across all cores before the map stage. On a real
+    # multi-file table the scan splits natively and this is a no-op cost.
+    pts = pts.repartition(spark.sparkContext.defaultParallelism)
     regions = fixtures.geographic_regions(spark, sf_dir)
     dim = regions.agg(F.collect_list(F.struct(
         (F.col("gx1") + F.col("gx2")).alias("sx"),
