@@ -742,3 +742,33 @@ SELECT user_id,
 FROM sessions
 GROUP BY user_id, session_seq
 """
+
+def events_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed semi-structured path: props parsed ONCE per row with from_json
+    against an explicit schema (vs events_json_extract's regex pull) — the
+    JVM JSON parser feeds a typed struct, so downstream expressions are
+    ordinary codegen'd column math. At 100 TB an explicit schema also means
+    no inference pass and a stable type contract across arrivals."""
+    from pyspark.sql import types as T
+
+    ev = _events(spark, sf_dir)
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    parsed = ev.withColumn("p", F.from_json(F.col("props"), schema))
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.sum(F.col("p.k")).alias("sum_k"),
+            F.avg(F.col("p.k")).alias("avg_k"),
+            F.sum(F.when(F.col("p.k") > 50, 1).otherwise(0)).alias("n_high"),
+        )
+    )
+
+EVENTS_JSON_TYPED_ORACLE = """
+SELECT event_type,
+       sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+       avg(json_extract(props, '$.k')::BIGINT) AS avg_k,
+       sum(CASE WHEN json_extract(props, '$.k')::BIGINT > 50
+                THEN 1 ELSE 0 END) AS n_high
+FROM events
+GROUP BY event_type
+"""
