@@ -26,14 +26,36 @@ def _ensure_event_confs(spark: SparkSession) -> None:
     not only in session.py's builder (getOrCreate silently drops builder confs
     when a session already exists):
 
-    - spark.sql.legacy.parquet.nanosAsLong: events.parquet stores ts as
-      TIMESTAMP(NANOS), which Spark's parquet reader otherwise rejects
+    - spark.sql.legacy.parquet.nanosAsLong: if events.parquet stores ts as
+      TIMESTAMP(NANOS), Spark's parquet reader otherwise rejects it
       (PARQUET_TYPE_ILLEGAL). Runtime-settable SQL conf.
     - spark.sql.session.timeZone=UTC: date_trunc/timestamp rendering must
-      match the DuckDB oracle regardless of the host zone.
+      match the DuckDB oracle regardless of the host zone, and makes the
+      NTZ->LTZ normalization in _norm_ts value-preserving.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+def _norm_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the event-time column to TIMESTAMP (LTZ) whatever flavor the
+    parquet file carries:
+
+    - TIMESTAMP(NANOS)  -> read as long under nanosAsLong; integer-divide to
+      micros (a double division would lose sub-microsecond bits);
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false) -> Spark infers TIMESTAMP_NTZ,
+      which watermarks and unix_micros() reject; with the session zone pinned
+      UTC the cast to TIMESTAMP keeps the identical micros-since-epoch value;
+    - TIMESTAMP -> already the type every event operator expects.
+
+    Watermarks, F.window, and unix_micros all require TIMESTAMP, so every
+    batch AND streaming read of events goes through this normalization.
+    """
+    t = dict(df.dtypes)[col]
+    if t in ("bigint", "long"):
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if t == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 def _events_schema(spark: SparkSession, sf_dir: str):
     """Schema of the raw events source, readable on any session."""
@@ -45,11 +67,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     reader rejects; read nanos as long (spark.sql.legacy.parquet.nanosAsLong)
     and convert to a microsecond timestamp."""
     _ensure_event_confs(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(ev.dtypes)["ts"] in ("bigint", "long"):
-        # integer division — ts/1000 through double would lose sub-µs bits
-        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return ev
+    return _norm_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windows per event_type: count + exact sum(value)."""
@@ -167,8 +185,7 @@ def events_windowed_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    if dict(stream.dtypes)["ts"] in ("bigint", "long"):
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _norm_ts(stream)
     agg = (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
@@ -260,10 +277,7 @@ def sessionize_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    if dict(stream.dtypes)["ts"] in ("bigint", "long"):
-        stream = stream.withColumn("ts_us", F.expr("ts div 1000"))
-    else:
-        stream = stream.withColumn("ts_us", F.unix_micros("ts"))
+    stream = _norm_ts(stream).withColumn("ts_us", F.unix_micros("ts"))
     stream = stream.select("user_id", "event_id", "ts_us", "value")
 
     gap_us = SESSION_GAP_MIN * 60 * 1_000_000
@@ -490,8 +504,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.readStream.schema(raw_schema).format("parquet")
             .option("pathGlobFilter", "events.parquet").load(sf_dir)
         )
-        if dict(s.dtypes)["ts"] in ("bigint", "long"):
-            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        s = _norm_ts(s)
         return (
             s.where(F.col("event_type") == typ)
             .select(
@@ -561,8 +574,7 @@ def streaming_snapshot_publish(spark: SparkSession, sf_dir: str,
         spark.readStream.schema(raw_schema).format("parquet")
         .option("pathGlobFilter", "events.parquet").load(sf_dir)
     )
-    if dict(stream.dtypes)["ts"] in ("bigint", "long"):
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _norm_ts(stream)
     agg = (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
