@@ -35,20 +35,42 @@ from ..kernel import rectnp as R
 
 DEFAULT_SALT = 16
 
-def wkt_nums(col):
-    """All numbers in a WKT string as array<double> — a whole-stage-codegen
-    parse: trim the non-numeric prefix/suffix, split, cast the whole array.
+def wkt_nums_sql(col: str) -> str:
+    """SQL text of the WKT-numbers parse (array<double> of every number in
+    the string): trim the non-numeric prefix/suffix, split, cast. The
+    expression is assembled as ONE SQL string parsed JVM-side: building the
+    same tree through Column operators costs dozens of py4j round trips per
+    call site, which showed up as ~0.4s of driver-side PLAN-BUILD time per
+    query (execution is identical — both forms reach the same codegen).
     No higher-order functions: HOF lambdas (filter/transform) evaluate
     *interpreted*, which dominated the join/dissolve stages at ~µs/element."""
-    c = F.col(col) if isinstance(col, str) else col
-    trimmed = F.regexp_replace(c, r"^[^-0-9.]+|[^-0-9.eE+]+$", "")
+    return ("cast(split(regexp_replace(" + col +
+            ", '^[^-0-9.]+|[^-0-9.eE+]+$', ''), '[^-0-9.eE+]+') as array<double>)")
+
+def is_rect_sql(arr: str) -> str:
+    """SQL text of the canonical-rectangle test over a numbers-array
+    expression (x1 y1, x2 y1, x2 y2, x1 y2, x1 y1 closed ring).
+    try_element_at, NOT element_at: conjunction does not short-circuit in
+    codegen, so a shorter array (a triangle's 8 numbers) must yield
+    NULL -> false, not throw."""
+    def e(i: int) -> str:
+        return f"try_element_at({arr}, {i})"
+    return (f"(size({arr}) = 10 AND {e(1)} = {e(7)} AND {e(2)} = {e(4)}"
+            f" AND {e(3)} = {e(5)} AND {e(6)} = {e(8)} AND {e(9)} = {e(1)}"
+            f" AND {e(10)} = {e(2)} AND {e(3)} > {e(1)} AND {e(6)} > {e(2)})")
+
+def wkt_nums(col):
+    """Column form of wkt_nums_sql (names/fragments go through the one-parse
+    SQL path; Column inputs keep the operator-built tree)."""
+    if isinstance(col, str):
+        return F.expr(wkt_nums_sql(col))
+    trimmed = F.regexp_replace(col, r"^[^-0-9.]+|[^-0-9.eE+]+$", "")
     return F.split(trimmed, "[^-0-9.eE+]+").cast("array<double>")
 
 def is_rect(arr):
-    """True iff the 10-number corner array reads as a closed axis-aligned
-    rectangle (x1 y1, x2 y1, x2 y2, x1 y2, x1 y1). try_element_at, NOT
-    element_at: conjunction does not short-circuit in codegen, so a shorter
-    array (e.g. a triangle's 8 numbers) must yield NULL -> false, not throw."""
+    """Column form of is_rect_sql (see there for semantics)."""
+    if isinstance(arr, str):
+        return F.expr(is_rect_sql(arr))
     e = lambda i: F.try_element_at(arr, F.lit(i))  # noqa: E731
     return (
         (F.size(arr) == 10)
@@ -56,15 +78,15 @@ def is_rect(arr):
         & (e(9) == e(1)) & (e(10) == e(2)) & (e(3) > e(1)) & (e(6) > e(2))
     )
 
-def rect_bounds(col) -> list:
-    """(x1, y1, x2, y2) Columns of a canonical-rectangle WKT column, NULL
-    when the WKT is not a canonical rectangle. Meant for pre-parsing a
-    *dimension side* once before a join (see dissolve_clip_area's
-    clip_bounds) instead of per joined fact row."""
-    arr = wkt_nums(col)
-    ok = is_rect(arr)
-    e = lambda i: F.try_element_at(arr, F.lit(i))  # noqa: E731
-    return [F.when(ok, e(i)) for i in (1, 2, 3, 6)]
+def rect_bounds(col: str) -> list:
+    """(x1, y1, x2, y2) Columns of a canonical-rectangle WKT column (a name
+    or SQL fragment), NULL when the WKT is not a canonical rectangle. Meant
+    for pre-parsing a *dimension side* once before a join (see
+    dissolve_clip_area's clip_bounds) instead of per joined fact row."""
+    arr = wkt_nums_sql(col)
+    ok = is_rect_sql(arr)
+    return [F.expr(f"CASE WHEN {ok} THEN try_element_at({arr}, {i}) END")
+            for i in (1, 2, 3, 6)]
 
 def _poly_rects(wkt: str) -> list[tuple[float, float, float, float]]:
     """Parse a WKT geometry with axis-aligned edges (rectangles, L/T/U
@@ -204,45 +226,47 @@ def dissolve_clip_area(df: DataFrame, group_cols: Sequence[str], geom_col: str,
     # nulled) and are kernel-clipped inside the combine stage below. No
     # branch-and-union, so the upstream scan/join runs exactly once.
     def _side(wkt_col: str, bounds: Sequence[str] | None):
-        """(ok, x1, y1, x2, y2) expressions for one geometry side: from the
-        numeric bbox columns when given (pure arithmetic, no strings), else
-        from a codegen WKT parse."""
+        """(ok, x1, y1, x2, y2) SQL fragments for one geometry side: from
+        the numeric bbox columns when given (pure arithmetic, no strings),
+        else from a codegen WKT parse. SQL text, not Columns: the whole
+        stage-1 projection is parsed JVM-side in one call (plan-BUILD cost
+        — see wkt_nums_sql)."""
         if bounds is not None:
-            bx1, by1, bx2, by2 = [F.col(c).cast("double") for c in bounds]
-            ok = (bx1.isNotNull() & by1.isNotNull()
-                  & (bx2 > bx1) & (by2 > by1))
+            bx1, by1, bx2, by2 = [f"cast(`{c}` as double)" for c in bounds]
+            ok = (f"({bx1} IS NOT NULL AND {by1} IS NOT NULL"
+                  f" AND {bx2} > {bx1} AND {by2} > {by1})")
             return ok, bx1, by1, bx2, by2
-        arr = wkt_nums(wkt_col)
-        e = lambda i: F.try_element_at(arr, F.lit(i))  # noqa: E731
-        return (F.col(wkt_col).isNotNull() & is_rect(arr),
+        arr = wkt_nums_sql(f"`{wkt_col}`")
+        e = lambda i: f"try_element_at({arr}, {i})"  # noqa: E731
+        return (f"(`{wkt_col}` IS NOT NULL AND {is_rect_sql(arr)})",
                 e(1), e(2), e(3), e(6))
 
     g_ok, gx1, gy1, gx2, gy2 = _side(geom_col, geom_bounds)
     c_ok, cx1, cy1, cx2, cy2 = _side(clip_col, clip_bounds)
     # coalesce: a NULL from three-valued logic (e.g. a cast failure) must
     # route to the slow path, not evaporate in the downstream ~fast filter
-    fast_expr = F.coalesce(g_ok & c_ok, F.lit(False))
-    parsed = df.select(*keys, geom_col, clip_col, fast_expr.alias("__fast"),
-                       gx1.alias("__gx1"), gy1.alias("__gy1"),
-                       gx2.alias("__gx2"), gy2.alias("__gy2"),
-                       cx1.alias("__cx1"), cy1.alias("__cy1"),
-                       cx2.alias("__cx2"), cy2.alias("__cy2"))
+    parsed = df.selectExpr(
+        *[f"`{k}`" for k in keys], f"`{geom_col}`", f"`{clip_col}`",
+        f"coalesce({g_ok} AND {c_ok}, false) AS __fast",
+        f"{gx1} AS __gx1", f"{gy1} AS __gy1",
+        f"{gx2} AS __gx2", f"{gy2} AS __gy2",
+        f"{cx1} AS __cx1", f"{cy1} AS __cy1",
+        f"{cx2} AS __cx2", f"{cy2} AS __cy2",
+    )
 
-    fast = F.col("__fast")
     routed = (
-        parsed.select(
-            *keys,
-            F.when(fast, F.greatest(F.col("__gx1"), F.col("__cx1"))).alias("__x1"),
-            F.when(fast, F.greatest(F.col("__gy1"), F.col("__cy1"))).alias("__y1"),
-            F.when(fast, F.least(F.col("__gx2"), F.col("__cx2"))).alias("__x2"),
-            F.when(fast, F.least(F.col("__gy2"), F.col("__cy2"))).alias("__y2"),
-            F.when(~fast, F.col(geom_col)).alias("__gw"),
-            F.when(~fast, F.col(clip_col)).alias("__cw"),
-            fast.alias("__fast"),
+        parsed.selectExpr(
+            *[f"`{k}`" for k in keys],
+            "CASE WHEN __fast THEN greatest(__gx1, __cx1) END AS __x1",
+            "CASE WHEN __fast THEN greatest(__gy1, __cy1) END AS __y1",
+            "CASE WHEN __fast THEN least(__gx2, __cx2) END AS __x2",
+            "CASE WHEN __fast THEN least(__gy2, __cy2) END AS __y2",
+            f"CASE WHEN NOT __fast THEN `{geom_col}` END AS __gw",
+            f"CASE WHEN NOT __fast THEN `{clip_col}` END AS __cw",
+            "__fast",
         )
         # drop empty fast-path clips JVM-side; keep every slow-path row
-        .where(~fast | ((F.col("__x2") > F.col("__x1"))
-                        & (F.col("__y2") > F.col("__y1"))))
+        .where("NOT __fast OR (__x2 > __x1 AND __y2 > __y1)")
     )
 
     # ---- stage 2: map-side combine (partial union per partition, NO shuffle)
@@ -283,7 +307,28 @@ def dissolve_clip_area(df: DataFrame, group_cols: Sequence[str], geom_col: str,
             ends = np.append(starts[1:], len(kmat))
             out_k, out_b = [], []
             for s, e in zip(starts, ends):
-                dec = R.union_decompose(bmat[s:e])
+                sub = bmat[s:e]
+                n = e - s
+                # Adaptive combine (same contract as Spark's hash-agg
+                # fallback-to-passthrough): the disjoint decomposition only
+                # REDUCES a partial when the group's rects saturate their
+                # footprint — sparse groups decompose to >= n slivers, paying
+                # CPU to *expand* the shuffle. Decompose only when the total
+                # rect area overshoots the bbox area (guaranteed overlap
+                # density), and keep the raw rects if it still didn't shrink;
+                # raw rects are equally valid partials (the final Klee union
+                # is exact under arbitrary overlap).
+                dec = None
+                if n >= 8:
+                    areas = (sub[:, 2] - sub[:, 0]) * (sub[:, 3] - sub[:, 1])
+                    bbox = ((sub[:, 2].max() - sub[:, 0].min())
+                            * (sub[:, 3].max() - sub[:, 1].min()))
+                    if bbox > 0 and areas.sum() > 2.0 * bbox:
+                        cand = R.union_decompose(sub)
+                        if len(cand) < n:
+                            dec = cand
+                if dec is None:
+                    dec = sub
                 out_b.append(dec)
                 out_k.append(np.repeat(kmat[s:s + 1], len(dec), axis=0))
             kcat = np.concatenate(out_k)

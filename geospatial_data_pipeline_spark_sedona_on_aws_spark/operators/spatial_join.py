@@ -40,20 +40,23 @@ def _cells(df: DataFrame, x1: str, y1: str, x2: str, y2: str) -> DataFrame:
 
 _NUM = r"-?[0-9.eE+]+"
 
-def _wkt_axis(col, axis: int):
-    """array<double> of just the x (axis=0) or y (axis=1) coordinates of a
-    WKT string: a global regex keeps one number of each `x y` pair, then
-    trim + split + array cast — all whole-stage codegen, no lambdas."""
-    c = F.col(col) if isinstance(col, str) else col
-    only = F.regexp_replace(c, f"({_NUM})\\s+({_NUM})", "$1" if axis == 0 else "$2")
-    only = F.regexp_replace(only, r"^[^-0-9.]+|[^-0-9.eE+]+$", "")
-    return F.split(only, r"[^-0-9.eE+]+").cast("array<double>")
+def _wkt_axis_sql(col: str, axis: int) -> str:
+    """SQL text for array<double> of just the x (axis=0) or y (axis=1)
+    coordinates of a WKT string: a global regex keeps one number of each
+    `x y` pair, then trim + split + array cast — all whole-stage codegen,
+    no lambdas. One SQL string = one py4j parse (see wkt_nums_sql)."""
+    rep = "$1" if axis == 0 else "$2"
+    return ("cast(split(regexp_replace(regexp_replace(" + col +
+            f", '({_NUM})\\\\s+({_NUM})', '{rep}')"
+            ", '^[^-0-9.]+|[^-0-9.eE+]+$', ''), '[^-0-9.eE+]+') as array<double>)")
 
-def wkt_bbox(col):
-    """(x1, y1, x2, y2) bounding-box Columns of ANY WKT geometry, computed
-    in the JVM — whole-stage codegen, no Python, no rect assumption."""
-    xs, ys = _wkt_axis(col, 0), _wkt_axis(col, 1)
-    return (F.array_min(xs), F.array_min(ys), F.array_max(xs), F.array_max(ys))
+def wkt_bbox(col: str):
+    """(x1, y1, x2, y2) bounding-box Columns of ANY WKT geometry (column
+    name or SQL fragment), computed in the JVM — whole-stage codegen, no
+    Python, no rect assumption."""
+    xs, ys = _wkt_axis_sql(col, 0), _wkt_axis_sql(col, 1)
+    return (F.expr(f"array_min({xs})"), F.expr(f"array_min({ys})"),
+            F.expr(f"array_max({xs})"), F.expr(f"array_max({ys})"))
 
 def geo_range_join(a_df: DataFrame, a_geom: str, b_df: DataFrame, b_geom: str,
                    grid: float = GRID,
@@ -85,19 +88,19 @@ def geo_range_join(a_df: DataFrame, a_geom: str, b_df: DataFrame, b_geom: str,
 
     from ..kernel import boolean as KB
     from ..kernel import geom as KG
-    from .dissolve import is_rect, wkt_nums
+    from .dissolve import is_rect_sql, wkt_nums_sql
 
-    ax1, ay1, ax2, ay2 = wkt_bbox(F.col(a_geom))
-    bx1, by1, bx2, by2 = wkt_bbox(F.col(b_geom))
+    ax1, ay1, ax2, ay2 = wkt_bbox(f"`{a_geom}`")
+    bx1, by1, bx2, by2 = wkt_bbox(f"`{b_geom}`")
     a = a_df.select(
         "*", ax1.alias("__ax1"), ay1.alias("__ay1"),
         ax2.alias("__ax2"), ay2.alias("__ay2"),
-        is_rect(wkt_nums(a_geom)).alias("__arect"),
+        F.expr(is_rect_sql(wkt_nums_sql(f"`{a_geom}`"))).alias("__arect"),
     )
     b = b_df.select(
         "*", bx1.alias("__bx1"), by1.alias("__by1"),
         bx2.alias("__bx2"), by2.alias("__by2"),
-        is_rect(wkt_nums(b_geom)).alias("__brect"),
+        F.expr(is_rect_sql(wkt_nums_sql(f"`{b_geom}`"))).alias("__brect"),
     )
     def cells(df, x1, y1, x2, y2):
         return df.withColumn(

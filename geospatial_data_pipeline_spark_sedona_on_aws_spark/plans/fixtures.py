@@ -22,9 +22,24 @@ N_REGIONS = 50
 REGION_GRID_STEP = 12
 REGION_SIZE = 15
 
+def rect_wkt_sql(x1: str, y1: str, x2: str, y2: str) -> str:
+    """SQL text building 'POLYGON ((x1 y1, x2 y1, x2 y2, x1 y2, x1 y1))'
+    from integer coordinate expressions — identical text in Spark and
+    DuckDB. One string = one py4j parse (plan-BUILD cost; see
+    dissolve.wkt_nums_sql)."""
+    c = lambda v: f"cast({v} as string)"  # noqa: E731
+    return ("concat_ws('', 'POLYGON ((', "
+            f"{c(x1)}, ' ', {c(y1)}, ', ', "
+            f"{c(x2)}, ' ', {c(y1)}, ', ', "
+            f"{c(x2)}, ' ', {c(y2)}, ', ', "
+            f"{c(x1)}, ' ', {c(y2)}, ', ', "
+            f"{c(x1)}, ' ', {c(y1)}, '))')")
+
 def rect_wkt(x1, y1, x2, y2):
-    """Column expression building 'POLYGON ((x1 y1, x2 y1, x2 y2, x1 y2, x1 y1))'
-    from integer coordinate columns — identical text in Spark and DuckDB."""
+    """Column form of rect_wkt_sql; string args take the one-parse SQL
+    path, Columns keep the operator-built tree."""
+    if all(isinstance(v, str) for v in (x1, y1, x2, y2)):
+        return F.expr(rect_wkt_sql(x1, y1, x2, y2))
     return F.concat_ws(
         "",
         F.lit("POLYGON (("),
@@ -51,25 +66,20 @@ def land_use_areas(spark: SparkSession, sf_dir: str, wkt: bool = True) -> DataFr
     # On a real multi-file table the scan splits natively and this exchange
     # is skipped.
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    df = li.select(
-        (F.col("l_suppkey") % N_REGIONS).cast("long").alias("region_id"),
-        F.when(F.col("l_returnflag") == "A", 1)
-        .when(F.col("l_returnflag") == "N", 2)
-        .when(F.col("l_returnflag") == "R", 3)
-        .otherwise(0).cast("long").alias("season_id"),
-        F.when(F.col("l_linestatus") == "F", 1)
-        .when(F.col("l_linestatus") == "O", 2)
-        .otherwise(0).cast("long").alias("land_type_id"),
-        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long").alias("property_id"),
-        (F.col("l_partkey") % 100).cast("long").alias("x1"),
-        (F.col("l_suppkey") % 100).cast("long").alias("y1"),
-        (1 + F.floor(F.col("l_quantity")).cast("long") % 10).alias("w"),
-        (1 + F.floor(F.col("l_extendedprice") / 1000).cast("long") % 10).alias("h"),
-    ).select(
+    df = li.selectExpr(
+        f"cast(l_suppkey % {N_REGIONS} as bigint) AS region_id",
+        "cast(CASE l_returnflag WHEN 'A' THEN 1 WHEN 'N' THEN 2"
+        " WHEN 'R' THEN 3 ELSE 0 END as bigint) AS season_id",
+        "cast(CASE l_linestatus WHEN 'F' THEN 1 WHEN 'O' THEN 2"
+        " ELSE 0 END as bigint) AS land_type_id",
+        "cast(l_orderkey * 10 + l_linenumber as bigint) AS property_id",
+        "cast(l_partkey % 100 as bigint) AS x1",
+        "cast(l_suppkey % 100 as bigint) AS y1",
+        "1 + cast(floor(l_quantity) as bigint) % 10 AS w",
+        "1 + cast(floor(l_extendedprice / 1000) as bigint) % 10 AS h",
+    ).selectExpr(
         "region_id", "season_id", "land_type_id", "property_id",
-        "x1", "y1",
-        (F.col("x1") + F.col("w")).alias("x2"),
-        (F.col("y1") + F.col("h")).alias("y2"),
+        "x1", "y1", "x1 + w AS x2", "y1 + h AS y2",
     )
     df = df.repartition(spark.sparkContext.defaultParallelism)
     if not wkt:
@@ -81,8 +91,7 @@ def land_use_areas(spark: SparkSession, sf_dir: str, wkt: bool = True) -> DataFr
         # slow-path rows pay for it.
         return df
     return df.withColumn(
-        "land_geometry",
-        rect_wkt(F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2")),
+        "land_geometry", rect_wkt("x1", "y1", "x2", "y2"),
     )
 
 def geographic_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -90,20 +99,18 @@ def geographic_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlapping 15×15 cells spaced 12 apart (id 0..49 from supplier keys).
     Mirrors the reference scan at spark_job/process_geodata.py:173."""
     sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
-    df = sup.select(
-        (F.col("s_suppkey") % N_REGIONS).cast("long").alias("id")
-    ).distinct().select(
+    out = sup.selectExpr(
+        f"cast(s_suppkey % {N_REGIONS} as bigint) AS id"
+    ).distinct().selectExpr(
         "id",
-        ((F.col("id") % 10) * REGION_GRID_STEP).alias("gx1"),
-        (F.floor(F.col("id") / 10).cast("long") * REGION_GRID_STEP).alias("gy1"),
-    ).select(
+        f"id % 10 * {REGION_GRID_STEP} AS gx1",
+        f"cast(floor(id / 10) as bigint) * {REGION_GRID_STEP} AS gy1",
+    ).selectExpr(
         "id", "gx1", "gy1",
-        (F.col("gx1") + REGION_SIZE).alias("gx2"),
-        (F.col("gy1") + REGION_SIZE).alias("gy2"),
-    )
-    out = df.withColumn(
-        "region_geometry",
-        rect_wkt(F.col("gx1"), F.col("gy1"), F.col("gx2"), F.col("gy2")),
+        f"gx1 + {REGION_SIZE} AS gx2",
+        f"gy1 + {REGION_SIZE} AS gy2",
+        rect_wkt_sql("gx1", "gy1", f"gx1 + {REGION_SIZE}",
+                     f"gy1 + {REGION_SIZE}") + " AS region_geometry",
     )
     # 50-row dimension: persist it. Spark's CacheManager matches by
     # canonicalized plan, so every query building this same dimension

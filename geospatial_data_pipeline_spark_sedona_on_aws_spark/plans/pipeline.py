@@ -31,7 +31,7 @@ def crop_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     regions = fixtures.geographic_regions(spark, sf_dir)
     # dimension-side projection pushdown: parse each region's WKT once on the
     # 50-row dim (before the broadcast) instead of once per joined fact row
-    rx1, ry1, rx2, ry2 = rect_bounds(F.col("region_geometry"))
+    rx1, ry1, rx2, ry2 = rect_bounds("region_geometry")
     regions = regions.select(
         "id", "region_geometry",
         rx1.alias("__cb_x1"), ry1.alias("__cb_y1"),
@@ -44,7 +44,7 @@ def crop_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dissolve's slow-path conditional — fast-path (bbox) rows never build it
     joined = joined.withColumn(
         "land_geometry",
-        fixtures.rect_wkt(F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2")),
+        fixtures.rect_wkt("x1", "y1", "x2", "y2"),
     )
     out = dissolve_clip_area(
         joined,
