@@ -56,3 +56,29 @@ def test_events_queries_survive_a_fresh_default_session(spark):
     assert n > 0
     assert fresh.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
     assert fresh.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_streaming_events_survive_ntz_inference(spark):
+    """Round-2 regression: the regenerated events.parquet stores ts as
+    TIMESTAMP(MICROS, isAdjustedToUTC=false), which a default session
+    infers as TIMESTAMP_NTZ — a type watermarks, F.window, and
+    unix_micros all reject. _norm_ts must land every batch AND streaming
+    read on plain TIMESTAMP regardless of the parquet flavor, and with
+    the session zone pinned UTC the values must equal the batch result."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.streaming import events as EV
+
+    fresh = spark.newSession()
+    fresh.conf.set("spark.sql.session.timeZone", "America/Sao_Paulo")
+    # the batch read normalizes to TIMESTAMP (not NTZ, not long)
+    ev = EV._events(fresh, SF_SMOKE)
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    # the streaming formulation (watermark + window) must run on the same
+    # fresh session and agree with the batch aggregate
+    stream = EV.events_windowed_streaming(fresh, SF_SMOKE).toPandas()
+    batch = EV.events_windowed(fresh, SF_SMOKE).toPandas()
+    key = ["window_start", "event_type"]
+    s = stream.sort_values(key).reset_index(drop=True)
+    b = batch.sort_values(key).reset_index(drop=True)
+    assert len(s) == len(b)
+    assert (s["n_events"].to_numpy() == b["n_events"].to_numpy()).all()
+    assert (s["sum_value"].to_numpy() == b["sum_value"].to_numpy()).all()
