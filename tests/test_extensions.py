@@ -286,3 +286,40 @@ def test_repetition_scores_flag_repeats(spark, tmp_path):
     assert out[1]["dup_token_frac"] == 5 / 6
     assert out[2]["top_bigram_frac"] == 1 / 5
     assert out[2]["dup_token_frac"] == 0.0
+
+
+def test_pyds_sensor_reader_prunes_partitions():
+    """Filter pushdown on the custom Python source: claimed reading_id
+    bounds must shrink the planned partition set BEFORE task launch, and
+    the per-partition generator must honor the narrowed range exactly."""
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.sources import pydatasource as PDS
+
+    full = PDS.SensorReader({"n_rows": "100000", "n_partitions": "10"})
+    assert len(full.partitions()) == 10
+
+    pruned = PDS.SensorReader({"n_rows": "100000", "n_partitions": "10"})
+    leftover = list(pruned.pushFilters([
+        GreaterThanOrEqual(("reading_id",), 90_000),
+        LessThan(("reading_id",), 95_000),
+    ]))
+    assert leftover == []  # both claimed
+    parts = pruned.partitions()
+    assert len(parts) == 1
+    rows = sum(len(b) for p in parts for b in pruned.read(p))
+    assert rows == 5_000
+    # unclaimable filters are yielded back to Spark
+    other = list(pruned.pushFilters([GreaterThanOrEqual(("sensor_id",), 3)]))
+    assert len(other) == 1
+
+
+def test_pyds_sensor_hourly_end_to_end(spark):
+    """The gate query over the custom source: deterministic generation,
+    pushed range filter, exact decimal sums."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.sources import pydatasource as PDS
+
+    out = PDS.sensor_hourly(spark, SF_SMOKE).toPandas()
+    assert len(out) > 0
+    assert out["n"].sum() == PDS.READ_HI - PDS.READ_LO
+    assert set(out.columns) == {"sensor_id", "hour_idx", "n", "sum_value", "max_value"}
