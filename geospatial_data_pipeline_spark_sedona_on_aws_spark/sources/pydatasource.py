@@ -33,6 +33,8 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -40,6 +42,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 SENSOR_SCHEMA = "reading_id bigint, sensor_id bigint, ts_us bigint, value double"
@@ -54,6 +57,27 @@ TS_STEP_US = 30_000_000             # one reading / 30 s
 class _RangePartition(InputPartition):
     start: int
     end: int  # exclusive
+
+
+def _gen_batch(partition: _RangePartition):
+    """Vectorized generation of one partition's rows: one numpy pass, one
+    Arrow batch across the Python/JVM boundary (the pandas-UDF transfer
+    path). Shared by the batch and streaming readers so both faces of the
+    source are bit-identical."""
+    import numpy as np
+    import pyarrow as pa
+
+    if partition.end <= partition.start:
+        return
+    rid = np.arange(partition.start, partition.end, dtype=np.int64)
+    yield pa.record_batch(
+        {
+            "reading_id": rid,
+            "sensor_id": rid % N_SENSORS,
+            "ts_us": TS_BASE_US + rid * TS_STEP_US,
+            "value": (rid * 37 % 1000) / 10.0,
+        }
+    )
 
 
 class SensorReader(DataSourceReader):
@@ -105,22 +129,48 @@ class SensorReader(DataSourceReader):
         return out or [_RangePartition(0, 0)]
 
     def read(self, partition: _RangePartition):
-        import pyarrow as pa
+        return _gen_batch(partition)
 
-        if partition.end <= partition.start:
-            return
-        # vectorized generation: one numpy pass, one Arrow batch out
-        import numpy as np
 
-        rid = np.arange(partition.start, partition.end, dtype=np.int64)
-        yield pa.record_batch(
-            {
-                "reading_id": rid,
-                "sensor_id": rid % N_SENSORS,
-                "ts_us": TS_BASE_US + rid * TS_STEP_US,
-                "value": (rid * 37 % 1000) / 10.0,
-            }
-        )
+class SensorStreamReader(DataSourceStreamReader):
+    """Streaming face of the same generated table: the offset is simply the
+    next unread reading_id. latestOffset() is capped at n_rows, so
+    `trigger(availableNow=True)` drains initial→latest and STOPS — a
+    finite, deterministic stream the batch oracle reproduces exactly.
+    Each micro-batch's offset span splits into `n_partitions`
+    InputPartitions like the batch reader's, and commit() is the no-op a
+    replayable generated source can afford (the offset dict in the
+    checkpoint IS the recovery state — exactly-once comes from
+    deterministic replay of [start, end), the same contract as Kafka
+    offsets)."""
+
+    def __init__(self, options: dict) -> None:
+        self.n_rows = int(options.get("n_rows", 100_000))
+        self.n_parts = int(options.get("n_partitions", 8))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def latestOffset(self) -> dict:
+        return {"next": self.n_rows}
+
+    def partitions(self, start: dict, end: dict):
+        # partitions MUST cover [start, end) exactly: Spark commits `end`
+        # after the batch, so a reader that under-covers the range silently
+        # loses rows (the Python stream API has no admission control — the
+        # engine, not the source, decides the batch's offset span)
+        lo, hi = start["next"], end["next"]
+        if hi <= lo:
+            return [_RangePartition(0, 0)]
+        per = max(1, -(-(hi - lo) // self.n_parts))
+        return [_RangePartition(s, min(s + per, hi))
+                for s in range(lo, hi, per)]
+
+    def read(self, partition: _RangePartition):
+        return _gen_batch(partition)
+
+    def commit(self, end: dict) -> None:
+        pass
 
 
 class SensorSource(DataSource):
@@ -134,10 +184,147 @@ class SensorSource(DataSource):
     def reader(self, schema) -> SensorReader:
         return SensorReader(self.options)
 
+    def streamReader(self, schema) -> SensorStreamReader:
+        return SensorStreamReader(self.options)
+
 
 def register(spark) -> None:
     """Idempotent registration (re-register overwrites)."""
     spark.dataSource.register(SensorSource)
+    spark.dataSource.register(JsonlCommitSink)
+
+
+# ------------------------------------------------- custom sink (2-phase commit)
+
+
+@dataclass(frozen=True)
+class _FileCommit(WriterCommitMessage):
+    tmp_name: str
+    rows: int
+
+
+class JsonlCommitWriter(DataSourceWriter):
+    """JSON-lines sink with the two-phase commit every distributed sink
+    needs (the engine-side analog of the reference's blue-green publish,
+    ecs_loader/load_to_postgres.py:234-247 — consumers never observe a
+    half-written snapshot):
+
+      phase 1 (executors): each task stages rows into a uniquely-named
+        dot-prefixed temp file and returns a WriterCommitMessage; a failed
+        task leaves only invisible garbage, never partial output.
+      phase 2 (driver `commit`): rename every staged file to its final
+        name, then write the `_SUCCESS` manifest listing exactly this
+        run's files. The manifest write is the single atomic publish
+        point: readers resolve file lists through it, so stale part files
+        from dead runs are unreachable, and `overwrite` is just "publish
+        a manifest that doesn't mention them".
+      `abort`: delete staged temp files; the previous manifest (if any)
+        remains the live snapshot.
+
+    Local-filesystem staging; on a cluster the same protocol runs against
+    the shared store (S3/HDFS rename-or-manifest, as Spark's own
+    FileOutputCommitter v2 / magic committer do)."""
+
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_commit requires .option('path', ...)")
+        self.overwrite = overwrite
+        import os
+
+        os.makedirs(self.path, exist_ok=True)
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        tmp_name = f".part-{uuid.uuid4().hex}.jsonl.tmp"
+        n = 0
+        with open(os.path.join(self.path, tmp_name), "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _FileCommit(tmp_name, n)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        finals, rows = [], 0
+        for m in messages:
+            if m is None:
+                continue
+            final = m.tmp_name[1:-4]  # strip leading dot and ".tmp"
+            os.replace(os.path.join(self.path, m.tmp_name),
+                       os.path.join(self.path, final))
+            finals.append(final)
+            rows += m.rows
+        if self.overwrite:
+            for name in os.listdir(self.path):
+                if (name.startswith("part-") and name.endswith(".jsonl")
+                        and name not in finals):
+                    os.remove(os.path.join(self.path, name))
+        manifest = os.path.join(self.path, "_SUCCESS")
+        with open(manifest + ".tmp", "w") as f:
+            json.dump({"files": sorted(finals), "rows": rows}, f)
+        os.replace(manifest + ".tmp", manifest)  # the atomic publish
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                os.remove(os.path.join(self.path, m.tmp_name))
+            except FileNotFoundError:
+                pass
+
+
+class JsonlCommitSink(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_commit"
+
+    def writer(self, schema, overwrite: bool) -> JsonlCommitWriter:
+        return JsonlCommitWriter(self.options, overwrite)
+
+
+def read_jsonl_commit(spark, path: str, schema: str):
+    """Manifest-resolved read of a jsonl_commit directory: only files the
+    `_SUCCESS` manifest names are visible — uncommitted/stale parts are
+    unreachable by construction."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_SUCCESS")) as f:
+        manifest = json.load(f)
+    paths = [os.path.join(path, n) for n in manifest["files"]]
+    if not paths:
+        from pyspark.sql.types import _parse_datatype_string
+
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).json(paths)
+
+
+def crop_jsonl_commit_roundtrip(spark, sf_dir: str):
+    """The flagship result pushed through the two-phase-commit sink and
+    read back via its manifest (same oracle as crop_analytics — the round
+    trip must preserve every value exactly; the fixture's areas are
+    integral so double↔text is lossless)."""
+    import tempfile
+
+    from ..plans.pipeline import crop_analytics
+
+    register(spark)
+    out = crop_analytics(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="crop_jsonl_commit_")
+    out.write.format("jsonl_commit").option("path", tmp).mode("overwrite").save()
+    return read_jsonl_commit(
+        spark, tmp,
+        "region_id bigint, season_id bigint, land_type_id bigint, area double",
+    )
 
 
 # --------------------------------------------------------------- gate query
@@ -181,6 +368,61 @@ def sensor_hourly(spark, sf_dir: str):
             F.max("value").alias("max_value"),
         )
     )
+
+
+STREAM_N_ROWS = 120_000
+
+
+def sensor_stream_totals(spark, sf_dir: str):
+    """Per-sensor totals computed by STREAMING the generated source:
+    readStream over sensor_gen (latestOffset capped at n_rows) →
+    complete-mode aggregate → availableNow drain into a memory sink. The
+    result must equal the batch formulation — same DuckDB range() oracle,
+    proving the streaming reader's offset/partition/replay contract end
+    to end."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    register(spark)
+    stream = (
+        spark.readStream.format("sensor_gen")
+        .option("n_rows", STREAM_N_ROWS)
+        .option("n_partitions", 8)
+        .load()
+    )
+    agg = (
+        stream.groupBy("sensor_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,1)")).cast("double")
+            .alias("sum_value"),
+        )
+    )
+    name = "pyds_sensor_stream_sink"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            agg.writeStream.format("memory").queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
+SENSOR_STREAM_TOTALS_ORACLE = f"""
+WITH r AS (
+    SELECT range AS reading_id FROM range(0, {STREAM_N_ROWS})
+)
+SELECT reading_id % {N_SENSORS} AS sensor_id,
+       count(*) AS n,
+       CAST(sum(CAST((reading_id * 37 % 1000) / 10.0 AS DECIMAL(18,1)))
+            AS DOUBLE) AS sum_value
+FROM r
+GROUP BY 1
+"""
 
 
 SENSOR_HOURLY_ORACLE = f"""

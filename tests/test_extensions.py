@@ -323,3 +323,43 @@ def test_pyds_sensor_hourly_end_to_end(spark):
     assert len(out) > 0
     assert out["n"].sum() == PDS.READ_HI - PDS.READ_LO
     assert set(out.columns) == {"sensor_id", "hour_idx", "n", "sum_value", "max_value"}
+
+
+def test_pyds_jsonl_commit_sink_atomicity(spark, tmp_path):
+    """Two-phase-commit invariants: only manifest-listed files are
+    readable; orphaned staged files and stale parts from dead runs are
+    invisible; overwrite republishes atomically."""
+    import json
+    import os
+
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.sources import pydatasource as PDS
+
+    PDS.register(spark)
+    path = str(tmp_path / "sink")
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    df.write.format("jsonl_commit").option("path", path).mode("overwrite").save()
+
+    man = json.load(open(os.path.join(path, "_SUCCESS")))
+    assert man["rows"] == 100
+    # plant an orphaned staged file AND an unmanifested final-looking part:
+    # both must stay invisible to the manifest-resolved reader
+    open(os.path.join(path, ".part-dead.jsonl.tmp"), "w").write('{"id":1,"v":1}\n')
+    open(os.path.join(path, "part-stale.jsonl"), "w").write('{"id":2,"v":2}\n')
+    back = PDS.read_jsonl_commit(spark, path, "id bigint, v bigint")
+    assert back.count() == 100
+
+    # overwrite: new manifest, stale unmanifested parts swept
+    spark.range(7).selectExpr("id", "id AS v").write.format(
+        "jsonl_commit").option("path", path).mode("overwrite").save()
+    man2 = json.load(open(os.path.join(path, "_SUCCESS")))
+    assert man2["rows"] == 7
+    assert not os.path.exists(os.path.join(path, "part-stale.jsonl"))
+    assert PDS.read_jsonl_commit(spark, path, "id bigint, v bigint").count() == 7
+
+    # abort deletes staged files and leaves the live manifest untouched
+    w = PDS.JsonlCommitWriter({"path": path}, overwrite=False)
+    msg = w.write(iter(df.limit(3).collect()))
+    assert os.path.exists(os.path.join(path, msg.tmp_name))
+    w.abort([msg])
+    assert not os.path.exists(os.path.join(path, msg.tmp_name))
+    assert json.load(open(os.path.join(path, "_SUCCESS")))["rows"] == 7
