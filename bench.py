@@ -72,15 +72,16 @@ def main() -> None:
     # janino/JIT compilation of plans it never saw. The warm pass compiles
     # exactly the plans the measured pass executes.
     timings: dict[str, float] = {}
-    for phase in ("warm", "measure", "measure"):
+    for phase in ("warm", "measure", "measure", "measure"):
         for name in HEADLINE:
             fn = QUERIES[name]
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()
             dt = round(time.perf_counter() - t0, 3)
             if phase == "measure":
-                # min over passes: single-machine runs show ±1s noise spikes
-                # (GC, neighbors); the min is the reproducible steady state
+                # min over passes: single-machine runs show ±20% noise
+                # (GC, hypervisor neighbors); the min is the reproducible
+                # steady state
                 if name not in timings or dt < timings[name]:
                     timings[name] = dt
 
@@ -93,7 +94,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "methodology": "steady-state: full warm pass at the measured sf, then per-query min of 2 measured passes",
+        "methodology": "steady-state: full warm pass at the measured sf, then per-query min of 3 measured passes",
     }))
 
 if __name__ == "__main__":
