@@ -69,6 +69,40 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_event_confs(spark)
     return _norm_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
+# engine knob: cap files per streaming micro-batch (availableNow then takes
+# several batches to drain a multi-file table — the real-cluster shape)
+MAX_FILES_CONF = "spark.geoengine.streaming.maxFilesPerTrigger"
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read of the events table, robust to BOTH physical layouts:
+
+    - `{sf_dir}/events.parquet` as a DIRECTORY of part files (what any
+      writer produces) → load the directory straight — the file-stream
+      source requires a directory path;
+    - `{sf_dir}/events.parquet` as a single FILE (the driver testdata) →
+      load `sf_dir` with a pathGlobFilter, because the source rejects a
+      file basePath. The glob alone is NOT enough for the directory case:
+      it filters leaf files, so part-*.parquet under events.parquet/ would
+      match nothing and the stream would silently read ZERO rows — the
+      worst failure mode a source can have.
+
+    Event time is normalized like the batch read (_norm_ts). Local-path
+    check is os.path; a cluster deployment would route this through the
+    Hadoop FS API the same way."""
+    import os
+
+    raw_schema = _events_schema(spark, sf_dir)
+    reader = spark.readStream.schema(raw_schema).format("parquet")
+    mft = spark.conf.get(MAX_FILES_CONF, None)
+    if mft:
+        reader = reader.option("maxFilesPerTrigger", mft)
+    path = f"{sf_dir}/events.parquet"
+    if os.path.isdir(path):
+        stream = reader.load(path)
+    else:
+        stream = reader.option("pathGlobFilter", "events.parquet").load(sf_dir)
+    return _norm_ts(stream)
+
 def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windows per event_type: count + exact sum(value)."""
     ev = _events(spark, sf_dir)
@@ -179,13 +213,7 @@ def events_windowed_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     availableNow trigger into an in-memory sink. Returns the sink table —
     values must equal the batch formulation (and the DuckDB oracle).
     """
-    raw_schema = _events_schema(spark, sf_dir)
-    stream = (
-        spark.readStream.schema(raw_schema).format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
-    stream = _norm_ts(stream)
+    stream = _events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
@@ -231,12 +259,7 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup horizon; availableNow over a finite source doesn't need it and a
     watermark here could drop legitimate first-arrivals if file order
     disagrees with event time across micro-batches."""
-    raw_schema = _events_schema(spark, sf_dir)
-    stream = (
-        spark.readStream.schema(raw_schema).format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    stream = _events_stream(spark, sf_dir)
     deduped = stream.select("user_id", "event_type").dropDuplicates(
         ["user_id", "event_type"]
     )
@@ -268,16 +291,16 @@ def sessionize_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     Money sums accumulate as exact DECIMAL(18,2) cents (decimal.Decimal over
     the exact binary double, HALF_UP) — the same rounding Spark's
     cast(value AS DECIMAL(18,2)) applies in the batch/oracle formulations.
+
+    Ordering contract: batches must arrive in event-time order (per key) —
+    the contract of time-partitioned file drops or per-key-ordered log
+    offsets, proven by the multi-file in-order test. A historically
+    UNORDERED replay is the built-in session_window's job
+    (events_session_window), whose merge semantics are order-free.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    raw_schema = _events_schema(spark, sf_dir)
-    stream = (
-        spark.readStream.schema(raw_schema).format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
-    stream = _norm_ts(stream).withColumn("ts_us", F.unix_micros("ts"))
+    stream = _events_stream(spark, sf_dir).withColumn("ts_us", F.unix_micros("ts"))
     stream = stream.select("user_id", "event_id", "ts_us", "value")
 
     gap_us = SESSION_GAP_MIN * 60 * 1_000_000
@@ -497,14 +520,8 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     time bound let each micro-batch evict view rows older than 30 min past
     the watermark, so state size tracks the join window, not the stream.
     """
-    raw_schema = _events_schema(spark, sf_dir)
-
     def read(alias: str, typ: str) -> DataFrame:
-        s = (
-            spark.readStream.schema(raw_schema).format("parquet")
-            .option("pathGlobFilter", "events.parquet").load(sf_dir)
-        )
-        s = _norm_ts(s)
+        s = _events_stream(spark, sf_dir)
         return (
             s.where(F.col("event_type") == typ)
             .select(
@@ -569,12 +586,7 @@ def streaming_snapshot_publish(spark: SparkSession, sf_dir: str,
     """
     from ..plans.catalog import publish_snapshot
 
-    raw_schema = _events_schema(spark, sf_dir)
-    stream = (
-        spark.readStream.schema(raw_schema).format("parquet")
-        .option("pathGlobFilter", "events.parquet").load(sf_dir)
-    )
-    stream = _norm_ts(stream)
+    stream = _events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
@@ -636,11 +648,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream-stream (stream_stream_join), stream-static (here), static-static
     (everything else).
     """
-    raw_schema = _events_schema(spark, sf_dir)
-    stream = (
-        spark.readStream.schema(raw_schema).format("parquet")
-        .option("pathGlobFilter", "events.parquet").load(sf_dir)
-    )
+    stream = _events_stream(spark, sf_dir)
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
         F.col("c_custkey").alias("ck"), "c_mktsegment"
     )

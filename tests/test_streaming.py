@@ -58,6 +58,64 @@ def test_events_queries_survive_a_fresh_default_session(spark):
     assert fresh.conf.get("spark.sql.session.timeZone") == "UTC"
 
 
+def test_streaming_on_multi_file_events_dir(spark, tmp_path):
+    """events.parquet as a DIRECTORY of part files (what any writer
+    produces), drained one file per micro-batch: the glob-based read shape
+    would silently see ZERO files here, and multi-batch draining is
+    exactly the case round-1 ADVICE flagged for sessionize_streaming's
+    open-session re-emissions. Both the windowed aggregate and the
+    stateful sessionizer must equal their batch formulations."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.streaming import events as EV
+
+    ev = EV._events(spark, SF_SMOKE)
+    sf2 = str(tmp_path)
+    # time-partitioned files arriving chronologically — the real multi-file
+    # shape (hourly drops). The stateful sessionizer's contract is in-order
+    # ARRIVAL (like offset-ordered replay); unordered historical replay is
+    # the built-in session_window's job. mtimes force the source's order.
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cuts = [lo + (hi - lo) * i / 3 for i in (1, 2)]
+    parts = [
+        ev.where(F.col("ts") < cuts[0]),
+        ev.where((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        ev.where(F.col("ts") >= cuts[1]),
+    ]
+    d = f"{sf2}/events.parquet"
+    os.makedirs(d)
+    now = time.time()
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.parquet(f"{sf2}/__stage{i}")
+        src = next(f for f in os.listdir(f"{sf2}/__stage{i}")
+                   if f.endswith(".parquet"))
+        dst = f"{d}/part-{i}.parquet"
+        os.rename(f"{sf2}/__stage{i}/{src}", dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+
+    spark.conf.set(EV.MAX_FILES_CONF, "1")  # force 3 micro-batches
+    try:
+        sw = EV.events_windowed_streaming(spark, sf2).toPandas()
+        ss = EV.sessionize_streaming(spark, sf2).toPandas()
+    finally:
+        spark.conf.unset(EV.MAX_FILES_CONF)
+    bw = EV.events_windowed(spark, sf2).toPandas()
+    bs = EV.sessionize(spark, sf2).toPandas()
+
+    kw = ["window_start", "event_type"]
+    sw = sw.sort_values(kw).reset_index(drop=True)
+    bw = bw[sw.columns].sort_values(kw).reset_index(drop=True)
+    assert sw.equals(bw)
+
+    ks = ["user_id", "session_seq"]
+    ss = ss.sort_values(ks).reset_index(drop=True)
+    bs = bs[ss.columns].sort_values(ks).reset_index(drop=True)
+    assert ss.equals(bs)
+
+
 def test_streaming_events_survive_ntz_inference(spark):
     """Round-2 regression: the regenerated events.parquet stores ts as
     TIMESTAMP(MICROS, isAdjustedToUTC=false), which a default session
