@@ -219,3 +219,18 @@ def test_knn_join_point_side_never_shuffles(spark):
     assert "Exchange hashpartitioning(point_id" not in plan
     assert "Exchange hashpartitioning(o_orderkey" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_registry_oracle_contract_is_complete():
+    """Every queries() entry must carry a DuckDB oracle, except the
+    explicitly documented rows-only set (the driver records a weaker check
+    for those and the judge sees which). Guards against adding an operator
+    and forgetting its correctness gate."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.plans.registry import ORACLES, QUERIES
+
+    ROWS_ONLY = {"crop_analytics_full"}  # polyconic CRS: no SQL closed form
+    missing = set(QUERIES) - set(ORACLES) - ROWS_ONLY
+    assert not missing, f"queries without oracle or rows-only waiver: {sorted(missing)}"
+    orphans = set(ORACLES) - set(QUERIES)
+    assert not orphans, f"oracles without a query: {sorted(orphans)}"
+    assert ROWS_ONLY <= set(QUERIES)
