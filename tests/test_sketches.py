@@ -68,3 +68,41 @@ def test_histogram_quantile_matches_oracle_and_exact(spark, duck):
 def test_salted_agg_equals_unsalted_oracle(spark, duck):
     # the whole point of salting: bit-identical to the direct groupBy
     _cmp(SK.salted_agg_topk(spark, SF_SMOKE), duck, SK.SALTED_AGG_ORACLE, "l_suppkey")
+
+
+def test_ann_recall_vs_exact_topk(spark):
+    """Approximation QUALITY gate for the ANN variants: recall@5 of the
+    LSH-bucketed and IVF searches against the exact brute-force top-5,
+    over the shared query set. Bucketed search trades recall for never
+    going all-pairs; this pins the trade at the fixture scale so a
+    bucketing regression (e.g. a broken hash) fails loudly rather than
+    silently returning garbage neighbors."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.operators import similarity as SIM
+
+    exact = SIM.topk_cosine(spark, SF_SMOKE).toPandas()
+    exact5 = {
+        q: set(g.nlargest(5, "cos_sim")["neighbor_id"])
+        for q, g in exact.groupby("query_id")
+    }
+
+    def recall(df, qcol, ncol):
+        hits = tot = 0
+        for q, g in df.groupby(qcol):
+            want = exact5.get(q)
+            if not want:
+                continue
+            hits += len(set(g[ncol]) & want)
+            tot += len(want)
+        return hits / tot if tot else 0.0
+
+    lsh = SIM.lsh_ann(spark, SF_SMOKE).toPandas()
+    ivf = SIM.ivf_ann(spark, SF_SMOKE).toPandas()
+    r_lsh = recall(lsh, lsh.columns[0], lsh.columns[1])
+    r_ivf = recall(ivf, ivf.columns[0], ivf.columns[1])
+    # the fixture embeddings are uniform-random (near-orthogonal) — the
+    # WORST case for locality bucketing (no cluster structure to exploit);
+    # multi-probe LSH measured ~0.12 here vs ~0.03 single-probe. The gate
+    # catches collapse back to random, not perfection — clustered real
+    # corpora recall far higher
+    assert r_lsh >= 0.08, f"LSH recall@5 collapsed: {r_lsh:.3f}"
+    assert r_ivf >= 0.15, f"IVF recall@5 collapsed: {r_ivf:.3f}"
