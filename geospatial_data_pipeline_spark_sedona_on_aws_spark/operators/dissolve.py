@@ -382,7 +382,13 @@ def dissolve_clip_area(df: DataFrame, group_cols: Sequence[str], geom_col: str,
                 rect_rows = bmat[s:e][pd.isna(gw[s:e])]
                 geoms = [G.parse_wkt(w) for w in gwkts]
                 if len(rect_rows):
-                    geoms.append(G.rects_to_geom([tuple(r) for r in rect_rows]))
+                    # rects_to_geom requires pairwise-disjoint members (the
+                    # multipolygon follows even-odd parity, so overlap XORs
+                    # out); partials arrive overlapping both across map
+                    # partitions and from the adaptive combine's raw branch —
+                    # disjoint-ify before packing
+                    disjoint = R.union_decompose(rect_rows)
+                    geoms.append(G.rects_to_geom([tuple(r) for r in disjoint]))
                 areas[gi] = B.union_area(geoms)
             else:
                 areas[gi] = R.union_area(bmat[s:e])

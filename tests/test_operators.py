@@ -51,6 +51,23 @@ def test_dissolve_clip_area_small(spark):
     # clip(0-4 sq) = 2x2 = 4 ; clip(3-5 sq) = 3..5×3..5 = 4 ; overlap 3..4×3..4 = 1
     assert out[0]["area"] == 4 + 4 - 1
 
+def test_dissolve_mixed_partials_overlapping_rects(spark):
+    # Regression: a group mixing general-WKT partials (triangle) with
+    # OVERLAPPING rect partials must not undercount — rects_to_geom's
+    # even-odd parity XORs overlap out unless the rects are disjoint-ified
+    # first (ADVICE r2 high).
+    clip = "POLYGON ((0 0, 20 0, 20 20, 0 20, 0 0))"
+    df = spark.createDataFrame(
+        [
+            (1, "POLYGON ((10 10, 12 10, 10 12, 10 10))", clip),  # triangle, area 2
+            (1, "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))", clip),     # rect, area 4
+            (1, "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))", clip),     # overlaps prev by 1
+        ],
+        "k int, g string, clip string",
+    )
+    out = dissolve_clip_area(df, ["k"], "g", "clip").collect()
+    assert abs(out[0]["area"] - (2 + 4 + 4 - 1)) < 1e-9
+
 def test_st_udfs_via_sql(spark):
     register_spatial_functions(spark)
     df = spark.createDataFrame(
