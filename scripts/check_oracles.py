@@ -38,6 +38,19 @@ def values_equal(a, b) -> bool:
         return a == b
     return a == b or (pd.isna(a) and pd.isna(b))
 
+def dtype_warnings(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    """Raw (pre-coercion) dtype differences between the engines. The driver's
+    gate hashes values without the int-width coercion normalize() applies, so
+    a Spark BIGINT vs DuckDB HUGEINT (r2's q12 red row) hash-mismatches at
+    the driver while passing here. Surfaced as warnings, not failures: some
+    width differences (e.g. int32 vs int64 keys) are hash-identical."""
+    warns = []
+    for c in sorted(set(sdf.columns) & set(odf.columns)):
+        s_t, o_t = str(sdf[c].dtype), str(odf[c].dtype)
+        if s_t != o_t:
+            warns.append(f"{c}: spark={s_t} oracle={o_t}")
+    return warns
+
 def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     problems = []
     if sorted(sdf.columns) != sorted(odf.columns):
@@ -114,7 +127,9 @@ def main() -> None:
             print(f"FAIL {name}: " + " | ".join(problems))
             failed += 1
         else:
-            print(f"PASS {name} ({len(sdf)} rows)")
+            warns = dtype_warnings(sdf, odf)
+            suffix = f"  [DTYPE {'; '.join(warns)}]" if warns else ""
+            print(f"PASS {name} ({len(sdf)} rows){suffix}")
             passed += 1
     print(f"\n{passed} passed, {failed} failed, {skipped} rows-only")
     if failed:
