@@ -84,8 +84,8 @@ SELECT doc_id,
        'text/plain' AS media_type,
        CAST(strlen(text) AS BIGINT) AS n_bytes,
        CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_byte,
-       list_aggregate(list_transform(string_split(text, ''),
-           c -> CAST(ascii(c) AS BIGINT)), 'sum') % 997 AS byte_sum_mod
+       CAST(list_aggregate(list_transform(string_split(text, ''),
+           c -> CAST(ascii(c) AS BIGINT)), 'sum') % 997 AS BIGINT) AS byte_sum_mod
 FROM documents
 """
 
@@ -146,9 +146,9 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 MULTIMODAL_RESIZE_ORACLE = f"""
 SELECT doc_id,
        CAST(least(strlen(text), {RESIZE_BYTES}) AS BIGINT) AS resized_bytes,
-       COALESCE(list_aggregate(list_transform(
+       CAST(COALESCE(list_aggregate(list_transform(
            string_split(substring(text, 1, {RESIZE_BYTES}), ''),
-           c -> CAST(ascii(c) AS BIGINT)), 'sum'), 0) % 997 AS resized_sum_mod
+           c -> CAST(ascii(c) AS BIGINT)), 'sum'), 0) % 997 AS BIGINT) AS resized_sum_mod
 FROM documents
 """
 

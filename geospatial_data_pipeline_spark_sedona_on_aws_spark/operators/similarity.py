@@ -596,8 +596,10 @@ def kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _kmeans_oracle() -> str:
     q = ("list_transform(embedding, x -> GREATEST(-127, LEAST(127, "
          "CAST(floor(x * 127 + 0.5) AS BIGINT))))")
-    dist = ("list_aggregate(list_transform(range(1, 65), "
-            "i -> (e.q[i] - c.q[i]) * (e.q[i] - c.q[i])), 'sum')")
+    # outer CAST: list_aggregate 'sum' yields HUGEINT, which lands in pandas
+    # as float64 and diverges from Spark's BIGINT in the driver's value hash
+    dist = ("CAST(list_aggregate(list_transform(range(1, 65), "
+            "i -> (e.q[i] - c.q[i]) * (e.q[i] - c.q[i])), 'sum') AS BIGINT)")
     parts = [f"qe AS (SELECT vec_id, {q} AS q FROM embeddings)",
              f"c0 AS (SELECT vec_id AS cid, q FROM qe WHERE vec_id < {KMEANS_K})"]
     prev = "c0"

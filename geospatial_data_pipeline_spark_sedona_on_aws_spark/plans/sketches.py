@@ -195,7 +195,7 @@ WITH flagged AS (
 )
 SELECT priority,
        count(*) AS population,
-       sum(CASE WHEN picked THEN 1 ELSE 0 END) AS sampled,
+       CAST(sum(CASE WHEN picked THEN 1 ELSE 0 END) AS BIGINT) AS sampled,
        CAST(sum(CASE WHEN picked THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
             AS DOUBLE) AS sampled_totalprice
 FROM flagged

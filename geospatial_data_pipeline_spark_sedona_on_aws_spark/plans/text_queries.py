@@ -370,9 +370,9 @@ s3 AS (
     FROM s2 s LEFT JOIN events e ON e.user_id = s.user_id
     GROUP BY s.user_id, s.t1, s.t2
 )
-SELECT sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS n_view,
-       sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS n_click,
-       sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS n_purchase
+SELECT CAST(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
 FROM s3
 """
 
@@ -520,15 +520,17 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         redact_pii(aug).alias("redacted"),
-        F.regexp_count(aug, F.lit(PII_EMAIL)).alias("n_emails"),
+        # cast to long: regexp_count is INT in Spark, len() is BIGINT in
+        # DuckDB — keep both engines' dtypes identical for the driver hash
+        F.regexp_count(aug, F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
         F.regexp_count(
             F.regexp_replace(aug, PII_EMAIL, "<EMAIL>"), F.lit(PII_IP)
-        ).alias("n_ips"),
+        ).cast("long").alias("n_ips"),
         F.regexp_count(
             F.regexp_replace(
                 F.regexp_replace(aug, PII_EMAIL, "<EMAIL>"), PII_IP, "<IP>"),
             F.lit(PII_PHONE),
-        ).alias("n_phones"),
+        ).cast("long").alias("n_phones"),
     )
 
 _PII_AUG_SQL = (

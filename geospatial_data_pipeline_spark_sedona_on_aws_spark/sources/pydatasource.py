@@ -265,6 +265,16 @@ class JsonlCommitWriter(DataSourceWriter):
                 if (name.startswith("part-") and name.endswith(".jsonl")
                         and name not in finals):
                     os.remove(os.path.join(self.path, name))
+        else:
+            # append: fold the previous manifest in, or every previously
+            # committed part silently vanishes from manifest-resolved reads
+            # (the files would remain on disk but be unreachable)
+            prev_path = os.path.join(self.path, "_SUCCESS")
+            if os.path.exists(prev_path):
+                with open(prev_path) as f:
+                    prev = json.load(f)
+                finals.extend(n for n in prev.get("files", []) if n not in finals)
+                rows += prev.get("rows", 0)
         manifest = os.path.join(self.path, "_SUCCESS")
         with open(manifest + ".tmp", "w") as f:
             json.dump({"files": sorted(finals), "rows": rows}, f)
@@ -302,8 +312,6 @@ def read_jsonl_commit(spark, path: str, schema: str):
         manifest = json.load(f)
     paths = [os.path.join(path, n) for n in manifest["files"]]
     if not paths:
-        from pyspark.sql.types import _parse_datatype_string
-
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).json(paths)
 
@@ -313,6 +321,8 @@ def crop_jsonl_commit_roundtrip(spark, sf_dir: str):
     read back via its manifest (same oracle as crop_analytics — the round
     trip must preserve every value exactly; the fixture's areas are
     integral so double↔text is lossless)."""
+    import atexit
+    import shutil
     import tempfile
 
     from ..plans.pipeline import crop_analytics
@@ -320,6 +330,10 @@ def crop_jsonl_commit_roundtrip(spark, sf_dir: str):
     register(spark)
     out = crop_analytics(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix="crop_jsonl_commit_")
+    # the returned DataFrame reads the files lazily, so the directory must
+    # outlive this call — reap it at interpreter exit instead of leaking one
+    # per gate run
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     out.write.format("jsonl_commit").option("path", tmp).mode("overwrite").save()
     return read_jsonl_commit(
         spark, tmp,

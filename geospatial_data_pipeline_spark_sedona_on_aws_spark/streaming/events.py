@@ -200,7 +200,7 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_JSON_ORACLE = """
 SELECT event_type,
-       sum(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
        max(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS max_k,
        count(*) AS n
 FROM events
@@ -785,10 +785,10 @@ def events_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_JSON_TYPED_ORACLE = """
 SELECT event_type,
-       sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+       CAST(sum(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
        avg(json_extract(props, '$.k')::BIGINT) AS avg_k,
-       sum(CASE WHEN json_extract(props, '$.k')::BIGINT > 50
-                THEN 1 ELSE 0 END) AS n_high
+       CAST(sum(CASE WHEN json_extract(props, '$.k')::BIGINT > 50
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_high
 FROM events
 GROUP BY event_type
 """

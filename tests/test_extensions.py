@@ -363,3 +363,14 @@ def test_pyds_jsonl_commit_sink_atomicity(spark, tmp_path):
     w.abort([msg])
     assert not os.path.exists(os.path.join(path, msg.tmp_name))
     assert json.load(open(os.path.join(path, "_SUCCESS")))["rows"] == 7
+
+    # append merges the previous manifest — earlier rows stay published
+    # (regression: append used to republish ONLY the new run's files,
+    # unpublishing every prior part)
+    spark.range(5).selectExpr("id + 100 AS id", "id AS v").write.format(
+        "jsonl_commit").option("path", path).mode("append").save()
+    man3 = json.load(open(os.path.join(path, "_SUCCESS")))
+    assert man3["rows"] == 12
+    merged = PDS.read_jsonl_commit(spark, path, "id bigint, v bigint")
+    assert merged.count() == 12
+    assert merged.where("id >= 100").count() == 5

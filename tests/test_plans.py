@@ -234,3 +234,48 @@ def test_registry_oracle_contract_is_complete():
     orphans = set(ORACLES) - set(QUERIES)
     assert not orphans, f"oracles without a query: {sorted(orphans)}"
     assert ROWS_ONLY <= set(QUERIES)
+
+
+def test_gate_window_covers_every_family():
+    """The driver's correctness gate reads only the FIRST 50 registry
+    entries (registry docstring: tier 1). Every operator family must have a
+    representative inside that window, or a whole family ships a round with
+    zero driver-verified rows (what happened to streaming/text/dedup/
+    similarity/sketches/multimodal/pyds in round 2)."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.plans.registry import QUERIES
+
+    window = list(QUERIES)[:50]
+
+    def family(name: str) -> str:
+        if name.startswith(("crop_", "st_", "spatial_", "geo_", "points_", "zorder_")):
+            return "spatial"
+        if name.startswith(("events_", "sessionize_", "streaming_", "stream_",
+                            "asof_", "interval_")):
+            return "streaming"
+        if name.startswith(("multimodal_",)):
+            return "multimodal"
+        if name.startswith(("pyds_",)):
+            return "pydatasource"
+        if name.startswith(("embedding_", "kmeans_")):
+            return "similarity"
+        if name in {"exact_dedup", "minhash_lsh_candidates", "simhash",
+                    "ngram_jaccard_pairs", "ngram_jaccard_verified",
+                    "dedup_clusters", "contamination_check"}:
+            return "dedup"
+        if name in {"text_stats", "token_counts", "quality_scores", "lang_detect",
+                    "bm25_term_scores", "pii_redact", "udtf_token_explode",
+                    "training_mix", "event_funnel", "repetition_scores",
+                    "ngram_topk_corpus"}:
+            return "text"
+        if name in {"hll_distinct", "cms_heavy_hitters", "histogram_quantile",
+                    "salted_agg_topk", "bloom_pruned_orders", "hash_sample",
+                    "stratified_sample", "reservoir_per_group", "profile_table"}:
+            return "sketches"
+        return "relational"
+
+    covered = {family(n) for n in window}
+    expected = {"spatial", "relational", "streaming", "text", "dedup",
+                "similarity", "sketches", "multimodal", "pydatasource"}
+    assert expected <= covered, f"families outside the gate window: {expected - covered}"
+    # q12 was round 2's only red row; it must stay driver-visible
+    assert "q12_late_priority" in window
