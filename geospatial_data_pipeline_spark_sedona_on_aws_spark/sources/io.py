@@ -41,9 +41,10 @@ def read_jdbc_partitioned(
 ) -> DataFrame:
     """JDBC-shaped source adapter, API-identical to the reference's
     `_read_data_from_db` (spark_job/process_geodata.py:74-96): 100-way
-    range-partitioned parallel read with fetchsize=10000. Requires a JDBC
-    driver jar on the classpath — unused in local tests (parquet instead),
-    kept as the production scan path."""
+    range-partitioned parallel read with fetchsize=10000. Exercised against
+    a live database in tests/test_jdbc.py via the embedded Derby driver that
+    ships in Spark's own jars (partitioned round trip, predicate pushdown,
+    bounds-are-stride-not-filter semantics, parallel append write)."""
     reader = (
         spark.read.format("jdbc")
         .option("url", url)
