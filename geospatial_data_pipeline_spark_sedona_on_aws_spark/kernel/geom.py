@@ -102,12 +102,18 @@ def to_wkt(geom: list) -> str:
 # ---------------------------------------------------------------- measures
 
 def _ring_signed_area(ring: list[tuple[float, float]]) -> float:
+    # translate to the first vertex before the shoelace: projected
+    # coordinates run to ~1e7 m (EPSG:3857/5880), where raw cross products
+    # (~5e13) round at ~0.01 m² per term and the area of a metres-sized
+    # polygon drowns in cancellation noise; the shoelace is exactly
+    # translation-invariant, so anchoring costs nothing
+    x0, y0 = ring[0]
     acc = 0.0
     n = len(ring)
     for i in range(n):
         x1, y1 = ring[i]
         x2, y2 = ring[(i + 1) % n]
-        acc += x1 * y2 - x2 * y1
+        acc += (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
     return acc / 2.0
 
 def area(geom: list) -> float:

@@ -50,7 +50,11 @@ def polyconic_forward(lon: float, lat: float) -> tuple[float, float]:
     cot = 1.0 / math.tan(lat)
     e_ang = (lon - _LON0) * math.sin(lat)
     x = n * cot * math.sin(e_ang)
-    y = _meridian_arc(lat) + n * cot * (1.0 - math.cos(e_ang))
+    # 2·sin²(E/2), not 1−cos(E): for |lat| ≲ 1e-5 (metres from the equator)
+    # E ~ 1e-7 and 1−cos(E) cancels catastrophically; multiplied by
+    # cot(lat) ~ 1e7 the noise reached millimetres per vertex, visible in
+    # area checks. The half-angle form keeps full relative precision.
+    y = _meridian_arc(lat) + n * cot * 2.0 * math.sin(e_ang / 2.0) ** 2
     return _FE + x, _FN + y
 
 def mercator_to_polyconic(x: float, y: float) -> tuple[float, float]:

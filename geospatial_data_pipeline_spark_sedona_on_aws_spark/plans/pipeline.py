@@ -214,12 +214,15 @@ def crop_analytics_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctness gate: the round trip must preserve every value exactly
     (same oracle as crop_analytics). Ints survive CSV verbatim; the area
     column is integral in the fixture domain so double↔text is lossless."""
+    import atexit
+    import shutil
     import tempfile
 
     from ..sources.io import read_csv_sink, write_csv_sink
 
     out = crop_analytics(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix="crop_csv_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     write_csv_sink(out, tmp)
     return read_csv_sink(
         spark, tmp,
@@ -232,12 +235,15 @@ def crop_analytics_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
     exercised inside the correctness gate (same oracle as crop_analytics;
     ints survive JSON verbatim and the fixture's areas are integral, so
     double↔text is lossless)."""
+    import atexit
+    import shutil
     import tempfile
 
     from ..sources.io import read_jsonl_sink, write_jsonl_sink
 
     out = crop_analytics(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix="crop_jsonl_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     write_jsonl_sink(out, tmp)
     return read_jsonl_sink(
         spark, tmp,

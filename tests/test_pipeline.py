@@ -44,6 +44,52 @@ def test_full_chain_positive_areas(spark):
     assert len(rows) > 0
     assert all(r["area"] >= 0 for r in rows)
 
+def test_full_chain_matches_planar_times_jacobian(spark):
+    """Value check for the full parity chain (MakeValid/Buffer/Union/
+    Intersection/Transform composition — reference
+    spark_job/process_geodata.py:102-139), closing the r2 rows-only hole.
+
+    The fixture domain spans ~115 m of EPSG:3857 near (0 m, 0 m), where the
+    3857→5880 map is affine to ~1e-9 relative (second-order terms scale with
+    domain/earth-radius). Under an affine map every polygon area scales by
+    the SAME factor — |det J| of the transform — so the full chain must
+    equal the planar cell-count variant times that one constant, group by
+    group. |det J| comes from the closed-form projection equations
+    (kernel/transform.py, Snyder USGS PP 1395) evaluated at the domain
+    center; its theoretical value at lat→0, Δλ=54° is
+    (M'(0)/a + Δλ²/2) ≈ 0.99330 + 0.44413 ≈ 1.4374 (x-scale is exactly 1:
+    parallels are standard in both projections at the equator)."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel.transform import (
+        mercator_to_polyconic,
+    )
+
+    # |det J| by central finite differences at the domain center (60, 60) m
+    h = 1.0
+    xpx, xpy = mercator_to_polyconic(60 + h, 60)
+    xmx, xmy = mercator_to_polyconic(60 - h, 60)
+    ypx, ypy = mercator_to_polyconic(60, 60 + h)
+    ymx, ymy = mercator_to_polyconic(60, 60 - h)
+    jac = abs(((xpx - xmx) * (ypy - ymy) - (ypx - ymx) * (xpy - xmy)) / (4 * h * h))
+    assert abs(jac - 1.4374) < 2e-3  # closed-form sanity anchor
+
+    key = ["region_id", "season_id", "land_type_id"]
+    full = {tuple(r[k] for k in key): r["area"]
+            for r in pipeline.crop_analytics_full(spark, SF_SMOKE).collect()}
+    planar = {tuple(r[k] for k in key): r["area"]
+              for r in pipeline.crop_analytics(spark, SF_SMOKE).collect()}
+    # planar filters area>0; every planar group must appear in full with
+    # area = planar_area × |det J|. Tolerance 2e-5: J drifts a few 1e-6
+    # across the domain's ~115 m of latitude (measured worst deviation
+    # 5.4e-6 after the half-angle transform + anchored-shoelace fixes —
+    # this test caught both).
+    assert set(planar) <= set(full)
+    for k, a_planar in planar.items():
+        ratio = full[k] / (a_planar * jac)
+        assert abs(ratio - 1.0) < 2e-5, (k, full[k], a_planar, jac)
+    # groups only in full are the empty-clip ones the planar variant drops
+    for k in set(full) - set(planar):
+        assert full[k] <= 1e-9 * jac, (k, full[k])
+
 def test_blue_green_publish(spark, tmp_path):
     df1 = pipeline.crop_analytics(spark, SF_SMOKE)
     name1 = catalog.publish_snapshot(
