@@ -310,10 +310,10 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     its k winners. The point side never hash-shuffles and no per-pair row
     ever materializes — at 100 TB this is scan → map → done, the same shape
     as a dimension-array lookup join (the one round-robin repartition below
-    exists only to split the fixture's single-row-group file). For dims too big to broadcast as an array,
-    the scale path is the grid variant: land each point in its cell, probe
-    an expanding ring of neighbor cells until k candidates are bounded by
-    the ring distance (classic grid-KNN; same _cells machinery as above).
+    exists only to split the fixture's single-row-group file). For dims too
+    big to broadcast as an array, use knn_join_grid below — the
+    implemented expanding-ring grid fallback, bit-identical output
+    (tests/test_operators.py::test_knn_grid_fallback_matches_broadcast_path).
 
     Distances stay in exact integer arithmetic (doubled coordinates avoid
     the 0.5 centroid fraction) so cross-engine comparison is bit-exact.
@@ -353,6 +353,114 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nn.region_id").alias("region_id"),
             F.col("nn.dist2").alias("dist2"),
         )
+    )
+
+def knn_join_grid(spark: SparkSession, sf_dir: str, cell: int = 25,
+                  k: int = KNN_K) -> DataFrame:
+    """The non-broadcast KNN fallback: grid-partitioned dimension with
+    expanding neighbor-cell probing — the scale path for dimensions too big
+    to collapse into one broadcast array (the watch item flagged in r2;
+    same answer as knn_join, proven by sharing KNN_JOIN_ORACLE).
+
+    Classic grid-KNN (Simba/Sedona partitioned-KNN shape) in DataFrame ops:
+      1. dimension centroids land in grid cells ONCE (no per-point work);
+      2. each point probes the (2r+1)² cells of Chebyshev ring r around its
+         own cell via an explode → EQUI-join on cell id — hash-partitioned,
+         never a cross join, never a broadcast of the whole dimension;
+      3. per-point top-k by window rank over the bounded candidate set;
+      4. a point is DONE when it found k candidates and its kth distance is
+         ≤ r·cellsize — the ring provably contains every centroid that
+         close (per-axis: |Δcell| ≤ r covers |Δcoord| ≤ r·cellsize), so no
+         closer centroid can exist outside the probed cells;
+      5. unresolved points re-probe with r doubled; the final ring covers
+         the whole domain, so termination is unconditional.
+
+    At 100 TB both sides shuffle only on cell ids (points once per round,
+    the dim once at the start), the fan-out per round is (2r+1)² rows per
+    REMAINING point, and rounds fall geometrically — dense data resolves
+    in round 1, stragglers pay proportionally to their local sparsity.
+    Distances stay in exact integer arithmetic (doubled coordinates), so
+    results are bit-identical to the broadcast variant and the oracle.
+    """
+    o = _t_orders(spark, sf_dir)
+    pts = o.select(
+        F.col("o_orderkey").alias("point_id"),
+        (F.col("o_custkey") % 100).alias("px"),
+        ((F.col("o_orderkey") * 7) % 100).alias("py"),
+    ).repartition(spark.sparkContext.defaultParallelism)
+    regions = fixtures.geographic_regions(spark, sf_dir)
+    # doubled coordinates (2·centroid = gx1+gx2) keep everything integral;
+    # the doubled cell width is 2·cell so cell ids match plain-space cells
+    dcell = 2 * cell
+    dimc = regions.select(
+        (F.col("gx1") + F.col("gx2")).alias("sx"),
+        (F.col("gy1") + F.col("gy2")).alias("sy"),
+        F.col("id").alias("region_id"),
+        F.floor((F.col("gx1") + F.col("gx2")) / dcell).alias("cx"),
+        F.floor((F.col("gy1") + F.col("gy2")) / dcell).alias("cy"),
+    )
+    ptc = pts.select(
+        "point_id", "px", "py",
+        F.floor(2 * F.col("px") / dcell).alias("pcx"),
+        F.floor(2 * F.col("py") / dcell).alias("pcy"),
+    )
+    # smallest ring guaranteed to cover every dim cell from every point cell
+    db = dimc.agg(F.min("cx"), F.max("cx"), F.min("cy"), F.max("cy")).first()
+    pb = ptc.agg(F.min("pcx"), F.max("pcx"), F.min("pcy"), F.max("pcy")).first()
+    r_cover = int(max(abs(pb[1] - db[0]), abs(db[1] - pb[0]),
+                      abs(pb[3] - db[2]), abs(db[3] - pb[2]), 1))
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("point_id").orderBy("dist2", "region_id")
+    resolved: list[DataFrame] = []
+    rem = ptc
+    r = 1
+    while True:
+        probe = (
+            rem.withColumn("__dx", F.explode(F.sequence(F.lit(-r), F.lit(r))))
+            .withColumn("__dy", F.explode(F.sequence(F.lit(-r), F.lit(r))))
+            .select(
+                "point_id", "px", "py",
+                (F.col("pcx") + F.col("__dx")).alias("cx"),
+                (F.col("pcy") + F.col("__dy")).alias("cy"),
+            )
+        )
+        dxe = 2 * F.col("px") - F.col("sx")
+        dye = 2 * F.col("py") - F.col("sy")
+        topk = (
+            probe.join(dimc, ["cx", "cy"])
+            .select(
+                "point_id", "region_id",
+                (dxe * dxe + dye * dye).cast("bigint").alias("dist2"),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+        )
+        if r >= r_cover:
+            resolved.append(topk)
+            break
+        # done = k found AND kth distance certainly inside the probed ring
+        done = (
+            topk.groupBy("point_id")
+            .agg(F.count("*").alias("__n"), F.max("dist2").alias("__dk"))
+            .where((F.col("__n") == k) & (F.col("__dk") <= (r * dcell) ** 2))
+            .select("point_id")
+        )
+        resolved.append(topk.join(done, "point_id", "left_semi"))
+        rem = rem.join(done, rem["point_id"] == done["point_id"], "left_anti")
+        # truncate lineage: each round's rem otherwise re-plans all priors
+        rem = rem.localCheckpoint(eager=True)
+        if not rem.take(1):
+            break
+        r *= 2
+
+    out = resolved[0]
+    for df in resolved[1:]:
+        out = out.unionByName(df)
+    return out.select(
+        "point_id", F.col("rank").cast("bigint").alias("rank"),
+        "region_id", "dist2",
     )
 
 KNN_JOIN_ORACLE = f"""

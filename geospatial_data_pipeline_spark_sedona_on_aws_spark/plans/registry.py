@@ -162,6 +162,8 @@ QUERIES: dict[str, QueryFn] = {
     "stratified_sample": SK.stratified_sample,
     "reservoir_per_group": SK.reservoir_per_group,
     "profile_table": SK.profile_table,
+    # --- spatial breadth ---
+    "spatial_knn_join_grid": SJ.knn_join_grid,
     # --- multimodal / Python DataSource breadth ---
     "multimodal_resize": MM.multimodal_resize,
     "multimodal_frame_sample": MM.multimodal_frame_sample,
@@ -179,6 +181,7 @@ ORACLES: dict[str, str] = {
     "geo_range_join": SJ.GEO_RANGE_JOIN_ORACLE,
     "points_in_regions": SJ.POINTS_IN_REGIONS_ORACLE,
     "spatial_knn_join": SJ.KNN_JOIN_ORACLE,
+    "spatial_knn_join_grid": SJ.KNN_JOIN_ORACLE,  # fallback path, same answer
     "q1_pricing_summary": R.Q1_ORACLE,
     "q3_shipping_priority": R.Q3_ORACLE,
     "nation_revenue": R.NATION_REVENUE_ORACLE,

@@ -68,6 +68,22 @@ def test_dissolve_mixed_partials_overlapping_rects(spark):
     out = dissolve_clip_area(df, ["k"], "g", "clip").collect()
     assert abs(out[0]["area"] - (2 + 4 + 4 - 1)) < 1e-9
 
+def test_knn_grid_fallback_matches_broadcast_path(spark):
+    # Force the non-broadcast grid path through MULTIPLE probe rounds
+    # (cell=5 -> many near-empty cells, so plenty of points need ring
+    # expansion) and require bit-identical output vs the broadcast variant.
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.operators.spatial_join import (
+        knn_join,
+        knn_join_grid,
+    )
+
+    cols = ["point_id", "rank", "region_id", "dist2"]
+    base = {tuple(r) for r in knn_join(spark, SF_SMOKE).select(*cols).collect()}
+    grid = {tuple(r) for r in
+            knn_join_grid(spark, SF_SMOKE, cell=5).select(*cols).collect()}
+    assert grid == base
+    assert len(grid) > 0
+
 def test_st_udfs_via_sql(spark):
     register_spatial_functions(spark)
     df = spark.createDataFrame(
