@@ -100,7 +100,7 @@ QUERIES: dict[str, QueryFn] = {
     "salted_agg_topk": SK.salted_agg_topk,
     "bloom_pruned_orders": SK.bloom_pruned_orders,
     # --- multimodal + Python DataSource representatives ---
-    "multimodal_features": MM.multimodal_features,
+    "multimodal_png_decode": MM.multimodal_png_decode,  # real decode loop
     "pyds_sensor_hourly": PDS.sensor_hourly,
     "pyds_jsonl_commit_roundtrip": PDS.crop_jsonl_commit_roundtrip,
     # ==================== tier 2: full breadth (entries 51+) ==============
@@ -165,6 +165,7 @@ QUERIES: dict[str, QueryFn] = {
     # --- spatial breadth ---
     "spatial_knn_join_grid": SJ.knn_join_grid,
     # --- multimodal / Python DataSource breadth ---
+    "multimodal_features": MM.multimodal_features,
     "multimodal_resize": MM.multimodal_resize,
     "multimodal_frame_sample": MM.multimodal_frame_sample,
     "pyds_sensor_stream_totals": PDS.sensor_stream_totals,
@@ -270,6 +271,7 @@ ORACLES: dict[str, str] = {
     "streaming_snapshot_publish": EV.STREAMING_SNAPSHOT_PUBLISH_ORACLE,
     "stream_static_enrich": EV.STREAM_STATIC_ENRICH_ORACLE,
     "multimodal_features": MM.MULTIMODAL_FEATURES_ORACLE,
+    "multimodal_png_decode": MM.MULTIMODAL_PNG_DECODE_ORACLE,
     "multimodal_resize": MM.MULTIMODAL_RESIZE_ORACLE,
     "multimodal_frame_sample": MM.MULTIMODAL_FRAME_SAMPLE_ORACLE,
     "pyds_sensor_hourly": PDS.SENSOR_HOURLY_ORACLE,

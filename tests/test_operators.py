@@ -68,6 +68,46 @@ def test_dissolve_mixed_partials_overlapping_rects(spark):
     out = dissolve_clip_area(df, ["k"], "g", "clip").collect()
     assert abs(out[0]["area"] - (2 + 4 + 4 - 1)) < 1e-9
 
+def test_png_codec_roundtrip_all_filters():
+    # Every scanline filter type, grayscale and RGB, exact pixel recovery.
+    import numpy as np
+
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.multimodal.binary import (
+        png_decode,
+        png_encode,
+    )
+
+    rng = np.random.default_rng(42)
+    gray = rng.integers(0, 256, size=(13, 17), dtype=np.uint8)
+    rgb = rng.integers(0, 256, size=(9, 11, 3), dtype=np.uint8)
+    for ft in range(5):
+        d = png_decode(png_encode(gray, filter_type=ft))
+        assert (d["width"], d["height"], d["channels"]) == (17, 13, 1)
+        assert (d["pixels"] == gray).all(), f"gray filter {ft}"
+        d = png_decode(png_encode(rgb, filter_type=ft))
+        assert (d["width"], d["height"], d["channels"]) == (11, 9, 3)
+        assert (d["pixels"] == rgb).all(), f"rgb filter {ft}"
+
+
+def test_decode_media_contract():
+    # PNG decodes in-process (through PIL when installed, stdlib codec
+    # otherwise — decode_media prefers PIL automatically); non-image media
+    # still raises the documented NotImplementedError.
+    import numpy as np
+    import pytest as _pytest
+
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.multimodal.binary import (
+        decode_media,
+        png_encode,
+    )
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    d = decode_media(png_encode(img, filter_type=4), "image/png")
+    assert (np.asarray(d["pixels"]).reshape(8, 8) == img).all()
+    with _pytest.raises(NotImplementedError):
+        decode_media(b"\x00\x01", "audio/wav")
+
+
 def test_knn_grid_fallback_matches_broadcast_path(spark):
     # Force the non-broadcast grid path through MULTIPLE probe rounds
     # (cell=5 -> many near-empty cells, so plenty of points need ring
