@@ -40,7 +40,48 @@ HEADLINE = [
     "repetition_scores",
     "spatial_knn_join",
     "events_session_window",
+    # round 3 additions
+    "crop_analytics_skewed",   # hot-key flagship: region 0 holds ~50% of rows
+    "multimodal_png_decode",   # real encode->decode loop per document
 ]
+
+# scale-curve sweep (--sweep): the most expensive headline queries measured
+# at three scale factors, so the "survives 100x" claim has measured slope
+SWEEP_QUERIES = [
+    "crop_analytics",
+    "spatial_range_join",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_candidates",
+    "spatial_knn_join",
+]
+SWEEP_SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
+             "/root/testdata/sf0.1"]
+
+def sweep(spark) -> None:
+    """--sweep: per-sf timings of the expensive queries (min of 3 measured
+    passes after a warm pass, same methodology as the headline bench).
+    Prints ONE JSON line with the curve."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.plans.registry import QUERIES
+
+    curve: dict[str, dict[str, float]] = {q: {} for q in SWEEP_QUERIES}
+    for sf_dir in SWEEP_SFS:
+        sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+        for phase in ("warm", "measure", "measure", "measure"):
+            for name in SWEEP_QUERIES:
+                t0 = time.perf_counter()
+                QUERIES[name](spark, sf_dir).count()
+                dt = round(time.perf_counter() - t0, 3)
+                if phase == "measure":
+                    cur = curve[name].get(sf)
+                    if cur is None or dt < cur:
+                        curve[name][sf] = dt
+    print(json.dumps({
+        "metric": "scale_curve",
+        "unit": "sec",
+        "sfs": [s.rsplit("sf", 1)[-1] for s in SWEEP_SFS],
+        "queries": curve,
+        "methodology": "per-sf: full warm pass then per-query min of 3 measured passes",
+    }))
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -65,6 +106,9 @@ def main() -> None:
     warm.selectExpr(
         "sum(aggregate(transform(split(s, 'x'), t -> length(t)), 0L, (a, b) -> a + b))"
     ).collect()
+    if "--sweep" in sys.argv:
+        sweep(spark)
+        return
     # Steady-state methodology: one full warm pass at the measured scale,
     # then the measured pass. Warming at a smaller sf is not enough — AQE
     # picks DIFFERENT physical plans at different scales (broadcast-vs-SMJ

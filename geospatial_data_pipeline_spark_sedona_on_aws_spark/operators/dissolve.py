@@ -176,7 +176,8 @@ def dissolve_clip_area(df: DataFrame, group_cols: Sequence[str], geom_col: str,
                        clip_col: str, out_col: str = "area",
                        salt: int = DEFAULT_SALT,
                        clip_bounds: Sequence[str] | None = None,
-                       geom_bounds: Sequence[str] | None = None) -> DataFrame:
+                       geom_bounds: Sequence[str] | None = None,
+                       _partials_only: bool = False) -> DataFrame:
     """Fused area(clip ∩ union(geoms)) per group — the engine's hot path for
     the reference's flagship computation (spark_job/process_geodata.py:110-139).
 
@@ -351,6 +352,10 @@ def dissolve_clip_area(df: DataFrame, group_cols: Sequence[str], geom_col: str,
             yield pd.concat(parts, ignore_index=True)
 
     partials = routed.mapInPandas(combine, schema=bounds_schema)
+    if _partials_only:
+        # test/diagnostic hook: the rows that would enter the ONLY shuffle —
+        # the skew proof asserts |partials| << |raw rows| for hot dense keys
+        return partials
 
     # ---- stage 3: the only shuffle — exact union area per group ------------
     # repartition(keys) + mapInPandas instead of groupBy().applyInPandas:

@@ -120,12 +120,55 @@ def geographic_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a production deployment would CACHE TABLE its region dim the same way.
     return out.persist()
 
+def land_use_areas_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deliberately skewed variant of land_use_areas: every even orderkey
+    lands in region 0, so one region holds ~50% of all parcels — the
+    hot-key shape that breaks single-task grouped aggregation at scale.
+    Used by the dissolve skew proof (test + bench): the combiner-based
+    dissolve must survive this where a naive grouped-map serializes."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = li.selectExpr(
+        "cast(CASE WHEN l_orderkey % 2 = 0 THEN 0"
+        f" ELSE l_suppkey % {N_REGIONS} END as bigint) AS region_id",
+        "cast(CASE l_returnflag WHEN 'A' THEN 1 WHEN 'N' THEN 2"
+        " WHEN 'R' THEN 3 ELSE 0 END as bigint) AS season_id",
+        "cast(CASE l_linestatus WHEN 'F' THEN 1 WHEN 'O' THEN 2"
+        " ELSE 0 END as bigint) AS land_type_id",
+        "cast(l_orderkey * 10 + l_linenumber as bigint) AS property_id",
+        "cast(l_partkey % 100 as bigint) AS x1",
+        "cast(l_suppkey % 100 as bigint) AS y1",
+        "1 + cast(floor(l_quantity) as bigint) % 10 AS w",
+        "1 + cast(floor(l_extendedprice / 1000) as bigint) % 10 AS h",
+    ).selectExpr(
+        "region_id", "season_id", "land_type_id", "property_id",
+        "x1", "y1", "x1 + w AS x2", "y1 + h AS y2",
+    )
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
 # --------------------------------------------------- DuckDB oracle CTE text
 
 LAND_USE_CTE = """
 land_use AS (
     SELECT
         l_suppkey % 50                                        AS region_id,
+        CASE l_returnflag WHEN 'A' THEN 1 WHEN 'N' THEN 2
+                          WHEN 'R' THEN 3 ELSE 0 END          AS season_id,
+        CASE l_linestatus WHEN 'F' THEN 1 WHEN 'O' THEN 2
+                          ELSE 0 END                          AS land_type_id,
+        l_orderkey * 10 + l_linenumber                        AS property_id,
+        l_partkey % 100                                       AS x1,
+        l_suppkey % 100                                       AS y1,
+        l_partkey % 100 + 1 + CAST(floor(l_quantity) AS BIGINT) % 10   AS x2,
+        l_suppkey % 100 + 1 + CAST(floor(l_extendedprice / 1000) AS BIGINT) % 10 AS y2
+    FROM lineitem
+)
+"""
+
+LAND_USE_SKEWED_CTE = """
+land_use AS (
+    SELECT
+        CASE WHEN l_orderkey % 2 = 0 THEN 0
+             ELSE l_suppkey % 50 END                          AS region_id,
         CASE l_returnflag WHEN 'A' THEN 1 WHEN 'N' THEN 2
                           WHEN 'R' THEN 3 ELSE 0 END          AS season_id,
         CASE l_linestatus WHEN 'F' THEN 1 WHEN 'O' THEN 2

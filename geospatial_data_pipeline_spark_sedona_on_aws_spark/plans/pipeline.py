@@ -64,6 +64,40 @@ def crop_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "region_id", "season_id", "land_type_id", F.col("area").cast("double").alias("area")
     )
 
+def crop_analytics_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship plan under a hot key: region 0 holds ~50% of all
+    parcels (fixtures.land_use_areas_skewed). The combiner decomposition in
+    dissolve_clip_area (map-side partial union per partition, one shuffle
+    of numeric partials) is exactly what makes this survive — a grouped-map
+    dissolve would drag half the fact table into one task. Oracle-checked
+    like crop_analytics; benched as the skew-proof entry."""
+    from ..operators.dissolve import rect_bounds
+
+    lu = fixtures.land_use_areas_skewed(spark, sf_dir)
+    regions = fixtures.geographic_regions(spark, sf_dir)
+    rx1, ry1, rx2, ry2 = rect_bounds("region_geometry")
+    regions = regions.select(
+        "id", "region_geometry",
+        rx1.alias("__cb_x1"), ry1.alias("__cb_y1"),
+        rx2.alias("__cb_x2"), ry2.alias("__cb_y2"),
+    )
+    joined = lu.join(F.broadcast(regions), lu["region_id"] == regions["id"], "inner")
+    joined = joined.withColumn(
+        "land_geometry", fixtures.rect_wkt("x1", "y1", "x2", "y2"))
+    out = dissolve_clip_area(
+        joined,
+        group_cols=["region_id", "season_id", "land_type_id"],
+        geom_col="land_geometry",
+        clip_col="region_geometry",
+        out_col="area",
+        clip_bounds=["__cb_x1", "__cb_y1", "__cb_x2", "__cb_y2"],
+        geom_bounds=["x1", "y1", "x2", "y2"],
+    )
+    return out.filter(F.col("area") > 0).select(
+        "region_id", "season_id", "land_type_id",
+        F.col("area").cast("double").alias("area"),
+    )
+
 def crop_analytics_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-parity chain incl. ST_MakeValid / ST_Buffer(ε) / ST_Buffer(0) /
     ST_Transform — every F.expr below is a verbatim reference call-site shape
@@ -146,6 +180,35 @@ JOIN regions r ON lu.region_id = r.id
 
 CROP_ANALYTICS_ORACLE = f"""
 WITH {fixtures.LAND_USE_CTE.strip()},
+{fixtures.REGIONS_CTE.strip()},
+clipped AS (
+    SELECT lu.region_id, lu.season_id, lu.land_type_id,
+           greatest(lu.x1, r.gx1) AS cx1, least(lu.x2, r.gx2) AS cx2,
+           greatest(lu.y1, r.gy1) AS cy1, least(lu.y2, r.gy2) AS cy2
+    FROM land_use lu
+    JOIN regions r ON lu.region_id = r.id
+    WHERE least(lu.x2, r.gx2) > greatest(lu.x1, r.gx1)
+      AND least(lu.y2, r.gy2) > greatest(lu.y1, r.gy1)
+),
+xcells AS (
+    SELECT region_id, season_id, land_type_id, cy1, cy2,
+           unnest(range(cx1, cx2)) AS cx
+    FROM clipped
+),
+ycells AS (
+    SELECT region_id, season_id, land_type_id, cx,
+           unnest(range(cy1, cy2)) AS cy
+    FROM xcells
+),
+cells AS (SELECT DISTINCT * FROM ycells)
+SELECT region_id, season_id, land_type_id,
+       CAST(count(*) AS DOUBLE) AS area
+FROM cells
+GROUP BY region_id, season_id, land_type_id
+"""
+
+CROP_ANALYTICS_SKEWED_ORACLE = f"""
+WITH {fixtures.LAND_USE_SKEWED_CTE.strip()},
 {fixtures.REGIONS_CTE.strip()},
 clipped AS (
     SELECT lu.region_id, lu.season_id, lu.land_type_id,

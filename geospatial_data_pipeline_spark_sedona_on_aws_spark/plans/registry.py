@@ -164,6 +164,7 @@ QUERIES: dict[str, QueryFn] = {
     "profile_table": SK.profile_table,
     # --- spatial breadth ---
     "spatial_knn_join_grid": SJ.knn_join_grid,
+    "crop_analytics_skewed": P.crop_analytics_skewed,
     # --- multimodal / Python DataSource breadth ---
     "multimodal_features": MM.multimodal_features,
     "multimodal_resize": MM.multimodal_resize,
@@ -183,6 +184,7 @@ ORACLES: dict[str, str] = {
     "points_in_regions": SJ.POINTS_IN_REGIONS_ORACLE,
     "spatial_knn_join": SJ.KNN_JOIN_ORACLE,
     "spatial_knn_join_grid": SJ.KNN_JOIN_ORACLE,  # fallback path, same answer
+    "crop_analytics_skewed": P.CROP_ANALYTICS_SKEWED_ORACLE,
     "q1_pricing_summary": R.Q1_ORACLE,
     "q3_shipping_priority": R.Q3_ORACLE,
     "nation_revenue": R.NATION_REVENUE_ORACLE,

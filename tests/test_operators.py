@@ -68,6 +68,107 @@ def test_dissolve_mixed_partials_overlapping_rects(spark):
     out = dissolve_clip_area(df, ["k"], "g", "clip").collect()
     assert abs(out[0]["area"] - (2 + 4 + 4 - 1)) < 1e-9
 
+def _naive_dissolve(spark, sf_dir, keys):
+    """Unsalted grouped-map control: ALL raw rows of a group land in one
+    applyInPandas task, clip + exact union there — the plan shape whose hot
+    task ingests half the fact table under the skewed fixture."""
+    import numpy as np
+    import pandas as pd
+
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel import rectnp as R
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.plans import fixtures
+
+    lu = fixtures.land_use_areas_skewed(spark, sf_dir)
+    regions = fixtures.geographic_regions(spark, sf_dir)
+    joined = lu.join(F.broadcast(regions), lu["region_id"] == regions["id"], "inner")
+
+    def one_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        gx1, gy1 = pdf["gx1"].iloc[0], pdf["gy1"].iloc[0]
+        gx2, gy2 = pdf["gx2"].iloc[0], pdf["gy2"].iloc[0]
+        b = pdf[["x1", "y1", "x2", "y2"]].to_numpy(dtype=np.float64)
+        b[:, 0] = np.maximum(b[:, 0], gx1)
+        b[:, 1] = np.maximum(b[:, 1], gy1)
+        b[:, 2] = np.minimum(b[:, 2], gx2)
+        b[:, 3] = np.minimum(b[:, 3], gy2)
+        b = b[(b[:, 2] > b[:, 0]) & (b[:, 3] > b[:, 1])]
+        area = R.union_area(b) if len(b) else 0.0
+        out = pdf[keys].head(1).copy()
+        out["area"] = float(area)
+        return out
+
+    return (
+        joined.groupBy(*keys)
+        .applyInPandas(one_group, schema=", ".join(
+            f"{k} bigint" for k in keys) + ", area double")
+        .where("area > 0")
+    )
+
+
+def test_dissolve_skew_proof_output_identity(spark):
+    """Skew proof part 1 (r2 VERDICT item 6): on the fixture where region 0
+    holds ~50% of all parcels, the combiner-based dissolve produces the
+    exact same areas as the naive unsalted grouped-map control — hot key
+    included."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.plans.pipeline import (
+        crop_analytics_skewed,
+    )
+
+    keys = ["region_id", "season_id", "land_type_id"]
+    sf_dir = "/root/testdata/sf0.01"
+    combined = {tuple(r[k] for k in keys): r["area"]
+                for r in crop_analytics_skewed(spark, sf_dir).collect()}
+    control = {tuple(r[k] for k in keys): r["area"]
+               for r in _naive_dissolve(spark, sf_dir, keys).collect()}
+    assert combined == control
+    assert len(combined) > 200
+
+
+def test_dissolve_skew_proof_shuffle_reduction(spark):
+    """Skew proof part 2: the mechanism that matters at 100 TB. The naive
+    grouped-map shuffles every raw row — its hot task ingests ~50% of the
+    fact table (serialization cliff at scale). The combiner's ONLY shuffle
+    carries per-(partition, key) disjoint-rect partials, bounded by the
+    group's geometric footprint, not its row count. Assert that reduction
+    on the hot region at sf0.1: raw rows in vs partial rows out.
+
+    (Wall-clock at fixture scale is NOT the right assert: union_area is
+    grid-compressed, so per-group compute is O(rows + footprint) and local
+    shuffles of 10 MB are free — the skew cliff is shuffle volume and
+    single-task input, which is exactly what this measures.)"""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.operators.dissolve import (
+        dissolve_clip_area,
+        rect_bounds,
+    )
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.plans import fixtures
+
+    sf_dir = "/root/testdata/sf0.1"
+    keys = ["region_id", "season_id", "land_type_id"]
+    lu = fixtures.land_use_areas_skewed(spark, sf_dir)
+    regions = fixtures.geographic_regions(spark, sf_dir)
+    rx1, ry1, rx2, ry2 = rect_bounds("region_geometry")
+    regions = regions.select(
+        "id", "region_geometry",
+        rx1.alias("__cb_x1"), ry1.alias("__cb_y1"),
+        rx2.alias("__cb_x2"), ry2.alias("__cb_y2"),
+    )
+    joined = lu.join(F.broadcast(regions), lu["region_id"] == regions["id"], "inner")
+    joined = joined.withColumn(
+        "land_geometry", fixtures.rect_wkt("x1", "y1", "x2", "y2"))
+    partials = dissolve_clip_area(
+        joined, group_cols=keys, geom_col="land_geometry",
+        clip_col="region_geometry",
+        clip_bounds=["__cb_x1", "__cb_y1", "__cb_x2", "__cb_y2"],
+        geom_bounds=["x1", "y1", "x2", "y2"],
+        _partials_only=True,
+    )
+    raw_hot = joined.where("region_id = 0").count()
+    partial_hot = partials.where("region_id = 0").count()
+    assert raw_hot > 100_000  # the skew is real: ~50% of sf0.1 lineitem
+    # the dense hot region must combine map-side to a small multiple of its
+    # footprint per partition — at least 5x fewer rows into the shuffle
+    assert partial_hot * 5 <= raw_hot, (partial_hot, raw_hot)
+
+
 def test_png_codec_roundtrip_all_filters():
     # Every scanline filter type, grayscale and RGB, exact pixel recovery.
     import numpy as np
