@@ -59,6 +59,17 @@ def test_crop_analytics_single_shuffle(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_crop_analytics_skewed_single_shuffle(spark):
+    """The skewed flagship keeps the same plan shape as the uniform one:
+    a hot key must not change the dataflow — exactly one fact shuffle (the
+    partial merge), broadcast join for the dimension."""
+    plan = physical_plan(P.crop_analytics_skewed(spark, SF_SMOKE))
+    live = plan.split("InMemoryRelation")[0]
+    fact_shuffles = re.findall(r"Exchange hashpartitioning\(region_id", live)
+    assert len(fact_shuffles) == 1, plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_whole_stage_codegen_covers_relational_plans(spark):
     # executedPlan().toString() pre-AQE doesn't mark codegen stages; the
     # codegen explain mode reports the fused subtrees directly
