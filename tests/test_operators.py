@@ -224,6 +224,11 @@ def test_knn_grid_fallback_matches_broadcast_path(spark):
             knn_join_grid(spark, SF_SMOKE, cell=5).select(*cols).collect()}
     assert grid == base
     assert len(grid) > 0
+    # giant cells: r_cover collapses to 1, exercising the immediate
+    # whole-domain accept branch (no ring expansion at all)
+    grid_one = {tuple(r) for r in
+                knn_join_grid(spark, SF_SMOKE, cell=100).select(*cols).collect()}
+    assert grid_one == base
 
 def test_st_udfs_via_sql(spark):
     register_spatial_functions(spark)

@@ -101,3 +101,29 @@ def test_zorder_bit_roundtrip(x, y):
         f"SELECT {zorder_sql('x', 'y')} AS z FROM (SELECT {x % 256} AS x, {y % 256} AS y)"
     ).fetchone()[0]
     assert got == z
+
+
+@given(
+    st.integers(1, 24), st.integers(1, 24),  # width, height
+    st.sampled_from([1, 3]),                 # channels (gray / RGB)
+    st.integers(0, 4),                       # scanline filter type
+    st.integers(0, 2**32 - 1),               # pixel seed
+)
+@settings(max_examples=60, deadline=None)
+def test_png_codec_roundtrip_property(w, h, ch, ft, seed):
+    """PNG codec property: encode→decode is the identity for every image
+    shape (including 1-pixel edges), both color modes, and every filter
+    type — no Spark involved, so the example budget can be generous."""
+    import numpy as np
+
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.multimodal.binary import (
+        png_decode,
+        png_encode,
+    )
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    d = png_decode(png_encode(img, filter_type=ft))
+    assert (d["width"], d["height"], d["channels"]) == (w, h, ch)
+    assert (np.asarray(d["pixels"]).reshape(shape) == img).all()
