@@ -208,10 +208,20 @@ def extract_features(media: DataFrame) -> DataFrame:
                "first_byte long, byte_sum_mod long",
     )
 
+def _docs(spark: SparkSession, sf_dir: str, *cols: str) -> DataFrame:
+    """documents scan fanned out to all cores: the testdata parquet is
+    single-row-group (ONE real split), and every consumer here feeds a
+    CPU-bound Python stage — without the repartition the whole corpus
+    decodes serially in one task. On a multi-file table this exchange is
+    the usual narrow-column spread (see fixtures.land_use_areas)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if cols:
+        docs = docs.select(*cols)
+    return docs.repartition(spark.sparkContext.defaultParallelism)
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end: documents → binary payload → mapInPandas features."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return extract_features(attach_binary_payload(docs))
+    return extract_features(attach_binary_payload(_docs(spark, sf_dir)))
 
 # Byte-level oracle: documents.text is ASCII in the testdata, so UTF-8 byte
 # features have closed forms (strlen = bytes, ascii of first char).
@@ -282,7 +292,7 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     then DECODE the bytes back (PIL when installed, stdlib codec otherwise)
     and report the decoded dimensions and pixel sum. The oracle recomputes
     the pixel law in SQL; any codec defect breaks the hash."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = _docs(spark, sf_dir, "doc_id")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         idx = np.arange(PNG_W * PNG_H, dtype=np.int64)
@@ -317,12 +327,10 @@ GROUP BY d.doc_id
 """
 
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return resize_payload(attach_binary_payload(docs))
+    return resize_payload(attach_binary_payload(_docs(spark, sf_dir)))
 
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return frame_sample(attach_binary_payload(docs))
+    return frame_sample(attach_binary_payload(_docs(spark, sf_dir)))
 
 MULTIMODAL_RESIZE_ORACLE = f"""
 SELECT doc_id,
