@@ -16,8 +16,8 @@ combiner decomposition instead:
     stage 3  groupBy(keys)              (the ONLY shuffle: compact numeric
              partials, never raw rows) -> vectorized exact union area
 
-union_aggr (the geometry-valued variant) keeps the two-level salted shape for
-the same reason.
+union_aggr (the geometry-valued variant) keeps the same two-level shape,
+with the input partitioning as the natural salt.
 """
 
 from __future__ import annotations
@@ -32,8 +32,6 @@ from pyspark.sql import functions as F
 from ..kernel import boolean as B
 from ..kernel import geom as G
 from ..kernel import rectnp as R
-
-DEFAULT_SALT = 16
 
 def wkt_nums_sql(col: str) -> str:
     """SQL text of the WKT-numbers parse (array<double> of every number in
@@ -96,7 +94,7 @@ def _poly_rects(wkt: str) -> list[tuple[float, float, float, float]]:
     return G.rectilinear_decompose(G.parse_wkt(wkt))
 
 def union_aggr(df: DataFrame, group_cols: Sequence[str], geom_col: str,
-               out_col: str = "geometry", salt: int = DEFAULT_SALT) -> DataFrame:
+               out_col: str = "geometry") -> DataFrame:
     """ST_Union_Aggr: per-group geometric union, geometry-valued output
     (canonical WKT).
 
@@ -174,7 +172,6 @@ def _clip_one(geom_wkt: str | None, clip_wkt: str | None
 
 def dissolve_clip_area(df: DataFrame, group_cols: Sequence[str], geom_col: str,
                        clip_col: str, out_col: str = "area",
-                       salt: int = DEFAULT_SALT,
                        clip_bounds: Sequence[str] | None = None,
                        geom_bounds: Sequence[str] | None = None,
                        _partials_only: bool = False) -> DataFrame:

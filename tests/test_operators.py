@@ -29,14 +29,14 @@ def test_union_aggr_small(spark):
     assert G.area(G.parse_wkt(out[1])) == 12 + 9 - 4
     assert G.area(G.parse_wkt(out[2])) == 1.0
 
-def test_union_aggr_salting_consistency(spark):
-    # same result regardless of salt fan-out
+def test_union_aggr_partitioning_consistency(spark):
+    # the natural salt is the input partitioning — same result at any fan-out
     df = spark.createDataFrame(
         [(1, f"POLYGON (({x} 0, {x+2} 0, {x+2} 2, {x} 2, {x} 0))") for x in range(20)],
         "k int, g string",
     )
-    for salt in (1, 4, 32):
-        out = union_aggr(df, ["k"], "g", salt=salt).collect()
+    for parts in (1, 4, 32):
+        out = union_aggr(df.repartition(parts), ["k"], "g").collect()
         assert G.area(G.parse_wkt(out[0]["geometry"])) == 42.0  # x spans 0..21, merged
 
 def test_dissolve_clip_area_small(spark):
@@ -342,6 +342,18 @@ def test_geo_range_join_mixed_shapes_vs_brute_force(spark):
         if B.intersection_area(G.parse_wkt(ga), G.parse_wkt(gb)) > 0
     )
     assert got == want
+
+    # large×large path: broadcast_b=False swaps the broadcast for a
+    # hash-partitioned cell join — identical pairs (the scale path for two
+    # big sides must not change semantics)
+    out_shuffle = geo_range_join(
+        spark.createDataFrame(A, "aid long, ga string"), "ga",
+        spark.createDataFrame(Bt, "bid long, gb string"), "gb",
+        broadcast_b=False,
+    )
+    got_shuffle = sorted((r.aid, r.bid)
+                         for r in out_shuffle.select("aid", "bid").collect())
+    assert got_shuffle == want
 
 
 def test_quantized_topk_matches_oracle_and_recalls_exact(spark, duck):
