@@ -45,6 +45,10 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _doc_shingle_rows(spark: SparkSession, sf_dir: str,
                       distinct: bool = True) -> DataFrame:
+    """(doc_id, s) shingle rows of the documents table (see _shingle_rows)."""
+    return _shingle_rows(_docs(spark, sf_dir), distinct=distinct)
+
+def _shingle_rows(d: DataFrame, distinct: bool = True) -> DataFrame:
     """(doc_id, s) rows of 3-word shingles via posexplode + window lead —
     whole-stage codegen end to end. The array-lambda form (transform +
     concat_ws over element_at) evaluates every lambda *interpreted* and
@@ -53,7 +57,6 @@ def _doc_shingle_rows(spark: SparkSession, sf_dir: str,
 
     distinct=False skips the dedup shuffle for consumers where duplicate
     shingles cannot change the answer (min-aggregation in MinHash)."""
-    d = _docs(spark, sf_dir)
     tok = d.select(
         "doc_id", F.posexplode(TXT.tokens(F.col("text"))).alias("pos", "tok")
     )
@@ -418,6 +421,83 @@ WHERE c.doc_id >= {EVAL_SET_MAX_DOC} AND e.doc_id < {EVAL_SET_MAX_DOC}
 GROUP BY 1, 2
 HAVING count(*) >= {CONTAM_MIN_SHARED}
 """
+
+def streaming_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming decontamination — contamination_check's semantics on a
+    document STREAM: each arriving micro-batch is shingled and scanned
+    against the static eval-set shingles, and violations append to the
+    sink. The continuous-ingest shape every training pipeline needs
+    (screen documents as they land, not in a nightly batch).
+
+    The key property making this exact with ZERO streaming state (no
+    watermark, no state store, no cross-batch memory): shingling is
+    row-local, so a document's complete shingle set lives inside its own
+    micro-batch, and each doc appears in exactly one batch — per-batch
+    batch-logic via foreachBatch is therefore the whole computation. The
+    eval side re-reads per batch (bounded, broadcast). At 100 TB of
+    arriving docs the per-batch cost is the batch operator's, state is
+    O(1), and the sink append is the only cross-batch artifact. Shares
+    CONTAMINATION_ORACLE — the drained stream must equal the batch scan.
+    """
+    import os
+
+    from ..plans.catalog import _clear_orphaned_location
+
+    sink = "streaming_contamination_sink"
+    _clear_orphaned_location(spark, sink)
+    spark.sql(f"DROP TABLE IF EXISTS {sink}")
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    reader = spark.readStream.schema(schema).format("parquet")
+    mft = spark.conf.get("spark.geoengine.streaming.maxFilesPerTrigger", None)
+    if mft:
+        reader = reader.option("maxFilesPerTrigger", mft)
+    path = f"{sf_dir}/documents.parquet"
+    if os.path.isdir(path):
+        stream = reader.load(path)
+    else:
+        stream = reader.option("pathGlobFilter", "documents.parquet").load(sf_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch runs in a CLONED session — build everything from
+        # batch_df's session; the eval side is re-derived per batch (tiny)
+        s = batch_df.sparkSession
+        ev = (
+            _shingle_rows(s.read.parquet(f"{sf_dir}/documents.parquet")
+                          .where(F.col("doc_id") < EVAL_SET_MAX_DOC),
+                          distinct=False)
+            .select(F.col("doc_id").alias("eval_doc"),
+                    TXT.portable_hash60(F.col("s")).alias("h"))
+            .dropDuplicates(["eval_doc", "h"])
+        )
+        sh = (
+            _shingle_rows(batch_df.where(F.col("doc_id") >= EVAL_SET_MAX_DOC),
+                          distinct=False)
+            .select("doc_id", TXT.portable_hash60(F.col("s")).alias("h"))
+            .dropDuplicates(["doc_id", "h"])
+        )
+        out = (
+            sh.join(F.broadcast(ev), "h")
+            .groupBy("doc_id", "eval_doc")
+            .agg(F.count("*").alias("shared_shingles"))
+            .where(F.col("shared_shingles") >= CONTAM_MIN_SHARED)
+        )
+        out.write.mode("append").saveAsTable(sink)
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    # the appends ran in foreachBatch's cloned session; refresh so this
+    # session's catalog sees the final file set
+    spark.catalog.refreshTable(sink)
+    return spark.table(sink)
 
 def ngram_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The hash-bucketed candidate pairs re-verified against the TRUE

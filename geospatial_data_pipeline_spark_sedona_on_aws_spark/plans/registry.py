@@ -156,6 +156,7 @@ QUERIES: dict[str, QueryFn] = {
     "ngram_topk_corpus": TQ.ngram_topk_corpus,
     # --- dedup / similarity breadth ---
     "ngram_jaccard_pairs": DD.ngram_jaccard_pairs,
+    "streaming_contamination": DD.streaming_contamination,
     "embedding_cosine_near_dup": SIM.cosine_near_dup,
     # --- sketches breadth ---
     "hash_sample": SK.hash_sample,
@@ -255,6 +256,7 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard_verified": DD.NGRAM_JACCARD_VERIFIED_ORACLE,
     "dedup_clusters": GR.DEDUP_CLUSTERS_ORACLE,
     "contamination_check": DD.CONTAMINATION_ORACLE,
+    "streaming_contamination": DD.CONTAMINATION_ORACLE,  # drained stream == batch scan
     "embedding_topk_cosine": SIM.TOPK_COSINE_ORACLE,
     "embedding_lsh_ann": SIM.LSH_ANN_ORACLE,
     "embedding_cosine_near_dup": SIM.COSINE_NEAR_DUP_ORACLE,

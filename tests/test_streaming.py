@@ -140,3 +140,41 @@ def test_streaming_events_survive_ntz_inference(spark):
     assert len(s) == len(b)
     assert (s["n_events"].to_numpy() == b["n_events"].to_numpy()).all()
     assert (s["sum_value"].to_numpy() == b["sum_value"].to_numpy()).all()
+
+
+def test_streaming_contamination_multi_batch_equals_batch(spark, tmp_path):
+    """documents.parquet as a DIRECTORY of 3 part files drained one file
+    per micro-batch: the drained streaming_contamination sink must equal
+    the batch contamination_check on the same data. Exactness across
+    batches is the operator's core claim (shingling is row-local, so no
+    cross-batch state is ever needed)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.operators import dedup as DD
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    sf2 = str(tmp_path)
+    d = f"{sf2}/documents.parquet"
+    os.makedirs(d)
+    # three part files split by doc_id — each doc in exactly one file
+    for i in range(3):
+        p = docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == i)
+        p.coalesce(1).write.parquet(f"{sf2}/__stage{i}")
+        src = next(f for f in os.listdir(f"{sf2}/__stage{i}")
+                   if f.endswith(".parquet"))
+        os.rename(f"{sf2}/__stage{i}/{src}", f"{d}/part-{i}.parquet")
+
+    spark.conf.set("spark.geoengine.streaming.maxFilesPerTrigger", "1")
+    try:
+        streamed = {tuple(r) for r in
+                    DD.streaming_contamination(spark, sf2)
+                    .select("doc_id", "eval_doc", "shared_shingles").collect()}
+    finally:
+        spark.conf.unset("spark.geoengine.streaming.maxFilesPerTrigger")
+    batch = {tuple(r) for r in
+             DD.contamination_check(spark, sf2)
+             .select("doc_id", "eval_doc", "shared_shingles").collect()}
+    assert streamed == batch
+    assert len(streamed) > 0
