@@ -260,6 +260,153 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, qdot
 FROM ranked WHERE rank <= {TOPK}
 """
 
+PQ_M = 8        # subvectors per embedding (64 dims → 8 × 8)
+PQ_SUBDIM = EMBED_DIM // PQ_M
+PQ_CODES = 16   # codebook entries per subvector (the 16 lowest vec_ids)
+PQ_TOPK = 5
+
+def pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization + asymmetric distance (PQ/ADC) — the canonical
+    ANN memory-compression path at 100 TB: every candidate vector stores
+    only PQ_M 4-bit codes (here 8 codes ≤ 16 → 4 bytes per vector, 64×
+    smaller than the float embedding), and query scoring is PQ_M lookup-
+    table adds instead of a 64-dim dot product.
+
+    Deterministic, integer-exact variant so the DuckDB oracle hashes
+    bit-for-bit: vectors int8-quantize first (same law as quantized_topk);
+    the codebook for subvector s is the s-th subvector of the PQ_CODES
+    lowest vec_ids (init-only codebook — no iterative training, so the
+    oracle needs no unrolled Lloyd CTEs; kmeans_quantized already covers
+    trained centroids); encoding picks the integer-L2-nearest entry with
+    ties to the smallest code; ADC(q, x) = Σ_s ‖q_s − cb[s][code_s(x)]‖²
+    in exact int64.
+
+    Execution shape (the part that survives scale): codebook (16 rows) and
+    query batch (100 rows) are bounded collects broadcast in the closure;
+    candidates stream through Arrow batches, each partition computes its
+    per-query LUT ONCE (PQ_M × PQ_CODES ints) and reduces to a partition-
+    local top-k, so the final window sees ≤ partitions × queries × k rows.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    def quant(X: "np.ndarray") -> "np.ndarray":
+        return np.maximum(
+            -QUANT_SCALE,
+            np.minimum(QUANT_SCALE, np.floor(X * 127.0 + 0.5)),
+        ).astype(np.int64)
+
+    emb = _emb(spark, sf_dir)
+    cb_rows = (
+        emb.where(F.col("vec_id") < PQ_CODES)
+        .select("vec_id", "embedding").collect()
+    )
+    cb_rows.sort(key=lambda r: r.vec_id)
+    # cb[s][c] = subvector s of codebook vector c — (M, CODES, SUBDIM)
+    CB = quant(np.array([r.embedding for r in cb_rows], dtype=np.float64))
+    CB = CB.reshape(PQ_CODES, PQ_M, PQ_SUBDIM).transpose(1, 0, 2)
+    qrows = (
+        emb.where(F.col("vec_id") < N_QUERY_VECS)
+        .select("vec_id", "embedding").collect()
+    )
+    q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    Q = quant(np.array([r.embedding for r in qrows], dtype=np.float64))
+    Qs = Q.reshape(len(q_ids), PQ_M, PQ_SUBDIM)
+    # ADC lookup table: lut[q, s, c] = ||Q[q,s] - CB[s,c]||^2 (exact int)
+    diff = Qs[:, :, None, :] - CB[None, :, :, :]
+    LUT = (diff * diff).sum(axis=3)
+
+    def compute(batches):
+        parts = []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            C = quant(np.array(pdf["embedding"].tolist(), dtype=np.float64))
+            Cs = C.reshape(len(ids), PQ_M, PQ_SUBDIM)
+            # encode: nearest codebook entry per subvector (ties → lowest
+            # code; np.argmin returns the first minimum and codes ascend)
+            d = Cs[:, :, None, :] - CB[None, :, :, :]
+            codes = (d * d).sum(axis=3).argmin(axis=2)          # (n, M)
+            # ADC via the LUT: adc[n, q] = Σ_s LUT[q, s, codes[n, s]] —
+            # one (queries × candidates) gather-add per subvector
+            adc_qn = np.zeros((len(q_ids), len(ids)), dtype=np.int64)
+            for s in range(PQ_M):
+                adc_qn += LUT[:, s, codes[:, s]]
+            adc = adc_qn.T
+            n, m = len(ids), len(q_ids)
+            mask = ids[:, None] != q_ids[None, :]
+            parts.append(pd.DataFrame({
+                "query_id": np.tile(q_ids, n)[mask.ravel()],
+                "neighbor_id": np.repeat(ids, m)[mask.ravel()],
+                "adc": adc.ravel()[mask.ravel()],
+            }))
+        if not parts:
+            return
+        allp = pd.concat(parts, ignore_index=True)
+        allp = allp.sort_values(
+            ["query_id", "adc", "neighbor_id"], ascending=[True, True, True]
+        )
+        yield allp.groupby("query_id", sort=False).head(PQ_TOPK)
+
+    pairs = emb.select("vec_id", "embedding").mapInPandas(
+        compute, schema="query_id long, neighbor_id long, adc long"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= PQ_TOPK)
+        .select("query_id", "neighbor_id",
+                F.col("rank").cast("int").alias("rank"), "adc")
+    )
+
+PQ_ANN_ORACLE = f"""
+WITH v AS (
+    SELECT vec_id, {_QUANT_SQL} AS qv FROM embeddings
+),
+sub AS (SELECT unnest(range(0, {PQ_M})) AS s),
+cb AS (
+    SELECT s.s, v.vec_id AS code,
+           list_slice(v.qv, s.s * {PQ_SUBDIM} + 1, s.s * {PQ_SUBDIM} + {PQ_SUBDIM}) AS cvec
+    FROM v CROSS JOIN sub s WHERE v.vec_id < {PQ_CODES}
+),
+enc_d AS (
+    SELECT v.vec_id, c.s, c.code,
+           CAST(list_sum(list_transform(range(1, {PQ_SUBDIM} + 1),
+               i -> (v.qv[c.s * {PQ_SUBDIM} + i] - c.cvec[i])
+                  * (v.qv[c.s * {PQ_SUBDIM} + i] - c.cvec[i]))) AS BIGINT) AS d2
+    FROM v CROSS JOIN cb c
+),
+enc AS (
+    SELECT vec_id, s, code FROM (
+        SELECT vec_id, s, code,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
+        FROM enc_d
+    ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, qv FROM v WHERE vec_id < {N_QUERY_VECS}),
+adc AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           CAST(sum(CAST(list_sum(list_transform(range(1, {PQ_SUBDIM} + 1),
+               i -> (q.qv[e.s * {PQ_SUBDIM} + i] - c.cvec[i])
+                  * (q.qv[e.s * {PQ_SUBDIM} + i] - c.cvec[i]))) AS BIGINT))
+               AS BIGINT) AS adc
+    FROM q
+    JOIN enc e ON e.vec_id != q.query_id
+    JOIN cb c ON c.s = e.s AND c.code = e.code
+    GROUP BY q.query_id, e.vec_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS rank
+    FROM adc
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adc
+FROM ranked WHERE rank <= {PQ_TOPK}
+"""
+
 def _bucket(v: Column) -> Column:
     """Axis-projection LSH bucket: bit p = (v[p*8 + 1] >= 0)."""
     out = None

@@ -157,6 +157,7 @@ QUERIES: dict[str, QueryFn] = {
     # --- dedup / similarity breadth ---
     "ngram_jaccard_pairs": DD.ngram_jaccard_pairs,
     "streaming_contamination": DD.streaming_contamination,
+    "embedding_pq_ann": SIM.pq_ann,
     "embedding_cosine_near_dup": SIM.cosine_near_dup,
     # --- sketches breadth ---
     "hash_sample": SK.hash_sample,
@@ -262,6 +263,7 @@ ORACLES: dict[str, str] = {
     "embedding_cosine_near_dup": SIM.COSINE_NEAR_DUP_ORACLE,
     "embedding_ivf_ann": SIM.IVF_ANN_ORACLE,
     "embedding_quantized_topk": SIM.QUANTIZED_TOPK_ORACLE,
+    "embedding_pq_ann": SIM.PQ_ANN_ORACLE,
     "kmeans_quantized": SIM.KMEANS_QUANTIZED_ORACLE,
     "hll_distinct": SK.HLL_DISTINCT_ORACLE,
     "hash_sample": SK.HASH_SAMPLE_ORACLE,

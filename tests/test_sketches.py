@@ -97,12 +97,16 @@ def test_ann_recall_vs_exact_topk(spark):
 
     lsh = SIM.lsh_ann(spark, SF_SMOKE).toPandas()
     ivf = SIM.ivf_ann(spark, SF_SMOKE).toPandas()
+    pq = SIM.pq_ann(spark, SF_SMOKE).toPandas()
     r_lsh = recall(lsh, lsh.columns[0], lsh.columns[1])
     r_ivf = recall(ivf, ivf.columns[0], ivf.columns[1])
+    r_pq = recall(pq, pq.columns[0], pq.columns[1])
     # the fixture embeddings are uniform-random (near-orthogonal) — the
     # WORST case for locality bucketing (no cluster structure to exploit);
-    # multi-probe LSH measured ~0.12 here vs ~0.03 single-probe. The gate
+    # multi-probe LSH measured ~0.12 here vs ~0.03 single-probe, PQ/ADC
+    # with the init-only 16-entry codebook measured ~0.16. The gate
     # catches collapse back to random, not perfection — clustered real
     # corpora recall far higher
     assert r_lsh >= 0.08, f"LSH recall@5 collapsed: {r_lsh:.3f}"
     assert r_ivf >= 0.15, f"IVF recall@5 collapsed: {r_ivf:.3f}"
+    assert r_pq >= 0.10, f"PQ recall@5 collapsed: {r_pq:.3f}"
