@@ -6,9 +6,17 @@ The *image* decode path is REAL: a dependency-free PNG codec (stdlib
 zlib/struct, all five filter types, 8-bit grayscale/RGB) runs inside the
 executors, with PIL preferred automatically when it is installed; the
 multimodal_png_decode query round-trips encode→decode per document and is
-value-checked by the DuckDB oracle. Audio/video decoding still needs
-external libraries and raises NotImplementedError; fake_decode remains the
-deterministic byte-level stand-in for those.
+value-checked by the DuckDB oracle.
+
+The *audio* decode path is REAL too: a dependency-free RIFF/WAVE PCM codec
+(stdlib struct — chunk-walking parser, 8/16-bit, mono/stereo) decodes
+inside the executors, cross-checked in tests against the stdlib `wave`
+module; the multimodal_wav_decode query round-trips encode→decode per
+document and the DuckDB oracle recomputes the waveform law in SQL.
+
+Video decoding still needs external libraries and raises
+NotImplementedError; fake_decode remains the deterministic byte-level
+stand-in.
 """
 
 from __future__ import annotations
@@ -156,10 +164,77 @@ def png_decode(payload: bytes) -> dict:
     pixels = out if ch == 1 else out.reshape(h, w, ch)
     return {"width": w, "height": h, "channels": ch, "pixels": pixels}
 
+# ------------------------------------------------ WAV/PCM codec (stdlib)
+
+def wav_encode(samples: np.ndarray, sample_rate: int,
+               n_channels: int = 1, sample_width: int = 2) -> bytes:
+    """Minimal standards-conforming RIFF/WAVE PCM writer (stdlib struct):
+    8-bit unsigned or 16-bit signed little-endian, interleaved channels.
+    `samples` is 1-D (mono) or (n_frames, n_channels)."""
+    arr = np.asarray(samples)
+    if arr.ndim == 1:
+        arr = arr.reshape(-1, n_channels)
+    if arr.shape[1] != n_channels:
+        raise ValueError("sample shape does not match n_channels")
+    if sample_width == 2:
+        data = arr.astype("<i2").tobytes()
+    elif sample_width == 1:
+        data = arr.astype(np.uint8).tobytes()
+    else:
+        raise ValueError("only 8/16-bit PCM supported")
+    byte_rate = sample_rate * n_channels * sample_width
+    block_align = n_channels * sample_width
+    fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate,
+                      byte_rate, block_align, 8 * sample_width)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+def wav_decode(payload: bytes) -> dict:
+    """Dependency-free RIFF/WAVE reader: walks chunks (tolerating extras
+    like LIST/fact, honoring odd-size padding), requires PCM (format tag 1)
+    at 8 or 16 bits, de-interleaves channels. Returns {channels,
+    sample_rate, n_samples (frames), samples ((n_frames, ch) int32)}."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    if riff_size + 8 > len(payload):
+        raise ValueError("truncated RIFF payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        tag = payload[pos:pos + 4]
+        (length,) = struct.unpack_from("<I", payload, pos + 4)
+        chunk = payload[pos + 8:pos + 8 + length]
+        if len(chunk) != length:
+            raise ValueError(f"truncated {tag!r} chunk")
+        if tag == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", chunk, 0)
+        elif tag == b"data":
+            data = chunk
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_fmt, n_ch, rate, _byte_rate, block_align, bits = fmt
+    if audio_fmt != 1 or bits not in (8, 16):
+        raise NotImplementedError("wav_decode supports 8/16-bit PCM only")
+    width = bits // 8
+    if block_align != n_ch * width:
+        raise ValueError("block alignment inconsistent with fmt")
+    n_frames = len(data) // block_align
+    if bits == 16:
+        arr = np.frombuffer(data, dtype="<i2",
+                            count=n_frames * n_ch).astype(np.int32)
+    else:
+        arr = np.frombuffer(data, dtype=np.uint8,
+                            count=n_frames * n_ch).astype(np.int32)
+    return {"channels": n_ch, "sample_rate": rate, "n_samples": n_frames,
+            "samples": arr.reshape(n_frames, n_ch)}
+
 def decode_media(payload: bytes, media_type: str) -> dict:
-    """Real decoder entry point. PNG decodes here in-process (PIL preferred
-    when installed, pure-stdlib codec otherwise); audio/video need external
-    libraries and raise."""
+    """Real decoder entry point. PNG decodes in-process (PIL preferred when
+    installed, pure-stdlib codec otherwise); WAV/PCM decodes via the stdlib
+    RIFF parser; video needs external libraries and raises."""
     if media_type == "image/png":
         try:
             import io
@@ -173,6 +248,8 @@ def decode_media(payload: bytes, media_type: str) -> dict:
                     "channels": ch, "pixels": px}
         except ImportError:
             return png_decode(payload)
+    if media_type in ("audio/wav", "audio/x-wav", "audio/wave"):
+        return wav_decode(payload)
     raise NotImplementedError(
         f"decoding {media_type!r} requires external media libraries; "
         "use fake_decode for deterministic byte-level stand-ins"
@@ -324,6 +401,72 @@ SELECT d.doc_id,
            AS pixel_sum
 FROM documents d CROSS JOIN range(0, {PNG_W * PNG_H}) r
 GROUP BY d.doc_id
+"""
+
+# Deterministic per-doc waveform law (SQL-expressible so the oracle can
+# recompute it): interleaved sample j of doc d is ((d*37 + 5j) % 2003) - 1001,
+# n_frames = 200 + d % 23, channels = 1 + d % 2, rate = 8000 + 4000*(d % 3).
+WAV_BASE_FRAMES = 200
+WAV_FRAMES_MOD = 23
+WAV_AMP_MOD = 2003
+WAV_AMP_OFF = 1001
+
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode inside the engine, driver-oracle-checked: per
+    document, synthesize a deterministic PCM16 waveform (mono or stereo by
+    doc_id parity, three sample rates), encode it to RIFF/WAVE bytes, then
+    DECODE the bytes back with the stdlib chunk-walking parser and report
+    the decoded channel count, rate, frame count, amplitude sum, and
+    integer duration. The oracle recomputes the waveform law in SQL; any
+    codec defect (header math, interleave, width) breaks the hash."""
+    docs = _docs(spark, sf_dir, "doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ch = 1 + d % 2
+                rate = 8000 + 4000 * (d % 3)
+                n = WAV_BASE_FRAMES + d % WAV_FRAMES_MOD
+                j = np.arange(n * ch, dtype=np.int64)
+                samples = ((d * 37 + 5 * j) % WAV_AMP_MOD - WAV_AMP_OFF
+                           ).astype(np.int16).reshape(n, ch)
+                payload = wav_encode(samples, rate, n_channels=ch)
+                dec = decode_media(bytes(payload), "audio/wav")
+                rows.append((
+                    d, dec["channels"], dec["sample_rate"], dec["n_samples"],
+                    int(dec["samples"].astype(np.int64).sum()),
+                    dec["n_samples"] * 1_000_000 // dec["sample_rate"],
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "channels", "sample_rate", "n_samples",
+                "amp_sum", "duration_us"])
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, channels long, sample_rate long, "
+               "n_samples long, amp_sum long, duration_us long",
+    )
+
+MULTIMODAL_WAV_DECODE_ORACLE = f"""
+WITH m AS (
+    SELECT doc_id,
+           1 + doc_id % 2 AS channels,
+           8000 + 4000 * (doc_id % 3) AS sample_rate,
+           {WAV_BASE_FRAMES} + doc_id % {WAV_FRAMES_MOD} AS n_samples
+    FROM documents
+)
+SELECT doc_id,
+       CAST(channels AS BIGINT) AS channels,
+       CAST(sample_rate AS BIGINT) AS sample_rate,
+       CAST(n_samples AS BIGINT) AS n_samples,
+       CAST(list_aggregate(list_transform(
+           range(0, CAST(n_samples * channels AS INT)),
+           j -> (doc_id * 37 + 5 * j) % {WAV_AMP_MOD} - {WAV_AMP_OFF}),
+           'sum') AS BIGINT) AS amp_sum,
+       CAST(n_samples * 1000000 // sample_rate AS BIGINT) AS duration_us
+FROM m
 """
 
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -98,10 +98,11 @@ def crop_analytics_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("area").cast("double").alias("area"),
     )
 
-def crop_analytics_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _crop_analytics_full_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-parity chain incl. ST_MakeValid / ST_Buffer(ε) / ST_Buffer(0) /
     ST_Transform — every F.expr below is a verbatim reference call-site shape
-    (spark_job/process_geodata.py:102-139) resolved against our UDF registry."""
+    (spark_job/process_geodata.py:102-139) resolved against our UDF registry.
+    Returns the raw double `area` column (m² in EPSG:5880)."""
     from ..functions.spatial import register_spatial_functions
 
     register_spatial_functions(spark)
@@ -132,7 +133,21 @@ def crop_analytics_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ST_Intersection(geo_union, geo_region_mod)), 0.0), "
             "'EPSG:3857', 'EPSG:5880'))"
         ),
-    ).select("region_id", "season_id", "land_type_id", "area")
+    )
+
+def crop_analytics_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-parity chain (see _crop_analytics_full_area), output quantized
+    to 0.01 m² (round(area·100) as BIGINT) so the DuckDB oracle — which
+    replicates the whole chain in SQL: canonical band decomposition of the
+    rect union, region clip, per-vertex EPSG:3857→5880 polyconic forward,
+    translated shoelace — hash-matches despite libm ulp divergence between
+    engines. Measured cross-engine disagreement is ~1e-9 m²
+    (tests/test_pipeline.py::test_full_chain_oracle_quantization_margin),
+    ≥1e6× below the quantum."""
+    return _crop_analytics_full_area(spark, sf_dir).select(
+        "region_id", "season_id", "land_type_id",
+        F.expr("CAST(round(area * 100) AS BIGINT)").alias("area_q"),
+    )
 
 def st_area_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-parcel ST_Area through the registered UDF (closed form: w·h)."""
@@ -235,6 +250,191 @@ SELECT region_id, season_id, land_type_id,
 FROM cells
 GROUP BY region_id, season_id, land_type_id
 """
+
+def _crop_analytics_full_oracle() -> str:
+    """DuckDB SQL replicating crop_analytics_full's whole chain:
+
+    1. union_decompose's canonical band decomposition (kernel/rectnp.py:82):
+       maximal y-bands of constant x-cross-section × maximal x-runs. The
+       decomposition depends only on the union SHAPE (coalescing erases the
+       input split points), so SQL gaps-and-islands reproduces it exactly:
+       y-strips between consecutive parcel y-cuts, merged x-intervals per
+       strip, adjacent strips fused when their x-run fingerprints match.
+    2. region clip (ST_Intersection via clip_convex: rect∩rect = rect).
+    3. per-corner EPSG:3857→5880 (kernel/transform.py, same formulas and
+       constants digit-for-digit — webmercator inverse, polyconic forward
+       with the 2·sin²(E/2) half-angle form and the lat≈0 branch).
+    4. translated shoelace per quad, abs, summed per group; ×100, rounded.
+
+    Divergence from the engine is libm ulp only, ~1e7× below the 0.01 m²
+    quantum (asserted by tests/test_pipeline.py)."""
+    from ..kernel import transform as KT
+
+    A = repr(KT._A)
+    E2 = repr(KT._E2)
+    LON0 = repr(KT._LON0)
+    FE = repr(KT._FE)
+    FN = repr(KT._FN)
+    C0, C2, C4, C6 = (repr(KT._M0_C0), repr(KT._M0_C2),
+                      repr(KT._M0_C4), repr(KT._M0_C6))
+    return f"""
+WITH {fixtures.LAND_USE_CTE.strip()},
+{fixtures.REGIONS_CTE.strip()},
+parcels AS (
+    SELECT lu.region_id, lu.season_id, lu.land_type_id,
+           CAST(lu.x1 AS DOUBLE) AS x1, CAST(lu.y1 AS DOUBLE) AS y1,
+           CAST(lu.x2 AS DOUBLE) AS x2, CAST(lu.y2 AS DOUBLE) AS y2,
+           CAST(r.gx1 AS DOUBLE) AS gx1, CAST(r.gy1 AS DOUBLE) AS gy1,
+           CAST(r.gx2 AS DOUBLE) AS gx2, CAST(r.gy2 AS DOUBLE) AS gy2
+    FROM land_use lu JOIN regions r ON lu.region_id = r.id
+),
+grp AS (SELECT DISTINCT region_id, season_id, land_type_id FROM parcels),
+ycut AS (
+    SELECT DISTINCT region_id, season_id, land_type_id, y FROM (
+        SELECT region_id, season_id, land_type_id, y1 AS y FROM parcels
+        UNION ALL
+        SELECT region_id, season_id, land_type_id, y2 FROM parcels)
+),
+strip AS (
+    SELECT * FROM (
+        SELECT region_id, season_id, land_type_id, y AS ya,
+               lead(y) OVER (PARTITION BY region_id, season_id, land_type_id
+                             ORDER BY y) AS yb
+        FROM ycut)
+    WHERE yb IS NOT NULL
+),
+cover AS (
+    SELECT s.region_id, s.season_id, s.land_type_id, s.ya, s.yb, p.x1, p.x2
+    FROM strip s JOIN parcels p
+      ON p.region_id = s.region_id AND p.season_id = s.season_id
+     AND p.land_type_id = s.land_type_id
+     AND p.y1 <= s.ya AND p.y2 >= s.yb
+),
+xisl AS (
+    SELECT *, CASE WHEN x1 > max_prev THEN 1 ELSE 0 END AS newrun FROM (
+        SELECT *, coalesce(max(x2) OVER (
+                PARTITION BY region_id, season_id, land_type_id, ya
+                ORDER BY x1, x2
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            -1e18) AS max_prev
+        FROM cover)
+),
+xrun AS (
+    SELECT region_id, season_id, land_type_id, ya, any_value(yb) AS yb,
+           runid, min(x1) AS rx1, max(x2) AS rx2
+    FROM (
+        SELECT *, sum(newrun) OVER (
+                PARTITION BY region_id, season_id, land_type_id, ya
+                ORDER BY x1, x2 ROWS UNBOUNDED PRECEDING) AS runid
+        FROM xisl)
+    GROUP BY region_id, season_id, land_type_id, ya, runid
+),
+fps AS (
+    SELECT s.region_id, s.season_id, s.land_type_id, s.ya, s.yb,
+           coalesce(string_agg(x.rx1 || ':' || x.rx2, ',' ORDER BY x.rx1),
+                    '') AS fp
+    FROM strip s LEFT JOIN xrun x
+      ON x.region_id = s.region_id AND x.season_id = s.season_id
+     AND x.land_type_id = s.land_type_id AND x.ya = s.ya
+    GROUP BY s.region_id, s.season_id, s.land_type_id, s.ya, s.yb
+),
+band AS (
+    SELECT region_id, season_id, land_type_id, bandid,
+           min(ya) AS by1, max(yb) AS by2
+    FROM (
+        SELECT *, sum(newband) OVER (
+                PARTITION BY region_id, season_id, land_type_id
+                ORDER BY ya ROWS UNBOUNDED PRECEDING) AS bandid
+        FROM (
+            SELECT *, CASE WHEN lag(fp) OVER (
+                    PARTITION BY region_id, season_id, land_type_id
+                    ORDER BY ya) IS DISTINCT FROM fp
+                THEN 1 ELSE 0 END AS newband
+            FROM fps))
+    WHERE fp <> '' GROUP BY region_id, season_id, land_type_id, bandid
+),
+bandrect AS (
+    SELECT b.region_id, b.season_id, b.land_type_id, b.by1, b.by2,
+           x.rx1 AS bx1, x.rx2 AS bx2
+    FROM band b JOIN xrun x
+      ON x.region_id = b.region_id AND x.season_id = b.season_id
+     AND x.land_type_id = b.land_type_id AND x.ya = b.by1
+),
+clipped AS (
+    SELECT br.region_id, br.season_id, br.land_type_id,
+           row_number() OVER () AS rid,
+           greatest(br.bx1, g.gx1) AS cx1, least(br.bx2, g.gx2) AS cx2,
+           greatest(br.by1, g.gy1) AS cy1, least(br.by2, g.gy2) AS cy2
+    FROM bandrect br JOIN (
+        SELECT DISTINCT region_id, gx1, gy1, gx2, gy2 FROM parcels) g
+      ON g.region_id = br.region_id
+    WHERE least(br.bx2, g.gx2) > greatest(br.bx1, g.gx1)
+      AND least(br.by2, g.gy2) > greatest(br.by1, g.gy1)
+),
+corners AS (
+    SELECT region_id, season_id, land_type_id, rid, t.cn,
+           CASE t.cn WHEN 1 THEN cx1 WHEN 2 THEN cx2
+                     WHEN 3 THEN cx2 ELSE cx1 END AS px,
+           CASE t.cn WHEN 1 THEN cy1 WHEN 2 THEN cy1
+                     WHEN 3 THEN cy2 ELSE cy2 END AS py
+    FROM clipped, unnest([1, 2, 3, 4]) AS t(cn)
+),
+ll AS (
+    SELECT region_id, season_id, land_type_id, rid, cn,
+           px / {A} AS lon,
+           2.0 * atan(exp(py / {A})) - pi() / 2.0 AS lat
+    FROM corners
+),
+aux AS (
+    SELECT *, sin(lat) AS slat FROM ll
+),
+aux2 AS (
+    SELECT *, {A} / sqrt(1.0 - {E2} * slat * slat) AS nn,
+           1.0 / tan(lat) AS cot,
+           (lon - {LON0}) * slat AS e
+    FROM aux
+),
+tr AS (
+    SELECT region_id, season_id, land_type_id, rid, cn,
+           CASE WHEN abs(lat) < 1e-12
+                THEN {FE} + {A} * (lon - {LON0})
+                ELSE {FE} + nn * cot * sin(e) END AS tx,
+           CASE WHEN abs(lat) < 1e-12
+                THEN {FN}
+                ELSE {FN} + {A} * ({C0} * lat - {C2} * sin(2 * lat)
+                                 + {C4} * sin(4 * lat) - {C6} * sin(6 * lat))
+                     + nn * cot * 2.0 * sin(e / 2.0) * sin(e / 2.0)
+           END AS ty
+    FROM aux2
+),
+quad AS (
+    SELECT region_id, season_id, land_type_id, rid,
+           max(CASE WHEN cn = 1 THEN tx END) AS qx1,
+           max(CASE WHEN cn = 1 THEN ty END) AS qy1,
+           max(CASE WHEN cn = 2 THEN tx END) AS qx2,
+           max(CASE WHEN cn = 2 THEN ty END) AS qy2,
+           max(CASE WHEN cn = 3 THEN tx END) AS qx3,
+           max(CASE WHEN cn = 3 THEN ty END) AS qy3,
+           max(CASE WHEN cn = 4 THEN tx END) AS qx4,
+           max(CASE WHEN cn = 4 THEN ty END) AS qy4
+    FROM tr GROUP BY region_id, season_id, land_type_id, rid
+),
+rect_area AS (
+    SELECT region_id, season_id, land_type_id,
+           0.5 * abs(  (qx2 - qx1) * (qy3 - qy1) - (qx3 - qx1) * (qy2 - qy1)
+                     + (qx3 - qx1) * (qy4 - qy1) - (qx4 - qx1) * (qy3 - qy1)
+           ) AS a
+    FROM quad
+)
+SELECT g.region_id, g.season_id, g.land_type_id,
+       CAST(round(coalesce(sum(ra.a), 0.0) * 100) AS BIGINT) AS area_q
+FROM grp g LEFT JOIN rect_area ra
+  ON ra.region_id = g.region_id AND ra.season_id = g.season_id
+ AND ra.land_type_id = g.land_type_id
+GROUP BY g.region_id, g.season_id, g.land_type_id
+"""
+
+CROP_ANALYTICS_FULL_ORACLE = _crop_analytics_full_oracle()
 
 def st_geometry_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_Contains / ST_Distance / ST_Difference-area through the registered

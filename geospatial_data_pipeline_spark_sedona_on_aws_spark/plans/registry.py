@@ -43,135 +43,144 @@ tests/test_plans.py::test_gate_window_covers_every_family pins tier 1's
 family coverage so a future insertion can't silently push a family out of
 the driver's window."""
 
+"""Round-4 rotation (VERDICT r3 item 7): tier 1 keeps nine anchors from the
+round-3 window (flagship spatial rows, the formerly-red q12, one
+representative per family whose implementation changed this round) and
+rotates 41 queries the driver has never gate-verified — the committed
+ORACLES_FULL_r*.txt and judge replicas covered them, but a driver-produced
+green row is stronger evidence. Tier 2 now holds round 3's driver-green
+bulk; rotate again next round."""
+
 QUERIES: dict[str, QueryFn] = {
     # ==================== tier 1: the driver's 50-entry window ============
-    # --- spatial (reference parity: SURVEY.md §2.1-2.4) ---
+    # --- anchors kept from the round-3 window ---
     "crop_analytics": P.crop_analytics,
-    "crop_analytics_full": P.crop_analytics_full,   # rows-only (polyconic CRS)
-    "st_area_rect": P.st_area_rect,
-    "st_intersection_area": P.st_intersection_area,
+    "crop_analytics_full": P.crop_analytics_full,  # r4: quantized value oracle
     "st_geometry_ops": P.st_geometry_ops,
     "spatial_range_join": SJ.spatial_range_join,
+    "q12_late_priority": T.q12_late_priority,   # r2's one red row — keep gated
+    "sessionize_events_stateful": EV.sessionize_streaming,
+    "token_counts": TQ.token_counts,
+    "dedup_clusters": GR.dedup_clusters,        # r4: two-phase star backstop
+    "embedding_lsh_ann": SIM.lsh_ann,           # r4: regression watch
+    # --- spatial rotation ---
+    "spatial_knn_join_grid": SJ.knn_join_grid,
+    "crop_analytics_skewed": P.crop_analytics_skewed,
+    # --- relational / TPC-H rotation ---
+    "q3_shipping_priority": R.q3_shipping_priority,
+    "nation_revenue": R.nation_revenue,
+    "rollup_sales": R.rollup_sales,
+    "pivot_order_status": R.pivot_order_status,
+    "set_ops": R.set_ops,
+    "top_customers_per_nation": R.top_customers_per_nation,
+    "part_window_stats": R.part_window_stats,
+    "expectations_check": Q.expectations_check,
+    "incremental_rollup": Q.incremental_rollup,
+    "q18_large_orders": R.q18_large_orders,
+    "q2_min_cost_supplier": T.q2_min_cost_supplier,
+    "q5_local_supplier_volume": T.q5_local_supplier_volume,
+    "q8_market_share": T.q8_market_share,
+    "q9_product_profit": T.q9_product_profit,
+    "q13_customer_distribution": T.q13_customer_distribution,
+    "q21_waiting_suppliers": T.q21_waiting_suppliers,
+    # --- streaming rotation ---
+    "events_json_extract": EV.events_json_extract,
+    "interval_range_join": EV.interval_range_join,
+    "streaming_snapshot_publish": EV.streaming_snapshot_publish,
+    "stream_static_enrich": EV.stream_static_enrich,
+    "events_sliding_window": EV.events_sliding_window,
+    # --- text rotation ---
+    "udtf_token_explode": TQ.udtf_token_explode,
+    "training_mix": TQ.training_mix,
+    "event_funnel": TQ.event_funnel,
+    "repetition_scores": TQ.repetition_scores,
+    "ngram_topk_corpus": TQ.ngram_topk_corpus,
+    # --- dedup rotation ---
+    "ngram_jaccard_pairs": DD.ngram_jaccard_pairs,
+    "streaming_contamination": DD.streaming_contamination,
+    # --- similarity rotation ---
+    "embedding_pq_ann": SIM.pq_ann,
+    "embedding_cosine_near_dup": SIM.cosine_near_dup,
+    # --- sketches rotation ---
+    "hash_sample": SK.hash_sample,
+    "stratified_sample": SK.stratified_sample,
+    "reservoir_per_group": SK.reservoir_per_group,
+    "profile_table": SK.profile_table,
+    # --- multimodal / Python DataSource rotation ---
+    "multimodal_wav_decode": MM.multimodal_wav_decode,  # NEW r4: real audio
+    "multimodal_features": MM.multimodal_features,
+    "multimodal_resize": MM.multimodal_resize,
+    "multimodal_frame_sample": MM.multimodal_frame_sample,
+    "pyds_sensor_stream_totals": PDS.sensor_stream_totals,
+    # ==================== tier 2: full breadth (entries 51+) ==============
+    # --- spatial (driver-green in r3) ---
+    "st_area_rect": P.st_area_rect,
+    "st_intersection_area": P.st_intersection_area,
     "geo_range_join": SJ.geo_range_join_count,
     "zorder_curve": LAY.zorder_curve,
     "points_in_regions": SJ.points_in_regions,
     "spatial_knn_join": SJ.knn_join,
     "crop_analytics_csv_roundtrip": P.crop_analytics_csv_roundtrip,
     "crop_analytics_jsonl_roundtrip": P.crop_analytics_jsonl_roundtrip,
-    # --- relational / TPC-H representatives ---
+    # --- relational / TPC-H ---
     "q1_pricing_summary": R.q1_pricing_summary,
-    "q12_late_priority": T.q12_late_priority,   # r2's one red row — keep gated
     "window_zoo": R.window_zoo,
     "scd2_history": R.scd2_history,
     "cdc_merge": R.cdc_merge,
-    # --- streaming representatives ---
-    "events_windowed": EV.events_windowed,
-    "sessionize_events": EV.sessionize,
-    "events_windowed_streaming": EV.events_windowed_streaming,
-    "sessionize_events_stateful": EV.sessionize_streaming,
-    "streaming_dedup": EV.streaming_dedup,
-    "asof_join": EV.asof_join,
-    "stream_stream_join": EV.stream_stream_join,
-    "events_session_window": EV.events_session_window,
-    # --- text analysis representatives ---
-    "text_stats": TQ.text_stats,
-    "token_counts": TQ.token_counts,
-    "quality_scores": TQ.quality_scores,
-    "lang_detect": TQ.lang_detect,
-    "bm25_term_scores": TQ.bm25_term_scores,
-    "pii_redact": TQ.pii_redact,
-    # --- dedup ---
-    "exact_dedup": DD.exact_dedup,
-    "minhash_lsh_candidates": DD.minhash_lsh_candidates,
-    "simhash": DD.simhash,
-    "ngram_jaccard_verified": DD.ngram_jaccard_verified,
-    "dedup_clusters": GR.dedup_clusters,
-    "contamination_check": DD.contamination_check,
-    # --- similarity search ---
-    "embedding_topk_cosine": SIM.topk_cosine,
-    "embedding_lsh_ann": SIM.lsh_ann,
-    "embedding_ivf_ann": SIM.ivf_ann,
-    "embedding_quantized_topk": SIM.quantized_topk,
-    "kmeans_quantized": SIM.kmeans_quantized,
-    # --- sketches / sampling / skew (scale machinery) ---
-    "hll_distinct": SK.hll_distinct,
-    "cms_heavy_hitters": SK.cms_heavy_hitters,
-    "histogram_quantile": SK.histogram_quantile,
-    "salted_agg_topk": SK.salted_agg_topk,
-    "bloom_pruned_orders": SK.bloom_pruned_orders,
-    # --- multimodal + Python DataSource representatives ---
-    "multimodal_png_decode": MM.multimodal_png_decode,  # real decode loop
-    "pyds_sensor_hourly": PDS.sensor_hourly,
-    "pyds_jsonl_commit_roundtrip": PDS.crop_jsonl_commit_roundtrip,
-    # ==================== tier 2: full breadth (entries 51+) ==============
-    # --- relational breadth (SURVEY.md §7 phase 3) ---
-    "q3_shipping_priority": R.q3_shipping_priority,
-    "nation_revenue": R.nation_revenue,
     "late_ship_orders": R.late_ship_orders,
     "customers_without_orders": R.customers_without_orders,
     "distinct_agg": R.distinct_agg,
-    "rollup_sales": R.rollup_sales,
     "cube_sales": R.cube_sales,
     "grouping_sets": R.order_priority_grouping_sets,
-    "pivot_order_status": R.pivot_order_status,
-    "set_ops": R.set_ops,
     "filter_sort_limit": R.filter_sort_limit,
     "scalar_functions": R.scalar_functions,
-    "top_customers_per_nation": R.top_customers_per_nation,
-    "part_window_stats": R.part_window_stats,
-    "expectations_check": Q.expectations_check,
-    "incremental_rollup": Q.incremental_rollup,
-    "q18_large_orders": R.q18_large_orders,
     "nation_trade_flows": R.nation_trade_flows,
     "q4_order_priority": R.q4_order_priority,
     "q17_small_quantity": R.q17_small_quantity_revenue,
-    # --- TPC-H breadth (plans/tpch.py: remaining canonical shapes) ---
-    "q2_min_cost_supplier": T.q2_min_cost_supplier,
-    "q5_local_supplier_volume": T.q5_local_supplier_volume,
     "q6_forecast_revenue": T.q6_forecast_revenue,
-    "q8_market_share": T.q8_market_share,
-    "q9_product_profit": T.q9_product_profit,
     "q10_returned_items": T.q10_returned_items,
     "q11_important_parts": T.q11_important_parts,
-    "q13_customer_distribution": T.q13_customer_distribution,
     "q14_promo_revenue": T.q14_promo_revenue,
     "q15_top_supplier": T.q15_top_supplier,
     "q16_parts_supplier_count": T.q16_parts_supplier_count,
     "q19_disjunctive_revenue": T.q19_disjunctive_revenue,
     "q20_dominant_suppliers": T.q20_dominant_suppliers,
-    "q21_waiting_suppliers": T.q21_waiting_suppliers,
     "q22_dormant_customers": T.q22_dormant_customers,
-    # --- events / streaming breadth ---
-    "events_json_extract": EV.events_json_extract,
+    # --- streaming ---
+    "events_windowed": EV.events_windowed,
+    "sessionize_events": EV.sessionize,
+    "events_windowed_streaming": EV.events_windowed_streaming,
+    "streaming_dedup": EV.streaming_dedup,
+    "asof_join": EV.asof_join,
+    "stream_stream_join": EV.stream_stream_join,
+    "events_session_window": EV.events_session_window,
     "events_json_typed": EV.events_json_typed,
-    "interval_range_join": EV.interval_range_join,
-    "streaming_snapshot_publish": EV.streaming_snapshot_publish,
-    "stream_static_enrich": EV.stream_static_enrich,
-    "events_sliding_window": EV.events_sliding_window,
-    # --- text analysis breadth ---
-    "udtf_token_explode": TQ.udtf_token_explode,
-    "training_mix": TQ.training_mix,
-    "event_funnel": TQ.event_funnel,
-    "repetition_scores": TQ.repetition_scores,
-    "ngram_topk_corpus": TQ.ngram_topk_corpus,
-    # --- dedup / similarity breadth ---
-    "ngram_jaccard_pairs": DD.ngram_jaccard_pairs,
-    "streaming_contamination": DD.streaming_contamination,
-    "embedding_pq_ann": SIM.pq_ann,
-    "embedding_cosine_near_dup": SIM.cosine_near_dup,
-    # --- sketches breadth ---
-    "hash_sample": SK.hash_sample,
-    "stratified_sample": SK.stratified_sample,
-    "reservoir_per_group": SK.reservoir_per_group,
-    "profile_table": SK.profile_table,
-    # --- spatial breadth ---
-    "spatial_knn_join_grid": SJ.knn_join_grid,
-    "crop_analytics_skewed": P.crop_analytics_skewed,
-    # --- multimodal / Python DataSource breadth ---
-    "multimodal_features": MM.multimodal_features,
-    "multimodal_resize": MM.multimodal_resize,
-    "multimodal_frame_sample": MM.multimodal_frame_sample,
-    "pyds_sensor_stream_totals": PDS.sensor_stream_totals,
+    # --- text ---
+    "text_stats": TQ.text_stats,
+    "quality_scores": TQ.quality_scores,
+    "lang_detect": TQ.lang_detect,
+    "bm25_term_scores": TQ.bm25_term_scores,
+    "pii_redact": TQ.pii_redact,
+    # --- dedup / similarity ---
+    "exact_dedup": DD.exact_dedup,
+    "minhash_lsh_candidates": DD.minhash_lsh_candidates,
+    "simhash": DD.simhash,
+    "ngram_jaccard_verified": DD.ngram_jaccard_verified,
+    "contamination_check": DD.contamination_check,
+    "embedding_topk_cosine": SIM.topk_cosine,
+    "embedding_ivf_ann": SIM.ivf_ann,
+    "embedding_quantized_topk": SIM.quantized_topk,
+    "kmeans_quantized": SIM.kmeans_quantized,
+    # --- sketches ---
+    "hll_distinct": SK.hll_distinct,
+    "cms_heavy_hitters": SK.cms_heavy_hitters,
+    "histogram_quantile": SK.histogram_quantile,
+    "salted_agg_topk": SK.salted_agg_topk,
+    "bloom_pruned_orders": SK.bloom_pruned_orders,
+    # --- multimodal / Python DataSource ---
+    "multimodal_png_decode": MM.multimodal_png_decode,
+    "pyds_sensor_hourly": PDS.sensor_hourly,
+    "pyds_jsonl_commit_roundtrip": PDS.crop_jsonl_commit_roundtrip,
 }
 
 ORACLES: dict[str, str] = {
@@ -278,12 +287,15 @@ ORACLES: dict[str, str] = {
     "stream_static_enrich": EV.STREAM_STATIC_ENRICH_ORACLE,
     "multimodal_features": MM.MULTIMODAL_FEATURES_ORACLE,
     "multimodal_png_decode": MM.MULTIMODAL_PNG_DECODE_ORACLE,
+    "multimodal_wav_decode": MM.MULTIMODAL_WAV_DECODE_ORACLE,
+    "crop_analytics_full": P.CROP_ANALYTICS_FULL_ORACLE,
     "multimodal_resize": MM.MULTIMODAL_RESIZE_ORACLE,
     "multimodal_frame_sample": MM.MULTIMODAL_FRAME_SAMPLE_ORACLE,
     "pyds_sensor_hourly": PDS.SENSOR_HOURLY_ORACLE,
     "pyds_sensor_stream_totals": PDS.SENSOR_STREAM_TOTALS_ORACLE,
     "pyds_jsonl_commit_roundtrip": P.CROP_ANALYTICS_ORACLE,
     "token_counts": TQ.TOKEN_COUNTS_ORACLE,
-    # crop_analytics_full intentionally omitted: EPSG:5880 reprojection has
-    # no plain-SQL closed form (FIXTURES.md §3) → driver rows-only check.
+    # r4: crop_analytics_full (the registry's last rows-only row) now has a
+    # full-chain quantized oracle — band decomposition + polyconic forward
+    # replicated in SQL, both engines rounded to 0.01 m² (pipeline.py).
 }

@@ -191,22 +191,84 @@ def test_png_codec_roundtrip_all_filters():
 
 
 def test_decode_media_contract():
-    # PNG decodes in-process (through PIL when installed, stdlib codec
-    # otherwise — decode_media prefers PIL automatically); non-image media
-    # still raises the documented NotImplementedError.
+    # PNG and WAV decode in-process (PIL preferred for PNG when installed,
+    # stdlib codecs otherwise); video still raises the documented
+    # NotImplementedError.
     import numpy as np
     import pytest as _pytest
 
     from geospatial_data_pipeline_spark_sedona_on_aws_spark.multimodal.binary import (
         decode_media,
         png_encode,
+        wav_encode,
     )
 
     img = np.arange(64, dtype=np.uint8).reshape(8, 8)
     d = decode_media(png_encode(img, filter_type=4), "image/png")
     assert (np.asarray(d["pixels"]).reshape(8, 8) == img).all()
+    pcm = (np.arange(100, dtype=np.int16) - 50) * 99
+    a = decode_media(wav_encode(pcm, 8000), "audio/wav")
+    assert a["sample_rate"] == 8000 and a["n_samples"] == 100
+    assert (a["samples"].ravel() == pcm.astype(np.int32)).all()
     with _pytest.raises(NotImplementedError):
-        decode_media(b"\x00\x01", "audio/wav")
+        decode_media(b"\x00\x01", "video/mp4")
+
+
+def test_wav_codec_round_trip_and_cross_check():
+    """RIFF/WAVE codec: our struct writer round-trips through BOTH our
+    chunk-walking reader and the stdlib `wave` module (independent
+    implementations must agree), for mono/stereo and 8/16-bit; the reader
+    tolerates extra chunks and odd-length word padding."""
+    import io
+    import struct
+    import wave as wave_mod
+
+    import numpy as np
+    import pytest as _pytest
+
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.multimodal.binary import (
+        wav_decode,
+        wav_encode,
+    )
+
+    rng = np.random.default_rng(7)
+    cases = [
+        (rng.integers(-32768, 32767, size=333).astype(np.int16), 16000, 1, 2),
+        (rng.integers(-32768, 32767, size=(100, 2)).astype(np.int16), 44100, 2, 2),
+        (rng.integers(0, 255, size=77).astype(np.uint8), 8000, 1, 1),
+    ]
+    for samples, rate, ch, width in cases:
+        payload = wav_encode(samples, rate, n_channels=ch, sample_width=width)
+        d = wav_decode(payload)
+        assert (d["channels"], d["sample_rate"]) == (ch, rate)
+        assert d["n_samples"] == (samples.shape[0] if samples.ndim == 2
+                                  else len(samples))
+        assert (d["samples"].reshape(samples.shape) ==
+                samples.astype(np.int32)).all()
+        # cross-check with the independent stdlib implementation
+        with wave_mod.open(io.BytesIO(payload)) as w:
+            assert w.getnchannels() == ch
+            assert w.getframerate() == rate
+            assert w.getsampwidth() == width
+            assert w.getnframes() == d["n_samples"]
+            assert w.readframes(w.getnframes()) == (
+                samples.astype("<i2" if width == 2 else np.uint8).tobytes())
+
+    # extra LIST chunk with odd length (forces word-align padding) before data
+    pcm = np.arange(-10, 10, dtype=np.int16)
+    base = wav_encode(pcm, 8000)
+    fmt_chunk = base[12:12 + 8 + 16]
+    data_chunk = base[12 + 8 + 16:]
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    body = b"WAVE" + fmt_chunk + extra + data_chunk
+    weird = b"RIFF" + struct.pack("<I", len(body)) + body
+    d = wav_decode(weird)
+    assert (d["samples"].ravel() == pcm.astype(np.int32)).all()
+
+    with _pytest.raises(ValueError):
+        wav_decode(b"RIFFxxxxJUNK")
+    with _pytest.raises(ValueError):
+        wav_decode(base[:-3])  # truncated data chunk
 
 
 def test_knn_grid_fallback_matches_broadcast_path(spark):

@@ -40,9 +40,34 @@ def test_crop_analytics_matches_oracle(spark, duck):
     assert (s["area"] == o["area"]).all()
 
 def test_full_chain_positive_areas(spark):
-    rows = pipeline.crop_analytics_full(spark, SF_SMOKE).collect()
+    rows = pipeline._crop_analytics_full_area(spark, SF_SMOKE).collect()
     assert len(rows) > 0
     assert all(r["area"] >= 0 for r in rows)
+
+
+def test_full_chain_oracle_quantization_margin(spark, duck):
+    """crop_analytics_full is gate-checked through a 0.01 m² quantization
+    (round(area·100) BIGINT on both engines). This test measures the RAW
+    cross-engine disagreement — engine chain vs the oracle SQL with the
+    final rounding stripped — and asserts it stays ≥1e4 below the quantum,
+    so the hash match is robust, not luck. It also asserts no true value
+    sits so close to a rounding boundary that ulp noise could flip it."""
+    raw_sql = pipeline.CROP_ANALYTICS_FULL_ORACLE.replace(
+        "CAST(round(coalesce(sum(ra.a), 0.0) * 100) AS BIGINT) AS area_q",
+        "coalesce(sum(ra.a), 0.0) AS area")
+    assert "area_q" not in raw_sql  # replacement actually happened
+    o = duck.execute(raw_sql).df()
+    key = ["region_id", "season_id", "land_type_id"]
+    oracle = {tuple(int(r[k]) for k in key): float(r["area"])
+              for _, r in o.iterrows()}
+    engine = {tuple(int(r[k]) for k in key): float(r["area"])
+              for r in pipeline._crop_analytics_full_area(spark, SF_SMOKE).collect()}
+    assert set(engine) == set(oracle)
+    worst = max(abs(engine[k] - oracle[k]) for k in engine)
+    assert worst < 1e-6, f"cross-engine disagreement {worst} too close to quantum"
+    # distance of each true value (×100) to the nearest .5 rounding boundary
+    margin = min(abs((v * 100) % 1.0 - 0.5) for v in engine.values())
+    assert margin > 1e-3, f"a value sits {margin} from a rounding boundary"
 
 def test_full_chain_matches_planar_times_jacobian(spark):
     """Value check for the full parity chain (MakeValid/Buffer/Union/
@@ -74,7 +99,7 @@ def test_full_chain_matches_planar_times_jacobian(spark):
 
     key = ["region_id", "season_id", "land_type_id"]
     full = {tuple(r[k] for k in key): r["area"]
-            for r in pipeline.crop_analytics_full(spark, SF_SMOKE).collect()}
+            for r in pipeline._crop_analytics_full_area(spark, SF_SMOKE).collect()}
     planar = {tuple(r[k] for k in key): r["area"]
               for r in pipeline.crop_analytics(spark, SF_SMOKE).collect()}
     # planar filters area>0; every planar group must appear in full with
@@ -144,8 +169,8 @@ def test_entry_contract(spark):
     assert df.count() > 0
     qs, os_ = E.queries(), E.oracle_sql()
     assert set(os_) <= set(qs)
-    # every oracle-less query is documented as rows-only
-    assert set(qs) - set(os_) == {"crop_analytics_full"}
+    # r4: every registry query carries a value oracle — no rows-only rows left
+    assert set(qs) - set(os_) == set()
 
 
 def test_bucketed_join_is_shuffle_free(spark):

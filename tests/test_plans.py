@@ -239,7 +239,7 @@ def test_registry_oracle_contract_is_complete():
     and forgetting its correctness gate."""
     from geospatial_data_pipeline_spark_sedona_on_aws_spark.plans.registry import ORACLES, QUERIES
 
-    ROWS_ONLY = {"crop_analytics_full"}  # polyconic CRS: no SQL closed form
+    ROWS_ONLY: set[str] = set()  # r4: the polyconic chain gained a quantized oracle
     missing = set(QUERIES) - set(ORACLES) - ROWS_ONLY
     assert not missing, f"queries without oracle or rows-only waiver: {sorted(missing)}"
     orphans = set(ORACLES) - set(QUERIES)
