@@ -439,13 +439,17 @@ def streaming_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(1), and the sink append is the only cross-batch artifact. Shares
     CONTAMINATION_ORACLE — the drained stream must equal the batch scan.
     """
+    import atexit
     import os
+    import shutil
+    import tempfile
 
-    from ..plans.catalog import _clear_orphaned_location
-
-    sink = "streaming_contamination_sink"
-    _clear_orphaned_location(spark, sink)
-    spark.sql(f"DROP TABLE IF EXISTS {sink}")
+    # caller-scoped parquet sink: a fixed catalog table name would make
+    # concurrent sessions sharing a metastore clobber each other and leak
+    # the table after the result is consumed; a mkdtemp path is unique per
+    # call and reclaimed at interpreter exit
+    sink_dir = tempfile.mkdtemp(prefix="streaming_contamination_")
+    atexit.register(shutil.rmtree, sink_dir, ignore_errors=True)
 
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     reader = spark.readStream.schema(schema).format("parquet")
@@ -482,9 +486,7 @@ def streaming_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("shared_shingles"))
             .where(F.col("shared_shingles") >= CONTAM_MIN_SHARED)
         )
-        out.write.mode("append").saveAsTable(sink)
-
-    import tempfile
+        out.write.mode("append").parquet(sink_dir)
 
     with tempfile.TemporaryDirectory() as ckpt:
         q = (
@@ -494,10 +496,9 @@ def streaming_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    # the appends ran in foreachBatch's cloned session; refresh so this
-    # session's catalog sees the final file set
-    spark.catalog.refreshTable(sink)
-    return spark.table(sink)
+    return spark.read.schema(
+        "doc_id bigint, eval_doc bigint, shared_shingles bigint"
+    ).parquet(sink_dir)
 
 def ngram_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The hash-bucketed candidate pairs re-verified against the TRUE

@@ -407,6 +407,12 @@ def knn_join_grid(spark: SparkSession, sf_dir: str, cell: int = 25,
     # smallest ring guaranteed to cover every dim cell from every point cell
     db = dimc.agg(F.min("cx"), F.max("cx"), F.min("cy"), F.max("cy")).first()
     pb = ptc.agg(F.min("pcx"), F.max("pcx"), F.min("pcy"), F.max("pcy")).first()
+    if any(v is None for v in (*db, *pb)):
+        # an empty side has NULL bounds: no (point, neighbor) pair exists —
+        # return the empty result with the output schema instead of a
+        # TypeError out of the max() below
+        return spark.createDataFrame(
+            [], "point_id bigint, rank bigint, region_id bigint, dist2 bigint")
     r_cover = int(max(abs(pb[1] - db[0]), abs(db[1] - pb[0]),
                       abs(pb[3] - db[2]), abs(db[3] - pb[2]), 1))
 

@@ -21,6 +21,36 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 _DATE_RE = re.compile(r"_(\d{4}_\d{2}_\d{2})$")
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+def _validate_idents(*names: str) -> None:
+    """Names are interpolated into DDL unquoted — restrict them to plain
+    SQL identifiers so a crafted table/grain/date can't smuggle SQL in."""
+    for n in names:
+        if not _IDENT_RE.match(n):
+            raise ValueError(f"unsafe SQL identifier: {n!r}")
+
+def _fold_ident(meta, pattern: str) -> str:
+    """Fold a metadata search pattern the way THIS database folds unquoted
+    identifiers (DatabaseMetaData contract): Derby/Oracle store them upper,
+    Postgres stores them lower, others mixed."""
+    if meta.storesUpperCaseIdentifiers():
+        return pattern.upper()
+    if meta.storesLowerCaseIdentifiers():
+        return pattern.lower()
+    return pattern
+
+def _table_exists(meta, name: str, types: tuple[str, ...] | None = None) -> bool:
+    """Existence probe by exact (case-folded) name. `name` goes through
+    getTables as a pattern where '_' is a single-char wildcard, so re-check
+    the returned TABLE_NAME verbatim instead of trusting the match."""
+    rs = meta.getTables(None, None, _fold_ident(meta, name), None)
+    while rs.next():
+        if rs.getString("TABLE_NAME").lower() != name.lower():
+            continue
+        if types is None or rs.getString("TABLE_TYPE") in types:
+            return True
+    return False
 
 class GrainViolation(ValueError):
     pass
@@ -129,37 +159,58 @@ def publish_snapshot_jdbc(
          metadata, drop oldest while more than `keep` exist (:269-291).
 
     Tested end-to-end against embedded Derby (tests/test_jdbc.py); the
-    same calls run against Postgres unchanged."""
+    same calls run against Postgres unchanged — metadata lookups fold the
+    pattern per DatabaseMetaData.storesUpper/LowerCaseIdentifiers (Derby
+    folds unquoted identifiers UP, Postgres folds them DOWN, so a
+    hard-coded uppercase pattern would silently never match on Postgres:
+    the view-exists probe would miss and retention would never fire)."""
+    _validate_idents(table, *grain, measure)
     name = snapshot_name(table, date)
+    _validate_idents(name)  # rejects a malformed/injection-y date too
     jvm = spark._jvm
     conn = jvm.java.sql.DriverManager.getConnection(url)
     try:
         st = conn.createStatement()
+        meta = conn.getMetaData()
+        # self-heal: a failed earlier load of the SAME date leaves its
+        # partially-loaded staging table behind; retrying must not die on
+        # CREATE TABLE already-exists (no IF EXISTS in Derby → probe first)
+        if _table_exists(meta, name):
+            st.execute(f"DROP TABLE {name}")
         cols = ", ".join(f"{c} INT" for c in grain) + f", {measure} DOUBLE"
         st.execute(f"CREATE TABLE {name} ({cols})")
-        st.execute(f"CREATE INDEX ix_{name} ON {name} ({grain[0]})")
-        st.execute(f"CREATE UNIQUE INDEX uq_{name} ON {name} ({', '.join(grain)})")
-        casted = df.selectExpr(
-            *[f"CAST({c} AS INT) AS {c}" for c in grain],
-            f"CAST({measure} AS DOUBLE) AS {measure}",
-        )
-        (casted.write.mode("append")
-         .option("numPartitions", str(write_partitions))
-         .option("batchsize", "1000")
-         .jdbc(url, name))
-        # atomic swap: both DDL statements commit together or not at all
-        conn.setAutoCommit(False)
-        swap = conn.createStatement()
-        meta = conn.getMetaData()
-        rs = meta.getTables(None, None, f"VW_{table.upper()}", None)
-        if rs.next():
-            swap.execute(f"DROP VIEW vw_{table}")
-        swap.execute(f"CREATE VIEW vw_{table} AS SELECT * FROM {name}")
-        conn.commit()
-        conn.setAutoCommit(True)
+        try:
+            st.execute(f"CREATE INDEX ix_{name} ON {name} ({grain[0]})")
+            st.execute(
+                f"CREATE UNIQUE INDEX uq_{name} ON {name} ({', '.join(grain)})")
+            casted = df.selectExpr(
+                *[f"CAST({c} AS INT) AS {c}" for c in grain],
+                f"CAST({measure} AS DOUBLE) AS {measure}",
+            )
+            (casted.write.mode("append")
+             .option("numPartitions", str(write_partitions))
+             .option("batchsize", "1000")
+             .jdbc(url, name))
+            # atomic swap: both DDL statements commit together or not at all
+            conn.setAutoCommit(False)
+            swap = conn.createStatement()
+            if _table_exists(meta, f"vw_{table}", types=("VIEW",)):
+                swap.execute(f"DROP VIEW vw_{table}")
+            swap.execute(f"CREATE VIEW vw_{table} AS SELECT * FROM {name}")
+            conn.commit()
+            conn.setAutoCommit(True)
+        except Exception:
+            # don't leave the staging table behind a failed load (e.g. the
+            # unique-grain backstop firing): the view still points at the
+            # previous snapshot, so the staging table has no reader and
+            # would break the next retry of the same date
+            conn.rollback()
+            conn.setAutoCommit(True)
+            st.execute(f"DROP TABLE {name}")
+            raise
         # retention (JDBC '_' is a single-char wildcard — over-match with %
         # and re-filter with the date regex)
-        rs = meta.getTables(None, None, f"{table.upper()}%", None)
+        rs = meta.getTables(None, None, _fold_ident(meta, f"{table}%"), None)
         snaps = []
         while rs.next():
             t = rs.getString("TABLE_NAME")

@@ -123,6 +123,41 @@ def test_jdbc_blue_green_publish_full_sequence(spark):
         publish_snapshot_jdbc(spark, dup, url, "crop", "2026-08-03")
     # failed publish must NOT have moved the view
     assert spark.read.jdbc(url, "vw_crop").count() == 3
+    # ...and must NOT have left the partially-loaded staging table behind
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    rs = conn.getMetaData().getTables(None, None, "CROP%2026%08%03", None)
+    leftovers = [rs.getString("TABLE_NAME") for _ in iter(rs.next, False)]
+    conn.close()
+    assert leftovers == [], leftovers
+    # a RETRY of the same date with clean data now succeeds (self-heal)
+    ok = spark.createDataFrame(
+        [(5, 1, 1, 1.0), (6, 1, 1, 2.0)],
+        "region_id long, season_id long, land_type_id long, area double",
+    )
+    publish_snapshot_jdbc(spark, ok, url, "crop", "2026-08-03")
+    assert spark.read.jdbc(url, "vw_crop").count() == 2
+
+
+def test_jdbc_publish_rejects_unsafe_identifiers(spark):
+    """Table/grain/measure/date are interpolated into DDL unquoted — a
+    non-identifier must be rejected before any SQL runs."""
+    import pytest as _pytest
+
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.plans.catalog import (
+        publish_snapshot_jdbc,
+    )
+
+    url = "jdbc:derby:memory:identcheck;create=true"
+    df = spark.createDataFrame([(1, 1, 1, 1.0)],
+                               "region_id long, season_id long, "
+                               "land_type_id long, area double")
+    with _pytest.raises(ValueError, match="unsafe SQL identifier"):
+        publish_snapshot_jdbc(spark, df, url, "crop; DROP TABLE x", "2026-08-01")
+    with _pytest.raises(ValueError, match="unsafe SQL identifier"):
+        publish_snapshot_jdbc(spark, df, url, "crop", "2026-08-01'--")
+    with _pytest.raises(ValueError, match="unsafe SQL identifier"):
+        publish_snapshot_jdbc(spark, df, url, "crop", "2026-08-01",
+                              grain=("region_id", "x) --",), measure="area")
 
 
 def test_jdbc_write_append_parallel(spark, derby):

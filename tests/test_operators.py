@@ -271,6 +271,26 @@ def test_wav_codec_round_trip_and_cross_check():
         wav_decode(base[:-3])  # truncated data chunk
 
 
+def test_knn_grid_empty_sides_yield_empty_result(spark, tmp_path):
+    """An empty point or dimension side means NULL grid bounds; the ring
+    sizing must short-circuit to an empty typed result, not TypeError on
+    max(None) (ADVICE r3)."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.operators.spatial_join import (
+        knn_join_grid,
+    )
+
+    from tests.conftest import SF_SMOKE
+
+    sf_empty = str(tmp_path / "empty_sf")
+    for t in ("orders", "supplier"):
+        (spark.read.parquet(f"{SF_SMOKE}/{t}.parquet").limit(0)
+         .write.parquet(f"{sf_empty}/{t}.parquet"))
+    out = knn_join_grid(spark, sf_empty)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "point_id", "rank", "region_id", "dist2"]
+
+
 def test_knn_grid_fallback_matches_broadcast_path(spark):
     # Force the non-broadcast grid path through MULTIPLE probe rounds
     # (cell=5 -> many near-empty cells, so plenty of points need ring
