@@ -7,11 +7,21 @@ relational pipeline); this is north-star extension machinery for the LLM-data
 pipeline (BASELINE.json): near-dup candidate pairs are only half of dedup —
 grouping them transitively is what yields the keep/drop decision.
 
-Scale design: label propagation, one DataFrame iteration per round.
-- Each round is: labels ⋈ edges (shuffle on the join key) → min-aggregate.
-  Rounds needed = graph diameter; near-dup clusters are small and dense, so
-  diameter is tiny (2-4) in practice. For adversarial long chains the round
-  count is capped and the cap is an explicit parameter.
+Scale design: min-label propagation accelerated with POINTER JUMPING (path
+compression), one DataFrame iteration per round.
+- Each round is: (a) hop — labels ⋈ edges (shuffle on the join key) →
+  min-aggregate, and (b) jump — labels ⋈ labels on comp=node, so every
+  node adopts its current label's own label (label(label(u))). The jump
+  halves the label-tree height each round, so rounds needed are
+  O(log diameter) rather than diameter — a path graph of 10⁶ nodes
+  converges in ~20 rounds, unconditionally (r3 VERDICT item 4: the old
+  hop-only loop was capped at 20 rounds = diameter 20 and a longer chain
+  would silently mislabel).
+- Correctness: labels only decrease and never go below the component min;
+  at the detected fixpoint label(u) ≤ label(v) across every edge in both
+  directions, so labels are constant per component and equal the min id.
+  Any fixpoint of the hop step is therefore exact — jumping only changes
+  how fast we get there, not where we stop.
 - Every round ends in `localCheckpoint` — without it the loop's lineage
   doubles per round and Spark replans/re-executes the whole history each
   iteration (the classic iterative-DataFrame trap).
@@ -27,13 +37,19 @@ from pyspark.sql import functions as F
 from ..operators import dedup as DD
 
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
-                         max_rounds: int = 20) -> DataFrame:
+                         max_rounds: int = 64) -> DataFrame:
     """(node, component) with component = min node id reachable — exact
-    connected components via min-label propagation.
+    connected components via min-label propagation + pointer jumping.
 
     edges: undirected edge list (each pair listed once, either direction).
     Output contains every node that appears in an edge; isolated nodes are
     the caller's union (they are their own component by definition).
+
+    `max_rounds` is a safety valve, not a correctness knob: with pointer
+    jumping the fixpoint arrives within ~log2(diameter) + 2 rounds, and
+    diameter < 2^63 for long node ids, so the default 64 can only be hit
+    by a logic bug — in which case we raise instead of returning a silently
+    under-merged labeling (the failure mode the old capped loop had).
     """
     both = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -44,14 +60,23 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     labels = both.select(F.col("a").alias("node")).distinct() \
                  .select("node", F.col("node").alias("comp"))
     for _ in range(max_rounds):
-        # candidate label for each node: min over (own, neighbors' labels)
+        # hop: candidate label per node = min over (own, neighbors' labels)
         nbr = (
             both.join(labels, both["b"] == labels["node"], "inner")
             .select(F.col("a").alias("node"), "comp")
         )
-        new_labels = (
+        hopped = (
             labels.select("node", "comp").union(nbr)
             .groupBy("node").agg(F.min("comp").alias("comp"))
+        )
+        # jump: label(u) ← label(label(u)). Labels are always node ids
+        # (min over node ids), so the label table itself is the mapping.
+        lookup = labels.select(F.col("node").alias("comp"),
+                               F.col("comp").alias("jumped"))
+        new_labels = (
+            hopped.join(lookup, "comp", "left")
+            .select("node",
+                    F.least("comp", F.coalesce("jumped", "comp")).alias("comp"))
             .localCheckpoint(eager=True)  # truncate iterative lineage
         )
         changed = (
@@ -60,8 +85,11 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels.select("node", "comp")
+            return labels.select("node", "comp")
+    raise RuntimeError(
+        f"connected_components did not converge in {max_rounds} rounds — "
+        "impossible for any graph with < 2^{max_rounds} nodes; "
+        "this indicates a label-propagation bug, not a data property")
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup dedup clusters over `documents`: 3-gram Jaccard >= 0.6 pairs

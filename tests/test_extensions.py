@@ -31,6 +31,23 @@ def test_connected_components_long_chain(spark):
     assert got.agg(F.min("comp")).first()[0] == 0
 
 
+def test_connected_components_chain_beyond_old_round_cap(spark):
+    """r3 VERDICT item 4: a path-shaped component whose diameter (300)
+    far exceeds the old 20-round cap — pointer jumping must converge it
+    (log2(300) ≈ 9 rounds) and label every node with the chain min.
+    Also: an interleaved second long chain keeps the minimum per-component,
+    proving the jump step never leaks labels across components."""
+    n = 300
+    chain_a = [(i, i + 2) for i in range(0, 2 * n, 2)]          # evens
+    chain_b = [(i, i + 2) for i in range(1, 2 * n - 2, 2)]      # odds
+    edges = spark.createDataFrame(chain_a + chain_b, ["src", "dst"])
+    got = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    for i in range(0, 2 * n + 1, 2):
+        assert got[i] == 0, (i, got[i])
+    for i in range(1, 2 * n - 1, 2):
+        assert got[i] == 1, (i, got[i])
+
+
 def test_cms_never_underestimates(spark):
     sf = "/root/testdata/sf0.01"  # smoke scale has no key above the threshold
     est = {r["o_custkey"]: r["est"]
