@@ -143,15 +143,21 @@ def png_decode(payload: bytes) -> dict:
         ).astype(np.int32)
         if ft == 0:
             rec = row
+        elif ft == 1:  # Sub: rec[i] = row[i] + rec[i-ch] — a per-channel-
+            # lane prefix sum, so it vectorizes as cumsum mod 256 (int64
+            # accumulator: exact, no wraparound before the final mod)
+            rec = (np.cumsum(row.reshape(-1, ch).astype(np.int64), axis=0)
+                   % 256).astype(np.int32).ravel()
         elif ft == 2:  # Up (vectorizable)
             rec = (row + prev) % 256
-        elif ft in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+        elif ft in (3, 4):  # Average / Paeth: true recurrences in x
+            # (floor-div / conditional on rec[i-ch]) — per-pixel Python,
+            # ~1 µs/px; fine at metadata-image sizes, PIL takes over for
+            # megapixel corpora when installed (see SCALING.md §multimodal)
             rec = np.zeros(stride, dtype=np.int32)
             for i in range(stride):
                 left = rec[i - ch] if i >= ch else 0
-                if ft == 1:
-                    pred = left
-                elif ft == 3:
+                if ft == 3:
                     pred = (left + int(prev[i])) // 2
                 else:
                     upleft = int(prev[i - ch]) if i >= ch else 0
