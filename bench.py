@@ -54,8 +54,74 @@ SWEEP_QUERIES = [
     "minhash_lsh_candidates",
     "spatial_knn_join",
 ]
+SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/root/repo/.bench_sf1")
 SWEEP_SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
-             "/root/testdata/sf0.1"]
+             "/root/testdata/sf0.1", SF1_DIR]
+
+def _ensure_sf1() -> None:
+    """Materialize a deterministic sf1.0-equivalent fixture (10× sf0.1) for
+    the sweep's fourth decade — the driver ships sf≤0.1 only (r3 VERDICT
+    item 5: 'the 0.001→0.1 curve is still overhead-dominated').
+
+    - lineitem/orders: 10 copies with the order key shifted by
+      i·(max+1) per copy. Every derived fixture keeps its cardinality
+      semantics: regions stay 50 (suppkey mod), parcels per region grow
+      10× — data-proportional load, constant dimensions, unique
+      property_ids.
+    - documents: 50 000 FRESH docs sampled from the real table's 31-word
+      vocabulary with matching length/lang/source distributions (seeded
+      numpy). Copies of existing docs would be near-duplicates of each
+      other and quadratically inflate the dedup pair count — fresh random
+      text keeps shingle-collision structure, so pair counts scale like
+      the real corpus does.
+    - supplier: verbatim (dimension table; scaling it would change the
+      region grid, not the load).
+    DuckDB's default parquet row-group size (~123k rows) gives the sf1
+    lineitem ~49 row groups → a genuinely multi-split scan, which
+    spread_scan leaves untouched (tests/test_plans.py)."""
+    import duckdb
+    import numpy as np
+
+    tables = ("lineitem", "orders", "supplier", "documents")
+    if all(os.path.exists(f"{SF1_DIR}/{t}.parquet") for t in tables):
+        return
+    os.makedirs(SF1_DIR, exist_ok=True)
+    con = duckdb.connect()
+    src = "/root/testdata/sf0.1"
+    for tbl, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        con.execute(f"""
+            COPY (
+                SELECT t.* REPLACE (
+                    {key} + r.i * (SELECT max({key}) + 1
+                                   FROM '{src}/{tbl}.parquet') AS {key})
+                FROM '{src}/{tbl}.parquet' t, range(10) r(i)
+            ) TO '{SF1_DIR}/{tbl}.parquet' (FORMAT parquet)
+        """)
+    con.execute(f"COPY (SELECT * FROM '{src}/supplier.parquet') "
+                f"TO '{SF1_DIR}/supplier.parquet' (FORMAT parquet)")
+    vocab = [r[0] for r in con.execute(
+        "SELECT DISTINCT unnest(string_split(text, ' ')) AS w "
+        f"FROM '{src}/documents.parquet' ORDER BY w").fetchall()]
+    rng = np.random.default_rng(7)
+    n = 50_000
+    lens = rng.integers(7, 97, n)
+    words = rng.integers(0, len(vocab), int(lens.sum()))
+    texts, pos = [], 0
+    for ln in lens:
+        texts.append(" ".join(vocab[w] for w in words[pos:pos + ln]))
+        pos += ln
+    import pandas as pd
+    docs = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": texts,
+        "lang": np.array(["en", "zh", "fr", "de", "es"])[rng.integers(0, 5, n)],
+        "source": np.array([f"src{i}" for i in range(20)])[rng.integers(0, 20, n)],
+    })
+    docs["n_chars"] = docs["text"].str.len().astype("int32")
+    con.register("docs", docs)
+    con.execute(f"COPY (SELECT * FROM docs) TO '{SF1_DIR}/documents.parquet' "
+                "(FORMAT parquet)")
+    con.close()
 
 def sweep(spark) -> None:
     """--sweep: per-sf timings of the expensive queries (min of 3 measured
@@ -63,9 +129,10 @@ def sweep(spark) -> None:
     Prints ONE JSON line with the curve."""
     from geospatial_data_pipeline_spark_sedona_on_aws_spark.plans.registry import QUERIES
 
+    _ensure_sf1()
     curve: dict[str, dict[str, float]] = {q: {} for q in SWEEP_QUERIES}
     for sf_dir in SWEEP_SFS:
-        sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+        sf = "1.0" if sf_dir == SF1_DIR else sf_dir.rstrip("/").rsplit("sf", 1)[-1]
         for phase in ("warm", "measure", "measure", "measure"):
             for name in SWEEP_QUERIES:
                 t0 = time.perf_counter()
@@ -78,7 +145,8 @@ def sweep(spark) -> None:
     print(json.dumps({
         "metric": "scale_curve",
         "unit": "sec",
-        "sfs": [s.rsplit("sf", 1)[-1] for s in SWEEP_SFS],
+        "sfs": ["1.0" if s == SF1_DIR else s.rsplit("sf", 1)[-1]
+                for s in SWEEP_SFS],
         "queries": curve,
         "methodology": "per-sf: full warm pass then per-query min of 3 measured passes",
     }))

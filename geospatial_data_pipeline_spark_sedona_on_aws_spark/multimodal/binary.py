@@ -14,9 +14,15 @@ inside the executors, cross-checked in tests against the stdlib `wave`
 module; the multimodal_wav_decode query round-trips encode→decode per
 document and the DuckDB oracle recomputes the waveform law in SQL.
 
-Video decoding still needs external libraries and raises
-NotImplementedError; fake_decode remains the deterministic byte-level
-stand-in.
+The *video* decode path is REAL as well: a dependency-free YUV4MPEG2
+(Y4M) codec — the uncompressed interchange container mplayer/ffmpeg use —
+parses the parameter header and per-frame planar payloads (mono and 4:2:0
+chroma); multimodal_y4m_decode round-trips encode→decode per document and
+its DuckDB oracle recomputes the per-frame luma law in SQL.
+
+Compressed codecs (H.264, VP9, …) still need external libraries and
+raise NotImplementedError; fake_decode remains the deterministic
+byte-level stand-in for those.
 """
 
 from __future__ import annotations
@@ -237,6 +243,75 @@ def wav_decode(payload: bytes) -> dict:
     return {"channels": n_ch, "sample_rate": rate, "n_samples": n_frames,
             "samples": arr.reshape(n_frames, n_ch)}
 
+# ------------------------------------------------ Y4M video codec (stdlib)
+
+def y4m_encode(frames: np.ndarray, fps: tuple[int, int] = (25, 1),
+               chroma: str = "mono") -> bytes:
+    """Minimal standards-conforming YUV4MPEG2 writer. `frames` is
+    (n_frames, H, W) uint8 luma; chroma 'mono' writes Y-only frames,
+    '420jpeg' appends flat-gray (128) subsampled U/V planes."""
+    arr = np.asarray(frames, dtype=np.uint8)
+    if arr.ndim != 3:
+        raise ValueError("frames must be (n_frames, H, W)")
+    n, h, w = arr.shape
+    if chroma == "420jpeg" and (h % 2 or w % 2):
+        raise ValueError("4:2:0 needs even dimensions")
+    head = (f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 "
+            f"C{chroma}\n").encode("ascii")
+    out = bytearray(head)
+    uv = (b"\x80" * ((h // 2) * (w // 2)) * 2 if chroma == "420jpeg" else b"")
+    for f in range(n):
+        out += b"FRAME\n" + arr[f].tobytes() + uv
+    return bytes(out)
+
+def y4m_decode(payload: bytes) -> dict:
+    """Dependency-free YUV4MPEG2 reader: parses the parameter line (W/H/F/C
+    tags, tolerating unknown tags and per-frame parameters), then walks
+    FRAME records of the exact planar size. Returns {width, height,
+    n_frames, fps (num, den), chroma, frames ((n, H, W) uint8 luma)}."""
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    fps = (25, 1)
+    chroma = "420jpeg"
+    for tag in payload[9:nl].split():
+        t, v = tag[:1], tag[1:]
+        if t == b"W":
+            w = int(v)
+        elif t == b"H":
+            h = int(v)
+        elif t == b"F":
+            num, den = v.split(b":")
+            fps = (int(num), int(den))
+        elif t == b"C":
+            chroma = v.decode("ascii")
+        # Ip/A/X…: interlacing, aspect, comments — irrelevant to decode
+    if w is None or h is None:
+        raise ValueError("missing W/H in YUV4MPEG2 header")
+    if chroma == "mono":
+        fsize = w * h
+    elif chroma in ("420", "420jpeg", "420mpeg2", "420paldv"):
+        fsize = w * h + 2 * ((h // 2) * (w // 2))
+    else:
+        raise NotImplementedError(f"chroma subsampling {chroma!r}")
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or not payload[pos:fnl].startswith(b"FRAME"):
+            raise ValueError("bad FRAME record")
+        data = payload[fnl + 1:fnl + 1 + fsize]
+        if len(data) != fsize:
+            raise ValueError("truncated frame payload")
+        frames.append(np.frombuffer(data[:w * h], dtype=np.uint8)
+                      .reshape(h, w))
+        pos = fnl + 1 + fsize
+    return {"width": w, "height": h, "n_frames": len(frames), "fps": fps,
+            "chroma": chroma,
+            "frames": (np.stack(frames) if frames
+                       else np.zeros((0, h, w), np.uint8))}
+
 def decode_media(payload: bytes, media_type: str) -> dict:
     """Real decoder entry point. PNG decodes in-process (PIL preferred when
     installed, pure-stdlib codec otherwise); WAV/PCM decodes via the stdlib
@@ -292,15 +367,17 @@ def extract_features(media: DataFrame) -> DataFrame:
     )
 
 def _docs(spark: SparkSession, sf_dir: str, *cols: str) -> DataFrame:
-    """documents scan fanned out to all cores: the testdata parquet is
-    single-row-group (ONE real split), and every consumer here feeds a
-    CPU-bound Python stage — without the repartition the whole corpus
-    decodes serially in one task. On a multi-file table this exchange is
-    the usual narrow-column spread (see fixtures.land_use_areas)."""
+    """documents scan fanned out to all cores when the source under-splits:
+    the testdata parquet is single-row-group (ONE real split), and every
+    consumer here feeds a CPU-bound Python stage — without the spread the
+    whole corpus decodes serially in one task. On a multi-split table
+    spread_scan returns the scan untouched (plan-asserted)."""
+    from ..sources.io import spread_scan
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     if cols:
         docs = docs.select(*cols)
-    return docs.repartition(spark.sparkContext.defaultParallelism)
+    return spread_scan(docs)
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end: documents → binary payload → mapInPandas features."""

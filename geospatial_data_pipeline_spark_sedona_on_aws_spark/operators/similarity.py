@@ -24,11 +24,13 @@ LSH_PLANES = 8      # axis-projection LSH: sign of dims 1, 9, 17, ... 57
 LSH_TOPK = 5
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embeddings scan, re-spread across cores: the testdata is a single
-    row group (one split), which would put every pairwise-dot stage on one
-    core; a real table arrives in many splits and AQE would skip this."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return e.repartition(e.sparkSession.sparkContext.defaultParallelism)
+    """Embeddings scan, re-spread across cores ONLY if the source
+    under-splits (the testdata is a single row group → one split, which
+    would put every pairwise-dot stage on one core; a real table arrives
+    in many splits and spread_scan leaves it untouched)."""
+    from ..sources.io import spread_scan
+
+    return spread_scan(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 EMBED_DIM = 64
 

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans import fixtures
+from ..sources import io as IO
 
 GRID = 16
 
@@ -327,8 +328,8 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the testdata parquet is single-row-group → ONE scan split; the
     # distance/sort work is CPU-bound per point, so spread the narrow
     # (id, x, y) rows across all cores before the map stage. On a real
-    # multi-file table the scan splits natively and this is a no-op cost.
-    pts = pts.repartition(spark.sparkContext.defaultParallelism)
+    # multi-split table spread_scan leaves the scan untouched.
+    pts = IO.spread_scan(pts)
     regions = fixtures.geographic_regions(spark, sf_dir)
     dim = regions.agg(F.collect_list(F.struct(
         (F.col("gx1") + F.col("gx2")).alias("sx"),
@@ -383,11 +384,11 @@ def knn_join_grid(spark: SparkSession, sf_dir: str, cell: int = 25,
     results are bit-identical to the broadcast variant and the oracle.
     """
     o = _t_orders(spark, sf_dir)
-    pts = o.select(
+    pts = IO.spread_scan(o.select(
         F.col("o_orderkey").alias("point_id"),
         (F.col("o_custkey") % 100).alias("px"),
         ((F.col("o_orderkey") * 7) % 100).alias("py"),
-    ).repartition(spark.sparkContext.defaultParallelism)
+    ))
     regions = fixtures.geographic_regions(spark, sf_dir)
     # doubled coordinates (2·centroid = gx1+gx2) keep everything integral;
     # the doubled cell width is 2·cell so cell ids match plain-space cells

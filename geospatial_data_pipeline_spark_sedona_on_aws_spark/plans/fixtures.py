@@ -81,7 +81,9 @@ def land_use_areas(spark: SparkSession, sf_dir: str, wkt: bool = True) -> DataFr
         "region_id", "season_id", "land_type_id", "property_id",
         "x1", "y1", "x1 + w AS x2", "y1 + h AS y2",
     )
-    df = df.repartition(spark.sparkContext.defaultParallelism)
+    from ..sources.io import spread_scan
+
+    df = spread_scan(df)
     if not wkt:
         # wkt=False: caller adds land_geometry AFTER its join. Catalyst can't
         # defer a projection across a join, so building the WKT here would
@@ -143,7 +145,9 @@ def land_use_areas_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "region_id", "season_id", "land_type_id", "property_id",
         "x1", "y1", "x1 + w AS x2", "y1 + h AS y2",
     )
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    from ..sources.io import spread_scan
+
+    return spread_scan(df)
 
 # --------------------------------------------------- DuckDB oracle CTE text
 

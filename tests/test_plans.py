@@ -232,6 +232,39 @@ def test_knn_join_point_side_never_shuffles(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
 
 
+def test_scan_spread_exchange_disappears_on_multisplit(spark, tmp_path):
+    """SCALING.md's standing claim — 'the fan-out repartition is a
+    local-only artifact of single-row-group testdata; a real multi-file
+    table needs none' — proven structurally (r3 VERDICT item 6): the SAME
+    query code path carries a round-robin Exchange on the single-split
+    source and NO exchange before the Python stage on a 32-file copy,
+    with identical results."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.multimodal import binary as MM
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.sources.io import physical_plan
+
+    from tests.conftest import SF_SMOKE
+
+    # multi-file copy of documents at fixture-setup time
+    multi_sf = str(tmp_path)
+    (spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+     .repartition(32).write.parquet(f"{multi_sf}/documents.parquet"))
+
+    single = MM._docs(spark, SF_SMOKE, "doc_id")
+    multi = MM._docs(spark, multi_sf, "doc_id")
+
+    assert "RoundRobinPartitioning" in physical_plan(single)
+    multi_plan = physical_plan(multi)
+    assert "Exchange" not in multi_plan, multi_plan
+    # the multi-split scan natively yields >= half the cores' parallelism
+    assert multi.rdd.getNumPartitions() * 2 >= \
+        spark.sparkContext.defaultParallelism
+
+    # same code path, same values: the real decode query agrees row-for-row
+    a = sorted(map(tuple, MM.multimodal_wav_decode(spark, SF_SMOKE).collect()))
+    b = sorted(map(tuple, MM.multimodal_wav_decode(spark, multi_sf).collect()))
+    assert a == b and len(a) > 0
+
+
 def test_registry_oracle_contract_is_complete():
     """Every queries() entry must carry a DuckDB oracle, except the
     explicitly documented rows-only set (the driver records a weaker check
