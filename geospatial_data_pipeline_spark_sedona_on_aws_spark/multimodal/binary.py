@@ -331,6 +331,8 @@ def decode_media(payload: bytes, media_type: str) -> dict:
             return png_decode(payload)
     if media_type in ("audio/wav", "audio/x-wav", "audio/wave"):
         return wav_decode(payload)
+    if media_type in ("video/y4m", "video/x-yuv4mpeg"):
+        return y4m_decode(payload)
     raise NotImplementedError(
         f"decoding {media_type!r} requires external media libraries; "
         "use fake_decode for deterministic byte-level stand-ins"
@@ -549,6 +551,68 @@ SELECT doc_id,
            j -> (doc_id * 37 + 5 * j) % {WAV_AMP_MOD} - {WAV_AMP_OFF}),
            'sum') AS BIGINT) AS amp_sum,
        CAST(n_samples * 1000000 // sample_rate AS BIGINT) AS duration_us
+FROM m
+"""
+
+# Deterministic per-doc video law (SQL-expressible): luma pixel j of frame f
+# of doc d is ((d*13 + f*7 + 3j) % 247); n_frames = 3 + d % 4; 8×4 mono
+# for odd docs, 8×4 4:2:0 for even docs (exercises both plane layouts).
+Y4M_W, Y4M_H = 8, 4
+_Y4M_MOD = 247
+
+def multimodal_y4m_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode inside the engine, driver-oracle-checked: per
+    document, synthesize a deterministic luma sequence, encode it as a
+    YUV4MPEG2 stream (mono or 4:2:0 by doc parity — both frame layouts),
+    then DECODE the bytes back with the stdlib parser and report frame
+    count, dimensions, fps, and the luma sum over all frames. The oracle
+    recomputes the pixel law in SQL; any container/parser defect (header
+    tags, frame stride, plane sizes) breaks the hash."""
+    docs = _docs(spark, sf_dir, "doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = np.arange(Y4M_W * Y4M_H, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 3 + d % 4
+                frames = np.stack([
+                    ((d * 13 + f * 7 + 3 * idx) % _Y4M_MOD)
+                    .astype(np.uint8).reshape(Y4M_H, Y4M_W)
+                    for f in range(n)])
+                chroma = "mono" if d % 2 else "420jpeg"
+                payload = y4m_encode(frames, fps=(30, 1), chroma=chroma)
+                dec = decode_media(bytes(payload), "video/y4m")
+                rows.append((
+                    d, dec["n_frames"], dec["width"], dec["height"],
+                    dec["fps"][0],
+                    int(dec["frames"].astype(np.int64).sum()),
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_frames", "width", "height", "fps_num",
+                "luma_sum"])
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, n_frames long, width long, height long, "
+               "fps_num long, luma_sum long",
+    )
+
+MULTIMODAL_Y4M_DECODE_ORACLE = f"""
+WITH m AS (
+    SELECT doc_id, 3 + doc_id % 4 AS n_frames FROM documents
+)
+SELECT doc_id,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST({Y4M_W} AS BIGINT) AS width,
+       CAST({Y4M_H} AS BIGINT) AS height,
+       CAST(30 AS BIGINT) AS fps_num,
+       CAST(list_aggregate(list_transform(
+           range(0, CAST(n_frames * {Y4M_W * Y4M_H} AS INT)),
+           j -> (doc_id * 13 + (j // {Y4M_W * Y4M_H}) * 7
+                 + 3 * (j % {Y4M_W * Y4M_H})) % {_Y4M_MOD}),
+           'sum') AS BIGINT) AS luma_sum
 FROM m
 """
 

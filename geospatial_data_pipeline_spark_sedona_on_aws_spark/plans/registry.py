@@ -108,7 +108,7 @@ QUERIES: dict[str, QueryFn] = {
     "profile_table": SK.profile_table,
     # --- multimodal / Python DataSource rotation ---
     "multimodal_wav_decode": MM.multimodal_wav_decode,  # NEW r4: real audio
-    "multimodal_features": MM.multimodal_features,
+    "multimodal_y4m_decode": MM.multimodal_y4m_decode,  # NEW r4: real video
     "multimodal_resize": MM.multimodal_resize,
     "multimodal_frame_sample": MM.multimodal_frame_sample,
     "pyds_sensor_stream_totals": PDS.sensor_stream_totals,
@@ -179,6 +179,7 @@ QUERIES: dict[str, QueryFn] = {
     "bloom_pruned_orders": SK.bloom_pruned_orders,
     # --- multimodal / Python DataSource ---
     "multimodal_png_decode": MM.multimodal_png_decode,
+    "multimodal_features": MM.multimodal_features,
     "pyds_sensor_hourly": PDS.sensor_hourly,
     "pyds_jsonl_commit_roundtrip": PDS.crop_jsonl_commit_roundtrip,
 }
@@ -288,6 +289,7 @@ ORACLES: dict[str, str] = {
     "multimodal_features": MM.MULTIMODAL_FEATURES_ORACLE,
     "multimodal_png_decode": MM.MULTIMODAL_PNG_DECODE_ORACLE,
     "multimodal_wav_decode": MM.MULTIMODAL_WAV_DECODE_ORACLE,
+    "multimodal_y4m_decode": MM.MULTIMODAL_Y4M_DECODE_ORACLE,
     "crop_analytics_full": P.CROP_ANALYTICS_FULL_ORACLE,
     "multimodal_resize": MM.MULTIMODAL_RESIZE_ORACLE,
     "multimodal_frame_sample": MM.MULTIMODAL_FRAME_SAMPLE_ORACLE,

@@ -271,6 +271,39 @@ def test_wav_codec_round_trip_and_cross_check():
         wav_decode(base[:-3])  # truncated data chunk
 
 
+def test_y4m_codec_round_trip():
+    """YUV4MPEG2 codec: writer round-trips through the chunk-walking reader
+    for mono and 4:2:0 layouts; the reader tolerates unknown header tags
+    and rejects truncated frames / wrong magic."""
+    import numpy as np
+    import pytest as _pytest
+
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.multimodal.binary import (
+        y4m_decode,
+        y4m_encode,
+    )
+
+    rng = np.random.default_rng(3)
+    for chroma in ("mono", "420jpeg"):
+        frames = rng.integers(0, 255, size=(5, 6, 10)).astype(np.uint8)
+        payload = y4m_encode(frames, fps=(24, 1), chroma=chroma)
+        d = y4m_decode(payload)
+        assert (d["width"], d["height"], d["n_frames"]) == (10, 6, 5)
+        assert d["fps"] == (24, 1) and d["chroma"] == chroma
+        assert (d["frames"] == frames).all()
+
+    # unknown tags (XCOMMENT) parse fine; truncation and bad magic raise
+    base = y4m_encode(rng.integers(0, 255, size=(2, 4, 4)).astype(np.uint8),
+                      chroma="mono")
+    hdr_end = base.find(b"\n")
+    tagged = base[:hdr_end] + b" XSOMETHING" + base[hdr_end:]
+    assert y4m_decode(tagged)["n_frames"] == 2
+    with _pytest.raises(ValueError):
+        y4m_decode(base[:-3])
+    with _pytest.raises(ValueError):
+        y4m_decode(b"JUNK4MPEG2 W4 H4\n")
+
+
 def test_knn_grid_empty_sides_yield_empty_result(spark, tmp_path):
     """An empty point or dimension side means NULL grid bounds; the ring
     sizing must short-circuit to an empty typed result, not TypeError on
