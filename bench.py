@@ -43,6 +43,10 @@ HEADLINE = [
     # round 3 additions
     "crop_analytics_skewed",   # hot-key flagship: region 0 holds ~50% of rows
     "multimodal_png_decode",   # real encode->decode loop per document
+    # round 4 additions
+    "multimodal_wav_decode",   # real RIFF/WAVE PCM decode per document
+    "multimodal_y4m_decode",   # real YUV4MPEG2 video decode per document
+    "crop_analytics_full",     # full parity chain, now value-oracle-checked
 ]
 
 # scale-curve sweep (--sweep): the most expensive headline queries measured
@@ -68,12 +72,17 @@ def _ensure_sf1() -> None:
       semantics: regions stay 50 (suppkey mod), parcels per region grow
       10× — data-proportional load, constant dimensions, unique
       property_ids.
-    - documents: 50 000 FRESH docs sampled from the real table's 31-word
-      vocabulary with matching length/lang/source distributions (seeded
-      numpy). Copies of existing docs would be near-duplicates of each
-      other and quadratically inflate the dedup pair count — fresh random
-      text keeps shingle-collision structure, so pair counts scale like
-      the real corpus does.
+    - documents: 50 000 FRESH docs sampled from the real table's vocabulary
+      EXTENDED to 67 words, with matching length/lang/source distributions
+      (seeded numpy). Two fixture artifacts to avoid: copies of existing
+      docs would be near-duplicates of each other (quadratic pair
+      inflation), and keeping the original 31-word vocab would hold the
+      3-gram shingle space fixed while docs grow 10× — bucket occupancy
+      ∝ n_docs/V³ would rise 10× and shared-shingle pair counts ~100×,
+      a property of the toy vocabulary, not the engine. Real corpora grow
+      vocabulary with size (Heaps' law); scaling V by 10^(1/3) ≈ 2.15×
+      keeps docs-per-shingle-bucket constant so dedup pair counts scale
+      like a real corpus (~linearly).
     - supplier: verbatim (dimension table; scaling it would change the
       region grid, not the load).
     DuckDB's default parquet row-group size (~123k rows) gives the sf1
@@ -102,6 +111,9 @@ def _ensure_sf1() -> None:
     vocab = [r[0] for r in con.execute(
         "SELECT DISTINCT unnest(string_split(text, ' ')) AS w "
         f"FROM '{src}/documents.parquet' ORDER BY w").fetchall()]
+    # Heaps-law vocabulary growth: V × 10^(1/3) keeps the 3-gram shingle
+    # collision density constant at 10× the docs (see docstring)
+    vocab = vocab + [w + str(k) for k in (2, 3) for w in vocab][:67 - len(vocab)]
     rng = np.random.default_rng(7)
     n = 50_000
     lens = rng.integers(7, 97, n)

@@ -109,6 +109,56 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out
 
+def embedding_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup clusters over `embeddings`: cosine-near-dup pairs
+    (LSH-bucketed, never all-pairs) → transitive closure → per-vector
+    (vec_id, cluster_id, is_canonical). The embedding-space counterpart of
+    dedup_clusters' lexical shingle clustering — the two compose into the
+    standard near-dup stack (lexical catches edits, semantic catches
+    paraphrase). Same scale story: bucketed pair generation + O(log d)
+    pointer-jumping components; vectors with no semantic near-dup are
+    their own cluster."""
+    from ..operators import similarity as SIM
+
+    pairs = SIM.cosine_near_dup(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    vecs = SIM._emb(spark, sf_dir).select("vec_id")
+    return (
+        vecs.join(comp, vecs["vec_id"] == comp["node"], "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("comp"), F.col("vec_id")).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col("vec_id") == F.col("cluster_id"))
+    )
+
+def _embedding_cluster_dedup_oracle() -> str:
+    from ..operators import similarity as SIM
+
+    return f"""
+WITH RECURSIVE pairs AS (
+    {SIM.COSINE_NEAR_DUP_ORACLE.strip().rstrip(';')}
+),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach AS (
+    SELECT a AS node, a AS comp FROM edges
+    UNION
+    SELECT e.a AS node, r.comp
+    FROM reach r JOIN edges e ON e.b = r.node
+),
+labels AS (
+    SELECT node, min(comp) AS comp FROM reach GROUP BY node
+)
+SELECT v.vec_id,
+       coalesce(l.comp, v.vec_id) AS cluster_id,
+       v.vec_id = coalesce(l.comp, v.vec_id) AS is_canonical
+FROM embeddings v LEFT JOIN labels l ON l.node = v.vec_id
+"""
+
 # The oracle replays the pair SQL, then computes min-reachable-label with a
 # recursive CTE (UNION dedupes, so the recursion reaches a fixpoint).
 DEDUP_CLUSTERS_ORACLE = f"""
@@ -134,3 +184,5 @@ SELECT d.doc_id,
        d.doc_id = coalesce(l.comp, d.doc_id) AS is_canonical
 FROM documents d LEFT JOIN labels l ON l.node = d.doc_id
 """
+
+EMBEDDING_CLUSTER_DEDUP_ORACLE = _embedding_cluster_dedup_oracle()

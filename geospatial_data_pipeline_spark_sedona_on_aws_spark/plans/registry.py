@@ -171,6 +171,8 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_ivf_ann": SIM.ivf_ann,
     "embedding_quantized_topk": SIM.quantized_topk,
     "kmeans_quantized": SIM.kmeans_quantized,
+    "embedding_cluster_dedup": GR.embedding_cluster_dedup,  # NEW r4
+    "token_packing": TQ.token_packing,                      # NEW r4
     # --- sketches ---
     "hll_distinct": SK.hll_distinct,
     "cms_heavy_hitters": SK.cms_heavy_hitters,
@@ -266,6 +268,8 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard_pairs": DD.NGRAM_JACCARD_ORACLE,
     "ngram_jaccard_verified": DD.NGRAM_JACCARD_VERIFIED_ORACLE,
     "dedup_clusters": GR.DEDUP_CLUSTERS_ORACLE,
+    "embedding_cluster_dedup": GR.EMBEDDING_CLUSTER_DEDUP_ORACLE,
+    "token_packing": TQ.TOKEN_PACKING_ORACLE,
     "contamination_check": DD.CONTAMINATION_ORACLE,
     "streaming_contamination": DD.CONTAMINATION_ORACLE,  # drained stream == batch scan
     "embedding_topk_cosine": SIM.TOPK_COSINE_ORACLE,

@@ -557,3 +557,60 @@ SELECT doc_id,
                '{PII_IP}', '<IP>', 'g'), '{PII_PHONE}')) AS n_phones
 FROM aug
 """
+
+# ---------------------------------------------------- sequence packing
+
+PACK_CTX = 512  # context-window token budget per pack
+
+def token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training-data assembly: documents are
+    concatenated per language stream in doc_id order and split into
+    PACK_CTX-token context windows; each document is assigned to the pack
+    where its FIRST token lands (streaming concat packing — the standard
+    high-throughput alternative to per-pack bin-packing, which needs no
+    global optimization and is deterministic under re-runs).
+
+    Output: (doc_id, lang, stream_offset, pack_id, pack_docs, pack_tokens)
+    — per-doc placement plus per-pack occupancy so a loader can both slice
+    windows and audit fill rates.
+
+    Scale shape: ONE shuffle (window partition by lang); the running sum,
+    pack assignment, and per-pack stats all reuse that partitioning.
+    At 100 TB the lang streams are independent — skewed languages can be
+    sub-salted by (lang, date-bucket) with offsets rebased per bucket,
+    the standard sharded-packing layout."""
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy("doc_id") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    placed = d.select(
+        "doc_id", "lang", TXT.n_tokens(F.col("text")).alias("n_tokens"),
+    ).withColumn(
+        "stream_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)),
+    ).withColumn(
+        "pack_id", (F.col("stream_offset") / F.lit(PACK_CTX)).cast("bigint"),
+    )
+    pw = Window.partitionBy("lang", "pack_id")
+    return placed.select(
+        "doc_id", "lang", "stream_offset", "pack_id",
+        F.count("*").over(pw).alias("pack_docs"),
+        F.sum("n_tokens").over(pw).alias("pack_tokens"),
+    )
+
+TOKEN_PACKING_ORACLE = f"""
+WITH placed AS (
+    SELECT doc_id, lang,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(coalesce(sum(len(string_split(text, ' '))) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS stream_offset
+    FROM documents
+)
+SELECT doc_id, lang, stream_offset,
+       stream_offset // {PACK_CTX} AS pack_id,
+       CAST(count(*) OVER (PARTITION BY lang, stream_offset // {PACK_CTX})
+            AS BIGINT) AS pack_docs,
+       CAST(sum(n_tokens) OVER (PARTITION BY lang, stream_offset // {PACK_CTX})
+            AS BIGINT) AS pack_tokens
+FROM placed
+"""
