@@ -22,6 +22,7 @@ from ..streaming import events as EV
 from . import pipeline as P
 from . import quality as Q
 from . import relational as R
+from . import retrieval as RET
 from . import sketches as SK
 from . import text_queries as TQ
 from . import tpch as T
@@ -173,6 +174,8 @@ QUERIES: dict[str, QueryFn] = {
     "kmeans_quantized": SIM.kmeans_quantized,
     "embedding_cluster_dedup": GR.embedding_cluster_dedup,  # NEW r4
     "token_packing": TQ.token_packing,                      # NEW r4
+    "lm_bigram_score": RET.lm_bigram_score,                 # NEW r4
+    "phrase_search": RET.phrase_search,                     # NEW r4
     # --- sketches ---
     "hll_distinct": SK.hll_distinct,
     "cms_heavy_hitters": SK.cms_heavy_hitters,
@@ -270,6 +273,8 @@ ORACLES: dict[str, str] = {
     "dedup_clusters": GR.DEDUP_CLUSTERS_ORACLE,
     "embedding_cluster_dedup": GR.EMBEDDING_CLUSTER_DEDUP_ORACLE,
     "token_packing": TQ.TOKEN_PACKING_ORACLE,
+    "lm_bigram_score": RET.LM_BIGRAM_SCORE_ORACLE,
+    "phrase_search": RET.PHRASE_SEARCH_ORACLE,
     "contamination_check": DD.CONTAMINATION_ORACLE,
     "streaming_contamination": DD.CONTAMINATION_ORACLE,  # drained stream == batch scan
     "embedding_topk_cosine": SIM.TOPK_COSINE_ORACLE,

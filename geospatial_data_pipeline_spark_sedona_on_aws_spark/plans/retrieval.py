@@ -1,0 +1,197 @@
+"""Corpus-statistics retrieval queries over `documents`: an in-corpus bigram
+language model for fluency scoring and a positional inverted index answering
+phrase queries — the retrieval/quality layer of an LLM training-data
+pipeline (companion to plans/text_queries.py's per-document scores).
+
+Cross-engine exactness contract: every probability is quantized through
+INTEGER arithmetic (`num div den` in Spark == `num // den` in DuckDB on
+non-negative BIGINTs), so no libm log/exp and no float fold order can
+diverge — the oracle hash-matches bit-for-bit.
+
+Scale notes (100 TB):
+- the bigram/prefix count tables are vocab-bounded (|V|² worst case, Zipf
+  much smaller in practice); the plan joins on the bigram key and lets AQE
+  convert to broadcast when the counts side is small — no hand-collected
+  model, no driver bottleneck;
+- the postings build is one projection+explode pass with the term filter
+  applied BEFORE the shuffle, so only the queried terms' postings move;
+- every per-document aggregate partitions by doc_id once and reuses that
+  exchange for the final group-by.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TXT
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+# --------------------------------------------------------------- bigram LM
+
+#: probability quantization scale: qprob = (SCALE * (c2+1)) div (c1 + |V|),
+#: i.e. the add-one-smoothed bigram probability in units of 1e-9. BIGINT-safe:
+#: SCALE * (c2+1) stays < 2^63 while the corpus has < ~9.2e9 bigram positions
+#: per distinct bigram (beyond that, bump to DECIMAL(38,0) partials).
+LM_SCALE = 1_000_000_000
+
+def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-corpus bigram-LM fluency scoring — the perplexity-style filter a
+    training-data pipeline uses to rank documents by how "expected" their
+    token stream is under a model of the corpus itself (CCNet-style, with
+    the corpus as its own LM).
+
+    Three relations, each one aggregation pass over the exploded bigram
+    stream: bigram counts c2(w1,w2), prefix counts c1(w1), vocabulary size
+    |V|. Each bigram position scores the add-one-smoothed probability
+    (c2+1)/(c1+|V|), quantized to integers (LM_SCALE units) so Spark and
+    DuckDB agree exactly — a log-space sum would hit libm last-ulp drift.
+    Per document: bigram count, total and minimum quantized probability
+    (min = the most surprising transition, the span a quality filter would
+    flag).
+
+    Plan: explode once, reuse for both count tables; join doc-bigrams to
+    c2 on (w1,w2) and to c1 on w1 (AQE broadcasts the count sides when
+    vocab-small); one final group-by doc_id.
+    """
+    return lm_bigram_score_df(_docs(spark, sf_dir))
+
+def lm_bigram_score_df(d: DataFrame) -> DataFrame:
+    """DataFrame-level core of lm_bigram_score (docs needs doc_id, text)."""
+    toks = d.select("doc_id", TXT.tokens(F.col("text")).alias("t"))
+    tcol = F.col("t")
+    pairs = F.transform(
+        F.slice(tcol, 1, F.greatest(F.size(tcol) - 1, F.lit(0))),
+        lambda w, i: F.struct(
+            w.alias("w1"),
+            F.element_at(tcol, (i + F.lit(2)).cast("int")).alias("w2"),
+        ),
+    )
+    big = toks.select(
+        "doc_id", F.explode(pairs).alias("p")
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+
+    c2 = big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = big.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = (
+        toks.select(F.explode("t").alias("w"))
+        .agg(F.countDistinct("w").alias("vocab"))
+    )
+
+    scored = (
+        big.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.expr(f"({LM_SCALE} * (c2 + 1)) div (c1 + vocab)").alias("qprob"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("qprob").alias("sum_qprob"),
+        F.min("qprob").alias("min_qprob"),
+    )
+
+LM_BIGRAM_SCORE_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+big AS (
+    SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+    FROM (SELECT doc_id, t,
+                 unnest(generate_series(1, len(t) - 1)) AS i
+          FROM toks)
+),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
+v AS (
+    SELECT count(DISTINCT w) AS vocab
+    FROM (SELECT unnest(t) AS w FROM toks)
+),
+scored AS (
+    SELECT b.doc_id,
+           ({LM_SCALE} * (c2.c2 + 1)) // (c1.c1 + v.vocab) AS qprob
+    FROM big b
+    JOIN c2 USING (w1, w2)
+    JOIN c1 USING (w1)
+    CROSS JOIN v
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(qprob) AS BIGINT) AS sum_qprob,
+       CAST(min(qprob) AS BIGINT) AS min_qprob
+FROM scored
+GROUP BY doc_id
+"""
+
+# --------------------------------------------------- positional phrase search
+
+#: the fixed demo phrase; three tokens so the match needs TWO adjacency
+#: joins, not one (the general n-term shape).
+PHRASE = ("row", "column", "sort")
+
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-inverted-index phrase search: build (term, doc_id, pos)
+    postings for the query's terms only (filter pushed BEFORE the explode
+    output shuffles — non-query terms never leave the scan stage), then
+    chain adjacency self-joins posting[k].pos = posting[0].pos + k.
+
+    Per matching document: match count and first match position — the
+    retrieval shape behind "find documents containing this exact span"
+    (e.g. benchmark-contamination span lookup with positions, where the
+    shingle-hash contamination_check only gives membership).
+
+    Scale: postings are keyed (doc_id, pos); each adjacency join shuffles
+    on that compound key — never on the (hot) term key — so a frequent
+    term cannot skew a partition. k-term phrases chain k-1 such joins and
+    AQE broadcasts whichever side has the rarest term.
+    """
+    return phrase_search_df(_docs(spark, sf_dir), PHRASE)
+
+def phrase_search_df(d: DataFrame, phrase: tuple[str, ...]) -> DataFrame:
+    """DataFrame-level core of phrase_search for an arbitrary phrase."""
+    toks = d.select(
+        "doc_id", F.posexplode(TXT.tokens(F.col("text"))).alias("pos", "term")
+    )
+    # 1-based positions to match the SQL oracle's list indexing
+    toks = toks.select("doc_id", (F.col("pos") + 1).alias("pos"), "term")
+
+    posting0 = toks.filter(F.col("term") == phrase[0]).select("doc_id", "pos")
+    matched = posting0
+    for k, term in enumerate(phrase[1:], start=1):
+        pk = (
+            toks.filter(F.col("term") == term)
+            .select("doc_id", (F.col("pos") - k).alias("pos"))
+        )
+        matched = matched.join(pk, ["doc_id", "pos"])
+
+    return matched.groupBy("doc_id").agg(
+        F.count("*").alias("n_matches"),
+        F.min("pos").cast("long").alias("first_pos"),
+    )
+
+_PHRASE_JOINS = "\n    ".join(
+    f"JOIN p{k} ON p{k}.doc_id = p0.doc_id AND p{k}.pos = p0.pos + {k}"
+    for k in range(1, len(PHRASE))
+)
+_PHRASE_CTES = ",\n".join(
+    f"p{k} AS (SELECT doc_id, i AS pos FROM toks WHERE t[i] = '{term}')"
+    for k, term in enumerate(PHRASE)
+)
+
+PHRASE_SEARCH_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+),
+{_PHRASE_CTES}
+SELECT p0.doc_id,
+       CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(min(p0.pos) AS BIGINT) AS first_pos
+FROM p0
+    {_PHRASE_JOINS}
+GROUP BY p0.doc_id
+"""

@@ -391,3 +391,55 @@ def test_pyds_jsonl_commit_sink_atomicity(spark, tmp_path):
     merged = PDS.read_jsonl_commit(spark, path, "id bigint, v bigint")
     assert merged.count() == 12
     assert merged.where("id >= 100").count() == 5
+
+
+# ------------------------------------------------ retrieval: bigram LM + phrase
+
+
+def test_lm_bigram_score_hand_computed(spark):
+    """Add-one-smoothed quantized bigram probabilities on a corpus small
+    enough to verify by hand: c2(a,b)=3 c2(b,a)=1 c2(b,c)=1 c2(c,c)=1,
+    c1(a)=3 c1(b)=2 c1(c)=1, |V|=3."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.plans.retrieval import lm_bigram_score_df
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "c c")], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in lm_bigram_score_df(docs).collect()}
+    q_ab = (10**9 * 4) // 6   # (c2+1)=4, (c1+V)=6
+    q_ba = (10**9 * 2) // 5
+    q_bc = (10**9 * 2) // 5
+    q_cc = (10**9 * 2) // 4
+    assert got[1]["n_bigrams"] == 3
+    assert got[1]["sum_qprob"] == 2 * q_ab + q_ba
+    assert got[1]["min_qprob"] == q_ba
+    assert got[2]["sum_qprob"] == q_ab + q_bc
+    assert got[3]["sum_qprob"] == q_cc and got[3]["min_qprob"] == q_cc
+
+
+def test_phrase_search_positions(spark):
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.plans.retrieval import phrase_search_df
+
+    docs = spark.createDataFrame(
+        [(1, "x row column sort y row column sort"),
+         (2, "row column x sort"),          # broken adjacency: no match
+         (3, "row column sort")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_matches"], r["first_pos"])
+           for r in phrase_search_df(docs, ("row", "column", "sort")).collect()}
+    assert got == {1: (2, 2), 3: (1, 1)}
+
+
+def test_phrase_search_term_filter_reaches_scan(spark):
+    """The postings build filters to the phrase's terms BEFORE any shuffle:
+    the physical plan's first exchange input must already carry the term
+    filter (non-query terms never leave the scan stage)."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.plans import retrieval as RET
+
+    plan = RET.phrase_search(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
+    # one term filter per phrase word, each in the explode stage itself
+    for term in RET.PHRASE:
+        assert f"Filter (term#" in plan and term in plan
+    assert plan.count("Generate posexplode") == len(RET.PHRASE)
+    # the ONLY hash-partition exchange is the final per-doc aggregate —
+    # the adjacency joins broadcast (postings of a single term are small)
+    assert plan.count("Exchange hashpartitioning") == 1
