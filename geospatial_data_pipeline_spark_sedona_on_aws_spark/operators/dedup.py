@@ -564,3 +564,124 @@ JOIN sizes na ON na.doc_id = doc_a
 JOIN sizes nb ON nb.doc_id = doc_b
 WHERE inter / (na.n + nb.n - inter) >= {JACCARD_THRESHOLD}
 """
+
+
+# ----------------------------------------------- duplicated-span coverage
+
+#: span granularity for substring-level dedup: a token 8-gram is the unit
+#: the "deduplicating training data" line of work (Lee et al. 2022 uses
+#: 50-BPE-token spans via suffix arrays) detects; fixed-n gram hashing is
+#: the shuffle-friendly Spark formulation of the same measurement — every
+#: duplicated span of length >= n is covered by its duplicated n-grams, so
+#: per-doc covered-token counts agree with the suffix-array method for
+#: spans >= n (shorter repeats are deliberately below the noise floor).
+DUP_SPAN_N = 8
+
+
+def dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-substring coverage: the fraction of each
+    document's tokens lying inside a token 8-gram that also occurs in at
+    least one OTHER document — the per-doc statistic behind "trim or drop
+    documents that are mostly boilerplate copied across the corpus".
+
+    Three-step plan, every shuffle keyed small:
+      1. positional 8-gram hashes (the lead-window shingle pipeline —
+         whole-stage codegen, one doc_id exchange that later stages reuse);
+      2. cross-doc duplicated grams: ONE aggregate on the 8-byte gram hash
+         (count distinct docs >= 2), joined back on that hash;
+      3. covered tokens per doc: overlapping [p, p+7] spans collapse via a
+         lag window — union length = sum(min(8, p_i - p_{i-1})) — so no
+         interval materialization, and the window's doc_id partitioning
+         feeds the final group-by with no extra exchange.
+
+    Documents with no duplicated span keep a row (left join, zero counts):
+    the downstream filter needs every doc scored. Coverage permille is
+    integer math (1000*covered div n_tokens) for cross-engine exactness.
+    """
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id", F.posexplode(TXT.tokens(F.col("text"))).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    gram_str = F.concat_ws(
+        " ", "tok", *[F.lead("tok", j).over(w) for j in range(1, DUP_SPAN_N)]
+    )
+    last = F.lead("tok", DUP_SPAN_N - 1).over(w)
+    grams = (
+        tok.select(
+            "doc_id",
+            (F.col("pos") + 1).alias("p"),
+            TXT.portable_hash60(gram_str).alias("h"),
+            last.alias("__ok"),
+        )
+        .where(F.col("__ok").isNotNull())
+        .drop("__ok")
+    )
+    dup = (
+        grams.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    dpos = grams.join(dup, "h").select("doc_id", "p")
+    wd = Window.partitionBy("doc_id").orderBy("p")
+    cov = dpos.select(
+        "doc_id",
+        F.coalesce(
+            F.least(F.lit(DUP_SPAN_N).cast("long"),
+                    (F.col("p") - F.lag("p").over(wd)).cast("long")),
+            F.lit(DUP_SPAN_N).cast("long"),
+        ).alias("c"),
+    )
+    agg = cov.groupBy("doc_id").agg(
+        F.count("*").alias("dup_ngrams"),
+        F.sum("c").alias("covered_tokens"),
+    )
+    base = d.select("doc_id", TXT.n_tokens(F.col("text")).alias("n_tokens"))
+    return (
+        base.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_ngrams", F.lit(0)).alias("dup_ngrams"),
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+            F.expr("(1000 * coalesce(covered_tokens, 0)) div n_tokens")
+                .alias("dup_permille"),
+        )
+    )
+
+
+_G8 = ", ".join(f"t[i+{j}]" for j in range(DUP_SPAN_N))
+
+DUP_NGRAM_SPANS_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+g AS (
+    SELECT doc_id, i AS p,
+           ('0x' || substr(md5(concat_ws(' ', {_G8})), 1, 15))::BIGINT AS h
+    FROM (SELECT doc_id, t,
+                 unnest(generate_series(1, len(t) - {DUP_SPAN_N - 1})) AS i
+          FROM toks)
+),
+dup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+dpos AS (SELECT g.doc_id, g.p FROM g JOIN dup USING (h)),
+cov AS (
+    SELECT doc_id,
+           COALESCE(least({DUP_SPAN_N},
+                          p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)),
+                    {DUP_SPAN_N}) AS c
+    FROM dpos
+),
+agg AS (
+    SELECT doc_id, count(*) AS dup_ngrams, sum(c) AS covered
+    FROM cov GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(a.dup_ngrams, 0) AS BIGINT) AS dup_ngrams,
+       CAST(COALESCE(a.covered, 0) AS BIGINT) AS covered_tokens,
+       (1000 * CAST(COALESCE(a.covered, 0) AS BIGINT))
+           // len(string_split(d.text, ' ')) AS dup_permille
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""

@@ -186,3 +186,91 @@ FROM documents d LEFT JOIN labels l ON l.node = d.doc_id
 """
 
 EMBEDDING_CLUSTER_DEDUP_ORACLE = _embedding_cluster_dedup_oracle()
+
+
+# ------------------------------------------------------------------ PageRank
+
+#: iteration count (unrolled verbatim in the SQL oracle) and the integer
+#: quantization: ranks live in units of 1e-12 so every step is BIGINT
+#: arithmetic — damping 0.85 becomes (85*r) div (100*outdeg), identical in
+#: Spark (`div`) and DuckDB (`//`) — no float fold order, no libm.
+PR_ITERS = 3
+PR_SCALE = 10**12
+PR_OUT_DEG = 3
+
+
+def pagerank_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over a deterministic document link graph — the
+    link-authority score a web-corpus pipeline mixes into quality filtering
+    (alongside quality_scores/lm_bigram_score). The testdata has no link
+    column, so the graph is derived arithmetically (doc d links to
+    (31*d + j) mod N for j = 1..3 — fixed out-degree 3, reproducible in
+    SQL); with a real crawl the edge list drops in unchanged.
+
+    The iterative-DataFrame shape (like connected_components, with a fixed
+    iteration count instead of a fixpoint test): per round, ranks join
+    edges on src (shuffle keyed on the rank side's doc_id), contributions
+    min-aggregate onto dst, and a left join restores no-inlink nodes at the
+    damping floor. Rounds are lineage-truncated via localCheckpoint.
+
+    Exactness: rank(v) ← (15*SCALE) div (100*N) + Σ_u→v (85*r_u) div 300,
+    all BIGINT — the oracle unrolls the same three rounds in CTEs and
+    hash-matches bit-for-bit. (The div-per-edge quantization loses < 1
+    rank-unit per in-edge vs rational arithmetic — negligible at SCALE=1e12
+    and applied identically on both engines.)
+    """
+    docs = DD._docs(spark, sf_dir).select("doc_id")
+    n = docs.agg(F.count("*").alias("n"))
+    nodes = docs.crossJoin(F.broadcast(n))
+    edges = nodes.select(
+        F.col("doc_id").alias("src"),
+        F.explode(F.array(*[
+            (F.col("doc_id") * 31 + F.lit(j)) % F.col("n")
+            for j in range(1, PR_OUT_DEG + 1)
+        ])).alias("dst"),
+    ).localCheckpoint(eager=False)
+    ranks = nodes.select(
+        "doc_id", F.expr(f"{PR_SCALE} div n").alias("r"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("doc_id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.expr(f"(85 * r) div (100 * {PR_OUT_DEG})")).alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["doc_id"] == contrib["dst"], "left")
+            .select(
+                "doc_id",
+                (F.expr(f"(15 * {PR_SCALE}) div (100 * n)")
+                 + F.coalesce("c", F.lit(0))).alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("doc_id", F.col("r").alias("rank_q"))
+
+
+def _pagerank_round(prev: str, out: str) -> str:
+    return f"""
+{out} AS (
+    SELECT nd.doc_id, base.b + COALESCE(s.c, 0) AS r
+    FROM nodes nd CROSS JOIN base
+    LEFT JOIN (
+        SELECT e.dst AS doc_id, sum((85 * r.r) // (100 * {PR_OUT_DEG})) AS c
+        FROM edges e JOIN {prev} r ON r.doc_id = e.src
+        GROUP BY e.dst
+    ) s USING (doc_id)
+)"""
+
+
+PAGERANK_LINKS_ORACLE = f"""
+WITH n AS (SELECT count(*) AS n FROM documents),
+nodes AS (SELECT doc_id FROM documents),
+edges AS (
+    SELECT doc_id AS src, (doc_id * 31 + j) % n.n AS dst
+    FROM documents CROSS JOIN n, unnest([1, 2, 3]) AS t(j)
+),
+base AS (SELECT (15 * {PR_SCALE}) // (100 * n.n) AS b FROM n),
+r0 AS (SELECT doc_id, ({PR_SCALE} // n.n) AS r FROM nodes CROSS JOIN n),
+{",".join(_pagerank_round(f"r{i}", f"r{i + 1}") for i in range(PR_ITERS))}
+SELECT doc_id, CAST(r AS BIGINT) AS rank_q FROM r{PR_ITERS}
+"""

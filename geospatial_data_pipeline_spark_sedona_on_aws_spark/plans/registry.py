@@ -176,6 +176,9 @@ QUERIES: dict[str, QueryFn] = {
     "token_packing": TQ.token_packing,                      # NEW r4
     "lm_bigram_score": RET.lm_bigram_score,                 # NEW r4
     "phrase_search": RET.phrase_search,                     # NEW r4
+    "dup_ngram_spans": DD.dup_ngram_spans,                  # NEW r4
+    "pagerank_links": GR.pagerank_links,                    # NEW r4
+    "user_type_totals_tws": EV.user_type_totals_tws,        # NEW r4
     # --- sketches ---
     "hll_distinct": SK.hll_distinct,
     "cms_heavy_hitters": SK.cms_heavy_hitters,
@@ -275,6 +278,9 @@ ORACLES: dict[str, str] = {
     "token_packing": TQ.TOKEN_PACKING_ORACLE,
     "lm_bigram_score": RET.LM_BIGRAM_SCORE_ORACLE,
     "phrase_search": RET.PHRASE_SEARCH_ORACLE,
+    "dup_ngram_spans": DD.DUP_NGRAM_SPANS_ORACLE,
+    "pagerank_links": GR.PAGERANK_LINKS_ORACLE,
+    "user_type_totals_tws": EV.USER_TYPE_TOTALS_TWS_ORACLE,
     "contamination_check": DD.CONTAMINATION_ORACLE,
     "streaming_contamination": DD.CONTAMINATION_ORACLE,  # drained stream == batch scan
     "embedding_topk_cosine": SIM.TOPK_COSINE_ORACLE,

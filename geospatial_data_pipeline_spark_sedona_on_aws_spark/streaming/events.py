@@ -792,3 +792,171 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """
+
+
+def _tws_available() -> bool:
+    """transformWithStateInPandas needs the protobuf-based Python state
+    client (google.protobuf); absent in minimal containers, present on any
+    full Spark 4 deployment (protobuf ships with pyspark[connect])."""
+    import importlib.util
+
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # no 'google' namespace package at all
+        return False
+
+
+def _running_totals_update(state, pdf):
+    """Shared per-batch state transition for BOTH stateful APIs:
+    (n, mx, cents) ⊕ batch → (n', mx', cents'). Money accumulates in
+    integer cents with the same DECIMAL(18,2) HALF_UP quantization as the
+    batch/oracle side, so drained equality is exact, not approximate."""
+    import decimal
+
+    cent = decimal.Decimal("0.01")
+    n, mx, cents = state
+    vals = pdf["value"].astype(float)
+    n += len(pdf)
+    if len(vals):
+        bmax = float(vals.max())
+        mx = bmax if mx is None or bmax > mx else mx
+    for v in vals:
+        cents += int(decimal.Decimal(float(v)).quantize(
+            cent, rounding=decimal.ROUND_HALF_UP) * 100)
+    return n, mx, cents
+
+
+def user_type_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, event_type) running totals as an arbitrary-stateful
+    streaming operator: a per-key state cell (count, max, exact-cents sum)
+    updated across micro-batches, emitting the running totals each batch in
+    update mode. After the availableNow drain, the latest emission per key
+    (max n_events — monotone across batches) equals the batch groupBy,
+    which is the DuckDB oracle.
+
+    Two implementations of the identical state transition
+    (_running_totals_update), chosen by environment:
+    - transformWithStateInPandas (Spark 4's arbitrary-state API, explicit
+      ValueState on the RocksDB state store) when its protobuf-based Python
+      state client is importable — the production path;
+    - applyInPandasWithState (the classic GroupState API the sessionizer
+      uses) otherwise — e.g. this container, which has no google.protobuf
+      and no way to install it. Same keys, same state tuple, same
+      emissions, so the drained result is identical by construction.
+
+    Scale: state is one 3-field row per live key, sharded by the grouping
+    key across the state store — nothing here is local-mode-only.
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    stream = _events_stream(spark, sf_dir).select("user_id", "event_type", "value")
+
+    state_schema = StructType([
+        StructField("n", LongType()),
+        StructField("mx", DoubleType()),
+        StructField("cents", LongType()),
+    ])
+    out_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("n_events", LongType()),
+        StructField("max_value", DoubleType()),
+        StructField("sum_value", DoubleType()),
+    ])
+
+    def emit_row(key, n, mx, cents):
+        return pd.DataFrame({
+            "user_id": [int(key[0])],
+            "event_type": [str(key[1])],
+            "n_events": [n],
+            "max_value": [mx],
+            "sum_value": [cents / 100.0],
+        })
+
+    if _tws_available():  # pragma: no cover - needs protobuf in env
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+
+        class RunningTotals(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._totals = handle.getValueState("totals", state_schema)
+
+            def handleInputRows(self, key, rows, timerValues):
+                st = tuple(self._totals.get()) if self._totals.exists() \
+                    else (0, None, 0)
+                for pdf in rows:
+                    st = _running_totals_update(st, pdf)
+                self._totals.update(st)
+                yield emit_row(key, *st)
+
+            def close(self) -> None:
+                pass
+
+        totals = stream.groupBy("user_id", "event_type") \
+            .transformWithStateInPandas(
+                statefulProcessor=RunningTotals(),
+                outputStructType=out_schema,
+                outputMode="Update",
+                timeMode="None",
+            )
+    else:
+        from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+        def fn(key, pdfs, state: GroupState):
+            st = tuple(state.get) if state.exists else (0, None, 0)
+            for pdf in pdfs:
+                st = _running_totals_update(st, pdf)
+            state.update(st)
+            yield emit_row(key, *st)
+
+        totals = stream.groupBy("user_id", "event_type") \
+            .applyInPandasWithState(
+                fn, out_schema, state_schema, "update",
+                GroupStateTimeout.NoTimeout,
+            )
+
+    name = "user_type_totals_tws_sink"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            totals.writeStream.format("memory").queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    from pyspark.sql import Window as W
+
+    sink = spark.table(name)
+    w_latest = W.partitionBy("user_id", "event_type").orderBy(F.desc("n_events"))
+    return (
+        sink.withColumn("_rn", F.row_number().over(w_latest))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+USER_TYPE_TOTALS_TWS_ORACLE = """
+SELECT user_id, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       max(value) AS max_value,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY user_id, event_type
+"""

@@ -443,3 +443,52 @@ def test_phrase_search_term_filter_reaches_scan(spark):
     # the ONLY hash-partition exchange is the final per-doc aggregate —
     # the adjacency joins broadcast (postings of a single term are small)
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_dup_ngram_spans_hand_computed(spark):
+    """Two docs share a 10-token run: its three interior 8-grams are
+    cross-doc duplicated, and the lag-window union collapses the three
+    overlapping [p, p+7] spans to exactly 10 covered tokens. A doc whose
+    8-gram repeats only WITHIN itself must score zero (cross-doc test)."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.operators.dedup import dup_ngram_spans
+    import geospatial_data_pipeline_spark_sedona_on_aws_spark.operators.dedup as DD
+
+    common = "a b c d e f g h i j"              # 10 tokens
+    docs = spark.createDataFrame(
+        [(1, common + " k l m n o"),            # common at positions 1-10
+         (2, "p q " + common),                  # common at positions 3-12
+         (3, "z z z z z z z z z")],             # 9 tokens, self-repeat only
+        ["doc_id", "text"])
+
+    import unittest.mock as mock
+    with mock.patch.object(DD, "_docs", lambda spark, sf_dir: docs):
+        got = {r["doc_id"]: r for r in dup_ngram_spans(spark, "unused").collect()}
+    assert (got[1]["dup_ngrams"], got[1]["covered_tokens"]) == (3, 10)
+    assert got[1]["n_tokens"] == 15 and got[1]["dup_permille"] == 10000 // 15
+    assert (got[2]["dup_ngrams"], got[2]["covered_tokens"]) == (3, 10)
+    assert (got[3]["dup_ngrams"], got[3]["covered_tokens"]) == (0, 0)
+
+
+def test_pagerank_links_hand_computed(spark):
+    """3-iteration integer PageRank on a 7-node derived graph, verified
+    against a direct Python replay of the identical BIGINT recurrence."""
+    import unittest.mock as mock
+
+    import geospatial_data_pipeline_spark_sedona_on_aws_spark.operators.graph as GR
+    import geospatial_data_pipeline_spark_sedona_on_aws_spark.operators.dedup as DD
+
+    N = 7
+    docs = spark.createDataFrame([(i, "x") for i in range(N)], ["doc_id", "text"])
+    with mock.patch.object(DD, "_docs", lambda spark, sf_dir: docs):
+        got = {r["doc_id"]: r["rank_q"]
+               for r in GR.pagerank_links(spark, "unused").collect()}
+
+    edges = [(d, (31 * d + j) % N) for d in range(N) for j in (1, 2, 3)]
+    r = {d: GR.PR_SCALE // N for d in range(N)}
+    base = (15 * GR.PR_SCALE) // (100 * N)
+    for _ in range(GR.PR_ITERS):
+        c = {d: 0 for d in range(N)}
+        for s, t in edges:
+            c[t] += (85 * r[s]) // (100 * GR.PR_OUT_DEG)
+        r = {d: base + c[d] for d in range(N)}
+    assert got == r

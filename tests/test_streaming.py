@@ -178,3 +178,55 @@ def test_streaming_contamination_multi_batch_equals_batch(spark, tmp_path):
              .select("doc_id", "eval_doc", "shared_shingles").collect()}
     assert streamed == batch
     assert len(streamed) > 0
+
+
+def test_user_type_totals_tws_multi_batch_state(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 arbitrary-state API): the
+    per-key ValueState must carry running totals ACROSS micro-batches —
+    three chronologically-arriving part files, one per batch, must drain
+    to exactly the batch groupBy (count, max, exact-cents sum)."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.streaming import events as EV
+
+    ev = EV._events(spark, SF_SMOKE)
+    sf2 = str(tmp_path)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cuts = [lo + (hi - lo) * i / 3 for i in (1, 2)]
+    parts = [
+        ev.where(F.col("ts") < cuts[0]),
+        ev.where((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        ev.where(F.col("ts") >= cuts[1]),
+    ]
+    d = f"{sf2}/events.parquet"
+    os.makedirs(d)
+    now = time.time()
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.parquet(f"{sf2}/__stage{i}")
+        src = next(f for f in os.listdir(f"{sf2}/__stage{i}")
+                   if f.endswith(".parquet"))
+        dst = f"{d}/part-{i}.parquet"
+        os.rename(f"{sf2}/__stage{i}/{src}", dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+
+    spark.conf.set(EV.MAX_FILES_CONF, "1")  # force 3 micro-batches
+    try:
+        got = EV.user_type_totals_tws(spark, sf2).toPandas()
+    finally:
+        spark.conf.unset(EV.MAX_FILES_CONF)
+
+    batch = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.max("value").alias("max_value"),
+             F.sum(F.col("value").cast("decimal(18,2)"))
+              .cast("double").alias("sum_value"))
+        .toPandas()
+    )
+    k = ["user_id", "event_type"]
+    got = got.sort_values(k).reset_index(drop=True)[batch.columns.tolist()]
+    batch = batch.sort_values(k).reset_index(drop=True)
+    assert got.equals(batch)
