@@ -78,12 +78,17 @@ QUERIES: dict[str, QueryFn] = {
     "expectations_check": Q.expectations_check,
     "incremental_rollup": Q.incremental_rollup,
     "q18_large_orders": R.q18_large_orders,
-    "q2_min_cost_supplier": T.q2_min_cost_supplier,
-    "q5_local_supplier_volume": T.q5_local_supplier_volume,
-    "q8_market_share": T.q8_market_share,
-    "q9_product_profit": T.q9_product_profit,
-    "q13_customer_distribution": T.q13_customer_distribution,
-    "q21_waiting_suppliers": T.q21_waiting_suppliers,
+    # --- new-this-round operators (brand-new code earns the driver gate
+    # first; the displaced TPC-H rotation rows q2/q5/q8/q9/q13/q21 +
+    # ngram_topk_corpus are double-judge-replica-verified and move to
+    # tier 2 until the r5 rotation) ---
+    "embedding_cluster_dedup": GR.embedding_cluster_dedup,
+    "token_packing": TQ.token_packing,
+    "lm_bigram_score": RET.lm_bigram_score,
+    "phrase_search": RET.phrase_search,
+    "dup_ngram_spans": DD.dup_ngram_spans,
+    "pagerank_links": GR.pagerank_links,
+    "user_type_totals_tws": EV.user_type_totals_tws,
     # --- streaming rotation ---
     "events_json_extract": EV.events_json_extract,
     "interval_range_join": EV.interval_range_join,
@@ -95,7 +100,6 @@ QUERIES: dict[str, QueryFn] = {
     "training_mix": TQ.training_mix,
     "event_funnel": TQ.event_funnel,
     "repetition_scores": TQ.repetition_scores,
-    "ngram_topk_corpus": TQ.ngram_topk_corpus,
     # --- dedup rotation ---
     "ngram_jaccard_pairs": DD.ngram_jaccard_pairs,
     "streaming_contamination": DD.streaming_contamination,
@@ -147,6 +151,12 @@ QUERIES: dict[str, QueryFn] = {
     "q19_disjunctive_revenue": T.q19_disjunctive_revenue,
     "q20_dominant_suppliers": T.q20_dominant_suppliers,
     "q22_dormant_customers": T.q22_dormant_customers,
+    "q2_min_cost_supplier": T.q2_min_cost_supplier,
+    "q5_local_supplier_volume": T.q5_local_supplier_volume,
+    "q8_market_share": T.q8_market_share,
+    "q9_product_profit": T.q9_product_profit,
+    "q13_customer_distribution": T.q13_customer_distribution,
+    "q21_waiting_suppliers": T.q21_waiting_suppliers,
     # --- streaming ---
     "events_windowed": EV.events_windowed,
     "sessionize_events": EV.sessionize,
@@ -172,13 +182,10 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_ivf_ann": SIM.ivf_ann,
     "embedding_quantized_topk": SIM.quantized_topk,
     "kmeans_quantized": SIM.kmeans_quantized,
-    "embedding_cluster_dedup": GR.embedding_cluster_dedup,  # NEW r4
-    "token_packing": TQ.token_packing,                      # NEW r4
-    "lm_bigram_score": RET.lm_bigram_score,                 # NEW r4
-    "phrase_search": RET.phrase_search,                     # NEW r4
-    "dup_ngram_spans": DD.dup_ngram_spans,                  # NEW r4
-    "pagerank_links": GR.pagerank_links,                    # NEW r4
-    "user_type_totals_tws": EV.user_type_totals_tws,        # NEW r4
+    "ngram_topk_corpus": TQ.ngram_topk_corpus,
+    "chunk_documents": RET.chunk_documents,                 # NEW r4
+    "streaming_dedup_watermarked": EV.streaming_dedup_watermarked,  # NEW r4
+    "events_variant_extract": EV.events_variant_extract,    # NEW r4
     # --- sketches ---
     "hll_distinct": SK.hll_distinct,
     "cms_heavy_hitters": SK.cms_heavy_hitters,
@@ -281,6 +288,9 @@ ORACLES: dict[str, str] = {
     "dup_ngram_spans": DD.DUP_NGRAM_SPANS_ORACLE,
     "pagerank_links": GR.PAGERANK_LINKS_ORACLE,
     "user_type_totals_tws": EV.USER_TYPE_TOTALS_TWS_ORACLE,
+    "chunk_documents": RET.CHUNK_DOCUMENTS_ORACLE,
+    "streaming_dedup_watermarked": EV.STREAMING_DEDUP_WATERMARKED_ORACLE,
+    "events_variant_extract": EV.EVENTS_VARIANT_EXTRACT_ORACLE,
     "contamination_check": DD.CONTAMINATION_ORACLE,
     "streaming_contamination": DD.CONTAMINATION_ORACLE,  # drained stream == batch scan
     "embedding_topk_cosine": SIM.TOPK_COSINE_ORACLE,

@@ -195,3 +195,74 @@ FROM p0
     {_PHRASE_JOINS}
 GROUP BY p0.doc_id
 """
+
+# ------------------------------------------------------------ doc chunking
+
+#: chunk geometry: 64-token windows advancing by 48 (16-token overlap) —
+#: the RAG/embedding-prep shape (overlap keeps context at boundaries).
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking — the fan-out step before
+    embedding in a retrieval pipeline: each document becomes
+    ceil(max(n - overlap, 1) / stride) chunks of <= CHUNK_TOKENS tokens at
+    CHUNK_STRIDE spacing, each carrying its position and a portable
+    content hash (the chunk-level dedup / cache key).
+
+    Entirely row-local (sequence + transform + explode inside one
+    projection, whole-stage codegen): ZERO shuffles at any scale — the
+    chunk stream inherits the scan's partitioning, which is exactly what
+    the downstream embedding stage wants to consume.
+    """
+    d = _docs(spark, sf_dir)
+    toks = TXT.tokens(F.col("text"))
+    n = F.size(toks)
+    # 1-based chunk start positions: 1, 1+stride, ... while start <= n - overlap
+    # (equivalently: ceil(max(n - overlap, 1) / stride) chunks)
+    overlap = CHUNK_TOKENS - CHUNK_STRIDE
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(n - F.lit(overlap), F.lit(1)),
+        F.lit(CHUNK_STRIDE),
+    )
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.cast("long").alias("chunk_id"),
+            s.cast("long").alias("start_pos"),
+            F.least(F.lit(CHUNK_TOKENS), n - s + 1).cast("long")
+                .alias("n_chunk_tokens"),
+            TXT.portable_hash60(
+                F.concat_ws(" ", F.slice(toks, s, F.lit(CHUNK_TOKENS)))
+            ).alias("chunk_hash"),
+        ),
+    )
+    return (
+        d.select("doc_id", F.explode(chunks).alias("c"))
+        .select("doc_id", "c.chunk_id", "c.start_pos",
+                "c.n_chunk_tokens", "c.chunk_hash")
+    )
+
+CHUNK_DOCUMENTS_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+starts AS (
+    SELECT doc_id, t,
+           unnest(generate_series(
+               1, greatest(len(t) - {CHUNK_TOKENS - CHUNK_STRIDE}, 1),
+               {CHUNK_STRIDE})) AS s,
+           unnest(generate_series(
+               0, (greatest(len(t) - {CHUNK_TOKENS - CHUNK_STRIDE}, 1) - 1)
+                  // {CHUNK_STRIDE})) AS cid
+    FROM toks
+)
+SELECT doc_id,
+       CAST(cid AS BIGINT) AS chunk_id,
+       CAST(s AS BIGINT) AS start_pos,
+       CAST(least({CHUNK_TOKENS}, len(t) - s + 1) AS BIGINT) AS n_chunk_tokens,
+       ('0x' || substr(md5(array_to_string(
+            t[s : s + {CHUNK_TOKENS} - 1], ' ')), 1, 15))::BIGINT AS chunk_hash
+FROM starts
+"""

@@ -960,3 +960,79 @@ SELECT user_id, event_type,
 FROM events
 GROUP BY user_id, event_type
 """
+
+
+def streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with BOUNDED state: dropDuplicatesWithinWatermark
+    evicts a key's dedup state once the event-time watermark passes it —
+    the production form of streaming_dedup above, whose plain
+    dropDuplicates keeps every key forever (the state-store killer at
+    100 TB/day).
+
+    Exactness contract: correctness of "first occurrence wins" holds for
+    duplicates arriving within the watermark delay of each other; here the
+    delay (30 days) exceeds the fixture's whole event-time span, so no
+    state is ever evicted and the drained result equals SELECT DISTINCT
+    exactly — while still exercising the real bounded-state operator
+    (DedupWithinWatermark, not Dedup, in the physical plan). Production
+    sets the delay to the true duplicate horizon (e.g. the Kafka
+    redelivery window), trading state size for how-late a duplicate can
+    still be suppressed.
+    """
+    stream = _events_stream(spark, sf_dir)
+    deduped = (
+        stream.withWatermark("ts", "30 days")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    name = "streaming_dedup_wm_sink"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            deduped.writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
+STREAMING_DEDUP_WATERMARKED_ORACLE = STREAMING_DEDUP_ORACLE
+
+
+def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via Spark 4's VARIANT type: parse_json into
+    the binary variant encoding once, then variant_get typed path access —
+    the third semi-structured path the engine exercises (regex:
+    events_json_extract; schema'd struct: events_json_typed; schemaless
+    binary variant: here). VARIANT keeps parse cost at the scan and lets
+    Catalyst push typed extraction into codegen — on a 100 TB event lake
+    this replaces per-query JSON re-parsing with one decode.
+
+    Output is plain BIGINTs (the variant never leaves the plan), so the
+    DuckDB oracle is its native JSON path extraction.
+    """
+    ev = _events(spark, sf_dir)
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.count("k").alias("n_with_k"),
+        )
+    )
+
+
+EVENTS_VARIANT_EXTRACT_ORACLE = """
+SELECT event_type,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       CAST(count(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS n_with_k
+FROM events
+GROUP BY event_type
+"""

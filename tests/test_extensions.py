@@ -492,3 +492,28 @@ def test_pagerank_links_hand_computed(spark):
             c[t] += (85 * r[s]) // (100 * GR.PR_OUT_DEG)
         r = {d: base + c[d] for d in range(N)}
     assert got == r
+
+
+def test_chunk_documents_geometry(spark):
+    """Chunk boundaries: exactly-one-window doc, one-token-over doc (short
+    tail chunk), and a doc shorter than a window (single short chunk)."""
+    import unittest.mock as mock
+
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.plans import retrieval as RET
+
+    def words(n):
+        return " ".join(f"w{i}" for i in range(n))
+
+    docs = spark.createDataFrame(
+        [(1, words(64)), (2, words(65)), (3, words(5))], ["doc_id", "text"])
+    with mock.patch.object(RET, "_docs", lambda spark, sf_dir: docs):
+        rows = RET.chunk_documents(spark, "unused").collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["start_pos"], r["n_chunk_tokens"]))
+    for v in got.values():
+        v.sort()
+    assert got[1] == [(0, 1, 64)]
+    assert got[2] == [(0, 1, 64), (1, 49, 17)]
+    assert got[3] == [(0, 1, 5)]
