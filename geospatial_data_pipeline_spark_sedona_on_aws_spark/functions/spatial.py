@@ -229,9 +229,54 @@ def _envelope(s: str | None) -> str | None:
 
 # --------------------------------------------------------------- pandas UDFs
 
+# Vectorized rect fast path for the unary hygiene UDFs. A string matching
+# this pattern is PROVABLY a fixed point of parse→normalize→to_wkt (and of
+# make_valid, and of buffer(0)):
+#   - integer-text coordinates with no leading zeros/plus ("0|-?[1-9]\d*"),
+#     so float(t) is exact and _fmt(float(t)) == t (|v| < 1e15 checked);
+#   - the backrefs force the exact closed CCW rect vertex walk
+#     (A B, C B, C D, A D, A B): parse yields 5 points, dedupe drops only
+#     the closing duplicate, signed area (C-A)(D-B) > 0 keeps CCW, a rect
+#     has no self-intersections, and to_wkt re-emits the identical text.
+# Rows that match pass through untouched (C-level regex over the whole
+# Arrow batch); everything else takes the general kernel path. This is the
+# string-level analog of dissolve.py's JVM rect fast path — the hygiene
+# stage of the verbatim-parity chain drops from ~3 full Python
+# parse+serialize cycles per parcel to one vectorized regex test.
+import re as _re
+
+_INT = r"(0|-?[1-9]\d*)"
+_RECT_FIXED_RE = (
+    rf"^POLYGON \(\({_INT} {_INT}, {_INT} \2, \3 {_INT}, \1 \4, \1 \2\)\)$"
+)
+
+def _rect_fixed_mask(s: pd.Series) -> pd.Series:
+    """True where the WKT is proven a fixed point of the hygiene chain."""
+    ext = s.str.extract(_RECT_FIXED_RE)
+    ok = ext.notna().all(axis=1)
+    if not ok.any():
+        return ok
+    a = pd.to_numeric(ext[0], errors="coerce")
+    b = pd.to_numeric(ext[1], errors="coerce")
+    c = pd.to_numeric(ext[2], errors="coerce")
+    d = pd.to_numeric(ext[3], errors="coerce")
+    num_ok = (c > a) & (d > b)
+    for col in (a, b, c, d):
+        num_ok &= col.abs() < 1e15
+    return ok & num_ok.fillna(False)
+
+def _unary_hygiene(s: pd.Series, scalar_fn) -> pd.Series:
+    mask = _rect_fixed_mask(s)
+    if mask.all():
+        return s.copy()
+    out = s.copy()
+    slow = ~mask
+    out[slow] = s[slow].map(scalar_fn, na_action="ignore")
+    return out
+
 @pandas_udf(StringType())
 def st_geomfromwkt(s: pd.Series) -> pd.Series:
-    return s.map(_geom_from_wkt, na_action="ignore")
+    return _unary_hygiene(s, _geom_from_wkt)
 
 @pandas_udf(StringType())
 def st_astext(s: pd.Series) -> pd.Series:
@@ -239,11 +284,22 @@ def st_astext(s: pd.Series) -> pd.Series:
 
 @pandas_udf(StringType())
 def st_makevalid(s: pd.Series) -> pd.Series:
-    return s.map(_make_valid, na_action="ignore")
+    return _unary_hygiene(s, _make_valid)
 
 @pandas_udf(StringType())
 def st_buffer(s: pd.Series, d: pd.Series) -> pd.Series:
-    return pd.Series([_buffer(g, dd) for g, dd in zip(s, d)], index=s.index)
+    # buffer(0) is the topology rinse — same fixed-point fast path as the
+    # other hygiene UDFs; nonzero offsets always take the kernel path
+    dd = pd.to_numeric(d, errors="coerce")
+    mask = _rect_fixed_mask(s) & (dd == 0)
+    out = s.copy()
+    slow = (~mask).to_numpy()
+    if slow.any():
+        out[slow] = pd.Series(
+            [_buffer(g, x) for g, x in zip(s[slow], d[slow])],
+            index=s.index[slow],
+        )
+    return out
 
 @pandas_udf(StringType())
 def st_intersection(a: pd.Series, b: pd.Series) -> pd.Series:

@@ -298,3 +298,33 @@ def test_buffer_hole_direction():
     # concave L with miter joins: exact rectilinear offset closed form
     L = "POLYGON ((0 0, 10 0, 10 4, 6 4, 6 10, 0 10, 0 0))"
     assert G.area(G.parse_wkt(SP._buffer(L, 1.0))) == pytest.approx(120.0)
+
+
+def test_rect_fixed_point_fast_path_identity():
+    """The vectorized hygiene fast path may ONLY pass a string through when
+    the slow kernel path would return it unchanged — probed across canonical
+    rects, reoriented/decimal/leading-zero/unclosed/bowtie/multipolygon
+    near-misses, and None."""
+    import pandas as pd
+
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions import spatial as S
+
+    cases = [
+        "POLYGON ((3 4, 10 4, 10 9, 3 9, 3 4))",        # canonical -> fast
+        "POLYGON ((0 0, 5 0, 5 5, 0 5, 0 0))",          # at origin -> fast
+        "POLYGON ((-3 -4, 10 -4, 10 9, -3 9, -3 -4))",  # negatives -> fast
+        "POLYGON ((3 4, 3 9, 10 9, 10 4, 3 4))",        # CW -> slow
+        "POLYGON ((3.5 4, 10 4, 10 9, 3.5 9, 3.5 4))",  # decimal -> slow
+        "POLYGON ((03 4, 10 4, 10 9, 03 9, 03 4))",     # leading 0 -> slow
+        "POLYGON ((3 4, 10 4, 10 9, 3 9))",             # unclosed -> slow
+        "POLYGON ((0 0, 4 0, 0 4, 4 4, 0 0))",          # bowtie -> slow
+        "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)))",   # multi -> slow
+        None,
+    ]
+    s = pd.Series(cases)
+    assert S._rect_fixed_mask(s).tolist() == [True] * 3 + [False] * 7
+    for scalar in (S._geom_from_wkt, S._make_valid):
+        fast = S._unary_hygiene(s, scalar)
+        slow = s.map(scalar, na_action="ignore")
+        for f, sl in zip(fast, slow):
+            assert (f == sl) or (pd.isna(f) and pd.isna(sl)), (f, sl)
