@@ -47,6 +47,10 @@ HEADLINE = [
     "multimodal_wav_decode",   # real RIFF/WAVE PCM decode per document
     "multimodal_y4m_decode",   # real YUV4MPEG2 video decode per document
     "crop_analytics_full",     # full parity chain, now value-oracle-checked
+    "lm_bigram_score",         # in-corpus bigram LM (3 aggregates + 2 joins)
+    "dup_ngram_spans",         # duplicated-substring coverage (8-gram spans)
+    "chunk_documents",         # zero-shuffle overlapping-window chunking
+    "pagerank_links",          # 3-round iterative join/agg loop
 ]
 
 # scale-curve sweep (--sweep): the most expensive headline queries measured

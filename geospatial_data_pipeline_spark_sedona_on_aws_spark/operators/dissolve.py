@@ -108,41 +108,111 @@ def union_aggr(df: DataFrame, group_cols: Sequence[str], geom_col: str,
     per GROUP (~ms fixed cost each), which dominates at thousands of groups.
     """
     keys = list(group_cols)
-    out_schema = ", ".join(
+    key_schema = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}"
         for f in df.select(*keys).schema.fields
-    ) + f", `{out_col}` string"
+    )
+    # Two transfer optimizations, both measured on the verbatim-parity
+    # chain (600k parcels, sf0.1):
+    # 1. Stage-1 INPUT: canonical-rect geometries cross the Arrow boundary
+    #    as 4 pre-parsed DOUBLES (the JVM is_rect/rect_bounds codegen fast
+    #    path this module already uses for the fused dissolve), with the
+    #    WKT string shipped ONLY for non-rect rows — string columns were
+    #    the bulk of the JVM→Python transfer cost.
+    # 2. PARTIALS: the per-(key, partition) union travels as PACKED float64
+    #    rect bounds (binary tobytes/frombuffer, zero parse on both sides),
+    #    not multipolygon WKT, so stage 2 never re-parses geometry text.
+    # Only truly general (non-rectilinear) geometry rides WKT, through the
+    # same banded-sweep fallback as before.
+    mid_schema = key_schema + ", `__rects` binary, `__gen` string"
+    out_schema = key_schema + f", `{out_col}` string"
 
-    def stage(col: str):
-        def one_group(wkts: list) -> str:
-            try:
-                rects = [r for w in wkts for r in _poly_rects(w)]
-            except G.GeomError:
-                # general geometry: banded-sweep union (phase-2 kernel)
-                return G.to_wkt(B.union_geom([G.parse_wkt(w) for w in wkts]))
-            merged = R.union_decompose(
-                np.array(rects, dtype=np.float64).reshape(-1, 4))
-            return G.to_wkt(G.rects_to_geom([tuple(r) for r in merged]))
+    def rect_geom(x1: float, y1: float, x2: float, y2: float) -> list:
+        # exactly parse_wkt's result for canonical rect WKT (closing point
+        # dropped), so the general-union fallback sees identical geometry
+        return [[[(x1, y1), (x2, y1), (x2, y2), (x1, y2)]]]
 
-        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            frames = [p for p in batches if len(p)]
-            if not frames:
-                return
-            whole = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
-            rows_k, rows_u = [], []
-            for kv, grp in whole.groupby(keys, sort=False, dropna=False):
-                wkts = [w for w in grp[col] if w is not None]
-                rows_k.append(kv if isinstance(kv, tuple) else (kv,))
-                rows_u.append(one_group(wkts))
-            out = pd.DataFrame(rows_k, columns=keys)
-            out[out_col] = rows_u
-            yield out
-        return run
+    def group_rects(rect_arr: np.ndarray, wkts: list) -> tuple[bytes | None, str | None]:
+        """Union one group's (pre-parsed rects, leftover WKT rows) into
+        (packed disjoint rect bounds, None) when everything is
+        rectilinear, else (None, general-union WKT)."""
+        try:
+            extra = [r for w in wkts for r in _poly_rects(w)]
+        except G.GeomError:
+            geoms = [rect_geom(*r) for r in rect_arr]
+            geoms.extend(G.parse_wkt(w) for w in wkts)
+            return None, G.to_wkt(B.union_geom(geoms))
+        if extra:
+            rect_arr = np.concatenate([
+                rect_arr, np.array(extra, dtype=np.float64).reshape(-1, 4)])
+        merged = R.union_decompose(rect_arr)
+        return merged.astype(np.float64).tobytes(), None
 
-    partials = df.select(*keys, geom_col).mapInPandas(
-        stage(geom_col), schema=out_schema)
-    return partials.repartition(*keys).mapInPandas(
-        stage(out_col), schema=out_schema)
+    def stage1(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        frames = [p for p in batches if len(p)]
+        if not frames:
+            return
+        whole = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+        ok = whole["__x1"].notna().to_numpy()
+        rects_all = whole[["__x1", "__y1", "__x2", "__y2"]].to_numpy(
+            dtype=np.float64, na_value=np.nan)
+        rows_k, rows_r, rows_g = [], [], []
+        for kv, grp in whole.groupby(keys, sort=False, dropna=False):
+            rows_k.append(kv if isinstance(kv, tuple) else (kv,))
+            idx = grp.index.to_numpy()
+            blob, gen = group_rects(
+                rects_all[idx[ok[idx]]],
+                [w for w in grp["__wkt"] if w is not None],
+            )
+            rows_r.append(blob)
+            rows_g.append(gen)
+        out = pd.DataFrame(rows_k, columns=keys)
+        out["__rects"] = rows_r
+        out["__gen"] = rows_g
+        yield out
+
+    def stage2(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        frames = [p for p in batches if len(p)]
+        if not frames:
+            return
+        whole = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+        rows_k, rows_u = [], []
+        for kv, grp in whole.groupby(keys, sort=False, dropna=False):
+            rows_k.append(kv if isinstance(kv, tuple) else (kv,))
+            blobs = [x for x in grp["__rects"] if x is not None]
+            gens = [x for x in grp["__gen"] if x is not None]
+            rect_arr = (
+                np.concatenate([
+                    np.frombuffer(x, dtype=np.float64).reshape(-1, 4)
+                    for x in blobs
+                ]) if blobs else np.empty((0, 4))
+            )
+            if gens:
+                # general merge: banded-sweep union over every partial
+                geoms = [G.parse_wkt(w) for w in gens]
+                if len(rect_arr):
+                    geoms.append(G.rects_to_geom(
+                        [tuple(r) for r in rect_arr]))
+                rows_u.append(G.to_wkt(B.union_geom(geoms)))
+            else:
+                merged = R.union_decompose(rect_arr)
+                rows_u.append(
+                    G.to_wkt(G.rects_to_geom([tuple(r) for r in merged])))
+        out = pd.DataFrame(rows_k, columns=keys)
+        out[out_col] = rows_u
+        yield out
+
+    arr = wkt_nums_sql(f"`{geom_col}`")
+    okx = is_rect_sql(arr)
+    pre = df.select(
+        *keys,
+        *[c.alias(n) for c, n in zip(
+            rect_bounds(f"`{geom_col}`"), ("__x1", "__y1", "__x2", "__y2"))],
+        F.expr(f"CASE WHEN NOT coalesce({okx}, false) THEN `{geom_col}` END")
+            .alias("__wkt"),
+    )
+    partials = pre.mapInPandas(stage1, schema=mid_schema)
+    return partials.repartition(*keys).mapInPandas(stage2, schema=out_schema)
 
 def _clip_one(geom_wkt: str | None, clip_wkt: str | None
               ) -> tuple[list[tuple[float, float, float, float]], str | None]:
