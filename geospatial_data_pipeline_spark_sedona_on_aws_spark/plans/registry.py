@@ -186,6 +186,7 @@ QUERIES: dict[str, QueryFn] = {
     "chunk_documents": RET.chunk_documents,                 # NEW r4
     "streaming_dedup_watermarked": EV.streaming_dedup_watermarked,  # NEW r4
     "events_variant_extract": EV.events_variant_extract,    # NEW r4
+    "sql_udf_chunk_plan": RET.sql_udf_chunk_plan,           # NEW r4
     # --- sketches ---
     "hll_distinct": SK.hll_distinct,
     "cms_heavy_hitters": SK.cms_heavy_hitters,
@@ -291,6 +292,7 @@ ORACLES: dict[str, str] = {
     "chunk_documents": RET.CHUNK_DOCUMENTS_ORACLE,
     "streaming_dedup_watermarked": EV.STREAMING_DEDUP_WATERMARKED_ORACLE,
     "events_variant_extract": EV.EVENTS_VARIANT_EXTRACT_ORACLE,
+    "sql_udf_chunk_plan": RET.SQL_UDF_CHUNK_PLAN_ORACLE,
     "contamination_check": DD.CONTAMINATION_ORACLE,
     "streaming_contamination": DD.CONTAMINATION_ORACLE,  # drained stream == batch scan
     "embedding_topk_cosine": SIM.TOPK_COSINE_ORACLE,

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as TXT
+from .text_queries import BPE_PATTERN as TXT_BPE_PATTERN
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -265,4 +266,65 @@ SELECT doc_id,
        ('0x' || substr(md5(array_to_string(
             t[s : s + {CHUNK_TOKENS} - 1], ' ')), 1, 15))::BIGINT AS chunk_hash
 FROM starts
+"""
+
+# ------------------------------------------------------- SQL-defined UDFs
+
+def sql_udf_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk planning via Spark 4 SQL-DEFINED functions — the declarative
+    UDF surface (CREATE FUNCTION ... RETURN <expr>) where the function body
+    lives in the catalog and inlines into the calling plan (NO Python
+    worker, unlike every other UDF shape the engine exercises):
+
+    - a scalar SQL UDF (token_budget) computing the BPE-ish token count;
+    - a table-valued SQL UDF (chunk_starts) generating the chunk-start
+      positions, consumed in a LATERAL join.
+
+    Because the bodies inline, the whole query stays in whole-stage
+    codegen — the plan is identical to writing the expressions in place,
+    which is exactly the point: SQL UDFs give reuse without a UDF tax.
+    Per doc: chunk count, last chunk start, and the scalar budget.
+    """
+    spark.sql(f"""
+        CREATE OR REPLACE TEMPORARY FUNCTION token_budget(t STRING)
+        RETURNS BIGINT
+        RETURN CAST(size(regexp_extract_all(t, '{TXT_BPE_PATTERN}', 0)) AS BIGINT)
+    """)
+    spark.sql(f"""
+        CREATE OR REPLACE TEMPORARY FUNCTION chunk_starts(n BIGINT)
+        RETURNS TABLE(start BIGINT)
+        RETURN SELECT explode(sequence(
+            CAST(1 AS BIGINT),
+            greatest(n - {CHUNK_TOKENS - CHUNK_STRIDE}, CAST(1 AS BIGINT)),
+            CAST({CHUNK_STRIDE} AS BIGINT))) AS start
+    """)
+    _docs(spark, sf_dir).createOrReplaceTempView("__sql_udf_docs")
+    return spark.sql("""
+        SELECT d.doc_id,
+               count(*) AS n_chunks,
+               max(c.start) AS last_start,
+               any_value(token_budget(d.text)) AS bpe_tokens
+        FROM __sql_udf_docs d,
+             LATERAL chunk_starts(CAST(size(split(d.text, ' ')) AS BIGINT)) c
+        GROUP BY d.doc_id
+    """)
+
+SQL_UDF_CHUNK_PLAN_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, text, len(string_split(text, ' ')) AS n FROM documents
+),
+starts AS (
+    SELECT doc_id, text,
+           unnest(generate_series(
+               1, greatest(n - {CHUNK_TOKENS - CHUNK_STRIDE}, 1),
+               {CHUNK_STRIDE})) AS start
+    FROM toks
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(max(start) AS BIGINT) AS last_start,
+       CAST(len(regexp_extract_all(any_value(text), '{TXT_BPE_PATTERN}')) AS BIGINT)
+           AS bpe_tokens
+FROM starts
+GROUP BY doc_id
 """

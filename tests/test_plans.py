@@ -323,3 +323,18 @@ def test_gate_window_covers_every_family():
     assert expected <= covered, f"families outside the gate window: {expected - covered}"
     # q12 was round 2's only red row; it must stay driver-visible
     assert "q12_late_priority" in window
+
+
+def test_sql_udf_plan_has_no_python_eval(spark):
+    """Spark 4 SQL-defined functions must INLINE: the chunk-plan query's
+    physical plan may contain no Python evaluation node of any kind —
+    the scalar and table-valued SQL UDF bodies become plain expressions
+    under WholeStageCodegen."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.plans import retrieval as RET
+
+    plan = RET.sql_udf_chunk_plan(spark, "/root/testdata/sf0.001") \
+        ._jdf.queryExecution().executedPlan().toString()
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                 "FlatMapGroupsInPandas", "PythonUDTF"):
+        assert node not in plan, node
+    assert "WholeStageCodegen" in plan
