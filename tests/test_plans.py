@@ -337,4 +337,8 @@ def test_sql_udf_plan_has_no_python_eval(spark):
     for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
                  "FlatMapGroupsInPandas", "PythonUDTF"):
         assert node not in plan, node
-    assert "WholeStageCodegen" in plan
+    # the table-valued body inlined to a plain generator: Generate explode
+    # appears where a Python UDTF node would have (WholeStageCodegen spans
+    # aren't printed in the pre-execution AQE plan, so assert the inlining
+    # by node shape instead)
+    assert "Generate explode" in plan
