@@ -274,3 +274,82 @@ r0 AS (SELECT doc_id, ({PR_SCALE} // n.n) AS r FROM nodes CROSS JOIN n),
 {",".join(_pagerank_round(f"r{i}", f"r{i + 1}") for i in range(PR_ITERS))}
 SELECT doc_id, CAST(r AS BIGINT) AS rank_q FROM r{PR_ITERS}
 """
+
+
+def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the dedup decision: per KEPT (canonical) document, the
+    cluster size and how many near-duplicates were dropped with it — the
+    step that turns dedup_clusters' labeling into the actual corpus cut,
+    plus the per-cluster accounting a pipeline report needs.
+
+    One aggregate over the cluster labeling (already partitioned by the
+    component join), then a semi-join back to documents for the kept rows —
+    at 100 TB the heavy operand (documents) moves once, on its own key.
+    """
+    clusters = dedup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size"))
+    return (
+        clusters.where(F.col("is_canonical"))
+        .join(sizes, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            (F.col("cluster_size") - 1).alias("dropped_near_dups"),
+        )
+    )
+
+
+DEDUP_APPLY_ORACLE = f"""
+WITH labeled AS (
+    {DEDUP_CLUSTERS_ORACLE.strip()}
+),
+sizes AS (
+    SELECT cluster_id, count(*) AS cluster_size FROM labeled GROUP BY cluster_id
+)
+SELECT l.doc_id, l.cluster_id, CAST(s.cluster_size AS BIGINT) AS cluster_size,
+       CAST(s.cluster_size - 1 AS BIGINT) AS dropped_near_dups
+FROM labeled l JOIN sizes s USING (cluster_id)
+WHERE l.is_canonical
+"""
+
+
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-accounting dashboard: per (lang, source), document and
+    whitespace-token totals BEFORE and AFTER near-dup dedup — the
+    before/after picture every training-data run reports.
+
+    Shape: the dedup labeling joins the documents scan on doc_id (one
+    shuffle of narrow rows), then ONE conditional aggregate produces both
+    sides of the before/after — no second pass, no union of two scans.
+    """
+    from ..functions import text as TXT
+
+    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "is_canonical")
+    d = DD._docs(spark, sf_dir).select(
+        "doc_id", "lang", "source", TXT.n_tokens(F.col("text")).alias("toks"))
+    joined = d.join(clusters, "doc_id")
+    keep = F.col("is_canonical").cast("long")
+    return joined.groupBy("lang", "source").agg(
+        F.count("*").alias("docs"),
+        F.sum(keep).alias("kept_docs"),
+        F.sum("toks").alias("tokens"),
+        F.sum(F.col("toks") * keep).alias("kept_tokens"),
+    )
+
+
+CORPUS_REPORT_ORACLE = f"""
+WITH labeled AS (
+    {DEDUP_CLUSTERS_ORACLE.strip()}
+)
+SELECT d.lang, d.source,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(CASE WHEN l.is_canonical THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+       CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS tokens,
+       CAST(sum(CASE WHEN l.is_canonical
+                THEN len(string_split(d.text, ' ')) ELSE 0 END) AS BIGINT)
+           AS kept_tokens
+FROM documents d JOIN labeled l USING (doc_id)
+GROUP BY d.lang, d.source
+"""

@@ -187,6 +187,9 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_dedup_watermarked": EV.streaming_dedup_watermarked,  # NEW r4
     "events_variant_extract": EV.events_variant_extract,    # NEW r4
     "sql_udf_chunk_plan": RET.sql_udf_chunk_plan,           # NEW r4
+    "dedup_apply": GR.dedup_apply,                          # NEW r4
+    "corpus_report": GR.corpus_report,                      # NEW r4
+    "llm_pipeline_report": RET.llm_pipeline_report,         # NEW r4
     # --- sketches ---
     "hll_distinct": SK.hll_distinct,
     "cms_heavy_hitters": SK.cms_heavy_hitters,
@@ -293,6 +296,9 @@ ORACLES: dict[str, str] = {
     "streaming_dedup_watermarked": EV.STREAMING_DEDUP_WATERMARKED_ORACLE,
     "events_variant_extract": EV.EVENTS_VARIANT_EXTRACT_ORACLE,
     "sql_udf_chunk_plan": RET.SQL_UDF_CHUNK_PLAN_ORACLE,
+    "dedup_apply": GR.DEDUP_APPLY_ORACLE,
+    "corpus_report": GR.CORPUS_REPORT_ORACLE,
+    "llm_pipeline_report": RET.LLM_PIPELINE_REPORT_ORACLE,
     "contamination_check": DD.CONTAMINATION_ORACLE,
     "streaming_contamination": DD.CONTAMINATION_ORACLE,  # drained stream == batch scan
     "embedding_topk_cosine": SIM.TOPK_COSINE_ORACLE,

@@ -21,7 +21,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TXT
@@ -327,4 +327,95 @@ SELECT doc_id,
            AS bpe_tokens
 FROM starts
 GROUP BY doc_id
+"""
+
+# ------------------------------------------------- end-to-end pipeline query
+
+#: quality floor for the end-to-end report (same score as quality_scores)
+PIPE_QUALITY_FLOOR = 0.5
+
+def llm_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole preparation pipeline as ONE dataflow — quality floor →
+    exact dedup (first doc per content hash) → chunk planning → per-language
+    accounting — the end-to-end shape a training-data run executes, here as
+    a single oracle-checked query so the composition itself is under test,
+    not just the stages.
+
+    Plan: one projection computes quality + content hash + token count
+    (all JVM-side); the dedup winner is a row_number window on the hash
+    (ONE shuffle); chunk totals fold over the starts array WITHOUT
+    exploding (F.aggregate — per-doc closed form, no row fan-out); the
+    final per-language rollup is the second and last shuffle.
+    """
+    d = _docs(spark, sf_dir)
+    toks = TXT.tokens(F.col("text"))
+    base = d.select(
+        "doc_id", "lang",
+        TXT.quality_score(F.col("text")).alias("q"),
+        F.md5("text").alias("h"),
+        F.size(toks).alias("n"),
+    ).where(F.col("q") >= PIPE_QUALITY_FLOOR)
+    w = Window.partitionBy("h").orderBy("doc_id")
+    kept = base.withColumn("__rn", F.row_number().over(w)) \
+               .where(F.col("__rn") == 1)
+    overlap = CHUNK_TOKENS - CHUNK_STRIDE
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.col("n") - overlap, F.lit(1)),
+        F.lit(CHUNK_STRIDE))
+    chunked = kept.select(
+        "lang", "n",
+        F.size(starts).cast("long").alias("n_chunks"),
+        F.aggregate(
+            starts, F.lit(0).cast("long"),
+            lambda acc, s: acc + F.least(
+                F.lit(CHUNK_TOKENS).cast("long"),
+                (F.col("n") - s + 1).cast("long")),
+        ).alias("chunk_tokens"),
+    )
+    return chunked.groupBy("lang").agg(
+        F.count("*").alias("kept_docs"),
+        F.sum("n").alias("kept_tokens"),
+        F.sum("n_chunks").alias("chunks"),
+        F.sum("chunk_tokens").alias("chunk_tokens"),
+    )
+
+_PIPE_SW = list(TXT.LANG_STOPWORDS["en"])
+
+LLM_PIPELINE_REPORT_ORACLE = f"""
+WITH scored AS (
+    SELECT doc_id, lang, text, md5(text) AS h,
+           len(string_split(text, ' ')) AS n,
+           len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')) * 0.4
+           + least(len(list_filter(string_split(text, ' '),
+                 t -> list_contains({_PIPE_SW}, t)))
+                 / len(string_split(text, ' ')) * 5.0, 1.0) * 0.3
+           + (CASE WHEN list_aggregate(list_transform(string_split(text, ' '),
+                       t -> CAST(length(t) AS BIGINT)), 'sum')
+                       / len(string_split(text, ' ')) BETWEEN 3.0 AND 8.0
+              THEN 1.0 ELSE 0.5 END) * 0.3 AS q
+    FROM documents
+),
+kept AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+        FROM scored WHERE q >= {PIPE_QUALITY_FLOOR}
+    ) WHERE rn = 1
+),
+chunked AS (
+    SELECT lang, n,
+           len(generate_series(1, greatest(n - {CHUNK_TOKENS - CHUNK_STRIDE}, 1),
+               {CHUNK_STRIDE})) AS n_chunks,
+           list_aggregate(list_transform(
+               generate_series(1, greatest(n - {CHUNK_TOKENS - CHUNK_STRIDE}, 1),
+                               {CHUNK_STRIDE}),
+               s -> least({CHUNK_TOKENS}, n - s + 1)), 'sum') AS chunk_tokens
+    FROM kept
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS kept_docs,
+       CAST(sum(n) AS BIGINT) AS kept_tokens,
+       CAST(sum(n_chunks) AS BIGINT) AS chunks,
+       CAST(sum(chunk_tokens) AS BIGINT) AS chunk_tokens
+FROM chunked
+GROUP BY lang
 """
