@@ -123,3 +123,53 @@ SELECT user_id, count(*) AS n_events,
 FROM events
 GROUP BY user_id
 """
+
+
+def observed_load_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality metrics captured with the Observation API — Spark's
+    mechanism for collecting aggregates ON THE SIDE of a real action, in
+    the SAME pass over the data (a CollectMetrics node in the plan), where
+    expectations_check pays a dedicated aggregation query.
+
+    The observed action here is the filtered load itself (count of the
+    rows a loader would move); the observation rides along and yields
+    row count, null keys, quantity sum (exact DECIMAL), and date bounds
+    of the loaded slice. The returned 1-row frame is built from the
+    observation result, and the oracle recomputes the same aggregates —
+    so the side-channel itself is value-checked.
+
+    At 100 TB this is the difference between one scan and two: quality
+    telemetry attaches to every production load without a second job.
+    """
+    from pyspark.sql import Observation
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 10)
+    obs = Observation("load_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_loaded"),
+        F.sum(F.col("l_orderkey").isNull().cast("long")).alias("null_keys"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty_sum"),
+        F.min(F.col("l_shipdate").cast("date")).alias("first_ship"),
+        F.max(F.col("l_shipdate").cast("date")).alias("last_ship"),
+    )
+    observed.count()  # the "load" action; metrics captured in this pass
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["rows_loaded"], m["null_keys"], float(m["qty_sum"]),
+          str(m["first_ship"]), str(m["last_ship"]))],
+        "rows_loaded bigint, null_keys bigint, qty_sum double, "
+        "first_ship string, last_ship string",
+    )
+
+
+OBSERVED_LOAD_METRICS_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS rows_loaded,
+       CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS null_keys,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum,
+       strftime(CAST(min(l_shipdate) AS DATE), '%Y-%m-%d') AS first_ship,
+       strftime(CAST(max(l_shipdate) AS DATE), '%Y-%m-%d') AS last_ship
+FROM lineitem
+WHERE l_quantity > 10
+"""

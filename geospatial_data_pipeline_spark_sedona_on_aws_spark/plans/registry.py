@@ -190,6 +190,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_apply": GR.dedup_apply,                          # NEW r4
     "corpus_report": GR.corpus_report,                      # NEW r4
     "llm_pipeline_report": RET.llm_pipeline_report,         # NEW r4
+    "observed_load_metrics": Q.observed_load_metrics,       # NEW r4
     # --- sketches ---
     "hll_distinct": SK.hll_distinct,
     "cms_heavy_hitters": SK.cms_heavy_hitters,
@@ -299,6 +300,7 @@ ORACLES: dict[str, str] = {
     "dedup_apply": GR.DEDUP_APPLY_ORACLE,
     "corpus_report": GR.CORPUS_REPORT_ORACLE,
     "llm_pipeline_report": RET.LLM_PIPELINE_REPORT_ORACLE,
+    "observed_load_metrics": Q.OBSERVED_LOAD_METRICS_ORACLE,
     "contamination_check": DD.CONTAMINATION_ORACLE,
     "streaming_contamination": DD.CONTAMINATION_ORACLE,  # drained stream == batch scan
     "embedding_topk_cosine": SIM.TOPK_COSINE_ORACLE,

@@ -517,3 +517,23 @@ def test_chunk_documents_geometry(spark):
     assert got[1] == [(0, 1, 64)]
     assert got[2] == [(0, 1, 64), (1, 49, 17)]
     assert got[3] == [(0, 1, 5)]
+
+
+def test_dedup_accounting_cross_consistency(spark):
+    """The three r4 composition queries must agree with each other and with
+    the underlying labeling: kept docs in corpus_report == dedup_apply rows
+    == canonical rows in dedup_clusters, and dropped counts reconcile."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.operators import graph as GR
+
+    sf = SF_SMOKE
+    clusters = GR.dedup_clusters(spark, sf)
+    applied = GR.dedup_apply(spark, sf).collect()
+    report = GR.corpus_report(spark, sf)
+
+    n_docs = clusters.count()
+    n_canon = clusters.where("is_canonical").count()
+    assert len(applied) == n_canon
+    dropped = sum(r["dropped_near_dups"] for r in applied)
+    assert n_canon + dropped == n_docs
+    agg = report.agg(F.sum("docs"), F.sum("kept_docs")).first()
+    assert agg[0] == n_docs and agg[1] == n_canon
