@@ -353,3 +353,92 @@ SELECT d.lang, d.source,
 FROM documents d JOIN labeled l USING (doc_id)
 GROUP BY d.lang, d.source
 """
+
+
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global + per-node triangle counting over the deterministic document
+    link graph (pagerank_links' edges, undirected/deduped) — the third
+    classic distributed-graph operator next to connected components and
+    PageRank, and the standard clustering-coefficient ingredient.
+
+    Degree-ordered orientation: every undirected edge {u,v} is kept once,
+    directed from the endpoint with (degree, id)-smaller rank to the
+    larger. Each triangle then has exactly ONE wedge (u→v, u→w) at its
+    minimum-rank vertex, so the wedge join u→v ⋈ u→w (v<w by rank) plus
+    one edge-existence semi-join counts each triangle once — and the wedge
+    fan-out is bounded by the ORIENTED out-degree, which the orientation
+    caps near sqrt(|E|) even on power-law graphs (the reason every
+    production triangle counter orients by degree first).
+
+    Output: per-vertex triangle membership counts (vertices in no
+    triangle excluded — membership is computed by unioning the three
+    corners, so absence means zero).
+    """
+    docs = DD._docs(spark, sf_dir).select("doc_id")
+    n = docs.agg(F.count("*").alias("n"))
+    und = (
+        docs.crossJoin(F.broadcast(n))
+        .select(
+            F.col("doc_id").alias("a"),
+            F.explode(F.array(*[
+                (F.col("doc_id") * 31 + F.lit(j)) % F.col("n")
+                for j in range(1, PR_OUT_DEG + 1)
+            ])).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))  # drop self-loops
+        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("x")).union(und.select("v"))
+        .groupBy("x").agg(F.count("*").alias("d"))
+    )
+    ranked = (
+        und.join(deg.withColumnRenamed("x", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("x", "v").withColumnRenamed("d", "dv"), "v")
+        .select(
+            F.when((F.col("du") < F.col("dv"))
+                   | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                   F.struct(F.col("u").alias("s"), F.col("v").alias("t")))
+             .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+             .alias("e"))
+        .select(F.col("e.s").alias("s"), F.col("e.t").alias("t"))
+    )
+    w1 = ranked.select(F.col("s").alias("u"), F.col("t").alias("v"))
+    w2 = ranked.select(F.col("s").alias("u"), F.col("t").alias("w"))
+    wedges = w1.join(w2, "u").where(F.col("v") < F.col("w"))
+    # closing edge may be oriented either way; und is canonical (u<v) and
+    # v<w here, so probe und directly
+    tri = wedges.join(
+        und.select(F.col("u").alias("v"), F.col("v").alias("w")),
+        ["v", "w"], "left_semi"
+    ).select(F.col("u").alias("a"), F.col("v").alias("b"), F.col("w").alias("c"))
+    corners = tri.select(F.col("a").alias("node")) \
+        .union(tri.select("b")).union(tri.select("c"))
+    return corners.groupBy("node").agg(F.count("*").alias("triangles"))
+
+
+TRIANGLE_COUNT_ORACLE = f"""
+WITH n AS (SELECT count(*) AS n FROM documents),
+raw AS (
+    SELECT doc_id AS a, (doc_id * 31 + j) % n.n AS b
+    FROM documents CROSS JOIN n, unnest([1, 2, 3]) AS t(j)
+),
+und AS (
+    SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+    FROM raw WHERE a <> b
+),
+tri AS (
+    SELECT e1.u AS a, e1.v AS b, e2.v AS c
+    FROM und e1
+    JOIN und e2 ON e2.u = e1.u AND e2.v > e1.v
+    JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+corners AS (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+)
+SELECT node, CAST(count(*) AS BIGINT) AS triangles
+FROM corners GROUP BY node
+"""

@@ -191,6 +191,7 @@ QUERIES: dict[str, QueryFn] = {
     "corpus_report": GR.corpus_report,                      # NEW r4
     "llm_pipeline_report": RET.llm_pipeline_report,         # NEW r4
     "observed_load_metrics": Q.observed_load_metrics,       # NEW r4
+    "triangle_count": GR.triangle_count,                    # NEW r4
     # --- sketches ---
     "hll_distinct": SK.hll_distinct,
     "cms_heavy_hitters": SK.cms_heavy_hitters,
@@ -301,6 +302,7 @@ ORACLES: dict[str, str] = {
     "corpus_report": GR.CORPUS_REPORT_ORACLE,
     "llm_pipeline_report": RET.LLM_PIPELINE_REPORT_ORACLE,
     "observed_load_metrics": Q.OBSERVED_LOAD_METRICS_ORACLE,
+    "triangle_count": GR.TRIANGLE_COUNT_ORACLE,
     "contamination_check": DD.CONTAMINATION_ORACLE,
     "streaming_contamination": DD.CONTAMINATION_ORACLE,  # drained stream == batch scan
     "embedding_topk_cosine": SIM.TOPK_COSINE_ORACLE,

@@ -537,3 +537,33 @@ def test_dedup_accounting_cross_consistency(spark):
     assert n_canon + dropped == n_docs
     agg = report.agg(F.sum("docs"), F.sum("kept_docs")).first()
     assert agg[0] == n_docs and agg[1] == n_canon
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    """Degree-ordered wedge counting must equal an O(n^3) brute force over
+    the same derived link graph (N=9: 31 ≡ 4 mod 9, so d links to
+    4d+1..4d+3 mod 9 — a nontrivial triangle structure)."""
+    import itertools
+    import unittest.mock as mock
+
+    import geospatial_data_pipeline_spark_sedona_on_aws_spark.operators.dedup as DD
+    import geospatial_data_pipeline_spark_sedona_on_aws_spark.operators.graph as GR
+
+    N = 9
+    docs = spark.createDataFrame([(i, "x") for i in range(N)], ["doc_id", "text"])
+    with mock.patch.object(DD, "_docs", lambda spark, sf_dir: docs):
+        got = {r["node"]: r["triangles"]
+               for r in GR.triangle_count(spark, "unused").collect()}
+
+    und = set()
+    for d in range(N):
+        for j in (1, 2, 3):
+            b = (31 * d + j) % N
+            if b != d:
+                und.add((min(d, b), max(d, b)))
+    expected = {}
+    for a, b, c in itertools.combinations(range(N), 3):
+        if {(a, b), (a, c), (b, c)} <= und:
+            for v in (a, b, c):
+                expected[v] = expected.get(v, 0) + 1
+    assert got == expected and expected, (got, expected)
