@@ -267,7 +267,7 @@ PQ_SUBDIM = EMBED_DIM // PQ_M
 PQ_CODES = 16   # codebook entries per subvector (the 16 lowest vec_ids)
 PQ_TOPK = 5
 
-def pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pq_ann(spark: SparkSession, sf_dir: str, topk: int = PQ_TOPK) -> DataFrame:
     """Product quantization + asymmetric distance (PQ/ADC) — the canonical
     ANN memory-compression path at 100 TB: every candidate vector stores
     only PQ_M 4-bit codes (here 8 codes ≤ 16 → 4 bytes per vector, 64×
@@ -351,7 +351,7 @@ def pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         allp = allp.sort_values(
             ["query_id", "adc", "neighbor_id"], ascending=[True, True, True]
         )
-        yield allp.groupby("query_id", sort=False).head(PQ_TOPK)
+        yield allp.groupby("query_id", sort=False).head(topk)
 
     pairs = emb.select("vec_id", "embedding").mapInPandas(
         compute, schema="query_id long, neighbor_id long, adc long"
@@ -359,7 +359,7 @@ def pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
     return (
         pairs.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= PQ_TOPK)
+        .where(F.col("rank") <= topk)
         .select("query_id", "neighbor_id",
                 F.col("rank").cast("int").alias("rank"), "adc")
     )
@@ -801,3 +801,83 @@ def _kmeans_oracle() -> str:
             + f"\nSELECT vec_id, cluster, dist FROM a{KMEANS_ITERS}")
 
 KMEANS_QUANTIZED_ORACLE = _kmeans_oracle()
+
+
+# ------------------------------------------------------ PQ + exact re-rank
+
+#: candidate pool per query for the re-rank stage (C >> k: the compressed
+#: ADC scan over-fetches, the exact pass restores float precision)
+PQ_RERANK_CAND = 32
+
+def pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production two-stage ANN shape: a cheap compressed-domain scan
+    (PQ/ADC, 4-byte codes) over-fetches PQ_RERANK_CAND candidates per
+    query, then ONLY those pairs are re-scored with the exact float
+    cosine and re-ranked to the final top-k — full-precision quality at
+    compressed-scan cost.
+
+    Guaranteed property (tested): any true neighbor the candidate stage
+    recalls survives re-ranking — a global top-k vector is top-k within
+    every candidate subset containing it — so recall@k of the re-ranked
+    result is >= recall@k of the raw PQ ranking, while the exact stage
+    touches C×queries pairs instead of n×queries.
+
+    Scale: stage 1 is pq_ann's shape (LUT scan + partition-local top-C);
+    stage 2 joins the slim (query, candidate) pairs back to embeddings on
+    each id — two hash joins whose probe side is queries×C rows, tiny by
+    construction.
+    """
+    from pyspark.sql import Window
+
+    cands = pq_ann(spark, sf_dir, topk=PQ_RERANK_CAND) \
+        .select("query_id", "neighbor_id")
+    emb = _emb(spark, sf_dir)
+    q = emb.select(F.col("vec_id").alias("query_id"),
+                   F.col("embedding").alias("qv"))
+    c = emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("embedding").alias("cv"))
+    scored = (
+        cands.join(q, "query_id").join(c, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id",
+            (_dot(F.col("qv"), F.col("cv"), dim=None)
+             / (F.sqrt(_dot(F.col("qv"), F.col("qv"), dim=None))
+                * F.sqrt(_dot(F.col("cv"), F.col("cv"), dim=None))))
+            .alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= PQ_TOPK)
+        .select("query_id", "neighbor_id",
+                F.col("rank").cast("int").alias("rank"), "cos_sim")
+    )
+
+
+# stage-1 oracle = the PQ oracle with the top-k widened to the candidate
+# pool (string-level rewrite of the already-rendered SQL keeps the two
+# oracles structurally identical by construction)
+_PQ_CAND_ORACLE = PQ_ANN_ORACLE.replace(
+    f"WHERE rank <= {PQ_TOPK}", f"WHERE rank <= {PQ_RERANK_CAND}")
+
+PQ_RERANK_ORACLE = f"""
+WITH cand AS (
+    {_PQ_CAND_ORACLE}
+),
+resc AS (
+    SELECT cand.query_id, cand.neighbor_id,
+           {_cos_sql('q.embedding', 'c.embedding')} AS cos_sim
+    FROM cand
+    JOIN embeddings q ON q.vec_id = cand.query_id
+    JOIN embeddings c ON c.vec_id = cand.neighbor_id
+),
+rr AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+    FROM resc
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
+FROM rr WHERE rank <= {PQ_TOPK}
+"""

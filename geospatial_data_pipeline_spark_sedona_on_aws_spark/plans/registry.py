@@ -192,6 +192,7 @@ QUERIES: dict[str, QueryFn] = {
     "llm_pipeline_report": RET.llm_pipeline_report,         # NEW r4
     "observed_load_metrics": Q.observed_load_metrics,       # NEW r4
     "triangle_count": GR.triangle_count,                    # NEW r4
+    "embedding_pq_rerank": SIM.pq_rerank,                   # NEW r4
     # --- sketches ---
     "hll_distinct": SK.hll_distinct,
     "cms_heavy_hitters": SK.cms_heavy_hitters,
@@ -303,6 +304,7 @@ ORACLES: dict[str, str] = {
     "llm_pipeline_report": RET.LLM_PIPELINE_REPORT_ORACLE,
     "observed_load_metrics": Q.OBSERVED_LOAD_METRICS_ORACLE,
     "triangle_count": GR.TRIANGLE_COUNT_ORACLE,
+    "embedding_pq_rerank": SIM.PQ_RERANK_ORACLE,
     "contamination_check": DD.CONTAMINATION_ORACLE,
     "streaming_contamination": DD.CONTAMINATION_ORACLE,  # drained stream == batch scan
     "embedding_topk_cosine": SIM.TOPK_COSINE_ORACLE,

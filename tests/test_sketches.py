@@ -110,3 +110,32 @@ def test_ann_recall_vs_exact_topk(spark):
     assert r_lsh >= 0.08, f"LSH recall@5 collapsed: {r_lsh:.3f}"
     assert r_ivf >= 0.15, f"IVF recall@5 collapsed: {r_ivf:.3f}"
     assert r_pq >= 0.10, f"PQ recall@5 collapsed: {r_pq:.3f}"
+
+
+def test_pq_rerank_recall_dominates_pq(spark):
+    """Re-ranking guarantee: exact re-scoring of the PQ candidate pool can
+    only help — recall@5 of pq_rerank must be >= recall@5 of the raw PQ
+    top-5, because a global top-5 vector recalled into the candidate set
+    is necessarily top-5 by exact cosine within it."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.operators import similarity as SIM
+
+    exact = SIM.topk_cosine(spark, SF_SMOKE).toPandas()
+    exact5 = {
+        q: set(g.nlargest(5, "cos_sim")["neighbor_id"])
+        for q, g in exact.groupby("query_id")
+    }
+
+    def recall(df):
+        hits = tot = 0
+        for q, g in df.groupby("query_id"):
+            want = exact5.get(q)
+            if not want:
+                continue
+            hits += len(set(g["neighbor_id"].head(5)) & want)
+            tot += len(want)
+        return hits / tot if tot else 0.0
+
+    r_pq = recall(SIM.pq_ann(spark, SF_SMOKE).toPandas())
+    r_rr = recall(SIM.pq_rerank(spark, SF_SMOKE).toPandas())
+    assert r_rr >= r_pq, (r_rr, r_pq)
+    assert r_rr > 0.2, r_rr  # the over-fetch pool must lift recall meaningfully
