@@ -46,11 +46,16 @@ the driver's window."""
 
 """Round-4 rotation (VERDICT r3 item 7): tier 1 keeps nine anchors from the
 round-3 window (flagship spatial rows, the formerly-red q12, one
-representative per family whose implementation changed this round) and
-rotates 41 queries the driver has never gate-verified — the committed
-ORACLES_FULL_r*.txt and judge replicas covered them, but a driver-produced
-green row is stronger evidence. Tier 2 now holds round 3's driver-green
-bulk; rotate again next round."""
+representative per family whose implementation changed this round), holds
+ALL 19 queries whose code is new this round (brand-new code earns the
+driver gate first), and fills the rest with rotation rows the driver has
+never gate-verified. The displaced rows (q2/q5/q8/q9/q13/q21, rollup/
+pivot/set_ops/part_window_stats, expectations/incremental_rollup,
+events_json_extract/interval_range_join, hash/stratified_sample,
+ngram_topk_corpus) are all double-judge-replica-verified and sit at the
+top of tier 2 for the r5 rotation. Every tier-2 query is still covered
+each round by the committed full run (ORACLES_FULL_r4.txt: 127/127 at
+the time of writing, re-run at round close)."""
 
 QUERIES: dict[str, QueryFn] = {
     # ==================== tier 1: the driver's 50-entry window ============
@@ -70,13 +75,7 @@ QUERIES: dict[str, QueryFn] = {
     # --- relational / TPC-H rotation ---
     "q3_shipping_priority": R.q3_shipping_priority,
     "nation_revenue": R.nation_revenue,
-    "rollup_sales": R.rollup_sales,
-    "pivot_order_status": R.pivot_order_status,
-    "set_ops": R.set_ops,
     "top_customers_per_nation": R.top_customers_per_nation,
-    "part_window_stats": R.part_window_stats,
-    "expectations_check": Q.expectations_check,
-    "incremental_rollup": Q.incremental_rollup,
     "q18_large_orders": R.q18_large_orders,
     # --- new-this-round operators (brand-new code earns the driver gate
     # first; the displaced TPC-H rotation rows q2/q5/q8/q9/q13/q21 +
@@ -89,9 +88,17 @@ QUERIES: dict[str, QueryFn] = {
     "dup_ngram_spans": DD.dup_ngram_spans,
     "pagerank_links": GR.pagerank_links,
     "user_type_totals_tws": EV.user_type_totals_tws,
+    "chunk_documents": RET.chunk_documents,
+    "sql_udf_chunk_plan": RET.sql_udf_chunk_plan,
+    "streaming_dedup_watermarked": EV.streaming_dedup_watermarked,
+    "events_variant_extract": EV.events_variant_extract,
+    "dedup_apply": GR.dedup_apply,
+    "corpus_report": GR.corpus_report,
+    "llm_pipeline_report": RET.llm_pipeline_report,
+    "observed_load_metrics": Q.observed_load_metrics,
+    "triangle_count": GR.triangle_count,
+    "embedding_pq_rerank": SIM.pq_rerank,
     # --- streaming rotation ---
-    "events_json_extract": EV.events_json_extract,
-    "interval_range_join": EV.interval_range_join,
     "streaming_snapshot_publish": EV.streaming_snapshot_publish,
     "stream_static_enrich": EV.stream_static_enrich,
     "events_sliding_window": EV.events_sliding_window,
@@ -107,8 +114,6 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_pq_ann": SIM.pq_ann,
     "embedding_cosine_near_dup": SIM.cosine_near_dup,
     # --- sketches rotation ---
-    "hash_sample": SK.hash_sample,
-    "stratified_sample": SK.stratified_sample,
     "reservoir_per_group": SK.reservoir_per_group,
     "profile_table": SK.profile_table,
     # --- multimodal / Python DataSource rotation ---
@@ -157,6 +162,16 @@ QUERIES: dict[str, QueryFn] = {
     "q9_product_profit": T.q9_product_profit,
     "q13_customer_distribution": T.q13_customer_distribution,
     "q21_waiting_suppliers": T.q21_waiting_suppliers,
+    "rollup_sales": R.rollup_sales,
+    "pivot_order_status": R.pivot_order_status,
+    "set_ops": R.set_ops,
+    "part_window_stats": R.part_window_stats,
+    "expectations_check": Q.expectations_check,
+    "incremental_rollup": Q.incremental_rollup,
+    "events_json_extract": EV.events_json_extract,
+    "interval_range_join": EV.interval_range_join,
+    "hash_sample": SK.hash_sample,
+    "stratified_sample": SK.stratified_sample,
     # --- streaming ---
     "events_windowed": EV.events_windowed,
     "sessionize_events": EV.sessionize,
@@ -183,16 +198,6 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_quantized_topk": SIM.quantized_topk,
     "kmeans_quantized": SIM.kmeans_quantized,
     "ngram_topk_corpus": TQ.ngram_topk_corpus,
-    "chunk_documents": RET.chunk_documents,                 # NEW r4
-    "streaming_dedup_watermarked": EV.streaming_dedup_watermarked,  # NEW r4
-    "events_variant_extract": EV.events_variant_extract,    # NEW r4
-    "sql_udf_chunk_plan": RET.sql_udf_chunk_plan,           # NEW r4
-    "dedup_apply": GR.dedup_apply,                          # NEW r4
-    "corpus_report": GR.corpus_report,                      # NEW r4
-    "llm_pipeline_report": RET.llm_pipeline_report,         # NEW r4
-    "observed_load_metrics": Q.observed_load_metrics,       # NEW r4
-    "triangle_count": GR.triangle_count,                    # NEW r4
-    "embedding_pq_rerank": SIM.pq_rerank,                   # NEW r4
     # --- sketches ---
     "hll_distinct": SK.hll_distinct,
     "cms_heavy_hitters": SK.cms_heavy_hitters,
