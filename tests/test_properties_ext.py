@@ -127,3 +127,84 @@ def test_png_codec_roundtrip_property(w, h, ch, ft, seed):
     d = png_decode(png_encode(img, filter_type=ft))
     assert (d["width"], d["height"], d["channels"]) == (w, h, ch)
     assert (np.asarray(d["pixels"]).reshape(shape) == img).all()
+
+
+def test_lm_bigram_score_matches_python_replay(spark):
+    """Property: on random small corpora, lm_bigram_score equals a direct
+    Python computation of the identical integer-quantized recurrence."""
+    import itertools
+    import random
+
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.plans.retrieval import (
+        LM_SCALE,
+        lm_bigram_score_df,
+    )
+
+    rng = random.Random(11)
+    for trial in range(3):
+        words = ["a", "b", "c", "dd"][: 2 + trial]
+        docs = [(i, " ".join(rng.choice(words)
+                             for _ in range(rng.randint(2, 12))))
+                for i in range(6)]
+        sdf = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {r["doc_id"]: (r["n_bigrams"], r["sum_qprob"], r["min_qprob"])
+               for r in lm_bigram_score_df(sdf).collect()}
+
+        toks = {i: t.split(" ") for i, t in docs}
+        bigrams = {i: list(itertools.pairwise(t)) for i, t in toks.items()}
+        c2, c1 = {}, {}
+        for bs in bigrams.values():
+            for b in bs:
+                c2[b] = c2.get(b, 0) + 1
+                c1[b[0]] = c1.get(b[0], 0) + 1
+        vocab = len({w for t in toks.values() for w in t})
+        expected = {}
+        for i, bs in bigrams.items():
+            if not bs:
+                continue
+            qs = [(LM_SCALE * (c2[b] + 1)) // (c1[b[0]] + vocab) for b in bs]
+            expected[i] = (len(qs), sum(qs), min(qs))
+        assert got == expected, trial
+
+
+def test_dup_ngram_spans_matches_python_replay(spark):
+    """Property: on random corpora with injected shared runs, the span
+    coverage equals a direct Python interval-union computation."""
+    import random
+    import unittest.mock as mock
+
+    import geospatial_data_pipeline_spark_sedona_on_aws_spark.operators.dedup as DD
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.operators.dedup import (
+        DUP_SPAN_N,
+        dup_ngram_spans,
+    )
+
+    rng = random.Random(7)
+    shared = " ".join(f"s{i}" for i in range(rng.randint(DUP_SPAN_N, 14)))
+    docs = []
+    for i in range(8):
+        n = rng.randint(0, 15)
+        own = " ".join(f"w{i}_{j}" for j in range(n))
+        parts = [p for p in ([own, shared] if i % 2 == 0 else [own]) if p]
+        rng.shuffle(parts)
+        docs.append((i, " ".join(parts) if parts else "lone"))
+    sdf = spark.createDataFrame(docs, ["doc_id", "text"])
+    with mock.patch.object(DD, "_docs", lambda spark, sf_dir: sdf):
+        got = {r["doc_id"]: (r["n_tokens"], r["dup_ngrams"], r["covered_tokens"])
+               for r in dup_ngram_spans(spark, "unused").collect()}
+
+    toks = {i: t.split(" ") for i, t in docs}
+    grams = {}
+    for i, t in toks.items():
+        for p in range(len(t) - DUP_SPAN_N + 1):
+            g = tuple(t[p:p + DUP_SPAN_N])
+            grams.setdefault(g, set()).add(i)
+    expected = {}
+    for i, t in toks.items():
+        dup_pos = [p for p in range(len(t) - DUP_SPAN_N + 1)
+                   if len(grams[tuple(t[p:p + DUP_SPAN_N])]) >= 2]
+        covered = set()
+        for p in dup_pos:
+            covered.update(range(p, p + DUP_SPAN_N))
+        expected[i] = (len(t), len(dup_pos), len(covered))
+    assert got == expected
