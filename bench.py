@@ -51,6 +51,9 @@ HEADLINE = [
     "dup_ngram_spans",         # duplicated-substring coverage (8-gram spans)
     "chunk_documents",         # zero-shuffle overlapping-window chunking
     "pagerank_links",          # 3-round iterative join/agg loop
+    "triangle_count",          # degree-ordered wedge join (graph breadth)
+    "embedding_pq_rerank",     # two-stage ANN: PQ scan + exact re-rank
+    "llm_pipeline_report",     # end-to-end quality->dedup->chunk rollup
 ]
 
 # scale-curve sweep (--sweep): the most expensive headline queries measured

@@ -230,3 +230,47 @@ def test_user_type_totals_tws_multi_batch_state(spark, tmp_path):
     got = got.sort_values(k).reset_index(drop=True)[batch.columns.tolist()]
     batch = batch.sort_values(k).reset_index(drop=True)
     assert got.equals(batch)
+
+
+def test_streaming_dedup_watermarked_multi_batch(spark, tmp_path):
+    """dropDuplicatesWithinWatermark across three chronologically-arriving
+    micro-batches: with the delay exceeding the event-time span, no state
+    evicts, so cross-batch duplicates must still be suppressed and the
+    drained key set equals SELECT DISTINCT."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.streaming import events as EV
+
+    ev = EV._events(spark, SF_SMOKE)
+    sf2 = str(tmp_path)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cuts = [lo + (hi - lo) * i / 3 for i in (1, 2)]
+    parts = [
+        ev.where(F.col("ts") < cuts[0]),
+        ev.where((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        ev.where(F.col("ts") >= cuts[1]),
+    ]
+    d = f"{sf2}/events.parquet"
+    os.makedirs(d)
+    now = time.time()
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.parquet(f"{sf2}/__stage{i}")
+        src = next(f for f in os.listdir(f"{sf2}/__stage{i}")
+                   if f.endswith(".parquet"))
+        dst = f"{d}/part-{i}.parquet"
+        os.rename(f"{sf2}/__stage{i}/{src}", dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+
+    spark.conf.set(EV.MAX_FILES_CONF, "1")
+    try:
+        got = EV.streaming_dedup_watermarked(spark, sf2).toPandas()
+    finally:
+        spark.conf.unset(EV.MAX_FILES_CONF)
+    want = ev.select("user_id", "event_type").distinct().toPandas()
+    k = ["user_id", "event_type"]
+    got = got.sort_values(k).reset_index(drop=True)
+    want = want.sort_values(k).reset_index(drop=True)
+    assert got.equals(want)
