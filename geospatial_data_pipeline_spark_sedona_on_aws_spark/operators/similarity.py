@@ -881,3 +881,69 @@ rr AS (
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
 FROM rr WHERE rank <= {PQ_TOPK}
 """
+
+
+# ------------------------------------------------------- mapInArrow stats
+
+def arrow_quant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8-quantization statistics via mapInArrow — the one
+    UDF shape the engine had not yet exercised: the function receives raw
+    pyarrow RecordBatches (no pandas materialization at all) and returns
+    RecordBatches, so fixed per-batch overhead is the Arrow buffer
+    hand-off alone. The embedding lists flatten to ONE contiguous numpy
+    view (zero-copy from the Arrow buffer) and every statistic is a
+    vectorized reduction over that view.
+
+    Stats per vector (all exact integers — the oracle replays the same
+    quantization law in SQL): L1 norm of the quantized vector, positive
+    count, saturation count (|q| == 127), and the quantized sum.
+
+    Scale: embarrassingly row-local (no shuffle at all); this is the
+    cheapest possible UDF lane for per-vector featurization when the
+    built-in Column algebra can't express the kernel.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+
+    def fn(batches):
+        for b in batches:
+            ids = b.column("vec_id")
+            col = b.column("embedding")
+            if isinstance(col, pa.ChunkedArray):  # pragma: no cover
+                col = col.combine_chunks()
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            n = len(b)
+            if n == 0:
+                continue
+            dim = len(flat) // n
+            X = flat.reshape(n, dim)
+            Q = np.maximum(-QUANT_SCALE, np.minimum(
+                QUANT_SCALE, np.floor(X * 127.0 + 0.5))).astype(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(np.abs(Q).sum(axis=1)),
+                    pa.array((Q > 0).sum(axis=1).astype(np.int64)),
+                    pa.array((np.abs(Q) == QUANT_SCALE).sum(axis=1)
+                             .astype(np.int64)),
+                    pa.array(Q.sum(axis=1)),
+                ],
+                names=["vec_id", "l1_q", "n_pos", "n_sat", "sum_q"],
+            )
+
+    return emb.mapInArrow(
+        fn, "vec_id long, l1_q long, n_pos long, n_sat long, sum_q long")
+
+
+ARROW_QUANT_STATS_ORACLE = f"""
+SELECT vec_id,
+       CAST(list_sum(list_transform({_QUANT_SQL}, q -> abs(q))) AS BIGINT)
+           AS l1_q,
+       CAST(len(list_filter({_QUANT_SQL}, q -> q > 0)) AS BIGINT) AS n_pos,
+       CAST(len(list_filter({_QUANT_SQL}, q -> abs(q) = {QUANT_SCALE}))
+           AS BIGINT) AS n_sat,
+       CAST(list_sum({_QUANT_SQL}) AS BIGINT) AS sum_q
+FROM embeddings
+"""

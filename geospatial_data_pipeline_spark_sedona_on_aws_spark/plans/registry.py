@@ -98,6 +98,7 @@ QUERIES: dict[str, QueryFn] = {
     "observed_load_metrics": Q.observed_load_metrics,
     "triangle_count": GR.triangle_count,
     "embedding_pq_rerank": SIM.pq_rerank,
+    "arrow_quant_stats": SIM.arrow_quant_stats,
     # --- streaming rotation ---
     "streaming_snapshot_publish": EV.streaming_snapshot_publish,
     "stream_static_enrich": EV.stream_static_enrich,
@@ -120,9 +121,9 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_wav_decode": MM.multimodal_wav_decode,  # NEW r4: real audio
     "multimodal_y4m_decode": MM.multimodal_y4m_decode,  # NEW r4: real video
     "multimodal_resize": MM.multimodal_resize,
-    "multimodal_frame_sample": MM.multimodal_frame_sample,
     "pyds_sensor_stream_totals": PDS.sensor_stream_totals,
     # ==================== tier 2: full breadth (entries 51+) ==============
+    "multimodal_frame_sample": MM.multimodal_frame_sample,
     # --- spatial (driver-green in r3) ---
     "st_area_rect": P.st_area_rect,
     "st_intersection_area": P.st_intersection_area,
@@ -310,6 +311,7 @@ ORACLES: dict[str, str] = {
     "observed_load_metrics": Q.OBSERVED_LOAD_METRICS_ORACLE,
     "triangle_count": GR.TRIANGLE_COUNT_ORACLE,
     "embedding_pq_rerank": SIM.PQ_RERANK_ORACLE,
+    "arrow_quant_stats": SIM.ARROW_QUANT_STATS_ORACLE,
     "contamination_check": DD.CONTAMINATION_ORACLE,
     "streaming_contamination": DD.CONTAMINATION_ORACLE,  # drained stream == batch scan
     "embedding_topk_cosine": SIM.TOPK_COSINE_ORACLE,
