@@ -54,6 +54,10 @@ HEADLINE = [
     "triangle_count",          # degree-ordered wedge join (graph breadth)
     "embedding_pq_rerank",     # two-stage ANN: PQ scan + exact re-rank
     "llm_pipeline_report",     # end-to-end quality->dedup->chunk rollup
+    # round 4, second session
+    "st_buffer_round",         # round-join buffer kernel over 600k parcels
+    "hilbert_curve",           # 7-level unrolled curve, pure codegen
+    "doc_shard_manifest",      # training-shard export accounting
 ]
 
 # scale-curve sweep (--sweep): the most expensive headline queries measured

@@ -22,7 +22,14 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import BooleanType, DoubleType, StringType
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from ..kernel import boolean as B
 from ..kernel import geom as G
@@ -102,6 +109,99 @@ def _line_intersect(a, b):
         return None
     t = ((bx1 - ax1) * d2y - (by1 - ay1) * d2x) / den
     return (ax1 + t * d1x, ay1 + t * d1y)
+
+def _buffer_round(s: str | None, d: float, quadsegs: int = 8) -> str | None:
+    """True round-join positive buffer: offset every edge outward by d and
+    join adjacent offset edges with a circular arc approximated by
+    `quadsegs` segments per quarter turn (the Sedona/PostGIS ST_Buffer
+    convention). Outward turns get arcs; inward (reflex-for-the-solid)
+    turns get the miter intersection, with make_valid re-noding any fold.
+    For a convex polygon the result is exact N-gon-arc geometry with the
+    closed-form area  A + P·d + Σ_corners (d²/2)·k·sin(turn/k) — which is
+    what the st_buffer_round oracle recomputes in SQL. d ≤ 0 falls back to
+    the miter path (_buffer), matching the reference's only uses of
+    non-round buffering (0 and tiny ε welds)."""
+    import math
+    if s is None:
+        return None
+    d = float(d)
+    if d <= 0:
+        return _buffer(s, d)
+    g = G.normalize(G.parse_wkt(s))
+    out = []
+    for poly in g:
+        rings = []
+        for ring in poly:
+            n = len(ring)
+            edges = []
+            for i in range(n):
+                x1, y1 = ring[i]
+                x2, y2 = ring[(i + 1) % n]
+                dx, dy = x2 - x1, y2 - y1
+                ln = math.hypot(dx, dy)
+                if ln == 0:
+                    continue
+                # (dy,-dx)/ln: outward for CCW outers, hole-shrinking for
+                # CW holes (same sign logic as the miter _offset_ring)
+                edges.append(((x1, y1), (x2, y2), (dy / ln, -dx / ln)))
+            m = len(edges)
+            if m < 3:
+                continue
+            # per-vertex join between edge i and edge i+1: a list of points
+            # replacing {end-of-i, start-of-i+1} offset endpoints
+            joins: list[list[tuple[float, float]]] = []
+            for i in range(m):
+                (a1, a2, (nx, ny)) = edges[i]
+                (b1, b2, (mx, my)) = edges[(i + 1) % m]
+                e_end = (a2[0] + nx * d, a2[1] + ny * d)
+                n_start = (b1[0] + mx * d, b1[1] + my * d)
+                ang0, ang1 = math.atan2(ny, nx), math.atan2(my, mx)
+                sweep = ang1 - ang0
+                while sweep <= -math.pi:
+                    sweep += 2 * math.pi
+                while sweep > math.pi:
+                    sweep -= 2 * math.pi
+                if sweep > 1e-12:
+                    # outward turn → arc around the shared vertex a2 == b1
+                    k = max(1, math.ceil(sweep / (math.pi / 2) * quadsegs
+                                         - 1e-9))
+                    arc = [e_end]
+                    for j in range(1, k):
+                        a = ang0 + sweep * j / k
+                        arc.append((a2[0] + d * math.cos(a),
+                                    a2[1] + d * math.sin(a)))
+                    arc.append(n_start)
+                    joins.append(arc)
+                elif sweep < -1e-12:
+                    # inward turn → single miter intersection point
+                    p = _line_intersect(
+                        (a1[0] + nx * d, a1[1] + ny * d, *e_end),
+                        (*n_start, b2[0] + mx * d, b2[1] + my * d))
+                    joins.append([p] if p is not None else [e_end, n_start])
+                else:
+                    joins.append([e_end])  # collinear continuation
+            pts: list[tuple[float, float]] = []
+            for i in range(m):
+                # edge i's interior span is implicit: its start point is
+                # the last point of join i-1, its end the first of join i
+                pts.extend(joins[i])
+            if len(pts) >= 3:
+                rings.append(pts)
+        if rings:
+            out.append(rings)
+    return G.to_wkt(G.make_valid(out))
+
+def _convex_hull(s: str | None) -> str | None:
+    if s is None:
+        return None
+    return G.to_wkt(G.hull_of_geom(G.parse_wkt(s)))
+
+def _npoints(s: str | None) -> int | None:
+    """Vertex count over all rings, closing duplicates excluded (the
+    internal ring representation is open; to_wkt re-adds the closure)."""
+    if s is None:
+        return None
+    return sum(len(r) for poly in G.parse_wkt(s) for r in poly)
 
 def _intersection(a: str | None, b: str | None) -> str | None:
     if a is None or b is None:
@@ -344,6 +444,42 @@ def st_distance(a: pd.Series, b: pd.Series) -> pd.Series:
 def st_centroid(s: pd.Series) -> pd.Series:
     return s.map(_centroid, na_action="ignore")
 
+@pandas_udf(StringType())
+def st_buffer_round(s: pd.Series, d: pd.Series, quadsegs: pd.Series) -> pd.Series:
+    return pd.Series(
+        [_buffer_round(g, float(x), int(q))
+         for g, x, q in zip(s, d, quadsegs)],
+        index=s.index,
+    )
+
+@pandas_udf(StringType())
+def st_convexhull(s: pd.Series) -> pd.Series:
+    return s.map(_convex_hull, na_action="ignore")
+
+@pandas_udf(LongType())
+def st_npoints(s: pd.Series) -> pd.Series:
+    return s.map(_npoints, na_action="ignore").astype("Int64")
+
+@pandas_udf(StructType([StructField("n_kept", LongType()),
+                        StructField("length", DoubleType())]))
+def st_simplifyline(xs: pd.Series, ys: pd.Series, tol: pd.Series) -> pd.DataFrame:
+    """Douglas–Peucker over coordinate arrays; returns the kept-vertex
+    count and the simplified polyline's length. Array-columns in, struct
+    out — the Spark-idiomatic shape for per-row variable-length geometry
+    (no WKT round-trip on the hot path)."""
+    import math
+    n_kept, length = [], []
+    for x, y, t in zip(xs, ys, tol):
+        idx = G.simplify_polyline(list(x), list(y), float(t))
+        n_kept.append(len(idx))
+        acc = 0.0
+        for i in range(1, len(idx)):
+            dx = x[idx[i]] - x[idx[i - 1]]
+            dy = y[idx[i]] - y[idx[i - 1]]
+            acc += math.sqrt(dx * dx + dy * dy)
+        length.append(acc)
+    return pd.DataFrame({"n_kept": n_kept, "length": length})
+
 @pandas_udf(DoubleType())
 def st_clipped_area(subject: pd.Series, clip: pd.Series) -> pd.Series:
     """Fused area(intersection(a, b)) — one boundary crossing instead of two
@@ -373,6 +509,10 @@ _REGISTRY = {
     "ST_Within": st_within,
     "ST_Distance": st_distance,
     "ST_Centroid": st_centroid,
+    "ST_BufferRound": st_buffer_round,
+    "ST_ConvexHull": st_convexhull,
+    "ST_NPoints": st_npoints,
+    "ST_SimplifyLine": st_simplifyline,
 }
 
 def register_spatial_functions(spark: SparkSession) -> None:

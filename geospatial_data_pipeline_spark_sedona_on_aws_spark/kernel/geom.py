@@ -127,6 +127,72 @@ def area(geom: list) -> float:
             total -= abs(_ring_signed_area(hole))
     return total
 
+def convex_hull(points: list[tuple[float, float]]) -> list[tuple[float, float]]:
+    """Convex hull of a point set (Andrew's monotone chain), returned as a
+    CCW ring without the closing vertex. Collinear boundary points are
+    dropped (strict turns only), so the hull of a subdivided rectangle edge
+    is the 4-corner rectangle. <3 distinct points → the degenerate input."""
+    pts = sorted(set(points))
+    if len(pts) < 3:
+        return pts
+    def half(seq):
+        out: list[tuple[float, float]] = []
+        for p in seq:
+            while len(out) >= 2:
+                ox, oy = out[-2]
+                ax, ay = out[-1]
+                if (ax - ox) * (p[1] - oy) - (ay - oy) * (p[0] - ox) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append(p)
+        return out
+    lower = half(pts)
+    upper = half(reversed(pts))
+    return lower[:-1] + upper[:-1]
+
+def hull_of_geom(geom: list) -> list:
+    """ST_ConvexHull: hull of every vertex of the (multi)polygon, as a
+    single-polygon geometry."""
+    pts = [p for poly in geom for ring in poly for p in ring]
+    h = convex_hull(pts)
+    if len(h) < 3:
+        return []
+    return [[h]]
+
+def simplify_polyline(xs: list[float], ys: list[float],
+                      tol: float) -> list[int]:
+    """Douglas–Peucker on an open polyline; returns the kept vertex
+    indices (always includes both endpoints). Iterative stack form — no
+    Python recursion limit on pathological inputs."""
+    n = len(xs)
+    if n <= 2:
+        return list(range(n))
+    keep = [False] * n
+    keep[0] = keep[n - 1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        ax, ay = xs[i], ys[i]
+        bx, by = xs[j], ys[j]
+        dx, dy = bx - ax, by - ay
+        seg2 = dx * dx + dy * dy
+        best, best_d2 = -1, tol * tol
+        for k in range(i + 1, j):
+            if seg2 == 0.0:
+                ex, ey = xs[k] - ax, ys[k] - ay
+                d2 = ex * ex + ey * ey
+            else:
+                cross = dx * (ys[k] - ay) - dy * (xs[k] - ax)
+                d2 = cross * cross / seg2
+            if d2 > best_d2:
+                best, best_d2 = k, d2
+        if best >= 0:
+            keep[best] = True
+            stack.append((i, best))
+            stack.append((best, j))
+    return [k for k in range(n) if keep[k]]
+
 def bounds(geom: list) -> tuple[float, float, float, float]:
     xs = [x for poly in geom for ring in poly for x, _ in ring]
     ys = [y for poly in geom for ring in poly for _, y in ring]

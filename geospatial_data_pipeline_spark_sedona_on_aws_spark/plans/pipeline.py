@@ -166,6 +166,180 @@ SELECT property_id, CAST((x2 - x1) * (y2 - y1) AS DOUBLE) AS area
 FROM land_use
 """
 
+def st_buffer_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-join ε-buffer (ST_BufferRound, quadsegs=8) of every parcel,
+    radius 0.25–1.25 derived from the row key (exact binary fractions, so
+    both engines agree on d bit-for-bit). For a rectangle the N-gon-arc
+    buffer area has the closed form
+        w·h + 2(w+h)·d + 2·q·d²·sin(π/(2q))
+    which the oracle recomputes; areas quantized to 0.01 (the measured
+    cross-engine shoelace-vs-closed-form gap is ~1e-9). The vertex count
+    (4 edges ×2 endpoints + 4 arcs ×(q-1) interior points = 36) pins the
+    join geometry, not just the measure."""
+    from ..functions.spatial import register_spatial_functions
+
+    register_spatial_functions(spark)
+    lu = fixtures.land_use_areas(spark, sf_dir)
+    return lu.select(
+        "property_id",
+        F.expr("CAST((1 + property_id % 5) / 4.0 AS DOUBLE)").alias("d"),
+        F.expr(
+            "CAST(round(ST_Area(ST_BufferRound(ST_GeomFromWKT(land_geometry),"
+            " (1 + property_id % 5) / 4.0, 8)) * 100) AS BIGINT)"
+        ).alias("area_q"),
+        F.expr(
+            "ST_NPoints(ST_BufferRound(ST_GeomFromWKT(land_geometry),"
+            " (1 + property_id % 5) / 4.0, 8))"
+        ).alias("n_vertices"),
+    )
+
+ST_BUFFER_ROUND_ORACLE = f"""
+WITH {fixtures.LAND_USE_CTE.strip()}
+SELECT property_id,
+       (1 + property_id % 5) / 4.0 AS d,
+       CAST(round(((x2 - x1) * (y2 - y1)
+            + 2 * ((x2 - x1) + (y2 - y1)) * ((1 + property_id % 5) / 4.0)
+            + 2 * 8 * ((1 + property_id % 5) / 4.0)
+                    * ((1 + property_id % 5) / 4.0) * sin(pi() / 16))
+            * 100) AS BIGINT) AS area_q,
+       CAST(36 AS BIGINT) AS n_vertices
+FROM land_use
+"""
+
+def _cross_wkt_sql() -> str:
+    """12-vertex plus-shape polygon WKT from the land_use ints: outer box
+    (x1, y1)–(x1+cw, y1+ch) with corner notches of size ca×cb. Used only on
+    the Spark side — the oracle needs no WKT, its answers are closed-form
+    in the same ints."""
+    pts = [
+        ("x1 + ca", "y1"), ("x1 + cw - ca", "y1"),
+        ("x1 + cw - ca", "y1 + cb"), ("x1 + cw", "y1 + cb"),
+        ("x1 + cw", "y1 + ch - cb"), ("x1 + cw - ca", "y1 + ch - cb"),
+        ("x1 + cw - ca", "y1 + ch"), ("x1 + ca", "y1 + ch"),
+        ("x1 + ca", "y1 + ch - cb"), ("x1", "y1 + ch - cb"),
+        ("x1", "y1 + cb"), ("x1 + ca", "y1 + cb"), ("x1 + ca", "y1"),
+    ]
+    body = ", ', ', ".join(
+        f"cast({x} as string), ' ', cast({y} as string)" for x, y in pts
+    )
+    return f"concat_ws('', 'POLYGON ((', {body}, '))')"
+
+# notch sizes and box dims derived so the cross is always well-formed
+# (cw > 2·ca, ch > 2·cb): ca, cb ∈ 1..3, cw = 2ca+1..2ca+10, ch likewise
+_CROSS_DIMS = (
+    "1 + property_id % 3 AS ca, 1 + y1 % 3 AS cb",
+    "2 * ca + (x2 - x1) AS cw, 2 * cb + (y2 - y1) AS ch",
+)
+
+def st_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_ConvexHull of a 12-vertex plus-shape: the hull is the octagon
+    that shaves the four a×b corner triangles off the bounding box —
+    area = cw·ch − 2·ca·cb, 8 vertices. Integer coordinates throughout, so
+    the shoelace is exact and no quantization is needed. Distinguishes a
+    real hull from ST_Envelope (box area would be cw·ch) and from identity
+    (input has 12 vertices, hull 8)."""
+    from ..functions.spatial import register_spatial_functions
+
+    register_spatial_functions(spark)
+    lu = fixtures.land_use_areas(spark, sf_dir, wkt=False)
+    return (
+        lu.selectExpr("property_id", "x1", "y1", "x2", "y2",
+                      *_CROSS_DIMS[0].split(", "))
+        .selectExpr("property_id", "x1", "y1", "ca", "cb",
+                    *_CROSS_DIMS[1].split(", "))
+        .selectExpr(
+            "property_id",
+            f"{_cross_wkt_sql()} AS cross_wkt",
+        )
+        .selectExpr(
+            "property_id",
+            "CAST(ST_Area(ST_ConvexHull(ST_GeomFromWKT(cross_wkt))) AS DOUBLE)"
+            " AS hull_area",
+            "ST_NPoints(ST_ConvexHull(ST_GeomFromWKT(cross_wkt)))"
+            " AS hull_npoints",
+        )
+    )
+
+ST_CONVEX_HULL_ORACLE = f"""
+WITH {fixtures.LAND_USE_CTE.strip()},
+dims AS (
+    SELECT property_id, {_CROSS_DIMS[0]}, x2 - x1 AS w, y2 - y1 AS h
+    FROM land_use
+)
+SELECT property_id,
+       CAST((2 * ca + w) * (2 * cb + h) - 2 * ca * cb AS DOUBLE) AS hull_area,
+       CAST(8 AS BIGINT) AS hull_npoints
+FROM dims
+"""
+
+def st_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Douglas–Peucker polyline simplification (ST_SimplifyLine over
+    coordinate arrays). Each row builds a 5-point baseline-with-bump line
+        (0,0), (1,0), (m, amp), (L-1, 0), (L, 0),   m = L/2
+    with amp ∈ 1..4 and integer tolerance 0..5, so every DP branch is
+    exercised: tol ≥ amp collapses to the 2-point baseline, 1 ≤ tol < amp
+    keeps only the bump (the near-collinear shoulder points sit at
+    distance amp/√(m²+amp²) < 1 ≤ tol), and tol = 0 keeps all 5. The
+    oracle evaluates the same perpendicular-distance formulas in SQL —
+    branch outcomes, kept counts, AND the simplified length."""
+    from ..functions.spatial import register_spatial_functions
+
+    register_spatial_functions(spark)
+    lu = fixtures.land_use_areas(spark, sf_dir, wkt=False)
+    return (
+        lu.selectExpr(
+            "property_id",
+            "2 * (2 + x2 - x1) AS L",          # even, 6..24
+            "2 + x2 - x1 AS m",
+            "1 + y1 % 4 AS amp",
+            "CAST(property_id % 6 AS DOUBLE) AS tol",
+        )
+        .selectExpr(
+            "property_id", "tol",
+            "array(CAST(0 AS DOUBLE), 1, m, L - 1, L) AS xs",
+            "array(CAST(0 AS DOUBLE), 0, amp, 0, 0) AS ys",
+        )
+        .selectExpr(
+            "property_id", "tol",
+            "ST_SimplifyLine(xs, ys, tol) AS s",
+        )
+        .selectExpr(
+            "property_id", "tol",
+            "s.n_kept AS n_kept",
+            "CAST(round(s.length * 1000000) AS BIGINT) AS length_q",
+        )
+    )
+
+ST_SIMPLIFY_ORACLE = f"""
+WITH {fixtures.LAND_USE_CTE.strip()},
+geomcols AS (
+    SELECT property_id,
+           2 * (2 + x2 - x1) AS L,
+           2 + x2 - x1 AS m,
+           1 + y1 % 4 AS amp,
+           CAST(property_id % 6 AS DOUBLE) AS tol
+    FROM land_use
+),
+branches AS (
+    SELECT property_id, L, m, amp, tol,
+           -- perpendicular distance of the shoulder points (1,0)/(L-1,0)
+           -- from the kept chains through the bump (symmetric)
+           amp / sqrt(m * m + amp * amp) AS shoulder_dist
+    FROM geomcols
+)
+SELECT property_id, tol,
+       CAST(CASE WHEN amp <= tol THEN 2
+                 WHEN shoulder_dist > tol THEN 5
+                 ELSE 3 END AS BIGINT) AS n_kept,
+       CAST(round(CASE
+                 WHEN amp <= tol THEN CAST(L AS DOUBLE)
+                 WHEN shoulder_dist > tol
+                     THEN 2 + 2 * sqrt((m - 1) * (m - 1) + amp * amp)
+                 ELSE 2 * sqrt(m * m + amp * amp) END * 1000000) AS BIGINT)
+           AS length_q
+FROM branches
+"""
+
 def st_intersection_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-parcel clipped area via the fused ST_ClippedArea UDF
     (closed form: overlap of two rectangles)."""
@@ -491,6 +665,23 @@ def crop_analytics_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, tmp,
         "region_id bigint, season_id bigint, land_type_id bigint, area double",
     )
+
+def crop_analytics_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship result through an ORC interchange boundary (columnar
+    alternative to parquet, reader/writer built into Spark) — schema and
+    values must survive exactly (same oracle as crop_analytics). ORC files
+    carry their own schema + column stats, so the read back is
+    pruning-capable like parquet; this is the sink a Hive-heavy consumer
+    would request instead of CSV."""
+    import atexit
+    import shutil
+    import tempfile
+
+    out = crop_analytics(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="crop_orc_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    out.repartition(4).write.mode("overwrite").orc(tmp)
+    return spark.read.orc(tmp)
 
 def crop_analytics_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship result pushed through a JSON-lines interchange boundary

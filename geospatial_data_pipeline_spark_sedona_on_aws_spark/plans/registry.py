@@ -62,20 +62,25 @@ QUERIES: dict[str, QueryFn] = {
     # --- anchors kept from the round-3 window ---
     "crop_analytics": P.crop_analytics,
     "crop_analytics_full": P.crop_analytics_full,  # r4: quantized value oracle
-    "st_geometry_ops": P.st_geometry_ops,
-    "spatial_range_join": SJ.spatial_range_join,
     "q12_late_priority": T.q12_late_priority,   # r2's one red row — keep gated
     "sessionize_events_stateful": EV.sessionize_streaming,
-    "token_counts": TQ.token_counts,
     "dedup_clusters": GR.dedup_clusters,        # r4: two-phase star backstop
     "embedding_lsh_ann": SIM.lsh_ann,           # r4: regression watch
     # --- spatial rotation ---
     "spatial_knn_join_grid": SJ.knn_join_grid,
     "crop_analytics_skewed": P.crop_analytics_skewed,
+    # --- new-this-session operators (same policy: brand-new code earns the
+    # driver gate first; displaced to tier 2: st_geometry_ops /
+    # spatial_range_join / token_counts — all driver-green in r3 and
+    # unchanged — plus the q3/nation_revenue/top_customers rotation rows,
+    # judge-replica-verified twice) ---
+    "st_buffer_round": P.st_buffer_round,       # round-join ε-buffer
+    "st_convex_hull": P.st_convex_hull,         # monotone-chain hull
+    "st_simplify": P.st_simplify,               # Douglas–Peucker
+    "hilbert_curve": LAY.hilbert_curve,         # locality-optimal layout
+    "doc_shard_manifest": TQ.doc_shard_manifest,
+    "vocab_oov_rate": TQ.vocab_oov_rate,
     # --- relational / TPC-H rotation ---
-    "q3_shipping_priority": R.q3_shipping_priority,
-    "nation_revenue": R.nation_revenue,
-    "top_customers_per_nation": R.top_customers_per_nation,
     "q18_large_orders": R.q18_large_orders,
     # --- new-this-round operators (brand-new code earns the driver gate
     # first; the displaced TPC-H rotation rows q2/q5/q8/q9/q13/q21 +
@@ -125,6 +130,13 @@ QUERIES: dict[str, QueryFn] = {
     # ==================== tier 2: full breadth (entries 51+) ==============
     "multimodal_frame_sample": MM.multimodal_frame_sample,
     # --- spatial (driver-green in r3) ---
+    "st_geometry_ops": P.st_geometry_ops,
+    "spatial_range_join": SJ.spatial_range_join,
+    "token_counts": TQ.token_counts,
+    "q3_shipping_priority": R.q3_shipping_priority,
+    "nation_revenue": R.nation_revenue,
+    "top_customers_per_nation": R.top_customers_per_nation,
+    "crop_analytics_orc_roundtrip": P.crop_analytics_orc_roundtrip,
     "st_area_rect": P.st_area_rect,
     "st_intersection_area": P.st_intersection_area,
     "geo_range_join": SJ.geo_range_join_count,
@@ -217,6 +229,13 @@ ORACLES: dict[str, str] = {
     "crop_analytics_csv_roundtrip": P.CROP_ANALYTICS_ORACLE,
     "crop_analytics_jsonl_roundtrip": P.CROP_ANALYTICS_ORACLE,
     "st_area_rect": P.ST_AREA_RECT_ORACLE,
+    "st_buffer_round": P.ST_BUFFER_ROUND_ORACLE,
+    "st_convex_hull": P.ST_CONVEX_HULL_ORACLE,
+    "st_simplify": P.ST_SIMPLIFY_ORACLE,
+    "hilbert_curve": LAY.HILBERT_CURVE_ORACLE,
+    "doc_shard_manifest": TQ.DOC_SHARD_MANIFEST_ORACLE,
+    "vocab_oov_rate": TQ.VOCAB_OOV_RATE_ORACLE,
+    "crop_analytics_orc_roundtrip": P.CROP_ANALYTICS_ORACLE,
     "st_intersection_area": P.ST_INTERSECTION_AREA_ORACLE,
     "st_geometry_ops": P.ST_GEOMETRY_OPS_ORACLE,
     "spatial_range_join": SJ.SPATIAL_RANGE_JOIN_ORACLE,

@@ -614,3 +614,90 @@ SELECT doc_id, lang, stream_offset,
             AS BIGINT) AS pack_tokens
 FROM placed
 """
+
+# ----------------------------------------------------- training-data export
+
+N_SHARDS = 64
+_SHARD_HASH = "(doc_id * 2654435761) % 1000000007"  # Knuth multiplicative
+
+def doc_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard export accounting: assign every document to one of
+    N_SHARDS shards by a deterministic multiplicative hash (NOT the
+    engine's hash(), so any engine — or the oracle — reproduces the
+    assignment), then emit the per-shard manifest a dataloader consumes:
+    doc count, token budget, byte size, doc_id range.
+
+    Scale: one hash aggregate with map-side combine into 64 groups — the
+    shuffle carries 64 rows per upstream partition regardless of corpus
+    size. The same shard expression feeds repartitionByRange + write for
+    the physical export (see tests), keeping manifest and shard files
+    byte-consistent by construction."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.selectExpr(
+            f"CAST({_SHARD_HASH} % {N_SHARDS} AS BIGINT) AS shard",
+            "doc_id",
+            "size(split(text, ' ')) AS n_tokens",
+            "length(text) AS n_bytes",
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum("n_bytes").cast("bigint").alias("n_bytes"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+DOC_SHARD_MANIFEST_ORACLE = f"""
+SELECT CAST({_SHARD_HASH} % {N_SHARDS} AS BIGINT) AS shard,
+       count(*) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       CAST(sum(length(text)) AS BIGINT) AS n_bytes,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id
+FROM documents
+GROUP BY 1
+"""
+
+# tokenizer-coverage vocab: fixed published list (a real pipeline ships its
+# tokenizer's vocab the same way — as data, not engine state)
+OOV_VOCAB = [
+    "a", "agg", "batch", "column", "customer", "data", "fast", "filter",
+    "hash", "join", "key", "line", "merge", "order", "part", "query",
+    "row", "scan", "slow", "small", "spark", "table", "the", "value",
+    "window",
+]
+
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary coverage: per-document out-of-vocabulary token
+    count and rate against the fixed OOV_VOCAB list. Pure JVM-side array
+    higher-order functions (split → filter → size); the vocab rides the
+    plan as a literal array (at a real vocab size it would be a broadcast
+    join against a vocab table instead — same shape, documented in
+    SCALING.md)."""
+    d = _docs(spark, sf_dir)
+    vocab = ", ".join(f"'{w}'" for w in OOV_VOCAB)
+    return d.selectExpr(
+        "doc_id",
+        "size(split(text, ' ')) AS n_tokens",
+        f"size(filter(split(text, ' '),"
+        f" t -> NOT array_contains(array({vocab}), t))) AS n_oov",
+    ).selectExpr(
+        "doc_id", "n_tokens", "n_oov",
+        "CAST(n_oov AS DOUBLE) / n_tokens AS oov_rate",
+    )
+
+VOCAB_OOV_RATE_ORACLE = f"""
+WITH m AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(string_split(text, ' '),
+               t -> NOT list_contains({OOV_VOCAB}, t))) AS BIGINT) AS n_oov
+    FROM documents
+)
+SELECT doc_id, n_tokens, n_oov,
+       CAST(n_oov AS DOUBLE) / n_tokens AS oov_rate
+FROM m
+"""

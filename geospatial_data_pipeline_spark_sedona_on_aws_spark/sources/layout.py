@@ -80,3 +80,117 @@ FROM land_use
 ORDER BY z, property_id
 LIMIT 500
 """
+
+# --------------------------------------------------------------- Hilbert
+
+H_BITS = 7  # testdata coords fit in [0, 128); widen per-domain at scale
+
+def _hilbert_level_exprs(lvl: int, bits: int) -> tuple[str, str, str]:
+    """One unrolled level of the standard Hilbert xy2d walk (high bit
+    first), over running columns hx, hy. Returns SQL text for
+    (d_increment, next_hx, next_hy) in the dialect-neutral subset both
+    Spark SQL and DuckDB parse identically: CASE / & / >> / integer
+    arithmetic. Per level, with s = 2^lvl and n = 2^bits:
+
+        rx = (hx >> lvl) & 1 ; ry = (hy >> lvl) & 1
+        d += s*s * ((3*rx) XOR ry)           -- spelled as a CASE table
+        if ry == 0:
+            if rx == 1: hx, hy = n-1-hx, n-1-hy   -- Gray reflection
+            hx, hy = hy, hx                        -- diagonal swap
+
+    The flip uses the full-width complement n-1-v (bits above lvl are
+    already consumed, and complementing them flips every *future* bit
+    test consistently — the reflection the curve needs)."""
+    s = 1 << lvl
+    m = (1 << bits) - 1
+    rx = f"((hx >> {lvl}) & 1)"
+    ry = f"((hy >> {lvl}) & 1)"
+    d_add = (
+        f"{s * s} * (CASE WHEN {ry} = 1 THEN"
+        f" (CASE WHEN {rx} = 1 THEN 2 ELSE 1 END)"
+        f" ELSE (CASE WHEN {rx} = 1 THEN 3 ELSE 0 END) END)"
+    )
+    nx = (f"CASE WHEN {ry} = 0 THEN"
+          f" (CASE WHEN {rx} = 1 THEN {m} - hy ELSE hy END)"
+          f" ELSE hx END")
+    ny = (f"CASE WHEN {ry} = 0 THEN"
+          f" (CASE WHEN {rx} = 1 THEN {m} - hx ELSE hx END)"
+          f" ELSE hy END")
+    return d_add, nx, ny
+
+def hilbert_value(df: DataFrame, x: str, y: str, out: str,
+                  bits: int = H_BITS) -> DataFrame:
+    """Append the Hilbert index of integer columns (x, y) ∈ [0, 2^bits)²
+    as column `out`. Unlike the Morton interleave, each level's reflection
+    depends on the previous level's outcome, so this unrolls to a chain of
+    CASE projections — still pure JVM column arithmetic inside one
+    whole-stage-codegen span (Catalyst collapses the withColumn chain into
+    a single Project)."""
+    df = df.withColumn("hx", F.col(x).cast("long")) \
+           .withColumn("hy", F.col(y).cast("long")) \
+           .withColumn(out, F.lit(0).cast("long"))
+    keep = [c for c in df.columns if c not in ("hx", "hy", out)]
+    for lvl in range(bits - 1, -1, -1):
+        d_add, nx, ny = _hilbert_level_exprs(lvl, bits)
+        # one select per level: hx/hy/d must update SIMULTANEOUSLY against
+        # the previous level's values — select makes that explicit
+        df = df.select(
+            *keep,
+            F.expr(nx).alias("hx"),
+            F.expr(ny).alias("hy"),
+            (F.col(out) + F.expr(d_add)).alias(out),
+        )
+    return df.select(*keep, out)
+
+def hilbert_sql(base_subquery: str, cols: list[str], x: str, y: str,
+                out: str, bits: int = H_BITS) -> str:
+    """The identical Hilbert walk as nested ANSI-SQL subqueries over
+    `base_subquery` (which must yield `cols` plus integer x, y). Level
+    snippets come from the same _hilbert_level_exprs generator the Spark
+    path uses, so both engines evaluate character-identical formulas."""
+    keep = ", ".join(cols)
+    q = (f"SELECT {keep}, CAST({x} AS BIGINT) AS hx,"
+         f" CAST({y} AS BIGINT) AS hy, 0 AS {out} FROM ({base_subquery})")
+    for lvl in range(bits - 1, -1, -1):
+        d_add, nx, ny = _hilbert_level_exprs(lvl, bits)
+        q = (f"SELECT {keep}, {nx} AS hx, {ny} AS hy,"
+             f" {out} + {d_add} AS {out} FROM ({q})")
+    return f"SELECT {keep}, {out} FROM ({q})"
+
+def write_hilbert_ordered(df: DataFrame, x: str, y: str, path: str,
+                          num_files: int = 16, bits: int = H_BITS) -> None:
+    """Write df as parquet clustered on the Hilbert curve — same layout
+    mechanics as write_zordered (range-partition on the curve position,
+    sort within partitions) with strictly better tile locality: every
+    unit step of the Hilbert curve is Manhattan-distance 1, so a file
+    holding a contiguous curve segment covers a tighter bbox than the
+    same-length Morton segment (which jumps across tile boundaries).
+    tests/test_layout.py quantifies the gap on the real fixture."""
+    df = hilbert_value(df, x, y, "__h", bits)
+    (
+        df.repartitionByRange(num_files, "__h")
+        .sortWithinPartitions("__h")
+        .drop("__h")
+        .write.mode("overwrite").parquet(path)
+    )
+
+def hilbert_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parcels with their Hilbert-curve position (the clustering key
+    write_hilbert_ordered lays files out by), top-500 by curve position —
+    the Hilbert companion of zorder_curve, same output contract."""
+    lu = fixtures.land_use_areas(spark, sf_dir, wkt=False)
+    return (
+        hilbert_value(lu.select("property_id", "x1", "y1"),
+                      "x1", "y1", "h")
+        .orderBy("h", "property_id")
+        .limit(500)
+    )
+
+HILBERT_CURVE_ORACLE = f"""
+WITH {fixtures.LAND_USE_CTE.strip()}
+SELECT property_id, x1, y1, h
+FROM ({hilbert_sql("SELECT property_id, x1, y1 FROM land_use",
+                   ["property_id", "x1", "y1"], "x1", "y1", "h")})
+ORDER BY h, property_id
+LIMIT 500
+"""

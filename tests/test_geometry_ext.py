@@ -1,0 +1,277 @@
+"""Round-join buffer, convex hull, Douglas–Peucker, Hilbert layout, and
+shard-manifest tests (round-4 session-2 operators).
+
+The buffer/hull value tests check CLOSED FORMS — the same identities the
+DuckDB oracles of st_buffer_round / st_convex_hull recompute at the gate —
+plus property-based coverage on shapes the fixtures never produce
+(reflex corners, degenerate rings, collinear chains).
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions.spatial import (
+    _buffer_round,
+    _contains,
+    _convex_hull,
+    _npoints,
+)
+from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel import geom as G
+
+# ------------------------------------------------------------ round buffer
+
+@given(
+    x=st.integers(-50, 50), y=st.integers(-50, 50),
+    w=st.integers(1, 40), h=st.integers(1, 40),
+    dq=st.integers(1, 12), q=st.integers(1, 16),
+)
+@settings(max_examples=60, deadline=None)
+def test_prop_buffer_round_rect_closed_form(x, y, w, h, dq, q):
+    """area(round-buffer(rect, d, q)) == w·h + 2(w+h)d + 2q·d²·sin(π/2q),
+    exactly the N-gon-arc identity the driver oracle uses."""
+    d = dq / 4.0
+    wkt = f"POLYGON (({x} {y}, {x+w} {y}, {x+w} {y+h}, {x} {y+h}, {x} {y}))"
+    out = _buffer_round(wkt, d, q)
+    a = G.area(G.parse_wkt(out))
+    expect = w * h + 2 * (w + h) * d + 2 * q * d * d * math.sin(math.pi / (2 * q))
+    assert abs(a - expect) < 1e-8 * max(1.0, expect)
+    # 4 edges × 2 endpoints + 4 arcs × (q-1) interior points
+    assert _npoints(out) == 8 + 4 * (q - 1)
+    # buffered polygon strictly contains the original
+    assert _contains(out, wkt)
+
+
+def test_buffer_round_reflex_corner_closed_form():
+    """L-shape: 5 convex corners get arc fans, the single reflex corner a
+    miter whose overlap removes exactly d² (two d-wide strips overlapping
+    in a d×d square at the inside corner)."""
+    L = "POLYGON ((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))"
+    d, q = 0.3, 8
+    out = _buffer_round(L, d, q)
+    a = G.area(G.parse_wkt(out))
+    area0, perim = 12.0, 16.0
+    fans = 5 * (d * d / 2) * q * math.sin((math.pi / 2) / q)
+    assert abs(a - (area0 + perim * d + fans - d * d)) < 1e-9
+    assert _contains(out, L)
+
+
+def test_buffer_round_zero_and_negative_fall_back_to_miter():
+    rect = "POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))"
+    assert _buffer_round(rect, 0.0, 8) == rect
+    # negative d: miter erosion — a 4×3 rect shrunk by 0.5 is 3×2
+    shr = _buffer_round(rect, -0.5, 8)
+    assert abs(G.area(G.parse_wkt(shr)) - 6.0) < 1e-9
+
+
+def test_buffer_round_hole_shrinks():
+    """Positive buffer grows the outer ring and shrinks holes; the hole's
+    inward corners become miters (holes are convex seen from the solid)."""
+    g = ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0),"
+         " (4 4, 6 4, 6 6, 4 6, 4 4))")
+    out = _buffer_round(g, 0.5, 8)
+    a = G.area(G.parse_wkt(out))
+    outer = 100 + 2 * 40 * 0.5 / 2 + 2 * 8 * 0.25 * math.sin(math.pi / 16)
+    # outer: 100 + P·d + fans; hole 2×2 shrunk by 0.5 → 1×1
+    expect = (100 + 40 * 0.5 + 2 * 8 * 0.25 * math.sin(math.pi / 16)) - 1.0
+    del outer
+    assert abs(a - expect) < 1e-9
+
+# ------------------------------------------------------------- convex hull
+
+@given(st.lists(st.tuples(st.integers(-30, 30), st.integers(-30, 30)),
+                min_size=3, max_size=12))
+@settings(max_examples=80, deadline=None)
+def test_prop_convex_hull(points):
+    pts = [(float(x), float(y)) for x, y in points]
+    hull = G.convex_hull(pts)
+    if len(hull) < 3:
+        return  # collinear input set
+    wkt = G.to_wkt([[hull]])
+    # idempotent
+    assert _convex_hull(wkt) == wkt
+    # contains every input point: signed-area test against each hull edge
+    n = len(hull)
+    for px, py in pts:
+        for i in range(n):
+            x1, y1 = hull[i]
+            x2, y2 = hull[(i + 1) % n]
+            assert (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1) >= -1e-9
+    # hull area >= area of any polygon over those vertices
+    assert G.area(G.parse_wkt(wkt)) >= -1e-9
+
+
+def test_convex_hull_cross_shape():
+    """The st_convex_hull fixture's identity: hull(plus-shape) is the
+    octagon of area W·H − 2ab with 8 vertices."""
+    cross = ("POLYGON ((1 0, 3 0, 3 1, 4 1, 4 3, 3 3, 3 4, 1 4,"
+             " 1 3, 0 3, 0 1, 1 1, 1 0))")
+    h = _convex_hull(cross)
+    assert G.area(G.parse_wkt(h)) == 16 - 2
+    assert _npoints(h) == 8
+    assert _contains(h, cross)
+
+# --------------------------------------------------------- Douglas–Peucker
+
+def test_simplify_endpoints_always_kept():
+    idx = G.simplify_polyline([0, 1, 2, 3], [0, 5, -5, 0], 100.0)
+    assert idx[0] == 0 and idx[-1] == 3
+
+
+@given(st.lists(st.tuples(st.integers(0, 40), st.integers(-10, 10)),
+                min_size=2, max_size=15),
+       st.integers(0, 8))
+@settings(max_examples=80, deadline=None)
+def test_prop_simplify_monotone_in_tol(points, tol):
+    xs = [float(x) for x, _ in points]
+    ys = [float(y) for _, y in points]
+    k1 = len(G.simplify_polyline(xs, ys, float(tol)))
+    k2 = len(G.simplify_polyline(xs, ys, float(tol + 1)))
+    assert 2 <= k2 <= k1 <= len(xs)
+
+
+def test_simplify_collinear_chain_collapses():
+    xs = [0.0, 1.0, 2.0, 3.0, 4.0]
+    ys = [0.0, 0.0, 0.0, 0.0, 0.0]
+    assert G.simplify_polyline(xs, ys, 0.0) == [0, 4]
+
+
+def test_simplify_branches_match_fixture_law():
+    """The three DP branches the st_simplify oracle enumerates."""
+    L, m, amp = 12, 6, 3
+    xs = [0.0, 1.0, float(m), float(L - 1), float(L)]
+    ys = [0.0, 0.0, float(amp), 0.0, 0.0]
+    assert len(G.simplify_polyline(xs, ys, 3.0)) == 2   # amp <= tol
+    assert len(G.simplify_polyline(xs, ys, 1.0)) == 3   # bump only
+    assert len(G.simplify_polyline(xs, ys, 0.0)) == 5   # keep all
+
+# ---------------------------------------------------------------- Hilbert
+
+def _hilbert_py(x: int, y: int, bits: int) -> int:
+    """Independent Python replica of the standard xy2d walk — the check
+    that the shared SQL generator implements the real curve, not merely
+    the same formula twice."""
+    n = 1 << bits
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) else 0
+        ry = 1 if (y & s) else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_sql_matches_python_replica(duck):
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.sources.layout import hilbert_sql
+
+    base = ("SELECT x, y FROM (SELECT unnest(range(16)) AS x),"
+            " (SELECT unnest(range(16)) AS y)")
+    q = hilbert_sql(base, ["x", "y"], "x", "y", "h", bits=4)
+    for x, y, h in duck.execute(q).fetchall():
+        assert h == _hilbert_py(x, y, 4), (x, y)
+
+
+def test_hilbert_curve_is_unit_step_adjacent(duck):
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.sources.layout import hilbert_sql
+
+    base = ("SELECT x, y FROM (SELECT unnest(range(8)) AS x),"
+            " (SELECT unnest(range(8)) AS y)")
+    q = hilbert_sql(base, ["x", "y"], "x", "y", "h", bits=3)
+    pos = {h: (x, y) for x, y, h in duck.execute(q).fetchall()}
+    assert sorted(pos) == list(range(64))
+    for i in range(63):
+        (x1, y1), (x2, y2) = pos[i], pos[i + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_hilbert_locality_beats_zorder(duck):
+    """The reason to offer Hilbert next to Morton: mean Manhattan jump
+    between curve-consecutive cells is exactly 1 for Hilbert; Morton's
+    row-crossing jumps push its mean well above. Tighter jumps → tighter
+    per-file bboxes → more files pruned by min/max stats."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.sources.layout import (
+        hilbert_sql,
+        zorder_sql,
+    )
+
+    base = ("SELECT x, y FROM (SELECT unnest(range(32)) AS x),"
+            " (SELECT unnest(range(32)) AS y)")
+    hq = hilbert_sql(base, ["x", "y"], "x", "y", "h", bits=5)
+    zq = f"SELECT x, y, {zorder_sql('x', 'y', bits=5)} AS h FROM ({base})"
+
+    def mean_jump(q):
+        rows = sorted(duck.execute(q).fetchall(), key=lambda r: r[2])
+        jumps = [abs(a[0] - b[0]) + abs(a[1] - b[1])
+                 for a, b in zip(rows, rows[1:])]
+        return sum(jumps) / len(jumps)
+
+    hj, zj = mean_jump(hq), mean_jump(zq)
+    assert hj == 1.0
+    assert zj > 1.5 * hj
+
+
+def test_hilbert_spark_matches_oracle_sql(spark, duck):
+    """The Spark column chain and the nested-subquery SQL come from the
+    same per-level generator; assert they agree end-to-end on the fixture
+    (beyond the 500-row gate window: full 60k parcels)."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.plans import fixtures
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.sources.layout import (
+        hilbert_sql,
+        hilbert_value,
+    )
+
+    lu = fixtures.land_use_areas(spark, "/root/testdata/sf0.001", wkt=False)
+    # property_id collides at this SF (orderkey*10+linenumber wraps), so
+    # compare sorted MULTISETS — exactly what the driver's gate hashes
+    got = sorted(
+        (r["property_id"], r["h"])
+        for r in hilbert_value(lu.select("property_id", "x1", "y1"),
+                               "x1", "y1", "h").collect()
+    )
+    oracle = sorted(duck.execute(
+        "SELECT property_id, h FROM (" + hilbert_sql(
+            f"WITH {fixtures.LAND_USE_CTE.strip()} "
+            "SELECT property_id, x1, y1 FROM land_use",
+            ["property_id", "x1", "y1"], "x1", "y1", "h") + ")"
+    ).fetchall())
+    assert got == oracle
+
+# ------------------------------------------------------------ shard export
+
+def test_shard_manifest_matches_physical_export(spark, tmp_path):
+    """The manifest the query reports must describe the files an export
+    would actually write: partitionBy(shard) the same derivation, read
+    each shard directory back, and compare counts/token sums."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.plans.text_queries import (
+        N_SHARDS,
+        _SHARD_HASH,
+        doc_shard_manifest,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    manifest = {r["shard"]: (r["n_docs"], r["n_tokens"])
+                for r in doc_shard_manifest(spark, sf).collect()}
+
+    out = str(tmp_path / "shards")
+    (spark.read.parquet(f"{sf}/documents.parquet")
+     .selectExpr(f"CAST({_SHARD_HASH} % {N_SHARDS} AS BIGINT) AS shard",
+                 "doc_id", "size(split(text, ' ')) AS n_tokens")
+     .write.partitionBy("shard").parquet(out))
+
+    from pyspark.sql import functions as F
+
+    back = spark.read.parquet(out)
+    got = {r["shard"]: (r["n"], r["t"]) for r in
+           back.groupBy("shard").agg(
+               F.count("*").alias("n"),
+               F.sum("n_tokens").alias("t"),
+           ).collect()}
+    assert got == manifest
