@@ -80,8 +80,10 @@ QUERIES: dict[str, QueryFn] = {
     "hilbert_curve": LAY.hilbert_curve,         # locality-optimal layout
     "doc_shard_manifest": TQ.doc_shard_manifest,
     "vocab_oov_rate": TQ.vocab_oov_rate,
-    # --- relational / TPC-H rotation ---
-    "q18_large_orders": R.q18_large_orders,
+    "recursive_supplier_tree": R.recursive_supplier_tree,  # WITH RECURSIVE
+    "lateral_topk_orders": R.lateral_topk_orders,          # LATERAL decorrelation
+    "unpivot_metrics": R.unpivot_metrics,                  # wide→long reshape
+    "streaming_cdc_apply": EV.streaming_cdc_apply,         # foreachBatch MERGE
     # --- new-this-round operators (brand-new code earns the driver gate
     # first; the displaced TPC-H rotation rows q2/q5/q8/q9/q13/q21 +
     # ngram_topk_corpus are double-judge-replica-verified and move to
@@ -110,8 +112,6 @@ QUERIES: dict[str, QueryFn] = {
     "events_sliding_window": EV.events_sliding_window,
     # --- text rotation ---
     "udtf_token_explode": TQ.udtf_token_explode,
-    "training_mix": TQ.training_mix,
-    "event_funnel": TQ.event_funnel,
     "repetition_scores": TQ.repetition_scores,
     # --- dedup rotation ---
     "ngram_jaccard_pairs": DD.ngram_jaccard_pairs,
@@ -121,7 +121,6 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_cosine_near_dup": SIM.cosine_near_dup,
     # --- sketches rotation ---
     "reservoir_per_group": SK.reservoir_per_group,
-    "profile_table": SK.profile_table,
     # --- multimodal / Python DataSource rotation ---
     "multimodal_wav_decode": MM.multimodal_wav_decode,  # NEW r4: real audio
     "multimodal_y4m_decode": MM.multimodal_y4m_decode,  # NEW r4: real video
@@ -136,6 +135,10 @@ QUERIES: dict[str, QueryFn] = {
     "q3_shipping_priority": R.q3_shipping_priority,
     "nation_revenue": R.nation_revenue,
     "top_customers_per_nation": R.top_customers_per_nation,
+    "q18_large_orders": R.q18_large_orders,
+    "training_mix": TQ.training_mix,
+    "event_funnel": TQ.event_funnel,
+    "profile_table": SK.profile_table,
     "crop_analytics_orc_roundtrip": P.crop_analytics_orc_roundtrip,
     "st_area_rect": P.st_area_rect,
     "st_intersection_area": P.st_intersection_area,
@@ -230,6 +233,10 @@ ORACLES: dict[str, str] = {
     "crop_analytics_jsonl_roundtrip": P.CROP_ANALYTICS_ORACLE,
     "st_area_rect": P.ST_AREA_RECT_ORACLE,
     "st_buffer_round": P.ST_BUFFER_ROUND_ORACLE,
+    "recursive_supplier_tree": R.RECURSIVE_SUPPLIER_TREE_ORACLE,
+    "streaming_cdc_apply": R.CDC_MERGE_ORACLE,  # drained state == batch MERGE
+    "lateral_topk_orders": R.LATERAL_TOPK_ORDERS_ORACLE,
+    "unpivot_metrics": R.UNPIVOT_METRICS_ORACLE,
     "st_convex_hull": P.ST_CONVEX_HULL_ORACLE,
     "st_simplify": P.ST_SIMPLIFY_ORACLE,
     "hilbert_curve": LAY.HILBERT_CURVE_ORACLE,

@@ -723,3 +723,133 @@ SELECT o_orderkey, o_custkey,
             AS d30_total
 FROM orders
 """
+
+# --------------------------------------------- Spark-4 SQL surface breadth
+
+def recursive_supplier_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4): walk an implicit supplier hierarchy where
+    supplier k reports to floor(k/2) (a binary tree rooted at key 1),
+    accumulating depth and the account-balance sum along each chain. The
+    recursion is a genuine iterative fixpoint the optimizer unions level
+    by level — per level one equi-join against the 10k-row dim; chains are
+    log2(|supplier|) deep, so the plan is O(n log n) rows total.
+
+    The integer step uses CAST(floor(cur / 2.0) AS BIGINT) — identical
+    text and semantics in Spark SQL and DuckDB (avoiding the dialects'
+    differing integer-division operators)."""
+    for t in ("supplier",):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    return spark.sql("""
+        WITH RECURSIVE walk AS (
+            SELECT s_suppkey AS suppkey, s_suppkey AS cur,
+                   0 AS depth,
+                   CAST(s_acctbal AS DECIMAL(18,2)) AS chain_bal
+            FROM supplier
+            UNION ALL
+            SELECT w.suppkey, p.s_suppkey,
+                   w.depth + 1,
+                   CAST(w.chain_bal + CAST(p.s_acctbal AS DECIMAL(18,2))
+                        AS DECIMAL(18,2))
+            FROM walk w
+            JOIN supplier p
+              ON p.s_suppkey = CAST(floor(w.cur / 2.0) AS BIGINT)
+            WHERE w.cur > 1
+        )
+        SELECT suppkey,
+               CAST(depth AS BIGINT) AS depth,
+               CAST(chain_bal AS DOUBLE) AS chain_bal
+        FROM walk
+        WHERE cur = 1
+    """)
+
+RECURSIVE_SUPPLIER_TREE_ORACLE = """
+WITH RECURSIVE walk AS (
+    SELECT s_suppkey AS suppkey, s_suppkey AS cur,
+           0 AS depth,
+           CAST(s_acctbal AS DECIMAL(18,2)) AS chain_bal
+    FROM supplier
+    UNION ALL
+    SELECT w.suppkey, p.s_suppkey,
+           w.depth + 1,
+           CAST(w.chain_bal + CAST(p.s_acctbal AS DECIMAL(18,2))
+                AS DECIMAL(18,2))
+    FROM walk w
+    JOIN supplier p
+      ON p.s_suppkey = CAST(floor(w.cur / 2.0) AS BIGINT)
+    WHERE w.cur > 1
+)
+SELECT suppkey,
+       CAST(depth AS BIGINT) AS depth,
+       CAST(chain_bal AS DOUBLE) AS chain_bal
+FROM walk
+WHERE cur = 1
+"""
+
+def lateral_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: top-3 orders by price per customer.
+    Catalyst DECORRELATES this into a windowed ranking (no per-customer
+    re-execution — check the plan for a single Window over one shuffle),
+    which is exactly why the lateral formulation is safe at 100 TB: the
+    written query is per-row, the executed plan is set-at-a-time."""
+    for t in ("customer", "orders"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    return spark.sql("""
+        SELECT c.c_custkey, l.o_orderkey,
+               CAST(l.o_totalprice AS DOUBLE) AS o_totalprice
+        FROM customer c,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 3
+        ) l
+    """)
+
+LATERAL_TOPK_ORDERS_ORACLE = """
+SELECT c.c_custkey, l.o_orderkey,
+       CAST(l.o_totalprice AS DOUBLE) AS o_totalprice
+FROM customer c,
+LATERAL (
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_custkey = c.c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 3
+) l
+"""
+
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT: the four lineitem measures melted to (metric, value) rows —
+    the wide→long reshape (inverse of pivot_order_status). Row-local
+    generation, no shuffle; output is 4× the input rows with 2 columns,
+    which is why at scale you unpivot AFTER filtering, never before."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.select(
+            "l_orderkey", "l_linenumber",
+            F.col("l_quantity").cast("double").alias("quantity"),
+            F.col("l_extendedprice").cast("double").alias("extendedprice"),
+            F.col("l_discount").cast("double").alias("discount"),
+            F.col("l_tax").cast("double").alias("tax"),
+        )
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["quantity", "extendedprice", "discount", "tax"],
+            "metric", "value",
+        )
+    )
+
+UNPIVOT_METRICS_ORACLE = """
+SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+       CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'extendedprice',
+       CAST(l_extendedprice AS DOUBLE) FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'discount',
+       CAST(l_discount AS DOUBLE) FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'tax',
+       CAST(l_tax AS DOUBLE) FROM lineitem
+"""

@@ -1036,3 +1036,84 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """
+
+# --------------------------------------------------------- streaming CDC
+
+def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply: the cdc_merge change set arrives as a FILE
+    STREAM in three micro-batches, each applied through foreachBatch →
+    merge_upsert into a versioned state directory (read state_{i-1}, merge,
+    write state_{i} — the incremental form of the blue-green snapshot
+    swap). The drained state must equal the one-shot batch MERGE
+    (CDC_MERGE_ORACLE), which is the exactness contract.
+
+    Determinism without relying on file-arrival order: batches partition
+    the KEY space (custkey % 3), and cdc_merge's change set carries exactly
+    one change per key, so per-batch merge application is commutative —
+    any trigger order yields the same final state. A totally-ordered
+    change log would instead carry a change_seq and reduce each batch to
+    max-seq-wins before merging (same plan shape, one extra window).
+
+    Scale: each micro-batch is one co-partitioned (or broadcast) merge
+    join against the current snapshot; state lives in the table, not the
+    state store — the pattern that keeps streaming upserts bounded at
+    100 TB snapshots."""
+    import atexit
+    import os
+    import shutil
+
+    from ..plans.relational import merge_upsert
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_acctbal").alias("balance"),
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    from pyspark.sql import Window
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey"))
+    changes = (
+        o.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_totalprice").alias("balance"),
+            F.when(F.col("o_orderstatus") == "F", F.lit("delete"))
+            .otherwise(F.lit("upsert")).alias("op"),
+            F.pmod(F.col("o_custkey"), F.lit(3)).cast("int").alias("batch"),
+        )
+    )
+
+    root = tempfile.mkdtemp(prefix="cdc_stream_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    log_dir = f"{root}/changelog"
+    changes.write.partitionBy("batch").parquet(log_dir)
+
+    state = {"dir": f"{root}/state_init"}
+    cust.write.parquet(state["dir"])
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        cur = sp.read.parquet(state["dir"])
+        new_dir = f"{root}/state_{batch_id}"
+        merge_upsert(cur, batch_df.select("custkey", "balance", "op"),
+                     "custkey", ["balance"]).write.parquet(new_dir)
+        state["dir"] = new_dir
+
+    stream = (
+        spark.readStream.schema(
+            "custkey bigint, balance double, op string, batch int")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(log_dir)
+    )
+    ckpt = f"{root}/ckpt"
+    q = (stream.writeStream.foreachBatch(apply_batch)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    n_files = sum(1 for _, _, fs in os.walk(log_dir)
+                  for f in fs if f.endswith(".parquet"))
+    assert n_files >= 3, "change log must span multiple micro-batches"
+    return spark.read.parquet(state["dir"]).select(
+        "custkey", F.col("balance").cast("double").alias("balance"))

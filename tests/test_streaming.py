@@ -274,3 +274,20 @@ def test_streaming_dedup_watermarked_multi_batch(spark, tmp_path):
     got = got.sort_values(k).reset_index(drop=True)
     want = want.sort_values(k).reset_index(drop=True)
     assert got.equals(want)
+
+
+def test_streaming_cdc_apply_equals_batch_merge(spark):
+    """The foreachBatch incremental MERGE loop, drained over >=3 file-source
+    micro-batches (asserted inside the operator), must land on exactly the
+    one-shot batch MERGE's state."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.plans.relational import cdc_merge
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.streaming.events import (
+        streaming_cdc_apply,
+    )
+
+    got = sorted(map(tuple, streaming_cdc_apply(spark, SF_SMOKE).collect()))
+    want = sorted(
+        (r["custkey"], float(r["balance"]))
+        for r in cdc_merge(spark, SF_SMOKE).collect()
+    )
+    assert got == want and len(got) > 0
