@@ -338,3 +338,31 @@ def test_hilbert_write_clusters_files_tighter_than_zorder(spark, tmp_path):
     hs, zs = mean_span(hp), mean_span(zp)
     assert hs <= zs + 1e-9, (hs, zs)
     assert hs <= 12
+
+
+def test_shard_manifest_has_mapside_combine(spark):
+    """The manifest aggregate must be a two-phase hash aggregate (partial
+    before the exchange, final after) so the shuffle carries at most
+    N_SHARDS rows per upstream partition — the property SCALING.md claims."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.plans.text_queries import (
+        doc_shard_manifest,
+    )
+
+    plan = doc_shard_manifest(spark, "/root/testdata/sf0.001") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Exchange hashpartitioning(shard" in plan, plan
+
+
+@given(st.integers(1, 6), st.integers(1, 6), st.integers(2, 8),
+       st.integers(2, 8))
+@settings(max_examples=40, deadline=None)
+def test_prop_buffer_round_monotone_in_d(a, b, w, h):
+    """Round-buffer area must be strictly increasing in d, on L-shapes
+    (one reflex corner) — the shape class the rect fixtures never cover."""
+    W, H = w + a, h + b
+    L = (f"POLYGON ((0 0, {W} 0, {W} {h}, {w} {h}, {w} {H}, 0 {H}, 0 0))")
+    areas = [G.area(G.parse_wkt(_buffer_round(L, d, 8)))
+             for d in (0.25, 0.5, 1.0)]
+    base = G.area(G.parse_wkt(L))
+    assert base < areas[0] < areas[1] < areas[2]
