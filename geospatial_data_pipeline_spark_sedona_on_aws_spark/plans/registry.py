@@ -84,6 +84,8 @@ QUERIES: dict[str, QueryFn] = {
     "lateral_topk_orders": R.lateral_topk_orders,          # LATERAL decorrelation
     "unpivot_metrics": R.unpivot_metrics,                  # wide→long reshape
     "streaming_cdc_apply": EV.streaming_cdc_apply,         # foreachBatch MERGE
+    "gap_fill_interpolate": EV.gap_fill_interpolate,       # resample + interp
+    "bpe_merge_train": TQ.bpe_merge_train,                 # tokenizer merges
     # --- new-this-round operators (brand-new code earns the driver gate
     # first; the displaced TPC-H rotation rows q2/q5/q8/q9/q13/q21 +
     # ngram_topk_corpus are double-judge-replica-verified and move to
@@ -109,9 +111,7 @@ QUERIES: dict[str, QueryFn] = {
     # --- streaming rotation ---
     "streaming_snapshot_publish": EV.streaming_snapshot_publish,
     "stream_static_enrich": EV.stream_static_enrich,
-    "events_sliding_window": EV.events_sliding_window,
     # --- text rotation ---
-    "udtf_token_explode": TQ.udtf_token_explode,
     "repetition_scores": TQ.repetition_scores,
     # --- dedup rotation ---
     "ngram_jaccard_pairs": DD.ngram_jaccard_pairs,
@@ -127,6 +127,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_resize": MM.multimodal_resize,
     "pyds_sensor_stream_totals": PDS.sensor_stream_totals,
     # ==================== tier 2: full breadth (entries 51+) ==============
+    "events_sliding_window": EV.events_sliding_window,
     "multimodal_frame_sample": MM.multimodal_frame_sample,
     # --- spatial (driver-green in r3) ---
     "st_geometry_ops": P.st_geometry_ops,
@@ -137,6 +138,7 @@ QUERIES: dict[str, QueryFn] = {
     "top_customers_per_nation": R.top_customers_per_nation,
     "q18_large_orders": R.q18_large_orders,
     "training_mix": TQ.training_mix,
+    "udtf_token_explode": TQ.udtf_token_explode,
     "event_funnel": TQ.event_funnel,
     "profile_table": SK.profile_table,
     "crop_analytics_orc_roundtrip": P.crop_analytics_orc_roundtrip,
@@ -235,6 +237,8 @@ ORACLES: dict[str, str] = {
     "st_buffer_round": P.ST_BUFFER_ROUND_ORACLE,
     "recursive_supplier_tree": R.RECURSIVE_SUPPLIER_TREE_ORACLE,
     "streaming_cdc_apply": R.CDC_MERGE_ORACLE,  # drained state == batch MERGE
+    "gap_fill_interpolate": EV.GAP_FILL_INTERPOLATE_ORACLE,
+    "bpe_merge_train": TQ.BPE_MERGE_TRAIN_ORACLE,
     "lateral_topk_orders": R.LATERAL_TOPK_ORDERS_ORACLE,
     "unpivot_metrics": R.UNPIVOT_METRICS_ORACLE,
     "st_convex_hull": P.ST_CONVEX_HULL_ORACLE,

@@ -701,3 +701,123 @@ SELECT doc_id, n_tokens, n_oov,
        CAST(n_oov AS DOUBLE) / n_tokens AS oov_rate
 FROM m
 """
+
+# -------------------------------------------------------------- mini BPE
+
+BPE_ROUNDS = 4
+
+def _bpe_pair_counts(states: DataFrame) -> DataFrame:
+    """Weighted adjacent-symbol pair counts over (word-state, freq) rows.
+    state is the word's current segmentation with each symbol individually
+    bracket-wrapped ('[k][e][y]') — adjacent pair occurrences then share NO
+    characters, which is what makes replace()-based merge application
+    exactly classic greedy-left BPE (a space-delimited encoding shares the
+    boundary space between occurrences, so 'a a a a' under merge (a,a)
+    would miss the second pair — caught by the overlap unit test)."""
+    return (
+        states.selectExpr(
+            "freq",
+            r"split(trim(BOTH '[]' FROM state), '\\]\\[') AS syms",
+        )
+        .selectExpr(
+            "freq",
+            "filter(transform(syms, (s, i) ->"
+            " struct(s AS l, try_element_at(syms, i + 2) AS r)),"
+            " p -> p.r IS NOT NULL) AS pairs",
+        )
+        .selectExpr("freq", "explode(pairs) AS p")
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+    )
+
+def bpe_merge_train(spark: SparkSession, sf_dir: str,
+                    rounds: int = BPE_ROUNDS) -> DataFrame:
+    """Byte-pair-encoding merge training, the tokenizer-building primitive:
+    start from character segmentations of the corpus vocabulary (word,
+    freq), and for `rounds` rounds pick the most frequent adjacent symbol
+    pair (ties: lexicographic on left then right — fully deterministic)
+    and merge it everywhere via left-to-right non-overlapping replacement
+    (exactly classic BPE's greedy-leftmost application; replace() has the
+    same contract in Spark and DuckDB).
+
+    Output: one row per learned merge (round, left, right, merged,
+    pair_count) — what a tokenizer ships as its merges.txt.
+
+    Scale: each round is ONE pair-count aggregate (map-side combined; the
+    alphabet of live pairs is tiny compared to the corpus) plus a 1-row
+    argmax collect to the driver — the same bounded iterative-driver shape
+    as Lloyd's k-means (operators/similarity.py). The corpus-sized state
+    (word segmentations) stays distributed; only the winning pair ever
+    crosses to the driver."""
+    d = _docs(spark, sf_dir)
+    words = (
+        d.selectExpr("explode(split(text, ' ')) AS w")
+        .where("w != ''")
+        .groupBy("w").agg(F.count("*").cast("bigint").alias("freq"))
+        # initial state: characters, each bracket-wrapped: '[k][e][y]'
+        .selectExpr(
+            "freq",
+            "concat('[', array_join(split(w, ''), ']['), ']') AS state",
+        )
+    )
+    states = words
+    out_rows = []
+    for rnd in range(1, rounds + 1):
+        top = (
+            _bpe_pair_counts(states)
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()[0]
+        )
+        l, r, cnt = top["l"], top["r"], top["cnt"]
+        out_rows.append((rnd, l, r, l + r, cnt))
+        states = states.selectExpr(
+            "freq",
+            f"replace(state, '[{l}][{r}]', '[{l}{r}]') AS state",
+        )
+    return spark.createDataFrame(
+        out_rows, "round int, left string, right string,"
+                  " merged string, pair_count bigint")
+
+def _bpe_oracle(rounds: int = BPE_ROUNDS) -> str:
+    """The identical training loop unrolled as chained CTEs: per round a
+    pair-count aggregate, a 1-row argmax with the same tie-break, and the
+    same sentinel-delimited replace applied to every word state."""
+    sql = ["""
+states0 AS (
+    SELECT count(*) AS freq,
+           '[' || array_to_string(string_split(w, ''), '][') || ']' AS state
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    WHERE w != ''
+    GROUP BY w
+)"""]
+    # the unnest(range(1, 200)) index spine bounds word length at 200
+    # symbols — far above any whitespace-delimited corpus token; the Spark
+    # side carries no such cap (transform() walks the real array)
+    for i in range(1, rounds + 1):
+        p = i - 1
+        sql.append(f"""
+pairs{i} AS (
+    SELECT syms[i] AS l, syms[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+    FROM (SELECT freq, string_split(trim(state, '[]'), '][') AS syms
+          FROM states{p}),
+         (SELECT unnest(range(1, 200)) AS i)
+    WHERE i < len(syms)
+    GROUP BY 1, 2
+),
+top{i} AS (
+    SELECT {i} AS round, l, r, l || r AS merged, cnt
+    FROM pairs{i} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+),
+states{i} AS (
+    SELECT s.freq,
+           replace(s.state, '[' || t.l || '][' || t.r || ']',
+                   '[' || t.l || t.r || ']') AS state
+    FROM states{p} s, top{i} t
+)""")
+    tops = " UNION ALL ".join(
+        f"SELECT round, l AS \"left\", r AS \"right\", merged, cnt AS pair_count FROM top{i}"
+        for i in range(1, rounds + 1))
+    return "WITH " + ",".join(sql) + "\n" + tops
+
+BPE_MERGE_TRAIN_ORACLE = _bpe_oracle()

@@ -1117,3 +1117,100 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert n_files >= 3, "change log must span multiple micro-batches"
     return spark.read.parquet(state["dir"]).select(
         "custkey", F.col("balance").cast("double").alias("balance"))
+
+# ------------------------------------------------------ gap fill / resample
+
+def gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with linear interpolation: per event_type, the
+    hourly value series is densified onto a complete epoch-hour spine
+    (sequence + explode) and every missing hour is filled by interpolating
+    between its nearest present neighbours (last/first IGNORE NULLS
+    windows — no self-join, no per-row lookup).
+
+    Scale: the spine explode is bounded by the series' hour span per key
+    (not by row count); both windows share ONE partitioning by event_type,
+    so the whole fill is a single shuffle. The interpolation arithmetic is
+    written in the same operand order as the oracle, so values match
+    bit-for-bit and the 1e-6 quantization is pure belt-and-braces."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    hourly = (
+        ev.groupBy(
+            F.col("event_type"),
+            F.expr("CAST(floor(unix_timestamp(ts) / 3600) AS BIGINT)")
+            .alias("h"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,2)"))
+             .cast("double").alias("v"))
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select("event_type",
+                F.explode(F.expr("sequence(h0, h1)")).alias("h"))
+    )
+    dense = spine.join(hourly, ["event_type", "h"], "left")
+    w = Window.partitionBy("event_type").orderBy("h")
+    back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    marked = dense.select(
+        "event_type", "h", "v",
+        F.last("v", ignorenulls=True).over(back).alias("pv"),
+        F.last(F.when(F.col("v").isNotNull(), F.col("h")),
+               ignorenulls=True).over(back).alias("ph"),
+        F.first("v", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(F.when(F.col("v").isNotNull(), F.col("h")),
+                ignorenulls=True).over(fwd).alias("nh"),
+    )
+    return marked.select(
+        "event_type", "h",
+        F.expr("CAST(v IS NULL AS BOOLEAN)").alias("filled"),
+        F.expr(
+            "CAST(round((CASE WHEN v IS NOT NULL THEN v"
+            " ELSE pv + (nv - pv) * (h - ph) / (nh - ph) END) * 1000000)"
+            " AS BIGINT)"
+        ).alias("v_q"),
+    )
+
+GAP_FILL_INTERPOLATE_ORACLE = """
+WITH hourly AS (
+    SELECT event_type,
+           CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+    FROM events
+    GROUP BY 1, 2
+),
+spine AS (
+    SELECT event_type, unnest(range(min(h), max(h) + 1)) AS h
+    FROM hourly
+    GROUP BY event_type
+),
+dense AS (
+    SELECT s.event_type, s.h, hr.v
+    FROM spine s LEFT JOIN hourly hr
+      ON s.event_type = hr.event_type AND s.h = hr.h
+),
+marked AS (
+    SELECT event_type, h, v,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+           last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+           first_value(v IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+           first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+    FROM dense
+)
+SELECT event_type, h,
+       v IS NULL AS filled,
+       CAST(round((CASE WHEN v IS NOT NULL THEN v
+            ELSE pv + (nv - pv) * (h - ph) / (nh - ph) END) * 1000000)
+            AS BIGINT) AS v_q
+FROM marked
+"""

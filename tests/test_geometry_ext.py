@@ -366,3 +366,44 @@ def test_prop_buffer_round_monotone_in_d(a, b, w, h):
              for d in (0.25, 0.5, 1.0)]
     base = G.area(G.parse_wkt(L))
     assert base < areas[0] < areas[1] < areas[2]
+
+
+def test_bpe_merge_overlap_is_greedy_left(spark):
+    """BPE's left-to-right non-overlapping application on a run of equal
+    symbols: 'aaaa' under merge (a,a) must become 'aa aa', not 'aaa a' —
+    pinned on a hand-built corpus where the whole merge sequence is known."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.plans import text_queries as TQ
+    from pyspark.sql import functions as F
+
+    states = spark.createDataFrame(
+        [(1, "[a][a][a][a]",)], "freq bigint, state string")
+    top = TQ._bpe_pair_counts(states).collect()
+    # pairs in [a][a][a][a]: three (a,a) adjacencies
+    assert [(r["l"], r["r"], r["cnt"]) for r in top] == [("a", "a", 3)]
+    # bracket-wrapped symbols share no characters between adjacent
+    # occurrences, so plain replace() IS greedy-left classic BPE
+    merged = states.selectExpr(
+        "replace(state, '[a][a]', '[aa]') AS state").collect()[0]["state"]
+    assert merged == "[aa][aa]"
+    # and a 6-run merges all three pairs in ONE pass (the space-delimited
+    # encoding this replaced got stuck at 'aa a aa a')
+    six = spark.createDataFrame([(1, "[a][a][a][a][a][a]")],
+                                "freq bigint, state string")
+    assert six.selectExpr("replace(state, '[a][a]', '[aa]') AS s") \
+        .collect()[0]["s"] == "[aa][aa][aa]"
+
+
+def test_bpe_merge_train_known_corpus(spark, tmp_path):
+    """End-to-end on a corpus whose first two merges are hand-derivable:
+    'ab' dominates, then 'abc' ('ab'+'c')."""
+    docs = spark.createDataFrame(
+        [(0, "abc abc abc abd", "en", "s", 15)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint")
+    sf = str(tmp_path)
+    docs.write.parquet(f"{sf}/documents.parquet")
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.plans.text_queries import bpe_merge_train
+
+    rows = [(r["round"], r["merged"], r["pair_count"]) for r in
+            bpe_merge_train(spark, sf, rounds=2).collect()]
+    # (a,b) appears in all 4 words -> merge 1 = 'ab' (4); then (ab,c) x3
+    assert rows == [(1, "ab", 4), (2, "abc", 3)]
