@@ -86,6 +86,9 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_cdc_apply": EV.streaming_cdc_apply,         # foreachBatch MERGE
     "gap_fill_interpolate": EV.gap_fill_interpolate,       # resample + interp
     "bpe_merge_train": TQ.bpe_merge_train,                 # tokenizer merges
+    "fuzzy_token_join": TQ.fuzzy_token_join,               # blocked edit-distance join
+    "cohort_retention": EV.cohort_retention,               # weekly cohort matrix
+    "anomaly_zscore": EV.anomaly_zscore,                   # exact-int z-score flags
     # --- new-this-round operators (brand-new code earns the driver gate
     # first; the displaced TPC-H rotation rows q2/q5/q8/q9/q13/q21 +
     # ngram_topk_corpus are double-judge-replica-verified and move to
@@ -110,12 +113,10 @@ QUERIES: dict[str, QueryFn] = {
     "arrow_quant_stats": SIM.arrow_quant_stats,
     # --- streaming rotation ---
     "streaming_snapshot_publish": EV.streaming_snapshot_publish,
-    "stream_static_enrich": EV.stream_static_enrich,
     # --- text rotation ---
     "repetition_scores": TQ.repetition_scores,
     # --- dedup rotation ---
     "ngram_jaccard_pairs": DD.ngram_jaccard_pairs,
-    "streaming_contamination": DD.streaming_contamination,
     # --- similarity rotation ---
     "embedding_pq_ann": SIM.pq_ann,
     "embedding_cosine_near_dup": SIM.cosine_near_dup,
@@ -124,9 +125,11 @@ QUERIES: dict[str, QueryFn] = {
     # --- multimodal / Python DataSource rotation ---
     "multimodal_wav_decode": MM.multimodal_wav_decode,  # NEW r4: real audio
     "multimodal_y4m_decode": MM.multimodal_y4m_decode,  # NEW r4: real video
-    "multimodal_resize": MM.multimodal_resize,
     "pyds_sensor_stream_totals": PDS.sensor_stream_totals,
     # ==================== tier 2: full breadth (entries 51+) ==============
+    "stream_static_enrich": EV.stream_static_enrich,
+    "multimodal_resize": MM.multimodal_resize,
+    "streaming_contamination": DD.streaming_contamination,
     "events_sliding_window": EV.events_sliding_window,
     "multimodal_frame_sample": MM.multimodal_frame_sample,
     # --- spatial (driver-green in r3) ---
@@ -239,6 +242,9 @@ ORACLES: dict[str, str] = {
     "streaming_cdc_apply": R.CDC_MERGE_ORACLE,  # drained state == batch MERGE
     "gap_fill_interpolate": EV.GAP_FILL_INTERPOLATE_ORACLE,
     "bpe_merge_train": TQ.BPE_MERGE_TRAIN_ORACLE,
+    "fuzzy_token_join": TQ.FUZZY_TOKEN_JOIN_ORACLE,
+    "cohort_retention": EV.COHORT_RETENTION_ORACLE,
+    "anomaly_zscore": EV.ANOMALY_ZSCORE_ORACLE,
     "lateral_topk_orders": R.LATERAL_TOPK_ORDERS_ORACLE,
     "unpivot_metrics": R.UNPIVOT_METRICS_ORACLE,
     "st_convex_hull": P.ST_CONVEX_HULL_ORACLE,

@@ -821,3 +821,64 @@ states{i} AS (
     return "WITH " + ",".join(sql) + "\n" + tops
 
 BPE_MERGE_TRAIN_ORACLE = _bpe_oracle()
+
+# ------------------------------------------------------ fuzzy token join
+
+def fuzzy_token_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy self-join: corpus vocabulary tokens within
+    edit distance 2, found WITHOUT an all-pairs comparison. Blocking is
+    SOUND for (ed <= 2, |len diff| <= 2) by the classical q-gram count
+    lemma — ed(x,y) <= k implies the pair shares at least
+    max(|x|,|y|) - 1 - 2k bigrams — so:
+
+      * every token emits its distinct character bigrams as block keys
+        (for max-len >= 6 the lemma guarantees >= 1 shared bigram);
+      * tokens of length <= 5 additionally emit a single short-token
+        block 'S' (pairs where both sides are short may share no bigram:
+        'abc' vs 'aXbYc' is ed 2 with disjoint bigrams).
+
+    Candidates meeting in several blocks are deduped AFTER the cheap
+    length filter and the levenshtein check (distinct on the pair).
+
+    Scale: bigram blocks are vocabulary-per-bigram sized; the 'S' block
+    is the short-token vocabulary — both bounded and independent of
+    corpus row count. The oracle states the same join declaratively
+    (DuckDB may nested-loop a 31-token vocab; we must not at a 10M-token
+    one)."""
+    d = _docs(spark, sf_dir)
+    toks = (
+        d.selectExpr("explode(split(text, ' ')) AS w")
+        .where("w != ''").distinct()
+    )
+    keyed = toks.selectExpr(
+        "w",
+        "array_distinct(concat("
+        "  CASE WHEN length(w) <= 5 THEN array('S') ELSE array() END,"
+        "  filter(transform(split(w, ''),"
+        "         (c, i) -> substring(w, i + 1, 2)),"
+        "         g -> length(g) = 2))) AS keys",
+    ).selectExpr("w", "explode(keys) AS blk")
+    a = keyed.selectExpr("w AS a", "blk")
+    b = keyed.selectExpr("w AS b", "blk")
+    return (
+        a.join(b, "blk")
+        .where("a < b AND abs(length(a) - length(b)) <= 2"
+               " AND levenshtein(a, b) <= 2")
+        .selectExpr("a", "b", "CAST(levenshtein(a, b) AS BIGINT) AS dist")
+        .distinct()
+    )
+
+FUZZY_TOKEN_JOIN_ORACLE = """
+WITH toks AS (
+    SELECT DISTINCT w
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    WHERE w != ''
+)
+SELECT t1.w AS a, t2.w AS b,
+       CAST(levenshtein(t1.w, t2.w) AS BIGINT) AS dist
+FROM toks t1
+JOIN toks t2
+  ON abs(length(t1.w) - length(t2.w)) <= 2
+ AND t1.w < t2.w
+WHERE levenshtein(t1.w, t2.w) <= 2
+"""

@@ -1214,3 +1214,116 @@ SELECT event_type, h,
             AS BIGINT) AS v_q
 FROM marked
 """
+
+# ------------------------------------------------- cohort / anomaly zoo
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen epoch-week,
+    crossed with every week they were active — the cohort matrix with
+    absolute counts and the retained fraction. Two shuffles total (distinct
+    user-week, then cohort aggregate); weeks are integer epoch buckets so
+    both engines bucket identically, timezone-free."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    uw = (
+        ev.selectExpr(
+            "user_id",
+            "CAST(floor(unix_timestamp(ts) / 604800) AS BIGINT) AS week",
+        ).distinct()
+    )
+    w = Window.partitionBy("user_id")
+    cohorted = uw.withColumn("cohort", F.min("week").over(w))
+    cells = cohorted.groupBy("cohort", "week").agg(
+        F.countDistinct("user_id").alias("n_active"))
+    sizes = cells.where("week = cohort").selectExpr(
+        "cohort", "n_active AS cohort_size")
+    return (
+        cells.join(sizes, "cohort")
+        .selectExpr(
+            "cohort", "week", "CAST(week - cohort AS BIGINT) AS week_offset",
+            "n_active", "cohort_size",
+            "CAST(n_active AS DOUBLE) / cohort_size AS retention",
+        )
+    )
+
+COHORT_RETENTION_ORACLE = """
+WITH uw AS (
+    SELECT DISTINCT user_id,
+           CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week
+    FROM events
+),
+cohorted AS (
+    SELECT user_id, week,
+           min(week) OVER (PARTITION BY user_id) AS cohort
+    FROM uw
+),
+cells AS (
+    SELECT cohort, week, count(DISTINCT user_id) AS n_active
+    FROM cohorted GROUP BY 1, 2
+),
+sizes AS (
+    SELECT cohort, n_active AS cohort_size FROM cells WHERE week = cohort
+)
+SELECT c.cohort, c.week, CAST(c.week - c.cohort AS BIGINT) AS week_offset,
+       c.n_active, s.cohort_size,
+       CAST(c.n_active AS DOUBLE) / s.cohort_size AS retention
+FROM cells c JOIN sizes s ON c.cohort = s.cohort
+"""
+
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score anomaly flags with EXACT cross-engine numerics:
+    values are quantized to integer cents first, so the sufficient
+    statistics (Σv, Σv²) are exact BIGINT sums — no floating-point
+    accumulation order to disagree on — and mean/stddev derive from those
+    integers in one deterministic double expression. Flags |z| > 3.
+
+    Scale: one map-side-combined aggregate for the stats (broadcast back),
+    one stateless pass for the flags — the standard two-pass shape that
+    replaces a per-row window at 100 TB."""
+    ev = _events(spark, sf_dir)
+    cents = ev.selectExpr(
+        "event_id", "event_type",
+        "CAST(round(value * 100) AS BIGINT) AS vc",
+    )
+    stats = cents.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("vc").cast("bigint").alias("s1"),
+        F.sum(F.expr("vc * vc")).cast("bigint").alias("s2"),
+    )
+    return (
+        cents.join(F.broadcast(stats), "event_type")
+        .selectExpr(
+            "event_id", "event_type",
+            "CAST(round((vc - CAST(s1 AS DOUBLE) / n)"
+            " / sqrt(CAST(s2 AS DOUBLE) / n"
+            " - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))"
+            " * 1000000) AS BIGINT) AS z_q",
+        )
+        .selectExpr("event_id", "event_type", "z_q",
+                    "CAST(abs(z_q) > 3000000 AS BOOLEAN) AS is_anomaly")
+    )
+
+ANOMALY_ZSCORE_ORACLE = """
+WITH cents AS (
+    SELECT event_id, event_type,
+           CAST(round(value * 100) AS BIGINT) AS vc
+    FROM events
+),
+stats AS (
+    SELECT event_type, count(*) AS n,
+           CAST(sum(vc) AS BIGINT) AS s1,
+           CAST(sum(vc * vc) AS BIGINT) AS s2
+    FROM cents GROUP BY 1
+)
+SELECT c.event_id, c.event_type,
+       CAST(round((c.vc - CAST(s.s1 AS DOUBLE) / s.n)
+            / sqrt(CAST(s.s2 AS DOUBLE) / s.n
+            - (CAST(s.s1 AS DOUBLE) / s.n) * (CAST(s.s1 AS DOUBLE) / s.n))
+            * 1000000) AS BIGINT) AS z_q,
+       abs(CAST(round((c.vc - CAST(s.s1 AS DOUBLE) / s.n)
+            / sqrt(CAST(s.s2 AS DOUBLE) / s.n
+            - (CAST(s.s1 AS DOUBLE) / s.n) * (CAST(s.s1 AS DOUBLE) / s.n))
+            * 1000000) AS BIGINT)) > 3000000 AS is_anomaly
+FROM cents c JOIN stats s ON c.event_type = s.event_type
+"""

@@ -407,3 +407,38 @@ def test_bpe_merge_train_known_corpus(spark, tmp_path):
             bpe_merge_train(spark, sf, rounds=2).collect()]
     # (a,b) appears in all 4 words -> merge 1 = 'ab' (4); then (ab,c) x3
     assert rows == [(1, "ab", 4), (2, "abc", 3)]
+
+
+def test_fuzzy_join_blocking_is_lossless_on_adversarial_vocab(spark, tmp_path):
+    """'abc' vs 'axbyc' is edit distance 2 with DISJOINT bigram sets — the
+    pair only survives via the short-token block. The blocked join must
+    equal the declarative all-pairs answer on a vocab built to break
+    bigram-only blocking."""
+    docs = spark.createDataFrame(
+        [(0, "abc axbyc zq zx longword longward wordlong", "en", "s", 1)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint")
+    sf = str(tmp_path)
+    docs.write.parquet(f"{sf}/documents.parquet")
+
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.plans.text_queries import fuzzy_token_join
+
+    got = sorted(map(tuple, fuzzy_token_join(spark, sf).collect()))
+    # declarative reference computed in python
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[-1]
+
+    vocab = "abc axbyc zq zx longword longward wordlong".split()
+    want = sorted((a, b, lev(a, b)) for a, b in
+                  itertools.combinations(sorted(vocab), 2)
+                  if abs(len(a) - len(b)) <= 2 and lev(a, b) <= 2)
+    assert got == want
+    assert ("abc", "axbyc", 2) in got   # the bigram-disjoint pair
+    assert ("zq", "zx", 1) in got
