@@ -314,9 +314,12 @@ def _area(s: str | None) -> float | None:
 def _transform(s: str | None, src: str, dst: str) -> str | None:
     if s is None:
         return None
-    if (src, dst) != ("EPSG:3857", "EPSG:5880"):
-        raise G.GeomError(f"ST_Transform: unsupported CRS pair {src}->{dst}")
-    return G.to_wkt(T.transform_geom(G.parse_wkt(s)))
+    if (src, dst) == ("EPSG:3857", "EPSG:5880"):
+        return G.to_wkt(T.transform_geom(G.parse_wkt(s)))
+    if (src, dst) == ("EPSG:5880", "EPSG:3857"):
+        # inverse pair (Newton fixpoint of the forward — kernel/transform.py)
+        return G.to_wkt(T.transform_geom_inverse(G.parse_wkt(s)))
+    raise G.GeomError(f"ST_Transform: unsupported CRS pair {src}->{dst}")
 
 def _envelope(s: str | None) -> str | None:
     if s is None:

@@ -703,3 +703,31 @@ def crop_analytics_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
         spark, tmp,
         "region_id bigint, season_id bigint, land_type_id bigint, area double",
     )
+
+def st_transform_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Transform bijectivity through the registered SQL surface: every
+    parcel rectangle goes EPSG:3857 → 5880 → back, and the round-tripped
+    polygon's area (quantized to 1e-3 m²) must equal w·h exactly — the
+    Newton inverse lands within ~5e-9 m per vertex (kernel round-trip
+    property test), six orders below the quantum. Vertex count is also
+    pinned (transform preserves ring structure)."""
+    from ..functions.spatial import register_spatial_functions
+
+    register_spatial_functions(spark)
+    lu = fixtures.land_use_areas(spark, sf_dir)
+    rt = ("ST_Transform(ST_Transform(ST_GeomFromWKT(land_geometry),"
+          " 'EPSG:3857', 'EPSG:5880'), 'EPSG:5880', 'EPSG:3857')")
+    return lu.select(
+        "property_id",
+        F.expr(f"CAST(round(ST_Area({rt}) * 1000) AS BIGINT)")
+        .alias("area_q"),
+        F.expr(f"ST_NPoints({rt})").alias("n_vertices"),
+    )
+
+ST_TRANSFORM_ROUNDTRIP_ORACLE = f"""
+WITH {fixtures.LAND_USE_CTE.strip()}
+SELECT property_id,
+       CAST((x2 - x1) * (y2 - y1) * 1000 AS BIGINT) AS area_q,
+       CAST(4 AS BIGINT) AS n_vertices
+FROM land_use
+"""

@@ -442,3 +442,38 @@ def test_fuzzy_join_blocking_is_lossless_on_adversarial_vocab(spark, tmp_path):
     assert got == want
     assert ("abc", "axbyc", 2) in got   # the bigram-disjoint pair
     assert ("zq", "zx", 1) in got
+
+# ---------------------------------------------------- inverse reprojection
+
+@given(st.floats(-2e6, 2e6), st.floats(-3e6, 3e6))
+@settings(max_examples=100, deadline=None)
+def test_prop_transform_round_trip_3857(x, y):
+    """3857 → 5880 → 3857 must land within 1e-6 m (observed ~5e-9) across
+    the whole Brazilian-extent window."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel import transform as T
+
+    fx, fy = T.mercator_to_polyconic(x, y)
+    bx, by = T.polyconic_to_mercator(fx, fy)
+    assert abs(bx - x) < 1e-6 and abs(by - y) < 1e-6
+
+
+def test_polyconic_inverse_known_point():
+    """Inverse of the forward at Brasília-like coordinates recovers the
+    exact lon/lat the forward consumed (Newton fixpoint to <1e-12 rad)."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel import transform as T
+
+    lon, lat = math.radians(-47.9), math.radians(-15.8)
+    e, n = T.polyconic_forward(lon, lat)
+    lo2, la2 = T.polyconic_inverse(e, n)
+    assert abs(lo2 - lon) < 1e-12 and abs(la2 - lat) < 1e-12
+
+
+def test_st_transform_rejects_unknown_pair():
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions.spatial import _transform
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel.geom import GeomError
+
+    import pytest
+
+    with pytest.raises(GeomError):
+        _transform("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+                   "EPSG:4326", "EPSG:3857")
