@@ -44,18 +44,18 @@ tests/test_plans.py::test_gate_window_covers_every_family pins tier 1's
 family coverage so a future insertion can't silently push a family out of
 the driver's window."""
 
-"""Round-4 rotation (VERDICT r3 item 7): tier 1 keeps nine anchors from the
+"""Round-4 rotation (VERDICT r3 item 7): tier 1 keeps the anchors from the
 round-3 window (flagship spatial rows, the formerly-red q12, one
-representative per family whose implementation changed this round), holds
-ALL 19 queries whose code is new this round (brand-new code earns the
-driver gate first), and fills the rest with rotation rows the driver has
-never gate-verified. The displaced rows (q2/q5/q8/q9/q13/q21, rollup/
-pivot/set_ops/part_window_stats, expectations/incremental_rollup,
-events_json_extract/interval_range_join, hash/stratified_sample,
-ngram_topk_corpus) are all double-judge-replica-verified and sit at the
-top of tier 2 for the r5 rotation. Every tier-2 query is still covered
-each round by the committed full run (ORACLES_FULL_r4.txt: 127/127 at
-the time of writing, re-run at round close)."""
+representative per family whose implementation changed this round) and
+applies one policy throughout the round's sessions: BRAND-NEW CODE EARNS
+THE DRIVER GATE FIRST. The first r4 session put its 19 new queries in the
+window; the second session rotated in its own new operators (round buffer /
+hull / simplify, Hilbert, shard manifest, OOV, recursive CTE, LATERAL,
+UNPIVOT, streaming CDC, gap fill, BPE, fuzzy join, cohort, z-score,
+transform round-trip), displacing rows that are already driver-green (r3)
+or double-judge-replica-verified into tier 2. Every tier-2 query is still
+covered each round by the committed full run of scripts/check_oracles.py
+(ORACLES_FULL_r4.txt, regenerated at round close over the full registry)."""
 
 QUERIES: dict[str, QueryFn] = {
     # ==================== tier 1: the driver's 50-entry window ============

@@ -763,12 +763,15 @@ def bpe_merge_train(spark: SparkSession, sf_dir: str,
     states = words
     out_rows = []
     for rnd in range(1, rounds + 1):
-        top = (
+        tops = (
             _bpe_pair_counts(states)
             .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not tops:
+            break  # corpus fully merged (every word a single symbol)
+        top = tops[0]
         l, r, cnt = top["l"], top["r"], top["cnt"]
         out_rows.append((rnd, l, r, l + r, cnt))
         states = states.selectExpr(
