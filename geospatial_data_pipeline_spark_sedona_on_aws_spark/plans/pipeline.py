@@ -180,17 +180,19 @@ def st_buffer_round(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_spatial_functions(spark)
     lu = fixtures.land_use_areas(spark, sf_dir)
+    # buffer once, measure twice: ExtractPythonUDFs CSEs the identical
+    # nested call (same exprId feeds both measures — plan-asserted in
+    # tests), and staging the buffered WKT in its own select makes the
+    # sharing explicit in the query text
     return lu.select(
         "property_id",
         F.expr("CAST((1 + property_id % 5) / 4.0 AS DOUBLE)").alias("d"),
-        F.expr(
-            "CAST(round(ST_Area(ST_BufferRound(ST_GeomFromWKT(land_geometry),"
-            " (1 + property_id % 5) / 4.0, 8)) * 100) AS BIGINT)"
-        ).alias("area_q"),
-        F.expr(
-            "ST_NPoints(ST_BufferRound(ST_GeomFromWKT(land_geometry),"
-            " (1 + property_id % 5) / 4.0, 8))"
-        ).alias("n_vertices"),
+        F.expr("ST_BufferRound(ST_GeomFromWKT(land_geometry),"
+               " (1 + property_id % 5) / 4.0, 8)").alias("__buf"),
+    ).select(
+        "property_id", "d",
+        F.expr("CAST(round(ST_Area(__buf) * 100) AS BIGINT)").alias("area_q"),
+        F.expr("ST_NPoints(__buf)").alias("n_vertices"),
     )
 
 ST_BUFFER_ROUND_ORACLE = f"""
@@ -253,10 +255,12 @@ def st_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .selectExpr(
             "property_id",
-            "CAST(ST_Area(ST_ConvexHull(ST_GeomFromWKT(cross_wkt))) AS DOUBLE)"
-            " AS hull_area",
-            "ST_NPoints(ST_ConvexHull(ST_GeomFromWKT(cross_wkt)))"
-            " AS hull_npoints",
+            "ST_ConvexHull(ST_GeomFromWKT(cross_wkt)) AS __hull",
+        )
+        .selectExpr(
+            "property_id",
+            "CAST(ST_Area(__hull) AS DOUBLE) AS hull_area",
+            "ST_NPoints(__hull) AS hull_npoints",
         )
     )
 
@@ -717,11 +721,14 @@ def st_transform_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     lu = fixtures.land_use_areas(spark, sf_dir)
     rt = ("ST_Transform(ST_Transform(ST_GeomFromWKT(land_geometry),"
           " 'EPSG:3857', 'EPSG:5880'), 'EPSG:5880', 'EPSG:3857')")
+    # the double transform feeds both measures through one shared UDF
+    # evaluation (ExtractPythonUDFs CSE; see st_buffer_round)
     return lu.select(
+        "property_id", F.expr(rt).alias("__rt"),
+    ).select(
         "property_id",
-        F.expr(f"CAST(round(ST_Area({rt}) * 1000) AS BIGINT)")
-        .alias("area_q"),
-        F.expr(f"ST_NPoints({rt})").alias("n_vertices"),
+        F.expr("CAST(round(ST_Area(__rt) * 1000) AS BIGINT)").alias("area_q"),
+        F.expr("ST_NPoints(__rt)").alias("n_vertices"),
     )
 
 ST_TRANSFORM_ROUNDTRIP_ORACLE = f"""

@@ -477,3 +477,19 @@ def test_st_transform_rejects_unknown_pair():
     with pytest.raises(GeomError):
         _transform("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
                    "EPSG:4326", "EPSG:3857")
+
+
+def test_buffer_round_udf_call_is_shared(spark):
+    """area_q and n_vertices must read ONE ST_BufferRound evaluation:
+    ExtractPythonUDFs common-subexpression-shares the identical nested
+    call (same result exprId in both chains). Guard against a refactor
+    that perturbs the expressions into two distinct kernel runs."""
+    import re
+
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.plans.pipeline import st_buffer_round
+
+    plan = st_buffer_round(spark, "/root/testdata/sf0.001") \
+        ._jdf.queryExecution().executedPlan().toString()
+    ids = re.findall(r"ST_BufferRound\(.*?\)#(\d+)", plan)
+    assert ids, plan
+    assert len(set(ids)) == 1, f"BufferRound evaluated under ids {set(ids)}"
