@@ -618,7 +618,12 @@ FROM placed
 # ----------------------------------------------------- training-data export
 
 N_SHARDS = 64
-_SHARD_HASH = "(doc_id * 2654435761) % 1000000007"  # Knuth multiplicative
+# Knuth multiplicative hash, overflow-safe for EVERY bigint doc_id: the
+# pre-reduction keeps the product <= (1e9)·(2.65e9) ≈ 2.7e18 < 2^63. A raw
+# doc_id * 2654435761 overflows at doc_id ≳ 3.5e9 — where Spark wraps but
+# DuckDB (and ANSI mode) throw, i.e. silent engine divergence at corpus
+# scale.
+_SHARD_HASH = "((doc_id % 1000000007) * 2654435761) % 1000000007"
 
 def doc_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-shard export accounting: assign every document to one of
