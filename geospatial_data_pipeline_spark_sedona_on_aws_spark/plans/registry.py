@@ -90,6 +90,7 @@ QUERIES: dict[str, QueryFn] = {
     "cohort_retention": EV.cohort_retention,               # weekly cohort matrix
     "anomaly_zscore": EV.anomaly_zscore,                   # exact-int z-score flags
     "st_transform_roundtrip": P.st_transform_roundtrip,    # bijective CRS pair
+    "streaming_hll_distinct": EV.streaming_hll_distinct,   # mergeable-sketch state
     # --- new-this-round operators (brand-new code earns the driver gate
     # first; the displaced TPC-H rotation rows q2/q5/q8/q9/q13/q21 +
     # ngram_topk_corpus are double-judge-replica-verified and move to
@@ -107,7 +108,6 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_apply": GR.dedup_apply,
     "corpus_report": GR.corpus_report,
     "llm_pipeline_report": RET.llm_pipeline_report,
-    "observed_load_metrics": Q.observed_load_metrics,
     "triangle_count": GR.triangle_count,
     "embedding_pq_rerank": SIM.pq_rerank,
     "arrow_quant_stats": SIM.arrow_quant_stats,
@@ -127,6 +127,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_y4m_decode": MM.multimodal_y4m_decode,  # NEW r4: real video
     "pyds_sensor_stream_totals": PDS.sensor_stream_totals,
     # ==================== tier 2: full breadth (entries 51+) ==============
+    "observed_load_metrics": Q.observed_load_metrics,
     "events_variant_extract": EV.events_variant_extract,
     "stream_static_enrich": EV.stream_static_enrich,
     "multimodal_resize": MM.multimodal_resize,
@@ -247,6 +248,7 @@ ORACLES: dict[str, str] = {
     "cohort_retention": EV.COHORT_RETENTION_ORACLE,
     "anomaly_zscore": EV.ANOMALY_ZSCORE_ORACLE,
     "st_transform_roundtrip": P.ST_TRANSFORM_ROUNDTRIP_ORACLE,
+    "streaming_hll_distinct": EV.STREAMING_HLL_DISTINCT_ORACLE,
     "lateral_topk_orders": R.LATERAL_TOPK_ORDERS_ORACLE,
     "unpivot_metrics": R.UNPIVOT_METRICS_ORACLE,
     "st_convex_hull": P.ST_CONVEX_HULL_ORACLE,

@@ -1327,3 +1327,115 @@ SELECT c.event_id, c.event_type,
             * 1000000) AS BIGINT)) > 3000000 AS is_anomaly
 FROM cents c JOIN stats s ON c.event_type = s.event_type
 """
+
+# ----------------------------------------------------- streaming sketches
+
+def streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog over a STREAM: per-micro-batch register maxima merged
+    into a persistent register table (max per (event_type, bucket) —
+    merge-order-invariant, so the drained estimate is BIT-IDENTICAL to
+    the one-shot batch sketch, which is what the oracle recomputes).
+    This is the mergeable-sketch streaming pattern: state is 256 registers
+    per key regardless of stream volume, and a restart resumes from the
+    register table, not from re-reading history.
+
+    Mechanics mirror streaming_cdc_apply: the events table is re-written
+    as a >=3-file change log, drained with maxFilesPerTrigger=1, each
+    batch folding its registers into a versioned state dir."""
+    import atexit
+    import os
+    import shutil
+
+    from ..functions.text import portable_hash60
+    from ..plans.sketches import HLL_M, _TWO53
+
+    ev = _events(spark, sf_dir)
+    h = portable_hash60(F.col("user_id").cast("string"))
+    rem = F.shiftright(h, 8)
+    rho = F.when(rem > 0, F.lit(53) - F.length(F.bin(rem))).otherwise(F.lit(53))
+    tagged = ev.select(
+        F.col("event_type"),
+        F.pmod(h, F.lit(HLL_M)).alias("b"),
+        rho.alias("rho"),
+        F.pmod(F.col("event_id"), F.lit(3)).cast("int").alias("batch"),
+    )
+
+    root = tempfile.mkdtemp(prefix="hll_stream_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    log_dir = f"{root}/changelog"
+    tagged.write.partitionBy("batch").parquet(log_dir)
+
+    state = {"dir": None}
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        regs = batch_df.groupBy("event_type", "b").agg(
+            F.max("rho").alias("m"))
+        if state["dir"] is not None:
+            regs = regs.unionByName(sp.read.parquet(state["dir"])) \
+                .groupBy("event_type", "b").agg(F.max("m").alias("m"))
+        new_dir = f"{root}/state_{batch_id}"
+        regs.write.parquet(new_dir)
+        state["dir"] = new_dir
+
+    stream = (
+        spark.readStream.schema("event_type string, b bigint, rho int, batch int")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(log_dir)
+    )
+    q = (stream.writeStream.foreachBatch(fold)
+         .option("checkpointLocation", f"{root}/ckpt")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    n_files = sum(1 for _, _, fs in os.walk(log_dir)
+                  for f in fs if f.endswith(".parquet"))
+    assert n_files >= 3, "change log must span multiple micro-batches"
+
+    regs = spark.read.parquet(state["dir"])
+    sums = regs.groupBy("event_type").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - m)")).alias("s_present"),
+        F.count("*").alias("nb"),
+    )
+    s_total = (
+        F.col("s_present")
+        + (F.lit(HLL_M) - F.col("nb")) * F.lit(_TWO53).cast("long")
+    ).cast("double")
+    est = (
+        F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0))
+        * F.lit(65536.0) * F.lit(float(_TWO53)) / s_total
+    )
+    return sums.select(
+        "event_type",
+        F.col("nb").cast("bigint").alias("buckets_used"),
+        est.alias("hll_estimate"),
+    )
+
+STREAMING_HLL_DISTINCT_ORACLE = """
+WITH h AS (
+    SELECT event_type,
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+    FROM events
+),
+r AS (
+    SELECT event_type, hv % 256 AS b,
+           CASE WHEN hv // 256 > 0 THEN 53 - length(bin(hv // 256))
+                ELSE 53 END AS rho
+    FROM h
+),
+regs AS (
+    SELECT event_type, b, max(rho) AS m FROM r GROUP BY 1, 2
+),
+sums AS (
+    SELECT event_type,
+           CAST(sum(1::BIGINT << (53 - m)) AS BIGINT) AS s_present,
+           count(*) AS nb
+    FROM regs GROUP BY 1
+)
+SELECT event_type,
+       CAST(nb AS BIGINT) AS buckets_used,
+       0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9007199254740992.0
+           / CAST(s_present + (256 - nb) * 9007199254740992 AS DOUBLE)
+           AS hll_estimate
+FROM sums
+"""
