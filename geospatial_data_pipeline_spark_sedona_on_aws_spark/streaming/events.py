@@ -1128,8 +1128,10 @@ def gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows — no self-join, no per-row lookup).
 
     Scale: the spine explode is bounded by the series' hour span per key
-    (not by row count); both windows share ONE partitioning by event_type,
-    so the whole fill is a single shuffle. The interpolation arithmetic is
+    (not by row count). Plan (measured): the hourly aggregate is one hash
+    shuffle, the spine side arrives broadcast, and all four IGNORE-NULLS
+    windows share ONE further event_type partitioning — two data shuffles
+    total, window count notwithstanding. The interpolation arithmetic is
     written in the same operand order as the oracle, so values match
     bit-for-bit and the 1e-6 quantization is pure belt-and-braces."""
     from pyspark.sql import Window
