@@ -1100,21 +1100,22 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "custkey", ["balance"]).write.parquet(new_dir)
         state["dir"] = new_dir
 
-    stream = (
-        spark.readStream.schema(
-            "custkey bigint, balance double, op string, batch int")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(log_dir)
-    )
-    ckpt = f"{root}/ckpt"
-    q = (stream.writeStream.foreachBatch(apply_batch)
-         .option("checkpointLocation", ckpt)
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
     n_files = sum(1 for _, _, fs in os.walk(log_dir)
                   for f in fs if f.endswith(".parquet"))
-    assert n_files >= 3, "change log must span multiple micro-batches"
+    if n_files > 0:  # empty change set: the snapshot IS the final state
+        stream = (
+            spark.readStream.schema(
+                "custkey bigint, balance double, op string, batch int")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(log_dir)
+        )
+        ckpt = f"{root}/ckpt"
+        q = (stream.writeStream.foreachBatch(apply_batch)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+        assert n_files >= 3, "change log must span multiple micro-batches"
     return spark.read.parquet(state["dir"]).select(
         "custkey", F.col("balance").cast("double").alias("balance"))
 
@@ -1380,6 +1381,11 @@ def streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         regs.write.parquet(new_dir)
         state["dir"] = new_dir
 
+    n_files = sum(1 for _, _, fs in os.walk(log_dir)
+                  for f in fs if f.endswith(".parquet"))
+    if n_files == 0:  # empty stream: no keys, empty sketch
+        return spark.createDataFrame(
+            [], "event_type string, buckets_used bigint, hll_estimate double")
     stream = (
         spark.readStream.schema("event_type string, b bigint, rho int, batch int")
         .option("maxFilesPerTrigger", "1")
@@ -1390,8 +1396,6 @@ def streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
-    n_files = sum(1 for _, _, fs in os.walk(log_dir)
-                  for f in fs if f.endswith(".parquet"))
     assert n_files >= 3, "change log must span multiple micro-batches"
 
     regs = spark.read.parquet(state["dir"])
