@@ -90,6 +90,7 @@ def publish_snapshot(
     table: str,
     date: str,
     grain: list[str] | None = None,
+    keep: int = 1,
 ) -> str:
     """Write snapshot table → assert grain → atomically swap the view →
     retention. Returns the snapshot table name."""
@@ -105,7 +106,10 @@ def publish_snapshot(
     spark.catalog.refreshTable(name)
     spark.sql(f"CREATE OR REPLACE VIEW vw_{table} AS SELECT * FROM {name}")
     spark.catalog.refreshTable(f"vw_{table}")
-    drop_old_snapshots(spark, table)
+    # keep > 1 holds prior snapshots through the handover window (the
+    # reference's own ordering is swap THEN delete-old, so both versions
+    # coexist briefly — snapshot_diff reads that window deliberately)
+    drop_old_snapshots(spark, table, keep=keep)
     return name
 
 def list_snapshots(spark: SparkSession, table: str) -> list[str]:

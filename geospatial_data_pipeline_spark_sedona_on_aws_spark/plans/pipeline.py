@@ -738,3 +738,103 @@ SELECT property_id,
        CAST(4 AS BIGINT) AS n_vertices
 FROM land_use
 """
+
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data report between two published blue-green snapshots: v1 is
+    the flagship result, v2 the next refresh with a deterministic change
+    pattern (season-2 areas re-measured +1, land-type-1 rows of odd regions
+    dropped). Both versions go through the REAL catalog path —
+    publish_snapshot (versioned table + grain check + atomic view swap +
+    retention) — and the diff reads them back from the catalog, so the
+    oracle value-checks the store/read/swap machinery itself, not just the
+    query plan in memory. One full-outer join on the grain classifies every
+    row added / removed / changed / unchanged.
+
+    Scale: snapshots are already grain-unique (the publish asserts it), so
+    the diff is a single co-partitioned join; at 100 TB both sides are
+    bucketed on the grain and the join is shuffle-free (write_bucketed)."""
+    from .catalog import publish_snapshot
+
+    base = crop_analytics(spark, sf_dir)
+    v2 = base.selectExpr(
+        "region_id", "season_id", "land_type_id",
+        "CASE WHEN season_id = 2 THEN area + 1 ELSE area END AS area",
+    ).where("NOT (land_type_id = 1 AND region_id % 2 = 1)")
+    grain = ["region_id", "season_id", "land_type_id"]
+    # keep=2 on BOTH publishes: the diff reads the handover window where
+    # both versions coexist (the reference's own ordering — swap, then
+    # delete-old), and a re-run in the same session overwrites in place
+    # instead of retention-dropping the snapshot it just wrote
+    publish_snapshot(spark, base, "crop_diff_demo", "2024_01_01",
+                     grain=grain, keep=2)
+    publish_snapshot(spark, v2, "crop_diff_demo", "2024_01_02",
+                     grain=grain, keep=2)
+    a = spark.table("crop_diff_demo_2024_01_01").alias("a")
+    b = spark.table("crop_diff_demo_2024_01_02").alias("b")
+    cond = [a[k] == b[k] for k in grain]
+    joined = a.join(b, cond, "full_outer")
+    status = (
+        F.when(a["region_id"].isNull(), F.lit("added"))
+        .when(b["region_id"].isNull(), F.lit("removed"))
+        .when(a["area"] != b["area"], F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(
+        *[F.coalesce(a[k], b[k]).alias(k) for k in grain],
+        status.alias("status"),
+        a["area"].alias("area_v1"),
+        b["area"].alias("area_v2"),
+    )
+
+_SNAPSHOT_DIFF_BASE = f"""
+WITH {fixtures.LAND_USE_CTE.strip()},
+{fixtures.REGIONS_CTE.strip()},
+clipped AS (
+    SELECT lu.region_id, lu.season_id, lu.land_type_id,
+           greatest(lu.x1, r.gx1) AS cx1, least(lu.x2, r.gx2) AS cx2,
+           greatest(lu.y1, r.gy1) AS cy1, least(lu.y2, r.gy2) AS cy2
+    FROM land_use lu
+    JOIN regions r ON lu.region_id = r.id
+    WHERE least(lu.x2, r.gx2) > greatest(lu.x1, r.gx1)
+      AND least(lu.y2, r.gy2) > greatest(lu.y1, r.gy1)
+),
+xcells AS (
+    SELECT region_id, season_id, land_type_id, cy1, cy2,
+           unnest(range(cx1, cx2)) AS cx
+    FROM clipped
+),
+ycells AS (
+    SELECT region_id, season_id, land_type_id, cx,
+           unnest(range(cy1, cy2)) AS cy
+    FROM xcells
+),
+cells AS (SELECT DISTINCT * FROM ycells),
+v1 AS (
+    SELECT region_id, season_id, land_type_id,
+           CAST(count(*) AS DOUBLE) AS area
+    FROM cells
+    GROUP BY region_id, season_id, land_type_id
+),
+v2 AS (
+    SELECT region_id, season_id, land_type_id,
+           CASE WHEN season_id = 2 THEN area + 1 ELSE area END AS area
+    FROM v1
+    WHERE NOT (land_type_id = 1 AND region_id % 2 = 1)
+)
+"""
+
+SNAPSHOT_DIFF_ORACLE = _SNAPSHOT_DIFF_BASE + """
+SELECT coalesce(a.region_id, b.region_id) AS region_id,
+       coalesce(a.season_id, b.season_id) AS season_id,
+       coalesce(a.land_type_id, b.land_type_id) AS land_type_id,
+       CASE WHEN a.region_id IS NULL THEN 'added'
+            WHEN b.region_id IS NULL THEN 'removed'
+            WHEN a.area != b.area THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       a.area AS area_v1,
+       b.area AS area_v2
+FROM v1 a
+FULL OUTER JOIN v2 b
+  ON a.region_id = b.region_id AND a.season_id = b.season_id
+ AND a.land_type_id = b.land_type_id
+"""

@@ -91,6 +91,7 @@ QUERIES: dict[str, QueryFn] = {
     "anomaly_zscore": EV.anomaly_zscore,                   # exact-int z-score flags
     "st_transform_roundtrip": P.st_transform_roundtrip,    # bijective CRS pair
     "streaming_hll_distinct": EV.streaming_hll_distinct,   # mergeable-sketch state
+    "snapshot_diff": P.snapshot_diff,                      # blue-green CDC report
     # --- new-this-round operators (brand-new code earns the driver gate
     # first; the displaced TPC-H rotation rows q2/q5/q8/q9/q13/q21 +
     # ngram_topk_corpus are double-judge-replica-verified and move to
@@ -112,7 +113,6 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_pq_rerank": SIM.pq_rerank,
     "arrow_quant_stats": SIM.arrow_quant_stats,
     # --- streaming rotation ---
-    "streaming_snapshot_publish": EV.streaming_snapshot_publish,
     # --- text rotation ---
     "repetition_scores": TQ.repetition_scores,
     # --- dedup rotation ---
@@ -127,6 +127,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_y4m_decode": MM.multimodal_y4m_decode,  # NEW r4: real video
     "pyds_sensor_stream_totals": PDS.sensor_stream_totals,
     # ==================== tier 2: full breadth (entries 51+) ==============
+    "streaming_snapshot_publish": EV.streaming_snapshot_publish,
     "observed_load_metrics": Q.observed_load_metrics,
     "events_variant_extract": EV.events_variant_extract,
     "stream_static_enrich": EV.stream_static_enrich,
@@ -249,6 +250,7 @@ ORACLES: dict[str, str] = {
     "anomaly_zscore": EV.ANOMALY_ZSCORE_ORACLE,
     "st_transform_roundtrip": P.ST_TRANSFORM_ROUNDTRIP_ORACLE,
     "streaming_hll_distinct": EV.STREAMING_HLL_DISTINCT_ORACLE,
+    "snapshot_diff": P.SNAPSHOT_DIFF_ORACLE,
     "lateral_topk_orders": R.LATERAL_TOPK_ORDERS_ORACLE,
     "unpivot_metrics": R.UNPIVOT_METRICS_ORACLE,
     "st_convex_hull": P.ST_CONVEX_HULL_ORACLE,
