@@ -493,3 +493,28 @@ def test_buffer_round_udf_call_is_shared(spark):
     ids = re.findall(r"ST_BufferRound\(.*?\)#(\d+)", plan)
     assert ids, plan
     assert len(set(ids)) == 1, f"BufferRound evaluated under ids {set(ids)}"
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_fact(spark, tmp_path):
+    """write_partitioned-style layouts must benefit from Catalyst's
+    DYNAMIC partition pruning: a hive-partitioned fact joined to a dim
+    carrying a selective filter gets a runtime dynamicpruning subquery in
+    its PartitionFilters — at 100 TB this is the difference between
+    scanning one partition and scanning all of them when the pruning
+    value is only known at run time. (DPP needs a genuine filter on the
+    dim side; an unfiltered literal dim doesn't qualify — that shape is
+    static pruning's job.)"""
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    fact_dir = str(tmp_path / "fact")
+    o.write.partitionBy("o_orderpriority").parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    dim = (o.select(F.col("o_orderpriority").alias("pri")).distinct()
+           .where("pri LIKE '1%'"))
+    j = fact.join(dim, fact.o_orderpriority == dim.pri).groupBy("pri").count()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, plan
+    # and the result is right: only 1-URGENT rows survive
+    rows = {r["pri"] for r in j.collect()}
+    assert rows == {"1-URGENT"}
