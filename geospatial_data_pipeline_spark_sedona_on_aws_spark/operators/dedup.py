@@ -685,3 +685,91 @@ SELECT d.doc_id,
            // len(string_split(d.text, ' ')) AS dup_permille
 FROM documents d LEFT JOIN agg a USING (doc_id)
 """
+
+# ----------------------------------------------- segment dedup + rewrite
+
+SEG_TOKENS = 10  # pseudo-line granularity (C4 dedupes three-sentence spans)
+
+def segment_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style segment-level dedup WITH corpus rewrite: split
+    every document into fixed SEG_TOKENS-token segments, keep only the
+    corpus-wide FIRST occurrence of each distinct segment (min (doc_id,
+    position) — fully deterministic), and reassemble each document from
+    its surviving segments in order. Output per doc: the rewritten text,
+    and kept/dropped segment counts.
+
+    Scale: one shuffle groups segments by their text to pick the winner
+    (map-side combinable min), one more reassembles per doc; nothing is
+    ever all-pairs and no document's full text rides the shuffle — only
+    segments and their (doc_id, pos) keys.
+
+    The reference corpus is whitespace text, so segments are token
+    windows; on real web text the same plan runs on sentence or line
+    splits (the splitter is the only change)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    segs = (
+        docs.selectExpr(
+            "doc_id",
+            "posexplode(transform("
+            f"  sequence(0, CAST(ceil(size(split(text, ' ')) / {SEG_TOKENS}) AS INT) - 1),"
+            f"  i -> array_join(slice(split(text, ' '), i * {SEG_TOKENS} + 1, {SEG_TOKENS}), ' ')"
+            ")) AS (pos, seg)",
+        )
+        .where("seg != ''")
+    )
+    # corpus-wide first occurrence: min struct orders by doc_id then pos
+    winners = segs.groupBy("seg").agg(
+        F.min(F.struct("doc_id", "pos")).alias("w"))
+    kept = (
+        segs.join(winners, "seg")
+        .withColumn("keep",
+                    (F.col("doc_id") == F.col("w.doc_id"))
+                    & (F.col("pos") == F.col("w.pos")))
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.when(F.col("keep"),
+                               F.struct("pos", "seg")))),
+                    lambda s: s["seg"]),
+                " ").alias("clean_text"),
+            F.sum(F.col("keep").cast("bigint")).alias("kept_segments"),
+            F.sum((~F.col("keep")).cast("bigint")).alias("dropped_segments"),
+        )
+    )
+
+SEGMENT_DEDUP_REWRITE_ORACLE = f"""
+WITH segs AS (
+    SELECT doc_id, i AS pos,
+           array_to_string(string_split(text, ' ')[i * {SEG_TOKENS} + 1
+               : i * {SEG_TOKENS} + {SEG_TOKENS}], ' ') AS seg
+    FROM documents,
+         (SELECT unnest(range(0, 200)) AS i)
+    WHERE i < ceil(len(string_split(text, ' ')) / {SEG_TOKENS})
+      AND array_to_string(string_split(text, ' ')[i * {SEG_TOKENS} + 1
+              : i * {SEG_TOKENS} + {SEG_TOKENS}], ' ') != ''
+),
+winners AS (
+    SELECT seg, min(struct_pack(doc_id := doc_id, pos := pos)) AS w
+    FROM segs GROUP BY seg
+),
+kept AS (
+    SELECT s.doc_id, s.pos, s.seg,
+           (s.doc_id = w.w.doc_id AND s.pos = w.w.pos) AS keep
+    FROM segs s JOIN winners w ON s.seg = w.seg
+)
+SELECT doc_id,
+       coalesce(array_to_string(
+           list_transform(
+               list_sort(list(struct_pack(pos := pos, seg := seg))
+                         FILTER (WHERE keep)),
+               x -> x.seg),
+           ' '), '') AS clean_text,
+       CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS kept_segments,
+       CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS dropped_segments
+FROM kept
+GROUP BY doc_id
+"""

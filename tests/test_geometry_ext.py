@@ -518,3 +518,25 @@ def test_dynamic_partition_pruning_fires_on_partitioned_fact(spark, tmp_path):
     # and the result is right: only 1-URGENT rows survive
     rows = {r["pri"] for r in j.collect()}
     assert rows == {"1-URGENT"}
+
+
+def test_segment_dedup_rewrite_known_corpus(spark, tmp_path):
+    """Hand-built corpus: doc 1 repeats doc 0's first 10-token segment;
+    the rewrite must keep doc 0 intact and strip exactly that segment
+    from doc 1, preserving doc 1's remaining order."""
+    seg_a = " ".join(f"a{i}" for i in range(10))
+    seg_b = " ".join(f"b{i}" for i in range(10))
+    seg_c = " ".join(f"c{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(0, f"{seg_a} {seg_b}", "en", "s", 1),
+         (1, f"{seg_a} {seg_c}", "en", "s", 1)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint")
+    sf = str(tmp_path)
+    docs.write.parquet(f"{sf}/documents.parquet")
+
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.operators.dedup import segment_dedup_rewrite
+
+    got = {r["doc_id"]: (r["clean_text"], r["kept_segments"], r["dropped_segments"])
+           for r in segment_dedup_rewrite(spark, sf).collect()}
+    assert got[0] == (f"{seg_a} {seg_b}", 2, 0)
+    assert got[1] == (seg_c, 1, 1)
