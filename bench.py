@@ -58,6 +58,7 @@ HEADLINE = [
     "st_buffer_round",         # round-join buffer kernel over 600k parcels
     "hilbert_curve",           # 7-level unrolled curve, pure codegen
     "doc_shard_manifest",      # training-shard export accounting
+    "segment_dedup_rewrite",   # C4-style segment dedup + corpus rewrite
 ]
 
 # scale-curve sweep (--sweep): the most expensive headline queries measured

@@ -717,14 +717,17 @@ def segment_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where("seg != ''")
     )
-    # corpus-wide first occurrence: min struct orders by doc_id then pos
-    winners = segs.groupBy("seg").agg(
-        F.min(F.struct("doc_id", "pos")).alias("w"))
-    kept = (
-        segs.join(winners, "seg")
-        .withColumn("keep",
-                    (F.col("doc_id") == F.col("w.doc_id"))
-                    & (F.col("pos") == F.col("w.pos")))
+    # corpus-wide first occurrence: min struct orders by doc_id then pos.
+    # A WINDOW over seg (not a groupBy + self-join) keeps this at ONE scan
+    # of the corpus and one seg-keyed shuffle — the self-join form read the
+    # documents table twice (caught by the ReadSchema plan audit).
+    from pyspark.sql import Window
+
+    w = F.min(F.struct("doc_id", "pos")).over(Window.partitionBy("seg"))
+    kept = segs.withColumn("w", w).withColumn(
+        "keep",
+        (F.col("doc_id") == F.col("w.doc_id"))
+        & (F.col("pos") == F.col("w.pos")),
     )
     return (
         kept.groupBy("doc_id")

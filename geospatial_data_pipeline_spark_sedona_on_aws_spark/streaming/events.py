@@ -1239,10 +1239,13 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     cohorted = uw.withColumn("cohort", F.min("week").over(w))
     cells = cohorted.groupBy("cohort", "week").agg(
         F.countDistinct("user_id").alias("n_active"))
-    sizes = cells.where("week = cohort").selectExpr(
-        "cohort", "n_active AS cohort_size")
+    # cohort size = the week-0 cell, read via a cohort window instead of a
+    # self-join (the join form scanned events twice — plan-audited)
+    size_w = F.max(
+        F.when(F.col("week") == F.col("cohort"), F.col("n_active"))
+    ).over(Window.partitionBy("cohort"))
     return (
-        cells.join(sizes, "cohort")
+        cells.withColumn("cohort_size", size_w)
         .selectExpr(
             "cohort", "week", "CAST(week - cohort AS BIGINT) AS week_offset",
             "n_active", "cohort_size",
