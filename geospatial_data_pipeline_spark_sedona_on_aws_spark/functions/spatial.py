@@ -473,6 +473,10 @@ def st_simplifyline(xs: pd.Series, ys: pd.Series, tol: pd.Series) -> pd.DataFram
     import math
     n_kept, length = [], []
     for x, y, t in zip(xs, ys, tol):
+        if x is None or y is None or t is None:
+            n_kept.append(None)
+            length.append(None)
+            continue
         idx = G.simplify_polyline(list(x), list(y), float(t))
         n_kept.append(len(idx))
         acc = 0.0

@@ -540,3 +540,20 @@ def test_segment_dedup_rewrite_known_corpus(spark, tmp_path):
            for r in segment_dedup_rewrite(spark, sf).collect()}
     assert got[0] == (f"{seg_a} {seg_b}", 2, 0)
     assert got[1] == (seg_c, 1, 1)
+
+
+def test_simplifyline_null_and_degenerate_inputs(spark):
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions.spatial import (
+        register_spatial_functions,
+    )
+
+    register_spatial_functions(spark)
+    rows = spark.createDataFrame(
+        [([0.0, 1.0], [0.0, 0.0], 1.0),   # 2-point line: kept verbatim
+         (None, None, None),              # NULL propagates, no worker crash
+         ([5.0], [5.0], 0.0)],            # single point: length 0
+        "xs array<double>, ys array<double>, tol double",
+    ).selectExpr("ST_SimplifyLine(xs, ys, tol) AS s").collect()
+    got = [None if r["s"] is None else (r["s"]["n_kept"], r["s"]["length"])
+           for r in rows]
+    assert got == [(2, 1.0), None, (1, 0.0)]
