@@ -69,6 +69,7 @@ SWEEP_QUERIES = [
     "ngram_jaccard_pairs",
     "minhash_lsh_candidates",
     "spatial_knn_join",
+    "segment_dedup_rewrite",   # r4 s2: seg-keyed window + per-doc regroup
 ]
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/root/repo/.bench_sf1")
 SWEEP_SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
