@@ -12,8 +12,10 @@ Two variants:
                           correctness query (cell-counting closed form).
   crop_analytics_full()   adds the reference's ε-buffer weld and the
                           EPSG:3857→5880 reprojection — full parity chain,
-                          rows-only checked (no SQL closed form for the
-                          polyconic projection; FIXTURES.md §3).
+                          value-checked since r4 against a quantized
+                          full-chain SQL oracle (band decomposition +
+                          polyconic forward replicated in DuckDB, both
+                          engines rounded to 0.01 m²).
 """
 
 from __future__ import annotations
