@@ -492,3 +492,139 @@ ranked AS (
 SELECT point_id, rank, region_id, dist2
 FROM ranked WHERE rank <= {KNN_K}
 """
+
+# --------------------------------------------------- trajectory similarity
+
+TRAJ_LEN = 12     # points per trajectory (first K events per user)
+TRAJ_TAU_SQ = 64  # similarity threshold: symmetric Hausdorff² ≤ 64 (τ = 8)
+TRAJ_CELL = 16    # blocking-grid cell size (≥ τ so ±1-cell is never needed)
+
+def trajectory_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory similarity search (REPOSE, ICDE 2021 shape): users walk a
+    deterministic integer path (cumulative steps derived from their event
+    ids, first TRAJ_LEN events by time); report all user pairs whose
+    SYMMETRIC HAUSDORFF distance² is ≤ TRAJ_TAU_SQ.
+
+    Exactness: positions, distances, and the Hausdorff max-min are all
+    integer arithmetic — no floating point anywhere, so the oracle matches
+    bit-for-bit. The max-min itself runs JVM-side as nested higher-order
+    array functions (transform/array_min/array_max), no UDF.
+
+    Scale — the blocking is SOUND for the threshold: if h_sym(A,B)² ≤ τ²
+    then every point of A lies within τ of some point of B, so A's bbox
+    intersects B's bbox expanded by τ; expanding each trajectory's bbox by
+    τ and exploding it to TRAJ_CELL grid cells therefore co-locates every
+    qualifying pair in ≥ 1 shared cell. Candidates never go all-pairs —
+    the expensive O(len²) Hausdorff only runs inside cells, exactly the
+    grid-prefilter contract of geo_range_join."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pts = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TRAJ_LEN)
+        .selectExpr(
+            "user_id", "rn",
+            "CAST(event_id % 5 - 2 AS BIGINT) AS dx",
+            "CAST(CAST(floor(event_id / 5) AS BIGINT) % 5 - 2 AS BIGINT) AS dy",
+        )
+        .select(
+            "user_id", "rn",
+            # walks start from one of 25 shared home sites 50 steps
+            # apart: same-home users can match, cross-home pairs are
+            # geometrically impossible (walk reach 24 + 24 < 50 - tau), so
+            # the blocking prefilter prunes ~96% of pairs NON-vacuously
+            (F.expr("CAST(user_id % 5 AS BIGINT) * 50")
+             + F.sum("dx").over(
+                 Window.partitionBy("user_id").orderBy("rn")
+                 .rowsBetween(Window.unboundedPreceding, 0))
+             ).alias("x"),
+            (F.expr("CAST(user_id % 25 AS BIGINT) DIV 5 * 50")
+             + F.sum("dy").over(
+                 Window.partitionBy("user_id").orderBy("rn")
+                 .rowsBetween(Window.unboundedPreceding, 0))
+             ).alias("y"),
+        )
+    )
+    trajs = (
+        pts.groupBy("user_id")
+        .agg(F.array_sort(F.collect_list(F.struct("rn", "x", "y")))
+             .alias("t"))
+        .selectExpr(
+            "user_id", "t",
+            "array_min(transform(t, p -> p.x)) AS xmin",
+            "array_max(transform(t, p -> p.x)) AS xmax",
+            "array_min(transform(t, p -> p.y)) AS ymin",
+            "array_max(transform(t, p -> p.y)) AS ymax",
+        )
+    )
+    tau = int(TRAJ_TAU_SQ ** 0.5)
+    cells = trajs.selectExpr(
+        "user_id", "t",
+        f"explode(flatten(transform("
+        f"  sequence(CAST(floor((xmin - {tau}) / {TRAJ_CELL}) AS INT),"
+        f"           CAST(floor((xmax + {tau}) / {TRAJ_CELL}) AS INT)),"
+        f"  cx -> transform("
+        f"    sequence(CAST(floor((ymin - {tau}) / {TRAJ_CELL}) AS INT),"
+        f"             CAST(floor((ymax + {tau}) / {TRAJ_CELL}) AS INT)),"
+        f"    cy -> struct(cx, cy))))) AS cell",
+    )
+    a = cells.selectExpr("user_id AS ua", "t AS ta", "cell")
+    b = cells.selectExpr("user_id AS ub", "t AS tb", "cell")
+    cand = (
+        a.join(b, "cell")
+        .where("ua < ub")
+        .select("ua", "ub", "ta", "tb")
+        .distinct()
+    )
+    dab = ("array_max(transform(ta, p -> array_min(transform(tb, q ->"
+           " (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)))))")
+    dba = ("array_max(transform(tb, p -> array_min(transform(ta, q ->"
+           " (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)))))")
+    return (
+        cand.selectExpr(
+            "ua", "ub",
+            f"greatest({dab}, {dba}) AS hausdorff_sq",
+        )
+        .where(f"hausdorff_sq <= {TRAJ_TAU_SQ}")
+        .selectExpr("ua", "ub", "CAST(hausdorff_sq AS BIGINT) AS hausdorff_sq")
+    )
+
+TRAJECTORY_SIMILARITY_ORACLE = f"""
+WITH ranked AS (
+    SELECT user_id, event_id,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM events
+),
+pts AS (
+    SELECT user_id, rn,
+           CAST(user_id % 5 AS BIGINT) * 50
+               + sum(event_id % 5 - 2) OVER (
+                   PARTITION BY user_id ORDER BY rn) AS x,
+           CAST(user_id % 25 AS BIGINT) // 5 * 50
+               + sum(CAST(floor(event_id / 5) AS BIGINT) % 5 - 2) OVER (
+                   PARTITION BY user_id ORDER BY rn) AS y
+    FROM ranked WHERE rn <= {TRAJ_LEN}
+),
+trajs AS (
+    SELECT user_id,
+           list(struct_pack(x := x, y := y) ORDER BY rn) AS t
+    FROM pts GROUP BY user_id
+)
+SELECT a.user_id AS ua, b.user_id AS ub,
+       CAST(greatest(
+           list_max(list_transform(a.t, p -> list_min(list_transform(b.t,
+               q -> (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y))))),
+           list_max(list_transform(b.t, p -> list_min(list_transform(a.t,
+               q -> (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)))))
+       ) AS BIGINT) AS hausdorff_sq
+FROM trajs a JOIN trajs b ON a.user_id < b.user_id
+WHERE greatest(
+           list_max(list_transform(a.t, p -> list_min(list_transform(b.t,
+               q -> (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y))))),
+           list_max(list_transform(b.t, p -> list_min(list_transform(a.t,
+               q -> (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)))))
+       ) <= {TRAJ_TAU_SQ}
+"""

@@ -93,6 +93,7 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_hll_distinct": EV.streaming_hll_distinct,   # mergeable-sketch state
     "snapshot_diff": P.snapshot_diff,                      # blue-green CDC report
     "segment_dedup_rewrite": DD.segment_dedup_rewrite,     # C4-style line dedup
+    "trajectory_similarity_pairs": SJ.trajectory_similarity_pairs,  # Hausdorff search
     # --- new-this-round operators (brand-new code earns the driver gate
     # first; the displaced TPC-H rotation rows q2/q5/q8/q9/q13/q21 +
     # ngram_topk_corpus are double-judge-replica-verified and move to
@@ -111,7 +112,6 @@ QUERIES: dict[str, QueryFn] = {
     "corpus_report": GR.corpus_report,
     "llm_pipeline_report": RET.llm_pipeline_report,
     "triangle_count": GR.triangle_count,
-    "embedding_pq_rerank": SIM.pq_rerank,
     # --- streaming rotation ---
     # --- text rotation ---
     "repetition_scores": TQ.repetition_scores,
@@ -127,6 +127,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_y4m_decode": MM.multimodal_y4m_decode,  # NEW r4: real video
     "pyds_sensor_stream_totals": PDS.sensor_stream_totals,
     # ==================== tier 2: full breadth (entries 51+) ==============
+    "embedding_pq_rerank": SIM.pq_rerank,
     "arrow_quant_stats": SIM.arrow_quant_stats,
     "streaming_snapshot_publish": EV.streaming_snapshot_publish,
     "observed_load_metrics": Q.observed_load_metrics,
@@ -253,6 +254,7 @@ ORACLES: dict[str, str] = {
     "streaming_hll_distinct": EV.STREAMING_HLL_DISTINCT_ORACLE,
     "snapshot_diff": P.SNAPSHOT_DIFF_ORACLE,
     "segment_dedup_rewrite": DD.SEGMENT_DEDUP_REWRITE_ORACLE,
+    "trajectory_similarity_pairs": SJ.TRAJECTORY_SIMILARITY_ORACLE,
     "lateral_topk_orders": R.LATERAL_TOPK_ORDERS_ORACLE,
     "unpivot_metrics": R.UNPIVOT_METRICS_ORACLE,
     "st_convex_hull": P.ST_CONVEX_HULL_ORACLE,
