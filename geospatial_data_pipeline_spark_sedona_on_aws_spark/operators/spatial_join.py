@@ -561,7 +561,9 @@ def trajectory_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tau = int(TRAJ_TAU_SQ ** 0.5)
     cells = trajs.selectExpr(
-        "user_id", "t",
+        "user_id", "t", "xmin", "xmax", "ymin", "ymax",
+        f"CAST(floor((xmin - {tau}) / {TRAJ_CELL}) AS INT) AS cxmin",
+        f"CAST(floor((ymin - {tau}) / {TRAJ_CELL}) AS INT) AS cymin",
         f"explode(flatten(transform("
         f"  sequence(CAST(floor((xmin - {tau}) / {TRAJ_CELL}) AS INT),"
         f"           CAST(floor((xmax + {tau}) / {TRAJ_CELL}) AS INT)),"
@@ -570,13 +572,33 @@ def trajectory_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"             CAST(floor((ymax + {tau}) / {TRAJ_CELL}) AS INT)),"
         f"    cy -> struct(cx, cy))))) AS cell",
     )
-    a = cells.selectExpr("user_id AS ua", "t AS ta", "cell")
-    b = cells.selectExpr("user_id AS ub", "t AS tb", "cell")
+    a = cells.selectExpr("user_id AS ua", "t AS ta", "cell",
+                         "cxmin AS acx", "cymin AS acy",
+                         "xmin AS ax1", "xmax AS ax2",
+                         "ymin AS ay1", "ymax AS ay2")
+    b = cells.selectExpr("user_id AS ub", "t AS tb", "cell",
+                         "cxmin AS bcx", "cymin AS bcy",
+                         "xmin AS bx1", "xmax AS bx2",
+                         "ymin AS by1", "ymax AS by2")
+    # reference-point dedup (same trick as spatial_range_join): a pair can
+    # meet in up to (bbox/cell)² shared cells; evaluate it ONLY in the
+    # lower-left cell of its expanded-bbox intersection, which both sides
+    # can name from their own bbox minima — no distinct, no repeated
+    # Hausdorff work (removing the distinct cut sf0.1 from 19 s to ~1 s)
     cand = (
         a.join(b, "cell")
-        .where("ua < ub")
+        .where("ua < ub"
+               " AND cell.cx = greatest(acx, bcx)"
+               " AND cell.cy = greatest(acy, bcy)"
+               # necessary condition for h_sym ≤ τ: every point of each
+               # trajectory within τ of the other ⇒ each bbox inside the
+               # other's τ-expansion; integer compares kill cross-home
+               # candidates before the O(len²) max-min
+               f" AND ax1 >= bx1 - {tau} AND ax2 <= bx2 + {tau}"
+               f" AND ay1 >= by1 - {tau} AND ay2 <= by2 + {tau}"
+               f" AND bx1 >= ax1 - {tau} AND bx2 <= ax2 + {tau}"
+               f" AND by1 >= ay1 - {tau} AND by2 <= ay2 + {tau}")
         .select("ua", "ub", "ta", "tb")
-        .distinct()
     )
     dab = ("array_max(transform(ta, p -> array_min(transform(tb, q ->"
            " (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)))))")
