@@ -150,6 +150,8 @@ QUERIES: dict[str, QueryFn] = {
     "event_funnel": TQ.event_funnel,
     "profile_table": SK.profile_table,
     "crop_analytics_orc_roundtrip": P.crop_analytics_orc_roundtrip,
+    "salted_join_revenue": R.salted_join_revenue,
+    "running_distinct_users": R.running_distinct_users,
     "st_area_rect": P.st_area_rect,
     "st_intersection_area": P.st_intersection_area,
     "geo_range_join": SJ.geo_range_join_count,
@@ -372,6 +374,8 @@ ORACLES: dict[str, str] = {
     "stratified_sample": SK.STRATIFIED_SAMPLE_ORACLE,
     "histogram_quantile": SK.HISTOGRAM_QUANTILE_ORACLE,
     "salted_agg_topk": SK.SALTED_AGG_ORACLE,
+    "salted_join_revenue": R.SALTED_JOIN_REVENUE_ORACLE,
+    "running_distinct_users": R.RUNNING_DISTINCT_USERS_ORACLE,
     "cms_heavy_hitters": SK.CMS_HEAVY_HITTERS_ORACLE,
     "bloom_pruned_orders": SK.BLOOM_PRUNED_ORDERS_ORACLE,
     "reservoir_per_group": SK.RESERVOIR_ORACLE,

@@ -853,3 +853,92 @@ UNION ALL
 SELECT l_orderkey, l_linenumber, 'tax',
        CAST(l_tax AS DOUBLE) FROM lineitem
 """
+
+# ----------------------------------------------------- skew-salted join
+
+SALT_R = 8
+
+def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual salt-replicated join: the fact side carries a deterministic
+    salt, the dimension side is replicated across all SALT_R salts, and
+    the join keys on (key, salt) — spreading ONE hot join key over R
+    reducers. AQE's skew-join split handles most cases at runtime
+    (session.py enables it; tests force it), but manual salting remains
+    the tool when AQE can't — e.g. streaming joins or a skewed key that
+    must never land on one task even transiently. The oracle is the PLAIN
+    join: salting must be invisible in the result.
+
+    Scale: dim replication is R× a small table (broadcast-sized anyway —
+    the technique matters when the dim is too big to broadcast but small
+    enough to replicate); the fact never moves twice."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    fact = li.selectExpr(
+        "l_orderkey", "l_extendedprice", "l_discount",
+        f"CAST(pmod(l_linenumber, {SALT_R}) AS INT) AS __salt",
+    )
+    dim = o.selectExpr(
+        "o_orderkey", "o_orderpriority",
+        f"explode(sequence(0, {SALT_R - 1})) AS __salt",
+    )
+    return (
+        fact.join(dim, (fact.l_orderkey == dim.o_orderkey)
+                  & (fact.__salt == dim.__salt))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.expr(
+                "CAST(l_extendedprice AS DECIMAL(18,2))"
+                " * CAST((1 - l_discount) AS DECIMAL(18,2))"))
+            .cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+SALTED_JOIN_REVENUE_ORACLE = """
+SELECT o.o_orderpriority,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+            * CAST((1 - l.l_discount) AS DECIMAL(18,2))) AS DOUBLE)
+           AS revenue,
+       count(*) AS n_items
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+def running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count per key over event time — the windowed
+    composition that replaces stateful distinct-tracking: flag each
+    (event_type, user)'s FIRST event via row_number, then a running sum
+    of flags ordered by time gives the exact distinct-so-far count. Two
+    window passes over one event_type partitioning; no state store, no
+    approximation."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from pyspark.sql import Window
+
+    first_w = Window.partitionBy("event_type", "user_id") \
+        .orderBy("ts", "event_id")
+    run_w = Window.partitionBy("event_type").orderBy("ts", "event_id") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        ev.withColumn(
+            "__first",
+            (F.row_number().over(first_w) == 1).cast("bigint"))
+        .select(
+            "event_id", "event_type",
+            F.sum("__first").over(run_w).alias("distinct_users_so_far"),
+        )
+    )
+
+RUNNING_DISTINCT_USERS_ORACLE = """
+WITH flagged AS (
+    SELECT event_id, event_type, ts,
+           CAST(row_number() OVER (PARTITION BY event_type, user_id
+                                   ORDER BY ts, event_id) = 1
+                AS BIGINT) AS first_seen
+    FROM events
+)
+SELECT event_id, event_type,
+       sum(first_seen) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING)
+           AS distinct_users_so_far
+FROM flagged
+"""
