@@ -152,6 +152,7 @@ QUERIES: dict[str, QueryFn] = {
     "crop_analytics_orc_roundtrip": P.crop_analytics_orc_roundtrip,
     "salted_join_revenue": R.salted_join_revenue,
     "running_distinct_users": R.running_distinct_users,
+    "bpe_tokenize_apply": TQ.bpe_tokenize_apply,
     "st_area_rect": P.st_area_rect,
     "st_intersection_area": P.st_intersection_area,
     "geo_range_join": SJ.geo_range_join_count,
@@ -376,6 +377,7 @@ ORACLES: dict[str, str] = {
     "salted_agg_topk": SK.SALTED_AGG_ORACLE,
     "salted_join_revenue": R.SALTED_JOIN_REVENUE_ORACLE,
     "running_distinct_users": R.RUNNING_DISTINCT_USERS_ORACLE,
+    "bpe_tokenize_apply": TQ.BPE_TOKENIZE_APPLY_ORACLE,
     "cms_heavy_hitters": SK.CMS_HEAVY_HITTERS_ORACLE,
     "bloom_pruned_orders": SK.BLOOM_PRUNED_ORDERS_ORACLE,
     "reservoir_per_group": SK.RESERVOIR_ORACLE,

@@ -890,3 +890,73 @@ JOIN toks t2
  AND t1.w < t2.w
 WHERE levenshtein(t1.w, t2.w) <= 2
 """
+
+def bpe_tokenize_apply(spark: SparkSession, sf_dir: str,
+                       rounds: int = BPE_ROUNDS) -> DataFrame:
+    """Apply the BPE merges learned by bpe_merge_train to tokenize the
+    corpus: per document, every word is bracket-encoded, the learned
+    merges replace in training order, and the document's subword-token
+    count is the sum of surviving segments. Output per doc: character
+    count (pre-BPE token count), post-merge subword count, and the
+    saving. Closes the tokenizer loop — train on the corpus, tokenize the
+    corpus — with the merges entering the plan as literals exactly like a
+    shipped merges.txt.
+
+    Scale: application is row-local string replacement (no shuffle but
+    the final per-doc aggregate); training cost is the bounded iterative
+    loop documented on bpe_merge_train."""
+    merges = [(r["left"], r["right"])
+              for r in bpe_merge_train(spark, sf_dir, rounds).collect()]
+    d = _docs(spark, sf_dir)
+    enc = ("transform(filter(split(text, ' '), w -> w != ''),"
+           " w -> concat('[', array_join(split(w, ''), ']['), ']'))")
+    applied = enc
+    for l, r in merges:
+        applied = (f"transform({applied},"
+                   f" s -> replace(s, '[{l}][{r}]', '[{l}{r}]'))")
+    return d.selectExpr(
+        "doc_id",
+        f"aggregate(transform({enc}, s -> size(split(s, '\\\\]\\\\['))),"
+        " 0L, (a, b) -> a + CAST(b AS BIGINT)) AS n_char_tokens",
+        f"aggregate(transform({applied}, s -> size(split(s, '\\\\]\\\\['))),"
+        " 0L, (a, b) -> a + CAST(b AS BIGINT)) AS n_bpe_tokens",
+    ).selectExpr(
+        "doc_id", "n_char_tokens", "n_bpe_tokens",
+        "n_char_tokens - n_bpe_tokens AS tokens_saved",
+    )
+
+def _bpe_apply_oracle(rounds: int = BPE_ROUNDS) -> str:
+    """Training CTEs (shared generator) + per-word application chain."""
+    train = _bpe_oracle(rounds)
+    # reuse the WITH block of the training oracle, drop its final SELECT
+    with_block = train[: train.rindex("\n")]
+    with_block = "WITH " + train.split("WITH ", 1)[1].rsplit("\nSELECT", 1)[0]
+    apply_chain = "enc"
+    for i in range(1, rounds + 1):
+        apply_chain = (f"replace({apply_chain},"
+                       f" '[' || t{i}.l || '][' || t{i}.r || ']',"
+                       f" '[' || t{i}.l || t{i}.r || ']')")
+    froms = ", ".join(f"top{i} t{i}" for i in range(1, rounds + 1))
+    return f"""{with_block},
+docwords AS (
+    SELECT doc_id,
+           '[' || array_to_string(string_split(w, ''), '][') || ']' AS enc
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents)
+    WHERE w != ''
+),
+applied AS (
+    SELECT doc_id,
+           len(string_split(trim(enc, '[]'), '][')) AS n_char,
+           len(string_split(trim({apply_chain}, '[]'), '][')) AS n_bpe
+    FROM docwords, {froms}
+)
+SELECT doc_id,
+       CAST(sum(n_char) AS BIGINT) AS n_char_tokens,
+       CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+       CAST(sum(n_char) - sum(n_bpe) AS BIGINT) AS tokens_saved
+FROM applied
+GROUP BY doc_id
+"""
+
+BPE_TOKENIZE_APPLY_ORACLE = _bpe_apply_oracle()
