@@ -388,6 +388,12 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("a") != F.col("b"))  # drop self-loops
         .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
         .distinct()
+        # und is consumed FOUR times (degree sides, orientation, closing-
+        # edge probe); without lineage truncation Catalyst replays the
+        # build per use — 66 scans / 130 exchanges in the executed plan
+        # (caught by scripts/plan_audit.py). Same localCheckpoint pattern
+        # as pagerank's edge list.
+        .localCheckpoint(eager=False)
     )
     deg = (
         und.select(F.col("u").alias("x")).union(und.select("v"))
@@ -403,6 +409,7 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
              .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
              .alias("e"))
         .select(F.col("e.s").alias("s"), F.col("e.t").alias("t"))
+        .localCheckpoint(eager=False)  # consumed by BOTH wedge sides
     )
     w1 = ranked.select(F.col("s").alias("u"), F.col("t").alias("v"))
     w2 = ranked.select(F.col("s").alias("u"), F.col("t").alias("w"))
