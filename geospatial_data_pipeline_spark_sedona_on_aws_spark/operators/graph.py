@@ -221,7 +221,9 @@ def pagerank_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = DD._docs(spark, sf_dir).select("doc_id")
     n = docs.agg(F.count("*").alias("n"))
-    nodes = docs.crossJoin(F.broadcast(n))
+    # nodes joins back into EVERY iteration's damping-floor restore;
+    # truncate its lineage once instead of replaying scan+count per round
+    nodes = docs.crossJoin(F.broadcast(n)).localCheckpoint(eager=False)
     edges = nodes.select(
         F.col("doc_id").alias("src"),
         F.explode(F.array(*[
