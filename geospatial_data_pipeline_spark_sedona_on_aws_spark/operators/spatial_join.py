@@ -399,7 +399,9 @@ def knn_join_grid(spark: SparkSession, sf_dir: str, cell: int = 25,
         F.col("id").alias("region_id"),
         F.floor((F.col("gx1") + F.col("gx2")) / dcell).alias("cx"),
         F.floor((F.col("gy1") + F.col("gy2")) / dcell).alias("cy"),
-    )
+    # the dim cells join into EVERY probe round AND the bounds agg —
+    # truncate once instead of replaying the dim scan per consumer
+    ).localCheckpoint(eager=False)
     ptc = pts.select(
         "point_id", "px", "py",
         F.floor(2 * F.col("px") / dcell).alias("pcx"),
@@ -443,6 +445,9 @@ def knn_join_grid(spark: SparkSession, sf_dir: str, cell: int = 25,
             )
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
+            # topk feeds BOTH the done-test aggregate and the resolved
+            # semi-join; one truncation = one evaluation per round
+            .localCheckpoint(eager=False)
         )
         if r >= r_cover:
             resolved.append(topk)
