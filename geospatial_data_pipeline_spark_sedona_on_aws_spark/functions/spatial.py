@@ -197,11 +197,12 @@ def _convex_hull(s: str | None) -> str | None:
     return G.to_wkt(G.hull_of_geom(G.parse_wkt(s)))
 
 def _npoints(s: str | None) -> int | None:
-    """Vertex count over all rings, closing duplicates excluded (the
-    internal ring representation is open; to_wkt re-adds the closure)."""
+    """Vertex count over all rings, INCLUDING each ring's closing
+    duplicate — the Sedona/PostGIS/JTS ST_NPoints convention (rectangle
+    -> 5). The internal ring representation is open, so +1 per ring."""
     if s is None:
         return None
-    return sum(len(r) for poly in G.parse_wkt(s) for r in poly)
+    return sum(len(r) + 1 for poly in G.parse_wkt(s) for r in poly)
 
 def _intersection(a: str | None, b: str | None) -> str | None:
     if a is None or b is None:
@@ -449,8 +450,11 @@ def st_centroid(s: pd.Series) -> pd.Series:
 
 @pandas_udf(StringType())
 def st_buffer_round(s: pd.Series, d: pd.Series, quadsegs: pd.Series) -> pd.Series:
+    # NULL in any argument propagates NULL out, matching the
+    # na_action="ignore" contract of the other ST_* UDFs
     return pd.Series(
-        [_buffer_round(g, float(x), int(q))
+        [None if g is None or pd.isna(x) or pd.isna(q)
+         else _buffer_round(g, float(x), int(q))
          for g, x, q in zip(s, d, quadsegs)],
         index=s.index,
     )

@@ -744,14 +744,29 @@ def segment_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+# The unnest(range(0, 200)) index spine caps the oracle at 200 segments
+# (= 200 × SEG_TOKENS tokens) per document, while the Spark side's
+# sequence() is unbounded — mirror of the _bpe_oracle word-length cap.
+# The `longest` CTE hard-fails (error()) if any fixture document
+# would exceed the spine, so a cap overflow can never silently diverge.
 SEGMENT_DEDUP_REWRITE_ORACLE = f"""
-WITH segs AS (
+WITH longest AS (
+    SELECT max(ceil(len(string_split(text, ' ')) / {SEG_TOKENS})) AS m
+    FROM documents
+),
+guard AS (
+    SELECT CASE WHEN m < 200 THEN 1 ELSE CAST(error('seg spine cap exceeded') AS BIGINT) END AS ok
+    FROM longest
+),
+segs AS (
     SELECT doc_id, i AS pos,
            array_to_string(string_split(text, ' ')[i * {SEG_TOKENS} + 1
                : i * {SEG_TOKENS} + {SEG_TOKENS}], ' ') AS seg
     FROM documents,
-         (SELECT unnest(range(0, 200)) AS i)
-    WHERE i < ceil(len(string_split(text, ' ')) / {SEG_TOKENS})
+         (SELECT unnest(range(0, 200)) AS i),
+         guard
+    WHERE ok = 1
+      AND i < ceil(len(string_split(text, ' ')) / {SEG_TOKENS})
       AND array_to_string(string_split(text, ' ')[i * {SEG_TOKENS} + 1
               : i * {SEG_TOKENS} + {SEG_TOKENS}], ' ') != ''
 ),

@@ -206,7 +206,7 @@ SELECT property_id,
             + 2 * 8 * ((1 + property_id % 5) / 4.0)
                     * ((1 + property_id % 5) / 4.0) * sin(pi() / 16))
             * 100) AS BIGINT) AS area_q,
-       CAST(36 AS BIGINT) AS n_vertices
+       CAST(37 AS BIGINT) AS n_vertices
 FROM land_use
 """
 
@@ -274,7 +274,7 @@ dims AS (
 )
 SELECT property_id,
        CAST((2 * ca + w) * (2 * cb + h) - 2 * ca * cb AS DOUBLE) AS hull_area,
-       CAST(8 AS BIGINT) AS hull_npoints
+       CAST(9 AS BIGINT) AS hull_npoints
 FROM dims
 """
 
@@ -737,7 +737,7 @@ ST_TRANSFORM_ROUNDTRIP_ORACLE = f"""
 WITH {fixtures.LAND_USE_CTE.strip()}
 SELECT property_id,
        CAST((x2 - x1) * (y2 - y1) * 1000 AS BIGINT) AS area_q,
-       CAST(4 AS BIGINT) AS n_vertices
+       CAST(5 AS BIGINT) AS n_vertices
 FROM land_use
 """
 

@@ -828,6 +828,15 @@ states{i} AS (
         for i in range(1, rounds + 1))
     return "WITH " + ",".join(sql) + "\n" + tops
 
+
+def _bpe_oracle_parts(rounds: int = BPE_ROUNDS) -> tuple[str, str]:
+    """(with_block, final_select) of the training oracle, so consumers
+    (e.g. _bpe_apply_oracle) can extend the WITH block without re-parsing
+    the concatenated SQL string."""
+    whole = _bpe_oracle(rounds)
+    cut = whole.rindex("\nSELECT round,")
+    return whole[:cut], whole[cut + 1:]
+
 BPE_MERGE_TRAIN_ORACLE = _bpe_oracle()
 
 # ------------------------------------------------------ fuzzy token join
@@ -927,10 +936,8 @@ def bpe_tokenize_apply(spark: SparkSession, sf_dir: str,
 
 def _bpe_apply_oracle(rounds: int = BPE_ROUNDS) -> str:
     """Training CTEs (shared generator) + per-word application chain."""
-    train = _bpe_oracle(rounds)
-    # reuse the WITH block of the training oracle, drop its final SELECT
-    with_block = train[: train.rindex("\n")]
-    with_block = "WITH " + train.split("WITH ", 1)[1].rsplit("\nSELECT", 1)[0]
+    # reuse the WITH block of the training oracle without its final SELECT
+    with_block, _ = _bpe_oracle_parts(rounds)
     apply_chain = "enc"
     for i in range(1, rounds + 1):
         apply_chain = (f"replace({apply_chain},"

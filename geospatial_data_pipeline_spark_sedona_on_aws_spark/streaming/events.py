@@ -1283,6 +1283,8 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistics (Σv, Σv²) are exact BIGINT sums — no floating-point
     accumulation order to disagree on — and mean/stddev derive from those
     integers in one deterministic double expression. Flags |z| > 3.
+    A zero-variance type (all values equal) yields NULL z_q in BOTH
+    engines via nullif(stddev, 0) — never NaN-vs-NULL divergence.
 
     Scale: one map-side-combined aggregate for the stats (broadcast back),
     one stateless pass for the flags — the standard two-pass shape that
@@ -1302,8 +1304,9 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "event_id", "event_type",
             "CAST(round((vc - CAST(s1 AS DOUBLE) / n)"
-            " / sqrt(CAST(s2 AS DOUBLE) / n"
-            " - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))"
+            " / nullif(sqrt(CAST(s2 AS DOUBLE) / n"
+            " - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)),"
+            " CAST(0 AS DOUBLE))"
             " * 1000000) AS BIGINT) AS z_q",
         )
         .selectExpr("event_id", "event_type", "z_q",
@@ -1324,12 +1327,14 @@ stats AS (
 )
 SELECT c.event_id, c.event_type,
        CAST(round((c.vc - CAST(s.s1 AS DOUBLE) / s.n)
-            / sqrt(CAST(s.s2 AS DOUBLE) / s.n
-            - (CAST(s.s1 AS DOUBLE) / s.n) * (CAST(s.s1 AS DOUBLE) / s.n))
+            / nullif(sqrt(CAST(s.s2 AS DOUBLE) / s.n
+            - (CAST(s.s1 AS DOUBLE) / s.n) * (CAST(s.s1 AS DOUBLE) / s.n)),
+            CAST(0 AS DOUBLE))
             * 1000000) AS BIGINT) AS z_q,
        abs(CAST(round((c.vc - CAST(s.s1 AS DOUBLE) / s.n)
-            / sqrt(CAST(s.s2 AS DOUBLE) / s.n
-            - (CAST(s.s1 AS DOUBLE) / s.n) * (CAST(s.s1 AS DOUBLE) / s.n))
+            / nullif(sqrt(CAST(s.s2 AS DOUBLE) / s.n
+            - (CAST(s.s1 AS DOUBLE) / s.n) * (CAST(s.s1 AS DOUBLE) / s.n)),
+            CAST(0 AS DOUBLE))
             * 1000000) AS BIGINT)) > 3000000 AS is_anomaly
 FROM cents c JOIN stats s ON c.event_type = s.event_type
 """

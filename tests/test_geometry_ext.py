@@ -39,8 +39,8 @@ def test_prop_buffer_round_rect_closed_form(x, y, w, h, dq, q):
     a = G.area(G.parse_wkt(out))
     expect = w * h + 2 * (w + h) * d + 2 * q * d * d * math.sin(math.pi / (2 * q))
     assert abs(a - expect) < 1e-8 * max(1.0, expect)
-    # 4 edges × 2 endpoints + 4 arcs × (q-1) interior points
-    assert _npoints(out) == 8 + 4 * (q - 1)
+    # 4 edges × 2 endpoints + 4 arcs × (q-1) interior points, +1 closure
+    assert _npoints(out) == 8 + 4 * (q - 1) + 1
     # buffered polygon strictly contains the original
     assert _contains(out, wkt)
 
@@ -106,12 +106,13 @@ def test_prop_convex_hull(points):
 
 def test_convex_hull_cross_shape():
     """The st_convex_hull fixture's identity: hull(plus-shape) is the
-    octagon of area W·H − 2ab with 8 vertices."""
+    octagon of area W·H − 2ab with 8 distinct vertices (ST_NPoints
+    counts the ring closure, Sedona-style: 9)."""
     cross = ("POLYGON ((1 0, 3 0, 3 1, 4 1, 4 3, 3 3, 3 4, 1 4,"
              " 1 3, 0 3, 0 1, 1 1, 1 0))")
     h = _convex_hull(cross)
     assert G.area(G.parse_wkt(h)) == 16 - 2
-    assert _npoints(h) == 8
+    assert _npoints(h) == 9
     assert _contains(h, cross)
 
 # --------------------------------------------------------- Douglas–Peucker
