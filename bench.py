@@ -70,6 +70,14 @@ SWEEP_QUERIES = [
     "minhash_lsh_candidates",
     "spatial_knn_join",
     "segment_dedup_rewrite",   # r4 s2: seg-keyed window + per-doc regroup
+    # round 5 (r4 verdict item 3): full-decade coverage of the remaining
+    # expensive headliners; events/embeddings gain sf1 fixtures above
+    "crop_analytics_full",
+    "trajectory_similarity_pairs",
+    "pagerank_links",
+    "triangle_count",
+    "embedding_pq_rerank",
+    "embedding_topk_cosine",
 ]
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/root/repo/.bench_sf1")
 SWEEP_SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
@@ -104,12 +112,55 @@ def _ensure_sf1() -> None:
     import duckdb
     import numpy as np
 
-    tables = ("lineitem", "orders", "supplier", "documents")
+    tables = ("lineitem", "orders", "supplier", "documents",
+              "events", "embeddings")
     if all(os.path.exists(f"{SF1_DIR}/{t}.parquet") for t in tables):
         return
     os.makedirs(SF1_DIR, exist_ok=True)
     con = duckdb.connect()
     src = "/root/testdata/sf0.1"
+    # events: 10 shifted copies — user_id and event_id move by i·(max+1)
+    # per copy, so trajectories (user_id/event_id-derived walks), sessions,
+    # and funnels gain 10× fresh entities instead of 10 identical replays
+    con.execute(f"""
+        COPY (
+            SELECT event_id + r.i * (SELECT max(event_id) + 1
+                                     FROM '{src}/events.parquet') AS event_id,
+                   ts,
+                   user_id + r.i * (SELECT max(user_id) + 1
+                                    FROM '{src}/events.parquet') AS user_id,
+                   event_type, value, props
+            FROM '{src}/events.parquet', range(10) r(i)
+        ) TO '{SF1_DIR}/events.parquet' (FORMAT parquet)
+    """)
+    # embeddings: 10× FRESH deterministic vectors (seeded numpy, unit-norm,
+    # clustered like the source's label structure) — copies of existing
+    # vectors would be exact duplicates, collapsing every ANN distance to 0
+    import numpy as np
+
+    n_src, dim = con.execute(
+        f"SELECT count(*), max(len(embedding)) FROM '{src}/embeddings.parquet'"
+    ).fetchone()
+    n_labels = con.execute(
+        f"SELECT count(DISTINCT label) FROM '{src}/embeddings.parquet'"
+    ).fetchone()[0]
+    rng = np.random.default_rng(11)
+    n_emb = 10 * n_src
+    labels = rng.integers(0, n_labels, n_emb)
+    centers = rng.normal(size=(n_labels, dim))
+    vecs = centers[labels] + 0.3 * rng.normal(size=(n_emb, dim))
+    vecs = (vecs / np.linalg.norm(vecs, axis=1, keepdims=True)).astype(
+        np.float32)
+    import pandas as pd
+    emb = pd.DataFrame({
+        "vec_id": np.arange(n_emb, dtype=np.int64),
+        "embedding": list(vecs),
+        "label": labels.astype(np.int32),
+    })
+    con.register("emb", emb)
+    con.execute(
+        f"COPY (SELECT vec_id, CAST(embedding AS FLOAT[]) AS embedding,"
+        f" label FROM emb) TO '{SF1_DIR}/embeddings.parquet' (FORMAT parquet)")
     for tbl, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
         con.execute(f"""
             COPY (
@@ -154,8 +205,11 @@ def sweep(spark) -> None:
     Prints ONE JSON line with the curve."""
     from geospatial_data_pipeline_spark_sedona_on_aws_spark.plans.registry import QUERIES
 
+    from bench_anchor import run_anchor
+
     _ensure_sf1()
     curve: dict[str, dict[str, float]] = {q: {} for q in SWEEP_QUERIES}
+    anchors: dict[str, float] = {}
     for sf_dir in SWEEP_SFS:
         sf = "1.0" if sf_dir == SF1_DIR else sf_dir.rstrip("/").rsplit("sf", 1)[-1]
         for phase in ("warm", "measure", "measure", "measure"):
@@ -167,13 +221,17 @@ def sweep(spark) -> None:
                     cur = curve[name].get(sf)
                     if cur is None or dt < cur:
                         curve[name][sf] = dt
+        # in-process machine-speed probe per sf column (frozen workloads;
+        # see bench_anchor.py) so sweep columns are drift-comparable too
+        anchors[sf] = run_anchor(spark, sf_dir)["total"]
     print(json.dumps({
         "metric": "scale_curve",
         "unit": "sec",
         "sfs": ["1.0" if s == SF1_DIR else s.rsplit("sf", 1)[-1]
                 for s in SWEEP_SFS],
         "queries": curve,
-        "methodology": "per-sf: full warm pass then per-query min of 3 measured passes",
+        "anchor_totals": anchors,
+        "methodology": "per-sf: full warm pass then per-query min of 3 measured passes; anchor_totals = frozen bench_anchor total per sf, in-process",
     }))
 
 def main() -> None:
@@ -222,16 +280,32 @@ def main() -> None:
                 if name not in timings or dt < timings[name]:
                     timings[name] = dt
 
+    # Self-anchoring (r4 verdict item 1): the frozen bench_anchor workloads
+    # run in THIS process right after the measured passes; each query's
+    # ratio = t / t_anchor_total cancels host drift — unchanged code should
+    # show a flat ratio across rounds even when raw seconds swing ±80%.
+    from bench_anchor import run_anchor
+    anchor = run_anchor(spark, sf_dir)
+    t_anchor = anchor["total"]
+
     for name in HEADLINE:
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        print(f"# {name}: {timings[name]:.3f}s "
+              f"(ratio {timings[name] / t_anchor:.3f})", file=sys.stderr)
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "anchor": anchor,
+        "queries_anchored": {
+            name: {"t": t, "t_anchor": t_anchor,
+                   "ratio": round(t / t_anchor, 4)}
+            for name, t in timings.items()
+        },
+        "value_anchored_ratio": round(total / t_anchor, 4),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "methodology": "steady-state: full warm pass at the measured sf, then per-query min of 3 measured passes",
+        "methodology": "steady-state: full warm pass at the measured sf, then per-query min of 3 measured passes; ratios normalized by the frozen bench_anchor total measured in-process",
     }))
 
 if __name__ == "__main__":
