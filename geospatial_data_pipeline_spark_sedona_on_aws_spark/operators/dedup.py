@@ -141,24 +141,87 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.array(*[F.col(f"m{k}") for k in range(MINHASH_K)]).alias("sig")
     )
 
-def _bucket_pairs(grouped: DataFrame, ids_col: str = "ids") -> DataFrame:
+# Oversized-bucket decomposition threshold: a bucket with more members
+# than this (a degenerate boilerplate cluster — thousands of docs sharing
+# one band signature) is split into block-pair tasks so no single task ever
+# materializes more than BUCKET_BLOCK² pairs. The pair SET is unchanged —
+# this bounds and spreads the quadratic work, it does not sample it — so
+# recall is exactly 100% and the SQL oracles need no policy mirror.
+BUCKET_BLOCK = 1024
+
+
+def _bucket_pairs(grouped: DataFrame, ids_col: str = "ids",
+                  block: int = BUCKET_BLOCK) -> DataFrame:
     """(doc_a, doc_b) for every unordered pair within each bucket's sorted
-    doc-id array. One scan of the bucket table — replaces a bucket self-join,
-    which would compute the (expensive) upstream twice and shuffle it twice.
-    Bucket fan-out is quadratic in bucket size by construction of LSH/shingle
-    buckets (near-dup clusters are small); callers guard with size >= 2."""
+    member array (element type preserved — longs or structs). One scan of
+    the bucket table — replaces a bucket self-join, which would compute the
+    (expensive) upstream twice and shuffle it twice.
+
+    Buckets with ≤ `block` members take the direct path: nested array
+    lambdas emit all pairs from the single bucket row. Larger buckets (LSH
+    on web data WILL produce a near-identical-boilerplate mega-bucket;
+    unguarded, a 100k-member bucket lands 5·10⁹ pairs on ONE task) are
+    decomposed into a (bi ≤ bj) block-task spine: each task row carries
+    only its two ≤`block`-element slices, the spine is repartitioned across
+    the cluster, and per-task fan-out is capped at block². Both branches
+    emit the identical ordered pair set (arrays are sorted; same-block
+    tasks pair i<j, cross-block tasks pair all, bi<bj keeps order)."""
     ids = F.col(ids_col)
-    pair_arrays = F.transform(
-        F.sequence(F.lit(0), F.size(ids) - 2),
-        lambda i: F.transform(
-            F.slice(ids, i + 2, F.size(ids)),
-            lambda x: F.struct(
-                F.element_at(ids, (i + 1).cast("int")).alias("doc_a"),
-                x.alias("doc_b"),
+    sess = grouped.sparkSession
+
+    def within(arr):
+        """All ordered pairs (arr[i], arr[j]), i < j, arr sorted."""
+        return F.flatten(F.transform(
+            F.sequence(F.lit(0), F.size(arr) - 2),
+            lambda i: F.transform(
+                F.slice(arr, i + 2, F.size(arr)),
+                lambda x: F.struct(
+                    F.element_at(arr, (i + 1).cast("int")).alias("doc_a"),
+                    x.alias("doc_b"),
+                ),
             ),
-        ),
+        ))
+
+    small = (
+        grouped.where(F.size(ids) <= block)
+        .select(F.explode(within(ids)).alias("p"))
     )
-    return grouped.select(F.explode(F.flatten(pair_arrays)).alias("p")).select(
+
+    big = grouped.where(F.size(ids) > block)
+    nb = F.ceil(F.size(ids) / F.lit(block)).cast("int")
+    spine = F.flatten(F.transform(
+        F.sequence(F.lit(0), nb - 1),
+        lambda i: F.transform(
+            F.sequence(i, nb - 1),
+            lambda j: F.struct(i.alias("bi"), j.alias("bj")),
+        ),
+    ))
+    # slice BEFORE the spreading shuffle: each task row ships ≤ 2·block
+    # elements, never the full mega-bucket array
+    tasks = (
+        big.select(ids.alias("__ids"), F.explode(spine).alias("t"))
+        .select(
+            F.slice(F.col("__ids"), F.col("t.bi") * block + 1, block)
+            .alias("__li"),
+            F.slice(F.col("__ids"), F.col("t.bj") * block + 1, block)
+            .alias("__lj"),
+            (F.col("t.bi") == F.col("t.bj")).alias("__same"),
+        )
+        .repartition(sess.sparkContext.defaultParallelism)
+    )
+    cross = F.flatten(F.transform(
+        F.col("__li"),
+        lambda x: F.transform(
+            F.col("__lj"),
+            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+        ),
+    ))
+    big_pairs = tasks.select(
+        F.explode(
+            F.when(F.col("__same"), within(F.col("__li"))).otherwise(cross)
+        ).alias("p")
+    )
+    return small.unionByName(big_pairs).select(
         F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")
     )
 
@@ -318,20 +381,12 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("ids"))
         .where(F.size("ids") >= 2)
     )
-    ids = F.col("ids")
-    pair_arrays = F.transform(
-        F.sequence(F.lit(0), F.size(ids) - 2),
-        lambda i: F.transform(
-            F.slice(ids, i + 2, F.size(ids)),
-            lambda x: F.struct(
-                F.element_at(ids, (i + 1).cast("int")).alias("a"),
-                x.alias("b"),
-            ),
-        ),
-    )
-    pairs = grouped.select(F.explode(F.flatten(pair_arrays)).alias("p")).select(
-        F.col("p.a.doc_id").alias("doc_a"), F.col("p.a.n").alias("na"),
-        F.col("p.b.doc_id").alias("doc_b"), F.col("p.b.n").alias("nb"),
+    # shared guarded pair generator (oversized shingle buckets decompose
+    # into bounded block tasks — see _bucket_pairs); elements are
+    # (doc_id, n) structs, unpacked after the explode
+    pairs = _bucket_pairs(grouped).select(
+        F.col("doc_a.doc_id").alias("doc_a"), F.col("doc_a.n").alias("na"),
+        F.col("doc_b.doc_id").alias("doc_b"), F.col("doc_b.n").alias("nb"),
     )
     return (
         pairs.groupBy("doc_a", "doc_b", "na", "nb")

@@ -491,3 +491,66 @@ def test_quantized_topk_matches_oracle_and_recalls_exact(spark, duck):
     q_sets = s.groupby("query_id")["neighbor_id"].apply(set)
     recalls = [len(e_sets[q] & q_sets[q]) / len(e_sets[q]) for q in e_sets.index]
     assert sum(recalls) / len(recalls) > 0.6, sum(recalls) / len(recalls)
+
+
+# ---------------------------------------------------- bucket fan-out cap
+
+
+def test_bucket_pairs_mega_bucket_bounded_and_exact(spark):
+    """r4 verdict item 2: a degenerate 10k-member LSH bucket (web
+    boilerplate) must (a) produce the EXACT complete pair set — the block
+    decomposition spreads work, it never samples — and (b) never land more
+    than ~block² pairs on any single task."""
+    from pyspark.sql import functions as F
+
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.operators.dedup import (
+        _bucket_pairs,
+    )
+
+    n, block = 10_000, 512
+    mega = spark.range(1).select(
+        F.sequence(F.lit(0), F.lit(n - 1)).cast("array<long>").alias("ids")
+    )
+    pairs = _bucket_pairs(mega, block=block)
+    # exact pair count: n·(n−1)/2, nothing dropped
+    assert pairs.count() == n * (n - 1) // 2
+
+    # per-task fan-out: no partition holds more than a few block² pairs
+    # (tasks repartition round-robin; ≥ ceil(n/block)·(...)/2 = 210 tasks
+    # over defaultParallelism partitions → ≤ ceil(210/P) tasks each)
+    import math
+
+    nb = math.ceil(n / block)
+    n_tasks = nb * (nb + 1) // 2
+    par = spark.sparkContext.defaultParallelism
+    per_task_cap = block * block
+    per_part_cap = math.ceil(n_tasks / par) * per_task_cap
+    per_part = (
+        pairs.groupBy(F.spark_partition_id().alias("pid")).count()
+        .agg(F.max("count")).collect()[0][0]
+    )
+    assert per_part <= per_part_cap, (per_part, per_part_cap)
+    # and the work is genuinely spread: the max partition holds a small
+    # fraction of the 50M pairs, not all of them
+    assert per_part < n * (n - 1) // 2 / 4
+
+
+def test_bucket_pairs_blocked_path_equals_direct_path(spark):
+    """Pair-set identity between the direct (bucket ≤ block) and blocked
+    (bucket > block) branches, including ordering doc_a < doc_b."""
+    from pyspark.sql import functions as F
+
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.operators.dedup import (
+        _bucket_pairs,
+    )
+
+    # 3 buckets of different sizes; ids offset so buckets don't overlap
+    buckets = spark.createDataFrame(
+        [(list(range(b * 1000, b * 1000 + sz)),) for b, sz in
+         enumerate([2, 130, 301])],
+        "ids: array<long>",
+    )
+    direct = _bucket_pairs(buckets, block=1_000_000).collect()
+    blocked = _bucket_pairs(buckets, block=64).collect()
+    assert sorted(map(tuple, direct)) == sorted(map(tuple, blocked))
+    assert all(r.doc_a < r.doc_b for r in blocked)
