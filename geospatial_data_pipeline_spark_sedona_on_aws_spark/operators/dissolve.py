@@ -134,8 +134,19 @@ def union_aggr(df: DataFrame, group_cols: Sequence[str], geom_col: str,
 
     def group_rects(rect_arr: np.ndarray, wkts: list) -> tuple[bytes | None, str | None]:
         """Union one group's (pre-parsed rects, leftover WKT rows) into
-        (packed disjoint rect bounds, None) when everything is
-        rectilinear, else (None, general-union WKT)."""
+        (packed rect-bounds partial, None) when everything is rectilinear,
+        else (None, general-union WKT).
+
+        ADAPTIVE (same contract as dissolve_clip_area's combine and Spark's
+        hash-agg fallback-to-passthrough): the disjoint decomposition only
+        REDUCES a partial when the group's rects saturate their footprint —
+        a sparse (partition, group) subset decomposes to >= n slivers,
+        spending CPU to *expand* the shuffle. Decompose only when the total
+        rect area overshoots 2x the bbox area, and keep the raw rects when
+        it didn't shrink; raw rects are equally valid partials because
+        stage 2 re-runs the canonical decomposition over the merged set
+        (band decomposition depends on the covered REGION, not on which
+        overlapping rects describe it)."""
         try:
             extra = [r for w in wkts for r in _poly_rects(w)]
         except G.GeomError:
@@ -145,8 +156,17 @@ def union_aggr(df: DataFrame, group_cols: Sequence[str], geom_col: str,
         if extra:
             rect_arr = np.concatenate([
                 rect_arr, np.array(extra, dtype=np.float64).reshape(-1, 4)])
-        merged = R.union_decompose(rect_arr)
-        return merged.astype(np.float64).tobytes(), None
+        n = len(rect_arr)
+        if n >= 8:
+            areas = ((rect_arr[:, 2] - rect_arr[:, 0])
+                     * (rect_arr[:, 3] - rect_arr[:, 1]))
+            bbox = ((rect_arr[:, 2].max() - rect_arr[:, 0].min())
+                    * (rect_arr[:, 3].max() - rect_arr[:, 1].min()))
+            if bbox > 0 and areas.sum() > 2.0 * bbox:
+                cand = R.union_decompose(rect_arr)
+                if len(cand) < n:
+                    rect_arr = cand
+        return np.ascontiguousarray(rect_arr, dtype=np.float64).tobytes(), None
 
     def stage1(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         frames = [p for p in batches if len(p)]
@@ -470,4 +490,225 @@ def dissolve_clip_area(df: DataFrame, group_cols: Sequence[str], geom_col: str,
 
     return partials.repartition(*keys).mapInPandas(
         final_partition, schema=f"{key_schema}, `{out_col}` double"
+    )
+
+
+def dissolve_transform_area(df: DataFrame, group_cols: Sequence[str],
+                            geom_col: str, clip_bounds: Sequence[str],
+                            geom_bounds: Sequence[str] | None = None,
+                            out_col: str = "area") -> DataFrame:
+    """Fused full-parity chain: per group
+        area( transform( clip ∩ union( hygiene(geoms) ) ) )
+    with hygiene = Buffer(MakeValid(GeomFromWKT(·)), 0), transform = the
+    per-vertex EPSG:3857→5880 polyconic, area = translated shoelace — the
+    reference's entire post-join dataflow
+    (spark_job/process_geodata.py:102-139) in ONE Python crossing.
+
+    Why this exists next to union_aggr + the verbatim F.expr chain
+    (`crop_analytics_full_chain`): the chained form crosses the Arrow
+    boundary three times (hygiene UDF pass, union stage 1, union stage 2),
+    and at 600k rows each crossing costs more than all the JVM compute in
+    the plan combined. Semantics are preserved exactly:
+
+      * canonical-rect rows are PROVEN fixed points of the hygiene chain
+        (functions/spatial._RECT_FIXED_RE, property-tested), so skipping
+        the UDFs for them is the same fixed-point fast path the UDFs
+        themselves take — just before the Arrow boundary instead of after;
+      * non-rect rows get the real kernel hygiene
+        (normalize→make_valid→normalize ≡ Buffer(MakeValid(FromWKT),0))
+        inside the combine stage;
+      * the clip runs AFTER the union, on the same canonical band
+        decomposition the oracle replicates — clip-before-union (the
+        flagship's trick) would change the band structure and, post
+        nonlinear transform, the per-piece shoelace sum.
+
+    Contract: `clip_bounds` are 4 numeric columns (x1, y1, x2, y2) of an
+    axis-aligned clip rectangle, constant per group (they ride as extra
+    grouping keys). A non-rectangular clip needs the general chained form.
+
+    Scale shape = dissolve_clip_area's: JVM parse/route, adaptive map-side
+    combine, ONE shuffle of numeric partials, per-group finish. The finish
+    adds O(#bands) trig per group — independent of member count.
+    """
+    from ..functions import spatial as S
+    from ..kernel import transform as T
+
+    keys = list(group_cols)
+    cb = list(clip_bounds)
+    keys_all = keys + cb
+    key_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.select(*keys_all).schema.fields
+    )
+    bounds_schema = (f"{key_schema}, `__x1` double, `__y1` double, "
+                     f"`__x2` double, `__y2` double, `__gwkt` string")
+    bcols = ["__x1", "__y1", "__x2", "__y2"]
+
+    # ---- stage 1: JVM-side parse/route (NO clip — union first) ----------
+    if geom_bounds is not None:
+        bx1, by1, bx2, by2 = [f"cast(`{c}` as double)" for c in geom_bounds]
+        g_ok = (f"({bx1} IS NOT NULL AND {by1} IS NOT NULL"
+                f" AND {bx2} > {bx1} AND {by2} > {by1})")
+        gx = (bx1, by1, bx2, by2)
+    else:
+        arr = wkt_nums_sql(f"`{geom_col}`")
+        e = lambda i: f"try_element_at({arr}, {i})"  # noqa: E731
+        g_ok = f"(`{geom_col}` IS NOT NULL AND {is_rect_sql(arr)})"
+        gx = (e(1), e(2), e(3), e(6))
+    routed = df.selectExpr(
+        *[f"`{k}`" for k in keys_all],
+        f"coalesce({g_ok}, false) AS __fast",
+        f"CASE WHEN coalesce({g_ok}, false) THEN {gx[0]} END AS __x1",
+        f"CASE WHEN coalesce({g_ok}, false) THEN {gx[1]} END AS __y1",
+        f"CASE WHEN coalesce({g_ok}, false) THEN {gx[2]} END AS __x2",
+        f"CASE WHEN coalesce({g_ok}, false) THEN {gx[3]} END AS __y2",
+        f"CASE WHEN NOT coalesce({g_ok}, false) THEN `{geom_col}` END AS __gw",
+    )
+
+    def _hygiene_decompose(w: str):
+        """Kernel hygiene (≡ Buffer(MakeValid(GeomFromWKT(w)), 0)) then
+        rectilinear decomposition; (rects, None) or (None, wkt)."""
+        g = G.normalize(G.make_valid(G.normalize(G.parse_wkt(w))))
+        try:
+            return G.rectilinear_decompose(g), None
+        except G.GeomError:
+            return None, G.to_wkt(g)
+
+    # ---- stage 2: adaptive map-side combine (same as dissolve_clip_area)
+    def combine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: list[pd.DataFrame] = []
+        gacc: list[tuple] = []
+        for pdf in batches:
+            slow = pdf.loc[~pdf["__fast"]]
+            if len(slow):
+                gw = slow["__gw"].to_numpy()
+                kv_rows = list(slow[keys_all].itertuples(index=False, name=None))
+                rows = []
+                for i in range(len(slow)):
+                    if gw[i] is None:
+                        continue
+                    rects, gwkt = _hygiene_decompose(gw[i])
+                    if rects is not None:
+                        rows.extend(kv_rows[i] + tuple(r) for r in rects)
+                    else:
+                        gacc.append(kv_rows[i] + (gwkt,))
+                if rows:
+                    acc.append(pd.DataFrame(rows, columns=keys_all + bcols))
+                pdf = pdf.loc[pdf["__fast"]]
+            if len(pdf):
+                acc.append(pdf[keys_all + bcols])
+        parts = []
+        if acc:
+            whole = pd.concat(acc, ignore_index=True)
+            kmat = whole[keys_all].to_numpy()
+            bmat = whole[bcols].to_numpy(dtype=np.float64)
+            order = np.lexsort(tuple(kmat[:, i]
+                               for i in range(kmat.shape[1] - 1, -1, -1)))
+            kmat, bmat = kmat[order], bmat[order]
+            change = np.empty(len(kmat), dtype=bool)
+            change[0] = True
+            change[1:] = (kmat[1:] != kmat[:-1]).any(axis=1)
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], len(kmat))
+            out_k, out_b = [], []
+            for s, e in zip(starts, ends):
+                sub = bmat[s:e]
+                n = e - s
+                dec = None
+                if n >= 8:
+                    areas = (sub[:, 2] - sub[:, 0]) * (sub[:, 3] - sub[:, 1])
+                    bbox = ((sub[:, 2].max() - sub[:, 0].min())
+                            * (sub[:, 3].max() - sub[:, 1].min()))
+                    if bbox > 0 and areas.sum() > 2.0 * bbox:
+                        cand = R.union_decompose(sub)
+                        if len(cand) < n:
+                            dec = cand
+                if dec is None:
+                    dec = sub
+                out_b.append(dec)
+                out_k.append(np.repeat(kmat[s:s + 1], len(dec), axis=0))
+            kcat = np.concatenate(out_k)
+            part = pd.DataFrame(np.concatenate(out_b), columns=bcols)
+            for i, k in enumerate(keys_all):
+                part.insert(i, k, kcat[:, i])
+            part["__gwkt"] = None
+            parts.append(part)
+        if gacc:
+            gdf = pd.DataFrame(gacc, columns=keys_all + ["__gwkt"])
+            for kv, grp in gdf.groupby(keys_all, sort=False):
+                u = B.union_geom([G.parse_wkt(w) for w in grp["__gwkt"]])
+                kv = kv if isinstance(kv, tuple) else (kv,)
+                parts.append(pd.DataFrame(
+                    [kv + (None, None, None, None, G.to_wkt(u))],
+                    columns=keys_all + bcols + ["__gwkt"]))
+        if parts:
+            yield pd.concat(parts, ignore_index=True)
+
+    partials = routed.mapInPandas(combine, schema=bounds_schema)
+
+    # ---- stage 3: canonical decompose → clip → transform → area ---------
+    n_keys = len(keys)
+
+    def finish(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        frames = [p for p in batches if len(p)]
+        if not frames:
+            return
+        whole = (pd.concat(frames, ignore_index=True)
+                 if len(frames) > 1 else frames[0])
+        kmat = whole[keys_all].to_numpy()
+        order = np.lexsort(tuple(kmat[:, i]
+                           for i in range(kmat.shape[1] - 1, -1, -1)))
+        kmat = kmat[order]
+        bmat = whole[bcols].to_numpy(dtype=np.float64)[order]
+        gw = whole["__gwkt"].to_numpy()[order]
+        change = np.empty(len(kmat), dtype=bool)
+        change[0] = True
+        change[1:] = (kmat[1:] != kmat[:-1]).any(axis=1)
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(kmat))
+        areas = np.empty(len(starts), dtype=np.float64)
+        for gi, (s, e) in enumerate(zip(starts, ends)):
+            cx1, cy1, cx2, cy2 = (float(v) for v in kmat[s][n_keys:])
+            gwkts = [w for w in gw[s:e] if w is not None]
+            if gwkts:
+                # general members: union partials, convex-clip to the
+                # rect window, parity rinse, transform, shoelace
+                rect_rows = bmat[s:e][pd.isna(gw[s:e])]
+                geoms = [G.parse_wkt(w) for w in gwkts]
+                if len(rect_rows):
+                    disjoint = R.union_decompose(rect_rows)
+                    geoms.append(G.rects_to_geom([tuple(r) for r in disjoint]))
+                u = B.union_geom(geoms)
+                clip_ring = [(cx1, cy1), (cx2, cy1), (cx2, cy2), (cx1, cy2)]
+                clipped = G.clip_convex(u, clip_ring)
+                clipped = G.normalize(G.make_valid(clipped))
+                areas[gi] = G.area(T.transform_geom(clipped))
+                continue
+            merged = R.union_decompose(bmat[s:e])
+            # clip each canonical band to the rect window (strict overlap)
+            nx1 = np.maximum(merged[:, 0], cx1)
+            ny1 = np.maximum(merged[:, 1], cy1)
+            nx2 = np.minimum(merged[:, 2], cx2)
+            ny2 = np.minimum(merged[:, 3], cy2)
+            keep = (nx2 > nx1) & (ny2 > ny1)
+            total = 0.0
+            mp = T.mercator_to_polyconic
+            for x1, y1, x2, y2 in zip(nx1[keep], ny1[keep],
+                                      nx2[keep], ny2[keep]):
+                ring = [mp(x1, y1), (0.0, 0.0), (0.0, 0.0), (0.0, 0.0)]
+                ring[1] = mp(x2, y1)
+                ring[2] = mp(x2, y2)
+                ring[3] = mp(x1, y2)
+                total += abs(G._ring_signed_area(ring))
+            areas[gi] = total
+        out = pd.DataFrame(kmat[starts][:, :n_keys], columns=keys)
+        out[out_col] = areas
+        yield out
+
+    return partials.repartition(*keys_all).mapInPandas(
+        finish,
+        schema=", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in df.select(*keys).schema.fields
+        ) + f", `{out_col}` double",
     )

@@ -138,14 +138,50 @@ def _crop_analytics_full_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 def crop_analytics_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full-parity chain (see _crop_analytics_full_area), output quantized
-    to 0.01 m² (round(area·100) as BIGINT) so the DuckDB oracle — which
-    replicates the whole chain in SQL: canonical band decomposition of the
-    rect union, region clip, per-vertex EPSG:3857→5880 polyconic forward,
-    translated shoelace — hash-matches despite libm ulp divergence between
-    engines. Measured cross-engine disagreement is ~1e-9 m²
+    """Full-parity computation — hygiene → union → clip → reproject → area
+    (reference spark_job/process_geodata.py:102-139) — through the FUSED
+    dissolve_transform_area operator: one Python crossing instead of the
+    chained form's three (r4 verdict item 4). Output quantized to 0.01 m²
+    (round(area·100) as BIGINT) so the DuckDB oracle — canonical band
+    decomposition of the rect union, region clip, per-vertex
+    EPSG:3857→5880 polyconic forward, translated shoelace — hash-matches
+    despite libm ulp divergence between engines. Measured cross-engine
+    disagreement is ~1e-9 m²
     (tests/test_pipeline.py::test_full_chain_oracle_quantization_margin),
-    ≥1e6× below the quantum."""
+    ≥1e6× below the quantum.
+
+    The verbatim F.expr("ST_…") chain remains exercised — bit-compatibly,
+    same oracle — as crop_analytics_full_chain."""
+    from ..operators.dissolve import dissolve_transform_area
+
+    lu = fixtures.land_use_areas(spark, sf_dir, wkt=False)
+    regions = fixtures.geographic_regions(spark, sf_dir)
+    joined = lu.join(F.broadcast(regions), lu["region_id"] == regions["id"],
+                     "inner")
+    # WKT built post-join: Catalyst prunes it out of the rect fast branch,
+    # so only slow-path rows ever materialize the string
+    joined = joined.withColumn(
+        "land_geometry", fixtures.rect_wkt("x1", "y1", "x2", "y2"))
+    out = dissolve_transform_area(
+        joined,
+        group_cols=["region_id", "season_id", "land_type_id"],
+        geom_col="land_geometry",
+        clip_bounds=["gx1", "gy1", "gx2", "gy2"],
+        geom_bounds=["x1", "y1", "x2", "y2"],
+        out_col="area",
+    )
+    return out.select(
+        "region_id", "season_id", "land_type_id",
+        F.expr("CAST(round(area * 100) AS BIGINT)").alias("area_q"),
+    )
+
+
+def crop_analytics_full_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verbatim-parity form of crop_analytics_full: every reference
+    call site as a literal F.expr("ST_…") chain over the registered UDF
+    surface + the generic union_aggr (see _crop_analytics_full_area).
+    Same oracle as the fused query — the pair is a standing equivalence
+    proof between the fused operator and the verbatim chain."""
     return _crop_analytics_full_area(spark, sf_dir).select(
         "region_id", "season_id", "land_type_id",
         F.expr("CAST(round(area * 100) AS BIGINT)").alias("area_q"),

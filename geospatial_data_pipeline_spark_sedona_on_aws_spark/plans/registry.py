@@ -61,7 +61,8 @@ QUERIES: dict[str, QueryFn] = {
     # ==================== tier 1: the driver's 50-entry window ============
     # --- anchors kept from the round-3 window ---
     "crop_analytics": P.crop_analytics,
-    "crop_analytics_full": P.crop_analytics_full,  # r4: quantized value oracle
+    "crop_analytics_full": P.crop_analytics_full,  # r5: fused one-crossing op
+    "crop_analytics_full_chain": P.crop_analytics_full_chain,  # verbatim F.expr chain
     "q12_late_priority": T.q12_late_priority,   # r2's one red row — keep gated
     "sessionize_events_stateful": EV.sessionize_streaming,
     "dedup_clusters": GR.dedup_clusters,        # r4: two-phase star backstop
@@ -389,6 +390,7 @@ ORACLES: dict[str, str] = {
     "multimodal_wav_decode": MM.MULTIMODAL_WAV_DECODE_ORACLE,
     "multimodal_y4m_decode": MM.MULTIMODAL_Y4M_DECODE_ORACLE,
     "crop_analytics_full": P.CROP_ANALYTICS_FULL_ORACLE,
+    "crop_analytics_full_chain": P.CROP_ANALYTICS_FULL_ORACLE,
     "multimodal_resize": MM.MULTIMODAL_RESIZE_ORACLE,
     "multimodal_frame_sample": MM.MULTIMODAL_FRAME_SAMPLE_ORACLE,
     "pyds_sensor_hourly": PDS.SENSOR_HOURLY_ORACLE,

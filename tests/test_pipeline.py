@@ -205,3 +205,83 @@ def test_bucketed_join_is_shuffle_free(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+
+
+def test_fused_full_chain_equals_verbatim_chain(spark):
+    """crop_analytics_full (fused dissolve_transform_area) must reproduce
+    the verbatim F.expr("ST_…") chain exactly at the oracle quantum —
+    same groups, same quantized areas."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.plans import (
+        pipeline as P,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    fused = {tuple(r[:3]): r[3]
+             for r in P.crop_analytics_full(spark, sf).collect()}
+    chain = {tuple(r[:3]): r[3]
+             for r in P.crop_analytics_full_chain(spark, sf).collect()}
+    assert fused == chain
+    assert len(fused) > 0
+
+
+def test_fused_full_chain_general_geometry_slow_path(spark):
+    """Non-rect members route through the kernel hygiene inside the fused
+    combine: an L-shape (two rects' worth of area) grouped with rects must
+    contribute its clipped, transformed area like the chain would."""
+    from pyspark.sql import functions as F
+
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.operators.dissolve import (
+        dissolve_transform_area,
+    )
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.plans import (
+        pipeline as P,  # noqa: F401  (registers nothing; parity of imports)
+    )
+
+    rows = [
+        # group 1: two overlapping rects + one L-shape, clip window [0,20]²
+        (1, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"),
+        (1, "POLYGON ((5 0, 15 0, 15 10, 5 10, 5 0))"),
+        (1, "POLYGON ((0 10, 5 10, 5 20, 10 20, 10 25, 0 25, 0 10))"),
+    ]
+    df = (
+        spark.createDataFrame(rows, "gid int, g string")
+        .withColumn("cx1", F.lit(0.0)).withColumn("cy1", F.lit(0.0))
+        .withColumn("cx2", F.lit(20.0)).withColumn("cy2", F.lit(20.0))
+    )
+    out = dissolve_transform_area(
+        df, group_cols=["gid"], geom_col="g",
+        clip_bounds=["cx1", "cy1", "cx2", "cy2"], out_col="area",
+    ).collect()
+    assert len(out) == 1
+    # expected: kernel replay of the same semantics — canonical band
+    # decomposition of the 4-rect union (2 rects + the L's 2 bands),
+    # clipped to [0,20]², per-vertex polyconic transform, shoelace sum.
+    # Planar clipped area is 200; EPSG:3857 x≈0 sits 54° from the 5880
+    # central meridian, so the transformed area is far from 200 — the
+    # point of the check is that the SLOW-path L routed through the same
+    # hygiene+union as the fast rects, not a planar identity.
+    import numpy as np
+
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel import (
+        geom as G,
+    )
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel import (
+        rectnp as R,
+    )
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel import (
+        transform as T,
+    )
+
+    rects = np.array(
+        [[0, 0, 10, 10], [5, 0, 15, 10], [0, 10, 5, 25], [5, 20, 10, 25]],
+        dtype=np.float64,
+    )
+    m = R.union_decompose(rects)
+    nx1 = np.maximum(m[:, 0], 0.0)
+    ny1 = np.maximum(m[:, 1], 0.0)
+    nx2 = np.minimum(m[:, 2], 20.0)
+    ny2 = np.minimum(m[:, 3], 20.0)
+    keep = (nx2 > nx1) & (ny2 > ny1)
+    pieces = list(zip(nx1[keep], ny1[keep], nx2[keep], ny2[keep]))
+    expected = G.area(T.transform_geom(G.rects_to_geom(pieces)))
+    assert abs(out[0]["area"] - expected) < 1e-6 * expected
