@@ -356,6 +356,73 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+def knn_join_numpy(spark: SparkSession, sf_dir: str,
+                   k: int = KNN_K) -> DataFrame:
+    """knn_join's Arrow-batched numpy path: same query, same bit-exact
+    output, but the per-point distance/top-k runs as ONE vectorized numpy
+    computation per Arrow batch instead of interpreted higher-order
+    lambdas per point (transform/array_sort evaluate outside codegen at
+    ~µs per element — 50 regions x 1.5M points at sf1 made the lambda
+    form the steepest curve in BENCH_SWEEP_r4).
+
+    The 50-row dimension is collected driver-side and closed over — the
+    same bounded-artifact contract as the IVF centroid / PQ codebook
+    collects (operators/similarity.py); the point side streams through
+    mapInPandas unshuffled, so the scale shape is identical to the
+    broadcast-array form: scan -> map -> done.
+
+    Tie-break (dist2, then region id) is folded into one exact float64
+    sort key dist2 * 64 + id: dist2 is integer-valued < ~4e5 and ids < 64,
+    so the key is exact and its order IS the lexicographic order.
+    """
+    import numpy as np
+    import pandas as pd
+
+    o = _t_orders(spark, sf_dir)
+    pts = o.select(
+        F.col("o_orderkey").alias("point_id"),
+        (F.col("o_custkey") % 100).alias("px"),
+        ((F.col("o_orderkey") * 7) % 100).alias("py"),
+    )
+    pts = IO.spread_scan(pts)
+    regions = fixtures.geographic_regions(spark, sf_dir)
+    dim = regions.select(
+        (F.col("gx1") + F.col("gx2")).alias("sx"),
+        (F.col("gy1") + F.col("gy2")).alias("sy"), "id",
+    ).collect()
+    sx = np.array([r.sx for r in dim], dtype=np.float64)
+    sy = np.array([r.sy for r in dim], dtype=np.float64)
+    ids = np.array([r.id for r in dim], dtype=np.int64)
+    assert ids.max() < 64, "tie-break key packing assumes region ids < 64"
+
+    def topk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            px = pdf["px"].to_numpy(dtype=np.float64)
+            py = pdf["py"].to_numpy(dtype=np.float64)
+            dx = 2.0 * px[:, None] - sx[None, :]
+            dy = 2.0 * py[:, None] - sy[None, :]
+            d2 = dx * dx + dy * dy
+            key = d2 * 64.0 + ids[None, :]
+            part = np.argpartition(key, k - 1, axis=1)[:, :k]
+            rowk = np.take_along_axis(key, part, axis=1)
+            order = np.argsort(rowk, axis=1)
+            nn = np.take_along_axis(part, order, axis=1)
+            n = len(pdf)
+            yield pd.DataFrame({
+                "point_id": np.repeat(pdf["point_id"].to_numpy(), k),
+                "rank": np.tile(np.arange(1, k + 1, dtype=np.int64), n),
+                "region_id": ids[nn].ravel(),
+                "dist2": np.take_along_axis(d2, nn, axis=1)
+                .ravel().astype(np.int64),
+            })
+
+    return pts.mapInPandas(
+        topk, "point_id bigint, rank bigint, region_id bigint, dist2 bigint"
+    )
+
+
 def knn_join_grid(spark: SparkSession, sf_dir: str, cell: int = 25,
                   k: int = KNN_K) -> DataFrame:
     """The non-broadcast KNN fallback: grid-partitioned dimension with

@@ -159,7 +159,8 @@ QUERIES: dict[str, QueryFn] = {
     "geo_range_join": SJ.geo_range_join_count,
     "zorder_curve": LAY.zorder_curve,
     "points_in_regions": SJ.points_in_regions,
-    "spatial_knn_join": SJ.knn_join,
+    "spatial_knn_join": SJ.knn_join_numpy,  # r5: vectorized top-k (bit-identical, 3x at sf1)
+    "spatial_knn_join_lambda": SJ.knn_join,  # the HOF form it replaced
     "crop_analytics_csv_roundtrip": P.crop_analytics_csv_roundtrip,
     "crop_analytics_jsonl_roundtrip": P.crop_analytics_jsonl_roundtrip,
     # --- relational / TPC-H ---
@@ -273,6 +274,7 @@ ORACLES: dict[str, str] = {
     "geo_range_join": SJ.GEO_RANGE_JOIN_ORACLE,
     "points_in_regions": SJ.POINTS_IN_REGIONS_ORACLE,
     "spatial_knn_join": SJ.KNN_JOIN_ORACLE,
+    "spatial_knn_join_lambda": SJ.KNN_JOIN_ORACLE,
     "spatial_knn_join_grid": SJ.KNN_JOIN_ORACLE,  # fallback path, same answer
     "crop_analytics_skewed": P.CROP_ANALYTICS_SKEWED_ORACLE,
     "q1_pricing_summary": R.Q1_ORACLE,

@@ -554,3 +554,17 @@ def test_bucket_pairs_blocked_path_equals_direct_path(spark):
     blocked = _bucket_pairs(buckets, block=64).collect()
     assert sorted(map(tuple, direct)) == sorted(map(tuple, blocked))
     assert all(r.doc_a < r.doc_b for r in blocked)
+
+
+def test_knn_numpy_path_bit_identical_to_lambda_path(spark):
+    """r4 verdict item 3: the Arrow-batched numpy top-k (registry default
+    since r5) must equal the higher-order-lambda form bit for bit,
+    including the (dist2, region_id) tie-break."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.operators import (
+        spatial_join as SJ,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = sorted(map(tuple, SJ.knn_join(spark, sf).collect()))
+    b = sorted(map(tuple, SJ.knn_join_numpy(spark, sf).collect()))
+    assert a == b and len(a) > 0
