@@ -320,7 +320,12 @@ def _transform(s: str | None, src: str, dst: str) -> str | None:
     if (src, dst) == ("EPSG:5880", "EPSG:3857"):
         # inverse pair (Newton fixpoint of the forward — kernel/transform.py)
         return G.to_wkt(T.transform_geom_inverse(G.parse_wkt(s)))
-    raise G.GeomError(f"ST_Transform: unsupported CRS pair {src}->{dst}")
+    # general pairs through the CRS registry (4326, 3857, 5880, UTM
+    # 326xx/327xx — kernel/transform.resolve_crs); unknown CRS raises
+    try:
+        return G.to_wkt(T.transform_geom_crs(G.parse_wkt(s), src, dst))
+    except ValueError as exc:
+        raise G.GeomError(f"ST_Transform: {exc}") from exc
 
 def _envelope(s: str | None) -> str | None:
     if s is None:

@@ -107,3 +107,137 @@ def polyconic_to_mercator(x: float, y: float) -> tuple[float, float]:
 def transform_geom_inverse(geom: list) -> list:
     return [[[polyconic_to_mercator(x, y) for x, y in ring] for ring in poly]
             for poly in geom]
+
+# --------------------------------------------------------- CRS registry
+#
+# r4 verdict item 6: the closed-form forward + Newton-inverse pattern,
+# generalized to a small public-formula registry. Every CRS is a pair of
+# functions between (lon, lat) RADIANS and projected coordinates:
+#
+#   EPSG:4326   lon/lat degrees (axis order lon, lat — the GIS-tool
+#               convention, matching PostGIS ST_Transform output)
+#   EPSG:3857   WGS84 Web Mercator (spherical, R = a) — Snyder eq. 7-1/7-2
+#   EPSG:5880   SIRGAS 2000 / Brazil Polyconic — Snyder eqs. 18-12..18-15
+#   EPSG:326xx  WGS84 / UTM zone xx north — transverse Mercator series,
+#   EPSG:327xx  WGS84 / UTM zone xx south    Snyder eqs. 8-9..8-13
+#
+# Inverses are DEFINED as the forward's Newton fixpoint (same rationale as
+# polyconic_inverse): any forward fix keeps the pair consistent, and the
+# hypothesis round-trip tests bound the residual at sub-micrometre.
+
+_K0_UTM = 0.9996
+_EP2 = _E2 / (1.0 - _E2)  # e'^2
+
+
+def _utm_forward(lon: float, lat: float, lon0: float,
+                 fn: float) -> tuple[float, float]:
+    s, c, t = math.sin(lat), math.cos(lat), math.tan(lat)
+    n = _A / math.sqrt(1.0 - _E2 * s * s)
+    bigT = t * t
+    bigC = _EP2 * c * c
+    bigA = (lon - lon0) * c
+    m = _meridian_arc(lat)
+    a2, a3 = bigA * bigA, None
+    a3 = a2 * bigA
+    x = _K0_UTM * n * (
+        bigA + (1.0 - bigT + bigC) * a3 / 6.0
+        + (5.0 - 18.0 * bigT + bigT * bigT + 72.0 * bigC - 58.0 * _EP2)
+        * a3 * a2 / 120.0)
+    y = _K0_UTM * (m + n * t * (
+        a2 / 2.0
+        + (5.0 - bigT + 9.0 * bigC + 4.0 * bigC * bigC) * a2 * a2 / 24.0
+        + (61.0 - 58.0 * bigT + bigT * bigT + 600.0 * bigC - 330.0 * _EP2)
+        * a3 * a3 / 720.0))
+    return 500_000.0 + x, fn + y
+
+
+def _newton_inverse(forward, x: float, y: float, lon_seed: float,
+                    lat_seed: float) -> tuple[float, float]:
+    """Generic 2-D Newton on a closed-form forward (finite-difference
+    Jacobian) — the polyconic_inverse machinery, reusable per CRS."""
+    lon, lat = lon_seed, lat_seed
+    for _ in range(20):
+        fx, fy = forward(lon, lat)
+        rx, ry = fx - x, fy - y
+        if abs(rx) < 1e-9 and abs(ry) < 1e-9:
+            break
+        h = 1e-8
+        fx1, fy1 = forward(lon + h, lat)
+        fx2, fy2 = forward(lon, lat + h)
+        j11, j21 = (fx1 - fx) / h, (fy1 - fy) / h
+        j12, j22 = (fx2 - fx) / h, (fy2 - fy) / h
+        det = j11 * j22 - j12 * j21
+        if det == 0.0:
+            break
+        lon -= (rx * j22 - j12 * ry) / det
+        lat -= (j11 * ry - rx * j21) / det
+    return lon, lat
+
+
+def _make_utm(zone: int, south: bool):
+    lon0 = math.radians(-183.0 + 6.0 * zone)
+    fn = 10_000_000.0 if south else 0.0
+
+    def fwd(lon: float, lat: float) -> tuple[float, float]:
+        return _utm_forward(lon, lat, lon0, fn)
+
+    def inv(x: float, y: float) -> tuple[float, float]:
+        lat0 = (y - fn) / (_K0_UTM * _A)
+        lon_seed = lon0 + (x - 500_000.0) / (
+            _K0_UTM * _A * max(math.cos(lat0), 1e-9))
+        return _newton_inverse(fwd, x, y, lon_seed, lat0)
+
+    return fwd, inv
+
+
+def _lonlat_fwd(lon: float, lat: float) -> tuple[float, float]:
+    return math.degrees(lon), math.degrees(lat)
+
+
+def _lonlat_inv(x: float, y: float) -> tuple[float, float]:
+    return math.radians(x), math.radians(y)
+
+
+def _polyconic_fwd_checked(lon: float, lat: float) -> tuple[float, float]:
+    return polyconic_forward(lon, lat)
+
+
+# name -> (forward(lon, lat) -> (x, y), inverse(x, y) -> (lon, lat))
+_BASE_CRS = {
+    "EPSG:4326": (_lonlat_fwd, _lonlat_inv),
+    "EPSG:3857": (webmercator_forward, webmercator_inverse),
+    "EPSG:5880": (_polyconic_fwd_checked, polyconic_inverse),
+}
+
+
+def resolve_crs(name: str):
+    """(forward, inverse) for a registered CRS. UTM zones are synthesized
+    on demand from the EPSG code (326xx north / 327xx south)."""
+    crs = _BASE_CRS.get(name)
+    if crs is not None:
+        return crs
+    if name.startswith("EPSG:326") or name.startswith("EPSG:327"):
+        code = name[5:]
+        if len(code) == 5 and code[3:].isdigit():
+            zone = int(code[3:])
+            if 1 <= zone <= 60:
+                crs = _make_utm(zone, south=code.startswith("327"))
+                _BASE_CRS[name] = crs  # memoize the closure pair
+                return crs
+    raise ValueError(f"unsupported CRS {name!r} (registered: "
+                     f"4326, 3857, 5880, UTM 326xx/327xx)")
+
+
+def transform_point(x: float, y: float, src: str, dst: str
+                    ) -> tuple[float, float]:
+    """Projected point src -> dst through the (lon, lat) pivot."""
+    _, inv = resolve_crs(src)
+    fwd, _ = resolve_crs(dst)
+    return fwd(*inv(x, y))
+
+
+def transform_geom_crs(geom: list, src: str, dst: str) -> list:
+    _, inv = resolve_crs(src)
+    fwd, _ = resolve_crs(dst)
+    return [[[fwd(*inv(x, y)) for x, y in ring] for ring in poly]
+            for poly in geom]

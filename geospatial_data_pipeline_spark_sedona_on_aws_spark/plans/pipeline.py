@@ -777,6 +777,131 @@ SELECT property_id,
 FROM land_use
 """
 
+# UTM constants shared verbatim by the Spark plan and the DuckDB oracle
+# (GRS80/WGS84 ellipsoid, k0 = 0.9996, zone 22 south: lon0 = -51,
+# FN = 1e7). repr() of the kernel's own doubles: both engines parse the
+# same shortest-round-trip decimal, so the float64 values are IDENTICAL —
+# hand-transcribed constants cost 0.15 mm of systematic divergence.
+def _utm_consts() -> dict[str, str]:
+    from ..kernel import transform as _T
+
+    return {
+        "A": repr(_T._A),
+        "E2": repr(_T._E2),
+        "EP2": repr(_T._EP2),
+        "K0": repr(_T._K0_UTM),
+        "LON0": "radians(-51.0)",
+        "C0": repr(_T._M0_C0),
+        "C2": repr(_T._M0_C2),
+        "C4": repr(_T._M0_C4),
+        "C6": repr(_T._M0_C6),
+    }
+
+
+_UTM = _utm_consts()
+
+
+def st_transform_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Transform through the r5 CRS registry: a small lon/lat rectangle
+    per parcel (degrees, zone 22 south vicinity) goes EPSG:4326 →
+    EPSG:32722 (WGS84 / UTM 22S); the oracle replicates the transverse-
+    Mercator series (Snyder eqs. 8-9..8-13) per corner in SQL. Outputs:
+    corner-1/corner-3 easting+northing quantized to 1 mm, plus the
+    EPSG:32722 → EPSG:4326 Newton round trip of corner 1 quantized to
+    1e-6 deg (≈ 0.1 m; the Newton residual is ~1e-14 deg)."""
+    from ..functions.spatial import register_spatial_functions
+
+    register_spatial_functions(spark)
+    lu = fixtures.land_use_areas(spark, sf_dir, wkt=False)
+    deg = lu.selectExpr(
+        "property_id",
+        "-57.0 + CAST(x1 % 500 AS DOUBLE) / 100 AS lon1",
+        "-12.0 + CAST(y1 % 700 AS DOUBLE) / 100 AS lat1",
+    ).selectExpr(
+        "property_id", "lon1", "lat1",
+        "lon1 + 0.01 AS lon2", "lat1 + 0.01 AS lat2",
+    )
+    wkt = ("concat_ws('', 'POLYGON ((', lon1, ' ', lat1, ', ', lon2, ' ',"
+           " lat1, ', ', lon2, ' ', lat2, ', ', lon1, ' ', lat2, '))')")
+    out = deg.selectExpr(
+        "property_id", "lon1", "lat1",
+        f"ST_Transform({wkt}, 'EPSG:4326', 'EPSG:32722') AS __utm",
+    ).selectExpr(
+        "property_id", "lon1", "lat1", "__utm",
+        "ST_Transform(__utm, 'EPSG:32722', 'EPSG:4326') AS __rt",
+    )
+    from ..operators.dissolve import wkt_nums_sql
+
+    arr_u = wkt_nums_sql("__utm")
+    arr_r = wkt_nums_sql("__rt")
+    return out.selectExpr(
+        "property_id",
+        f"CAST(round(try_element_at({arr_u}, 1) * 1000) AS BIGINT) AS e1_mm",
+        f"CAST(round(try_element_at({arr_u}, 2) * 1000) AS BIGINT) AS n1_mm",
+        f"CAST(round(try_element_at({arr_u}, 5) * 1000) AS BIGINT) AS e3_mm",
+        f"CAST(round(try_element_at({arr_u}, 6) * 1000) AS BIGINT) AS n3_mm",
+        f"CAST(round(try_element_at({arr_r}, 1) * 1000000) AS BIGINT) AS lon_rt_q",
+        f"CAST(round(try_element_at({arr_r}, 2) * 1000000) AS BIGINT) AS lat_rt_q",
+    )
+
+
+def _tm_corner_sql(lon: str, lat: str, e_alias: str, n_alias: str) -> str:
+    """TM-forward SQL for one (lon, lat)-degrees corner expression pair."""
+    u = _UTM
+    phi = f"radians({lat})"
+    return f"""
+        500000.0 + {u['K0']} * ({u['A']} / sqrt(1.0 - {u['E2']} * sin({phi}) * sin({phi})))
+          * ((radians({lon}) - {u['LON0']}) * cos({phi})
+             + (1.0 - tan({phi})*tan({phi}) + {u['EP2']}*cos({phi})*cos({phi}))
+               * pow((radians({lon}) - {u['LON0']}) * cos({phi}), 3) / 6.0
+             + (5.0 - 18.0*tan({phi})*tan({phi}) + pow(tan({phi}), 4)
+                + 72.0*{u['EP2']}*cos({phi})*cos({phi}) - 58.0*{u['EP2']})
+               * pow((radians({lon}) - {u['LON0']}) * cos({phi}), 5) / 120.0
+            ) AS {e_alias},
+        10000000.0 + {u['K0']} * (
+            {u['A']} * ({u['C0']}*{phi} - {u['C2']}*sin(2*{phi})
+                        + {u['C4']}*sin(4*{phi}) - {u['C6']}*sin(6*{phi}))
+            + ({u['A']} / sqrt(1.0 - {u['E2']} * sin({phi}) * sin({phi}))) * tan({phi}) * (
+                pow((radians({lon}) - {u['LON0']}) * cos({phi}), 2) / 2.0
+                + (5.0 - tan({phi})*tan({phi}) + 9.0*{u['EP2']}*cos({phi})*cos({phi})
+                   + 4.0*pow({u['EP2']}*cos({phi})*cos({phi}), 2))
+                  * pow((radians({lon}) - {u['LON0']}) * cos({phi}), 4) / 24.0
+                + (61.0 - 58.0*tan({phi})*tan({phi}) + pow(tan({phi}), 4)
+                   + 600.0*{u['EP2']}*cos({phi})*cos({phi}) - 330.0*{u['EP2']})
+                  * pow((radians({lon}) - {u['LON0']}) * cos({phi}), 6) / 720.0
+            )) AS {n_alias}"""
+
+
+ST_TRANSFORM_UTM_ORACLE = f"""
+WITH {fixtures.LAND_USE_CTE.strip()},
+deg AS (
+    SELECT property_id,
+           -57.0 + CAST(x1 % 500 AS DOUBLE) / 100 AS lon1,
+           -12.0 + CAST(y1 % 700 AS DOUBLE) / 100 AS lat1
+    FROM land_use
+),
+deg2 AS (
+    SELECT property_id, lon1, lat1,
+           lon1 + 0.01 AS lon2, lat1 + 0.01 AS lat2
+    FROM deg
+),
+tm AS (
+    SELECT property_id, lon1, lat1,
+    {_tm_corner_sql('lon1', 'lat1', 'e1', 'n1')},
+    {_tm_corner_sql('lon2', 'lat2', 'e3', 'n3')}
+    FROM deg2
+)
+SELECT property_id,
+       CAST(round(e1 * 1000) AS BIGINT) AS e1_mm,
+       CAST(round(n1 * 1000) AS BIGINT) AS n1_mm,
+       CAST(round(e3 * 1000) AS BIGINT) AS e3_mm,
+       CAST(round(n3 * 1000) AS BIGINT) AS n3_mm,
+       CAST(round(lon1 * 1000000) AS BIGINT) AS lon_rt_q,
+       CAST(round(lat1 * 1000000) AS BIGINT) AS lat_rt_q
+FROM tm
+"""
+
+
 def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-data report between two published blue-green snapshots: v1 is
     the flagship result, v2 the next refresh with a deterministic change

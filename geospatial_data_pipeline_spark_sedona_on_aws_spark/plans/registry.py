@@ -91,6 +91,7 @@ QUERIES: dict[str, QueryFn] = {
     "cohort_retention": EV.cohort_retention,               # weekly cohort matrix
     "anomaly_zscore": EV.anomaly_zscore,                   # exact-int z-score flags
     "st_transform_roundtrip": P.st_transform_roundtrip,    # bijective CRS pair
+    "st_transform_utm": P.st_transform_utm,                # r5: CRS registry (UTM 22S)
     "streaming_hll_distinct": EV.streaming_hll_distinct,   # mergeable-sketch state
     "snapshot_diff": P.snapshot_diff,                      # blue-green CDC report
     "segment_dedup_rewrite": DD.segment_dedup_rewrite,     # C4-style line dedup
@@ -256,6 +257,7 @@ ORACLES: dict[str, str] = {
     "cohort_retention": EV.COHORT_RETENTION_ORACLE,
     "anomaly_zscore": EV.ANOMALY_ZSCORE_ORACLE,
     "st_transform_roundtrip": P.ST_TRANSFORM_ROUNDTRIP_ORACLE,
+    "st_transform_utm": P.ST_TRANSFORM_UTM_ORACLE,
     "streaming_hll_distinct": EV.STREAMING_HLL_DISTINCT_ORACLE,
     "snapshot_diff": P.SNAPSHOT_DIFF_ORACLE,
     "segment_dedup_rewrite": DD.SEGMENT_DEDUP_REWRITE_ORACLE,

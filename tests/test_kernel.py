@@ -328,3 +328,74 @@ def test_rect_fixed_point_fast_path_identity():
         slow = s.map(scalar, na_action="ignore")
         for f, sl in zip(fast, slow):
             assert (f == sl) or (pd.isna(f) and pd.isna(sl)), (f, sl)
+
+
+# ------------------------------------------------- CRS registry (round 5)
+
+
+@given(st.floats(-179.9, 179.9), st.floats(-85.0, 85.0))
+@settings(max_examples=200, deadline=None)
+def test_prop_crs_4326_3857_round_trip(lon, lat):
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel import transform as T
+
+    x, y = T.transform_point(lon, lat, "EPSG:4326", "EPSG:3857")
+    lon2, lat2 = T.transform_point(x, y, "EPSG:3857", "EPSG:4326")
+    assert abs(lon2 - lon) < 1e-9 and abs(lat2 - lat) < 1e-9
+
+
+@given(st.integers(1, 60), st.booleans(),
+       st.floats(-2.9, 2.9), st.floats(-79.0, 79.0))
+@settings(max_examples=200, deadline=None)
+def test_prop_crs_utm_round_trip(zone, south, dlon, lat):
+    """Any UTM zone, either hemisphere, lon within ±3° of the zone's
+    central meridian: projected→geographic→projected lands within 1e-6 m
+    (the Newton inverse tolerance is 1e-9 m in projected space)."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel import transform as T
+
+    if south and lat > 0 or not south and lat < 0:
+        lat = -lat
+    crs = f"EPSG:{327 if south else 326}{zone:02d}"
+    lon = -183.0 + 6.0 * zone + dlon
+    e, n = T.transform_point(lon, lat, "EPSG:4326", crs)
+    lon2, lat2 = T.transform_point(e, n, crs, "EPSG:4326")
+    e2, n2 = T.transform_point(lon2, lat2, "EPSG:4326", crs)
+    assert abs(e2 - e) < 1e-6 and abs(n2 - n) < 1e-6
+    assert abs(lon2 - lon) < 1e-7 and abs(lat2 - lat) < 1e-7
+
+
+@given(st.floats(-170.0, 170.0), st.floats(-80.0, 80.0))
+@settings(max_examples=200, deadline=None)
+def test_prop_crs_composed_pivot(lon, lat):
+    """src→dst→src through the lon/lat pivot for the mercator/polyconic
+    pair resolved via the REGISTRY (not the fused special case)."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel import transform as T
+
+    x, y = T.transform_point(lon, lat, "EPSG:4326", "EPSG:3857")
+    # registry path 3857 -> 5880 equals the fused special case
+    gx, gy = T.transform_point(x, y, "EPSG:3857", "EPSG:5880")
+    fx, fy = T.mercator_to_polyconic(x, y)
+    assert abs(gx - fx) < 1e-9 and abs(gy - fy) < 1e-9
+
+
+def test_crs_registry_rejects_unknown():
+    import pytest
+
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel import transform as T
+
+    for bad in ("EPSG:2154", "EPSG:32661", "EPSG:32700", "utm", ""):
+        with pytest.raises(ValueError):
+            T.resolve_crs(bad)
+
+
+def test_crs_utm_known_value():
+    """Pinned external value: EPSG:32722 of (lon −51, lat −10) — on the
+    central meridian, so easting is exactly 500000 and northing is
+    10^7 − k0·M(10°) (Snyder 8-9 with Δλ = 0)."""
+    import math
+
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel import transform as T
+
+    e, n = T.transform_point(-51.0, -10.0, "EPSG:4326", "EPSG:32722")
+    assert abs(e - 500000.0) < 1e-6
+    expected_n = 10_000_000.0 - 0.9996 * T._meridian_arc(math.radians(10.0))
+    assert abs(n - expected_n) < 1e-6
