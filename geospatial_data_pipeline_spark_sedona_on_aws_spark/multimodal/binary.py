@@ -333,6 +333,26 @@ def decode_media(payload: bytes, media_type: str) -> dict:
         return wav_decode(payload)
     if media_type in ("video/y4m", "video/x-yuv4mpeg"):
         return y4m_decode(payload)
+    if media_type == "image/jpeg":
+        # optional-dependency path (r4 verdict item 7), mirroring PNG's
+        # PIL-preferred pattern: decode when PIL is present, otherwise the
+        # deterministic NotImplementedError — there is no stdlib JPEG
+        # codec, and a real multimodal corpus is JPEG-heavy, so detection
+        # happens at runtime per executor rather than import time
+        try:
+            import io
+
+            import PIL.Image
+        except ImportError as exc:
+            raise NotImplementedError(
+                "decoding 'image/jpeg' requires PIL (not installed); "
+                "use fake_decode for deterministic byte-level stand-ins"
+            ) from exc
+        im = PIL.Image.open(io.BytesIO(payload))
+        px = np.asarray(im)
+        ch = 1 if px.ndim == 2 else px.shape[2]
+        return {"width": im.width, "height": im.height,
+                "channels": ch, "pixels": px}
     raise NotImplementedError(
         f"decoding {media_type!r} requires external media libraries; "
         "use fake_decode for deterministic byte-level stand-ins"

@@ -3,6 +3,7 @@ similarity, multimodal plumbing."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions.spatial import (
@@ -568,3 +569,56 @@ def test_knn_numpy_path_bit_identical_to_lambda_path(spark):
     a = sorted(map(tuple, SJ.knn_join(spark, sf).collect()))
     b = sorted(map(tuple, SJ.knn_join_numpy(spark, sf).collect()))
     assert a == b and len(a) > 0
+
+
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _pil_available(),
+                    reason="PIL not installed — JPEG decode is the "
+                           "documented optional-dependency path")
+def test_multimodal_jpeg_decode_with_pil():
+    """r4 verdict item 7: when PIL is present, image/jpeg decodes through
+    decode_media like PNG does (encode with PIL, round-trip dimensions;
+    JPEG is lossy so pixel values are checked to a tolerance)."""
+    import io
+
+    import numpy as np
+    import PIL.Image
+
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.multimodal.binary import (
+        decode_media,
+    )
+
+    img = np.tile(np.arange(16, dtype=np.uint8) * 16, (16, 1))
+    buf = io.BytesIO()
+    PIL.Image.fromarray(img, mode="L").save(buf, format="JPEG", quality=95)
+    d = decode_media(buf.getvalue(), "image/jpeg")
+    assert (d["width"], d["height"], d["channels"]) == (16, 16, 1)
+    px = np.asarray(d["pixels"], dtype=np.int32).reshape(16, 16)
+    assert np.abs(px - img.astype(np.int32)).mean() < 8
+
+
+def test_multimodal_jpeg_decode_without_pil_raises_cleanly():
+    """Without PIL the JPEG path must raise the documented
+    NotImplementedError (not ValueError/AttributeError) so callers can
+    fall back to fake_decode. Forced by masking PIL regardless of the
+    environment."""
+    import sys
+    from unittest import mock
+
+    import pytest as _pytest
+
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.multimodal.binary import (
+        decode_media,
+    )
+
+    with mock.patch.dict(sys.modules, {"PIL": None, "PIL.Image": None}):
+        with _pytest.raises(NotImplementedError, match="requires PIL"):
+            decode_media(b"\xff\xd8\xff\xe0fakejpeg", "image/jpeg")
