@@ -243,6 +243,77 @@ QUERIES: dict[str, QueryFn] = {
     "pyds_jsonl_commit_roundtrip": PDS.crop_jsonl_commit_roundtrip,
 }
 
+# ======================================================================
+# Round-5 rotation (VERDICT r4 item 5): the gate window is recomposed so
+# every query that has NEVER earned a driver-produced green row (28 as of
+# r5, including this round's new queries) sits in tier 1, together with
+# the queries whose code or oracle CHANGED this round (fused full chain,
+# numpy KNN, capped bucket pairs, ST_NPoints convention, z-score nullif,
+# BPE oracle refactor) and the standing anchors (flagship rows, q12,
+# regression watches, one representative per family). Everything else is
+# already driver-green cumulatively (r1-r4) and moves to tier 2, still
+# covered by the committed full run (ORACLES_FULL_r5.txt).
+_R5_WINDOW = [
+    # --- never driver-verified (28) ---
+    "crop_analytics_full_chain",
+    "st_transform_utm",
+    "embedding_pq_rerank",
+    "arrow_quant_stats",
+    "streaming_snapshot_publish",
+    "observed_load_metrics",
+    "events_variant_extract",
+    "stream_static_enrich",
+    "multimodal_resize",
+    "streaming_contamination",
+    "events_sliding_window",
+    "multimodal_frame_sample",
+    "event_funnel",
+    "profile_table",
+    "crop_analytics_orc_roundtrip",
+    "salted_join_revenue",
+    "running_distinct_users",
+    "bpe_tokenize_apply",
+    "spatial_knn_join_lambda",
+    "q22_dormant_customers",
+    "q21_waiting_suppliers",
+    "events_json_extract",
+    "interval_range_join",
+    "hash_sample",
+    "stratified_sample",
+    "events_json_typed",
+    "ngram_topk_corpus",
+    "multimodal_features",
+    # --- changed this round: new code earns the gate first (10) ---
+    "crop_analytics_full",
+    "spatial_knn_join",
+    "minhash_lsh_candidates",
+    "ngram_jaccard_pairs",
+    "st_buffer_round",
+    "st_convex_hull",
+    "st_transform_roundtrip",
+    "anomaly_zscore",
+    "segment_dedup_rewrite",
+    "bpe_merge_train",
+    # --- standing anchors / family representatives (12) ---
+    "crop_analytics",
+    "q12_late_priority",
+    "sessionize_events_stateful",
+    "dedup_clusters",
+    "embedding_lsh_ann",
+    "crop_analytics_skewed",
+    "spatial_knn_join_grid",
+    "pyds_sensor_stream_totals",
+    "exact_dedup",
+    "ngram_jaccard_verified",
+    "snapshot_diff",
+    "streaming_hll_distinct",
+]
+assert len(_R5_WINDOW) == 50 and len(set(_R5_WINDOW)) == 50
+QUERIES = {
+    **{k: QUERIES[k] for k in _R5_WINDOW},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R5_WINDOW)},
+}
+
 ORACLES: dict[str, str] = {
     "crop_analytics": P.CROP_ANALYTICS_ORACLE,
     "crop_analytics_csv_roundtrip": P.CROP_ANALYTICS_ORACLE,
