@@ -137,7 +137,7 @@ def _utm_forward(lon: float, lat: float, lon0: float,
     bigC = _EP2 * c * c
     bigA = (lon - lon0) * c
     m = _meridian_arc(lat)
-    a2, a3 = bigA * bigA, None
+    a2 = bigA * bigA
     a3 = a2 * bigA
     x = _K0_UTM * n * (
         bigA + (1.0 - bigT + bigC) * a3 / 6.0
