@@ -59,6 +59,9 @@ HEADLINE = [
     "hilbert_curve",           # 7-level unrolled curve, pure codegen
     "doc_shard_manifest",      # training-shard export accounting
     "segment_dedup_rewrite",   # C4-style segment dedup + corpus rewrite
+    # round 5 additions
+    "st_transform_utm",        # CRS registry: TM series + Newton round trip
+    "trajectory_similarity_pairs",  # blocked Hausdorff search, numpy verify
 ]
 
 # scale-curve sweep (--sweep): the most expensive headline queries measured

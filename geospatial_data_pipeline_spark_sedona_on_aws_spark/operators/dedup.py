@@ -157,17 +157,43 @@ def _bucket_pairs(grouped: DataFrame, ids_col: str = "ids",
     the bucket table — replaces a bucket self-join, which would compute the
     (expensive) upstream twice and shuffle it twice.
 
-    Buckets with ≤ `block` members take the direct path: nested array
-    lambdas emit all pairs from the single bucket row. Larger buckets (LSH
-    on web data WILL produce a near-identical-boilerplate mega-bucket;
-    unguarded, a 100k-member bucket lands 5·10⁹ pairs on ONE task) are
-    decomposed into a (bi ≤ bj) block-task spine: each task row carries
-    only its two ≤`block`-element slices, the spine is repartitioned across
-    the cluster, and per-task fan-out is capped at block². Both branches
-    emit the identical ordered pair set (arrays are sorted; same-block
-    tasks pair i<j, cross-block tasks pair all, bi<bj keeps order)."""
+    Every bucket is decomposed into a (bi ≤ bj) block-task spine over
+    `block`-element slices: a normal bucket (≤ block members) yields
+    exactly ONE task row carrying the whole array — identical to direct
+    in-bucket pair generation — while a degenerate mega-bucket (LSH on web
+    data WILL produce a near-identical-boilerplate bucket; unguarded, a
+    100k-member bucket lands 5·10⁹ pairs on one task) fans out into
+    nb(nb+1)/2 tasks, each shipping only its two ≤block-element slices,
+    with per-task pair fan-out capped at block². The spine is round-robin
+    repartitioned so mega-bucket tasks spread across the cluster; the
+    exchange volume is O(bucket table) — the same order the band groupBy
+    just shuffled. The emitted pair SET is identical in both regimes
+    (arrays sorted; same-block tasks pair i<j, cross-block pair all with
+    bi<bj preserving order) — bounded and spread, never sampled, so
+    recall is exactly 100% and the SQL oracles need no policy mirror."""
     ids = F.col(ids_col)
     sess = grouped.sparkSession
+    nb = F.ceil(F.size(ids) / F.lit(block)).cast("int")
+    spine = F.flatten(F.transform(
+        F.sequence(F.lit(0), nb - 1),
+        lambda i: F.transform(
+            F.sequence(i, nb - 1),
+            lambda j: F.struct(i.alias("bi"), j.alias("bj")),
+        ),
+    ))
+    # slice BEFORE the spreading shuffle: a task row never ships more
+    # than 2·block elements, whatever the bucket size
+    tasks = (
+        grouped.select(ids.alias("__ids"), F.explode(spine).alias("t"))
+        .select(
+            F.slice(F.col("__ids"), F.col("t.bi") * block + 1, block)
+            .alias("__li"),
+            F.slice(F.col("__ids"), F.col("t.bj") * block + 1, block)
+            .alias("__lj"),
+            (F.col("t.bi") == F.col("t.bj")).alias("__same"),
+        )
+        .repartition(sess.sparkContext.defaultParallelism)
+    )
 
     def within(arr):
         """All ordered pairs (arr[i], arr[j]), i < j, arr sorted."""
@@ -182,33 +208,6 @@ def _bucket_pairs(grouped: DataFrame, ids_col: str = "ids",
             ),
         ))
 
-    small = (
-        grouped.where(F.size(ids) <= block)
-        .select(F.explode(within(ids)).alias("p"))
-    )
-
-    big = grouped.where(F.size(ids) > block)
-    nb = F.ceil(F.size(ids) / F.lit(block)).cast("int")
-    spine = F.flatten(F.transform(
-        F.sequence(F.lit(0), nb - 1),
-        lambda i: F.transform(
-            F.sequence(i, nb - 1),
-            lambda j: F.struct(i.alias("bi"), j.alias("bj")),
-        ),
-    ))
-    # slice BEFORE the spreading shuffle: each task row ships ≤ 2·block
-    # elements, never the full mega-bucket array
-    tasks = (
-        big.select(ids.alias("__ids"), F.explode(spine).alias("t"))
-        .select(
-            F.slice(F.col("__ids"), F.col("t.bi") * block + 1, block)
-            .alias("__li"),
-            F.slice(F.col("__ids"), F.col("t.bj") * block + 1, block)
-            .alias("__lj"),
-            (F.col("t.bi") == F.col("t.bj")).alias("__same"),
-        )
-        .repartition(sess.sparkContext.defaultParallelism)
-    )
     cross = F.flatten(F.transform(
         F.col("__li"),
         lambda x: F.transform(
@@ -216,12 +215,11 @@ def _bucket_pairs(grouped: DataFrame, ids_col: str = "ids",
             lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
         ),
     ))
-    big_pairs = tasks.select(
+    return tasks.select(
         F.explode(
             F.when(F.col("__same"), within(F.col("__li"))).otherwise(cross)
         ).alias("p")
-    )
-    return small.unionByName(big_pairs).select(
+    ).select(
         F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")
     )
 
