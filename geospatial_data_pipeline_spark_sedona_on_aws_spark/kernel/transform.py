@@ -198,15 +198,11 @@ def _lonlat_inv(x: float, y: float) -> tuple[float, float]:
     return math.radians(x), math.radians(y)
 
 
-def _polyconic_fwd_checked(lon: float, lat: float) -> tuple[float, float]:
-    return polyconic_forward(lon, lat)
-
-
 # name -> (forward(lon, lat) -> (x, y), inverse(x, y) -> (lon, lat))
 _BASE_CRS = {
     "EPSG:4326": (_lonlat_fwd, _lonlat_inv),
     "EPSG:3857": (webmercator_forward, webmercator_inverse),
-    "EPSG:5880": (_polyconic_fwd_checked, polyconic_inverse),
+    "EPSG:5880": (polyconic_forward, polyconic_inverse),
 }
 
 

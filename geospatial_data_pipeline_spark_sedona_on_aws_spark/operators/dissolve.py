@@ -496,7 +496,9 @@ def dissolve_clip_area(df: DataFrame, group_cols: Sequence[str], geom_col: str,
 def dissolve_transform_area(df: DataFrame, group_cols: Sequence[str],
                             geom_col: str, clip_bounds: Sequence[str],
                             geom_bounds: Sequence[str] | None = None,
-                            out_col: str = "area") -> DataFrame:
+                            out_col: str = "area",
+                            src_crs: str = "EPSG:3857",
+                            dst_crs: str = "EPSG:5880") -> DataFrame:
     """Fused full-parity chain: per group
         area( transform( clip ∩ union( hygiene(geoms) ) ) )
     with hygiene = Buffer(MakeValid(GeomFromWKT(·)), 0), transform = the
@@ -525,13 +527,21 @@ def dissolve_transform_area(df: DataFrame, group_cols: Sequence[str],
     Contract: `clip_bounds` are 4 numeric columns (x1, y1, x2, y2) of an
     axis-aligned clip rectangle, constant per group (they ride as extra
     grouping keys). A non-rectangular clip needs the general chained form.
+    src_crs/dst_crs resolve through the kernel CRS registry (r5: 4326,
+    3857, 5880, UTM 326xx/327xx) — the default pair composes the exact
+    functions the fused mercator_to_polyconic path uses, bit-identically.
 
     Scale shape = dissolve_clip_area's: JVM parse/route, adaptive map-side
     combine, ONE shuffle of numeric partials, per-group finish. The finish
     adds O(#bands) trig per group — independent of member count.
     """
-    from ..functions import spatial as S
     from ..kernel import transform as T
+
+    fwd_dst, _ = T.resolve_crs(dst_crs)
+    _, inv_src = T.resolve_crs(src_crs)
+
+    def point_transform(x: float, y: float) -> tuple[float, float]:
+        return fwd_dst(*inv_src(x, y))
 
     keys = list(group_cols)
     cb = list(clip_bounds)
@@ -682,7 +692,9 @@ def dissolve_transform_area(df: DataFrame, group_cols: Sequence[str],
                 clip_ring = [(cx1, cy1), (cx2, cy1), (cx2, cy2), (cx1, cy2)]
                 clipped = G.clip_convex(u, clip_ring)
                 clipped = G.normalize(G.make_valid(clipped))
-                areas[gi] = G.area(T.transform_geom(clipped))
+                areas[gi] = G.area(
+                    [[[point_transform(x, y) for x, y in ring]
+                      for ring in poly] for poly in clipped])
                 continue
             merged = R.union_decompose(bmat[s:e])
             # clip each canonical band to the rect window (strict overlap)
@@ -692,7 +704,7 @@ def dissolve_transform_area(df: DataFrame, group_cols: Sequence[str],
             ny2 = np.minimum(merged[:, 3], cy2)
             keep = (nx2 > nx1) & (ny2 > ny1)
             total = 0.0
-            mp = T.mercator_to_polyconic
+            mp = point_transform
             for x1, y1, x2, y2 in zip(nx1[keep], ny1[keep],
                                       nx2[keep], ny2[keep]):
                 ring = [mp(x1, y1), (0.0, 0.0), (0.0, 0.0), (0.0, 0.0)]
