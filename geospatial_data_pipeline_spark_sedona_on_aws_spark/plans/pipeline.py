@@ -467,7 +467,8 @@ FROM cells
 GROUP BY region_id, season_id, land_type_id
 """
 
-def _crop_analytics_full_oracle() -> str:
+def _crop_analytics_full_oracle(coord_sql=None, transform_ctes=None,
+                                quant: str = "* 100") -> str:
     """DuckDB SQL replicating crop_analytics_full's whole chain:
 
     1. union_decompose's canonical band decomposition (kernel/rectnp.py:82):
@@ -483,7 +484,14 @@ def _crop_analytics_full_oracle() -> str:
     4. translated shoelace per quad, abs, summed per group; ×100, rounded.
 
     Divergence from the engine is libm ulp only, ~1e7× below the 0.01 m²
-    quantum (asserted by tests/test_pipeline.py)."""
+    quantum (asserted by tests/test_pipeline.py).
+
+    Parameterized (r5) for the fused-operator CRS variants: `coord_sql`
+    maps a raw parcel/region coordinate expression to planar input space
+    (default: CAST AS DOUBLE), `transform_ctes` replaces the
+    corners→(tx, ty) projection section (default: the 3857→5880
+    webmercator-inverse + polyconic-forward chain), and `quant` scales
+    the area before rounding."""
     from ..kernel import transform as KT
 
     A = repr(KT._A)
@@ -493,15 +501,45 @@ def _crop_analytics_full_oracle() -> str:
     FN = repr(KT._FN)
     C0, C2, C4, C6 = (repr(KT._M0_C0), repr(KT._M0_C2),
                       repr(KT._M0_C4), repr(KT._M0_C6))
+    cs = coord_sql or (lambda e, axis: f"CAST({e} AS DOUBLE)")
+    if transform_ctes is None:
+        transform_ctes = f"""ll AS (
+    SELECT region_id, season_id, land_type_id, rid, cn,
+           px / {A} AS lon,
+           2.0 * atan(exp(py / {A})) - pi() / 2.0 AS lat
+    FROM corners
+),
+aux AS (
+    SELECT *, sin(lat) AS slat FROM ll
+),
+aux2 AS (
+    SELECT *, {A} / sqrt(1.0 - {E2} * slat * slat) AS nn,
+           1.0 / tan(lat) AS cot,
+           (lon - {LON0}) * slat AS e
+    FROM aux
+),
+tr AS (
+    SELECT region_id, season_id, land_type_id, rid, cn,
+           CASE WHEN abs(lat) < 1e-12
+                THEN {FE} + {A} * (lon - {LON0})
+                ELSE {FE} + nn * cot * sin(e) END AS tx,
+           CASE WHEN abs(lat) < 1e-12
+                THEN {FN}
+                ELSE {FN} + {A} * ({C0} * lat - {C2} * sin(2 * lat)
+                                 + {C4} * sin(4 * lat) - {C6} * sin(6 * lat))
+                     + nn * cot * 2.0 * sin(e / 2.0) * sin(e / 2.0)
+           END AS ty
+    FROM aux2
+)"""
     return f"""
 WITH {fixtures.LAND_USE_CTE.strip()},
 {fixtures.REGIONS_CTE.strip()},
 parcels AS (
     SELECT lu.region_id, lu.season_id, lu.land_type_id,
-           CAST(lu.x1 AS DOUBLE) AS x1, CAST(lu.y1 AS DOUBLE) AS y1,
-           CAST(lu.x2 AS DOUBLE) AS x2, CAST(lu.y2 AS DOUBLE) AS y2,
-           CAST(r.gx1 AS DOUBLE) AS gx1, CAST(r.gy1 AS DOUBLE) AS gy1,
-           CAST(r.gx2 AS DOUBLE) AS gx2, CAST(r.gy2 AS DOUBLE) AS gy2
+           {cs("lu.x1", "x")} AS x1, {cs("lu.y1", "y")} AS y1,
+           {cs("lu.x2", "x")} AS x2, {cs("lu.y2", "y")} AS y2,
+           {cs("r.gx1", "x")} AS gx1, {cs("r.gy1", "y")} AS gy1,
+           {cs("r.gx2", "x")} AS gx2, {cs("r.gy2", "y")} AS gy2
     FROM land_use lu JOIN regions r ON lu.region_id = r.id
 ),
 grp AS (SELECT DISTINCT region_id, season_id, land_type_id FROM parcels),
@@ -595,34 +633,7 @@ corners AS (
                      WHEN 3 THEN cy2 ELSE cy2 END AS py
     FROM clipped, unnest([1, 2, 3, 4]) AS t(cn)
 ),
-ll AS (
-    SELECT region_id, season_id, land_type_id, rid, cn,
-           px / {A} AS lon,
-           2.0 * atan(exp(py / {A})) - pi() / 2.0 AS lat
-    FROM corners
-),
-aux AS (
-    SELECT *, sin(lat) AS slat FROM ll
-),
-aux2 AS (
-    SELECT *, {A} / sqrt(1.0 - {E2} * slat * slat) AS nn,
-           1.0 / tan(lat) AS cot,
-           (lon - {LON0}) * slat AS e
-    FROM aux
-),
-tr AS (
-    SELECT region_id, season_id, land_type_id, rid, cn,
-           CASE WHEN abs(lat) < 1e-12
-                THEN {FE} + {A} * (lon - {LON0})
-                ELSE {FE} + nn * cot * sin(e) END AS tx,
-           CASE WHEN abs(lat) < 1e-12
-                THEN {FN}
-                ELSE {FN} + {A} * ({C0} * lat - {C2} * sin(2 * lat)
-                                 + {C4} * sin(4 * lat) - {C6} * sin(6 * lat))
-                     + nn * cot * 2.0 * sin(e / 2.0) * sin(e / 2.0)
-           END AS ty
-    FROM aux2
-),
+{transform_ctes},
 quad AS (
     SELECT region_id, season_id, land_type_id, rid,
            max(CASE WHEN cn = 1 THEN tx END) AS qx1,
@@ -643,7 +654,7 @@ rect_area AS (
     FROM quad
 )
 SELECT g.region_id, g.season_id, g.land_type_id,
-       CAST(round(coalesce(sum(ra.a), 0.0) * 100) AS BIGINT) AS area_q
+       CAST(round(coalesce(sum(ra.a), 0.0) {quant}) AS BIGINT) AS area_q
 FROM grp g LEFT JOIN rect_area ra
   ON ra.region_id = g.region_id AND ra.season_id = g.season_id
  AND ra.land_type_id = g.land_type_id
@@ -651,6 +662,68 @@ GROUP BY g.region_id, g.season_id, g.land_type_id
 """
 
 CROP_ANALYTICS_FULL_ORACLE = _crop_analytics_full_oracle()
+
+
+def crop_analytics_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fused dissolve through a DIFFERENT registry pair: parcel and
+    region coordinates re-scaled to degrees (lon −57…−55.9, lat −12…−10.9,
+    zone 22 south vicinity) and dissolved-clipped-projected via
+    EPSG:4326 → EPSG:32722 (WGS84 / UTM 22S). Exercises
+    dissolve_transform_area × the r5 CRS registry end-to-end with a full
+    value oracle: the same canonical band decomposition, clipped in degree
+    space, corners through the transverse-Mercator series, shoelace in
+    metres. Quantized at 1 m² on ~1e8 m² group areas (the TM expression
+    trees differ between engines at ~1e-9 m per coordinate; measured
+    area divergence is ~1e-4 m², four orders below the quantum)."""
+    from ..operators.dissolve import dissolve_transform_area
+
+    lu = fixtures.land_use_areas(spark, sf_dir, wkt=False)
+    regions = fixtures.geographic_regions(spark, sf_dir)
+    joined = lu.join(F.broadcast(regions), lu["region_id"] == regions["id"],
+                     "inner")
+    deg = joined.selectExpr(
+        "region_id", "season_id", "land_type_id",
+        "-57.0 + CAST(x1 AS DOUBLE) / 100 AS dx1",
+        "-12.0 + CAST(y1 AS DOUBLE) / 100 AS dy1",
+        "-57.0 + CAST(x2 AS DOUBLE) / 100 AS dx2",
+        "-12.0 + CAST(y2 AS DOUBLE) / 100 AS dy2",
+        "-57.0 + CAST(gx1 AS DOUBLE) / 100 AS dcx1",
+        "-12.0 + CAST(gy1 AS DOUBLE) / 100 AS dcy1",
+        "-57.0 + CAST(gx2 AS DOUBLE) / 100 AS dcx2",
+        "-12.0 + CAST(gy2 AS DOUBLE) / 100 AS dcy2",
+        "CAST(NULL AS STRING) AS gdeg",
+    )
+    out = dissolve_transform_area(
+        deg,
+        group_cols=["region_id", "season_id", "land_type_id"],
+        geom_col="gdeg",
+        clip_bounds=["dcx1", "dcy1", "dcx2", "dcy2"],
+        geom_bounds=["dx1", "dy1", "dx2", "dy2"],
+        out_col="area",
+        src_crs="EPSG:4326",
+        dst_crs="EPSG:32722",
+    )
+    return out.select(
+        "region_id", "season_id", "land_type_id",
+        F.expr("CAST(round(area) AS BIGINT)").alias("area_q"),
+    )
+
+
+def _crop_analytics_utm_oracle() -> str:
+    tm = _tm_corner_sql("px", "py", "tx", "ty")
+    transform = f"""tr AS (
+    SELECT region_id, season_id, land_type_id, rid, cn,
+    {tm}
+    FROM corners
+)"""
+    return _crop_analytics_full_oracle(
+        coord_sql=lambda e, axis: (
+            f"-57.0 + CAST({e} AS DOUBLE) / 100" if axis == "x"
+            else f"-12.0 + CAST({e} AS DOUBLE) / 100"),
+        transform_ctes=transform,
+        quant="",
+    )
+
 
 def st_geometry_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_Contains / ST_Distance / ST_Difference-area through the registered
@@ -1001,3 +1074,8 @@ FULL OUTER JOIN v2 b
   ON a.region_id = b.region_id AND a.season_id = b.season_id
  AND a.land_type_id = b.land_type_id
 """
+
+
+# evaluated at module tail: _crop_analytics_utm_oracle needs _tm_corner_sql,
+# which is defined further down the module than the generator family
+CROP_ANALYTICS_UTM_ORACLE = _crop_analytics_utm_oracle()

@@ -92,6 +92,7 @@ QUERIES: dict[str, QueryFn] = {
     "anomaly_zscore": EV.anomaly_zscore,                   # exact-int z-score flags
     "st_transform_roundtrip": P.st_transform_roundtrip,    # bijective CRS pair
     "st_transform_utm": P.st_transform_utm,                # r5: CRS registry (UTM 22S)
+    "crop_analytics_utm": P.crop_analytics_utm,            # r5: fused dissolve x UTM
     "streaming_hll_distinct": EV.streaming_hll_distinct,   # mergeable-sketch state
     "snapshot_diff": P.snapshot_diff,                      # blue-green CDC report
     "segment_dedup_rewrite": DD.segment_dedup_rewrite,     # C4-style line dedup
@@ -306,7 +307,7 @@ _R5_WINDOW = [
     "exact_dedup",
     "ngram_jaccard_verified",
     "snapshot_diff",
-    "streaming_hll_distinct",
+    "crop_analytics_utm",  # displaces streaming_hll_distinct (r4 driver-green),
 ]
 assert len(_R5_WINDOW) == 50 and len(set(_R5_WINDOW)) == 50
 QUERIES = {
@@ -329,6 +330,7 @@ ORACLES: dict[str, str] = {
     "anomaly_zscore": EV.ANOMALY_ZSCORE_ORACLE,
     "st_transform_roundtrip": P.ST_TRANSFORM_ROUNDTRIP_ORACLE,
     "st_transform_utm": P.ST_TRANSFORM_UTM_ORACLE,
+    "crop_analytics_utm": P.CROP_ANALYTICS_UTM_ORACLE,
     "streaming_hll_distinct": EV.STREAMING_HLL_DISTINCT_ORACLE,
     "snapshot_diff": P.SNAPSHOT_DIFF_ORACLE,
     "segment_dedup_rewrite": DD.SEGMENT_DEDUP_REWRITE_ORACLE,
