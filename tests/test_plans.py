@@ -342,3 +342,16 @@ def test_sql_udf_plan_has_no_python_eval(spark):
     # aren't printed in the pre-execution AQE plan, so assert the inlining
     # by node shape instead)
     assert "Generate explode" in plan
+
+
+def test_bench_anchor_is_frozen():
+    """bench_anchor.py is the cross-round drift yardstick: its value is
+    that the workload bytes NEVER change, so anchor-normalized ratios are
+    comparable across rounds. Any edit must be deliberate — update this
+    hash only with a written justification in the commit message."""
+    import hashlib
+
+    digest = hashlib.sha256(
+        open("/root/repo/bench_anchor.py", "rb").read()).hexdigest()
+    assert digest == ("3f9cadff9ed5f596d20877325241f9c"
+                      "87e11288d7c2cd780ceebef7d36985c75")
