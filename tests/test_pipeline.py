@@ -285,3 +285,73 @@ def test_fused_full_chain_general_geometry_slow_path(spark):
     pieces = list(zip(nx1[keep], ny1[keep], nx2[keep], ny2[keep]))
     expected = G.area(T.transform_geom(G.rects_to_geom(pieces)))
     assert abs(out[0]["area"] - expected) < 1e-6 * expected
+
+
+def test_fused_transform_area_randomized_vs_kernel_replay(spark):
+    """Randomized equivalence: mixed rect / L-shape / overlapping member
+    sets across several groups, fused operator vs a pure-kernel replay of
+    the same semantics (hygiene -> canonical decompose -> clip -> vertex
+    transform -> shoelace). Catches combine/finish bookkeeping errors the
+    fixed fixtures can't (group boundaries, partial merges, slow-path
+    routing)."""
+    import random
+
+    import numpy as np
+
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel import (
+        geom as G,
+    )
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel import (
+        rectnp as R,
+    )
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel import (
+        transform as T,
+    )
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.operators.dissolve import (
+        dissolve_transform_area,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(17)
+    rows, expected = [], {}
+    for gid in range(12):
+        rects = []
+        for _ in range(rng.randint(1, 30)):
+            x1 = rng.randint(0, 80)
+            y1 = rng.randint(0, 80)
+            w, h = rng.randint(1, 15), rng.randint(1, 15)
+            rects.append((float(x1), float(y1), float(x1 + w), float(y1 + h)))
+            rows.append((gid,
+                         f"POLYGON (({x1} {y1}, {x1+w} {y1}, {x1+w} {y1+h},"
+                         f" {x1} {y1+h}, {x1} {y1}))"))
+        if gid % 3 == 0:
+            # an L-shape member (slow path): two stacked rects
+            x1, y1 = rng.randint(0, 60), rng.randint(0, 60)
+            rows.append((gid, f"POLYGON (({x1} {y1}, {x1+10} {y1},"
+                              f" {x1+10} {y1+5}, {x1+5} {y1+5},"
+                              f" {x1+5} {y1+12}, {x1} {y1+12}, {x1} {y1}))"))
+            rects.append((float(x1), float(y1), float(x1 + 10), float(y1 + 5)))
+            rects.append((float(x1), float(y1 + 5), float(x1 + 5),
+                          float(y1 + 12)))
+        cx1, cy1, cx2, cy2 = 5.0, 5.0, 75.0, 75.0
+        merged = R.union_decompose(np.array(rects))
+        nx1 = np.maximum(merged[:, 0], cx1)
+        ny1 = np.maximum(merged[:, 1], cy1)
+        nx2 = np.minimum(merged[:, 2], cx2)
+        ny2 = np.minimum(merged[:, 3], cy2)
+        keep = (nx2 > nx1) & (ny2 > ny1)
+        pieces = list(zip(nx1[keep], ny1[keep], nx2[keep], ny2[keep]))
+        expected[gid] = (G.area(T.transform_geom(G.rects_to_geom(pieces)))
+                         if pieces else 0.0)
+    df = (
+        spark.createDataFrame(rows, "gid int, g string")
+        .withColumn("cx1", F.lit(5.0)).withColumn("cy1", F.lit(5.0))
+        .withColumn("cx2", F.lit(75.0)).withColumn("cy2", F.lit(75.0))
+    )
+    out = {r["gid"]: r["area"] for r in dissolve_transform_area(
+        df, group_cols=["gid"], geom_col="g",
+        clip_bounds=["cx1", "cy1", "cx2", "cy2"], out_col="area",
+    ).collect()}
+    assert set(out) == set(expected)
+    for gid, exp in expected.items():
+        assert abs(out[gid] - exp) <= 1e-9 * max(1.0, exp), (gid, out[gid], exp)
