@@ -83,22 +83,7 @@ def polyconic_inverse(x: float, y: float) -> tuple[float, float]:
     (round-trip property-tested to sub-micrometre)."""
     lat = (y - _FN) / _A
     lon = _LON0 + (x - _FE) / (_A * max(math.cos(lat), 1e-9))
-    for _ in range(20):
-        fx, fy = polyconic_forward(lon, lat)
-        rx, ry = fx - x, fy - y
-        if abs(rx) < 1e-9 and abs(ry) < 1e-9:
-            break
-        h = 1e-8
-        fx1, fy1 = polyconic_forward(lon + h, lat)
-        fx2, fy2 = polyconic_forward(lon, lat + h)
-        j11, j21 = (fx1 - fx) / h, (fy1 - fy) / h
-        j12, j22 = (fx2 - fx) / h, (fy2 - fy) / h
-        det = j11 * j22 - j12 * j21
-        if det == 0.0:
-            break
-        lon -= (rx * j22 - j12 * ry) / det
-        lat -= (j11 * ry - rx * j21) / det
-    return lon, lat
+    return _newton_inverse(polyconic_forward, x, y, lon, lat)
 
 def polyconic_to_mercator(x: float, y: float) -> tuple[float, float]:
     """EPSG:5880 → EPSG:3857, the fused inverse per-vertex transform."""

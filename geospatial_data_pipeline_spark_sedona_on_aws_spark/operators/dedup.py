@@ -196,9 +196,17 @@ def _bucket_pairs(grouped: DataFrame, ids_col: str = "ids",
     )
 
     def within(arr):
-        """All ordered pairs (arr[i], arr[j]), i < j, arr sorted."""
+        """All ordered pairs (arr[i], arr[j]), i < j, arr sorted. The index
+        spine is filtered, not sequence(0, size-2): for a 1-element array
+        (a bucket of n ≡ 1 mod block leaves a 1-element tail slice)
+        sequence(0, -1) DESCENDS to [0, -1] and the -1 index throws
+        INVALID_INDEX_OF_ZERO — the filtered spine is empty instead."""
+        idx = F.filter(
+            F.sequence(F.lit(0), F.greatest(F.size(arr) - 2, F.lit(0))),
+            lambda i: i < F.size(arr) - 1,
+        )
         return F.flatten(F.transform(
-            F.sequence(F.lit(0), F.size(arr) - 2),
+            idx,
             lambda i: F.transform(
                 F.slice(arr, i + 2, F.size(arr)),
                 lambda x: F.struct(

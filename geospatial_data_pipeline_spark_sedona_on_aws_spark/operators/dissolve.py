@@ -93,6 +93,31 @@ def _poly_rects(wkt: str) -> list[tuple[float, float, float, float]]:
     phase-2 kernel core)."""
     return G.rectilinear_decompose(G.parse_wkt(wkt))
 
+def _adaptive_partial(rect_arr: np.ndarray) -> np.ndarray:
+    """Decompose-only-when-saturated map-side partial — the shared
+    adaptive-combine heuristic (same contract as Spark's hash-aggregate
+    fallback-to-passthrough): a disjoint decomposition only REDUCES a
+    partial when the group's rects saturate their footprint; sparse groups
+    decompose to >= n slivers, paying CPU to EXPAND the shuffle. Decompose
+    only when the total rect area overshoots 2x the bbox area, and keep
+    the raw rects when the result didn't shrink — raw overlapping rects
+    are equally valid partials (every consumer either re-decomposes the
+    merged set or runs an overlap-exact union). Shared by union_aggr,
+    dissolve_clip_area, and dissolve_transform_area so the tuning
+    constants cannot drift apart."""
+    n = len(rect_arr)
+    if n >= 8:
+        areas = ((rect_arr[:, 2] - rect_arr[:, 0])
+                 * (rect_arr[:, 3] - rect_arr[:, 1]))
+        bbox = ((rect_arr[:, 2].max() - rect_arr[:, 0].min())
+                * (rect_arr[:, 3].max() - rect_arr[:, 1].min()))
+        if bbox > 0 and areas.sum() > 2.0 * bbox:
+            cand = R.union_decompose(rect_arr)
+            if len(cand) < n:
+                return cand
+    return rect_arr
+
+
 def union_aggr(df: DataFrame, group_cols: Sequence[str], geom_col: str,
                out_col: str = "geometry") -> DataFrame:
     """ST_Union_Aggr: per-group geometric union, geometry-valued output
@@ -156,16 +181,7 @@ def union_aggr(df: DataFrame, group_cols: Sequence[str], geom_col: str,
         if extra:
             rect_arr = np.concatenate([
                 rect_arr, np.array(extra, dtype=np.float64).reshape(-1, 4)])
-        n = len(rect_arr)
-        if n >= 8:
-            areas = ((rect_arr[:, 2] - rect_arr[:, 0])
-                     * (rect_arr[:, 3] - rect_arr[:, 1]))
-            bbox = ((rect_arr[:, 2].max() - rect_arr[:, 0].min())
-                    * (rect_arr[:, 3].max() - rect_arr[:, 1].min()))
-            if bbox > 0 and areas.sum() > 2.0 * bbox:
-                cand = R.union_decompose(rect_arr)
-                if len(cand) < n:
-                    rect_arr = cand
+        rect_arr = _adaptive_partial(rect_arr)
         return np.ascontiguousarray(rect_arr, dtype=np.float64).tobytes(), None
 
     def stage1(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -208,11 +224,16 @@ def union_aggr(df: DataFrame, group_cols: Sequence[str], geom_col: str,
                 ]) if blobs else np.empty((0, 4))
             )
             if gens:
-                # general merge: banded-sweep union over every partial
+                # general merge: banded-sweep union over every partial.
+                # rects_to_geom requires pairwise-DISJOINT members (its
+                # multipolygon follows even-odd parity, so overlap XORs
+                # out) — and since the r5 adaptive combine ships RAW
+                # possibly-overlapping rects as partials, disjoint-ify
+                # before packing, same as dissolve_clip_area's final
                 geoms = [G.parse_wkt(w) for w in gens]
                 if len(rect_arr):
                     geoms.append(G.rects_to_geom(
-                        [tuple(r) for r in rect_arr]))
+                        [tuple(r) for r in R.union_decompose(rect_arr)]))
                 rows_u.append(G.to_wkt(B.union_geom(geoms)))
             else:
                 merged = R.union_decompose(rect_arr)
@@ -395,28 +416,7 @@ def dissolve_clip_area(df: DataFrame, group_cols: Sequence[str], geom_col: str,
             ends = np.append(starts[1:], len(kmat))
             out_k, out_b = [], []
             for s, e in zip(starts, ends):
-                sub = bmat[s:e]
-                n = e - s
-                # Adaptive combine (same contract as Spark's hash-agg
-                # fallback-to-passthrough): the disjoint decomposition only
-                # REDUCES a partial when the group's rects saturate their
-                # footprint — sparse groups decompose to >= n slivers, paying
-                # CPU to *expand* the shuffle. Decompose only when the total
-                # rect area overshoots the bbox area (guaranteed overlap
-                # density), and keep the raw rects if it still didn't shrink;
-                # raw rects are equally valid partials (the final Klee union
-                # is exact under arbitrary overlap).
-                dec = None
-                if n >= 8:
-                    areas = (sub[:, 2] - sub[:, 0]) * (sub[:, 3] - sub[:, 1])
-                    bbox = ((sub[:, 2].max() - sub[:, 0].min())
-                            * (sub[:, 3].max() - sub[:, 1].min()))
-                    if bbox > 0 and areas.sum() > 2.0 * bbox:
-                        cand = R.union_decompose(sub)
-                        if len(cand) < n:
-                            dec = cand
-                if dec is None:
-                    dec = sub
+                dec = _adaptive_partial(bmat[s:e])
                 out_b.append(dec)
                 out_k.append(np.repeat(kmat[s:s + 1], len(dec), axis=0))
             kcat = np.concatenate(out_k)
@@ -622,19 +622,7 @@ def dissolve_transform_area(df: DataFrame, group_cols: Sequence[str],
             ends = np.append(starts[1:], len(kmat))
             out_k, out_b = [], []
             for s, e in zip(starts, ends):
-                sub = bmat[s:e]
-                n = e - s
-                dec = None
-                if n >= 8:
-                    areas = (sub[:, 2] - sub[:, 0]) * (sub[:, 3] - sub[:, 1])
-                    bbox = ((sub[:, 2].max() - sub[:, 0].min())
-                            * (sub[:, 3].max() - sub[:, 1].min()))
-                    if bbox > 0 and areas.sum() > 2.0 * bbox:
-                        cand = R.union_decompose(sub)
-                        if len(cand) < n:
-                            dec = cand
-                if dec is None:
-                    dec = sub
+                dec = _adaptive_partial(bmat[s:e])
                 out_b.append(dec)
                 out_k.append(np.repeat(kmat[s:s + 1], len(dec), axis=0))
             kcat = np.concatenate(out_k)

@@ -372,8 +372,11 @@ def knn_join_numpy(spark: SparkSession, sf_dir: str,
     broadcast-array form: scan -> map -> done.
 
     Tie-break (dist2, then region id) is folded into one exact float64
-    sort key dist2 * 64 + id: dist2 is integer-valued < ~4e5 and ids < 64,
-    so the key is exact and its order IS the lexicographic order.
+    sort key dist2 * mult + id with mult = max_id + 1: dist2, mult, and id
+    are integers and dist2 * mult + id < 2^53, so the float64 key is exact
+    and its order IS the lexicographic (dist2, id) order. The bound is
+    CHECKED (raise, not assert — asserts vanish under python -O and a
+    silent overflow would produce wrong-but-plausible rankings).
     """
     import numpy as np
     import pandas as pd
@@ -393,7 +396,7 @@ def knn_join_numpy(spark: SparkSession, sf_dir: str,
     sx = np.array([r.sx for r in dim], dtype=np.float64)
     sy = np.array([r.sy for r in dim], dtype=np.float64)
     ids = np.array([r.id for r in dim], dtype=np.int64)
-    assert ids.max() < 64, "tie-break key packing assumes region ids < 64"
+    mult = float(ids.max() + 1)
 
     def topk(batches):
         for pdf in batches:
@@ -404,7 +407,11 @@ def knn_join_numpy(spark: SparkSession, sf_dir: str,
             dx = 2.0 * px[:, None] - sx[None, :]
             dy = 2.0 * py[:, None] - sy[None, :]
             d2 = dx * dx + dy * dy
-            key = d2 * 64.0 + ids[None, :]
+            if d2.max() * mult + ids.max() >= 2.0 ** 53:
+                raise ValueError(
+                    "knn_join_numpy tie-break key overflows exact float64 "
+                    f"range (max dist2 {d2.max()}, {len(ids)} regions)")
+            key = d2 * mult + ids[None, :]
             part = np.argpartition(key, k - 1, axis=1)[:, :k]
             rowk = np.take_along_axis(key, part, axis=1)
             order = np.argsort(rowk, axis=1)
@@ -690,35 +697,50 @@ def trajectory_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(tb, p -> CAST(p.y AS DOUBLE)) AS by",
     )
 
+    # bound the dense (rows × maxlen × maxlen) workspace: with ~100-point
+    # trajectories and 10k-row Arrow batches the distance cube alone is
+    # ~0.8 GB and three of them live at once — chunk rows so the peak
+    # workspace stays ~tens of MB per task regardless of batch size
+    CUBE_BUDGET = 4_000_000  # float64 cells per (rows × la × lb) cube
+
     def hausdorff(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            la = pdf["ax"].str.len().to_numpy()
-            lb = pdf["bx"].str.len().to_numpy()
-            n, ma, mb = len(pdf), int(la.max()), int(lb.max())
-            ax = np.zeros((n, ma)); ay = np.zeros((n, ma))
-            bx = np.zeros((n, mb)); by = np.zeros((n, mb))
-            for i, (xa, ya, xb, yb) in enumerate(zip(
-                    pdf["ax"], pdf["ay"], pdf["bx"], pdf["by"])):
-                ax[i, :len(xa)] = xa; ay[i, :len(ya)] = ya
-                bx[i, :len(xb)] = xb; by[i, :len(yb)] = yb
-            mask_a = np.arange(ma)[None, :] < la[:, None]
-            mask_b = np.arange(mb)[None, :] < lb[:, None]
-            dx = ax[:, :, None] - bx[:, None, :]
-            dy = ay[:, :, None] - by[:, None, :]
-            d2 = dx * dx + dy * dy
-            d2b = np.where(mask_b[:, None, :], d2, np.inf)
-            dab = np.where(mask_a, d2b.min(axis=2), -np.inf).max(axis=1)
-            d2a = np.where(mask_a[:, :, None], d2, np.inf)
-            dba = np.where(mask_b, d2a.min(axis=1), -np.inf).max(axis=1)
-            h = np.maximum(dab, dba)
-            keep = h <= TRAJ_TAU_SQ
-            yield pd.DataFrame({
-                "ua": pdf["ua"].to_numpy()[keep],
-                "ub": pdf["ub"].to_numpy()[keep],
-                "hausdorff_sq": h[keep].astype(np.int64),
-            })
+            la_all = pdf["ax"].str.len().to_numpy()
+            lb_all = pdf["bx"].str.len().to_numpy()
+            ma, mb = int(la_all.max()), int(lb_all.max())
+            chunk = max(1, CUBE_BUDGET // max(1, ma * mb))
+            for st in range(0, len(pdf), chunk):
+                sub = pdf.iloc[st:st + chunk]
+                la = la_all[st:st + chunk]
+                lb = lb_all[st:st + chunk]
+                n = len(sub)
+                ax = np.zeros((n, ma)); ay = np.zeros((n, ma))
+                bx = np.zeros((n, mb)); by = np.zeros((n, mb))
+                for i, (xa, ya, xb, yb) in enumerate(zip(
+                        sub["ax"], sub["ay"], sub["bx"], sub["by"])):
+                    ax[i, :len(xa)] = xa; ay[i, :len(ya)] = ya
+                    bx[i, :len(xb)] = xb; by[i, :len(yb)] = yb
+                mask_a = np.arange(ma)[None, :] < la[:, None]
+                mask_b = np.arange(mb)[None, :] < lb[:, None]
+                dx = ax[:, :, None] - bx[:, None, :]
+                dy = ay[:, :, None] - by[:, None, :]
+                d2 = dx * dx + dy * dy
+                del dx, dy
+                d2b = np.where(mask_b[:, None, :], d2, np.inf)
+                dab = np.where(mask_a, d2b.min(axis=2), -np.inf).max(axis=1)
+                del d2b
+                d2a = np.where(mask_a[:, :, None], d2, np.inf)
+                dba = np.where(mask_b, d2a.min(axis=1), -np.inf).max(axis=1)
+                del d2a, d2
+                h = np.maximum(dab, dba)
+                keep = h <= TRAJ_TAU_SQ
+                yield pd.DataFrame({
+                    "ua": sub["ua"].to_numpy()[keep],
+                    "ub": sub["ub"].to_numpy()[keep],
+                    "hausdorff_sq": h[keep].astype(np.int64),
+                })
 
     return coords.mapInPandas(
         hausdorff, "ua bigint, ub bigint, hausdorff_sq bigint")

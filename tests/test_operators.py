@@ -545,16 +545,21 @@ def test_bucket_pairs_blocked_path_equals_direct_path(spark):
         _bucket_pairs,
     )
 
-    # 3 buckets of different sizes; ids offset so buckets don't overlap
+    # bucket sizes chosen to hit every tail shape, in particular
+    # n ≡ 1 (mod block): a 65-member bucket at block=64 leaves a
+    # 1-element tail slice whose same-block task must emit NO pairs
+    # (this exact case used to throw INVALID_INDEX_OF_ZERO)
     buckets = spark.createDataFrame(
         [(list(range(b * 1000, b * 1000 + sz)),) for b, sz in
-         enumerate([2, 130, 301])],
+         enumerate([1, 2, 64, 65, 128, 129, 130, 301])],
         "ids: array<long>",
     )
     direct = _bucket_pairs(buckets, block=1_000_000).collect()
     blocked = _bucket_pairs(buckets, block=64).collect()
     assert sorted(map(tuple, direct)) == sorted(map(tuple, blocked))
     assert all(r.doc_a < r.doc_b for r in blocked)
+    expected = sum(sz * (sz - 1) // 2 for sz in [1, 2, 64, 65, 128, 129, 130, 301])
+    assert len(blocked) == expected
 
 
 def test_knn_numpy_path_bit_identical_to_lambda_path(spark):
@@ -686,3 +691,33 @@ def test_dissolve_combine_sparse_vs_saturated_adaptivity(spark):
     # each of the 4 map partitions reduces its ~500 dense rects to a
     # bounded footprint decomposition
     assert sat_partials < 2000 / 3, sat_partials
+
+
+def test_union_aggr_mixed_partials_overlapping_rects_across_partitions(spark):
+    """Regression (r5 review): a group whose partials arrive from two
+    partitions — one all-rect with OVERLAPPING raw rects (the adaptive
+    combine passes them through undecomposed), one with a non-rectilinear
+    member — must union exactly. The stage-2 general branch used to pack
+    the overlapping rects into one even-odd multipolygon, XOR-ing the
+    overlap out (union area 101 instead of 151 on this fixture)."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel import (
+        geom as G,
+    )
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.operators.dissolve import (
+        union_aggr,
+    )
+
+    rects = spark.createDataFrame(
+        [(1, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"),
+         (1, "POLYGON ((5 0, 15 0, 15 10, 5 10, 5 0))")],
+        "gid int, g string",
+    ).coalesce(1)
+    tri = spark.createDataFrame(
+        [(1, "POLYGON ((20 0, 30 0, 20 10, 20 0))")],
+        "gid int, g string",
+    ).coalesce(1)
+    df = rects.union(tri)  # 2 partitions: rect partial + general partial
+    out = union_aggr(df, group_cols=["gid"], geom_col="g").collect()
+    assert len(out) == 1
+    # union area: overlapping rects cover 150, triangle adds 50
+    assert abs(G.area(G.parse_wkt(out[0]["geometry"])) - 200.0) < 1e-9
