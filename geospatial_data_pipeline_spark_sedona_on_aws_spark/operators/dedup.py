@@ -809,6 +809,8 @@ def segment_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (= 200 × SEG_TOKENS tokens) per document, while the Spark side's
 # sequence() is unbounded — mirror of the _bpe_oracle word-length cap.
 # The `longest` CTE hard-fails (error()) if any fixture document
+# (m IS NULL covers the empty table; m = 200 is fully covered by the
+# 0..199 spine, so the cap is inclusive)
 # would exceed the spine, so a cap overflow can never silently diverge.
 SEGMENT_DEDUP_REWRITE_ORACLE = f"""
 WITH longest AS (
@@ -816,7 +818,8 @@ WITH longest AS (
     FROM documents
 ),
 guard AS (
-    SELECT CASE WHEN m < 200 THEN 1 ELSE CAST(error('seg spine cap exceeded') AS BIGINT) END AS ok
+    SELECT CASE WHEN m IS NULL OR m <= 200 THEN 1
+           ELSE CAST(error('seg spine cap exceeded') AS BIGINT) END AS ok
     FROM longest
 ),
 segs AS (

@@ -118,6 +118,27 @@ def _adaptive_partial(rect_arr: np.ndarray) -> np.ndarray:
     return rect_arr
 
 
+def _group_slices(whole: pd.DataFrame, keys: Sequence[str]):
+    """(order, starts, ends) contiguous group slices of `whole` by `keys`
+    with Spark groupBy NULL semantics: rows are grouped by per-column
+    factorize CODES (NaN/None → one shared sentinel code), so NULL keys
+    form ONE group instead of lexsort-NaN splitting every row into its
+    own group — and object-typed key columns (strings) sort by code, not
+    by value comparison. One array pass; shared by both fused dissolve
+    operators' combine and finish stages."""
+    codes = np.column_stack([
+        pd.factorize(whole[k], use_na_sentinel=True)[0] for k in keys
+    ])
+    order = np.lexsort(tuple(codes[:, i]
+                       for i in range(codes.shape[1] - 1, -1, -1)))
+    codes = codes[order]
+    change = np.empty(len(codes), dtype=bool)
+    change[0] = True
+    change[1:] = (codes[1:] != codes[:-1]).any(axis=1)
+    starts = np.flatnonzero(change)
+    return order, starts, np.append(starts[1:], len(codes))
+
+
 def union_aggr(df: DataFrame, group_cols: Sequence[str], geom_col: str,
                out_col: str = "geometry") -> DataFrame:
     """ST_Union_Aggr: per-group geometric union, geometry-valued output
@@ -405,15 +426,9 @@ def dissolve_clip_area(df: DataFrame, group_cols: Sequence[str], geom_col: str,
             # ONE output frame — pandas groupby would build a small DataFrame
             # per (key, partition) group, which dominates at thousands of
             # groups per partition
-            kmat = whole[keys].to_numpy()
-            bmat = whole[bcols].to_numpy(dtype=np.float64)
-            order = np.lexsort(tuple(kmat[:, i] for i in range(kmat.shape[1] - 1, -1, -1)))
-            kmat, bmat = kmat[order], bmat[order]
-            change = np.empty(len(kmat), dtype=bool)
-            change[0] = True
-            change[1:] = (kmat[1:] != kmat[:-1]).any(axis=1)
-            starts = np.flatnonzero(change)
-            ends = np.append(starts[1:], len(kmat))
+            order, starts, ends = _group_slices(whole, keys)
+            kmat = whole[keys].to_numpy()[order]
+            bmat = whole[bcols].to_numpy(dtype=np.float64)[order]
             out_k, out_b = [], []
             for s, e in zip(starts, ends):
                 dec = _adaptive_partial(bmat[s:e])
@@ -429,7 +444,7 @@ def dissolve_clip_area(df: DataFrame, group_cols: Sequence[str], geom_col: str,
             gdf = pd.DataFrame(gacc, columns=keys + ["__gwkt"])
             # map-side combine for general partials too: one unioned
             # geometry per key per partition
-            for kv, grp in gdf.groupby(keys, sort=False):
+            for kv, grp in gdf.groupby(keys, sort=False, dropna=False):
                 u = B.union_geom([G.parse_wkt(w) for w in grp["__gwkt"]])
                 kv = kv if isinstance(kv, tuple) else (kv,)
                 parts.append(pd.DataFrame(
@@ -455,16 +470,10 @@ def dissolve_clip_area(df: DataFrame, group_cols: Sequence[str], geom_col: str,
         if not frames:
             return
         whole = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
-        kmat = whole[keys].to_numpy()
-        order = np.lexsort(tuple(kmat[:, i] for i in range(kmat.shape[1] - 1, -1, -1)))
-        kmat = kmat[order]
+        order, starts, ends = _group_slices(whole, keys)
+        kmat = whole[keys].to_numpy()[order]
         bmat = whole[bcols].to_numpy(dtype=np.float64)[order]
         gw = whole["__gwkt"].to_numpy()[order]
-        change = np.empty(len(kmat), dtype=bool)
-        change[0] = True
-        change[1:] = (kmat[1:] != kmat[:-1]).any(axis=1)
-        starts = np.flatnonzero(change)
-        ends = np.append(starts[1:], len(kmat))
         areas = np.empty(len(starts), dtype=np.float64)
         for gi, (s, e) in enumerate(zip(starts, ends)):
             gwkts = [w for w in gw[s:e] if w is not None]
@@ -610,16 +619,9 @@ def dissolve_transform_area(df: DataFrame, group_cols: Sequence[str],
         parts = []
         if acc:
             whole = pd.concat(acc, ignore_index=True)
-            kmat = whole[keys_all].to_numpy()
-            bmat = whole[bcols].to_numpy(dtype=np.float64)
-            order = np.lexsort(tuple(kmat[:, i]
-                               for i in range(kmat.shape[1] - 1, -1, -1)))
-            kmat, bmat = kmat[order], bmat[order]
-            change = np.empty(len(kmat), dtype=bool)
-            change[0] = True
-            change[1:] = (kmat[1:] != kmat[:-1]).any(axis=1)
-            starts = np.flatnonzero(change)
-            ends = np.append(starts[1:], len(kmat))
+            order, starts, ends = _group_slices(whole, keys_all)
+            kmat = whole[keys_all].to_numpy()[order]
+            bmat = whole[bcols].to_numpy(dtype=np.float64)[order]
             out_k, out_b = [], []
             for s, e in zip(starts, ends):
                 dec = _adaptive_partial(bmat[s:e])
@@ -633,7 +635,7 @@ def dissolve_transform_area(df: DataFrame, group_cols: Sequence[str],
             parts.append(part)
         if gacc:
             gdf = pd.DataFrame(gacc, columns=keys_all + ["__gwkt"])
-            for kv, grp in gdf.groupby(keys_all, sort=False):
+            for kv, grp in gdf.groupby(keys_all, sort=False, dropna=False):
                 u = B.union_geom([G.parse_wkt(w) for w in grp["__gwkt"]])
                 kv = kv if isinstance(kv, tuple) else (kv,)
                 parts.append(pd.DataFrame(
@@ -653,17 +655,10 @@ def dissolve_transform_area(df: DataFrame, group_cols: Sequence[str],
             return
         whole = (pd.concat(frames, ignore_index=True)
                  if len(frames) > 1 else frames[0])
-        kmat = whole[keys_all].to_numpy()
-        order = np.lexsort(tuple(kmat[:, i]
-                           for i in range(kmat.shape[1] - 1, -1, -1)))
-        kmat = kmat[order]
+        order, starts, ends = _group_slices(whole, keys_all)
+        kmat = whole[keys_all].to_numpy()[order]
         bmat = whole[bcols].to_numpy(dtype=np.float64)[order]
         gw = whole["__gwkt"].to_numpy()[order]
-        change = np.empty(len(kmat), dtype=bool)
-        change[0] = True
-        change[1:] = (kmat[1:] != kmat[:-1]).any(axis=1)
-        starts = np.flatnonzero(change)
-        ends = np.append(starts[1:], len(kmat))
         areas = np.empty(len(starts), dtype=np.float64)
         for gi, (s, e) in enumerate(zip(starts, ends)):
             cx1, cy1, cx2, cy2 = (float(v) for v in kmat[s][n_keys:])

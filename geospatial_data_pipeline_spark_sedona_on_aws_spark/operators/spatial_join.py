@@ -709,12 +709,16 @@ def trajectory_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             la_all = pdf["ax"].str.len().to_numpy()
             lb_all = pdf["bx"].str.len().to_numpy()
-            ma, mb = int(la_all.max()), int(lb_all.max())
-            chunk = max(1, CUBE_BUDGET // max(1, ma * mb))
+            # chunk size from the batch-wide maxima (conservative), but
+            # pad each chunk only to ITS OWN maxima: one long outlier
+            # trajectory then inflates its own chunk, not the whole batch
+            ma_all, mb_all = int(la_all.max()), int(lb_all.max())
+            chunk = max(1, CUBE_BUDGET // max(1, ma_all * mb_all))
             for st in range(0, len(pdf), chunk):
                 sub = pdf.iloc[st:st + chunk]
                 la = la_all[st:st + chunk]
                 lb = lb_all[st:st + chunk]
+                ma, mb = int(la.max()), int(lb.max())
                 n = len(sub)
                 ax = np.zeros((n, ma)); ay = np.zeros((n, ma))
                 bx = np.zeros((n, mb)); by = np.zeros((n, mb))

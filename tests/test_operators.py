@@ -699,7 +699,8 @@ def test_union_aggr_mixed_partials_overlapping_rects_across_partitions(spark):
     combine passes them through undecomposed), one with a non-rectilinear
     member — must union exactly. The stage-2 general branch used to pack
     the overlapping rects into one even-odd multipolygon, XOR-ing the
-    overlap out (union area 101 instead of 151 on this fixture)."""
+    5x10 overlap out (union area 150 instead of the correct 200 on this
+    fixture: 150 from the rect union + 50 from the triangle)."""
     from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel import (
         geom as G,
     )
@@ -721,3 +722,34 @@ def test_union_aggr_mixed_partials_overlapping_rects_across_partitions(spark):
     assert len(out) == 1
     # union area: overlapping rects cover 150, triangle adds 50
     assert abs(G.area(G.parse_wkt(out[0]["geometry"])) - 200.0) < 1e-9
+
+
+def test_dissolve_null_group_keys_form_one_group(spark):
+    """Spark groupBy treats NULL keys as equal; the fused operators'
+    numpy group-slicing must match (r5 review: lexsort-NaN used to split
+    every NULL-keyed row into its own group, and the general-partial
+    pandas groupby silently DROPPED them)."""
+    from pyspark.sql import functions as F
+
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.operators.dissolve import (
+        dissolve_clip_area,
+    )
+
+    rows = [
+        (None, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"),
+        (None, "POLYGON ((5 0, 15 0, 15 10, 5 10, 5 0))"),
+        (None, "POLYGON ((20 0, 30 0, 20 10, 20 0))"),  # slow path member
+        (7, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),
+    ]
+    df = (
+        spark.createDataFrame(rows, "gid int, g string")
+        .withColumn("c", F.lit("POLYGON ((0 0, 100 0, 100 100, 0 100, 0 0))"))
+        .repartition(3)
+    )
+    out = dissolve_clip_area(
+        df, group_cols=["gid"], geom_col="g", clip_col="c", out_col="area",
+    ).collect()
+    by_key = {r["gid"]: r["area"] for r in out}
+    assert len(out) == 2, out        # one NULL group + one gid=7 group
+    assert abs(by_key[None] - 200.0) < 1e-9   # 150 rect union + 50 triangle
+    assert abs(by_key[7] - 16.0) < 1e-9

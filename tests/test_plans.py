@@ -350,8 +350,9 @@ def test_bench_anchor_is_frozen():
     comparable across rounds. Any edit must be deliberate — update this
     hash only with a written justification in the commit message."""
     import hashlib
+    import pathlib
 
-    digest = hashlib.sha256(
-        open("/root/repo/bench_anchor.py", "rb").read()).hexdigest()
+    anchor = pathlib.Path(__file__).resolve().parent.parent / "bench_anchor.py"
+    digest = hashlib.sha256(anchor.read_bytes()).hexdigest()
     assert digest == ("3f9cadff9ed5f596d20877325241f9c"
                       "87e11288d7c2cd780ceebef7d36985c75")
