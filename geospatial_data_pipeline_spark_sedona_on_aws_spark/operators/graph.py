@@ -88,7 +88,7 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
             return labels.select("node", "comp")
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} rounds — "
-        "impossible for any graph with < 2^{max_rounds} nodes; "
+        f"impossible for any graph with < 2^{max_rounds} nodes; "
         "this indicates a label-propagation bug, not a data property")
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -197,6 +197,29 @@ EMBEDDING_CLUSTER_DEDUP_ORACLE = _embedding_cluster_dedup_oracle()
 PR_ITERS = 3
 PR_SCALE = 10**12
 PR_OUT_DEG = 3
+# oracle edge spine rendered from the same constant as the Spark side
+_PR_SPINE = ", ".join(str(j) for j in range(1, PR_OUT_DEG + 1))
+
+
+def _link_edges(spark: SparkSession, sf_dir: str):
+    """(nodes, directed-edge expression) of the deterministic document
+    link graph — doc d links to (31·d + j) mod N for j = 1..PR_OUT_DEG —
+    shared by pagerank_links and triangle_count so the edge law lives in
+    ONE place (the SQL oracles render the same spine from PR_OUT_DEG).
+    Returns the lineage-truncated (doc_id, n) node table and the exploded
+    (src, dst) edge DataFrame, also truncated (both are multi-consumed
+    inside iterative/multi-branch plans — see the plan-audit note)."""
+    docs = DD._docs(spark, sf_dir).select("doc_id")
+    n = docs.agg(F.count("*").alias("n"))
+    nodes = docs.crossJoin(F.broadcast(n)).localCheckpoint(eager=False)
+    edges = nodes.select(
+        F.col("doc_id").alias("src"),
+        F.explode(F.array(*[
+            (F.col("doc_id") * 31 + F.lit(j)) % F.col("n")
+            for j in range(1, PR_OUT_DEG + 1)
+        ])).alias("dst"),
+    )
+    return nodes, edges
 
 
 def pagerank_links(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -219,18 +242,10 @@ def pagerank_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank-unit per in-edge vs rational arithmetic — negligible at SCALE=1e12
     and applied identically on both engines.)
     """
-    docs = DD._docs(spark, sf_dir).select("doc_id")
-    n = docs.agg(F.count("*").alias("n"))
-    # nodes joins back into EVERY iteration's damping-floor restore;
-    # truncate its lineage once instead of replaying scan+count per round
-    nodes = docs.crossJoin(F.broadcast(n)).localCheckpoint(eager=False)
-    edges = nodes.select(
-        F.col("doc_id").alias("src"),
-        F.explode(F.array(*[
-            (F.col("doc_id") * 31 + F.lit(j)) % F.col("n")
-            for j in range(1, PR_OUT_DEG + 1)
-        ])).alias("dst"),
-    ).localCheckpoint(eager=False)
+    # nodes joins back into EVERY iteration's damping-floor restore and
+    # edges into every contribution join — both lineage-truncated once
+    nodes, edges = _link_edges(spark, sf_dir)
+    edges = edges.localCheckpoint(eager=False)
     ranks = nodes.select(
         "doc_id", F.expr(f"{PR_SCALE} div n").alias("r"))
     for _ in range(PR_ITERS):
@@ -269,7 +284,7 @@ WITH n AS (SELECT count(*) AS n FROM documents),
 nodes AS (SELECT doc_id FROM documents),
 edges AS (
     SELECT doc_id AS src, (doc_id * 31 + j) % n.n AS dst
-    FROM documents CROSS JOIN n, unnest([1, 2, 3]) AS t(j)
+    FROM documents CROSS JOIN n, unnest([{_PR_SPINE}]) AS t(j)
 ),
 base AS (SELECT (15 * {PR_SCALE}) // (100 * n.n) AS b FROM n),
 r0 AS (SELECT doc_id, ({PR_SCALE} // n.n) AS r FROM nodes CROSS JOIN n),
@@ -376,17 +391,10 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle excluded — membership is computed by unioning the three
     corners, so absence means zero).
     """
-    docs = DD._docs(spark, sf_dir).select("doc_id")
-    n = docs.agg(F.count("*").alias("n"))
+    _, dir_edges = _link_edges(spark, sf_dir)
     und = (
-        docs.crossJoin(F.broadcast(n))
-        .select(
-            F.col("doc_id").alias("a"),
-            F.explode(F.array(*[
-                (F.col("doc_id") * 31 + F.lit(j)) % F.col("n")
-                for j in range(1, PR_OUT_DEG + 1)
-            ])).alias("b"),
-        )
+        dir_edges
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .where(F.col("a") != F.col("b"))  # drop self-loops
         .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
         .distinct()
@@ -431,7 +439,7 @@ TRIANGLE_COUNT_ORACLE = f"""
 WITH n AS (SELECT count(*) AS n FROM documents),
 raw AS (
     SELECT doc_id AS a, (doc_id * 31 + j) % n.n AS b
-    FROM documents CROSS JOIN n, unnest([1, 2, 3]) AS t(j)
+    FROM documents CROSS JOIN n, unnest([{_PR_SPINE}]) AS t(j)
 ),
 und AS (
     SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v

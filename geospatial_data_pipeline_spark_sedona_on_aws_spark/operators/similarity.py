@@ -33,29 +33,19 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spread_scan(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 EMBED_DIM = 64
+LSH_STRIDE = EMBED_DIM // LSH_PLANES  # LSH plane p reads dim p*STRIDE+1
 
-def _dot(a: Column, b: Column, dim: int | None = EMBED_DIM) -> Column:
-    """Sequential left-fold dot product. With a known dim the fold is
-    *unrolled* into a straight-line chain of adds — identical IEEE-754
-    operation order to the HOF fold (so still bitwise-equal to the DuckDB
-    oracle's list_reduce) but compiled by whole-stage codegen instead of the
-    interpreted higher-order-function evaluator (~10× per-pair cost)."""
-    if dim is not None:
-        acc: Column = F.lit(0.0)
-        for i in range(1, dim + 1):
-            acc = acc + F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
-        return acc
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product (HOF aggregate over zip_with) —
+    the exact IEEE-754 left-to-right order the DuckDB oracles replicate
+    with list_reduce. (An unrolled straight-line variant existed through
+    r4 but no live path used it — removed r5 rather than carry an
+    untested performance claim.)"""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-
-def _norm(a: Column) -> Column:
-    return F.sqrt(_dot(a, a))
-
-def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
 
 def _fold_dots(C, Q):
     """(n, d) × (m, d) cosine numerators/denominators with *left-fold*
@@ -112,11 +102,19 @@ def topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             sims = dots / (cn[:, None] * qn[None, :])
             n, m = sims.shape
             mask = ids[:, None] != q_ids[None, :]
-            parts.append(pd.DataFrame({
+            bdf = pd.DataFrame({
                 "query_id": np.tile(q_ids, n)[mask.ravel()],
                 "neighbor_id": np.repeat(ids, m)[mask.ravel()],
                 "cos_sim": sims.ravel()[mask.ravel()],
-            }))
+            })
+            # batch-local top-k BEFORE accumulating: the partition buffer
+            # holds ≤ batches × queries × k rows, never every candidate
+            # pair (a 1M-row partition would otherwise buffer 100M rows)
+            bdf = bdf.sort_values(
+                ["query_id", "cos_sim", "neighbor_id"],
+                ascending=[True, False, True],
+            ).groupby("query_id", sort=False).head(TOPK)
+            parts.append(bdf)
         if not parts:
             return
         allp = pd.concat(parts, ignore_index=True)
@@ -169,6 +167,22 @@ FROM ranked WHERE rank <= {TOPK}
 
 QUANT_SCALE = 127
 
+
+def _quant(X) -> "np.ndarray":
+    """THE engine's int8 quantization law — floor(x·127 + 0.5) clamped to
+    ±QUANT_SCALE — as one shared function (it was defined four times with
+    drifting variants through r4; the arrow-path copy had drifted to
+    float32, where boundary values like -0.9488189 floor to -120 instead
+    of the oracle's CAST(x AS DOUBLE) -121). Forces float64 FIRST so the
+    arithmetic matches the DOUBLE-based SQL oracles bit for bit."""
+    import numpy as np
+
+    X = np.asarray(X, dtype=np.float64)
+    return np.maximum(
+        -QUANT_SCALE,
+        np.minimum(QUANT_SCALE, np.floor(X * 127.0 + 0.5)),
+    ).astype(np.int64)
+
 def quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 scalar quantization + exact integer top-k: each float dimension
     maps to round(x·127) clamped to [-127, 127], and neighbors rank by the
@@ -186,20 +200,13 @@ def quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window
 
-    def quant(X: "np.ndarray") -> "np.ndarray":
-        # identical arithmetic to the oracle: floor(x·127 + 0.5), clamped
-        return np.maximum(
-            -QUANT_SCALE,
-            np.minimum(QUANT_SCALE, np.floor(X * 127.0 + 0.5)),
-        ).astype(np.int64)
-
     emb = _emb(spark, sf_dir)
     qrows = (
         emb.where(F.col("vec_id") < N_QUERY_VECS)
         .select("vec_id", "embedding").collect()
     )
     q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
-    Q = quant(np.array([r.embedding for r in qrows], dtype=np.float64))
+    Q = _quant(np.array([r.embedding for r in qrows], dtype=np.float64))
 
     def compute(batches):
         parts = []
@@ -207,15 +214,21 @@ def quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not len(pdf):
                 continue
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            C = quant(np.array(pdf["embedding"].tolist(), dtype=np.float64))
+            C = _quant(np.array(pdf["embedding"].tolist(), dtype=np.float64))
             dots = C @ Q.T  # exact int64
             n, m = dots.shape
             mask = ids[:, None] != q_ids[None, :]
-            parts.append(pd.DataFrame({
+            bdf = pd.DataFrame({
                 "query_id": np.tile(q_ids, n)[mask.ravel()],
                 "neighbor_id": np.repeat(ids, m)[mask.ravel()],
                 "qdot": dots.ravel()[mask.ravel()],
-            }))
+            })
+            # batch-local top-k before accumulating (see topk_cosine)
+            bdf = bdf.sort_values(
+                ["query_id", "qdot", "neighbor_id"],
+                ascending=[True, False, True],
+            ).groupby("query_id", sort=False).head(TOPK)
+            parts.append(bdf)
         if not parts:
             return
         allp = pd.concat(parts, ignore_index=True)
@@ -294,12 +307,6 @@ def pq_ann(spark: SparkSession, sf_dir: str, topk: int = PQ_TOPK) -> DataFrame:
 
     from pyspark.sql import Window
 
-    def quant(X: "np.ndarray") -> "np.ndarray":
-        return np.maximum(
-            -QUANT_SCALE,
-            np.minimum(QUANT_SCALE, np.floor(X * 127.0 + 0.5)),
-        ).astype(np.int64)
-
     emb = _emb(spark, sf_dir)
     cb_rows = (
         emb.where(F.col("vec_id") < PQ_CODES)
@@ -307,14 +314,14 @@ def pq_ann(spark: SparkSession, sf_dir: str, topk: int = PQ_TOPK) -> DataFrame:
     )
     cb_rows.sort(key=lambda r: r.vec_id)
     # cb[s][c] = subvector s of codebook vector c — (M, CODES, SUBDIM)
-    CB = quant(np.array([r.embedding for r in cb_rows], dtype=np.float64))
+    CB = _quant(np.array([r.embedding for r in cb_rows], dtype=np.float64))
     CB = CB.reshape(PQ_CODES, PQ_M, PQ_SUBDIM).transpose(1, 0, 2)
     qrows = (
         emb.where(F.col("vec_id") < N_QUERY_VECS)
         .select("vec_id", "embedding").collect()
     )
     q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
-    Q = quant(np.array([r.embedding for r in qrows], dtype=np.float64))
+    Q = _quant(np.array([r.embedding for r in qrows], dtype=np.float64))
     Qs = Q.reshape(len(q_ids), PQ_M, PQ_SUBDIM)
     # ADC lookup table: lut[q, s, c] = ||Q[q,s] - CB[s,c]||^2 (exact int)
     diff = Qs[:, :, None, :] - CB[None, :, :, :]
@@ -326,7 +333,7 @@ def pq_ann(spark: SparkSession, sf_dir: str, topk: int = PQ_TOPK) -> DataFrame:
             if not len(pdf):
                 continue
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            C = quant(np.array(pdf["embedding"].tolist(), dtype=np.float64))
+            C = _quant(np.array(pdf["embedding"].tolist(), dtype=np.float64))
             Cs = C.reshape(len(ids), PQ_M, PQ_SUBDIM)
             # encode: nearest codebook entry per subvector (ties → lowest
             # code; np.argmin returns the first minimum and codes ascend)
@@ -340,11 +347,17 @@ def pq_ann(spark: SparkSession, sf_dir: str, topk: int = PQ_TOPK) -> DataFrame:
             adc = adc_qn.T
             n, m = len(ids), len(q_ids)
             mask = ids[:, None] != q_ids[None, :]
-            parts.append(pd.DataFrame({
+            bdf = pd.DataFrame({
                 "query_id": np.tile(q_ids, n)[mask.ravel()],
                 "neighbor_id": np.repeat(ids, m)[mask.ravel()],
                 "adc": adc.ravel()[mask.ravel()],
-            }))
+            })
+            # batch-local top-k before accumulating (see topk_cosine)
+            bdf = bdf.sort_values(
+                ["query_id", "adc", "neighbor_id"],
+                ascending=[True, True, True],
+            ).groupby("query_id", sort=False).head(topk)
+            parts.append(bdf)
         if not parts:
             return
         allp = pd.concat(parts, ignore_index=True)
@@ -413,7 +426,7 @@ def _bucket(v: Column) -> Column:
     """Axis-projection LSH bucket: bit p = (v[p*8 + 1] >= 0)."""
     out = None
     for p in range(LSH_PLANES):
-        bit = F.when(F.element_at(v, p * 8 + 1) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bit = F.when(F.element_at(v, p * LSH_STRIDE + 1) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
         out = bit if out is None else out + bit
     return out.cast("long")
 
@@ -458,7 +471,7 @@ def lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir).select(
         "vec_id", "embedding", _bucket(F.col("embedding")).alias("bucket"),
-        F.sqrt(_dot(F.col("embedding"), F.col("embedding"), dim=None)).alias("nrm"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
     )
     probes = F.array(
         F.col("bucket"),
@@ -472,7 +485,7 @@ def lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("query_id"),
             F.col("b.vec_id").alias("neighbor_id"),
-            (_dot(F.col("a.embedding"), F.col("b.embedding"), dim=None)
+            (_dot(F.col("a.embedding"), F.col("b.embedding"))
              / (F.col("a.nrm") * F.col("b.nrm"))).alias("cos_sim"),
         )
     )
@@ -484,7 +497,7 @@ def lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 _BUCKET_SQL = " + ".join(
-    f"CASE WHEN embedding[{p * 8 + 1}] >= 0 THEN {1 << p} ELSE 0 END"
+    f"CASE WHEN embedding[{p * LSH_STRIDE + 1}] >= 0 THEN {1 << p} ELSE 0 END"
     for p in range(LSH_PLANES)
 )
 
@@ -529,7 +542,7 @@ def cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket equi-join never goes all-pairs."""
     emb = _emb(spark, sf_dir).select(
         "vec_id", "embedding", _bucket(F.col("embedding")).alias("bucket"),
-        F.sqrt(_dot(F.col("embedding"), F.col("embedding"), dim=None)).alias("nrm"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
     )
     a, b = emb.alias("a"), emb.alias("b")
     return (
@@ -538,7 +551,7 @@ def cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("doc_a"),
             F.col("b.vec_id").alias("doc_b"),
-            (_dot(F.col("a.embedding"), F.col("b.embedding"), dim=None)
+            (_dot(F.col("a.embedding"), F.col("b.embedding"))
              / (F.col("a.nrm") * F.col("b.nrm"))).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= NEAR_DUP_THRESHOLD)
@@ -673,7 +686,6 @@ FROM ranked WHERE rank <= {IVF_TOPK}
 
 KMEANS_K = 4
 KMEANS_ITERS = 3
-EMB_DIM = 64
 
 def kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means over int8-quantized embeddings — the iterative
@@ -701,17 +713,13 @@ def kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
 
-    def quant(X: "np.ndarray") -> "np.ndarray":
-        return np.maximum(-127, np.minimum(127, np.floor(X * 127.0 + 0.5))
-                          ).astype(np.int64)
-
     init_rows = (
         emb.where(F.col("vec_id") < KMEANS_K)
         .select("vec_id", "embedding").collect()
     )
-    centers = np.zeros((KMEANS_K, EMB_DIM), dtype=np.int64)
+    centers = np.zeros((KMEANS_K, EMBED_DIM), dtype=np.int64)
     for r in init_rows:
-        centers[r.vec_id] = quant(np.array(r.embedding, dtype=np.float64))
+        centers[r.vec_id] = _quant(np.array(r.embedding, dtype=np.float64))
     center_ids = np.arange(KMEANS_K, dtype=np.int64)
 
     def assign_fn(C: "np.ndarray", cids: "np.ndarray", with_dims: bool):
@@ -719,7 +727,7 @@ def kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
             for pdf in batches:
                 if not len(pdf):
                     continue
-                X = quant(np.array(list(pdf["embedding"]), dtype=np.float64))
+                X = _quant(np.array(list(pdf["embedding"]), dtype=np.float64))
                 # (n, k) integer squared distances; argmin ties -> first
                 # (= lowest center id, cids kept sorted)
                 d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
@@ -748,11 +756,11 @@ def kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         by_c: dict = {}
         for r in sums:
-            by_c.setdefault(r["cluster"], [0] * (EMB_DIM + 1))
+            by_c.setdefault(r["cluster"], [0] * (EMBED_DIM + 1))
             by_c[r["cluster"]][r["d"]] = (r["s"], r["n"])
         center_ids = np.array(sorted(by_c), dtype=np.int64)
         centers = np.array([
-            [int(np.floor(by_c[c][d][0] / by_c[c][d][1])) for d in range(EMB_DIM)]
+            [int(np.floor(by_c[c][d][0] / by_c[c][d][1])) for d in range(EMBED_DIM)]
             for c in center_ids
         ], dtype=np.int64)
 
@@ -763,7 +771,7 @@ def kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _kmeans_oracle() -> str:
     q = ("list_transform(embedding, x -> GREATEST(-127, LEAST(127, "
-         "CAST(floor(x * 127 + 0.5) AS BIGINT))))")
+         "CAST(floor(CAST(x AS DOUBLE) * 127 + 0.5) AS BIGINT))))")
     # outer CAST: list_aggregate 'sum' yields HUGEINT, which lands in pandas
     # as float64 and diverges from Spark's BIGINT in the driver's value hash
     dist = ("CAST(list_aggregate(list_transform(range(1, 65), "
@@ -840,9 +848,9 @@ def pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         cands.join(q, "query_id").join(c, "neighbor_id")
         .select(
             "query_id", "neighbor_id",
-            (_dot(F.col("qv"), F.col("cv"), dim=None)
-             / (F.sqrt(_dot(F.col("qv"), F.col("qv"), dim=None))
-                * F.sqrt(_dot(F.col("cv"), F.col("cv"), dim=None))))
+            (_dot(F.col("qv"), F.col("cv"))
+             / (F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                * F.sqrt(_dot(F.col("cv"), F.col("cv")))))
             .alias("cos_sim"),
         )
     )
@@ -918,9 +926,10 @@ def arrow_quant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             if n == 0:
                 continue
             dim = len(flat) // n
-            X = flat.reshape(n, dim)
-            Q = np.maximum(-QUANT_SCALE, np.minimum(
-                QUANT_SCALE, np.floor(X * 127.0 + 0.5))).astype(np.int64)
+            # _quant forces float64: Arrow float32 embeddings would
+            # otherwise quantize in f32 and flip boundary values vs the
+            # DOUBLE-based oracle
+            Q = _quant(flat.reshape(n, dim))
             yield pa.RecordBatch.from_arrays(
                 [
                     ids,
