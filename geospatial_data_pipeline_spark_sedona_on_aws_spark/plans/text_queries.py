@@ -219,7 +219,11 @@ def udtf_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="pos: bigint, tok: string")
     class TokenExplode:
         def eval(self, text: str):
-            if text:
+            # text='' yields one (0, '') row — ''.split(' ') == [''] —
+            # matching DuckDB string_split and the module's tokenization
+            # law (empty text is one empty token, never zero rows, which
+            # would also LATERAL-drop the document)
+            if text is not None:
                 for i, t in enumerate(text.split(" ")):
                     yield i, t
 
@@ -317,36 +321,44 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     step)? Returns per-step user counts — the product-analytics query every
     event pipeline serves.
 
-    Implementation is windowless sequence matching via per-user min-scan:
-    step 1 time = min(view ts); step k time = min(ts of step-k events after
-    step k-1) — expressed as conditional aggregates over ONE groupBy(user),
-    no joins, no explode: a single shuffle regardless of funnel depth.
-    """
+    One bounded aggregation pass PER STEP (the r4 form collect_list'd every
+    click/purchase timestamp into a single per-user array — a hot user with
+    millions of events materialized them all in one aggregation buffer):
+    step 1 is min(view ts) per user; step k joins the step-(k-1) frame back
+    to the events co-partitioned on user_id and takes the conditional min —
+    per-user state is one timestamp per step, O(1) regardless of event
+    count, and every shuffle keys on user_id so the partitioning is reused.
+    Funnel depth K costs K passes, never K× memory."""
     from ..streaming.events import _events
 
     ev = _events(spark, sf_dir)
-    us = F.unix_micros(F.col("ts"))
-    per_user = ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", us)).alias("t1"),
-        *[F.collect_list(F.when(F.col("event_type") == typ, us)).alias(f"__{typ}")
-          for typ in FUNNEL_STEPS[1:]],
-    )
+    ev_us = ev.select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("t"))
     win_us = FUNNEL_WINDOW_MIN * 60 * 1_000_000
-    t_prev = F.col("t1")
-    steps = [F.col("t1").isNotNull().cast("long").alias("s1_view")]
-    for i, typ in enumerate(FUNNEL_STEPS[1:], start=2):
-        # earliest event of this type after the previous step, within window
-        tk = F.array_min(F.filter(
-            F.col(f"__{typ}"),
-            lambda t: t.isNotNull() & (t > t_prev) & (t <= t_prev + win_us),
-        ))
-        steps.append((tk.isNotNull() & t_prev.isNotNull()).cast("long")
-                     .alias(f"s{i}_{typ}"))
-        t_prev = F.when(t_prev.isNotNull(), tk)
-    return per_user.select(*steps).agg(
-        *[F.sum(f"s{i}_{typ}").alias(f"n_{typ}")
-          for i, typ in enumerate(FUNNEL_STEPS, start=1)]
+
+    frames = []
+    prev = (
+        ev_us.where(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id").agg(F.min("t").alias("t_prev"))
     )
+    frames.append(prev)
+    for typ in FUNNEL_STEPS[1:]:
+        prev = (
+            ev_us.where(F.col("event_type") == typ)
+            .join(prev.select("user_id", "t_prev"), "user_id")
+            .where((F.col("t") > F.col("t_prev"))
+                   & (F.col("t") <= F.col("t_prev") + win_us))
+            .groupBy("user_id").agg(F.min("t").alias("t_prev"))
+        )
+        frames.append(prev)
+    counts = [
+        frame.agg(F.count("*").alias(f"n_{typ}"))
+        for typ, frame in zip(FUNNEL_STEPS, frames)
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(c)  # 1-row scalar aggregates
+    return out
 
 EVENT_FUNNEL_ORACLE = f"""
 WITH per_user AS (
@@ -391,10 +403,7 @@ def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = _docs(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
-    bigrams = F.expr(
-        "transform(sequence(1, size(tk) - 1),"
-        " i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"
-    )
+    bigrams = F.expr(BIGRAMS_SQL)
     per_bigram = (
         d.select("doc_id", toks.alias("tk"))
         .where(F.size(F.col("tk")) >= 2)
@@ -454,10 +463,7 @@ def ngram_topk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exploded stream) then a driver-side k-row limit; ties broken by the
     bigram itself so the result set is deterministic."""
     d = _docs(spark, sf_dir)
-    bigrams = F.expr(
-        "transform(sequence(1, size(tk) - 1),"
-        " i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"
-    )
+    bigrams = F.expr(BIGRAMS_SQL)
     return (
         d.select(F.split(F.col("text"), " ").alias("tk"))
         .where(F.size(F.col("tk")) >= 2)
@@ -711,6 +717,31 @@ FROM m
 
 BPE_ROUNDS = 4
 
+# adjacent-bigram array over a token-array column named `tk` — the ONE
+# n-gram-building expression shared by repetition_scores and
+# ngram_topk_corpus (previously duplicated verbatim; a semantics fix must
+# not be appliable to only one of them)
+BIGRAMS_SQL = ("transform(sequence(1, size(tk) - 1),"
+               " i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))")
+
+
+def _sql_str(text: str) -> str:
+    """SQL single-quoted literal with quotes and backslashes escaped, so a
+    corpus symbol containing ' or \\ cannot break (or inject into) the
+    generated replace() expression."""
+    return "'" + text.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
+def _check_symbol(sym: str) -> str:
+    """Reject merge symbols containing the [ ] sentinel characters — they
+    would corrupt the bracket state encoding silently in BOTH engines."""
+    if "[" in sym or "]" in sym:
+        raise ValueError(
+            f"BPE symbol {sym!r} contains the [ ] sentinel characters; "
+            "the bracket state encoding cannot represent it")
+    return sym
+
+
 def _bpe_pair_counts(states: DataFrame) -> DataFrame:
     """Weighted adjacent-symbol pair counts over (word-state, freq) rows.
     state is the word's current segmentation with each symbol individually
@@ -779,9 +810,12 @@ def bpe_merge_train(spark: SparkSession, sf_dir: str,
         top = tops[0]
         l, r, cnt = top["l"], top["r"], top["cnt"]
         out_rows.append((rnd, l, r, l + r, cnt))
+        _check_symbol(l), _check_symbol(r)
+        lit_pair = _sql_str(f"[{l}][{r}]")
+        lit_merged = _sql_str(f"[{l}{r}]")
         states = states.selectExpr(
             "freq",
-            f"replace(state, '[{l}][{r}]', '[{l}{r}]') AS state",
+            f"replace(state, {lit_pair}, {lit_merged}) AS state",
         )
     return spark.createDataFrame(
         out_rows, "round int, left string, right string,"
@@ -921,8 +955,11 @@ def bpe_tokenize_apply(spark: SparkSession, sf_dir: str,
            " w -> concat('[', array_join(split(w, ''), ']['), ']'))")
     applied = enc
     for l, r in merges:
+        _check_symbol(l), _check_symbol(r)
+        lit_pair = _sql_str(f"[{l}][{r}]")
+        lit_merged = _sql_str(f"[{l}{r}]")
         applied = (f"transform({applied},"
-                   f" s -> replace(s, '[{l}][{r}]', '[{l}{r}]'))")
+                   f" s -> replace(s, {lit_pair}, {lit_merged}))")
     return d.selectExpr(
         "doc_id",
         f"aggregate(transform({enc}, s -> size(split(s, '\\\\]\\\\['))),"
@@ -935,7 +972,15 @@ def bpe_tokenize_apply(spark: SparkSession, sf_dir: str,
     )
 
 def _bpe_apply_oracle(rounds: int = BPE_ROUNDS) -> str:
-    """Training CTEs (shared generator) + per-word application chain."""
+    """Training CTEs (shared generator) + per-word application chain.
+
+    Two edge guards (r5 review): (1) the chain cross-joins every top{i}
+    CTE, so a corpus that exhausts its merges before `rounds` would
+    silently collapse the oracle to zero rows while the Spark side breaks
+    early and returns real counts — the merge_guard error()s loudly
+    instead; (2) documents whose text contains no non-empty word have no
+    docwords rows but the Spark side emits (doc_id, 0, 0, 0) — the final
+    select LEFT JOINs from documents with coalesce."""
     # reuse the WITH block of the training oracle without its final SELECT
     with_block, _ = _bpe_oracle_parts(rounds)
     apply_chain = "enc"
@@ -945,25 +990,38 @@ def _bpe_apply_oracle(rounds: int = BPE_ROUNDS) -> str:
                        f" '[' || t{i}.l || t{i}.r || ']')")
     froms = ", ".join(f"top{i} t{i}" for i in range(1, rounds + 1))
     return f"""{with_block},
+merge_guard AS (
+    SELECT CASE WHEN (SELECT count(*) FROM top{rounds}) = 1 THEN 1
+           ELSE CAST(error('corpus exhausted its merges before round '
+                           || {rounds} || '; unrolled oracle invalid')
+                     AS BIGINT) END AS ok
+),
 docwords AS (
     SELECT doc_id,
            '[' || array_to_string(string_split(w, ''), '][') || ']' AS enc
     FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-          FROM documents)
-    WHERE w != ''
+          FROM documents),
+         merge_guard
+    WHERE ok = 1 AND w != ''
 ),
 applied AS (
     SELECT doc_id,
            len(string_split(trim(enc, '[]'), '][')) AS n_char,
            len(string_split(trim({apply_chain}, '[]'), '][')) AS n_bpe
     FROM docwords, {froms}
+),
+per_doc AS (
+    SELECT doc_id,
+           CAST(sum(n_char) AS BIGINT) AS n_char_tokens,
+           CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens
+    FROM applied
+    GROUP BY doc_id
 )
-SELECT doc_id,
-       CAST(sum(n_char) AS BIGINT) AS n_char_tokens,
-       CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
-       CAST(sum(n_char) - sum(n_bpe) AS BIGINT) AS tokens_saved
-FROM applied
-GROUP BY doc_id
+SELECT d.doc_id,
+       coalesce(p.n_char_tokens, 0) AS n_char_tokens,
+       coalesce(p.n_bpe_tokens, 0) AS n_bpe_tokens,
+       coalesce(p.n_char_tokens - p.n_bpe_tokens, 0) AS tokens_saved
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
 """
 
 BPE_TOKENIZE_APPLY_ORACLE = _bpe_apply_oracle()

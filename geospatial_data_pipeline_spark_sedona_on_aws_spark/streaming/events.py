@@ -135,11 +135,16 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # gap compared in MICROSECONDS (unix_micros), not floored seconds:
+    # floored-second diffs call a 1800.3 s gap "1800, not > 1800" and merge
+    # sessions the microsecond law (streaming sessionize, the built-in
+    # session_window — probed: exactly-1800 s merges, 1800.000001 s splits)
+    # would break. One law everywhere: strict > at microsecond precision.
     marked = ev.withColumn(
         "new_session",
         F.when(
-            (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)))
-            > SESSION_GAP_MIN * 60,
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+            > SESSION_GAP_MIN * 60 * 1_000_000,
             1,
         ).otherwise(0),
     ).withColumn("session_seq", F.sum("new_session").over(w))
@@ -161,9 +166,8 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 SESSIONIZE_ORACLE = f"""
 WITH marked AS (
     SELECT *,
-           CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
-                     - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT)
-                     > {SESSION_GAP_MIN * 60}
+           CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                     > {SESSION_GAP_MIN * 60 * 1_000_000}
                 THEN 1 ELSE 0 END AS new_session
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -198,10 +202,13 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+# TRY_CAST, not CAST: regexp_extract returns '' (not NULL) on a props
+# without "k", and DuckDB CAST('' AS BIGINT) is a hard Conversion Error
+# while Spark's tolerant cast yields NULL — TRY_CAST restores parity.
 EVENTS_JSON_ORACLE = """
 SELECT event_type,
-       CAST(sum(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
-       max(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS max_k,
+       CAST(sum(TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+       max(TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS max_k,
        count(*) AS n
 FROM events
 GROUP BY event_type
@@ -601,12 +608,16 @@ def streaming_snapshot_publish(spark: SparkSession, sf_dir: str,
     )
 
     def publish(batch_df: DataFrame, batch_id: int) -> None:
-        # batch id encoded as a date-shaped version so the catalog's
-        # retention regex orders snapshots (availableNow + complete mode
-        # yields one batch here; a continuous run would use the batch date)
+        # batch id encoded as a REAL rolling date so the version stays
+        # date-shaped (catalog._DATE_RE) for ANY batch count — the old
+        # f"1970_01_{id+1:02d}" form broke the retention regex at batch 99
+        # and emitted non-dates (1970_01_45) from batch 31 on
+        import datetime
+
+        version = (datetime.date(1970, 1, 1)
+                   + datetime.timedelta(days=batch_id)).strftime("%Y_%m_%d")
         publish_snapshot(
-            batch_df.sparkSession, batch_df, table,
-            f"1970_01_{batch_id + 1:02d}",
+            batch_df.sparkSession, batch_df, table, version,
             grain=["window_start_us", "event_type"],
         )
 
@@ -741,9 +752,8 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_SESSION_WINDOW_ORACLE = f"""
 WITH marked AS (
     SELECT *,
-           CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
-                     - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT)
-                     > {SESSION_GAP_MIN * 60}
+           CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                     > {SESSION_GAP_MIN * 60 * 1_000_000}
                 THEN 1 ELSE 0 END AS new_session
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -886,8 +896,10 @@ def user_type_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             StatefulProcessorHandle,
         )
 
+        _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+        _old_provider = spark.conf.get(_PROVIDER_KEY, None)
         spark.conf.set(
-            "spark.sql.streaming.stateStore.providerClass",
+            _PROVIDER_KEY,
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider",
         )
@@ -931,15 +943,26 @@ def user_type_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     name = "user_type_totals_tws_sink"
-    with tempfile.TemporaryDirectory() as ckpt:
-        q = (
-            totals.writeStream.format("memory").queryName(name)
-            .outputMode("update")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    try:
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                totals.writeStream.format("memory").queryName(name)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        # restore the caller session's state-store provider: leaving the
+        # RocksDB override set would silently change the backend of every
+        # LATER streaming query in this session (and fail outright where
+        # the RocksDB native lib is absent)
+        if _tws_available():  # pragma: no cover - mirrors the set above
+            if _old_provider is None:
+                spark.conf.unset(_PROVIDER_KEY)
+            else:
+                spark.conf.set(_PROVIDER_KEY, _old_provider)
 
     from pyspark.sql import Window as W
 
