@@ -666,8 +666,6 @@ def window_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
     30-day-interval rolling sum. All windows share the o_custkey partition
     key, so the whole zoo rides ONE Exchange; ordering differences only
     re-sort within partitions. Money through DECIMAL as everywhere."""
-    from pyspark.sql import Window
-
     o = _t(spark, sf_dir, "orders")
     wseq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     wpri = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
@@ -912,8 +910,6 @@ def running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     window passes over one event_type partitioning; no state store, no
     approximation."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    from pyspark.sql import Window
-
     first_w = Window.partitionBy("event_type", "user_id") \
         .orderBy("ts", "event_id")
     run_w = Window.partitionBy("event_type").orderBy("ts", "event_id") \
@@ -937,8 +933,8 @@ WITH flagged AS (
     FROM events
 )
 SELECT event_id, event_type,
-       sum(first_seen) OVER (PARTITION BY event_type ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING)
+       CAST(sum(first_seen) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
            AS distinct_users_so_far
 FROM flagged
 """

@@ -261,7 +261,10 @@ c AS (
     FROM hist
 ),
 tot AS (SELECT sum(cnt) AS n FROM hist),
-q AS (SELECT unnest([0.5, 0.95, 0.99]) AS quantile),
+-- ::DOUBLE: bare literals are DECIMAL(3,2) and quantile * n would be
+-- computed exactly in decimal, disagreeing with Spark's double
+-- product in the last ulp for ~a third of row counts n
+q AS (SELECT unnest([0.5::DOUBLE, 0.95::DOUBLE, 0.99::DOUBLE]) AS quantile),
 hit AS (
     SELECT q.quantile, c.bin, c.cnt, c.cum, tot.n,
            row_number() OVER (PARTITION BY q.quantile ORDER BY c.bin) AS rn
@@ -474,7 +477,7 @@ def reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("o_orderpriority").orderBy(h.asc(), F.col("o_orderkey").asc())
     return (
         o.select("o_orderpriority", "o_orderkey", "o_totalprice",
-                 F.row_number().over(w).alias("pick"))
+                 F.row_number().over(w).cast("long").alias("pick"))
         .where(F.col("pick") <= RESERVOIR_K)
     )
 

@@ -193,7 +193,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
         .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
         .join(F.broadcast(n2), supp["s_nationkey"] == F.col("sn_key"))
-        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
             F.sum(F.when(F.col("supp_nation") == "NATION_3", _rev())
                   .otherwise(F.lit(0).cast("decimal(18,2)")))
@@ -244,7 +244,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
         .groupBy(F.col("n_name").alias("nation"),
-                 F.year("o_orderdate").alias("o_year"))
+                 F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(F.sum(profit).cast("double").alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
