@@ -692,9 +692,9 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = ", ".join(f"'{w}'" for w in OOV_VOCAB)
     return d.selectExpr(
         "doc_id",
-        "size(split(text, ' ')) AS n_tokens",
-        f"size(filter(split(text, ' '),"
-        f" t -> NOT array_contains(array({vocab}), t))) AS n_oov",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens",
+        f"CAST(size(filter(split(text, ' '),"
+        f" t -> NOT array_contains(array({vocab}), t))) AS BIGINT) AS n_oov",
     ).selectExpr(
         "doc_id", "n_tokens", "n_oov",
         "CAST(n_oov AS DOUBLE) / n_tokens AS oov_rate",

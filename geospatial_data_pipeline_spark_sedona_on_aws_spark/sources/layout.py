@@ -188,7 +188,7 @@ def hilbert_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 HILBERT_CURVE_ORACLE = f"""
 WITH {fixtures.LAND_USE_CTE.strip()}
-SELECT property_id, x1, y1, h
+SELECT property_id, x1, y1, CAST(h AS BIGINT) AS h
 FROM ({hilbert_sql("SELECT property_id, x1, y1 FROM land_use",
                    ["property_id", "x1", "y1"], "x1", "y1", "h")})
 ORDER BY h, property_id
