@@ -536,6 +536,11 @@ def dissolve_transform_area(df: DataFrame, group_cols: Sequence[str],
     Contract: `clip_bounds` are 4 numeric columns (x1, y1, x2, y2) of an
     axis-aligned clip rectangle, constant per group (they ride as extra
     grouping keys). A non-rectangular clip needs the general chained form.
+    NULL-geometry rows are skipped in the combine, so a group whose
+    members ALL have NULL geometry produces no output row (unlike a plain
+    Spark groupBy, which would emit the group with a NULL/0 aggregate) —
+    all-NULL groups are out of contract; pre-filter or coalesce geometries
+    upstream if such groups must appear in the result.
     src_crs/dst_crs resolve through the kernel CRS registry (r5: 4326,
     3857, 5880, UTM 326xx/327xx) — the default pair composes the exact
     functions the fused mercator_to_polyconic path uses, bit-identically.

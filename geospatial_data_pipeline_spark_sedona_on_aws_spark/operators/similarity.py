@@ -107,6 +107,11 @@ def topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "neighbor_id": np.repeat(ids, m)[mask.ravel()],
                 "cos_sim": sims.ravel()[mask.ravel()],
             })
+            # a zero-norm embedding makes cos_sim NaN (0/0); pandas sorts
+            # NaN last (pruned) while the Spark window ranks NaN greatest
+            # (top-ranked) — drop NaN rows explicitly so the pandas prune
+            # and the final window agree on ordering by construction
+            bdf = bdf.loc[bdf["cos_sim"].notna()]
             # batch-local top-k BEFORE accumulating: the partition buffer
             # holds ≤ batches × queries × k rows, never every candidate
             # pair (a 1M-row partition would otherwise buffer 100M rows)

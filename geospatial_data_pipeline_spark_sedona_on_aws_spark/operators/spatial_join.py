@@ -412,14 +412,23 @@ def knn_join_numpy(spark: SparkSession, sf_dir: str,
                     "knn_join_numpy tie-break key overflows exact float64 "
                     f"range (max dist2 {d2.max()}, {len(ids)} regions)")
             key = d2 * mult + ids[None, :]
-            part = np.argpartition(key, k - 1, axis=1)[:, :k]
+            # a dimension with <= k regions degrades gracefully to fewer
+            # rows (full argsort), matching the F.slice-of-sorted-array
+            # variant registered under the same oracle — argpartition with
+            # kth = k-1 would raise "kth out of bounds" instead
+            ke = min(k, len(ids))
+            if ke < len(ids):
+                part = np.argpartition(key, ke - 1, axis=1)[:, :ke]
+            else:
+                part = np.broadcast_to(
+                    np.arange(ke), (len(pdf), ke)).copy()
             rowk = np.take_along_axis(key, part, axis=1)
             order = np.argsort(rowk, axis=1)
             nn = np.take_along_axis(part, order, axis=1)
             n = len(pdf)
             yield pd.DataFrame({
-                "point_id": np.repeat(pdf["point_id"].to_numpy(), k),
-                "rank": np.tile(np.arange(1, k + 1, dtype=np.int64), n),
+                "point_id": np.repeat(pdf["point_id"].to_numpy(), ke),
+                "rank": np.tile(np.arange(1, ke + 1, dtype=np.int64), n),
                 "region_id": ids[nn].ravel(),
                 "dist2": np.take_along_axis(d2, nn, axis=1)
                 .ravel().astype(np.int64),
@@ -709,6 +718,19 @@ def trajectory_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             la_all = pdf["ax"].str.len().to_numpy()
             lb_all = pdf["bx"].str.len().to_numpy()
+            # an empty trajectory has no Hausdorff distance to anything
+            # (the oracle's GROUP BY never emits an empty trajectory, so a
+            # zero-length side can only arise from adversarial inputs) —
+            # drop those rows before the cube: a chunk of all-empty rows
+            # would make min(axis=2) a zero-size reduction (ValueError)
+            # and a one-sided empty row would yield h = -inf
+            nonempty = (la_all > 0) & (lb_all > 0)
+            if not nonempty.all():
+                pdf = pdf.loc[nonempty].reset_index(drop=True)
+                la_all = la_all[nonempty]
+                lb_all = lb_all[nonempty]
+                if not len(pdf):
+                    continue
             # chunk size from the batch-wide maxima (conservative), but
             # pad each chunk only to ITS OWN maxima: one long outlier
             # trajectory then inflates its own chunk, not the whole batch

@@ -309,7 +309,13 @@ _R5_WINDOW = [
     "snapshot_diff",
     "crop_analytics_utm",  # displaces streaming_hll_distinct (r4 driver-green),
 ]
-assert len(_R5_WINDOW) == 50 and len(set(_R5_WINDOW)) == 50
+if len(_R5_WINDOW) != 50 or len(set(_R5_WINDOW)) != 50:
+    # explicit raise (not assert): the invariant must survive python -O,
+    # where a bare assert is stripped and a mis-sized or duplicated window
+    # would silently reorder the driver gate
+    raise RuntimeError(
+        f"driver window must be 50 unique queries, got {len(_R5_WINDOW)} "
+        f"({len(set(_R5_WINDOW))} unique)")
 QUERIES = {
     **{k: QUERIES[k] for k in _R5_WINDOW},
     **{k: v for k, v in QUERIES.items() if k not in set(_R5_WINDOW)},

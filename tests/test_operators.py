@@ -576,6 +576,30 @@ def test_knn_numpy_path_bit_identical_to_lambda_path(spark):
     assert a == b and len(a) > 0
 
 
+def test_knn_numpy_degrades_gracefully_when_k_exceeds_dim(spark):
+    """r5 advice: with k >= #regions the numpy path must degrade to
+    #regions rows per point (full argsort) instead of raising
+    "kth out of bounds" from argpartition — matching how the F.slice
+    lambda form degrades on a tiny dimension."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.operators import (
+        spatial_join as SJ,
+    )
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.plans import (
+        fixtures,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    n_regions = fixtures.geographic_regions(spark, sf).count()
+    out = SJ.knn_join_numpy(spark, sf, k=n_regions + 5)
+    per_point = out.groupBy("point_id").count().select("count").distinct()
+    assert [r["count"] for r in per_point.collect()] == [n_regions]
+    # the top-KNN_K prefix of the oversized result must equal the
+    # regular-k answer exactly (same tie-break key)
+    full = {tuple(r) for r in out.where(f"rank <= {SJ.KNN_K}").collect()}
+    base = {tuple(r) for r in SJ.knn_join_numpy(spark, sf).collect()}
+    assert full == base
+
+
 def _pil_available() -> bool:
     try:
         import PIL  # noqa: F401
