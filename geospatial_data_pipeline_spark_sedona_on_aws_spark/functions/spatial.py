@@ -33,18 +33,31 @@ from pyspark.sql.types import (
 
 from ..kernel import boolean as B
 from ..kernel import geom as G
+from ..kernel import geomtypes as GT
 from ..kernel import transform as T
 
 # ------------------------------------------------------------ scalar impls
 
+def _is_areal(s: str) -> bool:
+    """POLYGON / MULTIPOLYGON WKT → the original polygon-kernel paths
+    (bit-identical to pre-r6 behavior); every other type routes through
+    the typed kernel (kernel/geomtypes.py, r5 verdict item 1)."""
+    return s.lstrip().upper().startswith(("POLYGON", "MULTIPOLYGON"))
+
 def _geom_from_wkt(s: str | None) -> str | None:
     if s is None:
         return None
+    if not _is_areal(s):
+        return GT.to_wkt(GT.parse_wkt(s))
     return G.to_wkt(G.normalize(G.parse_wkt(s)))
 
 def _make_valid(s: str | None) -> str | None:
     if s is None:
         return None
+    if not _is_areal(s):
+        # puntal/lineal geometry is always valid (JTS MakeValid returns
+        # it unchanged); canonicalize the serialization only
+        return GT.to_wkt(GT.parse_wkt(s))
     return G.to_wkt(G.make_valid(G.parse_wkt(s)))
 
 def _buffer(s: str | None, d: float) -> str | None:
@@ -55,6 +68,31 @@ def _buffer(s: str | None, d: float) -> str | None:
     if s is None:
         return None
     d = float(d)  # SQL numeric literals may arrive as decimal.Decimal
+    if not _is_areal(s):
+        tg = GT.parse_wkt(s)
+        if d == 0:
+            # buffer(0) of puntal/lineal input: JTS returns POLYGON EMPTY
+            # (a zero-width buffer has no interior)
+            return "POLYGON EMPTY"
+        kind, data = tg
+        if kind in ("POINT", "MULTIPOINT") and d > 0:
+            # disc per point: 32-gon circle (8 segments per quarter turn,
+            # the same quadsegs default as _buffer_round's arcs), union'd
+            # so overlapping discs of a MULTIPOINT merge correctly
+            import math as _m
+            discs = []
+            for (px, py) in data:
+                ring = [(px + d * _m.cos(2 * _m.pi * i / 32),
+                         py + d * _m.sin(2 * _m.pi * i / 32))
+                        for i in range(32)]
+                discs.append([[ring]])
+            if not discs:
+                return "POLYGON EMPTY"
+            return G.to_wkt(B.union_geom(discs) if len(discs) > 1
+                            else discs[0])
+        raise G.GeomError(
+            "ST_Buffer with nonzero distance supports areal and puntal "
+            "geometry; lineal capsule buffering is not implemented")
     g = G.normalize(G.parse_wkt(s))
     if d == 0:
         return G.to_wkt(g)
@@ -194,15 +232,47 @@ def _buffer_round(s: str | None, d: float, quadsegs: int = 8) -> str | None:
 def _convex_hull(s: str | None) -> str | None:
     if s is None:
         return None
+    if not _is_areal(s):
+        # JTS degenerate-hull shapes: 0 pts -> empty, 1 -> POINT,
+        # 2 collinear extremes -> LINESTRING, else the hull POLYGON
+        h = G.convex_hull(GT.points_of(GT.parse_wkt(s)))
+        if not h:
+            return "POLYGON EMPTY"
+        if len(h) == 1:
+            return GT.to_wkt(("POINT", h))
+        if len(h) == 2:
+            return GT.to_wkt(("LINESTRING", [h]))
+        return G.to_wkt([[h]])
     return G.to_wkt(G.hull_of_geom(G.parse_wkt(s)))
 
 def _npoints(s: str | None) -> int | None:
     """Vertex count over all rings, INCLUDING each ring's closing
     duplicate — the Sedona/PostGIS/JTS ST_NPoints convention (rectangle
-    -> 5). The internal ring representation is open, so +1 per ring."""
+    -> 5). The internal ring representation is open, so +1 per ring.
+    Puntal/lineal input counts vertices as written (no closing edge)."""
     if s is None:
         return None
+    if not _is_areal(s):
+        return GT.npoints(GT.parse_wkt(s))
     return sum(len(r) + 1 for poly in G.parse_wkt(s) for r in poly)
+
+def _length(s: str | None) -> float | None:
+    """JTS Geometry.getLength (Sedona ST_Length): path length for lineal
+    input, perimeter for areal input (PostGIS would return 0 there —
+    engine follows the Sedona/JTS convention), 0 for puntal input."""
+    if s is None:
+        return None
+    return GT.length(GT.parse_wkt(s))
+
+def _st_xy(s: str | None, axis: int) -> float | None:
+    """Sedona ST_X/ST_Y: the coordinate for POINT input, NULL for any
+    other type (Sedona returns null for non-points rather than raising)."""
+    if s is None:
+        return None
+    kind, data = GT.parse_wkt(s)
+    if kind != "POINT" or not data:
+        return None
+    return data[0][axis]
 
 def _intersection(a: str | None, b: str | None) -> str | None:
     if a is None or b is None:
@@ -233,6 +303,11 @@ def _contains(a: str | None, b: str | None) -> bool | None:
     closely than strict 'contains'; documented engine choice)."""
     if a is None or b is None:
         return None
+    if not (_is_areal(a) and _is_areal(b)):
+        # any puntal/lineal operand → the typed kernel's covers test
+        # (point-in-polygon ray cast, on-path tests; same boundary
+        # convention as the area-based test below)
+        return GT.contains(GT.parse_wkt(a), GT.parse_wkt(b))
     ga, gb = G.parse_wkt(a), G.parse_wkt(b)
     ab = G.area(gb)
     if ab == 0:
@@ -254,6 +329,8 @@ def _distance(a: str | None, b: str | None) -> float | None:
 
     if a is None or b is None:
         return None
+    if not (_is_areal(a) and _is_areal(b)):
+        return GT.distance(GT.parse_wkt(a), GT.parse_wkt(b))
     ga, gb = G.parse_wkt(a), G.parse_wkt(b)
     if not ga or not gb:
         return None
@@ -283,6 +360,17 @@ def _centroid(s: str | None) -> str | None:
     as POINT WKT."""
     if s is None:
         return None
+    if not _is_areal(s):
+        # JTS by-dimension centroid: puntal = vertex average, lineal =
+        # length-weighted midpoint average (kernel/geomtypes.centroid)
+        c = GT.centroid(GT.parse_wkt(s))
+        if c is None:
+            return None
+        # exact shortest-repr formatting (G._fmt), NOT %.10g: truncating
+        # to 10 significant digits manufactures values exactly on .5
+        # rounding boundaries, which Spark (HALF_UP) and an oracle
+        # computing at full precision then round differently
+        return GT.to_wkt(("POINT", [c]))
     g = G.normalize(G.parse_wkt(s))
     if not g:
         return None
@@ -310,11 +398,26 @@ def _centroid(s: str | None) -> str | None:
 def _area(s: str | None) -> float | None:
     if s is None:
         return None
+    if not _is_areal(s):
+        GT.parse_wkt(s)  # validate, then: puntal/lineal area is 0 (JTS)
+        return 0.0
     return G.area(G.parse_wkt(s))
 
 def _transform(s: str | None, src: str, dst: str) -> str | None:
     if s is None:
         return None
+    if not _is_areal(s):
+        # per-vertex reprojection through the CRS registry, type preserved
+        kind, data = GT.parse_wkt(s)
+        try:
+            if kind in ("POINT", "MULTIPOINT"):
+                out = [T.transform_point(x, y, src, dst) for x, y in data]
+            else:
+                out = [[T.transform_point(x, y, src, dst) for x, y in path]
+                       for path in data]
+        except ValueError as exc:
+            raise G.GeomError(f"ST_Transform: {exc}") from exc
+        return GT.to_wkt((kind, out))
     if (src, dst) == ("EPSG:3857", "EPSG:5880"):
         return G.to_wkt(T.transform_geom(G.parse_wkt(s)))
     if (src, dst) == ("EPSG:5880", "EPSG:3857"):
@@ -330,6 +433,10 @@ def _transform(s: str | None, src: str, dst: str) -> str | None:
 def _envelope(s: str | None) -> str | None:
     if s is None:
         return None
+    if not _is_areal(s):
+        # JTS getEnvelope degenerate shapes: POINT for a point-sized
+        # envelope, 2-point LINESTRING for a flat one, else the rect
+        return GT.envelope_wkt(GT.parse_wkt(s))
     g = G.parse_wkt(s)
     if not g:
         return "POLYGON EMPTY"
@@ -472,6 +579,18 @@ def st_convexhull(s: pd.Series) -> pd.Series:
 def st_npoints(s: pd.Series) -> pd.Series:
     return s.map(_npoints, na_action="ignore").astype("Int64")
 
+@pandas_udf(DoubleType())
+def st_length(s: pd.Series) -> pd.Series:
+    return s.map(_length, na_action="ignore").astype("float64")
+
+@pandas_udf(DoubleType())
+def st_x(s: pd.Series) -> pd.Series:
+    return s.map(lambda w: _st_xy(w, 0), na_action="ignore").astype("float64")
+
+@pandas_udf(DoubleType())
+def st_y(s: pd.Series) -> pd.Series:
+    return s.map(lambda w: _st_xy(w, 1), na_action="ignore").astype("float64")
+
 @pandas_udf(StructType([StructField("n_kept", LongType()),
                         StructField("length", DoubleType())]))
 def st_simplifyline(xs: pd.Series, ys: pd.Series, tol: pd.Series) -> pd.DataFrame:
@@ -529,6 +648,9 @@ _REGISTRY = {
     "ST_ConvexHull": st_convexhull,
     "ST_NPoints": st_npoints,
     "ST_SimplifyLine": st_simplifyline,
+    "ST_Length": st_length,
+    "ST_X": st_x,
+    "ST_Y": st_y,
 }
 
 def register_spatial_functions(spark: SparkSession) -> None:

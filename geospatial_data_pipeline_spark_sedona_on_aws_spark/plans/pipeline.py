@@ -758,6 +758,119 @@ FROM land_use lu
 JOIN regions r ON lu.region_id = r.id
 """
 
+def st_point_line_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r6 typed-WKT surface (kernel/geomtypes.py) end-to-end through
+    the registered Sedona-name UDFs: POINT / MULTIPOINT / LINESTRING /
+    MULTILINESTRING parse + serialize round trips, ST_NPoints / ST_Length
+    / ST_Centroid(→ST_X/ST_Y) on lines, point-vs-region ST_Distance and
+    ST_Contains, and the JTS envelope shape rules — every column has a
+    closed form the oracle recomputes from the same integers.
+
+    Geometry inputs are WKT STRINGS built in JVM SQL (concat of integer
+    columns), exactly how a user with point data in WKT would call the
+    same-named Sedona functions (reference registers them via
+    SedonaSqlExtensions, airflow_dag/dag_geo_pipeline.py:20; the reference
+    itself only ships polygons — this closes the r5 verdict's item-1 gap).
+
+    Quantization: lengths/centroids/distances are sqrt-valued; Python's
+    libm and DuckDB's may differ in the last ulp, so compare at 1e-6 via
+    round(x * 1e6). The values are sqrt(integer) (irrational unless
+    exact), so no value sits near a rounding boundary."""
+    from ..functions.spatial import register_spatial_functions
+
+    register_spatial_functions(spark)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    regions = fixtures.geographic_regions(spark, sf_dir)
+    base = o.selectExpr(
+        "o_orderkey AS point_id",
+        "o_custkey % 100 AS px",
+        "(o_orderkey * 7) % 100 AS py",
+        "1 + o_orderkey % 5 AS dx",
+        "1 + o_custkey % 7 AS dy",
+        f"o_custkey % {fixtures.N_REGIONS} AS region_id",
+    )
+    j = base.join(F.broadcast(regions),
+                  base["region_id"] == regions["id"], "inner")
+    geoms = j.selectExpr(
+        "point_id",
+        "concat('POINT (', px, ' ', py, ')') AS wkt_pt",
+        "concat('MULTIPOINT (', px, ' ', py, ', ', px + dx, ' ', py + dy,"
+        " ')') AS wkt_mpt",
+        "concat('LINESTRING (', px, ' ', py, ', ', px + dx, ' ', py + dy,"
+        " ', ', px + dx, ' ', py + dy + 3, ')') AS wkt_line",
+        "concat('MULTILINESTRING ((', px, ' ', py, ', ', px + dx, ' ',"
+        " py + dy, '), (', px, ' ', py + dy, ', ', px + dx, ' ', py, '))')"
+        " AS wkt_mline",
+        "region_geometry",
+    )
+    return geoms.selectExpr(
+        "point_id",
+        # parse→serialize round trips (canonical form == the input text)
+        "ST_AsText(ST_GeomFromWKT(wkt_pt)) AS pt_rt",
+        "ST_GeomFromWKT(wkt_mpt) AS mpt_rt",
+        "ST_GeomFromWKT(wkt_line) AS line_rt",
+        "ST_GeomFromWKT(wkt_mline) AS mline_rt",
+        "ST_NPoints(ST_GeomFromWKT(wkt_line)) AS line_np",
+        "ST_NPoints(ST_GeomFromWKT(wkt_mpt)) AS mpt_np",
+        "CAST(round(ST_Length(ST_GeomFromWKT(wkt_line)) * 1e6) AS BIGINT)"
+        " AS line_len_q",
+        "CAST(round(ST_X(ST_Centroid(ST_GeomFromWKT(wkt_line))) * 1e6)"
+        " AS BIGINT) AS line_cx_q",
+        "CAST(round(ST_Y(ST_Centroid(ST_GeomFromWKT(wkt_line))) * 1e6)"
+        " AS BIGINT) AS line_cy_q",
+        "CAST(round(ST_Distance(ST_GeomFromWKT(wkt_pt), region_geometry)"
+        " * 1e6) AS BIGINT) AS dist_q",
+        "ST_Contains(region_geometry, ST_GeomFromWKT(wkt_pt)) AS contained",
+        "ST_AsText(ST_Envelope(ST_GeomFromWKT(wkt_line))) AS line_env",
+    )
+
+
+ST_POINT_LINE_OPS_ORACLE = f"""
+WITH {fixtures.REGIONS_CTE.strip()},
+base AS (
+    SELECT o_orderkey AS point_id,
+           o_custkey % 100            AS px,
+           (o_orderkey * 7) % 100     AS py,
+           1 + o_orderkey % 5         AS dx,
+           1 + o_custkey % 7          AS dy,
+           o_custkey % {fixtures.N_REGIONS} AS region_id
+    FROM orders
+),
+j AS (SELECT b.*, r.gx1, r.gy1, r.gx2, r.gy2
+      FROM base b JOIN regions r ON b.region_id = r.id),
+m AS (
+    SELECT *,
+           sqrt(CAST(dx * dx + dy * dy AS DOUBLE)) AS l1
+    FROM j
+)
+SELECT point_id,
+       concat('POINT (', px, ' ', py, ')') AS pt_rt,
+       concat('MULTIPOINT (', px, ' ', py, ', ', px + dx, ' ', py + dy,
+              ')') AS mpt_rt,
+       concat('LINESTRING (', px, ' ', py, ', ', px + dx, ' ', py + dy,
+              ', ', px + dx, ' ', py + dy + 3, ')') AS line_rt,
+       concat('MULTILINESTRING ((', px, ' ', py, ', ', px + dx, ' ',
+              py + dy, '), (', px, ' ', py + dy, ', ', px + dx, ' ', py,
+              '))') AS mline_rt,
+       CAST(3 AS BIGINT) AS line_np,
+       CAST(2 AS BIGINT) AS mpt_np,
+       CAST(round((l1 + 3) * 1e6) AS BIGINT) AS line_len_q,
+       -- length-weighted segment-midpoint average (JTS lineal centroid)
+       CAST(round((l1 * (px + dx / 2.0) + 3 * (px + dx)) / (l1 + 3) * 1e6)
+            AS BIGINT) AS line_cx_q,
+       CAST(round((l1 * (py + dy / 2.0) + 3 * (py + dy + 1.5)) / (l1 + 3)
+            * 1e6) AS BIGINT) AS line_cy_q,
+       CAST(round(sqrt(greatest(gx1 - px, px - gx2, 0) ^ 2
+                     + greatest(gy1 - py, py - gy2, 0) ^ 2) * 1e6)
+            AS BIGINT) AS dist_q,
+       (gx1 <= px AND px <= gx2 AND gy1 <= py AND py <= gy2) AS contained,
+       concat('POLYGON ((', px, ' ', py, ', ', px + dx, ' ', py, ', ',
+              px + dx, ' ', py + dy + 3, ', ', px, ' ', py + dy + 3, ', ',
+              px, ' ', py, '))') AS line_env
+FROM m
+"""
+
+
 def crop_analytics_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship result pushed through the reference's CSV interchange
     boundary and read back positionally — S4 (sized headerless CSV sink,

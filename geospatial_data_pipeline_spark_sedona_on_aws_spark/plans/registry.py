@@ -142,6 +142,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_frame_sample": MM.multimodal_frame_sample,
     # --- spatial (driver-green in r3) ---
     "st_geometry_ops": P.st_geometry_ops,
+    "st_point_line_ops": P.st_point_line_ops,   # r6: typed WKT kernel
     "spatial_range_join": SJ.spatial_range_join,
     "token_counts": TQ.token_counts,
     "q3_shipping_priority": R.q3_shipping_priority,
@@ -351,6 +352,7 @@ ORACLES: dict[str, str] = {
     "crop_analytics_orc_roundtrip": P.CROP_ANALYTICS_ORACLE,
     "st_intersection_area": P.ST_INTERSECTION_AREA_ORACLE,
     "st_geometry_ops": P.ST_GEOMETRY_OPS_ORACLE,
+    "st_point_line_ops": P.ST_POINT_LINE_OPS_ORACLE,
     "spatial_range_join": SJ.SPATIAL_RANGE_JOIN_ORACLE,
     "geo_range_join": SJ.GEO_RANGE_JOIN_ORACLE,
     "points_in_regions": SJ.POINTS_IN_REGIONS_ORACLE,

@@ -630,3 +630,143 @@ def test_trajectory_hausdorff_known_pairs(spark, tmp_path):
     # steps) but different dy ((eid//5) % 5 differs with uid) — compute law:
     # both pair only if within threshold; user 2 never pairs with anyone
     assert all(2 not in pair for pair in got)
+
+
+# ------------------------------------------------ r6: typed WKT surface
+
+from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions.spatial import (  # noqa: E402
+    _centroid,
+    _distance,
+    _envelope,
+    _geom_from_wkt,
+    _length,
+    _st_xy,
+)
+from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel import (  # noqa: E402
+    geomtypes as GT,
+)
+
+_coord = st.integers(-1000, 1000)
+_pt = st.tuples(_coord, _coord)
+
+
+def _pts_wkt(pts):
+    return ", ".join(f"{x} {y}" for x, y in pts)
+
+
+@given(p=_pt)
+@settings(max_examples=50, deadline=None)
+def test_prop_point_round_trip(p):
+    w = f"POINT ({_pts_wkt([p])})"
+    assert _geom_from_wkt(w) == w
+    assert GT.parse_wkt(_geom_from_wkt(w)) == ("POINT", [(float(p[0]), float(p[1]))])
+    assert _st_xy(w, 0) == p[0] and _st_xy(w, 1) == p[1]
+
+
+@given(pts=st.lists(_pt, min_size=2, max_size=6, unique=True))
+@settings(max_examples=50, deadline=None)
+def test_prop_multipoint_round_trip(pts):
+    w = f"MULTIPOINT ({_pts_wkt(pts)})"
+    assert _geom_from_wkt(w) == w
+    # parenthesized-per-point WKT variant parses to the same tgeom
+    w2 = "MULTIPOINT (" + ", ".join(f"({x} {y})" for x, y in pts) + ")"
+    assert GT.parse_wkt(w2) == GT.parse_wkt(w)
+
+
+@given(pts=st.lists(_pt, min_size=2, max_size=8))
+@settings(max_examples=50, deadline=None)
+def test_prop_linestring_round_trip_and_length(pts):
+    w = f"LINESTRING ({_pts_wkt(pts)})"
+    assert _geom_from_wkt(w) == w
+    expect = sum(math.hypot(b[0] - a[0], b[1] - a[1])
+                 for a, b in zip(pts, pts[1:]))
+    assert abs(_length(w) - expect) < 1e-9 * max(1.0, expect)
+
+
+@given(paths=st.lists(st.lists(_pt, min_size=2, max_size=5),
+                      min_size=2, max_size=4))
+@settings(max_examples=50, deadline=None)
+def test_prop_multilinestring_round_trip(paths):
+    w = ("MULTILINESTRING ("
+         + ", ".join(f"({_pts_wkt(p)})" for p in paths) + ")")
+    assert _geom_from_wkt(w) == w
+    assert _npoints(w) == sum(len(p) for p in paths)
+
+
+@given(pts=st.lists(_pt, min_size=1, max_size=6, unique=True))
+@settings(max_examples=50, deadline=None)
+def test_prop_multipoint_centroid_is_vertex_average(pts):
+    kind = "POINT" if len(pts) == 1 else "MULTIPOINT"
+    w = f"{kind} ({_pts_wkt(pts)})"
+    c = GT.parse_wkt(_centroid(w))[1][0]
+    assert abs(c[0] - sum(p[0] for p in pts) / len(pts)) < 1e-9
+    assert abs(c[1] - sum(p[1] for p in pts) / len(pts)) < 1e-9
+
+
+@given(p=_pt, q=_pt)
+@settings(max_examples=50, deadline=None)
+def test_prop_point_distance_euclidean(p, q):
+    d = _distance(f"POINT ({_pts_wkt([p])})", f"POINT ({_pts_wkt([q])})")
+    assert abs(d - math.hypot(q[0] - p[0], q[1] - p[1])) < 1e-12
+
+
+@given(px=st.integers(-20, 20), py=st.integers(-20, 20))
+@settings(max_examples=60, deadline=None)
+def test_prop_point_rect_distance_and_contains(px, py):
+    rect = "POLYGON ((0 0, 10 0, 10 8, 0 8, 0 0))"
+    pw = f"POINT ({px} {py})"
+    dx = max(0 - px, px - 10, 0)
+    dy = max(0 - py, py - 8, 0)
+    assert abs(_distance(pw, rect) - math.hypot(dx, dy)) < 1e-12
+    assert abs(_distance(rect, pw) - math.hypot(dx, dy)) < 1e-12
+    inside = 0 <= px <= 10 and 0 <= py <= 8
+    assert _contains(rect, pw) == inside
+    assert _contains(pw, rect) is False
+
+
+def test_envelope_shape_rules():
+    """JTS getEnvelope: point-sized -> POINT, flat -> LINESTRING, else
+    the CCW rectangle; EMPTY -> POLYGON EMPTY."""
+    assert _envelope("POINT (3 4)") == "POINT (3 4)"
+    assert _envelope("MULTIPOINT (1 2, 1 9)") == "LINESTRING (1 2, 1 9)"
+    assert _envelope("LINESTRING (0 2, 5 2)") == "LINESTRING (0 2, 5 2)"
+    assert (_envelope("LINESTRING (5 0, 0 3)")
+            == "POLYGON ((0 0, 5 0, 5 3, 0 3, 0 0))")
+    assert _envelope("POINT EMPTY") == "POLYGON EMPTY"
+    assert _envelope("LINESTRING EMPTY") == "POLYGON EMPTY"
+
+
+def test_typed_misc_conventions():
+    """Length of areal = perimeter (JTS, not PostGIS-0); area of lineal is
+    0; ST_X/ST_Y NULL off points; zero-length line centroid = the point;
+    buffer(0) of lineal = POLYGON EMPTY; line-in-polygon covers test."""
+    assert _length("POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))") == 14.0
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions.spatial import (
+        _area, _buffer,
+    )
+    assert _area("LINESTRING (0 0, 9 9)") == 0.0
+    assert _st_xy("LINESTRING (0 0, 1 1)", 0) is None
+    assert _centroid("LINESTRING (7 7, 7 7)") == "POINT (7 7)"
+    assert _buffer("LINESTRING (0 0, 1 1)", 0) == "POLYGON EMPTY"
+    assert _contains("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+                     "LINESTRING (0 0, 4 4)") is True
+    assert _contains("LINESTRING (0 0, 4 4)", "POINT (2 2)") is True
+    assert _contains("LINESTRING (0 0, 4 4)", "POINT (2 3)") is False
+    assert _contains("MULTIPOINT (1 2, 3 4)", "POINT (3 4)") is True
+    # point-disc buffer: area within the inscribed-32-gon closed form
+    disc = _buffer("POINT (0 0)", 2.0)
+    a = G.area(G.parse_wkt(disc))
+    assert abs(a - 0.5 * 32 * 2.0 * 2.0 * math.sin(2 * math.pi / 32)) < 1e-9
+
+
+@given(p=_pt, d=st.integers(1, 8))
+@settings(max_examples=40, deadline=None)
+def test_prop_line_line_distance_parallel(p, d):
+    """Two horizontal parallel segments offset by d: distance is exactly
+    d when x-ranges overlap, else the corner-to-corner hypotenuse."""
+    (x, y) = p
+    a = f"LINESTRING ({x} {y}, {x + 10} {y})"
+    b = f"LINESTRING ({x + 15} {y + d}, {x + 25} {y + d})"
+    assert abs(_distance(a, b) - math.hypot(5, d)) < 1e-12
+    c = f"LINESTRING ({x + 5} {y + d}, {x + 25} {y + d})"
+    assert abs(_distance(a, c) - d) < 1e-12
