@@ -155,10 +155,10 @@ LAND_USE_CTE = """
 land_use AS (
     SELECT
         l_suppkey % 50                                        AS region_id,
-        CASE l_returnflag WHEN 'A' THEN 1 WHEN 'N' THEN 2
-                          WHEN 'R' THEN 3 ELSE 0 END          AS season_id,
-        CASE l_linestatus WHEN 'F' THEN 1 WHEN 'O' THEN 2
-                          ELSE 0 END                          AS land_type_id,
+        CAST(CASE l_returnflag WHEN 'A' THEN 1 WHEN 'N' THEN 2
+                          WHEN 'R' THEN 3 ELSE 0 END AS BIGINT) AS season_id,
+        CAST(CASE l_linestatus WHEN 'F' THEN 1 WHEN 'O' THEN 2
+                          ELSE 0 END AS BIGINT)               AS land_type_id,
         l_orderkey * 10 + l_linenumber                        AS property_id,
         l_partkey % 100                                       AS x1,
         l_suppkey % 100                                       AS y1,
@@ -173,10 +173,10 @@ land_use AS (
     SELECT
         CASE WHEN l_orderkey % 2 = 0 THEN 0
              ELSE l_suppkey % 50 END                          AS region_id,
-        CASE l_returnflag WHEN 'A' THEN 1 WHEN 'N' THEN 2
-                          WHEN 'R' THEN 3 ELSE 0 END          AS season_id,
-        CASE l_linestatus WHEN 'F' THEN 1 WHEN 'O' THEN 2
-                          ELSE 0 END                          AS land_type_id,
+        CAST(CASE l_returnflag WHEN 'A' THEN 1 WHEN 'N' THEN 2
+                          WHEN 'R' THEN 3 ELSE 0 END AS BIGINT) AS season_id,
+        CAST(CASE l_linestatus WHEN 'F' THEN 1 WHEN 'O' THEN 2
+                          ELSE 0 END AS BIGINT)               AS land_type_id,
         l_orderkey * 10 + l_linenumber                        AS property_id,
         l_partkey % 100                                       AS x1,
         l_suppkey % 100                                       AS y1,

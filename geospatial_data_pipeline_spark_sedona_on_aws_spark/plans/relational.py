@@ -81,7 +81,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 Q3_ORACLE = """
-SELECT l_orderkey, o_orderdate, o_orderpriority,
+SELECT l_orderkey, CAST(o_orderdate AS TIMESTAMP_NS) AS o_orderdate,
+       o_orderpriority,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -442,11 +443,11 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SCD2_HISTORY_ORACLE = """
 SELECT o_custkey AS custkey,
-       o_orderdate AS valid_from,
+       CAST(o_orderdate AS TIMESTAMP_NS) AS valid_from,
        o_orderkey AS version_key,
        o_totalprice AS attr_totalprice,
-       lead(o_orderdate) OVER (PARTITION BY o_custkey
-                               ORDER BY o_orderdate, o_orderkey) AS valid_to,
+       CAST(lead(o_orderdate) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey) AS TIMESTAMP_NS) AS valid_to,
        lead(o_orderdate) OVER (PARTITION BY o_custkey
                                ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
 FROM orders
@@ -547,7 +548,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 Q18_ORACLE = f"""
-SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+SELECT c_custkey, c_name, o_orderkey,
+       CAST(o_orderdate AS TIMESTAMP_NS) AS o_orderdate, o_totalprice,
        CAST(total_qty AS DOUBLE) AS total_qty
 FROM (
     SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty

@@ -119,7 +119,7 @@ def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 EVENTS_WINDOWED_ORACLE = """
-SELECT date_trunc('hour', ts) AS window_start,
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP_NS) AS window_start,
        event_type,
        count(*) AS n_events,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
@@ -180,7 +180,8 @@ sessions AS (
 )
 SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
        count(*) AS n_events,
-       min(ts) AS session_start, max(ts) AS session_end,
+       CAST(min(ts) AS TIMESTAMP_NS) AS session_start,
+       CAST(max(ts) AS TIMESTAMP_NS) AS session_end,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM sessions
 GROUP BY user_id, session_seq
@@ -246,7 +247,7 @@ def events_windowed_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 EVENTS_WINDOWED_STREAMING_ORACLE = """
-SELECT date_trunc('hour', ts) AS window_start,
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP_NS) AS window_start,
        event_type,
        count(*) AS n_events,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
@@ -451,7 +452,9 @@ x AS (
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, tag, event_id
                  ROWS UNBOUNDED PRECEDING)
 )
-SELECT event_id, user_id, ts, last_click_ts, last_click_value
+SELECT event_id, user_id, CAST(ts AS TIMESTAMP_NS) AS ts,
+       CAST(last_click_ts AS TIMESTAMP_NS) AS last_click_ts,
+       last_click_value
 FROM x WHERE tag = 1
 """
 
@@ -722,7 +725,8 @@ WITH w AS (
            ])) AS window_start
     FROM events
 )
-SELECT window_start, event_type, count(*) AS n_events,
+SELECT CAST(window_start AS TIMESTAMP_NS) AS window_start,
+       event_type, count(*) AS n_events,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM w
 GROUP BY window_start, event_type
@@ -765,8 +769,9 @@ sessions AS (
     FROM marked
 )
 SELECT user_id,
-       min(ts) AS session_start,
-       max(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE AS session_end,
+       CAST(min(ts) AS TIMESTAMP_NS) AS session_start,
+       CAST(max(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE AS TIMESTAMP_NS)
+           AS session_end,
        count(*) AS n_events,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM sessions
