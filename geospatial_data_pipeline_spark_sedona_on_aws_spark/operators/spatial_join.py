@@ -660,116 +660,119 @@ def trajectory_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"             CAST(floor((ymax + {tau}) / {TRAJ_CELL}) AS INT)),"
         f"    cy -> struct(cx, cy))))) AS cell",
     )
-    a = cells.selectExpr("user_id AS ua", "t AS ta", "cell",
-                         "cxmin AS acx", "cymin AS acy",
-                         "xmin AS ax1", "xmax AS ax2",
-                         "ymin AS ay1", "ymax AS ay2")
-    b = cells.selectExpr("user_id AS ub", "t AS tb", "cell",
-                         "cxmin AS bcx", "cymin AS bcy",
-                         "xmin AS bx1", "xmax AS bx2",
-                         "ymin AS by1", "ymax AS by2")
-    # reference-point dedup (same trick as spatial_range_join): a pair can
-    # meet in up to (bbox/cell)² shared cells; evaluate it ONLY in the
-    # lower-left cell of its expanded-bbox intersection, which both sides
-    # can name from their own bbox minima — no distinct, no repeated
-    # Hausdorff work (removing the distinct cut sf0.1 from 19 s to ~1 s)
-    cand = (
-        a.join(b, "cell")
-        .where("ua < ub"
-               " AND cell.cx = greatest(acx, bcx)"
-               " AND cell.cy = greatest(acy, bcy)"
-               # necessary condition for h_sym ≤ τ: every point of each
-               # trajectory within τ of the other ⇒ each bbox inside the
-               # other's τ-expansion; integer compares kill cross-home
-               # candidates before the O(len²) max-min
-               f" AND ax1 >= bx1 - {tau} AND ax2 <= bx2 + {tau}"
-               f" AND ay1 >= by1 - {tau} AND ay2 <= by2 + {tau}"
-               f" AND bx1 >= ax1 - {tau} AND bx2 <= ax2 + {tau}"
-               f" AND by1 >= ay1 - {tau} AND by2 <= ay2 + {tau}")
-        .select("ua", "ub", "ta", "tb")
+    # ---- per-cell verify (r6, closes the r5 sweep-slope item) ----------
+    # The r5 shape joined the exploded cells pairwise, so BOTH 12-point
+    # trajectories shipped through Arrow once per CANDIDATE PAIR — at
+    # sf1's 3.6M candidates that is ~1.4 GB of duplicated coordinate
+    # traffic, and profiling put ~80% of the 5-9 s wall there (the
+    # numpy max-min itself is memory-bandwidth-fast). Candidates ≈
+    # results at sf1 (3.63M : 2.89M — the blocking already prunes to
+    # 1.26×), so the candidate SET cannot shrink; what shrinks is the
+    # per-candidate traffic: group the exploded rows BY CELL and ship
+    # each trajectory once per touched cell (~4 cells), then enumerate
+    # the pair mask and run the same exact-integer Hausdorff cube with
+    # numpy INSIDE the cell task. Pair-level Arrow volume drops ~100×
+    # (one 12-pt array per user-cell vs 2 per pair); the candidate set,
+    # the reference-point dedup rule, and the output are IDENTICAL.
+    #
+    # 100 TB shape: one shuffle of (user × touched-cells) rows keyed by
+    # cell id; per-task work is O(members²) pair-mask bits + O(pairs ·
+    # len²) verify, bounded by physical density per cell — a degenerate
+    # mega-cell would take the _bucket_pairs block-decomposition spine
+    # (operators/dedup.py:150), but grid cells are area-bounded so
+    # occupancy grows with density, not corpus size.
+    per_cell = cells.selectExpr(
+        "cell.cx AS cx", "cell.cy AS cy", "user_id",
+        "transform(t, p -> CAST(p.x AS DOUBLE)) AS xs",
+        "transform(t, p -> CAST(p.y AS DOUBLE)) AS ys",
+        "cxmin", "cymin", "xmin", "xmax", "ymin", "ymax",
     )
-    # Hausdorff max-min VECTORIZED (r5): the nested-HOF form
-    # (array_max(transform(.., array_min(transform(..)))) evaluates
-    # interpreted at ~µs per element — 2·len² lambda evals per candidate
-    # made sf1's 4.5M candidates the steepest sweep slope. One numpy
-    # batch computes every candidate's (len × len) distance matrix at
-    # memory bandwidth; coordinates are integers ≤ ~3e2 so the float64
-    # arithmetic is exact and the output stays bit-identical.
     import numpy as np
     import pandas as pd
 
-    coords = cand.selectExpr(
-        "ua", "ub",
-        "transform(ta, p -> CAST(p.x AS DOUBLE)) AS ax",
-        "transform(ta, p -> CAST(p.y AS DOUBLE)) AS ay",
-        "transform(tb, p -> CAST(p.x AS DOUBLE)) AS bx",
-        "transform(tb, p -> CAST(p.y AS DOUBLE)) AS by",
-    )
+    # bound the dense (pairs × len × len) workspace: chunk the pair list
+    # so the distance cube stays ~tens of MB per task regardless of how
+    # many pairs one cell holds
+    CUBE_BUDGET = 4_000_000  # float64 cells per (pairs × la × lb) cube
+    _EMPTY = pd.DataFrame({
+        "ua": np.empty(0, np.int64),
+        "ub": np.empty(0, np.int64),
+        "hausdorff_sq": np.empty(0, np.int64),
+    })
 
-    # bound the dense (rows × maxlen × maxlen) workspace: with ~100-point
-    # trajectories and 10k-row Arrow batches the distance cube alone is
-    # ~0.8 GB and three of them live at once — chunk rows so the peak
-    # workspace stays ~tens of MB per task regardless of batch size
-    CUBE_BUDGET = 4_000_000  # float64 cells per (rows × la × lb) cube
+    def verify_cell(key, pdf):
+        cx, cy = key
+        # empty trajectories have no Hausdorff distance to anything (the
+        # oracle's GROUP BY never emits one; adversarial inputs only) —
+        # drop before the cube, where a zero-length side would make
+        # min(axis=2) a zero-size reduction
+        lens = pdf["xs"].str.len().to_numpy()
+        if not (lens > 0).all():
+            pdf = pdf.loc[lens > 0].reset_index(drop=True)
+            lens = lens[lens > 0]
+        n = len(pdf)
+        if n < 2:
+            return _EMPTY
+        uid = pdf["user_id"].to_numpy(np.int64)
+        x1 = pdf["xmin"].to_numpy(np.float64)
+        x2 = pdf["xmax"].to_numpy(np.float64)
+        y1 = pdf["ymin"].to_numpy(np.float64)
+        y2 = pdf["ymax"].to_numpy(np.float64)
+        cxm = pdf["cxmin"].to_numpy(np.int64)
+        cym = pdf["cymin"].to_numpy(np.int64)
+        # candidate-pair mask, all vectorized:
+        #  * ua < ub once per unordered pair;
+        #  * reference-point dedup (same trick as spatial_range_join):
+        #    a pair can meet in up to (bbox/cell)² shared cells — evaluate
+        #    it ONLY in the lower-left cell of its expanded-bbox
+        #    intersection, which both sides name from their bbox minima;
+        #  * mutual τ-expansion bbox containment (necessary for h_sym ≤ τ:
+        #    every point of each trajectory within τ of the other ⇒ each
+        #    bbox inside the other's τ-expansion), which reduces to
+        #    |bbox-edge deltas| ≤ τ on all four edges
+        P = uid[:, None] < uid[None, :]
+        P &= np.maximum(cxm[:, None], cxm[None, :]) == cx
+        P &= np.maximum(cym[:, None], cym[None, :]) == cy
+        P &= np.abs(x1[:, None] - x1[None, :]) <= tau
+        P &= np.abs(x2[:, None] - x2[None, :]) <= tau
+        P &= np.abs(y1[:, None] - y1[None, :]) <= tau
+        P &= np.abs(y2[:, None] - y2[None, :]) <= tau
+        ii, jj = np.nonzero(P)
+        if not len(ii):
+            return _EMPTY
+        L = int(lens.max())
+        X = np.zeros((n, L)); Y = np.zeros((n, L))
+        for i, (xa, ya) in enumerate(zip(pdf["xs"], pdf["ys"])):
+            X[i, :len(xa)] = xa; Y[i, :len(ya)] = ya
+        mask_len = np.arange(L)[None, :] < lens[:, None]
+        out = []
+        chunk = max(1, CUBE_BUDGET // (L * L))
+        for st in range(0, len(ii), chunk):
+            ic = ii[st:st + chunk]
+            jc = jj[st:st + chunk]
+            dx = X[ic][:, :, None] - X[jc][:, None, :]
+            dy = Y[ic][:, :, None] - Y[jc][:, None, :]
+            d2 = dx * dx + dy * dy
+            del dx, dy
+            mask_a = mask_len[ic]
+            mask_b = mask_len[jc]
+            d2b = np.where(mask_b[:, None, :], d2, np.inf)
+            dab = np.where(mask_a, d2b.min(axis=2), -np.inf).max(axis=1)
+            del d2b
+            d2a = np.where(mask_a[:, :, None], d2, np.inf)
+            dba = np.where(mask_b, d2a.min(axis=1), -np.inf).max(axis=1)
+            del d2a, d2
+            h = np.maximum(dab, dba)
+            keep = h <= TRAJ_TAU_SQ
+            out.append(pd.DataFrame({
+                "ua": uid[ic[keep]],
+                "ub": uid[jc[keep]],
+                "hausdorff_sq": h[keep].astype(np.int64),
+            }))
+        return pd.concat(out, ignore_index=True) if out else _EMPTY
 
-    def hausdorff(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            la_all = pdf["ax"].str.len().to_numpy()
-            lb_all = pdf["bx"].str.len().to_numpy()
-            # an empty trajectory has no Hausdorff distance to anything
-            # (the oracle's GROUP BY never emits an empty trajectory, so a
-            # zero-length side can only arise from adversarial inputs) —
-            # drop those rows before the cube: a chunk of all-empty rows
-            # would make min(axis=2) a zero-size reduction (ValueError)
-            # and a one-sided empty row would yield h = -inf
-            nonempty = (la_all > 0) & (lb_all > 0)
-            if not nonempty.all():
-                pdf = pdf.loc[nonempty].reset_index(drop=True)
-                la_all = la_all[nonempty]
-                lb_all = lb_all[nonempty]
-                if not len(pdf):
-                    continue
-            # chunk size from the batch-wide maxima (conservative), but
-            # pad each chunk only to ITS OWN maxima: one long outlier
-            # trajectory then inflates its own chunk, not the whole batch
-            ma_all, mb_all = int(la_all.max()), int(lb_all.max())
-            chunk = max(1, CUBE_BUDGET // max(1, ma_all * mb_all))
-            for st in range(0, len(pdf), chunk):
-                sub = pdf.iloc[st:st + chunk]
-                la = la_all[st:st + chunk]
-                lb = lb_all[st:st + chunk]
-                ma, mb = int(la.max()), int(lb.max())
-                n = len(sub)
-                ax = np.zeros((n, ma)); ay = np.zeros((n, ma))
-                bx = np.zeros((n, mb)); by = np.zeros((n, mb))
-                for i, (xa, ya, xb, yb) in enumerate(zip(
-                        sub["ax"], sub["ay"], sub["bx"], sub["by"])):
-                    ax[i, :len(xa)] = xa; ay[i, :len(ya)] = ya
-                    bx[i, :len(xb)] = xb; by[i, :len(yb)] = yb
-                mask_a = np.arange(ma)[None, :] < la[:, None]
-                mask_b = np.arange(mb)[None, :] < lb[:, None]
-                dx = ax[:, :, None] - bx[:, None, :]
-                dy = ay[:, :, None] - by[:, None, :]
-                d2 = dx * dx + dy * dy
-                del dx, dy
-                d2b = np.where(mask_b[:, None, :], d2, np.inf)
-                dab = np.where(mask_a, d2b.min(axis=2), -np.inf).max(axis=1)
-                del d2b
-                d2a = np.where(mask_a[:, :, None], d2, np.inf)
-                dba = np.where(mask_b, d2a.min(axis=1), -np.inf).max(axis=1)
-                del d2a, d2
-                h = np.maximum(dab, dba)
-                keep = h <= TRAJ_TAU_SQ
-                yield pd.DataFrame({
-                    "ua": sub["ua"].to_numpy()[keep],
-                    "ub": sub["ub"].to_numpy()[keep],
-                    "hausdorff_sq": h[keep].astype(np.int64),
-                })
-
-    return coords.mapInPandas(
-        hausdorff, "ua bigint, ub bigint, hausdorff_sq bigint")
+    return per_cell.groupBy("cx", "cy").applyInPandas(
+        verify_cell, "ua bigint, ub bigint, hausdorff_sq bigint")
 
 TRAJECTORY_SIMILARITY_ORACLE = f"""
 WITH ranked AS (

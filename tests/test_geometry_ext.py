@@ -593,8 +593,11 @@ def test_trajectory_blocking_prunes_but_loses_nothing(spark):
     import re
 
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan  # cell equi-join
+    # r6 shape: no pair-level join at all — trajectories group by cell id
+    # (one hash exchange) and pairs are enumerated inside the cell task
+    assert "FlatMapGroupsInPandas" in plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert plan.count("Exchange") <= 3  # traj window + groupBy + cell group
     rows = out.collect()
     assert 0 < len(rows) < all_pairs
     # symmetric distances: every reported pair is within the threshold
