@@ -69,6 +69,7 @@ HEADLINE = [
 SWEEP_QUERIES = [
     "crop_analytics",
     "spatial_range_join",
+    "spatial_range_join_fallback",  # r6: non-broadcast scale path
     "ngram_jaccard_pairs",
     "minhash_lsh_candidates",
     "spatial_knn_join",

@@ -170,17 +170,26 @@ def geo_range_join(a_df: DataFrame, a_geom: str, b_df: DataFrame, b_geom: str,
 
     return cand.mapInPandas(exact, schema=out_schema)
 
-def spatial_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def spatial_range_join(spark: SparkSession, sf_dir: str,
+                       broadcast_dim: bool = True) -> DataFrame:
     """For every region, how many land-use parcels *spatially* overlap it
-    (strict interior overlap, not just FK membership)."""
+    (strict interior overlap, not just FK membership).
+
+    broadcast_dim=False is the documented scale fallback (SCALING.md):
+    when the dimension's exploded cell table outgrows the broadcast
+    budget, the SAME pair generator runs as a hash join on the (cx, cy)
+    cell ids — both sides shuffle once on cell id, the reference-point
+    dedup predicate stays row-local, and the output is bit-identical
+    (pinned by test_spatial_range_join_forced_fallback)."""
     lu = fixtures.land_use_areas(spark, sf_dir)
     regions = fixtures.geographic_regions(spark, sf_dir)
     lu_cells = _cells(lu.select("property_id", "x1", "y1", "x2", "y2"),
                       "x1", "y1", "x2", "y2")
     rg_cells = _cells(regions.select("id", "gx1", "gy1", "gx2", "gy2"),
                       "gx1", "gy1", "gx2", "gy2")
+    dim = F.broadcast(rg_cells) if broadcast_dim else rg_cells
     pairs = (
-        lu_cells.join(F.broadcast(rg_cells), ["cx", "cy"])
+        lu_cells.join(dim, ["cx", "cy"])
         .where(
             (F.col("x1") < F.col("gx2")) & (F.col("gx1") < F.col("x2"))
             & (F.col("y1") < F.col("gy2")) & (F.col("gy1") < F.col("y2"))

@@ -144,6 +144,11 @@ QUERIES: dict[str, QueryFn] = {
     "st_geometry_ops": P.st_geometry_ops,
     "st_point_line_ops": P.st_point_line_ops,   # r6: typed WKT kernel
     "spatial_range_join": SJ.spatial_range_join,
+    # r6: the documented non-broadcast scale path, same oracle — the pair
+    # generator as a hash join on cell ids instead of a broadcast
+    "spatial_range_join_fallback":
+        lambda spark, sf_dir: SJ.spatial_range_join(
+            spark, sf_dir, broadcast_dim=False),
     "token_counts": TQ.token_counts,
     "q3_shipping_priority": R.q3_shipping_priority,
     "nation_revenue": R.nation_revenue,
@@ -354,6 +359,7 @@ ORACLES: dict[str, str] = {
     "st_geometry_ops": P.ST_GEOMETRY_OPS_ORACLE,
     "st_point_line_ops": P.ST_POINT_LINE_OPS_ORACLE,
     "spatial_range_join": SJ.SPATIAL_RANGE_JOIN_ORACLE,
+    "spatial_range_join_fallback": SJ.SPATIAL_RANGE_JOIN_ORACLE,
     "geo_range_join": SJ.GEO_RANGE_JOIN_ORACLE,
     "points_in_regions": SJ.POINTS_IN_REGIONS_ORACLE,
     "spatial_knn_join": SJ.KNN_JOIN_ORACLE,
