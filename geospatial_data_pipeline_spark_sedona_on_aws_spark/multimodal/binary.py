@@ -312,6 +312,104 @@ def y4m_decode(payload: bytes) -> dict:
             "frames": (np.stack(frames) if frames
                        else np.zeros((0, h, w), np.uint8))}
 
+def h264_backend() -> str | None:
+    """Runtime probe for an H.264 codec (r5 verdict item 4, mirroring the
+    JPEG/PIL optional-dependency pattern): 'pyav' when the av package
+    imports, 'ffmpeg' when the ffmpeg+ffprobe CLIs are on PATH, else
+    None. Probed per executor at call time, never at import time."""
+    try:
+        import av  # noqa: F401
+
+        return "pyav"
+    except ImportError:
+        pass
+    import shutil
+
+    if shutil.which("ffmpeg") and shutil.which("ffprobe"):
+        return "ffmpeg"
+    return None
+
+def h264_decode(payload: bytes) -> dict:
+    """Decode an H.264 Annex-B elementary stream to grayscale frames via
+    whichever optional backend is present; deterministic
+    NotImplementedError when neither is (the sandbox ships no codec —
+    the skip-marked test exercises this path wherever one exists)."""
+    backend = h264_backend()
+    if backend == "pyav":
+        import io as _io
+
+        import av
+
+        frames = []
+        with av.open(_io.BytesIO(payload), format="h264") as c:
+            for fr in c.decode(video=0):
+                frames.append(fr.to_ndarray(format="gray"))
+        if not frames:
+            raise ValueError("h264 stream decoded to zero frames")
+        arr = np.stack(frames)
+        return {"width": arr.shape[2], "height": arr.shape[1],
+                "n_frames": arr.shape[0], "frames": arr}
+    if backend == "ffmpeg":
+        import subprocess
+
+        probe = subprocess.run(
+            ["ffprobe", "-v", "error", "-select_streams", "v:0",
+             "-show_entries", "stream=width,height", "-of", "csv=p=0",
+             "-f", "h264", "pipe:"],
+            input=payload, capture_output=True, check=True)
+        w, h = map(int, probe.stdout.decode().strip().split(","))
+        raw = subprocess.run(
+            ["ffmpeg", "-v", "error", "-f", "h264", "-i", "pipe:",
+             "-f", "rawvideo", "-pix_fmt", "gray", "pipe:"],
+            input=payload, capture_output=True, check=True)
+        arr = np.frombuffer(raw.stdout, dtype=np.uint8)
+        n = len(arr) // (w * h)
+        return {"width": w, "height": h, "n_frames": n,
+                "frames": arr[:n * w * h].reshape(n, h, w)}
+    raise NotImplementedError(
+        "decoding 'video/h264' requires pyav or the ffmpeg CLI (neither "
+        "present); use fake_decode for deterministic byte-level stand-ins")
+
+def h264_encode(frames: np.ndarray, fps: int = 30) -> bytes:
+    """Encode (n, H, W) uint8 luma frames as an H.264 elementary stream
+    (qp-0 lossless libx264) through the same optional backends — exists
+    so the round-trip query/test can synthesize fixtures wherever a
+    codec is present."""
+    arr = np.asarray(frames, dtype=np.uint8)
+    n, h, w = arr.shape
+    backend = h264_backend()
+    if backend == "pyav":
+        import io as _io
+
+        import av
+
+        buf = _io.BytesIO()
+        with av.open(buf, "w", format="h264") as c:
+            st = c.add_stream("libx264", rate=fps)
+            st.width, st.height = w, h
+            st.pix_fmt = "yuv420p"
+            st.options = {"qp": "0", "preset": "veryfast"}
+            for f in range(n):
+                vf = av.VideoFrame.from_ndarray(arr[f], format="gray")
+                for pkt in st.encode(vf.reformat(format="yuv420p")):
+                    c.mux(pkt)
+            for pkt in st.encode():
+                c.mux(pkt)
+        return buf.getvalue()
+    if backend == "ffmpeg":
+        import subprocess
+
+        out = subprocess.run(
+            ["ffmpeg", "-v", "error", "-f", "rawvideo", "-pix_fmt", "gray",
+             "-s", f"{w}x{h}", "-r", str(fps), "-i", "pipe:",
+             "-c:v", "libx264", "-qp", "0", "-preset", "veryfast",
+             "-f", "h264", "pipe:"],
+            input=arr.tobytes(), capture_output=True, check=True)
+        return out.stdout
+    raise NotImplementedError(
+        "encoding 'video/h264' requires pyav or the ffmpeg CLI (neither "
+        "present)")
+
 def decode_media(payload: bytes, media_type: str) -> dict:
     """Real decoder entry point. PNG decodes in-process (PIL preferred when
     installed, pure-stdlib codec otherwise); WAV/PCM decodes via the stdlib
@@ -333,6 +431,8 @@ def decode_media(payload: bytes, media_type: str) -> dict:
         return wav_decode(payload)
     if media_type in ("video/y4m", "video/x-yuv4mpeg"):
         return y4m_decode(payload)
+    if media_type in ("video/h264", "video/avc"):
+        return h264_decode(payload)
     if media_type == "image/jpeg":
         # optional-dependency path (r4 verdict item 7), mirroring PNG's
         # PIL-preferred pattern: decode when PIL is present, otherwise the
@@ -635,6 +735,45 @@ SELECT doc_id,
            'sum') AS BIGINT) AS luma_sum
 FROM m
 """
+
+def multimodal_h264_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-video round trip through the optional H.264 backend
+    (r5 verdict item 4): per document, synthesize the same deterministic
+    luma law as the y4m query, encode with lossless libx264, decode back,
+    and report the STRUCTURAL fields (frame count, dimensions) plus the
+    decoded luma sum. Raises the deterministic NotImplementedError when
+    neither pyav nor the ffmpeg CLI is present, so it is intentionally
+    NOT in the driver-oracle registry — the skip-marked test
+    (tests/test_operators.py::test_multimodal_h264_round_trip) is its
+    gate wherever a codec exists. Luma is asserted approximately in the
+    test, not here: yuv420p range conversion is codec-build-dependent."""
+    docs = _docs(spark, sf_dir, "doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = np.arange(Y4M_W * Y4M_H, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 3 + d % 4
+                frames = np.stack([
+                    ((d * 13 + f * 7 + 3 * idx) % _Y4M_MOD)
+                    .astype(np.uint8).reshape(Y4M_H, Y4M_W)
+                    for f in range(n)])
+                payload = h264_encode(frames)
+                dec = decode_media(bytes(payload), "video/h264")
+                rows.append((
+                    d, dec["n_frames"], dec["width"], dec["height"],
+                    int(dec["frames"].astype(np.int64).sum()),
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_frames", "width", "height", "luma_sum"])
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, n_frames long, width long, height long, "
+               "luma_sum long",
+    )
 
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_payload(attach_binary_payload(_docs(spark, sf_dir)))

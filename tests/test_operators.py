@@ -777,3 +777,51 @@ def test_dissolve_null_group_keys_form_one_group(spark):
     assert len(out) == 2, out        # one NULL group + one gid=7 group
     assert abs(by_key[None] - 200.0) < 1e-9   # 150 rect union + 50 triangle
     assert abs(by_key[7] - 16.0) < 1e-9
+
+
+def _h264_available() -> bool:
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.multimodal.binary import (
+        h264_backend,
+    )
+
+    return h264_backend() is not None
+
+
+@pytest.mark.skipif(not _h264_available(),
+                    reason="no H.264 codec (pyav/ffmpeg) — the documented "
+                           "optional-dependency path")
+def test_multimodal_h264_round_trip(spark):
+    """Green wherever pyav or ffmpeg exists, cleanly skipped otherwise:
+    structural fields survive a lossless encode→decode exactly; luma
+    approximately (yuv420p range conversion is codec-build-dependent)."""
+    import numpy as np
+
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.multimodal.binary import (
+        decode_media,
+        h264_encode,
+        multimodal_h264_decode,
+    )
+
+    frames = np.stack([
+        (np.arange(64 * 48, dtype=np.int64).reshape(48, 64) * 3 + f * 7)
+        .astype(np.uint8)
+        for f in range(5)])
+    dec = decode_media(h264_encode(frames), "video/h264")
+    assert (dec["n_frames"], dec["height"], dec["width"]) == (5, 48, 64)
+    assert np.abs(dec["frames"].astype(np.int64)
+                  - frames.astype(np.int64)).mean() < 2.0
+    out = multimodal_h264_decode(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) > 0
+    assert all(r["n_frames"] == 3 + r["doc_id"] % 4 for r in out)
+
+
+def test_h264_unavailable_raises_deterministically(monkeypatch):
+    """The no-codec branch is the contract the sandbox exercises: a
+    deterministic NotImplementedError naming both accepted backends."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.multimodal import binary as MB
+
+    monkeypatch.setattr(MB, "h264_backend", lambda: None)
+    with pytest.raises(NotImplementedError, match="pyav or the ffmpeg"):
+        MB.h264_decode(b"\x00\x00\x00\x01\x67")
+    with pytest.raises(NotImplementedError, match="pyav or the ffmpeg"):
+        MB.h264_encode(__import__("numpy").zeros((1, 8, 8), "uint8"))
