@@ -251,80 +251,78 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 # ======================================================================
-# Round-5 rotation (VERDICT r4 item 5): the gate window is recomposed so
-# every query that has NEVER earned a driver-produced green row (28 as of
-# r5, including this round's new queries) sits in tier 1, together with
-# the queries whose code or oracle CHANGED this round (fused full chain,
-# numpy KNN, capped bucket pairs, ST_NPoints convention, z-score nullif,
-# BPE oracle refactor) and the standing anchors (flagship rows, q12,
-# regression watches, one representative per family). Everything else is
-# already driver-green cumulatively (r1-r4) and moves to tier 2, still
-# covered by the committed full run (ORACLES_FULL_r5.txt).
-_R5_WINDOW = [
-    # --- never driver-verified (28) ---
-    "crop_analytics_full_chain",
-    "st_transform_utm",
-    "embedding_pq_rerank",
-    "arrow_quant_stats",
-    "streaming_snapshot_publish",
-    "observed_load_metrics",
-    "events_variant_extract",
-    "stream_static_enrich",
-    "multimodal_resize",
-    "streaming_contamination",
-    "events_sliding_window",
-    "multimodal_frame_sample",
-    "event_funnel",
-    "profile_table",
-    "crop_analytics_orc_roundtrip",
-    "salted_join_revenue",
-    "running_distinct_users",
-    "bpe_tokenize_apply",
-    "spatial_knn_join_lambda",
-    "q22_dormant_customers",
-    "q21_waiting_suppliers",
-    "events_json_extract",
-    "interval_range_join",
-    "hash_sample",
-    "stratified_sample",
-    "events_json_typed",
-    "ngram_topk_corpus",
-    "multimodal_features",
-    # --- changed this round: new code earns the gate first (10) ---
-    "crop_analytics_full",
-    "spatial_knn_join",
-    "minhash_lsh_candidates",
-    "ngram_jaccard_pairs",
+# Round-6 rotation (VERDICT r5 item 8): every query whose CODE or ORACLE
+# changed this round sits in tier 1 — the typed-WKT routing touched every
+# shared ST_* scalar (prefix dispatch), the dtype pinning rewrote 20
+# oracle strings (BIGINT CASE keys, TIMESTAMP_NS outputs), the trajectory
+# verify moved to per-cell applyInPandas, decode_media gained the H.264
+# branch, and two queries are brand new (st_point_line_ops,
+# spatial_range_join_fallback). Standing anchors keep their seats.
+# Everything else is cumulatively driver-green (r1-r5 union = 158/158,
+# judge-computed) and stays covered by the committed full run.
+_R6_WINDOW = [
+    # --- brand new this round (2) ---
+    "st_point_line_ops",
+    "spatial_range_join_fallback",
+    # --- operator code changed this round (8) ---
+    "trajectory_similarity_pairs",   # per-cell verify rewrite
+    "spatial_range_join",            # broadcast_dim param
+    "spatial_knn_join",              # kth clamp in numpy top-k
+    "spatial_knn_join_lambda",       # shared-oracle twin of the above
+    "spatial_knn_join_grid",         # shared-oracle fallback form
+    "embedding_topk_cosine",         # NaN cos_sim prune
+    "geo_range_join",                # LAND_USE_CTE text changed
+    "st_geometry_ops",               # shared scalars gained type routing
+    # --- ST_* scalars gained the typed-kernel prefix dispatch (6) ---
+    "st_area_rect",
+    "st_intersection_area",
     "st_buffer_round",
     "st_convex_hull",
     "st_transform_roundtrip",
-    "anomaly_zscore",
-    "segment_dedup_rewrite",
-    "bpe_merge_train",
-    # --- standing anchors / family representatives (12) ---
+    "st_transform_utm",
+    # --- oracle dtype pinning: BIGINT CASE keys (10) ---
     "crop_analytics",
-    "q12_late_priority",
+    "crop_analytics_full",
+    "crop_analytics_full_chain",
+    "crop_analytics_skewed",
+    "crop_analytics_utm",
+    "crop_analytics_csv_roundtrip",
+    "crop_analytics_jsonl_roundtrip",
+    "crop_analytics_orc_roundtrip",
+    "snapshot_diff",
+    "pyds_jsonl_commit_roundtrip",
+    # --- oracle dtype pinning: TIMESTAMP_NS outputs (10) ---
+    "events_windowed",
+    "events_windowed_streaming",
+    "events_sliding_window",
+    "sessionize_events",
     "sessionize_events_stateful",
+    "events_session_window",
+    "asof_join",
+    "scd2_history",
+    "q3_shipping_priority",
+    "q18_large_orders",
+    # --- decode_media gained the H.264 branch (4) ---
+    "multimodal_png_decode",
+    "multimodal_y4m_decode",
+    "multimodal_wav_decode",
+    "multimodal_frame_sample",
+    # --- standing anchors / family representatives (10) ---
+    "q12_late_priority",
     "dedup_clusters",
     "embedding_lsh_ann",
-    "crop_analytics_skewed",
-    "spatial_knn_join_grid",
-    "pyds_sensor_stream_totals",
     "exact_dedup",
     "ngram_jaccard_verified",
-    "snapshot_diff",
-    "crop_analytics_utm",  # displaces streaming_hll_distinct (r4 driver-green),
+    "pyds_sensor_stream_totals",
+    "streaming_cdc_apply",
+    "repetition_scores",     # text-family seat
+    "histogram_quantile",    # sketches-family seat
+    "minhash_lsh_candidates",
 ]
-if len(_R5_WINDOW) != 50 or len(set(_R5_WINDOW)) != 50:
-    # explicit raise (not assert): the invariant must survive python -O,
-    # where a bare assert is stripped and a mis-sized or duplicated window
-    # would silently reorder the driver gate
-    raise RuntimeError(
-        f"driver window must be 50 unique queries, got {len(_R5_WINDOW)} "
-        f"({len(set(_R5_WINDOW))} unique)")
+_WINDOW = _R6_WINDOW
 QUERIES = {
-    **{k: QUERIES[k] for k in _R5_WINDOW},
-    **{k: v for k, v in QUERIES.items() if k not in set(_R5_WINDOW)},
+    **{k: QUERIES[k] for k in _WINDOW},
+    **{k: v for k, v in QUERIES.items() if k not in set(_WINDOW)},
 }
 
 ORACLES: dict[str, str] = {

@@ -390,3 +390,45 @@ def test_spatial_range_join_forced_fallback(spark):
     join_line = next(ln for ln in plan.splitlines()
                      if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln)
     assert "cx" in join_line and "cy" in join_line
+
+
+def test_plan_audit_flag_detectors():
+    """r5 verdict item 6: the audit's red-flag set must (a) stay empty on
+    the benign shapes the registry actually produces and (b) fire on the
+    unbounded shapes it exists to catch."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    import plan_audit as PA
+
+    benign_bnl = "\n".join([
+        "BroadcastNestedLoopJoin BuildRight, Cross, (c > avg#1)",
+        ":- Project [c#2]",
+        ":  +- BroadcastHashJoin [k#3], [k#4], LeftAnti, BuildRight, false",
+        ":     :- FileScan parquet [k#3] PushedFilters: [IsNotNull(k)]",
+        ":     +- BroadcastExchange HashedRelationBroadcastMode(List(..))",
+        ":        +- FileScan parquet [k#4] PushedFilters: [IsNotNull(k)]",
+        "+- BroadcastExchange IdentityBroadcastMode, [plan_id=1]",
+        "   +- HashAggregate(keys=[], functions=[avg(x#5)])",
+        "      +- Exchange SinglePartition",
+    ])
+    assert PA.audit(benign_bnl)["flags"] == []
+
+    bad_bnl = "\n".join([
+        "BroadcastNestedLoopJoin BuildRight, Cross",
+        ":- FileScan parquet [a#1] PushedFilters: []",
+        "+- BroadcastExchange IdentityBroadcastMode, [plan_id=2]",
+        "   +- FileScan parquet [b#2] Location: [..../lineitem.parquet]",
+    ])
+    assert "BNL-unbounded" in PA.audit(bad_bnl)["flags"]
+
+    unpushed = "\n".join([
+        "Filter (o_orderkey#0L > 100)",
+        "+- FileScan parquet [o_orderkey#0L,o_custkey#1L] Batched: true,"
+        " PushedFilters: [], ReadSchema: struct<o_orderkey:bigint>",
+    ])
+    assert "unpushed-filter" in PA.audit(unpushed)["flags"]
+    pushed = unpushed.replace(
+        "PushedFilters: []",
+        "PushedFilters: [GreaterThan(o_orderkey,100)]")
+    assert PA.audit(pushed)["flags"] == []
