@@ -410,6 +410,57 @@ def h264_encode(frames: np.ndarray, fps: int = 30) -> bytes:
         "encoding 'video/h264' requires pyav or the ffmpeg CLI (neither "
         "present)")
 
+def mp3_decode(payload: bytes) -> dict:
+    """Decode MP3 to int16 PCM via the same optional backends as H.264
+    (pyav, then the ffmpeg CLI); deterministic NotImplementedError when
+    neither is present. Output shape matches wav_decode so downstream
+    audio features are codec-agnostic."""
+    backend = h264_backend()  # same probe: av package or ffmpeg CLI
+    if backend == "pyav":
+        import io as _io
+
+        import av
+
+        chunks = []
+        rate = n_ch = None
+        with av.open(_io.BytesIO(payload), format="mp3") as c:
+            stream = c.streams.audio[0]
+            rate = stream.rate
+            for fr in c.decode(audio=0):
+                arr = fr.to_ndarray()  # (channels, samples) for planar
+                if arr.dtype != np.int16:
+                    arr = (np.clip(arr, -1.0, 1.0) * 32767).astype(np.int16)
+                if arr.ndim == 1:
+                    arr = arr[None, :]
+                n_ch = arr.shape[0]
+                chunks.append(arr)
+        if not chunks:
+            raise ValueError("mp3 stream decoded to zero samples")
+        samples = np.concatenate(chunks, axis=1).T  # (n_samples, n_ch)
+        return {"channels": n_ch, "sample_rate": rate,
+                "n_samples": samples.shape[0], "samples": samples}
+    if backend == "ffmpeg":
+        import subprocess
+
+        probe = subprocess.run(
+            ["ffprobe", "-v", "error", "-select_streams", "a:0",
+             "-show_entries", "stream=channels,sample_rate",
+             "-of", "csv=p=0", "-f", "mp3", "pipe:"],
+            input=payload, capture_output=True, check=True)
+        n_ch, rate = map(int, probe.stdout.decode().strip().split(","))
+        raw = subprocess.run(
+            ["ffmpeg", "-v", "error", "-f", "mp3", "-i", "pipe:",
+             "-f", "s16le", "-acodec", "pcm_s16le", "pipe:"],
+            input=payload, capture_output=True, check=True)
+        arr = np.frombuffer(raw.stdout, dtype="<i2")
+        n = len(arr) // n_ch
+        return {"channels": n_ch, "sample_rate": rate, "n_samples": n,
+                "samples": arr[:n * n_ch].astype(np.int32)
+                .reshape(n, n_ch)}
+    raise NotImplementedError(
+        "decoding 'audio/mpeg' requires pyav or the ffmpeg CLI (neither "
+        "present); use fake_decode for deterministic byte-level stand-ins")
+
 def decode_media(payload: bytes, media_type: str) -> dict:
     """Real decoder entry point. PNG decodes in-process (PIL preferred when
     installed, pure-stdlib codec otherwise); WAV/PCM decodes via the stdlib
@@ -433,6 +484,8 @@ def decode_media(payload: bytes, media_type: str) -> dict:
         return y4m_decode(payload)
     if media_type in ("video/h264", "video/avc"):
         return h264_decode(payload)
+    if media_type in ("audio/mpeg", "audio/mp3"):
+        return mp3_decode(payload)
     if media_type == "image/jpeg":
         # optional-dependency path (r4 verdict item 7), mirroring PNG's
         # PIL-preferred pattern: decode when PIL is present, otherwise the

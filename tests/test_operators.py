@@ -825,3 +825,62 @@ def test_h264_unavailable_raises_deterministically(monkeypatch):
         MB.h264_decode(b"\x00\x00\x00\x01\x67")
     with pytest.raises(NotImplementedError, match="pyav or the ffmpeg"):
         MB.h264_encode(__import__("numpy").zeros((1, 8, 8), "uint8"))
+
+
+@pytest.mark.skipif(not _h264_available(),
+                    reason="no MP3 codec (pyav/ffmpeg) — the documented "
+                           "optional-dependency path")
+def test_multimodal_mp3_round_trip():
+    """Encode a 440 Hz tone to MP3 via the available backend, decode it
+    back, and check the wav_decode-shaped output structurally plus a
+    dominant-frequency sanity check (MP3 is lossy — no exact PCM)."""
+    import subprocess
+
+    import numpy as np
+
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.multimodal.binary import (
+        h264_backend,
+        mp3_decode,
+    )
+
+    rate, secs = 44100, 1
+    t = np.arange(rate * secs) / rate
+    pcm = (np.sin(2 * np.pi * 440 * t) * 20000).astype("<i2")
+    if h264_backend() == "ffmpeg":
+        enc = subprocess.run(
+            ["ffmpeg", "-v", "error", "-f", "s16le", "-ar", str(rate),
+             "-ac", "1", "-i", "pipe:", "-f", "mp3", "pipe:"],
+            input=pcm.tobytes(), capture_output=True, check=True).stdout
+    else:
+        import io
+
+        import av
+
+        buf = io.BytesIO()
+        with av.open(buf, "w", format="mp3") as c:
+            st_a = c.add_stream("mp3", rate=rate)
+            frame = av.AudioFrame.from_ndarray(
+                pcm[None, :], format="s16", layout="mono")
+            frame.sample_rate = rate
+            for pkt in st_a.encode(frame):
+                c.mux(pkt)
+            for pkt in st_a.encode():
+                c.mux(pkt)
+        enc = buf.getvalue()
+    dec = mp3_decode(enc)
+    assert dec["channels"] == 1 and dec["sample_rate"] == rate
+    # encoder delay pads a few hundred samples; length within 10%
+    assert abs(dec["n_samples"] - rate * secs) < rate * 0.1
+    # dominant FFT bin of the decoded middle second ~ 440 Hz
+    mid = np.asarray(dec["samples"][:, 0], dtype=np.float64)[2000:34768]
+    freq = np.abs(np.fft.rfft(mid))
+    peak_hz = np.argmax(freq[1:]) + 1
+    assert abs(peak_hz * rate / len(mid) - 440) < 5
+
+
+def test_mp3_unavailable_raises_deterministically(monkeypatch):
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.multimodal import binary as MB
+
+    monkeypatch.setattr(MB, "h264_backend", lambda: None)
+    with pytest.raises(NotImplementedError, match="pyav or the ffmpeg"):
+        MB.mp3_decode(b"\xff\xfb\x90\x00")
