@@ -62,6 +62,8 @@ HEADLINE = [
     # round 5 additions
     "st_transform_utm",        # CRS registry: TM series + Newton round trip
     "trajectory_similarity_pairs",  # blocked Hausdorff search, numpy verify
+    # round 6 additions
+    "st_point_line_ops",       # typed-WKT kernel through the ST_* registry
 ]
 
 # scale-curve sweep (--sweep): the most expensive headline queries measured
