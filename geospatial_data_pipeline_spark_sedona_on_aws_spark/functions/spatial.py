@@ -277,6 +277,12 @@ def _st_xy(s: str | None, axis: int) -> float | None:
 def _intersection(a: str | None, b: str | None) -> str | None:
     if a is None or b is None:
         return None
+    if not (_is_areal(a) and _is_areal(b)):
+        # typed pairs: puntal membership, lineal×convex-areal Cyrus–Beck
+        # clip (kernel/geomtypes.intersection_typed); empty puntal/lineal
+        # results serialize as their EMPTY literal
+        return GT.to_wkt(GT.intersection_typed(GT.parse_wkt(a),
+                                               GT.parse_wkt(b)))
     ga, gb = G.parse_wkt(a), G.parse_wkt(b)
     if not ga or not gb:
         return "POLYGON EMPTY"
@@ -556,6 +562,20 @@ def st_distance(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series([_distance(x, y) for x, y in zip(a, b)],
                      index=a.index, dtype="float64")
 
+@pandas_udf(BooleanType())
+def st_dwithin(a: pd.Series, b: pd.Series, d: pd.Series) -> pd.Series:
+    """Sedona ST_DWithin(a, b, d): distance(a, b) <= d. Shares _distance,
+    so every type pair the typed kernel supports works here; NULL
+    geometry or distance propagates NULL."""
+    out = []
+    for x, y, dd in zip(a, b, d):
+        if x is None or y is None or pd.isna(dd):
+            out.append(None)
+            continue
+        dist = _distance(x, y)
+        out.append(None if dist is None else bool(dist <= float(dd)))
+    return pd.Series(out, index=a.index, dtype="object")
+
 @pandas_udf(StringType())
 def st_centroid(s: pd.Series) -> pd.Series:
     return s.map(_centroid, na_action="ignore")
@@ -643,6 +663,7 @@ _REGISTRY = {
     "ST_Contains": st_contains,
     "ST_Within": st_within,
     "ST_Distance": st_distance,
+    "ST_DWithin": st_dwithin,
     "ST_Centroid": st_centroid,
     "ST_BufferRound": st_buffer_round,
     "ST_ConvexHull": st_convexhull,

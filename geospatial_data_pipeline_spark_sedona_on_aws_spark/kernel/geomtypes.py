@@ -288,6 +288,116 @@ def _seg_seg_dist2(a, b) -> float:
     )
 
 
+def clip_path_convex(path: list[tuple[float, float]],
+                     clip_ring: list[tuple[float, float]]
+                     ) -> list[list[tuple[float, float]]]:
+    """Intersection of an open polyline with a CONVEX polygon ring
+    (Cyrus–Beck parametric clipping per segment, continuity-merged):
+    returns the pieces of the path inside the ring, each with ≥2 points.
+    Degenerate grazing pieces (a single boundary touch) are dropped —
+    dimensional collapse to POINT follows the usual GIS convention of
+    discarding lower-dimensional intersection artifacts."""
+    ring = clip_ring
+    # orient CCW so 'inside' is the left half-plane of every edge
+    area2 = sum(ring[i][0] * ring[(i + 1) % len(ring)][1]
+                - ring[(i + 1) % len(ring)][0] * ring[i][1]
+                for i in range(len(ring)))
+    if area2 < 0:
+        ring = ring[::-1]
+    n = len(ring)
+    edges = [(ring[i], ring[(i + 1) % n]) for i in range(n)]
+
+    pieces: list[list[tuple[float, float]]] = []
+    cur: list[tuple[float, float]] = []
+    for (ax, ay), (bx, by) in zip(path, path[1:]):
+        t0, t1 = 0.0, 1.0
+        ok = True
+        for (p1, p2) in edges:
+            ex, ey = p2[0] - p1[0], p2[1] - p1[1]
+            fa = ex * (ay - p1[1]) - ey * (ax - p1[0])
+            fb = ex * (by - p1[1]) - ey * (bx - p1[0])
+            if fa < 0 and fb < 0:
+                ok = False
+                break
+            if fa >= 0 and fb >= 0:
+                continue
+            t = fa / (fa - fb)  # crossing parameter of this half-plane
+            if fa < 0:
+                t0 = max(t0, t)  # entering
+            else:
+                t1 = min(t1, t)  # leaving
+        if not ok or t0 >= t1:
+            if len(cur) >= 2:
+                pieces.append(cur)
+            cur = []
+            continue
+        dx, dy = bx - ax, by - ay
+        pa = (ax + t0 * dx, ay + t0 * dy) if t0 > 0 else (ax, ay)
+        pb = (ax + t1 * dx, ay + t1 * dy) if t1 < 1 else (bx, by)
+        if cur and cur[-1] == pa:
+            cur.append(pb)          # continuous with the previous piece
+        else:
+            if len(cur) >= 2:
+                pieces.append(cur)
+            cur = [pa, pb]
+        if t1 < 1:                  # the segment exits: piece ends here
+            if len(cur) >= 2:
+                pieces.append(cur)
+            cur = []
+    if len(cur) >= 2:
+        pieces.append(cur)
+    out = []
+    for piece in pieces:
+        dd = [p for i, p in enumerate(piece) if i == 0 or p != piece[i - 1]]
+        if len(dd) >= 2:  # a grazing touch collapses to one point: drop
+            out.append(dd)
+    return out
+
+
+def intersection_typed(ta, tb):
+    """ST_Intersection for the type pairs beyond areal×areal (which stays
+    with kernel/boolean.py): puntal×any (point-in-geometry membership),
+    lineal×convex-areal (Cyrus–Beck clip), puntal/lineal×lineal on shared
+    vertices. Returns a tgeom; raises GeomError for lineal×non-convex
+    areal (needs the general kernel — documented boundary)."""
+    ka, da = ta
+    kb, db = tb
+    # order: lower dimension first
+    if dimension(ta) > dimension(tb):
+        ta, tb = tb, ta
+        ka, da, kb, db = kb, db, ka, da
+    if ka in _PUNTAL:
+        pts = points_of(ta)
+        if kb in _AREAL:
+            kept = [p for p in pts if point_in_polygon(p[0], p[1], db)]
+        elif kb in _LINEAL:
+            segs = segments_of(tb)
+            kept = [p for p in pts
+                    if any(_seg_pt_dist2(p[0], p[1], *s) == 0.0
+                           for s in segs)]
+        else:
+            kept = [p for p in pts if p in set(points_of(tb))]
+        # dedupe, keep first-seen order
+        seen: set = set()
+        out = [p for p in kept if not (p in seen or seen.add(p))]
+        return ("MULTIPOINT" if len(out) != 1 else "POINT", out)
+    if ka in _LINEAL and kb in _AREAL:
+        from . import geom as G2
+        pieces: list[list[tuple[float, float]]] = []
+        for poly in db:
+            if len(poly) != 1 or not G2._is_convex(poly[0]):
+                raise GeomError(
+                    "lineal x areal intersection supports convex "
+                    "hole-free polygons (general kernel required)")
+            for path in da:
+                pieces.extend(clip_path_convex(path, poly[0]))
+        return ("MULTILINESTRING" if len(pieces) != 1 else "LINESTRING",
+                pieces)
+    raise GeomError(
+        f"intersection of {ka} x {kb} is not supported by the typed "
+        "kernel")
+
+
 def distance(ta, tb) -> float | None:
     """Min Euclidean distance between any two typed geometries, 0 on
     overlap/touch. Decomposition argument: for disjoint geometries the

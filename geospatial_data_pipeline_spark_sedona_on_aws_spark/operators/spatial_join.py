@@ -237,6 +237,66 @@ JOIN land_use lu
 GROUP BY r.id
 """
 
+DWITHIN_D = 5
+
+def st_dwithin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per region: how many order-derived POINTs lie within DWITHIN_D of
+    the region polygon — the classic Sedona ST_DWithin join, r6's typed
+    kernel driving a real join predicate rather than a projection.
+
+    Scale shape (same contract as spatial_range_join): regions explode
+    ONCE to the grid cells of their D-expanded bbox; each point names its
+    single cell; the pair space is an equi-join on cell ids (a point
+    within D of a region is inside the expanded bbox, hence in one of its
+    cells — and a point has exactly one cell, so no pair dedup is
+    needed). The exact predicate is the registered ST_DWithin over the
+    point WKT vs the region polygon WKT — boundary-exact, because
+    distances here are sqrt(integer) compared against an integer D."""
+    from ..functions.spatial import register_spatial_functions
+
+    register_spatial_functions(spark)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    pts = IO.spread_scan(o.selectExpr(
+        "o_orderkey AS point_id",
+        "o_custkey % 100 AS px",
+        "(o_orderkey * 7) % 100 AS py",
+    )).selectExpr(
+        "point_id", "px", "py",
+        f"CAST(floor(px / {GRID}) AS BIGINT) AS cx",
+        f"CAST(floor(py / {GRID}) AS BIGINT) AS cy",
+        "concat('POINT (', px, ' ', py, ')') AS pt",
+    )
+    regions = fixtures.geographic_regions(spark, sf_dir)
+    rg_cells = _cells(
+        regions.selectExpr(
+            "id", "region_geometry",
+            f"gx1 - {DWITHIN_D} AS ex1", f"gy1 - {DWITHIN_D} AS ey1",
+            f"gx2 + {DWITHIN_D} + 1 AS ex2", f"gy2 + {DWITHIN_D} + 1 AS ey2",
+        ),
+        "ex1", "ey1", "ex2", "ey2",
+    ).select("id", "region_geometry", "cx", "cy")
+    cand = pts.join(F.broadcast(rg_cells), ["cx", "cy"])
+    hits = cand.where(F.expr(
+        f"ST_DWithin(pt, region_geometry, CAST({DWITHIN_D} AS DOUBLE))"))
+    return hits.groupBy("id").agg(F.count("point_id").alias("n_within"))
+
+ST_DWITHIN_JOIN_ORACLE = f"""
+WITH {fixtures.REGIONS_CTE.strip()},
+pts AS (
+    SELECT o_orderkey AS point_id,
+           o_custkey % 100        AS px,
+           (o_orderkey * 7) % 100 AS py
+    FROM orders
+)
+SELECT r.id, count(*) AS n_within
+FROM regions r
+JOIN pts p
+  ON greatest(r.gx1 - p.px, p.px - r.gx2, 0) * greatest(r.gx1 - p.px, p.px - r.gx2, 0)
+   + greatest(r.gy1 - p.py, p.py - r.gy2, 0) * greatest(r.gy1 - p.py, p.py - r.gy2, 0)
+   <= {DWITHIN_D * DWITHIN_D}
+GROUP BY r.id
+"""
+
 def geo_range_join_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The range join driven purely by WKT geometry columns (no numeric
     side-channel): overlapping (region, parcel) pairs counted per region.

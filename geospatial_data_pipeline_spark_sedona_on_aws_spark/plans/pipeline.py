@@ -871,6 +871,97 @@ FROM m
 """
 
 
+def st_line_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineal × areal ST_Intersection end-to-end (r6 typed kernel):
+    order-derived 2-segment polylines clipped to their region rectangle
+    through the registered UDFs, reporting the clipped length. The oracle
+    recomputes each segment's Liang–Barsky parameter window in SQL —
+    algebraically the same rational t-values the kernel's Cyrus–Beck
+    form produces (both are correctly-rounded quotients of exact small
+    integers), so 1e-6 quantization is boundary-safe: clip lengths are
+    rational×sqrt(integer) and never land on a .5×1e-6 boundary."""
+    from ..functions.spatial import register_spatial_functions
+
+    register_spatial_functions(spark)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    regions = fixtures.geographic_regions(spark, sf_dir)
+    base = o.selectExpr(
+        "o_orderkey AS point_id",
+        "o_custkey % 100 AS px",
+        "(o_orderkey * 7) % 100 AS py",
+        "1 + o_orderkey % 5 AS dx",
+        "1 + o_custkey % 7 AS dy",
+        f"o_custkey % {fixtures.N_REGIONS} AS region_id",
+    )
+    j = base.join(F.broadcast(regions),
+                  base["region_id"] == regions["id"], "inner")
+    return j.selectExpr(
+        "point_id",
+        "CAST(round(ST_Length(ST_Intersection("
+        " concat('LINESTRING (', px, ' ', py, ', ', px + dx, ' ', py + dy,"
+        "        ', ', px + dx, ' ', py + dy + 3, ')'),"
+        " region_geometry)) * 1e6) AS BIGINT) AS clip_len_q",
+    )
+
+
+# per-segment Liang–Barsky window [t0, t1] against rect [a,c]x[b,d]:
+# slab entry/exit per axis, +-1e9 sentinels for the zero-direction axis
+_LB_SEG = """
+    SELECT point_id,
+           sqrt(CAST(sdx * sdx + sdy * sdy AS DOUBLE)) AS seg_len,
+           greatest(0,
+             CASE WHEN sdx <> 0
+                  THEN least((gx1 - sx1) / CAST(sdx AS DOUBLE),
+                             (gx2 - sx1) / CAST(sdx AS DOUBLE))
+                  ELSE CASE WHEN sx1 BETWEEN gx1 AND gx2
+                            THEN -1e9 ELSE 1e9 END END,
+             CASE WHEN sdy <> 0
+                  THEN least((gy1 - sy1) / CAST(sdy AS DOUBLE),
+                             (gy2 - sy1) / CAST(sdy AS DOUBLE))
+                  ELSE CASE WHEN sy1 BETWEEN gy1 AND gy2
+                            THEN -1e9 ELSE 1e9 END END) AS t0,
+           least(1,
+             CASE WHEN sdx <> 0
+                  THEN greatest((gx1 - sx1) / CAST(sdx AS DOUBLE),
+                                (gx2 - sx1) / CAST(sdx AS DOUBLE))
+                  ELSE CASE WHEN sx1 BETWEEN gx1 AND gx2
+                            THEN 1e9 ELSE -1e9 END END,
+             CASE WHEN sdy <> 0
+                  THEN greatest((gy1 - sy1) / CAST(sdy AS DOUBLE),
+                                (gy2 - sy1) / CAST(sdy AS DOUBLE))
+                  ELSE CASE WHEN sy1 BETWEEN gy1 AND gy2
+                            THEN 1e9 ELSE -1e9 END END) AS t1
+    FROM {src}
+"""
+
+ST_LINE_CLIP_ORACLE = f"""
+WITH {fixtures.REGIONS_CTE.strip()},
+base AS (
+    SELECT o_orderkey AS point_id,
+           o_custkey % 100            AS px,
+           (o_orderkey * 7) % 100     AS py,
+           1 + o_orderkey % 5         AS dx,
+           1 + o_custkey % 7          AS dy,
+           o_custkey % {fixtures.N_REGIONS} AS region_id
+    FROM orders
+),
+j AS (SELECT b.*, r.gx1, r.gy1, r.gx2, r.gy2
+      FROM base b JOIN regions r ON b.region_id = r.id),
+segs AS (
+    SELECT point_id, px AS sx1, py AS sy1, dx AS sdx, dy AS sdy,
+           gx1, gy1, gx2, gy2 FROM j
+    UNION ALL
+    SELECT point_id, px + dx, py + dy, 0, 3, gx1, gy1, gx2, gy2 FROM j
+),
+clipped AS ({_LB_SEG.format(src='segs')})
+SELECT point_id,
+       CAST(round(sum(greatest(0, t1 - t0) * seg_len) * 1e6) AS BIGINT)
+           AS clip_len_q
+FROM clipped
+GROUP BY point_id
+"""
+
+
 def crop_analytics_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship result pushed through the reference's CSV interchange
     boundary and read back positionally — S4 (sized headerless CSV sink,

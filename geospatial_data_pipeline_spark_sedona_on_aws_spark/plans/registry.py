@@ -143,6 +143,8 @@ QUERIES: dict[str, QueryFn] = {
     # --- spatial (driver-green in r3) ---
     "st_geometry_ops": P.st_geometry_ops,
     "st_point_line_ops": P.st_point_line_ops,   # r6: typed WKT kernel
+    "st_dwithin_join": SJ.st_dwithin_join,      # r6: ST_DWithin as a join
+    "st_line_clip": P.st_line_clip,             # r6: lineal x areal clip
     "spatial_range_join": SJ.spatial_range_join,
     # r6: the documented non-broadcast scale path, same oracle — the pair
     # generator as a hash join on cell ids instead of a broadcast
@@ -261,14 +263,15 @@ QUERIES: dict[str, QueryFn] = {
 # Everything else is cumulatively driver-green (r1-r5 union = 158/158,
 # judge-computed) and stays covered by the committed full run.
 _R6_WINDOW = [
-    # --- brand new this round (2) ---
+    # --- brand new this round (4) ---
     "st_point_line_ops",
     "spatial_range_join_fallback",
+    "st_dwithin_join",
+    "st_line_clip",
     # --- operator code changed this round (8) ---
     "trajectory_similarity_pairs",   # per-cell verify rewrite
     "spatial_range_join",            # broadcast_dim param
     "spatial_knn_join",              # kth clamp in numpy top-k
-    "spatial_knn_join_lambda",       # shared-oracle twin of the above
     "spatial_knn_join_grid",         # shared-oracle fallback form
     "embedding_topk_cosine",         # NaN cos_sim prune
     "geo_range_join",                # LAND_USE_CTE text changed
@@ -317,7 +320,6 @@ _R6_WINDOW = [
     "streaming_cdc_apply",
     "repetition_scores",     # text-family seat
     "histogram_quantile",    # sketches-family seat
-    "minhash_lsh_candidates",
 ]
 _WINDOW = _R6_WINDOW
 QUERIES = {
@@ -356,6 +358,8 @@ ORACLES: dict[str, str] = {
     "st_intersection_area": P.ST_INTERSECTION_AREA_ORACLE,
     "st_geometry_ops": P.ST_GEOMETRY_OPS_ORACLE,
     "st_point_line_ops": P.ST_POINT_LINE_OPS_ORACLE,
+    "st_dwithin_join": SJ.ST_DWITHIN_JOIN_ORACLE,
+    "st_line_clip": P.ST_LINE_CLIP_ORACLE,
     "spatial_range_join": SJ.SPATIAL_RANGE_JOIN_ORACLE,
     "spatial_range_join_fallback": SJ.SPATIAL_RANGE_JOIN_ORACLE,
     "geo_range_join": SJ.GEO_RANGE_JOIN_ORACLE,

@@ -773,3 +773,62 @@ def test_prop_line_line_distance_parallel(p, d):
     assert abs(_distance(a, b) - math.hypot(5, d)) < 1e-12
     c = f"LINESTRING ({x + 5} {y + d}, {x + 25} {y + d})"
     assert abs(_distance(a, c) - d) < 1e-12
+
+
+# ---------------------------------------- r6: typed ST_Intersection
+
+from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions.spatial import (  # noqa: E402
+    _intersection,
+)
+
+
+def test_typed_intersection_known_shapes():
+    rect = "POLYGON ((0 0, 10 0, 10 8, 0 8, 0 0))"
+    assert (_intersection("LINESTRING (-5 4, 15 4)", rect)
+            == "LINESTRING (0 4, 10 4)")
+    # argument order must not matter for mixed pairs
+    assert (_intersection(rect, "LINESTRING (-5 4, 15 4)")
+            == "LINESTRING (0 4, 10 4)")
+    # V path: enter at (0,0), apex inside, exit at (10,0) — one merged piece
+    assert (_intersection("LINESTRING (-5 -5, 5 5, 15 -5)", rect)
+            == "LINESTRING (0 0, 5 5, 10 0)")
+    # two disjoint crossings -> MULTILINESTRING
+    w = _intersection("LINESTRING (-5 2, 15 2, 15 6, -5 6)", rect)
+    assert w == "MULTILINESTRING ((0 2, 10 2), (10 6, 0 6))"
+    assert _intersection("LINESTRING (2 2, 4 4)", rect) == "LINESTRING (2 2, 4 4)"
+    assert _intersection("LINESTRING (-5 20, -3 22)", rect) == "LINESTRING EMPTY"
+    assert _intersection("MULTIPOINT (2 2, 20 20, 10 4)", rect) == "MULTIPOINT (2 2, 10 4)"
+    assert _intersection("POINT (20 20)", rect) == "POINT EMPTY"
+    assert _intersection("POINT (2 2)", "LINESTRING (0 0, 4 4)") == "POINT (2 2)"
+    import pytest as _pt
+
+    with _pt.raises(G.GeomError):
+        _intersection("LINESTRING (0 0, 1 1)", "LINESTRING (0 1, 1 0)")
+    with _pt.raises(G.GeomError):  # non-convex clip: documented boundary
+        _intersection("LINESTRING (0 0, 9 9)",
+                      "POLYGON ((0 0, 8 0, 8 8, 4 4, 0 8, 0 0))")
+
+
+@given(pts=st.lists(st.tuples(st.integers(-30, 30), st.integers(-30, 30)),
+                    min_size=2, max_size=6))
+@settings(max_examples=60, deadline=None)
+def test_prop_line_clip_identity_containment_monotone(pts):
+    """Clip by a rect containing everything = identity; clip by a small
+    rect yields pieces whose vertices are all covered by the rect and
+    whose total length never exceeds the input's."""
+    from hypothesis import assume
+
+    # zero-length lines collapse dimensionally under clip (documented);
+    # the identity claim needs a line with at least one real segment
+    assume(len(set(pts)) >= 2)
+    line = "LINESTRING (" + ", ".join(f"{x} {y}" for x, y in pts) + ")"
+    big = "POLYGON ((-100 -100, 100 -100, 100 100, -100 100, -100 -100))"
+    # identity modulo consecutive-duplicate removal (the clip dedupes)
+    dd = [p for i, p in enumerate(pts) if i == 0 or p != pts[i - 1]]
+    ident = "LINESTRING (" + ", ".join(f"{x} {y}" for x, y in dd) + ")"
+    assert _intersection(line, big) == _geom_from_wkt(ident)
+    small = "POLYGON ((-5 -5, 5 -5, 5 5, -5 5, -5 -5))"
+    out = _intersection(line, small)
+    assert _length(out) <= _length(line) + 1e-9
+    for x, y in GT.points_of(GT.parse_wkt(out)):
+        assert -5 - 1e-9 <= x <= 5 + 1e-9 and -5 - 1e-9 <= y <= 5 + 1e-9
