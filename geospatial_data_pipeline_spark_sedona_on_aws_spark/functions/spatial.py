@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
+    BinaryType,
     BooleanType,
     DoubleType,
     LongType,
@@ -599,6 +600,19 @@ def st_convexhull(s: pd.Series) -> pd.Series:
 def st_npoints(s: pd.Series) -> pd.Series:
     return s.map(_npoints, na_action="ignore").astype("Int64")
 
+@pandas_udf(BinaryType())
+def st_asbinary(s: pd.Series) -> pd.Series:
+    """ST_AsBinary: canonical little-endian ISO WKB of any WKT type
+    (kernel/geomtypes.to_wkb)."""
+    return s.map(lambda w: GT.to_wkb(GT.parse_wkt(w)), na_action="ignore")
+
+@pandas_udf(StringType())
+def st_geomfromwkb(b: pd.Series) -> pd.Series:
+    """ST_GeomFromWKB: parse ISO WKB (either byte order) back to the
+    engine's canonical WKT carrier."""
+    return b.map(lambda buf: GT.to_wkt(GT.parse_wkb(bytes(buf))),
+                 na_action="ignore")
+
 @pandas_udf(DoubleType())
 def st_length(s: pd.Series) -> pd.Series:
     return s.map(_length, na_action="ignore").astype("float64")
@@ -672,6 +686,8 @@ _REGISTRY = {
     "ST_Length": st_length,
     "ST_X": st_x,
     "ST_Y": st_y,
+    "ST_AsBinary": st_asbinary,
+    "ST_GeomFromWKB": st_geomfromwkb,
 }
 
 def register_spatial_functions(spark: SparkSession) -> None:

@@ -119,6 +119,120 @@ def to_wkt(tg) -> str:
     raise GeomError(f"unknown tgeom kind {kind!r}")
 
 
+# ------------------------------------------------------------------- WKB I/O
+
+_WKB_CODE = {"POINT": 1, "LINESTRING": 2, "POLYGON": 3,
+             "MULTIPOINT": 4, "MULTILINESTRING": 5, "MULTIPOLYGON": 6}
+_WKB_KIND = {v: k for k, v in _WKB_CODE.items()}
+
+
+def to_wkb(tg) -> bytes:
+    """ISO WKB, little-endian, 2D. Empty POINT serializes as (NaN, NaN)
+    (the OGC convention); other empties as zero-count containers.
+    Polygon rings are written CLOSED (first vertex repeated), matching
+    every mainstream writer; parse_wkb drops the closing vertex back off
+    for the open-ring internal representation."""
+    import struct
+
+    kind, data = tg
+
+    def hdr(code: int) -> bytes:
+        return b"\x01" + struct.pack("<I", code)
+
+    def pts(seq, closed: bool = False) -> bytes:
+        seq = list(seq)
+        if closed and seq:
+            seq = seq + [seq[0]]
+        return struct.pack("<I", len(seq)) + b"".join(
+            struct.pack("<dd", x, y) for x, y in seq)
+
+    if kind == "POINT":
+        if not data:
+            return hdr(1) + struct.pack("<dd", float("nan"), float("nan"))
+        return hdr(1) + struct.pack("<dd", *data[0])
+    if kind == "MULTIPOINT":
+        return hdr(4) + struct.pack("<I", len(data)) + b"".join(
+            to_wkb(("POINT", [p])) for p in data)
+    if kind == "LINESTRING":
+        return hdr(2) + pts(data[0] if data else [])
+    if kind == "MULTILINESTRING":
+        return hdr(5) + struct.pack("<I", len(data)) + b"".join(
+            to_wkb(("LINESTRING", [path])) for path in data)
+    if kind == "POLYGON":
+        poly = data[0] if data else []
+        return hdr(3) + struct.pack("<I", len(poly)) + b"".join(
+            pts(ring, closed=True) for ring in poly)
+    if kind == "MULTIPOLYGON":
+        return hdr(6) + struct.pack("<I", len(data)) + b"".join(
+            to_wkb(("POLYGON", [poly])) for poly in data)
+    raise GeomError(f"unknown tgeom kind {kind!r}")
+
+
+def parse_wkb(buf: bytes):
+    """Parse ISO WKB (either byte order; 2D only) into a tgeom."""
+    import struct
+
+    def walk(off: int):
+        if off + 5 > len(buf):
+            raise GeomError("truncated WKB header")
+        bo = "<" if buf[off] == 1 else ">"
+        (code,) = struct.unpack_from(bo + "I", buf, off + 1)
+        off += 5
+        kind = _WKB_KIND.get(code & 0xFF)
+        if kind is None:
+            raise GeomError(f"unsupported WKB geometry code {code}")
+
+        def rd_pts(off: int, n: int):
+            end = off + 16 * n
+            if end > len(buf):
+                raise GeomError("truncated WKB coordinates")
+            out = [struct.unpack_from(bo + "dd", buf, off + 16 * i)
+                   for i in range(n)]
+            return out, end
+
+        if kind == "POINT":
+            (x, y) = struct.unpack_from(bo + "dd", buf, off)
+            off += 16
+            if x != x and y != y:  # NaN NaN = EMPTY
+                return ("POINT", []), off
+            return ("POINT", [(x, y)]), off
+        if kind == "LINESTRING":
+            (n,) = struct.unpack_from(bo + "I", buf, off)
+            pts, off = rd_pts(off + 4, n)
+            return ("LINESTRING", [pts] if pts else []), off
+        if kind == "POLYGON":
+            (nr,) = struct.unpack_from(bo + "I", buf, off)
+            off += 4
+            rings = []
+            for _ in range(nr):
+                (n,) = struct.unpack_from(bo + "I", buf, off)
+                pts, off = rd_pts(off + 4, n)
+                if len(pts) > 1 and pts[0] == pts[-1]:
+                    pts = pts[:-1]  # open-ring internal rep
+                rings.append(pts)
+            return ("POLYGON", [rings] if rings else []), off
+        # multi containers: each member is a full WKB geometry
+        (n,) = struct.unpack_from(bo + "I", buf, off)
+        off += 4
+        members = []
+        for _ in range(n):
+            m, off = walk(off)
+            members.append(m)
+        if kind == "MULTIPOINT":
+            return ("MULTIPOINT",
+                    [p for _, d in members for p in d]), off
+        if kind == "MULTILINESTRING":
+            return ("MULTILINESTRING",
+                    [path for _, d in members for path in d]), off
+        return ("MULTIPOLYGON",
+                [poly for _, d in members for poly in d]), off
+
+    tg, end = walk(0)
+    if end != len(buf):
+        raise GeomError(f"{len(buf) - end} trailing bytes after WKB")
+    return tg
+
+
 # ------------------------------------------------------------- decompositions
 
 def points_of(tg) -> list[tuple[float, float]]:

@@ -904,6 +904,73 @@ def st_line_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def st_wkb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WKB interchange for every geometry type the engine carries:
+    ST_AsText(ST_GeomFromWKB(ST_AsBinary(g))) must reproduce the
+    canonical WKT exactly — point, multipoint, linestring,
+    multilinestring, and the region polygon per row. The oracle emits
+    the same strings from the same integers, so any byte-level WKB
+    defect (header, counts, ring closure, endianness) breaks the hash."""
+    from ..functions.spatial import register_spatial_functions
+
+    register_spatial_functions(spark)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    regions = fixtures.geographic_regions(spark, sf_dir)
+    base = o.selectExpr(
+        "o_orderkey AS point_id",
+        "o_custkey % 100 AS px",
+        "(o_orderkey * 7) % 100 AS py",
+        "1 + o_orderkey % 5 AS dx",
+        "1 + o_custkey % 7 AS dy",
+        f"o_custkey % {fixtures.N_REGIONS} AS region_id",
+    )
+    j = base.join(F.broadcast(regions),
+                  base["region_id"] == regions["id"], "inner")
+
+    def rt(expr: str) -> str:
+        return f"ST_AsText(ST_GeomFromWKB(ST_AsBinary({expr})))"
+
+    return j.selectExpr(
+        "point_id",
+        rt("concat('POINT (', px, ' ', py, ')')") + " AS pt_rt",
+        rt("concat('MULTIPOINT (', px, ' ', py, ', ', px + dx, ' ',"
+           " py + dy, ')')") + " AS mpt_rt",
+        rt("concat('LINESTRING (', px, ' ', py, ', ', px + dx, ' ',"
+           " py + dy, ')')") + " AS line_rt",
+        rt("concat('MULTILINESTRING ((', px, ' ', py, ', ', px + dx, ' ',"
+           " py + dy, '), (', px, ' ', py + dy, ', ', px + dx, ' ', py,"
+           " '))')") + " AS mline_rt",
+        rt("region_geometry") + " AS poly_rt",
+    )
+
+
+ST_WKB_ROUNDTRIP_ORACLE = f"""
+WITH {fixtures.REGIONS_CTE.strip()},
+base AS (
+    SELECT o_orderkey AS point_id,
+           o_custkey % 100            AS px,
+           (o_orderkey * 7) % 100     AS py,
+           1 + o_orderkey % 5         AS dx,
+           1 + o_custkey % 7          AS dy,
+           o_custkey % {fixtures.N_REGIONS} AS region_id
+    FROM orders
+)
+SELECT b.point_id,
+       concat('POINT (', px, ' ', py, ')') AS pt_rt,
+       concat('MULTIPOINT (', px, ' ', py, ', ', px + dx, ' ', py + dy,
+              ')') AS mpt_rt,
+       concat('LINESTRING (', px, ' ', py, ', ', px + dx, ' ', py + dy,
+              ')') AS line_rt,
+       concat('MULTILINESTRING ((', px, ' ', py, ', ', px + dx, ' ',
+              py + dy, '), (', px, ' ', py + dy, ', ', px + dx, ' ', py,
+              '))') AS mline_rt,
+       concat('POLYGON ((', r.gx1, ' ', r.gy1, ', ', r.gx2, ' ', r.gy1,
+              ', ', r.gx2, ' ', r.gy2, ', ', r.gx1, ' ', r.gy2, ', ',
+              r.gx1, ' ', r.gy1, '))') AS poly_rt
+FROM base b JOIN regions r ON b.region_id = r.id
+"""
+
+
 # per-segment Liang–Barsky window [t0, t1] against rect [a,c]x[b,d]:
 # slab entry/exit per axis, +-1e9 sentinels for the zero-direction axis
 _LB_SEG = """

@@ -145,6 +145,7 @@ QUERIES: dict[str, QueryFn] = {
     "st_point_line_ops": P.st_point_line_ops,   # r6: typed WKT kernel
     "st_dwithin_join": SJ.st_dwithin_join,      # r6: ST_DWithin as a join
     "st_line_clip": P.st_line_clip,             # r6: lineal x areal clip
+    "st_wkb_roundtrip": P.st_wkb_roundtrip,     # r6: WKB interchange
     "spatial_range_join": SJ.spatial_range_join,
     # r6: the documented non-broadcast scale path, same oracle — the pair
     # generator as a hash join on cell ids instead of a broadcast
@@ -263,16 +264,16 @@ QUERIES: dict[str, QueryFn] = {
 # Everything else is cumulatively driver-green (r1-r5 union = 158/158,
 # judge-computed) and stays covered by the committed full run.
 _R6_WINDOW = [
-    # --- brand new this round (4) ---
+    # --- brand new this round (5) ---
     "st_point_line_ops",
     "spatial_range_join_fallback",
     "st_dwithin_join",
     "st_line_clip",
+    "st_wkb_roundtrip",
     # --- operator code changed this round (8) ---
     "trajectory_similarity_pairs",   # per-cell verify rewrite
     "spatial_range_join",            # broadcast_dim param
     "spatial_knn_join",              # kth clamp in numpy top-k
-    "spatial_knn_join_grid",         # shared-oracle fallback form
     "embedding_topk_cosine",         # NaN cos_sim prune
     "geo_range_join",                # LAND_USE_CTE text changed
     "st_geometry_ops",               # shared scalars gained type routing
@@ -360,6 +361,7 @@ ORACLES: dict[str, str] = {
     "st_point_line_ops": P.ST_POINT_LINE_OPS_ORACLE,
     "st_dwithin_join": SJ.ST_DWITHIN_JOIN_ORACLE,
     "st_line_clip": P.ST_LINE_CLIP_ORACLE,
+    "st_wkb_roundtrip": P.ST_WKB_ROUNDTRIP_ORACLE,
     "spatial_range_join": SJ.SPATIAL_RANGE_JOIN_ORACLE,
     "spatial_range_join_fallback": SJ.SPATIAL_RANGE_JOIN_ORACLE,
     "geo_range_join": SJ.GEO_RANGE_JOIN_ORACLE,

@@ -832,3 +832,62 @@ def test_prop_line_clip_identity_containment_monotone(pts):
     assert _length(out) <= _length(line) + 1e-9
     for x, y in GT.points_of(GT.parse_wkt(out)):
         assert -5 - 1e-9 <= x <= 5 + 1e-9 and -5 - 1e-9 <= y <= 5 + 1e-9
+
+
+# ------------------------------------------------------- r6: WKB I/O
+
+@given(pts=st.lists(_pt, min_size=1, max_size=6, unique=True),
+       kind=st.sampled_from(["POINT", "MULTIPOINT", "LINESTRING",
+                             "MULTILINESTRING"]))
+@settings(max_examples=80, deadline=None)
+def test_prop_wkb_round_trip_all_types(pts, kind):
+    if kind == "POINT":
+        tg = ("POINT", [tuple(map(float, pts[0]))])
+    elif kind == "MULTIPOINT":
+        tg = ("MULTIPOINT", [tuple(map(float, p)) for p in pts])
+    elif kind == "LINESTRING":
+        if len(pts) < 2:
+            return
+        tg = ("LINESTRING", [[tuple(map(float, p)) for p in pts]])
+    else:
+        if len(pts) < 4:
+            return
+        half = len(pts) // 2
+        tg = ("MULTILINESTRING",
+              [[tuple(map(float, p)) for p in pts[:half]],
+               [tuple(map(float, p)) for p in pts[half:]]])
+    assert GT.parse_wkb(GT.to_wkb(tg)) == tg
+
+
+@given(x=st.integers(-50, 50), y=st.integers(-50, 50),
+       w=st.integers(1, 20), h=st.integers(1, 20))
+@settings(max_examples=50, deadline=None)
+def test_prop_wkb_round_trip_polygon(x, y, w, h):
+    wkt = (f"POLYGON (({x} {y}, {x+w} {y}, {x+w} {y+h}, {x} {y+h},"
+           f" {x} {y}))")
+    tg = GT.parse_wkt(wkt)
+    assert GT.parse_wkb(GT.to_wkb(tg)) == tg
+    assert GT.to_wkt(GT.parse_wkb(GT.to_wkb(tg))) == wkt
+
+
+def test_wkb_edge_cases():
+    import struct
+
+    # empty point: NaN NaN payload per OGC
+    assert GT.parse_wkb(GT.to_wkb(("POINT", []))) == ("POINT", [])
+    # big-endian input parses (writer is LE-only, reader handles both)
+    be = b"\x00" + struct.pack(">I", 1) + struct.pack(">dd", 3.0, 4.0)
+    assert GT.parse_wkb(be) == ("POINT", [(3.0, 4.0)])
+    # multipolygon with a hole survives
+    wkt = ("MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0),"
+           " (4 4, 6 4, 6 6, 4 6, 4 4)), ((20 20, 22 20, 22 22, 20 22,"
+           " 20 20)))")
+    tg = GT.parse_wkt(wkt)
+    assert GT.parse_wkb(GT.to_wkb(tg)) == tg
+    # trailing garbage rejected
+    import pytest as _pt
+
+    with _pt.raises(G.GeomError):
+        GT.parse_wkb(GT.to_wkb(("POINT", [(1.0, 2.0)])) + b"\x00")
+    with _pt.raises(G.GeomError):
+        GT.parse_wkb(b"\x01\x63\x00\x00\x00")  # unknown geometry code
