@@ -328,6 +328,109 @@ def _seg_pt_dist2(px, py, x1, y1, x2, y2) -> float:
     cx, cy = x1 + t * dx, y1 + t * dy
     return (px - cx) ** 2 + (py - cy) ** 2
 
+# ------------------------------------------------- DE-9IM relate predicates
+#
+# Sedona exposes the full JTS predicate family; the engine derives each one
+# from two primitives it already trusts: the generic typed distance
+# (intersects ⟺ distance == 0) and an interiors-intersect test (areal×areal
+# through the boolean kernel's intersection area, every other type pair
+# through kernel/geomtypes.interiors_intersect). NULL in → NULL out.
+
+def _dim(s: str) -> int:
+    return 2 if _is_areal(s) else GT.dimension(GT.parse_wkt(s))
+
+def _interiors_intersect(a: str, b: str) -> bool:
+    if _is_areal(a) and _is_areal(b):
+        return B.intersection_area(G.parse_wkt(a), G.parse_wkt(b)) > 0.0
+    return GT.interiors_intersect(GT.parse_wkt(a), GT.parse_wkt(b))
+
+def _intersects(a: str | None, b: str | None) -> bool | None:
+    if a is None or b is None:
+        return None
+    d = _distance(a, b)
+    return None if d is None else d == 0.0
+
+def _touches(a: str | None, b: str | None) -> bool | None:
+    """JTS touches: the geometries intersect but only at boundary points
+    (Int(a) ∩ Int(b) = ∅)."""
+    inter = _intersects(a, b)
+    if not inter:
+        return inter  # None or False
+    return not _interiors_intersect(a, b)
+
+def _crosses(a: str | None, b: str | None) -> bool | None:
+    """JTS crosses: interiors intersect in a lower dimension than the
+    higher-dimensional operand — false for any areal×areal or
+    puntal×puntal pair by definition; lineal×lineal requires a point
+    crossing WITHOUT a shared positive-length stretch; mixed dimensions
+    require interior contact plus a piece of the lower-dimensional side
+    outside the other's closure."""
+    if a is None or b is None:
+        return None
+    da, db = _dim(a), _dim(b)
+    if da == db:
+        if da != 1:
+            return False
+        ta, tb = GT.parse_wkt(a), GT.parse_wkt(b)
+        if GT.lineal_shared_length(ta, tb) > 0.0:
+            return False  # dim-1 intersection → overlaps territory
+        return GT.interiors_intersect(ta, tb)
+    low, high = (a, b) if da < db else (b, a)
+    if not _interiors_intersect(low, high):
+        return False
+    if _dim(low) == 0:
+        # some point of the multipoint strictly outside high's closure
+        pts = GT.points_of(GT.parse_wkt(low))
+        if _is_areal(high):
+            gh = G.parse_wkt(high)
+            return any(not GT.point_in_polygon(x, y, gh) for x, y in pts)
+        segs = GT.segments_of(GT.parse_wkt(high))
+        return any(all(GT._seg_pt_dist2(x, y, *s) > 0.0 for s in segs)
+                   for x, y in pts)
+    return not _contains(high, low)
+
+def _overlaps(a: str | None, b: str | None) -> bool | None:
+    """JTS overlaps: same dimension, interiors share a region of that same
+    dimension, and neither covers the other."""
+    if a is None or b is None:
+        return None
+    da, db = _dim(a), _dim(b)
+    if da != db:
+        return False
+    if da == 2:
+        ga, gb = G.parse_wkt(a), G.parse_wkt(b)
+        ia = B.intersection_area(ga, gb)
+        if ia <= 0.0:
+            return False
+        aa, ab = G.area(ga), G.area(gb)
+        eps = 1e-9 * max(aa, ab, 1.0)
+        return ia < aa - eps and ia < ab - eps
+    ta, tb = GT.parse_wkt(a), GT.parse_wkt(b)
+    if da == 0:
+        sa, sb = set(GT.points_of(ta)), set(GT.points_of(tb))
+        common = sa & sb
+        return bool(common) and common != sa and common != sb
+    if GT.lineal_shared_length(ta, tb) <= 0.0:
+        return False
+    return not GT.contains(ta, tb) and not GT.contains(tb, ta)
+
+def _equals(a: str | None, b: str | None) -> bool | None:
+    """Topological equality (ST_Equals): mutual coverage at equal
+    dimension — areal pairs via the area identity, lineal pairs via the
+    typed covers test both ways, puntal pairs via vertex-set equality."""
+    if a is None or b is None:
+        return None
+    da, db = _dim(a), _dim(b)
+    if da != db:
+        return False
+    if da == 2:
+        return bool(_contains(a, b)) and bool(_contains(b, a))
+    ta, tb = GT.parse_wkt(a), GT.parse_wkt(b)
+    if da == 0:
+        pa, pb = GT.points_of(ta), GT.points_of(tb)
+        return bool(pa) and set(pa) == set(pb)
+    return GT.contains(ta, tb) and GT.contains(tb, ta)
+
 def _distance(a: str | None, b: str | None) -> float | None:
     """Min distance between two polygon geometries (0 when they overlap or
     touch). Boundaries of disjoint polygons never cross, so the minimum is
@@ -361,6 +464,244 @@ def _distance(a: str | None, b: str | None) -> float | None:
                 _seg_pt_dist2(bx2, by2, ax1, ay1, ax2, ay2),
             )
     return math.sqrt(best)
+
+# -------------------------------------------- accessors and constructors
+
+def _num_geometries(s: str | None) -> int | None:
+    """JTS getNumGeometries: member count of a multi-geometry, 1 for a
+    non-empty singular geometry, 0 for EMPTY."""
+    if s is None:
+        return None
+    kind, data = GT.parse_wkt(s)
+    if kind in ("POINT", "LINESTRING", "POLYGON"):
+        return 1 if data else 0
+    return len(data)
+
+def _geometry_n(s: str | None, n: int) -> str | None:
+    """Sedona ST_GeometryN (JTS getGeometryN): 0-based member of a multi-
+    geometry; for a singular geometry index 0 returns the geometry itself.
+    Out of range → NULL."""
+    if s is None:
+        return None
+    kind, data = GT.parse_wkt(s)
+    if kind in ("POINT", "LINESTRING", "POLYGON"):
+        return GT.to_wkt((kind, data)) if n == 0 and data else None
+    if not 0 <= n < len(data):
+        return None
+    member = {"MULTIPOINT": "POINT", "MULTILINESTRING": "LINESTRING",
+              "MULTIPOLYGON": "POLYGON"}[kind]
+    return GT.to_wkt((member, [data[n]]))
+
+def _point_n(s: str | None, n: int) -> str | None:
+    """Sedona/PostGIS ST_PointN: 1-based vertex of a LINESTRING (negative
+    counts from the end); NULL for any other type or out of range."""
+    if s is None:
+        return None
+    kind, data = GT.parse_wkt(s)
+    if kind != "LINESTRING" or not data:
+        return None
+    path = data[0]
+    idx = n - 1 if n > 0 else len(path) + n
+    if not 0 <= idx < len(path):
+        return None
+    return GT.to_wkt(("POINT", [path[idx]]))
+
+def _terminal_point(s: str | None, last: bool) -> str | None:
+    if s is None:
+        return None
+    kind, data = GT.parse_wkt(s)
+    if kind != "LINESTRING" or not data:
+        return None
+    return GT.to_wkt(("POINT", [data[0][-1 if last else 0]]))
+
+def _ring_to_path(ring: list) -> list:
+    return list(ring) + [ring[0]]  # closed: first vertex repeated
+
+def _exterior_ring(s: str | None) -> str | None:
+    """ST_ExteriorRing: the closed outer ring of a POLYGON as a
+    LINESTRING; NULL for any other type (PostGIS convention)."""
+    if s is None:
+        return None
+    kind, data = GT.parse_wkt(s)
+    if kind != "POLYGON" or not data or not data[0]:
+        return None
+    return GT.to_wkt(("LINESTRING", [_ring_to_path(data[0][0])]))
+
+def _boundary(s: str | None) -> str | None:
+    """SQL/MM boundary: areal → every ring as a closed (MULTI)LINESTRING;
+    lineal → the mod-2 terminal points as (MULTI)POINT; puntal → empty
+    (serialized as POINT EMPTY — the engine's WKT carrier has no
+    GEOMETRYCOLLECTION, documented divergence from JTS)."""
+    if s is None:
+        return None
+    kind, data = GT.parse_wkt(s)
+    if kind in ("POLYGON", "MULTIPOLYGON"):
+        paths = [_ring_to_path(ring) for poly in data for ring in poly]
+        return GT.to_wkt(("MULTILINESTRING", paths))
+    if kind in ("LINESTRING", "MULTILINESTRING"):
+        from collections import Counter
+        cnt = Counter(p for path in data for p in (path[0], path[-1]))
+        pts = [p for path in data for p in (path[0], path[-1])
+               if cnt[p] % 2 == 1]
+        seen: set = set()
+        pts = [p for p in pts if not (p in seen or seen.add(p))]
+        return GT.to_wkt(("MULTIPOINT", pts))
+    return "POINT EMPTY"
+
+def _is_valid(s: str | None) -> bool | None:
+    """OGC validity for the carried types: areal input is valid iff its
+    rings parse with ≥3 distinct vertices and the ring set has no
+    self-intersections (kernel test backing make_valid); puntal/lineal
+    input is valid iff it parses (JTS: always valid)."""
+    if s is None:
+        return None
+    kind, data = GT.parse_wkt(s)
+    if kind not in ("POLYGON", "MULTIPOLYGON"):
+        return True
+    # test on RAW deduped rings (same reason make_valid does): a symmetric
+    # bowtie has signed area exactly 0 and normalize() would drop it as
+    # degenerate before the crossing test could see it
+    raw = [[G._dedupe(r) for r in poly] for poly in data]
+    if any(len(r) < 3 for poly in raw for r in poly):
+        return False
+    return not G._has_self_intersections(raw)
+
+def _flip_coordinates(s: str | None) -> str | None:
+    """ST_FlipCoordinates: swap x and y in every vertex, type preserved."""
+    if s is None:
+        return None
+    kind, data = GT.parse_wkt(s)
+    if kind in ("POINT", "MULTIPOINT"):
+        return GT.to_wkt((kind, [(y, x) for x, y in data]))
+    if kind in ("LINESTRING", "MULTILINESTRING"):
+        return GT.to_wkt((kind, [[(y, x) for x, y in path]
+                                 for path in data]))
+    return G.to_wkt([[[(y, x) for x, y in ring] for ring in poly]
+                     for poly in data])
+
+# ------------------------------------------------------ GeoJSON interchange
+
+def _geojson_coords(kind: str, data) -> list:
+    if kind == "POINT":
+        return list(data[0]) if data else []
+    if kind == "MULTIPOINT":
+        return [list(p) for p in data]
+    if kind == "LINESTRING":
+        return [list(p) for p in data[0]] if data else []
+    if kind == "MULTILINESTRING":
+        return [[list(p) for p in path] for path in data]
+    if kind == "POLYGON":
+        poly = data[0] if data else []
+        return [[list(p) for p in _ring_to_path(r)] for r in poly]
+    return [[[list(p) for p in _ring_to_path(r)] for r in poly]
+            for poly in data]
+
+def _as_geojson(s: str | None) -> str | None:
+    """RFC 7946 geometry object, canonical form: keys in (type,
+    coordinates) order, no whitespace, numbers through the kernel's
+    shortest-repr formatter (integer-valued coordinates print as
+    integers — what makes the concat-built SQL oracle possible)."""
+    if s is None:
+        return None
+    kind, data = GT.parse_wkt(s)
+    name = {"POINT": "Point", "MULTIPOINT": "MultiPoint",
+            "LINESTRING": "LineString",
+            "MULTILINESTRING": "MultiLineString",
+            "POLYGON": "Polygon", "MULTIPOLYGON": "MultiPolygon"}[kind]
+
+    def num(v):
+        return G._fmt(v)
+
+    def render(obj):
+        if isinstance(obj, list):
+            return "[" + ",".join(render(o) for o in obj) + "]"
+        return num(obj)
+
+    coords = _geojson_coords(kind, data)
+    return f'{{"type":"{name}","coordinates":{render(coords)}}}'
+
+def _geom_from_geojson(s: str | None) -> str | None:
+    """Parse an RFC 7946 geometry object back to canonical WKT. Polygon
+    rings arrive closed (first == last vertex) and re-open into the
+    kernel representation; single-member multis collapse per the
+    canonicalization convention."""
+    import json
+
+    if s is None:
+        return None
+    obj = json.loads(s)
+    name = obj.get("type")
+    coords = obj.get("coordinates", [])
+    as_pt = lambda c: (float(c[0]), float(c[1]))  # noqa: E731
+
+    def open_ring(ring):
+        pts = [as_pt(p) for p in ring]
+        if len(pts) > 1 and pts[0] == pts[-1]:
+            pts = pts[:-1]
+        return pts
+
+    if name == "Point":
+        return GT.to_wkt(("POINT", [as_pt(coords)] if coords else []))
+    if name == "MultiPoint":
+        return GT.to_wkt(("MULTIPOINT", [as_pt(p) for p in coords]))
+    if name == "LineString":
+        return GT.to_wkt(("LINESTRING",
+                          [[as_pt(p) for p in coords]] if coords else []))
+    if name == "MultiLineString":
+        return GT.to_wkt(("MULTILINESTRING",
+                          [[as_pt(p) for p in path] for path in coords]))
+    if name == "Polygon":
+        return G.to_wkt([[open_ring(r) for r in coords]] if coords else [])
+    if name == "MultiPolygon":
+        return G.to_wkt([[open_ring(r) for r in poly] for poly in coords])
+    raise G.GeomError(f"unsupported GeoJSON type {name!r}")
+
+# --------------------------------------------------------------- ST_GeoHash
+
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+def _geohash(s: str | None, precision: int) -> str | None:
+    """Sedona ST_GeoHash: base-32 geohash of the geometry's
+    representative point (the point itself for POINT input, the envelope
+    center otherwise), classic interval-bisection algorithm, lon/lat in
+    EPSG:4326. Precision = output length in characters."""
+    if s is None or precision <= 0:
+        return None
+    kind, data = GT.parse_wkt(s)
+    if kind == "POINT" and data:
+        lon, lat = data[0]
+    else:
+        x1, y1, x2, y2 = GT.bounds((kind, data))
+        if x1 > x2:
+            return None
+        lon, lat = (x1 + x2) / 2.0, (y1 + y2) / 2.0
+    if not (-180.0 <= lon <= 180.0 and -90.0 <= lat <= 90.0):
+        raise G.GeomError("ST_GeoHash requires EPSG:4326 lon/lat input")
+    lo_x, hi_x, lo_y, hi_y = -180.0, 180.0, -90.0, 90.0
+    out, bits, ch, even = [], 0, 0, True
+    while len(out) < precision:
+        if even:
+            mid = (lo_x + hi_x) / 2
+            if lon >= mid:
+                ch = (ch << 1) | 1
+                lo_x = mid
+            else:
+                ch <<= 1
+                hi_x = mid
+        else:
+            mid = (lo_y + hi_y) / 2
+            if lat >= mid:
+                ch = (ch << 1) | 1
+                lo_y = mid
+            else:
+                ch <<= 1
+                hi_y = mid
+        even = not even
+        bits += 1
+        if bits == 5:
+            out.append(_GEOHASH32[ch])
+            bits, ch = 0, 0
+    return "".join(out)
 
 def _centroid(s: str | None) -> str | None:
     """Area-weighted centroid over all polygons (holes subtract), returned
@@ -662,6 +1003,98 @@ def st_clipped_area(subject: pd.Series, clip: pd.Series) -> pd.Series:
         out.append(G.area(G.parse_wkt(w)))
     return pd.Series(out, index=subject.index, dtype="float64")
 
+def _binary_bool(fn, a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series([fn(x, y) for x, y in zip(a, b)],
+                     index=a.index, dtype="object")
+
+@pandas_udf(BooleanType())
+def st_intersects(a: pd.Series, b: pd.Series) -> pd.Series:
+    return _binary_bool(_intersects, a, b)
+
+@pandas_udf(BooleanType())
+def st_disjoint(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series([None if (v := _intersects(x, y)) is None else not v
+                      for x, y in zip(a, b)], index=a.index, dtype="object")
+
+@pandas_udf(BooleanType())
+def st_touches(a: pd.Series, b: pd.Series) -> pd.Series:
+    return _binary_bool(_touches, a, b)
+
+@pandas_udf(BooleanType())
+def st_crosses(a: pd.Series, b: pd.Series) -> pd.Series:
+    return _binary_bool(_crosses, a, b)
+
+@pandas_udf(BooleanType())
+def st_overlaps(a: pd.Series, b: pd.Series) -> pd.Series:
+    return _binary_bool(_overlaps, a, b)
+
+@pandas_udf(BooleanType())
+def st_equals(a: pd.Series, b: pd.Series) -> pd.Series:
+    return _binary_bool(_equals, a, b)
+
+@pandas_udf(LongType())
+def st_numgeometries(s: pd.Series) -> pd.Series:
+    return s.map(_num_geometries, na_action="ignore").astype("Int64")
+
+@pandas_udf(StringType())
+def st_geometryn(s: pd.Series, n: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if g is None or pd.isna(i) else _geometry_n(g, int(i))
+         for g, i in zip(s, n)], index=s.index)
+
+@pandas_udf(StringType())
+def st_pointn(s: pd.Series, n: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if g is None or pd.isna(i) else _point_n(g, int(i))
+         for g, i in zip(s, n)], index=s.index)
+
+@pandas_udf(StringType())
+def st_startpoint(s: pd.Series) -> pd.Series:
+    return s.map(lambda g: _terminal_point(g, False), na_action="ignore")
+
+@pandas_udf(StringType())
+def st_endpoint(s: pd.Series) -> pd.Series:
+    return s.map(lambda g: _terminal_point(g, True), na_action="ignore")
+
+@pandas_udf(StringType())
+def st_exteriorring(s: pd.Series) -> pd.Series:
+    return s.map(_exterior_ring, na_action="ignore")
+
+@pandas_udf(StringType())
+def st_boundary(s: pd.Series) -> pd.Series:
+    return s.map(_boundary, na_action="ignore")
+
+@pandas_udf(BooleanType())
+def st_isvalid(s: pd.Series) -> pd.Series:
+    return s.map(_is_valid, na_action="ignore").astype("object")
+
+@pandas_udf(StringType())
+def st_flipcoordinates(s: pd.Series) -> pd.Series:
+    return s.map(_flip_coordinates, na_action="ignore")
+
+@pandas_udf(StringType())
+def st_point(x: pd.Series, y: pd.Series) -> pd.Series:
+    """ST_Point / ST_MakePoint: POINT WKT from coordinate doubles through
+    the kernel's canonical formatter."""
+    return pd.Series(
+        [None if pd.isna(a) or pd.isna(b)
+         else f"POINT ({G._fmt(float(a))} {G._fmt(float(b))})"
+         for a, b in zip(x, y)], index=x.index)
+
+@pandas_udf(StringType())
+def st_asgeojson(s: pd.Series) -> pd.Series:
+    return s.map(_as_geojson, na_action="ignore")
+
+@pandas_udf(StringType())
+def st_geomfromgeojson(s: pd.Series) -> pd.Series:
+    return s.map(_geom_from_geojson, na_action="ignore")
+
+@pandas_udf(StringType())
+def st_geohash(s: pd.Series, p: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if g is None or pd.isna(k) else _geohash(g, int(k))
+         for g, k in zip(s, p)], index=s.index)
+
 _REGISTRY = {
     "ST_GeomFromWKT": st_geomfromwkt,
     "ST_AsText": st_astext,
@@ -688,6 +1121,26 @@ _REGISTRY = {
     "ST_Y": st_y,
     "ST_AsBinary": st_asbinary,
     "ST_GeomFromWKB": st_geomfromwkb,
+    "ST_Intersects": st_intersects,
+    "ST_Disjoint": st_disjoint,
+    "ST_Touches": st_touches,
+    "ST_Crosses": st_crosses,
+    "ST_Overlaps": st_overlaps,
+    "ST_Equals": st_equals,
+    "ST_NumGeometries": st_numgeometries,
+    "ST_GeometryN": st_geometryn,
+    "ST_PointN": st_pointn,
+    "ST_StartPoint": st_startpoint,
+    "ST_EndPoint": st_endpoint,
+    "ST_ExteriorRing": st_exteriorring,
+    "ST_Boundary": st_boundary,
+    "ST_IsValid": st_isvalid,
+    "ST_FlipCoordinates": st_flipcoordinates,
+    "ST_Point": st_point,
+    "ST_MakePoint": st_point,
+    "ST_AsGeoJSON": st_asgeojson,
+    "ST_GeomFromGeoJSON": st_geomfromgeojson,
+    "ST_GeoHash": st_geohash,
 }
 
 def register_spatial_functions(spark: SparkSession) -> None:

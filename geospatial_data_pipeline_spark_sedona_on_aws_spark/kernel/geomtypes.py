@@ -556,6 +556,133 @@ def distance(ta, tb) -> float | None:
     return math.sqrt(best)
 
 
+def point_on_boundary(px: float, py: float, geom: list) -> bool:
+    """Point lies exactly on some ring segment of the polygon kernel's
+    representation."""
+    for poly in geom:
+        for ring in poly:
+            n = len(ring)
+            for i in range(n):
+                if _seg_pt_dist2(px, py, *ring[i], *ring[(i + 1) % n]) == 0.0:
+                    return True
+    return False
+
+
+def strictly_inside(px: float, py: float, geom: list) -> bool:
+    """Point in the polygon INTERIOR (boundary excluded) — the strict
+    companion of point_in_polygon's covers convention."""
+    return (not point_on_boundary(px, py, geom)
+            and point_in_polygon(px, py, geom))
+
+
+def path_terminals(tg) -> set:
+    """Boundary of a lineal geometry per SQL/MM: the terminal endpoints of
+    each open path (a linestring's interior is everything else, including
+    non-terminal vertices)."""
+    _, data = tg
+    return {p for path in data for p in (path[0], path[-1])}
+
+
+def _collinear_overlap_len(a, b) -> float:
+    """Length of the shared collinear stretch of two segments (0.0 when
+    they are not collinear or only touch at a point). Exact for
+    integer-coordinate fixtures: the cross products are exact in doubles."""
+    (ax1, ay1, ax2, ay2), (bx1, by1, bx2, by2) = a, b
+    dx, dy = ax2 - ax1, ay2 - ay1
+    c1 = dx * (by1 - ay1) - dy * (bx1 - ax1)
+    c2 = dx * (by2 - ay1) - dy * (bx2 - ax1)
+    if c1 != 0.0 or c2 != 0.0:
+        return 0.0
+    ln2 = dx * dx + dy * dy
+    if ln2 == 0.0:
+        return 0.0
+    # project b's endpoints onto a's parameter line
+    t1 = ((bx1 - ax1) * dx + (by1 - ay1) * dy) / ln2
+    t2 = ((bx2 - ax1) * dx + (by2 - ay1) * dy) / ln2
+    lo, hi = max(0.0, min(t1, t2)), min(1.0, max(t1, t2))
+    return max(0.0, hi - lo) * math.sqrt(ln2)
+
+
+def _crossing_point(a, b) -> tuple[float, float] | None:
+    """The proper-crossing point of two non-parallel segments (None when
+    they do not meet)."""
+    (ax1, ay1, ax2, ay2), (bx1, by1, bx2, by2) = a, b
+    d1x, d1y = ax2 - ax1, ay2 - ay1
+    d2x, d2y = bx2 - bx1, by2 - by1
+    den = d1x * d2y - d1y * d2x
+    if den == 0:
+        return None
+    t = ((bx1 - ax1) * d2y - (by1 - ay1) * d2x) / den
+    u = ((bx1 - ax1) * d1y - (by1 - ay1) * d1x) / den
+    if 0.0 <= t <= 1.0 and 0.0 <= u <= 1.0:
+        return (ax1 + t * d1x, ay1 + t * d1y)
+    return None
+
+
+def lineal_shared_length(ta, tb) -> float:
+    """Total positive-length collinear overlap between two lineal
+    geometries (the dim-1 part of their intersection)."""
+    return sum(_collinear_overlap_len(s1, s2)
+               for s1 in segments_of(ta) for s2 in segments_of(tb))
+
+
+def interiors_intersect(ta, tb) -> bool:
+    """Int(ta) ∩ Int(tb) nonempty for every type pair EXCEPT areal×areal
+    (that case belongs to the boolean kernel's intersection_area — callers
+    in functions/spatial dispatch it there). SQL/MM interiors: a point's
+    interior is the point; a linestring's interior excludes its terminal
+    endpoints; a polygon's interior excludes its boundary rings.
+
+    Contract notes (documented engine boundaries): lineal×areal requires
+    convex hole-free polygons (same boundary as intersection_typed);
+    a multilinestring whose paths self-intersect may under-report a
+    terminal-on-other-path interior contact."""
+    if dimension(ta) > dimension(tb):
+        ta, tb = tb, ta
+    ka, _ = ta
+    kb, db = tb
+    if ka in _AREAL:
+        raise GeomError("areal×areal interiors live in kernel/boolean.py")
+    if ka in _PUNTAL:
+        pts = points_of(ta)
+        if kb in _PUNTAL:
+            return bool(set(pts) & set(points_of(tb)))
+        if kb in _LINEAL:
+            terms = path_terminals(tb)
+            segs = segments_of(tb)
+            return any(p not in terms
+                       and any(_seg_pt_dist2(*p, *s) == 0.0 for s in segs)
+                       for p in pts)
+        return any(strictly_inside(x, y, db) for x, y in pts)
+    if kb in _LINEAL:
+        # dim-1 shared stretch is interior on both sides
+        if lineal_shared_length(ta, tb) > 0.0:
+            return True
+        terms = path_terminals(ta) | path_terminals(tb)
+        for s1 in segments_of(ta):
+            for s2 in segments_of(tb):
+                c = _crossing_point(s1, s2)
+                if c is not None and c not in terms:
+                    return True
+        return False
+    # lineal × areal: clip to the (convex) polygon, then test piece
+    # midpoints for strict interiority — a piece running along the
+    # boundary has its midpoint ON the boundary and correctly fails
+    _, da = ta
+    for poly in db:
+        if len(poly) != 1 or not G._is_convex(poly[0]):
+            raise GeomError(
+                "lineal×areal interiors support convex hole-free "
+                "polygons (general kernel required)")
+        for path in da:
+            for piece in clip_path_convex(path, poly[0]):
+                for p, q in zip(piece, piece[1:]):
+                    mx, my = (p[0] + q[0]) / 2.0, (p[1] + q[1]) / 2.0
+                    if strictly_inside(mx, my, db):
+                        return True
+    return False
+
+
 def contains(ta, tb) -> bool:
     """ta covers tb for the non-(areal x areal) type pairs (the areal x
     areal case stays with the area-based test in functions/spatial).

@@ -1350,3 +1350,346 @@ FULL OUTER JOIN v2 b
 # evaluated at module tail: _crop_analytics_utm_oracle needs _tm_corner_sql,
 # which is defined further down the module than the generator family
 CROP_ANALYTICS_UTM_ORACLE = _crop_analytics_utm_oracle()
+
+
+# ------------------------------------------------- r6: DE-9IM predicate suite
+
+def _orders_line_base(spark: SparkSession, sf_dir: str,
+                      modulus: int | None = None) -> DataFrame:
+    """Shared orders-derived point/segment fixture (same integers as
+    st_point_line_ops); modulus keeps the heavy predicate suites to a
+    deterministic sample — the filter is pushed to the parquet scan."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    if modulus:
+        o = o.where(f"o_orderkey % {modulus} = 0")
+    base = o.selectExpr(
+        "o_orderkey AS point_id",
+        "o_custkey % 100 AS px",
+        "(o_orderkey * 7) % 100 AS py",
+        "1 + o_orderkey % 5 AS dx",
+        "1 + o_custkey % 7 AS dy",
+        f"o_custkey % {fixtures.N_REGIONS} AS region_id",
+    )
+    regions = fixtures.geographic_regions(spark, sf_dir)
+    return base.join(F.broadcast(regions),
+                     base["region_id"] == regions["id"], "inner")
+
+
+def st_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DE-9IM predicate family on areal pairs — ST_Intersects /
+    ST_Disjoint / ST_Touches / ST_Overlaps / ST_Equals / ST_Crosses over
+    the land-parcel × region rectangles (Sedona exposes the same family;
+    the reference's Sedona runtime carries them even though its own job
+    only calls the constructive functions — spark_job/process_geodata.py).
+    Every predicate has an interval closed form on axis-aligned rects:
+    closed-interval overlap = intersects, boundary-only contact = touches,
+    strict partial interior overlap = overlaps; areal×areal crosses is
+    false by definition and pinned as such. ST_Equals gets a half-true
+    column via a parity-shifted copy of the parcel."""
+    from ..functions.spatial import register_spatial_functions
+
+    register_spatial_functions(spark)
+    lu = fixtures.land_use_areas(spark, sf_dir).where("property_id % 5 = 0")
+    regions = fixtures.geographic_regions(spark, sf_dir)
+    j = lu.join(F.broadcast(regions), lu["region_id"] == regions["id"],
+                "inner")
+    shifted = fixtures.rect_wkt_sql(
+        "x1 + property_id % 2", "y1", "x2 + property_id % 2", "y2")
+    return j.selectExpr(
+        "property_id",
+        "ST_Intersects(land_geometry, region_geometry) AS intersects_rr",
+        "ST_Disjoint(land_geometry, region_geometry) AS disjoint_rr",
+        "ST_Touches(land_geometry, region_geometry) AS touches_rr",
+        "ST_Overlaps(land_geometry, region_geometry) AS overlaps_rr",
+        f"ST_Equals(land_geometry, {shifted}) AS equals_shift",
+        "ST_Crosses(land_geometry, region_geometry) AS crosses_rr",
+    )
+
+
+ST_PREDICATES_ORACLE = f"""
+WITH {fixtures.LAND_USE_CTE.strip()},
+{fixtures.REGIONS_CTE.strip()},
+j AS (
+    SELECT lu.property_id, lu.x1, lu.y1, lu.x2, lu.y2,
+           r.gx1, r.gy1, r.gx2, r.gy2,
+           (lu.x1 <= r.gx2 AND r.gx1 <= lu.x2 AND
+            lu.y1 <= r.gy2 AND r.gy1 <= lu.y2) AS inter,
+           (lu.x1 < r.gx2 AND r.gx1 < lu.x2 AND
+            lu.y1 < r.gy2 AND r.gy1 < lu.y2) AS strict_inter
+    FROM land_use lu JOIN regions r ON lu.region_id = r.id
+    WHERE lu.property_id % 5 = 0
+)
+SELECT property_id,
+       inter AS intersects_rr,
+       NOT inter AS disjoint_rr,
+       (inter AND NOT strict_inter) AS touches_rr,
+       (strict_inter
+        AND NOT (gx1 <= x1 AND x2 <= gx2 AND gy1 <= y1 AND y2 <= gy2)
+        AND NOT (x1 <= gx1 AND gx2 <= x2 AND y1 <= gy1 AND gy2 <= y2))
+           AS overlaps_rr,
+       (property_id % 2 = 0) AS equals_shift,
+       FALSE AS crosses_rr
+FROM j
+"""
+
+
+def st_line_relate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Intersects / ST_Touches / ST_Crosses / ST_Within for the
+    lineal×areal pair: an always-positive-slope segment against its region
+    rectangle. The oracle recomputes the Liang–Barsky window [t0, t1] —
+    intersects ⟺ window nonempty, touches ⟺ the window degenerates to a
+    point, crosses ⟺ a positive window clipped on either end, within ⟺
+    the untouched [0, 1] window. All quotients are rationals of small
+    integers (denominator ≤ 7), so double rounding can never flip a
+    comparison."""
+    from ..functions.spatial import register_spatial_functions
+
+    register_spatial_functions(spark)
+    j = _orders_line_base(spark, sf_dir, modulus=5)
+    line = ("concat('LINESTRING (', px, ' ', py, ', ', px + dx, ' ', "
+            "py + dy, ')')")
+    return j.selectExpr(
+        "point_id",
+        f"ST_Intersects({line}, region_geometry) AS intersects_l",
+        f"ST_Touches({line}, region_geometry) AS touches_l",
+        f"ST_Crosses({line}, region_geometry) AS crosses_l",
+        f"ST_Within({line}, region_geometry) AS within_l",
+    )
+
+
+ST_LINE_RELATE_ORACLE = f"""
+WITH {fixtures.REGIONS_CTE.strip()},
+base AS (
+    SELECT o_orderkey AS point_id,
+           o_custkey % 100            AS px,
+           (o_orderkey * 7) % 100     AS py,
+           1 + o_orderkey % 5         AS dx,
+           1 + o_custkey % 7          AS dy,
+           o_custkey % {fixtures.N_REGIONS} AS region_id
+    FROM orders
+    WHERE o_orderkey % 5 = 0
+),
+w AS (
+    SELECT b.point_id,
+           greatest(0,
+                    (r.gx1 - b.px) / CAST(b.dx AS DOUBLE),
+                    (r.gy1 - b.py) / CAST(b.dy AS DOUBLE)) AS t0,
+           least(1,
+                 (r.gx2 - b.px) / CAST(b.dx AS DOUBLE),
+                 (r.gy2 - b.py) / CAST(b.dy AS DOUBLE)) AS t1
+    FROM base b JOIN regions r ON b.region_id = r.id
+)
+SELECT point_id,
+       t0 <= t1 AS intersects_l,
+       t0 = t1 AS touches_l,
+       (t0 < t1 AND (t0 > 0 OR t1 < 1)) AS crosses_l,
+       (t0 = 0 AND t1 = 1) AS within_l
+FROM w
+"""
+
+
+def st_accessors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The accessor/constructor surface — ST_NumGeometries / ST_GeometryN /
+    ST_PointN / ST_StartPoint / ST_EndPoint / ST_ExteriorRing /
+    ST_Boundary / ST_FlipCoordinates / ST_Point / ST_IsValid — each with a
+    string closed form the oracle rebuilds from the same integers
+    (ST_IsValid additionally gets a deliberately self-crossing bowtie on
+    every third row)."""
+    from ..functions.spatial import register_spatial_functions
+
+    register_spatial_functions(spark)
+    j = _orders_line_base(spark, sf_dir, modulus=5)
+    mline = ("concat('MULTILINESTRING ((', px, ' ', py, ', ', px + dx, ' ',"
+             " py + dy, '), (', px, ' ', py + dy, ', ', px + dx, ' ', py,"
+             " '))')")
+    line = ("concat('LINESTRING (', px, ' ', py, ', ', px + dx, ' ',"
+            " py + dy, ', ', px + dx, ' ', py + dy + 3, ')')")
+    bowtie = ("concat('POLYGON ((', px, ' ', py, ', ', px + 2, ' ', py + 2,"
+              " ', ', px + 2, ' ', py, ', ', px, ' ', py + 2, ', ', px, ' ',"
+              " py, '))')")
+    return j.selectExpr(
+        "point_id",
+        f"ST_NumGeometries({mline}) AS n_geoms",
+        "ST_NumGeometries(region_geometry) AS n_geoms_poly",
+        f"ST_GeometryN({mline}, 1) AS second_member",
+        f"ST_PointN({line}, 2) AS mid_vertex",
+        f"ST_PointN({line}, -1) AS last_vertex",
+        f"ST_StartPoint({line}) AS start_pt",
+        f"ST_EndPoint({line}) AS end_pt",
+        "ST_ExteriorRing(region_geometry) AS ext_ring",
+        "ST_AsText(ST_Boundary(region_geometry)) AS poly_boundary",
+        f"ST_Boundary({line}) AS line_boundary",
+        "ST_FlipCoordinates(concat('POINT (', px, ' ', py, ')')) AS flipped",
+        "ST_Point(CAST(px AS DOUBLE), CAST(py AS DOUBLE)) AS constructed",
+        f"CASE WHEN point_id % 3 = 0 THEN ST_IsValid({bowtie})"
+        " ELSE ST_IsValid(region_geometry) END AS valid",
+    )
+
+
+ST_ACCESSORS_ORACLE = f"""
+WITH {fixtures.REGIONS_CTE.strip()},
+base AS (
+    SELECT o_orderkey AS point_id,
+           o_custkey % 100            AS px,
+           (o_orderkey * 7) % 100     AS py,
+           1 + o_orderkey % 5         AS dx,
+           1 + o_custkey % 7          AS dy,
+           o_custkey % {fixtures.N_REGIONS} AS region_id
+    FROM orders
+    WHERE o_orderkey % 5 = 0
+)
+SELECT b.point_id,
+       CAST(2 AS BIGINT) AS n_geoms,
+       CAST(1 AS BIGINT) AS n_geoms_poly,
+       concat('LINESTRING (', px, ' ', py + dy, ', ', px + dx, ' ', py, ')')
+           AS second_member,
+       concat('POINT (', px + dx, ' ', py + dy, ')') AS mid_vertex,
+       concat('POINT (', px + dx, ' ', py + dy + 3, ')') AS last_vertex,
+       concat('POINT (', px, ' ', py, ')') AS start_pt,
+       concat('POINT (', px + dx, ' ', py + dy + 3, ')') AS end_pt,
+       concat('LINESTRING (', r.gx1, ' ', r.gy1, ', ', r.gx2, ' ', r.gy1,
+              ', ', r.gx2, ' ', r.gy2, ', ', r.gx1, ' ', r.gy2, ', ',
+              r.gx1, ' ', r.gy1, ')') AS ext_ring,
+       concat('LINESTRING (', r.gx1, ' ', r.gy1, ', ', r.gx2, ' ', r.gy1,
+              ', ', r.gx2, ' ', r.gy2, ', ', r.gx1, ' ', r.gy2, ', ',
+              r.gx1, ' ', r.gy1, ')') AS poly_boundary,
+       concat('MULTIPOINT (', px, ' ', py, ', ', px + dx, ' ', py + dy + 3,
+              ')') AS line_boundary,
+       concat('POINT (', py, ' ', px, ')') AS flipped,
+       concat('POINT (', px, ' ', py, ')') AS constructed,
+       (b.point_id % 3 <> 0) AS valid
+FROM base b JOIN regions r ON b.region_id = r.id
+"""
+
+
+def st_geojson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoJSON interchange (RFC 7946) for every carried geometry type:
+    ST_AsText(ST_GeomFromGeoJSON(ST_AsGeoJSON(g))) must reproduce the
+    canonical WKT, and the raw JSON text of the point and region polygon
+    is value-checked against a concat-built literal (canonical writer:
+    (type, coordinates) key order, no whitespace, shortest-repr numbers,
+    closed polygon rings)."""
+    from ..functions.spatial import register_spatial_functions
+
+    register_spatial_functions(spark)
+    j = _orders_line_base(spark, sf_dir)
+
+    def rt(expr: str) -> str:
+        return f"ST_AsText(ST_GeomFromGeoJSON(ST_AsGeoJSON({expr})))"
+
+    return j.selectExpr(
+        "point_id",
+        "ST_AsGeoJSON(concat('POINT (', px, ' ', py, ')')) AS gj_pt",
+        "ST_AsGeoJSON(region_geometry) AS gj_poly",
+        rt("concat('POINT (', px, ' ', py, ')')") + " AS pt_rt",
+        rt("concat('MULTIPOINT (', px, ' ', py, ', ', px + dx, ' ',"
+           " py + dy, ')')") + " AS mpt_rt",
+        rt("concat('LINESTRING (', px, ' ', py, ', ', px + dx, ' ',"
+           " py + dy, ')')") + " AS line_rt",
+        rt("concat('MULTILINESTRING ((', px, ' ', py, ', ', px + dx, ' ',"
+           " py + dy, '), (', px, ' ', py + dy, ', ', px + dx, ' ', py,"
+           " '))')") + " AS mline_rt",
+        rt("region_geometry") + " AS poly_rt",
+    )
+
+
+ST_GEOJSON_ROUNDTRIP_ORACLE = f"""
+WITH {fixtures.REGIONS_CTE.strip()},
+base AS (
+    SELECT o_orderkey AS point_id,
+           o_custkey % 100            AS px,
+           (o_orderkey * 7) % 100     AS py,
+           1 + o_orderkey % 5         AS dx,
+           1 + o_custkey % 7          AS dy,
+           o_custkey % {fixtures.N_REGIONS} AS region_id
+    FROM orders
+)
+SELECT b.point_id,
+       concat('{{"type":"Point","coordinates":[', px, ',', py, ']}}')
+           AS gj_pt,
+       concat('{{"type":"Polygon","coordinates":[[[', r.gx1, ',', r.gy1,
+              '],[', r.gx2, ',', r.gy1, '],[', r.gx2, ',', r.gy2, '],[',
+              r.gx1, ',', r.gy2, '],[', r.gx1, ',', r.gy1, ']]]}}')
+           AS gj_poly,
+       concat('POINT (', px, ' ', py, ')') AS pt_rt,
+       concat('MULTIPOINT (', px, ' ', py, ', ', px + dx, ' ', py + dy,
+              ')') AS mpt_rt,
+       concat('LINESTRING (', px, ' ', py, ', ', px + dx, ' ', py + dy,
+              ')') AS line_rt,
+       concat('MULTILINESTRING ((', px, ' ', py, ', ', px + dx, ' ',
+              py + dy, '), (', px, ' ', py + dy, ', ', px + dx, ' ', py,
+              '))') AS mline_rt,
+       concat('POLYGON ((', r.gx1, ' ', r.gy1, ', ', r.gx2, ' ', r.gy1,
+              ', ', r.gx2, ' ', r.gy2, ', ', r.gx1, ' ', r.gy2, ', ',
+              r.gx1, ' ', r.gy1, '))') AS poly_rt
+FROM base b JOIN regions r ON b.region_id = r.id
+"""
+
+
+def _geohash_interleave_sql(lonq: str, latq: str) -> str:
+    """Integer-exact geohash-4 (20 bits): interleave the top 10 bits of
+    the quantized lon/lat and emit 4 base-32 characters. Generated as a
+    flat arithmetic expression so DuckDB evaluates it without UDFs."""
+    terms = []
+    li, ti = 9, 9
+    for i in range(20):
+        pos = 19 - i
+        if i % 2 == 0:
+            terms.append(f"(({lonq} >> {li}) & 1) * {1 << pos}")
+            li -= 1
+        else:
+            terms.append(f"(({latq} >> {ti}) & 1) * {1 << pos}")
+            ti -= 1
+    n = "(" + " + ".join(terms) + ")"
+    alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+    chars = [f"substr('{alphabet}', CAST(({n} >> {5 * (3 - k)}) & 31 AS "
+             f"INTEGER) + 1, 1)" for k in range(4)]
+    return "concat(" + ", ".join(chars) + ")"
+
+
+def st_geohash_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash spatial bucketing: ST_GeoHash at precision 4 over
+    orders-derived EPSG:4326 points, then a bucket aggregation — the
+    standard scale pattern for point-density rollups (the geohash IS the
+    shuffle key; at 100 TB the same plan holds with the hash computed
+    map-side and one exchange on the 4-char bucket). The oracle recomputes
+    the hash with integer bit-interleaving — exactly the bisection's
+    quantization, verified over the full fixture lattice."""
+    from ..functions.spatial import register_spatial_functions
+
+    register_spatial_functions(spark)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    pts = o.selectExpr(
+        "o_orderkey AS point_id",
+        "(o_custkey % 100) * 3 - 150 AS lon",
+        "(o_orderkey * 7) % 100 - 50 AS lat",
+    )
+    hashed = pts.selectExpr(
+        "point_id",
+        "ST_GeoHash(concat('POINT (', lon, ' ', lat, ')'), 4) AS gh4",
+    )
+    return (hashed.groupBy("gh4")
+            .agg(F.count("*").alias("n_points"),
+                 F.min("point_id").alias("min_point_id")))
+
+
+ST_GEOHASH_AGG_ORACLE = f"""
+WITH pts AS (
+    SELECT o_orderkey AS point_id,
+           (o_custkey % 100) * 3 - 150   AS lon,
+           (o_orderkey * 7) % 100 - 50   AS lat
+    FROM orders
+),
+q AS (
+    SELECT point_id,
+           ((lon + 180) * 1024) // 360 AS lonq,
+           ((lat + 90) * 1024) // 180  AS latq
+    FROM pts
+),
+h AS (
+    SELECT point_id, {_geohash_interleave_sql('lonq', 'latq')} AS gh4
+    FROM q
+)
+SELECT gh4, count(*) AS n_points, min(point_id) AS min_point_id
+FROM h GROUP BY gh4
+"""

@@ -891,3 +891,279 @@ def test_wkb_edge_cases():
         GT.parse_wkb(GT.to_wkb(("POINT", [(1.0, 2.0)])) + b"\x00")
     with _pt.raises(G.GeomError):
         GT.parse_wkb(b"\x01\x63\x00\x00\x00")  # unknown geometry code
+
+
+# -------------------------------------------------- r6: DE-9IM predicates
+
+def test_predicates_known_shapes():
+    """The canonical relate matrix on hand-built shapes — every predicate
+    pair the st_predicates / st_line_relate oracles exercise, plus the
+    line×line cases those rect fixtures cannot produce."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions.spatial import (
+        _crosses, _equals, _intersects, _overlaps, _touches)
+
+    R = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+    edge = "POLYGON ((10 0, 20 0, 20 10, 10 10, 10 0))"
+    corner = "POLYGON ((10 10, 20 10, 20 20, 10 20, 10 10))"
+    partial = "POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))"
+    inside = "POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))"
+    far = "POLYGON ((100 100, 110 100, 110 110, 100 110, 100 100))"
+
+    assert _intersects(R, edge) and _intersects(R, corner)
+    assert not _intersects(R, far)
+    assert _touches(R, edge) and _touches(R, corner)
+    assert not _touches(R, partial) and not _touches(R, inside)
+    assert _overlaps(R, partial)
+    assert not _overlaps(R, inside) and not _overlaps(R, edge)
+    assert _equals(R, R) and not _equals(R, partial)
+    assert not _crosses(R, partial)  # areal×areal: false by definition
+
+    # lineal × areal
+    through = "LINESTRING (-5 5, 15 5)"
+    within_l = "LINESTRING (1 1, 9 9)"
+    touch_l = "LINESTRING (10 5, 15 5)"
+    assert _crosses(through, R) and _crosses(R, through)
+    assert not _crosses(within_l, R)
+    assert _touches(touch_l, R) and not _touches(within_l, R)
+
+    # puntal
+    assert _touches("POINT (10 5)", R)
+    assert not _touches("POINT (5 5)", R)
+    assert _crosses("MULTIPOINT (5 5, 50 50)", R)
+    assert not _crosses("MULTIPOINT (5 5, 6 6)", R)  # all inside: within
+    assert _overlaps("MULTIPOINT (1 1, 2 2)", "MULTIPOINT (2 2, 3 3)")
+    assert not _overlaps("MULTIPOINT (1 1)", "MULTIPOINT (1 1, 2 2)")
+
+    # lineal × lineal
+    X1, X2 = "LINESTRING (0 0, 10 10)", "LINESTRING (0 10, 10 0)"
+    assert _crosses(X1, X2) and not _overlaps(X1, X2)
+    shared = "LINESTRING (5 5, 15 15)"
+    assert _overlaps(X1, shared) and not _crosses(X1, shared)
+    meet = "LINESTRING (10 10, 20 10)"  # endpoint-to-endpoint
+    assert _touches(X1, meet) and not _crosses(X1, meet)
+    sub = "LINESTRING (2 2, 8 8)"
+    assert not _overlaps(X1, sub) and _equals(X1, X1)
+
+
+@given(
+    x1=st.integers(0, 30), y1=st.integers(0, 30),
+    w1=st.integers(1, 10), h1=st.integers(1, 10),
+    x2=st.integers(0, 30), y2=st.integers(0, 30),
+    w2=st.integers(1, 10), h2=st.integers(1, 10),
+)
+@settings(max_examples=120, deadline=None)
+def test_prop_rect_predicates_interval_law(x1, y1, w1, h1, x2, y2, w2, h2):
+    """On axis-aligned rects every DE-9IM predicate reduces to interval
+    arithmetic — the exact closed form ST_PREDICATES_ORACLE uses."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions.spatial import (
+        _equals, _intersects, _overlaps, _touches)
+
+    def rect(x, y, w, h):
+        return (f"POLYGON (({x} {y}, {x+w} {y}, {x+w} {y+h}, "
+                f"{x} {y+h}, {x} {y}))")
+
+    a, b = rect(x1, y1, w1, h1), rect(x2, y2, w2, h2)
+    inter = (x1 <= x2 + w2 and x2 <= x1 + w1
+             and y1 <= y2 + h2 and y2 <= y1 + h1)
+    strict = (x1 < x2 + w2 and x2 < x1 + w1
+              and y1 < y2 + h2 and y2 < y1 + h1)
+    a_in_b = (x2 <= x1 and x1 + w1 <= x2 + w2
+              and y2 <= y1 and y1 + h1 <= y2 + h2)
+    b_in_a = (x1 <= x2 and x2 + w2 <= x1 + w1
+              and y1 <= y2 and y2 + h2 <= y1 + h1)
+    assert _intersects(a, b) == inter
+    assert _touches(a, b) == (inter and not strict)
+    assert _overlaps(a, b) == (strict and not a_in_b and not b_in_a)
+    assert _equals(a, b) == (
+        x1 == x2 and y1 == y2 and w1 == w2 and h1 == h2)
+
+
+@given(px=st.integers(0, 99), py=st.integers(0, 99),
+       dx=st.integers(1, 5), dy=st.integers(1, 7),
+       rid=st.integers(0, 49))
+@settings(max_examples=100, deadline=None)
+def test_prop_line_relate_matches_lb_window(px, py, dx, dy, rid):
+    """Positive-slope segment vs region rect: the kernel's predicate stack
+    must agree with the Liang–Barsky t-window closed form of
+    ST_LINE_RELATE_ORACLE on the whole fixture lattice."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions.spatial import (
+        _contains, _crosses, _intersects, _touches)
+
+    gx1, gy1 = rid % 10 * 12, rid // 10 * 12
+    gx2, gy2 = gx1 + 15, gy1 + 15
+    line = f"LINESTRING ({px} {py}, {px+dx} {py+dy})"
+    rect = (f"POLYGON (({gx1} {gy1}, {gx2} {gy1}, {gx2} {gy2}, "
+            f"{gx1} {gy2}, {gx1} {gy1}))")
+    t0 = max(0.0, (gx1 - px) / dx, (gy1 - py) / dy)
+    t1 = min(1.0, (gx2 - px) / dx, (gy2 - py) / dy)
+    assert _intersects(line, rect) == (t0 <= t1)
+    assert _touches(line, rect) == (t0 == t1)
+    assert _crosses(line, rect) == (t0 < t1 and (t0 > 0 or t1 < 1))
+    assert _contains(rect, line) == (t0 == 0.0 and t1 == 1.0)
+
+
+# ------------------------------------------------ r6: accessors / boundary
+
+def test_accessors_known_values():
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions.spatial import (
+        _boundary, _exterior_ring, _flip_coordinates, _geometry_n,
+        _is_valid, _num_geometries, _point_n, _terminal_point)
+
+    R = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+    L = "LINESTRING (0 0, 5 5, 10 0)"
+    ML = "MULTILINESTRING ((0 0, 1 1), (1 1, 2 0))"
+
+    assert _num_geometries(R) == 1
+    assert _num_geometries(ML) == 2
+    assert _num_geometries("MULTIPOINT (1 2, 3 4, 5 6)") == 3
+    assert _geometry_n(ML, 1) == "LINESTRING (1 1, 2 0)"
+    assert _geometry_n(ML, 2) is None
+    assert _geometry_n(R, 0) == R
+    assert _point_n(L, 1) == "POINT (0 0)"
+    assert _point_n(L, -1) == "POINT (10 0)"
+    assert _point_n(L, 4) is None
+    assert _point_n(R, 1) is None  # PostGIS: NULL for non-linestring
+    assert _terminal_point(L, False) == "POINT (0 0)"
+    assert _terminal_point(L, True) == "POINT (10 0)"
+    assert (_exterior_ring(R)
+            == "LINESTRING (0 0, 10 0, 10 10, 0 10, 0 0)")
+    # boundary: polygon → closed ring(s); open line → mod-2 endpoints
+    assert _boundary(R) == "LINESTRING (0 0, 10 0, 10 10, 0 10, 0 0)"
+    # ML's paths share (1,1): it appears twice → mod-2 removes it
+    assert _boundary(ML) == "MULTIPOINT (0 0, 2 0)"
+    assert _boundary(L) == "MULTIPOINT (0 0, 10 0)"
+    assert _boundary("POINT (3 4)") == "POINT EMPTY"
+    hole = ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+            "(2 2, 2 4, 4 4, 4 2, 2 2))")
+    assert _boundary(hole) == ("MULTILINESTRING ((0 0, 10 0, 10 10, 0 10, "
+                               "0 0), (2 2, 2 4, 4 4, 4 2, 2 2))")
+    assert _is_valid(R) is True
+    assert _is_valid("POLYGON ((0 0, 10 10, 10 0, 0 10, 0 0))") is False
+    assert _is_valid("LINESTRING (0 0, 1 1)") is True
+    assert _flip_coordinates("POINT (1 2)") == "POINT (2 1)"
+    assert (_flip_coordinates(R)
+            == "POLYGON ((0 0, 0 10, 10 10, 10 0, 0 0))")
+    assert (_flip_coordinates("LINESTRING (1 2, 3 4)")
+            == "LINESTRING (2 1, 4 3)")
+
+
+# --------------------------------------------------- r6: GeoJSON / geohash
+
+@given(pts=st.lists(st.tuples(st.integers(-100, 100),
+                              st.integers(-100, 100)),
+                    min_size=1, max_size=6, unique=True),
+       kind=st.sampled_from(["POINT", "MULTIPOINT", "LINESTRING",
+                             "MULTILINESTRING"]))
+@settings(max_examples=80, deadline=None)
+def test_prop_geojson_round_trip_typed(pts, kind):
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions.spatial import (
+        _as_geojson, _geom_from_geojson)
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel import (
+        geomtypes as GT)
+
+    if kind == "POINT":
+        tg = (kind, pts[:1])
+    elif kind == "MULTIPOINT":
+        tg = (kind, pts)
+    elif kind == "LINESTRING":
+        if len(pts) < 2:
+            return
+        tg = (kind, [pts])
+    else:
+        if len(pts) < 4:
+            return
+        tg = (kind, [pts[:2], pts[2:4]])
+    wkt = GT.to_wkt(tg)
+    assert _geom_from_geojson(_as_geojson(wkt)) == wkt
+
+
+@given(x=st.integers(-50, 50), y=st.integers(-50, 50),
+       w=st.integers(1, 30), h=st.integers(1, 30))
+@settings(max_examples=60, deadline=None)
+def test_prop_geojson_round_trip_polygon(x, y, w, h):
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions.spatial import (
+        _as_geojson, _geom_from_geojson)
+
+    wkt = (f"POLYGON (({x} {y}, {x+w} {y}, {x+w} {y+h}, "
+           f"{x} {y+h}, {x} {y}))")
+    gj = _as_geojson(wkt)
+    assert gj.startswith('{"type":"Polygon","coordinates":[[[')
+    assert _geom_from_geojson(gj) == wkt
+
+
+def test_geojson_known_texts_and_json_validity():
+    """The canonical writer's text is both exact (closed rings, no
+    whitespace) and real JSON — json.loads must re-read every shape."""
+    import json
+
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions.spatial import (
+        _as_geojson, _geom_from_geojson)
+
+    cases = {
+        "POINT (5 7)": '{"type":"Point","coordinates":[5,7]}',
+        "MULTIPOINT (1 2, 3 4)":
+            '{"type":"MultiPoint","coordinates":[[1,2],[3,4]]}',
+        "LINESTRING (0 0, 1 1)":
+            '{"type":"LineString","coordinates":[[0,0],[1,1]]}',
+        "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))":
+            '{"type":"Polygon","coordinates":'
+            '[[[0,0],[2,0],[2,2],[0,2],[0,0]]]}',
+    }
+    for wkt, expect in cases.items():
+        gj = _as_geojson(wkt)
+        assert gj == expect
+        json.loads(gj)
+        assert _geom_from_geojson(gj) == wkt
+    # hole + multipolygon round trips
+    hole = ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+            "(2 2, 2 4, 4 4, 4 2, 2 2))")
+    assert _geom_from_geojson(_as_geojson(hole)) == hole
+    mp = ("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), "
+          "((5 5, 6 5, 6 6, 5 6, 5 5)))")
+    assert _geom_from_geojson(_as_geojson(mp)) == mp
+    # fractional coordinates survive (shortest-repr floats)
+    assert (_geom_from_geojson(_as_geojson("POINT (1.5 -2.25)"))
+            == "POINT (1.5 -2.25)")
+
+
+def test_geohash_public_vectors_and_envelope_rule():
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions.spatial import (
+        _geohash)
+
+    # public vectors: Wikipedia's 57.64911,10.40744 → u4pruydqqvj
+    assert _geohash("POINT (10.40744 57.64911)", 11) == "u4pruydqqvj"
+    assert _geohash("POINT (-5.6 42.6)", 5) == "ezs42"
+    # non-point input hashes the envelope center
+    assert (_geohash("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))", 6)
+            == _geohash("POINT (5 5)", 6))
+    import pytest
+
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel import (
+        geom as G)
+    with pytest.raises(G.GeomError):
+        _geohash("POINT (200 10)", 5)
+
+
+@given(px=st.integers(0, 99), py=st.integers(0, 99))
+@settings(max_examples=100, deadline=None)
+def test_prop_geohash_matches_integer_quantization(px, py):
+    """Bisection == exact integer quantization (the ST_GEOHASH_AGG_ORACLE
+    closed form): interleave the top 10 bits of ((lon+180)*1024)//360 and
+    ((lat+90)*1024)//180."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions.spatial import (
+        _GEOHASH32, _geohash)
+
+    lon, lat = px * 3 - 150, py - 50
+    lonq = ((lon + 180) * 1024) // 360
+    latq = ((lat + 90) * 1024) // 180
+    n, li, ti = 0, 9, 9
+    for i in range(20):
+        if i % 2 == 0:
+            n = n * 2 + ((lonq >> li) & 1)
+            li -= 1
+        else:
+            n = n * 2 + ((latq >> ti) & 1)
+            ti -= 1
+    expect = "".join(_GEOHASH32[(n >> (5 * (3 - k))) & 31]
+                     for k in range(4))
+    assert _geohash(f"POINT ({lon} {lat})", 4) == expect
