@@ -579,6 +579,96 @@ def _flip_coordinates(s: str | None) -> str | None:
     return G.to_wkt([[[(y, x) for x, y in ring] for ring in poly]
                      for poly in data])
 
+def _geometry_type(s: str | None) -> str | None:
+    """Sedona/PostGIS ST_GeometryType: the type tag with the ST_ prefix
+    (e.g. 'ST_Polygon')."""
+    if s is None:
+        return None
+    kind, _ = GT.parse_wkt(s)
+    name = {"POINT": "Point", "MULTIPOINT": "MultiPoint",
+            "LINESTRING": "LineString",
+            "MULTILINESTRING": "MultiLineString",
+            "POLYGON": "Polygon", "MULTIPOLYGON": "MultiPolygon"}[kind]
+    return f"ST_{name}"
+
+def _dimension_of(s: str | None) -> int | None:
+    if s is None:
+        return None
+    return GT.dimension(GT.parse_wkt(s))
+
+def _is_empty(s: str | None) -> bool | None:
+    if s is None:
+        return None
+    _, data = GT.parse_wkt(s)
+    return not data
+
+def _num_interior_rings(s: str | None) -> int | None:
+    """PostGIS ST_NumInteriorRings: hole count of a POLYGON, NULL for any
+    other type."""
+    if s is None:
+        return None
+    kind, data = GT.parse_wkt(s)
+    if kind != "POLYGON" or not data:
+        return None
+    return len(data[0]) - 1
+
+def _interior_ring_n(s: str | None, n: int) -> str | None:
+    """Sedona ST_InteriorRingN (JTS getInteriorRingN): the 0-based Nth hole
+    of a POLYGON as a closed LINESTRING; NULL otherwise."""
+    if s is None:
+        return None
+    kind, data = GT.parse_wkt(s)
+    if kind != "POLYGON" or not data:
+        return None
+    holes = data[0][1:]
+    if not 0 <= n < len(holes):
+        return None
+    return GT.to_wkt(("LINESTRING", [_ring_to_path(holes[n])]))
+
+def _reverse(s: str | None) -> str | None:
+    """ST_Reverse: vertex order reversed in every path/ring, type kept."""
+    if s is None:
+        return None
+    kind, data = GT.parse_wkt(s)
+    if kind in ("POINT", "MULTIPOINT"):
+        return GT.to_wkt((kind, data[::-1]))
+    if kind in ("LINESTRING", "MULTILINESTRING"):
+        return GT.to_wkt((kind, [path[::-1] for path in data]))
+    # rings are stored OPEN; reversing the closed form A,B,C,D,A yields
+    # A,D,C,B,A — i.e. keep the anchor vertex, reverse the rest
+    return G.to_wkt([[[ring[0]] + ring[1:][::-1] for ring in poly]
+                     for poly in data])
+
+def _translate(s: str | None, dx: float, dy: float) -> str | None:
+    if s is None:
+        return None
+    kind, data = GT.parse_wkt(s)
+    if kind in ("POINT", "MULTIPOINT"):
+        return GT.to_wkt((kind, [(x + dx, y + dy) for x, y in data]))
+    if kind in ("LINESTRING", "MULTILINESTRING"):
+        return GT.to_wkt((kind, [[(x + dx, y + dy) for x, y in path]
+                                 for path in data]))
+    return G.to_wkt([[[(x + dx, y + dy) for x, y in ring] for ring in poly]
+                     for poly in data])
+
+def _azimuth(a: str | None, b: str | None) -> float | None:
+    """ST_Azimuth: angle in radians clockwise from north, POINT→POINT,
+    NULL for coincident points or non-point input (PostGIS raises for
+    non-points; the engine's SQL surface prefers NULL)."""
+    import math
+
+    if a is None or b is None:
+        return None
+    ka, da = GT.parse_wkt(a)
+    kb, db = GT.parse_wkt(b)
+    if ka != "POINT" or kb != "POINT" or not da or not db:
+        return None
+    (x1, y1), (x2, y2) = da[0], db[0]
+    if x1 == x2 and y1 == y2:
+        return None
+    az = math.atan2(x2 - x1, y2 - y1)
+    return az if az >= 0 else az + 2 * math.pi
+
 # ------------------------------------------------------ GeoJSON interchange
 
 def _geojson_coords(kind: str, data) -> list:
@@ -1095,6 +1185,54 @@ def st_geohash(s: pd.Series, p: pd.Series) -> pd.Series:
         [None if g is None or pd.isna(k) else _geohash(g, int(k))
          for g, k in zip(s, p)], index=s.index)
 
+@pandas_udf(StringType())
+def st_geometrytype(s: pd.Series) -> pd.Series:
+    return s.map(_geometry_type, na_action="ignore")
+
+@pandas_udf(LongType())
+def st_dimension(s: pd.Series) -> pd.Series:
+    return s.map(_dimension_of, na_action="ignore").astype("Int64")
+
+@pandas_udf(BooleanType())
+def st_isempty(s: pd.Series) -> pd.Series:
+    return s.map(_is_empty, na_action="ignore").astype("object")
+
+@pandas_udf(LongType())
+def st_numinteriorrings(s: pd.Series) -> pd.Series:
+    return s.map(_num_interior_rings, na_action="ignore").astype("Int64")
+
+@pandas_udf(StringType())
+def st_interiorringn(s: pd.Series, n: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if g is None or pd.isna(i) else _interior_ring_n(g, int(i))
+         for g, i in zip(s, n)], index=s.index)
+
+@pandas_udf(StringType())
+def st_reverse(s: pd.Series) -> pd.Series:
+    return s.map(_reverse, na_action="ignore")
+
+@pandas_udf(StringType())
+def st_translate(s: pd.Series, dx: pd.Series, dy: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if g is None or pd.isna(a) or pd.isna(b)
+         else _translate(g, float(a), float(b))
+         for g, a, b in zip(s, dx, dy)], index=s.index)
+
+@pandas_udf(DoubleType())
+def st_azimuth(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series([_azimuth(x, y) for x, y in zip(a, b)],
+                     index=a.index, dtype="float64")
+
+@pandas_udf(BooleanType())
+def st_covers(a: pd.Series, b: pd.Series) -> pd.Series:
+    """The engine's containment test IS covers (boundary counts) — this
+    registers the honest SQL/MM name alongside ST_Contains."""
+    return pd.Series([_contains(x, y) for x, y in zip(a, b)], index=a.index)
+
+@pandas_udf(BooleanType())
+def st_coveredby(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series([_contains(y, x) for x, y in zip(a, b)], index=a.index)
+
 _REGISTRY = {
     "ST_GeomFromWKT": st_geomfromwkt,
     "ST_AsText": st_astext,
@@ -1141,6 +1279,16 @@ _REGISTRY = {
     "ST_AsGeoJSON": st_asgeojson,
     "ST_GeomFromGeoJSON": st_geomfromgeojson,
     "ST_GeoHash": st_geohash,
+    "ST_GeometryType": st_geometrytype,
+    "ST_Dimension": st_dimension,
+    "ST_IsEmpty": st_isempty,
+    "ST_NumInteriorRings": st_numinteriorrings,
+    "ST_InteriorRingN": st_interiorringn,
+    "ST_Reverse": st_reverse,
+    "ST_Translate": st_translate,
+    "ST_Azimuth": st_azimuth,
+    "ST_Covers": st_covers,
+    "ST_CoveredBy": st_coveredby,
 }
 
 def register_spatial_functions(spark: SparkSession) -> None:

@@ -1693,3 +1693,86 @@ h AS (
 SELECT gh4, count(*) AS n_points, min(point_id) AS min_point_id
 FROM h GROUP BY gh4
 """
+
+
+def st_metadata_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The metadata/affine accessor set — ST_GeometryType / ST_Dimension /
+    ST_IsEmpty / ST_NumInteriorRings / ST_InteriorRingN / ST_Reverse /
+    ST_Translate / ST_Azimuth / ST_Covers / ST_CoveredBy — every column a
+    string or interval closed form. The hole polygon is built from the
+    point lattice so the 0-based ST_InteriorRingN answer is a literal
+    concat; ST_Azimuth's atan2(dx, dy) is quantized at 1e-6 (the closest
+    lattice value sits 2.7e-4 from a rounding boundary — libm-safe)."""
+    from ..functions.spatial import register_spatial_functions
+
+    register_spatial_functions(spark)
+    j = _orders_line_base(spark, sf_dir, modulus=5)
+    holed = ("concat('POLYGON ((', px, ' ', py, ', ', px + 10, ' ', py,"
+             " ', ', px + 10, ' ', py + 10, ', ', px, ' ', py + 10, ', ',"
+             " px, ' ', py, '), (', px + 2, ' ', py + 2, ', ', px + 2, ' ',"
+             " py + 4, ', ', px + 4, ' ', py + 4, ', ', px + 4, ' ',"
+             " py + 2, ', ', px + 2, ' ', py + 2, '))')")
+    line = ("concat('LINESTRING (', px, ' ', py, ', ', px + dx, ' ',"
+            " py + dy, ')')")
+    pt = "concat('POINT (', px, ' ', py, ')')"
+    return j.selectExpr(
+        "point_id",
+        f"ST_GeometryType({pt}) AS gt_pt",
+        f"ST_GeometryType({line}) AS gt_line",
+        "ST_GeometryType(region_geometry) AS gt_poly",
+        f"ST_Dimension({pt}) AS dim_pt",
+        f"ST_Dimension({line}) AS dim_line",
+        "ST_Dimension(region_geometry) AS dim_poly",
+        f"ST_IsEmpty({pt}) AS empty_pt",
+        "ST_IsEmpty('POINT EMPTY') AS empty_lit",
+        f"ST_NumInteriorRings({holed}) AS n_holes",
+        "ST_NumInteriorRings(region_geometry) AS n_holes_solid",
+        f"ST_InteriorRingN({holed}, 0) AS hole0",
+        f"ST_Reverse({line}) AS line_rev",
+        f"ST_Translate({pt}, CAST(dx AS DOUBLE), CAST(dy AS DOUBLE))"
+        " AS pt_moved",
+        "CAST(round(ST_Azimuth(concat('POINT (', px, ' ', py, ')'),"
+        " concat('POINT (', px + dx, ' ', py + dy, ')')) * 1e6) AS BIGINT)"
+        " AS azimuth_q",
+        f"ST_Covers(region_geometry, {pt}) AS covers_pt",
+        f"ST_CoveredBy({pt}, region_geometry) AS coveredby_pt",
+    )
+
+
+ST_METADATA_OPS_ORACLE = f"""
+WITH {fixtures.REGIONS_CTE.strip()},
+base AS (
+    SELECT o_orderkey AS point_id,
+           o_custkey % 100            AS px,
+           (o_orderkey * 7) % 100     AS py,
+           1 + o_orderkey % 5         AS dx,
+           1 + o_custkey % 7          AS dy,
+           o_custkey % {fixtures.N_REGIONS} AS region_id
+    FROM orders
+    WHERE o_orderkey % 5 = 0
+)
+SELECT b.point_id,
+       'ST_Point' AS gt_pt,
+       'ST_LineString' AS gt_line,
+       'ST_Polygon' AS gt_poly,
+       CAST(0 AS BIGINT) AS dim_pt,
+       CAST(1 AS BIGINT) AS dim_line,
+       CAST(2 AS BIGINT) AS dim_poly,
+       FALSE AS empty_pt,
+       TRUE AS empty_lit,
+       CAST(1 AS BIGINT) AS n_holes,
+       CAST(0 AS BIGINT) AS n_holes_solid,
+       concat('LINESTRING (', px + 2, ' ', py + 2, ', ', px + 2, ' ',
+              py + 4, ', ', px + 4, ' ', py + 4, ', ', px + 4, ' ', py + 2,
+              ', ', px + 2, ' ', py + 2, ')') AS hole0,
+       concat('LINESTRING (', px + dx, ' ', py + dy, ', ', px, ' ', py,
+              ')') AS line_rev,
+       concat('POINT (', px + dx, ' ', py + dy, ')') AS pt_moved,
+       CAST(round(atan2(CAST(dx AS DOUBLE), CAST(dy AS DOUBLE)) * 1e6)
+            AS BIGINT) AS azimuth_q,
+       (r.gx1 <= px AND px <= r.gx2 AND r.gy1 <= py AND py <= r.gy2)
+           AS covers_pt,
+       (r.gx1 <= px AND px <= r.gx2 AND r.gy1 <= py AND py <= r.gy2)
+           AS coveredby_pt
+FROM base b JOIN regions r ON b.region_id = r.id
+"""

@@ -151,6 +151,8 @@ QUERIES: dict[str, QueryFn] = {
     "st_accessors": P.st_accessors,             # r6: accessor/constructor set
     "st_geojson_roundtrip": P.st_geojson_roundtrip,  # r6: RFC 7946
     "st_geohash_agg": P.st_geohash_agg,         # r6: geohash bucketing
+    "st_metadata_ops": P.st_metadata_ops,       # r6: metadata/affine set
+    "streaming_geofence": EV.streaming_geofence,  # r6: ST_* under streaming
     "spatial_range_join": SJ.spatial_range_join,
     # r6: the documented non-broadcast scale path, same oracle — the pair
     # generator as a hash join on cell ids instead of a broadcast
@@ -280,6 +282,8 @@ _R6_WINDOW = [
     "st_accessors",          # accessor/constructor surface
     "st_geojson_roundtrip",  # RFC 7946 interchange
     "st_geohash_agg",        # geohash bucketing
+    "st_metadata_ops",       # metadata/affine accessor set
+    "streaming_geofence",    # first ST_* under Structured Streaming
     # --- operator code changed this round (8) ---
     "trajectory_similarity_pairs",   # per-cell verify rewrite
     "spatial_range_join",            # broadcast_dim param
@@ -287,8 +291,9 @@ _R6_WINDOW = [
     "embedding_topk_cosine",         # NaN cos_sim prune
     "geo_range_join",                # LAND_USE_CTE text changed
     "st_geometry_ops",               # shared scalars gained type routing
-    # --- ST_* scalars gained the typed-kernel prefix dispatch (6) ---
-    "st_area_rect",
+    # --- ST_* scalars gained the typed-kernel prefix dispatch ---
+    # (st_area_rect rotated out for the new suites: the shared scalars it
+    # exercises are covered by st_geometry_ops + st_intersection_area)
     "st_intersection_area",
     "st_buffer_round",
     "st_convex_hull",
@@ -330,7 +335,6 @@ _R6_WINDOW = [
     "ngram_jaccard_verified",
     "repetition_scores",     # text-family seat
     "histogram_quantile",    # sketches-family seat
-    "exact_dedup",           # dedup exact-path seat
 ]
 _WINDOW = _R6_WINDOW
 QUERIES = {
@@ -377,6 +381,8 @@ ORACLES: dict[str, str] = {
     "st_accessors": P.ST_ACCESSORS_ORACLE,
     "st_geojson_roundtrip": P.ST_GEOJSON_ROUNDTRIP_ORACLE,
     "st_geohash_agg": P.ST_GEOHASH_AGG_ORACLE,
+    "st_metadata_ops": P.ST_METADATA_OPS_ORACLE,
+    "streaming_geofence": EV.STREAMING_GEOFENCE_ORACLE,
     "spatial_range_join": SJ.SPATIAL_RANGE_JOIN_ORACLE,
     "spatial_range_join_fallback": SJ.SPATIAL_RANGE_JOIN_ORACLE,
     "geo_range_join": SJ.GEO_RANGE_JOIN_ORACLE,

@@ -696,6 +696,85 @@ JOIN customer ON c_custkey = user_id % (SELECT count(*) FROM customer) + 1
 GROUP BY 1, 2
 """
 
+def streaming_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming geofence: each event carries a lattice point (user_id /
+    event_id integers), candidate fence cells are computed ARITHMETICALLY
+    map-side (the 12-stride/15-size region grid means ≤2 candidate indexes
+    per axis — explode(sequence(...)), never a stream×dim fan-out), the
+    50-row region dim joins broadcast on the candidate id, and
+    ST_Contains verifies containment inside the streaming plan — the
+    registered spatial UDFs' first Structured Streaming appearance.
+    Hourly windowed counts per region, complete mode (same shape as
+    stream_static_enrich).
+
+    100 TB: candidate generation is a per-row projection (no shuffle); the
+    only exchange is the windowed count keyed by (region, window). The
+    ST_Contains filter is provably redundant to the candidate arithmetic
+    (the interval [⌈(p-15)/12⌉, ⌊p/12⌋] enumerates exactly the covering
+    fences) — it runs as an in-stream assertion that the spatial UDF path
+    works under micro-batch execution, and drops nothing."""
+    from ..functions.spatial import register_spatial_functions
+    from ..plans import fixtures
+
+    register_spatial_functions(spark)
+    stream = _events_stream(spark, sf_dir)
+    regions = fixtures.geographic_regions(spark, sf_dir)
+    pts = stream.selectExpr(
+        "ts",
+        "user_id % 100 AS px",
+        "(event_id * 7) % 100 AS py",
+    )
+    cand = pts.selectExpr(
+        "ts", "px", "py",
+        "explode(sequence(greatest(0, CAST(ceil((px - 15) / 12.0) AS INT)),"
+        " least(9, CAST(px DIV 12 AS INT)))) AS ix",
+    ).selectExpr(
+        "ts", "px", "py", "ix",
+        "explode(sequence(greatest(0, CAST(ceil((py - 15) / 12.0) AS INT)),"
+        " least(4, CAST(py DIV 12 AS INT)))) AS iy",
+    ).selectExpr("ts", "px", "py", "CAST(iy * 10 + ix AS BIGINT) AS cand_id")
+    joined = cand.join(F.broadcast(regions),
+                       cand["cand_id"] == regions["id"], "inner")
+    fenced = joined.where(F.expr(
+        "ST_Contains(region_geometry, concat('POINT (', px, ' ', py, ')'))"))
+    agg = (fenced.groupBy(F.window("ts", "1 hour"), F.col("id"))
+           .agg(F.count("*").alias("n_events"))
+           .select(F.col("window.start").alias("window_start"),
+                   F.col("id").alias("region_id"), "n_events"))
+    name = "streaming_geofence_sink"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            agg.writeStream.format("memory").queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+STREAMING_GEOFENCE_ORACLE = """
+WITH regions AS (
+    SELECT id, gx1, gy1, gx1 + 15 AS gx2, gy1 + 15 AS gy2
+    FROM (
+        SELECT DISTINCT s_suppkey % 50 AS id,
+               (s_suppkey % 50) % 10 * 12                        AS gx1,
+               CAST(floor((s_suppkey % 50) / 10) AS BIGINT) * 12 AS gy1
+        FROM supplier
+    )
+),
+pts AS (
+    SELECT ts, user_id % 100 AS px, (event_id * 7) % 100 AS py
+    FROM events
+)
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP_NS) AS window_start,
+       r.id AS region_id,
+       count(*) AS n_events
+FROM pts p JOIN regions r
+  ON r.gx1 <= p.px AND p.px <= r.gx2 AND r.gy1 <= p.py AND p.py <= r.gy2
+GROUP BY 1, 2
+"""
+
 # ------------------------------------------------- sliding / session windows
 
 def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1167,3 +1167,72 @@ def test_prop_geohash_matches_integer_quantization(px, py):
     expect = "".join(_GEOHASH32[(n >> (5 * (3 - k))) & 31]
                      for k in range(4))
     assert _geohash(f"POINT ({lon} {lat})", 4) == expect
+
+
+# ------------------------------------------- r6: metadata / affine family
+
+def test_metadata_accessors_known_values():
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions.spatial import (
+        _azimuth, _dimension_of, _geometry_type, _interior_ring_n,
+        _is_empty, _num_interior_rings, _reverse, _translate)
+
+    R = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+    hole = ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+            "(2 2, 2 4, 4 4, 4 2, 2 2))")
+    assert _geometry_type("POINT (1 2)") == "ST_Point"
+    assert _geometry_type("MULTILINESTRING ((0 0, 1 1))") == "ST_MultiLineString"
+    assert _geometry_type(R) == "ST_Polygon"
+    assert _dimension_of("POINT (1 2)") == 0
+    assert _dimension_of("LINESTRING (0 0, 1 1)") == 1
+    assert _dimension_of(R) == 2
+    assert _is_empty("POINT EMPTY") is True
+    assert _is_empty("LINESTRING EMPTY") is True
+    assert _is_empty(R) is False
+    assert _num_interior_rings(R) == 0
+    assert _num_interior_rings(hole) == 1
+    assert _num_interior_rings("POINT (1 2)") is None
+    assert (_interior_ring_n(hole, 0)
+            == "LINESTRING (2 2, 2 4, 4 4, 4 2, 2 2)")
+    assert _interior_ring_n(hole, 1) is None
+    assert _interior_ring_n(R, 0) is None
+    assert (_reverse("LINESTRING (0 0, 5 5, 10 0)")
+            == "LINESTRING (10 0, 5 5, 0 0)")
+    assert _reverse("POINT (1 2)") == "POINT (1 2)"
+    assert (_reverse(R) == "POLYGON ((0 0, 0 10, 10 10, 10 0, 0 0))")
+    assert _translate("POINT (1 2)", 3, 4) == "POINT (4 6)"
+    assert (_translate(R, 1, 1)
+            == "POLYGON ((1 1, 11 1, 11 11, 1 11, 1 1))")
+    # azimuth: clockwise from north
+    assert _azimuth("POINT (0 0)", "POINT (0 5)") == 0.0
+    assert abs(_azimuth("POINT (0 0)", "POINT (5 0)")
+               - math.pi / 2) < 1e-12
+    assert abs(_azimuth("POINT (0 0)", "POINT (0 -5)")
+               - math.pi) < 1e-12
+    assert abs(_azimuth("POINT (0 0)", "POINT (-5 0)")
+               - 3 * math.pi / 2) < 1e-12
+    assert _azimuth("POINT (1 1)", "POINT (1 1)") is None
+    assert _azimuth("POINT (0 0)", "LINESTRING (0 0, 1 1)") is None
+
+
+@given(px=st.integers(0, 99), py=st.integers(0, 99))
+@settings(max_examples=100, deadline=None)
+def test_prop_geofence_candidate_cells_exact(px, py):
+    """The streaming_geofence candidate arithmetic — ix in
+    [⌈(p-15)/12⌉, ⌊p/12⌋] clamped to the grid — enumerates EXACTLY the
+    regions whose closed 15×15 rect covers the point (soundness and
+    completeness of the map-side pruning; the in-stream ST_Contains filter
+    is therefore a no-op)."""
+    import math as m
+
+    ix0 = max(0, m.ceil((px - 15) / 12))
+    ix1 = min(9, px // 12)
+    iy0 = max(0, m.ceil((py - 15) / 12))
+    iy1 = min(4, py // 12)
+    cand = {iy * 10 + ix
+            for ix in range(ix0, ix1 + 1) for iy in range(iy0, iy1 + 1)}
+    truth = set()
+    for rid in range(50):
+        gx1, gy1 = rid % 10 * 12, rid // 10 * 12
+        if gx1 <= px <= gx1 + 15 and gy1 <= py <= gy1 + 15:
+            truth.add(rid)
+    assert cand == truth
