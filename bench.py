@@ -64,6 +64,8 @@ HEADLINE = [
     "trajectory_similarity_pairs",  # blocked Hausdorff search, numpy verify
     # round 6 additions
     "st_point_line_ops",       # typed-WKT kernel through the ST_* registry
+    "st_predicates",           # DE-9IM family over 120k rect pairs
+    "st_geohash_agg",          # vectorized geohash bucketing + count
 ]
 
 # scale-curve sweep (--sweep): the most expensive headline queries measured
@@ -84,6 +86,9 @@ SWEEP_QUERIES = [
     "triangle_count",
     "embedding_pq_rerank",
     "embedding_topk_cosine",
+    # round 6: the predicate family's decade slope (per-row Python UDFs
+    # over rect pairs — linear by construction, measured to prove it)
+    "st_predicates",
 ]
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/root/repo/.bench_sf1")
 SWEEP_SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",

@@ -1179,11 +1179,74 @@ def st_asgeojson(s: pd.Series) -> pd.Series:
 def st_geomfromgeojson(s: pd.Series) -> pd.Series:
     return s.map(_geom_from_geojson, na_action="ignore")
 
+_INT_POINT_RE = r"^POINT \((0|-?[1-9]\d*) (0|-?[1-9]\d*)\)$"
+
+def _geohash_vec_int(lon, lat, precision: int):
+    """Vectorized geohash for integer-valued coordinates: the quantization
+    ((lon+180)·2^nlon)//360 is EXACT in int64 (no float rounding), and the
+    bisection provably equals it (test_prop_geohash_matches_integer_
+    quantization), so this fast path is bit-identical to the scalar
+    algorithm. ~60 numpy ops per batch instead of 5·p Python-loop steps
+    per row."""
+    import numpy as np
+
+    nbits = 5 * precision
+    nlon = (nbits + 1) // 2
+    nlat = nbits // 2
+    lonq = ((lon.astype(np.int64) + 180) << nlon) // 360
+    latq = ((lat.astype(np.int64) + 90) << nlat) // 180
+    np.clip(lonq, 0, (1 << nlon) - 1, out=lonq)
+    np.clip(latq, 0, (1 << nlat) - 1, out=latq)
+    n = np.zeros(len(lonq), dtype=np.int64)
+    li, ti = nlon - 1, nlat - 1
+    for i in range(nbits):
+        if i % 2 == 0:
+            n = (n << 1) | ((lonq >> li) & 1)
+            li -= 1
+        else:
+            n = (n << 1) | ((latq >> ti) & 1)
+            ti -= 1
+    chars = np.frombuffer(_GEOHASH32.encode(), dtype="S1")
+    out = chars[(n >> (5 * (precision - 1))) & 31].astype("U1")
+    for k in range(1, precision):
+        out = np.char.add(out,
+                          chars[(n >> (5 * (precision - 1 - k))) & 31]
+                          .astype("U1"))
+    return out
+
 @pandas_udf(StringType())
 def st_geohash(s: pd.Series, p: pd.Series) -> pd.Series:
+    # fast path: integer-coordinate POINT WKT with a constant precision
+    # per batch (the common bucketing shape) → exact int64 quantization,
+    # no per-row parse or bisection; everything else takes the scalar path
+    pp = pd.to_numeric(p, errors="coerce")
+    prec = pp.dropna().unique()
+    if len(prec) == 1 and 1 <= int(prec[0]) <= 12:
+        k = int(prec[0])
+        ext = s.str.extract(_INT_POINT_RE)
+        lon = pd.to_numeric(ext[0], errors="coerce")
+        lat = pd.to_numeric(ext[1], errors="coerce")
+        mask = (lon.notna() & lat.notna() & pp.notna()
+                & lon.between(-180, 180) & lat.between(-90, 90))
+        if mask.all():
+            return pd.Series(
+                _geohash_vec_int(lon.to_numpy(), lat.to_numpy(), k),
+                index=s.index)
+        if mask.any():
+            out = pd.Series(
+                [None if g is None or pd.isna(kk) else _geohash(g, int(kk))
+                 for g, kk in zip(s[~mask], pp[~mask])],
+                index=s.index[~mask], dtype="object",
+            )
+            fast = pd.Series(
+                _geohash_vec_int(lon[mask].to_numpy(),
+                                 lat[mask].to_numpy(), k),
+                index=s.index[mask], dtype="object",
+            )
+            return pd.concat([fast, out]).reindex(s.index)
     return pd.Series(
-        [None if g is None or pd.isna(k) else _geohash(g, int(k))
-         for g, k in zip(s, p)], index=s.index)
+        [None if g is None or pd.isna(kk) else _geohash(g, int(kk))
+         for g, kk in zip(s, pp)], index=s.index)
 
 @pandas_udf(StringType())
 def st_geometrytype(s: pd.Series) -> pd.Series:

@@ -1658,12 +1658,14 @@ def st_geohash_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.spatial import register_spatial_functions
 
     register_spatial_functions(spark)
+    from ..sources.io import spread_scan
+
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    pts = o.selectExpr(
+    pts = spread_scan(o.selectExpr(
         "o_orderkey AS point_id",
         "(o_custkey % 100) * 3 - 150 AS lon",
         "(o_orderkey * 7) % 100 - 50 AS lat",
-    )
+    ))
     hashed = pts.selectExpr(
         "point_id",
         "ST_GeoHash(concat('POINT (', lon, ' ', lat, ')'), 4) AS gh4",

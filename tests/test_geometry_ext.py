@@ -1236,3 +1236,20 @@ def test_prop_geofence_candidate_cells_exact(px, py):
         if gx1 <= px <= gx1 + 15 and gy1 <= py <= gy1 + 15:
             truth.add(rid)
     assert cand == truth
+
+
+@given(lon=st.integers(-180, 180), lat=st.integers(-90, 90),
+       p=st.integers(1, 12))
+@settings(max_examples=100, deadline=None)
+def test_prop_geohash_vectorized_equals_bisection(lon, lat, p):
+    """The numpy int64 fast path inside the st_geohash UDF must be
+    bit-identical to the scalar bisection for every integer coordinate and
+    precision, boundary values included (lon=±180, lat=±90 clamp to the
+    last cell exactly like the bisection's >= mid rule)."""
+    import numpy as np
+
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions.spatial import (
+        _geohash, _geohash_vec_int)
+
+    vec = _geohash_vec_int(np.array([lon]), np.array([lat]), p)[0]
+    assert vec == _geohash(f"POINT ({lon} {lat})", p)
