@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     BooleanType,
     DoubleType,
@@ -344,9 +345,17 @@ def _interiors_intersect(a: str, b: str) -> bool:
         return B.intersection_area(G.parse_wkt(a), G.parse_wkt(b)) > 0.0
     return GT.interiors_intersect(GT.parse_wkt(a), GT.parse_wkt(b))
 
+def _is_empty_geom(s: str) -> bool:
+    _, data = GT.parse_wkt(s)
+    return not data
+
 def _intersects(a: str | None, b: str | None) -> bool | None:
+    """SQL NULL propagates NULL; an EMPTY geometry intersects nothing
+    (JTS convention: predicates on empties are false, not null)."""
     if a is None or b is None:
         return None
+    if _is_empty_geom(a) or _is_empty_geom(b):
+        return False
     d = _distance(a, b)
     return None if d is None else d == 0.0
 
@@ -367,6 +376,8 @@ def _crosses(a: str | None, b: str | None) -> bool | None:
     outside the other's closure."""
     if a is None or b is None:
         return None
+    if _is_empty_geom(a) or _is_empty_geom(b):
+        return False
     da, db = _dim(a), _dim(b)
     if da == db:
         if da != 1:
@@ -394,6 +405,8 @@ def _overlaps(a: str | None, b: str | None) -> bool | None:
     dimension, and neither covers the other."""
     if a is None or b is None:
         return None
+    if _is_empty_geom(a) or _is_empty_geom(b):
+        return False
     da, db = _dim(a), _dim(b)
     if da != db:
         return False
@@ -417,7 +430,9 @@ def _overlaps(a: str | None, b: str | None) -> bool | None:
 def _equals(a: str | None, b: str | None) -> bool | None:
     """Topological equality (ST_Equals): mutual coverage at equal
     dimension — areal pairs via the area identity, lineal pairs via the
-    typed covers test both ways, puntal pairs via vertex-set equality."""
+    typed covers test both ways, puntal pairs via vertex-set equality.
+    EMPTY operands are never equal (documented engine choice; the covers
+    tests below already return False on empties)."""
     if a is None or b is None:
         return None
     da, db = _dim(a), _dim(b)
@@ -1296,6 +1311,40 @@ def st_covers(a: pd.Series, b: pd.Series) -> pd.Series:
 def st_coveredby(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series([_contains(y, x) for x, y in zip(a, b)], index=a.index)
 
+@pandas_udf(ArrayType(StringType()))
+def st_dump(s: pd.Series) -> pd.Series:
+    """ST_Dump: the members of a multi-geometry as individual WKT strings
+    (a singular geometry dumps to itself, EMPTY to no members). Pair with
+    posexplode for the (path, geom) rows PostGIS emits."""
+    def dump(w):
+        kind, data = GT.parse_wkt(w)
+        if kind in ("POINT", "LINESTRING", "POLYGON"):
+            return [GT.to_wkt((kind, data))] if data else []
+        member = {"MULTIPOINT": "POINT", "MULTILINESTRING": "LINESTRING",
+                  "MULTIPOLYGON": "POLYGON"}[kind]
+        return [GT.to_wkt((member, [m])) for m in data]
+
+    return s.map(dump, na_action="ignore")
+
+@pandas_udf(StringType())
+def st_collect_aggr(x: pd.Series, y: pd.Series) -> str:
+    """ST_Collect as a grouped aggregate (Series→scalar pandas UDF,
+    registerable in SQL GROUP BY like Sedona's ST_Union_Aggr): the
+    group's points as a canonical MULTIPOINT, members sorted (x, y) so
+    the output is deterministic under any partitioning — the same
+    determinism contract as the engine's other geometry aggregates.
+    NULL coordinates are dropped (SQL aggregate semantics)."""
+    import numpy as np
+
+    xv = pd.to_numeric(x, errors="coerce")
+    yv = pd.to_numeric(y, errors="coerce")
+    ok = xv.notna() & yv.notna()
+    if not ok.any():
+        return "POINT EMPTY"
+    pts = sorted(zip(xv[ok].astype(float), yv[ok].astype(float)))
+    return GT.to_wkt(("MULTIPOINT" if len(pts) != 1 else "POINT",
+                      [tuple(p) for p in pts]))
+
 _REGISTRY = {
     "ST_GeomFromWKT": st_geomfromwkt,
     "ST_AsText": st_astext,
@@ -1352,6 +1401,8 @@ _REGISTRY = {
     "ST_Azimuth": st_azimuth,
     "ST_Covers": st_covers,
     "ST_CoveredBy": st_coveredby,
+    "ST_Dump": st_dump,
+    "ST_Collect_Aggr": st_collect_aggr,
 }
 
 def register_spatial_functions(spark: SparkSession) -> None:

@@ -1778,3 +1778,72 @@ SELECT b.point_id,
            AS coveredby_pt
 FROM base b JOIN regions r ON b.region_id = r.id
 """
+
+
+def st_collect_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Collect (geometry aggregate) + ST_Dump (member explode), both
+    ways: the hot path builds each region's sorted MULTIPOINT entirely in
+    JVM codegen (sort_array over structs → transform → array_join — no
+    Python for the aggregation itself), and the registered
+    ST_Collect_Aggr UDAF (Series→scalar pandas UDF, the Sedona
+    ST_Union_Aggr shape) computes the same value as a cross-check column.
+    ST_Dump re-explodes the collected geometry; the first member and the
+    member count are closed forms.
+
+    Scale: one exchange keyed by region; the sorted-struct collect is the
+    same shuffle a collect_list carries, with determinism supplied by the
+    sort — at 100 TB per-group member counts are the memory bound, the
+    same bound any ST_Collect has."""
+    from ..functions.spatial import register_spatial_functions
+
+    register_spatial_functions(spark)
+    j = _orders_line_base(spark, sf_dir, modulus=5)
+    pts = j.selectExpr("region_id", "px", "py")
+    jvm = pts.groupBy("region_id").agg(
+        F.expr(
+            "concat('MULTIPOINT (', array_join(transform("
+            "sort_array(collect_list(struct(px, py))),"
+            " p -> concat(p.px, ' ', p.py)), ', '), ')')"
+        ).alias("mp_jvm"),
+    )
+    # Spark disallows mixing a group-agg pandas UDF with JVM aggregates in
+    # one agg (INVALID_PANDAS_UDF_PLACEMENT) — the UDAF cross-check runs
+    # as its own 50-row aggregation and joins back broadcast
+    udaf = pts.groupBy("region_id").agg(
+        F.expr("ST_Collect_Aggr(px, py)").alias("mp_udaf"))
+    agg = jvm.join(F.broadcast(udaf), "region_id", "inner")
+    return agg.selectExpr(
+        "region_id",
+        "mp_jvm",
+        # canonicalization-aware compare: the JVM concat always writes
+        # MULTIPOINT while the UDAF collapses singletons to POINT (the
+        # carrier convention) — parse→serialize makes both canonical
+        "ST_AsText(ST_GeomFromWKT(mp_jvm)) = mp_udaf AS udaf_matches",
+        "ST_NumGeometries(mp_jvm) AS n_members",
+        "element_at(ST_Dump(mp_jvm), 1) AS first_member",
+        "size(ST_Dump(mp_jvm)) AS n_dumped",
+    )
+
+
+ST_COLLECT_DUMP_ORACLE = f"""
+WITH base AS (
+    SELECT o_custkey % {fixtures.N_REGIONS} AS region_id,
+           o_custkey % 100            AS px,
+           (o_orderkey * 7) % 100     AS py
+    FROM orders
+    WHERE o_orderkey % 5 = 0
+)
+SELECT region_id,
+       concat('MULTIPOINT (',
+              string_agg(px || ' ' || py, ', ' ORDER BY px, py),
+              ')') AS mp_jvm,
+       TRUE AS udaf_matches,
+       count(*) AS n_members,
+       concat('POINT (',
+              split_part(string_agg(px || ' ' || py, ', '
+                                    ORDER BY px, py), ', ', 1),
+              ')') AS first_member,
+       CAST(count(*) AS INTEGER) AS n_dumped
+FROM base
+GROUP BY region_id
+"""

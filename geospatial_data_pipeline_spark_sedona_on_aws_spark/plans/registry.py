@@ -153,6 +153,7 @@ QUERIES: dict[str, QueryFn] = {
     "st_geohash_agg": P.st_geohash_agg,         # r6: geohash bucketing
     "st_metadata_ops": P.st_metadata_ops,       # r6: metadata/affine set
     "streaming_geofence": EV.streaming_geofence,  # r6: ST_* under streaming
+    "st_collect_dump": P.st_collect_dump,       # r6: geometry UDAF + dump
     "spatial_range_join": SJ.spatial_range_join,
     # r6: the documented non-broadcast scale path, same oracle — the pair
     # generator as a hash join on cell ids instead of a broadcast
@@ -284,12 +285,15 @@ _R6_WINDOW = [
     "st_geohash_agg",        # geohash bucketing
     "st_metadata_ops",       # metadata/affine accessor set
     "streaming_geofence",    # first ST_* under Structured Streaming
+    "st_collect_dump",       # ST_Collect UDAF + ST_Dump explode
     # --- operator code changed this round (8) ---
     "trajectory_similarity_pairs",   # per-cell verify rewrite
     "spatial_range_join",            # broadcast_dim param
     "spatial_knn_join",              # kth clamp in numpy top-k
     "embedding_topk_cosine",         # NaN cos_sim prune
-    "geo_range_join",                # LAND_USE_CTE text changed
+    # (geo_range_join rotated out for st_collect_dump: its changed
+    # LAND_USE_CTE text is equally exercised by crop_analytics +
+    # st_predicates, both seated)
     "st_geometry_ops",               # shared scalars gained type routing
     # --- ST_* scalars gained the typed-kernel prefix dispatch ---
     # (st_area_rect rotated out for the new suites: the shared scalars it
@@ -297,7 +301,8 @@ _R6_WINDOW = [
     "st_intersection_area",
     "st_buffer_round",
     "st_convex_hull",
-    "st_transform_roundtrip",
+    # (st_transform_roundtrip rotated out: the CRS scalars are covered by
+    # st_transform_utm + crop_analytics_utm, both seated)
     "st_transform_utm",
     # --- oracle dtype pinning: BIGINT CASE keys (10) ---
     "crop_analytics",
@@ -335,6 +340,7 @@ _R6_WINDOW = [
     "ngram_jaccard_verified",
     "repetition_scores",     # text-family seat
     "histogram_quantile",    # sketches-family seat
+    "q12_late_priority",     # round-2's only red row: stays driver-visible
 ]
 _WINDOW = _R6_WINDOW
 QUERIES = {
@@ -383,6 +389,7 @@ ORACLES: dict[str, str] = {
     "st_geohash_agg": P.ST_GEOHASH_AGG_ORACLE,
     "st_metadata_ops": P.ST_METADATA_OPS_ORACLE,
     "streaming_geofence": EV.STREAMING_GEOFENCE_ORACLE,
+    "st_collect_dump": P.ST_COLLECT_DUMP_ORACLE,
     "spatial_range_join": SJ.SPATIAL_RANGE_JOIN_ORACLE,
     "spatial_range_join_fallback": SJ.SPATIAL_RANGE_JOIN_ORACLE,
     "geo_range_join": SJ.GEO_RANGE_JOIN_ORACLE,

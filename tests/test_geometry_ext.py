@@ -1253,3 +1253,57 @@ def test_prop_geohash_vectorized_equals_bisection(lon, lat, p):
 
     vec = _geohash_vec_int(np.array([lon]), np.array([lat]), p)[0]
     assert vec == _geohash(f"POINT ({lon} {lat})", p)
+
+
+def test_predicates_empty_operands_are_false_not_null():
+    """JTS convention: a predicate with an EMPTY operand is false; SQL
+    NULL (None) still propagates NULL. Pinned so the None/False boundary
+    can't drift."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions.spatial import (
+        _crosses, _equals, _intersects, _overlaps, _touches)
+
+    R = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+    for empty in ("POINT EMPTY", "LINESTRING EMPTY", "MULTIPOINT EMPTY"):
+        assert _intersects(empty, R) is False
+        assert _intersects(R, empty) is False
+        assert _touches(empty, R) is False
+        assert _crosses(empty, R) is False
+        assert _overlaps(empty, empty) is False
+        assert _equals(empty, empty) is False
+    assert _intersects(None, R) is None
+    assert _touches(R, None) is None
+    assert _crosses(None, None) is None
+    assert _overlaps(None, R) is None
+    assert _equals(R, None) is None
+
+
+def test_st_dump_and_collect_known_values():
+    import pandas as pd
+
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions.spatial import (
+        st_collect_aggr, st_dump)
+
+    dump = st_dump.func
+    assert dump(pd.Series(["MULTIPOINT (1 2, 3 4)"]))[0] == [
+        "POINT (1 2)", "POINT (3 4)"]
+    assert dump(pd.Series(["POINT (5 6)"]))[0] == ["POINT (5 6)"]
+    assert dump(pd.Series(["POINT EMPTY"]))[0] == []
+    assert dump(pd.Series([
+        "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))"]))[0] == [
+        "LINESTRING (0 0, 1 1)", "LINESTRING (2 2, 3 3)"]
+    assert dump(pd.Series([
+        "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), "
+        "((5 5, 6 5, 6 6, 5 6, 5 5)))"]))[0] == [
+        "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+        "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))"]
+
+    collect = st_collect_aggr.func
+    # sorted output regardless of input order; singleton collapses; NULLs
+    # dropped; all-NULL group -> POINT EMPTY
+    assert (collect(pd.Series([3.0, 1.0]), pd.Series([4.0, 2.0]))
+            == "MULTIPOINT (1 2, 3 4)")
+    assert collect(pd.Series([7.0]), pd.Series([8.0])) == "POINT (7 8)"
+    assert (collect(pd.Series([1.0, None]), pd.Series([2.0, 9.0]))
+            == "POINT (1 2)")
+    assert (collect(pd.Series([None], dtype="float64"),
+                    pd.Series([None], dtype="float64")) == "POINT EMPTY")
