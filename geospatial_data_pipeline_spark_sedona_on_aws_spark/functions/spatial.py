@@ -1112,30 +1112,98 @@ def _binary_bool(fn, a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series([fn(x, y) for x, y in zip(a, b)],
                      index=a.index, dtype="object")
 
+def _rect_bounds_series(s: pd.Series):
+    """(mask, x1, y1, x2, y2) for rows that are PROVABLY canonical rects
+    (the same _RECT_FIXED_RE contract the hygiene fast path relies on:
+    integer text, closed CCW walk, |v| < 1e15 so parsing is exact)."""
+    ext = s.str.extract(_RECT_FIXED_RE)
+    ok = ext.notna().all(axis=1)
+    x1 = pd.to_numeric(ext[0], errors="coerce")
+    y1 = pd.to_numeric(ext[1], errors="coerce")
+    x2 = pd.to_numeric(ext[2], errors="coerce")
+    y2 = pd.to_numeric(ext[3], errors="coerce")
+    num_ok = (x2 > x1) & (y2 > y1)
+    for col in (x1, y1, x2, y2):
+        num_ok &= col.abs() < 1e15
+    return ok & num_ok.fillna(False), x1, y1, x2, y2
+
+def _rect_pair_predicate(a: pd.Series, b: pd.Series, law, scalar_fn
+                         ) -> pd.Series:
+    """Vectorized rect×rect fast path for the DE-9IM predicate UDFs:
+    where BOTH sides are canonical rects the predicate is pure interval
+    arithmetic over the whole Arrow batch (the closed forms pinned
+    against the scalar path by test_prop_rect_predicates_interval_law);
+    every other row takes the scalar kernel. On the bbox-shaped data a
+    100 TB pre-filter stage actually carries, no row pays a WKT parse."""
+    ma, ax1, ay1, ax2, ay2 = _rect_bounds_series(a)
+    mb, bx1, by1, bx2, by2 = _rect_bounds_series(b)
+    both = (ma & mb).to_numpy()
+    out = pd.Series([None] * len(a), index=a.index, dtype="object")
+    if both.any():
+        vals = law(ax1.to_numpy(), ay1.to_numpy(),
+                   ax2.to_numpy(), ay2.to_numpy(),
+                   bx1.to_numpy(), by1.to_numpy(),
+                   bx2.to_numpy(), by2.to_numpy())
+        out[both] = pd.Series(vals, index=a.index)[both].astype("object")
+    slow = ~both
+    if slow.any():
+        out[slow] = [scalar_fn(x, y) for x, y in zip(a[slow], b[slow])]
+    return out
+
+def _law_intersects(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2):
+    return ((ax1 <= bx2) & (bx1 <= ax2) & (ay1 <= by2) & (by1 <= ay2))
+
+def _law_strict(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2):
+    return ((ax1 < bx2) & (bx1 < ax2) & (ay1 < by2) & (by1 < ay2))
+
 @pandas_udf(BooleanType())
 def st_intersects(a: pd.Series, b: pd.Series) -> pd.Series:
-    return _binary_bool(_intersects, a, b)
+    return _rect_pair_predicate(a, b, _law_intersects, _intersects)
 
 @pandas_udf(BooleanType())
 def st_disjoint(a: pd.Series, b: pd.Series) -> pd.Series:
-    return pd.Series([None if (v := _intersects(x, y)) is None else not v
-                      for x, y in zip(a, b)], index=a.index, dtype="object")
+    def scalar(x, y):
+        v = _intersects(x, y)
+        return None if v is None else not v
+
+    def law(*bb):
+        return ~_law_intersects(*bb)
+
+    return _rect_pair_predicate(a, b, law, scalar)
 
 @pandas_udf(BooleanType())
 def st_touches(a: pd.Series, b: pd.Series) -> pd.Series:
-    return _binary_bool(_touches, a, b)
+    def law(*bb):
+        return _law_intersects(*bb) & ~_law_strict(*bb)
+
+    return _rect_pair_predicate(a, b, law, _touches)
 
 @pandas_udf(BooleanType())
 def st_crosses(a: pd.Series, b: pd.Series) -> pd.Series:
-    return _binary_bool(_crosses, a, b)
+    def law(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2):
+        import numpy as np
+
+        # areal×areal crosses is false by definition
+        return np.zeros(len(ax1), dtype=bool)
+
+    return _rect_pair_predicate(a, b, law, _crosses)
 
 @pandas_udf(BooleanType())
 def st_overlaps(a: pd.Series, b: pd.Series) -> pd.Series:
-    return _binary_bool(_overlaps, a, b)
+    def law(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2):
+        a_in_b = (bx1 <= ax1) & (ax2 <= bx2) & (by1 <= ay1) & (ay2 <= by2)
+        b_in_a = (ax1 <= bx1) & (bx2 <= ax2) & (ay1 <= by1) & (by2 <= ay2)
+        return (_law_strict(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2)
+                & ~a_in_b & ~b_in_a)
+
+    return _rect_pair_predicate(a, b, law, _overlaps)
 
 @pandas_udf(BooleanType())
 def st_equals(a: pd.Series, b: pd.Series) -> pd.Series:
-    return _binary_bool(_equals, a, b)
+    def law(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2):
+        return ((ax1 == bx1) & (ay1 == by1) & (ax2 == bx2) & (ay2 == by2))
+
+    return _rect_pair_predicate(a, b, law, _equals)
 
 @pandas_udf(LongType())
 def st_numgeometries(s: pd.Series) -> pd.Series:

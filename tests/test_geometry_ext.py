@@ -1307,3 +1307,53 @@ def test_st_dump_and_collect_known_values():
             == "POINT (1 2)")
     assert (collect(pd.Series([None], dtype="float64"),
                     pd.Series([None], dtype="float64")) == "POINT EMPTY")
+
+
+def test_predicate_udf_fast_path_equals_scalar_on_mixed_batch():
+    """The vectorized rect×rect interval fast path inside the predicate
+    UDFs must agree with the scalar kernel row-for-row on a batch mixing
+    canonical rects, non-rect polygons, lines, points, EMPTY, and NULL —
+    every dispatch boundary in one Arrow batch."""
+    import pandas as pd
+
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions import (
+        spatial as S)
+
+    A = ["POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"] * 6 + [
+        "POLYGON ((0 0, 4 0, 2 3, 0 0))",   # triangle: not a rect
+        "LINESTRING (0 0, 10 10)",
+        "POINT (5 5)",
+        "POINT EMPTY",
+        None,
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+    ]
+    B = ["POLYGON ((10 0, 20 0, 20 10, 10 10, 10 0))",   # edge touch
+         "POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))",      # overlap
+         "POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))",          # inside
+         "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",      # equal
+         "POLYGON ((50 50, 60 50, 60 60, 50 60, 50 50))",  # far
+         "LINESTRING (-5 5, 15 5)",                      # line vs rect
+         "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+         "LINESTRING (0 10, 10 0)",
+         "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+         "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+         "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+         None]
+    sa, sb = pd.Series(A), pd.Series(B)
+    pairs = [
+        (S.st_intersects.func, S._intersects),
+        (S.st_touches.func, S._touches),
+        (S.st_crosses.func, S._crosses),
+        (S.st_overlaps.func, S._overlaps),
+        (S.st_equals.func, S._equals),
+    ]
+    for udf_fn, scalar_fn in pairs:
+        got = list(udf_fn(sa, sb))
+        want = [None if x is None or y is None else scalar_fn(x, y)
+                for x, y in zip(A, B)]
+        assert got == want, (scalar_fn.__name__, got, want)
+    got = list(S.st_disjoint.func(sa, sb))
+    want = [None if x is None or y is None else
+            (None if (v := S._intersects(x, y)) is None else not v)
+            for x, y in zip(A, B)]
+    assert got == want
