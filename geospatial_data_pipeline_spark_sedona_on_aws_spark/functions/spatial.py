@@ -400,6 +400,56 @@ def _crosses(a: str | None, b: str | None) -> bool | None:
                    for x, y in pts)
     return not _contains(high, low)
 
+def _relate(a: str | None, b: str | None) -> str | None:
+    """ST_Relate: the DE-9IM intersection matrix (row-major II IB IE /
+    BI BB BE / EI EB EE) for AREAL×AREAL pairs — each cell derived from
+    primitives the engine already trusts:
+
+      II  interiors are open sets, so their intersection is open — dim 2
+          iff intersection_area > 0, else F
+      IB  b's boundary (a closed lineal ring set) passing through a's
+          interior is a relatively open curve piece — dim 1 iff the
+          typed lineal×areal interiors test fires, else F (never dim 0)
+      IE/EI  a's interior escapes b's closure iff NOT covers(b, a)
+      BB  dim 1 on a shared positive-length boundary stretch
+          (lineal_shared_length), dim 0 when boundaries merely touch
+          (segment distance 0), else F
+      BE/EB  a's boundary escapes b's closure iff NOT covers(b, ∂a)
+      EE  always 2 (both exteriors are unbounded)
+
+    Contract: areal operands only (the boundary-clip step shares
+    intersection_typed's convex restriction); NULL → NULL; EMPTY raises.
+    Puntal/lineal relate is served by the named predicate family."""
+    if a is None or b is None:
+        return None
+    if not (_is_areal(a) and _is_areal(b)):
+        raise G.GeomError("ST_Relate supports areal×areal operands "
+                          "(use the named predicates for other pairs)")
+    if _is_empty_geom(a) or _is_empty_geom(b):
+        raise G.GeomError("ST_Relate on EMPTY input")
+    ga, gb = G.parse_wkt(a), G.parse_wkt(b)
+    a_in_b = _contains(b, a)
+    b_in_a = _contains(a, b)
+    bnd_a = GT.parse_wkt(_boundary(a))
+    bnd_b = GT.parse_wkt(_boundary(b))
+    ta, tb = GT.parse_wkt(a), GT.parse_wkt(b)
+
+    ii = "2" if B.intersection_area(ga, gb) > 0.0 else "F"
+    ib = "1" if GT.interiors_intersect(bnd_b, ta) else "F"
+    bi = "1" if GT.interiors_intersect(bnd_a, tb) else "F"
+    ie = "F" if a_in_b else "2"
+    ei = "F" if b_in_a else "2"
+    if GT.lineal_shared_length(bnd_a, bnd_b) > 0.0:
+        bb = "1"
+    else:
+        touch = any(GT._seg_seg_dist2(s1, s2) == 0.0
+                    for s1 in GT.segments_of(bnd_a)
+                    for s2 in GT.segments_of(bnd_b))
+        bb = "0" if touch else "F"
+    be = "F" if GT.contains(tb, bnd_a) else "1"
+    eb = "F" if GT.contains(ta, bnd_b) else "1"
+    return f"{ii}{ib}{ie}{bi}{bb}{be}{ei}{eb}2"
+
 def _overlaps(a: str | None, b: str | None) -> bool | None:
     """JTS overlaps: same dimension, interiors share a region of that same
     dimension, and neither covers the other."""
@@ -1205,6 +1255,10 @@ def st_equals(a: pd.Series, b: pd.Series) -> pd.Series:
 
     return _rect_pair_predicate(a, b, law, _equals)
 
+@pandas_udf(StringType())
+def st_relate(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series([_relate(x, y) for x, y in zip(a, b)], index=a.index)
+
 @pandas_udf(LongType())
 def st_numgeometries(s: pd.Series) -> pd.Series:
     return s.map(_num_geometries, na_action="ignore").astype("Int64")
@@ -1445,6 +1499,7 @@ _REGISTRY = {
     "ST_Crosses": st_crosses,
     "ST_Overlaps": st_overlaps,
     "ST_Equals": st_equals,
+    "ST_Relate": st_relate,
     "ST_NumGeometries": st_numgeometries,
     "ST_GeometryN": st_geometryn,
     "ST_PointN": st_pointn,

@@ -1847,3 +1847,81 @@ SELECT region_id,
 FROM base
 GROUP BY region_id
 """
+
+
+def st_relate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Relate — the full 9-cell DE-9IM matrix string per
+    (parcel, region) pair. The oracle rebuilds every cell from interval
+    arithmetic: II = strict overlap; IB/BI = an axis-aligned edge of one
+    rect crossing the other's open interior; BB = collinear edge overlap
+    (dim 1) vs bare boundary contact (dim 0); IE/EI and BE/EB from closed
+    containment; EE constant 2. Any drift in any cell of the kernel's
+    matrix breaks the hash."""
+    from ..functions.spatial import register_spatial_functions
+
+    register_spatial_functions(spark)
+    lu = fixtures.land_use_areas(spark, sf_dir).where("property_id % 5 = 0")
+    regions = fixtures.geographic_regions(spark, sf_dir)
+    j = lu.join(F.broadcast(regions), lu["region_id"] == regions["id"],
+                "inner")
+    return j.selectExpr(
+        "property_id",
+        "ST_Relate(land_geometry, region_geometry) AS de9im",
+    )
+
+
+ST_RELATE_MATRIX_ORACLE = f"""
+WITH {fixtures.LAND_USE_CTE.strip()},
+{fixtures.REGIONS_CTE.strip()},
+j AS (
+    SELECT lu.property_id, lu.x1 AS ax1, lu.y1 AS ay1,
+           lu.x2 AS ax2, lu.y2 AS ay2,
+           r.gx1 AS bx1, r.gy1 AS by1, r.gx2 AS bx2, r.gy2 AS by2
+    FROM land_use lu JOIN regions r ON lu.region_id = r.id
+    WHERE lu.property_id % 5 = 0
+),
+c AS (
+    SELECT property_id,
+           (ax1 <= bx2 AND bx1 <= ax2 AND ay1 <= by2 AND by1 <= ay2)
+               AS inter,
+           (ax1 < bx2 AND bx1 < ax2 AND ay1 < by2 AND by1 < ay2)
+               AS strict_i,
+           (bx1 <= ax1 AND ax2 <= bx2 AND by1 <= ay1 AND ay2 <= by2)
+               AS a_in_b,
+           (ax1 <= bx1 AND bx2 <= ax2 AND ay1 <= by1 AND by2 <= ay2)
+               AS b_in_a,
+           (bx1 < ax1 AND ax2 < bx2 AND by1 < ay1 AND ay2 < by2)
+               AS a_strict_in_b,
+           (ax1 < bx1 AND bx2 < ax2 AND ay1 < by1 AND by2 < ay2)
+               AS b_strict_in_a,
+           -- an edge of b crossing a's OPEN interior (IB), and vice versa
+           (((ax1 < bx1 AND bx1 < ax2) OR (ax1 < bx2 AND bx2 < ax2))
+             AND least(ay2, by2) > greatest(ay1, by1))
+           OR (((ay1 < by1 AND by1 < ay2) OR (ay1 < by2 AND by2 < ay2))
+             AND least(ax2, bx2) > greatest(ax1, bx1)) AS b_edge_in_a,
+           (((bx1 < ax1 AND ax1 < bx2) OR (bx1 < ax2 AND ax2 < bx2))
+             AND least(ay2, by2) > greatest(ay1, by1))
+           OR (((by1 < ay1 AND ay1 < by2) OR (by1 < ay2 AND ay2 < by2))
+             AND least(ax2, bx2) > greatest(ax1, bx1)) AS a_edge_in_b,
+           -- collinear boundary overlap of positive length (BB dim 1)
+           ((ax1 = bx1 OR ax1 = bx2 OR ax2 = bx1 OR ax2 = bx2)
+             AND least(ay2, by2) > greatest(ay1, by1))
+           OR ((ay1 = by1 OR ay1 = by2 OR ay2 = by1 OR ay2 = by2)
+             AND least(ax2, bx2) > greatest(ax1, bx1)) AS bb_shared
+    FROM j
+)
+SELECT property_id,
+       concat(
+           CASE WHEN strict_i THEN '2' ELSE 'F' END,
+           CASE WHEN b_edge_in_a THEN '1' ELSE 'F' END,
+           CASE WHEN a_in_b THEN 'F' ELSE '2' END,
+           CASE WHEN a_edge_in_b THEN '1' ELSE 'F' END,
+           CASE WHEN bb_shared THEN '1'
+                WHEN inter AND NOT a_strict_in_b AND NOT b_strict_in_a
+                THEN '0' ELSE 'F' END,
+           CASE WHEN a_in_b THEN 'F' ELSE '1' END,
+           CASE WHEN b_in_a THEN 'F' ELSE '2' END,
+           CASE WHEN b_in_a THEN 'F' ELSE '1' END,
+           '2') AS de9im
+FROM c
+"""

@@ -154,6 +154,7 @@ QUERIES: dict[str, QueryFn] = {
     "st_metadata_ops": P.st_metadata_ops,       # r6: metadata/affine set
     "streaming_geofence": EV.streaming_geofence,  # r6: ST_* under streaming
     "st_collect_dump": P.st_collect_dump,       # r6: geometry UDAF + dump
+    "st_relate_matrix": P.st_relate_matrix,     # r6: full DE-9IM matrix
     "spatial_range_join": SJ.spatial_range_join,
     # r6: the documented non-broadcast scale path, same oracle — the pair
     # generator as a hash join on cell ids instead of a broadcast
@@ -286,6 +287,7 @@ _R6_WINDOW = [
     "st_metadata_ops",       # metadata/affine accessor set
     "streaming_geofence",    # first ST_* under Structured Streaming
     "st_collect_dump",       # ST_Collect UDAF + ST_Dump explode
+    "st_relate_matrix",      # full DE-9IM matrix string
     # --- operator code changed this round (8) ---
     "trajectory_similarity_pairs",   # per-cell verify rewrite
     "spatial_range_join",            # broadcast_dim param
@@ -296,9 +298,10 @@ _R6_WINDOW = [
     # st_predicates, both seated)
     "st_geometry_ops",               # shared scalars gained type routing
     # --- ST_* scalars gained the typed-kernel prefix dispatch ---
-    # (st_area_rect rotated out for the new suites: the shared scalars it
-    # exercises are covered by st_geometry_ops + st_intersection_area)
-    "st_intersection_area",
+    # (st_area_rect and st_intersection_area rotated out for the new
+    # suites: their shared scalars are covered by st_geometry_ops, and
+    # the boolean-kernel intersection now also backs st_relate_matrix's
+    # II cell on every seated pair)
     "st_buffer_round",
     "st_convex_hull",
     # (st_transform_roundtrip rotated out: the CRS scalars are covered by
@@ -390,6 +393,7 @@ ORACLES: dict[str, str] = {
     "st_metadata_ops": P.ST_METADATA_OPS_ORACLE,
     "streaming_geofence": EV.STREAMING_GEOFENCE_ORACLE,
     "st_collect_dump": P.ST_COLLECT_DUMP_ORACLE,
+    "st_relate_matrix": P.ST_RELATE_MATRIX_ORACLE,
     "spatial_range_join": SJ.SPATIAL_RANGE_JOIN_ORACLE,
     "spatial_range_join_fallback": SJ.SPATIAL_RANGE_JOIN_ORACLE,
     "geo_range_join": SJ.GEO_RANGE_JOIN_ORACLE,

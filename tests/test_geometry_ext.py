@@ -1357,3 +1357,91 @@ def test_predicate_udf_fast_path_equals_scalar_on_mixed_batch():
             (None if (v := S._intersects(x, y)) is None else not v)
             for x, y in zip(A, B)]
     assert got == want
+
+
+# ------------------------------------------------------- r6: ST_Relate
+
+def test_relate_known_matrices():
+    """Canonical DE-9IM matrices for every rect relationship class."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions.spatial import (
+        _relate)
+
+    R = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+    cases = {
+        R: "2FFF1FFF2",                                         # equals
+        "POLYGON ((10 0, 20 0, 20 10, 10 10, 10 0))":
+            "FF2F11212",                                        # edge touch
+        "POLYGON ((10 10, 20 10, 20 20, 10 20, 10 10))":
+            "FF2F01212",                                        # corner touch
+        "POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))": "212101212",  # overlap
+        "POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))": "212FF1FF2",     # contains
+        "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))": "212F11FF2",     # contains+edge
+        "POLYGON ((50 50, 60 50, 60 60, 50 60, 50 50))":
+            "FF2FF1212",                                        # disjoint
+    }
+    for other, expect in cases.items():
+        assert _relate(R, other) == expect, other
+    # within = transpose of contains
+    assert _relate("POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))", R) == "2FF1FF212"
+    import pytest
+
+    with pytest.raises(G.GeomError):
+        _relate("POINT (1 2)", R)
+    assert _relate(None, R) is None
+
+
+@given(
+    x1=st.integers(0, 25), y1=st.integers(0, 25),
+    w1=st.integers(1, 8), h1=st.integers(1, 8),
+    x2=st.integers(0, 25), y2=st.integers(0, 25),
+    w2=st.integers(1, 8), h2=st.integers(1, 8),
+)
+@settings(max_examples=120, deadline=None)
+def test_prop_relate_matches_interval_matrix(x1, y1, w1, h1,
+                                             x2, y2, w2, h2):
+    """The kernel's DE-9IM matrix equals ST_RELATE_MATRIX_ORACLE's
+    interval closed form cell-for-cell on arbitrary rect pairs."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions.spatial import (
+        _relate)
+
+    ax1, ay1, ax2, ay2 = x1, y1, x1 + w1, y1 + h1
+    bx1, by1, bx2, by2 = x2, y2, x2 + w2, y2 + h2
+
+    def rect(a, b, c, d):
+        return f"POLYGON (({a} {b}, {c} {b}, {c} {d}, {a} {d}, {a} {b}))"
+
+    inter = ax1 <= bx2 and bx1 <= ax2 and ay1 <= by2 and by1 <= ay2
+    strict = ax1 < bx2 and bx1 < ax2 and ay1 < by2 and by1 < ay2
+    a_in_b = bx1 <= ax1 and ax2 <= bx2 and by1 <= ay1 and ay2 <= by2
+    b_in_a = ax1 <= bx1 and bx2 <= ax2 and ay1 <= by1 and by2 <= ay2
+    a_strict = bx1 < ax1 and ax2 < bx2 and by1 < ay1 and ay2 < by2
+    b_strict = ax1 < bx1 and bx2 < ax2 and ay1 < by1 and by2 < ay2
+
+    def edge_in(px1, py1, px2, py2, qx1, qy1, qx2, qy2):
+        # an edge of q crossing p's open interior
+        return (((px1 < qx1 < px2) or (px1 < qx2 < px2))
+                and min(py2, qy2) > max(py1, qy1)) or \
+               (((py1 < qy1 < py2) or (py1 < qy2 < py2))
+                and min(px2, qx2) > max(px1, qx1))
+
+    b_edge_in_a = edge_in(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2)
+    a_edge_in_b = edge_in(bx1, by1, bx2, by2, ax1, ay1, ax2, ay2)
+    bb_shared = ((ax1 in (bx1, bx2) or ax2 in (bx1, bx2))
+                 and min(ay2, by2) > max(ay1, by1)) or \
+                ((ay1 in (by1, by2) or ay2 in (by1, by2))
+                 and min(ax2, bx2) > max(ax1, bx1))
+
+    expect = "".join([
+        "2" if strict else "F",
+        "1" if b_edge_in_a else "F",
+        "F" if a_in_b else "2",
+        "1" if a_edge_in_b else "F",
+        "1" if bb_shared else
+        ("0" if inter and not a_strict and not b_strict else "F"),
+        "F" if a_in_b else "1",
+        "F" if b_in_a else "2",
+        "F" if b_in_a else "1",
+        "2",
+    ])
+    got = _relate(rect(ax1, ay1, ax2, ay2), rect(bx1, by1, bx2, by2))
+    assert got == expect
