@@ -734,6 +734,107 @@ def _azimuth(a: str | None, b: str | None) -> float | None:
     az = math.atan2(x2 - x1, y2 - y1)
     return az if az >= 0 else az + 2 * math.pi
 
+# ------------------------------------------------------- linear referencing
+
+def _line_interpolate_point(s: str | None, f: float) -> str | None:
+    """ST_LineInterpolatePoint: the point at fraction f ∈ [0, 1] of the
+    LINESTRING's total length (f clamped like PostGIS raises — the
+    engine's SQL surface prefers clamping; NULL for non-linestrings or
+    zero-length lines)."""
+    import math
+
+    if s is None:
+        return None
+    kind, data = GT.parse_wkt(s)
+    if kind != "LINESTRING" or not data:
+        return None
+    path = data[0]
+    segs = list(zip(path, path[1:]))
+    lens = [math.hypot(q[0] - p[0], q[1] - p[1]) for p, q in segs]
+    total = sum(lens)
+    if total == 0.0:
+        return None
+    target = min(1.0, max(0.0, f)) * total
+    for (p, q), ln in zip(segs, lens):
+        if target <= ln or (p, q) == segs[-1]:
+            t = 0.0 if ln == 0.0 else target / ln
+            t = min(1.0, t)
+            return GT.to_wkt(("POINT", [(p[0] + t * (q[0] - p[0]),
+                                         p[1] + t * (q[1] - p[1]))]))
+        target -= ln
+    return None  # unreachable
+
+def _line_locate_point(s: str | None, pt: str | None) -> float | None:
+    """ST_LineLocatePoint: the fraction of the LINESTRING's length at
+    the point on it closest to the given POINT."""
+    import math
+
+    if s is None or pt is None:
+        return None
+    kind, data = GT.parse_wkt(s)
+    kp, dp = GT.parse_wkt(pt)
+    if kind != "LINESTRING" or not data or kp != "POINT" or not dp:
+        return None
+    (px, py) = dp[0]
+    path = data[0]
+    best_d2, best_arc = math.inf, 0.0
+    arc = 0.0
+    for p, q in zip(path, path[1:]):
+        dx, dy = q[0] - p[0], q[1] - p[1]
+        ln2 = dx * dx + dy * dy
+        t = 0.0 if ln2 == 0 else max(
+            0.0, min(1.0, ((px - p[0]) * dx + (py - p[1]) * dy) / ln2))
+        cx, cy = p[0] + t * dx, p[1] + t * dy
+        d2 = (px - cx) ** 2 + (py - cy) ** 2
+        ln = math.sqrt(ln2)
+        if d2 < best_d2:
+            best_d2 = d2
+            best_arc = arc + t * ln
+        arc += ln
+    return 0.0 if arc == 0.0 else best_arc / arc
+
+def _closest_point(a: str | None, b: str | None) -> str | None:
+    """ST_ClosestPoint: the point ON a closest to b. Puntal/lineal a via
+    per-segment projection; areal a via boundary projection unless b's
+    representative point is inside (then b's point itself, distance 0 —
+    the PostGIS convention). b contributes its vertices (exact for
+    puntal b and for disjoint convex pairs; documented approximation
+    for overlapping non-puntal pairs)."""
+    import math
+
+    if a is None or b is None:
+        return None
+    ta = GT.parse_wkt(a)
+    tb = GT.parse_wkt(b)
+    pb = GT.points_of(tb)
+    if not pb or not GT.points_of(ta):
+        return None
+    ka, da = ta
+    if ka in ("POLYGON", "MULTIPOLYGON"):
+        for (x, y) in pb:
+            if GT.point_in_polygon(x, y, da):
+                return GT.to_wkt(("POINT", [(x, y)]))
+    segs = GT.segments_of(ta)
+    best_d2, best = math.inf, None
+    if segs:
+        for (x, y) in pb:
+            for sx1, sy1, sx2, sy2 in segs:
+                dx, dy = sx2 - sx1, sy2 - sy1
+                ln2 = dx * dx + dy * dy
+                t = 0.0 if ln2 == 0 else max(
+                    0.0, min(1.0, ((x - sx1) * dx + (y - sy1) * dy) / ln2))
+                cx, cy = sx1 + t * dx, sy1 + t * dy
+                d2 = (x - cx) ** 2 + (y - cy) ** 2
+                if d2 < best_d2:
+                    best_d2, best = d2, (cx, cy)
+    else:
+        for (ax, ay) in GT.points_of(ta):
+            for (x, y) in pb:
+                d2 = (ax - x) ** 2 + (ay - y) ** 2
+                if d2 < best_d2:
+                    best_d2, best = d2, (ax, ay)
+    return None if best is None else GT.to_wkt(("POINT", [best]))
+
 # ------------------------------------------------------ GeoJSON interchange
 
 def _geojson_coords(kind: str, data) -> list:
@@ -1386,6 +1487,23 @@ def st_geohash(s: pd.Series, p: pd.Series) -> pd.Series:
          for g, kk in zip(s, pp)], index=s.index)
 
 @pandas_udf(StringType())
+def st_lineinterpolatepoint(s: pd.Series, f: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if g is None or pd.isna(x)
+         else _line_interpolate_point(g, float(x))
+         for g, x in zip(s, f)], index=s.index)
+
+@pandas_udf(DoubleType())
+def st_linelocatepoint(s: pd.Series, p: pd.Series) -> pd.Series:
+    return pd.Series([_line_locate_point(g, q) for g, q in zip(s, p)],
+                     index=s.index, dtype="float64")
+
+@pandas_udf(StringType())
+def st_closestpoint(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series([_closest_point(x, y) for x, y in zip(a, b)],
+                     index=a.index)
+
+@pandas_udf(StringType())
 def st_geometrytype(s: pd.Series) -> pd.Series:
     return s.map(_geometry_type, na_action="ignore")
 
@@ -1526,6 +1644,9 @@ _REGISTRY = {
     "ST_CoveredBy": st_coveredby,
     "ST_Dump": st_dump,
     "ST_Collect_Aggr": st_collect_aggr,
+    "ST_LineInterpolatePoint": st_lineinterpolatepoint,
+    "ST_LineLocatePoint": st_linelocatepoint,
+    "ST_ClosestPoint": st_closestpoint,
 }
 
 def register_spatial_functions(spark: SparkSession) -> None:

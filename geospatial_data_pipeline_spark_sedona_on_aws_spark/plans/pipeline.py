@@ -1925,3 +1925,74 @@ SELECT property_id,
            '2') AS de9im
 FROM c
 """
+
+
+def st_linear_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear referencing — ST_LineInterpolatePoint / ST_LineLocatePoint /
+    ST_ClosestPoint over the 2-segment fixture polyline (lengths l1 =
+    √(dx²+dy²) and 3). Closed forms: the f=0.5 interpolation lands on
+    segment 1 iff l1 ≥ 3 (no fixture (dx,dy) satisfies l1 = 3 exactly, so
+    the branch predicate can't tie); locating the interpolated point back
+    must return 0.5 (inverse property); locating the shared mid-vertex
+    returns l1/(l1+3) — Python keeps the FIRST zero-distance projection
+    (strict <), i.e. segment 1's arc; ST_ClosestPoint of a rect to a
+    point is the integer-exact coordinate clamp."""
+    from ..functions.spatial import register_spatial_functions
+
+    register_spatial_functions(spark)
+    j = _orders_line_base(spark, sf_dir, modulus=5)
+    line = ("concat('LINESTRING (', px, ' ', py, ', ', px + dx, ' ',"
+            " py + dy, ', ', px + dx, ' ', py + dy + 3, ')')")
+    probe = "concat('POINT (', px + 60, ' ', py + 60, ')')"
+    return j.selectExpr(
+        "point_id",
+        f"CAST(round(ST_X(ST_LineInterpolatePoint({line}, 0.5)) * 1e6)"
+        " AS BIGINT) AS interp_x_q",
+        f"CAST(round(ST_Y(ST_LineInterpolatePoint({line}, 0.5)) * 1e6)"
+        " AS BIGINT) AS interp_y_q",
+        f"CAST(round(ST_LineLocatePoint({line},"
+        f" ST_LineInterpolatePoint({line}, 0.5)) * 1e6) AS BIGINT)"
+        " AS locate_mid_q",
+        f"CAST(round(ST_LineLocatePoint({line},"
+        " concat('POINT (', px + dx, ' ', py + dy, ')')) * 1e6) AS BIGINT)"
+        " AS locate_vertex_q",
+        f"CAST(ST_X(ST_ClosestPoint(region_geometry, {probe})) AS BIGINT)"
+        " AS clamp_x",
+        f"CAST(ST_Y(ST_ClosestPoint(region_geometry, {probe})) AS BIGINT)"
+        " AS clamp_y",
+    )
+
+
+ST_LINEAR_REF_ORACLE = f"""
+WITH {fixtures.REGIONS_CTE.strip()},
+base AS (
+    SELECT o_orderkey AS point_id,
+           o_custkey % 100            AS px,
+           (o_orderkey * 7) % 100     AS py,
+           1 + o_orderkey % 5         AS dx,
+           1 + o_custkey % 7          AS dy,
+           o_custkey % {fixtures.N_REGIONS} AS region_id
+    FROM orders
+    WHERE o_orderkey % 5 = 0
+),
+m AS (
+    SELECT b.*, r.gx1, r.gy1, r.gx2, r.gy2,
+           sqrt(CAST(dx * dx + dy * dy AS DOUBLE)) AS l1
+    FROM base b JOIN regions r ON b.region_id = r.id
+),
+i AS (
+    SELECT *, 0.5 * (l1 + 3) AS d FROM m
+)
+SELECT point_id,
+       CAST(round(CASE WHEN d <= l1 THEN px + dx * (d / l1)
+                       ELSE CAST(px + dx AS DOUBLE) END * 1e6) AS BIGINT)
+           AS interp_x_q,
+       CAST(round(CASE WHEN d <= l1 THEN py + dy * (d / l1)
+                       ELSE py + dy + (d - l1) END * 1e6) AS BIGINT)
+           AS interp_y_q,
+       CAST(500000 AS BIGINT) AS locate_mid_q,
+       CAST(round(l1 / (l1 + 3) * 1e6) AS BIGINT) AS locate_vertex_q,
+       greatest(gx1, least(gx2, px + 60)) AS clamp_x,
+       greatest(gy1, least(gy2, py + 60)) AS clamp_y
+FROM i
+"""

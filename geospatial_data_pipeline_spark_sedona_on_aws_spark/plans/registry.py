@@ -155,6 +155,7 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_geofence": EV.streaming_geofence,  # r6: ST_* under streaming
     "st_collect_dump": P.st_collect_dump,       # r6: geometry UDAF + dump
     "st_relate_matrix": P.st_relate_matrix,     # r6: full DE-9IM matrix
+    "st_linear_ref": P.st_linear_ref,           # r6: linear referencing
     "spatial_range_join": SJ.spatial_range_join,
     # r6: the documented non-broadcast scale path, same oracle — the pair
     # generator as a hash join on cell ids instead of a broadcast
@@ -288,6 +289,7 @@ _R6_WINDOW = [
     "streaming_geofence",    # first ST_* under Structured Streaming
     "st_collect_dump",       # ST_Collect UDAF + ST_Dump explode
     "st_relate_matrix",      # full DE-9IM matrix string
+    "st_linear_ref",         # linear referencing family
     # --- operator code changed this round (8) ---
     "trajectory_similarity_pairs",   # per-cell verify rewrite
     "spatial_range_join",            # broadcast_dim param
@@ -302,7 +304,10 @@ _R6_WINDOW = [
     # suites: their shared scalars are covered by st_geometry_ops, and
     # the boolean-kernel intersection now also backs st_relate_matrix's
     # II cell on every seated pair)
-    "st_buffer_round",
+    # (st_buffer_round rotated out for st_linear_ref: the shared prefix
+    # dispatch it would re-verify is covered by st_geometry_ops +
+    # st_line_clip, both seated; its own scalar is unchanged since its
+    # r5 driver-green + judge-replica rows)
     "st_convex_hull",
     # (st_transform_roundtrip rotated out: the CRS scalars are covered by
     # st_transform_utm + crop_analytics_utm, both seated)
@@ -394,6 +399,7 @@ ORACLES: dict[str, str] = {
     "streaming_geofence": EV.STREAMING_GEOFENCE_ORACLE,
     "st_collect_dump": P.ST_COLLECT_DUMP_ORACLE,
     "st_relate_matrix": P.ST_RELATE_MATRIX_ORACLE,
+    "st_linear_ref": P.ST_LINEAR_REF_ORACLE,
     "spatial_range_join": SJ.SPATIAL_RANGE_JOIN_ORACLE,
     "spatial_range_join_fallback": SJ.SPATIAL_RANGE_JOIN_ORACLE,
     "geo_range_join": SJ.GEO_RANGE_JOIN_ORACLE,

@@ -1445,3 +1445,58 @@ def test_prop_relate_matches_interval_matrix(x1, y1, w1, h1,
     ])
     got = _relate(rect(ax1, ay1, ax2, ay2), rect(bx1, by1, bx2, by2))
     assert got == expect
+
+
+# ------------------------------------------- r6: linear referencing
+
+def test_linear_referencing_known_values():
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions.spatial import (
+        _closest_point, _line_interpolate_point, _line_locate_point)
+
+    L = "LINESTRING (0 0, 10 0)"
+    assert _line_interpolate_point(L, 0.0) == "POINT (0 0)"
+    assert _line_interpolate_point(L, 0.5) == "POINT (5 0)"
+    assert _line_interpolate_point(L, 1.0) == "POINT (10 0)"
+    assert _line_interpolate_point(L, 1.5) == "POINT (10 0)"  # clamps
+    assert _line_interpolate_point(L, -1.0) == "POINT (0 0)"
+    L2 = "LINESTRING (0 0, 4 0, 4 4)"   # lengths 4 and 4
+    assert _line_interpolate_point(L2, 0.25) == "POINT (2 0)"
+    assert _line_interpolate_point(L2, 0.75) == "POINT (4 2)"
+    assert _line_interpolate_point("POINT (1 2)", 0.5) is None
+    assert _line_interpolate_point("LINESTRING (3 3, 3 3)", 0.5) is None
+
+    assert _line_locate_point(L, "POINT (3 0)") == 0.3
+    assert _line_locate_point(L, "POINT (3 7)") == 0.3   # projects down
+    assert _line_locate_point(L, "POINT (-5 0)") == 0.0  # clamps to start
+    assert _line_locate_point(L, "POINT (99 0)") == 1.0
+    assert _line_locate_point(L2, "POINT (4 0)") == 0.5  # shared vertex:
+    # first zero-distance projection wins (segment 1's arc)
+    assert _line_locate_point(L2, "POINT (5 3)") == 0.875
+
+    R = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+    assert _closest_point(R, "POINT (15 5)") == "POINT (10 5)"
+    assert _closest_point(R, "POINT (15 15)") == "POINT (10 10)"
+    assert _closest_point(R, "POINT (5 5)") == "POINT (5 5)"    # inside
+    assert _closest_point(R, "POINT (10 5)") == "POINT (10 5)"  # boundary
+    assert _closest_point(L, "POINT (3 7)") == "POINT (3 0)"
+    assert (_closest_point("MULTIPOINT (0 0, 10 10)", "POINT (2 2)")
+            == "POINT (0 0)")
+
+
+@given(px=st.integers(0, 99), py=st.integers(0, 99),
+       dx=st.integers(1, 5), dy=st.integers(1, 7),
+       fq=st.integers(0, 8))
+@settings(max_examples=100, deadline=None)
+def test_prop_interpolate_locate_inverse(px, py, dx, dy, fq):
+    """locate(line, interpolate(line, f)) == f on the fixture polyline —
+    the inverse property ST_LINEAR_REF pins at f=0.5, here over the whole
+    lattice and fraction grid."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions.spatial import (
+        _line_interpolate_point, _line_locate_point)
+
+    f = fq / 8.0
+    line = (f"LINESTRING ({px} {py}, {px+dx} {py+dy}, "
+            f"{px+dx} {py+dy+3})")
+    pt = _line_interpolate_point(line, f)
+    got = _line_locate_point(line, pt)
+    assert abs(got - f) < 1e-9
