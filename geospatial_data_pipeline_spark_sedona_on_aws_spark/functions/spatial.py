@@ -280,8 +280,9 @@ def _intersection(a: str | None, b: str | None) -> str | None:
     if a is None or b is None:
         return None
     if not (_is_areal(a) and _is_areal(b)):
-        # typed pairs: puntal membership, lineal×convex-areal Cyrus–Beck
-        # clip (kernel/geomtypes.intersection_typed); empty puntal/lineal
+        # typed pairs: puntal membership, lineal×areal clip (Cyrus–Beck
+        # convex fast path or the r6 general even-odd clip —
+        # kernel/geomtypes.intersection_typed); empty puntal/lineal
         # results serialize as their EMPTY literal
         return GT.to_wkt(GT.intersection_typed(GT.parse_wkt(a),
                                                GT.parse_wkt(b)))
@@ -417,8 +418,7 @@ def _relate(a: str | None, b: str | None) -> str | None:
       BE/EB  a's boundary escapes b's closure iff NOT covers(b, ∂a)
       EE  always 2 (both exteriors are unbounded)
 
-    Contract: areal operands only (the boundary-clip step shares
-    intersection_typed's convex restriction); NULL → NULL; EMPTY raises.
+    Contract: areal operands only; NULL → NULL; EMPTY raises.
     Puntal/lineal relate is served by the named predicate family."""
     if a is None or b is None:
         return None

@@ -468,12 +468,92 @@ def clip_path_convex(path: list[tuple[float, float]],
     return out
 
 
+def clip_path_general(path: list[tuple[float, float]], geom: list
+                      ) -> list[list[tuple[float, float]]]:
+    """Intersection of an open polyline with an ARBITRARY even-odd
+    polygon set (non-convex, holes, multipolygons): each segment splits
+    at every parameter where it meets a polygon edge (proper crossings,
+    endpoint grazings, and collinear-edge endpoints all contribute split
+    points), and a subinterval survives iff its midpoint is inside the
+    closed region (even-odd ray cast, boundary counts — so pieces running
+    ALONG the boundary are kept, matching the closed-region semantics of
+    the convex Cyrus–Beck path). Continuity-merged like clip_path_convex;
+    single-point grazings collapse and are dropped."""
+    edges = []
+    for poly in geom:
+        for ring in poly:
+            n = len(ring)
+            for i in range(n):
+                edges.append((*ring[i], *ring[(i + 1) % n]))
+
+    pieces: list[list[tuple[float, float]]] = []
+    cur: list[tuple[float, float]] = []
+    for (ax, ay), (bx, by) in zip(path, path[1:]):
+        dx, dy = bx - ax, by - ay
+        ts = {0.0, 1.0}
+        for ex1, ey1, ex2, ey2 in edges:
+            fx, fy = ex2 - ex1, ey2 - ey1
+            den = dx * fy - dy * fx
+            if den != 0.0:
+                t = ((ex1 - ax) * fy - (ey1 - ay) * fx) / den
+                u = ((ex1 - ax) * dy - (ey1 - ay) * dx) / den
+                if 0.0 <= t <= 1.0 and 0.0 <= u <= 1.0:
+                    ts.add(t)
+            else:
+                # parallel: if collinear, the edge endpoints bound the
+                # shared stretch — add their parameters as split points
+                if dx * (ey1 - ay) - dy * (ex1 - ax) == 0.0:
+                    ln2 = dx * dx + dy * dy
+                    if ln2 > 0.0:
+                        for px_, py_ in ((ex1, ey1), (ex2, ey2)):
+                            t = ((px_ - ax) * dx + (py_ - ay) * dy) / ln2
+                            if 0.0 <= t <= 1.0:
+                                ts.add(t)
+        cuts = sorted(ts)
+        for t0, t1 in zip(cuts, cuts[1:]):
+            if t1 <= t0:
+                continue
+            mx = ax + (t0 + t1) / 2.0 * dx
+            my = ay + (t0 + t1) / 2.0 * dy
+            if point_in_polygon(mx, my, geom):
+                pa = (ax + t0 * dx, ay + t0 * dy) if t0 > 0 else (ax, ay)
+                pb = (ax + t1 * dx, ay + t1 * dy) if t1 < 1 else (bx, by)
+                if cur and cur[-1] == pa:
+                    cur.append(pb)
+                else:
+                    if len(cur) >= 2:
+                        pieces.append(cur)
+                    cur = [pa, pb]
+            else:
+                if len(cur) >= 2:
+                    pieces.append(cur)
+                cur = []
+    if len(cur) >= 2:
+        pieces.append(cur)
+    out = []
+    for piece in pieces:
+        dd = [p for i, p in enumerate(piece) if i == 0 or p != piece[i - 1]]
+        if len(dd) >= 2:
+            out.append(dd)
+    return out
+
+
+def clip_path(path: list[tuple[float, float]], geom: list
+              ) -> list[list[tuple[float, float]]]:
+    """Route a path×polygon-set clip: single convex hole-free polygon →
+    Cyrus–Beck (clip_path_convex, the O(edges) parametric fast path),
+    anything else → the general even-odd split-and-test."""
+    if len(geom) == 1 and len(geom[0]) == 1 and G._is_convex(geom[0][0]):
+        return clip_path_convex(path, geom[0][0])
+    return clip_path_general(path, geom)
+
+
 def intersection_typed(ta, tb):
     """ST_Intersection for the type pairs beyond areal×areal (which stays
     with kernel/boolean.py): puntal×any (point-in-geometry membership),
-    lineal×convex-areal (Cyrus–Beck clip), puntal/lineal×lineal on shared
-    vertices. Returns a tgeom; raises GeomError for lineal×non-convex
-    areal (needs the general kernel — documented boundary)."""
+    lineal×areal (Cyrus–Beck for single convex rings, the r6 general
+    even-odd split-and-test for non-convex/holed/multi polygons),
+    puntal/lineal×lineal on shared vertices. Returns a tgeom."""
     ka, da = ta
     kb, db = tb
     # order: lower dimension first
@@ -496,15 +576,11 @@ def intersection_typed(ta, tb):
         out = [p for p in kept if not (p in seen or seen.add(p))]
         return ("MULTIPOINT" if len(out) != 1 else "POINT", out)
     if ka in _LINEAL and kb in _AREAL:
-        from . import geom as G2
+        # r6: general even-odd clip (non-convex, holes, multipolygons)
+        # with the Cyrus–Beck fast path for single convex rings
         pieces: list[list[tuple[float, float]]] = []
-        for poly in db:
-            if len(poly) != 1 or not G2._is_convex(poly[0]):
-                raise GeomError(
-                    "lineal x areal intersection supports convex "
-                    "hole-free polygons (general kernel required)")
-            for path in da:
-                pieces.extend(clip_path_convex(path, poly[0]))
+        for path in da:
+            pieces.extend(clip_path(path, db))
         return ("MULTILINESTRING" if len(pieces) != 1 else "LINESTRING",
                 pieces)
     raise GeomError(
@@ -633,10 +709,10 @@ def interiors_intersect(ta, tb) -> bool:
     interior is the point; a linestring's interior excludes its terminal
     endpoints; a polygon's interior excludes its boundary rings.
 
-    Contract notes (documented engine boundaries): lineal×areal requires
-    convex hole-free polygons (same boundary as intersection_typed);
-    a multilinestring whose paths self-intersect may under-report a
-    terminal-on-other-path interior contact."""
+    Contract note (documented engine boundary): a multilinestring whose
+    paths self-intersect may under-report a terminal-on-other-path
+    interior contact. Lineal×areal covers arbitrary polygons since the
+    r6 general clip."""
     if dimension(ta) > dimension(tb):
         ta, tb = tb, ta
     ka, _ = ta
@@ -665,21 +741,17 @@ def interiors_intersect(ta, tb) -> bool:
                 if c is not None and c not in terms:
                     return True
         return False
-    # lineal × areal: clip to the (convex) polygon, then test piece
-    # midpoints for strict interiority — a piece running along the
-    # boundary has its midpoint ON the boundary and correctly fails
+    # lineal × areal: clip to the polygon set (general even-odd clip,
+    # r6), then test piece midpoints for strict interiority — a piece
+    # running along the boundary has its midpoint ON the boundary and
+    # correctly fails
     _, da = ta
-    for poly in db:
-        if len(poly) != 1 or not G._is_convex(poly[0]):
-            raise GeomError(
-                "lineal×areal interiors support convex hole-free "
-                "polygons (general kernel required)")
-        for path in da:
-            for piece in clip_path_convex(path, poly[0]):
-                for p, q in zip(piece, piece[1:]):
-                    mx, my = (p[0] + q[0]) / 2.0, (p[1] + q[1]) / 2.0
-                    if strictly_inside(mx, my, db):
-                        return True
+    for path in da:
+        for piece in clip_path(path, db):
+            for p, q in zip(piece, piece[1:]):
+                mx, my = (p[0] + q[0]) / 2.0, (p[1] + q[1]) / 2.0
+                if strictly_inside(mx, my, db):
+                    return True
     return False
 
 

@@ -1996,3 +1996,66 @@ SELECT point_id,
        greatest(gy1, least(gy2, py + 60)) AS clamp_y
 FROM i
 """
+
+
+def st_line_clip_lshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineal × NON-CONVEX areal ST_Intersection (the r6 general even-odd
+    clip): each order's segment clipped to an L-shaped region — the
+    region square with its top-right quadrant notched out above
+    (gx1+8, gy1+8). The oracle needs no polygon machinery at all: the
+    L is the union of the bottom strip A1 = [gx1,gx2]×[gy1,gy1+8] and
+    the left column A2 = [gx1,gx1+8]×[gy1,gy2], so by measure
+    additivity clip_len(L) = LB(A1) + LB(A2) − LB(A1∩A2), each term a
+    Liang–Barsky window against a plain rect (positive-slope segments,
+    denominators ≤ 7 — the same boundary-safety argument as
+    st_line_clip)."""
+    from ..functions.spatial import register_spatial_functions
+
+    register_spatial_functions(spark)
+    j = _orders_line_base(spark, sf_dir, modulus=5)
+    lshape = ("concat('POLYGON ((', gx1, ' ', gy1, ', ', gx2, ' ', gy1,"
+              " ', ', gx2, ' ', gy1 + 8, ', ', gx1 + 8, ' ', gy1 + 8,"
+              " ', ', gx1 + 8, ' ', gy2, ', ', gx1, ' ', gy2, ', ',"
+              " gx1, ' ', gy1, '))')")
+    line = ("concat('LINESTRING (', px, ' ', py, ', ', px + dx, ' ',"
+            " py + dy, ')')")
+    return j.selectExpr(
+        "point_id",
+        f"CAST(round(ST_Length(ST_Intersection({line}, {lshape})) * 1e6)"
+        " AS BIGINT) AS clip_len_q",
+    )
+
+
+def _lb_len_sql(rx1: str, ry1: str, rx2: str, ry2: str) -> str:
+    """Liang–Barsky clipped length of the positive-slope fixture segment
+    against a rect, as a SQL expression (dx, dy > 0 — no sentinels)."""
+    t0 = (f"greatest(0, ({rx1} - px) / CAST(dx AS DOUBLE),"
+          f" ({ry1} - py) / CAST(dy AS DOUBLE))")
+    t1 = (f"least(1, ({rx2} - px) / CAST(dx AS DOUBLE),"
+          f" ({ry2} - py) / CAST(dy AS DOUBLE))")
+    return (f"greatest(0, {t1} - {t0})"
+            " * sqrt(CAST(dx * dx + dy * dy AS DOUBLE))")
+
+
+ST_LINE_CLIP_LSHAPE_ORACLE = f"""
+WITH {fixtures.REGIONS_CTE.strip()},
+base AS (
+    SELECT o_orderkey AS point_id,
+           o_custkey % 100            AS px,
+           (o_orderkey * 7) % 100     AS py,
+           1 + o_orderkey % 5         AS dx,
+           1 + o_custkey % 7          AS dy,
+           o_custkey % {fixtures.N_REGIONS} AS region_id
+    FROM orders
+    WHERE o_orderkey % 5 = 0
+),
+m AS (SELECT b.*, r.gx1, r.gy1, r.gx2, r.gy2
+      FROM base b JOIN regions r ON b.region_id = r.id)
+SELECT point_id,
+       CAST(round((
+           {_lb_len_sql('gx1', 'gy1', 'gx2', 'gy1 + 8')}
+         + {_lb_len_sql('gx1', 'gy1', 'gx1 + 8', 'gy2')}
+         - {_lb_len_sql('gx1', 'gy1', 'gx1 + 8', 'gy1 + 8')}
+       ) * 1e6) AS BIGINT) AS clip_len_q
+FROM m
+"""

@@ -156,6 +156,7 @@ QUERIES: dict[str, QueryFn] = {
     "st_collect_dump": P.st_collect_dump,       # r6: geometry UDAF + dump
     "st_relate_matrix": P.st_relate_matrix,     # r6: full DE-9IM matrix
     "st_linear_ref": P.st_linear_ref,           # r6: linear referencing
+    "st_line_clip_lshape": P.st_line_clip_lshape,  # r6: general clip
     "spatial_range_join": SJ.spatial_range_join,
     # r6: the documented non-broadcast scale path, same oracle — the pair
     # generator as a hash join on cell ids instead of a broadcast
@@ -290,6 +291,7 @@ _R6_WINDOW = [
     "st_collect_dump",       # ST_Collect UDAF + ST_Dump explode
     "st_relate_matrix",      # full DE-9IM matrix string
     "st_linear_ref",         # linear referencing family
+    "st_line_clip_lshape",   # general even-odd clip (non-convex)
     # --- operator code changed this round (8) ---
     "trajectory_similarity_pairs",   # per-cell verify rewrite
     "spatial_range_join",            # broadcast_dim param
@@ -304,11 +306,11 @@ _R6_WINDOW = [
     # suites: their shared scalars are covered by st_geometry_ops, and
     # the boolean-kernel intersection now also backs st_relate_matrix's
     # II cell on every seated pair)
-    # (st_buffer_round rotated out for st_linear_ref: the shared prefix
-    # dispatch it would re-verify is covered by st_geometry_ops +
-    # st_line_clip, both seated; its own scalar is unchanged since its
-    # r5 driver-green + judge-replica rows)
-    "st_convex_hull",
+    # (st_buffer_round and st_convex_hull rotated out for st_linear_ref
+    # and st_line_clip_lshape: the shared prefix dispatch they would
+    # re-verify is covered by st_geometry_ops + st_line_clip, both
+    # seated; their own scalars are unchanged since their r5
+    # driver-green + judge-replica rows)
     # (st_transform_roundtrip rotated out: the CRS scalars are covered by
     # st_transform_utm + crop_analytics_utm, both seated)
     "st_transform_utm",
@@ -400,6 +402,7 @@ ORACLES: dict[str, str] = {
     "st_collect_dump": P.ST_COLLECT_DUMP_ORACLE,
     "st_relate_matrix": P.ST_RELATE_MATRIX_ORACLE,
     "st_linear_ref": P.ST_LINEAR_REF_ORACLE,
+    "st_line_clip_lshape": P.ST_LINE_CLIP_LSHAPE_ORACLE,
     "spatial_range_join": SJ.SPATIAL_RANGE_JOIN_ORACLE,
     "spatial_range_join_fallback": SJ.SPATIAL_RANGE_JOIN_ORACLE,
     "geo_range_join": SJ.GEO_RANGE_JOIN_ORACLE,

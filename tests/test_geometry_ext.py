@@ -804,9 +804,12 @@ def test_typed_intersection_known_shapes():
 
     with _pt.raises(G.GeomError):
         _intersection("LINESTRING (0 0, 1 1)", "LINESTRING (0 1, 1 0)")
-    with _pt.raises(G.GeomError):  # non-convex clip: documented boundary
-        _intersection("LINESTRING (0 0, 9 9)",
-                      "POLYGON ((0 0, 8 0, 8 8, 4 4, 0 8, 0 0))")
+    # non-convex clip: was a documented GeomError boundary until the r6
+    # general even-odd clip — the diagonal runs through the interior to
+    # the notch apex, then ALONG the notch edge (closed-region semantics)
+    assert (_intersection("LINESTRING (0 0, 9 9)",
+                          "POLYGON ((0 0, 8 0, 8 8, 4 4, 0 8, 0 0))")
+            == "LINESTRING (0 0, 4 4, 8 8)")
 
 
 @given(pts=st.lists(st.tuples(st.integers(-30, 30), st.integers(-30, 30)),
@@ -1500,3 +1503,98 @@ def test_prop_interpolate_locate_inverse(px, py, dx, dy, fq):
     pt = _line_interpolate_point(line, f)
     got = _line_locate_point(line, pt)
     assert abs(got - f) < 1e-9
+
+
+# --------------------------------------- r6: general even-odd line clip
+
+def test_general_clip_known_shapes():
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions.spatial import (
+        _intersection, _length)
+
+    L = "POLYGON ((0 0, 20 0, 20 8, 8 8, 8 20, 0 20, 0 0))"
+    assert _intersection("LINESTRING (-5 4, 25 4)", L) == \
+        "LINESTRING (0 4, 20 4)"
+    assert _intersection("LINESTRING (-5 12, 25 12)", L) == \
+        "LINESTRING (0 12, 8 12)"
+    # diagonal exits through the notch corner at (8, 8)
+    assert _intersection("LINESTRING (-2 -2, 22 22)", L) == \
+        "LINESTRING (0 0, 8 8)"
+    hole = ("POLYGON ((0 0, 20 0, 20 20, 0 20, 0 0), "
+            "(6 6, 6 14, 14 14, 14 6, 6 6))")
+    assert _intersection("LINESTRING (-5 10, 25 10)", hole) == \
+        "MULTILINESTRING ((0 10, 6 10), (14 10, 20 10))"
+    assert _length(_intersection("LINESTRING (-5 10, 25 10)", hole)) == 12.0
+    multi = ("MULTIPOLYGON (((0 0, 5 0, 5 5, 0 5, 0 0)), "
+             "((10 0, 15 0, 15 5, 10 5, 10 0)))")
+    assert _intersection("LINESTRING (-5 2, 20 2)", multi) == \
+        "MULTILINESTRING ((0 2, 5 2), (10 2, 15 2))"
+    # a segment running along the boundary is kept (closed region)
+    assert _intersection("LINESTRING (0 0, 20 0)", L) == \
+        "LINESTRING (0 0, 20 0)"
+    # tangent grazing at a corner collapses to a point and is dropped;
+    # the empty lineal result keeps its lineal type tag
+    assert _intersection("LINESTRING (-2 2, 2 -2)",
+                         "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))") == \
+        "LINESTRING EMPTY"
+
+
+@given(px=st.integers(-10, 110), py=st.integers(-10, 110),
+       qx=st.integers(-10, 110), qy=st.integers(-10, 110),
+       rx=st.integers(0, 50), ry=st.integers(0, 50),
+       w=st.integers(1, 40), h=st.integers(1, 40))
+@settings(max_examples=120, deadline=None)
+def test_prop_general_clip_equals_cyrus_beck_on_rects(px, py, qx, qy,
+                                                      rx, ry, w, h):
+    """On a convex rect the general even-odd clip must return the same
+    pieces as the Cyrus–Beck routing (which the routed clip_path picks
+    automatically) — checked by total length and piece count."""
+    import math
+
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel import (
+        geomtypes as GT)
+
+    if (px, py) == (qx, qy):
+        return
+    ring = [(rx, ry), (rx + w, ry), (rx + w, ry + h), (rx, ry + h)]
+    geom = [[ring]]
+    path = [(float(px), float(py)), (float(qx), float(qy))]
+    cb = GT.clip_path_convex(path, ring)
+    gen = GT.clip_path_general(path, geom)
+
+    def total(pieces):
+        return sum(math.hypot(q[0] - p[0], q[1] - p[1])
+                   for piece in pieces for p, q in zip(piece, piece[1:]))
+
+    assert len(cb) == len(gen)
+    assert abs(total(cb) - total(gen)) < 1e-9
+
+
+@given(px=st.integers(0, 99), py=st.integers(0, 99),
+       dx=st.integers(1, 5), dy=st.integers(1, 7),
+       rid=st.integers(0, 49))
+@settings(max_examples=100, deadline=None)
+def test_prop_lshape_clip_inclusion_exclusion(px, py, dx, dy, rid):
+    """clip_len(L) == LB(A1) + LB(A2) − LB(A1∩A2) — the measure-additivity
+    law ST_LINE_CLIP_LSHAPE_ORACLE computes, checked against the kernel
+    over the fixture lattice."""
+    import math
+
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions.spatial import (
+        _intersection, _length)
+
+    gx1, gy1 = rid % 10 * 12, rid // 10 * 12
+    gx2, gy2 = gx1 + 15, gy1 + 15
+    lshape = (f"POLYGON (({gx1} {gy1}, {gx2} {gy1}, {gx2} {gy1+8}, "
+              f"{gx1+8} {gy1+8}, {gx1+8} {gy2}, {gx1} {gy2}, "
+              f"{gx1} {gy1}))")
+    line = f"LINESTRING ({px} {py}, {px+dx} {py+dy})"
+    got = _length(_intersection(line, lshape))
+
+    def lb(rx1, ry1, rx2, ry2):
+        t0 = max(0.0, (rx1 - px) / dx, (ry1 - py) / dy)
+        t1 = min(1.0, (rx2 - px) / dx, (ry2 - py) / dy)
+        return max(0.0, t1 - t0) * math.hypot(dx, dy)
+
+    want = (lb(gx1, gy1, gx2, gy1 + 8) + lb(gx1, gy1, gx1 + 8, gy2)
+            - lb(gx1, gy1, gx1 + 8, gy1 + 8))
+    assert abs(got - want) < 1e-9
