@@ -401,32 +401,17 @@ def _crosses(a: str | None, b: str | None) -> bool | None:
                    for x, y in pts)
     return not _contains(high, low)
 
-def _relate(a: str | None, b: str | None) -> str | None:
-    """ST_Relate: the DE-9IM intersection matrix (row-major II IB IE /
-    BI BB BE / EI EB EE) for AREAL×AREAL pairs — each cell derived from
-    primitives the engine already trusts:
+def _transpose_de9im(m: str) -> str:
+    """DE-9IM(b, a) is the matrix transpose of DE-9IM(a, b)."""
+    return m[0] + m[3] + m[6] + m[1] + m[4] + m[7] + m[2] + m[5] + m[8]
 
-      II  interiors are open sets, so their intersection is open — dim 2
-          iff intersection_area > 0, else F
-      IB  b's boundary (a closed lineal ring set) passing through a's
-          interior is a relatively open curve piece — dim 1 iff the
-          typed lineal×areal interiors test fires, else F (never dim 0)
-      IE/EI  a's interior escapes b's closure iff NOT covers(b, a)
-      BB  dim 1 on a shared positive-length boundary stretch
-          (lineal_shared_length), dim 0 when boundaries merely touch
-          (segment distance 0), else F
-      BE/EB  a's boundary escapes b's closure iff NOT covers(b, ∂a)
-      EE  always 2 (both exteriors are unbounded)
-
-    Contract: areal operands only; NULL → NULL; EMPTY raises.
-    Puntal/lineal relate is served by the named predicate family."""
-    if a is None or b is None:
-        return None
-    if not (_is_areal(a) and _is_areal(b)):
-        raise G.GeomError("ST_Relate supports areal×areal operands "
-                          "(use the named predicates for other pairs)")
-    if _is_empty_geom(a) or _is_empty_geom(b):
-        raise G.GeomError("ST_Relate on EMPTY input")
+def _relate_aa(a: str, b: str) -> str:
+    """Areal×areal DE-9IM — each cell from primitives the engine already
+    trusts: II from intersection area (interiors are open sets, so a
+    nonempty intersection has dim 2); IB/BI from the lineal×areal
+    interiors test on the ring boundary; IE/EI from covers; BB dim 1 on
+    a shared boundary stretch, dim 0 on bare contact; BE/EB from covers
+    of the boundary; EE always 2."""
     ga, gb = G.parse_wkt(a), G.parse_wkt(b)
     a_in_b = _contains(b, a)
     b_in_a = _contains(a, b)
@@ -449,6 +434,123 @@ def _relate(a: str | None, b: str | None) -> str | None:
     be = "F" if GT.contains(tb, bnd_a) else "1"
     eb = "F" if GT.contains(ta, bnd_b) else "1"
     return f"{ii}{ib}{ie}{bi}{bb}{be}{ei}{eb}2"
+
+def _pt_in_interior(p, geom) -> bool:
+    return GT.strictly_inside(p[0], p[1], geom)
+
+def _pt_on_lineal(p, tl) -> bool:
+    return any(GT._seg_pt_dist2(p[0], p[1], *s) == 0.0
+               for s in GT.segments_of(tl))
+
+def _relate_al(a: str, b: str) -> str:
+    """Areal a × lineal b."""
+    ga = G.parse_wkt(a)
+    ta, tb = GT.parse_wkt(a), GT.parse_wkt(b)
+    bnd_a = GT.parse_wkt(_boundary(a))
+    terms_b = GT.path_terminals(tb)
+
+    ii = "1" if GT.interiors_intersect(tb, ta) else "F"
+    ib = ("0" if any(_pt_in_interior(p, ga) for p in terms_b) else "F")
+    # BI: b's interior on a's boundary — dim 1 on a shared stretch,
+    # dim 0 on a crossing/touch of the ring by the line's interior
+    if GT.lineal_shared_length(bnd_a, tb) > 0.0:
+        bi = "1"
+    elif GT.interiors_intersect(bnd_a, tb):
+        bi = "0"
+    else:
+        bi = "F"
+    bb = ("0" if any(_pt_on_lineal(p, bnd_a) for p in terms_b) else "F")
+    be = "F" if GT.contains(tb, bnd_a) else "1"
+    ei = "F" if GT.contains(ta, tb) else "1"
+    eb = ("0" if any(not GT.point_in_polygon(p[0], p[1], ga)
+                     for p in terms_b) else "F")
+    return f"{ii}{ib}2{bi}{bb}{be}{ei}{eb}2"
+
+def _relate_ap(a: str, b: str) -> str:
+    """Areal a × puntal b."""
+    ga = G.parse_wkt(a)
+    pts = GT.points_of(GT.parse_wkt(b))
+    bnd_a = GT.parse_wkt(_boundary(a))
+
+    ii = "0" if any(_pt_in_interior(p, ga) for p in pts) else "F"
+    bi = "0" if any(_pt_on_lineal(p, bnd_a) for p in pts) else "F"
+    ei = ("0" if any(not GT.point_in_polygon(p[0], p[1], ga)
+                     for p in pts) else "F")
+    return f"{ii}F2{bi}F1{ei}F2"
+
+def _relate_ll(a: str, b: str) -> str:
+    """Lineal × lineal."""
+    ta, tb = GT.parse_wkt(a), GT.parse_wkt(b)
+    terms_a, terms_b = GT.path_terminals(ta), GT.path_terminals(tb)
+
+    if GT.lineal_shared_length(ta, tb) > 0.0:
+        ii = "1"
+    elif GT.interiors_intersect(ta, tb):
+        ii = "0"
+    else:
+        ii = "F"
+
+    def int_contact(terms, other, own_terms):
+        # a terminal of one side sitting on the other's interior
+        return any(_pt_on_lineal(p, other) and p not in own_terms
+                   for p in terms)
+
+    ib = "0" if int_contact(terms_b, ta, terms_a) else "F"
+    bi = "0" if int_contact(terms_a, tb, terms_b) else "F"
+    bb = "0" if terms_a & terms_b else "F"
+    ie = "F" if GT.contains(tb, ta) else "1"
+    ei = "F" if GT.contains(ta, tb) else "1"
+    be = ("0" if any(not _pt_on_lineal(p, tb) for p in terms_a) else "F")
+    eb = ("0" if any(not _pt_on_lineal(p, ta) for p in terms_b) else "F")
+    return f"{ii}{ib}{ie}{bi}{bb}{be}{ei}{eb}2"
+
+def _relate_lp(a: str, b: str) -> str:
+    """Lineal a × puntal b."""
+    ta = GT.parse_wkt(a)
+    pts = set(GT.points_of(GT.parse_wkt(b)))
+    terms_a = GT.path_terminals(ta)
+
+    ii = ("0" if any(_pt_on_lineal(p, ta) and p not in terms_a
+                     for p in pts) else "F")
+    bi = "0" if terms_a & pts else "F"
+    be = "0" if terms_a - pts else "F"
+    ei = ("0" if any(not _pt_on_lineal(p, ta) for p in pts) else "F")
+    return f"{ii}F1{bi}F{be}{ei}F2"
+
+def _relate_pp(a: str, b: str) -> str:
+    """Puntal × puntal."""
+    pa = set(GT.points_of(GT.parse_wkt(a)))
+    pb = set(GT.points_of(GT.parse_wkt(b)))
+    ii = "0" if pa & pb else "F"
+    ie = "0" if pa - pb else "F"
+    ei = "0" if pb - pa else "F"
+    return f"{ii}F{ie}FFF{ei}F2"
+
+def _relate(a: str | None, b: str | None) -> str | None:
+    """ST_Relate: the full 9-cell DE-9IM matrix (row-major II IB IE /
+    BI BB BE / EI EB EE) for EVERY type pair — dispatched by dimension
+    pair, with the lower-dimensional-first cases computed once and
+    transposed (DE-9IM(b, a) is the transpose of DE-9IM(a, b)). SQL/MM
+    boundaries throughout: a closed linestring has an empty boundary,
+    a point set has none. NULL → NULL; EMPTY raises."""
+    if a is None or b is None:
+        return None
+    if _is_empty_geom(a) or _is_empty_geom(b):
+        raise G.GeomError("ST_Relate on EMPTY input")
+    da, db = _dim(a), _dim(b)
+    if da < db:
+        return _transpose_de9im(_relate(b, a))
+    if (da, db) == (2, 2):
+        return _relate_aa(a, b)
+    if (da, db) == (2, 1):
+        return _relate_al(a, b)
+    if (da, db) == (2, 0):
+        return _relate_ap(a, b)
+    if (da, db) == (1, 1):
+        return _relate_ll(a, b)
+    if (da, db) == (1, 0):
+        return _relate_lp(a, b)
+    return _relate_pp(a, b)
 
 def _overlaps(a: str | None, b: str | None) -> bool | None:
     """JTS overlaps: same dimension, interiors share a region of that same

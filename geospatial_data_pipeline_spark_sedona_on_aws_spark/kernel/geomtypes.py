@@ -653,10 +653,13 @@ def strictly_inside(px: float, py: float, geom: list) -> bool:
 
 def path_terminals(tg) -> set:
     """Boundary of a lineal geometry per SQL/MM: the terminal endpoints of
-    each open path (a linestring's interior is everything else, including
-    non-terminal vertices)."""
+    each OPEN path (a linestring's interior is everything else, including
+    non-terminal vertices). A closed path (first == last vertex, e.g. a
+    polygon ring serialized as a linestring) has an EMPTY boundary — its
+    anchor vertex is interior like any other."""
     _, data = tg
-    return {p for path in data for p in (path[0], path[-1])}
+    return {p for path in data if path[0] != path[-1]
+            for p in (path[0], path[-1])}
 
 
 def _collinear_overlap_len(a, b) -> float:

@@ -2059,3 +2059,74 @@ SELECT point_id,
        ) * 1e6) AS BIGINT) AS clip_len_q
 FROM m
 """
+
+
+def st_relate_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Relate for the lineal×areal pair (r6: the matrix now covers
+    every type pair, lower-dimension-first cases computed once and
+    transposed). The oracle rebuilds all nine cells from the segment's
+    UNCLAMPED slab parameters t0r/t1r and direct endpoint interval
+    tests: II from the clamped strict window, IB from a boundary contact
+    parameter strictly inside (0,1), BI/BB/BE from the endpoints'
+    open/boundary/exterior classification, IE from closed containment of
+    both endpoints, EI/EB/EE constants (a 2-point diagonal can never
+    cover a ring). Same denominators-≤7 rounding-safety argument as
+    st_line_relate."""
+    from ..functions.spatial import register_spatial_functions
+
+    register_spatial_functions(spark)
+    j = _orders_line_base(spark, sf_dir, modulus=5)
+    line = ("concat('LINESTRING (', px, ' ', py, ', ', px + dx, ' ',"
+            " py + dy, ')')")
+    return j.selectExpr(
+        "point_id",
+        f"ST_Relate({line}, region_geometry) AS de9im",
+    )
+
+
+ST_RELATE_LINE_ORACLE = f"""
+WITH {fixtures.REGIONS_CTE.strip()},
+base AS (
+    SELECT o_orderkey AS point_id,
+           o_custkey % 100            AS px,
+           (o_orderkey * 7) % 100     AS py,
+           1 + o_orderkey % 5         AS dx,
+           1 + o_custkey % 7          AS dy,
+           o_custkey % {fixtures.N_REGIONS} AS region_id
+    FROM orders
+    WHERE o_orderkey % 5 = 0
+),
+w AS (
+    SELECT b.point_id, b.px, b.py, b.dx, b.dy,
+           r.gx1, r.gy1, r.gx2, r.gy2,
+           greatest((r.gx1 - b.px) / CAST(b.dx AS DOUBLE),
+                    (r.gy1 - b.py) / CAST(b.dy AS DOUBLE)) AS t0r,
+           least((r.gx2 - b.px) / CAST(b.dx AS DOUBLE),
+                 (r.gy2 - b.py) / CAST(b.dy AS DOUBLE)) AS t1r
+    FROM base b JOIN regions r ON b.region_id = r.id
+),
+c AS (
+    SELECT point_id, t0r, t1r,
+           greatest(0, t0r) < least(1, t1r) AS ii,
+           (t0r <= t1r AND ((t0r > 0 AND t0r < 1) OR (t1r > 0 AND t1r < 1)))
+               AS ib,
+           (gx1 < px AND px < gx2 AND gy1 < py AND py < gy2) AS p_open,
+           (gx1 < px + dx AND px + dx < gx2 AND
+            gy1 < py + dy AND py + dy < gy2) AS q_open,
+           (gx1 <= px AND px <= gx2 AND gy1 <= py AND py <= gy2) AS p_in,
+           (gx1 <= px + dx AND px + dx <= gx2 AND
+            gy1 <= py + dy AND py + dy <= gy2) AS q_in
+    FROM w
+)
+SELECT point_id,
+       concat(
+           CASE WHEN ii THEN '1' ELSE 'F' END,
+           CASE WHEN ib THEN '0' ELSE 'F' END,
+           CASE WHEN p_in AND q_in THEN 'F' ELSE '1' END,
+           CASE WHEN p_open OR q_open THEN '0' ELSE 'F' END,
+           CASE WHEN (p_in AND NOT p_open) OR (q_in AND NOT q_open)
+                THEN '0' ELSE 'F' END,
+           CASE WHEN NOT p_in OR NOT q_in THEN '0' ELSE 'F' END,
+           '2', '1', '2') AS de9im
+FROM c
+"""

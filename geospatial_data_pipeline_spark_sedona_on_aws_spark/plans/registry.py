@@ -157,6 +157,7 @@ QUERIES: dict[str, QueryFn] = {
     "st_relate_matrix": P.st_relate_matrix,     # r6: full DE-9IM matrix
     "st_linear_ref": P.st_linear_ref,           # r6: linear referencing
     "st_line_clip_lshape": P.st_line_clip_lshape,  # r6: general clip
+    "st_relate_line": P.st_relate_line,         # r6: DE-9IM all pairs
     "spatial_range_join": SJ.spatial_range_join,
     # r6: the documented non-broadcast scale path, same oracle — the pair
     # generator as a hash join on cell ids instead of a broadcast
@@ -292,6 +293,7 @@ _R6_WINDOW = [
     "st_relate_matrix",      # full DE-9IM matrix string
     "st_linear_ref",         # linear referencing family
     "st_line_clip_lshape",   # general even-odd clip (non-convex)
+    "st_relate_line",        # DE-9IM matrix, all type pairs
     # --- operator code changed this round (8) ---
     "trajectory_similarity_pairs",   # per-cell verify rewrite
     "spatial_range_join",            # broadcast_dim param
@@ -336,11 +338,12 @@ _R6_WINDOW = [
     "scd2_history",
     "q3_shipping_priority",
     "q18_large_orders",
-    # --- decode_media gained the H.264 branch (4) ---
+    # --- decode_media gained the H.264 branch ---
+    # (multimodal_frame_sample rotated out for st_relate_line: the
+    # decode_media branch is covered by the three decode seats below)
     "multimodal_png_decode",
     "multimodal_y4m_decode",
     "multimodal_wav_decode",
-    "multimodal_frame_sample",
     # --- standing anchors / family representatives (5) ---
     # (five r5 anchors — q12_late_priority, dedup_clusters, exact_dedup,
     # embedding_lsh_ann, pyds_sensor_stream_totals — rotated out to seat
@@ -403,6 +406,7 @@ ORACLES: dict[str, str] = {
     "st_relate_matrix": P.ST_RELATE_MATRIX_ORACLE,
     "st_linear_ref": P.ST_LINEAR_REF_ORACLE,
     "st_line_clip_lshape": P.ST_LINE_CLIP_LSHAPE_ORACLE,
+    "st_relate_line": P.ST_RELATE_LINE_ORACLE,
     "spatial_range_join": SJ.SPATIAL_RANGE_JOIN_ORACLE,
     "spatial_range_join_fallback": SJ.SPATIAL_RANGE_JOIN_ORACLE,
     "geo_range_join": SJ.GEO_RANGE_JOIN_ORACLE,

@@ -1386,10 +1386,9 @@ def test_relate_known_matrices():
         assert _relate(R, other) == expect, other
     # within = transpose of contains
     assert _relate("POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))", R) == "2FF1FF212"
-    import pytest
-
-    with pytest.raises(G.GeomError):
-        _relate("POINT (1 2)", R)
+    # non-areal operands now dispatch to the r6 mixed-dimension cells
+    # (pinned in test_relate_all_type_pairs_known_matrices)
+    assert _relate("POINT (1 2)", R) == "0FFFFF212"
     assert _relate(None, R) is None
 
 
@@ -1598,3 +1597,62 @@ def test_prop_lshape_clip_inclusion_exclusion(px, py, dx, dy, rid):
     want = (lb(gx1, gy1, gx2, gy1 + 8) + lb(gx1, gy1, gx1 + 8, gy2)
             - lb(gx1, gy1, gx1 + 8, gy1 + 8))
     assert abs(got - want) < 1e-9
+
+
+def test_relate_all_type_pairs_known_matrices():
+    """Canonical DE-9IM matrices for the mixed-dimension pairs the r6
+    generalization added (areal×areal is pinned above)."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions.spatial import (
+        _relate)
+
+    R = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+    assert _relate("LINESTRING (2 2, 8 8)", R) == "1FF0FF212"   # within
+    assert _relate("LINESTRING (-5 5, 15 5)", R) == "101FF0212"  # crosses
+    assert _relate("POINT (5 5)", R) == "0FFFFF212"             # within
+    assert _relate("POINT (10 5)", R) == "F0FFFF212"            # boundary
+    assert _relate("POINT (50 5)", R) == "FF0FFF212"            # disjoint
+    assert _relate(R, "POINT (5 5)") == "0F2FF1FF2"             # transpose
+    assert (_relate("LINESTRING (0 0, 5 5)", "LINESTRING (0 0, 5 5)")
+            == "1FFF0FFF2")                                     # equal lines
+    assert (_relate("LINESTRING (0 0, 10 10)", "LINESTRING (0 10, 10 0)")
+            == "0F1FF0102")                                     # crossing
+    assert (_relate("LINESTRING (0 0, 5 5)", "LINESTRING (5 5, 9 5)")
+            == "FF1F00102")                                     # end-touch
+    assert (_relate("MULTIPOINT (1 1, 2 2)", "MULTIPOINT (2 2, 3 3)")
+            == "0F0FFF0F2")                                     # overlap
+    assert _relate("POINT (1 1)", "POINT (1 1)") == "0FFFFFFF2"
+    # a closed linestring has an EMPTY boundary (SQL/MM): relating it to
+    # a point at its anchor vertex reports interior contact, not boundary
+    ring = "LINESTRING (0 0, 4 0, 4 4, 0 4, 0 0)"
+    assert _relate(ring, "POINT (0 0)") == "0F1FFFFF2"
+
+
+@given(px=st.integers(0, 99), py=st.integers(0, 99),
+       dx=st.integers(1, 5), dy=st.integers(1, 7),
+       rid=st.integers(0, 49))
+@settings(max_examples=100, deadline=None)
+def test_prop_relate_line_consistent_with_predicates(px, py, dx, dy, rid):
+    """The generalized matrix must agree with the (independently
+    oracle-verified) named predicates on every fixture line×region pair:
+    intersects ⟺ any of II/IB/BI/BB, touches ⟺ II empty with boundary
+    contact, covers(region, line) ⟺ IE and BE both empty, crosses ⟺
+    II and IE both nonempty (dim(a) < dim(b) case)."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions.spatial import (
+        _contains, _crosses, _intersects, _relate, _touches)
+
+    gx1, gy1 = rid % 10 * 12, rid // 10 * 12
+    gx2, gy2 = gx1 + 15, gy1 + 15
+    line = f"LINESTRING ({px} {py}, {px+dx} {py+dy})"
+    rect = (f"POLYGON (({gx1} {gy1}, {gx2} {gy1}, {gx2} {gy2}, "
+            f"{gx1} {gy2}, {gx1} {gy1}))")
+    m = _relate(line, rect)
+    assert (any(m[i] != "F" for i in (0, 1, 3, 4))
+            == _intersects(line, rect))
+    assert ((m[0] == "F" and any(m[i] != "F" for i in (1, 3, 4)))
+            == _touches(line, rect))
+    assert (m[2] == "F" and m[5] == "F") == _contains(rect, line)
+    assert (m[0] != "F" and m[2] != "F") == _crosses(line, rect)
+    # transpose law
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions.spatial import (
+        _transpose_de9im)
+    assert _relate(rect, line) == _transpose_de9im(m)
