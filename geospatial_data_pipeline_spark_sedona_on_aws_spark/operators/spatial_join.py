@@ -880,3 +880,69 @@ WHERE greatest(
                q -> (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)))))
        ) <= {TRAJ_TAU_SQ}
 """
+
+
+def st_intersects_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The user-facing `JOIN ON ST_Intersects(a, b)` shape (the classic
+    Sedona spatial join), executed the scale way: grid-cell equi-join
+    for candidates, reference-point dedup, and the registered
+    ST_Intersects UDF as the pair predicate. CLOSED-boundary semantics
+    (touching rects DO intersect — the variant spatial_range_join's
+    strict interior overlap deliberately excludes), so the cell explode
+    is inclusive of the exact upper edge: a parcel touching a region at
+    x2 == gx1 must land in the same cell.
+
+    100 TB: identical plan shape to spatial_range_join — one equi-join
+    on cell ids (broadcast here; hash-join fallback documented there),
+    dedup as a row-local predicate, one count exchange. The UDF verify
+    rides the pair stream through the rect-pair interval fast path —
+    the same arithmetic as the candidate filter, asserting the
+    user-facing predicate agrees with the join plumbing on every pair."""
+    from ..functions.spatial import register_spatial_functions
+    from ..plans import fixtures
+
+    register_spatial_functions(spark)
+    lu = fixtures.land_use_areas(spark, sf_dir).where("property_id % 5 = 0")
+    regions = fixtures.geographic_regions(spark, sf_dir)
+
+    def cells_incl(df, x1, y1, x2, y2):
+        # closed-boundary variant of _cells: upper edges inclusive
+        return (df.withColumn(
+            "cx", F.explode(F.sequence(F.floor(F.col(x1) / GRID),
+                                       F.floor(F.col(x2) / GRID))))
+            .withColumn(
+            "cy", F.explode(F.sequence(F.floor(F.col(y1) / GRID),
+                                       F.floor(F.col(y2) / GRID)))))
+
+    lu_cells = cells_incl(
+        lu.select("property_id", "x1", "y1", "x2", "y2", "land_geometry"),
+        "x1", "y1", "x2", "y2")
+    rg_cells = cells_incl(
+        regions.select("id", "gx1", "gy1", "gx2", "gy2",
+                       "region_geometry"),
+        "gx1", "gy1", "gx2", "gy2")
+    pairs = (
+        lu_cells.join(F.broadcast(rg_cells), ["cx", "cy"])
+        # reference-point dedup on the CLOSED intersection's lower-left
+        # corner (well-defined for touching pairs too — the degenerate
+        # intersection still has a unique lower-left corner)
+        .where((F.col("cx") == F.floor(F.greatest("x1", "gx1") / GRID))
+               & (F.col("cy") == F.floor(F.greatest("y1", "gy1") / GRID)))
+        .where(F.expr("ST_Intersects(land_geometry, region_geometry)"))
+        .select("id", "property_id")
+    )
+    return pairs.groupBy("id").agg(
+        F.count("property_id").alias("n_intersecting"))
+
+
+ST_INTERSECTS_JOIN_ORACLE = f"""
+WITH {fixtures.LAND_USE_CTE.strip()},
+{fixtures.REGIONS_CTE.strip()}
+SELECT r.id, count(*) AS n_intersecting
+FROM regions r
+JOIN land_use lu
+  ON lu.x1 <= r.gx2 AND r.gx1 <= lu.x2
+ AND lu.y1 <= r.gy2 AND r.gy1 <= lu.y2
+WHERE lu.property_id % 5 = 0
+GROUP BY r.id
+"""

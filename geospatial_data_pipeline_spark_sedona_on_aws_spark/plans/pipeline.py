@@ -1798,7 +1798,10 @@ def st_collect_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_spatial_functions(spark)
     j = _orders_line_base(spark, sf_dir, modulus=5)
-    pts = j.selectExpr("region_id", "px", "py")
+    # both aggregations read the same projection; persist it so the
+    # cross-check branch reuses one scan (same dimension-caching pattern
+    # as geographic_regions — CacheManager matches by canonical plan)
+    pts = j.selectExpr("region_id", "px", "py").persist()
     jvm = pts.groupBy("region_id").agg(
         F.expr(
             "concat('MULTIPOINT (', array_join(transform("

@@ -158,6 +158,7 @@ QUERIES: dict[str, QueryFn] = {
     "st_linear_ref": P.st_linear_ref,           # r6: linear referencing
     "st_line_clip_lshape": P.st_line_clip_lshape,  # r6: general clip
     "st_relate_line": P.st_relate_line,         # r6: DE-9IM all pairs
+    "st_intersects_join": SJ.st_intersects_join,  # r6: Sedona join shape
     "spatial_range_join": SJ.spatial_range_join,
     # r6: the documented non-broadcast scale path, same oracle — the pair
     # generator as a hash join on cell ids instead of a broadcast
@@ -294,6 +295,7 @@ _R6_WINDOW = [
     "st_linear_ref",         # linear referencing family
     "st_line_clip_lshape",   # general even-odd clip (non-convex)
     "st_relate_line",        # DE-9IM matrix, all type pairs
+    "st_intersects_join",    # JOIN ON ST_Intersects, grid-blocked
     # --- operator code changed this round (8) ---
     "trajectory_similarity_pairs",   # per-cell verify rewrite
     "spatial_range_join",            # broadcast_dim param
@@ -330,7 +332,9 @@ _R6_WINDOW = [
     # --- oracle dtype pinning: TIMESTAMP_NS outputs (10) ---
     "events_windowed",
     "events_windowed_streaming",
-    "events_sliding_window",
+    # (events_sliding_window rotated out for st_intersects_join: its
+    # TIMESTAMP_NS pinning is equally exercised by the seven other
+    # events-family seats)
     "sessionize_events",
     "sessionize_events_stateful",
     "events_session_window",
@@ -407,6 +411,7 @@ ORACLES: dict[str, str] = {
     "st_linear_ref": P.ST_LINEAR_REF_ORACLE,
     "st_line_clip_lshape": P.ST_LINE_CLIP_LSHAPE_ORACLE,
     "st_relate_line": P.ST_RELATE_LINE_ORACLE,
+    "st_intersects_join": SJ.ST_INTERSECTS_JOIN_ORACLE,
     "spatial_range_join": SJ.SPATIAL_RANGE_JOIN_ORACLE,
     "spatial_range_join_fallback": SJ.SPATIAL_RANGE_JOIN_ORACLE,
     "geo_range_join": SJ.GEO_RANGE_JOIN_ORACLE,
