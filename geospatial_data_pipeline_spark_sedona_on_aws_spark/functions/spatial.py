@@ -1061,6 +1061,46 @@ def _geohash(s: str | None, precision: int) -> str | None:
             bits, ch = 0, 0
     return "".join(out)
 
+def _geohash_decode(gh: str) -> tuple[float, float, float, float]:
+    """(west, south, east, north) of the geohash cell — the inverse
+    bisection walk. All bounds are dyadic rationals (denominators
+    2^ceil(5p/2)), so every arithmetic step is exact in doubles."""
+    lo_x, hi_x, lo_y, hi_y = -180.0, 180.0, -90.0, 90.0
+    even = True
+    for ch in gh:
+        idx = _GEOHASH32.find(ch)
+        if idx < 0:
+            raise G.GeomError(f"invalid geohash character {ch!r}")
+        for bit in (16, 8, 4, 2, 1):
+            if even:
+                mid = (lo_x + hi_x) / 2
+                if idx & bit:
+                    lo_x = mid
+                else:
+                    hi_x = mid
+            else:
+                mid = (lo_y + hi_y) / 2
+                if idx & bit:
+                    lo_y = mid
+                else:
+                    hi_y = mid
+            even = not even
+    return (lo_x, lo_y, hi_x, hi_y)
+
+def _geom_from_geohash(gh: str | None) -> str | None:
+    """Sedona ST_GeomFromGeoHash: the cell's bounding-box POLYGON."""
+    if gh is None:
+        return None
+    w, s, e, n = _geohash_decode(gh)
+    return G.to_wkt([[[(w, s), (e, s), (e, n), (w, n)]]])
+
+def _point_from_geohash(gh: str | None) -> str | None:
+    """Sedona ST_PointFromGeoHash: the cell's center POINT."""
+    if gh is None:
+        return None
+    w, s, e, n = _geohash_decode(gh)
+    return GT.to_wkt(("POINT", [((w + e) / 2.0, (s + n) / 2.0)]))
+
 def _centroid(s: str | None) -> str | None:
     """Area-weighted centroid over all polygons (holes subtract), returned
     as POINT WKT."""
@@ -1606,6 +1646,14 @@ def st_closestpoint(a: pd.Series, b: pd.Series) -> pd.Series:
                      index=a.index)
 
 @pandas_udf(StringType())
+def st_geomfromgeohash(g: pd.Series) -> pd.Series:
+    return g.map(_geom_from_geohash, na_action="ignore")
+
+@pandas_udf(StringType())
+def st_pointfromgeohash(g: pd.Series) -> pd.Series:
+    return g.map(_point_from_geohash, na_action="ignore")
+
+@pandas_udf(StringType())
 def st_geometrytype(s: pd.Series) -> pd.Series:
     return s.map(_geometry_type, na_action="ignore")
 
@@ -1734,6 +1782,8 @@ _REGISTRY = {
     "ST_AsGeoJSON": st_asgeojson,
     "ST_GeomFromGeoJSON": st_geomfromgeojson,
     "ST_GeoHash": st_geohash,
+    "ST_GeomFromGeoHash": st_geomfromgeohash,
+    "ST_PointFromGeoHash": st_pointfromgeohash,
     "ST_GeometryType": st_geometrytype,
     "ST_Dimension": st_dimension,
     "ST_IsEmpty": st_isempty,

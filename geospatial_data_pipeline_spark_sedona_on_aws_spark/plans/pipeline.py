@@ -2133,3 +2133,66 @@ SELECT point_id,
            '2', '1', '2') AS de9im
 FROM c
 """
+
+
+def st_geohash_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_GeomFromGeoHash / ST_PointFromGeoHash — the decode inverse of
+    ST_GeoHash, value-checked EXACTLY: every precision-4 cell bound is a
+    dyadic rational with denominator ≤ 512, so scaling by 128/256/512
+    yields integers both engines compute without rounding ambiguity
+    (west·128 = 45·lonq − 23040 etc. from the same quantized integers
+    the encode oracle interleaves). The bbox columns come through
+    accessor composition (ST_PointN ∘ ST_ExteriorRing ∘
+    ST_GeomFromGeoHash) and the in-plan ST_Contains asserts the decoded
+    cell covers its source point on every row."""
+    from ..functions.spatial import register_spatial_functions
+    from ..sources.io import spread_scan
+
+    register_spatial_functions(spark)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    pts = spread_scan(o.selectExpr(
+        "o_orderkey AS point_id",
+        "(o_custkey % 100) * 3 - 150 AS lon",
+        "(o_orderkey * 7) % 100 - 50 AS lat",
+    ).where("o_orderkey % 5 = 0"))
+    hashed = pts.selectExpr(
+        "point_id", "lon", "lat",
+        "ST_GeoHash(concat('POINT (', lon, ' ', lat, ')'), 4) AS gh4",
+    )
+    sw = "ST_PointN(ST_ExteriorRing(ST_GeomFromGeoHash(gh4)), 1)"
+    ctr = "ST_PointFromGeoHash(gh4)"
+    return hashed.selectExpr(
+        "point_id",
+        "gh4",
+        f"CAST(round(ST_X({sw}) * 128) AS BIGINT) AS west128",
+        f"CAST(round(ST_Y({sw}) * 256) AS BIGINT) AS south256",
+        f"CAST(round(ST_X({ctr}) * 256) AS BIGINT) AS cx256",
+        f"CAST(round(ST_Y({ctr}) * 512) AS BIGINT) AS cy512",
+        "ST_Contains(ST_GeomFromGeoHash(gh4),"
+        " concat('POINT (', lon, ' ', lat, ')')) AS cell_covers_point",
+    )
+
+
+ST_GEOHASH_DECODE_ORACLE = f"""
+WITH pts AS (
+    SELECT o_orderkey AS point_id,
+           (o_custkey % 100) * 3 - 150   AS lon,
+           (o_orderkey * 7) % 100 - 50   AS lat
+    FROM orders
+    WHERE o_orderkey % 5 = 0
+),
+q AS (
+    SELECT point_id,
+           ((lon + 180) * 1024) // 360 AS lonq,
+           ((lat + 90) * 1024) // 180  AS latq
+    FROM pts
+)
+SELECT point_id,
+       {_geohash_interleave_sql('lonq', 'latq')} AS gh4,
+       45 * lonq - 23040 AS west128,
+       45 * latq - 23040 AS south256,
+       45 * (2 * lonq + 1) - 46080 AS cx256,
+       45 * (2 * latq + 1) - 46080 AS cy512,
+       TRUE AS cell_covers_point
+FROM q
+"""

@@ -151,6 +151,7 @@ QUERIES: dict[str, QueryFn] = {
     "st_accessors": P.st_accessors,             # r6: accessor/constructor set
     "st_geojson_roundtrip": P.st_geojson_roundtrip,  # r6: RFC 7946
     "st_geohash_agg": P.st_geohash_agg,         # r6: geohash bucketing
+    "st_geohash_decode": P.st_geohash_decode,   # r6: geohash inverse
     "st_metadata_ops": P.st_metadata_ops,       # r6: metadata/affine set
     "streaming_geofence": EV.streaming_geofence,  # r6: ST_* under streaming
     "st_collect_dump": P.st_collect_dump,       # r6: geometry UDAF + dump
@@ -296,6 +297,7 @@ _R6_WINDOW = [
     "st_line_clip_lshape",   # general even-odd clip (non-convex)
     "st_relate_line",        # DE-9IM matrix, all type pairs
     "st_intersects_join",    # JOIN ON ST_Intersects, grid-blocked
+    "st_geohash_decode",     # geohash inverse, exact dyadic bounds
     # --- operator code changed this round (8) ---
     "trajectory_similarity_pairs",   # per-cell verify rewrite
     "spatial_range_join",            # broadcast_dim param
@@ -331,10 +333,9 @@ _R6_WINDOW = [
     "pyds_jsonl_commit_roundtrip",
     # --- oracle dtype pinning: TIMESTAMP_NS outputs (10) ---
     "events_windowed",
-    "events_windowed_streaming",
-    # (events_sliding_window rotated out for st_intersects_join: its
-    # TIMESTAMP_NS pinning is equally exercised by the seven other
-    # events-family seats)
+    # (events_sliding_window and events_windowed_streaming rotated out
+    # for st_intersects_join / st_geohash_decode: their TIMESTAMP_NS
+    # pinning is equally exercised by the remaining events-family seats)
     "sessionize_events",
     "sessionize_events_stateful",
     "events_session_window",
@@ -404,6 +405,7 @@ ORACLES: dict[str, str] = {
     "st_accessors": P.ST_ACCESSORS_ORACLE,
     "st_geojson_roundtrip": P.ST_GEOJSON_ROUNDTRIP_ORACLE,
     "st_geohash_agg": P.ST_GEOHASH_AGG_ORACLE,
+    "st_geohash_decode": P.ST_GEOHASH_DECODE_ORACLE,
     "st_metadata_ops": P.ST_METADATA_OPS_ORACLE,
     "streaming_geofence": EV.STREAMING_GEOFENCE_ORACLE,
     "st_collect_dump": P.ST_COLLECT_DUMP_ORACLE,

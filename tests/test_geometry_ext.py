@@ -1656,3 +1656,37 @@ def test_prop_relate_line_consistent_with_predicates(px, py, dx, dy, rid):
     from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions.spatial import (
         _transpose_de9im)
     assert _relate(rect, line) == _transpose_de9im(m)
+
+
+def test_geohash_decode_known_and_roundtrip():
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions.spatial import (
+        _geohash, _geohash_decode, _geom_from_geohash, _point_from_geohash)
+
+    # public cell bounds for ezs42 (0.044° lon × 0.044° lat cell)
+    w, s, e, n = _geohash_decode("ezs42")
+    assert (w, s, e, n) == (-5.625, 42.5830078125,
+                            -5.5810546875, 42.626953125)
+    assert w <= -5.6 <= e and s <= 42.6 <= n
+    assert _geom_from_geohash("ezs42").startswith("POLYGON ((-5.625 ")
+    assert _point_from_geohash("ezs42") == "POINT (-5.60302734375 42.60498046875)"
+    import pytest
+
+    with pytest.raises(G.GeomError):
+        _geohash_decode("ab!")
+
+
+@given(lon=st.integers(-180, 179), lat=st.integers(-90, 89),
+       p=st.integers(1, 8))
+@settings(max_examples=100, deadline=None)
+def test_prop_geohash_decode_inverts_encode(lon, lat, p):
+    """decode(encode(pt)) is the cell containing pt, and re-encoding the
+    cell center reproduces the hash — the two inverse laws at every
+    precision (dyadic bounds: all arithmetic exact)."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions.spatial import (
+        _geohash, _geohash_decode, _point_from_geohash)
+
+    gh = _geohash(f"POINT ({lon} {lat})", p)
+    w, s, e, n = _geohash_decode(gh)
+    assert w <= lon < e or (e == 180 and lon <= e)
+    assert s <= lat < n or (n == 90 and lat <= n)
+    assert _geohash(_point_from_geohash(gh), p) == gh
