@@ -306,6 +306,16 @@ def _difference(a: str | None, b: str | None) -> str | None:
         return None
     return G.to_wkt(B.difference_geom(G.parse_wkt(a), G.parse_wkt(b)))
 
+def _sym_difference(a: str | None, b: str | None) -> str | None:
+    """ST_SymDifference for areal pairs: (a − b) ∪ (b − a) through the
+    boolean kernel — the union re-nodes the two disjoint-interior parts
+    into canonical form."""
+    if a is None or b is None:
+        return None
+    ga, gb = G.parse_wkt(a), G.parse_wkt(b)
+    return G.to_wkt(B.union_geom([B.difference_geom(ga, gb),
+                                  B.difference_geom(gb, ga)]))
+
 def _contains(a: str | None, b: str | None) -> bool | None:
     """Area-based containment: a contains b iff area(a ∩ b) == area(b)
     (boundary-touching counts as contained — matches SQL/MM 'covers' more
@@ -1646,6 +1656,50 @@ def st_closestpoint(a: pd.Series, b: pd.Series) -> pd.Series:
                      index=a.index)
 
 @pandas_udf(StringType())
+def st_symdifference(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series([_sym_difference(x, y) for x, y in zip(a, b)],
+                     index=a.index)
+
+@pandas_udf(StringType())
+def st_makeline(a: pd.Series, b: pd.Series) -> pd.Series:
+    """ST_MakeLine(pointA, pointB): the 2-vertex LINESTRING; NULL for
+    non-point or EMPTY input."""
+    def mk(x, y):
+        if x is None or y is None:
+            return None
+        ka, da = GT.parse_wkt(x)
+        kb, db = GT.parse_wkt(y)
+        if ka != "POINT" or kb != "POINT" or not da or not db:
+            return None
+        return GT.to_wkt(("LINESTRING", [[da[0], db[0]]]))
+
+    return pd.Series([mk(x, y) for x, y in zip(a, b)], index=a.index)
+
+def _normalize_full(s: str | None) -> str | None:
+    """ST_Normalize (PostGIS semantics): the engine's canonical form
+    (outer CCW, holes CW, deduped vertices, collapsed single-member
+    multis) PLUS each ring rotated to start at its lexicographically
+    least vertex — so any winding/rotation of the same polygon
+    normalizes to one identical text."""
+    if s is None:
+        return None
+    if not _is_areal(s):
+        return _geom_from_wkt(s)
+    g = G.normalize(G.parse_wkt(s))
+
+    def rot(ring):
+        i = min(range(len(ring)), key=lambda k: ring[k])
+        return ring[i:] + ring[:i]
+
+    return G.to_wkt([[rot(r) for r in poly] for poly in g])
+
+@pandas_udf(StringType())
+def st_normalize(s: pd.Series) -> pd.Series:
+    # the hygiene fast path applies: a canonical rect already starts at
+    # its lex-min vertex, so it is a fixed point of the full normalize
+    return _unary_hygiene(s, _normalize_full)
+
+@pandas_udf(StringType())
 def st_geomfromgeohash(g: pd.Series) -> pd.Series:
     return g.map(_geom_from_geohash, na_action="ignore")
 
@@ -1747,6 +1801,9 @@ _REGISTRY = {
     "ST_ClippedArea": st_clipped_area,
     "ST_Union": st_union,
     "ST_Difference": st_difference,
+    "ST_SymDifference": st_symdifference,
+    "ST_MakeLine": st_makeline,
+    "ST_Normalize": st_normalize,
     "ST_Contains": st_contains,
     "ST_Within": st_within,
     "ST_Distance": st_distance,

@@ -2196,3 +2196,52 @@ SELECT point_id,
        TRUE AS cell_covers_point
 FROM q
 """
+
+
+def st_symdiff_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_SymDifference / ST_MakeLine / ST_Normalize — closing
+    constructive-op parity: symmetric-difference area has the rect
+    closed form A + B − 2·(A∩B); ST_MakeLine's length is the point
+    distance; ST_Normalize maps a deliberately CLOCKWISE-wound copy of
+    the parcel back to its canonical CCW text (and is the identity on
+    already-canonical input)."""
+    from ..functions.spatial import register_spatial_functions
+
+    register_spatial_functions(spark)
+    lu = fixtures.land_use_areas(spark, sf_dir).where("property_id % 5 = 0")
+    regions = fixtures.geographic_regions(spark, sf_dir)
+    j = lu.join(F.broadcast(regions), lu["region_id"] == regions["id"],
+                "inner")
+    cw = ("concat('POLYGON ((', x1, ' ', y1, ', ', x1, ' ', y2, ', ',"
+          " x2, ' ', y2, ', ', x2, ' ', y1, ', ', x1, ' ', y1, '))')")
+    return j.selectExpr(
+        "property_id",
+        "ST_Area(ST_SymDifference(land_geometry, region_geometry))"
+        " AS symdiff_area",
+        "CAST(round(ST_Length(ST_MakeLine("
+        " concat('POINT (', x1, ' ', y1, ')'),"
+        " concat('POINT (', gx1, ' ', gy1, ')'))) * 1e6) AS BIGINT)"
+        " AS makeline_len_q",
+        f"ST_Normalize({cw}) = land_geometry AS norm_rewinds_cw",
+        "ST_Normalize(land_geometry) = land_geometry AS norm_identity",
+    )
+
+
+ST_SYMDIFF_OPS_ORACLE = f"""
+WITH {fixtures.LAND_USE_CTE.strip()},
+{fixtures.REGIONS_CTE.strip()}
+SELECT lu.property_id,
+       CAST((lu.x2 - lu.x1) * (lu.y2 - lu.y1)
+          + (r.gx2 - r.gx1) * (r.gy2 - r.gy1)
+          - 2 * greatest(0, least(lu.x2, r.gx2) - greatest(lu.x1, r.gx1))
+              * greatest(0, least(lu.y2, r.gy2) - greatest(lu.y1, r.gy1))
+          AS DOUBLE) AS symdiff_area,
+       CAST(round(sqrt(CAST((lu.x1 - r.gx1) * (lu.x1 - r.gx1)
+                          + (lu.y1 - r.gy1) * (lu.y1 - r.gy1) AS DOUBLE))
+                  * 1e6) AS BIGINT) AS makeline_len_q,
+       TRUE AS norm_rewinds_cw,
+       TRUE AS norm_identity
+FROM land_use lu
+JOIN regions r ON lu.region_id = r.id
+WHERE lu.property_id % 5 = 0
+"""

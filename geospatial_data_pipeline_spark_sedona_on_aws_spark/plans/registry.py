@@ -152,6 +152,7 @@ QUERIES: dict[str, QueryFn] = {
     "st_geojson_roundtrip": P.st_geojson_roundtrip,  # r6: RFC 7946
     "st_geohash_agg": P.st_geohash_agg,         # r6: geohash bucketing
     "st_geohash_decode": P.st_geohash_decode,   # r6: geohash inverse
+    "st_symdiff_ops": P.st_symdiff_ops,         # r6: symdiff/makeline/norm
     "st_metadata_ops": P.st_metadata_ops,       # r6: metadata/affine set
     "streaming_geofence": EV.streaming_geofence,  # r6: ST_* under streaming
     "st_collect_dump": P.st_collect_dump,       # r6: geometry UDAF + dump
@@ -298,6 +299,7 @@ _R6_WINDOW = [
     "st_relate_line",        # DE-9IM matrix, all type pairs
     "st_intersects_join",    # JOIN ON ST_Intersects, grid-blocked
     "st_geohash_decode",     # geohash inverse, exact dyadic bounds
+    "st_symdiff_ops",        # symdifference / makeline / normalize
     # --- operator code changed this round (8) ---
     "trajectory_similarity_pairs",   # per-cell verify rewrite
     "spatial_range_join",            # broadcast_dim param
@@ -331,12 +333,13 @@ _R6_WINDOW = [
     "crop_analytics_orc_roundtrip",
     "snapshot_diff",
     "pyds_jsonl_commit_roundtrip",
-    # --- oracle dtype pinning: TIMESTAMP_NS outputs (10) ---
+    # --- oracle dtype pinning: TIMESTAMP_NS outputs ---
+    # (sessionize_events rotated out for st_symdiff_ops: its stateful
+    # twin sessionize_events_stateful shares the oracle and stays)
     "events_windowed",
     # (events_sliding_window and events_windowed_streaming rotated out
     # for st_intersects_join / st_geohash_decode: their TIMESTAMP_NS
     # pinning is equally exercised by the remaining events-family seats)
-    "sessionize_events",
     "sessionize_events_stateful",
     "events_session_window",
     "asof_join",
@@ -406,6 +409,7 @@ ORACLES: dict[str, str] = {
     "st_geojson_roundtrip": P.ST_GEOJSON_ROUNDTRIP_ORACLE,
     "st_geohash_agg": P.ST_GEOHASH_AGG_ORACLE,
     "st_geohash_decode": P.ST_GEOHASH_DECODE_ORACLE,
+    "st_symdiff_ops": P.ST_SYMDIFF_OPS_ORACLE,
     "st_metadata_ops": P.ST_METADATA_OPS_ORACLE,
     "streaming_geofence": EV.STREAMING_GEOFENCE_ORACLE,
     "st_collect_dump": P.ST_COLLECT_DUMP_ORACLE,

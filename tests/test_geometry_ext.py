@@ -1690,3 +1690,54 @@ def test_prop_geohash_decode_inverts_encode(lon, lat, p):
     assert w <= lon < e or (e == 180 and lon <= e)
     assert s <= lat < n or (n == 90 and lat <= n)
     assert _geohash(_point_from_geohash(gh), p) == gh
+
+
+def test_symdiff_makeline_normalize_known_values():
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions.spatial import (
+        _area, _normalize_full, _sym_difference, st_makeline)
+
+    A = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+    B = "POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))"
+    # A+B-2·inter = 100 + 100 - 2·25 = 150
+    assert _area(_sym_difference(A, B)) == 150.0
+    assert _area(_sym_difference(A, A)) == 0.0
+    far = "POLYGON ((50 50, 60 50, 60 60, 50 60, 50 50))"
+    assert _area(_sym_difference(A, far)) == 200.0
+
+    import pandas as pd
+    mk = st_makeline.func
+    assert (mk(pd.Series(["POINT (1 2)"]), pd.Series(["POINT (4 6)"]))[0]
+            == "LINESTRING (1 2, 4 6)")
+    assert mk(pd.Series(["POINT (1 2)"]), pd.Series([A]))[0] is None
+    assert mk(pd.Series(["POINT EMPTY"]),
+              pd.Series(["POINT (1 1)"]))[0] is None
+
+    R = "POLYGON ((3 4, 13 4, 13 12, 3 12, 3 4))"
+    assert _normalize_full("POLYGON ((3 4, 3 12, 13 12, 13 4, 3 4))") == R
+    assert _normalize_full("POLYGON ((13 12, 3 12, 3 4, 13 4, 13 12))") == R
+    assert _normalize_full(R) == R
+
+
+@given(
+    x1=st.integers(0, 30), y1=st.integers(0, 30),
+    w1=st.integers(1, 10), h1=st.integers(1, 10),
+    x2=st.integers(0, 30), y2=st.integers(0, 30),
+    w2=st.integers(1, 10), h2=st.integers(1, 10),
+)
+@settings(max_examples=80, deadline=None)
+def test_prop_symdiff_area_inclusion_exclusion(x1, y1, w1, h1,
+                                               x2, y2, w2, h2):
+    """area(symdiff) == A + B − 2·inter on arbitrary rect pairs — the
+    ST_SYMDIFF_OPS_ORACLE law."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions.spatial import (
+        _area, _sym_difference)
+
+    def rect(x, y, w, h):
+        return (f"POLYGON (({x} {y}, {x+w} {y}, {x+w} {y+h}, "
+                f"{x} {y+h}, {x} {y}))")
+
+    inter = (max(0, min(x1 + w1, x2 + w2) - max(x1, x2))
+             * max(0, min(y1 + h1, y2 + h2) - max(y1, y2)))
+    got = _area(_sym_difference(rect(x1, y1, w1, h1),
+                                rect(x2, y2, w2, h2)))
+    assert abs(got - (w1 * h1 + w2 * h2 - 2 * inter)) < 1e-9
