@@ -41,10 +41,31 @@ from ..kernel import transform as T
 # ------------------------------------------------------------ scalar impls
 
 def _is_areal(s: str) -> bool:
-    """POLYGON / MULTIPOLYGON WKT → the original polygon-kernel paths
-    (bit-identical to pre-r6 behavior); every other type routes through
-    the typed kernel (kernel/geomtypes.py, r5 verdict item 1)."""
-    return s.lstrip().upper().startswith(("POLYGON", "MULTIPOLYGON"))
+    """Plain 2D POLYGON / MULTIPOLYGON WKT → the original polygon-kernel
+    paths (bit-identical to pre-r6 behavior); every other type — puntal,
+    lineal, Z-tagged areal, GEOMETRYCOLLECTION — routes through the typed
+    kernel (kernel/geomtypes.py; r5 item 1, r7 GC+Z). O(1): examines a
+    bounded prefix only — the r6 form lstrip().upper()'ed the WHOLE WKT
+    per value, which showed up as +24–27% on transform/buffer-heavy
+    queries (r6 verdict item 2)."""
+    i = 0
+    n = len(s)
+    while i < n and s[i] == " ":
+        i += 1
+    t = s[i:i + 15].upper()
+    if t.startswith("MULTIPOLYGON"):
+        rest = t[12:].lstrip()
+    elif t.startswith("POLYGON"):
+        rest = t[7:].lstrip()
+    else:
+        return False
+    if rest[:1] in ("Z", "M"):
+        return False
+    # untagged Z ('POLYGON((0 0 5, ...))'): 3 numbers in the first
+    # coordinate group routes to the typed kernel too
+    j = s.find(",", i)
+    probe = s[i:j if j != -1 else i + 64].replace("(", " ").split()
+    return len(probe) - 1 != 3
 
 def _geom_from_wkt(s: str | None) -> str | None:
     if s is None:
@@ -267,14 +288,47 @@ def _length(s: str | None) -> float | None:
     return GT.length(GT.parse_wkt(s))
 
 def _st_xy(s: str | None, axis: int) -> float | None:
-    """Sedona ST_X/ST_Y: the coordinate for POINT input, NULL for any
-    other type (Sedona returns null for non-points rather than raising)."""
+    """Sedona ST_X/ST_Y/ST_Z: the coordinate for POINT / POINT Z input,
+    NULL for any other type (Sedona returns null for non-points rather
+    than raising) and NULL for ST_Z of a 2D point."""
     if s is None:
         return None
     kind, data = GT.parse_wkt(s)
-    if kind != "POINT" or not data:
+    if GT.basekind(kind) != "POINT" or not data:
         return None
-    return data[0][axis]
+    p = data[0]
+    if axis >= len(p):
+        return None
+    return p[axis]
+
+
+def _force_2d(s: str | None) -> str | None:
+    """ST_Force2D: drop z, type otherwise preserved (2D input returns
+    canonically serialized)."""
+    if s is None:
+        return None
+    if _is_areal(s):
+        return G.to_wkt(G.parse_wkt(s))
+    return GT.to_wkt(GT.strip_z(GT.parse_wkt(s)))
+
+
+def _ndims(s: str | None) -> int | None:
+    """PostGIS/Sedona ST_NDims: 3 for Z geometry, else 2."""
+    if s is None:
+        return None
+    if _is_areal(s):
+        return 2
+    return 3 if GT.has_z(GT.parse_wkt(s)) else 2
+
+
+def _z_minmax(s: str | None, want_max: bool) -> float | None:
+    """ST_ZMin / ST_ZMax: extreme z over all vertices, NULL for 2D."""
+    if s is None or _is_areal(s):
+        return None
+    zs = GT.z_values(GT.parse_wkt(s))
+    if not zs:
+        return None
+    return max(zs) if want_max else min(zs)
 
 def _intersection(a: str | None, b: str | None) -> str | None:
     if a is None or b is None:
@@ -645,28 +699,34 @@ def _distance(a: str | None, b: str | None) -> float | None:
 # -------------------------------------------- accessors and constructors
 
 def _num_geometries(s: str | None) -> int | None:
-    """JTS getNumGeometries: member count of a multi-geometry, 1 for a
-    non-empty singular geometry, 0 for EMPTY."""
+    """JTS getNumGeometries: member count of a multi-geometry or
+    GEOMETRYCOLLECTION, 1 for a non-empty singular geometry, 0 for
+    EMPTY."""
     if s is None:
         return None
     kind, data = GT.parse_wkt(s)
-    if kind in ("POINT", "LINESTRING", "POLYGON"):
+    if GT.basekind(kind) in ("POINT", "LINESTRING", "POLYGON"):
         return 1 if data else 0
     return len(data)
 
 def _geometry_n(s: str | None, n: int) -> str | None:
     """Sedona ST_GeometryN (JTS getGeometryN): 0-based member of a multi-
-    geometry; for a singular geometry index 0 returns the geometry itself.
-    Out of range → NULL."""
+    geometry or GEOMETRYCOLLECTION; for a singular geometry index 0
+    returns the geometry itself. Out of range → NULL."""
     if s is None:
         return None
     kind, data = GT.parse_wkt(s)
-    if kind in ("POINT", "LINESTRING", "POLYGON"):
+    base = GT.basekind(kind)
+    if base in ("POINT", "LINESTRING", "POLYGON"):
         return GT.to_wkt((kind, data)) if n == 0 and data else None
     if not 0 <= n < len(data):
         return None
+    if base == "GEOMETRYCOLLECTION":
+        return GT.to_wkt(data[n])
     member = {"MULTIPOINT": "POINT", "MULTILINESTRING": "LINESTRING",
-              "MULTIPOLYGON": "POLYGON"}[kind]
+              "MULTIPOLYGON": "POLYGON"}[base]
+    if kind.endswith(" Z"):
+        member += " Z"
     return GT.to_wkt((member, [data[n]]))
 
 def _point_n(s: str | None, n: int) -> str | None:
@@ -706,12 +766,17 @@ def _exterior_ring(s: str | None) -> str | None:
 
 def _boundary(s: str | None) -> str | None:
     """SQL/MM boundary: areal → every ring as a closed (MULTI)LINESTRING;
-    lineal → the mod-2 terminal points as (MULTI)POINT; puntal → empty
-    (serialized as POINT EMPTY — the engine's WKT carrier has no
-    GEOMETRYCOLLECTION, documented divergence from JTS)."""
+    lineal → the mod-2 terminal points as (MULTI)POINT; puntal →
+    GEOMETRYCOLLECTION EMPTY (the JTS answer; possible since the r7 GC
+    kernel — pre-r7 the carrier serialized POINT EMPTY). Z input takes
+    the 2D projection; GEOMETRYCOLLECTION input raises (PostGIS errors
+    there too)."""
     if s is None:
         return None
-    kind, data = GT.parse_wkt(s)
+    kind, data = GT.strip_z(GT.parse_wkt(s))
+    if kind == "GEOMETRYCOLLECTION":
+        raise G.GeomError(
+            "ST_Boundary of a GEOMETRYCOLLECTION is not supported")
     if kind in ("POLYGON", "MULTIPOLYGON"):
         paths = [_ring_to_path(ring) for poly in data for ring in poly]
         return GT.to_wkt(("MULTILINESTRING", paths))
@@ -723,7 +788,7 @@ def _boundary(s: str | None) -> str | None:
         seen: set = set()
         pts = [p for p in pts if not (p in seen or seen.add(p))]
         return GT.to_wkt(("MULTIPOINT", pts))
-    return "POINT EMPTY"
+    return "GEOMETRYCOLLECTION EMPTY"
 
 def _is_valid(s: str | None) -> bool | None:
     """OGC validity for the carried types: areal input is valid iff its
@@ -732,7 +797,10 @@ def _is_valid(s: str | None) -> bool | None:
     input is valid iff it parses (JTS: always valid)."""
     if s is None:
         return None
-    kind, data = GT.parse_wkt(s)
+    kind, data = GT.strip_z(GT.parse_wkt(s))
+    if kind == "GEOMETRYCOLLECTION":
+        # JTS: a collection is valid iff every member is
+        return all(_is_valid(GT.to_wkt(m)) for m in data)
     if kind not in ("POLYGON", "MULTIPOLYGON"):
         return True
     # test on RAW deduped rings (same reason make_valid does): a symmetric
@@ -744,28 +812,25 @@ def _is_valid(s: str | None) -> bool | None:
     return not G._has_self_intersections(raw)
 
 def _flip_coordinates(s: str | None) -> str | None:
-    """ST_FlipCoordinates: swap x and y in every vertex, type preserved."""
+    """ST_FlipCoordinates: swap x and y in every vertex, type (and z)
+    preserved; GC members flip recursively (kernel map_coords)."""
     if s is None:
         return None
-    kind, data = GT.parse_wkt(s)
-    if kind in ("POINT", "MULTIPOINT"):
-        return GT.to_wkt((kind, [(y, x) for x, y in data]))
-    if kind in ("LINESTRING", "MULTILINESTRING"):
-        return GT.to_wkt((kind, [[(y, x) for x, y in path]
-                                 for path in data]))
-    return G.to_wkt([[[(y, x) for x, y in ring] for ring in poly]
-                     for poly in data])
+    return GT.to_wkt(GT.map_coords(GT.parse_wkt(s), lambda x, y: (y, x)))
 
 def _geometry_type(s: str | None) -> str | None:
     """Sedona/PostGIS ST_GeometryType: the type tag with the ST_ prefix
-    (e.g. 'ST_Polygon')."""
+    (e.g. 'ST_Polygon'); Z variants report the base type (JTS
+    getGeometryType carries no dimension suffix)."""
     if s is None:
         return None
     kind, _ = GT.parse_wkt(s)
     name = {"POINT": "Point", "MULTIPOINT": "MultiPoint",
             "LINESTRING": "LineString",
             "MULTILINESTRING": "MultiLineString",
-            "POLYGON": "Polygon", "MULTIPOLYGON": "MultiPolygon"}[kind]
+            "POLYGON": "Polygon", "MULTIPOLYGON": "MultiPolygon",
+            "GEOMETRYCOLLECTION": "GeometryCollection",
+            }[GT.basekind(kind)]
     return f"ST_{name}"
 
 def _dimension_of(s: str | None) -> int | None:
@@ -803,30 +868,17 @@ def _interior_ring_n(s: str | None, n: int) -> str | None:
     return GT.to_wkt(("LINESTRING", [_ring_to_path(holes[n])]))
 
 def _reverse(s: str | None) -> str | None:
-    """ST_Reverse: vertex order reversed in every path/ring, type kept."""
+    """ST_Reverse: vertex order reversed in every path/ring (open areal
+    rings keep their anchor vertex), type and z kept, GC recursive."""
     if s is None:
         return None
-    kind, data = GT.parse_wkt(s)
-    if kind in ("POINT", "MULTIPOINT"):
-        return GT.to_wkt((kind, data[::-1]))
-    if kind in ("LINESTRING", "MULTILINESTRING"):
-        return GT.to_wkt((kind, [path[::-1] for path in data]))
-    # rings are stored OPEN; reversing the closed form A,B,C,D,A yields
-    # A,D,C,B,A — i.e. keep the anchor vertex, reverse the rest
-    return G.to_wkt([[[ring[0]] + ring[1:][::-1] for ring in poly]
-                     for poly in data])
+    return GT.to_wkt(GT.reverse_order(GT.parse_wkt(s)))
 
 def _translate(s: str | None, dx: float, dy: float) -> str | None:
     if s is None:
         return None
-    kind, data = GT.parse_wkt(s)
-    if kind in ("POINT", "MULTIPOINT"):
-        return GT.to_wkt((kind, [(x + dx, y + dy) for x, y in data]))
-    if kind in ("LINESTRING", "MULTILINESTRING"):
-        return GT.to_wkt((kind, [[(x + dx, y + dy) for x, y in path]
-                                 for path in data]))
-    return G.to_wkt([[[(x + dx, y + dy) for x, y in ring] for ring in poly]
-                     for poly in data])
+    return GT.to_wkt(GT.map_coords(GT.parse_wkt(s),
+                                   lambda x, y: (x + dx, y + dy)))
 
 def _azimuth(a: str | None, b: str | None) -> float | None:
     """ST_Azimuth: angle in radians clockwise from north, POINT→POINT,
@@ -968,39 +1020,49 @@ def _as_geojson(s: str | None) -> str | None:
     """RFC 7946 geometry object, canonical form: keys in (type,
     coordinates) order, no whitespace, numbers through the kernel's
     shortest-repr formatter (integer-valued coordinates print as
-    integers — what makes the concat-built SQL oracle possible)."""
+    integers — what makes the concat-built SQL oracle possible).
+    Z geometries emit 3-element positions (RFC 7946 §3.1.1);
+    GEOMETRYCOLLECTION emits the GeometryCollection object with a
+    "geometries" member array."""
     if s is None:
         return None
-    kind, data = GT.parse_wkt(s)
-    name = {"POINT": "Point", "MULTIPOINT": "MultiPoint",
-            "LINESTRING": "LineString",
-            "MULTILINESTRING": "MultiLineString",
-            "POLYGON": "Polygon", "MULTIPOLYGON": "MultiPolygon"}[kind]
-
-    def num(v):
-        return G._fmt(v)
 
     def render(obj):
-        if isinstance(obj, list):
+        if isinstance(obj, (list, tuple)):
             return "[" + ",".join(render(o) for o in obj) + "]"
-        return num(obj)
+        return G._fmt(obj)
 
-    coords = _geojson_coords(kind, data)
-    return f'{{"type":"{name}","coordinates":{render(coords)}}}'
+    def geom_obj(tg):
+        kind, data = tg
+        base = GT.basekind(kind)
+        if base == "GEOMETRYCOLLECTION":
+            members = ",".join(geom_obj(m) for m in data)
+            return f'{{"type":"GeometryCollection","geometries":[{members}]}}'
+        name = {"POINT": "Point", "MULTIPOINT": "MultiPoint",
+                "LINESTRING": "LineString",
+                "MULTILINESTRING": "MultiLineString",
+                "POLYGON": "Polygon", "MULTIPOLYGON": "MultiPolygon"}[base]
+        coords = _geojson_coords(base, data)
+        return f'{{"type":"{name}","coordinates":{render(coords)}}}'
 
-def _geom_from_geojson(s: str | None) -> str | None:
-    """Parse an RFC 7946 geometry object back to canonical WKT. Polygon
-    rings arrive closed (first == last vertex) and re-open into the
-    kernel representation; single-member multis collapse per the
-    canonicalization convention."""
-    import json
+    return geom_obj(GT.parse_wkt(s))
 
-    if s is None:
-        return None
-    obj = json.loads(s)
+def _geojson_member(obj):
+    """One GeoJSON geometry object -> tgeom (Z positions preserved,
+    GeometryCollection recursive)."""
     name = obj.get("type")
+    if name == "GeometryCollection":
+        return ("GEOMETRYCOLLECTION",
+                [_geojson_member(m) for m in obj.get("geometries", [])])
     coords = obj.get("coordinates", [])
-    as_pt = lambda c: (float(c[0]), float(c[1]))  # noqa: E731
+
+    def as_pt(c):
+        if len(c) >= 3:
+            return (float(c[0]), float(c[1]), float(c[2]))
+        return (float(c[0]), float(c[1]))
+
+    def ztag(pts):
+        return " Z" if any(len(p) == 3 for p in pts) else ""
 
     def open_ring(ring):
         pts = [as_pt(p) for p in ring]
@@ -1009,20 +1071,39 @@ def _geom_from_geojson(s: str | None) -> str | None:
         return pts
 
     if name == "Point":
-        return GT.to_wkt(("POINT", [as_pt(coords)] if coords else []))
+        pts = [as_pt(coords)] if coords else []
+        return ("POINT" + ztag(pts), pts)
     if name == "MultiPoint":
-        return GT.to_wkt(("MULTIPOINT", [as_pt(p) for p in coords]))
+        pts = [as_pt(p) for p in coords]
+        return ("MULTIPOINT" + ztag(pts), pts)
     if name == "LineString":
-        return GT.to_wkt(("LINESTRING",
-                          [[as_pt(p) for p in coords]] if coords else []))
+        paths = [[as_pt(p) for p in coords]] if coords else []
+        return ("LINESTRING" + ztag([p for pa in paths for p in pa]), paths)
     if name == "MultiLineString":
-        return GT.to_wkt(("MULTILINESTRING",
-                          [[as_pt(p) for p in path] for path in coords]))
+        paths = [[as_pt(p) for p in path] for path in coords]
+        return ("MULTILINESTRING" + ztag([p for pa in paths for p in pa]),
+                paths)
     if name == "Polygon":
-        return G.to_wkt([[open_ring(r) for r in coords]] if coords else [])
-    if name == "MultiPolygon":
-        return G.to_wkt([[open_ring(r) for r in poly] for poly in coords])
-    raise G.GeomError(f"unsupported GeoJSON type {name!r}")
+        polys = [[open_ring(r) for r in coords]] if coords else []
+    elif name == "MultiPolygon":
+        polys = [[open_ring(r) for r in poly] for poly in coords]
+    else:
+        raise G.GeomError(f"unsupported GeoJSON type {name!r}")
+    flat = [p for poly in polys for r in poly for p in r]
+    word = "POLYGON" if name == "Polygon" else "MULTIPOLYGON"
+    return (word + ztag(flat), polys)
+
+def _geom_from_geojson(s: str | None) -> str | None:
+    """Parse an RFC 7946 geometry object back to canonical WKT. Polygon
+    rings arrive closed (first == last vertex) and re-open into the
+    kernel representation; single-member multis collapse per the
+    canonicalization convention. Z positions and GeometryCollection
+    round-trip (r7)."""
+    import json
+
+    if s is None:
+        return None
+    return GT.to_wkt(_geojson_member(json.loads(s)))
 
 # --------------------------------------------------------------- ST_GeoHash
 
@@ -1117,9 +1198,14 @@ def _centroid(s: str | None) -> str | None:
     if s is None:
         return None
     if not _is_areal(s):
+        tg = GT.strip_z(GT.parse_wkt(s))
+        if tg[0] in ("POLYGON", "MULTIPOLYGON"):
+            # POLYGON Z after the strip: fall through to the areal path
+            return _centroid(GT.to_wkt(tg))
         # JTS by-dimension centroid: puntal = vertex average, lineal =
-        # length-weighted midpoint average (kernel/geomtypes.centroid)
-        c = GT.centroid(GT.parse_wkt(s))
+        # length-weighted midpoint average (kernel/geomtypes.centroid);
+        # GEOMETRYCOLLECTION raises (documented unsupported)
+        c = GT.centroid(tg)
         if c is None:
             return None
         # exact shortest-repr formatting (G._fmt), NOT %.10g: truncating
@@ -1155,25 +1241,24 @@ def _area(s: str | None) -> float | None:
     if s is None:
         return None
     if not _is_areal(s):
-        GT.parse_wkt(s)  # validate, then: puntal/lineal area is 0 (JTS)
-        return 0.0
+        # puntal/lineal -> 0 (JTS); POLYGON Z -> planar area of the 2D
+        # projection; GEOMETRYCOLLECTION -> sum over members (JTS)
+        return GT.area_of(GT.strip_z(GT.parse_wkt(s)))
     return G.area(G.parse_wkt(s))
 
 def _transform(s: str | None, src: str, dst: str) -> str | None:
     if s is None:
         return None
     if not _is_areal(s):
-        # per-vertex reprojection through the CRS registry, type preserved
-        kind, data = GT.parse_wkt(s)
+        # per-vertex reprojection through the CRS registry, type (and z,
+        # passed through untouched — the Sedona 2D-transform convention)
+        # preserved; GC members recurse (kernel map_coords)
         try:
-            if kind in ("POINT", "MULTIPOINT"):
-                out = [T.transform_point(x, y, src, dst) for x, y in data]
-            else:
-                out = [[T.transform_point(x, y, src, dst) for x, y in path]
-                       for path in data]
+            return GT.to_wkt(GT.map_coords(
+                GT.parse_wkt(s),
+                lambda x, y: T.transform_point(x, y, src, dst)))
         except ValueError as exc:
             raise G.GeomError(f"ST_Transform: {exc}") from exc
-        return GT.to_wkt((kind, out))
     if (src, dst) == ("EPSG:3857", "EPSG:5880"):
         return G.to_wkt(T.transform_geom(G.parse_wkt(s)))
     if (src, dst) == ("EPSG:5880", "EPSG:3857"):
@@ -1373,6 +1458,32 @@ def st_x(s: pd.Series) -> pd.Series:
 @pandas_udf(DoubleType())
 def st_y(s: pd.Series) -> pd.Series:
     return s.map(lambda w: _st_xy(w, 1), na_action="ignore").astype("float64")
+
+@pandas_udf(DoubleType())
+def st_z(s: pd.Series) -> pd.Series:
+    return s.map(lambda w: _st_xy(w, 2), na_action="ignore").astype("float64")
+
+@pandas_udf(StringType())
+def st_force2d(s: pd.Series) -> pd.Series:
+    return s.map(_force_2d, na_action="ignore")
+
+@pandas_udf(LongType())
+def st_ndims(s: pd.Series) -> pd.Series:
+    return s.map(_ndims, na_action="ignore").astype("Int64")
+
+@pandas_udf(BooleanType())
+def st_hasz(s: pd.Series) -> pd.Series:
+    return s.map(lambda w: _ndims(w) == 3, na_action="ignore").astype("object")
+
+@pandas_udf(DoubleType())
+def st_zmin(s: pd.Series) -> pd.Series:
+    return s.map(lambda w: _z_minmax(w, False),
+                 na_action="ignore").astype("float64")
+
+@pandas_udf(DoubleType())
+def st_zmax(s: pd.Series) -> pd.Series:
+    return s.map(lambda w: _z_minmax(w, True),
+                 na_action="ignore").astype("float64")
 
 @pandas_udf(StructType([StructField("n_kept", LongType()),
                         StructField("length", DoubleType())]))
@@ -1758,17 +1869,24 @@ def st_coveredby(a: pd.Series, b: pd.Series) -> pd.Series:
 @pandas_udf(ArrayType(StringType()))
 def st_dump(s: pd.Series) -> pd.Series:
     """ST_Dump: the members of a multi-geometry as individual WKT strings
-    (a singular geometry dumps to itself, EMPTY to no members). Pair with
-    posexplode for the (path, geom) rows PostGIS emits."""
-    def dump(w):
-        kind, data = GT.parse_wkt(w)
-        if kind in ("POINT", "LINESTRING", "POLYGON"):
+    (a singular geometry dumps to itself, EMPTY to no members;
+    GEOMETRYCOLLECTION members dump recursively to atomic geometries —
+    the PostGIS convention). Pair with posexplode for the (path, geom)
+    rows PostGIS emits."""
+    def dump_tg(tg):
+        kind, data = tg
+        base = GT.basekind(kind)
+        if base == "GEOMETRYCOLLECTION":
+            return [w for m in data for w in dump_tg(m)]
+        if base in ("POINT", "LINESTRING", "POLYGON"):
             return [GT.to_wkt((kind, data))] if data else []
         member = {"MULTIPOINT": "POINT", "MULTILINESTRING": "LINESTRING",
-                  "MULTIPOLYGON": "POLYGON"}[kind]
+                  "MULTIPOLYGON": "POLYGON"}[base]
+        if kind.endswith(" Z"):
+            member += " Z"
         return [GT.to_wkt((member, [m])) for m in data]
 
-    return s.map(dump, na_action="ignore")
+    return s.map(lambda w: dump_tg(GT.parse_wkt(w)), na_action="ignore")
 
 @pandas_udf(StringType())
 def st_collect_aggr(x: pd.Series, y: pd.Series) -> str:
@@ -1816,6 +1934,12 @@ _REGISTRY = {
     "ST_Length": st_length,
     "ST_X": st_x,
     "ST_Y": st_y,
+    "ST_Z": st_z,
+    "ST_Force2D": st_force2d,
+    "ST_NDims": st_ndims,
+    "ST_HasZ": st_hasz,
+    "ST_ZMin": st_zmin,
+    "ST_ZMax": st_zmax,
     "ST_AsBinary": st_asbinary,
     "ST_GeomFromWKB": st_geomfromwkb,
     "ST_Intersects": st_intersects,

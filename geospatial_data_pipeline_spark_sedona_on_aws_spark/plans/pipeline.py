@@ -1562,6 +1562,92 @@ FROM base b JOIN regions r ON b.region_id = r.id
 """
 
 
+def st_geomcollection_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEOMETRYCOLLECTION + Z-coordinate surface (r6 verdict item 1): a
+    heterogeneous collection (POINT Z member, LINESTRING, POLYGON) built
+    from orders integers, exercised through the member accessors
+    (ST_NumGeometries / ST_GeometryN / ST_Dump), the JTS collection
+    measures (ST_Area = member-area sum, ST_Length = member-length sum
+    incl. polygon perimeter, ST_NPoints, ST_Dimension), the Z accessor
+    family (ST_Z / ST_NDims / ST_HasZ / ST_ZMin / ST_ZMax / ST_Force2D),
+    and full WKB + GeoJSON round trips of the collection. Every output
+    is a closed form of the same integers, so the DuckDB oracle rebuilds
+    all of it with concat arithmetic — the same oracle pattern as
+    st_accessors.
+
+    Scale: row-local projection over one Arrow-batched UDF stage; no
+    joins beyond the broadcast region dim, no shuffles."""
+    from ..functions.spatial import register_spatial_functions
+
+    register_spatial_functions(spark)
+    j = _orders_line_base(spark, sf_dir, modulus=5)
+    gc = ("concat('GEOMETRYCOLLECTION (POINT Z (', px, ' ', py, ' ', dx,"
+          " '), LINESTRING (', px, ' ', py, ', ', px + dx, ' ', py,"
+          " '), POLYGON ((', px, ' ', py, ', ', px + dx, ' ', py, ', ',"
+          " px + dx, ' ', py + dy, ', ', px, ' ', py + dy, ', ', px, ' ',"
+          " py, ')))')")
+    lz = ("concat('LINESTRING Z (', px, ' ', py, ' 1, ', px + dx, ' ',"
+          " py, ' 5)')")
+    return j.selectExpr(
+        "point_id",
+        f"ST_NumGeometries({gc}) AS n_members",
+        f"ST_GeometryType({gc}) AS gc_type",
+        f"ST_GeometryN({gc}, 0) AS first_member",
+        f"ST_Area({gc}) AS gc_area",
+        f"ST_Length({gc}) AS gc_length",
+        f"ST_NPoints({gc}) AS gc_npoints",
+        f"ST_Dimension({gc}) AS gc_dim",
+        f"size(ST_Dump({gc})) AS n_dumped",
+        f"element_at(ST_Dump({gc}), 3) AS last_dumped",
+        f"ST_Z(ST_GeometryN({gc}, 0)) AS pt_z",
+        f"ST_NDims(ST_GeometryN({gc}, 0)) AS pt_ndims",
+        f"ST_HasZ({lz}) AS line_hasz",
+        f"ST_ZMin({lz}) AS line_zmin",
+        f"ST_ZMax({lz}) AS line_zmax",
+        f"ST_Force2D({lz}) AS line_2d",
+        f"ST_GeomFromWKB(ST_AsBinary({gc})) = {gc} AS wkb_roundtrip",
+        f"ST_GeomFromGeoJSON(ST_AsGeoJSON({gc})) = {gc} AS geojson_roundtrip",
+        f"ST_AsText(ST_GeomFromWKT({gc})) = {gc} AS wkt_roundtrip",
+    )
+
+
+ST_GEOMCOLLECTION_OPS_ORACLE = f"""
+WITH base AS (
+    SELECT o_orderkey AS point_id,
+           o_custkey % 100            AS px,
+           (o_orderkey * 7) % 100     AS py,
+           1 + o_orderkey % 5         AS dx,
+           1 + o_custkey % 7          AS dy,
+           o_custkey % {fixtures.N_REGIONS} AS region_id
+    FROM orders
+    WHERE o_orderkey % 5 = 0
+)
+SELECT point_id,
+       CAST(3 AS BIGINT) AS n_members,
+       'ST_GeometryCollection' AS gc_type,
+       concat('POINT Z (', px, ' ', py, ' ', dx, ')') AS first_member,
+       CAST(dx * dy AS DOUBLE) AS gc_area,
+       CAST(dx + 2 * (dx + dy) AS DOUBLE) AS gc_length,
+       CAST(8 AS BIGINT) AS gc_npoints,
+       CAST(2 AS BIGINT) AS gc_dim,
+       CAST(3 AS INTEGER) AS n_dumped,
+       concat('POLYGON ((', px, ' ', py, ', ', px + dx, ' ', py, ', ',
+              px + dx, ' ', py + dy, ', ', px, ' ', py + dy, ', ', px, ' ',
+              py, '))') AS last_dumped,
+       CAST(dx AS DOUBLE) AS pt_z,
+       CAST(3 AS BIGINT) AS pt_ndims,
+       TRUE AS line_hasz,
+       CAST(1 AS DOUBLE) AS line_zmin,
+       CAST(5 AS DOUBLE) AS line_zmax,
+       concat('LINESTRING (', px, ' ', py, ', ', px + dx, ' ', py, ')')
+           AS line_2d,
+       TRUE AS wkb_roundtrip,
+       TRUE AS geojson_roundtrip,
+       TRUE AS wkt_roundtrip
+FROM base
+"""
+
+
 def st_geojson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GeoJSON interchange (RFC 7946) for every carried geometry type:
     ST_AsText(ST_GeomFromGeoJSON(ST_AsGeoJSON(g))) must reproduce the
@@ -1799,33 +1885,39 @@ def st_collect_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_spatial_functions(spark)
     j = _orders_line_base(spark, sf_dir, modulus=5)
     # both aggregations read the same projection; persist it so the
-    # cross-check branch reuses one scan (same dimension-caching pattern
-    # as geographic_regions — CacheManager matches by canonical plan)
+    # cross-check branch reuses one scan, then release it once the 50-row
+    # result is materialized (localCheckpoint) — an unreleased ad-hoc
+    # persist would pin fact-sized partitions across a long-lived session
     pts = j.selectExpr("region_id", "px", "py").persist()
-    jvm = pts.groupBy("region_id").agg(
-        F.expr(
-            "concat('MULTIPOINT (', array_join(transform("
-            "sort_array(collect_list(struct(px, py))),"
-            " p -> concat(p.px, ' ', p.py)), ', '), ')')"
-        ).alias("mp_jvm"),
-    )
-    # Spark disallows mixing a group-agg pandas UDF with JVM aggregates in
-    # one agg (INVALID_PANDAS_UDF_PLACEMENT) — the UDAF cross-check runs
-    # as its own 50-row aggregation and joins back broadcast
-    udaf = pts.groupBy("region_id").agg(
-        F.expr("ST_Collect_Aggr(px, py)").alias("mp_udaf"))
-    agg = jvm.join(F.broadcast(udaf), "region_id", "inner")
-    return agg.selectExpr(
-        "region_id",
-        "mp_jvm",
-        # canonicalization-aware compare: the JVM concat always writes
-        # MULTIPOINT while the UDAF collapses singletons to POINT (the
-        # carrier convention) — parse→serialize makes both canonical
-        "ST_AsText(ST_GeomFromWKT(mp_jvm)) = mp_udaf AS udaf_matches",
-        "ST_NumGeometries(mp_jvm) AS n_members",
-        "element_at(ST_Dump(mp_jvm), 1) AS first_member",
-        "size(ST_Dump(mp_jvm)) AS n_dumped",
-    )
+    try:
+        jvm = pts.groupBy("region_id").agg(
+            F.expr(
+                "concat('MULTIPOINT (', array_join(transform("
+                "sort_array(collect_list(struct(px, py))),"
+                " p -> concat(p.px, ' ', p.py)), ', '), ')')"
+            ).alias("mp_jvm"),
+        )
+        # Spark disallows mixing a group-agg pandas UDF with JVM aggregates
+        # in one agg (INVALID_PANDAS_UDF_PLACEMENT) — the UDAF cross-check
+        # runs as its own 50-row aggregation and joins back broadcast
+        udaf = pts.groupBy("region_id").agg(
+            F.expr("ST_Collect_Aggr(px, py)").alias("mp_udaf"))
+        agg = jvm.join(F.broadcast(udaf), "region_id", "inner")
+        out = agg.selectExpr(
+            "region_id",
+            "mp_jvm",
+            # canonicalization-aware compare: the JVM concat always writes
+            # MULTIPOINT while the UDAF collapses singletons to POINT (the
+            # carrier convention) — parse→serialize makes both canonical
+            "ST_AsText(ST_GeomFromWKT(mp_jvm)) = mp_udaf AS udaf_matches",
+            "ST_NumGeometries(mp_jvm) AS n_members",
+            "element_at(ST_Dump(mp_jvm), 1) AS first_member",
+            "size(ST_Dump(mp_jvm)) AS n_dumped",
+        )
+        # 50 bounded rows; eager so the shared scan can be unpersisted
+        return out.localCheckpoint(eager=True)
+    finally:
+        pts.unpersist()
 
 
 ST_COLLECT_DUMP_ORACLE = f"""

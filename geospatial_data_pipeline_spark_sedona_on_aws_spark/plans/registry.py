@@ -152,6 +152,7 @@ QUERIES: dict[str, QueryFn] = {
     "st_geojson_roundtrip": P.st_geojson_roundtrip,  # r6: RFC 7946
     "st_geohash_agg": P.st_geohash_agg,         # r6: geohash bucketing
     "st_geohash_decode": P.st_geohash_decode,   # r6: geohash inverse
+    "st_geomcollection_ops": P.st_geomcollection_ops,  # r7: GC + Z surface
     "st_symdiff_ops": P.st_symdiff_ops,         # r6: symdiff/makeline/norm
     "st_metadata_ops": P.st_metadata_ops,       # r6: metadata/affine set
     "streaming_geofence": EV.streaming_geofence,  # r6: ST_* under streaming
@@ -364,6 +365,9 @@ _R6_WINDOW = [
     "q12_late_priority",     # round-2's only red row: stays driver-visible
 ]
 _WINDOW = _R6_WINDOW
+# a duplicated name would silently dedupe in the dict rebuild below,
+# shrinking the driver's tier-1 gate without any signal (ADVICE r6)
+assert len(_WINDOW) == len(set(_WINDOW)), "duplicate name in gate window"
 QUERIES = {
     **{k: QUERIES[k] for k in _WINDOW},
     **{k: v for k, v in QUERIES.items() if k not in set(_WINDOW)},
@@ -409,6 +413,7 @@ ORACLES: dict[str, str] = {
     "st_geojson_roundtrip": P.ST_GEOJSON_ROUNDTRIP_ORACLE,
     "st_geohash_agg": P.ST_GEOHASH_AGG_ORACLE,
     "st_geohash_decode": P.ST_GEOHASH_DECODE_ORACLE,
+    "st_geomcollection_ops": P.ST_GEOMCOLLECTION_OPS_ORACLE,
     "st_symdiff_ops": P.ST_SYMDIFF_OPS_ORACLE,
     "st_metadata_ops": P.ST_METADATA_OPS_ORACLE,
     "streaming_geofence": EV.STREAMING_GEOFENCE_ORACLE,

@@ -708,11 +708,15 @@ def streaming_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_static_enrich).
 
     100 TB: candidate generation is a per-row projection (no shuffle); the
-    only exchange is the windowed count keyed by (region, window). The
-    ST_Contains filter is provably redundant to the candidate arithmetic
-    (the interval [⌈(p-15)/12⌉, ⌊p/12⌋] enumerates exactly the covering
-    fences) — it runs as an in-stream assertion that the spatial UDF path
-    works under micro-batch execution, and drops nothing."""
+    only exchange is the windowed count keyed by (region, window). Points
+    above the grid's y-extent (py > 63, where no fence can contain them)
+    are filtered BEFORE candidate generation — without that guard the
+    clamped sequence() bounds invert for py > 63 and Spark emits a
+    DESCENDING sequence of spurious candidates. With it, the interval
+    [max(0,⌈(p-15)/12⌉), min(max,⌊p/12⌋)] enumerates exactly the covering
+    fences, so the ST_Contains filter is provably redundant — it runs as
+    an in-stream assertion that the spatial UDF path works under
+    micro-batch execution, and drops nothing."""
     from ..functions.spatial import register_spatial_functions
     from ..plans import fixtures
 
@@ -723,7 +727,7 @@ def streaming_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "user_id % 100 AS px",
         "(event_id * 7) % 100 AS py",
-    )
+    ).where("py <= 63")  # grid y-extent: 4*12+15; beyond it no fence covers
     cand = pts.selectExpr(
         "ts", "px", "py",
         "explode(sequence(greatest(0, CAST(ceil((px - 15) / 12.0) AS INT)),"

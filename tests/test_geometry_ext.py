@@ -800,10 +800,20 @@ def test_typed_intersection_known_shapes():
     assert _intersection("MULTIPOINT (2 2, 20 20, 10 4)", rect) == "MULTIPOINT (2 2, 10 4)"
     assert _intersection("POINT (20 20)", rect) == "POINT EMPTY"
     assert _intersection("POINT (2 2)", "LINESTRING (0 0, 4 4)") == "POINT (2 2)"
-    import pytest as _pt
-
-    with _pt.raises(G.GeomError):
-        _intersection("LINESTRING (0 0, 1 1)", "LINESTRING (0 1, 1 0)")
+    # lineal x lineal (r7, ADVICE r6 item 1): crossing point, collinear
+    # overlap stretch, mixed dims as GEOMETRYCOLLECTION, endpoint touch
+    assert (_intersection("LINESTRING (0 0, 1 1)", "LINESTRING (0 1, 1 0)")
+            == "POINT (0.5 0.5)")
+    assert (_intersection("LINESTRING (0 0, 10 0)",
+                          "LINESTRING (2 0, 4 0, 4 5)")
+            == "LINESTRING (2 0, 4 0)")
+    assert (_intersection("LINESTRING (0 0, 10 0)",
+                          "LINESTRING (2 0, 4 0, 0 -5, 0 5)")
+            == "GEOMETRYCOLLECTION (LINESTRING (2 0, 4 0), POINT (0 0))")
+    assert (_intersection("LINESTRING (0 0, 2 2)", "LINESTRING (2 2, 4 0)")
+            == "POINT (2 2)")
+    assert (_intersection("LINESTRING (0 0, 1 1)", "LINESTRING (5 5, 6 6)")
+            == "LINESTRING EMPTY")
     # non-convex clip: was a documented GeomError boundary until the r6
     # general even-odd clip — the diagonal runs through the interior to
     # the notch apex, then ALONG the notch edge (closed-region semantics)
@@ -1035,7 +1045,7 @@ def test_accessors_known_values():
     # ML's paths share (1,1): it appears twice → mod-2 removes it
     assert _boundary(ML) == "MULTIPOINT (0 0, 2 0)"
     assert _boundary(L) == "MULTIPOINT (0 0, 10 0)"
-    assert _boundary("POINT (3 4)") == "POINT EMPTY"
+    assert _boundary("POINT (3 4)") == "GEOMETRYCOLLECTION EMPTY"
     hole = ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
             "(2 2, 2 4, 4 4, 4 2, 2 2))")
     assert _boundary(hole) == ("MULTILINESTRING ((0 0, 10 0, 10 10, 0 10, "
