@@ -1648,6 +1648,96 @@ FROM base
 """
 
 
+def st_geodesic_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic measures on EPSG:4326 lon/lat (r6 verdict item 3) — the
+    Sedona calls users reach for before any CRS reprojection (the
+    reference's own workaround is the ST_Transform chain at
+    spark_job/process_geodata.py:133-136):
+
+    - ST_DistanceSphere: haversine, closed-form — the oracle recomputes
+      it in DuckDB SQL with the same constants (R = 6371008.0), both
+      engines quantized to 1 mm (values ~1e6 m; cross-engine libm trig
+      differs at ~1e-10 m, six orders inside the quantum).
+    - ST_DistanceSpheroid: Vincenty on WGS84 — iterative, hence not
+      SQL-expressible; checked here as the flattening-bound invariant
+      |spheroid/sphere − 1| < 0.006 (the sphere-vs-ellipsoid radius
+      variation is ≤ ~0.56%), with exact known-point pins (WGS84
+      meridian/equator quadrants, LAX–JFK) in tests/test_geodesic.py.
+    - ST_AreaSpheroid: Chamberlain–Duquette spherical excess, closed-form
+      per edge — the oracle mirrors the 4-edge sum in the same operation
+      order, both engines quantized to 1 m² (values ~1e10 m²; the 1-ulp
+      trig divergence is ~4e-3 m²).
+
+    Scale: row-local projection, broadcast dim only, no shuffles."""
+    from ..functions.spatial import register_spatial_functions
+
+    register_spatial_functions(spark)
+    j = _orders_line_base(spark, sf_dir, modulus=5)
+    deg = j.selectExpr(
+        "point_id",
+        "px - 50 AS lon1",
+        "py % 60 - 30 AS lat1",
+        "px - 50 + dx AS lon2",
+        "py % 60 - 30 + dy AS lat2",
+    )
+    p1 = "concat('POINT (', lon1, ' ', lat1, ')')"
+    p2 = "concat('POINT (', lon2, ' ', lat2, ')')"
+    rect = ("concat('POLYGON ((', lon1, ' ', lat1, ', ', lon2, ' ', lat1,"
+            " ', ', lon2, ' ', lat2, ', ', lon1, ' ', lat2, ', ', lon1,"
+            " ' ', lat1, '))')")
+    return deg.selectExpr(
+        "point_id",
+        f"CAST(round(ST_DistanceSphere({p1}, {p2}) * 1000) AS BIGINT)"
+        " AS sphere_mm",
+        f"abs(ST_DistanceSpheroid({p1}, {p2})"
+        f" / ST_DistanceSphere({p1}, {p2}) - 1) < 0.006 AS spheroid_ok",
+        f"ST_DistanceSpheroid({p1}, {p2}) > 0 AS spheroid_pos",
+        f"CAST(round(ST_AreaSpheroid({rect})) AS BIGINT) AS area_sph_q",
+    )
+
+
+ST_GEODESIC_OPS_ORACLE = f"""
+WITH base AS (
+    SELECT o_orderkey AS point_id,
+           o_custkey % 100            AS px,
+           (o_orderkey * 7) % 100     AS py,
+           1 + o_orderkey % 5         AS dx,
+           1 + o_custkey % 7          AS dy
+    FROM orders
+    WHERE o_orderkey % 5 = 0
+),
+deg AS (
+    SELECT point_id,
+           CAST(px - 50 AS DOUBLE)          AS lon1,
+           CAST(py % 60 - 30 AS DOUBLE)     AS lat1,
+           CAST(px - 50 + dx AS DOUBLE)     AS lon2,
+           CAST(py % 60 - 30 + dy AS DOUBLE) AS lat2
+    FROM base
+)
+SELECT point_id,
+       CAST(round(2 * 6371008.0 * asin(sqrt(
+            sin((radians(lat2) - radians(lat1)) / 2)
+              * sin((radians(lat2) - radians(lat1)) / 2)
+            + cos(radians(lat1)) * cos(radians(lat2))
+              * sin((radians(lon2) - radians(lon1)) / 2)
+              * sin((radians(lon2) - radians(lon1)) / 2)
+       )) * 1000) AS BIGINT) AS sphere_mm,
+       TRUE AS spheroid_ok,
+       TRUE AS spheroid_pos,
+       CAST(round(abs(
+             (radians(lon2) - radians(lon1))
+               * (2 + sin(radians(lat1)) + sin(radians(lat1)))
+             + (radians(lon2) - radians(lon2))
+               * (2 + sin(radians(lat1)) + sin(radians(lat2)))
+             + (radians(lon1) - radians(lon2))
+               * (2 + sin(radians(lat2)) + sin(radians(lat2)))
+             + (radians(lon1) - radians(lon1))
+               * (2 + sin(radians(lat2)) + sin(radians(lat1)))
+       ) * 6371008.8 * 6371008.8 / 2) AS BIGINT) AS area_sph_q
+FROM deg
+"""
+
+
 def st_geojson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GeoJSON interchange (RFC 7946) for every carried geometry type:
     ST_AsText(ST_GeomFromGeoJSON(ST_AsGeoJSON(g))) must reproduce the

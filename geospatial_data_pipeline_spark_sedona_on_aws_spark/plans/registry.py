@@ -153,6 +153,7 @@ QUERIES: dict[str, QueryFn] = {
     "st_geohash_agg": P.st_geohash_agg,         # r6: geohash bucketing
     "st_geohash_decode": P.st_geohash_decode,   # r6: geohash inverse
     "st_geomcollection_ops": P.st_geomcollection_ops,  # r7: GC + Z surface
+    "st_geodesic_ops": P.st_geodesic_ops,       # r7: sphere/spheroid
     "st_symdiff_ops": P.st_symdiff_ops,         # r6: symdiff/makeline/norm
     "st_metadata_ops": P.st_metadata_ops,       # r6: metadata/affine set
     "streaming_geofence": EV.streaming_geofence,  # r6: ST_* under streaming
@@ -414,6 +415,7 @@ ORACLES: dict[str, str] = {
     "st_geohash_agg": P.ST_GEOHASH_AGG_ORACLE,
     "st_geohash_decode": P.ST_GEOHASH_DECODE_ORACLE,
     "st_geomcollection_ops": P.ST_GEOMCOLLECTION_OPS_ORACLE,
+    "st_geodesic_ops": P.ST_GEODESIC_OPS_ORACLE,
     "st_symdiff_ops": P.ST_SYMDIFF_OPS_ORACLE,
     "st_metadata_ops": P.ST_METADATA_OPS_ORACLE,
     "streaming_geofence": EV.STREAMING_GEOFENCE_ORACLE,
