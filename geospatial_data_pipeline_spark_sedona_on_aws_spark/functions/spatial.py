@@ -62,10 +62,19 @@ def _is_areal(s: str) -> bool:
     if rest[:1] in ("Z", "M"):
         return False
     # untagged Z ('POLYGON((0 0 5, ...))'): 3 numbers in the first
-    # coordinate group routes to the typed kernel too
+    # coordinate group routes to the typed kernel too. A 2D group 'x y'
+    # holds exactly one space between the opening parens and the first
+    # comma; counting in-place beats the replace+split probe (~6 µs ->
+    # ~1 µs per value on the transform/buffer hot path)
     j = s.find(",", i)
-    probe = s[i:j if j != -1 else i + 64].replace("(", " ").split()
-    return len(probe) - 1 != 3
+    if j == -1:
+        j = n
+    k = s.rfind("(", i, j) + 1
+    while k < j and s[k] == " ":
+        k += 1
+    while j > k and s[j - 1] == " ":
+        j -= 1
+    return s.count(" ", k, j) == 1
 
 def _geom_from_wkt(s: str | None) -> str | None:
     if s is None:
@@ -131,6 +140,14 @@ def _buffer(s: str | None, d: float) -> str | None:
         rings = [r for r in rings if len(r) >= 3]
         if rings:
             out.append(rings)
+    # growing a convex hole-free ring by a positive miter offset keeps it
+    # convex (each offset edge is a translated support line), so the
+    # O(n²) self-intersection scan in make_valid is provably a no-op —
+    # skip it (r7: the transform/buffer-heavy queries spend >60% of the
+    # scalar budget in that scan otherwise). Reflex vertices or negative
+    # offsets can fold the ring; those still go through make_valid.
+    if d > 0 and all(len(p) == 1 and G._is_convex(p[0]) for p in g):
+        return G.to_wkt(out)
     # miter joins at reflex vertices can fold the offset ring onto itself;
     # make_valid re-nodes any such self-intersection (banded sweep)
     return G.to_wkt(G.make_valid(out))
@@ -250,6 +267,14 @@ def _buffer_round(s: str | None, d: float, quadsegs: int = 8) -> str | None:
                 rings.append(pts)
         if rings:
             out.append(rings)
+    # the Minkowski sum of a convex hole-free polygon with a disc is
+    # convex, so the arc-joined offset ring cannot self-intersect and
+    # make_valid's O(n²) crossing scan is provably a no-op — skip it
+    # (r7 claw-back: that scan was 61% of _buffer_round's profile; the
+    # ring is already CCW and duplicate-free, so the emitted WKT is
+    # bit-identical to the make_valid path)
+    if all(len(p) == 1 and G._is_convex(p[0]) for p in g):
+        return G.to_wkt(out)
     return G.to_wkt(G.make_valid(out))
 
 def _convex_hull(s: str | None) -> str | None:

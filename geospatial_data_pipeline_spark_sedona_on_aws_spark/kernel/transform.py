@@ -36,6 +36,22 @@ def _meridian_arc(phi: float) -> float:
     return _A * (_M0_C0 * phi - _M0_C2 * math.sin(2 * phi)
                  + _M0_C4 * math.sin(4 * phi) - _M0_C6 * math.sin(6 * phi))
 
+# footpoint latitude: series inverse of the meridian arc (Snyder eqs.
+# 3-26/7-19). Used only to SEED Newton — the fixpoint definition of every
+# inverse is unchanged; a tight seed just drops the iteration count from
+# ~3.5 (crude y/a seed) to ~1 (r7 profile: the UTM round trip spent 80%
+# of its budget in finite-difference forward evals)
+_E1 = (1.0 - math.sqrt(1.0 - _E2)) / (1.0 + math.sqrt(1.0 - _E2))
+_FP_C2 = 3.0 * _E1 / 2.0 - 27.0 * _E1 ** 3 / 32.0
+_FP_C4 = 21.0 * _E1 ** 2 / 16.0 - 55.0 * _E1 ** 4 / 32.0
+_FP_C6 = 151.0 * _E1 ** 3 / 96.0
+_FP_C8 = 1097.0 * _E1 ** 4 / 512.0
+
+def _footpoint_lat(m: float) -> float:
+    mu = m / (_A * _M0_C0)
+    return (mu + _FP_C2 * math.sin(2.0 * mu) + _FP_C4 * math.sin(4.0 * mu)
+            + _FP_C6 * math.sin(6.0 * mu) + _FP_C8 * math.sin(8.0 * mu))
+
 def webmercator_inverse(x: float, y: float) -> tuple[float, float]:
     """EPSG:3857 metres → (lon, lat) radians (spherical, R = a)."""
     lon = x / _A
@@ -81,7 +97,24 @@ def polyconic_inverse(x: float, y: float) -> tuple[float, float]:
     series inverse so the inverse is DEFINED as forward's fixpoint — any
     future forward fix automatically keeps the pair consistent
     (round-trip property-tested to sub-micrometre)."""
-    lat = (y - _FN) / _A
+    # footpoint seed: y - FN = M(lat) + n·cot(lat)·2sin²(E/2); the series
+    # inverse of M alone absorbs all but the O(E²) bulge, and one explicit
+    # correction pass (solve E from the x equation at the first footpoint,
+    # subtract the bulge, re-invert M) lands within ~1e-4 m — one Newton
+    # step from the tolerance (r7: 6.9 -> 4 forward evals per point)
+    m = y - _FN
+    lat = _footpoint_lat(m)
+    s = math.sin(lat)
+    if abs(s) > 1e-6:
+        c = math.cos(lat)
+        cot = c / s
+        n = _A / math.sqrt(1.0 - _E2 * s * s)
+        sin_e = (x - _FE) / (n * cot)
+        if -1.0 <= sin_e <= 1.0:
+            e_ang = math.asin(sin_e)
+            lat = _footpoint_lat(m - n * cot * 2.0 * math.sin(e_ang / 2.0) ** 2)
+            lon = _LON0 + e_ang / s
+            return _newton_inverse(polyconic_forward, x, y, lon, lat)
     lon = _LON0 + (x - _FE) / (_A * max(math.cos(lat), 1e-9))
     return _newton_inverse(polyconic_forward, x, y, lon, lat)
 
@@ -141,19 +174,33 @@ def _newton_inverse(forward, x: float, y: float, lon_seed: float,
     """Generic 2-D Newton on a closed-form forward (finite-difference
     Jacobian) — the polyconic_inverse machinery, reusable per CRS."""
     lon, lat = lon_seed, lat_seed
-    for _ in range(20):
+    # tolerance: 1 nm absolute OR ~4 ULP relative — at northing ~1e7 m one
+    # float64 ULP is already 2.2e-9 m, so a pure 1e-9 absolute gate is
+    # unreachable there and Newton would spin at the rounding floor
+    # (r7 profile: that floor cost ~2 extra forward evals per point)
+    tx = 1e-9 + 1e-15 * abs(x)
+    ty = 1e-9 + 1e-15 * abs(y)
+    jac = None
+    for it in range(30):
         fx, fy = forward(lon, lat)
         rx, ry = fx - x, fy - y
-        if abs(rx) < 1e-9 and abs(ry) < 1e-9:
+        if abs(rx) < tx and abs(ry) < ty:
             break
-        h = 1e-8
-        fx1, fy1 = forward(lon + h, lat)
-        fx2, fy2 = forward(lon, lat + h)
-        j11, j21 = (fx1 - fx) / h, (fy1 - fy) / h
-        j12, j22 = (fx2 - fx) / h, (fy2 - fy) / h
-        det = j11 * j22 - j12 * j21
-        if det == 0.0:
-            break
+        # fresh Jacobian on the first and every 2nd step: the series
+        # seeds land within ~1 m, so a single quadratic step reaches the
+        # 1e-9 m tolerance — re-evaluating the Jacobian each step would
+        # only burn forward evals on a residual that one step kills
+        if jac is None or it % 2 == 0:
+            h = 1e-8
+            fx1, fy1 = forward(lon + h, lat)
+            fx2, fy2 = forward(lon, lat + h)
+            j11, j21 = (fx1 - fx) / h, (fy1 - fy) / h
+            j12, j22 = (fx2 - fx) / h, (fy2 - fy) / h
+            det = j11 * j22 - j12 * j21
+            if det == 0.0:
+                break
+            jac = (j11, j12, j21, j22, det)
+        j11, j12, j21, j22, det = jac
         lon -= (rx * j22 - j12 * ry) / det
         lat -= (j11 * ry - rx * j21) / det
     return lon, lat
@@ -167,10 +214,31 @@ def _make_utm(zone: int, south: bool):
         return _utm_forward(lon, lat, lon0, fn)
 
     def inv(x: float, y: float) -> tuple[float, float]:
-        lat0 = (y - fn) / (_K0_UTM * _A)
-        lon_seed = lon0 + (x - 500_000.0) / (
-            _K0_UTM * _A * max(math.cos(lat0), 1e-9))
-        return _newton_inverse(fwd, x, y, lon_seed, lat0)
+        # Snyder's series inverse (eqs. 8-17..8-25) as the Newton seed:
+        # accurate to ~1e-8 rad even 6 deg off the central meridian, so
+        # Newton is a 1-step polish + fixpoint verification instead of a
+        # 3-4 step search (r7: this halved the inverse's forward evals)
+        phi1 = _footpoint_lat((y - fn) / _K0_UTM)
+        s1, c1 = math.sin(phi1), math.cos(phi1)
+        t1 = s1 / c1
+        bigT = t1 * t1
+        bigC = _EP2 * c1 * c1
+        w = 1.0 - _E2 * s1 * s1
+        n1 = _A / math.sqrt(w)
+        r1 = _A * (1.0 - _E2) / (w * math.sqrt(w))
+        d = (x - 500_000.0) / (n1 * _K0_UTM)
+        d2 = d * d
+        lat_seed = phi1 - (n1 * t1 / r1) * (
+            d2 / 2.0
+            - (5.0 + 3.0 * bigT + 10.0 * bigC - 4.0 * bigC * bigC
+               - 9.0 * _EP2) * d2 * d2 / 24.0
+            + (61.0 + 90.0 * bigT + 298.0 * bigC + 45.0 * bigT * bigT
+               - 252.0 * _EP2 - 3.0 * bigC * bigC) * d2 * d2 * d2 / 720.0)
+        lon_seed = lon0 + (
+            d - (1.0 + 2.0 * bigT + bigC) * d2 * d / 6.0
+            + (5.0 - 2.0 * bigC + 28.0 * bigT - 3.0 * bigC * bigC
+               + 8.0 * _EP2 + 24.0 * bigT * bigT) * d2 * d2 * d / 120.0) / c1
+        return _newton_inverse(fwd, x, y, lon_seed, lat_seed)
 
     return fwd, inv
 
