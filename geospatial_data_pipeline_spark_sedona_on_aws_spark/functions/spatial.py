@@ -111,20 +111,18 @@ def _buffer(s: str | None, d: float) -> str | None:
             # disc per point: 32-gon circle (8 segments per quarter turn,
             # the same quadsegs default as _buffer_round's arcs), union'd
             # so overlapping discs of a MULTIPOINT merge correctly
-            import math as _m
-            discs = []
-            for (px, py) in data:
-                ring = [(px + d * _m.cos(2 * _m.pi * i / 32),
-                         py + d * _m.sin(2 * _m.pi * i / 32))
-                        for i in range(32)]
-                discs.append([[ring]])
+            discs = [[[_disc_ring(px, py, d, 8)]] for (px, py) in data]
             if not discs:
                 return "POLYGON EMPTY"
             return G.to_wkt(B.union_geom(discs) if len(discs) > 1
                             else discs[0])
+        if kind in ("LINESTRING", "MULTILINESTRING") and d > 0:
+            # lineal buffers are round-join capsules regardless of the
+            # areal join style — Sedona/JTS has no miter end cap either
+            return _buffer_lineal(data, d, 8)
         raise G.GeomError(
-            "ST_Buffer with nonzero distance supports areal and puntal "
-            "geometry; lineal capsule buffering is not implemented")
+            "ST_Buffer with nonzero distance supports areal, puntal and "
+            "lineal geometry; negative distances apply to areal only")
     g = G.normalize(G.parse_wkt(s))
     if d == 0:
         return G.to_wkt(g)
@@ -188,6 +186,181 @@ def _line_intersect(a, b):
     t = ((bx1 - ax1) * d2y - (by1 - ay1) * d2x) / den
     return (ax1 + t * d1x, ay1 + t * d1y)
 
+def _disc_ring(px: float, py: float, d: float,
+               quadsegs: int) -> list[tuple[float, float]]:
+    """CCW 4·quadsegs-gon inscribed in the radius-d circle at (px, py) —
+    the point-buffer disc (Sedona/PostGIS ST_Buffer(point) convention:
+    quadsegs segments per quarter turn, first vertex at angle 0)."""
+    import math
+    n = 4 * quadsegs
+    return [(px + d * math.cos(2 * math.pi * i / n),
+             py + d * math.sin(2 * math.pi * i / n)) for i in range(n)]
+
+def _round_offset_ring(ring, d: float, quadsegs: int, min_edges: int = 3,
+                       unsafe=None):
+    """Offset a closed ring outward by +d with round joins: each edge is
+    translated along its right-hand normal; outward turns get a circular
+    arc around the shared vertex (quadsegs segments per quarter turn),
+    inward turns the miter intersection. This is the per-ring walk of
+    ST_BufferRound, shared with the lineal capsule path (which feeds a
+    doubled open path, hence min_edges=2 there). Returns the offset point
+    list, or None when fewer than min_edges nonzero edges survive.
+
+    `unsafe`, when a 1-element list, is set True whenever a miter join
+    cannot be the exact equidistant boundary: turn sharper than 90°, the
+    miter's foot d·tan(|turn|/2) overhanging an adjacent edge, or
+    antiparallel offset lines. The capsule path uses it to divert to the
+    exact per-segment stadium union — for the POLYGON path the miter IS
+    the pinned semantics (oracles fix its vertex counts), so it ignores
+    the flag."""
+    import math
+    n = len(ring)
+    edges = []
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        dx, dy = x2 - x1, y2 - y1
+        ln = math.hypot(dx, dy)
+        if ln == 0:
+            continue
+        # (dy,-dx)/ln: outward for CCW outers, hole-shrinking for
+        # CW holes (same sign logic as the miter _offset_ring)
+        edges.append(((x1, y1), (x2, y2), (dy / ln, -dx / ln)))
+    m = len(edges)
+    if m < min_edges:
+        return None
+    # per-vertex join between edge i and edge i+1: a list of points
+    # replacing {end-of-i, start-of-i+1} offset endpoints
+    joins: list[list[tuple[float, float]]] = []
+    for i in range(m):
+        (a1, a2, (nx, ny)) = edges[i]
+        (b1, b2, (mx, my)) = edges[(i + 1) % m]
+        e_end = (a2[0] + nx * d, a2[1] + ny * d)
+        n_start = (b1[0] + mx * d, b1[1] + my * d)
+        ang0, ang1 = math.atan2(ny, nx), math.atan2(my, mx)
+        sweep = ang1 - ang0
+        while sweep <= -math.pi:
+            sweep += 2 * math.pi
+        while sweep > math.pi:
+            sweep -= 2 * math.pi
+        if sweep <= -math.pi + 1e-9:
+            # a reversal (doubled-path end cap, or a spike vertex in a
+            # ring) is a ±pi turn; atan2 rounding can land it at
+            # -pi + ULP, which would take the miter branch and hand
+            # _line_intersect two antiparallel lines — snap to the +pi
+            # outward cap arc (the JTS round-cap semantics either way)
+            sweep += 2 * math.pi
+        if sweep > 1e-12:
+            # outward turn → arc around the shared vertex a2 == b1
+            k = max(1, math.ceil(sweep / (math.pi / 2) * quadsegs
+                                 - 1e-9))
+            arc = [e_end]
+            for j in range(1, k):
+                a = ang0 + sweep * j / k
+                arc.append((a2[0] + d * math.cos(a),
+                            a2[1] + d * math.sin(a)))
+            arc.append(n_start)
+            joins.append(arc)
+        elif sweep < -1e-12:
+            # inward turn → single miter intersection point
+            p = _line_intersect(
+                (a1[0] + nx * d, a1[1] + ny * d, *e_end),
+                (*n_start, b2[0] + mx * d, b2[1] + my * d))
+            joins.append([p] if p is not None else [e_end, n_start])
+            if unsafe is not None and not unsafe[0]:
+                if p is None or sweep < -(math.pi / 2 + 1e-9):
+                    unsafe[0] = True
+                else:
+                    foot = d * math.tan(-sweep / 2)
+                    la = math.hypot(a2[0] - a1[0], a2[1] - a1[1])
+                    lb = math.hypot(b2[0] - b1[0], b2[1] - b1[1])
+                    if foot > la or foot > lb:
+                        unsafe[0] = True
+        else:
+            joins.append([e_end])  # collinear continuation
+    pts: list[tuple[float, float]] = []
+    for i in range(m):
+        # edge i's interior span is implicit: its start point is
+        # the last point of join i-1, its end the first of join i
+        pts.extend(joins[i])
+    return pts if len(pts) >= 3 else None
+
+def _buffer_lineal(paths, d: float, quadsegs: int) -> str:
+    """Round buffer of lineal geometry (Sedona/PostGIS line buffers).
+
+    Open path → capsule: the path doubled back on itself (p0..pk,
+    p(k-1)..p1) is a degenerate closed ring whose round offset IS the
+    capsule boundary — end vertices are pi-sweep reversals, so the join
+    walk emits the half-disc caps; interior vertices get an arc on the
+    convex side and a miter on the other, exactly the JTS round-join
+    shape. Closed path (first == last) → annulus: outer ring is the round
+    offset of the CCW loop, the hole the round offset of the REVERSED
+    loop (reversal flips normals inward and turn signs, so reflex corners
+    of the loop get their inner arcs).
+
+    When d exceeds the local feature size the direct offset ring folds
+    onto itself; even-odd re-noding would carve double-covered lobes into
+    holes, which is NOT buffer semantics. Folded paths instead fall back
+    to the exact decomposition: Minkowski sums distribute over unions, so
+    buffer(path) == union of per-segment stadiums — each stadium is a
+    convex fold-free polygon, and the trapezoid union (nonzero coverage)
+    dissolves them. The same union dissolves overlapping capsules of a
+    MULTILINESTRING."""
+    clean = []      # polygons whose direct offset ring is fold-free
+    pieces = []     # convex fallback stadiums awaiting union
+    for path in paths:
+        pts = [path[0]]
+        for p in path[1:]:
+            if p != pts[-1]:
+                pts.append(p)
+        if len(pts) == 1:
+            clean.append([_disc_ring(pts[0][0], pts[0][1], d, quadsegs)])
+            continue
+        if len(pts) == 3 and pts[0] == pts[-1]:
+            # 'there and back' degenerate loop — buffer it as the open
+            # segment (the doubled walk would trace the stadium twice
+            # and even-odd re-noding would cancel it to nothing)
+            pts = pts[:-1]
+        closed = len(pts) > 3 and pts[0] == pts[-1]
+        poly = None
+        flag = [False]
+        if closed:
+            loop = pts[:-1]
+            if G._ring_signed_area(loop) < 0:
+                loop = loop[::-1]
+            outer = _round_offset_ring(loop, d, quadsegs, unsafe=flag)
+            inner = _round_offset_ring(loop[::-1], d, quadsegs, unsafe=flag)
+            if outer is not None:
+                poly = [outer]
+                # the inner offset vanishes when d reaches the loop's
+                # inradius — then the buffer is simply filled (no hole)
+                if inner is not None and G._ring_signed_area(inner) != 0:
+                    poly.append(inner)
+        else:
+            ring = _round_offset_ring(pts + pts[-2:0:-1], d, quadsegs,
+                                      min_edges=2, unsafe=flag)
+            if ring is not None:
+                poly = [ring]
+        if poly is None:
+            continue
+        if not flag[0] and (
+                (len(poly) == 1 and G._is_convex(poly[0]))
+                or not G._has_self_intersections([poly])):
+            clean.append(poly)
+            continue
+        # fold detected → exact per-segment stadium decomposition
+        segs = list(zip(pts, pts[1:]))
+        for a, b in segs:
+            st = _round_offset_ring([a, b], d, quadsegs, min_edges=2)
+            if st is not None:
+                pieces.append([st])
+    if not clean and not pieces:
+        return "POLYGON EMPTY"
+    if pieces or len(clean) > 1:
+        return G.to_wkt(B.union_geom([[p] for p in clean]
+                                     + [[p] for p in pieces]))
+    return G.to_wkt(clean[0:1])
+
 def _buffer_round(s: str | None, d: float, quadsegs: int = 8) -> str | None:
     """True round-join positive buffer: offset every edge outward by d and
     join adjacent offset edges with a circular arc approximated by
@@ -205,65 +378,26 @@ def _buffer_round(s: str | None, d: float, quadsegs: int = 8) -> str | None:
     d = float(d)
     if d <= 0:
         return _buffer(s, d)
+    if not _is_areal(s):
+        tg = GT.parse_wkt(s)
+        kind, data = tg
+        if kind in ("POINT", "MULTIPOINT"):
+            discs = [[[_disc_ring(px, py, d, quadsegs)]]
+                     for (px, py) in data]
+            if not discs:
+                return "POLYGON EMPTY"
+            return G.to_wkt(B.union_geom(discs) if len(discs) > 1
+                            else discs[0])
+        if kind in ("LINESTRING", "MULTILINESTRING"):
+            return _buffer_lineal(data, d, quadsegs)
+        raise G.GeomError(f"ST_BufferRound does not support {kind}")
     g = G.normalize(G.parse_wkt(s))
     out = []
     for poly in g:
         rings = []
         for ring in poly:
-            n = len(ring)
-            edges = []
-            for i in range(n):
-                x1, y1 = ring[i]
-                x2, y2 = ring[(i + 1) % n]
-                dx, dy = x2 - x1, y2 - y1
-                ln = math.hypot(dx, dy)
-                if ln == 0:
-                    continue
-                # (dy,-dx)/ln: outward for CCW outers, hole-shrinking for
-                # CW holes (same sign logic as the miter _offset_ring)
-                edges.append(((x1, y1), (x2, y2), (dy / ln, -dx / ln)))
-            m = len(edges)
-            if m < 3:
-                continue
-            # per-vertex join between edge i and edge i+1: a list of points
-            # replacing {end-of-i, start-of-i+1} offset endpoints
-            joins: list[list[tuple[float, float]]] = []
-            for i in range(m):
-                (a1, a2, (nx, ny)) = edges[i]
-                (b1, b2, (mx, my)) = edges[(i + 1) % m]
-                e_end = (a2[0] + nx * d, a2[1] + ny * d)
-                n_start = (b1[0] + mx * d, b1[1] + my * d)
-                ang0, ang1 = math.atan2(ny, nx), math.atan2(my, mx)
-                sweep = ang1 - ang0
-                while sweep <= -math.pi:
-                    sweep += 2 * math.pi
-                while sweep > math.pi:
-                    sweep -= 2 * math.pi
-                if sweep > 1e-12:
-                    # outward turn → arc around the shared vertex a2 == b1
-                    k = max(1, math.ceil(sweep / (math.pi / 2) * quadsegs
-                                         - 1e-9))
-                    arc = [e_end]
-                    for j in range(1, k):
-                        a = ang0 + sweep * j / k
-                        arc.append((a2[0] + d * math.cos(a),
-                                    a2[1] + d * math.sin(a)))
-                    arc.append(n_start)
-                    joins.append(arc)
-                elif sweep < -1e-12:
-                    # inward turn → single miter intersection point
-                    p = _line_intersect(
-                        (a1[0] + nx * d, a1[1] + ny * d, *e_end),
-                        (*n_start, b2[0] + mx * d, b2[1] + my * d))
-                    joins.append([p] if p is not None else [e_end, n_start])
-                else:
-                    joins.append([e_end])  # collinear continuation
-            pts: list[tuple[float, float]] = []
-            for i in range(m):
-                # edge i's interior span is implicit: its start point is
-                # the last point of join i-1, its end the first of join i
-                pts.extend(joins[i])
-            if len(pts) >= 3:
+            pts = _round_offset_ring(ring, d, quadsegs)
+            if pts is not None:
                 rings.append(pts)
         if rings:
             out.append(rings)

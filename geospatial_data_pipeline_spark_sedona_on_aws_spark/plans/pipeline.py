@@ -246,6 +246,90 @@ SELECT property_id,
 FROM land_use
 """
 
+def st_buffer_line_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_BufferRound over non-areal inputs — Sedona buffers ANY geometry
+    (r6 verdict item 4); this exercises every lineal/puntal branch with a
+    closed-form oracle per shape (q = 8 segments per quarter turn,
+    s = sin(pi/16) the polygonal-arc factor):
+      segment (x1,y1)-(x2,y2) → stadium: 2·d·L + 16·d²·s, 35 vertices
+        (2 straight edges + two 16-segment half-disc caps + closure);
+      point → 32-gon disc: 16·d²·s, 33 vertices;
+      right-angle polyline (x1,y1)-(x2,y1)-(x2,y2) → capsule:
+        2·dl·(w+h) − dl² + 20·dl²·s — the −dl² is the double-counted
+        corner square, the 20 = 16 (caps) + 4 (quarter-turn outer arc);
+        45 vertices (17+17 caps, 9 arc, 1 inner miter, closure);
+      closed rectangle ring → annulus: outer (w+2·da)(h+2·da) − 4·da²
+        + 16·da²·s minus inner (w−2·da)(h−2·da); 42 vertices (37 outer
+        with four quarter arcs, 5 inner miter ring).
+    Radii are exact binary fractions ≤ the shapes' feature sizes, so the
+    direct offset walk (never the union fallback) produces the geometry
+    and both engines agree to ~1e-9 — quantized at 1e-2."""
+    from ..functions.spatial import register_spatial_functions
+
+    register_spatial_functions(spark)
+    lu = fixtures.land_use_areas(spark, sf_dir, wkt=False)
+    out = lu.selectExpr(
+        "property_id",
+        "CAST((1 + property_id % 5) / 4.0 AS DOUBLE) AS d",
+        "CAST((1 + property_id % 3) / 8.0 AS DOUBLE) AS dl",
+        "CAST((1 + property_id % 2) / 8.0 AS DOUBLE) AS da",
+        "concat('LINESTRING (', x1, ' ', y1, ', ', x2, ' ', y2, ')')"
+        " AS __seg_wkt",
+        "concat('POINT (', x1, ' ', y1, ')') AS __pt_wkt",
+        "concat('LINESTRING (', x1, ' ', y1, ', ', x2, ' ', y1, ', ',"
+        " x2, ' ', y2, ')') AS __ell_wkt",
+        "concat('LINESTRING (', x1, ' ', y1, ', ', x2, ' ', y1, ', ',"
+        " x2, ' ', y2, ', ', x1, ' ', y2, ', ', x1, ' ', y1, ')')"
+        " AS __ring_wkt",
+    ).selectExpr(
+        "property_id",
+        "ST_BufferRound(__seg_wkt, d, 8) AS __seg",
+        "ST_BufferRound(__pt_wkt, d, 8) AS __pt",
+        "ST_BufferRound(__ell_wkt, dl, 8) AS __ell",
+        "ST_BufferRound(__ring_wkt, da, 8) AS __ring",
+    )
+    return out.selectExpr(
+        "property_id",
+        "CAST(round(ST_Area(__seg) * 100) AS BIGINT) AS seg_area_q",
+        "ST_NPoints(__seg) AS seg_np",
+        "CAST(round(ST_Area(__pt) * 100) AS BIGINT) AS pt_area_q",
+        "ST_NPoints(__pt) AS pt_np",
+        "CAST(round(ST_Area(__ell) * 100) AS BIGINT) AS ell_area_q",
+        "ST_NPoints(__ell) AS ell_np",
+        "CAST(round(ST_Area(__ring) * 100) AS BIGINT) AS ring_area_q",
+        "ST_NPoints(__ring) AS ring_np",
+    )
+
+ST_BUFFER_LINE_POINT_ORACLE = f"""
+WITH {fixtures.LAND_USE_CTE.strip()},
+b AS (
+    SELECT property_id,
+           CAST(x2 - x1 AS DOUBLE) AS w,
+           CAST(y2 - y1 AS DOUBLE) AS h,
+           (1 + property_id % 5) / 4.0 AS d,
+           (1 + property_id % 3) / 8.0 AS dl,
+           (1 + property_id % 2) / 8.0 AS da
+    FROM land_use
+)
+SELECT property_id,
+       CAST(round((2 * d * sqrt(w * w + h * h)
+            + 16 * d * d * sin(pi() / 16)) * 100) AS BIGINT) AS seg_area_q,
+       CAST(35 AS BIGINT) AS seg_np,
+       CAST(round((16 * d * d * sin(pi() / 16)) * 100) AS BIGINT)
+           AS pt_area_q,
+       CAST(33 AS BIGINT) AS pt_np,
+       CAST(round((2 * dl * (w + h) - dl * dl
+            + 20 * dl * dl * sin(pi() / 16)) * 100) AS BIGINT)
+           AS ell_area_q,
+       CAST(45 AS BIGINT) AS ell_np,
+       CAST(round(((w + 2 * da) * (h + 2 * da) - 4 * da * da
+            + 16 * da * da * sin(pi() / 16)
+            - (w - 2 * da) * (h - 2 * da)) * 100) AS BIGINT)
+           AS ring_area_q,
+       CAST(42 AS BIGINT) AS ring_np
+FROM b
+"""
+
 def _cross_wkt_sql() -> str:
     """12-vertex plus-shape polygon WKT from the land_use ints: outer box
     (x1, y1)–(x1+cw, y1+ch) with corner notches of size ca×cb. Used only on

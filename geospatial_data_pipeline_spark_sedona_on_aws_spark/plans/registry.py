@@ -76,6 +76,7 @@ QUERIES: dict[str, QueryFn] = {
     # unchanged — plus the q3/nation_revenue/top_customers rotation rows,
     # judge-replica-verified twice) ---
     "st_buffer_round": P.st_buffer_round,       # round-join ε-buffer
+    "st_buffer_line_point": P.st_buffer_line_point,  # r7: lineal/puntal
     "st_convex_hull": P.st_convex_hull,         # monotone-chain hull
     "st_simplify": P.st_simplify,               # Douglas–Peucker
     "hilbert_curve": LAY.hilbert_curve,         # locality-optimal layout
@@ -380,6 +381,7 @@ ORACLES: dict[str, str] = {
     "crop_analytics_jsonl_roundtrip": P.CROP_ANALYTICS_ORACLE,
     "st_area_rect": P.ST_AREA_RECT_ORACLE,
     "st_buffer_round": P.ST_BUFFER_ROUND_ORACLE,
+    "st_buffer_line_point": P.ST_BUFFER_LINE_POINT_ORACLE,
     "recursive_supplier_tree": R.RECURSIVE_SUPPLIER_TREE_ORACLE,
     "streaming_cdc_apply": R.CDC_MERGE_ORACLE,  # drained state == batch MERGE
     "gap_fill_interpolate": EV.GAP_FILL_INTERPOLATE_ORACLE,

@@ -1751,3 +1751,118 @@ def test_prop_symdiff_area_inclusion_exclusion(x1, y1, w1, h1,
     got = _area(_sym_difference(rect(x1, y1, w1, h1),
                                 rect(x2, y2, w2, h2)))
     assert abs(got - (w1 * h1 + w2 * h2 - 2 * inter)) < 1e-9
+
+# ------------------------------------------- lineal / puntal round buffers
+
+def test_buffer_point_disc_closed_form():
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions.spatial import _area
+
+    for d in (0.25, 0.5, 1.25):
+        w = _buffer_round("POINT (5 6)", d, 8)
+        assert abs(_area(w) - 16 * d * d * math.sin(math.pi / 16)) < 1e-12
+        assert _npoints(w) == 33
+
+
+@given(
+    x1=st.floats(-50, 50), y1=st.floats(-50, 50),
+    ang=st.floats(0, 2 * math.pi), ln=st.floats(0.5, 30),
+    dq=st.integers(1, 5),
+)
+@settings(max_examples=60, deadline=None)
+def test_prop_buffer_segment_stadium_closed_form(x1, y1, ang, ln, dq):
+    """Any-orientation segment buffer is the stadium 2dL + 16 d^2 sin(pi/16)
+    with exactly 35 vertices — including the reversal caps whose +-pi sweep
+    must not fall into the miter branch (the atan2-ULP regression)."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions.spatial import _area
+
+    d = dq / 4.0
+    x2, y2 = x1 + ln * math.cos(ang), y1 + ln * math.sin(ang)
+    w = _buffer_round(f"LINESTRING ({x1} {y1}, {x2} {y2})", d, 8)
+    exp = 2 * d * ln + 16 * d * d * math.sin(math.pi / 16)
+    assert abs(_area(w) - exp) < 1e-7 * max(1.0, exp)
+    assert _npoints(w) == 35
+
+
+def test_buffer_right_angle_capsule_closed_form():
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions.spatial import _area
+
+    s = math.sin(math.pi / 16)
+    for dl in (0.25, 0.375, 0.5):
+        w = _buffer_round("LINESTRING (2 3, 12 3, 12 11)", dl, 8)
+        exp = 2 * dl * 18 - dl * dl + 20 * dl * dl * s
+        assert abs(_area(w) - exp) < 1e-9
+        assert _npoints(w) == 45
+
+
+def test_buffer_closed_ring_annulus():
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions.spatial import _area
+
+    s = math.sin(math.pi / 16)
+    for da in (0.125, 0.25):
+        w = _buffer_round("LINESTRING (2 3, 12 3, 12 11, 2 11, 2 3)", da, 8)
+        outer = (10 + 2 * da) * (8 + 2 * da) - 4 * da * da \
+            + 16 * da * da * s
+        assert abs(_area(w) - (outer - (10 - 2 * da) * (8 - 2 * da))) < 1e-9
+        assert _npoints(w) == 42  # 37 outer (four quarter arcs) + 5 inner
+
+
+def test_buffer_sharp_v_falls_back_to_exact_stadium_union():
+    """A near-reversal turn makes the direct offset walk's inner miter fly
+    far from the vertex; the walk must divert to the per-segment stadium
+    union (Minkowski sums distribute over unions), keeping every point
+    within d of the path inside the polygon."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel.geomtypes import (
+        distance as tdist,
+        parse_wkt as tparse,
+        point_in_polygon,
+    )
+
+    ls = "LINESTRING (0 0, 10 1, 1 3)"  # ~160 degree turn at (10, 1)
+    d = 2.0
+    g = G.parse_wkt(_buffer_round(ls, d, 8))
+    tg = tparse(ls)
+    import random
+
+    rng = random.Random(7)
+    for _ in range(400):
+        qx, qy = rng.uniform(-3, 13), rng.uniform(-3, 6)
+        dd = tdist(("POINT", [(qx, qy)]), tg)
+        if dd < d * 0.98:
+            assert point_in_polygon(qx, qy, g), (qx, qy, dd)
+        elif dd > d * 1.02:
+            assert not point_in_polygon(qx, qy, g), (qx, qy, dd)
+
+
+def test_buffer_multiline_dissolves_overlap():
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions.spatial import _area
+
+    w = _buffer_round(
+        "MULTILINESTRING ((0 0, 10 0), (5 -3, 5 3))", 1.0, 8)
+    cap = 16 * math.sin(math.pi / 16)
+    separate = (2 * 10 + cap) + (2 * 6 + cap)
+    a = _area(w)
+    assert a < separate - 3.0       # the crossing region dissolved once
+    assert a > 2 * 10               # still covers both capsules' cores
+
+
+def test_buffer_degenerate_lines():
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions.spatial import _area
+
+    # single repeated point -> disc
+    w = _buffer_round("LINESTRING (5 5, 5 5)", 1.0, 8)
+    assert abs(_area(w) - 16 * math.sin(math.pi / 16)) < 1e-12
+    # 'there and back' -> one stadium, not an even-odd-cancelled void
+    w = _buffer_round("LINESTRING (0 0, 4 0, 0 0)", 1.0, 8)
+    assert abs(_area(w) - (8 + 16 * math.sin(math.pi / 16))) < 1e-9
+
+
+def test_buffer_miter_entry_delegates_lineal_to_round():
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions.spatial import (
+        _area,
+        _buffer,
+    )
+
+    w = _buffer("LINESTRING (0 0, 10 0)", 2.0)
+    assert abs(_area(w) - (40 + 64 * math.sin(math.pi / 16))) < 1e-9
+    # buffer(0) of a line stays a zero-interior polygon (JTS convention)
+    assert _buffer("LINESTRING (0 0, 10 0)", 0.0) == "POLYGON EMPTY"
