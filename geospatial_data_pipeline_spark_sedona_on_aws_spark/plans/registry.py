@@ -366,10 +366,79 @@ _R6_WINDOW = [
     "histogram_quantile",    # sketches-family seat
     "q12_late_priority",     # round-2's only red row: stays driver-visible
 ]
-_WINDOW = _R6_WINDOW
+# ======================================================================
+# Round-7 rotation (VERDICT r6 item 7): tier 1 = (a) the r7 blast radius
+# — one brand-new query (st_buffer_line_point), the two queries added
+# right after the r6 freeze (st_geomcollection_ops, st_geodesic_ops),
+# the rewritten buffer walk, the series-seeded Newton CRS inverses, and
+# representatives of the WKT-parser fast paths (_parse_ring /
+# _split_top_level now feed every areal scalar) — plus (b) the 29
+# stalest rows: the r1/r2 relational cohort, driver-unverified for five
+# rounds (the cumulative ledger covers them, but staleness rotates in).
+# set_ops / top_customers_per_nation / training_mix / udtf_token_explode
+# are the remaining 4 of that cohort — r8 seats them.
+_R7_WINDOW = [
+    # --- brand new / post-freeze additions (3) ---
+    "st_buffer_line_point",      # lineal/puntal ST_Buffer surface
+    "st_geomcollection_ops",     # GEOMETRYCOLLECTION + Z kernel
+    "st_geodesic_ops",           # sphere/spheroid measures
+    # --- buffer walk rewritten (shared _round_offset_ring) (2) ---
+    "st_buffer_round",
+    "st_geometry_ops",
+    # --- CRS Newton inverses re-seeded (series seeds, ULP gate) (4) ---
+    "st_transform_utm",
+    "st_transform_roundtrip",
+    "crop_analytics_utm",
+    "crop_analytics",            # flagship rides polyconic_inverse
+    # --- WKT parser fast paths feed every areal scalar (12) ---
+    "st_area_rect",
+    "st_intersection_area",
+    "st_convex_hull",
+    "st_simplify",
+    "st_predicates",
+    "st_wkb_roundtrip",
+    "st_collect_dump",
+    "geo_range_join",
+    "points_in_regions",
+    "crop_analytics_full",
+    "crop_analytics_full_chain",
+    "crop_analytics_skewed",
+    # --- stalest cohort: last driver-verified r1/r2 (29) ---
+    "cube_sales",
+    "customers_without_orders",
+    "distinct_agg",
+    "expectations_check",
+    "filter_sort_limit",
+    "grouping_sets",
+    "incremental_rollup",
+    "late_ship_orders",
+    "nation_revenue",
+    "nation_trade_flows",
+    "part_window_stats",
+    "pivot_order_status",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_parts_supplier_count",
+    "q17_small_quantity",
+    "q19_disjunctive_revenue",
+    "q20_dominant_suppliers",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "rollup_sales",
+    "scalar_functions",
+]
+_WINDOW = _R7_WINDOW
 # a duplicated name would silently dedupe in the dict rebuild below,
 # shrinking the driver's tier-1 gate without any signal (ADVICE r6)
 assert len(_WINDOW) == len(set(_WINDOW)), "duplicate name in gate window"
+assert len(_WINDOW) == 50, "gate window must stay 50 seats"
 QUERIES = {
     **{k: QUERIES[k] for k in _WINDOW},
     **{k: v for k, v in QUERIES.items() if k not in set(_WINDOW)},
