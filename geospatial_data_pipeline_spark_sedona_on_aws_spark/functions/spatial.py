@@ -1158,6 +1158,717 @@ def _closest_point(a: str | None, b: str | None) -> str | None:
                     best_d2, best = d2, (ax, ay)
     return None if best is None else GT.to_wkt(("POINT", [best]))
 
+# ------------------------------------------------- affine & precision (r7)
+
+def _rotate(s: str | None, theta: float) -> str | None:
+    """ST_Rotate(geom, rad): counter-clockwise rotation about the origin
+    (the Sedona/PostGIS 2-arg form); z preserved, GC recursive."""
+    import math
+
+    if s is None:
+        return None
+    c, sn = math.cos(theta), math.sin(theta)
+    return GT.to_wkt(GT.map_coords(GT.parse_wkt(s),
+                                   lambda x, y: (c * x - sn * y,
+                                                 sn * x + c * y)))
+
+def _scale(s: str | None, fx: float, fy: float) -> str | None:
+    """ST_Scale(geom, fx, fy): axis scaling about the origin."""
+    if s is None:
+        return None
+    return GT.to_wkt(GT.map_coords(GT.parse_wkt(s),
+                                   lambda x, y: (x * fx, y * fy)))
+
+def _affine(s: str | None, a: float, b: float, d: float, e: float,
+            xoff: float, yoff: float) -> str | None:
+    """ST_Affine 2D (PostGIS 6-parameter form):
+    x' = a·x + b·y + xoff, y' = d·x + e·y + yoff."""
+    if s is None:
+        return None
+    return GT.to_wkt(GT.map_coords(GT.parse_wkt(s),
+                                   lambda x, y: (a * x + b * y + xoff,
+                                                 d * x + e * y + yoff)))
+
+def _snap_to_grid(s: str | None, size: float) -> str | None:
+    """ST_SnapToGrid(geom, size): every coordinate rounded to the nearest
+    multiple of `size` (origin 0). Like PostGIS, collapsed geometry is
+    returned as-is — no validity repair is implied."""
+    if s is None or size <= 0:
+        return None
+    return GT.to_wkt(GT.map_coords(GT.parse_wkt(s),
+                                   lambda x, y: (round(x / size) * size,
+                                                 round(y / size) * size)))
+
+def _reduce_precision(s: str | None, digits: int) -> str | None:
+    """Sedona ST_ReducePrecision(geom, d): coordinates rounded to d
+    decimal digits."""
+    if s is None:
+        return None
+    return GT.to_wkt(GT.map_coords(GT.parse_wkt(s),
+                                   lambda x, y: (round(x, digits),
+                                                 round(y, digits))))
+
+def _expand(s: str | None, d: float) -> str | None:
+    """PostGIS ST_Expand: the envelope grown by d on every side, as a
+    POLYGON (a degenerate envelope still expands to a box for d > 0)."""
+    if s is None:
+        return None
+    pts = GT.points_of(GT.parse_wkt(s))
+    if not pts:
+        return "POLYGON EMPTY"
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    x1, x2 = min(xs) - d, max(xs) + d
+    y1, y2 = min(ys) - d, max(ys) + d
+    if x1 >= x2 or y1 >= y2:
+        return "POLYGON EMPTY"
+    return G.to_wkt([[[(x1, y1), (x2, y1), (x2, y2), (x1, y2)]]])
+
+def _force_multi_wkt(base: str, ztag: str, data) -> str:
+    """MULTI* WKT that STAYS multi for singleton member lists — the typed
+    to_wkt canonicalizes by member count, which is right everywhere except
+    ST_Multi / ST_CollectionExtract, whose contract is the multi tag."""
+    fp = GT._fmt_pt
+    tag = base + ztag
+    if not data:
+        return f"{tag} EMPTY"
+    if base == "MULTIPOINT":
+        return f"{tag} (" + ", ".join(fp(p) for p in data) + ")"
+    if base == "MULTILINESTRING":
+        return f"{tag} (" + ", ".join(
+            "(" + ", ".join(fp(p) for p in path) + ")"
+            for path in data) + ")"
+    def ring_txt(r):
+        return "(" + ", ".join(fp(p) for p in list(r) + [r[0]]) + ")"
+    return f"{tag} (" + ", ".join(
+        "(" + ", ".join(ring_txt(r) for r in poly) + ")"
+        for poly in data) + ")"
+
+def _multi(s: str | None) -> str | None:
+    """ST_Multi: singular geometry wrapped in its MULTI* type (already-
+    multi and collections pass through — the PostGIS convention)."""
+    if s is None:
+        return None
+    kind, data = GT.parse_wkt(s)
+    base = GT.basekind(kind)
+    wrap = {"POINT": "MULTIPOINT", "LINESTRING": "MULTILINESTRING",
+            "POLYGON": "MULTIPOLYGON"}.get(base)
+    if wrap is None or not data:
+        return GT.to_wkt((kind, data))
+    return _force_multi_wkt(wrap, " Z" if kind.endswith(" Z") else "",
+                            data)
+
+# ------------------------------------------------------- measure ops (r7)
+
+def _perimeter(s: str | None) -> float | None:
+    """ST_Perimeter: total ring length of areal geometry (holes counted,
+    the PostGIS convention); 0 for lower-dimension input."""
+    import math
+
+    if s is None:
+        return None
+    kind, data = GT.parse_wkt(s)
+    if GT.basekind(kind) not in ("POLYGON", "MULTIPOLYGON"):
+        return 0.0
+    return sum(math.hypot(x2 - x1, y2 - y1)
+               for x1, y1, x2, y2 in GT.segments_of((kind, data)))
+
+def _angle3(p1: str | None, p2: str | None,
+            p3: str | None) -> float | None:
+    """ST_Angle(P1, P2, P3): the angle at vertex P2, measured clockwise
+    from ray P2→P1 to ray P2→P3 in [0, 2pi) — exactly
+    azimuth(P2, P3) − azimuth(P2, P1) mod 2pi, the PostGIS definition."""
+    import math
+
+    a1 = _azimuth(p2, p1)
+    a2 = _azimuth(p2, p3)
+    if a1 is None or a2 is None:
+        return None
+    return (a2 - a1) % (2 * math.pi)
+
+def _closest_pair(ta, tb):
+    """The argmin (point-on-a, point-on-b) pair over all vertex↔segment
+    combinations — exact for disjoint geometries (the min distance is
+    attained at a vertex of one side projected onto an edge of the
+    other). Overlapping/contained pairs are the callers' fast paths."""
+    import math
+
+    best_d2, best = math.inf, None
+    for (src, dst, flip) in ((ta, tb, False), (tb, ta, True)):
+        segs = GT.segments_of(dst)
+        for (x, y) in GT.points_of(src):
+            if segs:
+                for sx1, sy1, sx2, sy2 in segs:
+                    dx, dy = sx2 - sx1, sy2 - sy1
+                    ln2 = dx * dx + dy * dy
+                    t = 0.0 if ln2 == 0 else max(
+                        0.0, min(1.0,
+                                 ((x - sx1) * dx + (y - sy1) * dy) / ln2))
+                    cx, cy = sx1 + t * dx, sy1 + t * dy
+                    d2 = (x - cx) ** 2 + (y - cy) ** 2
+                    if d2 < best_d2:
+                        best_d2 = d2
+                        best = ((cx, cy), (x, y)) if flip else ((x, y),
+                                                                (cx, cy))
+            else:
+                for (bx, by) in GT.points_of(dst):
+                    d2 = (x - bx) ** 2 + (y - by) ** 2
+                    if d2 < best_d2:
+                        best_d2 = d2
+                        best = ((bx, by), (x, y)) if flip else ((x, y),
+                                                                (bx, by))
+    return best
+
+def _shortest_line(a: str | None, b: str | None) -> str | None:
+    """ST_ShortestLine(a, b): the 2-point LINESTRING realizing the minimum
+    distance, first point on a (PostGIS orientation). For intersecting
+    pairs the line is degenerate at any shared point."""
+    if a is None or b is None:
+        return None
+    ta, tb = GT.parse_wkt(a), GT.parse_wkt(b)
+    if not GT.points_of(ta) or not GT.points_of(tb):
+        return None
+    # shared/contained: a zero-length line at a witness point
+    ka, da = ta
+    kb, db = tb
+    for (tg, other) in ((ta, tb), (tb, ta)):
+        kind, data = tg
+        if GT.basekind(kind) in ("POLYGON", "MULTIPOLYGON"):
+            for (x, y) in GT.points_of(other):
+                if GT.point_in_polygon(x, y, data):
+                    return GT.to_wkt(("LINESTRING", [[(x, y), (x, y)]]))
+    pair = _closest_pair(ta, tb)
+    if pair is None:
+        return None
+    return GT.to_wkt(("LINESTRING", [list(pair)]))
+
+def _max_distance(a: str | None, b: str | None) -> float | None:
+    """ST_MaxDistance: the largest distance between any two points of the
+    geometries — attained at a vertex pair (support of the farthest-point
+    metric is the convex hulls' vertices)."""
+    import math
+
+    if a is None or b is None:
+        return None
+    pa = GT.points_of(GT.parse_wkt(a))
+    pb = GT.points_of(GT.parse_wkt(b))
+    if not pa or not pb:
+        return None
+    # hulls first: max distance is attained on hull vertices, and the
+    # hull collapse keeps the vertex-pair scan quadratic only in hull size
+    ha = G.convex_hull(pa) or pa
+    hb = G.convex_hull(pb) or pb
+    return math.sqrt(max((x1 - x2) ** 2 + (y1 - y2) ** 2
+                         for x1, y1 in ha for x2, y2 in hb))
+
+def _longest_line(a: str | None, b: str | None) -> str | None:
+    """ST_LongestLine: the vertex pair realizing ST_MaxDistance, first
+    point on a."""
+    if a is None or b is None:
+        return None
+    pa = GT.points_of(GT.parse_wkt(a))
+    pb = GT.points_of(GT.parse_wkt(b))
+    if not pa or not pb:
+        return None
+    ha = G.convex_hull(pa) or pa
+    hb = G.convex_hull(pb) or pb
+    best = max(((x1 - x2) ** 2 + (y1 - y2) ** 2, (x1, y1), (x2, y2))
+               for x1, y1 in ha for x2, y2 in hb)
+    return GT.to_wkt(("LINESTRING", [[best[1], best[2]]]))
+
+def _hausdorff_distance(a: str | None, b: str | None) -> float | None:
+    """ST_HausdorffDistance — the discrete (vertex-sampled) Hausdorff
+    distance JTS computes: max over vertices of each side of the true
+    point-to-geometry distance to the other side (segments included on
+    the target side, so only the SOURCE is vertex-discretized — the JTS
+    DiscreteHausdorffDistance contract, exact for puntal input)."""
+    if a is None or b is None:
+        return None
+    ta, tb = GT.parse_wkt(a), GT.parse_wkt(b)
+    if not GT.points_of(ta) or not GT.points_of(tb):
+        return None
+    h = 0.0
+    for (src, dst) in ((ta, tb), (tb, ta)):
+        for (x, y) in GT.points_of(src):
+            d = GT.distance(("POINT", [(x, y)]), dst)
+            if d is not None and d > h:
+                h = d
+    return h
+
+def _frechet_distance(a: str | None, b: str | None) -> float | None:
+    """ST_FrechetDistance — the discrete Fréchet distance over the vertex
+    sequences (the JTS implementation): classic O(n·m) dynamic program on
+    the coupling lattice."""
+    import math
+
+    if a is None or b is None:
+        return None
+    pa = GT.points_of(GT.parse_wkt(a))
+    pb = GT.points_of(GT.parse_wkt(b))
+    if not pa or not pb:
+        return None
+    n, m = len(pa), len(pb)
+    prev = [0.0] * m
+    for i in range(n):
+        cur = [0.0] * m
+        for j in range(m):
+            d = math.hypot(pa[i][0] - pb[j][0], pa[i][1] - pb[j][1])
+            if i == 0 and j == 0:
+                best = 0.0
+            elif i == 0:
+                best = cur[j - 1]
+            elif j == 0:
+                best = prev[j]
+            else:
+                best = min(prev[j], prev[j - 1], cur[j - 1])
+            cur[j] = max(best, d)
+        prev = cur
+    return prev[m - 1]
+
+def _bounding_diagonal(s: str | None) -> str | None:
+    """PostGIS ST_BoundingDiagonal: LINESTRING(xmin ymin, xmax ymax)."""
+    if s is None:
+        return None
+    pts = GT.points_of(GT.parse_wkt(s))
+    if not pts:
+        return None
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    return GT.to_wkt(("LINESTRING",
+                      [[(min(xs), min(ys)), (max(xs), max(ys))]]))
+
+# --------------------------------------------------------- shape ops (r7)
+
+def _is_closed(s: str | None) -> bool | None:
+    """ST_IsClosed: every path starts where it ends (lineal); puntal and
+    areal input is closed by convention (PostGIS)."""
+    if s is None:
+        return None
+    kind, data = GT.parse_wkt(s)
+    if GT.basekind(kind) not in ("LINESTRING", "MULTILINESTRING"):
+        return True
+    return all(len(path) >= 2 and path[0][:2] == path[-1][:2]
+               for path in data) if data else False
+
+def _segment_meet_ok(si, sj, i, j, seg_meta) -> bool:
+    """True when segments i, j of a lineal geometry may touch without
+    breaking simplicity: adjacent in the same path (two segments sharing
+    an endpoint and not collinear can only meet AT that endpoint), the
+    ring-closure pair, or path-endpoint-to-path-endpoint contact across
+    paths. The crossing solve carries FP rounding, so endpoint matches
+    compare by scaled distance, never exact equality."""
+    import math
+
+    if GT._collinear_overlap_len(si, sj) > 0.0:
+        return False
+    c = GT._crossing_point(si, sj)
+    if c is None:
+        return True
+    path_i, idx_i, last_i, closed_i = seg_meta[i]
+    path_j, idx_j, last_j, closed_j = seg_meta[j]
+    if path_i == path_j:
+        if abs(idx_i - idx_j) == 1:
+            return True        # adjacent, not collinear: meet = shared vertex
+        if closed_i and {idx_i, idx_j} == {0, last_i}:
+            return True        # ring closure pair
+        return False
+    # across paths: only mutual path-ENDPOINT contact is simple
+    scale = max(abs(v) for v in (*si, *sj)) or 1.0
+    eps2 = (1e-9 * scale) ** 2
+
+    def near(p, q):
+        return (p[0] - q[0]) ** 2 + (p[1] - q[1]) ** 2 <= eps2
+
+    ends_i = ([(si[0], si[1])] if idx_i == 0 else []) \
+        + ([(si[2], si[3])] if idx_i == last_i else [])
+    ends_j = ([(sj[0], sj[1])] if idx_j == 0 else []) \
+        + ([(sj[2], sj[3])] if idx_j == last_j else [])
+    return any(near(c, p) for p in ends_i) \
+        and any(near(c, p) for p in ends_j)
+
+def _is_simple(s: str | None) -> bool | None:
+    """ST_IsSimple (JTS semantics): puntal — no repeated points; lineal —
+    self-intersections only at shared endpoints (ring closure allowed);
+    areal — rings free of self-crossings (valid-shape simplicity)."""
+    if s is None:
+        return None
+    kind, data = GT.parse_wkt(s)
+    base = GT.basekind(kind)
+    if base == "GEOMETRYCOLLECTION":
+        return all(_is_simple(GT.to_wkt(m)) for m in data)
+    if base in ("POINT", "MULTIPOINT"):
+        pts = GT.points_of((kind, data))
+        return len(pts) == len(set(pts))
+    if base in ("POLYGON", "MULTIPOLYGON"):
+        raw = [[G._dedupe([p[:2] for p in r]) for r in poly]
+               for poly in data]
+        if any(len(r) < 3 for poly in raw for r in poly):
+            return False
+        return not G._has_self_intersections(raw)
+    # lineal: enumerate segments with (path, index, last_index, closed)
+    segs, meta = [], []
+    for pi, path in enumerate(data):
+        p2 = [p[:2] for p in path]
+        closed = len(p2) >= 3 and p2[0] == p2[-1]
+        for si in range(len(p2) - 1):
+            segs.append((p2[si][0], p2[si][1], p2[si + 1][0],
+                         p2[si + 1][1]))
+            meta.append((pi, si, len(p2) - 2, closed))
+    for i in range(len(segs)):
+        for j in range(i + 1, len(segs)):
+            if not _segment_meet_ok(segs[i], segs[j], i, j, meta):
+                return False
+    return True
+
+def _is_ring(s: str | None) -> bool | None:
+    """ST_IsRing: a LINESTRING that is both closed and simple."""
+    if s is None:
+        return None
+    kind, _ = GT.parse_wkt(s)
+    if GT.basekind(kind) != "LINESTRING":
+        return None
+    return bool(_is_closed(s)) and bool(_is_simple(s))
+
+def _point_on_surface(s: str | None) -> str | None:
+    """ST_PointOnSurface: a point guaranteed ON the geometry. Areal: the
+    midpoint of the widest even-odd interval on a scanline chosen INSIDE
+    a vertex-free y-band around the envelope's midline (no vertex can sit
+    on the scanline, so the crossing parity is unambiguous — same idea as
+    JTS's interior-point bisector, hardened). Lineal: the vertex nearest
+    the centroid (interior vertices preferred — the JTS choice). Puntal:
+    the vertex nearest the centroid."""
+    import math
+
+    if s is None:
+        return None
+    tg = GT.parse_wkt(s)
+    kind, data = tg
+    base = GT.basekind(kind)
+    pts = GT.points_of(tg)
+    if not pts:
+        return None
+    if base in ("POLYGON", "MULTIPOLYGON"):
+        ys = sorted({p[1] for p in pts})
+        if len(ys) == 1:
+            y0 = ys[0]
+        else:
+            mid = (ys[0] + ys[-1]) / 2.0
+            # the vertex-free band containing (or nearest) the midline
+            import bisect
+            k = max(1, min(len(ys) - 1, bisect.bisect_left(ys, mid)))
+            y0 = (ys[k - 1] + ys[k]) / 2.0
+        xs = []
+        g2 = [[[p[:2] for p in ring] for ring in poly] for poly in data]
+        for poly in g2:
+            for ring in poly:
+                n = len(ring)
+                for i in range(n):
+                    (x1, y1), (x2, y2) = ring[i], ring[(i + 1) % n]
+                    if (y1 < y0) != (y2 < y0):
+                        xs.append(x1 + (y0 - y1) * (x2 - x1) / (y2 - y1))
+        xs.sort()
+        best, bx = -1.0, None
+        for i in range(0, len(xs) - 1, 2):
+            w = xs[i + 1] - xs[i]
+            if w > best:
+                best, bx = w, (xs[i] + xs[i + 1]) / 2.0
+        if bx is None:
+            bx, y0 = pts[0]
+        return GT.to_wkt(("POINT", [(bx, y0)]))
+    cx = sum(p[0] for p in pts) / len(pts)
+    cy = sum(p[1] for p in pts) / len(pts)
+    cand = pts
+    if base in ("LINESTRING", "MULTILINESTRING"):
+        interior = [p[:2] for path in data for p in path[1:-1]]
+        if interior:
+            cand = interior
+    return GT.to_wkt(("POINT", [min(
+        cand, key=lambda p: (p[0] - cx) ** 2 + (p[1] - cy) ** 2)]))
+
+def _circle_2(p, q):
+    cx, cy = (p[0] + q[0]) / 2.0, (p[1] + q[1]) / 2.0
+    import math
+    return (cx, cy, math.hypot(p[0] - cx, p[1] - cy))
+
+def _circle_3(p, q, r):
+    import math
+    ax, ay = p
+    bx, by = q
+    cx, cy = r
+    d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+    if d == 0.0:
+        return None
+    ux = ((ax * ax + ay * ay) * (by - cy) + (bx * bx + by * by) * (cy - ay)
+          + (cx * cx + cy * cy) * (ay - by)) / d
+    uy = ((ax * ax + ay * ay) * (cx - bx) + (bx * bx + by * by) * (ax - cx)
+          + (cx * cx + cy * cy) * (bx - ax)) / d
+    return (ux, uy, math.hypot(ax - ux, ay - uy))
+
+def _in_circle(c, p, eps=1e-9):
+    import math
+    return math.hypot(p[0] - c[0], p[1] - c[1]) <= c[2] * (1 + eps) + eps
+
+def _welzl_mec(pts):
+    """Minimum enclosing circle — Welzl's move-to-front algorithm run on
+    the convex hull (the MEC is supported by hull vertices), iterative
+    and deterministic (fixed hull order; no shuffle, determinism is part
+    of the oracle contract). Hull sizes here are small, so the known
+    worst case of unshuffled Welzl is irrelevant."""
+    pts = G.convex_hull(pts) or list(dict.fromkeys(pts))
+    if not pts:
+        return None
+    if len(pts) == 1:
+        return (pts[0][0], pts[0][1], 0.0)
+    c = _circle_2(pts[0], pts[1])
+    for i in range(2, len(pts)):
+        if _in_circle(c, pts[i]):
+            continue
+        # pts[i] is on the boundary of the new circle
+        c = _circle_2(pts[0], pts[i])
+        for j in range(1, i):
+            if _in_circle(c, pts[j]):
+                continue
+            c = _circle_2(pts[i], pts[j])
+            for k in range(j):
+                if _in_circle(c, pts[k]):
+                    continue
+                c3 = _circle_3(pts[i], pts[j], pts[k])
+                if c3 is not None:
+                    c = c3
+    return c
+
+def _min_bounding_radius(s: str | None):
+    """(center_wkt, radius) of the minimum enclosing circle (Sedona
+    ST_MinimumBoundingRadius)."""
+    if s is None:
+        return None
+    pts = GT.points_of(GT.parse_wkt(s))
+    if not pts:
+        return None
+    c = _welzl_mec(pts)
+    return (GT.to_wkt(("POINT", [(c[0], c[1])])), c[2])
+
+def _min_bounding_circle(s: str | None, quadsegs: int = 12) -> str | None:
+    """ST_MinimumBoundingCircle as a 4·quadsegs-gon (the Sedona/PostGIS
+    polygonal rendering; a zero-radius circle degenerates to the point)."""
+    if s is None:
+        return None
+    mbr = _min_bounding_radius(s)
+    if mbr is None:
+        return None
+    center_wkt, r = mbr
+    _, cdata = GT.parse_wkt(center_wkt)
+    cx, cy = cdata[0]
+    if r == 0.0:
+        return GT.to_wkt(("POINT", [(cx, cy)]))
+    return G.to_wkt([[_disc_ring(cx, cy, r, quadsegs)]])
+
+def _geometric_median(s: str | None, tol: float = 1e-12,
+                      max_iter: int = 200) -> str | None:
+    """ST_GeometricMedian (Weiszfeld iteration over the vertices, PostGIS
+    semantics for MULTIPOINT): the point minimizing the sum of distances.
+    Starts at the centroid; an iterate landing on an input point uses the
+    standard zero-weight guard. Deterministic: fixed start, fixed
+    iteration cap, relative tolerance."""
+    import math
+
+    if s is None:
+        return None
+    pts = GT.points_of(GT.parse_wkt(s))
+    if not pts:
+        return None
+    if len(pts) == 1:
+        return GT.to_wkt(("POINT", [pts[0]]))
+    cx = sum(p[0] for p in pts) / len(pts)
+    cy = sum(p[1] for p in pts) / len(pts)
+    scale = max(1.0, max(abs(p[0]) + abs(p[1]) for p in pts))
+    for _ in range(max_iter):
+        num_x = num_y = den = 0.0
+        for (x, y) in pts:
+            d = math.hypot(x - cx, y - cy)
+            if d < 1e-15 * scale:
+                continue
+            w = 1.0 / d
+            num_x += x * w
+            num_y += y * w
+            den += w
+        if den == 0.0:
+            break
+        nx, ny = num_x / den, num_y / den
+        if math.hypot(nx - cx, ny - cy) <= tol * scale:
+            # keep the PREVIOUS iterate: it is already within tolerance,
+            # and when the start is the exact optimum (symmetric input)
+            # this returns it bit-exactly instead of a 1-ULP drift
+            break
+        cx, cy = nx, ny
+
+    # Weiszfeld's known failure mode: when the optimum IS an input point
+    # the iteration slows to sublinear and the zero-weight guard keeps it
+    # from landing exactly — finish with the argmin over {iterate} ∪
+    # input points (an input point is kept only when STRICTLY better, so
+    # symmetric fixtures still return the exact interior optimum)
+    def total(px, py):
+        return sum(math.hypot(px - x, py - y) for x, y in pts)
+
+    best_c, best_p = total(cx, cy), (cx, cy)
+    for p in pts:
+        c = total(p[0], p[1])
+        if c < best_c:
+            best_c, best_p = c, p
+    return GT.to_wkt(("POINT", [best_p]))
+
+# ----------------------------------------------------------- editors (r7)
+
+def _line_substring(s: str | None, f1: float, f2: float) -> str | None:
+    """ST_LineSubstring: the part of a LINESTRING between length fractions
+    f1 ≤ f2 (clamped to [0, 1]); equal fractions degenerate to the POINT
+    at that fraction (the PostGIS convention)."""
+    import math
+
+    if s is None:
+        return None
+    kind, data = GT.parse_wkt(s)
+    if GT.basekind(kind) != "LINESTRING" or not data:
+        return None
+    f1 = min(1.0, max(0.0, f1))
+    f2 = min(1.0, max(0.0, f2))
+    if f2 < f1:
+        return None
+    if f1 == f2:
+        return _line_interpolate_point(s, f1)
+    path = [p[:2] for p in data[0]]
+    segs = list(zip(path, path[1:]))
+    lens = [math.hypot(q[0] - p[0], q[1] - p[1]) for p, q in segs]
+    total = sum(lens)
+    if total == 0.0:
+        return None
+
+    def at(frac):
+        target = frac * total
+        acc = 0.0
+        for idx, ((p, q), ln) in enumerate(zip(segs, lens)):
+            if target <= acc + ln or idx == len(segs) - 1:
+                t = 0.0 if ln == 0.0 else min(1.0, (target - acc) / ln)
+                return idx, (p[0] + t * (q[0] - p[0]),
+                             p[1] + t * (q[1] - p[1]))
+            acc += ln
+        return len(segs) - 1, path[-1]
+
+    i1, p1 = at(f1)
+    i2, p2 = at(f2)
+    out = [p1] + [path[i + 1] for i in range(i1, i2)] + [p2]
+    dedup = [out[0]]
+    for p in out[1:]:
+        if p != dedup[-1]:
+            dedup.append(p)
+    if len(dedup) < 2:
+        return GT.to_wkt(("POINT", [dedup[0]]))
+    return GT.to_wkt(("LINESTRING", [dedup]))
+
+def _segmentize(s: str | None, max_len: float) -> str | None:
+    """ST_Segmentize: every edge longer than max_len split into
+    ceil(len/max_len) EQUAL parts (paths and polygon rings alike — the
+    PostGIS planar behavior). Geometry is unchanged as a point set."""
+    import math
+
+    if s is None or max_len <= 0:
+        return None
+    kind, data = GT.parse_wkt(s)
+    base = GT.basekind(kind)
+
+    def densify(seq, close):
+        pts = [p[:2] for p in seq]
+        if close:
+            pts = pts + [pts[0]]
+        out = [pts[0]]
+        for p, q in zip(pts, pts[1:]):
+            ln = math.hypot(q[0] - p[0], q[1] - p[1])
+            k = max(1, math.ceil(ln / max_len - 1e-12))
+            for i in range(1, k):
+                out.append((p[0] + (q[0] - p[0]) * i / k,
+                            p[1] + (q[1] - p[1]) * i / k))
+            out.append(q)
+        return out[:-1] if close else out
+
+    if base == "LINESTRING" or base == "MULTILINESTRING":
+        return GT.to_wkt((base, [densify(path, False) for path in data]))
+    if base == "POLYGON" or base == "MULTIPOLYGON":
+        return GT.to_wkt((base, [[densify(r, True) for r in poly]
+                                 for poly in data]))
+    return GT.to_wkt((kind, data))  # puntal: nothing to densify
+
+def _collection_extract(s: str | None, dim: int) -> str | None:
+    """ST_CollectionExtract(geom, n): the members of dimension n−1
+    (1 = points, 2 = lines, 3 = polygons) as the matching MULTI* —
+    collections recurse, non-matching singular input yields the empty
+    geometry of the requested type (PostGIS)."""
+    if s is None or dim not in (1, 2, 3):
+        return None
+    want = {1: ("POINT", "MULTIPOINT"),
+            2: ("LINESTRING", "MULTILINESTRING"),
+            3: ("POLYGON", "MULTIPOLYGON")}[dim]
+    out_kind = {1: "MULTIPOINT", 2: "MULTILINESTRING",
+                3: "MULTIPOLYGON"}[dim]
+    members = []
+
+    def strip2(m):
+        # drop z: the uniform internal shape is data = list of members
+        # (points / paths / polys), so one projection per member suffices
+        if dim == 1:
+            return (m[0], m[1])
+        if dim == 2:
+            return [(p[0], p[1]) for p in m]
+        return [[(p[0], p[1]) for p in ring] for ring in m]
+
+    def walk(tg):
+        kind, data = tg
+        base = GT.basekind(kind)
+        if base == "GEOMETRYCOLLECTION":
+            for m in data:
+                walk(m)
+        elif base in want:
+            members.extend(strip2(m) for m in data)
+
+    walk(GT.parse_wkt(s))
+    return _force_multi_wkt(out_kind, "", members)
+
+def _simplify_wkt(s: str | None, tol: float) -> str | None:
+    """ST_Simplify / ST_SimplifyPreserveTopology over WKT: Douglas–Peucker
+    per path (endpoints kept) and per ring (closed-polyline form, anchor
+    vertex kept; rings collapsing under 3 distinct vertices are dropped —
+    the PostGIS behavior). Puntal input passes through."""
+    if s is None:
+        return None
+    kind, data = GT.parse_wkt(s)
+    base = GT.basekind(kind)
+
+    def simp_path(path):
+        xs = [p[0] for p in path]
+        ys = [p[1] for p in path]
+        keep = G.simplify_polyline(xs, ys, tol)
+        return [path[i] for i in keep]
+
+    def simp_ring(ring):
+        closed = list(ring) + [ring[0]]
+        out = simp_path(closed)[:-1]
+        return out if len(out) >= 3 else None
+
+    if base in ("LINESTRING", "MULTILINESTRING"):
+        return GT.to_wkt((kind, [simp_path(p) for p in data]))
+    if base in ("POLYGON", "MULTIPOLYGON"):
+        polys = []
+        for poly in data:
+            rings = [r for r in (simp_ring(ring) for ring in poly)
+                     if r is not None]
+            if rings and len(rings[0]) >= 3:
+                polys.append(rings)
+        return GT.to_wkt((kind, polys)) if polys else "POLYGON EMPTY"
+    if base == "GEOMETRYCOLLECTION":
+        return GT.to_wkt((kind, [GT.parse_wkt(_simplify_wkt(GT.to_wkt(m),
+                                                            tol))
+                                 for m in data]))
+    return GT.to_wkt((kind, data))
+
 # -------------------------------------------------------- geodesic measures
 
 # Sedona's ST_DistanceSphere default radius (its docs: "default 6371008.0")
@@ -2236,6 +2947,152 @@ def st_collect_aggr(x: pd.Series, y: pd.Series) -> str:
     return GT.to_wkt(("MULTIPOINT" if len(pts) != 1 else "POINT",
                       [tuple(p) for p in pts]))
 
+# ---------------------------------------------- r7 scalar wrappers
+
+@pandas_udf(StringType())
+def st_rotate(s: pd.Series, t: pd.Series) -> pd.Series:
+    return pd.Series([None if g is None or pd.isna(v)
+                      else _rotate(g, float(v))
+                      for g, v in zip(s, t)], index=s.index)
+
+@pandas_udf(StringType())
+def st_scale(s: pd.Series, fx: pd.Series, fy: pd.Series) -> pd.Series:
+    return pd.Series([None if g is None or pd.isna(a) or pd.isna(b)
+                      else _scale(g, float(a), float(b))
+                      for g, a, b in zip(s, fx, fy)], index=s.index)
+
+@pandas_udf(StringType())
+def st_affine(s: pd.Series, a: pd.Series, b: pd.Series, d: pd.Series,
+              e: pd.Series, xo: pd.Series, yo: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if g is None else _affine(g, float(va), float(vb), float(vd),
+                                        float(ve), float(vx), float(vy))
+         for g, va, vb, vd, ve, vx, vy in zip(s, a, b, d, e, xo, yo)],
+        index=s.index)
+
+@pandas_udf(StringType())
+def st_snaptogrid(s: pd.Series, size: pd.Series) -> pd.Series:
+    return pd.Series([None if g is None or pd.isna(v)
+                      else _snap_to_grid(g, float(v))
+                      for g, v in zip(s, size)], index=s.index)
+
+@pandas_udf(StringType())
+def st_reduceprecision(s: pd.Series, d: pd.Series) -> pd.Series:
+    return pd.Series([None if g is None or pd.isna(v)
+                      else _reduce_precision(g, int(v))
+                      for g, v in zip(s, d)], index=s.index)
+
+@pandas_udf(StringType())
+def st_expand(s: pd.Series, d: pd.Series) -> pd.Series:
+    return pd.Series([None if g is None or pd.isna(v)
+                      else _expand(g, float(v))
+                      for g, v in zip(s, d)], index=s.index)
+
+@pandas_udf(StringType())
+def st_multi(s: pd.Series) -> pd.Series:
+    return s.map(_multi, na_action="ignore")
+
+@pandas_udf(DoubleType())
+def st_perimeter(s: pd.Series) -> pd.Series:
+    return pd.Series([_perimeter(g) for g in s], index=s.index,
+                     dtype="float64")
+
+@pandas_udf(DoubleType())
+def st_angle(p1: pd.Series, p2: pd.Series, p3: pd.Series) -> pd.Series:
+    return pd.Series([_angle3(a, b, c) for a, b, c in zip(p1, p2, p3)],
+                     index=p1.index, dtype="float64")
+
+@pandas_udf(StringType())
+def st_shortestline(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series([_shortest_line(x, y) for x, y in zip(a, b)],
+                     index=a.index)
+
+@pandas_udf(DoubleType())
+def st_maxdistance(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series([_max_distance(x, y) for x, y in zip(a, b)],
+                     index=a.index, dtype="float64")
+
+@pandas_udf(StringType())
+def st_longestline(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series([_longest_line(x, y) for x, y in zip(a, b)],
+                     index=a.index)
+
+@pandas_udf(DoubleType())
+def st_hausdorffdistance(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series([_hausdorff_distance(x, y) for x, y in zip(a, b)],
+                     index=a.index, dtype="float64")
+
+@pandas_udf(DoubleType())
+def st_frechetdistance(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series([_frechet_distance(x, y) for x, y in zip(a, b)],
+                     index=a.index, dtype="float64")
+
+@pandas_udf(StringType())
+def st_boundingdiagonal(s: pd.Series) -> pd.Series:
+    return s.map(_bounding_diagonal, na_action="ignore")
+
+@pandas_udf(BooleanType())
+def st_isclosed(s: pd.Series) -> pd.Series:
+    return pd.Series([_is_closed(g) for g in s], index=s.index,
+                     dtype="object")
+
+@pandas_udf(BooleanType())
+def st_issimple(s: pd.Series) -> pd.Series:
+    return pd.Series([_is_simple(g) for g in s], index=s.index,
+                     dtype="object")
+
+@pandas_udf(BooleanType())
+def st_isring(s: pd.Series) -> pd.Series:
+    return pd.Series([_is_ring(g) for g in s], index=s.index,
+                     dtype="object")
+
+@pandas_udf(StringType())
+def st_pointonsurface(s: pd.Series) -> pd.Series:
+    return s.map(_point_on_surface, na_action="ignore")
+
+@pandas_udf(StringType())
+def st_minimumboundingcircle(s: pd.Series) -> pd.Series:
+    return s.map(_min_bounding_circle, na_action="ignore")
+
+@pandas_udf(DoubleType())
+def st_minimumboundingradius(s: pd.Series) -> pd.Series:
+    """Radius of the minimum enclosing circle. Diverges from Sedona's
+    struct(center, radius) return — the SQL surface keeps scalars; the
+    center is ST_Centroid(ST_MinimumBoundingCircle(g))."""
+    return pd.Series(
+        [None if g is None else (_min_bounding_radius(g) or (None, None))[1]
+         for g in s], index=s.index, dtype="float64")
+
+@pandas_udf(StringType())
+def st_geometricmedian(s: pd.Series) -> pd.Series:
+    return s.map(_geometric_median, na_action="ignore")
+
+@pandas_udf(StringType())
+def st_linesubstring(s: pd.Series, f1: pd.Series,
+                     f2: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if g is None or pd.isna(a) or pd.isna(b)
+         else _line_substring(g, float(a), float(b))
+         for g, a, b in zip(s, f1, f2)], index=s.index)
+
+@pandas_udf(StringType())
+def st_segmentize(s: pd.Series, m: pd.Series) -> pd.Series:
+    return pd.Series([None if g is None or pd.isna(v)
+                      else _segmentize(g, float(v))
+                      for g, v in zip(s, m)], index=s.index)
+
+@pandas_udf(StringType())
+def st_collectionextract(s: pd.Series, d: pd.Series) -> pd.Series:
+    return pd.Series([None if g is None or pd.isna(v)
+                      else _collection_extract(g, int(v))
+                      for g, v in zip(s, d)], index=s.index)
+
+@pandas_udf(StringType())
+def st_simplify(s: pd.Series, tol: pd.Series) -> pd.Series:
+    return pd.Series([None if g is None or pd.isna(v)
+                      else _simplify_wkt(g, float(v))
+                      for g, v in zip(s, tol)], index=s.index)
+
 _REGISTRY = {
     "ST_GeomFromWKT": st_geomfromwkt,
     "ST_AsText": st_astext,
@@ -2312,6 +3169,37 @@ _REGISTRY = {
     "ST_LineInterpolatePoint": st_lineinterpolatepoint,
     "ST_LineLocatePoint": st_linelocatepoint,
     "ST_ClosestPoint": st_closestpoint,
+    # --- r7 surface: affine/precision, measures, shape, editors ---
+    "ST_Rotate": st_rotate,
+    "ST_Scale": st_scale,
+    "ST_Affine": st_affine,
+    "ST_SnapToGrid": st_snaptogrid,
+    "ST_ReducePrecision": st_reduceprecision,
+    "ST_Expand": st_expand,
+    "ST_Multi": st_multi,
+    "ST_Perimeter": st_perimeter,
+    "ST_Angle": st_angle,
+    "ST_ShortestLine": st_shortestline,
+    "ST_MaxDistance": st_maxdistance,
+    "ST_LongestLine": st_longestline,
+    "ST_HausdorffDistance": st_hausdorffdistance,
+    "ST_FrechetDistance": st_frechetdistance,
+    "ST_BoundingDiagonal": st_boundingdiagonal,
+    "ST_IsClosed": st_isclosed,
+    "ST_IsSimple": st_issimple,
+    "ST_IsRing": st_isring,
+    "ST_PointOnSurface": st_pointonsurface,
+    "ST_MinimumBoundingCircle": st_minimumboundingcircle,
+    "ST_MinimumBoundingRadius": st_minimumboundingradius,
+    "ST_GeometricMedian": st_geometricmedian,
+    "ST_LineSubstring": st_linesubstring,
+    "ST_Segmentize": st_segmentize,
+    "ST_CollectionExtract": st_collectionextract,
+    # endpoints are always kept by the DP core, so the PreserveTopology
+    # name is honest for lineal input; ring simplification keeps the
+    # anchor vertex and drops collapsed rings (PostGIS behavior)
+    "ST_Simplify": st_simplify,
+    "ST_SimplifyPreserveTopology": st_simplify,
 }
 
 def register_spatial_functions(spark: SparkSession) -> None:

@@ -330,6 +330,195 @@ SELECT property_id,
 FROM b
 """
 
+def st_affine_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7 affine/precision surface: ST_Rotate (area invariance under an
+    arbitrary per-row angle), ST_Affine (exact 90° rotation (x,y)→(−y,x),
+    centroid closed form), ST_Scale (area × |fx·fy|), ST_SnapToGrid /
+    ST_ReducePrecision (off-tie inputs, so both engines' round agree),
+    ST_Expand ((w+2d)(h+2d)), ST_Multi (type tag survives a singleton)."""
+    from ..functions.spatial import register_spatial_functions
+
+    register_spatial_functions(spark)
+    lu = fixtures.land_use_areas(spark, sf_dir)
+    return lu.selectExpr(
+        "property_id",
+        "CAST(round(ST_Area(ST_Rotate(land_geometry,"
+        " 0.39269908169872414 * (property_id % 8))) * 10000) AS BIGINT)"
+        " AS rot_area_q",
+        "ST_X(ST_Centroid(ST_Affine(land_geometry,"
+        " 0D, -1D, 1D, 0D, 0D, 0D))) AS aff_cx",
+        "ST_Y(ST_Centroid(ST_Affine(land_geometry,"
+        " 0D, -1D, 1D, 0D, 0D, 0D))) AS aff_cy",
+        "CAST(round(ST_Area(ST_Scale(land_geometry, 2D, 3D)) * 100)"
+        " AS BIGINT) AS scale_area_q",
+        "ST_X(ST_SnapToGrid(concat('POINT (', x1 + 0.3125, ' ', y1, ')'),"
+        " 0.25D)) AS snap_x",
+        "ST_X(ST_ReducePrecision(concat('POINT (', x1 + 0.0625, ' ', y1,"
+        " ')'), 1)) AS rp_x",
+        "CAST(round(ST_Area(ST_Expand(land_geometry,"
+        " (1 + property_id % 5) / 4.0)) * 100) AS BIGINT) AS exp_area_q",
+        "ST_GeometryType(ST_Multi(concat('POINT (', x1, ' ', y1, ')')))"
+        " AS multi_type",
+    )
+
+ST_AFFINE_OPS_ORACLE = f"""
+WITH {fixtures.LAND_USE_CTE.strip()},
+b AS (
+    SELECT property_id,
+           CAST(x2 - x1 AS DOUBLE) AS w, CAST(y2 - y1 AS DOUBLE) AS h,
+           CAST(x1 AS DOUBLE) AS x1d, CAST(y1 AS DOUBLE) AS y1d,
+           CAST(x2 AS DOUBLE) AS x2d, CAST(y2 AS DOUBLE) AS y2d,
+           (1 + property_id % 5) / 4.0 AS d
+    FROM land_use
+)
+SELECT property_id,
+       CAST(round(w * h * 10000) AS BIGINT) AS rot_area_q,
+       -(y1d + y2d) / 2 AS aff_cx,
+       (x1d + x2d) / 2 AS aff_cy,
+       CAST(round(6 * w * h * 100) AS BIGINT) AS scale_area_q,
+       x1d + 0.25 AS snap_x,
+       x1d + 0.1 AS rp_x,
+       CAST(round((w + 2 * d) * (h + 2 * d) * 100) AS BIGINT)
+           AS exp_area_q,
+       'ST_MultiPoint' AS multi_type
+FROM b
+"""
+
+def st_measure_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7 measure surface: ST_Perimeter (2(w+h)), ST_BoundingDiagonal
+    length (hypot), ST_Angle at a rect corner (exactly 3π/2: both rays
+    are axis-aligned so the azimuths are exact atan2 constants),
+    ST_MaxDistance / ST_LongestLine to an outside corner point,
+    ST_HausdorffDistance of collinear shifted segments (= shift),
+    ST_FrechetDistance of antiparallel segments (= diagonal coupling),
+    ST_ShortestLine from an outside point (lands on the rect corner)."""
+    from ..functions.spatial import register_spatial_functions
+
+    register_spatial_functions(spark)
+    lu = fixtures.land_use_areas(spark, sf_dir)
+    seg_a = "concat('LINESTRING (', x1, ' ', y1, ', ', x2, ' ', y1, ')')"
+    seg_shift = ("concat('LINESTRING (', x2 + 2, ' ', y1, ', ',"
+                 " x2 + 2 + x2 - x1, ' ', y1, ')')")
+    seg_rev = ("concat('LINESTRING (', x2, ' ', y1 + 3, ', ', x1, ' ',"
+               " y1 + 3, ')')")
+    return lu.selectExpr(
+        "property_id",
+        "ST_Perimeter(land_geometry) AS perim",
+        "CAST(round(ST_Length(ST_BoundingDiagonal(land_geometry))"
+        " * 10000) AS BIGINT) AS diag_q",
+        "CAST(round(ST_Angle(concat('POINT (', x2, ' ', y1, ')'),"
+        " concat('POINT (', x1, ' ', y1, ')'),"
+        " concat('POINT (', x1, ' ', y2, ')')) * 1000000) AS BIGINT)"
+        " AS ang_q",
+        "CAST(round(ST_MaxDistance(concat('POINT (', x1 - 1, ' ', y1 - 1,"
+        " ')'), land_geometry) * 10000) AS BIGINT) AS md_q",
+        "ST_X(ST_EndPoint(ST_LongestLine(concat('POINT (', x1 - 1, ' ',"
+        " y1 - 1, ')'), land_geometry))) AS ll_x",
+        "ST_Y(ST_EndPoint(ST_LongestLine(concat('POINT (', x1 - 1, ' ',"
+        " y1 - 1, ')'), land_geometry))) AS ll_y",
+        f"ST_HausdorffDistance({seg_a}, {seg_shift}) AS hd",
+        f"CAST(round(ST_FrechetDistance({seg_a}, {seg_rev}) * 10000)"
+        " AS BIGINT) AS fd_q",
+        "ST_X(ST_EndPoint(ST_ShortestLine(concat('POINT (', x1 - 3, ' ',"
+        " y1, ')'), land_geometry))) AS sl_x",
+        "ST_Length(ST_ShortestLine(concat('POINT (', x1 - 3, ' ', y1,"
+        " ')'), land_geometry)) AS sl_len",
+    )
+
+ST_MEASURE_OPS_ORACLE = f"""
+WITH {fixtures.LAND_USE_CTE.strip()},
+b AS (
+    SELECT property_id,
+           CAST(x2 - x1 AS DOUBLE) AS w, CAST(y2 - y1 AS DOUBLE) AS h,
+           CAST(x1 AS DOUBLE) AS x1d, CAST(y1 AS DOUBLE) AS y1d,
+           CAST(x2 AS DOUBLE) AS x2d, CAST(y2 AS DOUBLE) AS y2d
+    FROM land_use
+)
+SELECT property_id,
+       2 * (w + h) AS perim,
+       CAST(round(sqrt(w * w + h * h) * 10000) AS BIGINT) AS diag_q,
+       CAST(round(3 * pi() / 2 * 1000000) AS BIGINT) AS ang_q,
+       CAST(round(sqrt((w + 1) * (w + 1) + (h + 1) * (h + 1)) * 10000)
+            AS BIGINT) AS md_q,
+       x2d AS ll_x,
+       y2d AS ll_y,
+       w + 2 AS hd,
+       CAST(round(sqrt(w * w + 9) * 10000) AS BIGINT) AS fd_q,
+       x1d AS sl_x,
+       CAST(3 AS DOUBLE) AS sl_len
+FROM b
+"""
+
+def st_shape_edit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7 shape/editor surface: ST_IsClosed / ST_IsRing on the rect ring,
+    ST_IsSimple on a diagonal (true) and a bowtie (false),
+    ST_PointOnSurface (rect center), ST_MinimumBoundingRadius (half
+    diagonal), ST_GeometricMedian of the corners (center, by symmetry the
+    Weiszfeld start IS the fixpoint), ST_LineSubstring (quarter cuts of
+    the bottom edge), ST_Segmentize (unit step: 2(w+h)+1 vertices),
+    ST_CollectionExtract (member count), ST_Simplify (sub-tolerance bump
+    collapses to the 2-point segment)."""
+    from ..functions.spatial import register_spatial_functions
+
+    register_spatial_functions(spark)
+    lu = fixtures.land_use_areas(spark, sf_dir)
+    ring = ("concat('LINESTRING (', x1, ' ', y1, ', ', x2, ' ', y1, ', ',"
+            " x2, ' ', y2, ', ', x1, ' ', y2, ', ', x1, ' ', y1, ')')")
+    bow = ("concat('LINESTRING (', x1, ' ', y1, ', ', x2, ' ', y2, ', ',"
+           " x1, ' ', y2, ', ', x2, ' ', y1, ')')")
+    diag = ("concat('LINESTRING (', x1, ' ', y1, ', ', x2, ' ', y2, ')')")
+    bottom = ("concat('LINESTRING (', x1, ' ', y1, ', ', x2, ' ', y1,"
+              " ')')")
+    bump = ("concat('LINESTRING (', x1, ' ', y1, ', ',"
+            " (x1 + x2) / 2.0, ' ', y1 + 0.05, ', ', x2, ' ', y1, ')')")
+    gc = ("concat('GEOMETRYCOLLECTION (POINT (', x1, ' ', y1, '),"
+          " POINT (', x2, ' ', y2, '), LINESTRING (', x1, ' ', y1, ', ',"
+          " x2, ' ', y2, '))')")
+    corners = ("concat('MULTIPOINT (', x1, ' ', y1, ', ', x2, ' ', y1,"
+               " ', ', x2, ' ', y2, ', ', x1, ' ', y2, ')')")
+    return lu.selectExpr(
+        "property_id",
+        f"ST_IsClosed({ring}) AS ring_closed",
+        f"ST_IsRing({ring}) AS ring_is_ring",
+        f"ST_IsSimple({diag}) AS diag_simple",
+        f"ST_IsSimple({bow}) AS bow_simple",
+        "ST_X(ST_PointOnSurface(land_geometry)) AS pos_x",
+        "ST_Y(ST_PointOnSurface(land_geometry)) AS pos_y",
+        "CAST(round(ST_MinimumBoundingRadius(land_geometry) * 10000)"
+        " AS BIGINT) AS mbr_q",
+        f"ST_X(ST_GeometricMedian({corners})) AS gm_x",
+        f"CAST(round(ST_Length(ST_LineSubstring({bottom}, 0.25D, 0.75D))"
+        " * 100) AS BIGINT) AS sub_len_q",
+        "ST_NPoints(ST_Segmentize(land_geometry, 1D)) AS seg_np",
+        f"ST_NumGeometries(ST_CollectionExtract({gc}, 1)) AS ce_n",
+        f"ST_NPoints(ST_Simplify({bump}, 0.1D)) AS simp_np",
+    )
+
+ST_SHAPE_EDIT_OPS_ORACLE = f"""
+WITH {fixtures.LAND_USE_CTE.strip()},
+b AS (
+    SELECT property_id,
+           CAST(x2 - x1 AS DOUBLE) AS w, CAST(y2 - y1 AS DOUBLE) AS h,
+           CAST(x1 AS DOUBLE) AS x1d, CAST(x2 AS DOUBLE) AS x2d,
+           CAST(y1 AS DOUBLE) AS y1d, CAST(y2 AS DOUBLE) AS y2d
+    FROM land_use
+)
+SELECT property_id,
+       TRUE AS ring_closed,
+       TRUE AS ring_is_ring,
+       TRUE AS diag_simple,
+       FALSE AS bow_simple,
+       (x1d + x2d) / 2 AS pos_x,
+       (y1d + y2d) / 2 AS pos_y,
+       CAST(round(sqrt(w * w + h * h) / 2 * 10000) AS BIGINT) AS mbr_q,
+       (x1d + x2d) / 2 AS gm_x,
+       CAST(round(w / 2 * 100) AS BIGINT) AS sub_len_q,
+       CAST(2 * (w + h) + 1 AS BIGINT) AS seg_np,
+       CAST(2 AS BIGINT) AS ce_n,
+       CAST(2 AS BIGINT) AS simp_np
+FROM b
+"""
+
 def _cross_wkt_sql() -> str:
     """12-vertex plus-shape polygon WKT from the land_use ints: outer box
     (x1, y1)–(x1+cw, y1+ch) with corner notches of size ca×cb. Used only on

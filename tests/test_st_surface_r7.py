@@ -1,0 +1,256 @@
+"""Round-7 ST_* surface: affine/precision, measures, shape ops, editors.
+
+Value tests check the same closed forms the st_affine_ops /
+st_measure_ops / st_shape_edit_ops oracles recompute, plus property
+coverage on shapes the land_use fixtures never produce (arbitrary
+rotations, sharp polylines, random point clouds for the minimum
+enclosing circle and the geometric median).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions import spatial as S
+from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel import geomtypes as GT
+
+RECT = "POLYGON ((2 3, 6 3, 6 8, 2 8, 2 3))"
+
+
+# ------------------------------------------------------- affine / precision
+
+@given(theta=st.floats(-10, 10))
+@settings(max_examples=40, deadline=None)
+def test_prop_rotate_preserves_area_and_distances(theta):
+    w = S._rotate(RECT, theta)
+    assert abs(S._area(w) - 20.0) < 1e-9
+    assert abs(S._perimeter(w) - 18.0) < 1e-9
+
+
+def test_affine_quarter_turn_exact():
+    # (x, y) -> (-y, x) is exact in FP (no trig)
+    assert S._affine("POINT (3 4)", 0, -1, 1, 0, 0, 0) == "POINT (-4 3)"
+
+
+def test_scale_and_expand():
+    assert S._area(S._scale(RECT, 2, 3)) == 120.0
+    assert S._expand(RECT, 1) == "POLYGON ((1 2, 7 2, 7 9, 1 9, 1 2))"
+    assert S._expand("POINT (5 5)", 2) == \
+        "POLYGON ((3 3, 7 3, 7 7, 3 7, 3 3))"
+    assert S._expand(RECT, -3) == "POLYGON EMPTY"  # over-shrunk
+
+
+def test_snap_and_reduce_precision():
+    assert S._snap_to_grid("POINT (3.1 2.9)", 0.25) == "POINT (3 3)"
+    assert S._reduce_precision("POINT (3.14159 -2.71828)", 3) == \
+        "POINT (3.142 -2.718)"
+
+
+def test_multi_keeps_tag_on_singleton():
+    assert S._multi("POINT (1 2)") == "MULTIPOINT (1 2)"
+    assert S._multi("LINESTRING (0 0, 1 1)") == \
+        "MULTILINESTRING ((0 0, 1 1))"
+    assert S._multi(RECT).startswith("MULTIPOLYGON (((")
+    assert S._multi("POINT Z (1 2 3)") == "MULTIPOINT Z (1 2 3)"
+    # round trip through the typed parser keeps the multi tag
+    kind, _ = GT.parse_wkt(S._multi("POINT (1 2)"))
+    assert kind == "MULTIPOINT"
+
+
+# ---------------------------------------------------------------- measures
+
+def test_perimeter_counts_holes():
+    holed = ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0),"
+             " (2 2, 4 2, 4 4, 2 4, 2 2))")
+    assert S._perimeter(holed) == 48.0
+    assert S._perimeter("LINESTRING (0 0, 5 0)") == 0.0
+
+
+def test_angle_quadrants():
+    # at origin: E to N measured clockwise is 3pi/2, E to S is pi/2
+    assert abs(S._angle3("POINT (1 0)", "POINT (0 0)", "POINT (0 1)")
+               - 3 * math.pi / 2) < 1e-12
+    assert abs(S._angle3("POINT (1 0)", "POINT (0 0)", "POINT (0 -1)")
+               - math.pi / 2) < 1e-12
+
+
+def test_shortest_and_longest_line():
+    assert S._shortest_line("POINT (0 0)", "LINESTRING (2 -1, 2 1)") == \
+        "LINESTRING (0 0, 2 0)"
+    assert S._longest_line("POINT (0 0)", RECT) == "LINESTRING (0 0, 6 8)"
+    assert S._max_distance("POINT (0 0)", RECT) == 10.0
+    # containment degenerates the shortest line to a zero-length witness
+    w = S._shortest_line(RECT, "POINT (4 5)")
+    assert S._length(w) == 0.0
+
+
+@given(
+    pts=st.lists(st.tuples(st.floats(-50, 50), st.floats(-50, 50)),
+                 min_size=2, max_size=12),
+    dx=st.floats(-20, 20), dy=st.floats(-20, 20),
+)
+@settings(max_examples=40, deadline=None)
+def test_prop_hausdorff_of_translate_is_shift_norm(pts, dx, dy):
+    """H(A, A + v) <= |v| always, with equality for pure translations of
+    a finite vertex set measured discretely when |v| is the farthest any
+    vertex must travel — here every vertex travels exactly |v|, so the
+    directed distances are both <= |v|; and >= holds when v exceeds the
+    diameter's slack. Assert the sound inequality (upper bound) plus
+    symmetry and identity."""
+    ls = "LINESTRING (" + ", ".join(f"{x} {y}" for x, y in pts) + ")"
+    moved = S._translate(ls, dx, dy)
+    h = S._hausdorff_distance(ls, moved)
+    assert h <= math.hypot(dx, dy) + 1e-9
+    assert S._hausdorff_distance(ls, ls) < 1e-12  # vertex->own-segment FP
+    assert abs(h - S._hausdorff_distance(moved, ls)) < 1e-12
+
+
+def test_frechet_known_values():
+    assert S._frechet_distance("LINESTRING (0 0, 10 0)",
+                               "LINESTRING (0 1, 10 1)") == 1.0
+    # antiparallel: the coupling is forced through a diagonal
+    assert abs(S._frechet_distance("LINESTRING (0 0, 10 0)",
+                                   "LINESTRING (10 3, 0 3)")
+               - math.hypot(10, 3)) < 1e-12
+    # frechet >= hausdorff always
+    a = "LINESTRING (0 0, 4 1, 8 0)"
+    b = "LINESTRING (0 2, 4 5, 8 2)"
+    assert S._frechet_distance(a, b) >= S._hausdorff_distance(a, b) - 1e-12
+
+
+# ---------------------------------------------------------------- shape ops
+
+def test_is_simple_family():
+    assert S._is_simple("LINESTRING (0 0, 4 0, 4 3)") is True
+    assert S._is_simple("LINESTRING (0 0, 4 0, 2 2, 2 -2)") is False
+    assert S._is_simple("LINESTRING (0 0, 1 0, 1 1, 0 0)") is True  # ring
+    # lollipop: revisits an interior vertex
+    assert S._is_simple("LINESTRING (0 0, 4 0, 4 2, 2 0)") is False
+    assert S._is_simple("MULTIPOINT (1 1, 2 2)") is True
+    assert S._is_simple("MULTIPOINT (1 1, 1 1)") is False
+    # two paths crossing interiorly vs touching at endpoints
+    assert S._is_simple(
+        "MULTILINESTRING ((0 0, 4 0), (2 -1, 2 1))") is False
+    assert S._is_simple(
+        "MULTILINESTRING ((0 0, 4 0), (4 0, 4 4))") is True
+    assert S._is_ring("LINESTRING (0 0, 1 0, 1 1, 0 0)") is True
+    assert S._is_ring("LINESTRING (0 0, 1 0, 1 1)") is False
+    assert S._is_closed("LINESTRING (0 0, 1 0, 1 1, 0 0)") is True
+
+
+def test_point_on_surface_is_on_the_geometry():
+    # rect -> center
+    assert S._point_on_surface(RECT) == "POINT (4 5.5)"
+    # C-shaped polygon: the naive bbox center is OUTSIDE; the band
+    # scanline must still land inside
+    c = ("POLYGON ((0 0, 10 0, 10 2, 3 2, 3 8, 10 8, 10 10, 0 10, 0 0))")
+    w = S._point_on_surface(c)
+    _, data = GT.parse_wkt(w)
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel.geom import parse_wkt as gparse
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel.geomtypes import point_in_polygon
+    assert point_in_polygon(data[0][0], data[0][1], gparse(c))
+    # donut: center is in the hole; answer must be in the annulus
+    donut = ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0),"
+             " (3 3, 7 3, 7 7, 3 7, 3 3))")
+    w = S._point_on_surface(donut)
+    _, data = GT.parse_wkt(w)
+    assert point_in_polygon(data[0][0], data[0][1], gparse(donut))
+
+
+@given(pts=st.lists(st.tuples(st.integers(-40, 40), st.integers(-40, 40)),
+                    min_size=1, max_size=25))
+@settings(max_examples=60, deadline=None)
+def test_prop_minimum_bounding_circle_envelops(pts):
+    mp = "MULTIPOINT (" + ", ".join(f"{x} {y}" for x, y in pts) + ")"
+    center_wkt, r = S._min_bounding_radius(mp)
+    _, cdata = GT.parse_wkt(center_wkt)
+    cx, cy = cdata[0]
+    # contains every point
+    worst = max(math.hypot(x - cx, y - cy) for x, y in pts)
+    assert worst <= r * (1 + 1e-9) + 1e-9
+    # minimal: no circle through any single point pair strictly smaller
+    # (necessary condition: r <= half the diameter's upper bound)
+    diam = max((math.hypot(x1 - x2, y1 - y2)
+                for x1, y1 in pts for x2, y2 in pts), default=0.0)
+    assert r <= diam / math.sqrt(3) + 1e-9 or r <= diam / 2 + 1e-9
+
+
+def test_minimum_bounding_circle_rect_closed_form():
+    center, r = S._min_bounding_radius(RECT)
+    assert center == "POINT (4 5.5)"
+    assert abs(r - math.hypot(2, 2.5)) < 1e-12
+    w = S._min_bounding_circle(RECT)
+    assert S._npoints(w) == 49  # 4*12-gon + closure
+
+
+@given(pts=st.lists(st.tuples(st.floats(-30, 30), st.floats(-30, 30)),
+                    min_size=2, max_size=15))
+@settings(max_examples=40, deadline=None)
+def test_prop_geometric_median_minimizes(pts):
+    mp = "MULTIPOINT (" + ", ".join(f"{x} {y}" for x, y in pts) + ")"
+    _, data = GT.parse_wkt(S._geometric_median(mp))
+    mx, my = data[0]
+
+    def cost(px, py):
+        return sum(math.hypot(px - x, py - y) for x, y in pts)
+
+    c0 = cost(mx, my)
+    # no vertex, centroid, or small perturbation beats the median
+    cx = sum(p[0] for p in pts) / len(pts)
+    cy = sum(p[1] for p in pts) / len(pts)
+    for qx, qy in list(pts) + [(cx, cy), (mx + 0.01, my), (mx, my - 0.01)]:
+        assert c0 <= cost(qx, qy) + 1e-6
+
+
+# ------------------------------------------------------------------ editors
+
+def test_line_substring_closed_forms():
+    assert S._line_substring("LINESTRING (0 0, 10 0)", 0.2, 0.5) == \
+        "LINESTRING (2 0, 5 0)"
+    assert S._line_substring("LINESTRING (0 0, 10 0)", 0.5, 0.5) == \
+        "POINT (5 0)"
+    # multi-vertex: interior vertices inside the cut are kept
+    assert S._line_substring("LINESTRING (0 0, 4 0, 4 4)", 0.25, 0.75) == \
+        "LINESTRING (2 0, 4 0, 4 2)"
+
+
+@given(f1=st.floats(0, 1), f2=st.floats(0, 1))
+@settings(max_examples=40, deadline=None)
+def test_prop_line_substring_length(f1, f2):
+    lo, hi = min(f1, f2), max(f1, f2)
+    w = S._line_substring("LINESTRING (0 0, 6 0, 6 8)", lo, hi)
+    got = 0.0 if w.startswith("POINT") else S._length(w)
+    assert abs(got - (hi - lo) * 14.0) < 1e-9
+
+
+def test_segmentize_preserves_shape():
+    w = S._segmentize("LINESTRING (0 0, 10 0)", 3.0)
+    assert w == "LINESTRING (0 0, 2.5 0, 5 0, 7.5 0, 10 0)"
+    p = S._segmentize(RECT, 1.0)
+    assert S._area(p) == 20.0
+    assert S._npoints(p) == 19  # 2*(4+5)+1
+
+
+def test_collection_extract():
+    gc = ("GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1),"
+          " POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0)),"
+          " GEOMETRYCOLLECTION (POINT (5 5)))")
+    assert S._collection_extract(gc, 1) == "MULTIPOINT (1 2, 5 5)"
+    assert S._collection_extract(gc, 2) == "MULTILINESTRING ((0 0, 1 1))"
+    assert S._collection_extract(gc, 3).startswith("MULTIPOLYGON")
+    assert S._collection_extract("POINT (9 9)", 3) == "MULTIPOLYGON EMPTY"
+
+
+def test_simplify_wkt_shapes():
+    assert S._simplify_wkt("LINESTRING (0 0, 1 0.01, 2 0)", 0.1) == \
+        "LINESTRING (0 0, 2 0)"
+    assert S._simplify_wkt("LINESTRING (0 0, 1 5, 2 0)", 0.1) == \
+        "LINESTRING (0 0, 1 5, 2 0)"
+    # ring keeps >= 3 vertices or drops
+    out = S._simplify_wkt(
+        "POLYGON ((0 0, 5 0.01, 10 0, 10 10, 0 10, 0 0))", 0.1)
+    assert S._npoints(out) == 5
