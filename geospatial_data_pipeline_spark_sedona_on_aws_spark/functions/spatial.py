@@ -3093,6 +3093,58 @@ def st_simplify(s: pd.Series, tol: pd.Series) -> pd.Series:
                       else _simplify_wkt(g, float(v))
                       for g, v in zip(s, tol)], index=s.index)
 
+@pandas_udf(StringType())
+def st_envelope_aggr(s: pd.Series) -> str:
+    """ST_Envelope_Aggr: the bounding box of every geometry in the group
+    as a POLYGON (Sedona's grouped envelope). Constant memory per group —
+    only 4 floats fold. NULL members are skipped; an all-NULL group is
+    the empty polygon."""
+    import math
+
+    x1 = y1 = math.inf
+    x2 = y2 = -math.inf
+    for w in s:
+        if w is None:
+            continue
+        for (x, y) in GT.points_of(GT.parse_wkt(w)):
+            x1 = min(x1, x)
+            y1 = min(y1, y)
+            x2 = max(x2, x)
+            y2 = max(y2, y)
+    if x1 > x2:
+        return "POLYGON EMPTY"
+    return G.to_wkt([[[(x1, y1), (x2, y1), (x2, y2), (x1, y2)]]])
+
+@pandas_udf(StringType())
+def st_union_aggr(s: pd.Series) -> str:
+    """ST_Union_Aggr: per-group geometric union of areal WKT through the
+    trapezoid-band sweep (order-independent: the banding is a function of
+    the geometry SET). Name-parity convenience for moderate groups — it
+    materializes the group on one worker, so at 100 TB the scale path is
+    operators/dissolve.py's numeric partial aggregation (one shuffle of
+    per-group partials, never geometry rows); this UDAF is the
+    geometry-VALUED form Sedona exposes in SQL."""
+    geoms = [G.normalize(G.parse_wkt(w)) for w in s if w is not None]
+    geoms = [g for g in geoms if g]
+    if not geoms:
+        return "POLYGON EMPTY"
+    return G.to_wkt(B.union_geom(geoms) if len(geoms) > 1 else geoms[0])
+
+@pandas_udf(StringType())
+def st_intersection_aggr(s: pd.Series) -> str:
+    """ST_Intersection_Aggr: per-group intersection of areal WKT, folded
+    pairwise through the banded sweep (the point SET is order-independent;
+    vertex layout is canonicalized by normalize)."""
+    geoms = [G.normalize(G.parse_wkt(w)) for w in s if w is not None]
+    if not geoms or any(not g for g in geoms):
+        return "POLYGON EMPTY"
+    acc = geoms[0]
+    for g in geoms[1:]:
+        if not acc:
+            break
+        acc = B.intersection_geom(acc, g)
+    return G.to_wkt(G.normalize(acc)) if acc else "POLYGON EMPTY"
+
 _REGISTRY = {
     "ST_GeomFromWKT": st_geomfromwkt,
     "ST_AsText": st_astext,
@@ -3166,6 +3218,9 @@ _REGISTRY = {
     "ST_CoveredBy": st_coveredby,
     "ST_Dump": st_dump,
     "ST_Collect_Aggr": st_collect_aggr,
+    "ST_Envelope_Aggr": st_envelope_aggr,
+    "ST_Union_Aggr": st_union_aggr,
+    "ST_Intersection_Aggr": st_intersection_aggr,
     "ST_LineInterpolatePoint": st_lineinterpolatepoint,
     "ST_LineLocatePoint": st_linelocatepoint,
     "ST_ClosestPoint": st_closestpoint,

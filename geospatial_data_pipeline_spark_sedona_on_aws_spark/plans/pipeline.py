@@ -519,6 +519,74 @@ SELECT property_id,
 FROM b
 """
 
+def st_aggr_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Sedona grouped-geometry aggregate names — ST_Envelope_Aggr /
+    ST_Union_Aggr / ST_Intersection_Aggr — per (region, season) over the
+    parcel rectangles. Oracles: envelope area = bbox of the group's int
+    bounds; union area = the distinct-unit-cell count (integer rects make
+    the union area exactly the covered-cell count — the crop_analytics
+    oracle pattern, unclipped); intersection area = the folded
+    greatest/least bounds (empty for most groups). These UDAFs are the
+    name-parity geometry-VALUED forms; the 100 TB dissolve path remains
+    operators/dissolve.py (numeric partials, never geometry rows through
+    the shuffle)."""
+    from ..functions.spatial import register_spatial_functions
+
+    register_spatial_functions(spark)
+    lu = fixtures.land_use_areas(spark, sf_dir)
+    # pandas group aggregates cannot share an agg() with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT) — the count folds in a second tiny
+    # aggregation joined back on the 200-row group keys
+    geo = (
+        lu.groupBy("region_id", "season_id")
+        .agg(
+            F.expr("ST_Area(ST_Envelope_Aggr(land_geometry))")
+            .alias("env_area"),
+            F.expr("CAST(round(ST_Area(ST_Union_Aggr(land_geometry)))"
+                   " AS BIGINT)").alias("union_area_q"),
+            F.expr("CAST(round(ST_Area(ST_Intersection_Aggr("
+                   "land_geometry)) * 100) AS BIGINT)")
+            .alias("inter_area_q"),
+        )
+    )
+    counts = (lu.groupBy("region_id", "season_id")
+              .agg(F.count("*").alias("n_parcels")))
+    return geo.join(counts, ["region_id", "season_id"])
+
+ST_AGGR_OPS_ORACLE = f"""
+WITH {fixtures.LAND_USE_CTE.strip()},
+xcells AS (
+    SELECT region_id, season_id, y1, y2, unnest(range(x1, x2)) AS cx
+    FROM land_use
+),
+cells AS (
+    SELECT DISTINCT region_id, season_id, cx, cy
+    FROM (SELECT region_id, season_id, cx, unnest(range(y1, y2)) AS cy
+          FROM xcells)
+),
+uarea AS (
+    SELECT region_id, season_id, count(*) AS ua
+    FROM cells GROUP BY region_id, season_id
+),
+bounds AS (
+    SELECT region_id, season_id,
+           CAST((max(x2) - min(x1)) * (max(y2) - min(y1)) AS DOUBLE)
+               AS env_area,
+           greatest(0, min(CAST(x2 AS DOUBLE)) - max(CAST(x1 AS DOUBLE)))
+             * greatest(0, min(CAST(y2 AS DOUBLE))
+                           - max(CAST(y1 AS DOUBLE))) AS inter_area,
+           count(*) AS n_parcels
+    FROM land_use
+    GROUP BY region_id, season_id
+)
+SELECT b.region_id, b.season_id, b.env_area,
+       CAST(round(u.ua) AS BIGINT) AS union_area_q,
+       CAST(round(b.inter_area * 100) AS BIGINT) AS inter_area_q,
+       b.n_parcels
+FROM bounds b JOIN uarea u
+  ON u.region_id = b.region_id AND u.season_id = b.season_id
+"""
+
 def _cross_wkt_sql() -> str:
     """12-vertex plus-shape polygon WKT from the land_use ints: outer box
     (x1, y1)–(x1+cw, y1+ch) with corner notches of size ca×cb. Used only on

@@ -80,6 +80,7 @@ QUERIES: dict[str, QueryFn] = {
     "st_affine_ops": P.st_affine_ops,           # r7: affine/precision
     "st_measure_ops": P.st_measure_ops,         # r7: distance measures
     "st_shape_edit_ops": P.st_shape_edit_ops,   # r7: shape/editor ops
+    "st_aggr_ops": P.st_aggr_ops,               # r7: *_Aggr UDAF names
     "st_convex_hull": P.st_convex_hull,         # monotone-chain hull
     "st_simplify": P.st_simplify,               # Douglas–Peucker
     "hilbert_curve": LAY.hilbert_curve,         # locality-optimal layout
@@ -375,18 +376,19 @@ _R6_WINDOW = [
 # right after the r6 freeze (st_geomcollection_ops, st_geodesic_ops),
 # the rewritten buffer walk, the series-seeded Newton CRS inverses, and
 # representatives of the WKT-parser fast paths (_parse_ring /
-# _split_top_level now feed every areal scalar) — plus (b) the 26
+# _split_top_level now feed every areal scalar) — plus (b) the 25
 # stalest rows: the r1/r2 relational cohort, driver-unverified for five
 # rounds (the cumulative ledger covers them, but staleness rotates in).
-# The remaining 7 of that cohort (set_ops, top_customers_per_nation,
-# training_mix, udtf_token_explode, q9_product_profit, rollup_sales,
-# scalar_functions) are r8's stale seats.
+# The remaining 8 of that cohort (set_ops, top_customers_per_nation,
+# training_mix, udtf_token_explode, q8_market_share, q9_product_profit,
+# rollup_sales, scalar_functions) are r8's stale seats.
 _R7_WINDOW = [
-    # --- brand new / post-freeze additions (6) ---
+    # --- brand new / post-freeze additions (7) ---
     "st_buffer_line_point",      # lineal/puntal ST_Buffer surface
     "st_affine_ops",             # rotate/scale/affine/snap/expand/multi
     "st_measure_ops",            # perimeter/angle/hausdorff/frechet/...
     "st_shape_edit_ops",         # simple/ring/POS/MEC/median/editors
+    "st_aggr_ops",               # Envelope/Union/Intersection _Aggr
     "st_geomcollection_ops",     # GEOMETRYCOLLECTION + Z kernel
     "st_geodesic_ops",           # sphere/spheroid measures
     # --- buffer walk rewritten (shared _round_offset_ring) (2) ---
@@ -410,7 +412,7 @@ _R7_WINDOW = [
     "crop_analytics_full",
     "crop_analytics_full_chain",
     "crop_analytics_skewed",
-    # --- stalest cohort: last driver-verified r1/r2 (26) ---
+    # --- stalest cohort: last driver-verified r1/r2 (25) ---
     "cube_sales",
     "customers_without_orders",
     "distinct_agg",
@@ -436,9 +438,9 @@ _R7_WINDOW = [
     "q4_order_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
-    "q8_market_share",
-    # (q9_product_profit, rollup_sales, scalar_functions displaced by
-    # the three new r7 ST_* suites — they join the r8 stale cohort with
+    # (q8_market_share, q9_product_profit, rollup_sales,
+    # scalar_functions displaced by
+    # the four new r7 ST_* suites — they join the r8 stale cohort with
     # set_ops / top_customers_per_nation / training_mix /
     # udtf_token_explode)
 ]
@@ -462,6 +464,7 @@ ORACLES: dict[str, str] = {
     "st_affine_ops": P.ST_AFFINE_OPS_ORACLE,
     "st_measure_ops": P.ST_MEASURE_OPS_ORACLE,
     "st_shape_edit_ops": P.ST_SHAPE_EDIT_OPS_ORACLE,
+    "st_aggr_ops": P.ST_AGGR_OPS_ORACLE,
     "recursive_supplier_tree": R.RECURSIVE_SUPPLIER_TREE_ORACLE,
     "streaming_cdc_apply": R.CDC_MERGE_ORACLE,  # drained state == batch MERGE
     "gap_fill_interpolate": EV.GAP_FILL_INTERPOLATE_ORACLE,

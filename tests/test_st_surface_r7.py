@@ -254,3 +254,30 @@ def test_simplify_wkt_shapes():
     out = S._simplify_wkt(
         "POLYGON ((0 0, 5 0.01, 10 0, 10 10, 0 10, 0 0))", 0.1)
     assert S._npoints(out) == 5
+
+
+# ----------------------------------------------------------- SQL aggregates
+
+def test_aggr_names_in_group_by(spark):
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions.spatial import (
+        register_spatial_functions,
+    )
+
+    register_spatial_functions(spark)
+    df = spark.createDataFrame(
+        [(1, "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"),
+         (1, "POLYGON ((1 0, 3 0, 3 2, 1 2, 1 0))"),   # overlaps by 2
+         (2, "POLYGON ((10 10, 11 10, 11 11, 10 11, 10 10))")],
+        ["g", "wkt"])
+    df.createOrReplaceTempView("t_aggr")
+    rows = {r["g"]: r for r in spark.sql("""
+        SELECT g,
+               ST_Area(ST_Union_Aggr(wkt)) AS ua,
+               ST_Area(ST_Envelope_Aggr(wkt)) AS ea,
+               ST_Area(ST_Intersection_Aggr(wkt)) AS ia
+        FROM t_aggr GROUP BY g
+    """).collect()}
+    assert rows[1]["ua"] == 6.0      # 4 + 4 - 2 overlap
+    assert rows[1]["ea"] == 6.0      # bbox (0,0)-(3,2)
+    assert rows[1]["ia"] == 2.0      # 1..2 x 0..2
+    assert rows[2]["ua"] == 1.0 and rows[2]["ia"] == 1.0
