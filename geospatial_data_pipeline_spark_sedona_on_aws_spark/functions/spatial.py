@@ -1869,6 +1869,48 @@ def _simplify_wkt(s: str | None, tol: float) -> str | None:
                                  for m in data]))
     return GT.to_wkt((kind, data))
 
+# --------------------------------------------------- triangulation (r7)
+
+def _delaunay_triangles(s: str | None) -> str | None:
+    """ST_DelaunayTriangles: the Delaunay triangulation of the input's
+    vertices as a GEOMETRYCOLLECTION of CCW POLYGON triangles (the
+    Sedona/JTS shape). Scan triangulation + Lawson flips
+    (kernel/triangulate.py) — exact incircle on integer lattices,
+    deterministic canonical ordering. Collinear input → empty
+    collection."""
+    from ..kernel import triangulate as TRI
+
+    if s is None:
+        return None
+    pts = GT.points_of(GT.parse_wkt(s))
+    if not pts:
+        return None
+    vids, tris = TRI.delaunay(pts)
+    if not tris:
+        return "GEOMETRYCOLLECTION EMPTY"
+    members = [("POLYGON", [[[vids[i], vids[j], vids[k]]]])
+               for (i, j, k) in tris]
+    return GT.to_wkt(("GEOMETRYCOLLECTION", members))
+
+def _voronoi_polygons(s: str | None) -> str | None:
+    """ST_VoronoiPolygons: the Voronoi cells of the input's vertices,
+    clipped to the bbox expanded by its larger side (the JTS
+    VoronoiDiagramBuilder default envelope), as a GEOMETRYCOLLECTION of
+    convex CCW POLYGON cells in deduped-sorted site order (deterministic;
+    JTS emits triangulation order instead — documented divergence)."""
+    from ..kernel import triangulate as TRI
+
+    if s is None:
+        return None
+    pts = GT.points_of(GT.parse_wkt(s))
+    if not pts:
+        return None
+    _, cells = TRI.voronoi_cells(pts)
+    members = [("POLYGON", [[cell]]) for cell in cells if len(cell) >= 3]
+    if not members:
+        return "GEOMETRYCOLLECTION EMPTY"
+    return GT.to_wkt(("GEOMETRYCOLLECTION", members))
+
 # -------------------------------------------------------- geodesic measures
 
 # Sedona's ST_DistanceSphere default radius (its docs: "default 6371008.0")
@@ -3094,6 +3136,14 @@ def st_simplify(s: pd.Series, tol: pd.Series) -> pd.Series:
                       for g, v in zip(s, tol)], index=s.index)
 
 @pandas_udf(StringType())
+def st_delaunaytriangles(s: pd.Series) -> pd.Series:
+    return s.map(_delaunay_triangles, na_action="ignore")
+
+@pandas_udf(StringType())
+def st_voronoipolygons(s: pd.Series) -> pd.Series:
+    return s.map(_voronoi_polygons, na_action="ignore")
+
+@pandas_udf(StringType())
 def st_envelope_aggr(s: pd.Series) -> str:
     """ST_Envelope_Aggr: the bounding box of every geometry in the group
     as a POLYGON (Sedona's grouped envelope). Constant memory per group —
@@ -3250,6 +3300,8 @@ _REGISTRY = {
     "ST_LineSubstring": st_linesubstring,
     "ST_Segmentize": st_segmentize,
     "ST_CollectionExtract": st_collectionextract,
+    "ST_DelaunayTriangles": st_delaunaytriangles,
+    "ST_VoronoiPolygons": st_voronoipolygons,
     # endpoints are always kept by the DP core, so the PreserveTopology
     # name is honest for lineal input; ring simplification keeps the
     # anchor vertex and drops collapsed rings (PostGIS behavior)

@@ -587,6 +587,61 @@ FROM bounds b JOIN uarea u
   ON u.region_id = b.region_id AND u.season_id = b.season_id
 """
 
+def st_triangulate_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_DelaunayTriangles / ST_VoronoiPolygons (r7: scan triangulation
+    + Lawson flips; half-plane Voronoi cells — kernel/triangulate.py).
+    Closed-form oracles via triangulation invariants, which hold for ANY
+    valid Delaunay triangulation (cocircular rect corners admit two):
+      corners+center (n=5, b=4) → 2n−2−b = 4 triangles, total area w·h;
+      corners+edge-midpoint (n=5, b=5) → 3 triangles, same area;
+      Voronoi of corners+center → 5 cells partitioning the default clip
+      envelope (bbox expanded by max(w, h) per side);
+      collinear 3-point input → empty collection."""
+    from ..functions.spatial import register_spatial_functions
+
+    register_spatial_functions(spark)
+    lu = fixtures.land_use_areas(spark, sf_dir, wkt=False)
+    mp = ("concat('MULTIPOINT (', x1, ' ', y1, ', ', x2, ' ', y1, ', ',"
+          " x2, ' ', y2, ', ', x1, ' ', y2, ', ', (x1 + x2) / 2.0, ' ',"
+          " (y1 + y2) / 2.0, ')')")
+    mp_edge = ("concat('MULTIPOINT (', x1, ' ', y1, ', ', x2, ' ', y1,"
+               " ', ', x2, ' ', y2, ', ', x1, ' ', y2, ', ',"
+               " (x1 + x2) / 2.0, ' ', y1, ')')")
+    line3 = ("concat('MULTIPOINT (', x1, ' ', y1, ', ', x1 + 1, ' ',"
+             " y1 + 1, ', ', x1 + 2, ' ', y1 + 2, ')')")
+    return lu.selectExpr(
+        "property_id",
+        f"ST_NumGeometries(ST_DelaunayTriangles({mp})) AS dt_n",
+        f"CAST(round(ST_Area(ST_DelaunayTriangles({mp})) * 100)"
+        " AS BIGINT) AS dt_area_q",
+        f"ST_NumGeometries(ST_DelaunayTriangles({mp_edge})) AS dte_n",
+        f"CAST(round(ST_Area(ST_DelaunayTriangles({mp_edge})) * 100)"
+        " AS BIGINT) AS dte_area_q",
+        f"ST_NumGeometries(ST_VoronoiPolygons({mp})) AS vor_n",
+        f"CAST(round(ST_Area(ST_VoronoiPolygons({mp})) * 100)"
+        " AS BIGINT) AS vor_area_q",
+        f"ST_IsEmpty(ST_DelaunayTriangles({line3})) AS collinear_empty",
+    )
+
+ST_TRIANGULATE_OPS_ORACLE = f"""
+WITH {fixtures.LAND_USE_CTE.strip()},
+b AS (
+    SELECT property_id,
+           CAST(x2 - x1 AS DOUBLE) AS w, CAST(y2 - y1 AS DOUBLE) AS h
+    FROM land_use
+)
+SELECT property_id,
+       CAST(4 AS BIGINT) AS dt_n,
+       CAST(round(w * h * 100) AS BIGINT) AS dt_area_q,
+       CAST(3 AS BIGINT) AS dte_n,
+       CAST(round(w * h * 100) AS BIGINT) AS dte_area_q,
+       CAST(5 AS BIGINT) AS vor_n,
+       CAST(round((w + 2 * greatest(w, h)) * (h + 2 * greatest(w, h))
+                  * 100) AS BIGINT) AS vor_area_q,
+       TRUE AS collinear_empty
+FROM b
+"""
+
 def _cross_wkt_sql() -> str:
     """12-vertex plus-shape polygon WKT from the land_use ints: outer box
     (x1, y1)–(x1+cw, y1+ch) with corner notches of size ca×cb. Used only on

@@ -281,3 +281,108 @@ def test_aggr_names_in_group_by(spark):
     assert rows[1]["ea"] == 6.0      # bbox (0,0)-(3,2)
     assert rows[1]["ia"] == 2.0      # 1..2 x 0..2
     assert rows[2]["ua"] == 1.0 and rows[2]["ia"] == 1.0
+
+
+# ----------------------------------------------------- Delaunay / Voronoi
+
+def _boundary_count(pts):
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel.geom import convex_hull
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel.triangulate import _orient
+
+    hull = convex_hull(list(pts))
+    if len(hull) < 3:
+        return len(pts)
+    b = 0
+    for p in pts:
+        for i in range(len(hull)):
+            a, c = hull[i], hull[(i + 1) % len(hull)]
+            if (_orient(a[0], a[1], c[0], c[1], p[0], p[1]) == 0
+                    and min(a[0], c[0]) <= p[0] <= max(a[0], c[0])
+                    and min(a[1], c[1]) <= p[1] <= max(a[1], c[1])):
+                b += 1
+                break
+    return b
+
+
+@given(pts=st.lists(st.tuples(st.integers(-30, 30), st.integers(-30, 30)),
+                    min_size=3, max_size=28, unique=True))
+@settings(max_examples=80, deadline=None)
+def test_prop_delaunay_invariants(pts):
+    """Count (2n−2−b), area (= hull area), and the empty-circumcircle
+    property — on integer lattices where the incircle determinant is
+    exact and cocircular ties are everywhere."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel.geom import (
+        _ring_signed_area,
+        convex_hull,
+    )
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel.triangulate import (
+        _incircle,
+        delaunay,
+    )
+
+    vids, tris = delaunay(pts)
+    hull = convex_hull(list(vids))
+    if len(hull) < 3:
+        assert tris == []
+        return
+    b = _boundary_count(vids)
+    assert len(tris) == 2 * len(vids) - 2 - b
+    total = sum(abs((vids[t[1]][0] - vids[t[0]][0])
+                    * (vids[t[2]][1] - vids[t[0]][1])
+                    - (vids[t[1]][1] - vids[t[0]][1])
+                    * (vids[t[2]][0] - vids[t[0]][0])) / 2 for t in tris)
+    assert abs(total - abs(_ring_signed_area(hull))) < 1e-9
+    for t in tris:
+        a, c, d = vids[t[0]], vids[t[1]], vids[t[2]]
+        for p in vids:
+            if p in (a, c, d):
+                continue
+            assert _incircle(a[0], a[1], c[0], c[1], d[0], d[1],
+                             p[0], p[1]) <= 0, (t, p)
+
+
+@given(pts=st.lists(st.tuples(st.integers(-25, 25), st.integers(-25, 25)),
+                    min_size=1, max_size=18, unique=True))
+@settings(max_examples=60, deadline=None)
+def test_prop_voronoi_partitions_envelope(pts):
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel.geom import _ring_signed_area
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel.triangulate import voronoi_cells
+
+    env = (-80.0, -80.0, 80.0, 80.0)
+    sites, cells = voronoi_cells(pts, env=env)
+    total = sum(abs(_ring_signed_area(c)) for c in cells if len(c) >= 3)
+    assert abs(total - 160.0 * 160.0) < 1e-6
+    # nearest-site property on a deterministic sample grid
+    for gx in range(-75, 80, 30):
+        for gy in range(-75, 80, 30):
+            d2 = [(gx - px) ** 2 + (gy - py) ** 2 for px, py in sites]
+            best = min(range(len(sites)), key=lambda i: (d2[i], i))
+            cell = cells[best]
+            if len(cell) < 3:
+                continue
+            m = len(cell)
+            inside = all(
+                (cell[(i + 1) % m][0] - cell[i][0]) * (gy - cell[i][1])
+                - (cell[(i + 1) % m][1] - cell[i][1]) * (gx - cell[i][0])
+                >= -1e-6 for i in range(m))
+            # ties in d2 can legitimately place the sample in another
+            # cell's closed boundary; only strict winners must be inside
+            strict = sum(1 for v in d2 if v == d2[best]) == 1
+            if strict:
+                assert inside
+
+
+def test_delaunay_voronoi_scalars():
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions.spatial import (
+        _area,
+        _delaunay_triangles,
+        _voronoi_polygons,
+    )
+
+    mp = "MULTIPOINT (0 0, 4 0, 4 6, 0 6, 2 3)"
+    dt = _delaunay_triangles(mp)
+    assert dt.count("POLYGON") == 4 and abs(_area(dt) - 24.0) < 1e-9
+    v = _voronoi_polygons(mp)
+    assert v.count("POLYGON") == 5 and abs(_area(v) - 288.0) < 1e-9
+    assert _delaunay_triangles("LINESTRING (0 0, 1 1, 2 2)") == \
+        "GEOMETRYCOLLECTION EMPTY"
