@@ -1892,6 +1892,25 @@ def _delaunay_triangles(s: str | None) -> str | None:
                for (i, j, k) in tris]
     return GT.to_wkt(("GEOMETRYCOLLECTION", members))
 
+def _concave_hull(s: str | None, pct_convex: float) -> str | None:
+    """ST_ConcaveHull(geom, pctConvex): Delaunay border erosion by edge
+    length ratio (the JTS ConcaveHullByLengthRatio construction;
+    kernel/triangulate.py). pctConvex=1 → the convex hull; smaller values
+    erode long border edges while keeping the region simply connected.
+    Degenerate (collinear / <3 distinct points) input falls back to the
+    convex-hull degenerate shapes."""
+    if s is None:
+        return None
+    from ..kernel import triangulate as TRI
+
+    pts = GT.points_of(GT.parse_wkt(s))
+    if not pts:
+        return None
+    ring = TRI.concave_hull(pts, float(pct_convex))
+    if ring is None:
+        return _convex_hull(s)
+    return G.to_wkt([[ring]])
+
 def _voronoi_polygons(s: str | None) -> str | None:
     """ST_VoronoiPolygons: the Voronoi cells of the input's vertices,
     clipped to the bbox expanded by its larger side (the JTS
@@ -3144,6 +3163,12 @@ def st_voronoipolygons(s: pd.Series) -> pd.Series:
     return s.map(_voronoi_polygons, na_action="ignore")
 
 @pandas_udf(StringType())
+def st_concavehull(s: pd.Series, pct: pd.Series) -> pd.Series:
+    return pd.Series([None if g is None or pd.isna(v)
+                      else _concave_hull(g, float(v))
+                      for g, v in zip(s, pct)], index=s.index)
+
+@pandas_udf(StringType())
 def st_envelope_aggr(s: pd.Series) -> str:
     """ST_Envelope_Aggr: the bounding box of every geometry in the group
     as a POLYGON (Sedona's grouped envelope). Constant memory per group —
@@ -3302,6 +3327,7 @@ _REGISTRY = {
     "ST_CollectionExtract": st_collectionextract,
     "ST_DelaunayTriangles": st_delaunaytriangles,
     "ST_VoronoiPolygons": st_voronoipolygons,
+    "ST_ConcaveHull": st_concavehull,
     # endpoints are always kept by the DP core, so the PreserveTopology
     # name is honest for lineal input; ring simplification keeps the
     # anchor vertex and drops collapsed rings (PostGIS behavior)

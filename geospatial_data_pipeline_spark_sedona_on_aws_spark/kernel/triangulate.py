@@ -245,3 +245,99 @@ def voronoi_cells(points, env=None):
             cell = _halfplane_clip(cell, ax, ay, bx, by)
         cells.append(cell)
     return pts, cells
+
+def concave_hull(points, length_ratio: float):
+    """Concave hull by Delaunay border erosion (the JTS
+    ConcaveHullByLengthRatio construction): starting from the Delaunay
+    triangulation (= convex hull region), repeatedly remove the border
+    triangle whose border edge is the LONGEST, while that edge is longer
+    than  minLen + ratio·(maxLen − minLen)  (computed over all Delaunay
+    edges) and removal keeps the region simply connected (the vertex
+    opposite the border edge must be interior, and the triangle must
+    expose exactly one border edge). ratio=1 → convex hull; ratio→0 →
+    maximally eroded.
+
+    Returns the hull as one CCW ring (list of (x, y)), or None when the
+    input has no 2D extent."""
+    import heapq
+    import math
+
+    pts, tris = delaunay(points)
+    if not tris:
+        return None
+    edge_tris: dict = {}
+    for t in tris:
+        for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+            edge_tris.setdefault((min(e), max(e)), set()).add(t)
+
+    def elen(e):
+        (ax, ay), (bx, by) = pts[e[0]], pts[e[1]]
+        return math.hypot(ax - bx, ay - by)
+
+    lens = [elen(e) for e in edge_tris]
+    lo, hi = min(lens), max(lens)
+    limit = lo + max(0.0, min(1.0, length_ratio)) * (hi - lo)
+    alive = set(tris)
+    border = {e for e, ts in edge_tris.items() if len(ts) == 1}
+    border_verts: dict = {}
+    for e in border:
+        for v in e:
+            border_verts[v] = border_verts.get(v, 0) + 1
+    heap = [(-elen(e), e) for e in border]
+    heapq.heapify(heap)
+    while heap:
+        negl, e = heapq.heappop(heap)
+        if -negl <= limit:
+            break
+        if e not in border:
+            continue
+        owners = [t for t in edge_tris.get(e, ()) if t in alive]
+        if len(owners) != 1:
+            continue
+        t = owners[0]
+        opp = next(v for v in t if v not in e)
+        if opp in border_verts:
+            continue  # removal would pinch the region
+        t_edges = [(min(a, b), max(a, b))
+                   for a, b in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0]))]
+        if sum(1 for te in t_edges if te in border) != 1:
+            continue
+        alive.discard(t)
+        border.discard(e)
+        for v in e:
+            border_verts[v] -= 1
+            if border_verts[v] == 0:
+                del border_verts[v]
+        for te in t_edges:
+            if te == e:
+                continue
+            border.add(te)
+            for v in te:
+                border_verts[v] = border_verts.get(v, 0) + 1
+            heapq.heappush(heap, (-elen(te), te))
+    # assemble the boundary ring from the border edges
+    nxt: dict = {}
+    for (u, v) in border:
+        nxt.setdefault(u, []).append(v)
+        nxt.setdefault(v, []).append(u)
+    start = min(nxt)
+    ring = [start]
+    prev = None
+    cur = start
+    for _ in range(len(border)):
+        cands = [w for w in nxt[cur] if w != prev]
+        if not cands:
+            break
+        prev, cur = cur, cands[0]
+        if cur == start:
+            break
+        ring.append(cur)
+    out = [pts[i] for i in ring]
+    # orient CCW
+    acc = 0.0
+    n = len(out)
+    for i in range(n):
+        x1, y1 = out[i]
+        x2, y2 = out[(i + 1) % n]
+        acc += x1 * y2 - x2 * y1
+    return out if acc >= 0 else out[::-1]

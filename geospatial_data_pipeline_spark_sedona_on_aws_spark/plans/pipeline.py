@@ -642,6 +642,60 @@ SELECT property_id,
 FROM b
 """
 
+def st_concave_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_ConcaveHull (r7: Delaunay border erosion by length ratio).
+    Oracles: pctConvex=1 over the rect corners IS the convex hull (area
+    w·h, 5 vertices); pctConvex=0 over a 54-point unit-lattice C-shape
+    translated to (x1, y1) recovers the C exactly — area 58, all 54
+    boundary points on the ring (55 with closure) — translation-invariant
+    and integer-exact, so the constant oracle row is sound; ST_Covers of
+    the eroded hull over its own input pins the containment contract."""
+    from ..functions.spatial import register_spatial_functions
+
+    register_spatial_functions(spark)
+    lu = fixtures.land_use_areas(spark, sf_dir, wkt=False)
+    corners = ("concat('MULTIPOINT (', x1, ' ', y1, ', ', x2, ' ', y1,"
+               " ', ', x2, ' ', y2, ', ', x1, ' ', y2, ')')")
+    cpts = set()
+    for x in range(0, 11):
+        cpts.add((x, 0))
+        cpts.add((x, 10))
+    for y in range(0, 11):
+        cpts.add((0, y))
+    for y in range(0, 3):
+        cpts.add((10, y))
+        cpts.add((10, 10 - y))
+    for x in range(3, 11):
+        cpts.add((x, 2))
+        cpts.add((x, 8))
+    for y in range(2, 9):
+        cpts.add((3, y))
+    c_mp = ("concat('MULTIPOINT (', "
+            + ", ', ', ".join(f"x1 + {x}, ' ', y1 + {y}"
+                              for x, y in sorted(cpts))
+            + ", ')')")
+    return lu.selectExpr(
+        "property_id",
+        f"CAST(round(ST_Area(ST_ConcaveHull({corners}, 1.0D)) * 100)"
+        " AS BIGINT) AS cvx_area_q",
+        f"ST_NPoints(ST_ConcaveHull({corners}, 1.0D)) AS cvx_np",
+        f"CAST(round(ST_Area(ST_ConcaveHull({c_mp}, 0.0D)) * 100)"
+        " AS BIGINT) AS c_area_q",
+        f"ST_NPoints(ST_ConcaveHull({c_mp}, 0.0D)) AS c_np",
+        f"ST_Covers(ST_ConcaveHull({c_mp}, 0.0D), {c_mp}) AS covers_all",
+    )
+
+ST_CONCAVE_HULL_ORACLE = f"""
+WITH {fixtures.LAND_USE_CTE.strip()}
+SELECT property_id,
+       CAST((x2 - x1) * (y2 - y1) * 100 AS BIGINT) AS cvx_area_q,
+       CAST(5 AS BIGINT) AS cvx_np,
+       CAST(5800 AS BIGINT) AS c_area_q,
+       CAST(55 AS BIGINT) AS c_np,
+       TRUE AS covers_all
+FROM land_use
+"""
+
 def _cross_wkt_sql() -> str:
     """12-vertex plus-shape polygon WKT from the land_use ints: outer box
     (x1, y1)–(x1+cw, y1+ch) with corner notches of size ca×cb. Used only on

@@ -386,3 +386,65 @@ def test_delaunay_voronoi_scalars():
     assert v.count("POLYGON") == 5 and abs(_area(v) - 288.0) < 1e-9
     assert _delaunay_triangles("LINESTRING (0 0, 1 1, 2 2)") == \
         "GEOMETRYCOLLECTION EMPTY"
+
+
+# ------------------------------------------------------------ concave hull
+
+@given(pts=st.lists(st.tuples(st.integers(-30, 30), st.integers(-30, 30)),
+                    min_size=4, max_size=24, unique=True),
+       ratio=st.floats(0, 1))
+@settings(max_examples=60, deadline=None)
+def test_prop_concave_hull_sandwich(pts, ratio):
+    """hull(ratio) area is between 0 and the convex hull's; ratio=1 IS
+    the convex hull; the hull covers every input point."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel.geom import (
+        _ring_signed_area,
+        convex_hull,
+        parse_wkt as gparse,
+    )
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel.geomtypes import point_in_polygon
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel.triangulate import concave_hull
+
+    hull = convex_hull(list(dict.fromkeys(pts)))
+    if len(hull) < 3:
+        return
+    cvx_area = abs(_ring_signed_area(hull))
+    full = concave_hull(pts, 1.0)
+    assert abs(abs(_ring_signed_area(full)) - cvx_area) < 1e-9
+    eroded = concave_hull(pts, ratio)
+    a = abs(_ring_signed_area(eroded))
+    assert 0 <= a <= cvx_area + 1e-9
+    g = gparse(S._concave_hull(
+        "MULTIPOINT (" + ", ".join(f"{x} {y}" for x, y in pts) + ")",
+        ratio))
+    for (x, y) in pts:
+        # boundary-inclusive containment: nudge inward is not possible
+        # generically, so accept on-boundary via a tiny tolerance probe
+        assert point_in_polygon(x, y, g) or any(
+            point_in_polygon(x + dx, y + dy, g)
+            for dx in (-1e-9, 0.0, 1e-9) for dy in (-1e-9, 0.0, 1e-9))
+
+
+def test_concave_hull_recovers_c_shape():
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel.geom import _ring_signed_area
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel.triangulate import concave_hull
+
+    pts = set()
+    for x in range(0, 11):
+        pts.add((x, 0))
+        pts.add((x, 10))
+    for y in range(0, 11):
+        pts.add((0, y))
+    for y in range(0, 3):
+        pts.add((10, y))
+        pts.add((10, 10 - y))
+    for x in range(3, 11):
+        pts.add((x, 2))
+        pts.add((x, 8))
+    for y in range(2, 9):
+        pts.add((3, y))
+    ring = concave_hull(sorted(pts), 0.0)
+    assert abs(abs(_ring_signed_area(ring)) - 58.0) < 1e-9
+    assert len(ring) == 54          # every lattice point on the boundary
+    ring1 = concave_hull(sorted(pts), 1.0)
+    assert abs(abs(_ring_signed_area(ring1)) - 100.0) < 1e-9
