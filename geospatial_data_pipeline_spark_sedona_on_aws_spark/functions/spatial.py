@@ -1869,6 +1869,183 @@ def _simplify_wkt(s: str | None, tol: float) -> str | None:
                                  for m in data]))
     return GT.to_wkt((kind, data))
 
+# ------------------------------------------------------ line editors (r7)
+
+def _add_point(line: str | None, pt: str | None,
+               pos: int = -1) -> str | None:
+    """ST_AddPoint(line, point[, position]): insert the point at the
+    0-based index (−1 = append, the PostGIS default)."""
+    if line is None or pt is None:
+        return None
+    kind, data = GT.parse_wkt(line)
+    kp, dp = GT.parse_wkt(pt)
+    if GT.basekind(kind) != "LINESTRING" or not data \
+            or GT.basekind(kp) != "POINT" or not dp:
+        return None
+    path = list(data[0])
+    p = dp[0]
+    if pos == -1 or pos >= len(path):
+        path.append(p)
+    elif 0 <= pos:
+        path.insert(pos, p)
+    else:
+        return None
+    return GT.to_wkt(("LINESTRING", [path]))
+
+def _remove_point(line: str | None, pos: int) -> str | None:
+    """ST_RemovePoint(line, offset): drop the 0-based vertex; NULL when
+    the removal would leave fewer than 2 vertices or is out of range."""
+    if line is None:
+        return None
+    kind, data = GT.parse_wkt(line)
+    if GT.basekind(kind) != "LINESTRING" or not data:
+        return None
+    path = list(data[0])
+    if not 0 <= pos < len(path) or len(path) <= 2:
+        return None
+    del path[pos]
+    return GT.to_wkt(("LINESTRING", [path]))
+
+def _set_point(line: str | None, pos: int, pt: str | None) -> str | None:
+    """ST_SetPoint(line, index, point): replace the vertex (negative
+    index counts from the end, the PostGIS convention)."""
+    if line is None or pt is None:
+        return None
+    kind, data = GT.parse_wkt(line)
+    kp, dp = GT.parse_wkt(pt)
+    if GT.basekind(kind) != "LINESTRING" or not data \
+            or GT.basekind(kp) != "POINT" or not dp:
+        return None
+    path = list(data[0])
+    if pos < 0:
+        pos += len(path)
+    if not 0 <= pos < len(path):
+        return None
+    path[pos] = dp[0]
+    return GT.to_wkt(("LINESTRING", [path]))
+
+def _snap(g: str | None, ref: str | None, tol: float) -> str | None:
+    """ST_Snap(geom, ref, tol) — the JTS two-phase snapper: (1) every
+    vertex of geom moves to the nearest REF VERTEX within tol; (2) ref
+    vertices lying within tol of a geom segment (but not near its
+    endpoints) are inserted into that segment, ordered along it."""
+    import math
+
+    if g is None or ref is None:
+        return None
+    tg = GT.parse_wkt(g)
+    ref_pts = GT.points_of(GT.parse_wkt(ref))
+    if not ref_pts:
+        return GT.to_wkt(tg)
+
+    def snap_vertex(x, y):
+        best, bd = (x, y), tol
+        for (rx, ry) in ref_pts:
+            d = math.hypot(rx - x, ry - y)
+            if d <= bd:
+                best, bd = (rx, ry), d
+        return best
+
+    tg = GT.map_coords(tg, snap_vertex)
+
+    def densify_path(path, close):
+        pts = [p[:2] for p in path]
+        if close:
+            pts = pts + [pts[0]]
+        out = [pts[0]]
+        for p, q in zip(pts, pts[1:]):
+            dx, dy = q[0] - p[0], q[1] - p[1]
+            ln2 = dx * dx + dy * dy
+            ins = []
+            if ln2 > 0:
+                for (rx, ry) in ref_pts:
+                    if (rx, ry) == p or (rx, ry) == q:
+                        continue
+                    t = ((rx - p[0]) * dx + (ry - p[1]) * dy) / ln2
+                    if not 0.0 < t < 1.0:
+                        continue
+                    cx, cy = p[0] + t * dx, p[1] + t * dy
+                    if math.hypot(rx - cx, ry - cy) <= tol:
+                        ins.append((t, (rx, ry)))
+            for _, r in sorted(ins):
+                if r != out[-1]:
+                    out.append(r)
+            if q != out[-1]:
+                out.append(q)
+        return out[:-1] if close else out
+
+    kind, data = tg
+    base = GT.basekind(kind)
+    if base in ("LINESTRING", "MULTILINESTRING"):
+        return GT.to_wkt((base, [densify_path(p, False) for p in data]))
+    if base in ("POLYGON", "MULTIPOLYGON"):
+        return GT.to_wkt((base, [[densify_path(r, True) for r in poly]
+                                 for poly in data]))
+    return GT.to_wkt(tg)
+
+def _split(target: str | None, blade: str | None) -> str | None:
+    """ST_Split for lineal targets: by POINT/MULTIPOINT (cut at points
+    lying ON the line) or by a lineal blade (cut at proper crossings).
+    Returns a GEOMETRYCOLLECTION of LINESTRING pieces (the PostGIS
+    shape). Areal targets are a documented engine boundary."""
+    import math
+
+    if target is None or blade is None:
+        return None
+    kt, dt = GT.parse_wkt(target)
+    if GT.basekind(kt) not in ("LINESTRING", "MULTILINESTRING"):
+        raise G.GeomError("ST_Split supports lineal targets only")
+    tb = GT.parse_wkt(blade)
+    kb, _ = tb
+    cut_pts = []
+    if GT.basekind(kb) in ("POINT", "MULTIPOINT"):
+        cut_pts = GT.points_of(tb)
+    cut_set = set(cut_pts)
+    pieces = []
+    for path in dt:
+        pts = [p[:2] for p in path]
+        cur = [pts[0]]
+        for seg_i, (p, q) in enumerate(zip(pts, pts[1:])):
+            dx, dy = q[0] - p[0], q[1] - p[1]
+            ln2 = dx * dx + dy * dy
+            cuts = []
+            if GT.basekind(kb) in ("POINT", "MULTIPOINT"):
+                for (rx, ry) in cut_pts:
+                    if ln2 == 0:
+                        continue
+                    t = ((rx - p[0]) * dx + (ry - p[1]) * dy) / ln2
+                    if not 0.0 < t < 1.0:
+                        continue
+                    cx, cy = p[0] + t * dx, p[1] + t * dy
+                    if math.hypot(rx - cx, ry - cy) == 0.0:
+                        cuts.append((t, (rx, ry)))
+            else:
+                for sb in GT.segments_of(tb):
+                    c = GT._crossing_point((p[0], p[1], q[0], q[1]), sb)
+                    if c is None or c == p or c == q:
+                        continue
+                    t = ((c[0] - p[0]) * dx + (c[1] - p[1]) * dy) \
+                        / ln2 if ln2 else 0.0
+                    if 0.0 < t < 1.0:
+                        cuts.append((t, c))
+            for _, c in sorted(cuts):
+                if c != cur[-1]:
+                    cur.append(c)
+                    pieces.append(cur)
+                    cur = [c]
+            if q != cur[-1] or len(cur) == 1:
+                cur.append(q)
+            # a blade point ON an interior vertex also cuts (PostGIS)
+            if q in cut_set and seg_i < len(pts) - 2 and len(cur) >= 2:
+                pieces.append(cur)
+                cur = [q]
+        if len(cur) >= 2:
+            pieces.append(cur)
+    members = [("LINESTRING", [p]) for p in pieces]
+    if not members:
+        return "GEOMETRYCOLLECTION EMPTY"
+    return GT.to_wkt(("GEOMETRYCOLLECTION", members))
+
 # --------------------------------------------------- triangulation (r7)
 
 def _delaunay_triangles(s: str | None) -> str | None:
@@ -3169,6 +3346,36 @@ def st_concavehull(s: pd.Series, pct: pd.Series) -> pd.Series:
                       for g, v in zip(s, pct)], index=s.index)
 
 @pandas_udf(StringType())
+def st_addpoint(line: pd.Series, pt: pd.Series,
+                pos: pd.Series) -> pd.Series:
+    return pd.Series([None if a is None or b is None or pd.isna(i)
+                      else _add_point(a, b, int(i))
+                      for a, b, i in zip(line, pt, pos)], index=line.index)
+
+@pandas_udf(StringType())
+def st_removepoint(line: pd.Series, pos: pd.Series) -> pd.Series:
+    return pd.Series([None if a is None or pd.isna(i)
+                      else _remove_point(a, int(i))
+                      for a, i in zip(line, pos)], index=line.index)
+
+@pandas_udf(StringType())
+def st_setpoint(line: pd.Series, pos: pd.Series,
+                pt: pd.Series) -> pd.Series:
+    return pd.Series([None if a is None or b is None or pd.isna(i)
+                      else _set_point(a, int(i), b)
+                      for a, i, b in zip(line, pos, pt)], index=line.index)
+
+@pandas_udf(StringType())
+def st_snap(g: pd.Series, ref: pd.Series, tol: pd.Series) -> pd.Series:
+    return pd.Series([None if a is None or b is None or pd.isna(v)
+                      else _snap(a, b, float(v))
+                      for a, b, v in zip(g, ref, tol)], index=g.index)
+
+@pandas_udf(StringType())
+def st_split(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series([_split(x, y) for x, y in zip(a, b)], index=a.index)
+
+@pandas_udf(StringType())
 def st_envelope_aggr(s: pd.Series) -> str:
     """ST_Envelope_Aggr: the bounding box of every geometry in the group
     as a POLYGON (Sedona's grouped envelope). Constant memory per group —
@@ -3328,6 +3535,11 @@ _REGISTRY = {
     "ST_DelaunayTriangles": st_delaunaytriangles,
     "ST_VoronoiPolygons": st_voronoipolygons,
     "ST_ConcaveHull": st_concavehull,
+    "ST_AddPoint": st_addpoint,
+    "ST_RemovePoint": st_removepoint,
+    "ST_SetPoint": st_setpoint,
+    "ST_Snap": st_snap,
+    "ST_Split": st_split,
     # endpoints are always kept by the DP core, so the PreserveTopology
     # name is honest for lineal input; ring simplification keeps the
     # anchor vertex and drops collapsed rings (PostGIS behavior)

@@ -276,7 +276,10 @@ def concave_hull(points, length_ratio: float):
 
     lens = [elen(e) for e in edge_tris]
     lo, hi = min(lens), max(lens)
-    limit = lo + max(0.0, min(1.0, length_ratio)) * (hi - lo)
+    r = max(0.0, min(1.0, length_ratio))
+    # lo + 1.0*(hi-lo) can round BELOW hi, which would erode the longest
+    # hull edge at ratio=1 — the ratio endpoints are pinned exactly
+    limit = hi if r >= 1.0 else lo + r * (hi - lo)
     alive = set(tris)
     border = {e for e, ts in edge_tris.items() if len(ts) == 1}
     border_verts: dict = {}

@@ -696,6 +696,61 @@ SELECT property_id,
 FROM land_use
 """
 
+def st_edit_line_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7 line editors: ST_AddPoint / ST_RemovePoint / ST_SetPoint (vertex
+    surgery round trip), ST_Snap (vertex snap + segment insertion, the
+    JTS two-phase snapper), ST_Split (by interior point — piece count and
+    lengths). All closed forms on the bottom edge of each parcel."""
+    from ..functions.spatial import register_spatial_functions
+
+    register_spatial_functions(spark)
+    lu = fixtures.land_use_areas(spark, sf_dir, wkt=False)
+    bottom = "concat('LINESTRING (', x1, ' ', y1, ', ', x2, ' ', y1, ')')"
+    midpt = "concat('POINT (', (x1 + x2) / 2.0, ' ', y1 + 1, ')')"
+    mid_on = "concat('POINT (', (x1 + x2) / 2.0, ' ', y1, ')')"
+    near = "concat('POINT (', (x1 + x2) / 2.0, ' ', y1 + 0.25, ')')"
+    return lu.selectExpr(
+        "property_id",
+        f"ST_NPoints(ST_AddPoint({bottom}, {midpt}, 1)) AS ap_np",
+        f"CAST(round(ST_Length(ST_AddPoint({bottom}, {midpt}, 1))"
+        " * 10000) AS BIGINT) AS ap_len_q",
+        f"ST_NPoints(ST_RemovePoint(ST_AddPoint({bottom}, {midpt}, 1),"
+        " 1)) AS rp_np",
+        f"ST_Length(ST_RemovePoint(ST_AddPoint({bottom}, {midpt}, 1),"
+        " 1)) AS rp_len",
+        f"ST_X(ST_EndPoint(ST_SetPoint({bottom}, -1,"
+        " concat('POINT (', x2 + 5, ' ', y1, ')')))) AS sp_x",
+        f"ST_X(ST_StartPoint(ST_Snap(concat('LINESTRING (', x1 + 0.25,"
+        f" ' ', y1, ', ', x2, ' ', y2, ')'),"
+        " concat('POINT (', x1, ' ', y1, ')'), 0.5D))) AS snap_x",
+        f"ST_NPoints(ST_Snap({bottom}, {near}, 0.5D)) AS snap_np",
+        f"ST_NumGeometries(ST_Split({bottom}, {mid_on})) AS split_n",
+        f"CAST(round(ST_Length(ST_GeometryN(ST_Split({bottom},"
+        f" {mid_on}), 0)) * 100) AS BIGINT) AS split_len_q",
+    )
+
+ST_EDIT_LINE_OPS_ORACLE = f"""
+WITH {fixtures.LAND_USE_CTE.strip()},
+b AS (
+    SELECT property_id,
+           CAST(x2 - x1 AS DOUBLE) AS w,
+           CAST(x2 AS DOUBLE) AS x2d, CAST(x1 AS DOUBLE) AS x1d
+    FROM land_use
+)
+SELECT property_id,
+       CAST(3 AS BIGINT) AS ap_np,
+       CAST(round(2 * sqrt(w * w / 4 + 1) * 10000) AS BIGINT)
+           AS ap_len_q,
+       CAST(2 AS BIGINT) AS rp_np,
+       w AS rp_len,
+       x2d + 5 AS sp_x,
+       x1d AS snap_x,
+       CAST(3 AS BIGINT) AS snap_np,
+       CAST(2 AS BIGINT) AS split_n,
+       CAST(round(w / 2 * 100) AS BIGINT) AS split_len_q
+FROM b
+"""
+
 def _cross_wkt_sql() -> str:
     """12-vertex plus-shape polygon WKT from the land_use ints: outer box
     (x1, y1)–(x1+cw, y1+ch) with corner notches of size ca×cb. Used only on

@@ -83,6 +83,7 @@ QUERIES: dict[str, QueryFn] = {
     "st_aggr_ops": P.st_aggr_ops,               # r7: *_Aggr UDAF names
     "st_triangulate_ops": P.st_triangulate_ops,  # r7: Delaunay/Voronoi
     "st_concave_hull": P.st_concave_hull,       # r7: length-ratio erosion
+    "st_edit_line_ops": P.st_edit_line_ops,     # r7: snap/split/vertex ops
     "st_convex_hull": P.st_convex_hull,         # monotone-chain hull
     "st_simplify": P.st_simplify,               # Douglas–Peucker
     "hilbert_curve": LAY.hilbert_curve,         # locality-optimal layout
@@ -378,15 +379,16 @@ _R6_WINDOW = [
 # right after the r6 freeze (st_geomcollection_ops, st_geodesic_ops),
 # the rewritten buffer walk, the series-seeded Newton CRS inverses, and
 # representatives of the WKT-parser fast paths (_parse_ring /
-# _split_top_level now feed every areal scalar) — plus (b) the 23
+# _split_top_level now feed every areal scalar) — plus (b) the 22
 # stalest rows: the r1/r2 relational cohort, driver-unverified for five
 # rounds (the cumulative ledger covers them, but staleness rotates in).
-# The remaining 10 of that cohort (set_ops, top_customers_per_nation,
-# training_mix, udtf_token_explode, q5_local_supplier_volume,
-# q6_forecast_revenue, q8_market_share, q9_product_profit,
-# rollup_sales, scalar_functions) are r8's stale seats.
+# The remaining 11 of that cohort (set_ops, top_customers_per_nation,
+# training_mix, udtf_token_explode, q4_order_priority,
+# q5_local_supplier_volume, q6_forecast_revenue, q8_market_share,
+# q9_product_profit, rollup_sales, scalar_functions) are r8's stale
+# seats.
 _R7_WINDOW = [
-    # --- brand new / post-freeze additions (9) ---
+    # --- brand new / post-freeze additions (10) ---
     "st_buffer_line_point",      # lineal/puntal ST_Buffer surface
     "st_affine_ops",             # rotate/scale/affine/snap/expand/multi
     "st_measure_ops",            # perimeter/angle/hausdorff/frechet/...
@@ -394,6 +396,7 @@ _R7_WINDOW = [
     "st_aggr_ops",               # Envelope/Union/Intersection _Aggr
     "st_triangulate_ops",        # Delaunay / Voronoi
     "st_concave_hull",           # border-erosion concave hull
+    "st_edit_line_ops",          # snap / split / vertex surgery
     "st_geomcollection_ops",     # GEOMETRYCOLLECTION + Z kernel
     "st_geodesic_ops",           # sphere/spheroid measures
     # --- buffer walk rewritten (shared _round_offset_ring) (2) ---
@@ -417,7 +420,7 @@ _R7_WINDOW = [
     "crop_analytics_full",
     "crop_analytics_full_chain",
     "crop_analytics_skewed",
-    # --- stalest cohort: last driver-verified r1/r2 (23) ---
+    # --- stalest cohort: last driver-verified r1/r2 (22) ---
     "cube_sales",
     "customers_without_orders",
     "distinct_agg",
@@ -440,7 +443,6 @@ _R7_WINDOW = [
     "q19_disjunctive_revenue",
     "q20_dominant_suppliers",
     "q2_min_cost_supplier",
-    "q4_order_priority",
     # (q8_market_share, q9_product_profit, rollup_sales,
     # scalar_functions displaced by
     # the four new r7 ST_* suites — they join the r8 stale cohort with
@@ -470,6 +472,7 @@ ORACLES: dict[str, str] = {
     "st_aggr_ops": P.ST_AGGR_OPS_ORACLE,
     "st_triangulate_ops": P.ST_TRIANGULATE_OPS_ORACLE,
     "st_concave_hull": P.ST_CONCAVE_HULL_ORACLE,
+    "st_edit_line_ops": P.ST_EDIT_LINE_OPS_ORACLE,
     "recursive_supplier_tree": R.RECURSIVE_SUPPLIER_TREE_ORACLE,
     "streaming_cdc_apply": R.CDC_MERGE_ORACLE,  # drained state == batch MERGE
     "gap_fill_interpolate": EV.GAP_FILL_INTERPOLATE_ORACLE,

@@ -448,3 +448,56 @@ def test_concave_hull_recovers_c_shape():
     assert len(ring) == 54          # every lattice point on the boundary
     ring1 = concave_hull(sorted(pts), 1.0)
     assert abs(abs(_ring_signed_area(ring1)) - 100.0) < 1e-9
+
+
+# ----------------------------------------------------------- line surgery
+
+def test_point_surgery_roundtrip():
+    line = "LINESTRING (0 0, 4 0)"
+    bent = S._add_point(line, "POINT (2 1)", 1)
+    assert bent == "LINESTRING (0 0, 2 1, 4 0)"
+    assert S._remove_point(bent, 1) == line
+    assert S._set_point(line, -1, "POINT (9 9)") == "LINESTRING (0 0, 9 9)"
+    assert S._set_point(line, 0, "POINT (1 1)") == "LINESTRING (1 1, 4 0)"
+    assert S._remove_point(line, 0) is None           # would leave 1 pt
+    assert S._add_point(line, "POINT (8 0)", -1) == \
+        "LINESTRING (0 0, 4 0, 8 0)"
+
+
+def test_snap_two_phases():
+    # phase 1: vertex moves to nearest ref vertex within tol
+    assert S._snap("LINESTRING (0.3 0.1, 5 5)",
+                   "MULTIPOINT (0 0, 3 3)", 0.5) == \
+        "LINESTRING (0 0, 3 3, 5 5)"
+    # phase 2: ref vertex near a segment interior is inserted in order
+    assert S._snap("LINESTRING (0 0, 10 0)",
+                   "MULTIPOINT (7 0.2, 3 -0.1)", 0.5) == \
+        "LINESTRING (0 0, 3 -0.1, 7 0.2, 10 0)"
+    # out-of-tolerance ref leaves the geometry unchanged
+    assert S._snap("LINESTRING (0 0, 10 0)", "POINT (5 3)", 0.5) == \
+        "LINESTRING (0 0, 10 0)"
+    # polygons snap per ring and stay closed
+    out = S._snap("POLYGON ((0.1 0, 4 0, 4 4, 0 4, 0.1 0))",
+                  "POINT (0 0)", 0.5)
+    assert out.startswith("POLYGON ((0 0")
+
+
+def test_split_variants():
+    assert S._split("LINESTRING (0 0, 10 0)", "POINT (4 0)") == \
+        ("GEOMETRYCOLLECTION (LINESTRING (0 0, 4 0),"
+         " LINESTRING (4 0, 10 0))")
+    # interior-vertex cut
+    assert S._split("LINESTRING (0 0, 4 0, 8 0)", "POINT (4 0)") == \
+        ("GEOMETRYCOLLECTION (LINESTRING (0 0, 4 0),"
+         " LINESTRING (4 0, 8 0))")
+    # endpoint and off-line points do not cut
+    for blade in ("POINT (0 0)", "POINT (4 1)"):
+        out = S._split("LINESTRING (0 0, 10 0)", blade)
+        assert out.count("LINESTRING") == 1
+    # lineal blade cuts at the proper crossing
+    out = S._split("LINESTRING (0 0, 10 0)", "LINESTRING (5 -2, 5 2)")
+    assert out.count("LINESTRING") == 2 and "5 0" in out
+    # length is conserved across pieces
+    out = S._split("LINESTRING (0 0, 4 0, 4 4)", "MULTIPOINT (2 0, 4 2)")
+    assert abs(S._length(out) - 8.0) < 1e-12
+    assert out.count("LINESTRING") == 3
