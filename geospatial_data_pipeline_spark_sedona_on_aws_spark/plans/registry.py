@@ -379,14 +379,17 @@ _R6_WINDOW = [
 # right after the r6 freeze (st_geomcollection_ops, st_geodesic_ops),
 # the rewritten buffer walk, the series-seeded Newton CRS inverses, and
 # representatives of the WKT-parser fast paths (_parse_ring /
-# _split_top_level now feed every areal scalar) — plus (b) the 22
+# _split_top_level now feed every areal scalar) — plus (b) the 14
 # stalest rows: the r1/r2 relational cohort, driver-unverified for five
 # rounds (the cumulative ledger covers them, but staleness rotates in).
-# The remaining 11 of that cohort (set_ops, top_customers_per_nation,
+# The remaining 18 of that cohort (set_ops, top_customers_per_nation,
 # training_mix, udtf_token_explode, q4_order_priority,
 # q5_local_supplier_volume, q6_forecast_revenue, q8_market_share,
-# q9_product_profit, rollup_sales, scalar_functions) are r8's stale
-# seats.
+# q9_product_profit, rollup_sales, scalar_functions,
+# pivot_order_status, part_window_stats, nation_trade_flows,
+# late_ship_orders, incremental_rollup, grouping_sets,
+# expectations_check, distinct_agg) are r8's stale seats. One seat per family stays
+# pinned regardless (test_gate_window_covers_every_family).
 _R7_WINDOW = [
     # --- brand new / post-freeze additions (10) ---
     "st_buffer_line_point",      # lineal/puntal ST_Buffer surface
@@ -420,19 +423,22 @@ _R7_WINDOW = [
     "crop_analytics_full",
     "crop_analytics_full_chain",
     "crop_analytics_skewed",
-    # --- stalest cohort: last driver-verified r1/r2 (22) ---
+    # --- family representatives (one seat per family, pinned by
+    # test_gate_window_covers_every_family; streaming_geofence is also
+    # r7 blast radius — its descending-sequence guard landed post-freeze)
+    "streaming_geofence",        # streaming
+    "repetition_scores",         # text
+    "ngram_jaccard_verified",    # dedup
+    "embedding_topk_cosine",     # similarity
+    "histogram_quantile",        # sketches
+    "multimodal_png_decode",     # multimodal
+    "pyds_jsonl_commit_roundtrip",  # pydatasource
+    "q12_late_priority",         # round-2's only red row: stays visible
+    # --- stalest cohort: last driver-verified r1/r2 (14) ---
     "cube_sales",
     "customers_without_orders",
-    "distinct_agg",
-    "expectations_check",
     "filter_sort_limit",
-    "grouping_sets",
-    "incremental_rollup",
-    "late_ship_orders",
     "nation_revenue",
-    "nation_trade_flows",
-    "part_window_stats",
-    "pivot_order_status",
     "q10_returned_items",
     "q11_important_parts",
     "q13_customer_distribution",
