@@ -1869,6 +1869,162 @@ def _simplify_wkt(s: str | None, tol: float) -> str | None:
                                  for m in data]))
     return GT.to_wkt((kind, data))
 
+# ----------------------------------------------- misc constructors (r7)
+
+def _make_polygon(line: str | None) -> str | None:
+    """ST_MakePolygon(shell): a closed LINESTRING becomes the polygon it
+    bounds; NULL for open or non-lineal input (PostGIS raises; the SQL
+    surface prefers NULL)."""
+    if line is None:
+        return None
+    kind, data = GT.parse_wkt(line)
+    if GT.basekind(kind) != "LINESTRING" or not data:
+        return None
+    path = [p[:2] for p in data[0]]
+    if len(path) < 4 or path[0] != path[-1]:
+        return None
+    return G.to_wkt([[path[:-1]]])
+
+def _line_merge(s: str | None) -> str | None:
+    """ST_LineMerge: stitch the paths of a MULTILINESTRING at shared
+    endpoints (degree-2 joins only, the JTS LineMerger contract); paths
+    that cannot merge stay separate. Singular lines pass through."""
+    if s is None:
+        return None
+    kind, data = GT.parse_wkt(s)
+    if GT.basekind(kind) not in ("LINESTRING", "MULTILINESTRING"):
+        return None
+    paths = [[p[:2] for p in path] for path in data]
+    merged = True
+    while merged and len(paths) > 1:
+        merged = False
+        # endpoint degree map: only degree-2 meeting points merge
+        deg: dict = {}
+        for p in paths:
+            for end in (p[0], p[-1]):
+                deg[end] = deg.get(end, 0) + 1
+        for i in range(len(paths)):
+            for j in range(i + 1, len(paths)):
+                a, b = paths[i], paths[j]
+                for flip_a in (False, True):
+                    for flip_b in (False, True):
+                        aa = a[::-1] if flip_a else a
+                        bb = b[::-1] if flip_b else b
+                        if aa[-1] == bb[0] and deg.get(aa[-1], 0) == 2:
+                            paths[i] = aa + bb[1:]
+                            del paths[j]
+                            merged = True
+                            break
+                    if merged:
+                        break
+                if merged:
+                    break
+            if merged:
+                break
+    return GT.to_wkt(("MULTILINESTRING" if len(paths) > 1
+                      else "LINESTRING", paths))
+
+def _remove_repeated_points(s: str | None) -> str | None:
+    """ST_RemoveRepeatedPoints: drop consecutive duplicate vertices
+    (rings keep their implicit closure; puntal input dedupes members)."""
+    if s is None:
+        return None
+    kind, data = GT.parse_wkt(s)
+    base = GT.basekind(kind)
+
+    def dedupe(seq):
+        out = [seq[0]]
+        for p in seq[1:]:
+            if p != out[-1]:
+                out.append(p)
+        return out
+
+    if base in ("POINT", "MULTIPOINT"):
+        seen: list = []
+        for p in data:
+            if p not in seen:
+                seen.append(p)
+        return GT.to_wkt((kind, seen))
+    if base in ("LINESTRING", "MULTILINESTRING"):
+        return GT.to_wkt((kind, [dedupe(p) for p in data]))
+    if base in ("POLYGON", "MULTIPOLYGON"):
+        return GT.to_wkt((kind, [[dedupe(r) for r in poly]
+                                 for poly in data]))
+    return GT.to_wkt((kind, data))
+
+def _force_3d(s: str | None, z: float = 0.0) -> str | None:
+    """ST_Force3D: add the given z to every 2D vertex (3D input is
+    unchanged — the PostGIS convention)."""
+    if s is None:
+        return None
+    kind, data = GT.parse_wkt(s)
+
+    def add_z(tg):
+        k, d = tg
+        if k == "GEOMETRYCOLLECTION":
+            return (k, [add_z(m) for m in d])
+        if k.endswith(" Z"):
+            return (k, d)
+        base = GT.basekind(k)
+        if base in ("POINT", "MULTIPOINT"):
+            return (k + " Z", [(p[0], p[1], z) for p in d])
+        if base in ("LINESTRING", "MULTILINESTRING"):
+            return (k + " Z", [[(p[0], p[1], z) for p in path]
+                               for path in d])
+        return (k + " Z", [[[(p[0], p[1], z) for p in ring]
+                            for ring in poly] for poly in d])
+
+    return GT.to_wkt(add_z((kind, data)))
+
+def _project_point(s: str | None, dist: float,
+                   azimuth: float) -> str | None:
+    """ST_Project(point, distance_m, azimuth_rad): the spherical
+    destination point — great-circle forward problem on Sedona's
+    6371008 m sphere (azimuth clockwise from north, PostGIS
+    convention)."""
+    import math
+
+    if s is None:
+        return None
+    ll = _point_lonlat(s)
+    if ll is None:
+        return None
+    lon1, lat1 = math.radians(ll[0]), math.radians(ll[1])
+    ang = dist / _SPHERE_R
+    lat2 = math.asin(math.sin(lat1) * math.cos(ang)
+                     + math.cos(lat1) * math.sin(ang)
+                     * math.cos(azimuth))
+    lon2 = lon1 + math.atan2(
+        math.sin(azimuth) * math.sin(ang) * math.cos(lat1),
+        math.cos(ang) - math.sin(lat1) * math.sin(lat2))
+    return GT.to_wkt(("POINT", [(math.degrees(lon2),
+                                 math.degrees(lat2))]))
+
+def _bound_of(s: str | None, which: str) -> float | None:
+    """ST_XMin/ST_XMax/ST_YMin/ST_YMax over any geometry's vertices."""
+    if s is None:
+        return None
+    pts = GT.points_of(GT.parse_wkt(s))
+    if not pts:
+        return None
+    if which == "xmin":
+        return min(p[0] for p in pts)
+    if which == "xmax":
+        return max(p[0] for p in pts)
+    if which == "ymin":
+        return min(p[1] for p in pts)
+    return max(p[1] for p in pts)
+
+def _num_points(s: str | None) -> int | None:
+    """PostGIS ST_NumPoints: vertex count of a LINESTRING ONLY (NULL for
+    every other type — distinct from ST_NPoints, which counts all)."""
+    if s is None:
+        return None
+    kind, data = GT.parse_wkt(s)
+    if GT.basekind(kind) != "LINESTRING" or not data:
+        return None
+    return len(data[0])
+
 # ------------------------------------------------------ line editors (r7)
 
 def _add_point(line: str | None, pt: str | None,
@@ -3376,6 +3532,55 @@ def st_split(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series([_split(x, y) for x, y in zip(a, b)], index=a.index)
 
 @pandas_udf(StringType())
+def st_makepolygon(s: pd.Series) -> pd.Series:
+    return pd.Series([_make_polygon(g) for g in s], index=s.index)
+
+@pandas_udf(StringType())
+def st_linemerge(s: pd.Series) -> pd.Series:
+    return pd.Series([_line_merge(g) for g in s], index=s.index)
+
+@pandas_udf(StringType())
+def st_removerepeatedpoints(s: pd.Series) -> pd.Series:
+    return s.map(_remove_repeated_points, na_action="ignore")
+
+@pandas_udf(StringType())
+def st_force3d(s: pd.Series, z: pd.Series) -> pd.Series:
+    return pd.Series([None if g is None or pd.isna(v)
+                      else _force_3d(g, float(v))
+                      for g, v in zip(s, z)], index=s.index)
+
+@pandas_udf(StringType())
+def st_project(s: pd.Series, d: pd.Series, az: pd.Series) -> pd.Series:
+    return pd.Series([None if g is None or pd.isna(a) or pd.isna(b)
+                      else _project_point(g, float(a), float(b))
+                      for g, a, b in zip(s, d, az)], index=s.index)
+
+@pandas_udf(DoubleType())
+def st_xmin(s: pd.Series) -> pd.Series:
+    return pd.Series([_bound_of(g, "xmin") for g in s], index=s.index,
+                     dtype="float64")
+
+@pandas_udf(DoubleType())
+def st_xmax(s: pd.Series) -> pd.Series:
+    return pd.Series([_bound_of(g, "xmax") for g in s], index=s.index,
+                     dtype="float64")
+
+@pandas_udf(DoubleType())
+def st_ymin(s: pd.Series) -> pd.Series:
+    return pd.Series([_bound_of(g, "ymin") for g in s], index=s.index,
+                     dtype="float64")
+
+@pandas_udf(DoubleType())
+def st_ymax(s: pd.Series) -> pd.Series:
+    return pd.Series([_bound_of(g, "ymax") for g in s], index=s.index,
+                     dtype="float64")
+
+@pandas_udf(LongType())
+def st_numpoints(s: pd.Series) -> pd.Series:
+    return pd.Series([_num_points(g) for g in s], index=s.index,
+                     dtype="object")
+
+@pandas_udf(StringType())
 def st_envelope_aggr(s: pd.Series) -> str:
     """ST_Envelope_Aggr: the bounding box of every geometry in the group
     as a POLYGON (Sedona's grouped envelope). Constant memory per group —
@@ -3540,6 +3745,16 @@ _REGISTRY = {
     "ST_SetPoint": st_setpoint,
     "ST_Snap": st_snap,
     "ST_Split": st_split,
+    "ST_MakePolygon": st_makepolygon,
+    "ST_LineMerge": st_linemerge,
+    "ST_RemoveRepeatedPoints": st_removerepeatedpoints,
+    "ST_Force3D": st_force3d,
+    "ST_Project": st_project,
+    "ST_XMin": st_xmin,
+    "ST_XMax": st_xmax,
+    "ST_YMin": st_ymin,
+    "ST_YMax": st_ymax,
+    "ST_NumPoints": st_numpoints,
     # endpoints are always kept by the DP core, so the PreserveTopology
     # name is honest for lineal input; ring simplification keeps the
     # anchor vertex and drops collapsed rings (PostGIS behavior)

@@ -751,6 +751,74 @@ SELECT property_id,
 FROM b
 """
 
+def st_misc_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7 constructor/accessor batch: ST_MakePolygon (ring line →
+    polygon), ST_LineMerge (degree-2 endpoint stitching),
+    ST_RemoveRepeatedPoints, ST_Force3D (+ ST_HasZ / ST_Z readback),
+    ST_Project (spherical forward problem — due-east at the equator is
+    exactly lon + degrees(d/R)), ST_XMin/XMax/YMin/YMax, ST_NumPoints
+    (PostGIS: linestrings only). All closed forms on the parcel ints."""
+    from ..functions.spatial import register_spatial_functions
+
+    register_spatial_functions(spark)
+    lu = fixtures.land_use_areas(spark, sf_dir)
+    ring = ("concat('LINESTRING (', x1, ' ', y1, ', ', x2, ' ', y1, ', ',"
+            " x2, ' ', y2, ', ', x1, ' ', y2, ', ', x1, ' ', y1, ')')")
+    mls = ("concat('MULTILINESTRING ((', x1, ' ', y1, ', ', x2, ' ', y1,"
+           " '), (', x2, ' ', y1, ', ', x2, ' ', y2, '))')")
+    dup = ("concat('LINESTRING (', x1, ' ', y1, ', ', x1, ' ', y1, ', ',"
+           " x2, ' ', y1, ', ', x2, ' ', y1, ')')")
+    eqpt = "concat('POINT (', CAST(x1 % 90 AS DOUBLE), ' 0)')"
+    return lu.selectExpr(
+        "property_id",
+        f"CAST(round(ST_Area(ST_MakePolygon({ring})) * 100) AS BIGINT)"
+        " AS mkpoly_area_q",
+        f"ST_NumGeometries(ST_LineMerge({mls})) AS lm_n",
+        f"ST_Length(ST_LineMerge({mls})) AS lm_len",
+        f"ST_NPoints(ST_RemoveRepeatedPoints({dup})) AS rrp_np",
+        "ST_HasZ(ST_Force3D(concat('POINT (', x1, ' ', y1, ')'), 7D))"
+        " AS f3d_hasz",
+        "ST_Z(ST_Force3D(concat('POINT (', x1, ' ', y1, ')'), 7D))"
+        " AS f3d_z",
+        f"CAST(round(ST_X(ST_Project({eqpt}, 111194.9266D,"
+        " 1.5707963267948966D)) * 1000000) AS BIGINT) AS proj_lon_q",
+        f"CAST(round(ST_Y(ST_Project({eqpt}, 111194.9266D,"
+        " 1.5707963267948966D)) * 1000000) AS BIGINT) AS proj_lat_q",
+        "ST_XMin(land_geometry) AS bxmin",
+        "ST_XMax(land_geometry) AS bxmax",
+        "ST_YMin(land_geometry) AS bymin",
+        "ST_YMax(land_geometry) AS bymax",
+        f"ST_NumPoints({ring}) AS np_ring",
+    )
+
+ST_MISC_OPS_ORACLE = f"""
+WITH {fixtures.LAND_USE_CTE.strip()},
+b AS (
+    SELECT property_id,
+           CAST(x2 - x1 AS DOUBLE) AS w, CAST(y2 - y1 AS DOUBLE) AS h,
+           CAST(x1 AS DOUBLE) AS x1d, CAST(y1 AS DOUBLE) AS y1d,
+           CAST(x2 AS DOUBLE) AS x2d, CAST(y2 AS DOUBLE) AS y2d,
+           CAST(x1 % 90 AS DOUBLE) AS eqlon
+    FROM land_use
+)
+SELECT property_id,
+       CAST(round(w * h * 100) AS BIGINT) AS mkpoly_area_q,
+       CAST(1 AS BIGINT) AS lm_n,
+       w + h AS lm_len,
+       CAST(2 AS BIGINT) AS rrp_np,
+       TRUE AS f3d_hasz,
+       CAST(7 AS DOUBLE) AS f3d_z,
+       CAST(round((eqlon + degrees(111194.9266 / 6371008.0)) * 1000000)
+            AS BIGINT) AS proj_lon_q,
+       CAST(0 AS BIGINT) AS proj_lat_q,
+       x1d AS bxmin,
+       x2d AS bxmax,
+       y1d AS bymin,
+       y2d AS bymax,
+       CAST(5 AS BIGINT) AS np_ring
+FROM b
+"""
+
 def _cross_wkt_sql() -> str:
     """12-vertex plus-shape polygon WKT from the land_use ints: outer box
     (x1, y1)–(x1+cw, y1+ch) with corner notches of size ca×cb. Used only on

@@ -501,3 +501,46 @@ def test_split_variants():
     out = S._split("LINESTRING (0 0, 4 0, 4 4)", "MULTIPOINT (2 0, 4 2)")
     assert abs(S._length(out) - 8.0) < 1e-12
     assert out.count("LINESTRING") == 3
+
+
+# -------------------------------------------------- misc constructors
+
+def test_make_polygon_and_linemerge():
+    assert S._make_polygon("LINESTRING (0 0, 4 0, 4 3, 0 3, 0 0)") == \
+        "POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))"
+    assert S._make_polygon("LINESTRING (0 0, 4 0, 4 3)") is None
+    assert S._line_merge(
+        "MULTILINESTRING ((0 0, 2 0), (2 0, 5 0), (9 9, 8 8))") == \
+        "MULTILINESTRING ((0 0, 2 0, 5 0), (9 9, 8 8))"
+    # degree-3 junction: nothing merges (the JTS LineMerger contract)
+    out = S._line_merge(
+        "MULTILINESTRING ((0 0, 2 0), (2 0, 5 0), (2 0, 2 5))")
+    assert out.count("(") == 4
+    # reversed orientation still merges
+    assert S._line_merge(
+        "MULTILINESTRING ((2 0, 0 0), (2 0, 5 0))") in (
+        "LINESTRING (0 0, 2 0, 5 0)", "LINESTRING (5 0, 2 0, 0 0)")
+
+
+def test_force3d_project_bounds():
+    import math
+
+    assert S._force_3d("POINT (1 2)", 5.0) == "POINT Z (1 2 5)"
+    assert S._force_3d("POINT Z (1 2 3)", 9.0) == "POINT Z (1 2 3)"
+    # due-east at the equator: exact arc addition
+    p = S._project_point("POINT (10 0)", 111194.9266, math.pi / 2)
+    _, d = GT.parse_wkt(p)
+    assert abs(d[0][0] - (10 + math.degrees(111194.9266 / 6371008.0))) \
+        < 1e-9
+    assert abs(d[0][1]) < 1e-9
+    # due-north from the equator: latitude gains the arc
+    p = S._project_point("POINT (0 0)", 111194.9266, 0.0)
+    _, d = GT.parse_wkt(p)
+    assert abs(d[0][1] - math.degrees(111194.9266 / 6371008.0)) < 1e-6
+    assert S._bound_of(RECT, "xmin") == 2.0
+    assert S._bound_of(RECT, "ymax") == 8.0
+    assert S._num_points("LINESTRING (0 0, 1 1, 2 2)") == 3
+    assert S._num_points(RECT) is None
+    assert S._remove_repeated_points(
+        "LINESTRING (0 0, 0 0, 1 1, 1 1, 2 2)") == \
+        "LINESTRING (0 0, 1 1, 2 2)"
