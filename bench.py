@@ -3,8 +3,17 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
-Each query is forced with a count() action (no driver materialization of
-results — the plan runs fully distributed; collect cost excluded).
+Each query is forced with a NOOP-SINK WRITE (r7 methodology fix): every
+output column is fully evaluated and consumed executor-side, nothing is
+materialized on the driver. The previous count() action let Catalyst
+PRUNE deterministic projection columns — any query whose final operator
+is a per-row UDF projection (the ST_* scalar batches, multimodal
+decodes) was measuring scan+overhead only, which is why those queries'
+"timings" never responded to scalar-path changes and drifted with pure
+host noise across r5/r6. r7-and-later numbers are therefore NOT
+comparable to earlier rounds for projection-final queries
+(aggregate-final queries — the crop family, TPC-H, dedup/graph — always
+computed fully and stay comparable).
 """
 
 from __future__ import annotations
@@ -15,6 +24,13 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+def _run_full(df) -> None:
+    """Force FULL evaluation of every output column: write to Spark's
+    noop sink (consumes all rows executor-side, writes nothing). count()
+    is not a valid benchmark action here — deterministic UDF projection
+    columns get pruned under it."""
+    df.write.format("noop").mode("overwrite").save()
 
 HEADLINE = [
     "crop_analytics",
@@ -226,7 +242,7 @@ def sweep(spark) -> None:
         for phase in ("warm", "measure", "measure", "measure"):
             for name in SWEEP_QUERIES:
                 t0 = time.perf_counter()
-                QUERIES[name](spark, sf_dir).count()
+                _run_full(QUERIES[name](spark, sf_dir))
                 dt = round(time.perf_counter() - t0, 3)
                 if phase == "measure":
                     cur = curve[name].get(sf)
@@ -242,7 +258,7 @@ def sweep(spark) -> None:
                 for s in SWEEP_SFS],
         "queries": curve,
         "anchor_totals": anchors,
-        "methodology": "per-sf: full warm pass then per-query min of 3 measured passes; anchor_totals = frozen bench_anchor total per sf, in-process",
+        "methodology": "per-sf: full warm pass then per-query min of 3 measured passes, each forced through the noop sink (r7 fix: count() pruned deterministic UDF projections, under-measuring projection-final queries); anchor_totals = frozen bench_anchor total per sf, in-process",
     }))
 
 def main() -> None:
@@ -282,7 +298,7 @@ def main() -> None:
         for name in HEADLINE:
             fn = QUERIES[name]
             t0 = time.perf_counter()
-            n = fn(spark, sf_dir).count()
+            _run_full(fn(spark, sf_dir))
             dt = round(time.perf_counter() - t0, 3)
             if phase == "measure":
                 # min over passes: single-machine runs show ±20% noise
@@ -316,7 +332,7 @@ def main() -> None:
         },
         "value_anchored_ratio": round(total / t_anchor, 4),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "methodology": "steady-state: full warm pass at the measured sf, then per-query min of 3 measured passes; ratios normalized by the frozen bench_anchor total measured in-process",
+        "methodology": "steady-state: full warm pass at the measured sf, then per-query min of 3 measured passes, each forced through the noop sink (r7 fix: count() pruned deterministic UDF projections, under-measuring projection-final queries — r7+ numbers for those are not comparable to r6 and earlier); ratios normalized by the frozen bench_anchor total measured in-process",
     }))
 
 if __name__ == "__main__":

@@ -1352,18 +1352,7 @@ def st_point_line_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.spatial import register_spatial_functions
 
     register_spatial_functions(spark)
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    regions = fixtures.geographic_regions(spark, sf_dir)
-    base = o.selectExpr(
-        "o_orderkey AS point_id",
-        "o_custkey % 100 AS px",
-        "(o_orderkey * 7) % 100 AS py",
-        "1 + o_orderkey % 5 AS dx",
-        "1 + o_custkey % 7 AS dy",
-        f"o_custkey % {fixtures.N_REGIONS} AS region_id",
-    )
-    j = base.join(F.broadcast(regions),
-                  base["region_id"] == regions["id"], "inner")
+    j = _orders_line_base(spark, sf_dir)
     geoms = j.selectExpr(
         "point_id",
         "concat('POINT (', px, ' ', py, ')') AS wkt_pt",
@@ -1456,18 +1445,7 @@ def st_line_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.spatial import register_spatial_functions
 
     register_spatial_functions(spark)
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    regions = fixtures.geographic_regions(spark, sf_dir)
-    base = o.selectExpr(
-        "o_orderkey AS point_id",
-        "o_custkey % 100 AS px",
-        "(o_orderkey * 7) % 100 AS py",
-        "1 + o_orderkey % 5 AS dx",
-        "1 + o_custkey % 7 AS dy",
-        f"o_custkey % {fixtures.N_REGIONS} AS region_id",
-    )
-    j = base.join(F.broadcast(regions),
-                  base["region_id"] == regions["id"], "inner")
+    j = _orders_line_base(spark, sf_dir)
     return j.selectExpr(
         "point_id",
         "CAST(round(ST_Length(ST_Intersection("
@@ -1487,18 +1465,7 @@ def st_wkb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.spatial import register_spatial_functions
 
     register_spatial_functions(spark)
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    regions = fixtures.geographic_regions(spark, sf_dir)
-    base = o.selectExpr(
-        "o_orderkey AS point_id",
-        "o_custkey % 100 AS px",
-        "(o_orderkey * 7) % 100 AS py",
-        "1 + o_orderkey % 5 AS dx",
-        "1 + o_custkey % 7 AS dy",
-        f"o_custkey % {fixtures.N_REGIONS} AS region_id",
-    )
-    j = base.join(F.broadcast(regions),
-                  base["region_id"] == regions["id"], "inner")
+    j = _orders_line_base(spark, sf_dir)
 
     def rt(expr: str) -> str:
         return f"ST_AsText(ST_GeomFromWKB(ST_AsBinary({expr})))"
@@ -1931,18 +1898,26 @@ def _orders_line_base(spark: SparkSession, sf_dir: str,
                       modulus: int | None = None) -> DataFrame:
     """Shared orders-derived point/segment fixture (same integers as
     st_point_line_ops); modulus keeps the heavy predicate suites to a
-    deterministic sample — the filter is pushed to the parquet scan."""
+    deterministic sample — the filter is pushed to the parquet scan.
+
+    spread_scan fans the single-row-group testdata scan across cores
+    BEFORE the UDF-heavy consumers (r7: the bench methodology fix
+    exposed that every query on this base was running its whole Python
+    scalar chain on ONE partition — st_point_line_ops 31 s → ~2 s; a
+    multi-split production table passes through untouched)."""
+    from ..sources.io import spread_scan
+
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     if modulus:
         o = o.where(f"o_orderkey % {modulus} = 0")
-    base = o.selectExpr(
+    base = spread_scan(o.selectExpr(
         "o_orderkey AS point_id",
         "o_custkey % 100 AS px",
         "(o_orderkey * 7) % 100 AS py",
         "1 + o_orderkey % 5 AS dx",
         "1 + o_custkey % 7 AS dy",
         f"o_custkey % {fixtures.N_REGIONS} AS region_id",
-    )
+    ))
     regions = fixtures.geographic_regions(spark, sf_dir)
     return base.join(F.broadcast(regions),
                      base["region_id"] == regions["id"], "inner")

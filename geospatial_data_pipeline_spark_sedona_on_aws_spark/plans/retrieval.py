@@ -28,7 +28,11 @@ from ..functions import text as TXT
 from .text_queries import BPE_PATTERN as TXT_BPE_PATTERN
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # single-row-group testdata yields ONE scan split; fan out before the
+    # per-row text work so it parallelizes (no-op on multi-split tables)
+    from ..sources.io import spread_scan
+
+    return spread_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 # --------------------------------------------------------------- bigram LM
 

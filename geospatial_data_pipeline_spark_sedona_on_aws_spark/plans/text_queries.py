@@ -11,7 +11,11 @@ from pyspark.sql import functions as F
 from ..functions import text as TXT
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # single-row-group testdata yields ONE scan split; fan out before the
+    # per-row text work so it parallelizes (no-op on multi-split tables)
+    from ..sources.io import spread_scan
+
+    return spread_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)

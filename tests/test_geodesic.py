@@ -91,6 +91,8 @@ def test_prop_spheroid_within_flattening_bound_of_sphere(lon1, lat1,
     from hypothesis import assume
 
     assume(dlon or dlat)
+    # keep b on the sphere: lat1=89 + dlat=2 would step past the pole
+    assume(abs(lat1 + dlat) <= 90 and abs(lon1 + dlon) <= 180)
     a = f"POINT ({lon1} {lat1})"
     b = f"POINT ({lon1 + dlon} {lat1 + dlat})"
     ds = _distance_sphere(a, b)
