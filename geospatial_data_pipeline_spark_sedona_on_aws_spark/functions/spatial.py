@@ -2802,9 +2802,68 @@ def st_area(s: pd.Series) -> pd.Series:
 
 @pandas_udf(StringType())
 def st_transform(s: pd.Series, src: pd.Series, dst: pd.Series) -> pd.Series:
+    # batch fast path (r7): when the whole Arrow batch shares one
+    # (src, dst) pair — the universal case, they are literals — gather
+    # every 2D areal row's coordinates into ONE numpy array, run the
+    # vectorized projection (kernel/transform.transform_points_np:
+    # identical formulas and seeds, per-batch Newton), and rebuild.
+    # Non-areal / Z / GC / null rows fall back to the scalar per row.
+    if len(s) and src.nunique(dropna=False) == 1 \
+            and dst.nunique(dropna=False) == 1:
+        a, b = src.iloc[0], dst.iloc[0]
+        if a is not None and b is not None:
+            return _transform_batch(s, str(a), str(b))
     return pd.Series(
         [_transform(g, a, b) for g, a, b in zip(s, src, dst)], index=s.index
     )
+
+def _transform_batch(s: pd.Series, src: str, dst: str) -> pd.Series:
+    import numpy as np
+
+    try:
+        T._resolve_crs_np(src)
+        T._resolve_crs_np(dst)
+    except ValueError as exc:
+        raise G.GeomError(f"ST_Transform: {exc}") from exc
+    shapes = []          # (row position, geometry structure) for fast rows
+    xs: list[float] = []
+    ys: list[float] = []
+    slow_idx = []
+    out = [None] * len(s)
+    vals = s.tolist()
+    for i, w in enumerate(vals):
+        if w is None or not _is_areal(w):
+            slow_idx.append(i)
+            continue
+        try:
+            g = G.parse_wkt(w)
+        except G.GeomError:
+            slow_idx.append(i)
+            continue
+        struct = [[len(ring) for ring in poly] for poly in g]
+        shapes.append((i, struct))
+        for poly in g:
+            for ring in poly:
+                for (x, y) in ring:
+                    xs.append(x)
+                    ys.append(y)
+    if xs:
+        bx, by = T.transform_points_np(np.asarray(xs), np.asarray(ys),
+                                       src, dst)
+        pos = 0
+        for (i, struct) in shapes:
+            polys = []
+            for ring_lens in struct:
+                rings = []
+                for ln in ring_lens:
+                    rings.append(list(zip(bx[pos:pos + ln].tolist(),
+                                          by[pos:pos + ln].tolist())))
+                    pos += ln
+                polys.append(rings)
+            out[i] = G.to_wkt(polys)
+    for i in slow_idx:
+        out[i] = _transform(vals[i], src, dst)
+    return pd.Series(out, index=s.index)
 
 @pandas_udf(StringType())
 def st_envelope(s: pd.Series) -> pd.Series:

@@ -290,3 +290,176 @@ def transform_geom_crs(geom: list, src: str, dst: str) -> list:
     fwd, _ = resolve_crs(dst)
     return [[[fwd(*inv(x, y)) for x, y in ring] for ring in poly]
             for poly in geom]
+
+
+# ----------------------------------------------- vectorized batch forms
+#
+# r7: the noop-sink bench fix exposed ST_Transform's real cost — per-point
+# Python trig dominated the scalar path. These numpy forms evaluate a
+# whole Arrow batch's coordinates at once (same published formulas, same
+# seeds, same ULP-aware Newton gate); results agree with the scalar path
+# to libm-vs-SIMD ULPs, far inside every oracle's quantization.
+
+def _np():
+    import numpy as np
+
+    return np
+
+
+def _meridian_arc_np(np, phi):
+    return _A * (_M0_C0 * phi - _M0_C2 * np.sin(2 * phi)
+                 + _M0_C4 * np.sin(4 * phi) - _M0_C6 * np.sin(6 * phi))
+
+
+def _footpoint_lat_np(np, m):
+    mu = m / (_A * _M0_C0)
+    return (mu + _FP_C2 * np.sin(2.0 * mu) + _FP_C4 * np.sin(4.0 * mu)
+            + _FP_C6 * np.sin(6.0 * mu) + _FP_C8 * np.sin(8.0 * mu))
+
+
+def _newton_inverse_np(np, forward, x, y, lon, lat, iters=8):
+    tx = 1e-9 + 1e-15 * np.abs(x)
+    ty = 1e-9 + 1e-15 * np.abs(y)
+    for _ in range(iters):
+        fx, fy = forward(lon, lat)
+        rx, ry = fx - x, fy - y
+        act = (np.abs(rx) > tx) | (np.abs(ry) > ty)
+        if not act.any():
+            break
+        h = 1e-8
+        fx1, fy1 = forward(lon + h, lat)
+        fx2, fy2 = forward(lon, lat + h)
+        j11, j21 = (fx1 - fx) / h, (fy1 - fy) / h
+        j12, j22 = (fx2 - fx) / h, (fy2 - fy) / h
+        det = j11 * j22 - j12 * j21
+        safe = np.where(det == 0.0, 1.0, det)
+        dlon = (rx * j22 - j12 * ry) / safe
+        dlat = (j11 * ry - rx * j21) / safe
+        step = act & (det != 0.0)
+        lon = np.where(step, lon - dlon, lon)
+        lat = np.where(step, lat - dlat, lat)
+    return lon, lat
+
+
+def _resolve_crs_np(name: str):
+    """(forward, inverse) over numpy arrays of (lon, lat) radians /
+    projected metres — the vector twin of resolve_crs, same CRS set."""
+    np = _np()
+    if name == "EPSG:4326":
+        return (lambda lon, lat: (np.degrees(lon), np.degrees(lat)),
+                lambda x, y: (np.radians(x), np.radians(y)))
+    if name == "EPSG:3857":
+        def wm_fwd(lon, lat):
+            return _A * lon, _A * np.log(np.tan(np.pi / 4.0 + lat / 2.0))
+
+        def wm_inv(x, y):
+            return x / _A, 2.0 * np.arctan(np.exp(y / _A)) - np.pi / 2.0
+
+        return wm_fwd, wm_inv
+    if name == "EPSG:5880":
+        def pc_fwd(lon, lat):
+            s = np.sin(lat)
+            flat = np.abs(lat) < 1e-12
+            lat_safe = np.where(flat, 1e-12, lat)
+            n = _A / np.sqrt(1.0 - _E2 * np.sin(lat_safe) ** 2)
+            cot = 1.0 / np.tan(lat_safe)
+            e_ang = (lon - _LON0) * np.sin(lat_safe)
+            x = n * cot * np.sin(e_ang)
+            yv = _meridian_arc_np(np, lat_safe) \
+                + n * cot * 2.0 * np.sin(e_ang / 2.0) ** 2
+            x = np.where(flat, _A * (lon - _LON0), x)
+            yv = np.where(flat, 0.0, yv)
+            return _FE + x, _FN + yv
+
+        def pc_inv(x, y):
+            m = y - _FN
+            lat0 = _footpoint_lat_np(np, m)
+            s = np.sin(lat0)
+            small = np.abs(s) <= 1e-6
+            s_safe = np.where(small, 1.0, s)
+            c = np.cos(lat0)
+            cot = c / s_safe
+            n = _A / np.sqrt(1.0 - _E2 * s * s)
+            sin_e = np.clip((x - _FE) / np.where(small, 1.0, n * cot),
+                            -1.0, 1.0)
+            e_ang = np.arcsin(sin_e)
+            lat_seed = np.where(
+                small, lat0,
+                _footpoint_lat_np(np, m - n * cot
+                                  * 2.0 * np.sin(e_ang / 2.0) ** 2))
+            lon_seed = np.where(
+                small,
+                _LON0 + (x - _FE) / (_A * np.maximum(np.cos(lat0), 1e-9)),
+                _LON0 + e_ang / s_safe)
+            return _newton_inverse_np(np, pc_fwd, x, y, lon_seed, lat_seed)
+
+        return pc_fwd, pc_inv
+    if name.startswith("EPSG:326") or name.startswith("EPSG:327"):
+        code = name[5:]
+        if len(code) == 5 and code[3:].isdigit():
+            zone = int(code[3:])
+            if 1 <= zone <= 60:
+                lon0 = math.radians(-183.0 + 6.0 * zone)
+                fn = 10_000_000.0 if code.startswith("327") else 0.0
+
+                def tm_fwd(lon, lat):
+                    s, c, t = np.sin(lat), np.cos(lat), np.tan(lat)
+                    n = _A / np.sqrt(1.0 - _E2 * s * s)
+                    bigT = t * t
+                    bigC = _EP2 * c * c
+                    bigA = (lon - lon0) * c
+                    m = _meridian_arc_np(np, lat)
+                    a2 = bigA * bigA
+                    a3 = a2 * bigA
+                    x = _K0_UTM * n * (
+                        bigA + (1.0 - bigT + bigC) * a3 / 6.0
+                        + (5.0 - 18.0 * bigT + bigT * bigT + 72.0 * bigC
+                           - 58.0 * _EP2) * a3 * a2 / 120.0)
+                    yv = _K0_UTM * (m + n * t * (
+                        a2 / 2.0
+                        + (5.0 - bigT + 9.0 * bigC + 4.0 * bigC * bigC)
+                        * a2 * a2 / 24.0
+                        + (61.0 - 58.0 * bigT + bigT * bigT
+                           + 600.0 * bigC - 330.0 * _EP2)
+                        * a3 * a3 / 720.0))
+                    return 500_000.0 + x, fn + yv
+
+                def tm_inv(x, y):
+                    phi1 = _footpoint_lat_np(np, (y - fn) / _K0_UTM)
+                    s1, c1 = np.sin(phi1), np.cos(phi1)
+                    t1 = s1 / c1
+                    bigT = t1 * t1
+                    bigC = _EP2 * c1 * c1
+                    w = 1.0 - _E2 * s1 * s1
+                    n1 = _A / np.sqrt(w)
+                    r1 = _A * (1.0 - _E2) / (w * np.sqrt(w))
+                    d = (x - 500_000.0) / (n1 * _K0_UTM)
+                    d2 = d * d
+                    lat_seed = phi1 - (n1 * t1 / r1) * (
+                        d2 / 2.0
+                        - (5.0 + 3.0 * bigT + 10.0 * bigC
+                           - 4.0 * bigC * bigC - 9.0 * _EP2)
+                        * d2 * d2 / 24.0
+                        + (61.0 + 90.0 * bigT + 298.0 * bigC
+                           + 45.0 * bigT * bigT - 252.0 * _EP2
+                           - 3.0 * bigC * bigC) * d2 * d2 * d2 / 720.0)
+                    lon_seed = lon0 + (
+                        d - (1.0 + 2.0 * bigT + bigC) * d2 * d / 6.0
+                        + (5.0 - 2.0 * bigC + 28.0 * bigT
+                           - 3.0 * bigC * bigC + 8.0 * _EP2
+                           + 24.0 * bigT * bigT) * d2 * d2 * d / 120.0) / c1
+                    return _newton_inverse_np(np, tm_fwd, x, y,
+                                              lon_seed, lat_seed)
+
+                return tm_fwd, tm_inv
+    raise ValueError(f"unsupported CRS {name!r} (registered: "
+                     f"4326, 3857, 5880, UTM 326xx/327xx)")
+
+
+def transform_points_np(xs, ys, src: str, dst: str):
+    """Vectorized src -> dst over coordinate arrays, through the
+    (lon, lat) pivot — the batch twin of transform_point."""
+    _, inv = _resolve_crs_np(src)
+    fwd, _ = _resolve_crs_np(dst)
+    lon, lat = inv(xs, ys)
+    return fwd(lon, lat)
