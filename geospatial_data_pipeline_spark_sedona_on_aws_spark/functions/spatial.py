@@ -2202,6 +2202,66 @@ def _split(target: str | None, blade: str | None) -> str | None:
         return "GEOMETRYCOLLECTION EMPTY"
     return GT.to_wkt(("GEOMETRYCOLLECTION", members))
 
+def _subdivide(s: str | None, max_vertices: int) -> str | None:
+    """ST_Subdivide (PostGIS): recursively halve the geometry's bbox
+    along its longer axis and clip, until every piece carries at most
+    max_vertices WKT vertices (closing duplicates counted, like
+    ST_NPoints). The classic spatial-join optimization: pieces index and
+    join far better than continent-sized polygons. Areal geometry only
+    (the scale use case); max_vertices >= 5 as in PostGIS. Returns a
+    GEOMETRYCOLLECTION of POLYGON pieces — pair with ST_Dump to explode."""
+    if s is None:
+        return None
+    if max_vertices < 5:
+        raise G.GeomError("ST_Subdivide requires max_vertices >= 5")
+    if not _is_areal(s):
+        raise G.GeomError("ST_Subdivide supports areal geometry only")
+    g = G.normalize(G.parse_wkt(s))
+
+    def npts(poly):
+        return sum(len(r) + 1 for r in poly)
+
+    pieces: list = []
+    budget = [4096]  # hard piece cap: splitting stops, never the query
+
+    def rec(poly, depth, stall):
+        n_parent = npts(poly)
+        if n_parent <= max_vertices or depth >= 24 or budget[0] <= 0 \
+                or stall >= 3:
+            # stall >= 3: three consecutive halvings without vertex loss
+            # — clipping adds cut vertices, so one flat level is normal,
+            # but a piece that refuses to shrink across both axes twice
+            # is emitted as-is (best-effort, like PostGIS near its own
+            # limits); area is always exactly preserved either way
+            pieces.append(poly)
+            return
+        xs = [p[0] for r in poly for p in r]
+        ys = [p[1] for r in poly for p in r]
+        x1, x2 = min(xs), max(xs)
+        y1, y2 = min(ys), max(ys)
+        if x2 - x1 >= y2 - y1:
+            mx = (x1 + x2) / 2.0
+            halves = ([(x1, y1), (mx, y1), (mx, y2), (x1, y2)],
+                      [(mx, y1), (x2, y1), (x2, y2), (mx, y2)])
+        else:
+            my = (y1 + y2) / 2.0
+            halves = ([(x1, y1), (x2, y1), (x2, my), (x1, my)],
+                      [(x1, my), (x2, my), (x2, y2), (x1, y2)])
+        children = [piece for window in halves
+                    for piece in G.clip_convex([poly], window)]
+        budget[0] -= 1
+        for piece in children:
+            rec(piece, depth + 1,
+                stall + 1 if npts(piece) >= n_parent else 0)
+
+    for poly in g:
+        rec(poly, 0, 0)
+    if not pieces:
+        return "GEOMETRYCOLLECTION EMPTY"
+    members = [("POLYGON", [[[(p[0], p[1]) for p in r] for r in poly]])
+               for poly in pieces]
+    return GT.to_wkt(("GEOMETRYCOLLECTION", members))
+
 # --------------------------------------------------- triangulation (r7)
 
 def _delaunay_triangles(s: str | None) -> str | None:
@@ -3561,6 +3621,12 @@ def st_concavehull(s: pd.Series, pct: pd.Series) -> pd.Series:
                       for g, v in zip(s, pct)], index=s.index)
 
 @pandas_udf(StringType())
+def st_subdivide(s: pd.Series, mv: pd.Series) -> pd.Series:
+    return pd.Series([None if g is None or pd.isna(v)
+                      else _subdivide(g, int(v))
+                      for g, v in zip(s, mv)], index=s.index)
+
+@pandas_udf(StringType())
 def st_addpoint(line: pd.Series, pt: pd.Series,
                 pos: pd.Series) -> pd.Series:
     return pd.Series([None if a is None or b is None or pd.isna(i)
@@ -3804,6 +3870,8 @@ _REGISTRY = {
     "ST_SetPoint": st_setpoint,
     "ST_Snap": st_snap,
     "ST_Split": st_split,
+    "ST_SubDivide": st_subdivide,
+    "ST_Subdivide": st_subdivide,
     "ST_MakePolygon": st_makepolygon,
     "ST_LineMerge": st_linemerge,
     "ST_RemoveRepeatedPoints": st_removerepeatedpoints,

@@ -887,6 +887,48 @@ SELECT property_id,
 FROM dims
 """
 
+def st_subdivide_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Subdivide (r7: recursive bbox-halving through the convex-clip
+    kernel — the PostGIS spatial-join optimization). Oracles: a rect (5
+    WKT vertices) under max_vertices=8 passes through whole (1 piece);
+    the 12-vertex plus-shape always splits (>= 2 pieces) and the pieces'
+    total area is EXACTLY the cross area cw·ch − 4·ca·cb (axis-aligned
+    splits of rectilinear geometry are exact in doubles)."""
+    from ..functions.spatial import register_spatial_functions
+
+    register_spatial_functions(spark)
+    lu = fixtures.land_use_areas(spark, sf_dir)
+    return (
+        lu.selectExpr("property_id", "x1", "y1", "x2", "y2",
+                      "land_geometry", *_CROSS_DIMS[0].split(", "))
+        .selectExpr("property_id", "x1", "y1", "ca", "cb", "land_geometry",
+                    *_CROSS_DIMS[1].split(", "))
+        .selectExpr("property_id", "land_geometry",
+                    f"{_cross_wkt_sql()} AS cross_wkt")
+        .selectExpr(
+            "property_id",
+            "ST_NumGeometries(ST_Subdivide(land_geometry, 8)) AS rect_n",
+            "CAST(round(ST_Area(ST_Subdivide(cross_wkt, 8)) * 100)"
+            " AS BIGINT) AS cross_area_q",
+            "ST_NumGeometries(ST_Subdivide(cross_wkt, 8)) >= 2"
+            " AS cross_split",
+        )
+    )
+
+ST_SUBDIVIDE_OPS_ORACLE = f"""
+WITH {fixtures.LAND_USE_CTE.strip()},
+dims AS (
+    SELECT property_id, {_CROSS_DIMS[0]}, x2 - x1 AS w, y2 - y1 AS h
+    FROM land_use
+)
+SELECT property_id,
+       CAST(1 AS BIGINT) AS rect_n,
+       CAST(round(((2 * ca + w) * (2 * cb + h) - 4 * ca * cb) * 100)
+            AS BIGINT) AS cross_area_q,
+       TRUE AS cross_split
+FROM dims
+"""
+
 def st_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Douglas–Peucker polyline simplification (ST_SimplifyLine over
     coordinate arrays). Each row builds a 5-point baseline-with-bump line

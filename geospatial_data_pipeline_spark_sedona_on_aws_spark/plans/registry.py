@@ -85,6 +85,7 @@ QUERIES: dict[str, QueryFn] = {
     "st_concave_hull": P.st_concave_hull,       # r7: length-ratio erosion
     "st_edit_line_ops": P.st_edit_line_ops,     # r7: snap/split/vertex ops
     "st_misc_ops": P.st_misc_ops,               # r7: constructors/bounds
+    "st_subdivide_ops": P.st_subdivide_ops,     # r7: bbox-halving split
     "st_convex_hull": P.st_convex_hull,         # monotone-chain hull
     "st_simplify": P.st_simplify,               # Douglas–Peucker
     "hilbert_curve": LAY.hilbert_curve,         # locality-optimal layout
@@ -380,7 +381,7 @@ _R6_WINDOW = [
 # right after the r6 freeze (st_geomcollection_ops, st_geodesic_ops),
 # the rewritten buffer walk, the series-seeded Newton CRS inverses, and
 # representatives of the WKT-parser fast paths (_parse_ring /
-# _split_top_level now feed every areal scalar) — plus (b) the 13
+# _split_top_level now feed every areal scalar) — plus (b) the 12
 # stalest rows: the r1/r2 relational cohort, driver-unverified for five
 # rounds (the cumulative ledger covers them, but staleness rotates in).
 # The remaining 18 of that cohort (set_ops, top_customers_per_nation,
@@ -389,10 +390,11 @@ _R6_WINDOW = [
 # q9_product_profit, rollup_sales, scalar_functions,
 # pivot_order_status, part_window_stats, nation_trade_flows,
 # late_ship_orders, incremental_rollup, grouping_sets,
-# expectations_check, distinct_agg, cube_sales) are r8's stale seats. One seat per family stays
+# expectations_check, distinct_agg, cube_sales,
+# customers_without_orders) are r8's stale seats. One seat per family stays
 # pinned regardless (test_gate_window_covers_every_family).
 _R7_WINDOW = [
-    # --- brand new / post-freeze additions (11) ---
+    # --- brand new / post-freeze additions (12) ---
     "st_buffer_line_point",      # lineal/puntal ST_Buffer surface
     "st_affine_ops",             # rotate/scale/affine/snap/expand/multi
     "st_measure_ops",            # perimeter/angle/hausdorff/frechet/...
@@ -402,6 +404,7 @@ _R7_WINDOW = [
     "st_concave_hull",           # border-erosion concave hull
     "st_edit_line_ops",          # snap / split / vertex surgery
     "st_misc_ops",               # constructors / bounds / project
+    "st_subdivide_ops",          # bbox-halving subdivision
     "st_geomcollection_ops",     # GEOMETRYCOLLECTION + Z kernel
     "st_geodesic_ops",           # sphere/spheroid measures
     # --- buffer walk rewritten (shared _round_offset_ring) (2) ---
@@ -436,8 +439,7 @@ _R7_WINDOW = [
     "multimodal_png_decode",     # multimodal
     "pyds_jsonl_commit_roundtrip",  # pydatasource
     "q12_late_priority",         # round-2's only red row: stays visible
-    # --- stalest cohort: last driver-verified r1/r2 (13) ---
-    "customers_without_orders",
+    # --- stalest cohort: last driver-verified r1/r2 (12) ---
     "filter_sort_limit",
     "nation_revenue",
     "q10_returned_items",
@@ -481,6 +483,7 @@ ORACLES: dict[str, str] = {
     "st_concave_hull": P.ST_CONCAVE_HULL_ORACLE,
     "st_edit_line_ops": P.ST_EDIT_LINE_OPS_ORACLE,
     "st_misc_ops": P.ST_MISC_OPS_ORACLE,
+    "st_subdivide_ops": P.ST_SUBDIVIDE_OPS_ORACLE,
     "recursive_supplier_tree": R.RECURSIVE_SUPPLIER_TREE_ORACLE,
     "streaming_cdc_apply": R.CDC_MERGE_ORACLE,  # drained state == batch MERGE
     "gap_fill_interpolate": EV.GAP_FILL_INTERPOLATE_ORACLE,

@@ -544,3 +544,47 @@ def test_force3d_project_bounds():
     assert S._remove_repeated_points(
         "LINESTRING (0 0, 0 0, 1 1, 1 1, 2 2)") == \
         "LINESTRING (0 0, 1 1, 2 2)"
+
+
+# ------------------------------------------------------------- subdivide
+
+def test_subdivide_basics():
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions.spatial import _subdivide
+
+    r = _subdivide("POLYGON ((0 0, 8 0, 8 6, 0 6, 0 0))", 5)
+    assert r.count("POLYGON") == 1 and S._area(r) == 48.0
+    cross = ("POLYGON ((2 0, 8 0, 8 2, 10 2, 10 6, 8 6, 8 8, 2 8, 2 6,"
+             " 0 6, 0 2, 2 2, 2 0))")
+    c = _subdivide(cross, 8)
+    assert S._area(c) == S._area(cross) == 64.0
+    assert c.count("POLYGON") >= 2
+    donut = ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0),"
+             " (3 3, 7 3, 7 7, 3 7, 3 3))")
+    assert abs(S._area(_subdivide(donut, 8)) - 84.0) < 1e-9
+    import pytest
+
+    with pytest.raises(Exception):
+        _subdivide("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))", 4)
+
+
+@given(seed=st.integers(0, 10_000), mv=st.integers(5, 12))
+@settings(max_examples=25, deadline=None)
+def test_prop_subdivide_preserves_area(seed, mv):
+    """Axis-aligned halving of any polygon preserves area exactly (the
+    split lines are convex-clip windows); every piece count is >= 1 and
+    the recursion is budget-bounded (no hang on hole remnants)."""
+    import random
+
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions.spatial import (
+        _concave_hull,
+        _subdivide,
+    )
+
+    rng = random.Random(seed)
+    mp = "MULTIPOINT (" + ", ".join(
+        f"{rng.randint(0, 40)} {rng.randint(0, 40)}"
+        for _ in range(40)) + ")"
+    g = _concave_hull(mp, 0.25)
+    sub = _subdivide(g, mv)
+    assert abs(S._area(sub) - S._area(g)) < 1e-6
+    assert sub.count("POLYGON") >= 1
