@@ -50,7 +50,7 @@ def _is_areal(s: str) -> bool:
     queries (r6 verdict item 2)."""
     i = 0
     n = len(s)
-    while i < n and s[i] == " ":
+    while i < n and s[i].isspace():
         i += 1
     t = s[i:i + 15].upper()
     if t.startswith("MULTIPOLYGON"):
@@ -62,19 +62,17 @@ def _is_areal(s: str) -> bool:
     if rest[:1] in ("Z", "M"):
         return False
     # untagged Z ('POLYGON((0 0 5, ...))'): 3 numbers in the first
-    # coordinate group routes to the typed kernel too. A 2D group 'x y'
-    # holds exactly one space between the opening parens and the first
-    # comma; counting in-place beats the replace+split probe (~6 µs ->
-    # ~1 µs per value on the transform/buffer hot path)
+    # coordinate group routes to the typed kernel too. A 2D group is two
+    # whitespace-separated tokens; split() on the tiny prefix slice (first
+    # coordinate group only, bounded by the first comma) counts tokens
+    # for any separator — single/multiple spaces, tabs, newlines alike
+    # (the r7 single-' '-count misclassified 'POLYGON((0  0, ...))' and
+    # tab/newline-formatted WKT; r7 advice item 1).
     j = s.find(",", i)
     if j == -1:
         j = n
     k = s.rfind("(", i, j) + 1
-    while k < j and s[k] == " ":
-        k += 1
-    while j > k and s[j - 1] == " ":
-        j -= 1
-    return s.count(" ", k, j) == 1
+    return len(s[k:j].split()) == 2
 
 def _geom_from_wkt(s: str | None) -> str | None:
     if s is None:
@@ -101,12 +99,21 @@ def _buffer(s: str | None, d: float) -> str | None:
         return None
     d = float(d)  # SQL numeric literals may arrive as decimal.Decimal
     if not _is_areal(s):
-        tg = GT.parse_wkt(s)
+        # planar ops take the strip_z projection (kernel/geomtypes.py
+        # convention — Sedona/JTS buffers Z geometry ignoring z), and a
+        # stripped POLYGON/MULTIPOLYGON (i.e. POLYGON Z input) routes back
+        # to the areal offset path below (r7 advice item 2)
+        kind, data = GT.strip_z(GT.parse_wkt(s))
+        if kind == "GEOMETRYCOLLECTION":
+            # JTS buffers a collection as the union of member buffers
+            parts = [_buffer(GT.to_wkt(m), d) for m in data]
+            return _union_wkt_list(parts)
+        if kind in ("POLYGON", "MULTIPOLYGON"):
+            return _buffer(G.to_wkt(data), d)
         if d == 0:
             # buffer(0) of puntal/lineal input: JTS returns POLYGON EMPTY
             # (a zero-width buffer has no interior)
             return "POLYGON EMPTY"
-        kind, data = tg
         if kind in ("POINT", "MULTIPOINT") and d > 0:
             # disc per point: 32-gon circle (8 segments per quarter turn,
             # the same quadsegs default as _buffer_round's arcs), union'd
@@ -149,6 +156,22 @@ def _buffer(s: str | None, d: float) -> str | None:
     # miter joins at reflex vertices can fold the offset ring onto itself;
     # make_valid re-nodes any such self-intersection (banded sweep)
     return G.to_wkt(G.make_valid(out))
+
+def _union_wkt_list(parts: list[str | None]) -> str:
+    """Union of areal WKT results (POLYGON EMPTY members dropped) — the
+    combiner for GEOMETRYCOLLECTION buffers, where each member buffers
+    independently and the results dissolve (the JTS convention)."""
+    geoms = []
+    for p in parts:
+        if p is None or p.endswith("EMPTY"):
+            continue
+        geoms.append(G.parse_wkt(p))
+    if not geoms:
+        return "POLYGON EMPTY"
+    if len(geoms) == 1:
+        return G.to_wkt(geoms[0])
+    return G.to_wkt(B.union_geom(geoms))
+
 
 def _offset_ring(ring: list, d: float) -> list:
     # outward edge offset + miter intersection of adjacent offset edges;
@@ -379,8 +402,14 @@ def _buffer_round(s: str | None, d: float, quadsegs: int = 8) -> str | None:
     if d <= 0:
         return _buffer(s, d)
     if not _is_areal(s):
-        tg = GT.parse_wkt(s)
-        kind, data = tg
+        # same strip_z / re-dispatch convention as _buffer (advice item 2)
+        kind, data = GT.strip_z(GT.parse_wkt(s))
+        if kind == "GEOMETRYCOLLECTION":
+            parts = [_buffer_round(GT.to_wkt(m), d, quadsegs)
+                     for m in data]
+            return _union_wkt_list(parts)
+        if kind in ("POLYGON", "MULTIPOLYGON"):
+            return _buffer_round(G.to_wkt(data), d, quadsegs)
         if kind in ("POINT", "MULTIPOINT"):
             discs = [[[_disc_ring(px, py, d, quadsegs)]]
                      for (px, py) in data]
@@ -1220,8 +1249,14 @@ def _expand(s: str | None, d: float) -> str | None:
     ys = [p[1] for p in pts]
     x1, x2 = min(xs) - d, max(xs) + d
     y1, y2 = min(ys) - d, max(ys) + d
-    if x1 >= x2 or y1 >= y2:
+    if x1 > x2 or y1 > y2:
+        # negative d collapsed the box past its center
         return "POLYGON EMPTY"
+    if x1 == x2 and y1 == y2:
+        # PostGIS returns the degenerate box, not EMPTY (advice item 4)
+        return GT.to_wkt(("POINT", [(x1, y1)]))
+    if x1 == x2 or y1 == y2:
+        return GT.to_wkt(("LINESTRING", [[(x1, y1), (x2, y2)]]))
     return G.to_wkt([[[(x1, y1), (x2, y1), (x2, y2), (x1, y2)]]])
 
 def _force_multi_wkt(base: str, ztag: str, data) -> str:
@@ -1267,11 +1302,21 @@ def _perimeter(s: str | None) -> float | None:
 
     if s is None:
         return None
-    kind, data = GT.parse_wkt(s)
+    return _perimeter_tg(GT.parse_wkt(s))
+
+
+def _perimeter_tg(tg) -> float:
+    import math
+
+    kind, data = tg
+    if GT.basekind(kind) == "GEOMETRYCOLLECTION":
+        # sum areal members' ring lengths, like GT.area_of recurses
+        # (PostGIS/JTS convention; r7 advice item 3)
+        return sum(_perimeter_tg(m) for m in data)
     if GT.basekind(kind) not in ("POLYGON", "MULTIPOLYGON"):
         return 0.0
     return sum(math.hypot(x2 - x1, y2 - y1)
-               for x1, y1, x2, y2 in GT.segments_of((kind, data)))
+               for x1, y1, x2, y2 in GT.segments_of(tg))
 
 def _angle3(p1: str | None, p2: str | None,
             p3: str | None) -> float | None:
