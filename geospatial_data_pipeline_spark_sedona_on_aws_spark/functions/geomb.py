@@ -1,0 +1,307 @@
+"""Binary-carrier ST_* functions: WKB BinaryType between chained stages.
+
+The text surface (functions/spatial.py) re-parses and re-serializes WKT at
+every stage of a chained `F.expr("ST_…(ST_…(…))")` — measured at ~63% of
+the buffer→area→npoints chain (SCALING.md, r7). These `_B`-suffixed twins
+carry kernel-ISO WKB (kernel/geomtypes.py:to_wkb byte layout) between
+stages instead, decode each Arrow batch into ONE packed coordinate array
+(kernel/packed.py), and run the measures / the CRS projection / the convex
+round buffer as whole-batch numpy math. WKT appears only at the
+user-facing edges:
+
+    ST_GeomFromWKT_B(wkt)            -> binary   (text -> carrier, once)
+    ST_AsText_B(bin)                 -> string   (carrier -> text, once)
+    ST_BufferRound_B(bin, d, q)      -> binary
+    ST_Transform_B(bin, src, dst)    -> binary
+    ST_Area_B / ST_Length_B(bin)     -> double
+    ST_NPoints_B(bin)                -> bigint
+    ST_Coords_B(bin)                 -> array<double>  (flattened x,y …,
+                                        areal rings closed — the binary
+                                        twin of the WKT-numbers split)
+
+Semantics parity is pinned two ways: every `_B` function falls back to the
+SAME scalar kernel as its text twin for rows the vectorized path doesn't
+cover (Z, GEOMETRYCOLLECTION, non-convex buffers), and
+tests/test_binary_carrier.py property-tests binary == text per family.
+
+This is the PySpark-native equivalent of Sedona's binary GeometryUDT
+interchange (the reference's five-call ST_ chain at
+spark_job/process_geodata.py:102-139 never round-trips through text
+either). Scale: row-local, per-Arrow-batch, no shuffle or driver state.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+)
+
+from ..kernel import geom as G
+from ..kernel import geomtypes as GT
+from ..kernel import packed as PK
+from . import spatial as S
+
+# ------------------------------------------------------------ text -> WKB
+
+# vectorized rect edge: a WKT batch row matching the proven-fixed-point
+# rectangle pattern (spatial._RECT_FIXED_RE) skips the Python parser —
+# its WKB is assembled directly from the four extracted integers as one
+# structured-array write for the whole batch
+_RECT_WKB_DT = np.dtype([
+    ("hdr", "u1", (9,)),       # 01 + code 3 + nrings 1 (LE)
+    ("npts", "<u4"),
+    ("xy", "<f8", (10,)),      # closed CCW rect walk
+])
+_RECT_HDR = np.frombuffer(
+    b"\x01" + struct.pack("<I", 3) + struct.pack("<I", 1), dtype="u1")
+
+
+def _rect_wkb_batch(a, b, c, d) -> list:
+    """WKB bytes for n axis-aligned rects (x1=a, y1=b, x2=c, y2=d),
+    byte-identical to GT.to_wkb(("POLYGON", [[(a,b),(c,b),(c,d),(a,d)]]))."""
+    n = len(a)
+    arr = np.empty(n, dtype=_RECT_WKB_DT)
+    arr["hdr"] = _RECT_HDR
+    arr["npts"] = 5
+    xy = arr["xy"]
+    xy[:, 0] = a
+    xy[:, 1] = b
+    xy[:, 2] = c
+    xy[:, 3] = b
+    xy[:, 4] = c
+    xy[:, 5] = d
+    xy[:, 6] = a
+    xy[:, 7] = d
+    xy[:, 8] = a
+    xy[:, 9] = b
+    big = arr.tobytes()
+    w = _RECT_WKB_DT.itemsize
+    return [big[i * w:(i + 1) * w] for i in range(n)]
+
+
+def _geom_from_wkt_b_scalar(s):
+    """Text edge for one non-rect row: same hygiene as the text
+    st_geomfromwkt (parse + normalize areal, typed parse otherwise),
+    emitting WKB instead of canonical WKT."""
+    if s is None:
+        return None
+    if S._is_areal(s):
+        g = G.normalize(G.parse_wkt(s))
+        return GT.to_wkb(("POLYGON" if len(g) <= 1 else "MULTIPOLYGON", g))
+    return GT.to_wkb(GT.parse_wkt(s))
+
+
+# General CCW rect WKT (float coordinates allowed, optional closing
+# vertex) — unlike the text surface's integer fixed-point regex this only
+# needs parse-equivalence, not text-fixed-point: the numbers are extracted
+# with the same strtod float() would use, the CCW check ((c-a)(d-b) > 0)
+# makes normalize() provably the identity, and the WKB is assembled
+# vectorized. Covers both the land_use integer rects AND JVM-concat float
+# rects (the transform fixtures).
+_NUM = r"(-?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?)"
+_RECT_ANY_RE = (rf"^POLYGON \(\({_NUM} {_NUM}, {_NUM} \2, \3 {_NUM}, "
+                rf"\1 \4(?:, \1 \2)?\)\)$")
+
+
+@pandas_udf(BinaryType())
+def st_geomfromwkt_b(s: pd.Series) -> pd.Series:
+    out = pd.Series([None] * len(s), index=s.index, dtype=object)
+    ext = s.str.extract(_RECT_ANY_RE)
+    mask = ext.notna().all(axis=1)
+    if mask.any():
+        a = pd.to_numeric(ext[0], errors="coerce").to_numpy(np.float64)
+        b = pd.to_numeric(ext[1], errors="coerce").to_numpy(np.float64)
+        c = pd.to_numeric(ext[2], errors="coerce").to_numpy(np.float64)
+        d = pd.to_numeric(ext[3], errors="coerce").to_numpy(np.float64)
+        ccw = (c > a) & (d > b)
+        ccw &= np.isfinite(a) & np.isfinite(b) & np.isfinite(c) \
+            & np.isfinite(d)
+        mask &= pd.Series(ccw, index=s.index)
+        if mask.any():
+            mn = mask.to_numpy()
+            out[mask] = _rect_wkb_batch(a[mn], b[mn], c[mn], d[mn])
+    slow = ~mask
+    if slow.any():
+        out[slow] = s[slow].map(_geom_from_wkt_b_scalar)
+    return out
+
+
+@pandas_udf(StringType())
+def st_astext_b(b: pd.Series) -> pd.Series:
+    p = PK.pack_wkb(_tolist(b))
+    return pd.Series(PK.unpack_wkt(p), index=b.index, dtype=object)
+
+
+def _tolist(b: pd.Series) -> list:
+    return [bytes(v) if v is not None else None for v in b.tolist()]
+
+
+# ------------------------------------------------------------ measures
+
+@pandas_udf(DoubleType())
+def st_area_b(b: pd.Series) -> pd.Series:
+    p = PK.pack_wkb(_tolist(b))
+    ar = PK.area_np(p)
+    out = pd.Series(ar, index=b.index)
+    for i, raw in p.fallback.items():
+        # Z / GC rows: same convention as the text _area (strip_z; GC
+        # sums areal members)
+        out.iloc[i] = GT.area_of(GT.strip_z(GT.parse_wkb(raw)))
+    out[np.asarray(p.kind) == 0] = None
+    return out
+
+
+@pandas_udf(LongType())
+def st_npoints_b(b: pd.Series) -> pd.Series:
+    p = PK.pack_wkb(_tolist(b))
+    npts = PK.npoints_np(p)
+    out = pd.Series(npts, index=b.index, dtype="Int64")
+    for i, raw in p.fallback.items():
+        out.iloc[i] = GT.npoints(GT.parse_wkb(raw))
+    out[np.asarray(p.kind) == 0] = None
+    return out
+
+
+@pandas_udf(DoubleType())
+def st_length_b(b: pd.Series) -> pd.Series:
+    p = PK.pack_wkb(_tolist(b))
+    ln = PK.length_np(p)
+    out = pd.Series(ln, index=b.index)
+    for i, raw in p.fallback.items():
+        out.iloc[i] = GT.length(GT.parse_wkb(raw))
+    out[np.asarray(p.kind) == 0] = None
+    return out
+
+
+@pandas_udf(ArrayType(DoubleType()))
+def st_coords_b(b: pd.Series) -> pd.Series:
+    """Flattened [x1, y1, x2, y2, …] per geometry, areal rings CLOSED —
+    element-for-element the numbers a WKT-text split would yield
+    (operators/dissolve.wkt_nums_sql), so try_element_at positions match."""
+    p = PK.pack_wkb(_tolist(b))
+    out: list = [None] * p.n
+    ro, go = p.ring_off, p.geom_off
+    areal = (3, 6)
+    for i in range(p.n):
+        k = int(p.kind[i])
+        if k == 0:
+            continue
+        if k == -1:
+            tg = GT.parse_wkb(p.fallback[i])
+            out[i] = [float(v) for pt in GT.points_of(tg) for v in pt[:2]]
+            continue
+        parts = []
+        for r in range(go[i], go[i + 1]):
+            ring = p.coords[ro[r]:ro[r + 1]]
+            parts.append(ring)
+            if k in areal and len(ring):
+                parts.append(ring[:1])
+        out[i] = (np.concatenate(parts).ravel().tolist() if parts else [])
+    return pd.Series(out, index=b.index, dtype=object)
+
+
+# ------------------------------------------------------------ transforms
+
+@pandas_udf(BinaryType())
+def st_transform_b(b: pd.Series, src: pd.Series, dst: pd.Series) -> pd.Series:
+    if len(b) == 0:
+        return pd.Series([], dtype=object)
+    if src.nunique(dropna=False) == 1 and dst.nunique(dropna=False) == 1 \
+            and src.iloc[0] is not None and dst.iloc[0] is not None:
+        p = PK.pack_wkb(_tolist(b))
+        try:
+            q = PK.transform_np(p, str(src.iloc[0]), str(dst.iloc[0]))
+        except ValueError as exc:
+            raise G.GeomError(f"ST_Transform: {exc}") from exc
+        return pd.Series(PK.unpack_wkb(q), index=b.index, dtype=object)
+    # mixed CRS pairs in one batch: per-row scalar
+    out = []
+    for raw, a, c in zip(_tolist(b), src, dst):
+        if raw is None:
+            out.append(None)
+        else:
+            tg = GT.parse_wkb(raw)
+            out.append(GT.to_wkb(PK._transform_tgeom(tg, str(a), str(c))))
+    return pd.Series(out, index=b.index, dtype=object)
+
+
+# ------------------------------------------------------------ buffer
+
+def _buffer_round_b_scalar(raw: bytes, d: float, q: int) -> bytes:
+    """Fallback for rows the vectorized convex walk doesn't cover: same
+    scalar kernel as the text ST_BufferRound, WKB at both ends."""
+    wkt = GT.to_wkt(GT.parse_wkb(raw))
+    res = S._buffer_round(wkt, d, q)
+    return GT.to_wkb(GT.parse_wkt(res))
+
+
+@pandas_udf(BinaryType())
+def st_bufferround_b(b: pd.Series, d: pd.Series, q: pd.Series) -> pd.Series:
+    vals = _tolist(b)
+    dd = pd.to_numeric(d, errors="coerce").to_numpy(dtype=np.float64,
+                                                    na_value=np.nan)
+    quad = 8
+    qn = pd.to_numeric(q, errors="coerce").dropna()
+    if len(qn):
+        quad = int(qn.iloc[0])
+    p = PK.pack_wkb(vals)
+    fast, coords, off = PK.buffer_round_np(p, np.nan_to_num(dd), quad)
+    out: list = [None] * p.n
+    rl = np.diff(off)
+    if len(rl) and (rl == rl[0]).all() and rl[0] >= 3:
+        # uniform output rings (e.g. every parcel buffers to a 36-gon):
+        # one structured-array write for the whole batch
+        L = int(rl[0])
+        m = len(rl)
+        dt = np.dtype([("hdr", "u1", (13,)),
+                       ("xy", "<f8", ((L + 1) * 2,))])
+        arr = np.empty(m, dtype=dt)
+        arr["hdr"] = np.frombuffer(
+            bytes(_RECT_HDR)[:9] + struct.pack("<I", L + 1),
+            dtype=np.uint8)
+        xy = arr["xy"].reshape(m, L + 1, 2)
+        rings = coords.reshape(m, L, 2)
+        xy[:, :L] = rings
+        xy[:, L] = rings[:, 0]
+        big = arr.tobytes()
+        w = dt.itemsize
+        fi = 0
+        for i in np.flatnonzero(fast):
+            out[i] = big[fi * w:(fi + 1) * w]
+            fi += 1
+    else:
+        hdr = bytes(_RECT_HDR)  # 01 + POLYGON + nrings=1
+        fi = 0
+        for i in np.flatnonzero(fast):
+            ring = coords[off[fi]:off[fi + 1]]
+            out[i] = (hdr + struct.pack("<I", len(ring) + 1)
+                      + ring.tobytes() + ring[0].tobytes())
+            fi += 1
+    for i in np.flatnonzero(~fast):
+        if vals[i] is None or dd[i] != dd[i]:
+            continue
+        out[i] = _buffer_round_b_scalar(vals[i], float(dd[i]), quad)
+    return pd.Series(out, index=b.index, dtype=object)
+
+
+# ------------------------------------------------------------ registration
+
+REGISTRY_B = {
+    "ST_GeomFromWKT_B": st_geomfromwkt_b,
+    "ST_AsText_B": st_astext_b,
+    "ST_Area_B": st_area_b,
+    "ST_NPoints_B": st_npoints_b,
+    "ST_Length_B": st_length_b,
+    "ST_Coords_B": st_coords_b,
+    "ST_Transform_B": st_transform_b,
+    "ST_BufferRound_B": st_bufferround_b,
+}

@@ -3937,6 +3937,18 @@ _REGISTRY = {
 def register_spatial_functions(spark: SparkSession) -> None:
     """Name-parity registration so F.expr("ST_Area(g)") etc. resolve —
     the engine's stand-in for SedonaSqlExtensions
-    (reference airflow_dag/dag_geo_pipeline.py:20)."""
+    (reference airflow_dag/dag_geo_pipeline.py:20). Also registers the
+    `_B`-suffixed binary-carrier twins (functions/geomb.py), which chain
+    through WKB BinaryType instead of WKT text."""
+    if getattr(spark, "_spark_graft_st_registered", False):
+        # ~200 names × one py4j round trip each ≈ 0.5–1 s of driver time;
+        # every registry query calls this, so make repeat calls free
+        # (a fresh SparkSession is a fresh object — it re-registers)
+        return
     for name, fn in _REGISTRY.items():
         spark.udf.register(name, fn)
+    from . import geomb
+
+    for name, fn in geomb.REGISTRY_B.items():
+        spark.udf.register(name, fn)
+    spark._spark_graft_st_registered = True

@@ -1,0 +1,783 @@
+"""Packed numpy batch representation for the binary (WKB) geometry
+interchange between chained ST_* stages.
+
+The text carrier re-parses and re-serializes WKT at EVERY stage of a
+chained expression — the r7 profile measured parse+format at ~63% of the
+buffer→area→npoints chain. This module is the structural fix (r7 verdict
+item 1): a whole Arrow batch of WKB values decodes into ONE coordinate
+array plus offset tables, every vectorizable operator (area, npoints,
+length, CRS transform, convex round buffer) runs as numpy array math over
+the entire batch, and the result re-encodes to WKB with `ndarray.tobytes`
+— no per-coordinate text ever. WKT appears only at the user-facing edges
+(ST_GeomFromWKT_B in, ST_AsText_B out).
+
+The WKB layout is the kernel's own ISO little-endian form
+(kernel/geomtypes.py:to_wkb), so the binary carrier interoperates with the
+already-registered ST_GeomFromWKB / ST_AsBinary text-surface functions.
+Sedona passes binary GeometryUDT between operators the same way
+(reference spark_job/process_geodata.py:102-139 chains five ST_ calls with
+zero text round trips); this is the PySpark-native equivalent.
+
+Scale note: everything here is per-Arrow-batch and row-local — no driver
+state, no shuffle implications. At 100 TB the carrier simply rides the
+existing columnar exchange; the win is pure CPU per executor core.
+
+Representation (one PackedBatch per Arrow batch):
+    kind      int8 (n,)   WKB type code 1..6; 0 = SQL NULL;
+                          -1 = fallback row (Z / GEOMETRYCOLLECTION /
+                          big-endian — original bytes kept verbatim)
+    geom_off  int64 (n+1,) ring-index range per geometry
+    ring_off  int64 (R+1,) coord-index range per ring (rings stored OPEN:
+                          no closing duplicate, like kernel/geom.py)
+    outer     bool (R,)   areal: outer ring (False = hole); True otherwise
+    coords    (N, 2) float64
+    fallback  dict[int, bytes]
+
+MULTIPOINT packs as ONE ring holding all member points; MULTILINESTRING /
+MULTIPOLYGON flatten their members' rings in order (outer flags recover
+the polygon grouping: a new polygon starts at each outer ring).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from . import geom as G
+from . import geomtypes as GT
+from . import transform as T
+
+GeomError = G.GeomError
+
+# WKB type codes (kernel/geomtypes.py:_WKB_CODE)
+POINT, LINESTRING, POLYGON = 1, 2, 3
+MULTIPOINT, MULTILINESTRING, MULTIPOLYGON = 4, 5, 6
+_AREAL = (POLYGON, MULTIPOLYGON)
+_LINEAL = (LINESTRING, MULTILINESTRING)
+_PUNTAL = (POINT, MULTIPOINT)
+
+
+class PackedBatch:
+    __slots__ = ("n", "kind", "geom_off", "ring_off", "outer", "coords",
+                 "fallback")
+
+    def __init__(self, n, kind, geom_off, ring_off, outer, coords,
+                 fallback):
+        self.n = n
+        self.kind = kind
+        self.geom_off = geom_off
+        self.ring_off = ring_off
+        self.outer = outer
+        self.coords = coords
+        self.fallback = fallback
+
+    def ring_len(self) -> np.ndarray:
+        return self.ring_off[1:] - self.ring_off[:-1]
+
+    def rings_per_geom(self) -> np.ndarray:
+        return self.geom_off[1:] - self.geom_off[:-1]
+
+    def geom_coord_off(self) -> np.ndarray:
+        """(n+1,) coord-index range per geometry."""
+        return self.ring_off[self.geom_off]
+
+
+# ------------------------------------------------------------------ pack
+
+def pack_wkb(vals) -> PackedBatch:
+    """Decode an iterable of WKB bytes / None into a PackedBatch. 2D
+    little-endian simple types decode via np.frombuffer (zero text);
+    anything else (Z, GEOMETRYCOLLECTION, big-endian) becomes a fallback
+    row whose original bytes ride along untouched.
+
+    Uniform batches — every non-null value a single-ring POLYGON of the
+    SAME vertex count (buffered parcels, rect fixtures) — decode in one
+    reshape over the concatenated bytes instead of a per-row loop."""
+    if not isinstance(vals, list):
+        vals = list(vals)
+    fast = _pack_uniform_poly1(vals)
+    if fast is not None:
+        return fast
+    kinds = []
+    ring_lens: list[int] = []
+    outer: list[bool] = []
+    rings_per: list[int] = []
+    chunks: list[np.ndarray] = []
+    fallback: dict[int, bytes] = {}
+    u32 = struct.Struct("<I").unpack_from
+
+    for i, b in enumerate(vals):
+        if b is None:
+            kinds.append(0)
+            rings_per.append(0)
+            continue
+        b = bytes(b)
+        if len(b) < 5 or b[0] != 1:
+            kinds.append(-1)
+            rings_per.append(0)
+            fallback[i] = b
+            continue
+        (code,) = u32(b, 1)
+        if code < 1 or code > 6:
+            kinds.append(-1)
+            rings_per.append(0)
+            fallback[i] = b
+            continue
+        try:
+            nr = _pack_one(b, code, u32, ring_lens, outer, chunks)
+        except (struct.error, ValueError, GeomError):
+            kinds.append(-1)
+            rings_per.append(0)
+            fallback[i] = b
+            continue
+        kinds.append(code)
+        rings_per.append(nr)
+
+    n = len(kinds)
+    kind = np.asarray(kinds, dtype=np.int8)
+    geom_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(rings_per, out=geom_off[1:])
+    ring_off = np.zeros(len(ring_lens) + 1, dtype=np.int64)
+    np.cumsum(ring_lens, out=ring_off[1:])
+    coords = (np.concatenate(chunks) if chunks
+              else np.empty((0, 2), dtype=np.float64))
+    return PackedBatch(n, kind, geom_off, ring_off,
+                       np.asarray(outer, dtype=bool), coords, fallback)
+
+
+def _pack_uniform_poly1(vals: list):
+    """Whole-batch decode when every non-null value is a same-length
+    single-ring 2D LE POLYGON (header-checked): one bytes-join, one
+    reshape, one vectorized closing-dup drop. Returns None when the batch
+    isn't uniform (the generic per-row loop handles it)."""
+    n = len(vals)
+    first = None
+    for v in vals:
+        if v is not None:
+            first = v
+            break
+    if first is None:
+        return PackedBatch(n, np.zeros(n, dtype=np.int8),
+                           np.zeros(n + 1, dtype=np.int64),
+                           np.zeros(1, dtype=np.int64),
+                           np.zeros(0, dtype=bool),
+                           np.empty((0, 2), dtype=np.float64), {})
+    L = len(first)
+    if L < 13 + 16 * 3 or (L - 13) % 16 != 0:
+        return None
+    hdr = bytes(first[:13])
+    if hdr[:9] != b"\x01\x03\x00\x00\x00\x01\x00\x00\x00":
+        return None
+    (npts,) = struct.unpack_from("<I", hdr, 9)
+    if 13 + 16 * npts != L or npts < 4:
+        return None
+    rows = []
+    present = np.zeros(n, dtype=bool)
+    for i, v in enumerate(vals):
+        if v is None:
+            continue
+        if len(v) != L:
+            return None
+        rows.append(v)
+        present[i] = True
+    big = b"".join(bytes(v) for v in rows)
+    m = len(rows)
+    raw = np.frombuffer(big, dtype=np.uint8).reshape(m, L)
+    htmpl = np.frombuffer(hdr, dtype=np.uint8)
+    if not (raw[:, :13] == htmpl).all():
+        return None
+    xy = np.ascontiguousarray(raw[:, 13:]).view("<f8").reshape(m, npts, 2)
+    closed = (xy[:, 0, 0] == xy[:, -1, 0]) & (xy[:, 0, 1] == xy[:, -1, 1])
+    if not closed.all():
+        return None  # mixed open/closed — rare; generic path
+    coords = np.ascontiguousarray(xy[:, :-1].reshape(m * (npts - 1), 2),
+                                  dtype=np.float64)
+    kind = np.where(present, POLYGON, 0).astype(np.int8)
+    geom_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(present, out=geom_off[1:])
+    ring_off = np.arange(m + 1, dtype=np.int64) * (npts - 1)
+    return PackedBatch(n, kind, geom_off, ring_off,
+                       np.ones(m, dtype=bool), coords, {})
+
+
+def _rd_ring(b: bytes, off: int, u32, closed: bool):
+    (npts,) = u32(b, off)
+    off += 4
+    end = off + 16 * npts
+    if end > len(b):
+        raise GeomError("truncated WKB coordinates")
+    arr = np.frombuffer(b, dtype="<f8", count=2 * npts,
+                        offset=off).reshape(npts, 2)
+    if closed and npts > 1 and arr[0, 0] == arr[-1, 0] \
+            and arr[0, 1] == arr[-1, 1]:
+        arr = arr[:-1]
+    return arr, end
+
+
+def _pack_one(b: bytes, code: int, u32, ring_lens, outer, chunks) -> int:
+    """Decode one LE 2D WKB value; append its rings; return ring count."""
+    if code == POINT:
+        x, y = struct.unpack_from("<2d", b, 5)
+        if x != x and y != y:           # NaN NaN = EMPTY
+            return 0
+        chunks.append(np.array([[x, y]], dtype=np.float64))
+        ring_lens.append(1)
+        outer.append(True)
+        return 1
+    if code == LINESTRING:
+        arr, _ = _rd_ring(b, 5, u32, closed=False)
+        if len(arr) == 0:
+            return 0
+        chunks.append(arr)
+        ring_lens.append(len(arr))
+        outer.append(True)
+        return 1
+    if code == POLYGON:
+        (nrr,) = u32(b, 5)
+        off, nr = 9, 0
+        for _ in range(nrr):
+            arr, off = _rd_ring(b, off, u32, closed=True)
+            if len(arr) == 0:
+                continue
+            chunks.append(arr)
+            ring_lens.append(len(arr))
+            outer.append(nr == 0)
+            nr += 1
+        return nr
+    # multi containers: members are full WKB values (header per member)
+    (nm,) = u32(b, 5)
+    off, nr = 9, 0
+    if code == MULTIPOINT:
+        pts = []
+        for _ in range(nm):
+            if b[off] != 1 or u32(b, off + 1)[0] != POINT:
+                raise GeomError("mixed MULTIPOINT member")
+            x, y = struct.unpack_from("<2d", b, off + 5)
+            off += 21
+            if not (x != x and y != y):
+                pts.append((x, y))
+        if not pts:
+            return 0
+        chunks.append(np.asarray(pts, dtype=np.float64))
+        ring_lens.append(len(pts))
+        outer.append(True)
+        return 1
+    if code == MULTILINESTRING:
+        for _ in range(nm):
+            if b[off] != 1 or u32(b, off + 1)[0] != LINESTRING:
+                raise GeomError("mixed MULTILINESTRING member")
+            arr, off = _rd_ring(b, off + 5, u32, closed=False)
+            if len(arr) == 0:
+                continue
+            chunks.append(arr)
+            ring_lens.append(len(arr))
+            outer.append(True)
+            nr += 1
+        return nr
+    # MULTIPOLYGON
+    for _ in range(nm):
+        if b[off] != 1 or u32(b, off + 1)[0] != POLYGON:
+            raise GeomError("mixed MULTIPOLYGON member")
+        (nrr,) = u32(b, off + 5)
+        off += 9
+        first = True
+        for _ in range(nrr):
+            arr, off = _rd_ring(b, off, u32, closed=True)
+            if len(arr) == 0:
+                continue
+            chunks.append(arr)
+            ring_lens.append(len(arr))
+            outer.append(first)
+            first = False
+            nr += 1
+    return nr
+
+
+def pack_geoms(tgeoms) -> PackedBatch:
+    """Pack parsed tgeoms (kernel/geomtypes tuples, or None) — the
+    ST_GeomFromWKT_B edge, where the text has just been parsed anyway.
+    2D simple types pack directly; Z / GC become fallback rows carrying
+    their own to_wkb bytes."""
+    kinds = []
+    ring_lens: list[int] = []
+    outer: list[bool] = []
+    rings_per: list[int] = []
+    chunks: list[np.ndarray] = []
+    fallback: dict[int, bytes] = {}
+
+    for i, tg in enumerate(tgeoms):
+        if tg is None:
+            kinds.append(0)
+            rings_per.append(0)
+            continue
+        kind, data = tg
+        code = GT._WKB_CODE.get(kind)
+        if code is None or code == 7:
+            kinds.append(-1)
+            rings_per.append(0)
+            fallback[i] = GT.to_wkb(tg)
+            continue
+        nr = 0
+        if code in _PUNTAL:
+            if data:
+                chunks.append(np.asarray(data, dtype=np.float64))
+                ring_lens.append(len(data))
+                outer.append(True)
+                nr = 1
+        elif code in _LINEAL:
+            for path in data:
+                if not path:
+                    continue
+                chunks.append(np.asarray(path, dtype=np.float64))
+                ring_lens.append(len(path))
+                outer.append(True)
+                nr += 1
+        else:
+            for poly in data:
+                first = True
+                for ring in poly:
+                    if not ring:
+                        continue
+                    chunks.append(np.asarray(ring, dtype=np.float64))
+                    ring_lens.append(len(ring))
+                    outer.append(first)
+                    first = False
+                    nr += 1
+        kinds.append(code)
+        rings_per.append(nr)
+
+    n = len(kinds)
+    geom_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(rings_per, out=geom_off[1:])
+    ring_off = np.zeros(len(ring_lens) + 1, dtype=np.int64)
+    np.cumsum(ring_lens, out=ring_off[1:])
+    coords = (np.concatenate(chunks) if chunks
+              else np.empty((0, 2), dtype=np.float64))
+    return PackedBatch(n, np.asarray(kinds, dtype=np.int8), geom_off,
+                       ring_off, np.asarray(outer, dtype=bool), coords,
+                       fallback)
+
+
+# ---------------------------------------------------------------- unpack
+
+_HDR = {c: b"\x01" + struct.pack("<I", c) for c in range(1, 8)}
+
+
+def _ring_bytes(arr: np.ndarray, closed: bool) -> bytes:
+    npts = len(arr) + (1 if closed and len(arr) else 0)
+    body = arr.tobytes()
+    if closed and len(arr):
+        body += arr[0].tobytes()
+    return struct.pack("<I", npts) + body
+
+
+def _unpack_uniform_poly1(p: PackedBatch):
+    """Vectorized WKB encode when every non-null row is a single-ring
+    POLYGON of the same vertex count. Returns None when not uniform."""
+    if p.fallback or not p.n:
+        return None
+    present = p.kind == POLYGON
+    if not present.any() or not ((p.kind == 0) | present).all():
+        return None
+    rpg = p.rings_per_geom()
+    if not (rpg[present] == 1).all() or (rpg[~present] != 0).any():
+        return None
+    rl = p.ring_len()
+    L = int(rl[0]) if len(rl) else 0
+    if L < 3 or not (rl == L).all():
+        return None
+    m = int(present.sum())
+    dt = np.dtype([("hdr", "u1", (13,)), ("xy", "<f8", ((L + 1) * 2,))])
+    arr = np.empty(m, dtype=dt)
+    arr["hdr"] = np.frombuffer(
+        b"\x01\x03\x00\x00\x00\x01\x00\x00\x00"
+        + struct.pack("<I", L + 1), dtype=np.uint8)
+    xy = arr["xy"].reshape(m, L + 1, 2)
+    rings = p.coords.reshape(m, L, 2)
+    xy[:, :L] = rings
+    xy[:, L] = rings[:, 0]
+    big = arr.tobytes()
+    w = dt.itemsize
+    out: list = [None] * p.n
+    j = 0
+    for i in np.flatnonzero(present):
+        out[i] = big[j * w:(j + 1) * w]
+        j += 1
+    return out
+
+
+def unpack_wkb(p: PackedBatch) -> list:
+    """PackedBatch -> list of WKB bytes / None, byte-identical to
+    kernel/geomtypes.to_wkb of the same geometry."""
+    fast = _unpack_uniform_poly1(p)
+    if fast is not None:
+        return fast
+    out: list = [None] * p.n
+    ro, go = p.ring_off, p.geom_off
+    c = p.coords
+    pk = struct.pack
+    for i in range(p.n):
+        k = int(p.kind[i])
+        if k == 0:
+            continue
+        if k == -1:
+            out[i] = p.fallback[i]
+            continue
+        r0, r1 = go[i], go[i + 1]
+        if k == POINT:
+            if r0 == r1:
+                out[i] = _HDR[POINT] + pk("<2d", float("nan"), float("nan"))
+            else:
+                out[i] = _HDR[POINT] + c[ro[r0]].tobytes()
+        elif k == LINESTRING:
+            arr = c[ro[r0]:ro[r1]] if r1 > r0 else c[:0]
+            out[i] = _HDR[LINESTRING] + _ring_bytes(arr, closed=False)
+        elif k == POLYGON:
+            parts = [_HDR[POLYGON], pk("<I", r1 - r0)]
+            for r in range(r0, r1):
+                parts.append(_ring_bytes(c[ro[r]:ro[r + 1]], closed=True))
+            out[i] = b"".join(parts)
+        elif k == MULTIPOINT:
+            npts = int(ro[r1] - ro[r0]) if r1 > r0 else 0
+            parts = [_HDR[MULTIPOINT], pk("<I", npts)]
+            base = ro[r0] if r1 > r0 else 0
+            for j in range(npts):
+                parts.append(_HDR[POINT])
+                parts.append(c[base + j].tobytes())
+            out[i] = b"".join(parts)
+        elif k == MULTILINESTRING:
+            parts = [_HDR[MULTILINESTRING], pk("<I", r1 - r0)]
+            for r in range(r0, r1):
+                parts.append(_HDR[LINESTRING])
+                parts.append(_ring_bytes(c[ro[r]:ro[r + 1]], closed=False))
+            out[i] = b"".join(parts)
+        else:  # MULTIPOLYGON
+            # group rings into polygons at each outer flag
+            polys: list = []
+            for r in range(r0, r1):
+                if p.outer[r] or not polys:
+                    polys.append([r])
+                else:
+                    polys[-1].append(r)
+            parts = [_HDR[MULTIPOLYGON], pk("<I", len(polys))]
+            for rings in polys:
+                parts.append(_HDR[POLYGON])
+                parts.append(pk("<I", len(rings)))
+                for r in rings:
+                    parts.append(_ring_bytes(c[ro[r]:ro[r + 1]],
+                                             closed=True))
+            out[i] = b"".join(parts)
+    return out
+
+
+def row_tgeom(p: PackedBatch, i: int):
+    """One row as a kernel/geomtypes tgeom (fallback rows re-parse their
+    bytes). None for SQL NULL."""
+    k = int(p.kind[i])
+    if k == 0:
+        return None
+    if k == -1:
+        return GT.parse_wkb(p.fallback[i])
+    ro, go = p.ring_off, p.geom_off
+    r0, r1 = go[i], go[i + 1]
+    rings = [[tuple(pt) for pt in p.coords[ro[r]:ro[r + 1]].tolist()]
+             for r in range(r0, r1)]
+    if k == POINT:
+        return ("POINT", rings[0] if rings else [])
+    if k == MULTIPOINT:
+        return ("MULTIPOINT", rings[0] if rings else [])
+    if k == LINESTRING:
+        return ("LINESTRING", rings)
+    if k == MULTILINESTRING:
+        return ("MULTILINESTRING", rings)
+    polys: list = []
+    for r in range(r0, r1):
+        if p.outer[r] or not polys:
+            polys.append([rings[r - r0]])
+        else:
+            polys[-1].append(rings[r - r0])
+    return ("POLYGON" if k == POLYGON else "MULTIPOLYGON", polys)
+
+
+def unpack_wkt(p: PackedBatch) -> list:
+    """PackedBatch -> canonical WKT strings (the user-facing text edge;
+    identical text to GT.to_wkt of the same geometry)."""
+    out: list = [None] * p.n
+    for i in range(p.n):
+        if p.kind[i] != 0:
+            out[i] = GT.to_wkt(row_tgeom(p, i))
+    return out
+
+
+# ----------------------------------------------------- vectorized measures
+
+def _per_ring_reduce(p: PackedBatch, per_coord: np.ndarray) -> np.ndarray:
+    """Sequential (left-to-right, Python-order-identical) per-ring sums."""
+    nring = len(p.ring_off) - 1
+    if nring == 0:
+        return np.zeros(0, dtype=np.float64)
+    sums = np.zeros(nring, dtype=np.float64)
+    nonempty = p.ring_off[:-1] < p.ring_off[1:]
+    if per_coord.size:
+        red = np.add.reduceat(per_coord, p.ring_off[:-1][nonempty])
+        sums[nonempty] = red
+    return sums
+
+
+def _per_geom_reduce(p: PackedBatch, per_ring: np.ndarray) -> np.ndarray:
+    out = np.zeros(p.n, dtype=np.float64)
+    nonempty = p.geom_off[:-1] < p.geom_off[1:]
+    if per_ring.size and nonempty.any():
+        out[nonempty] = np.add.reduceat(per_ring,
+                                        p.geom_off[:-1][nonempty])
+    return out
+
+
+def _next_in_ring(p: PackedBatch) -> np.ndarray:
+    """Index of the cyclically-next coordinate within each ring."""
+    nxt = np.arange(1, len(p.coords) + 1, dtype=np.int64)
+    last = p.ring_off[1:] - 1
+    first = p.ring_off[:-1]
+    ok = last >= first
+    nxt[last[ok]] = first[ok]
+    return nxt
+
+
+def area_np(p: PackedBatch) -> np.ndarray:
+    """Per-geometry planar area (holes subtracted), bit-identical to
+    kernel/geom.area: per-ring shoelace anchored at the ring's first
+    vertex, summed left-to-right."""
+    x, y = p.coords[:, 0], p.coords[:, 1]
+    if len(p.coords):
+        nxt = _next_in_ring(p)
+        ring_first = np.repeat(p.ring_off[:-1], p.ring_len())
+        x0, y0 = x[ring_first], y[ring_first]
+        term = (x - x0) * (y[nxt] - y0) - (x[nxt] - x0) * (y - y0)
+    else:
+        term = np.zeros(0, dtype=np.float64)
+    ring_area = _per_ring_reduce(p, term) / 2.0
+    contrib = np.abs(ring_area)
+    np.negative(contrib, where=~p.outer, out=contrib)
+    out = _per_geom_reduce(p, contrib)
+    # only areal kinds have area; fallback rows handled by caller
+    out[~np.isin(p.kind, _AREAL)] = 0.0
+    return out
+
+
+def ring_signed_area_np(p: PackedBatch) -> np.ndarray:
+    """Per-ring anchored signed shoelace (for orientation tests)."""
+    x, y = p.coords[:, 0], p.coords[:, 1]
+    if len(p.coords):
+        nxt = _next_in_ring(p)
+        ring_first = np.repeat(p.ring_off[:-1], p.ring_len())
+        x0, y0 = x[ring_first], y[ring_first]
+        term = (x - x0) * (y[nxt] - y0) - (x[nxt] - x0) * (y - y0)
+    else:
+        term = np.zeros(0, dtype=np.float64)
+    return _per_ring_reduce(p, term) / 2.0
+
+
+def npoints_np(p: PackedBatch) -> np.ndarray:
+    """Per-geometry vertex count, matching GT.npoints: areal rings count
+    the closing duplicate (+1 per ring); puntal/lineal count as stored."""
+    rl = p.ring_len().astype(np.float64)
+    per_geom = _per_geom_reduce(p, rl).astype(np.int64)
+    nrings = p.rings_per_geom()
+    areal = np.isin(p.kind, _AREAL)
+    per_geom[areal] += nrings[areal]
+    per_geom[p.kind <= 0] = 0
+    return per_geom
+
+
+def length_np(p: PackedBatch) -> np.ndarray:
+    """Per-geometry GT.length: path length (lineal), ring perimeter incl.
+    closing edge (areal), 0 (puntal)."""
+    x, y = p.coords[:, 0], p.coords[:, 1]
+    if len(p.coords):
+        nxt = _next_in_ring(p)
+        seg = np.hypot(x[nxt] - x, y[nxt] - y)
+        # lineal rings are OPEN paths: zero out the wrap edge
+        last = p.ring_off[1:] - 1
+        ring_geom = np.repeat(np.arange(p.n), p.rings_per_geom())
+        lineal_ring = np.isin(p.kind[ring_geom], _LINEAL)
+        ok = (p.ring_off[:-1] <= last) & lineal_ring
+        seg_mask = np.ones(len(seg), dtype=bool)
+        seg_mask[last[ok]] = False
+        seg = seg * seg_mask
+    else:
+        seg = np.zeros(0, dtype=np.float64)
+    per_ring = _per_ring_reduce(p, seg)
+    out = _per_geom_reduce(p, per_ring)
+    out[np.isin(p.kind, _PUNTAL)] = 0.0
+    out[p.kind <= 0] = 0.0
+    return out
+
+
+def transform_np(p: PackedBatch, src: str, dst: str) -> PackedBatch:
+    """CRS-transform every coordinate of the batch in one vectorized call
+    (kernel/transform.transform_points_np — identical formulas and Newton
+    seeds as the scalar path). Fallback rows go through the scalar
+    transform on their parsed tgeom."""
+    if len(p.coords):
+        bx, by = T.transform_points_np(p.coords[:, 0].copy(),
+                                       p.coords[:, 1].copy(), src, dst)
+        coords = np.column_stack([bx, by])
+    else:
+        coords = p.coords
+    fb = {}
+    for i, b in p.fallback.items():
+        tg = GT.parse_wkb(b)
+        fb[i] = GT.to_wkb(_transform_tgeom(tg, src, dst))
+    return PackedBatch(p.n, p.kind, p.geom_off, p.ring_off, p.outer,
+                       coords, fb)
+
+
+def _transform_tgeom(tg, src: str, dst: str):
+    kind, data = tg
+    if kind == "GEOMETRYCOLLECTION":
+        return (kind, [_transform_tgeom(m, src, dst) for m in data])
+    return GT.map_coords(tg, lambda x, y: T.transform_point(x, y, src, dst))
+
+
+# ------------------------------------------------- vectorized round buffer
+
+def buffer_round_np(p: PackedBatch, d, quadsegs: int = 8):
+    """The functions/spatial._round_offset_ring walk as ragged array math,
+    for the single-ring convex CCW polygon case (where the scalar path
+    provably skips make_valid — every join of a convex CCW ring is an
+    outward arc or a collinear pass-through, never a folding miter).
+    Same formulas, same branch thresholds, same point order; arc interior
+    points are center + d·(cos θ, sin θ) and the two arc endpoints use the
+    exact edge normals, mirroring the scalar walk.
+
+    Returns (fast: bool (n,), coords: (M, 2), off: (F+1,) int64) where
+    `off` delimits the output ring of each fast row (in row order).
+    Ineligible rows (multi-ring, non-convex, CW, zero-length edges,
+    d <= 0, non-POLYGON kinds, nulls, fallbacks) are simply not fast —
+    the caller routes them through the scalar kernel."""
+    n = p.n
+    d = np.asarray(d, dtype=np.float64)
+    rl = p.ring_len()
+    rpg = p.rings_per_geom()
+    ring_of = p.geom_off[:-1]        # first-ring index per geometry
+    cand = (p.kind == POLYGON) & (rpg == 1) & (d > 0)
+    if cand.any():
+        cand[cand] &= rl[ring_of[cand]] >= 3
+    empty = (np.zeros(0, dtype=np.float64).reshape(0, 2),
+             np.zeros(1, dtype=np.int64))
+    if not cand.any():
+        return cand, *empty
+
+    # --- compact candidate workspace -----------------------------------
+    rows = np.flatnonzero(cand)          # geometry row ids
+    rings = ring_of[rows]                # their ring ids
+    L = rl[rings]                        # vertices per ring
+    starts = p.ring_off[rings]
+    C = len(rows)
+    tot = int(L.sum())
+    rid = np.repeat(np.arange(C), L)     # candidate id per vertex
+    base = np.repeat(starts - np.concatenate(
+        ([0], np.cumsum(L)[:-1])), L)
+    vidx = np.arange(tot) + base         # coord index per vertex
+    voff = np.zeros(C + 1, dtype=np.int64)
+    np.cumsum(L, out=voff[1:])
+    # cyclic next vertex within each ring
+    vnxt = vidx + 1
+    vnxt[voff[1:] - 1] = vidx[voff[:-1]]
+
+    pts = p.coords
+    ex = pts[vnxt, 0] - pts[vidx, 0]
+    ey = pts[vnxt, 1] - pts[vidx, 1]
+    ln = np.hypot(ex, ey)
+
+    ok = np.ones(C, dtype=bool)
+    # all edges nonzero (zero edges would be skipped by the scalar walk)
+    zero_edge = ln == 0
+    if zero_edge.any():
+        ok &= np.add.reduceat(zero_edge, voff[:-1]) == 0
+    ln_safe = np.where(ln == 0, 1.0, ln)
+    nx = ey / ln_safe
+    ny = -ex / ln_safe
+
+    # CCW + convex: every consecutive-edge cross >= 0. Edge arrays are
+    # vertex-position-aligned; "next edge" = cyclic roll within the ring.
+    nxt_pos = np.arange(1, tot + 1)
+    nxt_pos[voff[1:] - 1] = voff[:-1]
+    cross = ex * ey[nxt_pos] - ey * ex[nxt_pos]
+    neg = cross < 0
+    if neg.any():
+        ok &= np.add.reduceat(neg, voff[:-1]) == 0
+    sa = ring_signed_area_np(p)[rings]
+    ok &= sa > 0
+
+    # join sweep between edge i and edge i+1 (the scalar's wrap logic)
+    ang = np.arctan2(ny, nx)
+    sweep = ang[nxt_pos] - ang
+    two_pi = 2 * np.pi
+    sweep = np.where(sweep <= -np.pi, sweep + two_pi, sweep)
+    sweep = np.where(sweep > np.pi, sweep - two_pi, sweep)
+    sweep = np.where(sweep <= -np.pi + 1e-9, sweep + two_pi, sweep)
+    miter = sweep < -1e-12
+    if miter.any():
+        ok &= np.add.reduceat(miter, voff[:-1]) == 0
+
+    if not ok.all():
+        # refine: drop disqualified candidates and re-select
+        keep_v = ok[rid]
+        cand2 = cand.copy()
+        cand2[rows[~ok]] = False
+        if not cand2.any():
+            return cand2, *empty
+        rows = rows[ok]
+        C = len(rows)
+        L = L[ok]
+        rid = np.repeat(np.arange(C), L)
+        voff = np.zeros(C + 1, dtype=np.int64)
+        np.cumsum(L, out=voff[1:])
+        vidx, vnxt = vidx[keep_v], vnxt[keep_v]
+        nx, ny, ang = nx[keep_v], ny[keep_v], ang[keep_v]
+        sweep = sweep[keep_v]
+        nxt_pos = np.arange(1, int(L.sum()) + 1)
+        nxt_pos[voff[1:] - 1] = voff[:-1]
+        cand = cand2
+
+    dd = d[rows][rid]                     # radius per vertex/join
+    is_arc = sweep > 1e-12
+    q = float(quadsegs)
+    k = np.ones(len(sweep), dtype=np.int64)
+    if is_arc.any():
+        k_arc = np.ceil(sweep[is_arc] / (np.pi / 2) * q - 1e-9)
+        k[is_arc] = np.maximum(1, k_arc).astype(np.int64)
+    cnt = np.where(is_arc, k + 1, 1)      # points emitted per join
+
+    total = int(cnt.sum())
+    join_of = np.repeat(np.arange(len(cnt)), cnt)
+    coff = np.zeros(len(cnt) + 1, dtype=np.int64)
+    np.cumsum(cnt, out=coff[1:])
+    j = np.arange(total) - coff[:-1][join_of]
+
+    cx = pts[vnxt, 0][join_of]            # arc center = shared vertex
+    cy = pts[vnxt, 1][join_of]
+    dj = dd[join_of]
+    kk = k[join_of].astype(np.float64)
+    theta = ang[join_of] + sweep[join_of] * j / kk
+    ox = cx + dj * np.cos(theta)
+    oy = cy + dj * np.sin(theta)
+    # exact endpoints from the edge normals (the scalar walk's e_end and
+    # n_start), overriding the trig form at j == 0 and j == k
+    first = j == 0
+    ox[first] = cx[first] + dj[first] * nx[join_of[first]]
+    oy[first] = cy[first] + dj[first] * ny[join_of[first]]
+    lastm = (j == k[join_of]) & is_arc[join_of]
+    nn = nxt_pos[join_of[lastm]]
+    ox[lastm] = cx[lastm] + dj[lastm] * nx[nn]
+    oy[lastm] = cy[lastm] + dj[lastm] * ny[nn]
+
+    out = np.column_stack([ox, oy])
+    # ring length per fast row = points of all its joins
+    per_row = np.zeros(C, dtype=np.int64)
+    np.add.reduceat(cnt, voff[:-1], out=per_row[:len(per_row)])
+    off = np.zeros(C + 1, dtype=np.int64)
+    np.cumsum(per_row, out=off[1:])
+    return cand, out, off

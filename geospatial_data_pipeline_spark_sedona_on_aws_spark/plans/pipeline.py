@@ -213,24 +213,33 @@ def st_buffer_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     which the oracle recomputes; areas quantized to 0.01 (the measured
     cross-engine shoelace-vs-closed-form gap is ~1e-9). The vertex count
     (4 edges ×2 endpoints + 4 arcs ×(q-1) interior points = 36) pins the
-    join geometry, not just the measure."""
+    join geometry, not just the measure.
+
+    r8: the chain runs on the BINARY carrier (functions/geomb.py) — WKB
+    BinaryType between the registered `_B` stages, parsed once at the
+    text edge and never re-serialized to text; the buffer itself is the
+    whole-batch vectorized convex walk (kernel/packed.buffer_round_np).
+    Semantics are pinned equal to the text-surface twin by
+    tests/test_binary_carrier.py (same scalar kernel on fallback rows,
+    coordinate-level equality on the fast path)."""
     from ..functions.spatial import register_spatial_functions
 
     register_spatial_functions(spark)
     lu = fixtures.land_use_areas(spark, sf_dir)
     # buffer once, measure twice: ExtractPythonUDFs CSEs the identical
     # nested call (same exprId feeds both measures — plan-asserted in
-    # tests), and staging the buffered WKT in its own select makes the
+    # tests), and staging the buffered WKB in its own select makes the
     # sharing explicit in the query text
     return lu.select(
         "property_id",
         F.expr("CAST((1 + property_id % 5) / 4.0 AS DOUBLE)").alias("d"),
-        F.expr("ST_BufferRound(ST_GeomFromWKT(land_geometry),"
+        F.expr("ST_BufferRound_B(ST_GeomFromWKT_B(land_geometry),"
                " (1 + property_id % 5) / 4.0, 8)").alias("__buf"),
     ).select(
         "property_id", "d",
-        F.expr("CAST(round(ST_Area(__buf) * 100) AS BIGINT)").alias("area_q"),
-        F.expr("ST_NPoints(__buf)").alias("n_vertices"),
+        F.expr("CAST(round(ST_Area_B(__buf) * 100) AS BIGINT)")
+        .alias("area_q"),
+        F.expr("ST_NPoints_B(__buf)").alias("n_vertices"),
     )
 
 ST_BUFFER_ROUND_ORACLE = f"""
@@ -1678,12 +1687,17 @@ def st_transform_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     polygon's area (quantized to 1e-3 m²) must equal w·h exactly — the
     Newton inverse lands within ~5e-9 m per vertex (kernel round-trip
     property test), six orders below the quantum. Vertex count is also
-    pinned (transform preserves ring structure)."""
+    pinned (transform preserves ring structure).
+
+    r8: the double transform chains on the BINARY carrier — one text
+    parse at the edge, both projections as whole-batch numpy over the
+    packed coordinate array, measures straight off the WKB (never back
+    through text; functions/geomb.py)."""
     from ..functions.spatial import register_spatial_functions
 
     register_spatial_functions(spark)
     lu = fixtures.land_use_areas(spark, sf_dir)
-    rt = ("ST_Transform(ST_Transform(ST_GeomFromWKT(land_geometry),"
+    rt = ("ST_Transform_B(ST_Transform_B(ST_GeomFromWKT_B(land_geometry),"
           " 'EPSG:3857', 'EPSG:5880'), 'EPSG:5880', 'EPSG:3857')")
     # the double transform feeds both measures through one shared UDF
     # evaluation (ExtractPythonUDFs CSE; see st_buffer_round)
@@ -1691,8 +1705,9 @@ def st_transform_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "property_id", F.expr(rt).alias("__rt"),
     ).select(
         "property_id",
-        F.expr("CAST(round(ST_Area(__rt) * 1000) AS BIGINT)").alias("area_q"),
-        F.expr("ST_NPoints(__rt)").alias("n_vertices"),
+        F.expr("CAST(round(ST_Area_B(__rt) * 1000) AS BIGINT)")
+        .alias("area_q"),
+        F.expr("ST_NPoints_B(__rt)").alias("n_vertices"),
     )
 
 ST_TRANSFORM_ROUNDTRIP_ORACLE = f"""
@@ -1747,19 +1762,22 @@ def st_transform_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "property_id", "lon1", "lat1",
         "lon1 + 0.01 AS lon2", "lat1 + 0.01 AS lat2",
     )
+    # r8: binary carrier — the degree-rect WKT parses once at the edge,
+    # both projections and the coordinate extraction run off packed WKB
+    # (ST_Coords_B emits the same closed-ring number order the WKT-text
+    # split produced, so the try_element_at positions are unchanged)
     wkt = ("concat_ws('', 'POLYGON ((', lon1, ' ', lat1, ', ', lon2, ' ',"
            " lat1, ', ', lon2, ' ', lat2, ', ', lon1, ' ', lat2, '))')")
     out = deg.selectExpr(
         "property_id", "lon1", "lat1",
-        f"ST_Transform({wkt}, 'EPSG:4326', 'EPSG:32722') AS __utm",
+        f"ST_Transform_B(ST_GeomFromWKT_B({wkt}),"
+        " 'EPSG:4326', 'EPSG:32722') AS __utm",
     ).selectExpr(
         "property_id", "lon1", "lat1", "__utm",
-        "ST_Transform(__utm, 'EPSG:32722', 'EPSG:4326') AS __rt",
+        "ST_Transform_B(__utm, 'EPSG:32722', 'EPSG:4326') AS __rt",
     )
-    from ..operators.dissolve import wkt_nums_sql
-
-    arr_u = wkt_nums_sql("__utm")
-    arr_r = wkt_nums_sql("__rt")
+    arr_u = "ST_Coords_B(__utm)"
+    arr_r = "ST_Coords_B(__rt)"
     return out.selectExpr(
         "property_id",
         f"CAST(round(try_element_at({arr_u}, 1) * 1000) AS BIGINT) AS e1_mm",
