@@ -1,0 +1,261 @@
+"""Binary (WKB) carrier == text (WKT) carrier, property-tested per family
+(r7 verdict item 8: the perf change must not silently shift semantics).
+
+Three layers:
+  1. kernel/packed.py codec: pack/unpack round trips are byte-identical
+     to geomtypes.to_wkb, and the vectorized measures equal the typed
+     kernel scalar-for-scalar, over hypothesis-generated geometry.
+  2. the vectorized convex round buffer equals the scalar walk
+     coordinate-for-coordinate (1e-9, trig-libm ulp slack) with the same
+     ring structure and vertex counts.
+  3. the registered `_B` UDF surface equals the text surface through a
+     live SparkSession on a mixed batch (rects, L-shapes, lines, points,
+     multis, holes, Z, GC, NULLs).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions import geomb as GB
+from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions import spatial as S
+from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel import geom as G
+from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel import geomtypes as GT
+from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel import packed as PK
+
+
+def _random_wkts(rng: random.Random, n: int) -> list:
+    out: list = []
+    for pid in range(n):
+        x1, y1 = rng.randint(-500, 500), rng.randint(-500, 500)
+        w, h = rng.randint(1, 40), rng.randint(1, 40)
+        t = pid % 10
+        if t == 0:
+            out.append(f"POLYGON (({x1} {y1}, {x1+w} {y1}, {x1+w} {y1+h},"
+                       f" {x1} {y1+h}))")
+        elif t == 1:
+            out.append(f"POINT ({x1} {y1})")
+        elif t == 2:
+            out.append(f"LINESTRING ({x1} {y1}, {x1+w} {y1+h},"
+                       f" {x1} {y1+h+3})")
+        elif t == 3:
+            out.append(f"MULTIPOINT ({x1} {y1}, {x1+w} {y1+h})")
+        elif t == 4:
+            out.append(f"MULTILINESTRING (({x1} {y1}, {x1+w} {y1}),"
+                       f" ({x1} {y1+h}, {x1+w} {y1+h}))")
+        elif t == 5:
+            out.append(
+                f"MULTIPOLYGON ((({x1} {y1}, {x1+w} {y1}, {x1+w} {y1+h},"
+                f" {x1} {y1+h})), (({x1+100} {y1}, {x1+110} {y1},"
+                f" {x1+110} {y1+10}, {x1+100} {y1+10})))")
+        elif t == 6:
+            out.append(
+                f"POLYGON (({x1} {y1}, {x1+40} {y1}, {x1+40} {y1+40},"
+                f" {x1} {y1+40}), ({x1+10} {y1+10}, {x1+10} {y1+20},"
+                f" {x1+20} {y1+20}, {x1+20} {y1+10}))")
+        elif t == 7:  # L-shape: non-convex, exercises the buffer fallback
+            out.append(
+                f"POLYGON (({x1} {y1}, {x1+w+10} {y1}, {x1+w+10} {y1+5},"
+                f" {x1+5} {y1+5}, {x1+5} {y1+h+10}, {x1} {y1+h+10}))")
+        elif t == 8:
+            out.append(None)
+        else:
+            k = 5 + pid % 4  # regular convex k-gon
+            pts = ", ".join(
+                f"{x1 + 10*math.cos(2*math.pi*i/k):.6f}"
+                f" {y1 + 10*math.sin(2*math.pi*i/k):.6f}"
+                for i in range(k))
+            out.append(f"POLYGON (({pts}))")
+    out += ["POLYGON EMPTY", "POINT EMPTY", "LINESTRING EMPTY",
+            "MULTIPOLYGON EMPTY", "POINT Z (1 2 3)",
+            "POLYGON Z ((0 0 1, 4 0 1, 4 4 1, 0 4 1))",
+            "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1))"]
+    return out
+
+
+@given(seed=st.integers(0, 10_000))
+@settings(max_examples=20, deadline=None)
+def test_prop_packed_codec_round_trips(seed):
+    rng = random.Random(seed)
+    wkts = _random_wkts(rng, 60)
+    tg = [GT.parse_wkt(w) if w is not None else None for w in wkts]
+    wkb = [GT.to_wkb(t) if t is not None else None for t in tg]
+    p = PK.pack_wkb(wkb)
+    assert PK.unpack_wkb(p) == wkb
+    for i, w in enumerate(PK.unpack_wkt(p)):
+        exp = GT.to_wkt(tg[i]) if tg[i] is not None else None
+        assert w == exp
+    # pack_geoms is the same batch by construction
+    assert PK.unpack_wkb(PK.pack_geoms(tg)) == wkb
+
+
+@given(seed=st.integers(0, 10_000))
+@settings(max_examples=20, deadline=None)
+def test_prop_packed_measures_equal_typed_kernel(seed):
+    rng = random.Random(seed)
+    wkts = _random_wkts(rng, 60)
+    tg = [GT.parse_wkt(w) if w is not None else None for w in wkts]
+    wkb = [GT.to_wkb(t) if t is not None else None for t in tg]
+    p = PK.pack_wkb(wkb)
+    ar, npt, ln = PK.area_np(p), PK.npoints_np(p), PK.length_np(p)
+    for i, t in enumerate(tg):
+        if t is None or p.kind[i] == -1:
+            continue  # null / fallback rows are the scalar path already
+        assert ar[i] == GT.area_of(t), wkts[i]
+        assert npt[i] == GT.npoints(t), wkts[i]
+        # np.hypot (C99 libm) vs math.hypot (CPython's compensated
+        # algorithm) differ in the last ulp — lengths compare at 1e-12 rel
+        exp_len = GT.length(t)
+        assert abs(ln[i] - exp_len) <= 1e-12 * max(1.0, abs(exp_len)), \
+            wkts[i]
+
+
+@given(seed=st.integers(0, 10_000))
+@settings(max_examples=15, deadline=None)
+def test_prop_vectorized_buffer_equals_scalar_walk(seed):
+    rng = random.Random(seed)
+    wkts = [w for w in _random_wkts(rng, 80) if w is not None]
+    ds = [(1 + i % 5) / 4.0 for i in range(len(wkts))]
+    tg = [GT.parse_wkt(w) for w in wkts]
+    wkb = [GT.to_wkb(t) for t in tg]
+    p = PK.pack_wkb(wkb)
+    fast, coords, off = PK.buffer_round_np(p, np.asarray(ds), 8)
+    fi = 0
+    n_fast = 0
+    for i in np.flatnonzero(fast):
+        exp = G.parse_wkt(S._buffer_round(wkts[i], ds[i], 8))
+        assert len(exp) == 1 and len(exp[0]) == 1
+        er = np.asarray(exp[0][0])
+        got = coords[off[fi]:off[fi + 1]]
+        assert er.shape == got.shape, wkts[i]
+        assert np.abs(er - got).max() < 1e-9, wkts[i]
+        fi += 1
+        n_fast += 1
+    # the generator always yields convex candidates — the fast path must
+    # actually engage (guards against a silently-always-fallback build)
+    assert n_fast > 0
+
+
+@given(seed=st.integers(0, 10_000))
+@settings(max_examples=10, deadline=None)
+def test_prop_packed_transform_equals_scalar(seed):
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel import transform as T
+
+    rng = random.Random(seed)
+    # metre-scale rects in the 3857 domain
+    wkts = []
+    for _ in range(30):
+        x1 = rng.uniform(-2e6, 2e6)
+        y1 = rng.uniform(-2e6, 2e6)
+        wkts.append(f"POLYGON (({x1} {y1}, {x1+50} {y1}, {x1+50} {y1+30},"
+                    f" {x1} {y1+30}))")
+    tg = [GT.parse_wkt(w) for w in wkts]
+    p = PK.pack_wkb([GT.to_wkb(t) for t in tg])
+    q = PK.transform_np(p, "EPSG:3857", "EPSG:5880")
+    for i, t in enumerate(tg):
+        exp = GT.map_coords(
+            t, lambda x, y: T.transform_point(x, y, "EPSG:3857",
+                                              "EPSG:5880"))
+        got = PK.row_tgeom(q, i)
+        ea = np.asarray(GT.points_of(exp))
+        ga = np.asarray(GT.points_of(got))
+        assert np.abs(ea - ga).max() < 1e-6
+
+
+def test_geomfromwkt_b_rect_fast_path_matches_scalar():
+    fn = GB.st_geomfromwkt_b.func
+    import pandas as pd
+
+    rows = [
+        "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",      # closed integer rect
+        "POLYGON ((0 0, 4 0, 4 4, 0 4))",           # open integer rect
+        "POLYGON ((-52.35 -11.16, -52.34 -11.16, -52.34 -11.15,"
+        " -52.35 -11.15))",                          # float rect (concat)
+        "POLYGON ((4 0, 0 0, 0 4, 4 4))",           # CW -> slow path
+        "POINT (3 7)",
+        "LINESTRING (0 0, 5 5)",
+        None,
+        "POLYGON ((0 0, 10 0, 10 2, 2 2, 2 10, 0 10))",  # L-shape
+        "POLYGON Z ((0 0 1, 4 0 1, 4 4 1, 0 4 1))",
+    ]
+    got = fn(pd.Series(rows)).tolist()
+    exp = [GB._geom_from_wkt_b_scalar(s) for s in rows]
+    for g, e, s in zip(got, exp, rows):
+        assert g == e, s
+
+
+@pytest.mark.usefixtures("spark")
+def test_binary_surface_equals_text_surface(spark):
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions.spatial import (
+        register_spatial_functions,
+    )
+
+    register_spatial_functions(spark)
+    rng = random.Random(404)
+    wkts = _random_wkts(rng, 40)
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(wkts)], "id int, g string")
+    df.createOrReplaceTempView("bin_vs_text")
+    rows = spark.sql("""
+      SELECT id,
+             ST_AsText_B(ST_GeomFromWKT_B(g)) AS rt_b,
+             ST_AsText(ST_GeomFromWKT(g)) AS rt_t,
+             ST_Area_B(ST_GeomFromWKT_B(g)) AS area_b,
+             ST_Area(ST_GeomFromWKT(g)) AS area_t,
+             ST_NPoints_B(ST_GeomFromWKT_B(g)) AS np_b,
+             ST_NPoints(ST_GeomFromWKT(g)) AS np_t,
+             ST_Length_B(ST_GeomFromWKT_B(g)) AS len_b,
+             ST_Length(ST_GeomFromWKT(g)) AS len_t,
+             ST_Area_B(ST_BufferRound_B(ST_GeomFromWKT_B(g),
+                 1 + id % 3, 8)) AS buf_b,
+             ST_Area(ST_BufferRound(ST_GeomFromWKT(g),
+                 1 + id % 3, 8)) AS buf_t
+      FROM bin_vs_text ORDER BY id
+    """).collect()
+    for r in rows:
+        assert r["rt_b"] == r["rt_t"], r
+        for pair in (("area_b", "area_t"), ("len_b", "len_t")):
+            a, b = r[pair[0]], r[pair[1]]
+            assert (a is None) == (b is None), r
+            if a is not None and a == a and b == b:
+                assert abs(a - b) < 1e-9, r
+        assert r["np_b"] == r["np_t"], r
+        a, b = r["buf_b"], r["buf_t"]
+        assert (a is None) == (b is None), r
+        if a is not None:
+            assert abs(a - b) < 1e-6 * max(1.0, abs(b)), r
+
+
+@pytest.mark.usefixtures("spark")
+def test_binary_transform_chain_equals_text(spark):
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions.spatial import (
+        register_spatial_functions,
+    )
+
+    register_spatial_functions(spark)
+    rng = random.Random(17)
+    rows = []
+    for i in range(40):
+        x1 = rng.uniform(-2e6, 2e6)
+        y1 = rng.uniform(-2e6, 2e6)
+        rows.append((i, f"POLYGON (({x1} {y1}, {x1+50} {y1},"
+                        f" {x1+50} {y1+30}, {x1} {y1+30}))"))
+    df = spark.createDataFrame(rows, "id int, g string")
+    df.createOrReplaceTempView("bin_tf")
+    out = spark.sql("""
+      SELECT id,
+             ST_AsText_B(ST_Transform_B(ST_GeomFromWKT_B(g),
+                 'EPSG:3857', 'EPSG:5880')) AS t_b,
+             ST_Transform(g, 'EPSG:3857', 'EPSG:5880') AS t_t
+      FROM bin_tf ORDER BY id
+    """).collect()
+    for r in out:
+        ga = np.asarray(GT.points_of(GT.parse_wkt(r["t_b"])))
+        gb = np.asarray(GT.points_of(GT.parse_wkt(r["t_t"])))
+        assert np.abs(ga - gb).max() < 1e-6, r["id"]
