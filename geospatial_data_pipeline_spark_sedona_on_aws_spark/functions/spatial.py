@@ -3772,35 +3772,101 @@ def st_envelope_aggr(s: pd.Series) -> str:
         return "POLYGON EMPTY"
     return G.to_wkt([[[(x1, y1), (x2, y1), (x2, y2), (x1, y2)]]])
 
+# r8 (verdict item 3): the geometry-valued UDAFs fold INCREMENTALLY in
+# bounded blocks — a hot-key group streams through the accumulator
+# without ever materializing the whole group's parsed geometry list on
+# one task. _AGGR_HELD_HIGH_WATER records the largest unmerged list any
+# fold held (the skew test pins it <= _AGGR_BLOCK + 1). Spark still
+# delivers the full group's *rows* to one task (that is the grouped-agg
+# UDF contract); the full two-phase escape for genuinely hot keys is
+# salted_union_aggr below — union is associative, so per-(key, salt)
+# partials merge exactly.
+_AGGR_BLOCK = 64
+_AGGR_HELD_HIGH_WATER = 0
+
+
+def _note_held(n: int) -> None:
+    global _AGGR_HELD_HIGH_WATER
+    if n > _AGGR_HELD_HIGH_WATER:
+        _AGGR_HELD_HIGH_WATER = n
+
+
+def _fold_union_block(acc, block):
+    geoms = ([acc] if acc else []) + block
+    _note_held(len(geoms))
+    return B.union_geom(geoms) if len(geoms) > 1 else geoms[0]
+
+
 @pandas_udf(StringType())
 def st_union_aggr(s: pd.Series) -> str:
     """ST_Union_Aggr: per-group geometric union of areal WKT through the
     trapezoid-band sweep (order-independent: the banding is a function of
-    the geometry SET). Name-parity convenience for moderate groups — it
-    materializes the group on one worker, so at 100 TB the scale path is
-    operators/dissolve.py's numeric partial aggregation (one shuffle of
-    per-group partials, never geometry rows); this UDAF is the
-    geometry-VALUED form Sedona exposes in SQL."""
-    geoms = [G.normalize(G.parse_wkt(w)) for w in s if w is not None]
-    geoms = [g for g in geoms if g]
-    if not geoms:
-        return "POLYGON EMPTY"
-    return G.to_wkt(B.union_geom(geoms) if len(geoms) > 1 else geoms[0])
+    the geometry SET). Folds in blocks of _AGGR_BLOCK so the task never
+    holds more than the running union plus one block of parsed geometry;
+    for keys hot enough that even the ROW delivery to one task is the
+    bottleneck, use salted_union_aggr (two-phase, associative) or the
+    100 TB dissolve path (operators/dissolve.py — numeric partials, never
+    geometry rows through the shuffle)."""
+    acc = None
+    block: list = []
+    for w in s:
+        if w is None:
+            continue
+        g = G.normalize(G.parse_wkt(w))
+        if not g:
+            continue
+        block.append(g)
+        if len(block) >= _AGGR_BLOCK:
+            acc = _fold_union_block(acc, block)
+            block = []
+    if block:
+        acc = _fold_union_block(acc, block)
+    return G.to_wkt(acc) if acc else "POLYGON EMPTY"
 
 @pandas_udf(StringType())
 def st_intersection_aggr(s: pd.Series) -> str:
     """ST_Intersection_Aggr: per-group intersection of areal WKT, folded
     pairwise through the banded sweep (the point SET is order-independent;
-    vertex layout is canonicalized by normalize)."""
-    geoms = [G.normalize(G.parse_wkt(w)) for w in s if w is not None]
-    if not geoms or any(not g for g in geoms):
+    vertex layout is canonicalized by normalize). Streaming fold: one
+    parsed geometry held at a time beyond the accumulator (every member
+    still parses, so malformed WKT after an empty accumulator is an error
+    on every fold shape)."""
+    acc = None
+    empty = False
+    for w in s:
+        if w is None:
+            continue
+        g = G.normalize(G.parse_wkt(w))
+        _note_held(2)
+        if not g:
+            empty = True
+        elif acc is None:
+            acc = g
+        elif not empty:
+            acc = B.intersection_geom(acc, g)
+            if not acc:
+                empty = True
+    if acc is None or empty or not acc:
         return "POLYGON EMPTY"
-    acc = geoms[0]
-    for g in geoms[1:]:
-        if not acc:
-            break
-        acc = B.intersection_geom(acc, g)
-    return G.to_wkt(G.normalize(acc)) if acc else "POLYGON EMPTY"
+    return G.to_wkt(G.normalize(acc))
+
+
+def salted_union_aggr(df, keys, geom_col: str, out_col: str = "union_geom",
+                      buckets: int = 16):
+    """Two-phase salted ST_Union_Aggr plan: geometric union is associative
+    and commutative, so the union of per-(key, salt) partial unions IS the
+    group union — no single task ever aggregates more than ~1/buckets of a
+    hot key's rows (the same decomposition operators/dissolve.py proves
+    for the numeric dissolve). Phase 1 shuffles on (keys…, salt), phase 2
+    on keys… with at most `buckets` partial geometries per group."""
+    from pyspark.sql import functions as F
+
+    salt = (F.pmod(F.xxhash64(geom_col), F.lit(buckets))).alias("__salt")
+    partial = (df.select(*keys, geom_col, salt)
+               .groupBy(*keys, "__salt")
+               .agg(st_union_aggr(F.col(geom_col)).alias("__partial")))
+    return (partial.groupBy(*keys)
+            .agg(st_union_aggr(F.col("__partial")).alias(out_col)))
 
 _REGISTRY = {
     "ST_GeomFromWKT": st_geomfromwkt,
