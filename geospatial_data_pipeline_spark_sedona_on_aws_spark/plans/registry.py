@@ -275,6 +275,7 @@ QUERIES: dict[str, QueryFn] = {
     "bloom_pruned_orders": SK.bloom_pruned_orders,
     # --- multimodal / Python DataSource ---
     "multimodal_png_decode": MM.multimodal_png_decode,
+    "multimodal_jpeg_decode": MM.multimodal_jpeg_decode,  # r8: stdlib baseline JPEG
     "multimodal_features": MM.multimodal_features,
     "pyds_sensor_hourly": PDS.sensor_hourly,
     "pyds_jsonl_commit_roundtrip": PDS.crop_jsonl_commit_roundtrip,
@@ -649,6 +650,7 @@ ORACLES: dict[str, str] = {
     "stream_static_enrich": EV.STREAM_STATIC_ENRICH_ORACLE,
     "multimodal_features": MM.MULTIMODAL_FEATURES_ORACLE,
     "multimodal_png_decode": MM.MULTIMODAL_PNG_DECODE_ORACLE,
+    "multimodal_jpeg_decode": MM.MULTIMODAL_JPEG_DECODE_ORACLE,
     "multimodal_wav_decode": MM.MULTIMODAL_WAV_DECODE_ORACLE,
     "multimodal_y4m_decode": MM.MULTIMODAL_Y4M_DECODE_ORACLE,
     "crop_analytics_full": P.CROP_ANALYTICS_FULL_ORACLE,

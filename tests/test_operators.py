@@ -634,23 +634,29 @@ def test_multimodal_jpeg_decode_with_pil():
     assert np.abs(px - img.astype(np.int32)).mean() < 8
 
 
-def test_multimodal_jpeg_decode_without_pil_raises_cleanly():
-    """Without PIL the JPEG path must raise the documented
-    NotImplementedError (not ValueError/AttributeError) so callers can
-    fall back to fake_decode. Forced by masking PIL regardless of the
-    environment."""
+def test_multimodal_jpeg_decode_without_pil_uses_stdlib_codec():
+    """r8 (r7 verdict item 5): without PIL the JPEG path decodes through
+    the pure-stdlib baseline codec (multimodal/jpegcodec.py) instead of
+    raising — baseline JPEG is now sandbox-verifiable. Forced by masking
+    PIL regardless of the environment."""
     import sys
     from unittest import mock
 
-    import pytest as _pytest
+    import numpy as np
 
     from geospatial_data_pipeline_spark_sedona_on_aws_spark.multimodal.binary import (
         decode_media,
     )
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.multimodal.jpegcodec import (
+        jpeg_encode_gray,
+    )
 
+    blocks = np.array([[10, 200], [77, 145]], dtype=np.uint8)
+    img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
     with mock.patch.dict(sys.modules, {"PIL": None, "PIL.Image": None}):
-        with _pytest.raises(NotImplementedError, match="requires PIL"):
-            decode_media(b"\xff\xd8\xff\xe0fakejpeg", "image/jpeg")
+        d = decode_media(jpeg_encode_gray(img), "image/jpeg")
+    assert (d["width"], d["height"], d["channels"]) == (16, 16, 1)
+    assert (np.asarray(d["pixels"]) == img).all()
 
 
 def test_dissolve_combine_sparse_vs_saturated_adaptivity(spark):
