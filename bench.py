@@ -82,6 +82,9 @@ HEADLINE = [
     "st_point_line_ops",       # typed-WKT kernel through the ST_* registry
     "st_predicates",           # DE-9IM family over 120k rect pairs
     "st_geohash_agg",          # vectorized geohash bucketing + count
+    # round 8 additions
+    "st_transform_roundtrip",  # double CRS projection on the WKB carrier
+    "multimodal_jpeg_decode",  # stdlib baseline JPEG encode->decode loop
 ]
 
 # scale-curve sweep (--sweep): the most expensive headline queries measured
@@ -105,6 +108,17 @@ SWEEP_QUERIES = [
     # round 6: the predicate family's decade slope (per-row Python UDFs
     # over rect pairs — linear by construction, measured to prove it)
     "st_predicates",
+    # round 8 (r7 verdict item 4): the Python-kernel-heavy honest
+    # heavyweights the noop-sink methodology exposed — all row-local, so
+    # their decades must be flat-linear; st_buffer_round and the two
+    # transform queries now run on the WKB binary carrier + packed numpy
+    # kernels, st_point_line_ops stays on the text-name surface (its
+    # point: a user's verbatim Sedona-name WKT calls)
+    "st_buffer_round",
+    "st_transform_utm",
+    "st_transform_roundtrip",
+    "st_point_line_ops",
+    "multimodal_jpeg_decode",
 ]
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/root/repo/.bench_sf1")
 SWEEP_SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",

@@ -459,7 +459,76 @@ _R7_WINDOW = [
     # set_ops / top_customers_per_nation / training_mix /
     # udtf_token_explode)
 ]
-_WINDOW = _R7_WINDOW
+# ======================================================================
+# Round-8 rotation (VERDICT r7 item 7): tier 1 = (a) the r8 blast radius
+# — the binary-carrier rewires (st_buffer_round / st_transform_roundtrip
+# / st_transform_utm now chain on WKB through functions/geomb.py +
+# kernel/packed.py), the brand-new stdlib-JPEG decode query, the
+# chunk-folded grouped UDAFs (st_aggr_ops), and every query downstream
+# of the r7-advice scalar fixes (_is_areal whitespace, Z/GC buffer
+# dispatch, GC perimeter, degenerate ST_Expand) — the fused==verbatim
+# crop pair stays seated as the standing equivalence proof; plus (b) the
+# 21-query stale cohort the r7 rotation queued (the r1/r2 relational
+# rows displaced last round) and the 6 next-stalest family rows.
+_R8_WINDOW = [
+    # --- binary-carrier rewires + new query + UDAF fold (r8 code) ---
+    "multimodal_jpeg_decode",    # NEW: stdlib baseline JPEG round trip
+    "st_buffer_round",           # WKB carrier + vectorized convex walk
+    "st_transform_roundtrip",    # WKB carrier, double projection
+    "st_transform_utm",          # WKB carrier + ST_Coords_B extraction
+    "st_aggr_ops",               # chunk-folded UDAFs (bounded hold)
+    # --- r7-advice scalar fixes' blast radius ---
+    "st_buffer_line_point",      # lineal/puntal buffer dispatch changed
+    "st_geomcollection_ops",     # GC buffer-union + GC perimeter
+    "st_affine_ops",             # degenerate ST_Expand
+    "st_measure_ops",            # ST_Perimeter GC recursion
+    "st_geometry_ops",           # shared scalars ride _is_areal
+    "st_area_rect",              # ST_Area / GeomFromWKT edge
+    "crop_analytics_full_chain", # verbatim ST_ chain (fused==verbatim)
+    "crop_analytics_full",       # the fused twin of the pair
+    "multimodal_png_decode",     # decode_media gained the JPEG branch
+    "crop_analytics",            # flagship; registration caching path
+    "crop_analytics_utm",        # CRS registry + caching path
+    # --- family representatives (pinned by
+    # test_gate_window_covers_every_family) ---
+    "streaming_geofence",        # streaming
+    "repetition_scores",         # text
+    "ngram_jaccard_verified",    # dedup
+    "embedding_topk_cosine",     # similarity
+    "histogram_quantile",        # sketches
+    "pyds_jsonl_commit_roundtrip",  # pydatasource
+    "q12_late_priority",         # round-2's only red row: stays visible
+    # --- stale cohort queued by the r7 rotation (21) ---
+    "set_ops",
+    "top_customers_per_nation",
+    "training_mix",
+    "udtf_token_explode",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "rollup_sales",
+    "scalar_functions",
+    "pivot_order_status",
+    "part_window_stats",
+    "nation_trade_flows",
+    "late_ship_orders",
+    "incremental_rollup",
+    "grouping_sets",
+    "expectations_check",
+    "distinct_agg",
+    "cube_sales",
+    "customers_without_orders",
+    # --- next-stalest family rows (6) ---
+    "exact_dedup",
+    "minhash_lsh_candidates",
+    "window_zoo",
+    "spatial_knn_join",
+    "multimodal_wav_decode",     # decode_media module also changed
+    "embedding_lsh_ann",
+]
+_WINDOW = _R8_WINDOW
 # a duplicated name would silently dedupe in the dict rebuild below,
 # shrinking the driver's tier-1 gate without any signal (ADVICE r6)
 assert len(_WINDOW) == len(set(_WINDOW)), "duplicate name in gate window"

@@ -493,17 +493,19 @@ def test_st_transform_rejects_unknown_pair():
 
 
 def test_buffer_round_udf_call_is_shared(spark):
-    """area_q and n_vertices must read ONE ST_BufferRound evaluation:
+    """area_q and n_vertices must read ONE ST_BufferRound_B evaluation:
     ExtractPythonUDFs common-subexpression-shares the identical nested
     call (same result exprId in both chains). Guard against a refactor
-    that perturbs the expressions into two distinct kernel runs."""
+    that perturbs the expressions into two distinct kernel runs. (r8: the
+    query chains on the binary carrier, so the shared call is the
+    _B-suffixed twin.)"""
     import re
 
     from geospatial_data_pipeline_spark_sedona_on_aws_spark.plans.pipeline import st_buffer_round
 
     plan = st_buffer_round(spark, "/root/testdata/sf0.001") \
         ._jdf.queryExecution().executedPlan().toString()
-    ids = re.findall(r"ST_BufferRound\(.*?\)#(\d+)", plan)
+    ids = re.findall(r"ST_BufferRound_B\(.*?\)#(\d+)", plan)
     assert ids, plan
     assert len(set(ids)) == 1, f"BufferRound evaluated under ids {set(ids)}"
 
