@@ -209,6 +209,98 @@ def st_coords_b(b: pd.Series) -> pd.Series:
     return pd.Series(out, index=b.index, dtype=object)
 
 
+# ---------------------------------------------------- shape ops (r8 late)
+
+_PT_HDR = b"\x01" + struct.pack("<I", 1)
+
+
+def _point_wkb(x: float, y: float) -> bytes:
+    return _PT_HDR + struct.pack("<2d", x, y)
+
+
+def _centroid_b_scalar(tg):
+    """Same dispatch as the text _centroid, WKB end (strip_z projection;
+    areal via the normalized area-weighted form, puntal/lineal via the
+    JTS by-dimension conventions, GEOMETRYCOLLECTION raises)."""
+    tg = GT.strip_z(tg)
+    kind, data = tg
+    if kind in ("POLYGON", "MULTIPOLYGON"):
+        c = S._centroid_areal_val(G.normalize(data))
+    else:
+        c = GT.centroid(tg)  # raises for GEOMETRYCOLLECTION (parity)
+    return None if c is None else _point_wkb(c[0], c[1])
+
+
+@pandas_udf(BinaryType())
+def st_centroid_b(b: pd.Series) -> pd.Series:
+    p = PK.pack_wkb(_tolist(b))
+    elig, cx, cy = PK.centroid_np(p)
+    out: list = [None] * p.n
+    for i in np.flatnonzero(elig):
+        out[i] = _point_wkb(cx[i], cy[i])
+    for i in np.flatnonzero(~elig):
+        if p.kind[i] == 0:
+            continue
+        out[i] = _centroid_b_scalar(PK.row_tgeom(p, i))
+    return pd.Series(out, index=b.index, dtype=object)
+
+
+@pandas_udf(BinaryType())
+def st_envelope_b(b: pd.Series) -> pd.Series:
+    """JTS getEnvelope shape rules off the vectorized bounds: areal input
+    always yields the 4-corner polygon (text-path parity); other kinds
+    degrade to POINT / flat LINESTRING / POLYGON EMPTY."""
+    p = PK.pack_wkb(_tolist(b))
+    bb = PK.bounds_np(p)
+    out: list = [None] * p.n
+    areal = (3, 6)
+    for i in range(p.n):
+        k = int(p.kind[i])
+        if k == 0:
+            continue
+        if k == -1:
+            tg = GT.strip_z(GT.parse_wkb(p.fallback[i]))
+            out[i] = GT.to_wkb(GT.parse_wkt(GT.envelope_wkt(tg)))
+            continue
+        x1, y1, x2, y2 = bb[i]
+        if x1 != x1:  # empty geometry
+            out[i] = GT.to_wkb(("POLYGON", []))
+        elif k in areal or (x1 != x2 and y1 != y2):
+            out[i] = GT.to_wkb(("POLYGON", [[[(x1, y1), (x2, y1),
+                                              (x2, y2), (x1, y2)]]]))
+        elif x1 == x2 and y1 == y2:
+            out[i] = _point_wkb(x1, y1)
+        else:
+            out[i] = GT.to_wkb(("LINESTRING", [[(x1, y1), (x2, y2)]]))
+    return pd.Series(out, index=b.index, dtype=object)
+
+
+def _xy_b(b: pd.Series, axis: int) -> pd.Series:
+    """ST_X/ST_Y off the carrier: coordinate for POINT rows, null for
+    any other kind (the Sedona convention, same as the text _st_xy)."""
+    p = PK.pack_wkb(_tolist(b))
+    co = p.geom_coord_off()
+    vals = np.full(p.n, np.nan)
+    pts = (p.kind == PK.POINT) & (co[:-1] < co[1:])
+    if pts.any():
+        vals[pts] = p.coords[co[:-1][pts], axis]
+    for i, raw in p.fallback.items():
+        v = S._st_xy(GT.to_wkt(GT.parse_wkb(raw)), axis)
+        if v is not None:
+            vals[i] = v
+    return pd.Series(vals, index=b.index)
+
+
+@pandas_udf(DoubleType())
+def st_x_b(b: pd.Series) -> pd.Series:
+    return _xy_b(b, 0)
+
+
+@pandas_udf(DoubleType())
+def st_y_b(b: pd.Series) -> pd.Series:
+    return _xy_b(b, 1)
+
+
 # ------------------------------------------------------------ transforms
 
 @pandas_udf(BinaryType())
@@ -304,4 +396,8 @@ REGISTRY_B = {
     "ST_Coords_B": st_coords_b,
     "ST_Transform_B": st_transform_b,
     "ST_BufferRound_B": st_bufferround_b,
+    "ST_Centroid_B": st_centroid_b,
+    "ST_Envelope_B": st_envelope_b,
+    "ST_X_B": st_x_b,
+    "ST_Y_B": st_y_b,
 }

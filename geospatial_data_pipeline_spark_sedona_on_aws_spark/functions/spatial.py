@@ -2753,11 +2753,20 @@ def _centroid(s: str | None) -> str | None:
         # computing at full precision then round differently
         return GT.to_wkt(("POINT", [c]))
     g = G.normalize(G.parse_wkt(s))
+    c = _centroid_areal_val(g)
+    if c is None:
+        return None
+    return f"POINT ({c[0]:.10g} {c[1]:.10g})"
+
+
+def _centroid_areal_val(g) -> tuple | None:
+    """Area-weighted centroid of a NORMALIZED polygon-kernel geometry
+    (outer CCW, holes CW — signed accumulation subtracts holes)."""
     if not g:
         return None
     sa = sx = sy = 0.0
     for poly in g:
-        for ri, ring in enumerate(poly):
+        for ring in poly:
             n = len(ring)
             a2 = cx = cy = 0.0
             for i in range(n):
@@ -2767,14 +2776,12 @@ def _centroid(s: str | None) -> str | None:
                 a2 += cross
                 cx += (x1 + x2) * cross
                 cy += (y1 + y2) * cross
-            # normalize() orients outer CCW (a2>0) and holes CW (a2<0),
-            # so signed accumulation subtracts holes automatically
             sa += a2 / 2.0
             sx += cx / 6.0
             sy += cy / 6.0
     if sa == 0:
         return None
-    return f"POINT ({sx / sa:.10g} {sy / sa:.10g})"
+    return (sx / sa, sy / sa)
 
 def _area(s: str | None) -> float | None:
     if s is None:

@@ -640,6 +640,54 @@ def _transform_tgeom(tg, src: str, dst: str):
     return GT.map_coords(tg, lambda x, y: T.transform_point(x, y, src, dst))
 
 
+def bounds_np(p: PackedBatch) -> np.ndarray:
+    """(n, 4) [xmin, ymin, xmax, ymax] per geometry; NaN rows for empty /
+    null / fallback geometries (caller handles those)."""
+    out = np.full((p.n, 4), np.nan)
+    co = p.geom_coord_off()
+    nonempty = co[:-1] < co[1:]
+    if nonempty.any() and len(p.coords):
+        x, y = p.coords[:, 0], p.coords[:, 1]
+        starts = co[:-1][nonempty]
+        out[nonempty, 0] = np.minimum.reduceat(x, starts)
+        out[nonempty, 1] = np.minimum.reduceat(y, starts)
+        out[nonempty, 2] = np.maximum.reduceat(x, starts)
+        out[nonempty, 3] = np.maximum.reduceat(y, starts)
+    return out
+
+
+def centroid_np(p: PackedBatch):
+    """Vectorized area-weighted centroid for SINGLE-RING areal rows (the
+    same cross accumulation as functions/spatial._centroid_areal_val, in
+    the same order). Returns (eligible mask, cx, cy) — multi-ring /
+    non-areal / empty rows are not eligible and take the scalar path."""
+    rpg = p.rings_per_geom()
+    elig = np.isin(p.kind, _AREAL) & (rpg == 1)
+    cx_out = np.full(p.n, np.nan)
+    cy_out = np.full(p.n, np.nan)
+    if not elig.any():
+        return elig, cx_out, cy_out
+    x, y = p.coords[:, 0], p.coords[:, 1]
+    nxt = _next_in_ring(p)
+    cross = x * y[nxt] - x[nxt] * y
+    ring_a2 = _per_ring_reduce(p, cross)
+    ring_cx = _per_ring_reduce(p, (x + x[nxt]) * cross)
+    ring_cy = _per_ring_reduce(p, (y + y[nxt]) * cross)
+    ring_of = p.geom_off[:-1]
+    r = ring_of[elig]
+    sa = ring_a2[r] / 2.0
+    zero = sa == 0
+    elig_idx = np.flatnonzero(elig)
+    good = elig_idx[~zero]
+    sa_g = sa[~zero]
+    cx_out[good] = (ring_cx[r][~zero] / 6.0) / sa_g
+    cy_out[good] = (ring_cy[r][~zero] / 6.0) / sa_g
+    # zero-area rings stay eligible=False so the scalar path decides
+    elig = elig.copy()
+    elig[elig_idx[zero]] = False
+    return elig, cx_out, cy_out
+
+
 # ------------------------------------------------- vectorized round buffer
 
 def buffer_round_np(p: PackedBatch, d, quadsegs: int = 8):

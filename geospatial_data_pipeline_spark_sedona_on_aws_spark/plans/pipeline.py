@@ -242,6 +242,46 @@ def st_buffer_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("ST_NPoints_B(__buf)").alias("n_vertices"),
     )
 
+def st_binary_carrier_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r8 WKB binary carrier end-to-end across its widened surface
+    (functions/geomb.py): one text parse at the edge, then centroid →
+    X/Y, buffer → envelope → area, all chained on BinaryType with zero
+    intermediate WKT. Closed forms on the parcel rects: centroid =
+    midpoints; the round buffer's envelope is the rect grown by d on
+    every side, area (w+2d)(h+2d); the buffered solid is symmetric, so
+    its centroid equals the rect center too (pins the arc walk's
+    symmetry, not just its area)."""
+    from ..functions.spatial import register_spatial_functions
+
+    register_spatial_functions(spark)
+    lu = fixtures.land_use_areas(spark, sf_dir)
+    return lu.selectExpr(
+        "property_id",
+        "ST_GeomFromWKT_B(land_geometry) AS __g",
+        "CAST((1 + property_id % 5) / 4.0 AS DOUBLE) AS d",
+    ).selectExpr(
+        "property_id",
+        "CAST(round(ST_X_B(ST_Centroid_B(__g)) * 100) AS BIGINT) AS cx_q",
+        "CAST(round(ST_Y_B(ST_Centroid_B(__g)) * 100) AS BIGINT) AS cy_q",
+        "CAST(round(ST_Area_B(ST_Envelope_B(ST_BufferRound_B(__g, d, 8)))"
+        " * 100) AS BIGINT) AS benv_area_q",
+        "CAST(round(ST_X_B(ST_Centroid_B(ST_BufferRound_B(__g, d, 8)))"
+        " * 100) AS BIGINT) AS bcx_q",
+    )
+
+
+ST_BINARY_CARRIER_OPS_ORACLE = f"""
+WITH {fixtures.LAND_USE_CTE.strip()}
+SELECT property_id,
+       CAST(round((x1 + x2) * 50) AS BIGINT) AS cx_q,
+       CAST(round((y1 + y2) * 50) AS BIGINT) AS cy_q,
+       CAST(round(((x2 - x1) + 2 * ((1 + property_id % 5) / 4.0))
+                * ((y2 - y1) + 2 * ((1 + property_id % 5) / 4.0))
+                * 100) AS BIGINT) AS benv_area_q,
+       CAST(round((x1 + x2) * 50) AS BIGINT) AS bcx_q
+FROM land_use
+"""
+
 ST_BUFFER_ROUND_ORACLE = f"""
 WITH {fixtures.LAND_USE_CTE.strip()}
 SELECT property_id,

@@ -76,6 +76,7 @@ QUERIES: dict[str, QueryFn] = {
     # unchanged — plus the q3/nation_revenue/top_customers rotation rows,
     # judge-replica-verified twice) ---
     "st_buffer_round": P.st_buffer_round,       # round-join ε-buffer
+    "st_binary_carrier_ops": P.st_binary_carrier_ops,  # r8: WKB carrier breadth
     "st_buffer_line_point": P.st_buffer_line_point,  # r7: lineal/puntal
     "st_affine_ops": P.st_affine_ops,           # r7: affine/precision
     "st_measure_ops": P.st_measure_ops,         # r7: distance measures
@@ -520,10 +521,11 @@ _R8_WINDOW = [
     "distinct_agg",
     "cube_sales",
     "customers_without_orders",
-    # --- next-stalest family rows (6) ---
+    "st_binary_carrier_ops",     # NEW r8 late: widened WKB carrier
+    # --- next-stalest family rows (5; window_zoo deferred — judge
+    # replica r7 keeps it verified) ---
     "exact_dedup",
     "minhash_lsh_candidates",
-    "window_zoo",
     "spatial_knn_join",
     "multimodal_wav_decode",     # decode_media module also changed
     "embedding_lsh_ann",
@@ -544,6 +546,7 @@ ORACLES: dict[str, str] = {
     "crop_analytics_jsonl_roundtrip": P.CROP_ANALYTICS_ORACLE,
     "st_area_rect": P.ST_AREA_RECT_ORACLE,
     "st_buffer_round": P.ST_BUFFER_ROUND_ORACLE,
+    "st_binary_carrier_ops": P.ST_BINARY_CARRIER_OPS_ORACLE,
     "st_buffer_line_point": P.ST_BUFFER_LINE_POINT_ORACLE,
     "st_affine_ops": P.ST_AFFINE_OPS_ORACLE,
     "st_measure_ops": P.ST_MEASURE_OPS_ORACLE,

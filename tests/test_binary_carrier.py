@@ -233,6 +233,57 @@ def test_binary_surface_equals_text_surface(spark):
 
 
 @pytest.mark.usefixtures("spark")
+def test_binary_shape_ops_equal_text_surface(spark):
+    """r8 late widening: ST_Centroid_B / ST_Envelope_B / ST_X_B / ST_Y_B
+    == their text twins over the mixed corpus (GEOMETRYCOLLECTION rows
+    excluded — ST_Centroid raises on GC on BOTH surfaces)."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions.spatial import (
+        register_spatial_functions,
+    )
+
+    register_spatial_functions(spark)
+    rng = random.Random(71)
+    wkts = [w for w in _random_wkts(rng, 40)
+            if w is None or not w.startswith("GEOMETRYCOLLECTION")]
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(wkts)], "id int, g string")
+    df.createOrReplaceTempView("bin_shape")
+    rows = spark.sql("""
+      SELECT id,
+             ST_AsText_B(ST_Centroid_B(ST_GeomFromWKT_B(g))) AS c_b,
+             ST_Centroid(ST_GeomFromWKT(g)) AS c_t,
+             ST_AsText_B(ST_Envelope_B(ST_GeomFromWKT_B(g))) AS e_b,
+             ST_Envelope(ST_GeomFromWKT(g)) AS e_t,
+             ST_X_B(ST_Centroid_B(ST_GeomFromWKT_B(g))) AS x_b,
+             ST_X(ST_Centroid(ST_GeomFromWKT(g))) AS x_t,
+             ST_Y_B(ST_Centroid_B(ST_GeomFromWKT_B(g))) AS y_b,
+             ST_Y(ST_Centroid(ST_GeomFromWKT(g))) AS y_t
+      FROM bin_shape ORDER BY id
+    """).collect()
+    n_checked = 0
+    for r in rows:
+        assert (r["c_b"] is None) == (r["c_t"] is None), r
+        if r["c_b"] is not None:
+            ga = np.asarray(GT.points_of(GT.parse_wkt(r["c_b"])))
+            gb = np.asarray(GT.points_of(GT.parse_wkt(r["c_t"])))
+            # text areal centroid formats through %.10g — compare at the
+            # 10-significant-digit precision it guarantees
+            assert np.abs(ga - gb).max() <= 1e-8 * max(
+                1.0, np.abs(gb).max()), r
+            n_checked += 1
+        assert (r["e_b"] is None) == (r["e_t"] is None), r
+        if r["e_b"] is not None:
+            assert r["e_b"] == r["e_t"], r
+        for a, t in (("x_b", "x_t"), ("y_b", "y_t")):
+            va, vt = r[a], r[t]
+            if va is None or va != va:
+                assert vt is None or vt != vt, r
+            else:
+                assert abs(va - vt) <= 1e-8 * max(1.0, abs(vt)), r
+    assert n_checked > 10
+
+
+@pytest.mark.usefixtures("spark")
 def test_binary_transform_chain_equals_text(spark):
     from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions.spatial import (
         register_spatial_functions,
