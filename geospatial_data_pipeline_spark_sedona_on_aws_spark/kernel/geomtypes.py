@@ -102,11 +102,48 @@ def parse_wkt(wkt: str | None):
     validity nuance it encodes) is exactly the polygon kernel's.
     Untagged 3-number coordinates (PostGIS 'POINT(1 2 3)') are accepted
     as Z for puntal/lineal types; 4-number coordinates (ZM) and M/ZM
-    tags are rejected explicitly."""
+    tags are rejected explicitly.
+
+    Canonical puntal/lineal text ('POINT (x y)', 'LINESTRING (…, …)' —
+    exactly what to_wkt and the fixtures emit) takes a tight split/float
+    fast path (r8: the typed parse was the dominant cost of the
+    text-name point/line queries); ANY anomaly — Z tags, EMPTY, nested
+    parens, stray whitespace — falls back to the general parser below,
+    so the fast path can only accept strings the general parser parses
+    identically."""
     if wkt is None:
         return None
     s = wkt.strip()
-    up = s.upper()
+    if s.endswith(")"):
+        try:
+            if s.startswith("POINT ("):
+                xy = s[7:-1].split(" ")
+                if len(xy) == 2:
+                    return ("POINT", [(float(xy[0]), float(xy[1]))])
+            elif s.startswith("LINESTRING (") and "(" not in s[12:]:
+                path = []
+                for grp in s[12:-1].split(","):
+                    xy = grp.split()
+                    if len(xy) != 2:
+                        raise ValueError
+                    path.append((float(xy[0]), float(xy[1])))
+                if len(path) >= 2:
+                    return ("LINESTRING", [path])
+            elif s.startswith("MULTIPOINT (") and "(" not in s[12:]:
+                pts = []
+                for grp in s[12:-1].split(","):
+                    xy = grp.split()
+                    if len(xy) != 2:
+                        raise ValueError
+                    pts.append((float(xy[0]), float(xy[1])))
+                if pts:
+                    return ("MULTIPOINT", pts)
+        except ValueError:
+            pass  # odd numerals (e.g. '1d2' splits fine, float rejects)
+    # dispatch reads a bounded prefix: the longest tag word is
+    # GEOMETRYCOLLECTION (18 chars) — uppercasing the whole string cost
+    # O(len) per parse and showed in the point/line query profiles
+    up = s[:19].upper()
     if up.startswith("GEOMETRYCOLLECTION"):
         rest, is_z = _split_tag(s, "GEOMETRYCOLLECTION")
         if rest.upper().startswith("EMPTY"):
