@@ -310,3 +310,27 @@ def test_binary_transform_chain_equals_text(spark):
         ga = np.asarray(GT.points_of(GT.parse_wkt(r["t_b"])))
         gb = np.asarray(GT.points_of(GT.parse_wkt(r["t_t"])))
         assert np.abs(ga - gb).max() < 1e-6, r["id"]
+
+
+@given(seed=st.integers(0, 100_000))
+@settings(max_examples=50, deadline=None)
+def test_prop_typed_parse_fast_path_equals_general(seed):
+    """r8 parse fast path: canonical POINT/LINESTRING/MULTIPOINT text
+    must parse identically through the tight split/float path and the
+    general parser. Injecting a double space after the tag word defeats
+    the fast path's exact-prefix match WITHOUT changing WKT semantics,
+    so the same string parses through both code paths."""
+    rng = random.Random(seed)
+    nums = [round(rng.uniform(-1e6, 1e6), rng.randint(0, 12))
+            for _ in range(6)]
+    for tmpl, tag in (
+        ("POINT ({} {})", "POINT"),
+        ("LINESTRING ({} {}, {} {}, {} {})", "LINESTRING"),
+        ("MULTIPOINT ({} {}, {} {})", "MULTIPOINT"),
+    ):
+        w = tmpl.format(*nums)
+        fast = GT.parse_wkt(w)
+        slow = GT.parse_wkt(w.replace(tag + " (", tag + "  (", 1))
+        assert fast == slow, w
+        # and the canonical round trip is a fixed point either way
+        assert GT.parse_wkt(GT.to_wkt(fast)) == fast, w
