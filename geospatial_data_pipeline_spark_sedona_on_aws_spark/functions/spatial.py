@@ -2418,14 +2418,26 @@ def _distance_spheroid(a: str | None, b: str | None) -> float | None:
     iteration), ~0.5 mm accuracy. Near-antipodal pairs where the lambda
     iteration fails to converge fall back to the haversine sphere
     (documented engine boundary; GeographicLib handles those exactly)."""
-    import math
-
     if a is None or b is None:
         return None
     pa, pb = _point_lonlat(a), _point_lonlat(b)
     if pa is None or pb is None:
         return None
     (lon1, lat1), (lon2, lat2) = pa, pb
+    d = _vincenty_m(lon1, lat1, lon2, lat2)
+    if d is None:
+        return _distance_sphere(a, b)
+    return d
+
+
+def _vincenty_m(lon1: float, lat1: float, lon2: float,
+                lat2: float) -> float | None:
+    """Vincenty inverse on WGS84, coordinate-level core (shared by
+    ST_DistanceSpheroid and ST_LengthSpheroid). None = the lambda
+    iteration did not converge (near-antipodal; callers fall back to
+    the haversine sphere)."""
+    import math
+
     if lon1 == lon2 and lat1 == lat2:
         return 0.0
     f = _WGS84_F
@@ -2459,7 +2471,7 @@ def _distance_spheroid(a: str | None, b: str | None) -> float | None:
             converged = True
             break
     if not converged:
-        return _distance_sphere(a, b)
+        return None
     usq = cos2_alpha * (big_a_axis ** 2 - b_axis ** 2) / b_axis ** 2
     aa = 1.0 + usq / 16384.0 * (
         4096.0 + usq * (-768.0 + usq * (320.0 - 175.0 * usq)))
@@ -2829,6 +2841,236 @@ def _envelope(s: str | None) -> str | None:
         return "POLYGON EMPTY"
     x1, y1, x2, y2 = G.bounds(g)
     return G.to_wkt([[[(x1, y1), (x2, y1), (x2, y2), (x1, y2)]]])
+
+# ------------------------------------------------ name-parity batch (r8)
+
+def _nrings(s: str | None) -> int | None:
+    """PostGIS ST_NRings: total ring count of areal geometry (outers +
+    holes, summed over a multi); 0 for lower-dimension input."""
+    if s is None:
+        return None
+    if _is_areal(s):
+        return sum(len(poly) for poly in G.parse_wkt(s))
+    kind, data = GT.strip_z(GT.parse_wkt(s))
+    if kind in ("POLYGON", "MULTIPOLYGON"):
+        return sum(len(poly) for poly in data)
+    if kind == "GEOMETRYCOLLECTION":
+        return sum(_nrings(GT.to_wkt(m)) for m in data)
+    return 0
+
+
+def _point_z(x: float | None, y: float | None,
+             z: float | None) -> str | None:
+    """Sedona ST_PointZ constructor."""
+    if x is None or y is None or z is None:
+        return None
+    return GT.to_wkt(("POINT Z", [(float(x), float(y), float(z))]))
+
+
+def _as_ewkt(s: str | None) -> str | None:
+    """PostGIS ST_AsEWKT. The engine carries no SRID on geometry values
+    (CRS is explicit in ST_Transform calls), so the EWKT form is the
+    canonical WKT with no SRID= prefix — exactly PostGIS's output for
+    SRID-less geometry."""
+    return _geom_from_wkt(s)
+
+
+def _geom_from_ewkt(s: str | None) -> str | None:
+    """PostGIS ST_GeomFromEWKT: accept an optional 'SRID=n;' prefix (the
+    declared SRID is noted and dropped — geometry values are SRID-less
+    here) and parse the remainder as WKT."""
+    if s is None:
+        return None
+    t = s.lstrip()
+    if t[:5].upper() == "SRID=":
+        semi = t.find(";")
+        if semi == -1:
+            raise G.GeomError("EWKT with SRID= but no ';'")
+        t = t[semi + 1:]
+    return _geom_from_wkt(t)
+
+
+def _dump_points(s: str | None) -> list | None:
+    """PostGIS ST_DumpPoints (geometry array form): every vertex as a
+    POINT, in storage order; areal rings include their closing duplicate
+    (PostGIS dumps the closed ring — a rect yields 5 points)."""
+    if s is None:
+        return None
+    kind, data = GT.parse_wkt(s)
+    pts: list = []
+
+    def walk(kind, data):
+        base = GT.basekind(kind)
+        if base == "GEOMETRYCOLLECTION":
+            for m in data:
+                walk(m[0], m[1])
+            return
+        if base in ("POLYGON", "MULTIPOLYGON"):
+            for poly in data:
+                for ring in poly:
+                    for p in list(ring) + ([ring[0]] if ring else []):
+                        pts.append(p)
+            return
+        if base in ("LINESTRING", "MULTILINESTRING"):
+            for path in data:
+                pts.extend(path)
+            return
+        pts.extend(data)
+
+    walk(kind, data)
+    return [GT.to_wkt(("POINT Z" if len(p) == 3 else "POINT", [p]))
+            for p in pts]
+
+
+def _make_envelope(x1, y1, x2, y2) -> str | None:
+    """PostGIS ST_MakeEnvelope (SRID-less form): the CCW rectangle."""
+    if x1 is None or y1 is None or x2 is None or y2 is None:
+        return None
+    x1, y1, x2, y2 = float(x1), float(y1), float(x2), float(y2)
+    if x1 > x2 or y1 > y2:
+        raise G.GeomError("ST_MakeEnvelope: min corner above max corner")
+    if x1 == x2 and y1 == y2:
+        return GT.to_wkt(("POINT", [(x1, y1)]))
+    if x1 == x2 or y1 == y2:
+        return GT.to_wkt(("LINESTRING", [[(x1, y1), (x2, y2)]]))
+    return G.to_wkt([[[(x1, y1), (x2, y1), (x2, y2), (x1, y2)]]])
+
+
+def _unary_union(s: str | None) -> str | None:
+    """PostGIS ST_UnaryUnion: dissolve a single geometry's own
+    components — self-overlapping multipolygon members merge (the
+    even-odd banded sweep over the member set). Puntal/lineal input
+    canonicalizes (their self-union is themselves here — the engine's
+    lineal kernel does not node line-on-line overlaps, documented)."""
+    if s is None:
+        return None
+    if not _is_areal(s):
+        kind, data = GT.strip_z(GT.parse_wkt(s))
+        if kind in ("POLYGON", "MULTIPOLYGON"):
+            return _unary_union(G.to_wkt(data))
+        if kind == "GEOMETRYCOLLECTION":
+            parts = [_unary_union(GT.to_wkt(m)) for m in data]
+            areal = [p for p in parts if p is not None
+                     and not p.endswith("EMPTY") and _is_areal(p)]
+            return _union_wkt_list(areal) if areal else GT.to_wkt((kind,
+                                                                   data))
+        return GT.to_wkt((kind, data))
+    g = G.normalize(G.parse_wkt(s))
+    if not g:
+        return "POLYGON EMPTY"
+    if len(g) == 1:
+        return G.to_wkt(g)
+    return G.to_wkt(B.union_geom([[poly] for poly in g]))
+
+
+def _crosses_dateline(s: str | None) -> bool | None:
+    """Sedona ST_CrossesDateLine: any edge spanning more than 180° of
+    longitude (the antimeridian-wrap heuristic Sedona applies to
+    EPSG:4326 coordinates)."""
+    if s is None:
+        return None
+    tg = GT.strip_z(GT.parse_wkt(s))
+    return any(abs(x2 - x1) > 180.0
+               for (x1, _, x2, _) in GT.segments_of(tg))
+
+
+def _shift_longitude(s: str | None) -> str | None:
+    """PostGIS/Sedona ST_ShiftLongitude: longitudes in [-180, 0) shift
+    to [180, 360) — the dateline-unwrapping transform."""
+    if s is None:
+        return None
+    return GT.to_wkt(GT.map_coords(
+        GT.parse_wkt(s), lambda x, y: (x + 360.0 if x < 0 else x, y)))
+
+
+def _best_srid(s: str | None) -> int | None:
+    """Sedona ST_BestSRID: the UTM zone EPSG of the geometry's envelope
+    center (326xx north / 327xx south), with the polar fallbacks UPS
+    North 32661 (lat >= 84) and UPS South 32761 (lat <= -80) — the
+    documented Sedona rule, minus its wide-geometry Mercator fallback."""
+    if s is None:
+        return None
+    pts = GT.points_of(GT.strip_z(GT.parse_wkt(s)))
+    if not pts:
+        return None
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    lon = (min(xs) + max(xs)) / 2.0
+    lat = (min(ys) + max(ys)) / 2.0
+    if lat >= 84.0:
+        return 32661
+    if lat <= -80.0:
+        return 32761
+    zone = min(60, max(1, int((lon + 180.0) // 6.0) + 1))
+    return (32600 if lat >= 0 else 32700) + zone
+
+
+def _lineal_to_polygon(s: str | None, name: str) -> str | None:
+    """Shared core of ST_Polygon / ST_MakePolygon: a CLOSED LINESTRING
+    becomes the polygon it outlines."""
+    if s is None:
+        return None
+    kind, data = GT.strip_z(GT.parse_wkt(s))
+    if kind != "LINESTRING" or not data:
+        raise G.GeomError(f"{name} takes a closed LINESTRING")
+    path = data[0]
+    if path[0] != path[-1]:
+        raise G.GeomError(f"{name}: shell is not closed")
+    ring = path[:-1]
+    if len(ring) < 3:
+        raise G.GeomError(f"{name}: shell has <3 distinct points")
+    return G.to_wkt(G.normalize([[ring]]))
+
+
+def _length_spheroid(s: str | None) -> float | None:
+    """PostGIS ST_LengthSpheroid (WGS84): segment-wise Vincenty sum —
+    path length for lineal input, ring perimeter for areal (matching
+    this engine's ST_Length convention), 0 for puntal. Near-antipodal
+    segments fall back to the haversine sphere (same documented boundary
+    as ST_DistanceSpheroid)."""
+    import math
+
+    if s is None:
+        return None
+    tg = GT.strip_z(GT.parse_wkt(s))
+    kind = GT.basekind(tg[0])
+    if kind in ("POINT", "MULTIPOINT"):
+        return 0.0
+    total = 0.0
+    # segments_of: consecutive path pairs for lineal, wrapped (closing
+    # edge included) rings for areal — exactly the ST_Length convention
+    for (x1, y1, x2, y2) in GT.segments_of(tg):
+        d = _vincenty_m(x1, y1, x2, y2)
+        if d is None:
+            d = _distance_sphere(f"POINT ({x1} {y1})",
+                                 f"POINT ({x2} {y2})")
+        total += d
+    return total
+
+
+def _mm_minmax(s: str | None) -> float | None:
+    """PostGIS ST_MMin/ST_MMax: the engine rejects M coordinates at
+    parse time (kernel/geomtypes.py), so a parseable geometry never has
+    an M range — NULL, PostGIS's own answer for M-less geometry."""
+    if s is None:
+        return None
+    GT.parse_wkt(s)  # still validate the input
+    return None
+
+
+def _subdivide_explode(s: str | None, max_vertices: int) -> list | None:
+    """Sedona ST_SubDivideExplode as an array-returning scalar (callers
+    explode() it): the ST_Subdivide pieces as individual POLYGON WKTs."""
+    if s is None:
+        return None
+    out = _subdivide(s, max_vertices)
+    kind, data = GT.parse_wkt(out)
+    if kind == "GEOMETRYCOLLECTION":
+        return [GT.to_wkt(m) for m in data]
+    if GT.basekind(kind) in ("POLYGON", "MULTIPOLYGON"):
+        return [G.to_wkt([poly]) for poly in data]
+    return [GT.to_wkt((kind, data))]
+
 
 # --------------------------------------------------------------- pandas UDFs
 
@@ -3678,6 +3920,87 @@ def st_subdivide(s: pd.Series, mv: pd.Series) -> pd.Series:
                       else _subdivide(g, int(v))
                       for g, v in zip(s, mv)], index=s.index)
 
+# r8 name-parity batch wrappers
+
+@pandas_udf(LongType())
+def st_nrings(s: pd.Series) -> pd.Series:
+    return s.map(_nrings, na_action="ignore").astype("Int64")
+
+@pandas_udf(StringType())
+def st_pointz(x: pd.Series, y: pd.Series, z: pd.Series) -> pd.Series:
+    return pd.Series([_point_z(a, b, c) for a, b, c in zip(x, y, z)],
+                     index=x.index)
+
+@pandas_udf(StringType())
+def st_asewkt(s: pd.Series) -> pd.Series:
+    return s.map(_as_ewkt, na_action="ignore")
+
+@pandas_udf(StringType())
+def st_geomfromewkt(s: pd.Series) -> pd.Series:
+    return s.map(_geom_from_ewkt, na_action="ignore")
+
+@pandas_udf(ArrayType(StringType()))
+def st_dumppoints(s: pd.Series) -> pd.Series:
+    return s.map(_dump_points, na_action="ignore")
+
+@pandas_udf(StringType())
+def st_makeenvelope(x1: pd.Series, y1: pd.Series, x2: pd.Series,
+                    y2: pd.Series) -> pd.Series:
+    return pd.Series([_make_envelope(a, b, c, d)
+                      for a, b, c, d in zip(x1, y1, x2, y2)],
+                     index=x1.index)
+
+@pandas_udf(StringType())
+def st_unaryunion(s: pd.Series) -> pd.Series:
+    return s.map(_unary_union, na_action="ignore")
+
+@pandas_udf(BooleanType())
+def st_crossesdateline(s: pd.Series) -> pd.Series:
+    return s.map(_crosses_dateline, na_action="ignore").astype("boolean")
+
+@pandas_udf(StringType())
+def st_shiftlongitude(s: pd.Series) -> pd.Series:
+    return s.map(_shift_longitude, na_action="ignore")
+
+@pandas_udf(LongType())
+def st_bestsrid(s: pd.Series) -> pd.Series:
+    return s.map(_best_srid, na_action="ignore").astype("Int64")
+
+@pandas_udf(StringType())
+def st_polygon_from_line(s: pd.Series) -> pd.Series:
+    return s.map(lambda w: _lineal_to_polygon(w, "ST_Polygon"),
+                 na_action="ignore")
+
+@pandas_udf(StringType())
+def st_makepolygon(s: pd.Series) -> pd.Series:
+    return s.map(lambda w: _lineal_to_polygon(w, "ST_MakePolygon"),
+                 na_action="ignore")
+
+@pandas_udf(DoubleType())
+def st_lengthspheroid(s: pd.Series) -> pd.Series:
+    return s.map(_length_spheroid, na_action="ignore").astype("float64")
+
+@pandas_udf(DoubleType())
+def st_mmin(s: pd.Series) -> pd.Series:
+    return s.map(_mm_minmax, na_action="ignore").astype("float64")
+
+@pandas_udf(DoubleType())
+def st_mmax(s: pd.Series) -> pd.Series:
+    return s.map(_mm_minmax, na_action="ignore").astype("float64")
+
+@pandas_udf(ArrayType(StringType()))
+def st_subdivide_explode(s: pd.Series, mv: pd.Series) -> pd.Series:
+    return pd.Series([None if g is None or pd.isna(v)
+                      else _subdivide_explode(g, int(v))
+                      for g, v in zip(s, mv)], index=s.index)
+
+@pandas_udf(DoubleType())
+def st_degrees(x: pd.Series) -> pd.Series:
+    import math
+
+    return pd.to_numeric(x, errors="coerce").map(
+        math.degrees, na_action="ignore").astype("float64")
+
 @pandas_udf(StringType())
 def st_addpoint(line: pd.Series, pt: pd.Series,
                 pos: pd.Series) -> pd.Series:
@@ -3990,6 +4313,25 @@ _REGISTRY = {
     "ST_Split": st_split,
     "ST_SubDivide": st_subdivide,
     "ST_Subdivide": st_subdivide,
+    # r8 name-parity batch
+    "ST_GeomFromText": st_geomfromwkt,       # Sedona alias
+    "ST_NRings": st_nrings,
+    "ST_PointZ": st_pointz,
+    "ST_AsEWKT": st_asewkt,
+    "ST_GeomFromEWKT": st_geomfromewkt,
+    "ST_DumpPoints": st_dumppoints,
+    "ST_MakeEnvelope": st_makeenvelope,
+    "ST_UnaryUnion": st_unaryunion,
+    "ST_CrossesDateLine": st_crossesdateline,
+    "ST_ShiftLongitude": st_shiftlongitude,
+    "ST_BestSRID": st_bestsrid,
+    "ST_Polygon": st_polygon_from_line,
+    "ST_MakePolygon": st_makepolygon,
+    "ST_LengthSpheroid": st_lengthspheroid,
+    "ST_MMin": st_mmin,
+    "ST_MMax": st_mmax,
+    "ST_SubDivideExplode": st_subdivide_explode,
+    "ST_Degrees": st_degrees,
     "ST_MakePolygon": st_makepolygon,
     "ST_LineMerge": st_linemerge,
     "ST_RemoveRepeatedPoints": st_removerepeatedpoints,

@@ -242,6 +242,111 @@ def st_buffer_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("ST_NPoints_B(__buf)").alias("n_vertices"),
     )
 
+def st_name_parity_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r8 name-parity batch end-to-end through the registered SQL
+    names — ST_NRings / ST_DumpPoints / ST_MakeEnvelope / ST_AsEWKT /
+    ST_GeomFromEWKT / ST_PointZ / ST_BestSRID / ST_CrossesDateLine /
+    ST_ShiftLongitude / ST_LengthSpheroid / ST_UnaryUnion / ST_Polygon /
+    ST_SubDivideExplode / ST_Degrees / ST_MMin — each with a closed form
+    the oracle recomputes: the envelope is the parcel rect (area w·h);
+    the equator segment's spheroid length is exactly a·Δλ (the equator
+    is a geodesic of radius a; Vincenty's fixed point is
+    σ = L/(1−f), s = b·σ = a·L); the self-overlapping two-rect
+    multipolygon unions to area 6 by inclusion–exclusion; the translated
+    cross subdivides into a translation-invariant piece count."""
+    from ..functions.spatial import register_spatial_functions
+    from ..kernel import transform as _T
+
+    register_spatial_functions(spark)
+    lu = fixtures.land_use_areas(spark, sf_dir, wkt=False)
+    deg = lu.selectExpr(
+        "property_id", "x1", "y1", "x2", "y2",
+        "-57.0 + CAST(x1 % 500 AS DOUBLE) / 100 AS lon",
+        "-12.0 + CAST(y1 % 700 AS DOUBLE) / 100 AS lat",
+    )
+    cross = ("concat_ws('', 'POLYGON ((', x1+2, ' ', y1, ', ', x1+8, ' ',"
+             " y1, ', ', x1+8, ' ', y1+2, ', ', x1+10, ' ', y1+2, ', ',"
+             " x1+10, ' ', y1+6, ', ', x1+8, ' ', y1+6, ', ', x1+8, ' ',"
+             " y1+8, ', ', x1+2, ' ', y1+8, ', ', x1+2, ' ', y1+6, ', ',"
+             " x1, ' ', y1+6, ', ', x1, ' ', y1+2, ', ', x1+2, ' ',"
+             " y1+2, '))')")
+    mp2 = ("concat_ws('', 'MULTIPOLYGON (((', x1, ' ', y1, ', ', x1+2,"
+           " ' ', y1, ', ', x1+2, ' ', y1+2, ', ', x1, ' ', y1+2, ')),"
+           " ((', x1+1, ' ', y1, ', ', x1+3, ' ', y1, ', ', x1+3, ' ',"
+           " y1+2, ', ', x1+1, ' ', y1+2, ')))')")
+    ring = ("concat_ws('', 'LINESTRING (', x1, ' ', y1, ', ', x2, ' ',"
+            " y1, ', ', x2, ' ', y2, ', ', x1, ' ', y2, ', ', x1, ' ',"
+            " y1, ')')")
+    return deg.selectExpr(
+        "property_id",
+        "ST_NRings(ST_MakeEnvelope(x1, y1, x2, y2)) AS nrings",
+        "CAST(size(ST_DumpPoints(ST_MakeEnvelope(x1, y1, x2, y2))) AS BIGINT) AS dump_np",
+        "CAST(round(ST_Area(ST_MakeEnvelope(x1, y1, x2, y2)) * 100)"
+        " AS BIGINT) AS env_area_q",
+        "ST_AsEWKT(ST_GeomFromEWKT(concat_ws('', 'SRID=4326;POINT (',"
+        " x1, ' ', y1, ')'))) AS ewkt_rt",
+        "ST_AsText(ST_GeomFromWKT(ST_PointZ(x1, y1, 5.0))) AS pz_rt",
+        "ST_BestSRID(concat_ws('', 'POINT (', lon, ' ', lat, ')'))"
+        " AS srid_best",
+        "ST_CrossesDateLine(concat_ws('', 'LINESTRING (170 ', y1,"
+        " ', -170 ', y2, ')')) AS crosses_w",
+        "ST_CrossesDateLine(concat_ws('', 'LINESTRING (', x1 % 80, ' ',"
+        " y1, ', ', x1 % 80 + 10, ' ', y2, ')')) AS crosses_n",
+        "CAST(round(ST_X(ST_Centroid(ST_ShiftLongitude(concat_ws('',"
+        " 'POINT (', lon, ' ', lat, ')')))) * 1e6) AS BIGINT)"
+        " AS shift_x_q",
+        "CAST(round(ST_LengthSpheroid(concat_ws('', 'LINESTRING (', lon,"
+        " ' 0, ', lon + (1 + property_id % 4) / 10.0, ' 0)')) * 1000)"
+        " AS BIGINT) AS eq_len_mm",
+        f"CAST(round(ST_Area(ST_UnaryUnion({mp2})) * 100) AS BIGINT)"
+        " AS uu_area_q",
+        f"CAST(round(ST_Area(ST_Polygon({ring})) * 100) AS BIGINT)"
+        " AS poly_area_q",
+        f"CAST(size(ST_SubDivideExplode({cross}, 8)) AS BIGINT)"
+        " AS sub_pieces",
+        "CAST(round(ST_Degrees(radians(CAST(x1 AS DOUBLE))) * 1e6)"
+        " AS BIGINT) AS deg_q",
+        "ST_MMin(ST_MakeEnvelope(x1, y1, x2, y2)) AS mmin_null",
+    )
+
+
+ST_NAME_PARITY_OPS_ORACLE_TEMPLATE = """
+WITH {cte}
+SELECT property_id,
+       CAST(1 AS BIGINT) AS nrings,
+       CAST(5 AS BIGINT) AS dump_np,
+       CAST(round((x2 - x1) * (y2 - y1) * 100) AS BIGINT) AS env_area_q,
+       'POINT (' || x1 || ' ' || y1 || ')' AS ewkt_rt,
+       'POINT Z (' || x1 || ' ' || y1 || ' 5)' AS pz_rt,
+       CAST(32700 + floor(((-57.0 + CAST(x1 % 500 AS DOUBLE) / 100)
+            + 180.0) / 6.0) + 1 AS BIGINT) AS srid_best,
+       TRUE AS crosses_w,
+       FALSE AS crosses_n,
+       CAST(round(((-57.0 + CAST(x1 % 500 AS DOUBLE) / 100) + 360.0)
+            * 1e6) AS BIGINT) AS shift_x_q,
+       CAST(round({a} * radians((1 + property_id % 4) / 10.0) * 1000)
+            AS BIGINT) AS eq_len_mm,
+       CAST(600 AS BIGINT) AS uu_area_q,
+       CAST(round((x2 - x1) * (y2 - y1) * 100) AS BIGINT) AS poly_area_q,
+       CAST(4 AS BIGINT) AS sub_pieces,
+       CAST(round(degrees(radians(CAST(x1 AS DOUBLE))) * 1e6) AS BIGINT)
+           AS deg_q,
+       CAST(NULL AS DOUBLE) AS mmin_null
+FROM land_use
+"""
+
+def _wgs84_a_repr() -> str:
+    """repr() of the kernel's own semi-major axis — both engines parse
+    the same shortest-round-trip decimal (the _utm_consts pattern)."""
+    from ..kernel import transform as _T
+
+    return repr(_T._A)
+
+
+ST_NAME_PARITY_OPS_ORACLE = ST_NAME_PARITY_OPS_ORACLE_TEMPLATE.format(
+    cte=fixtures.LAND_USE_CTE.strip(), a=_wgs84_a_repr())
+
+
 def st_binary_carrier_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The r8 WKB binary carrier end-to-end across its widened surface
     (functions/geomb.py): one text parse at the edge, then centroid →

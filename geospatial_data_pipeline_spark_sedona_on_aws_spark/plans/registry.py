@@ -77,6 +77,7 @@ QUERIES: dict[str, QueryFn] = {
     # judge-replica-verified twice) ---
     "st_buffer_round": P.st_buffer_round,       # round-join ε-buffer
     "st_binary_carrier_ops": P.st_binary_carrier_ops,  # r8: WKB carrier breadth
+    "st_name_parity_ops": P.st_name_parity_ops,  # r8: name-parity batch
     "st_buffer_line_point": P.st_buffer_line_point,  # r7: lineal/puntal
     "st_affine_ops": P.st_affine_ops,           # r7: affine/precision
     "st_measure_ops": P.st_measure_ops,         # r7: distance measures
@@ -528,7 +529,9 @@ _R8_WINDOW = [
     "minhash_lsh_candidates",
     "spatial_knn_join",
     "multimodal_wav_decode",     # decode_media module also changed
-    "embedding_lsh_ann",
+    "st_name_parity_ops",        # NEW r8 late: name-parity batch
+    # (embedding_lsh_ann deferred — cumulative ledger green since r4,
+    # similarity family stays seated via embedding_topk_cosine)
 ]
 _WINDOW = _R8_WINDOW
 # a duplicated name would silently dedupe in the dict rebuild below,
@@ -547,6 +550,7 @@ ORACLES: dict[str, str] = {
     "st_area_rect": P.ST_AREA_RECT_ORACLE,
     "st_buffer_round": P.ST_BUFFER_ROUND_ORACLE,
     "st_binary_carrier_ops": P.ST_BINARY_CARRIER_OPS_ORACLE,
+    "st_name_parity_ops": P.ST_NAME_PARITY_OPS_ORACLE,
     "st_buffer_line_point": P.ST_BUFFER_LINE_POINT_ORACLE,
     "st_affine_ops": P.ST_AFFINE_OPS_ORACLE,
     "st_measure_ops": P.ST_MEASURE_OPS_ORACLE,
