@@ -3072,6 +3072,115 @@ def _subdivide_explode(s: str | None, max_vertices: int) -> list | None:
     return [GT.to_wkt((kind, data))]
 
 
+def _line_merge(s: str | None) -> str | None:
+    """PostGIS/JTS ST_LineMerge: stitch a MULTILINESTRING's paths
+    together at nodes where exactly two path ends meet (degree-2 nodes;
+    higher-degree junctions stay split — the JTS LineMerger rule).
+    LINESTRING input canonicalizes; non-lineal input raises."""
+    if s is None:
+        return None
+    kind, data = GT.strip_z(GT.parse_wkt(s))
+    if kind == "LINESTRING":
+        return GT.to_wkt((kind, data))
+    if kind != "MULTILINESTRING":
+        raise G.GeomError("ST_LineMerge takes lineal input")
+    paths: list = [list(p) for p in data]
+    merged = True
+    while merged:
+        merged = False
+        ends: dict = {}
+        for i, p in enumerate(paths):
+            if p is None:
+                continue
+            for endpt in (p[0], p[-1]):
+                ends.setdefault(endpt, []).append(i)
+        for pt, idxs in ends.items():
+            inc: list = []
+            for i in set(idxs):
+                if paths[i][0] == pt:
+                    inc.append(i)
+                if paths[i][-1] == pt:
+                    inc.append(i)
+            if len(inc) == 2 and inc[0] != inc[1]:
+                a, b = inc
+                pa, pb = paths[a], paths[b]
+                if pa[-1] != pt:
+                    pa = pa[::-1]
+                if pb[0] != pt:
+                    pb = pb[::-1]
+                paths[a] = pa + pb[1:]
+                paths[b] = None
+                merged = True
+                break
+    out = [p for p in paths if p]
+    return GT.to_wkt(("MULTILINESTRING", out))
+
+
+def _triangulate_polygon(s: str | None) -> str | None:
+    """PostGIS/Sedona ST_TriangulatePolygon: ear-clipping triangulation
+    of each simple (hole-free) polygon, returned as a
+    GEOMETRYCOLLECTION of triangles. A simple CCW ring always has an ear
+    (the two-ears theorem), so the clip loop terminates with exactly
+    n−2 triangles whose areas sum to the polygon's. Holes raise the
+    documented GeomError (constrained Delaunay is out of scope)."""
+    if s is None:
+        return None
+    g = G.normalize(G.parse_wkt(s)) if _is_areal(s) else None
+    if g is None:
+        kind, data = GT.strip_z(GT.parse_wkt(s))
+        if GT.basekind(kind) not in ("POLYGON", "MULTIPOLYGON"):
+            raise G.GeomError("ST_TriangulatePolygon takes areal input")
+        g = G.normalize(data)
+    tris: list = []
+    for poly in g:
+        if len(poly) > 1:
+            raise G.GeomError(
+                "ST_TriangulatePolygon does not support holes")
+        tris.extend(_ear_clip(list(poly[0])))
+    if not tris:
+        return "GEOMETRYCOLLECTION EMPTY"
+    return GT.to_wkt(("GEOMETRYCOLLECTION",
+                      [("POLYGON", [[t]]) for t in tris]))
+
+
+def _ear_clip(ring: list) -> list:
+    """Ears of a CCW simple ring, clipped until a triangle remains."""
+
+    def cross(a, b, c):
+        return ((b[0] - a[0]) * (c[1] - a[1])
+                - (b[1] - a[1]) * (c[0] - a[0]))
+
+    def inside(p, a, b, c):
+        # strict interior or on an edge of triangle abc (CCW)
+        return (cross(a, b, p) >= 0 and cross(b, c, p) >= 0
+                and cross(c, a, p) >= 0)
+
+    out: list = []
+    r = list(ring)
+    guard = 0
+    while len(r) > 3 and guard < len(ring) * len(ring) + 16:
+        guard += 1
+        n = len(r)
+        clipped = False
+        for i in range(n):
+            a, b, c = r[i - 1], r[i], r[(i + 1) % n]
+            if cross(a, b, c) <= 0:
+                continue  # reflex or collinear — not an ear
+            if any(inside(p, a, b, c) for j, p in enumerate(r)
+                   if p not in (a, b, c)):
+                continue
+            out.append([a, b, c])
+            del r[i]
+            clipped = True
+            break
+        if not clipped:
+            # all remaining vertices collinear/degenerate — drop one
+            r.pop()
+    if len(r) == 3 and cross(r[0], r[1], r[2]) != 0:
+        out.append(r)
+    return out
+
+
 # --------------------------------------------------------------- pandas UDFs
 
 # Vectorized rect fast path for the unary hygiene UDFs. A string matching
@@ -3994,6 +4103,14 @@ def st_subdivide_explode(s: pd.Series, mv: pd.Series) -> pd.Series:
                       else _subdivide_explode(g, int(v))
                       for g, v in zip(s, mv)], index=s.index)
 
+@pandas_udf(StringType())
+def st_linemerge(s: pd.Series) -> pd.Series:
+    return s.map(_line_merge, na_action="ignore")
+
+@pandas_udf(StringType())
+def st_triangulatepolygon(s: pd.Series) -> pd.Series:
+    return s.map(_triangulate_polygon, na_action="ignore")
+
 @pandas_udf(DoubleType())
 def st_degrees(x: pd.Series) -> pd.Series:
     import math
@@ -4332,6 +4449,8 @@ _REGISTRY = {
     "ST_MMax": st_mmax,
     "ST_SubDivideExplode": st_subdivide_explode,
     "ST_Degrees": st_degrees,
+    "ST_LineMerge": st_linemerge,
+    "ST_TriangulatePolygon": st_triangulatepolygon,
     "ST_MakePolygon": st_makepolygon,
     "ST_LineMerge": st_linemerge,
     "ST_RemoveRepeatedPoints": st_removerepeatedpoints,

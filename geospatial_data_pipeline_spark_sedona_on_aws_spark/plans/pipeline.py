@@ -307,6 +307,24 @@ def st_name_parity_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(round(ST_Degrees(radians(CAST(x1 AS DOUBLE))) * 1e6)"
         " AS BIGINT) AS deg_q",
         "ST_MMin(ST_MakeEnvelope(x1, y1, x2, y2)) AS mmin_null",
+        # ST_LineMerge: two touching segments stitch into one path, a
+        # disjoint third stays separate (degree-2 stitching rule)
+        "ST_LineMerge(concat_ws('', 'MULTILINESTRING ((', x1, ' ', y1,"
+        " ', ', x2, ' ', y1, '), (', x2, ' ', y1, ', ', x2, ' ', y2,"
+        " '))')) AS lm_path",
+        "CAST(ST_NumGeometries(ST_LineMerge(concat_ws('',"
+        " 'MULTILINESTRING ((', x1, ' ', y1, ', ', x2, ' ', y1, '), (',"
+        " x2, ' ', y1, ', ', x2, ' ', y2, '), (', x1 + 1000, ' ', y1,"
+        " ', ', x1 + 1001, ' ', y1, '))'))) AS BIGINT) AS lm_n",
+        # ST_TriangulatePolygon: a rect ear-clips into exactly 2
+        # triangles covering it; the 12-vertex cross into 10
+        "CAST(ST_NumGeometries(ST_TriangulatePolygon("
+        "ST_MakeEnvelope(x1, y1, x2, y2))) AS BIGINT) AS tri_n",
+        "CAST(round(ST_Area(ST_TriangulatePolygon("
+        "ST_MakeEnvelope(x1, y1, x2, y2))) * 100) AS BIGINT)"
+        " AS tri_area_q",
+        f"CAST(ST_NumGeometries(ST_TriangulatePolygon({cross}))"
+        " AS BIGINT) AS tri_cross_n",
     )
 
 
@@ -331,7 +349,13 @@ SELECT property_id,
        CAST(4 AS BIGINT) AS sub_pieces,
        CAST(round(degrees(radians(CAST(x1 AS DOUBLE))) * 1e6) AS BIGINT)
            AS deg_q,
-       CAST(NULL AS DOUBLE) AS mmin_null
+       CAST(NULL AS DOUBLE) AS mmin_null,
+       'LINESTRING (' || x1 || ' ' || y1 || ', ' || x2 || ' ' || y1 ||
+           ', ' || x2 || ' ' || y2 || ')' AS lm_path,
+       CAST(2 AS BIGINT) AS lm_n,
+       CAST(2 AS BIGINT) AS tri_n,
+       CAST(round((x2 - x1) * (y2 - y1) * 100) AS BIGINT) AS tri_area_q,
+       CAST(10 AS BIGINT) AS tri_cross_n
 FROM land_use
 """
 

@@ -98,3 +98,40 @@ def test_expand_degenerate_envelopes():
         "POINT (1 1)"
     assert S._expand("POINT (3 4)", 1) == \
         "POLYGON ((2 3, 4 3, 4 5, 2 5, 2 3))"
+
+
+def test_line_merge_degree_rules():
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel import geomtypes as GT
+
+    # two touching segments stitch; reversed orientation still stitches
+    assert S._line_merge("MULTILINESTRING ((0 0, 4 0), (4 0, 4 3))") == \
+        "LINESTRING (0 0, 4 0, 4 3)"
+    m = S._line_merge("MULTILINESTRING ((4 0, 0 0), (4 0, 4 3))")
+    assert S._length(m) == 7.0 and GT.parse_wkt(m)[0] == "LINESTRING"
+    # a degree-3 junction stays split (the JTS LineMerger rule)
+    m3 = S._line_merge(
+        "MULTILINESTRING ((0 0, 1 0), (1 0, 2 0), (1 0, 1 1))")
+    assert len(GT.parse_wkt(m3)[1]) == 3
+    # a closed chain of 3 segments merges into one closed path
+    mc = S._line_merge(
+        "MULTILINESTRING ((0 0, 4 0), (4 0, 2 3), (2 3, 0 0))")
+    k, d = GT.parse_wkt(mc)
+    assert k == "LINESTRING" and d[0][0] == d[0][-1] and len(d[0]) == 4
+
+
+def test_triangulate_polygon_counts_and_area():
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel import geomtypes as GT
+
+    t = S._triangulate_polygon("POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))")
+    k, mem = GT.parse_wkt(t)
+    assert k == "GEOMETRYCOLLECTION" and len(mem) == 2
+    assert abs(S._area(t) - 12.0) < 1e-9
+    cross = ("POLYGON ((2 0, 8 0, 8 2, 10 2, 10 6, 8 6, 8 8, 2 8, 2 6,"
+             " 0 6, 0 2, 2 2, 2 0))")
+    t2 = S._triangulate_polygon(cross)
+    assert len(GT.parse_wkt(t2)[1]) == 10
+    assert abs(S._area(t2) - 64.0) < 1e-9
+    with pytest.raises(Exception):
+        S._triangulate_polygon(
+            "POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0),"
+            " (3 3, 3 6, 6 6, 6 3, 3 3))")  # holes unsupported
