@@ -3072,6 +3072,48 @@ def _subdivide_explode(s: str | None, max_vertices: int) -> list | None:
     return [GT.to_wkt((kind, data))]
 
 
+def _generate_points(s: str | None, n: int,
+                     seed: int = 0) -> str | None:
+    """Sedona ST_GeneratePoints(geom, n[, seed]): n uniform random
+    points inside the areal geometry, as MULTIPOINT. Deterministic for a
+    given (geometry, n, seed): rejection sampling from the envelope with
+    Python's seeded Mersenne generator — the SAME bytes on every
+    executor and every run (the engine-defined RNG; Sedona's own stream
+    differs, so cross-engine value parity is out of scope by design —
+    count and containment are the testable contract)."""
+    import random
+
+    if s is None:
+        return None
+    n = int(n)
+    if n <= 0:
+        return "MULTIPOINT EMPTY"
+    if _is_areal(s):
+        g = G.normalize(G.parse_wkt(s))
+    else:
+        kind, data = GT.strip_z(GT.parse_wkt(s))
+        if GT.basekind(kind) not in ("POLYGON", "MULTIPOLYGON"):
+            raise G.GeomError("ST_GeneratePoints takes areal input")
+        g = G.normalize(data)
+    if not g:
+        return "MULTIPOINT EMPTY"
+    x1, y1, x2, y2 = G.bounds(g)
+    rng = random.Random((int(seed) * 1000003) ^ n)
+    pts = []
+    guard = 0
+    while len(pts) < n and guard < n * 10000:
+        guard += 1
+        px = rng.uniform(x1, x2)
+        py = rng.uniform(y1, y2)
+        if any(GT.point_in_polygon(px, py, [poly]) for poly in g):
+            pts.append((px, py))
+    if len(pts) < n:
+        raise G.GeomError(
+            "ST_GeneratePoints: rejection sampling starved (zero-area "
+            "or sliver geometry)")
+    return _force_multi_wkt("MULTIPOINT", "", pts)
+
+
 def _line_merge(s: str | None) -> str | None:
     """PostGIS/JTS ST_LineMerge: stitch a MULTILINESTRING's paths
     together at nodes where exactly two path ends meet (degree-2 nodes;
@@ -4108,6 +4150,14 @@ def st_linemerge(s: pd.Series) -> pd.Series:
     return s.map(_line_merge, na_action="ignore")
 
 @pandas_udf(StringType())
+def st_generatepoints(s: pd.Series, n: pd.Series,
+                      seed: pd.Series) -> pd.Series:
+    return pd.Series([None if g is None or pd.isna(k)
+                      else _generate_points(g, int(k),
+                                            0 if pd.isna(sd) else int(sd))
+                      for g, k, sd in zip(s, n, seed)], index=s.index)
+
+@pandas_udf(StringType())
 def st_triangulatepolygon(s: pd.Series) -> pd.Series:
     return s.map(_triangulate_polygon, na_action="ignore")
 
@@ -4451,6 +4501,7 @@ _REGISTRY = {
     "ST_Degrees": st_degrees,
     "ST_LineMerge": st_linemerge,
     "ST_TriangulatePolygon": st_triangulatepolygon,
+    "ST_GeneratePoints": st_generatepoints,
     "ST_MakePolygon": st_makepolygon,
     "ST_LineMerge": st_linemerge,
     "ST_RemoveRepeatedPoints": st_removerepeatedpoints,

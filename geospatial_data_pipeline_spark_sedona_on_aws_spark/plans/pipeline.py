@@ -325,6 +325,13 @@ def st_name_parity_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS tri_area_q",
         f"CAST(ST_NumGeometries(ST_TriangulatePolygon({cross}))"
         " AS BIGINT) AS tri_cross_n",
+        # ST_GeneratePoints: count is exact; containment closes the loop
+        # through the independently-oracled ST_Contains
+        "CAST(ST_NPoints(ST_GeneratePoints(ST_MakeEnvelope(x1, y1, x2,"
+        " y2), 7, property_id)) AS BIGINT) AS gen_n",
+        "ST_Contains(ST_MakeEnvelope(x1, y1, x2, y2),"
+        " ST_GeneratePoints(ST_MakeEnvelope(x1, y1, x2, y2), 7,"
+        " property_id)) AS gen_inside",
     )
 
 
@@ -355,7 +362,9 @@ SELECT property_id,
        CAST(2 AS BIGINT) AS lm_n,
        CAST(2 AS BIGINT) AS tri_n,
        CAST(round((x2 - x1) * (y2 - y1) * 100) AS BIGINT) AS tri_area_q,
-       CAST(10 AS BIGINT) AS tri_cross_n
+       CAST(10 AS BIGINT) AS tri_cross_n,
+       CAST(7 AS BIGINT) AS gen_n,
+       TRUE AS gen_inside
 FROM land_use
 """
 
