@@ -774,6 +774,46 @@ FROM bounds b JOIN uarea u
   ON u.region_id = b.region_id AND u.season_id = b.season_id
 """
 
+def st_union_aggr_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r8 salted two-phase ST_Union_Aggr plan
+    (functions/spatial.salted_union_aggr) driver-verified against the
+    SAME distinct-unit-cell oracle as the direct UDAF: geometric union
+    is associative, so the union of per-(key, salt) partial unions IS
+    the group union — the hot-key escape where no single task ever
+    aggregates more than ~1/buckets of a group's rows. Also exercises
+    the two-shuffle plan shape ((keys…, salt) then keys…)."""
+    from ..functions.spatial import (
+        register_spatial_functions,
+        salted_union_aggr,
+    )
+
+    register_spatial_functions(spark)
+    lu = fixtures.land_use_areas(spark, sf_dir)
+    out = salted_union_aggr(lu, ["region_id", "season_id"],
+                            "land_geometry", buckets=8)
+    return out.selectExpr(
+        "region_id", "season_id",
+        "CAST(round(ST_Area(union_geom)) AS BIGINT) AS union_area_q",
+    )
+
+
+ST_UNION_AGGR_SALTED_ORACLE = f"""
+WITH {fixtures.LAND_USE_CTE.strip()},
+xcells AS (
+    SELECT region_id, season_id, y1, y2, unnest(range(x1, x2)) AS cx
+    FROM land_use
+),
+cells AS (
+    SELECT DISTINCT region_id, season_id, cx, cy
+    FROM (SELECT region_id, season_id, cx, unnest(range(y1, y2)) AS cy
+          FROM xcells)
+)
+SELECT region_id, season_id,
+       CAST(count(*) AS BIGINT) AS union_area_q
+FROM cells GROUP BY region_id, season_id
+"""
+
+
 def st_triangulate_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_DelaunayTriangles / ST_VoronoiPolygons (r7: scan triangulation
     + Lawson flips; half-plane Voronoi cells — kernel/triangulate.py).

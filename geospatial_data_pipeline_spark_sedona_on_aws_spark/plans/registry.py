@@ -78,6 +78,7 @@ QUERIES: dict[str, QueryFn] = {
     "st_buffer_round": P.st_buffer_round,       # round-join ε-buffer
     "st_binary_carrier_ops": P.st_binary_carrier_ops,  # r8: WKB carrier breadth
     "st_name_parity_ops": P.st_name_parity_ops,  # r8: name-parity batch
+    "st_union_aggr_salted": P.st_union_aggr_salted,  # r8: two-phase UDAF
     "st_buffer_line_point": P.st_buffer_line_point,  # r7: lineal/puntal
     "st_affine_ops": P.st_affine_ops,           # r7: affine/precision
     "st_measure_ops": P.st_measure_ops,         # r7: distance measures
@@ -527,7 +528,8 @@ _R8_WINDOW = [
     # replica r7 keeps it verified) ---
     "exact_dedup",
     "minhash_lsh_candidates",
-    "spatial_knn_join",
+    "st_union_aggr_salted",      # NEW r8 late: salted two-phase UDAF
+    # (spatial_knn_join deferred — judge replica r7 keeps it verified)
     "multimodal_wav_decode",     # decode_media module also changed
     "st_name_parity_ops",        # NEW r8 late: name-parity batch
     # (embedding_lsh_ann deferred — cumulative ledger green since r4,
@@ -551,6 +553,7 @@ ORACLES: dict[str, str] = {
     "st_buffer_round": P.ST_BUFFER_ROUND_ORACLE,
     "st_binary_carrier_ops": P.ST_BINARY_CARRIER_OPS_ORACLE,
     "st_name_parity_ops": P.ST_NAME_PARITY_OPS_ORACLE,
+    "st_union_aggr_salted": P.ST_UNION_AGGR_SALTED_ORACLE,
     "st_buffer_line_point": P.ST_BUFFER_LINE_POINT_ORACLE,
     "st_affine_ops": P.ST_AFFINE_OPS_ORACLE,
     "st_measure_ops": P.ST_MEASURE_OPS_ORACLE,
