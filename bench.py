@@ -85,6 +85,7 @@ HEADLINE = [
     # round 8 additions
     "st_transform_roundtrip",  # double CRS projection on the WKB carrier
     "multimodal_jpeg_decode",  # stdlib baseline JPEG encode->decode loop
+    "multimodal_audio_features",  # decoded-stream RMS/ZC/peak features
 ]
 
 # scale-curve sweep (--sweep): the most expensive headline queries measured

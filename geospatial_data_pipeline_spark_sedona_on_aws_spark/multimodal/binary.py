@@ -27,6 +27,7 @@ byte-level stand-in for those.
 
 from __future__ import annotations
 
+import math
 import struct
 import zlib
 from collections.abc import Iterator
@@ -785,6 +786,84 @@ SELECT doc_id,
        CAST(n_samples * 1000000 // sample_rate AS BIGINT) AS duration_us
 FROM m
 """
+
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio FEATURE extraction (r8): encode the same deterministic
+    PCM16 waveform as multimodal_wav_decode, decode it back, then compute
+    the features a training-data audio pipeline actually filters on —
+    RMS energy, zero-crossing count, peak amplitude — from the DECODED
+    samples (numpy over the interleaved stream). The oracle recomputes
+    every feature from the waveform law directly, so a defect anywhere in
+    encode → decode → feature math breaks the hash. Zero crossings use
+    the strict sign-product rule v_{j-1}·v_j < 0 (no crossing on exact
+    zeros), which SQL replicates with a windowed lag."""
+    docs = _docs(spark, sf_dir, "doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ch = 1 + d % 2
+                rate = 8000 + 4000 * (d % 3)
+                n = WAV_BASE_FRAMES + d % WAV_FRAMES_MOD
+                j = np.arange(n * ch, dtype=np.int64)
+                samples = ((d * 37 + 5 * j) % WAV_AMP_MOD - WAV_AMP_OFF
+                           ).astype(np.int16).reshape(n, ch)
+                payload = wav_encode(samples, rate, n_channels=ch)
+                dec = decode_media(bytes(payload), "audio/wav")
+                v = dec["samples"].astype(np.int64).ravel()
+                # exact integer sum of squares, then ONE float divide +
+                # sqrt — bit-identical in both engines (a float mean
+                # would differ in summation order)
+                rms = math.sqrt(int(np.sum(v * v)) / len(v))
+                zc = int(np.count_nonzero(v[:-1] * v[1:] < 0))
+                rows.append((
+                    d, len(v),
+                    int(round(rms * 1000)),
+                    zc,
+                    int(np.abs(v).max()),
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_values", "rms_q", "zero_crossings", "peak"])
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, n_values long, rms_q long, "
+               "zero_crossings long, peak long",
+    )
+
+
+MULTIMODAL_AUDIO_FEATURES_ORACLE = f"""
+WITH m AS (
+    SELECT doc_id,
+           (1 + doc_id % 2)
+             * ({WAV_BASE_FRAMES} + doc_id % {WAV_FRAMES_MOD}) AS nv
+    FROM documents
+),
+v AS (
+    SELECT doc_id, nv, j,
+           (doc_id * 37 + 5 * j) % {WAV_AMP_MOD} - {WAV_AMP_OFF} AS val
+    FROM (SELECT doc_id, nv, unnest(range(0, CAST(nv AS INT))) AS j
+          FROM m)
+),
+lagged AS (
+    SELECT doc_id, nv, val,
+           lag(val) OVER (PARTITION BY doc_id ORDER BY j) AS prev
+    FROM v
+)
+SELECT doc_id,
+       CAST(max(nv) AS BIGINT) AS n_values,
+       CAST(round(sqrt(CAST(sum(val * val) AS DOUBLE)
+                       / CAST(max(nv) AS DOUBLE)) * 1000) AS BIGINT)
+           AS rms_q,
+       CAST(sum(CASE WHEN prev IS NOT NULL AND prev * val < 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+       CAST(max(abs(val)) AS BIGINT) AS peak
+FROM lagged
+GROUP BY doc_id
+"""
+
 
 # Deterministic per-doc video law (SQL-expressible): luma pixel j of frame f
 # of doc d is ((d*13 + f*7 + 3j) % 247); n_frames = 3 + d % 4; 8×4 mono

@@ -279,6 +279,7 @@ QUERIES: dict[str, QueryFn] = {
     # --- multimodal / Python DataSource ---
     "multimodal_png_decode": MM.multimodal_png_decode,
     "multimodal_jpeg_decode": MM.multimodal_jpeg_decode,  # r8: stdlib baseline JPEG
+    "multimodal_audio_features": MM.multimodal_audio_features,  # r8: RMS/ZC/peak
     "multimodal_features": MM.multimodal_features,
     "pyds_sensor_hourly": PDS.sensor_hourly,
     "pyds_jsonl_commit_roundtrip": PDS.crop_jsonl_commit_roundtrip,
@@ -527,7 +528,10 @@ _R8_WINDOW = [
     # --- next-stalest family rows (5; window_zoo deferred — judge
     # replica r7 keeps it verified) ---
     "exact_dedup",
-    "minhash_lsh_candidates",
+    "multimodal_audio_features", # NEW r8 late: decoded-stream features
+    # (minhash_lsh_candidates deferred — judge replica r7 keeps it
+    # verified; dedup family stays seated via ngram_jaccard_verified
+    # and exact_dedup)
     "st_union_aggr_salted",      # NEW r8 late: salted two-phase UDAF
     # (spatial_knn_join deferred — judge replica r7 keeps it verified)
     "multimodal_wav_decode",     # decode_media module also changed
@@ -730,6 +734,7 @@ ORACLES: dict[str, str] = {
     "multimodal_features": MM.MULTIMODAL_FEATURES_ORACLE,
     "multimodal_png_decode": MM.MULTIMODAL_PNG_DECODE_ORACLE,
     "multimodal_jpeg_decode": MM.MULTIMODAL_JPEG_DECODE_ORACLE,
+    "multimodal_audio_features": MM.MULTIMODAL_AUDIO_FEATURES_ORACLE,
     "multimodal_wav_decode": MM.MULTIMODAL_WAV_DECODE_ORACLE,
     "multimodal_y4m_decode": MM.MULTIMODAL_Y4M_DECODE_ORACLE,
     "crop_analytics_full": P.CROP_ANALYTICS_FULL_ORACLE,
