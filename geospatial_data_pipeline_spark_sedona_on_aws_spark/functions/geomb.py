@@ -40,6 +40,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -385,6 +386,112 @@ def st_bufferround_b(b: pd.Series, d: pd.Series, q: pd.Series) -> pd.Series:
     return pd.Series(out, index=b.index, dtype=object)
 
 
+# ------------------------------------------------- predicates (r8 late)
+
+def _wkt_of(p: PK.PackedBatch, i: int):
+    tg = PK.row_tgeom(p, i)
+    return None if tg is None else GT.to_wkt(tg)
+
+
+def _pair_predicate_b(a: pd.Series, b: pd.Series, law, scalar_fn
+                      ) -> pd.Series:
+    """Binary twin of the text surface's _rect_pair_predicate: where both
+    sides are canonical rects (kernel/packed.rect_bounds_np — value-level,
+    no text contract needed) the DE-9IM law is whole-batch interval
+    arithmetic; every other row routes through the SAME scalar kernel as
+    the text UDFs (via one WKT conversion, fallback rows only)."""
+    pa = PK.pack_wkb(_tolist(a))
+    pb = PK.pack_wkb(_tolist(b))
+    ma, ax1, ay1, ax2, ay2 = PK.rect_bounds_np(pa)
+    mb, bx1, by1, bx2, by2 = PK.rect_bounds_np(pb)
+    both = ma & mb
+    out = pd.Series([None] * pa.n, index=a.index, dtype="object")
+    if both.any():
+        vals = law(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2)
+        out[both] = pd.Series(vals, index=a.index)[both].astype("object")
+    for i in np.flatnonzero(~both):
+        wa, wb = _wkt_of(pa, i), _wkt_of(pb, i)
+        out.iloc[i] = scalar_fn(wa, wb)
+    return out
+
+
+def _bool_b(law, scalar_fn):
+    @pandas_udf(BooleanType())
+    def fn(a: pd.Series, b: pd.Series) -> pd.Series:
+        return _pair_predicate_b(a, b, law, scalar_fn)
+
+    return fn
+
+
+def _scalar_disjoint(x, y):
+    v = S._intersects(x, y)
+    return None if v is None else not v
+
+
+def _law_disjoint(*bb):
+    return ~S._law_intersects(*bb)
+
+
+def _law_touches(*bb):
+    return S._law_intersects(*bb) & ~S._law_strict(*bb)
+
+
+def _law_contains(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2):
+    return (ax1 <= bx1) & (bx2 <= ax2) & (ay1 <= by1) & (by2 <= ay2)
+
+
+def _law_within(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2):
+    return _law_contains(bx1, by1, bx2, by2, ax1, ay1, ax2, ay2)
+
+
+def _law_overlaps(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2):
+    a_in_b = _law_within(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2)
+    b_in_a = _law_contains(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2)
+    return (S._law_strict(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2)
+            & ~a_in_b & ~b_in_a)
+
+
+def _law_equals(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2):
+    return (ax1 == bx1) & (ay1 == by1) & (ax2 == bx2) & (ay2 == by2)
+
+
+def _law_crosses(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2):
+    # areal×areal crosses is false by definition (DE-9IM dimension rule)
+    return np.zeros(len(np.atleast_1d(ax1)), dtype=bool)
+
+
+st_crosses_b = _bool_b(_law_crosses, S._crosses)
+st_intersects_b = _bool_b(S._law_intersects, S._intersects)
+st_disjoint_b = _bool_b(_law_disjoint, _scalar_disjoint)
+st_touches_b = _bool_b(_law_touches, S._touches)
+st_overlaps_b = _bool_b(_law_overlaps, S._overlaps)
+st_equals_b = _bool_b(_law_equals, S._equals)
+st_contains_b = _bool_b(_law_contains, S._contains)
+st_within_b = _bool_b(_law_within, lambda x, y: S._contains(y, x))
+
+
+@pandas_udf(DoubleType())
+def st_distance_b(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Rect×rect pairs: axis-gap hypot over the whole batch; everything
+    else the scalar kernel (same closest-pair semantics as ST_Distance)."""
+    pa = PK.pack_wkb(_tolist(a))
+    pb = PK.pack_wkb(_tolist(b))
+    ma, ax1, ay1, ax2, ay2 = PK.rect_bounds_np(pa)
+    mb, bx1, by1, bx2, by2 = PK.rect_bounds_np(pb)
+    both = ma & mb
+    out = np.full(pa.n, np.nan)
+    if both.any():
+        gx = np.maximum(0.0, np.maximum(bx1 - ax2, ax1 - bx2))
+        gy = np.maximum(0.0, np.maximum(by1 - ay2, ay1 - by2))
+        out[both] = np.hypot(gx, gy)[both]
+    for i in np.flatnonzero(~both):
+        wa, wb = _wkt_of(pa, i), _wkt_of(pb, i)
+        v = S._distance(wa, wb)
+        if v is not None:
+            out[i] = v
+    return pd.Series(out, index=a.index)
+
+
 # ------------------------------------------------------------ registration
 
 REGISTRY_B = {
@@ -400,4 +507,13 @@ REGISTRY_B = {
     "ST_Envelope_B": st_envelope_b,
     "ST_X_B": st_x_b,
     "ST_Y_B": st_y_b,
+    "ST_Intersects_B": st_intersects_b,
+    "ST_Disjoint_B": st_disjoint_b,
+    "ST_Touches_B": st_touches_b,
+    "ST_Overlaps_B": st_overlaps_b,
+    "ST_Equals_B": st_equals_b,
+    "ST_Contains_B": st_contains_b,
+    "ST_Within_B": st_within_b,
+    "ST_Crosses_B": st_crosses_b,
+    "ST_Distance_B": st_distance_b,
 }

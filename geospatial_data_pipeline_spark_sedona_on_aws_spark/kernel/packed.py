@@ -656,6 +656,41 @@ def bounds_np(p: PackedBatch) -> np.ndarray:
     return out
 
 
+def rect_bounds_np(p: PackedBatch):
+    """(mask, x1, y1, x2, y2): rows that are PROVABLY the canonical CCW
+    axis-aligned rectangle walk (x1 y1, x2 y1, x2 y2, x1 y2) with
+    positive extent — the binary-carrier twin of the text surface's
+    _RECT_FIXED_RE contract (no integer-text requirement: the carrier
+    needs value equality, not text fixed-points)."""
+    rpg = p.rings_per_geom()
+    cand = (p.kind == POLYGON) & (rpg == 1)
+    x1 = np.full(p.n, np.nan)
+    y1 = np.full(p.n, np.nan)
+    x2 = np.full(p.n, np.nan)
+    y2 = np.full(p.n, np.nan)
+    if cand.any():
+        rings = p.geom_off[:-1][cand]
+        cand2 = cand.copy()
+        cand2[cand] = p.ring_len()[rings] == 4
+        if cand2.any():
+            starts = p.ring_off[p.geom_off[:-1][cand2]]
+            c = p.coords
+            q = np.stack([c[starts], c[starts + 1],
+                          c[starts + 2], c[starts + 3]], axis=1)
+            ok = ((q[:, 0, 0] == q[:, 3, 0]) & (q[:, 1, 0] == q[:, 2, 0])
+                  & (q[:, 0, 1] == q[:, 1, 1]) & (q[:, 2, 1] == q[:, 3, 1])
+                  & (q[:, 1, 0] > q[:, 0, 0]) & (q[:, 2, 1] > q[:, 0, 1]))
+            idx = np.flatnonzero(cand2)[ok]
+            x1[idx] = q[ok, 0, 0]
+            y1[idx] = q[ok, 0, 1]
+            x2[idx] = q[ok, 1, 0]
+            y2[idx] = q[ok, 2, 1]
+            mask = np.zeros(p.n, dtype=bool)
+            mask[idx] = True
+            return mask, x1, y1, x2, y2
+    return np.zeros(p.n, dtype=bool), x1, y1, x2, y2
+
+
 def centroid_np(p: PackedBatch):
     """Vectorized area-weighted centroid for SINGLE-RING areal rows (the
     same cross accumulation as functions/spatial._centroid_areal_val, in

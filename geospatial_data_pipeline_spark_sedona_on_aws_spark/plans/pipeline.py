@@ -2259,6 +2259,39 @@ FROM j
 """
 
 
+def st_binary_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DE-9IM predicate family on the WKB BINARY carrier
+    (functions/geomb.py `_B` twins) — the same parcel×region pairs, the
+    same interval closed forms, the SAME oracle as st_predicates: a
+    standing equivalence pin between the text and binary surfaces on
+    real data, and the carrier's join-predicate story (a 100 TB
+    pre-filter stage evaluates these against packed rect bounds with
+    zero per-row text)."""
+    from ..functions.spatial import register_spatial_functions
+
+    register_spatial_functions(spark)
+    lu = fixtures.land_use_areas(spark, sf_dir).where("property_id % 5 = 0")
+    regions = fixtures.geographic_regions(spark, sf_dir)
+    j = lu.join(F.broadcast(regions), lu["region_id"] == regions["id"],
+                "inner")
+    shifted = fixtures.rect_wkt_sql(
+        "x1 + property_id % 2", "y1", "x2 + property_id % 2", "y2")
+    return j.selectExpr(
+        "property_id",
+        "ST_GeomFromWKT_B(land_geometry) AS __a",
+        "ST_GeomFromWKT_B(region_geometry) AS __b",
+        f"ST_GeomFromWKT_B({shifted}) AS __s",
+    ).selectExpr(
+        "property_id",
+        "ST_Intersects_B(__a, __b) AS intersects_rr",
+        "ST_Disjoint_B(__a, __b) AS disjoint_rr",
+        "ST_Touches_B(__a, __b) AS touches_rr",
+        "ST_Overlaps_B(__a, __b) AS overlaps_rr",
+        "ST_Equals_B(__a, __s) AS equals_shift",
+        "ST_Crosses_B(__a, __b) AS crosses_rr",
+    )
+
+
 def st_line_relate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_Intersects / ST_Touches / ST_Crosses / ST_Within for the
     lineal×areal pair: an always-positive-slope segment against its region

@@ -79,6 +79,7 @@ QUERIES: dict[str, QueryFn] = {
     "st_binary_carrier_ops": P.st_binary_carrier_ops,  # r8: WKB carrier breadth
     "st_name_parity_ops": P.st_name_parity_ops,  # r8: name-parity batch
     "st_union_aggr_salted": P.st_union_aggr_salted,  # r8: two-phase UDAF
+    "st_binary_predicates": P.st_binary_predicates,  # r8: DE-9IM on WKB
     "st_buffer_line_point": P.st_buffer_line_point,  # r7: lineal/puntal
     "st_affine_ops": P.st_affine_ops,           # r7: affine/precision
     "st_measure_ops": P.st_measure_ops,         # r7: distance measures
@@ -506,7 +507,10 @@ _R8_WINDOW = [
     "set_ops",
     "top_customers_per_nation",
     "training_mix",
-    "udtf_token_explode",
+    "st_binary_predicates",      # NEW r8 late: DE-9IM on the WKB carrier
+    # (udtf_token_explode deferred to r9 — cumulative-ledger green,
+    # text family stays seated via repetition_scores + training_mix;
+    # brand-new code earns the gate first)
     "q4_order_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
@@ -558,6 +562,7 @@ ORACLES: dict[str, str] = {
     "st_binary_carrier_ops": P.ST_BINARY_CARRIER_OPS_ORACLE,
     "st_name_parity_ops": P.ST_NAME_PARITY_OPS_ORACLE,
     "st_union_aggr_salted": P.ST_UNION_AGGR_SALTED_ORACLE,
+    "st_binary_predicates": P.ST_PREDICATES_ORACLE,
     "st_buffer_line_point": P.ST_BUFFER_LINE_POINT_ORACLE,
     "st_affine_ops": P.ST_AFFINE_OPS_ORACLE,
     "st_measure_ops": P.ST_MEASURE_OPS_ORACLE,

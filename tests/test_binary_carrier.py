@@ -334,3 +334,62 @@ def test_prop_typed_parse_fast_path_equals_general(seed):
         assert fast == slow, w
         # and the canonical round trip is a fixed point either way
         assert GT.parse_wkt(GT.to_wkt(fast)) == fast, w
+
+
+@pytest.mark.usefixtures("spark")
+def test_binary_predicates_equal_text_surface(spark):
+    """r8 late widening: the DE-9IM `_B` family == the text family over
+    mixed rect / L-shape / point pairs (rect×rect rides the vectorized
+    interval law off packed bounds; everything else the shared scalar
+    kernel)."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions.spatial import (
+        register_spatial_functions,
+    )
+
+    register_spatial_functions(spark)
+    rng = random.Random(29)
+    rows = []
+    for i in range(120):
+        x1, y1 = rng.randint(0, 50), rng.randint(0, 50)
+        w, h = rng.randint(1, 20), rng.randint(1, 20)
+        a = (f"POLYGON (({x1} {y1}, {x1+w} {y1}, {x1+w} {y1+h},"
+             f" {x1} {y1+h}, {x1} {y1}))")
+        if i % 7 == 0:
+            a = f"POINT ({x1} {y1})"
+        elif i % 11 == 0:
+            a = (f"POLYGON (({x1} {y1}, {x1+w+10} {y1}, {x1+w+10} {y1+5},"
+                 f" {x1+5} {y1+5}, {x1+5} {y1+h+10}, {x1} {y1+h+10}))")
+        x2, y2 = rng.randint(0, 50), rng.randint(0, 50)
+        w2, h2 = rng.randint(1, 20), rng.randint(1, 20)
+        b = (f"POLYGON (({x2} {y2}, {x2+w2} {y2}, {x2+w2} {y2+h2},"
+             f" {x2} {y2+h2}, {x2} {y2}))")
+        rows.append((i, a, b))
+    spark.createDataFrame(rows, "id int, a string, b string") \
+        .createOrReplaceTempView("bin_pred")
+    res = spark.sql("""
+      SELECT id,
+        ST_Intersects_B(ST_GeomFromWKT_B(a), ST_GeomFromWKT_B(b)) AS i_b,
+        ST_Intersects(a, b) AS i_t,
+        ST_Disjoint_B(ST_GeomFromWKT_B(a), ST_GeomFromWKT_B(b)) AS d_b,
+        ST_Disjoint(a, b) AS d_t,
+        ST_Touches_B(ST_GeomFromWKT_B(a), ST_GeomFromWKT_B(b)) AS t_b,
+        ST_Touches(a, b) AS t_t,
+        ST_Overlaps_B(ST_GeomFromWKT_B(a), ST_GeomFromWKT_B(b)) AS o_b,
+        ST_Overlaps(a, b) AS o_t,
+        ST_Contains_B(ST_GeomFromWKT_B(a), ST_GeomFromWKT_B(b)) AS c_b,
+        ST_Contains(a, b) AS c_t,
+        ST_Within_B(ST_GeomFromWKT_B(a), ST_GeomFromWKT_B(b)) AS w_b,
+        ST_Within(a, b) AS w_t,
+        ST_Crosses_B(ST_GeomFromWKT_B(a), ST_GeomFromWKT_B(b)) AS x_b,
+        ST_Crosses(a, b) AS x_t,
+        ST_Equals_B(ST_GeomFromWKT_B(a), ST_GeomFromWKT_B(a)) AS e_b,
+        ST_Distance_B(ST_GeomFromWKT_B(a), ST_GeomFromWKT_B(b)) AS dist_b,
+        ST_Distance(a, b) AS dist_t
+      FROM bin_pred ORDER BY id
+    """).collect()
+    for r in res:
+        for p in ("i", "d", "t", "o", "c", "w", "x"):
+            assert r[f"{p}_b"] == r[f"{p}_t"], (r["id"], p)
+        assert r["e_b"] is True
+        assert abs(r["dist_b"] - r["dist_t"]) <= 1e-9 * max(
+            1.0, abs(r["dist_t"])), r["id"]
