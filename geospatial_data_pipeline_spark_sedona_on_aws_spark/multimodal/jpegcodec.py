@@ -193,7 +193,19 @@ def _extend(v: int, t: int) -> int:
 
 def jpeg_decode(data: bytes) -> dict:
     """Decode baseline JPEG bytes to
-    {width, height, channels, pixels (H×W or H×W×3 uint8)}."""
+    {width, height, channels, pixels (H×W or H×W×3 uint8)}. Truncated
+    or corrupt streams raise JpegError (never a bare struct/buffer
+    error), progressive/arithmetic raise NotImplementedError."""
+    try:
+        return _jpeg_decode(data)
+    except (JpegError, NotImplementedError):
+        raise
+    except (struct.error, ValueError, IndexError, KeyError,
+            StopIteration) as exc:
+        raise JpegError(f"corrupt or truncated JPEG: {exc!r}") from exc
+
+
+def _jpeg_decode(data: bytes) -> dict:
     if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
         raise JpegError("not a JPEG (missing SOI)")
     pos = 2

@@ -393,3 +393,67 @@ def test_binary_predicates_equal_text_surface(spark):
         assert r["e_b"] is True
         assert abs(r["dist_b"] - r["dist_t"]) <= 1e-9 * max(
             1.0, abs(r["dist_t"])), r["id"]
+
+
+def test_packed_big_endian_fallback_rows():
+    """Big-endian WKB rows become opaque fallback rows: unpack returns
+    the ORIGINAL bytes verbatim, and the `_B` measure/transform UDFs
+    route them through the scalar kernels (GT.parse_wkb reads either
+    byte order)."""
+    import struct as _s
+
+    import pandas as pd
+
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions import geomb as GB
+
+    # big-endian POINT (3, 4)
+    be_pt = b"\x00" + _s.pack(">I", 1) + _s.pack(">2d", 3.0, 4.0)
+    # big-endian closed rect POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))
+    ring = [(0, 0), (4, 0), (4, 3), (0, 3), (0, 0)]
+    be_poly = (b"\x00" + _s.pack(">I", 3) + _s.pack(">I", 1)
+               + _s.pack(">I", 5)
+               + b"".join(_s.pack(">2d", float(x), float(y))
+                          for x, y in ring))
+    le_poly = GT.to_wkb(GT.parse_wkb(be_poly))
+
+    p = PK.pack_wkb([be_pt, be_poly, le_poly, None])
+    assert int(p.kind[0]) == -1 and int(p.kind[1]) == -1
+    assert int(p.kind[2]) == 3 and int(p.kind[3]) == 0
+    rt = PK.unpack_wkb(p)
+    assert rt[0] == be_pt and rt[1] == be_poly and rt[2] == le_poly
+    assert rt[3] is None
+
+    s = pd.Series([be_pt, be_poly, le_poly, None])
+    ar = GB.st_area_b.func(s)
+    assert ar.iloc[0] == 0.0 and ar.iloc[1] == 12.0 and ar.iloc[2] == 12.0
+    npt = GB.st_npoints_b.func(s)
+    assert npt.iloc[0] == 1 and npt.iloc[1] == 5 and npt.iloc[2] == 5
+    # transform routes fallbacks through the scalar path and re-emits LE
+    tr = GB.st_transform_b.func(
+        s, pd.Series(["EPSG:3857"] * 4), pd.Series(["EPSG:3857"] * 4))
+    for i in (0, 1, 2):
+        tg = GT.parse_wkb(bytes(tr.iloc[i]))
+        assert tg[0] in ("POINT", "POLYGON")
+    wkt = GB.st_astext_b.func(s)
+    assert wkt.iloc[0] == "POINT (3 4)"
+    assert wkt.iloc[1] == wkt.iloc[2]
+
+
+def test_packed_z_and_gc_fallback_through_b_surface():
+    """Z and GEOMETRYCOLLECTION WKB rows ride the fallback lane through
+    the binary measures with the same conventions as the text surface
+    (strip_z areas, GC sums)."""
+    import pandas as pd
+
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions import geomb as GB
+
+    z_poly = GT.to_wkb(GT.parse_wkt(
+        "POLYGON Z ((0 0 1, 4 0 1, 4 3 1, 0 3 1))"))
+    gc = GT.to_wkb(GT.parse_wkt(
+        "GEOMETRYCOLLECTION (POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0)),"
+        " POINT (9 9))"))
+    s = pd.Series([z_poly, gc])
+    ar = GB.st_area_b.func(s)
+    assert ar.iloc[0] == 12.0 and ar.iloc[1] == 4.0
+    npt = GB.st_npoints_b.func(s)
+    assert npt.iloc[0] == 5 and npt.iloc[1] == 6

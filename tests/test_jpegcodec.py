@@ -92,3 +92,75 @@ def test_progressive_and_garbage_rejection():
         J.jpeg_decode(b"not a jpeg at all")
     with pytest.raises(J.JpegError):
         J.jpeg_decode(b"\xff\xd8\xff\xd9")  # SOI then EOI, no scan
+
+
+def _encode_gray_with_restarts(img: np.ndarray, interval: int) -> bytes:
+    """Craft a DRI/RSTn stream (the encoder itself never emits restarts,
+    so the decoder's restart path needs a hand-built producer): MCUs in
+    groups of `interval`, DC predictor reset and byte-aligned RST marker
+    between groups — exactly T.81 §B.2.1.2."""
+    h, w = img.shape
+    q = np.ones((8, 8))
+    pieces = []
+    mcus = [(y0, x0) for y0 in range(0, h, 8) for x0 in range(0, w, 8)]
+    rst = 0
+    i = 0
+    while i < len(mcus):
+        wtr = J._BitWriter()
+        pred = 0
+        for (y0, x0) in mcus[i:i + interval]:
+            pred = J._enc_block(wtr, img[y0:y0 + 8, x0:x0 + 8], pred,
+                                J._EDC_LUM, J._EAC_LUM, q)
+        wtr.flush()
+        pieces.append(bytes(wtr.buf))
+        i += interval
+        if i < len(mcus):
+            pieces.append(bytes([0xFF, 0xD0 + (rst % 8)]))
+            rst += 1
+    head = (b"\xff\xd8"
+            + J._dqt_seg(0, q)
+            + b"\xff\xdd" + struct.pack(">HH", 4, interval)
+            + b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1)
+            + bytes([1, 0x11, 0])
+            + J._dht_seg(0, 0, *J._DC_LUM) + J._dht_seg(1, 0, *J._AC_LUM)
+            + b"\xff\xda" + struct.pack(">HB", 8, 1)
+            + bytes([1, 0x00, 0, 63, 0]))
+    return head + b"".join(pieces) + b"\xff\xd9"
+
+
+def test_restart_interval_decode():
+    rng = np.random.default_rng(5)
+    blocks = rng.integers(0, 256, size=(2, 2), dtype=np.uint8)
+    img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+    for interval in (1, 2, 3):  # 3 = ragged last restart group
+        d = J.jpeg_decode(_encode_gray_with_restarts(img, interval))
+        assert (d["pixels"] == img).all(), interval
+
+
+@given(seed=st.integers(0, 100_000))
+@settings(max_examples=30, deadline=None)
+def test_prop_decoder_never_hangs_on_garbage(seed):
+    """Truncations and byte-flips of a valid stream must raise a clean
+    JpegError / NotImplementedError, never hang or return junk pixels
+    silently (a corrupted stream CAN still decode — Huffman streams are
+    self-synchronizing-ish — but then dimensions stay valid)."""
+    rng = np.random.default_rng(seed)
+    img = np.repeat(np.repeat(
+        rng.integers(0, 256, (2, 2), dtype=np.uint8), 8, 0), 8, 1)
+    good = J.jpeg_encode_gray(img)
+    cut = int(rng.integers(2, len(good)))
+    try:
+        J.jpeg_decode(good[:cut])
+    except (J.JpegError, NotImplementedError):
+        pass
+    flip = bytearray(good)
+    pos = int(rng.integers(2, len(good)))
+    flip[pos] ^= int(rng.integers(1, 256))
+    try:
+        d = J.jpeg_decode(bytes(flip))
+        # a flipped bit can still decode (e.g. a coefficient changed) —
+        # but the frame geometry must stay coherent
+        assert d["pixels"].shape[0] == d["height"]
+        assert d["pixels"].shape[1] == d["width"]
+    except (J.JpegError, NotImplementedError):
+        pass
