@@ -201,7 +201,7 @@ def jpeg_decode(data: bytes) -> dict:
     except (JpegError, NotImplementedError):
         raise
     except (struct.error, ValueError, IndexError, KeyError,
-            StopIteration) as exc:
+            StopIteration, ZeroDivisionError) as exc:
         raise JpegError(f"corrupt or truncated JPEG: {exc!r}") from exc
 
 
@@ -261,8 +261,13 @@ def _jpeg_decode(data: bytes) -> dict:
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
-                              "tq": tq})
+                hs, vs = hv >> 4, hv & 0xF
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise JpegError(
+                        f"invalid sampling factors {hs}x{vs} (T.81: 1..4)")
+                comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
+            if w == 0 or h == 0:
+                raise JpegError("zero image dimension")
             frame = {"w": w, "h": h, "comps": comps}
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
