@@ -345,6 +345,19 @@ def st_bufferround_b(b: pd.Series, d: pd.Series, q: pd.Series) -> pd.Series:
     quad = 8
     qn = pd.to_numeric(q, errors="coerce").dropna()
     if len(qn):
+        if qn.nunique() > 1:
+            # per-row quadsegs: the vectorized walk assumes one q for the
+            # whole batch, so varying-q batches go row-by-row through the
+            # same scalar kernel as the text twin with each row's own q.
+            qq = pd.to_numeric(q, errors="coerce").to_numpy(
+                dtype=np.float64, na_value=np.nan)
+            out: list = [None] * len(vals)
+            for i, raw in enumerate(vals):
+                if raw is None or dd[i] != dd[i]:
+                    continue
+                qi = 8 if qq[i] != qq[i] else int(qq[i])
+                out[i] = _buffer_round_b_scalar(raw, float(dd[i]), qi)
+            return pd.Series(out, index=b.index, dtype=object)
         quad = int(qn.iloc[0])
     p = PK.pack_wkb(vals)
     fast, coords, off = PK.buffer_round_np(p, np.nan_to_num(dd), quad)

@@ -2952,8 +2952,24 @@ def _unary_union(s: str | None) -> str | None:
             parts = [_unary_union(GT.to_wkt(m)) for m in data]
             areal = [p for p in parts if p is not None
                      and not p.endswith("EMPTY") and _is_areal(p)]
-            return _union_wkt_list(areal) if areal else GT.to_wkt((kind,
-                                                                   data))
+            rest = [p for p in parts if p is not None
+                    and not p.endswith("EMPTY") and not _is_areal(p)]
+            if not areal:
+                return GT.to_wkt((kind, data))
+            merged = _union_wkt_list(areal)
+            if not rest:
+                return merged
+            # PostGIS preserves lower-dimension members: emit a collection
+            # of the areal union (multipolygon flattened to POLYGON
+            # members) plus the canonicalized lineal/puntal parts.
+            members = []
+            mk, md = GT.parse_wkt(merged)
+            if GT.basekind(mk) == "MULTIPOLYGON":
+                members.extend(("POLYGON", [poly]) for poly in md)
+            else:
+                members.append((mk, md))
+            members.extend(GT.parse_wkt(p) for p in rest)
+            return GT.to_wkt(("GEOMETRYCOLLECTION", members))
         return GT.to_wkt((kind, data))
     g = G.normalize(G.parse_wkt(s))
     if not g:

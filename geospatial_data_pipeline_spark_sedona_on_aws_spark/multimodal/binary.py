@@ -820,7 +820,10 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 zc = int(np.count_nonzero(v[:-1] * v[1:] < 0))
                 rows.append((
                     d, len(v),
-                    int(round(rms * 1000)),
+                    # half-UP quantize (SQL round semantics); Python
+                    # round() is half-to-even and would diverge from the
+                    # DuckDB oracle on an exact .5
+                    int(math.floor(rms * 1000 + 0.5)),
                     zc,
                     int(np.abs(v).max()),
                 ))

@@ -200,6 +200,12 @@ def jpeg_decode(data: bytes) -> dict:
         return _jpeg_decode(data)
     except (JpegError, NotImplementedError):
         raise
+    except _RestartMarker as exc:
+        # A stray 0xFFD0-D7 byte mid-block (no DRI declared, or outside the
+        # restart cadence) is a corrupt stream, not a control-flow event.
+        raise JpegError(
+            f"unexpected restart marker 0xFFD{exc.code & 0x7:X} "
+            "mid-block (corrupt stream)") from exc
     except (struct.error, ValueError, IndexError, KeyError,
             StopIteration, ZeroDivisionError) as exc:
         raise JpegError(f"corrupt or truncated JPEG: {exc!r}") from exc
@@ -294,6 +300,15 @@ def _decode_scan(data, pos, frame, scan, qt, restart_interval):
     w, h = frame["w"], frame["h"]
     hmax = max(c["h"] for c, _, _ in scan)
     vmax = max(c["v"] for c, _, _ in scan)
+    for comp, _, _ in scan:
+        # Upsampling replicates by vmax//v × hmax//h; a non-divisible factor
+        # combination (e.g. 3x1 luma with 2x1 chroma — legal per T.81) would
+        # silently truncate and misalign the planes. Fail loudly instead.
+        if vmax % comp["v"] or hmax % comp["h"]:
+            raise NotImplementedError(
+                f"non-integral chroma subsampling ratio "
+                f"({comp['h']}x{comp['v']} vs max {hmax}x{vmax}) "
+                "is not supported")
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     planes = []
