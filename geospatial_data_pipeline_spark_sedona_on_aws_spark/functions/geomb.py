@@ -32,6 +32,7 @@ either). Scale: row-local, per-Arrow-batch, no shuffle or driver state.
 
 from __future__ import annotations
 
+import re
 import struct
 
 import numpy as np
@@ -112,12 +113,69 @@ _NUM = r"(-?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?)"
 _RECT_ANY_RE = (rf"^POLYGON \(\({_NUM} {_NUM}, {_NUM} \2, \3 {_NUM}, "
                 rf"\1 \4(?:, \1 \2)?\)\)$")
 
+# Typed text lanes (r9): canonical puntal/lineal WKT — exactly what
+# to_wkt / the fixtures / JVM concat emit — parses as a whole batch: one
+# fullmatch per lane, one join+split float conversion, one ragged WKB
+# emit (kernel/packed._emit_ragged). Anything anomalous (Z, EMPTY,
+# parenthesized MULTIPOINT members, stray whitespace) fails the fullmatch
+# and keeps the scalar path, mirroring the r8 typed-parse fast-path rule:
+# the lane only accepts strings the general parser parses identically.
+_NUM0 = r"-?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?"
+_PAIR0 = rf"{_NUM0} {_NUM0}"
+_TEXT_LANES = (
+    ("POINT", re.compile(rf"POINT \({_PAIR0}\)"), 7, 1),
+    ("LINESTRING",
+     re.compile(rf"LINESTRING \({_PAIR0}(?:, {_PAIR0})+\)"), 12, 2),
+    ("MULTIPOINT",
+     re.compile(rf"MULTIPOINT \({_PAIR0}(?:, {_PAIR0})*\)"), 12, 4),
+)
+_TAG_RE = r"^(POINT|LINESTRING|MULTIPOINT) \("
+
+
+def _typed_lane_wkb(sub: pd.Series, plen: int, code: int):
+    """WKB bytes for fullmatch-validated canonical rows of one lane."""
+    bodies = sub.str[plen:-1]
+    counts = bodies.str.count(",").to_numpy(np.int64) + 1
+    joined = ",".join(bodies.tolist())
+    nums = np.array(joined.replace(",", " ").split(), dtype=np.float64)
+    if len(nums) != 2 * int(counts.sum()):
+        return None
+    coords = np.ascontiguousarray(nums.reshape(-1, 2))
+    m = len(sub)
+    ring_off = np.zeros(m + 1, dtype=np.int64)
+    np.cumsum(counts, out=ring_off[1:])
+    pb = PK.PackedBatch(
+        m, np.full(m, code, dtype=np.int8),
+        np.arange(m + 1, dtype=np.int64), ring_off,
+        np.ones(m, dtype=bool), coords, {})
+    return PK._emit_ragged(pb)
+
 
 @pandas_udf(BinaryType())
 def st_geomfromwkt_b(s: pd.Series) -> pd.Series:
     out = pd.Series([None] * len(s), index=s.index, dtype=object)
+    if not len(s):
+        return out
+    remaining = s.notna()
+    # one anchored tag pass dispatches rows to their lane; the lane's
+    # strict fullmatch then runs only on its own subset
+    tags = s.str.extract(_TAG_RE, expand=False)
+    for tag, pat, plen, code in _TEXT_LANES:
+        sub = remaining & (tags == tag)
+        if not sub.any():
+            continue
+        ok = s[sub].str.fullmatch(pat)
+        cand = sub.copy()
+        cand[sub] = (ok == True).to_numpy()  # noqa: E712 (null -> False)
+        if cand.any():
+            wkbs = _typed_lane_wkb(s[cand], plen, code)
+            if wkbs is not None:
+                out[cand] = wkbs
+                remaining &= ~cand
+    if not remaining.any():
+        return out
     ext = s.str.extract(_RECT_ANY_RE)
-    mask = ext.notna().all(axis=1)
+    mask = ext.notna().all(axis=1) & remaining
     if mask.any():
         a = pd.to_numeric(ext[0], errors="coerce").to_numpy(np.float64)
         b = pd.to_numeric(ext[1], errors="coerce").to_numpy(np.float64)
@@ -130,9 +188,9 @@ def st_geomfromwkt_b(s: pd.Series) -> pd.Series:
         if mask.any():
             mn = mask.to_numpy()
             out[mask] = _rect_wkb_batch(a[mn], b[mn], c[mn], d[mn])
-    slow = ~mask
-    if slow.any():
-        out[slow] = s[slow].map(_geom_from_wkt_b_scalar)
+        remaining &= ~mask
+    if remaining.any():
+        out[remaining] = s[remaining].map(_geom_from_wkt_b_scalar)
     return out
 
 
@@ -219,6 +277,21 @@ def _point_wkb(x: float, y: float) -> bytes:
     return _PT_HDR + struct.pack("<2d", x, y)
 
 
+_PT_DT = np.dtype([("hdr", "u1", (5,)), ("xy", "<f8", (2,))])
+
+
+def _point_wkb_batch(xs, ys) -> list:
+    """POINT WKB for n coordinate pairs in one structured-array write."""
+    m = len(xs)
+    arr = np.empty(m, dtype=_PT_DT)
+    arr["hdr"] = np.frombuffer(_PT_HDR, dtype=np.uint8)
+    arr["xy"][:, 0] = xs
+    arr["xy"][:, 1] = ys
+    big = arr.tobytes()
+    w = _PT_DT.itemsize
+    return [big[i * w:(i + 1) * w] for i in range(m)]
+
+
 def _centroid_b_scalar(tg):
     """Same dispatch as the text _centroid, WKB end (strip_z projection;
     areal via the normalized area-weighted form, puntal/lineal via the
@@ -236,9 +309,17 @@ def _centroid_b_scalar(tg):
 def st_centroid_b(b: pd.Series) -> pd.Series:
     p = PK.pack_wkb(_tolist(b))
     elig, cx, cy = PK.centroid_np(p)
+    elig_l, lx, ly = PK.lineal_centroid_np(p)
+    if elig_l.any():
+        cx = np.where(elig_l, lx, cx)
+        cy = np.where(elig_l, ly, cy)
+        elig = elig | elig_l
     out: list = [None] * p.n
-    for i in np.flatnonzero(elig):
-        out[i] = _point_wkb(cx[i], cy[i])
+    ei = np.flatnonzero(elig)
+    if len(ei):
+        wkbs = _point_wkb_batch(cx[ei], cy[ei])
+        for j, i in enumerate(ei):
+            out[i] = wkbs[j]
     for i in np.flatnonzero(~elig):
         if p.kind[i] == 0:
             continue
@@ -250,29 +331,38 @@ def st_centroid_b(b: pd.Series) -> pd.Series:
 def st_envelope_b(b: pd.Series) -> pd.Series:
     """JTS getEnvelope shape rules off the vectorized bounds: areal input
     always yields the 4-corner polygon (text-path parity); other kinds
-    degrade to POINT / flat LINESTRING / POLYGON EMPTY."""
+    degrade to POINT / flat LINESTRING / POLYGON EMPTY. The three common
+    shapes (proper box, point, flat line) each emit as one batch write
+    (r9: the per-row GT.to_wkb loop dominated the rewritten envelope
+    chain)."""
     p = PK.pack_wkb(_tolist(b))
     bb = PK.bounds_np(p)
     out: list = [None] * p.n
-    areal = (3, 6)
-    for i in range(p.n):
-        k = int(p.kind[i])
-        if k == 0:
-            continue
-        if k == -1:
-            tg = GT.strip_z(GT.parse_wkb(p.fallback[i]))
-            out[i] = GT.to_wkb(GT.parse_wkt(GT.envelope_wkt(tg)))
-            continue
-        x1, y1, x2, y2 = bb[i]
-        if x1 != x1:  # empty geometry
-            out[i] = GT.to_wkb(("POLYGON", []))
-        elif k in areal or (x1 != x2 and y1 != y2):
-            out[i] = GT.to_wkb(("POLYGON", [[[(x1, y1), (x2, y1),
-                                              (x2, y2), (x1, y2)]]]))
-        elif x1 == x2 and y1 == y2:
-            out[i] = _point_wkb(x1, y1)
-        else:
-            out[i] = GT.to_wkb(("LINESTRING", [[(x1, y1), (x2, y2)]]))
+    x1, y1, x2, y2 = bb[:, 0], bb[:, 1], bb[:, 2], bb[:, 3]
+    live = p.kind > 0
+    nonempty = live & (x1 == x1)
+    areal = (p.kind == 3) | (p.kind == 6)
+    box = nonempty & (areal | ((x1 != x2) & (y1 != y2)))
+    if box.any():
+        bi = np.flatnonzero(box)
+        wkbs = _rect_wkb_batch(x1[bi], y1[bi], x2[bi], y2[bi])
+        for j, i in enumerate(bi):
+            out[i] = wkbs[j]
+    pt = nonempty & ~box & (x1 == x2) & (y1 == y2)
+    if pt.any():
+        pi = np.flatnonzero(pt)
+        wkbs = _point_wkb_batch(x1[pi], y1[pi])
+        for j, i in enumerate(pi):
+            out[i] = wkbs[j]
+    flat = nonempty & ~box & ~pt
+    for i in np.flatnonzero(flat):
+        out[i] = GT.to_wkb(("LINESTRING", [[(x1[i], y1[i]),
+                                            (x2[i], y2[i])]]))
+    for i in np.flatnonzero(live & ~nonempty):
+        out[i] = GT.to_wkb(("POLYGON", []))
+    for i, raw in p.fallback.items():
+        tg = GT.strip_z(GT.parse_wkb(raw))
+        out[i] = GT.to_wkb(GT.parse_wkt(GT.envelope_wkt(tg)))
     return pd.Series(out, index=b.index, dtype=object)
 
 
@@ -415,8 +505,10 @@ def _pair_predicate_b(a: pd.Series, b: pd.Series, law, scalar_fn
     the text UDFs (via one WKT conversion, fallback rows only)."""
     pa = PK.pack_wkb(_tolist(a))
     pb = PK.pack_wkb(_tolist(b))
-    ma, ax1, ay1, ax2, ay2 = PK.rect_bounds_np(pa)
-    mb, bx1, by1, bx2, by2 = PK.rect_bounds_np(pb)
+    bounds = PK.box_bounds_np if getattr(law, "_boxes_ok", False) \
+        else PK.rect_bounds_np
+    ma, ax1, ay1, ax2, ay2 = bounds(pa)
+    mb, bx1, by1, bx2, by2 = bounds(pb)
     both = ma & mb
     out = pd.Series([None] * pa.n, index=a.index, dtype="object")
     if both.any():
@@ -426,6 +518,17 @@ def _pair_predicate_b(a: pd.Series, b: pd.Series, law, scalar_fn
         wa, wb = _wkt_of(pa, i), _wkt_of(pb, i)
         out.iloc[i] = scalar_fn(wa, wb)
     return out
+
+
+def _boxes_ok(law):
+    """Mark a DE-9IM interval law as valid for degenerate boxes (points)
+    too, enabling the box_bounds_np lane: intersects / disjoint /
+    contains(covers) / within / equals are pure interval statements at
+    any operand dimension; touches / overlaps / crosses are NOT (their
+    truth depends on operand dimension, e.g. a point inside a rect is
+    zero-area contact but not 'touches'), so they stay rect-only."""
+    law._boxes_ok = True
+    return law
 
 
 def _bool_b(law, scalar_fn):
@@ -485,12 +588,13 @@ st_within_b = _bool_b(_law_within, lambda x, y: S._contains(y, x))
 
 @pandas_udf(DoubleType())
 def st_distance_b(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Rect×rect pairs: axis-gap hypot over the whole batch; everything
+    """Box×box pairs (rects AND single points — the bounds ARE the
+    geometry for both): axis-gap hypot over the whole batch; everything
     else the scalar kernel (same closest-pair semantics as ST_Distance)."""
     pa = PK.pack_wkb(_tolist(a))
     pb = PK.pack_wkb(_tolist(b))
-    ma, ax1, ay1, ax2, ay2 = PK.rect_bounds_np(pa)
-    mb, bx1, by1, bx2, by2 = PK.rect_bounds_np(pb)
+    ma, ax1, ay1, ax2, ay2 = PK.box_bounds_np(pa)
+    mb, bx1, by1, bx2, by2 = PK.box_bounds_np(pb)
     both = ma & mb
     out = np.full(pa.n, np.nan)
     if both.any():

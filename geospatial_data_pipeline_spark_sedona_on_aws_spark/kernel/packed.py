@@ -99,6 +99,12 @@ def pack_wkb(vals) -> PackedBatch:
     fast = _pack_uniform_poly1(vals)
     if fast is not None:
         return fast
+    try:
+        fast = _pack_ragged(vals)
+    except (ValueError, IndexError, OverflowError):
+        fast = None                       # malformed counts: strict loop
+    if fast is not None:
+        return fast
     kinds = []
     ring_lens: list[int] = []
     outer: list[bool] = []
@@ -199,6 +205,248 @@ def _pack_uniform_poly1(vals: list):
     ring_off = np.arange(m + 1, dtype=np.int64) * (npts - 1)
     return PackedBatch(n, kind, geom_off, ring_off,
                        np.ones(m, dtype=bool), coords, {})
+
+
+def _multi_arange(starts, lens) -> np.ndarray:
+    """Concatenation of arange(starts[i], starts[i] + lens[i]) for all i,
+    with no Python loop (the cumsum-of-steps trick). Zero-length entries
+    are skipped."""
+    starts = np.asarray(starts, dtype=np.int64)
+    lens = np.asarray(lens, dtype=np.int64)
+    keep = lens > 0
+    if not keep.all():
+        starts, lens = starts[keep], lens[keep]
+    if not len(lens):
+        return np.empty(0, dtype=np.int64)
+    total = int(lens.sum())
+    step = np.ones(total, dtype=np.int64)
+    step[0] = starts[0]
+    ends = np.cumsum(lens)[:-1]
+    step[ends] = starts[1:] - starts[:-1] - lens[:-1] + 1
+    return np.cumsum(step)
+
+
+def _u32_at(u8: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """Little-endian uint32 reads at arbitrary byte positions."""
+    return (u8[pos].astype(np.int64)
+            | (u8[pos + 1].astype(np.int64) << 8)
+            | (u8[pos + 2].astype(np.int64) << 16)
+            | (u8[pos + 3].astype(np.int64) << 24))
+
+
+def _f8_at(u8: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """Gather bytes at idx (len divisible by 16) and view as (m, 2) f8."""
+    g = np.ascontiguousarray(u8[idx])
+    return g.view("<f8").reshape(-1, 2)
+
+
+def _pack_ragged(vals: list, rows=None, present=None):
+    """Single-kind ragged vectorized decode (r9, verdict item 2): every
+    non-null value shares ONE little-endian 2D WKB code in {POINT,
+    LINESTRING, POLYGON, MULTIPOINT, MULTILINESTRING}, with arbitrary
+    per-row vertex counts and (for POLYGON) arbitrary ring counts — a
+    wavefront pass per ring level replaces the per-row `frombuffer` loop.
+    Returns None when the batch doesn't qualify; the caller falls back to
+    the generic loop, so this lane can be strict (any anomaly — exact
+    length mismatch, big-endian, mixed member codes, Z — bails out
+    wholesale)."""
+    n = len(vals)
+    if rows is None:
+        rows = [bytes(v) for v in vals if v is not None]
+        present = np.fromiter((v is not None for v in vals),
+                              dtype=bool, count=n)
+    m = len(rows)
+    if m == 0:
+        return None
+    lens = np.fromiter(map(len, rows), dtype=np.int64, count=m)
+    if (lens < 9).any():
+        return None
+    big = b"".join(rows)
+    u8 = np.frombuffer(big, dtype=np.uint8)
+    off = np.zeros(m, dtype=np.int64)
+    np.cumsum(lens[:-1], out=off[1:])
+    if not (u8[off] == 1).all():
+        return None
+    codes = _u32_at(u8, off + 1)
+    code = int(codes[0])
+    if code < 1 or code > 5 or not (codes == code).all():
+        return None
+
+    row_end = off + lens
+
+    if code == POINT:
+        if not (lens == 21).all():
+            return None
+        idx = (off[:, None] + np.arange(5, 21, dtype=np.int64)).ravel()
+        xy = _f8_at(u8, idx)
+        empty = np.isnan(xy[:, 0]) & np.isnan(xy[:, 1])
+        ne = ~empty
+        coords = np.ascontiguousarray(xy[ne], dtype=np.float64)
+        rings_per_row = ne.astype(np.int64)
+        ring_lens = np.ones(int(ne.sum()), dtype=np.int64)
+        outer = np.ones(len(ring_lens), dtype=bool)
+        return _assemble(n, present, code, rings_per_row, ring_lens,
+                         outer, coords)
+
+    # Coordinate extraction strategy for the ragged kinds: rows are
+    # back-to-back in `big`, and within each row the coordinate bytes are
+    # everything that is not a (small, known-position) header. Knocking
+    # header bytes out of a boolean mask and taking u8[mask] yields ALL
+    # coordinates in stream order — which IS row-major ring order — with
+    # no index array proportional to the coordinate bytes (the giant
+    # int64 gather-index allocations dominated the first cut's profile).
+
+    if code == LINESTRING:
+        npts = _u32_at(u8, off + 5)
+        if not (lens == 9 + 16 * npts).all():
+            return None
+        mask = np.ones(len(u8), dtype=bool)
+        mask[(off[:, None] + np.arange(9)).ravel()] = False
+        coords = np.ascontiguousarray(u8[mask]).view("<f8").reshape(-1, 2)
+        ne = npts > 0
+        rings_per_row = ne.astype(np.int64)
+        ring_lens = npts[ne]
+        outer = np.ones(len(ring_lens), dtype=bool)
+        return _assemble(n, present, code, rings_per_row, ring_lens,
+                         outer, coords)
+
+    if code == MULTIPOINT:
+        nm = _u32_at(u8, off + 5)
+        if not (lens == 9 + 21 * nm).all():
+            return None
+        base = np.repeat(off + 9, nm) + 21 * _multi_arange(
+            np.zeros(m, dtype=np.int64), nm)
+        if len(base) == 0:
+            coords = np.empty((0, 2), dtype=np.float64)
+            kept_per_row = np.zeros(m, dtype=np.int64)
+        else:
+            if not ((u8[base] == 1).all()
+                    and (_u32_at(u8, base + 1) == POINT).all()):
+                return None
+            mask = np.ones(len(u8), dtype=bool)
+            mask[(off[:, None] + np.arange(9)).ravel()] = False
+            mask[(base[:, None] + np.arange(5)).ravel()] = False
+            xy = np.ascontiguousarray(u8[mask]).view("<f8").reshape(-1, 2)
+            keep = ~(np.isnan(xy[:, 0]) & np.isnan(xy[:, 1]))
+            coords = np.ascontiguousarray(xy[keep], dtype=np.float64)
+            member_row = np.repeat(np.arange(m), nm)
+            kept_per_row = np.bincount(member_row[keep], minlength=m
+                                       ).astype(np.int64)
+        ne = kept_per_row > 0
+        rings_per_row = ne.astype(np.int64)
+        ring_lens = kept_per_row[ne]
+        outer = np.ones(len(ring_lens), dtype=bool)
+        return _assemble(n, present, code, rings_per_row, ring_lens,
+                         outer, coords)
+
+    # POLYGON / MULTILINESTRING: variable ring (or member) count per row,
+    # each ring's byte length depending on its own vertex count — decode
+    # by wavefront: level k reads the k-th ring of every row that has one,
+    # advancing a per-row cursor. max(levels) iterations of vectorized
+    # body instead of a per-row loop.
+    if code == POLYGON:
+        nr = _u32_at(u8, off + 5)
+        cursor = off + 9
+        hdr_bytes = 0                      # rings are bare inside POLYGON
+    else:                                  # MULTILINESTRING
+        nr = _u32_at(u8, off + 5)
+        cursor = off + 9
+        hdr_bytes = 5                      # each member is full WKB
+    if not len(nr) or int(nr.max()) > 64:
+        # absurd ring counts: let the strict per-row path vet it
+        return None
+    lv_rows: list = []
+    lv_npts: list = []
+    lv_cstart: list = []
+    cursor = cursor.copy()
+    maxr = int(nr.max())
+    rowids = np.arange(m, dtype=np.int64)
+    for k in range(maxr):
+        act = nr > k
+        if not act.any():
+            break
+        cur = cursor[act]
+        if hdr_bytes:
+            if (cur + 9 > row_end[act]).any():
+                return None
+            if not ((u8[cur] == 1).all()
+                    and (_u32_at(u8, cur + 1) == LINESTRING).all()):
+                return None
+            cur = cur + 5
+        if (cur + 4 > row_end[act]).any():
+            return None
+        p = _u32_at(u8, cur)
+        end = cur + 4 + 16 * p
+        if (end > row_end[act]).any():
+            return None
+        lv_rows.append(rowids[act])
+        lv_npts.append(p)
+        lv_cstart.append(cur + 4)
+        cursor[act] = end
+    if (cursor != row_end).any():
+        return None                        # trailing bytes: strict loop
+    if not lv_rows:
+        ring_rows = np.empty(0, dtype=np.int64)
+        ring_npts = np.empty(0, dtype=np.int64)
+        ring_cs = np.empty(0, dtype=np.int64)
+    else:
+        ring_rows = np.concatenate(lv_rows)
+        ring_npts = np.concatenate(lv_npts)
+        ring_cs = np.concatenate(lv_cstart)
+    # order rings row-major (levels appended level-major); stable sort
+    # keeps the within-row level order
+    order = np.argsort(ring_rows, kind="stable")
+    ring_rows = ring_rows[order]
+    ring_npts = ring_npts[order]
+    # coords via the header-knockout mask: stream order == row-major
+    # ring order, exactly the order the sorted tables describe
+    mask = np.ones(len(u8), dtype=bool)
+    mask[(off[:, None] + np.arange(9)).ravel()] = False
+    if len(ring_cs):
+        hdr_w = hdr_bytes + 4              # [member hdr +] vertex count
+        mask[((ring_cs - hdr_w)[:, None]
+              + np.arange(hdr_w)).ravel()] = False
+    coords = np.ascontiguousarray(u8[mask]).view("<f8").reshape(-1, 2)
+    # drop empty rings from the tables (they contributed no coords)
+    nz = ring_npts > 0
+    ring_rows, ring_npts = ring_rows[nz], ring_npts[nz]
+    if code == POLYGON and len(ring_npts):
+        # closing-duplicate drop per ring (npts > 1 and first == last)
+        ro = np.zeros(len(ring_npts) + 1, dtype=np.int64)
+        np.cumsum(ring_npts, out=ro[1:])
+        first, last = ro[:-1], ro[1:] - 1
+        dup = (ring_npts > 1) \
+            & (coords[first, 0] == coords[last, 0]) \
+            & (coords[first, 1] == coords[last, 1])
+        if dup.any():
+            keep = np.ones(len(coords), dtype=bool)
+            keep[last[dup]] = False
+            coords = coords[keep]
+            ring_npts = ring_npts - dup.astype(np.int64)
+    rings_per_row = np.bincount(ring_rows, minlength=m).astype(np.int64)
+    if code == POLYGON:
+        # outer = first surviving ring of its row
+        outer = np.ones(len(ring_rows), dtype=bool)
+        if len(ring_rows) > 1:
+            outer[1:] = ring_rows[1:] != ring_rows[:-1]
+    else:
+        outer = np.ones(len(ring_rows), dtype=bool)
+    return _assemble(n, present, code, rings_per_row, ring_lens=ring_npts,
+                     outer=outer, coords=coords)
+
+
+def _assemble(n, present, code, rings_per_row, ring_lens, outer, coords):
+    """Build the PackedBatch from per-present-row ring counts."""
+    kind = np.zeros(n, dtype=np.int8)
+    kind[present] = code
+    rp = np.zeros(n, dtype=np.int64)
+    rp[present] = rings_per_row
+    geom_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(rp, out=geom_off[1:])
+    ring_off = np.zeros(len(ring_lens) + 1, dtype=np.int64)
+    np.cumsum(ring_lens, out=ring_off[1:])
+    return PackedBatch(n, kind, geom_off, ring_off,
+                       np.asarray(outer, dtype=bool), coords, {})
 
 
 def _rd_ring(b: bytes, off: int, u32, closed: bool):
@@ -407,10 +655,127 @@ def _unpack_uniform_poly1(p: PackedBatch):
     return out
 
 
+def _emit_ragged(p: PackedBatch):
+    """Vectorized WKB encode for single-kind batches (r9 twin of
+    _pack_ragged): per-row byte lengths from the ring tables, headers
+    scattered at computed positions, coordinates written through the
+    header-knockout mask (stream order == row-major ring order). Returns
+    None when the batch doesn't qualify (the per-row encoder handles it),
+    byte-identical to GT.to_wkb otherwise."""
+    if p.fallback or not p.n:
+        return None
+    present = p.kind > 0
+    if not present.any():
+        return [None] * p.n
+    code = int(p.kind[present][0])
+    if code > 5 or not ((p.kind == 0) | (p.kind == code)).all():
+        return None
+    m = int(present.sum())
+    rpg = p.rings_per_geom()[present]          # rings per present row
+    ring_len = p.ring_len()                    # per ring, row-major
+    R = len(ring_len)
+    if code == POINT:
+        row_bytes = np.full(m, 21, dtype=np.int64)
+    elif code == LINESTRING:
+        # 0 or 1 ring per row; npts = ring len (0 when empty)
+        npts = np.zeros(m, dtype=np.int64)
+        npts[rpg > 0] = ring_len
+        row_bytes = 9 + 16 * npts
+    elif code == MULTIPOINT:
+        npts = np.zeros(m, dtype=np.int64)
+        npts[rpg > 0] = ring_len
+        row_bytes = 9 + 21 * npts
+    elif code == POLYGON:
+        per_ring = 4 + 16 * (ring_len + 1)     # count + closed ring
+        cum = np.zeros(R + 1, dtype=np.int64)
+        np.cumsum(per_ring, out=cum[1:])
+        go = p.geom_off[np.flatnonzero(present)]
+        go_end = p.geom_off[np.flatnonzero(present) + 1]
+        row_bytes = 9 + cum[go_end] - cum[go]
+    else:                                      # MULTILINESTRING
+        per_ring = 9 + 16 * ring_len           # member hdr + count + pts
+        cum = np.zeros(R + 1, dtype=np.int64)
+        np.cumsum(per_ring, out=cum[1:])
+        go = p.geom_off[np.flatnonzero(present)]
+        go_end = p.geom_off[np.flatnonzero(present) + 1]
+        row_bytes = 9 + cum[go_end] - cum[go]
+    starts = np.zeros(m, dtype=np.int64)
+    np.cumsum(row_bytes[:-1], out=starts[1:])
+    total = int(starts[-1] + row_bytes[-1]) if m else 0
+    out8 = np.empty(total, dtype=np.uint8)
+    hdr_mask = np.zeros(total, dtype=bool)     # True = header byte
+
+    def put_u32(pos: np.ndarray, val: np.ndarray):
+        vb = val.astype("<u4").view(np.uint8).reshape(-1, 4)
+        for i in range(4):
+            out8[pos + i] = vb[:, i]
+        idx = (pos[:, None] + np.arange(4)).ravel()
+        hdr_mask[idx] = True
+
+    def put_hdr5(pos: np.ndarray, c: int):
+        out8[pos] = 1
+        put_u32(pos + 1, np.full(len(pos), c, dtype=np.int64))
+        hdr_mask[pos] = True
+
+    put_hdr5(starts, code)
+    if code == POINT:
+        # fixed 16-byte payload; EMPTY rows carry NaN NaN
+        xy = np.full((m, 2), np.nan)
+        xy[rpg > 0] = p.coords
+        idx = (starts[:, None] + np.arange(5, 21)).ravel()
+        out8[idx] = xy.astype("<f8").view(np.uint8).reshape(m, 16).ravel()
+    elif code in (LINESTRING, MULTIPOINT):
+        put_u32(starts + 5, npts)
+        if code == MULTIPOINT and R:
+            # member headers every 21 bytes after the 9-byte row header
+            mb = np.repeat(starts + 9, npts) + 21 * _multi_arange(
+                np.zeros(m, dtype=np.int64), npts)
+            put_hdr5(mb, POINT)
+        cmask = ~hdr_mask
+        out8[cmask] = p.coords.astype("<f8").view(np.uint8).ravel()
+    else:
+        nrings = go_end - go
+        put_u32(starts + 5, nrings)
+        # per-ring header positions: ring r of row i sits at
+        # starts[i] + 9 + (cum[r] - cum[go[i]]); null rows own no rings,
+        # so the global ring order is exactly the present-row-major order
+        if R:
+            ring_pos = np.repeat(starts + 9 - cum[go], nrings) + cum[:-1]
+            if code == MULTILINESTRING:
+                put_hdr5(ring_pos, LINESTRING)
+                put_u32(ring_pos + 5, ring_len)
+            else:
+                put_u32(ring_pos, ring_len + 1)
+            # coordinate stream: each ring's points, POLYGON rings closed
+            if code == POLYGON:
+                src = _multi_arange(p.ring_off[:-1], ring_len + 1)
+                endpos = np.cumsum(ring_len + 1) - 1
+                src[endpos] = p.ring_off[:-1]
+                pts = p.coords[src]
+            else:
+                pts = p.coords
+            cmask = ~hdr_mask
+            out8[cmask] = pts.astype("<f8").view(np.uint8).ravel()
+    big = out8.tobytes()
+    out: list = [None] * p.n
+    ends = starts + row_bytes
+    j = 0
+    for i in np.flatnonzero(present):
+        out[i] = big[starts[j]:ends[j]]
+        j += 1
+    return out
+
+
 def unpack_wkb(p: PackedBatch) -> list:
     """PackedBatch -> list of WKB bytes / None, byte-identical to
     kernel/geomtypes.to_wkb of the same geometry."""
     fast = _unpack_uniform_poly1(p)
+    if fast is not None:
+        return fast
+    try:
+        fast = _emit_ragged(p)
+    except (ValueError, IndexError, OverflowError):
+        fast = None
     if fast is not None:
         return fast
     out: list = [None] * p.n
@@ -689,6 +1054,51 @@ def rect_bounds_np(p: PackedBatch):
             mask[idx] = True
             return mask, x1, y1, x2, y2
     return np.zeros(p.n, dtype=bool), x1, y1, x2, y2
+
+
+def box_bounds_np(p: PackedBatch):
+    """rect_bounds_np extended with degenerate boxes for non-empty POINT
+    rows (x1 == x2, y1 == y2). For the kinds this masks, the bounds ARE
+    the geometry, so interval arithmetic (axis-gap distance, nested-bounds
+    covers, overlap tests) is exact — including point x point and
+    point x rect pairs (r9: the binary predicate/distance lanes were
+    rect x rect only, sending every point row to the per-row scalar)."""
+    mask, x1, y1, x2, y2 = rect_bounds_np(p)
+    co = p.geom_coord_off()
+    pts = (p.kind == POINT) & (co[:-1] < co[1:])
+    if pts.any():
+        idx = np.flatnonzero(pts)
+        xy = p.coords[co[:-1][pts]]
+        x1[idx] = x2[idx] = xy[:, 0]
+        y1[idx] = y2[idx] = xy[:, 1]
+        mask = mask | pts
+    return mask, x1, y1, x2, y2
+
+
+def lineal_centroid_np(p: PackedBatch):
+    """Vectorized length-weighted segment-midpoint centroid for lineal
+    rows (GT.centroid's formula). Returns (eligible, cx, cy); zero-total-
+    length rows are left ineligible (the scalar path applies the vertex-
+    average fallback)."""
+    elig = np.isin(p.kind, (LINESTRING, MULTILINESTRING))
+    cx = np.full(p.n, np.nan)
+    cy = np.full(p.n, np.nan)
+    if not elig.any() or not len(p.coords):
+        return elig & False, cx, cy
+    x, y = p.coords[:, 0], p.coords[:, 1]
+    nxt = _next_in_ring(p)
+    wrap = nxt <= np.arange(len(x))        # ring-last wraps to ring start
+    ln = np.hypot(x[nxt] - x, y[nxt] - y)
+    ln[wrap] = 0.0
+    mx = (x + x[nxt]) * 0.5 * ln
+    my = (y + y[nxt]) * 0.5 * ln
+    g_tot = _per_geom_reduce(p, _per_ring_reduce(p, ln))
+    g_mx = _per_geom_reduce(p, _per_ring_reduce(p, mx))
+    g_my = _per_geom_reduce(p, _per_ring_reduce(p, my))
+    good = elig & (g_tot > 0)
+    cx[good] = g_mx[good] / g_tot[good]
+    cy[good] = g_my[good] / g_tot[good]
+    return good, cx, cy
 
 
 def centroid_np(p: PackedBatch):

@@ -1617,7 +1617,13 @@ def st_point_line_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     Quantization: lengths/centroids/distances are sqrt-valued; Python's
     libm and DuckDB's may differ in the last ulp, so compare at 1e-6 via
     round(x * 1e6). The values are sqrt(integer) (irrational unless
-    exact), so no value sits near a rounding boundary."""
+    exact), so no value sits near a rounding boundary.
+
+    r9: the expression text below is UNCHANGED (plain Sedona names, the
+    reference's own spelling) but now runs through the chain rewriter
+    (functions/chainrw.py) — nested ST_ compositions execute on the WKB
+    carrier with text edges; binary==text parity is property-pinned."""
+    from ..functions import chainrw
     from ..functions.spatial import register_spatial_functions
 
     register_spatial_functions(spark)
@@ -1634,7 +1640,8 @@ def st_point_line_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS wkt_mline",
         "region_geometry",
     )
-    return geoms.selectExpr(
+    return chainrw.select_st(
+        geoms,
         "point_id",
         # parse→serialize round trips (canonical form == the input text)
         "ST_AsText(ST_GeomFromWKT(wkt_pt)) AS pt_rt",
