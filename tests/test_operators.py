@@ -890,3 +890,55 @@ def test_mp3_unavailable_raises_deterministically(monkeypatch):
     monkeypatch.setattr(MB, "h264_backend", lambda: None)
     with pytest.raises(NotImplementedError, match="pyav or the ffmpeg"):
         MB.mp3_decode(b"\xff\xfb\x90\x00")
+
+
+def test_cell_block_join_hot_cell_bounded_fanout(spark):
+    """r8 verdict item 3: the shuffle-path grid join decomposes a dense
+    cell into block tasks. All-in-one-cell fixture: every rect lives in
+    grid cell (0, 0); with block=64 the single (0,0) cell must fan out to
+    ceil(na/64)*ceil(nb/64) tasks, each shipping two <=64-element slices
+    (per-task pair fan-out <= 64^2), and the emitted candidate set must be
+    EXACTLY the plain equi-join's — bounded and spread, never sampled."""
+    from pyspark.sql import functions as F
+
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.operators.spatial_join import (
+        _cell_block_join,
+    )
+
+    na_rows, nb_rows, block = 300, 170, 64
+    a = spark.range(na_rows).selectExpr(
+        "id AS aid", "CAST(0 AS BIGINT) AS cx", "CAST(0 AS BIGINT) AS cy",
+        "CAST(id % 13 AS DOUBLE) AS ax")
+    b = spark.range(nb_rows).selectExpr(
+        "id AS bid", "CAST(0 AS BIGINT) AS cx", "CAST(0 AS BIGINT) AS cy",
+        "CAST(id % 7 AS DOUBLE) AS bx")
+    probe: list = []
+    out = _cell_block_join(a, ["aid", "ax"], b, ["bid", "bx"],
+                           cell_cols=("cx", "cy"), block=block,
+                           _tasks_probe=probe)
+    # candidate set == the plain equi-join's cross product within the cell
+    got = sorted((r.aid, r.bid) for r in out.select("aid", "bid").collect())
+    want = sorted((i, j) for i in range(na_rows) for j in range(nb_rows))
+    assert got == want
+    # task spine: the hot cell fans out, every slice bounded by `block`
+    tasks = probe[0].select(
+        F.size("__sa").alias("sa"), F.size("__sb").alias("sb")).collect()
+    import math
+    assert len(tasks) == math.ceil(na_rows / block) * math.ceil(nb_rows / block)
+    assert max(t.sa for t in tasks) <= block
+    assert max(t.sb for t in tasks) <= block
+    assert sum(t.sa * t.sb for t in tasks) == na_rows * nb_rows
+
+
+def test_spatial_range_join_fallback_equals_broadcast(spark):
+    """The block-decomposed shuffle path returns the same aggregate as the
+    broadcast path on the real fixture (both already oracle-checked; this
+    pins bit-equality between the two front doors after the r9 rewrite)."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.operators.spatial_join import (
+        spatial_range_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    bc = sorted(map(tuple, spatial_range_join(spark, sf, True).collect()))
+    sh = sorted(map(tuple, spatial_range_join(spark, sf, False).collect()))
+    assert bc == sh
