@@ -961,3 +961,88 @@ SELECT vec_id,
        CAST(list_sum({_QUANT_SQL}) AS BIGINT) AS sum_q
 FROM embeddings
 """
+
+
+# ------------------------------------------------- ANN retrieval quality
+
+# Recall floors in basis points (recall@5 * 10000), pinned from the
+# measured fixture values (tests/test_sketches.py::test_ann_recall_vs_
+# exact_topk: LSH ~0.12 multi-probe, IVF ~0.17, PQ ~0.16 on the
+# uniform-random near-orthogonal embeddings — the WORST case for locality
+# bucketing; clustered real corpora recall far higher). The gate catches
+# collapse back to random, not perfection.
+ANN_RECALL_K = 5
+ANN_RECALL_FLOORS_BP = (("ivf", 1500), ("lsh", 800), ("pq", 1000))
+
+
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-QUALITY oracle (r8 verdict item 4): recall@5 of each ANN
+    index (lsh_ann multi-probe, ivf_ann, pq_ann) against the exact
+    brute-force top-5 over the shared query set, as a registry query whose
+    DuckDB oracle recomputes BOTH sides in SQL and pins the recall floor —
+    an index whose bucketing silently breaks (recall collapses toward
+    random) flips meets_floor and reddens the driver gate, even though
+    each index's own oracle would still match.
+
+    All counting is integer-exact (hits, totals, basis-point recall via
+    integer division), so the value hash is deterministic across engines.
+    Scale shape: three index queries + one exact top-k, each already
+    scale-shaped (see their own docstrings); the recall join moves only
+    (query_id, neighbor_id) pairs — k rows per query."""
+    from functools import reduce
+
+    exact = topk_cosine(spark, sf_dir).where(
+        F.col("rank") <= ANN_RECALL_K).select("query_id", "neighbor_id")
+    idx_fns = {"lsh": lsh_ann, "ivf": ivf_ann, "pq": pq_ann}
+    tagged = reduce(DataFrame.unionByName, [
+        fn(spark, sf_dir)
+        .where(F.col("query_id") < N_QUERY_VECS)
+        .select(F.lit(name).alias("index_name"), "query_id", "neighbor_id")
+        for name, fn in idx_fns.items()
+    ])
+    hits = (tagged.join(exact, ["query_id", "neighbor_id"])
+            .groupBy("index_name").agg(F.count("*").alias("hits")))
+    names = spark.createDataFrame(
+        list(ANN_RECALL_FLOORS_BP), "index_name string, floor_bp long")
+    totals = exact.agg(F.count("*").alias("total"))
+    return (
+        names.join(hits, "index_name", "left")
+        .na.fill({"hits": 0})
+        .crossJoin(totals)
+        .selectExpr(
+            "index_name",
+            "hits",
+            "total",
+            "(hits * 10000) div total AS recall_bp",
+            "((hits * 10000) div total) >= floor_bp AS meets_floor",
+        )
+    )
+
+
+def _recall_arm(name: str, floor_bp: int, oracle: str,
+                restrict: bool) -> str:
+    where = f"WHERE query_id < {N_QUERY_VECS}" if restrict else ""
+    return f"""
+    SELECT '{name}' AS index_name, {floor_bp} AS floor_bp, count(*) AS hits
+    FROM (SELECT query_id, neighbor_id FROM ({oracle}) {where}) r
+    JOIN exact5 USING (query_id, neighbor_id)"""
+
+
+ANN_RECALL_AT_K_ORACLE = f"""
+WITH exact5 AS (
+    SELECT query_id, neighbor_id FROM ({TOPK_COSINE_ORACLE})
+    WHERE rank <= {ANN_RECALL_K}
+),
+tot AS (SELECT count(*) AS total FROM exact5),
+arms AS (
+    {_recall_arm('lsh', 800, LSH_ANN_ORACLE, True)}
+    UNION ALL
+    {_recall_arm('ivf', 1500, IVF_ANN_ORACLE, False)}
+    UNION ALL
+    {_recall_arm('pq', 1000, PQ_ANN_ORACLE, False)}
+)
+SELECT index_name, hits, total,
+       (hits * 10000) // total AS recall_bp,
+       ((hits * 10000) // total) >= floor_bp AS meets_floor
+FROM arms, tot
+"""

@@ -268,6 +268,7 @@ QUERIES: dict[str, QueryFn] = {
     "contamination_check": DD.contamination_check,
     "embedding_topk_cosine": SIM.topk_cosine,
     "embedding_ivf_ann": SIM.ivf_ann,
+    "ann_recall_at_k": SIM.ann_recall_at_k,
     "embedding_quantized_topk": SIM.quantized_topk,
     "kmeans_quantized": SIM.kmeans_quantized,
     "ngram_topk_corpus": TQ.ngram_topk_corpus,
@@ -719,6 +720,7 @@ ORACLES: dict[str, str] = {
     "embedding_lsh_ann": SIM.LSH_ANN_ORACLE,
     "embedding_cosine_near_dup": SIM.COSINE_NEAR_DUP_ORACLE,
     "embedding_ivf_ann": SIM.IVF_ANN_ORACLE,
+    "ann_recall_at_k": SIM.ANN_RECALL_AT_K_ORACLE,
     "embedding_quantized_topk": SIM.QUANTIZED_TOPK_ORACLE,
     "embedding_pq_ann": SIM.PQ_ANN_ORACLE,
     "kmeans_quantized": SIM.KMEANS_QUANTIZED_ORACLE,
