@@ -284,3 +284,75 @@ def test_select_st_equals_text_path_on_reference_chain(spark):
                 assert abs(gv - ev) <= 1e-9 * max(1.0, abs(ev)), (k, g, e)
             else:
                 assert gv == ev, (k, g, e)
+
+
+# ---------------------------------------- ST_Union_Aggr auto-salt (r9)
+
+def test_salt_rewrite_canonical_shapes():
+    f = CR.salt_union_aggr_sql
+    got = f("SELECT region_id, ST_Union_Aggr(g) AS u FROM t GROUP BY region_id")
+    assert "pmod(xxhash64(g), 16)" in got
+    assert got.count("ST_Union_Aggr") == 2          # partial + final
+    # nested-in-expression aggregate rewrites too
+    got2 = f("SELECT region_id % 4 AS rk, CAST(round(ST_Area("
+             "ST_Union_Aggr(g))) AS BIGINT) AS a FROM t GROUP BY region_id % 4")
+    assert "ST_Union_Aggr(__ua_p0)" in got2 and "GROUP BY rk" in got2
+    # two aggregates over the SAME arg share one partial
+    got3 = f("SELECT k, ST_Area(ST_Union_Aggr(g)) AS a, "
+             "ST_NPoints(ST_Union_Aggr(g)) AS n FROM t GROUP BY k")
+    assert got3.count("AS __ua_p0") == 1 and "__ua_p1" not in got3
+
+
+def test_salt_rewrite_bails_on_unrecognized_shapes(monkeypatch):
+    f = CR.salt_union_aggr_sql
+    keep = [
+        # mixed with another aggregate: the split is not union-shaped
+        "SELECT k, count(*) AS n, ST_Union_Aggr(g) AS u FROM t GROUP BY k",
+        # HAVING / ORDER BY / LIMIT / DISTINCT / WITH at depth 0
+        "SELECT k, ST_Union_Aggr(g) AS u FROM t GROUP BY k HAVING k > 1",
+        "SELECT k, ST_Union_Aggr(g) AS u FROM t GROUP BY k ORDER BY k",
+        "SELECT k, ST_Union_Aggr(g) AS u FROM t GROUP BY k LIMIT 5",
+        "SELECT DISTINCT k, ST_Union_Aggr(g) AS u FROM t GROUP BY k",
+        "WITH x AS (SELECT 1) SELECT k, ST_Union_Aggr(g) AS u FROM t GROUP BY k",
+        # no GROUP BY at all
+        "SELECT ST_Union_Aggr(g) AS u FROM t",
+        # aggregate without an alias
+        "SELECT k, ST_Union_Aggr(g) FROM t GROUP BY k",
+        # plain statement without the name
+        "SELECT k, count(*) AS n FROM t GROUP BY k",
+    ]
+    for s in keep:
+        assert f(s) == s, s
+    monkeypatch.setenv("SPARK_GRAFT_NO_UNION_AGGR_SALT", "1")
+    s = "SELECT k, ST_Union_Aggr(g) AS u FROM t GROUP BY k"
+    assert f(s) == s
+
+
+@pytest.mark.usefixtures("spark")
+def test_registered_union_aggr_hot_key_fans_out(spark):
+    """The plain SQL spelling through the engine's SQL door executes as
+    the salted two-phase plan: a hot key's rows split across 16 salt
+    groups in phase 1 (two AggregateInPandas stages, the first exchange
+    hash-partitioned on (k, pmod(xxhash64(g), 16))), and the result is
+    IDENTICAL to the unsalted single-phase aggregate."""
+    rows = []
+    for i in range(3000):                 # one hot key...
+        x, y = (i % 60) * 2, (i // 60) * 2
+        rows.append((1, f"POLYGON (({x} {y}, {x+1} {y}, {x+1} {y+1},"
+                        f" {x} {y+1}))"))
+    for i in range(40):                   # ...and a few cold ones
+        x = i * 3
+        rows.append((2 + i % 3, f"POLYGON (({x} 500, {x+2} 500,"
+                                f" {x+2} 502, {x} 502))"))
+    spark.createDataFrame(rows, "k long, g string") \
+        .createOrReplaceTempView("ua_hot")
+    q = "SELECT k, ST_Union_Aggr(g) AS u FROM ua_hot GROUP BY k"
+    salted = CR.sql_st(spark, q)
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    n_agg = (plan.count("ArrowAggregatePython")       # Spark 4.x name
+             + plan.count("AggregateInPandas"))       # 3.x name
+    assert n_agg >= 2, plan
+    assert "pmod" in plan and "xxhash64" in plan
+    got = sorted(map(tuple, salted.collect()))
+    exact = sorted(map(tuple, spark.sql(q).collect()))
+    assert got == exact
