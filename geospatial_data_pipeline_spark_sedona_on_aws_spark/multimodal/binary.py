@@ -999,3 +999,64 @@ SELECT doc_id, n_frames,
            AS BIGINT) AS sampled_bytes
 FROM m
 """
+
+
+def multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL progressive-JPEG (SOF2) decode inside the engine, driver-
+    oracle-checked and runnable WITHOUT PIL (r8 verdict item 5): per
+    document, build the same block-constant grayscale image as
+    multimodal_jpeg_decode, encode it with the pure-stdlib PROGRESSIVE
+    encoder (spectral-selection bands + successive approximation at
+    Al = doc_id % 3 — so the driver window spans pure spectral selection
+    AND refinement-scan scripts, DC+AC, with EOB runs), then decode the
+    multi-scan stream back through jpegcodec.jpeg_decode (never PIL —
+    this pins OUR T.81 G.2 decoder) and report dimensions, pixel sum,
+    and the scan count parsed out of the bytes. The oracle recomputes
+    the block law and the scan-script arithmetic (3 + 3*Al scans) in
+    SQL; any defect in the progressive entropy decoder, the coefficient
+    accumulation, or the reconstruction breaks the hash. Scale: row-local
+    per Arrow batch, identical shape to the baseline JPEG query."""
+    from .jpegcodec import jpeg_decode, jpeg_encode_gray_progressive
+
+    docs = _docs(spark, sf_dir, "doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                blocks = np.array(
+                    [(did * 31 + 7 * b) % _PNG_MOD
+                     for b in range(JPEG_BLOCKS)],
+                    dtype=np.uint8).reshape(2, 2)
+                img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+                payload = jpeg_encode_gray_progressive(img, al=did % 3)
+                d = jpeg_decode(bytes(payload))
+                rows.append((did, d["width"], d["height"], d["channels"],
+                             int(np.asarray(d["pixels"],
+                                            dtype=np.int64).sum()),
+                             payload.count(b"\xff\xda")))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "channels", "pixel_sum",
+                "n_scans"])
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, width long, height long, channels long, "
+               "pixel_sum long, n_scans long",
+    )
+
+
+# scan script: 1 DC-first + Al DC refinements + 2 AC-first bands
+# + 2*Al AC refinement bands = 3 + 3*Al scans
+MULTIMODAL_JPEG_PROGRESSIVE_ORACLE = f"""
+SELECT d.doc_id,
+       CAST(16 AS BIGINT) AS width,
+       CAST(16 AS BIGINT) AS height,
+       CAST(1 AS BIGINT) AS channels,
+       CAST(64 * sum((d.doc_id * 31 + 7 * r.range) % {_PNG_MOD}) AS BIGINT)
+           AS pixel_sum,
+       CAST(3 + 3 * (d.doc_id % 3) AS BIGINT) AS n_scans
+FROM documents d CROSS JOIN range(0, {JPEG_BLOCKS}) r
+GROUP BY d.doc_id
+"""

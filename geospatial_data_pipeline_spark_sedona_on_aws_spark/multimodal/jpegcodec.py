@@ -4,13 +4,21 @@ Decoder: full baseline sequential DCT — marker walk, DQT (8/16-bit
 entries), DHT, SOF0, DRI/RSTn restart markers, interleaved-MCU Huffman
 scan with DC prediction, zigzag dequantization, separable 2-D IDCT
 (numpy 8×8 basis product), per-component upsampling (any H/V factors),
-and YCbCr→RGB for 3-component images. Progressive (SOF2) and arithmetic
-coding raise a deterministic NotImplementedError (documented gap — the
-overwhelming majority of real-corpus JPEGs are baseline).
+and YCbCr→RGB for 3-component images — PLUS full progressive (SOF2)
+Huffman decode (r9): DC first/refinement, AC spectral-selection bands
+with EOB run-length coding and successive-approximation refinement,
+interleaved DC and per-component non-interleaved AC block grids
+(T.81 annex G.2; `_ProgState`). Lossless and arithmetic-coded SOFs
+raise a deterministic NotImplementedError.
 
 Encoder: baseline sequential, 1-component grayscale or 3-component
 YCbCr (4:4:4, or 4:2:0 via luma sampling factors 2×2), standard Annex K
-Huffman tables, caller-supplied quantization (default all-ones). With
+Huffman tables, caller-supplied quantization (default all-ones) —
+plus progressive variants (jpeg_encode_gray_progressive /
+jpeg_encode_ycbcr420_progressive) emitting the standard spectral-
+selection + successive-approximation scan script, used as sandbox
+fixtures: both pipelines quantize identical coefficients, so the
+progressive decode must equal the baseline decode PIXEL-EXACT. With
 the all-ones table and block-constant input, the DC-only round trip is
 EXACT — which is what makes the multimodal_jpeg_decode oracle
 SQL-expressible (the same design as the PNG/WAV/Y4M decoders in
@@ -192,10 +200,10 @@ def _extend(v: int, t: int) -> int:
 
 
 def jpeg_decode(data: bytes) -> dict:
-    """Decode baseline JPEG bytes to
-    {width, height, channels, pixels (H×W or H×W×3 uint8)}. Truncated
+    """Decode baseline (SOF0/1) or progressive-Huffman (SOF2) JPEG bytes
+    to {width, height, channels, pixels (H×W or H×W×3 uint8)}. Truncated
     or corrupt streams raise JpegError (never a bare struct/buffer
-    error), progressive/arithmetic raise NotImplementedError."""
+    error), lossless/arithmetic raise NotImplementedError."""
     try:
         return _jpeg_decode(data)
     except (JpegError, NotImplementedError):
@@ -219,6 +227,7 @@ def _jpeg_decode(data: bytes) -> dict:
     huff_dc: dict = {}
     huff_ac: dict = {}
     frame = None
+    prog = None
     restart_interval = 0
     while True:
         if data[pos] != 0xFF:
@@ -226,6 +235,8 @@ def _jpeg_decode(data: bytes) -> dict:
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:                      # EOI
+            if prog is not None and prog.nscans:
+                return prog.reconstruct(qt)
             raise JpegError("EOI before SOS — no image data")
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue
@@ -258,7 +269,7 @@ def _jpeg_decode(data: bytes) -> dict:
                 (huff_dc if tc == 0 else huff_ac)[th] = _HuffTree(counts,
                                                                   syms)
                 i += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):      # SOF0/1 baseline, SOF2 prog
             prec = body[0]
             if prec != 8:
                 raise JpegError(f"{prec}-bit precision not supported")
@@ -274,25 +285,46 @@ def _jpeg_decode(data: bytes) -> dict:
                 comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
             if w == 0 or h == 0:
                 raise JpegError("zero image dimension")
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"w": w, "h": h, "comps": comps,
+                     "progressive": marker == 0xC2}
+            if frame["progressive"]:
+                prog = _ProgState(frame)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential JPEG (SOF0/SOF1) is supported; "
-                f"got SOF marker 0xFF{marker:02X} (progressive/arithmetic)")
+                "only baseline sequential (SOF0/SOF1) and progressive "
+                "Huffman (SOF2) JPEG are supported; got SOF marker "
+                f"0xFF{marker:02X} (lossless/arithmetic)")
         elif marker == 0xDD:                    # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:                    # SOS
             if frame is None:
                 raise JpegError("SOS before SOF")
             ns = body[0]
+            if not frame["progressive"]:
+                scan = []
+                for c in range(ns):
+                    cs, tt = body[1 + 2 * c], body[2 + 2 * c]
+                    comp = next(x for x in frame["comps"] if x["id"] == cs)
+                    scan.append((comp, huff_dc[tt >> 4], huff_ac[tt & 0xF]))
+                return _decode_scan(data, seg_end, frame, scan, qt,
+                                    restart_interval)
+            # progressive: accumulate this scan's coefficients, keep
+            # walking markers (scans until EOI)
+            sb = 1 + 2 * ns
+            ss, se = body[sb], body[sb + 1]
+            ah, al = body[sb + 2] >> 4, body[sb + 2] & 0xF
             scan = []
             for c in range(ns):
                 cs, tt = body[1 + 2 * c], body[2 + 2 * c]
-                comp = next(x for x in frame["comps"] if x["id"] == cs)
-                scan.append((comp, huff_dc[tt >> 4], huff_ac[tt & 0xF]))
-            return _decode_scan(data, seg_end, frame, scan, qt,
-                                restart_interval)
+                ci = next(i for i, x in enumerate(frame["comps"])
+                          if x["id"] == cs)
+                dtree = huff_dc.get(tt >> 4) if ss == 0 else None
+                atree = huff_ac.get(tt & 0xF) if se > 0 else None
+                scan.append((ci, dtree, atree))
+            pos = prog.decode_scan(data, seg_end, scan, ss, se, ah, al,
+                                   restart_interval)
+            continue
         pos = seg_end
 
 
@@ -345,6 +377,12 @@ def _decode_scan(data, pos, frame, scan, qt, restart_interval):
         if ry > 1 or rx > 1:
             pl = np.repeat(np.repeat(pl, ry, axis=0), rx, axis=1)
         out.append(pl[:h, :w])
+    return _finish_image(out, w, h)
+
+
+def _finish_image(out: list, w: int, h: int) -> dict:
+    """Full-resolution component planes -> decoded-image dict (shared by
+    the baseline and progressive paths)."""
     if len(out) == 1:
         pixels = np.clip(np.rint(out[0]), 0, 255).astype(np.uint8)
         return {"width": w, "height": h, "channels": 1, "pixels": pixels}
@@ -357,6 +395,218 @@ def _decode_scan(data, pos, frame, scan, qt, restart_interval):
         pixels = np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
         return {"width": w, "height": h, "channels": 3, "pixels": pixels}
     raise JpegError(f"{len(out)}-component scan not supported")
+
+
+# ------------------------------------------------------------ progressive
+
+class _ProgState:
+    """Progressive (SOF2) decode state — T.81 annex G.2, Huffman coding:
+    per-component DCT-coefficient arrays (zigzag order) accumulated scan
+    by scan, reconstructed (dequant + IDCT + upsample + color) at EOI.
+    All four scan kinds are implemented: DC first / DC refinement
+    (successive approximation on coefficient 0), AC first / AC refinement
+    (spectral selection bands with EOB run-length coding). Interleaved
+    (multi-component) scans are DC-only per the standard; AC scans are
+    single-component in the component's own (non-padded) block grid.
+    (r8 verdict item 5 — the most common real-corpus gap after baseline;
+    fixtures come from jpeg_encode_gray_progressive below, cross-checked
+    against the baseline pipeline's pixels and PIL when available.)"""
+
+    def __init__(self, frame):
+        self.frame = frame
+        self.nscans = 0
+        self.hmax = max(c["h"] for c in frame["comps"])
+        self.vmax = max(c["v"] for c in frame["comps"])
+        self.mcux = -(-frame["w"] // (8 * self.hmax))
+        self.mcuy = -(-frame["h"] // (8 * self.vmax))
+        self.coef = []           # per comp: (by, bx, 64) int32, zigzag
+        self.bdims = []          # per comp: non-interleaved (bh, bw)
+        for c in frame["comps"]:
+            cw = -(-frame["w"] * c["h"] // self.hmax)
+            ch = -(-frame["h"] * c["v"] // self.vmax)
+            self.bdims.append((-(-ch // 8), -(-cw // 8)))
+            self.coef.append(np.zeros(
+                (self.mcuy * c["v"], self.mcux * c["h"], 64),
+                dtype=np.int32))
+
+    # -- scan entry -------------------------------------------------
+
+    def decode_scan(self, data, pos, scan, ss, se, ah, al, ri) -> int:
+        """Decode one SOS's entropy data; returns the offset of the next
+        marker's 0xFF byte."""
+        if ss > se or se > 63 or al > 13 or (ah and ah != al + 1):
+            raise JpegError(f"bad progressive scan header "
+                            f"Ss={ss} Se={se} Ah={ah} Al={al}")
+        if ss == 0 and se != 0:
+            raise JpegError("progressive scan mixes DC and AC "
+                            "(Ss=0 requires Se=0)")
+        if ss > 0 and len(scan) != 1:
+            raise JpegError("progressive AC scan must be single-component")
+        for _, dtree, atree in scan:
+            if ss == 0 and ah == 0 and dtree is None:
+                raise JpegError("missing DC Huffman table for scan")
+            if ss > 0 and atree is None:
+                raise JpegError("missing AC Huffman table for scan")
+        rd = _BitReader(data, pos)
+        if ss == 0 and len(scan) > 1:
+            self._dc_interleaved(rd, scan, ah, al, ri)
+        else:
+            self._single(rd, scan[0], ss, se, ah, al, ri)
+        self.nscans += 1
+        # skip to the next marker (possibly EOI / next SOS / DHT)
+        p = rd.pos
+        while p < len(data) and (data[p] != 0xFF or data[p + 1] == 0x00):
+            p += 1
+        return p
+
+    def _rst(self, rd, data_needed=True):
+        rd.align_to_marker()
+        d = rd.data
+        if not (d[rd.pos] == 0xFF and 0xD0 <= d[rd.pos + 1] <= 0xD7):
+            raise JpegError("expected RST marker in progressive scan")
+        rd.pos += 2
+
+    # -- DC scans ----------------------------------------------------
+
+    def _dc_interleaved(self, rd, scan, ah, al, ri):
+        comps = self.frame["comps"]
+        pred = [0] * len(scan)
+        n = 0
+        for my in range(self.mcuy):
+            for mx in range(self.mcux):
+                if ri and n and n % ri == 0:
+                    self._rst(rd)
+                    pred = [0] * len(scan)
+                for si, (ci, dtree, _) in enumerate(scan):
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            blk = self.coef[ci][my * c["v"] + by,
+                                                mx * c["h"] + bx]
+                            self._dc_block(rd, blk, dtree, pred, si,
+                                           ah, al)
+                n += 1
+
+    def _dc_block(self, rd, blk, dtree, pred, si, ah, al):
+        if ah == 0:
+            t = rd.huff(dtree)
+            diff = _extend(rd.bits(t), t) if t else 0
+            pred[si] += diff
+            blk[0] = pred[si] << al
+        else:                      # refinement: one bit per block
+            if rd.bit():
+                blk[0] |= 1 << al
+
+    # -- single-component scans (non-interleaved grid) ---------------
+
+    def _single(self, rd, entry, ss, se, ah, al, ri):
+        ci, dtree, atree = entry
+        bh, bw = self.bdims[ci]
+        pred = [0]
+        self.eobrun = 0
+        n = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if ri and n and n % ri == 0:
+                    self._rst(rd)
+                    pred = [0]
+                    self.eobrun = 0
+                blk = self.coef[ci][by, bx]
+                if ss == 0:
+                    self._dc_block(rd, blk, dtree, pred, 0, ah, al)
+                elif ah == 0:
+                    self._ac_first(rd, blk, atree, ss, se, al)
+                else:
+                    self._ac_refine(rd, blk, atree, ss, se, al)
+                n += 1
+
+    def _ac_first(self, rd, blk, atree, ss, se, al):
+        if self.eobrun > 0:
+            self.eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = rd.huff(atree)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r < 15:         # EOBn: run of (1<<r)-1+ext more blocks
+                    self.eobrun = (1 << r) - 1
+                    if r:
+                        self.eobrun += rd.bits(r)
+                    return
+                k += 16            # ZRL
+                continue
+            k += r
+            if k > se:
+                raise JpegError("AC run past band end")
+            blk[k] = _extend(rd.bits(s), s) << al
+            k += 1
+
+    def _ac_refine(self, rd, blk, atree, ss, se, al):
+        """T.81 G.2.3 / libjpeg decode_mcu_AC_refine: correction bits for
+        already-nonzero coefficients ride along every zero-run skip."""
+        p1, m1 = 1 << al, -1 << al
+        k = ss
+        if self.eobrun == 0:
+            while k <= se:
+                rs = rd.huff(atree)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r < 15:
+                        self.eobrun = (1 << r)
+                        if r:
+                            self.eobrun += rd.bits(r)
+                        break
+                    val = 0        # ZRL: skip 16 zero-history coeffs
+                else:
+                    if s != 1:
+                        raise JpegError(
+                            "AC refinement symbol with size != 1")
+                    val = p1 if rd.bit() else m1
+                while k <= se:
+                    if blk[k] != 0:
+                        if rd.bit() and (blk[k] & p1) == 0:
+                            blk[k] += p1 if blk[k] > 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    blk[k] = val
+                k += 1
+        if self.eobrun > 0:
+            while k <= se:
+                if blk[k] != 0:
+                    if rd.bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] > 0 else m1
+                k += 1
+            self.eobrun -= 1
+
+    # -- reconstruction ----------------------------------------------
+
+    def reconstruct(self, qt) -> dict:
+        frame = self.frame
+        w, h = frame["w"], frame["h"]
+        out = []
+        for ci, c in enumerate(frame["comps"]):
+            if c["tq"] not in qt:
+                raise JpegError(f"missing quantization table {c['tq']}")
+            q = qt[c["tq"]]
+            by, bx, _ = self.coef[ci].shape
+            plane = np.zeros((by * 8, bx * 8), dtype=np.float64)
+            zz = self.coef[ci].astype(np.float64)
+            for j in range(by):
+                for i in range(bx):
+                    blk = np.zeros(64)
+                    blk[_ZZ] = zz[j, i]
+                    plane[j * 8:j * 8 + 8, i * 8:i * 8 + 8] = \
+                        _idct2(blk.reshape(8, 8) * q) + 128.0
+            ry, rx = self.vmax // c["v"], self.hmax // c["h"]
+            if ry > 1 or rx > 1:
+                plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+            out.append(plane[:h, :w])
+        return _finish_image(out, w, h)
 
 
 def _decode_block(rd, dtree, atree, pred, ci) -> np.ndarray:
@@ -539,3 +789,288 @@ def jpeg_encode_ycbcr420(y: np.ndarray, cb: np.ndarray,
             + bytes([1, 0x00]) + bytes([2, 0x11]) + bytes([3, 0x11])
             + bytes([0, 63, 0]))
     return head + bytes(wtr.buf) + b"\xff\xd9"
+
+
+# -------------------------------------------------- progressive encode
+
+# Progressive AC scans emit EOBn symbols (0x10..0xE0) that the baseline
+# Annex-K tables do not define — use a flat 256-symbol table instead
+# (255 8-bit codes + one 9-bit; the all-ones code stays unused per T.81).
+# Compression is mediocre, correctness-fixture bitstreams don't care.
+_AC_PROG = ([0] * 7 + [255, 1] + [0] * 7, list(range(256)))
+_EAC_PROG = _enc_tables(*_AC_PROG)
+
+
+def _quant_zz_blocks(plane: np.ndarray, q: np.ndarray) -> list:
+    """Row-major list of quantized zigzag-order coefficient arrays for an
+    8-aligned uint8 plane."""
+    h, w = plane.shape
+    out = []
+    for y0 in range(0, h, 8):
+        for x0 in range(0, w, 8):
+            coef = np.rint(_fdct2(
+                plane[y0:y0 + 8, x0:x0 + 8].astype(np.float64) - 128.0
+            ) / q).astype(int)
+            out.append(coef.reshape(64)[_ZZ])
+    return out
+
+
+def _emit_dc_first(wtr, blocks, dc_tbl, al):
+    pred = 0
+    for zz in blocks:
+        v = int(zz[0]) >> al            # arithmetic point transform (DC)
+        diff = v - pred
+        pred = v
+        t = _csize(diff)
+        code, ln = dc_tbl[t]
+        wtr.put(code, ln)
+        if t:
+            wtr.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+
+
+def _emit_dc_refine(wtr, blocks, al):
+    for zz in blocks:
+        wtr.put((int(zz[0]) >> al) & 1, 1)
+
+
+class _EobRun:
+    """EOB-run state for one AC scan. `pend` holds correction bits owed
+    AFTER the pending EOBn symbol (libjpeg's BE buffer) — bits from the
+    initiating block's tail and from fully-EOB blocks; per-symbol
+    correction bits (libjpeg's BR) stay block-local in the emitters."""
+
+    def __init__(self, wtr, ac_tbl):
+        self.wtr, self.ac_tbl = wtr, ac_tbl
+        self.run = 0
+        self.pend: list = []
+
+    def flush(self):
+        if self.run > 0:
+            r = self.run.bit_length() - 1
+            code, ln = self.ac_tbl[r << 4]
+            self.wtr.put(code, ln)
+            if r:
+                self.wtr.put(self.run - (1 << r), r)
+            self.run = 0
+        for b in self.pend:
+            self.wtr.put(b, 1)
+        self.pend = []
+
+
+def _emit_ac_first(wtr, blocks, ac_tbl, ss, se, al):
+    eob = _EobRun(wtr, ac_tbl)
+    for zz in blocks:
+        # AC point transform is sign-magnitude (T.81): abs >> Al, sign kept
+        vals = [(0 if zz[k] == 0
+                 else (abs(int(zz[k])) >> al) * (1 if zz[k] > 0 else -1))
+                for k in range(ss, se + 1)]
+        last_nz = -1
+        for i, v in enumerate(vals):
+            if v:
+                last_nz = i
+        if last_nz < 0:
+            eob.run += 1
+            if eob.run == 0x7FFF:
+                eob.flush()
+            continue
+        eob.flush()
+        run = 0
+        for v in vals[:last_nz + 1]:
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_tbl[0xF0]
+                wtr.put(code, ln)
+                run -= 16
+            s = _csize(v)
+            code, ln = ac_tbl[(run << 4) | s]
+            wtr.put(code, ln)
+            wtr.put(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last_nz < len(vals) - 1:
+            eob.run += 1
+    eob.flush()
+
+
+def _emit_ac_refine(wtr, blocks, ac_tbl, ss, se, al):
+    """libjpeg encode_mcu_AC_refine: newly-nonzero coefficients emit a
+    (run, 1) symbol + sign bit; previously-nonzero ones ride as buffered
+    correction bits flushed after each symbol / EOB run."""
+    eob = _EobRun(wtr, ac_tbl)
+    for zz in blocks:
+        absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+        eobpos = -1
+        for i, t in enumerate(absv):
+            if t == 1:
+                eobpos = i
+        r = 0
+        br: list = []                    # current block, since last symbol
+        for i, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eobpos:
+                eob.flush()
+                code, ln = ac_tbl[0xF0]
+                wtr.put(code, ln)
+                r -= 16
+                for b in br:
+                    wtr.put(b, 1)
+                br = []
+            if t > 1:
+                br.append(t & 1)
+                continue
+            eob.flush()
+            code, ln = ac_tbl[(r << 4) | 1]
+            wtr.put(code, ln)
+            wtr.put(1 if zz[ss + i] > 0 else 0, 1)
+            for b in br:
+                wtr.put(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eob.run += 1
+            eob.pend.extend(br)
+            if eob.run == 0x7FFF:
+                eob.flush()
+    eob.flush()
+
+
+def _sos_seg(comps, ss, se, ah, al) -> bytes:
+    body = bytes([len(comps)])
+    for cid, tt in comps:
+        body += bytes([cid, tt])
+    body += bytes([ss, se, (ah << 4) | al])
+    return b"\xff\xda" + struct.pack(">H", len(body) + 2) + body
+
+
+_PROG_BANDS = ((1, 5), (6, 63))
+
+
+def jpeg_encode_gray_progressive(img: np.ndarray, qtable=None,
+                                 al: int = 1) -> bytes:
+    """Progressive (SOF2) grayscale JPEG exercising all four scan kinds:
+    DC first at Al=al, DC refinements down to 0, per-band AC first scans
+    at Al=al, then per-band AC refinements — the standard spectral
+    selection + successive approximation script. Decodes (here and in
+    libjpeg/PIL) to the SAME pixels as jpeg_encode_gray of the same
+    image, because both quantize the same coefficients."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape
+    if h % 8 or w % 8:
+        raise JpegError("encoder requires 8-aligned dimensions")
+    q = (np.ones((8, 8)) if qtable is None
+         else np.asarray(qtable, dtype=np.float64).reshape(8, 8))
+    blocks = _quant_zz_blocks(img, q)
+
+    out = bytearray(b"\xff\xd8" + _dqt_seg(0, q))
+    out += (b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, h, w, 1)
+            + bytes([1, 0x11, 0]))
+    out += _dht_seg(0, 0, *_DC_LUM) + _dht_seg(1, 0, *_AC_PROG)
+
+    def scan(seg, emit, *args):
+        out.extend(seg)
+        wtr = _BitWriter()
+        emit(wtr, blocks, *args)
+        wtr.flush()
+        out.extend(wtr.buf)
+
+    scan(_sos_seg([(1, 0x00)], 0, 0, 0, al), _emit_dc_first, _EDC_LUM, al)
+    for a in range(al - 1, -1, -1):
+        scan(_sos_seg([(1, 0x00)], 0, 0, a + 1, a), _emit_dc_refine, a)
+    for ss, se in _PROG_BANDS:
+        scan(_sos_seg([(1, 0x00)], ss, se, 0, al),
+             _emit_ac_first, _EAC_PROG, ss, se, al)
+    for ss, se in _PROG_BANDS:
+        for a in range(al - 1, -1, -1):
+            scan(_sos_seg([(1, 0x00)], ss, se, a + 1, a),
+                 _emit_ac_refine, _EAC_PROG, ss, se, a)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def jpeg_encode_ycbcr420_progressive(y: np.ndarray, cb: np.ndarray,
+                                     cr: np.ndarray, qtable=None,
+                                     al: int = 1) -> bytes:
+    """Progressive 3-component 4:2:0 JPEG: one INTERLEAVED DC-first scan
+    (the multi-component MCU path), DC refinements, then per-component
+    AC scans over each component's own non-interleaved block grid —
+    exercises the subsampled-grid bookkeeping and upsampling at
+    reconstruction."""
+    y = np.asarray(y, dtype=np.uint8)
+    h, w = y.shape
+    if h % 16 or w % 16:
+        raise JpegError("4:2:0 encoder requires 16-aligned dimensions")
+    q = (np.ones((8, 8)) if qtable is None
+         else np.asarray(qtable, dtype=np.float64).reshape(8, 8))
+    planes = [np.asarray(p, dtype=np.uint8) for p in (y, cb, cr)]
+    comp_blocks = [_quant_zz_blocks(p, q) for p in planes]
+    bws = [p.shape[1] // 8 for p in planes]
+
+    # interleaved MCU order for the DC scans: per MCU, 4 luma blocks
+    # (2x2) then one of each chroma
+    mcu_order = []
+    mcux, mcuy = w // 16, h // 16
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for by in range(2):
+                for bx in range(2):
+                    mcu_order.append((0, (my * 2 + by) * bws[0]
+                                      + mx * 2 + bx))
+            mcu_order.append((1, my * bws[1] + mx))
+            mcu_order.append((2, my * bws[2] + mx))
+
+    out = bytearray(b"\xff\xd8" + _dqt_seg(0, q))
+    out += (b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+            + bytes([1, 0x22, 0]) + bytes([2, 0x11, 0])
+            + bytes([3, 0x11, 0]))
+    out += (_dht_seg(0, 0, *_DC_LUM) + _dht_seg(1, 0, *_AC_PROG)
+            + _dht_seg(0, 1, *_DC_CHR) + _dht_seg(1, 1, *_AC_PROG))
+
+    # DC first, interleaved (per-component predictors)
+    out += _sos_seg([(1, 0x00), (2, 0x10), (3, 0x10)], 0, 0, 0, al)
+    wtr = _BitWriter()
+    pred = [0, 0, 0]
+    for ci, bi in mcu_order:
+        zz = comp_blocks[ci][bi]
+        v = int(zz[0]) >> al
+        diff = v - pred[ci]
+        pred[ci] = v
+        t = _csize(diff)
+        tbl = _EDC_LUM if ci == 0 else _EDC_CHR
+        code, ln = tbl[t]
+        wtr.put(code, ln)
+        if t:
+            wtr.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    wtr.flush()
+    out += wtr.buf
+
+    # DC refinements, interleaved (raw bits, no tables)
+    for a in range(al - 1, -1, -1):
+        out += _sos_seg([(1, 0x00), (2, 0x00), (3, 0x00)], 0, 0, a + 1, a)
+        wtr = _BitWriter()
+        for ci, bi in mcu_order:
+            wtr.put((int(comp_blocks[ci][bi][0]) >> a) & 1, 1)
+        wtr.flush()
+        out += wtr.buf
+
+    # AC scans, one component at a time over its own grid
+    for ci, cid in ((0, 1), (1, 2), (2, 3)):
+        tbl = _EAC_PROG
+        tt = 0x00 if ci == 0 else 0x01
+        for ss, se in _PROG_BANDS:
+            out += _sos_seg([(cid, tt)], ss, se, 0, al)
+            wtr = _BitWriter()
+            _emit_ac_first(wtr, comp_blocks[ci], tbl, ss, se, al)
+            wtr.flush()
+            out += wtr.buf
+        for ss, se in _PROG_BANDS:
+            for a in range(al - 1, -1, -1):
+                out += _sos_seg([(cid, tt)], ss, se, a + 1, a)
+                wtr = _BitWriter()
+                _emit_ac_refine(wtr, comp_blocks[ci], tbl, ss, se, a)
+                wtr.flush()
+                out += wtr.buf
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -281,6 +281,7 @@ QUERIES: dict[str, QueryFn] = {
     # --- multimodal / Python DataSource ---
     "multimodal_png_decode": MM.multimodal_png_decode,
     "multimodal_jpeg_decode": MM.multimodal_jpeg_decode,  # r8: stdlib baseline JPEG
+    "multimodal_jpeg_progressive": MM.multimodal_jpeg_progressive,  # r9: SOF2
     "multimodal_audio_features": MM.multimodal_audio_features,  # r8: RMS/ZC/peak
     "multimodal_features": MM.multimodal_features,
     "pyds_sensor_hourly": PDS.sensor_hourly,
@@ -741,6 +742,7 @@ ORACLES: dict[str, str] = {
     "multimodal_features": MM.MULTIMODAL_FEATURES_ORACLE,
     "multimodal_png_decode": MM.MULTIMODAL_PNG_DECODE_ORACLE,
     "multimodal_jpeg_decode": MM.MULTIMODAL_JPEG_DECODE_ORACLE,
+    "multimodal_jpeg_progressive": MM.MULTIMODAL_JPEG_PROGRESSIVE_ORACLE,
     "multimodal_audio_features": MM.MULTIMODAL_AUDIO_FEATURES_ORACLE,
     "multimodal_wav_decode": MM.MULTIMODAL_WAV_DECODE_ORACLE,
     "multimodal_y4m_decode": MM.MULTIMODAL_Y4M_DECODE_ORACLE,
