@@ -156,6 +156,26 @@ def st_geomfromwkt_b(s: pd.Series) -> pd.Series:
     out = pd.Series([None] * len(s), index=s.index, dtype=object)
     if not len(s):
         return out
+    if len(s) >= 4096:
+        # dimension-joined geometry columns repeat a handful of distinct
+        # strings across the whole batch (e.g. 50 region rects x 600k
+        # rows) — factorize, parse each distinct ONCE, gather back.
+        # factorize is one hash pass (~0.2 us/row), repaid whenever the
+        # batch is <= 1/4 distinct.
+        codes, uniques = pd.factorize(s)
+        if len(uniques) <= len(s) // 4:
+            uw = _geom_from_wkt_b_series(pd.Series(uniques, dtype=object))
+            taken = uw.to_numpy(dtype=object).take(codes)
+            taken[codes < 0] = None            # NaN/None inputs
+            out[:] = taken
+            return out
+    return _geom_from_wkt_b_series(s)
+
+
+def _geom_from_wkt_b_series(s: pd.Series) -> pd.Series:
+    out = pd.Series([None] * len(s), index=s.index, dtype=object)
+    if not len(s):
+        return out
     remaining = s.notna()
     # one anchored tag pass dispatches rows to their lane; the lane's
     # strict fullmatch then runs only on its own subset
@@ -553,6 +573,12 @@ def _law_touches(*bb):
 
 
 def _law_contains(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2):
+    """Closed-interval cover. The ENGINE's ST_Contains is covers
+    semantics — boundary-touching counts as contained, the documented
+    choice of functions/spatial._contains — so the closed law is exact
+    for every box combination, including degenerate point boxes (a point
+    on ∂A IS covered; two points contain each other iff equal, which the
+    closed law reduces to)."""
     return (ax1 <= bx1) & (bx2 <= ax2) & (ay1 <= by1) & (by2 <= ay2)
 
 
@@ -576,14 +602,21 @@ def _law_crosses(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2):
     return np.zeros(len(np.atleast_1d(ax1)), dtype=bool)
 
 
+# boxes_ok (r9): intersects / disjoint / equals are pure closed-interval
+# statements at any operand dimension; contains / within use the
+# dimension-aware law above (strict interior for point operands). touches
+# / overlaps / crosses stay rect-only — their truth depends on operand
+# dimension in ways bounds can't express (point-touches-point is false,
+# point-inside-rect is zero-boundary contact, ...).
 st_crosses_b = _bool_b(_law_crosses, S._crosses)
-st_intersects_b = _bool_b(S._law_intersects, S._intersects)
-st_disjoint_b = _bool_b(_law_disjoint, _scalar_disjoint)
+st_intersects_b = _bool_b(_boxes_ok(S._law_intersects), S._intersects)
+st_disjoint_b = _bool_b(_boxes_ok(_law_disjoint), _scalar_disjoint)
 st_touches_b = _bool_b(_law_touches, S._touches)
 st_overlaps_b = _bool_b(_law_overlaps, S._overlaps)
-st_equals_b = _bool_b(_law_equals, S._equals)
-st_contains_b = _bool_b(_law_contains, S._contains)
-st_within_b = _bool_b(_law_within, lambda x, y: S._contains(y, x))
+st_equals_b = _bool_b(_boxes_ok(_law_equals), S._equals)
+st_contains_b = _bool_b(_boxes_ok(_law_contains), S._contains)
+st_within_b = _bool_b(_boxes_ok(_law_within),
+                      lambda x, y: S._contains(y, x))
 
 
 @pandas_udf(DoubleType())

@@ -3286,9 +3286,48 @@ def _unary_hygiene(s: pd.Series, scalar_fn) -> pd.Series:
     out[slow] = s[slow].map(scalar_fn, na_action="ignore")
     return out
 
+# r9: canonical-puntal/lineal fixed points of parse→to_wkt, same premise
+# as _RECT_FIXED_RE (integer text ≤15 digits round-trips float exactly;
+# the spelling below IS to_wkt's emission — single-member multis are
+# EXCLUDED because parse collapses them to the member kind; repeated /
+# unsorted / duplicate members all re-emit verbatim, property-pinned by
+# tests/test_chainrw.py::test_nonareal_fixed_mask_is_identity). Valid
+# ONLY for identity hygiene (ST_GeomFromWKT, non-areal ST_MakeValid) —
+# NOT for buffer(0), which maps puntal/lineal input to POLYGON EMPTY.
+_IN = r"(?:0|-?[1-9]\d{0,14})"
+_PRN = rf"{_IN} {_IN}"
+_LSN = rf"\({_PRN}(?:, {_PRN})+\)"
+_NONAREAL_FIXED_RE = _re.compile(
+    rf"POINT \({_PRN}\)"
+    rf"|LINESTRING {_LSN}"
+    rf"|MULTIPOINT \({_PRN}(?:, {_PRN})+\)"
+    rf"|MULTILINESTRING \({_LSN}(?:, {_LSN})+\)"
+)
+
+def _nonareal_fixed_mask(s: pd.Series) -> pd.Series:
+    m = s.str.fullmatch(_NONAREAL_FIXED_RE)
+    # fullmatch on object dtype yields object with NaN for nulls; the
+    # == True comparison avoids pandas' deprecated fillna downcast
+    return (m == True).astype(bool)  # noqa: E712
+
+def _identity_hygiene(s: pd.Series, scalar_fn) -> pd.Series:
+    # nonareal mask first: it fast-rejects areal strings at the first
+    # character, while the rect extract (backreference pattern) is the
+    # expensive one — run it only on the rows the nonareal mask left
+    mask = _nonareal_fixed_mask(s)
+    rem = ~mask
+    if rem.any():
+        mask.loc[rem] = _rect_fixed_mask(s[rem])
+    if mask.all():
+        return s.copy()
+    out = s.copy()
+    slow = ~mask
+    out[slow] = s[slow].map(scalar_fn, na_action="ignore")
+    return out
+
 @pandas_udf(StringType())
 def st_geomfromwkt(s: pd.Series) -> pd.Series:
-    return _unary_hygiene(s, _geom_from_wkt)
+    return _identity_hygiene(s, _geom_from_wkt)
 
 @pandas_udf(StringType())
 def st_astext(s: pd.Series) -> pd.Series:
@@ -3296,7 +3335,9 @@ def st_astext(s: pd.Series) -> pd.Series:
 
 @pandas_udf(StringType())
 def st_makevalid(s: pd.Series) -> pd.Series:
-    return _unary_hygiene(s, _make_valid)
+    # non-areal MakeValid is serialization-canonicalization only — the
+    # same identity contract as ST_GeomFromWKT, so the extended mask holds
+    return _identity_hygiene(s, _make_valid)
 
 @pandas_udf(StringType())
 def st_buffer(s: pd.Series, d: pd.Series) -> pd.Series:

@@ -23,6 +23,8 @@ import struct
 
 import numpy as np
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions import chainrw as CR
 from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel import geomtypes as GT
@@ -356,3 +358,99 @@ def test_registered_union_aggr_hot_key_fans_out(spark):
     got = sorted(map(tuple, salted.collect()))
     exact = sorted(map(tuple, spark.sql(q).collect()))
     assert got == exact
+
+
+def test_box_predicate_boundary_parity_binary_equals_text():
+    """Covers-semantics pin for the r9 box lanes (point boxes join the
+    vectorized interval law): points ON rect boundaries, at corners,
+    outside, and point×point pairs must agree EXACTLY with the text
+    kernel — the engine's documented ST_Contains is covers (boundary
+    counts), NOT strict JTS contains; a 'correct-looking' strict law red
+    the st_point_line_ops oracle by 149k rows."""
+    import pandas as pd
+
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions import geomb as GB
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions import spatial as S
+
+    rect = "POLYGON ((0 0, 10 0, 10 10, 0 10))"
+    pts = ["POINT (0 5)", "POINT (5 5)", "POINT (0 0)", "POINT (10 10)",
+           "POINT (11 5)", "POINT (10 0)", "POINT (1 2)", "POINT EMPTY"]
+    a = pd.Series([rect] * len(pts) + ["POINT (1 2)", "POINT (1 2)"],
+                  dtype=object)
+    b = pd.Series(pts + ["POINT (1 2)", "POINT (3 4)"], dtype=object)
+    wa = GB.st_geomfromwkt_b.func(a)
+    wb = GB.st_geomfromwkt_b.func(b)
+    for name in ("contains", "within", "intersects", "disjoint", "equals"):
+        bfn = getattr(GB, f"st_{name}_b").func
+        got = bfn(wa, wb).tolist()
+        tfn = {
+            "contains": S._contains,
+            "within": lambda x, y: S._contains(y, x),
+            "intersects": S._intersects,
+            "disjoint": lambda x, y: (None if S._intersects(x, y) is None
+                                      else not S._intersects(x, y)),
+            "equals": S._equals,
+        }[name]
+        exp = [tfn(x, y) for x, y in zip(a, b)]
+        assert got == exp, (name, got, exp)
+
+
+@given(seed=st.integers(0, 100_000))
+@settings(max_examples=30, deadline=None)
+def test_nonareal_fixed_mask_is_identity(seed):
+    """Every string _nonareal_fixed_mask accepts must be an exact fixed
+    point of parse→to_wkt (the ST_GeomFromWKT / non-areal ST_MakeValid
+    contract); adversarial near-misses (floats, single-member multis,
+    leading zeros, extra spaces, Z) must be REJECTED by the mask and then
+    agree with the scalar path anyway."""
+    import pandas as pd
+
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions import spatial as S
+
+    rng = random.Random(seed)
+    rows = []
+    for _ in range(40):
+        x, y = rng.randint(-10**6, 10**6), rng.randint(-10**6, 10**6)
+        t = rng.randrange(8)
+        if t == 0:
+            rows.append(f"POINT ({x} {y})")
+        elif t == 1:
+            n = rng.randint(2, 6)
+            rows.append("LINESTRING (" + ", ".join(
+                f"{x+i} {y}" for i in range(n)) + ")")
+        elif t == 2:
+            rows.append(f"MULTIPOINT ({x} {y}, {x+1} {y+1})")
+        elif t == 3:
+            rows.append(f"MULTILINESTRING (({x} {y}, {x+1} {y}),"
+                        f" ({x} {y+1}, {x+2} {y+2}, {x} {y}))")
+        elif t == 4:   # duplicates / unsorted members stay verbatim
+            rows.append(f"MULTIPOINT ({x} {y}, {x} {y})")
+        elif t == 5:   # near-misses the mask must reject
+            rows.append(rng.choice([
+                f"POINT ({x}.5 {y})", f"MULTIPOINT ({x} {y})",
+                f"MULTILINESTRING (({x} {y}, {x+1} {y}))",
+                f"POINT (0{abs(x) % 10} {y})", f"POINT  ({x} {y})",
+                f"POINT Z ({x} {y} 1)", "LINESTRING EMPTY",
+                f"POINT ({x} {y}) ",
+            ]))
+        elif t == 6:
+            rows.append(None)
+        else:
+            rows.append(f"POLYGON (({x} {y}, {x+3} {y}, {x+3} {y+3},"
+                        f" {x} {y+3}, {x} {y}))")
+    ser = pd.Series(rows, dtype=object)
+    mask = S._nonareal_fixed_mask(ser)
+    for w, m in zip(rows, mask):
+        if w is None:
+            assert not m
+            continue
+        exp = S._geom_from_wkt(w)
+        if m:
+            assert exp == w, f"mask accepted a non-fixed-point: {w} -> {exp}"
+    # the full UDF path equals the scalar path on the whole batch
+    got = S.st_geomfromwkt.func(ser)
+    exp_all = [None if w is None else S._geom_from_wkt(w) for w in rows]
+    assert got.tolist() == exp_all
+    got_mv = S.st_makevalid.func(ser)
+    exp_mv = [None if w is None else S._make_valid(w) for w in rows]
+    assert got_mv.tolist() == exp_mv
