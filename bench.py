@@ -86,6 +86,9 @@ HEADLINE = [
     "st_transform_roundtrip",  # double CRS projection on the WKB carrier
     "multimodal_jpeg_decode",  # stdlib baseline JPEG encode->decode loop
     "multimodal_audio_features",  # decoded-stream RMS/ZC/peak features
+    # round 9 additions
+    "multimodal_jpeg_progressive",  # SOF2 multi-scan decode loop
+    "ann_recall_at_k",         # retrieval quality: 3 indexes vs exact top-k
 ]
 
 # scale-curve sweep (--sweep): the most expensive headline queries measured
@@ -244,13 +247,19 @@ def _ensure_sf1() -> None:
 def sweep(spark) -> None:
     """--sweep: per-sf timings of the expensive queries (min of 3 measured
     passes after a warm pass, same methodology as the headline bench).
-    Prints ONE JSON line with the curve."""
+    Prints ONE JSON line with the curve, a per-cell in-process spread
+    column ((max-min)/min over the measured passes — r8 verdict item 6:
+    sf1.0 cells of UDF-heavy queries swing 12-22 s within-host, so the
+    spread must be RECORDED, not averaged away), and per-cell ANCHORED
+    RATIOS (cell_min / frozen-anchor total at the same sf, same process)
+    as the primary cross-round quantity. For fresh-process minima run
+    scripts/sweep_fresh.py, which merges N independent sweep processes."""
     from geospatial_data_pipeline_spark_sedona_on_aws_spark.plans.registry import QUERIES
 
     from bench_anchor import run_anchor
 
     _ensure_sf1()
-    curve: dict[str, dict[str, float]] = {q: {} for q in SWEEP_QUERIES}
+    samples: dict[str, dict[str, list]] = {q: {} for q in SWEEP_QUERIES}
     anchors: dict[str, float] = {}
     for sf_dir in SWEEP_SFS:
         sf = "1.0" if sf_dir == SF1_DIR else sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -260,20 +269,28 @@ def sweep(spark) -> None:
                 _run_full(QUERIES[name](spark, sf_dir))
                 dt = round(time.perf_counter() - t0, 3)
                 if phase == "measure":
-                    cur = curve[name].get(sf)
-                    if cur is None or dt < cur:
-                        curve[name][sf] = dt
+                    samples[name].setdefault(sf, []).append(dt)
         # in-process machine-speed probe per sf column (frozen workloads;
         # see bench_anchor.py) so sweep columns are drift-comparable too
         anchors[sf] = run_anchor(spark, sf_dir)["total"]
+    curve = {q: {sf: min(v) for sf, v in cells.items()}
+             for q, cells in samples.items()}
+    spread = {q: {sf: round((max(v) - min(v)) / max(min(v), 1e-9), 3)
+                  for sf, v in cells.items()}
+              for q, cells in samples.items()}
+    ratios = {q: {sf: round(min(v) / anchors[sf], 4)
+                  for sf, v in cells.items()}
+              for q, cells in samples.items()}
     print(json.dumps({
         "metric": "scale_curve",
         "unit": "sec",
         "sfs": ["1.0" if s == SF1_DIR else s.rsplit("sf", 1)[-1]
                 for s in SWEEP_SFS],
         "queries": curve,
+        "spread": spread,
+        "anchored_ratios": ratios,
         "anchor_totals": anchors,
-        "methodology": "per-sf: full warm pass then per-query min of 3 measured passes, each forced through the noop sink (r7 fix: count() pruned deterministic UDF projections, under-measuring projection-final queries); anchor_totals = frozen bench_anchor total per sf, in-process",
+        "methodology": "per-sf: full warm pass then per-query min of 3 measured passes, each forced through the noop sink (r7 fix: count() pruned deterministic UDF projections, under-measuring projection-final queries); spread = (max-min)/min over the in-process passes; anchored_ratios = cell_min / frozen bench_anchor total at the same sf in the same process (the primary cross-round quantity — raw seconds swing with host drift, ratios cancel it); fresh-process minima via scripts/sweep_fresh.py",
     }))
 
 def main() -> None:
