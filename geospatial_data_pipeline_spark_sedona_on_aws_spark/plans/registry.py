@@ -545,7 +545,84 @@ _R8_WINDOW = [
     # (embedding_lsh_ann deferred — cumulative ledger green since r4,
     # similarity family stays seated via embedding_topk_cosine)
 ]
-_WINDOW = _R8_WINDOW
+# ======================================================================
+# Round-9 rotation (VERDICT r8 item 7): tier 1 = (a) the r9 blast radius
+# — the chain rewriter (st_point_line_ops runs the reference spelling on
+# the WKB carrier), the ragged packed codec + typed text lanes + box
+# predicate lanes + factorize-uniques parse (every *_B query), the
+# canonical puntal/lineal hygiene fixed points (every hygiene caller:
+# the crop chains, st_accessors, st_predicates), the hot-cell block
+# decomposition (both range-join doors + the fallback), the auto-salted
+# ST_Union_Aggr name (st_union_aggr_salted / st_aggr_ops), and the two
+# NEW queries (ann_recall_at_k, multimodal_jpeg_progressive; the
+# baseline JPEG query stays seated because the marker walk was
+# restructured for multi-scan); plus (b) the rows the r8 rotation
+# deferred by name (udtf_token_explode, window_zoo,
+# minhash_lsh_candidates, embedding_lsh_ann) and the stalest tier-2
+# cohort — rows last driver-verified in r5 or earlier (computed as
+# registry minus the union of the r6/r7/r8 windows), one per family
+# spread. Displaced: the 21-row r1/r2 relational cohort re-verified in
+# r8 plus crop_analytics / multimodal_png_decode / st_geometry_ops /
+# st_area_rect (driver-green r8, code untouched in r9; the hygiene mask
+# they share is seated via the crop chains + st_accessors).
+_R9_WINDOW = [
+    # --- r9 blast radius (21) ---
+    "st_point_line_ops",         # chain-rewritten reference spelling
+    "ann_recall_at_k",           # NEW: retrieval-quality oracle
+    "multimodal_jpeg_progressive",  # NEW: SOF2 multi-scan decode
+    "spatial_range_join_fallback",  # hot-cell block decomposition
+    "geo_range_join",            # hot-cell block decomposition (WKT door)
+    "spatial_range_join",        # same operator, broadcast door
+    "st_wkb_roundtrip",          # ragged vectorized encode/decode edge
+    "st_accessors",              # text hygiene fixed-point mask
+    "st_binary_carrier_ops",     # centroid/envelope batch emit, box lanes
+    "st_binary_predicates",      # box lanes (point x rect vectorized)
+    "st_name_parity_ops",        # name-parity batch over the mask
+    "st_union_aggr_salted",      # salted two-phase plan (SQL-name rewire)
+    "st_aggr_ops",               # UDAF family seat
+    "st_buffer_round",           # carrier + ragged emit
+    "crop_analytics_full_chain", # verbatim chain rides the hygiene mask
+    "crop_analytics_full",       # fused twin (standing equivalence proof)
+    "multimodal_jpeg_decode",    # marker walk restructured for multi-scan
+    "st_predicates",             # DE-9IM text twin of the box lanes
+    "st_transform_roundtrip",    # unpack_wkb now ragged-encodes
+    "st_transform_utm",          # same
+    "crop_analytics_utm",        # transform-fused flagship
+    # --- family representatives (pinned by
+    # test_gate_window_covers_every_family) ---
+    "streaming_geofence",        # streaming
+    "repetition_scores",         # text
+    "ngram_jaccard_verified",    # dedup
+    "embedding_topk_cosine",     # similarity (also ann_recall's baseline)
+    "histogram_quantile",        # sketches
+    "pyds_jsonl_commit_roundtrip",  # pydatasource
+    "q12_late_priority",         # round-2's only red row: stays visible
+    # --- rows the r8 rotation deferred by name (4) ---
+    "udtf_token_explode",
+    "window_zoo",
+    "minhash_lsh_candidates",
+    "embedding_lsh_ann",
+    # --- stalest tier-2 cohort: last driver-verified r5 or earlier (18) ---
+    "embedding_ivf_ann",         # also one of ann_recall's arms
+    "dedup_clusters",
+    "q1_pricing_summary",
+    "sessionize_events",
+    "stream_stream_join",
+    "hll_distinct",
+    "salted_agg_topk",
+    "pagerank_links",
+    "multimodal_frame_sample",
+    "pyds_sensor_stream_totals",
+    "text_stats",
+    "zorder_curve",
+    "spatial_knn_join_grid",
+    "simhash",
+    "lang_detect",
+    "q21_waiting_suppliers",
+    "triangle_count",
+    "multimodal_resize",
+]
+_WINDOW = _R9_WINDOW
 # a duplicated name would silently dedupe in the dict rebuild below,
 # shrinking the driver's tier-1 gate without any signal (ADVICE r6)
 assert len(_WINDOW) == len(set(_WINDOW)), "duplicate name in gate window"
