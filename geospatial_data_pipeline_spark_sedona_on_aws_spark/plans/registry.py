@@ -283,6 +283,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_jpeg_decode": MM.multimodal_jpeg_decode,  # r8: stdlib baseline JPEG
     "multimodal_jpeg_progressive": MM.multimodal_jpeg_progressive,  # r9: SOF2
     "multimodal_audio_features": MM.multimodal_audio_features,  # r8: RMS/ZC/peak
+    "multimodal_mp3_probe": MM.multimodal_mp3_probe,  # r9: MP3 frame stream
     "multimodal_features": MM.multimodal_features,
     "pyds_sensor_hourly": PDS.sensor_hourly,
     "pyds_jsonl_commit_roundtrip": PDS.crop_jsonl_commit_roundtrip,
@@ -620,7 +621,9 @@ _R9_WINDOW = [
     "lang_detect",
     "q21_waiting_suppliers",
     "triangle_count",
-    "multimodal_resize",
+    # --- NEW in-session r9 (displaces multimodal_resize: stale tier-2,
+    # but the multimodal family keeps 3 other seats in this window) ---
+    "multimodal_mp3_probe",      # NEW: MP3 frame-stream parse + CRC
 ]
 _WINDOW = _R9_WINDOW
 # a duplicated name would silently dedupe in the dict rebuild below,
@@ -821,6 +824,7 @@ ORACLES: dict[str, str] = {
     "multimodal_jpeg_decode": MM.MULTIMODAL_JPEG_DECODE_ORACLE,
     "multimodal_jpeg_progressive": MM.MULTIMODAL_JPEG_PROGRESSIVE_ORACLE,
     "multimodal_audio_features": MM.MULTIMODAL_AUDIO_FEATURES_ORACLE,
+    "multimodal_mp3_probe": MM.MULTIMODAL_MP3_PROBE_ORACLE,
     "multimodal_wav_decode": MM.MULTIMODAL_WAV_DECODE_ORACLE,
     "multimodal_y4m_decode": MM.MULTIMODAL_Y4M_DECODE_ORACLE,
     "crop_analytics_full": P.CROP_ANALYTICS_FULL_ORACLE,

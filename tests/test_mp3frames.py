@@ -1,0 +1,138 @@
+"""MP3 frame-stream parser: header tables, frame-length math, CRC-16
+validation, ID3 handling, and the strict corrupt-stream contract
+(multimodal/mp3frames.py — r9, closing the r8 verdict's MP3 codec gap
+at the frame layer)."""
+
+import pytest
+
+from geospatial_data_pipeline_spark_sedona_on_aws_spark.multimodal import mp3frames as M
+
+
+def _enc(**kw):
+    args = dict(version=10, layer=3, bitrate_idx=9, sr_idx=0, n_frames=5,
+                channel_mode=0, protection=False, seed=42, id3v2_size=0)
+    args.update(kw)
+    return M.mp3_frames_encode(**args)
+
+
+class TestHeaderTables:
+    def test_mpeg1_layer3_cbr(self):
+        r = M.mp3_probe(_enc())
+        assert r["version"] == 10 and r["layer"] == 3
+        assert r["sample_rate"] == 44100 and r["channels"] == 2
+        assert r["bitrate_kbps_min"] == r["bitrate_kbps_max"] == 128
+        assert r["is_cbr"] and r["n_frames"] == 5
+        assert r["total_samples"] == 5 * 1152
+        assert r["duration_us"] == 5 * 1152 * 1_000_000 // 44100
+
+    def test_mpeg25_layer3_is_576_samples(self):
+        r = M.mp3_probe(_enc(version=25, sr_idx=2, channel_mode=3))
+        assert r["sample_rate"] == 8000 and r["channels"] == 1
+        assert r["total_samples"] == 5 * 576
+
+    def test_layer1_slot_math(self):
+        # Layer I frame length is in 4-byte slots
+        r = M.mp3_probe(_enc(layer=1, bitrate_idx=14, sr_idx=1))
+        assert r["layer"] == 1 and r["total_samples"] == 5 * 384
+        flen = M.frame_length(10, 1, 448, 48000, 0)
+        assert flen % 4 == 0 and r["frame_bytes"] == 5 * flen
+
+    def test_layer2_mpeg2(self):
+        r = M.mp3_probe(_enc(version=20, layer=2, bitrate_idx=10))
+        assert r["sample_rate"] == 22050
+        assert r["bitrate_kbps_min"] == 96          # MPEG-2 L2 table row
+        assert r["total_samples"] == 5 * 1152
+
+    def test_every_table_row_round_trips(self):
+        for version in (10, 20, 25):
+            for layer in (1, 2, 3):
+                for br in range(1, 15):
+                    for sr in range(3):
+                        r = M.mp3_probe(M.mp3_frames_encode(
+                            version, layer, br, sr, 2, 1, False, seed=br))
+                        vg = 1 if version == 10 else 2
+                        assert r["bitrate_kbps_min"] == \
+                            M.BITRATE_KBPS[(vg, layer)][br - 1]
+                        assert r["sample_rate"] == \
+                            M.SAMPLE_RATE_HZ[version][sr]
+
+
+class TestCrc:
+    def test_valid_crc_counts(self):
+        r = M.mp3_probe(_enc(protection=True))
+        assert r["crc_frames"] == 5 and r["crc_ok"] == 5
+
+    def test_corrupted_crc_detected_not_fatal(self):
+        b = bytearray(_enc(protection=True))
+        b[4] ^= 0xFF                                # CRC hi byte, frame 0
+        r = M.mp3_probe(bytes(b))
+        assert r["crc_frames"] == 5 and r["crc_ok"] == 4
+
+    def test_corrupted_side_info_detected(self):
+        b = bytearray(_enc(protection=True))
+        b[6] = (b[6] + 1) % 251                     # first side-info byte
+        r = M.mp3_probe(bytes(b))
+        assert r["crc_ok"] == 4
+
+    def test_crc16_known_vector(self):
+        # CRC-16/IBM-like with init 0xFFFF over '123456789' = 0xAEE7
+        assert M.crc16_mpeg(b"123456789") == 0xAEE7
+
+
+class TestId3:
+    def test_id3v2_skip(self):
+        r = M.mp3_probe(_enc(id3v2_size=100))
+        assert r["id3v2_bytes"] == 110 and r["n_frames"] == 5
+
+    def test_id3v1_trailer(self):
+        r = M.mp3_probe(_enc() + b"TAG" + bytes(125))
+        assert r["has_id3v1"] and r["n_frames"] == 5
+
+    def test_id3v2_overrun_raises(self):
+        bad = b"ID3" + bytes((4, 0, 0)) + M._syncsafe(10_000)
+        with pytest.raises(M.Mp3Error):
+            M.mp3_probe(bad)
+
+
+class TestCorruptStreams:
+    @pytest.mark.parametrize("mutate", [
+        lambda b: b"\x00\x01" + b,                  # garbage before sync
+        lambda b: b[:-3],                           # truncated final frame
+        lambda b: b[:1] + bytes([b[1] & 0xE7 | 0x08]) + b[2:],  # rsvd ver
+        lambda b: b[:1] + bytes([b[1] & 0xF9]) + b[2:],         # rsvd layer
+        lambda b: b[:2] + bytes([0xF0 | (b[2] & 0x0F)]) + b[3:],  # br=15
+        lambda b: b[:2] + bytes([b[2] & 0x0F]) + b[3:],         # free format
+        lambda b: b[:2] + bytes([b[2] | 0x0C]) + b[3:],         # rsvd rate
+        lambda b: b"",                              # empty
+    ])
+    def test_raises_mp3error(self, mutate):
+        with pytest.raises(M.Mp3Error):
+            M.mp3_probe(mutate(_enc()))
+
+    def test_midstream_parameter_change_raises(self):
+        a = _enc(n_frames=2)
+        b = _enc(n_frames=2, sr_idx=1)
+        with pytest.raises(M.Mp3Error, match="sample_rate"):
+            M.mp3_probe(a + b)
+
+    def test_payload_never_contains_sync(self):
+        # payload law caps bytes at 250 so a body byte can't fake 0xFF
+        b = _enc(seed=12345, n_frames=1)
+        assert max(b[4:]) <= 250
+
+
+class TestSegmentationAudit:
+    def test_payload_sum_closed_form(self):
+        r = M.mp3_probe(_enc(version=25, layer=3, bitrate_idx=4, sr_idx=2,
+                             channel_mode=3, seed=7, n_frames=7))
+        flen = M.frame_length(25, 3, 32, 8000, 0)
+        exp = sum((flen - 4) * ((7 * 31 + 7 * f) % 251) for f in range(7))
+        assert r["payload_sum"] == exp
+
+    def test_crc_bytes_excluded_from_payload_sum(self):
+        plain = M.mp3_probe(_enc(protection=False))
+        prot = M.mp3_probe(_enc(protection=True))
+        # same payload law value per frame; protected bodies are 2 shorter
+        per_frame = [(42 * 31 + 7 * f) % 251 for f in range(5)]
+        assert plain["payload_sum"] - prot["payload_sum"] == \
+            2 * sum(per_frame)
