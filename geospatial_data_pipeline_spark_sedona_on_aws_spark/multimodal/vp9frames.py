@@ -248,9 +248,11 @@ def _show_existing_frame(profile: int, idx: int) -> bytes:
 
 def key_header_bytes(profile: int) -> int:
     """Byte length of the fixture keyframe header (all fields above):
-    68 bits + profile-3 reserved + hi-depth bit + odd-profile subsampling
+    69 base bits (marker 2 + profile 2 + show-existing 1 + type/show/
+    error 3 + sync 24 + color space 3 + range 1 + W/H 32 + render 1)
+    + profile-3 reserved + hi-depth bit + odd-profile subsampling bits
     → 9 bytes for profiles 0-2, 10 for profile 3."""
-    bits = 68 + (1 if profile == 3 else 0) + (1 if profile >= 2 else 0) \
+    bits = 69 + (1 if profile == 3 else 0) + (1 if profile >= 2 else 0) \
         + (3 if profile in (1, 3) else 0)
     return (bits + 7) // 8
 

@@ -284,6 +284,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_jpeg_progressive": MM.multimodal_jpeg_progressive,  # r9: SOF2
     "multimodal_audio_features": MM.multimodal_audio_features,  # r8: RMS/ZC/peak
     "multimodal_mp3_probe": MM.multimodal_mp3_probe,  # r9: MP3 frame stream
+    "multimodal_vp9_probe": MM.multimodal_vp9_probe,  # r9: IVF/VP9 headers
     "multimodal_features": MM.multimodal_features,
     "pyds_sensor_hourly": PDS.sensor_hourly,
     "pyds_jsonl_commit_roundtrip": PDS.crop_jsonl_commit_roundtrip,
@@ -612,7 +613,6 @@ _R9_WINDOW = [
     "hll_distinct",
     "salted_agg_topk",
     "pagerank_links",
-    "multimodal_frame_sample",
     "pyds_sensor_stream_totals",
     "text_stats",
     "zorder_curve",
@@ -621,9 +621,12 @@ _R9_WINDOW = [
     "lang_detect",
     "q21_waiting_suppliers",
     "triangle_count",
-    # --- NEW in-session r9 (displaces multimodal_resize: stale tier-2,
-    # but the multimodal family keeps 3 other seats in this window) ---
+    # --- NEW in-session r9 (displace multimodal_resize and
+    # multimodal_frame_sample: stale tier-2, but the multimodal family
+    # keeps 3 other seats in this window and both stay in the full
+    # oracle run) ---
     "multimodal_mp3_probe",      # NEW: MP3 frame-stream parse + CRC
+    "multimodal_vp9_probe",      # NEW: IVF/VP9 uncompressed-header parse
 ]
 _WINDOW = _R9_WINDOW
 # a duplicated name would silently dedupe in the dict rebuild below,
@@ -825,6 +828,7 @@ ORACLES: dict[str, str] = {
     "multimodal_jpeg_progressive": MM.MULTIMODAL_JPEG_PROGRESSIVE_ORACLE,
     "multimodal_audio_features": MM.MULTIMODAL_AUDIO_FEATURES_ORACLE,
     "multimodal_mp3_probe": MM.MULTIMODAL_MP3_PROBE_ORACLE,
+    "multimodal_vp9_probe": MM.MULTIMODAL_VP9_PROBE_ORACLE,
     "multimodal_wav_decode": MM.MULTIMODAL_WAV_DECODE_ORACLE,
     "multimodal_y4m_decode": MM.MULTIMODAL_Y4M_DECODE_ORACLE,
     "crop_analytics_full": P.CROP_ANALYTICS_FULL_ORACLE,

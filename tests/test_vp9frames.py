@@ -1,0 +1,151 @@
+"""IVF/VP9 container + uncompressed-frame-header parser: bit decode,
+framing audit, filler checksum, and the strict corrupt-stream contract
+(multimodal/vp9frames.py — r9, closing the r8 verdict's VP9 codec gap
+at the header layer a video-corpus pipeline filters on)."""
+
+import struct
+
+import pytest
+
+from geospatial_data_pipeline_spark_sedona_on_aws_spark.multimodal import vp9frames as V
+
+
+def _enc(**kw):
+    args = dict(width=320, height=240, n_frames=5, profile=0, bit_depth=8,
+                color_range=1, sub_x=1, sub_y=1, seed=7)
+    args.update(kw)
+    return V.ivf_vp9_encode(**args)
+
+
+class TestHeaderDecode:
+    def test_profile0_roundtrip(self):
+        r = V.ivf_vp9_probe(_enc())
+        assert (r["width"], r["height"]) == (320, 240)
+        assert r["profile"] == 0 and r["bit_depth"] == 8
+        assert r["color_space"] == V.CS_BT_601 and r["color_range"] == 1
+        # 4:2:0 implied for even profiles
+        assert (r["sub_x"], r["sub_y"]) == (1, 1)
+        assert r["n_frames"] == 5
+        assert r["n_keyframes"] + r["n_show_existing"] == 5
+
+    def test_profile1_subsampling_bits(self):
+        r = V.ivf_vp9_probe(_enc(profile=1, sub_x=0, sub_y=1))
+        assert r["profile"] == 1 and (r["sub_x"], r["sub_y"]) == (0, 1)
+        assert r["bit_depth"] == 8
+
+    @pytest.mark.parametrize("depth", [10, 12])
+    def test_profile2_bit_depth(self, depth):
+        r = V.ivf_vp9_probe(_enc(profile=2, bit_depth=depth))
+        assert r["profile"] == 2 and r["bit_depth"] == depth
+
+    def test_profile3_reserved_bit_and_subsampling(self):
+        r = V.ivf_vp9_probe(_enc(profile=3, bit_depth=12, sub_x=1, sub_y=0))
+        assert r["profile"] == 3 and r["bit_depth"] == 12
+        assert (r["sub_x"], r["sub_y"]) == (1, 0)
+
+    def test_header_byte_length_matches_parser(self):
+        # key_header_bytes' closed form is what the SQL oracle's filler
+        # law implicitly relies on: filler starts right after the header
+        for profile in range(4):
+            depth = 8 if profile < 2 else 10
+            payload = _enc(profile=profile, bit_depth=depth, n_frames=1)
+            # frame 0 starts right after the 32-byte IVF header + 12-byte
+            # frame header; parse it directly
+            size, _pts = struct.unpack("<IQ", payload[32:44])
+            fh = V._parse_frame_header(payload[44:44 + size])
+            assert fh["header_bytes"] == V.key_header_bytes(profile)
+
+    def test_filler_sum_closed_form(self):
+        seed, n = 9, 7
+        r = V.ivf_vp9_probe(_enc(seed=seed, n_frames=n))
+        expect = sum(
+            (16 + (seed * 5 + f * 11) % 50) * ((seed * 13 + f * 7) % 251)
+            for f in range(n) if f == 0 or (f + seed) % 3 != 0)
+        assert r["filler_sum"] == expect
+
+    def test_show_existing_cadence(self):
+        seed, n = 4, 10
+        r = V.ivf_vp9_probe(_enc(seed=seed, n_frames=n))
+        expect_show = sum(1 for f in range(1, n) if (f + seed) % 3 == 0)
+        assert r["n_show_existing"] == expect_show
+        assert r["n_keyframes"] == n - expect_show
+
+    def test_duration_from_timebase(self):
+        r = V.ivf_vp9_probe(_enc(n_frames=8))
+        # PTS = 1000*f, timebase 1000/1 -> us = pts * 1e6 / 1000
+        assert r["duration_us"] == 7 * 1_000_000
+        assert (r["timebase_den"], r["timebase_num"]) == (1000, 1)
+
+
+class TestCorruptStreams:
+    @pytest.mark.parametrize("mutate", [
+        lambda b: b[:20],                                   # short header
+        lambda b: b"XKIF" + b[4:],                          # bad magic
+        lambda b: b[:8] + b"VP80" + b[12:],                 # wrong fourcc
+        lambda b: b[:40],                                   # truncated frame
+        lambda b: b + bytes(12),                            # extra frame hdr
+    ])
+    def test_raises_vp9error(self, mutate):
+        with pytest.raises(V.Vp9Error):
+            V.ivf_vp9_probe(mutate(_enc()))
+
+    def test_frame_size_overrun(self):
+        b = bytearray(_enc(n_frames=1))
+        b[32:36] = struct.pack("<I", 10_000)                # size > stream
+        with pytest.raises(V.Vp9Error):
+            V.ivf_vp9_probe(bytes(b))
+
+    def test_bad_sync_code(self):
+        b = bytearray(_enc(n_frames=1))
+        b[45] ^= 0xFF                                       # inside sync
+        with pytest.raises(V.Vp9Error):
+            V.ivf_vp9_probe(bytes(b))
+
+    def test_frame_count_mismatch(self):
+        b = bytearray(_enc(n_frames=3))
+        b[24:28] = struct.pack("<I", 99)
+        with pytest.raises(V.Vp9Error):
+            V.ivf_vp9_probe(bytes(b))
+
+    def test_nonmonotonic_pts(self):
+        payload = _enc(n_frames=1)
+        frame = payload[32:]
+        # duplicate the frame with the SAME pts; fix the count field
+        b = bytearray(payload) + frame
+        b[24:28] = struct.pack("<I", 2)
+        with pytest.raises(V.Vp9Error, match="PTS"):
+            V.ivf_vp9_probe(bytes(b))
+
+    def test_dims_disagree(self):
+        b = bytearray(_enc(n_frames=1))
+        b[12:14] = struct.pack("<H", 999)                   # IVF width
+        with pytest.raises(V.Vp9Error, match="dims"):
+            V.ivf_vp9_probe(bytes(b))
+
+    def test_inter_frame_header_rejected(self):
+        # build a non-key frame header by flipping frame_type
+        w = V._BitWriter()
+        w.put(0b10, 2); w.put(0, 1); w.put(0, 1)            # profile 0
+        w.put(0, 1)                                         # not show-existing
+        w.put(1, 1)                                         # INTER frame
+        w.put(1, 1); w.put(0, 1)
+        data = w.tobytes() + bytes(8)
+        with pytest.raises(V.Vp9Error, match="inter-frame"):
+            V._parse_frame_header(data)
+
+    def test_show_existing_trailing_bytes(self):
+        payload = _enc(n_frames=1, seed=0)
+        show = V._show_existing_frame(0, idx=2) + b"x"      # trailing byte
+        b = bytearray(payload)
+        b[24:28] = struct.pack("<I", 2)
+        b += struct.pack("<IQ", len(show), 5000) + show
+        with pytest.raises(V.Vp9Error, match="trailing"):
+            V.ivf_vp9_probe(bytes(b))
+
+    def test_no_keyframe_stream(self):
+        show = V._show_existing_frame(0, idx=1)
+        b = bytearray(struct.pack(
+            "<4sHH4sHHIII4x", b"DKIF", 0, 32, b"VP90", 64, 64, 1000, 1, 1))
+        b += struct.pack("<IQ", len(show), 0) + show
+        with pytest.raises(V.Vp9Error, match="keyframe"):
+            V.ivf_vp9_probe(bytes(b))
