@@ -40,10 +40,14 @@ Fixture: the testdata has no point table, so points derive from
 `events` arithmetically (the pagerank_links pattern): K = max(n/25, 1)
 blob centers on a 40-unit grid (blobs cannot touch: jitter spans 13
 units and EPS = 3 < 40 - 13), point i joins blob i mod K with a
-deterministic jitter law. ~25 points per 13×13 blob at every SF keeps
-per-component work bounded AND makes the expected eps-neighborhood size
-(~25·π·EPS²/169 ≈ 4) straddle MIN_PTS, so every SF produces a real
-core/border/noise mix (sf0.01: 4866/2780/2354 of 10000).
+deterministic jitter law, and every 4th point re-routes into the first
+K/10 blobs so ~10% of blobs run ~4× denser (real density contrast for
+DBSCAN and for getis_ord_hotspots' Gi* threshold, which shares this
+law). Light blobs hold ~19 points per 13×13 box — the expected
+eps-neighborhood (~19·π·EPS²/169 ≈ 3) straddles MIN_PTS, heavy blobs
+(~80 points) are solid core — so every SF produces a real
+core/border/noise mix (sf0.01: 6148/2082/1770 of 10000) with bounded
+per-component size.
 """
 
 from __future__ import annotations
@@ -74,7 +78,12 @@ def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .selectExpr(
             "id",
-            "id % k AS blob",
+            # every 4th point piles into the first k/10 blobs: ~10% of
+            # blobs run ~4x denser, so density-sensitive consumers (the
+            # DBSCAN core test, the Gi* hot threshold) see real contrast
+            "CASE WHEN id % 4 = 0"
+            "     THEN (id % k) % greatest(k div 10, 1L)"
+            "     ELSE id % k END AS blob",
             "id div k AS j",
         )
         .selectExpr(
@@ -163,11 +172,17 @@ WITH RECURSIVE params AS (
 ),
 pts AS (
     SELECT event_id AS id,
-           (event_id % k % 1000) * 40
+           (blob % 1000) * 40
                + ((event_id // k * 5 + event_id % 7) % 13) AS x,
-           (event_id % k // 1000) * 40
+           (blob // 1000) * 40
                + ((event_id // k * 7 + event_id % 11) % 13) AS y
-    FROM events CROSS JOIN params
+    FROM (
+        SELECT event_id, k,
+               CASE WHEN event_id % 4 = 0
+                    THEN (event_id % k) % greatest(k // 10, 1)
+                    ELSE event_id % k END AS blob
+        FROM events CROSS JOIN params
+    )
 ),
 cells AS (
     SELECT id, x, y, x // {EPS} AS cx, y // {EPS} AS cy FROM pts

@@ -15,6 +15,7 @@ from ..multimodal import binary as MM
 from ..operators import dedup as DD
 from ..operators import dbscan as DB
 from ..operators import graph as GR
+from ..operators import hotspot as HS
 from ..operators import similarity as SIM
 from ..operators import spatial_join as SJ
 from ..sources import layout as LAY
@@ -118,6 +119,7 @@ QUERIES: dict[str, QueryFn] = {
     # tier 2 until the r5 rotation) ---
     "embedding_cluster_dedup": GR.embedding_cluster_dedup,
     "spatial_dbscan": DB.spatial_dbscan,  # r9: Sedona 1.7 stats parity
+    "getis_ord_hotspots": HS.getis_ord_hotspots,  # r9: Gi* g_local parity
     "token_packing": TQ.token_packing,
     "lm_bigram_score": RET.lm_bigram_score,
     "phrase_search": RET.phrase_search,
@@ -785,6 +787,7 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard_verified": DD.NGRAM_JACCARD_VERIFIED_ORACLE,
     "dedup_clusters": GR.DEDUP_CLUSTERS_ORACLE,
     "spatial_dbscan": DB.SPATIAL_DBSCAN_ORACLE,
+    "getis_ord_hotspots": HS.GETIS_ORD_ORACLE,
     "embedding_cluster_dedup": GR.EMBEDDING_CLUSTER_DEDUP_ORACLE,
     "token_packing": TQ.TOKEN_PACKING_ORACLE,
     "lm_bigram_score": RET.LM_BIGRAM_SCORE_ORACLE,
