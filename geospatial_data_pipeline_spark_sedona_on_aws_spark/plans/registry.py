@@ -620,7 +620,6 @@ _R9_WINDOW = [
     "pyds_sensor_stream_totals",
     "text_stats",
     "spatial_knn_join_grid",
-    "simhash",
     "lang_detect",
     "q21_waiting_suppliers",
     "triangle_count",
@@ -630,9 +629,10 @@ _R9_WINDOW = [
     # oracle run) ---
     "multimodal_mp3_probe",      # NEW: MP3 frame-stream parse + CRC
     "multimodal_vp9_probe",      # NEW: IVF/VP9 uncompressed-header parse
-    # (and zorder_curve — stale tier-2 spatial; the spatial family keeps
-    # a dozen other seats and it stays in the full oracle run)
+    # (and zorder_curve / simhash — stale tier-2 spatial/dedup; both
+    # families keep multiple seats and both stay in the full oracle run)
     "spatial_dbscan",            # NEW: Sedona-1.7-stats DBSCAN clustering
+    "getis_ord_hotspots",        # NEW: Gi* g_local hot-spot stats
 ]
 _WINDOW = _R9_WINDOW
 # a duplicated name would silently dedupe in the dict rebuild below,
