@@ -26,6 +26,7 @@ from . import quality as Q
 from . import relational as R
 from . import retrieval as RET
 from . import sketches as SK
+from . import spatial_ext_queries as SX
 from . import text_queries as TQ
 from . import tpch as T
 
@@ -120,6 +121,9 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_cluster_dedup": GR.embedding_cluster_dedup,
     "spatial_dbscan": DB.spatial_dbscan,  # r9: Sedona 1.7 stats parity
     "getis_ord_hotspots": HS.getis_ord_hotspots,  # r9: Gi* g_local parity
+    "st_from_text_ops": SX.st_from_text_ops,      # r9 name batch
+    "st_orientation_ops": SX.st_orientation_ops,  # r9 name batch
+    "st_clearance_ops": SX.st_clearance_ops,      # r9 name batch
     "token_packing": TQ.token_packing,
     "lm_bigram_score": RET.lm_bigram_score,
     "phrase_search": RET.phrase_search,
@@ -614,14 +618,11 @@ _R9_WINDOW = [
     "q1_pricing_summary",
     "sessionize_events",
     "stream_stream_join",
-    "hll_distinct",
     "salted_agg_topk",
     "pagerank_links",
     "pyds_sensor_stream_totals",
     "text_stats",
     "spatial_knn_join_grid",
-    "lang_detect",
-    "q21_waiting_suppliers",
     "triangle_count",
     # --- NEW in-session r9 (displace multimodal_resize and
     # multimodal_frame_sample: stale tier-2, but the multimodal family
@@ -629,10 +630,15 @@ _R9_WINDOW = [
     # oracle run) ---
     "multimodal_mp3_probe",      # NEW: MP3 frame-stream parse + CRC
     "multimodal_vp9_probe",      # NEW: IVF/VP9 uncompressed-header parse
-    # (and zorder_curve / simhash — stale tier-2 spatial/dedup; both
-    # families keep multiple seats and both stay in the full oracle run)
+    # (and zorder_curve / simhash / hll_distinct / lang_detect /
+    # q21_waiting_suppliers — stale tier-2 rows; every displaced family
+    # keeps at least one other seat and all five stay in the full
+    # oracle run)
     "spatial_dbscan",            # NEW: Sedona-1.7-stats DBSCAN clustering
     "getis_ord_hotspots",        # NEW: Gi* g_local hot-spot stats
+    "st_from_text_ops",          # NEW: r9 name batch (constructors)
+    "st_orientation_ops",        # NEW: r9 name batch (orientation/flags)
+    "st_clearance_ops",          # NEW: r9 name batch (clearance/3D/VW)
 ]
 _WINDOW = _R9_WINDOW
 # a duplicated name would silently dedupe in the dict rebuild below,
@@ -788,6 +794,9 @@ ORACLES: dict[str, str] = {
     "dedup_clusters": GR.DEDUP_CLUSTERS_ORACLE,
     "spatial_dbscan": DB.SPATIAL_DBSCAN_ORACLE,
     "getis_ord_hotspots": HS.GETIS_ORD_ORACLE,
+    "st_from_text_ops": SX.ST_FROM_TEXT_OPS_ORACLE,
+    "st_orientation_ops": SX.ST_ORIENTATION_OPS_ORACLE,
+    "st_clearance_ops": SX.ST_CLEARANCE_OPS_ORACLE,
     "embedding_cluster_dedup": GR.EMBEDDING_CLUSTER_DEDUP_ORACLE,
     "token_packing": TQ.TOKEN_PACKING_ORACLE,
     "lm_bigram_score": RET.LM_BIGRAM_SCORE_ORACLE,

@@ -1,0 +1,216 @@
+"""r9 Sedona name batch (functions/spatial_ext.py): helper-level edge
+cases the rect-fixture registry queries don't reach — holes, collections,
+Z preservation, degenerate inputs, the polylabel hole case, VW ring
+collapse, 3D segment-segment geometry."""
+
+import math
+
+import pytest
+
+from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions import spatial_ext as X
+
+RECT = "POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))"
+HOLED = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))"
+
+
+class TestConstructors:
+    def test_polygon_from_envelope(self):
+        assert X._polygon_from_envelope(1, 2, 4, 6) == \
+            "POLYGON ((1 2, 4 2, 4 6, 1 6, 1 2))"
+        assert X._polygon_from_envelope(None, 2, 4, 6) is None
+
+    def test_point_from_text_delimiters(self):
+        assert X._point_from_text("3.5,7.25", ",") == "POINT (3.5 7.25)"
+        assert X._point_from_text("3.5|7.25", "|") == "POINT (3.5 7.25)"
+        assert X._point_from_text("1,2,3", ",") is None  # not a pair
+
+    def test_linestring_from_text(self):
+        assert X._linestring_from_text("0,0,3,4", ",") == \
+            "LINESTRING (0 0, 3 4)"
+        assert X._linestring_from_text("0,0,3", ",") is None  # odd count
+        assert X._linestring_from_text("0,0", ",") is None    # 1 point
+
+    def test_typed_gates(self):
+        assert X._typed_from_text("LINESTRING (0 0, 1 1)",
+                                  "LINESTRING") is not None
+        assert X._typed_from_text(RECT, "LINESTRING") is None
+        # Z input passes the gate (basekind match)
+        assert X._typed_from_text("LINESTRING Z (0 0 1, 1 1 2)",
+                                  "LINESTRING") == \
+            "LINESTRING Z (0 0 1, 1 1 2)"
+
+    def test_line_from_multipoint(self):
+        assert X._line_from_multipoint("MULTIPOINT ((0 0), (2 3))") == \
+            "LINESTRING (0 0, 2 3)"
+        assert X._line_from_multipoint("MULTIPOINT ((0 0))") is None
+        assert X._line_from_multipoint(RECT) is None
+
+
+class TestOrientation:
+    def test_holes_get_opposite_orientation(self):
+        cw = X._force_orientation(HOLED, exterior_ccw=False)
+        assert X._is_polygon_oriented(cw, exterior_ccw=False)
+        assert not X._is_polygon_oriented(cw, exterior_ccw=True)
+        ccw = X._force_orientation(cw, exterior_ccw=True)
+        assert X._is_polygon_oriented(ccw, exterior_ccw=True)
+        # area is orientation-invariant
+        from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel import geomtypes as GT
+        assert GT.area_of(GT.parse_wkt(cw)) == \
+            GT.area_of(GT.parse_wkt(HOLED)) == 96.0
+
+    def test_non_polygon_unchanged_and_trivially_true(self):
+        ls = "LINESTRING (0 0, 1 1)"
+        assert X._force_orientation(ls, exterior_ccw=False) == ls
+        assert X._is_polygon_oriented(ls, exterior_ccw=False) is True
+
+    def test_z_preserved_through_forcing(self):
+        z = "POLYGON Z ((0 0 5, 4 0 5, 4 3 5, 0 3 5, 0 0 5))"
+        out = X._force_orientation(z, exterior_ccw=False)
+        assert out.startswith("POLYGON Z") and "5" in out
+
+
+class TestFlags:
+    def test_is_collection(self):
+        assert X._is_collection("GEOMETRYCOLLECTION (POINT (1 2))")
+        assert X._is_collection("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)))")
+        assert not X._is_collection(RECT)
+
+    def test_force_collection_multi_explodes(self):
+        out = X._force_collection(
+            "MULTILINESTRING ((0 0, 1 0), (2 0, 3 0))")
+        assert out == ("GEOMETRYCOLLECTION (LINESTRING (0 0, 1 0), "
+                       "LINESTRING (2 0, 3 0))")
+        gc = "GEOMETRYCOLLECTION (POINT (1 2))"
+        assert X._force_collection(gc) == gc
+
+    def test_zmflag(self):
+        assert X._zmflag("POINT (1 2)") == 0
+        assert X._zmflag("POINT Z (1 2 3)") == 2
+
+    def test_is_valid_reason_degenerate_ring(self):
+        assert X._is_valid_reason(
+            "POLYGON ((0 0, 1 0, 1 0, 0 0, 0 0))") == \
+            "Too few points in geometry component"
+        assert X._is_valid_reason(RECT) == "Valid Geometry"
+        assert X._is_valid_reason(
+            "POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))") == "Self-intersection"
+        assert X._is_valid_reason("LINESTRING (0 0, 1 1)") == \
+            "Valid Geometry"
+
+
+class TestClearance:
+    def test_rect_clearance(self):
+        assert X._minimum_clearance(RECT) == 3.0
+        assert X._minimum_clearance_line(RECT) == "LINESTRING (0 0, 0 3)"
+
+    def test_single_point_undefined(self):
+        assert X._minimum_clearance("POINT (1 2)") is None
+        assert X._minimum_clearance_line("POINT (1 2)") is None
+
+    def test_narrow_neck_beats_vertices(self):
+        # vertex (5, 1) sits 1 unit above segment (0 0, 10 0): closer
+        # than any vertex pair
+        wkt = "LINESTRING (0 0, 10 0, 5 1)"
+        assert X._minimum_clearance(wkt) == 1.0
+        assert X._minimum_clearance_line(wkt) == "LINESTRING (5 1, 5 0)"
+
+
+class TestInscribedCircle:
+    def test_rect_exact(self):
+        center, nearest, radius = X._maximum_inscribed_circle(
+            "POLYGON ((0 0, 8 0, 8 6, 0 6, 0 0))")
+        assert center == "POINT (4 3)" and radius == 3.0
+        assert nearest == "POINT (4 0)"
+
+    def test_holed_square_avoids_hole(self):
+        center, _n, radius = X._maximum_inscribed_circle(HOLED)
+        from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel import geomtypes as GT
+        cx, cy = GT.parse_wkt(center)[1][0]
+        # center must be inside the polygon, outside the hole, and the
+        # radius must not reach the hole or the boundary
+        assert not (4 <= cx <= 6 and 4 <= cy <= 6)
+        assert radius > 2.0  # better than trivial placements
+        d_hole = math.hypot(max(4 - cx, 0, cx - 6), max(4 - cy, 0, cy - 6))
+        d_edge = min(cx, cy, 10 - cx, 10 - cy)
+        assert radius <= min(d_hole, d_edge) + 1e-9
+
+    def test_non_areal_none(self):
+        assert X._maximum_inscribed_circle("POINT (1 2)") is None
+
+
+class Test3D:
+    def test_point_point(self):
+        assert X._distance3d("POINT Z (0 0 0)", "POINT Z (1 2 2)") == 3.0
+        # Z defaults to 0 for 2D operands
+        assert X._distance3d("POINT (0 0)", "POINT Z (0 0 5)") == 5.0
+
+    def test_skew_segments(self):
+        # classic skew pair: (0,0,0)-(1,0,0) and (0,1,1)-(1,1,1) -> sqrt(2)
+        d = X._distance3d("LINESTRING Z (0 0 0, 1 0 0)",
+                          "LINESTRING Z (0 1 1, 1 1 1)")
+        assert d == pytest.approx(math.sqrt(2.0))
+
+    def test_crossing_segments_zero(self):
+        d = X._distance3d("LINESTRING Z (0 0 0, 2 2 0)",
+                          "LINESTRING Z (0 2 0, 2 0 0)")
+        assert d == pytest.approx(0.0, abs=1e-12)
+
+    def test_areal_raises(self):
+        with pytest.raises(NotImplementedError):
+            X._distance3d(RECT, "POINT (0 0)")
+
+
+class TestRotations:
+    def test_rotate_x_half_turn(self):
+        out = X._rotate_x("POINT Z (1 2 3)", math.pi)
+        from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel import geomtypes as GT
+        x, y, z = GT.parse_wkt(out)[1][0]
+        assert x == 1.0
+        assert y == pytest.approx(-2.0) and z == pytest.approx(-3.0)
+
+    def test_rotate_y_quarter_turn(self):
+        out = X._rotate_y("POINT Z (1 0 0)", math.pi / 2)
+        from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel import geomtypes as GT
+        x, y, z = GT.parse_wkt(out)[1][0]
+        assert x == pytest.approx(0.0, abs=1e-15)
+        assert z == pytest.approx(-1.0)
+
+    def test_2d_input_gains_z(self):
+        out = X._rotate_x("POINT (1 2)", 0.0)
+        assert out == "POINT Z (1 2 0)"
+
+
+class TestHexEwkb:
+    def test_point_known_bytes(self):
+        assert X._as_hexewkb("POINT (1 2)") == \
+            "0101000000000000000000F03F0000000000000040"
+
+    def test_roundtrips_through_wkb_parser(self):
+        from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel import geomtypes as GT
+        h = X._as_hexewkb(RECT)
+        assert GT.to_wkt(GT.parse_wkb(bytes.fromhex(h))) == RECT
+
+
+class TestSimplifyVW:
+    def test_drop_order_smallest_first(self):
+        # spike areas 2 and 10; tol 3 removes only the small one
+        out = X._simplify_vw("LINESTRING (0 0, 2 1, 4 0, 6 5, 8 0)", 3.0)
+        assert out == "LINESTRING (0 0, 4 0, 6 5, 8 0)"
+
+    def test_endpoints_pinned(self):
+        out = X._simplify_vw("LINESTRING (0 0, 1 100, 2 0)", 1e9)
+        assert out == "LINESTRING (0 0, 2 0)"
+
+    def test_hole_collapse_drops_ring(self):
+        # tiny hole (area 1) collapses under tol 10; shell survives
+        out = X._simplify_vw(
+            "POLYGON ((0 0, 100 0, 100 100, 0 100, 0 0),"
+            " (4 4, 5 4, 5 5, 4 5, 4 4))", 10.0)
+        assert "4 4" not in out and out.startswith("POLYGON")
+
+    def test_shell_collapse_degenerates(self):
+        assert X._simplify_vw(
+            "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))", 1e9) == "POLYGON EMPTY"
+
+    def test_puntal_unchanged(self):
+        assert X._simplify_vw("POINT (1 2)", 5.0) == "POINT (1 2)"
