@@ -16,6 +16,7 @@ from ..operators import dedup as DD
 from ..operators import dbscan as DB
 from ..operators import graph as GR
 from ..operators import hotspot as HS
+from ..operators import outlier as OL
 from ..operators import similarity as SIM
 from ..operators import spatial_join as SJ
 from ..sources import layout as LAY
@@ -121,6 +122,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_cluster_dedup": GR.embedding_cluster_dedup,
     "spatial_dbscan": DB.spatial_dbscan,  # r9: Sedona 1.7 stats parity
     "getis_ord_hotspots": HS.getis_ord_hotspots,  # r9: Gi* g_local parity
+    "local_outlier_factor": OL.local_outlier_factor,  # r9: LOF parity
     "st_from_text_ops": SX.st_from_text_ops,      # r9 name batch
     "st_orientation_ops": SX.st_orientation_ops,  # r9 name batch
     "st_clearance_ops": SX.st_clearance_ops,      # r9 name batch
@@ -616,7 +618,6 @@ _R9_WINDOW = [
     "embedding_ivf_ann",         # also one of ann_recall's arms
     "dedup_clusters",
     "q1_pricing_summary",
-    "sessionize_events",
     "stream_stream_join",
     "salted_agg_topk",
     "pagerank_links",
@@ -631,11 +632,12 @@ _R9_WINDOW = [
     "multimodal_mp3_probe",      # NEW: MP3 frame-stream parse + CRC
     "multimodal_vp9_probe",      # NEW: IVF/VP9 uncompressed-header parse
     # (and zorder_curve / simhash / hll_distinct / lang_detect /
-    # q21_waiting_suppliers — stale tier-2 rows; every displaced family
-    # keeps at least one other seat and all five stay in the full
-    # oracle run)
+    # q21_waiting_suppliers / sessionize_events — stale tier-2 rows;
+    # every displaced family keeps at least one other seat and all six
+    # stay in the full oracle run)
     "spatial_dbscan",            # NEW: Sedona-1.7-stats DBSCAN clustering
     "getis_ord_hotspots",        # NEW: Gi* g_local hot-spot stats
+    "local_outlier_factor",      # NEW: LOF, completing the stats trio
     "st_from_text_ops",          # NEW: r9 name batch (constructors)
     "st_orientation_ops",        # NEW: r9 name batch (orientation/flags)
     "st_clearance_ops",          # NEW: r9 name batch (clearance/3D/VW)
@@ -794,6 +796,7 @@ ORACLES: dict[str, str] = {
     "dedup_clusters": GR.DEDUP_CLUSTERS_ORACLE,
     "spatial_dbscan": DB.SPATIAL_DBSCAN_ORACLE,
     "getis_ord_hotspots": HS.GETIS_ORD_ORACLE,
+    "local_outlier_factor": OL.LOCAL_OUTLIER_FACTOR_ORACLE,
     "st_from_text_ops": SX.ST_FROM_TEXT_OPS_ORACLE,
     "st_orientation_ops": SX.ST_ORIENTATION_OPS_ORACLE,
     "st_clearance_ops": SX.ST_CLEARANCE_OPS_ORACLE,

@@ -1,0 +1,77 @@
+"""Local Outlier Factor (operators/outlier.py — r9, completing the
+Sedona-1.7-stats trio): the Spark scores must match an independent
+brute-force LOF computed in pure Python with ALL-PAIRS neighbors (no
+grid shortcut) and the same integer quantization — pinning both the
+algorithm and the 3x3-probe candidate-completeness claim."""
+
+import pytest
+
+from geospatial_data_pipeline_spark_sedona_on_aws_spark.operators import outlier as O
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _brute_force(points):
+    """Textbook LOF, all-pairs, with the module's exact integer math."""
+    ids = sorted(points)
+    d2s = {}
+    for i in ids:
+        xi, yi = points[i]
+        cand = sorted(
+            ((xi - points[j][0]) ** 2 + (yi - points[j][1]) ** 2, j)
+            for j in ids if j != i)
+        d2s[i] = cand
+    kdist2 = {i: d2s[i][O.K - 1][0] for i in ids}
+    nk = {i: [(d2, j) for d2, j in d2s[i] if d2 <= kdist2[i]]
+          for i in ids}
+    lrd_q, sum_reach2 = {}, {}
+    for i in ids:
+        sr = sum(max(kdist2[j], d2, 1) for d2, j in nk[i])
+        sum_reach2[i] = sr
+        lrd_q[i] = (len(nk[i]) * O.SCALE) // sr
+    out = {}
+    for i in ids:
+        n = len(nk[i])
+        slo = sum(lrd_q[j] for _d2, j in nk[i])
+        out[i] = (n, kdist2[i], (slo * sum_reach2[i]) // (n * n))
+    return out
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    return {r["id"]: r
+            for r in O.local_outlier_factor(spark, SF_DIR).collect()}
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    return {r["id"]: (r["x"], r["y"])
+            for r in O._lof_points(spark, SF_DIR).collect()}
+
+
+def test_matches_all_pairs_brute_force(result, points):
+    assert len(result) == len(points) > 0
+    expect = _brute_force(points)
+    for i, (n_k, kd2, lof_q) in expect.items():
+        r = result[i]
+        assert r["kdist2"] == kd2, f"kdist2 differs at {i}"
+        assert r["n_k"] == n_k, f"N_k size differs at {i}"
+        assert r["lof_q"] == lof_q, f"lof_q differs at {i}"
+
+
+def test_shifted_points_are_outliers(result):
+    shifted = [r for i, r in result.items() if i % 97 == 0]
+    normal = [r for i, r in result.items() if i % 97 != 0]
+    assert shifted, "fixture produced no shifted points"
+    assert all(r["is_outlier"] for r in shifted)
+    # the bulk of in-blob points must NOT be outliers
+    flagged = sum(1 for r in normal if r["is_outlier"])
+    assert flagged / len(normal) < 0.3
+
+
+def test_lof_near_one_for_interior(result):
+    # deep-blob points have LOF ~ 1 (the paper's property 1 bound)
+    interior = sorted(r["lof_q"] for i, r in result.items()
+                      if i % 97 != 0)
+    median = interior[len(interior) // 2]
+    assert 0.7 * O.SCALE < median < 1.3 * O.SCALE
