@@ -89,6 +89,8 @@ HEADLINE = [
     # round 9 additions
     "multimodal_jpeg_progressive",  # SOF2 multi-scan decode loop
     "ann_recall_at_k",         # retrieval quality: 3 indexes vs exact top-k
+    "spatial_dbscan",          # grid-bucketed DBSCAN + CC labeling (100k pts)
+    "local_outlier_factor",    # integer-quantized LOF over the blob grid
 ]
 
 # scale-curve sweep (--sweep): the most expensive headline queries measured
