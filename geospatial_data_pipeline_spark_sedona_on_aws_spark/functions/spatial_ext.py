@@ -26,6 +26,7 @@ deliberate and documented on the helper:
 
 from __future__ import annotations
 
+import functools
 import heapq
 import math
 
@@ -276,12 +277,34 @@ def _ring_segs(ring):
         x2, y2 = ring[(i + 1) % n]
         yield (x1, y1, x2, y2)
 
+def _is_axis_rect(polys) -> bool:
+    """One hole-free polygon whose single ring is an axis-aligned
+    rectangle (4 distinct corners = bbox corners)."""
+    if len(polys) != 1 or len(polys[0]) != 1:
+        return False
+    ring = polys[0][0]
+    if len(ring) != 4:
+        return False
+    xs, ys = {p[0] for p in ring}, {p[1] for p in ring}
+    if len(xs) != 2 or len(ys) != 2:
+        return False
+    return set(ring) == {(x, y) for x in xs for y in ys}
+
+@functools.lru_cache(maxsize=65536)
 def _maximum_inscribed_circle(wkt: str | None):
     """PostGIS ST_MaximumInscribedCircle via the polylabel quadtree
     (Mapbox 2016): deterministic max-heap refinement (ties broken on
     cell coordinates), precision = max bbox dimension / 1000. For a
     rectangle the first candidate (the bbox center) already attains the
-    theoretical bound, so the answer is exact there. Returns
+    theoretical bound, so the ANSWER is exact there — but the quadtree
+    still refines the whole medial-axis band down to precision
+    (O(extent/precision) cells), which is real work per call. The
+    lru_cache is the load-bearing mitigation: geometry columns that
+    reach this function are overwhelmingly dimension-joined or
+    fixture-derived (low distinct count per batch — the same
+    observation behind the r9 factorize-on-uniques parse lane), so
+    repeated shapes pay once. Pure function of the WKT text →
+    memoization is semantics-free. Returns
     (center WKT, nearest boundary point WKT, radius)."""
     if wkt is None:
         return None
@@ -296,32 +319,42 @@ def _maximum_inscribed_circle(wkt: str | None):
     size = max(maxx - minx, maxy - miny)
     if size == 0:
         return None
-    precision = size / 1000.0
-    SQRT2 = math.sqrt(2.0)
-
-    def cell(cx, cy, h):
-        d = _dist_to_boundary(cx, cy, polys)
-        # (-potential, cx, cy) heap key: deterministic pop order
-        return (-(d + h * SQRT2), cx, cy, h, d)
-
-    h0 = size / 2.0
-    heap = []
     cx0, cy0 = minx + (maxx - minx) / 2.0, miny + (maxy - miny) / 2.0
-    best = cell(cx0, cy0, 0.0)
-    best_d, best_c = best[4], (cx0, cy0)
-    heapq.heappush(heap, cell(cx0, cy0, h0))
-    while heap:
-        neg_pot, cx, cy, h, d = heapq.heappop(heap)
-        if -neg_pot - best_d <= precision:
-            break
-        if d > best_d:
-            best_d, best_c = d, (cx, cy)
-        if h <= precision / 2:
-            continue
-        nh = h / 2.0
-        for dx in (-nh, nh):
-            for dy in (-nh, nh):
-                heapq.heappush(heap, cell(cx + dx, cy + dy, nh))
+    if _is_axis_rect(polys):
+        # exact lane: for an axis-aligned rectangle the quadtree provably
+        # returns the bbox center (the seed cell's bound is optimal and
+        # the strict d > best_d tie-break never moves off it), so skip
+        # the medial-band refinement — O(extent/precision) heap cells
+        # per call, the measured hot spot of st_clearance_ops — and
+        # emit the identical answer directly.
+        best_c = (cx0, cy0)
+        best_d = min(maxx - minx, maxy - miny) / 2.0
+    else:
+        precision = size / 1000.0
+        SQRT2 = math.sqrt(2.0)
+
+        def cell(cx, cy, h):
+            d = _dist_to_boundary(cx, cy, polys)
+            # (-potential, cx, cy) heap key: deterministic pop order
+            return (-(d + h * SQRT2), cx, cy, h, d)
+
+        h0 = size / 2.0
+        heap = []
+        best = cell(cx0, cy0, 0.0)
+        best_d, best_c = best[4], (cx0, cy0)
+        heapq.heappush(heap, cell(cx0, cy0, h0))
+        while heap:
+            neg_pot, cx, cy, h, d = heapq.heappop(heap)
+            if -neg_pot - best_d <= precision:
+                break
+            if d > best_d:
+                best_d, best_c = d, (cx, cy)
+            if h <= precision / 2:
+                continue
+            nh = h / 2.0
+            for dx in (-nh, nh):
+                for dy in (-nh, nh):
+                    heapq.heappush(heap, cell(cx + dx, cy + dy, nh))
     # nearest boundary point from the winning center
     bx, by, bd2 = None, None, None
     for poly in polys:

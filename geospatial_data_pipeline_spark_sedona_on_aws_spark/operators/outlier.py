@@ -98,6 +98,10 @@ def local_outlier_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("kdist2").alias("kdist2_b")), "b")
         .selectExpr("a", "b",
                     "greatest(greatest(kdist2_b, d2), 1L) AS reach2")
+        # consumed by the lrd aggregate AND the neighbor-lrd lookup —
+        # truncate once or the 3-way join over the candidate set runs
+        # twice (measured: ~2x the query's wall at sf0.1)
+        .localCheckpoint(eager=False)
     )
     lrd = (
         nk.groupBy("a").agg(F.count("*").alias("n_k"),

@@ -214,3 +214,23 @@ class TestSimplifyVW:
 
     def test_puntal_unchanged(self):
         assert X._simplify_vw("POINT (1 2)", 5.0) == "POINT (1 2)"
+
+
+class TestInscribedCircleRectLane:
+    def test_lane_matches_general_path(self, monkeypatch):
+        # the axis-rect lane must be answer-identical to the quadtree:
+        # force the general path by disabling the detector
+        import random
+        rng = random.Random(7)
+        for _ in range(20):
+            x1, y1 = rng.randint(0, 90), rng.randint(0, 90)
+            w, h = rng.randint(1, 10), rng.randint(1, 10)
+            wkt = (f"POLYGON (({x1} {y1}, {x1 + w} {y1}, {x1 + w} {y1 + h},"
+                   f" {x1} {y1 + h}, {x1} {y1}))")
+            fast = X._maximum_inscribed_circle(wkt)
+            X._maximum_inscribed_circle.cache_clear()
+            monkeypatch.setattr(X, "_is_axis_rect", lambda _p: False)
+            slow = X._maximum_inscribed_circle(wkt)
+            X._maximum_inscribed_circle.cache_clear()
+            monkeypatch.undo()
+            assert fast == slow, wkt
