@@ -38,7 +38,7 @@ the k-distance (ties included), per the original paper.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .dbscan import _points
@@ -47,6 +47,15 @@ K = 5
 SCALE = 10 ** 9
 #: blob-grid edge (the point-law spacing): one blob per cell
 GRID = 40
+#: candidate-prune bound: the same point law that makes the 3x3 probe
+#: exact (worst 5-NN radius < 30 — every point has >= K blob-mates
+#: within d2 <= 27^2 + 12^2 = 873, the corridor-outlier worst case)
+#: bounds every pair that can EVER matter (top-K member or N_k member,
+#: since N_k needs d2 <= kdist2 < 900) strictly under 30^2. Pruning
+#: cand at this bound changes nothing — pinned two ways: the all-pairs
+#: brute-force test (tests/test_outlier.py) and the direct
+#: max-kdist2 < PRUNE_D2 law assertion at the driver-gate sf.
+PRUNE_D2 = 900
 
 def _lof_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stats point law with every 97th point pushed +15 in x: off
@@ -81,13 +90,21 @@ def local_outlier_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (a["cx"] == b["px"]) & (a["cy"] == b["py"]))
         .where(F.col("a") != F.col("b"))
         .select("a", "b", d2.alias("d2"))
-        .localCheckpoint(eager=False)  # ranked window + N_k join below
+        # the PRUNE_D2 law (see the constant): no top-K or N_k pair can
+        # sit at d2 >= 900, so the 3x3 candidate fan (~225 pairs/point,
+        # 22M rows at sf0.1) collapses ~7x BEFORE anything is
+        # materialized or shuffled — measured 24.1 s -> single digits
+        .where(F.col("d2") < F.lit(PRUNE_D2))
+        .localCheckpoint(eager=False)  # kdist aggregate + N_k join below
     )
-    w = Window.partitionBy("a").orderBy("d2", "b")
+    # kdist2 = the K-th smallest d2 (duplicates counted): identical to
+    # max(d2) over the first K rows of the (d2, b) window — the tie
+    # order in b never changes the K-th VALUE — but as a hash aggregate
+    # with map-side partials instead of a full per-key sort window
     kd = (
-        cand.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= K)
-        .groupBy("a").agg(F.max("d2").alias("kdist2"))
+        cand.groupBy("a")
+        .agg(F.element_at(F.array_sort(F.collect_list("d2")), K)
+             .alias("kdist2"))
         .localCheckpoint(eager=False)  # joined from BOTH pair sides
     )
     # N_k(p): every point within the k-distance (ties included)

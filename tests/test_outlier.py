@@ -75,3 +75,64 @@ def test_lof_near_one_for_interior(result):
                       if i % 97 != 0)
     median = interior[len(interior) // 2]
     assert 0.7 * O.SCALE < median < 1.3 * O.SCALE
+
+
+def test_prune_bound_law_at_gate_sf():
+    """Direct assertion of the PRUNE_D2 law the engine's candidate
+    filter relies on, at the driver-gate scale (sf0.01) and on the
+    UNPRUNED candidate set: the K-th-nearest-neighbor distance of
+    every point stays strictly under PRUNE_D2 (= 30^2), so pruning
+    cand at d2 < PRUNE_D2 can never drop a top-K or N_k pair. The
+    oracle computes from the unfiltered set; this is the guard that
+    keeps engine and oracle identical if the fixture law ever drifts."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/events.parquet')")
+    worst = con.execute(f"""
+        WITH params AS (
+            SELECT greatest(count(*) // 25, 1) AS k FROM events
+        ),
+        base AS (
+            SELECT event_id, k,
+                   CASE WHEN event_id % 4 = 0
+                        THEN (event_id % k) % greatest(k // 10, 1)
+                        ELSE event_id % k END AS blob
+            FROM events CROSS JOIN params
+        ),
+        pts AS (
+            SELECT event_id AS id,
+                   (blob % 1000) * 40
+                       + ((event_id // k * 5 + event_id % 7) % 13)
+                       + CASE WHEN event_id % 97 = 0 THEN 15 ELSE 0 END AS x,
+                   (blob // 1000) * 40
+                       + ((event_id // k * 7 + event_id % 11) % 13) AS y
+            FROM base
+        ),
+        cells AS (
+            SELECT id, x, y, x // {O.GRID} AS cx, y // {O.GRID} AS cy
+            FROM pts
+        ),
+        probe AS (
+            SELECT c.id, c.x, c.y, c.cx + tx.dx AS px, c.cy + ty.dy AS py
+            FROM cells c, unnest([-1, 0, 1]) AS tx(dx),
+                 unnest([-1, 0, 1]) AS ty(dy)
+        ),
+        cand AS (
+            SELECT a.id AS a,
+                   (a.x - b.x) * (a.x - b.x)
+                       + (a.y - b.y) * (a.y - b.y) AS d2
+            FROM cells a JOIN probe b ON a.cx = b.px AND a.cy = b.py
+            WHERE a.id <> b.id
+        ),
+        ranked AS (
+            SELECT a, d2,
+                   row_number() OVER (PARTITION BY a ORDER BY d2) AS rn
+            FROM cand
+        )
+        SELECT max(d2) FROM ranked WHERE rn <= {O.K}
+    """).fetchone()[0]
+    assert worst < O.PRUNE_D2, (
+        f"5-NN law violated: worst kdist2 {worst} >= {O.PRUNE_D2}")
