@@ -92,11 +92,17 @@ def _line_from_multipoint(wkt: str | None) -> str | None:
 
 # ------------------------------------------------------- ring orientation
 
+@functools.lru_cache(maxsize=65536)
 def _force_orientation(wkt: str | None, exterior_ccw: bool) -> str | None:
     """ST_ForcePolygonCW / ST_ForcePolygonCCW / ST_ForceRHR: orient every
     exterior ring CW (RHR) or CCW, holes opposite; non-areal input is
     returned unchanged (PostGIS behavior). Z is preserved (ring reversal
-    keeps each vertex triple intact)."""
+    keeps each vertex triple intact).
+
+    lru_cached (the MIC precedent): pure text->text, and ST_ForceRHR is
+    a distinct UDF computing the same (wkt, False) entry ST_ForcePolygonCW
+    just filled for the same Arrow batch — the cache collapses the alias
+    to a lookup."""
     if wkt is None:
         return None
     tg = GT.parse_wkt(wkt)
@@ -244,10 +250,19 @@ def _minimum_clearance_pair(tg):
                 best = (d, (px, py), (x1 + t * vx, y1 + t * vy))
     return best
 
+@functools.lru_cache(maxsize=65536)
+def _minimum_clearance_pair_wkt(wkt: str):
+    """Text-keyed memo over _minimum_clearance_pair (the MIC precedent):
+    ST_MinimumClearance and ST_MinimumClearanceLine are distinct UDFs
+    fed the same geometry column, so within one Arrow batch the O(V^2)
+    pair scan runs once and the sibling reads the cache. Pure function
+    of the WKT text; the returned tuple is never mutated."""
+    return _minimum_clearance_pair(GT.strip_z(GT.parse_wkt(wkt)))
+
 def _minimum_clearance(wkt: str | None) -> float | None:
     if wkt is None:
         return None
-    best = _minimum_clearance_pair(GT.strip_z(GT.parse_wkt(wkt)))
+    best = _minimum_clearance_pair_wkt(wkt)
     return None if best is None else best[0]
 
 def _minimum_clearance_line(wkt: str | None) -> str | None:
@@ -255,7 +270,7 @@ def _minimum_clearance_line(wkt: str | None) -> str | None:
     minimum clearance; NULL when undefined."""
     if wkt is None:
         return None
-    best = _minimum_clearance_pair(GT.strip_z(GT.parse_wkt(wkt)))
+    best = _minimum_clearance_pair_wkt(wkt)
     if best is None:
         return None
     return GT.to_wkt(("LINESTRING", [[best[1], best[2]]]))

@@ -129,6 +129,24 @@ def parse_wkt(wkt: str | None):
                     path.append((float(xy[0]), float(xy[1])))
                 if len(path) >= 2:
                     return ("LINESTRING", [path])
+            elif s.startswith("POLYGON ((") and "(" not in s[10:] \
+                    and s.endswith("))"):
+                # canonical single-ring polygon (to_wkt / fixture shape):
+                # one C-side tokenize replaces _split_tag + probe +
+                # _strip_parens + _split_top_level + _parse_ring — the
+                # r9 name-batch queries spend most of their per-row cost
+                # here. Anomalies (holes, Z groups, mid-string parens,
+                # odd numerals) fail the count check or float() and fall
+                # back to the general parser, which parses identically.
+                body = s[10:-2]
+                nums = body.replace(",", " ").split()
+                if nums and len(nums) == 2 * (body.count(",") + 1):
+                    fl = list(map(float, nums))
+                    pts = list(zip(fl[0::2], fl[1::2]))
+                    if len(pts) > 1 and pts[0] == pts[-1]:
+                        pts.pop()
+                    if len(pts) >= 3:
+                        return ("POLYGON", [[pts]])
             elif s.startswith("MULTIPOINT (") and "(" not in s[12:]:
                 pts = []
                 for grp in s[12:-1].split(","):

@@ -327,6 +327,11 @@ def test_prop_typed_parse_fast_path_equals_general(seed):
         ("POINT ({} {})", "POINT"),
         ("LINESTRING ({} {}, {} {}, {} {})", "LINESTRING"),
         ("MULTIPOINT ({} {}, {} {})", "MULTIPOINT"),
+        # r9: canonical single-ring POLYGON fast path — both the closed
+        # (explicit repeat of the first vertex, to_wkt's shape) and the
+        # unclosed spelling must match the general parser
+        ("POLYGON (({0} {1}, {2} {3}, {4} {5}, {0} {1}))", "POLYGON"),
+        ("POLYGON (({0} {1}, {2} {3}, {4} {5}))", "POLYGON"),
     ):
         w = tmpl.format(*nums)
         fast = GT.parse_wkt(w)
@@ -334,6 +339,16 @@ def test_prop_typed_parse_fast_path_equals_general(seed):
         assert fast == slow, w
         # and the canonical round trip is a fixed point either way
         assert GT.parse_wkt(GT.to_wkt(fast)) == fast, w
+    # holed / Z / mid-paren polygons must FALL BACK (the fast path only
+    # accepts what the general parser parses identically): parse equality
+    # against the defeated-prefix spelling pins the fallback routing
+    holed = ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0),"
+             " (2 2, 3 2, 3 3, 2 3, 2 2))")
+    assert GT.parse_wkt(holed) == GT.parse_wkt(
+        holed.replace("POLYGON (", "POLYGON  (", 1))
+    zpoly = "POLYGON ((0 0 1, 10 0 1, 10 10 1, 0 0 1))"
+    assert GT.parse_wkt(zpoly) == GT.parse_wkt(
+        zpoly.replace("POLYGON (", "POLYGON  (", 1))
 
 
 @pytest.mark.usefixtures("spark")
