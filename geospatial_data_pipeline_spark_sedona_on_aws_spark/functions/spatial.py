@@ -4589,11 +4589,13 @@ def register_spatial_functions(spark: SparkSession) -> None:
         return
     for name, fn in _REGISTRY.items():
         spark.udf.register(name, fn)
-    from . import geomb, spatial_ext
+    from . import geomb, grid, spatial_ext
 
     for name, fn in geomb.REGISTRY_B.items():
         spark.udf.register(name, fn)
     for name, fn in spatial_ext.REGISTRY_EXT.items():
+        spark.udf.register(name, fn)
+    for name, fn in grid.REGISTRY_GRID.items():
         spark.udf.register(name, fn)
     # singular/plural + dimension-tag aliases (PostGIS registers both)
     spark.udf.register("ST_NumInteriorRing", st_numinteriorrings)

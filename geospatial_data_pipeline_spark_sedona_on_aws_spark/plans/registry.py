@@ -27,6 +27,7 @@ from . import quality as Q
 from . import relational as R
 from . import retrieval as RET
 from . import sketches as SK
+from . import grid_queries as GQ
 from . import spatial_ext_queries as SX
 from . import text_queries as TQ
 from . import tpch as T
@@ -126,6 +127,8 @@ QUERIES: dict[str, QueryFn] = {
     "st_from_text_ops": SX.st_from_text_ops,      # r9 name batch
     "st_orientation_ops": SX.st_orientation_ops,  # r9 name batch
     "st_clearance_ops": SX.st_clearance_ops,      # r9 name batch
+    "st_grid_ops": GQ.st_grid_ops,                # r9: tiling constructors
+    "hex_density_rollup": GQ.hex_density_rollup,  # r9: codegen hex binning
     "token_packing": TQ.token_packing,
     "lm_bigram_score": RET.lm_bigram_score,
     "phrase_search": RET.phrase_search,
@@ -619,12 +622,14 @@ _R9_WINDOW = [
     "dedup_clusters",
     "q1_pricing_summary",
     "stream_stream_join",
-    "salted_agg_topk",
     "pagerank_links",
     "pyds_sensor_stream_totals",
     "text_stats",
     "spatial_knn_join_grid",
-    "triangle_count",
+    # (salted_agg_topk / triangle_count displaced for the two new grid
+    # queries below: both stale seats stay in the full oracle run, the
+    # sketches family keeps histogram_quantile and graph rows grade
+    # relational, which keeps q1/q12/window_zoo)
     # --- NEW in-session r9 (displace multimodal_resize and
     # multimodal_frame_sample: stale tier-2, but the multimodal family
     # keeps 3 other seats in this window and both stay in the full
@@ -641,6 +646,8 @@ _R9_WINDOW = [
     "st_from_text_ops",          # NEW: r9 name batch (constructors)
     "st_orientation_ops",        # NEW: r9 name batch (orientation/flags)
     "st_clearance_ops",          # NEW: r9 name batch (clearance/3D/VW)
+    "st_grid_ops",               # NEW: ST_TileEnvelope/Square/Hexagon
+    "hex_density_rollup",        # NEW: pure-codegen hex density map
 ]
 _WINDOW = _R9_WINDOW
 # a duplicated name would silently dedupe in the dict rebuild below,
@@ -800,6 +807,8 @@ ORACLES: dict[str, str] = {
     "st_from_text_ops": SX.ST_FROM_TEXT_OPS_ORACLE,
     "st_orientation_ops": SX.ST_ORIENTATION_OPS_ORACLE,
     "st_clearance_ops": SX.ST_CLEARANCE_OPS_ORACLE,
+    "st_grid_ops": GQ.ST_GRID_OPS_ORACLE,
+    "hex_density_rollup": GQ.HEX_DENSITY_ROLLUP_ORACLE,
     "embedding_cluster_dedup": GR.EMBEDDING_CLUSTER_DEDUP_ORACLE,
     "token_packing": TQ.TOKEN_PACKING_ORACLE,
     "lm_bigram_score": RET.LM_BIGRAM_SCORE_ORACLE,
