@@ -2868,10 +2868,18 @@ def _point_z(x: float | None, y: float | None,
 
 
 def _as_ewkt(s: str | None) -> str | None:
-    """PostGIS ST_AsEWKT. The engine carries no SRID on geometry values
-    (CRS is explicit in ST_Transform calls), so the EWKT form is the
-    canonical WKT with no SRID= prefix — exactly PostGIS's output for
-    SRID-less geometry."""
+    """PostGIS ST_AsEWKT: canonical WKT, preserving the 'SRID=n;' EWKT
+    prefix when the value carries one (r9: ST_SetSRID emits that text
+    carriage; SRID-less geometry prints with no prefix — exactly
+    PostGIS's output either way)."""
+    if s is None:
+        return None
+    t = s.lstrip()
+    if t[:5].upper() == "SRID=":
+        semi = t.find(";")
+        if semi == -1:
+            raise G.GeomError("EWKT with SRID= but no ';'")
+        return f"SRID={int(t[5:semi])};" + _geom_from_wkt(t[semi + 1:])
     return _geom_from_wkt(s)
 
 

@@ -690,6 +690,47 @@ def st_rotatey(s: pd.Series, t: pd.Series) -> pd.Series:
     return pd.Series([_rotate_y(w, v) for w, v in zip(s, t)],
                      index=s.index)
 
+def _srid(wkt: str | None) -> int | None:
+    """PostGIS ST_SRID over the text carriage: the 'SRID=n;' EWKT prefix
+    when present, else 0 (PostGIS's 'unknown'). The geometry part is
+    validated by a parse either way."""
+    if wkt is None:
+        return None
+    t = wkt.lstrip()
+    n = 0
+    if t[:5].upper() == "SRID=":
+        semi = t.find(";")
+        if semi == -1:
+            raise G.GeomError("EWKT with SRID= but no ';'")
+        n = int(t[5:semi])
+        t = t[semi + 1:]
+    GT.parse_wkt(t)
+    return n
+
+
+def _set_srid(wkt: str | None, srid) -> str | None:
+    """PostGIS ST_SetSRID: stamp (or clear, srid <= 0) the SRID carriage
+    on the text value without touching coordinates. The geometry part is
+    re-emitted canonically (parse -> to_wkt), so downstream text
+    equality checks behave like every other constructor here."""
+    if wkt is None or srid is None:
+        return None
+    canon = GT.to_wkt(GT.parse_wkt(wkt))  # also strips any old prefix
+    srid = int(srid)
+    return canon if srid <= 0 else f"SRID={srid};{canon}"
+
+
+@pandas_udf(LongType())
+def st_srid(s: pd.Series) -> pd.Series:
+    return s.map(_srid, na_action="ignore").astype("Int64")
+
+
+@pandas_udf(StringType())
+def st_setsrid(s: pd.Series, n: pd.Series) -> pd.Series:
+    return pd.Series([_set_srid(w, v) for w, v in zip(s, n)],
+                     index=s.index)
+
+
 @pandas_udf(StringType())
 def st_ashexewkb(s: pd.Series) -> pd.Series:
     return s.map(_as_hexewkb, na_action="ignore")
@@ -726,5 +767,7 @@ REGISTRY_EXT = {
     "ST_RotateX": st_rotatex,
     "ST_RotateY": st_rotatey,
     "ST_AsHEXEWKB": st_ashexewkb,
+    "ST_SRID": st_srid,
+    "ST_SetSRID": st_setsrid,
     "ST_SimplifyVW": st_simplifyvw,
 }

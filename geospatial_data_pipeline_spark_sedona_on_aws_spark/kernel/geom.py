@@ -96,6 +96,13 @@ def parse_wkt(wkt: str) -> list[list[list[tuple[float, float]]]]:
     if wkt is None:
         return []
     s = wkt.strip()
+    if s[:5].upper() == "SRID=":
+        # EWKT prefix: SRID is metadata, not geometry (geomtypes has the
+        # same strip; some areal scalars call this parser directly)
+        semi = s.find(";")
+        if semi == -1:
+            raise GeomError("EWKT with SRID= but no ';'")
+        s = s[semi + 1:].lstrip()
     up = s.upper()
     if "EMPTY" in up:
         return []

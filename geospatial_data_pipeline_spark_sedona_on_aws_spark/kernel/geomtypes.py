@@ -114,6 +114,15 @@ def parse_wkt(wkt: str | None):
     if wkt is None:
         return None
     s = wkt.strip()
+    if s[:5].upper() == "SRID=":
+        # EWKT prefix (r9 SRID carriage: ST_SetSRID emits it): the SRID
+        # is metadata, not geometry — strip and parse the remainder, so
+        # SRID-carrying text flows through every function (PostGIS
+        # keeps the tag alongside; ST_SRID reads it at the text layer)
+        semi = s.find(";")
+        if semi == -1:
+            raise GeomError("EWKT with SRID= but no ';'")
+        s = s[semi + 1:].lstrip()
     if s.endswith(")"):
         try:
             if s.startswith("POINT ("):

@@ -129,6 +129,7 @@ QUERIES: dict[str, QueryFn] = {
     "st_clearance_ops": SX.st_clearance_ops,      # r9 name batch
     "st_grid_ops": GQ.st_grid_ops,                # r9: tiling constructors
     "hex_density_rollup": GQ.hex_density_rollup,  # r9: codegen hex binning
+    "st_srid_ops": SX.st_srid_ops,                # r9: SRID text carriage
     "token_packing": TQ.token_packing,
     "lm_bigram_score": RET.lm_bigram_score,
     "phrase_search": RET.phrase_search,
@@ -625,7 +626,8 @@ _R9_WINDOW = [
     "pagerank_links",
     "pyds_sensor_stream_totals",
     "text_stats",
-    "spatial_knn_join_grid",
+    # (spatial_knn_join_grid displaced for st_srid_ops below: a stale
+    # spatial seat swapped for the brand-new spatial carriage query)
     # (salted_agg_topk / triangle_count displaced for the two new grid
     # queries below: both stale seats stay in the full oracle run, the
     # sketches family keeps histogram_quantile and graph rows grade
@@ -648,6 +650,7 @@ _R9_WINDOW = [
     "st_clearance_ops",          # NEW: r9 name batch (clearance/3D/VW)
     "st_grid_ops",               # NEW: ST_TileEnvelope/Square/Hexagon
     "hex_density_rollup",        # NEW: pure-codegen hex density map
+    "st_srid_ops",               # NEW: SRID text carriage
 ]
 _WINDOW = _R9_WINDOW
 # a duplicated name would silently dedupe in the dict rebuild below,
@@ -809,6 +812,7 @@ ORACLES: dict[str, str] = {
     "st_clearance_ops": SX.ST_CLEARANCE_OPS_ORACLE,
     "st_grid_ops": GQ.ST_GRID_OPS_ORACLE,
     "hex_density_rollup": GQ.HEX_DENSITY_ROLLUP_ORACLE,
+    "st_srid_ops": SX.ST_SRID_OPS_ORACLE,
     "embedding_cluster_dedup": GR.EMBEDDING_CLUSTER_DEDUP_ORACLE,
     "token_packing": TQ.TOKEN_PACKING_ORACLE,
     "lm_bigram_score": RET.LM_BIGRAM_SCORE_ORACLE,

@@ -263,3 +263,46 @@ SELECT property_id,
        CAST(round(s * (4 + 2 * sqrt(29)) * 1000000) AS BIGINT) AS vw_len_q
 FROM b
 """
+
+
+# ------------------------------------------------------- SRID carriage
+
+def st_srid_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_SRID / ST_SetSRID text carriage (r9): default SRID is 0,
+    SetSRID stamps an 'SRID=n;' EWKT prefix, SetSRID(.., 0) clears it,
+    ST_AsEWKT prints it, ST_GeomFromEWKT consumes it — and, the part
+    that makes the carriage USEFUL, SRID-prefixed text flows through
+    ordinary functions (ST_Area, ST_NPoints) unchanged, like PostGIS
+    geometry whose SRID never affects coordinates."""
+    lu = _lu(spark, sf_dir)
+    rect = ("concat('POLYGON ((', x1, ' ', y1, ', ', x2, ' ', y1, ', ',"
+            " x2, ' ', y2, ', ', x1, ' ', y2, ', ', x1, ' ', y1, '))')")
+    return lu.selectExpr(
+        "property_id",
+        f"ST_SRID({rect}) AS srid_default",
+        f"ST_SRID(ST_SetSRID({rect}, 3857 + property_id % 3)) AS srid_set",
+        f"ST_SRID(ST_SetSRID(ST_SetSRID({rect}, 5880), 0)) AS srid_cleared",
+        f"ST_AsEWKT(ST_SetSRID({rect}, 4326)) AS ewkt_out",
+        f"ST_Area(ST_SetSRID({rect}, 3857)) AS area_through",
+        f"CAST(ST_NPoints(ST_SetSRID({rect}, 10)) AS BIGINT) AS np_through",
+        f"ST_AsText(ST_GeomFromEWKT(concat('SRID=31983;', {rect})))"
+        " AS from_ewkt_wkt",
+    )
+
+
+ST_SRID_OPS_ORACLE = f"""
+WITH {fixtures.LAND_USE_CTE.strip()}
+SELECT property_id,
+       CAST(0 AS BIGINT) AS srid_default,
+       CAST(3857 + property_id % 3 AS BIGINT) AS srid_set,
+       CAST(0 AS BIGINT) AS srid_cleared,
+       concat('SRID=4326;POLYGON ((', x1, ' ', y1, ', ', x2, ' ', y1,
+              ', ', x2, ' ', y2, ', ', x1, ' ', y2, ', ', x1, ' ', y1,
+              '))') AS ewkt_out,
+       CAST((x2 - x1) * (y2 - y1) AS DOUBLE) AS area_through,
+       CAST(5 AS BIGINT) AS np_through,
+       concat('POLYGON ((', x1, ' ', y1, ', ', x2, ' ', y1, ', ', x2,
+              ' ', y2, ', ', x1, ' ', y2, ', ', x1, ' ', y1, '))')
+           AS from_ewkt_wkt
+FROM land_use
+"""

@@ -234,3 +234,40 @@ class TestInscribedCircleRectLane:
             X._maximum_inscribed_circle.cache_clear()
             monkeypatch.undo()
             assert fast == slow, wkt
+
+
+def test_srid_carriage(spark):
+    """r9 SRID carriage: SetSRID stamps the EWKT prefix, SRID reads it
+    (0 default), prefixed text flows through ordinary functions, and
+    both parsers reject a malformed prefix."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions.spatial import (
+        register_spatial_functions,
+    )
+
+    register_spatial_functions(spark)
+    r = spark.sql("""
+        SELECT ST_SRID('POINT (1 2)') AS s0,
+               ST_SetSRID('POINT (1 2)', 4326) AS stamped,
+               ST_SRID(ST_SetSRID('POINT (1 2)', 4326)) AS s1,
+               ST_SRID(ST_SetSRID(ST_SetSRID('POINT (1 2)', 9), 0)) AS s2,
+               ST_Area(ST_SetSRID(
+                   'POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))', 3857)) AS a,
+               ST_AsEWKT(ST_SetSRID('POINT (1 2)', 31983)) AS e,
+               ST_X(ST_Centroid('srid=5880;POINT (7 8)')) AS cx
+    """).collect()[0]
+    assert r["s0"] == 0
+    assert r["stamped"] == "SRID=4326;POINT (1 2)"
+    assert r["s1"] == 4326
+    assert r["s2"] == 0
+    assert r["a"] == 12.0
+    assert r["e"] == "SRID=31983;POINT (1 2)"
+    assert r["cx"] == 7.0
+
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel import geom as G
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel import geomtypes as GT
+
+    with pytest.raises(G.GeomError):
+        GT.parse_wkt("SRID=4326 POINT (1 2)")
+    assert GT.parse_wkt("SRID=4326;POINT (1 2)") == ("POINT", [(1.0, 2.0)])
+    assert G.parse_wkt("SRID=10; POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))") \
+        == G.parse_wkt("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
