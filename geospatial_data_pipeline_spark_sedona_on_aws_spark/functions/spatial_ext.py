@@ -771,3 +771,201 @@ REGISTRY_EXT = {
     "ST_SetSRID": st_setsrid,
     "ST_SimplifyVW": st_simplifyvw,
 }
+
+
+# ------------------------------------------------------------ KML / GML
+#
+# Sedona 1.7 / PostGIS serialization names: ST_AsKML (no namespace
+# prefix), ST_AsGML (GML2 'gml:' form — PostGIS's default version 2),
+# ST_GeomFromGML (accepts GML2 <coordinates> AND GML3 <pos>/<posList>),
+# ST_GeomFromKML. Emission uses kernel _fmt, so integer coordinates
+# round-trip as integer text; Z triples are carried when present (both
+# formats allow x,y,z coordinate tuples).
+
+def _xml_coords(pts) -> str:
+    """KML/GML2 <coordinates> payload: comma-joined tuples, space-joined
+    points."""
+    return " ".join(",".join(G._fmt(c) for c in p) for p in pts)
+
+
+def _xml_geom(tg, pre: str) -> str:
+    """Serialize a tgeom as KML (pre='') or GML2 (pre='gml:')."""
+    kind, data = tg
+    base = GT.basekind(kind)
+    if kind == "GEOMETRYCOLLECTION":
+        member = f"<{pre}geometryMember>" if pre else ""
+        member_c = f"</{pre}geometryMember>" if pre else ""
+        return (f"<{pre}MultiGeometry>"
+                + "".join(member + _xml_geom(m, pre) + member_c
+                          for m in data)
+                + f"</{pre}MultiGeometry>")
+    if base == "POINT":
+        return (f"<{pre}Point><{pre}coordinates>{_xml_coords(data)}"
+                f"</{pre}coordinates></{pre}Point>")
+    if base == "LINESTRING":
+        return (f"<{pre}LineString><{pre}coordinates>"
+                f"{_xml_coords(data[0])}"
+                f"</{pre}coordinates></{pre}LineString>")
+    if base == "POLYGON":
+        out = [f"<{pre}Polygon>"]
+        for poly in data:
+            for i, ring in enumerate(poly):
+                tag = "outerBoundaryIs" if i == 0 else "innerBoundaryIs"
+                closed = list(ring) + [ring[0]]
+                out.append(
+                    f"<{pre}{tag}><{pre}LinearRing><{pre}coordinates>"
+                    f"{_xml_coords(closed)}"
+                    f"</{pre}coordinates></{pre}LinearRing></{pre}{tag}>")
+        out.append(f"</{pre}Polygon>")
+        return "".join(out)
+    if base == "MULTIPOINT":
+        return (f"<{pre}MultiPoint>" + "".join(
+            f"<{pre}pointMember>" + _xml_geom((kind.replace(
+                "MULTIPOINT", "POINT"), [p]), pre) + f"</{pre}pointMember>"
+            for p in data) + f"</{pre}MultiPoint>")
+    if base == "MULTILINESTRING":
+        return (f"<{pre}MultiLineString>" + "".join(
+            f"<{pre}lineStringMember>" + _xml_geom((kind.replace(
+                "MULTILINESTRING", "LINESTRING"), [path]), pre)
+            + f"</{pre}lineStringMember>"
+            for path in data) + f"</{pre}MultiLineString>")
+    if base == "MULTIPOLYGON":
+        return (f"<{pre}MultiPolygon>" + "".join(
+            f"<{pre}polygonMember>" + _xml_geom((kind.replace(
+                "MULTIPOLYGON", "POLYGON"), [poly]), pre)
+            + f"</{pre}polygonMember>"
+            for poly in data) + f"</{pre}MultiPolygon>")
+    raise G.GeomError(f"unsupported geometry for XML: {kind}")
+
+
+def _as_kml(wkt: str | None) -> str | None:
+    if wkt is None:
+        return None
+    return _xml_geom(GT.parse_wkt(wkt), "")
+
+
+def _as_gml(wkt: str | None) -> str | None:
+    if wkt is None:
+        return None
+    return _xml_geom(GT.parse_wkt(wkt), "gml:")
+
+
+def _xml_parse_coords(el) -> list[tuple]:
+    """Coordinate payload of a KML/GML element: <coordinates> (comma
+    tuples, space-separated) or GML3 <pos>/<posList> (flat
+    space-separated doubles, 2-D pairs)."""
+    for child in el:
+        tag = child.tag.rsplit("}", 1)[-1]
+        if tag == "coordinates" and child.text:
+            pts = []
+            for tok in child.text.split():
+                parts = tok.split(",")
+                if len(parts) < 2:
+                    raise G.GeomError(f"bad coordinate {tok!r}")
+                pts.append(tuple(float(v) for v in parts[:3]))
+            return pts
+        if tag in ("pos", "posList") and child.text:
+            vals = [float(v) for v in child.text.split()]
+            if len(vals) % 2:
+                raise G.GeomError("odd posList length")
+            return list(zip(vals[0::2], vals[1::2]))
+    raise G.GeomError(f"no coordinates in <{el.tag}>")
+
+
+def _xml_ring(el) -> list[tuple]:
+    pts = _xml_parse_coords(el)
+    if len(pts) > 1 and pts[0] == pts[-1]:
+        pts = pts[:-1]
+    if len(pts) < 3:
+        raise G.GeomError("ring with <3 distinct points")
+    return pts
+
+
+def _xml_to_tgeom(el):
+    tag = el.tag.rsplit("}", 1)[-1]
+    if tag == "Point":
+        pts = _xml_parse_coords(el)
+        z = " Z" if len(pts[0]) == 3 else ""
+        return ("POINT" + z, pts[:1])
+    if tag == "LineString":
+        pts = _xml_parse_coords(el)
+        z = " Z" if len(pts[0]) == 3 else ""
+        return ("LINESTRING" + z, [pts])
+    if tag == "Polygon":
+        outer, inners = None, []
+        for child in el:
+            ctag = child.tag.rsplit("}", 1)[-1]
+            if ctag in ("outerBoundaryIs", "exterior"):
+                outer = _xml_ring(next(iter(child)))
+            elif ctag in ("innerBoundaryIs", "interior"):
+                inners.append(_xml_ring(next(iter(child))))
+        if outer is None:
+            raise G.GeomError("Polygon with no outer ring")
+        rings = [outer] + inners
+        if len(outer[0]) == 3:
+            return ("POLYGON Z", [rings])
+        return ("POLYGON", [[[(p[0], p[1]) for p in r] for r in rings]])
+    members = {
+        "MultiPoint": ("MULTIPOINT", "POINT"),
+        "MultiLineString": ("MULTILINESTRING", "LINESTRING"),
+        "MultiPolygon": ("MULTIPOLYGON", "POLYGON"),
+        "MultiGeometry": ("GEOMETRYCOLLECTION", None),
+    }
+    if tag in members:
+        kind, want = members[tag]
+        parts = []
+        for child in el:
+            ctag = child.tag.rsplit("}", 1)[-1]
+            node = child
+            if ctag.endswith("Member") or ctag.endswith("member") \
+                    or ctag.endswith("Members"):
+                node = next(iter(child))
+            parts.append(_xml_to_tgeom(node))
+        if kind == "GEOMETRYCOLLECTION":
+            return (kind, parts)
+        if want and any(GT.basekind(p[0]) != want for p in parts):
+            raise G.GeomError(f"mixed members in <{tag}>")
+        # multi members flatten to 2-D (the engine's multis are 2-D;
+        # Z round-trips through Point/LineString/Polygon directly)
+        strip = [GT.strip_z(p) for p in parts]
+        return (kind, [p[1][0] for p in strip])
+    raise G.GeomError(f"unsupported XML geometry <{tag}>")
+
+
+def _geom_from_xml(text: str | None) -> str | None:
+    """Shared ST_GeomFromGML / ST_GeomFromKML body: strip 'gml:'
+    prefixes textually (GML snippets habitually arrive without the
+    namespace declaration, which ElementTree rejects), parse with the
+    stdlib ElementTree, and re-emit canonical WKT."""
+    if text is None:
+        return None
+    import xml.etree.ElementTree as ET
+
+    try:
+        el = ET.fromstring(text.replace("gml:", ""))
+    except ET.ParseError as exc:
+        raise G.GeomError(f"malformed XML geometry: {exc}") from None
+    return GT.to_wkt(_xml_to_tgeom(el))
+
+
+@pandas_udf(StringType())
+def st_askml(s: pd.Series) -> pd.Series:
+    return s.map(_as_kml, na_action="ignore")
+
+
+@pandas_udf(StringType())
+def st_asgml(s: pd.Series) -> pd.Series:
+    return s.map(_as_gml, na_action="ignore")
+
+
+@pandas_udf(StringType())
+def st_geomfromgml(s: pd.Series) -> pd.Series:
+    return s.map(_geom_from_xml, na_action="ignore")
+
+
+REGISTRY_EXT.update({
+    "ST_AsKML": st_askml,
+    "ST_AsGML": st_asgml,
+    "ST_GeomFromGML": st_geomfromgml,
+    "ST_GeomFromKML": st_geomfromgml,  # shared parser (KML = no prefix)
+})

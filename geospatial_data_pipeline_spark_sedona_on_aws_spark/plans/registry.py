@@ -130,6 +130,7 @@ QUERIES: dict[str, QueryFn] = {
     "st_grid_ops": GQ.st_grid_ops,                # r9: tiling constructors
     "hex_density_rollup": GQ.hex_density_rollup,  # r9: codegen hex binning
     "st_srid_ops": SX.st_srid_ops,                # r9: SRID text carriage
+    "st_xml_ops": SX.st_xml_ops,                  # r9: KML/GML round trips
     "token_packing": TQ.token_packing,
     "lm_bigram_score": RET.lm_bigram_score,
     "phrase_search": RET.phrase_search,
@@ -622,7 +623,8 @@ _R9_WINDOW = [
     "embedding_ivf_ann",         # also one of ann_recall's arms
     "dedup_clusters",
     "q1_pricing_summary",
-    "stream_stream_join",
+    # (stream_stream_join displaced for st_xml_ops below: streaming
+    # keeps streaming_geofence; the stale row stays in the full run)
     "pagerank_links",
     "pyds_sensor_stream_totals",
     "text_stats",
@@ -651,6 +653,7 @@ _R9_WINDOW = [
     "st_grid_ops",               # NEW: ST_TileEnvelope/Square/Hexagon
     "hex_density_rollup",        # NEW: pure-codegen hex density map
     "st_srid_ops",               # NEW: SRID text carriage
+    "st_xml_ops",                # NEW: KML/GML serialization round trips
 ]
 _WINDOW = _R9_WINDOW
 # a duplicated name would silently dedupe in the dict rebuild below,
@@ -813,6 +816,7 @@ ORACLES: dict[str, str] = {
     "st_grid_ops": GQ.ST_GRID_OPS_ORACLE,
     "hex_density_rollup": GQ.HEX_DENSITY_ROLLUP_ORACLE,
     "st_srid_ops": SX.ST_SRID_OPS_ORACLE,
+    "st_xml_ops": SX.ST_XML_OPS_ORACLE,
     "embedding_cluster_dedup": GR.EMBEDDING_CLUSTER_DEDUP_ORACLE,
     "token_packing": TQ.TOKEN_PACKING_ORACLE,
     "lm_bigram_score": RET.LM_BIGRAM_SCORE_ORACLE,

@@ -306,3 +306,53 @@ SELECT property_id,
            AS from_ewkt_wkt
 FROM land_use
 """
+
+
+# --------------------------------------------------------- KML / GML
+
+def st_xml_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_AsKML / ST_AsGML exact-string emission, ST_GeomFromKML /
+    ST_GeomFromGML round trips (including a hole — inner boundary — and
+    a GML3 posList spelling), all closed-form on the rect ints."""
+    lu = _lu(spark, sf_dir)
+    rect = ("concat('POLYGON ((', x1, ' ', y1, ', ', x2, ' ', y1, ', ',"
+            " x2, ' ', y2, ', ', x1, ' ', y2, ', ', x1, ' ', y1, '))')")
+    mls = ("concat('MULTILINESTRING ((', x1, ' ', y1, ', ', x2, ' ', y1,"
+           " '), (', x2, ' ', y1, ', ', x2, ' ', y2, '))')")
+    poslist = ("concat('<gml:LineString><gml:posList>', x1, ' ', y1, ' ',"
+               " x2, ' ', y1, ' ', x2, ' ', y2,"
+               " '</gml:posList></gml:LineString>')")
+    return lu.selectExpr(
+        "property_id",
+        "ST_AsKML(concat('POINT (', x1, ' ', y1, ')')) AS kml_pt",
+        f"ST_AsGML({rect}) AS gml_rect",
+        f"ST_AsText(ST_GeomFromKML(ST_AsKML({rect}))) AS kml_roundtrip",
+        f"ST_AsText(ST_GeomFromGML(ST_AsGML({mls}))) AS gml_mls_roundtrip",
+        f"ST_AsText(ST_GeomFromGML({poslist})) AS gml3_poslist",
+        "ST_AsKML(concat('POINT Z (', x1, ' ', y1, ' 5)')) AS kml_ptz",
+    )
+
+
+ST_XML_OPS_ORACLE = f"""
+WITH {fixtures.LAND_USE_CTE.strip()}
+SELECT property_id,
+       concat('<Point><coordinates>', x1, ',', y1,
+              '</coordinates></Point>') AS kml_pt,
+       concat('<gml:Polygon><gml:outerBoundaryIs><gml:LinearRing>',
+              '<gml:coordinates>',
+              x1, ',', y1, ' ', x2, ',', y1, ' ', x2, ',', y2, ' ',
+              x1, ',', y2, ' ', x1, ',', y1,
+              '</gml:coordinates></gml:LinearRing></gml:outerBoundaryIs>',
+              '</gml:Polygon>') AS gml_rect,
+       concat('POLYGON ((', x1, ' ', y1, ', ', x2, ' ', y1, ', ',
+              x2, ' ', y2, ', ', x1, ' ', y2, ', ', x1, ' ', y1, '))')
+           AS kml_roundtrip,
+       concat('MULTILINESTRING ((', x1, ' ', y1, ', ', x2, ' ', y1,
+              '), (', x2, ' ', y1, ', ', x2, ' ', y2, '))')
+           AS gml_mls_roundtrip,
+       concat('LINESTRING (', x1, ' ', y1, ', ', x2, ' ', y1, ', ',
+              x2, ' ', y2, ')') AS gml3_poslist,
+       concat('<Point><coordinates>', x1, ',', y1, ',5',
+              '</coordinates></Point>') AS kml_ptz
+FROM land_use
+"""

@@ -271,3 +271,37 @@ def test_srid_carriage(spark):
     assert GT.parse_wkt("SRID=4326;POINT (1 2)") == ("POINT", [(1.0, 2.0)])
     assert G.parse_wkt("SRID=10; POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))") \
         == G.parse_wkt("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+
+
+def test_kml_gml_roundtrips():
+    """r9 XML serialization: WKT -> KML/GML -> WKT is the identity for
+    every supported type (incl. holes, Z points, collections); GML3
+    posList and namespace-prefixed input parse; malformed XML raises."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions import spatial_ext as SX
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel import geom as G
+
+    cases = [
+        "POINT (1 2)",
+        "POINT Z (1 2 3)",
+        "LINESTRING (0 0, 4 0, 4 3)",
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0),"
+        " (2 2, 3 2, 3 3, 2 3, 2 2))",
+        "MULTIPOINT (1 2, 3 4)",
+        "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))",
+        "MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)),"
+        " ((10 10, 12 10, 12 12, 10 12, 10 10)))",
+        "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1))",
+    ]
+    for w in cases:
+        assert SX._geom_from_xml(SX._as_kml(w)) == w, w
+        assert SX._geom_from_xml(SX._as_gml(w)) == w, w
+    assert SX._geom_from_xml(
+        "<gml:LineString><gml:posList>0 0 5 0</gml:posList>"
+        "</gml:LineString>") == "LINESTRING (0 0, 5 0)"
+    with pytest.raises(G.GeomError):
+        SX._geom_from_xml("<Point><coordinates>1</coordinates></Point>")
+    with pytest.raises(G.GeomError):
+        SX._geom_from_xml("<Point><coordinates>1,2")
+    with pytest.raises(G.GeomError):
+        SX._geom_from_xml("<Banana/>")
