@@ -969,3 +969,59 @@ REGISTRY_EXT.update({
     "ST_GeomFromGML": st_geomfromgml,
     "ST_GeomFromKML": st_geomfromgml,  # shared parser (KML = no prefix)
 })
+
+
+# ------------------------------------------------- noding / polygonize
+
+def _node(wkt: str | None) -> str | None:
+    """PostGIS ST_Node: fully node the input's edges (kernel/noding.py).
+    Output is the canonical segment form — each noded edge its own
+    2-point MULTILINESTRING member, sorted — where GEOS merges chains
+    between degree-2 nodes; the arrangement (vertex/edge set) is
+    identical, the grouping canonicalized (documented deviation)."""
+    if wkt is None:
+        return None
+    from ..kernel import noding as ND
+
+    segs = [((x1, y1), (x2, y2))
+            for x1, y1, x2, y2 in GT.segments_of(GT.strip_z(GT.parse_wkt(wkt)))]
+    pieces = ND.node_segments(segs)
+    if not pieces:
+        return "MULTILINESTRING EMPTY"
+    return GT.to_wkt(("MULTILINESTRING", [[a, b] for a, b in pieces]))
+
+
+def _polygonize(wkt: str | None) -> str | None:
+    """PostGIS/Sedona ST_Polygonize (scalar form over one collection):
+    the bounded faces of the input's noded arrangement as a
+    GEOMETRYCOLLECTION of polygons — holes assigned to the innermost
+    enclosing face, dangles and cut edges dropped, exactly the GEOS
+    Polygonizer contract. Canonical order: polygons by smallest shell
+    vertex, shells CCW, holes CW."""
+    if wkt is None:
+        return None
+    from ..kernel import noding as ND
+
+    segs = [((x1, y1), (x2, y2))
+            for x1, y1, x2, y2 in GT.segments_of(GT.strip_z(GT.parse_wkt(wkt)))]
+    polys = ND.polygonize(segs)
+    if not polys:
+        return "GEOMETRYCOLLECTION EMPTY"
+    return GT.to_wkt(("GEOMETRYCOLLECTION",
+                      [("POLYGON", [p]) for p in polys]))
+
+
+@pandas_udf(StringType())
+def st_node(s: pd.Series) -> pd.Series:
+    return s.map(_node, na_action="ignore")
+
+
+@pandas_udf(StringType())
+def st_polygonize(s: pd.Series) -> pd.Series:
+    return s.map(_polygonize, na_action="ignore")
+
+
+REGISTRY_EXT.update({
+    "ST_Node": st_node,
+    "ST_Polygonize": st_polygonize,
+})

@@ -131,6 +131,7 @@ QUERIES: dict[str, QueryFn] = {
     "hex_density_rollup": GQ.hex_density_rollup,  # r9: codegen hex binning
     "st_srid_ops": SX.st_srid_ops,                # r9: SRID text carriage
     "st_xml_ops": SX.st_xml_ops,                  # r9: KML/GML round trips
+    "st_polygonize_ops": SX.st_polygonize_ops,    # r9: noding/face extraction
     "token_packing": TQ.token_packing,
     "lm_bigram_score": RET.lm_bigram_score,
     "phrase_search": RET.phrase_search,
@@ -621,7 +622,8 @@ _R9_WINDOW = [
     "embedding_lsh_ann",
     # --- stalest tier-2 cohort: last driver-verified r5 or earlier (18) ---
     "embedding_ivf_ann",         # also one of ann_recall's arms
-    "dedup_clusters",
+    # (dedup_clusters displaced for st_polygonize_ops below: dedup
+    # keeps ngram_jaccard_verified; the stale row stays in the full run)
     "q1_pricing_summary",
     # (stream_stream_join displaced for st_xml_ops below: streaming
     # keeps streaming_geofence; the stale row stays in the full run)
@@ -654,6 +656,7 @@ _R9_WINDOW = [
     "hex_density_rollup",        # NEW: pure-codegen hex density map
     "st_srid_ops",               # NEW: SRID text carriage
     "st_xml_ops",                # NEW: KML/GML serialization round trips
+    "st_polygonize_ops",         # NEW: ST_Node/ST_Polygonize faces
 ]
 _WINDOW = _R9_WINDOW
 # a duplicated name would silently dedupe in the dict rebuild below,
@@ -817,6 +820,7 @@ ORACLES: dict[str, str] = {
     "hex_density_rollup": GQ.HEX_DENSITY_ROLLUP_ORACLE,
     "st_srid_ops": SX.ST_SRID_OPS_ORACLE,
     "st_xml_ops": SX.ST_XML_OPS_ORACLE,
+    "st_polygonize_ops": SX.ST_POLYGONIZE_OPS_ORACLE,
     "embedding_cluster_dedup": GR.EMBEDDING_CLUSTER_DEDUP_ORACLE,
     "token_packing": TQ.TOKEN_PACKING_ORACLE,
     "lm_bigram_score": RET.LM_BIGRAM_SCORE_ORACLE,

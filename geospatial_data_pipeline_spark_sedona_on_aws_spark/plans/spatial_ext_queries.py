@@ -356,3 +356,78 @@ SELECT property_id,
               '</coordinates></Point>') AS kml_ptz
 FROM land_use
 """
+
+
+# ------------------------------------------------ noding / polygonize
+
+def st_polygonize_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Node / ST_Polygonize (r9): a 3x3 grid of lines polygonizes
+    into four cells (counts, per-cell and total areas, noded piece
+    count and length all closed-form); a self-crossing bowtie path
+    splits at its midpoint crossing into two triangles; nested squares
+    exercise hole assignment with an exact-WKT readback of the
+    outer-with-hole polygon.
+
+    Runs on a 1-in-20 hash sample of the fixture (the
+    st_geomcollection_ops precedent): each row costs ~6 full
+    planar-arrangement builds, and the parity proof does not get
+    stronger by repeating them 600k times at sf0.1."""
+    lu = _lu(spark, sf_dir).where("property_id % 20 = 3")
+    grid = ("concat('GEOMETRYCOLLECTION ("
+            "LINESTRING (', x1, ' ', y1, ', ', x1, ' ', 2 * y2 - y1, '), "
+            "LINESTRING (', x2, ' ', y1, ', ', x2, ' ', 2 * y2 - y1, '), "
+            "LINESTRING (', 2 * x2 - x1, ' ', y1, ', ', 2 * x2 - x1, ' ', 2 * y2 - y1, '), "
+            "LINESTRING (', x1, ' ', y1, ', ', 2 * x2 - x1, ' ', y1, '), "
+            "LINESTRING (', x1, ' ', y2, ', ', 2 * x2 - x1, ' ', y2, '), "
+            "LINESTRING (', x1, ' ', 2 * y2 - y1, ', ', 2 * x2 - x1, ' ', 2 * y2 - y1, '))')")
+    bow = ("concat('LINESTRING (', x1, ' ', y1, ', ', x2, ' ', y2, ', ',"
+           " x2, ' ', y1, ', ', x1, ' ', y2, ', ', x1, ' ', y1, ')')")
+    nested = ("concat('GEOMETRYCOLLECTION ("
+              "LINESTRING (', x1, ' ', y1, ', ', x1 + 8, ' ', y1, ', ',"
+              " x1 + 8, ' ', y1 + 8, ', ', x1, ' ', y1 + 8, ', ', x1, ' ', y1, '), "
+              "LINESTRING (', x1 + 2, ' ', y1 + 2, ', ', x1 + 4, ' ', y1 + 2, ', ',"
+              " x1 + 4, ' ', y1 + 4, ', ', x1 + 2, ' ', y1 + 4, ', ', x1 + 2, ' ', y1 + 2, '))')")
+    return lu.selectExpr(
+        "property_id",
+        f"CAST(ST_NumGeometries(ST_Polygonize({grid})) AS BIGINT) AS n_cells",
+        f"ST_Area(ST_GeometryN(ST_Polygonize({grid}), 0)) AS cell_area",
+        f"ST_Area(ST_Polygonize({grid})) AS total_area",
+        f"CAST(ST_NumGeometries(ST_Node({grid})) AS BIGINT) AS noded_n",
+        f"ST_Length(ST_Node({grid})) AS noded_len",
+        f"CAST(ST_NumGeometries(ST_Polygonize({bow})) AS BIGINT) AS bow_n",
+        f"ST_Area(ST_Polygonize({bow})) AS bow_area",
+        f"CAST(ST_NumGeometries(ST_Polygonize({nested})) AS BIGINT)"
+        " AS nest_n",
+        f"ST_AsText(ST_GeometryN(ST_Polygonize({nested}), 0)) AS nest_wkt",
+        f"CAST(ST_NumInteriorRings(ST_GeometryN(ST_Polygonize({nested}),"
+        " 0)) AS BIGINT) AS nest_holes",
+    )
+
+
+ST_POLYGONIZE_OPS_ORACLE = f"""
+WITH {fixtures.LAND_USE_CTE.strip()},
+b AS (
+    SELECT property_id,
+           CAST(x2 - x1 AS DOUBLE) AS w, CAST(y2 - y1 AS DOUBLE) AS h,
+           x1, y1
+    FROM land_use
+    WHERE property_id % 20 = 3
+)
+SELECT property_id,
+       CAST(4 AS BIGINT) AS n_cells,
+       w * h AS cell_area,
+       4 * (w * h) AS total_area,
+       CAST(12 AS BIGINT) AS noded_n,
+       6 * (w + h) AS noded_len,
+       CAST(2 AS BIGINT) AS bow_n,
+       w * h / 2 AS bow_area,
+       CAST(2 AS BIGINT) AS nest_n,
+       concat('POLYGON ((', x1, ' ', y1, ', ', x1 + 8, ' ', y1, ', ',
+              x1 + 8, ' ', y1 + 8, ', ', x1, ' ', y1 + 8, ', ',
+              x1, ' ', y1, '), (',
+              x1 + 2, ' ', y1 + 2, ', ', x1 + 2, ' ', y1 + 4, ', ',
+              x1 + 4, ' ', y1 + 4, ', ', x1 + 4, ' ', y1 + 2, ', ',
+              x1 + 2, ' ', y1 + 2, '))') AS nest_wkt,
+       CAST(1 AS BIGINT) AS nest_holes
+FROM b
+"""

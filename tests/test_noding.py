@@ -1,0 +1,98 @@
+"""kernel/noding.py (ST_Node / ST_Polygonize): arrangement laws the
+GEOS Polygonizer guarantees, checked on exact-integer fixtures plus a
+randomized Euler-formula property."""
+
+import random
+
+from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions import spatial_ext as SX
+from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel import noding as N
+
+
+def test_grid_faces_and_noding():
+    segs = [((x, 0), (x, 4)) for x in (0, 2, 4)] \
+        + [((0, y), (4, y)) for y in (0, 2, 4)]
+    pieces = N.node_segments(segs)
+    assert len(pieces) == 12
+    polys = N.polygonize(segs)
+    assert len(polys) == 4
+    assert all(abs(N._signed_area(p[0])) == 4.0 for p in polys)
+    # shells come out CCW, canonical start at the smallest vertex
+    for p in polys:
+        assert N._signed_area(p[0]) > 0
+        assert p[0][0] == min(p[0])
+
+
+def test_bowtie_splits_at_crossing():
+    bow = [((0, 0), (2, 2)), ((2, 2), (2, 0)),
+           ((2, 0), (0, 2)), ((0, 2), (0, 0))]
+    polys = N.polygonize(bow)
+    assert len(polys) == 2
+    assert sorted(abs(N._signed_area(p[0])) for p in polys) == [1.0, 1.0]
+    # the crossing vertex was inserted exactly
+    assert any((1.0, 1.0) in (a, b) for a, b in N.node_segments(bow))
+
+
+def test_nested_holes_innermost():
+    def square(x, y, s):
+        return [((x, y), (x + s, y)), ((x + s, y), (x + s, y + s)),
+                ((x + s, y + s), (x, y + s)), ((x, y + s), (x, y))]
+
+    segs = square(0, 0, 10) + square(3, 3, 3) + square(4, 4, 1)
+    polys = N.polygonize(segs)
+    shapes = sorted((abs(N._signed_area(p[0])), len(p) - 1) for p in polys)
+    # inner 1x1 (no holes), middle 3x3 (hole = inner), outer 10x10
+    # (hole = middle ONLY — innermost assignment)
+    assert shapes == [(1.0, 0), (9.0, 1), (100.0, 1)]
+
+
+def test_dangles_and_cut_edges_dropped():
+    bow = [((0, 0), (2, 0)), ((2, 0), (2, 2)),
+           ((2, 2), (0, 2)), ((0, 2), (0, 0))]
+    segs = bow + [((5, 5), (9, 9)), ((1, 1), (1, 5))]  # dangle + cut
+    polys = N.polygonize(segs)
+    assert len(polys) == 1
+    assert abs(N._signed_area(polys[0][0])) == 4.0
+
+
+def test_collinear_overlap_noding():
+    segs = [((0, 0), (4, 0)), ((2, 0), (6, 0))]
+    pieces = N.node_segments(segs)
+    assert pieces == [(((0.0, 0.0)), (2.0, 0.0)),
+                      ((2.0, 0.0), (4.0, 0.0)),
+                      ((4.0, 0.0), (6.0, 0.0))]
+
+
+def test_euler_formula_random_grids():
+    """For a connected planar graph, V - E + F = 2 (F counts the
+    unbounded face): polygonize must find exactly E - V + 1 bounded
+    faces of a randomly thinned integer grid, as long as it stays
+    connected and hole-free by construction (full outer frame)."""
+    rng = random.Random(41)
+    for _ in range(20):
+        nx, ny = rng.randint(2, 5), rng.randint(2, 5)
+        segs = []
+        for i in range(nx + 1):
+            segs.append(((2 * i, 0), (2 * i, 2 * ny)))
+        for j in range(ny + 1):
+            segs.append(((0, 2 * j), (2 * nx, 2 * j)))
+        pieces = N.node_segments(segs)
+        verts = {p for seg in pieces for p in seg}
+        faces = N.polygonize(segs)
+        assert len(faces) == len(pieces) - len(verts) + 1
+        assert len(faces) == nx * ny
+
+
+def test_udf_bodies_match_kernel():
+    out = SX._node("MULTILINESTRING ((0 0, 4 0), (2 -2, 2 2))")
+    assert out == ("MULTILINESTRING ((0 0, 2 0), (2 -2, 2 0),"
+                   " (2 0, 2 2), (2 0, 4 0))")
+    gc = SX._polygonize(
+        "GEOMETRYCOLLECTION (LINESTRING (0 0, 4 0, 4 4, 0 4, 0 0),"
+        " LINESTRING (2 0, 2 4))")
+    assert gc == ("GEOMETRYCOLLECTION (POLYGON ((0 0, 2 0, 2 4, 0 4,"
+                  " 0 0)), POLYGON ((2 0, 4 0, 4 4, 2 4, 2 0)))")
+    assert SX._polygonize("POINT (1 1)") == "GEOMETRYCOLLECTION EMPTY"
+    assert SX._node("POINT (1 1)") == "MULTILINESTRING EMPTY"
+    # areal input contributes its ring edges (PostGIS semantics)
+    assert SX._polygonize("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))") == \
+        "GEOMETRYCOLLECTION (POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0)))"
