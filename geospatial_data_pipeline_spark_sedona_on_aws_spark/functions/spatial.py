@@ -4608,4 +4608,5 @@ def register_spatial_functions(spark: SparkSession) -> None:
     # singular/plural + dimension-tag aliases (PostGIS registers both)
     spark.udf.register("ST_NumInteriorRing", st_numinteriorrings)
     spark.udf.register("ST_Force3DZ", st_force3d)
+    spark.udf.register("ST_CoordDim", st_ndims)  # PostGIS alias of NDims
     spark._spark_graft_st_registered = True

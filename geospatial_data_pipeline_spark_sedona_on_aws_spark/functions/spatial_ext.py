@@ -1025,3 +1025,90 @@ REGISTRY_EXT.update({
     "ST_Node": st_node,
     "ST_Polygonize": st_polygonize,
 })
+
+
+# ---------------------------------------------------- misc scalar batch
+
+def _collect_array(wkts) -> str | None:
+    """Sedona/PostGIS ST_Collect (array form): NULL members skipped;
+    homogeneous singular members collect into the matching MULTI*,
+    anything else (mixed kinds, multi/collection members) nests into a
+    GEOMETRYCOLLECTION without flattening — PostGIS semantics. One
+    deviation, the kernel's areal canon: a single-polygon collect
+    prints as POLYGON (kernel/geom.to_wkt canonicalizes one-member
+    multipolygons engine-wide)."""
+    if wkts is None:
+        return None
+    members = [GT.parse_wkt(w) for w in wkts if w is not None]
+    if not members:
+        return None
+    kinds = {m[0] for m in members}
+    if kinds == {"POINT"}:
+        return GT.to_wkt(("MULTIPOINT", [m[1][0] for m in members]))
+    if kinds == {"LINESTRING"}:
+        return GT.to_wkt(("MULTILINESTRING", [m[1][0] for m in members]))
+    if kinds == {"POLYGON"}:
+        return GT.to_wkt(("MULTIPOLYGON", [m[1][0] for m in members]))
+    return GT.to_wkt(("GEOMETRYCOLLECTION", members))
+
+
+def _ordering_equals(a: str | None, b: str | None) -> bool | None:
+    """PostGIS ST_OrderingEquals: same type AND the same coordinate
+    sequence (ring rotation / vertex order matter, unlike ST_Equals)."""
+    if a is None or b is None:
+        return None
+    return GT.parse_wkt(a) == GT.parse_wkt(b)
+
+
+def _points(wkt: str | None) -> str | None:
+    """PostGIS ST_Points: MULTIPOINT of every vertex in storage order,
+    duplicates preserved (ring closing vertices included)."""
+    if wkt is None:
+        return None
+    from .spatial import _dump_points
+
+    pts = _dump_points(wkt)
+    if not pts:
+        return None
+    return GT.to_wkt(("MULTIPOINT",
+                      [GT.parse_wkt(p)[1][0] for p in pts]))
+
+
+def _mem_size(wkt: str | None) -> int | None:
+    """PostGIS ST_MemSize name parity. Deviation, documented: PostGIS
+    reports its internal varlena size; the engine's carrier is text, so
+    the meaningful deterministic size is the WKB serialization length
+    in bytes (= ST_MemSize for PostGIS's on-disk WKB layout minus the
+    varlena header)."""
+    if wkt is None:
+        return None
+    return len(GT.to_wkb(GT.parse_wkt(wkt)))
+
+
+@pandas_udf(StringType())
+def st_collect(s: pd.Series) -> pd.Series:
+    return s.map(_collect_array, na_action="ignore")
+
+
+@pandas_udf(BooleanType())
+def st_orderingequals(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series([_ordering_equals(x, y) for x, y in zip(a, b)],
+                     index=a.index, dtype="boolean")
+
+
+@pandas_udf(StringType())
+def st_points(s: pd.Series) -> pd.Series:
+    return s.map(_points, na_action="ignore")
+
+
+@pandas_udf(LongType())
+def st_memsize(s: pd.Series) -> pd.Series:
+    return s.map(_mem_size, na_action="ignore").astype("Int64")
+
+
+REGISTRY_EXT.update({
+    "ST_Collect": st_collect,
+    "ST_OrderingEquals": st_orderingequals,
+    "ST_Points": st_points,
+    "ST_MemSize": st_memsize,
+})

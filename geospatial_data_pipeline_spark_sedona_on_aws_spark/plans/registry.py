@@ -132,6 +132,7 @@ QUERIES: dict[str, QueryFn] = {
     "st_srid_ops": SX.st_srid_ops,                # r9: SRID text carriage
     "st_xml_ops": SX.st_xml_ops,                  # r9: KML/GML round trips
     "st_polygonize_ops": SX.st_polygonize_ops,    # r9: noding/face extraction
+    "st_collect_ops": SX.st_collect_ops,          # r9: Collect/Points/MemSize
     "token_packing": TQ.token_packing,
     "lm_bigram_score": RET.lm_bigram_score,
     "phrase_search": RET.phrase_search,
@@ -624,7 +625,8 @@ _R9_WINDOW = [
     "embedding_ivf_ann",         # also one of ann_recall's arms
     # (dedup_clusters displaced for st_polygonize_ops below: dedup
     # keeps ngram_jaccard_verified; the stale row stays in the full run)
-    "q1_pricing_summary",
+    # (q1_pricing_summary displaced for st_collect_ops below: relational
+    # keeps q12_late_priority and window_zoo)
     # (stream_stream_join displaced for st_xml_ops below: streaming
     # keeps streaming_geofence; the stale row stays in the full run)
     "pagerank_links",
@@ -657,6 +659,7 @@ _R9_WINDOW = [
     "st_srid_ops",               # NEW: SRID text carriage
     "st_xml_ops",                # NEW: KML/GML serialization round trips
     "st_polygonize_ops",         # NEW: ST_Node/ST_Polygonize faces
+    "st_collect_ops",            # NEW: Collect/CoordDim/Points/MemSize
 ]
 _WINDOW = _R9_WINDOW
 # a duplicated name would silently dedupe in the dict rebuild below,
@@ -821,6 +824,7 @@ ORACLES: dict[str, str] = {
     "st_srid_ops": SX.ST_SRID_OPS_ORACLE,
     "st_xml_ops": SX.ST_XML_OPS_ORACLE,
     "st_polygonize_ops": SX.ST_POLYGONIZE_OPS_ORACLE,
+    "st_collect_ops": SX.ST_COLLECT_OPS_ORACLE,
     "embedding_cluster_dedup": GR.EMBEDDING_CLUSTER_DEDUP_ORACLE,
     "token_packing": TQ.TOKEN_PACKING_ORACLE,
     "lm_bigram_score": RET.LM_BIGRAM_SCORE_ORACLE,

@@ -431,3 +431,58 @@ SELECT property_id,
        CAST(1 AS BIGINT) AS nest_holes
 FROM b
 """
+
+
+# ------------------------------------------------- misc scalar batch 2
+
+def st_collect_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Collect (array scalar form) homogeneous + mixed, ST_CoordDim,
+    ST_OrderingEquals (ring rotation matters, unlike ST_Equals),
+    ST_Points (duplicates preserved), ST_MemSize (WKB byte length) —
+    all closed-form on the rect ints."""
+    lu = _lu(spark, sf_dir)
+    rect = ("concat('POLYGON ((', x1, ' ', y1, ', ', x2, ' ', y1, ', ',"
+            " x2, ' ', y2, ', ', x1, ' ', y2, ', ', x1, ' ', y1, '))')")
+    rect_rot = ("concat('POLYGON ((', x2, ' ', y1, ', ', x2, ' ', y2,"
+                " ', ', x1, ' ', y2, ', ', x1, ' ', y1, ', ', x2, ' ',"
+                " y1, '))')")
+    return lu.selectExpr(
+        "property_id",
+        "ST_Collect(array(concat('POINT (', x1, ' ', y1, ')'), NULL,"
+        " concat('POINT (', x2, ' ', y2, ')'))) AS coll_mp",
+        "ST_GeometryType(ST_Collect(array(concat('POINT (', x1, ' ',"
+        " y1, ')'), concat('LINESTRING (', x1, ' ', y1, ', ', x2, ' ',"
+        " y2, ')')))) AS coll_mixed_type",
+        f"CAST(ST_CoordDim({rect}) AS BIGINT) AS cd_2d",
+        "CAST(ST_CoordDim(concat('POINT Z (', x1, ' ', y1, ' 4)'))"
+        " AS BIGINT) AS cd_3d",
+        f"ST_OrderingEquals({rect}, {rect}) AS oeq_same",
+        f"ST_OrderingEquals({rect}, {rect_rot}) AS oeq_rotated",
+        f"ST_Equals({rect}, {rect_rot}) AS eq_rotated",
+        f"CAST(ST_NPoints(ST_Points({rect})) AS BIGINT) AS pts_n",
+        f"ST_AsText(ST_Points(concat('LINESTRING (', x1, ' ', y1, ', ',"
+        " x2, ' ', y2, ')'))) AS pts_line",
+        f"ST_MemSize({rect}) AS memsize_rect",
+        "ST_MemSize(concat('POINT (', x1, ' ', y1, ')')) AS memsize_pt",
+    )
+
+
+ST_COLLECT_OPS_ORACLE = f"""
+WITH {fixtures.LAND_USE_CTE.strip()}
+SELECT property_id,
+       concat('MULTIPOINT (', x1, ' ', y1, ', ', x2, ' ', y2, ')')
+           AS coll_mp,
+       'ST_GeometryCollection' AS coll_mixed_type,
+       CAST(2 AS BIGINT) AS cd_2d,
+       CAST(3 AS BIGINT) AS cd_3d,
+       TRUE AS oeq_same,
+       FALSE AS oeq_rotated,
+       TRUE AS eq_rotated,
+       CAST(5 AS BIGINT) AS pts_n,
+       concat('MULTIPOINT (', x1, ' ', y1, ', ', x2, ' ', y2, ')')
+           AS pts_line,
+       -- WKB polygon: 1 + 4 + 4 rings + 4 count + 5 * 16 coord bytes
+       CAST(93 AS BIGINT) AS memsize_rect,
+       CAST(21 AS BIGINT) AS memsize_pt
+FROM land_use
+"""
