@@ -91,6 +91,8 @@ HEADLINE = [
     "ann_recall_at_k",         # retrieval quality: 3 indexes vs exact top-k
     "spatial_dbscan",          # grid-bucketed DBSCAN + CC labeling (100k pts)
     "local_outlier_factor",    # integer-quantized LOF over the blob grid
+    # round 9, second session
+    "hex_density_rollup",      # pure-codegen hex binning, one hash agg
 ]
 
 # scale-curve sweep (--sweep): the most expensive headline queries measured
@@ -125,6 +127,9 @@ SWEEP_QUERIES = [
     "st_transform_roundtrip",
     "st_point_line_ops",
     "multimodal_jpeg_decode",
+    # round 9, second session: the codegen hex rollup — zero Python, so
+    # its decade slope is the pure scan+agg floor
+    "hex_density_rollup",
 ]
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/root/repo/.bench_sf1")
 SWEEP_SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
