@@ -274,7 +274,7 @@ def st_srid_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     that makes the carriage USEFUL, SRID-prefixed text flows through
     ordinary functions (ST_Area, ST_NPoints) unchanged, like PostGIS
     geometry whose SRID never affects coordinates."""
-    lu = _lu(spark, sf_dir)
+    lu = _lu(spark, sf_dir).where("property_id % 10 = 3")
     rect = ("concat('POLYGON ((', x1, ' ', y1, ', ', x2, ' ', y1, ', ',"
             " x2, ' ', y2, ', ', x1, ' ', y2, ', ', x1, ' ', y1, '))')")
     return lu.selectExpr(
@@ -305,6 +305,7 @@ SELECT property_id,
               ' ', y2, ', ', x1, ' ', y2, ', ', x1, ' ', y1, '))')
            AS from_ewkt_wkt
 FROM land_use
+WHERE property_id % 10 = 3
 """
 
 
@@ -314,7 +315,7 @@ def st_xml_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_AsKML / ST_AsGML exact-string emission, ST_GeomFromKML /
     ST_GeomFromGML round trips (including a hole — inner boundary — and
     a GML3 posList spelling), all closed-form on the rect ints."""
-    lu = _lu(spark, sf_dir)
+    lu = _lu(spark, sf_dir).where("property_id % 10 = 3")
     rect = ("concat('POLYGON ((', x1, ' ', y1, ', ', x2, ' ', y1, ', ',"
             " x2, ' ', y2, ', ', x1, ' ', y2, ', ', x1, ' ', y1, '))')")
     mls = ("concat('MULTILINESTRING ((', x1, ' ', y1, ', ', x2, ' ', y1,"
@@ -355,6 +356,7 @@ SELECT property_id,
        concat('<Point><coordinates>', x1, ',', y1, ',5',
               '</coordinates></Point>') AS kml_ptz
 FROM land_use
+WHERE property_id % 10 = 3
 """
 
 
@@ -440,7 +442,7 @@ def st_collect_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ST_OrderingEquals (ring rotation matters, unlike ST_Equals),
     ST_Points (duplicates preserved), ST_MemSize (WKB byte length) —
     all closed-form on the rect ints."""
-    lu = _lu(spark, sf_dir)
+    lu = _lu(spark, sf_dir).where("property_id % 10 = 3")
     rect = ("concat('POLYGON ((', x1, ' ', y1, ', ', x2, ' ', y1, ', ',"
             " x2, ' ', y2, ', ', x1, ' ', y2, ', ', x1, ' ', y1, '))')")
     rect_rot = ("concat('POLYGON ((', x2, ' ', y1, ', ', x2, ' ', y2,"
@@ -485,4 +487,5 @@ SELECT property_id,
        CAST(93 AS BIGINT) AS memsize_rect,
        CAST(21 AS BIGINT) AS memsize_pt
 FROM land_use
+WHERE property_id % 10 = 3
 """
