@@ -133,6 +133,7 @@ QUERIES: dict[str, QueryFn] = {
     "st_xml_ops": SX.st_xml_ops,                  # r9: KML/GML round trips
     "st_polygonize_ops": SX.st_polygonize_ops,    # r9: noding/face extraction
     "st_collect_ops": SX.st_collect_ops,          # r9: Collect/Points/MemSize
+    "streaming_hex_density": EV.streaming_hex_density,  # r9: codegen hex in SS
     "token_packing": TQ.token_packing,
     "lm_bigram_score": RET.lm_bigram_score,
     "phrase_search": RET.phrase_search,
@@ -629,7 +630,8 @@ _R9_WINDOW = [
     # keeps q12_late_priority and window_zoo)
     # (stream_stream_join displaced for st_xml_ops below: streaming
     # keeps streaming_geofence; the stale row stays in the full run)
-    "pagerank_links",
+    # (pagerank_links displaced for streaming_hex_density below: graph
+    # rows grade relational, which keeps q12_late_priority + window_zoo)
     "pyds_sensor_stream_totals",
     "text_stats",
     # (spatial_knn_join_grid displaced for st_srid_ops below: a stale
@@ -660,6 +662,7 @@ _R9_WINDOW = [
     "st_xml_ops",                # NEW: KML/GML serialization round trips
     "st_polygonize_ops",         # NEW: ST_Node/ST_Polygonize faces
     "st_collect_ops",            # NEW: Collect/CoordDim/Points/MemSize
+    "streaming_hex_density",     # NEW: the hex rollup under micro-batch
 ]
 _WINDOW = _R9_WINDOW
 # a duplicated name would silently dedupe in the dict rebuild below,
@@ -825,6 +828,7 @@ ORACLES: dict[str, str] = {
     "st_xml_ops": SX.ST_XML_OPS_ORACLE,
     "st_polygonize_ops": SX.ST_POLYGONIZE_OPS_ORACLE,
     "st_collect_ops": SX.ST_COLLECT_OPS_ORACLE,
+    "streaming_hex_density": EV.STREAMING_HEX_DENSITY_ORACLE,
     "embedding_cluster_dedup": GR.EMBEDDING_CLUSTER_DEDUP_ORACLE,
     "token_packing": TQ.TOKEN_PACKING_ORACLE,
     "lm_bigram_score": RET.LM_BIGRAM_SCORE_ORACLE,

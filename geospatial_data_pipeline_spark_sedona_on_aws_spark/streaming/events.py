@@ -1564,3 +1564,72 @@ SELECT event_type,
            AS hll_estimate
 FROM sums
 """
+
+
+def streaming_hex_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming hexagonal density map (r9): the hex_density_rollup
+    assignment — pure codegen arithmetic from the SHARED SQL fragments
+    (functions/grid.py), bit-equal to the DuckDB oracle — running
+    inside Structured Streaming: per-event lattice point -> flat-top
+    axial cell -> hourly windowed count per cell, complete mode.
+
+    100 TB: cell assignment is a stateless per-row projection (no
+    Python, no lookup table, no broadcast); the only exchange is the
+    windowed count keyed by (window, hq, hr) with map-side partials —
+    the streaming twin of the batch rollup's one-shuffle shape."""
+    from ..functions.grid import HEX_ROUND_EXPRS, hex_assign_exprs
+
+    stream = _events_stream(spark, sf_dir)
+    pts = stream.selectExpr(
+        "ts",
+        "CAST(user_id % 100 AS DOUBLE) AS px",
+        "CAST((event_id * 7) % 100 AS DOUBLE) AS py",
+    )
+    cells = (
+        pts.selectExpr("ts", *hex_assign_exprs("px", "py",
+                                               "CAST(6 AS DOUBLE)"))
+        .selectExpr("ts", *HEX_ROUND_EXPRS)
+    )
+    agg = (cells.groupBy(F.window("ts", "1 hour"), "hq", "hr")
+           .agg(F.count("*").alias("n_events"))
+           .select(F.col("window.start").alias("window_start"),
+                   "hq", "hr", "n_events"))
+    name = "streaming_hex_density_sink"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            agg.writeStream.format("memory").queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
+def _streaming_hex_density_oracle() -> str:
+    from ..functions.grid import HEX_ROUND_EXPRS, hex_assign_exprs
+
+    return f"""
+WITH pts AS (
+    SELECT ts,
+           CAST(user_id % 100 AS DOUBLE) AS px,
+           CAST((event_id * 7) % 100 AS DOUBLE) AS py
+    FROM events
+),
+frac AS (
+    SELECT ts, {", ".join(hex_assign_exprs("px", "py",
+                                           "CAST(6 AS DOUBLE)"))}
+    FROM pts
+),
+cells AS (
+    SELECT ts, {", ".join(HEX_ROUND_EXPRS)} FROM frac
+)
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP_NS) AS window_start,
+       hq, hr, count(*) AS n_events
+FROM cells
+GROUP BY 1, 2, 3
+"""
+
+
+STREAMING_HEX_DENSITY_ORACLE = _streaming_hex_density_oracle()
