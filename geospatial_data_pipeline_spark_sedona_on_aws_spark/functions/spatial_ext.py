@@ -702,7 +702,10 @@ def _srid(wkt: str | None) -> int | None:
         semi = t.find(";")
         if semi == -1:
             raise G.GeomError("EWKT with SRID= but no ';'")
-        n = int(t[5:semi])
+        try:
+            n = int(t[5:semi])
+        except ValueError:
+            raise G.GeomError(f"bad SRID {t[5:semi]!r}") from None
         t = t[semi + 1:]
     GT.parse_wkt(t)
     return n
@@ -863,6 +866,10 @@ def _xml_parse_coords(el) -> list[tuple]:
                 if len(parts) < 2:
                     raise G.GeomError(f"bad coordinate {tok!r}")
                 pts.append(tuple(float(v) for v in parts[:3]))
+            if len({len(p) for p in pts}) > 1:
+                # mixed 2-D/3-D tuples would surface as an IndexError
+                # deep in the WKT serializer — reject at the parse edge
+                raise G.GeomError("mixed 2D/3D coordinates")
             return pts
         if tag in ("pos", "posList") and child.text:
             vals = [float(v) for v in child.text.split()]

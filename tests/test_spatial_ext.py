@@ -305,3 +305,22 @@ def test_kml_gml_roundtrips():
         SX._geom_from_xml("<Point><coordinates>1,2")
     with pytest.raises(G.GeomError):
         SX._geom_from_xml("<Banana/>")
+
+
+def test_xml_and_srid_error_edges():
+    """Edge hardening: mixed 2D/3D XML coordinate tuples and a
+    non-numeric SRID both surface as GeomError at the parse edge, not
+    as raw IndexError/ValueError from deeper layers."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions import spatial_ext as SX
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.kernel.geom import GeomError
+
+    with pytest.raises(GeomError):
+        SX._geom_from_xml(
+            "<LineString><coordinates>1,2,3 4,5</coordinates>"
+            "</LineString>")
+    with pytest.raises(GeomError):
+        SX._srid("SRID=abc;POINT (1 2)")
+    assert SX._geom_from_xml(
+        "<LineString><coordinates>1,2,3 4,5,6</coordinates>"
+        "</LineString>") == "LINESTRING Z (1 2 3, 4 5 6)"
+    assert SX._srid("srid=31983;POINT (1 2)") == 31983
