@@ -200,7 +200,7 @@ def polygonize(segments):
     # dangles pruned BEFORE the component split: a whisker joining two
     # nested rings must not fuse them into one component, or the hole
     # assignment below (cross-component only) would silently skip them
-    pieces = _prune_dangles(node_segments(segments))
+    pieces = _prune_cut_edges(_prune_dangles(node_segments(segments)))
     shells = []          # (ring, component id, |area|)
     outers = []          # (outer boundary CW cycle, component id)
     for ci, comp in enumerate(_components(pieces)):
@@ -235,6 +235,34 @@ def polygonize(segments):
         polys.append([ring] + holes)
     polys.sort(key=lambda p: p[0][0])
     return polys
+
+
+def _prune_cut_edges(pieces):
+    """Remove cut edges (bridges): edges whose two directed halves lie
+    in the SAME face cycle — a bridge between two rings is traversed
+    once in each direction by one walk, which would otherwise emit a
+    self-touching shell with the bridge run twice. GEOS's Polygonizer
+    deletes cut edges before forming polygons; removing a bridge can
+    split a component (nested rings joined by a bar → hole assignment
+    re-applies) and can expose new dangles, so prune and iterate to the
+    fixed point."""
+    pieces = list(pieces)
+    while pieces:
+        cycles = _faces(pieces)
+        cut = set()
+        for cycle in cycles:
+            seen = set()
+            n = len(cycle)
+            for i in range(n):
+                a, b = cycle[i], cycle[(i + 1) % n]
+                und = (a, b) if a <= b else (b, a)
+                if und in seen:
+                    cut.add(und)
+                seen.add(und)
+        if not cut:
+            return pieces
+        pieces = _prune_dangles([p for p in pieces if p not in cut])
+    return pieces
 
 
 def _prune_dangles(pieces):

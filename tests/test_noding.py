@@ -96,3 +96,24 @@ def test_udf_bodies_match_kernel():
     # areal input contributes its ring edges (PostGIS semantics)
     assert SX._polygonize("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))") == \
         "GEOMETRYCOLLECTION (POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0)))"
+
+
+def test_cut_edge_bridge_removed():
+    """A bridge joining nested rings is a cut edge (both directed halves
+    in one face cycle): GEOS's Polygonizer deletes it before forming
+    polygons. Without the removal the walk emits a self-touching shell
+    with the bridge run twice; with it the component splits and hole
+    assignment re-applies — outer-with-hole + inner, exactly the
+    no-bridge answer."""
+    def square(x, y, s):
+        return [((x, y), (x + s, y)), ((x + s, y), (x + s, y + s)),
+                ((x + s, y + s), (x, y + s)), ((x, y + s), (x, y))]
+
+    segs = square(0, 0, 10) + square(3, 3, 3) + [((0, 5), (3, 5))]
+    polys = N.polygonize(segs)
+    shapes = sorted((abs(N._signed_area(p[0])), len(p) - 1) for p in polys)
+    assert shapes == [(9.0, 0), (100.0, 1)]
+    # and no ring contains a repeated vertex (simple shells only)
+    for p in polys:
+        for ring in p:
+            assert len(ring) == len(set(ring))
