@@ -435,7 +435,8 @@ def _bucket(v: Column) -> Column:
         out = bit if out is None else out + bit
     return out.cast("long")
 
-def lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lsh_ann(spark: SparkSession, sf_dir: str,
+            max_query_id: int | None = None) -> DataFrame:
     """Approximate top-5 neighbors via MULTI-PROBE LSH: the query side
     probes its own bucket plus every Hamming-distance-1 bucket (one sign
     bit flipped — the buckets a near-neighbor most likely lands in), the
@@ -482,7 +483,13 @@ def lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket"),
         *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(LSH_PLANES)],
     )
-    a = emb.withColumn("probe", F.explode(probes)).alias("a")
+    # max_query_id restricts the PROBE side before the explode and the
+    # self-join (ann_recall_at_k's arm): the predicate reaches the scan
+    # (plan-audited), instead of ranking every vector's neighbors and
+    # discarding all but the query batch after the window
+    q_side = emb if max_query_id is None else \
+        emb.where(F.col("vec_id") < max_query_id)
+    a = q_side.withColumn("probe", F.explode(probes)).alias("a")
     b = emb.alias("b")
     pairs = (
         a.join(b, F.col("a.probe") == F.col("b.bucket"))
@@ -993,10 +1000,18 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     exact = topk_cosine(spark, sf_dir).where(
         F.col("rank") <= ANN_RECALL_K).select("query_id", "neighbor_id")
-    idx_fns = {"lsh": lsh_ann, "ivf": ivf_ann, "pq": pq_ann}
+    # ivf/pq restrict their query side to the batch internally; lsh ranks
+    # EVERY vector by default, so the restriction goes in through its
+    # max_query_id arm — the predicate reaches the scan (plan-audited)
+    # instead of sitting above the self-join + window as a post-hoc
+    # filter (the r9 plan audit's one unpushed-filter flag)
+    idx_fns = {
+        "lsh": lambda s, d: lsh_ann(s, d, max_query_id=N_QUERY_VECS),
+        "ivf": ivf_ann,
+        "pq": pq_ann,
+    }
     tagged = reduce(DataFrame.unionByName, [
         fn(spark, sf_dir)
-        .where(F.col("query_id") < N_QUERY_VECS)
         .select(F.lit(name).alias("index_name"), "query_id", "neighbor_id")
         for name, fn in idx_fns.items()
     ])
