@@ -1119,3 +1119,78 @@ REGISTRY_EXT.update({
     "ST_Points": st_points,
     "ST_MemSize": st_memsize,
 })
+
+
+# ------------------------------------------------------------ BuildArea
+
+def _build_area(wkt: str | None) -> str | None:
+    """PostGIS ST_BuildArea: form the areal geometry enclosed by the
+    input's linework. Composition of two existing kernels:
+
+    1. kernel/noding.polygonize extracts the faces (dangles/cut edges
+       pruned, cross-component holes assigned to the innermost face);
+    2. even-odd depth filtering — a face whose shell lies inside an odd
+       number of OTHER faces' shells is unfilled (the middle ring of a
+       triple-nest) — keeps only the filled faces;
+    3. the kept faces union (the areal union used by ST_Union), which
+       dissolves interior edges shared by adjacent faces (a square cut
+       by a diagonal comes back as ONE square, not two triangles).
+
+    Depth counts only cross-component containment (same-component faces
+    tile disjoint interiors — they cannot nest), so the shell's first
+    vertex never lies on the candidate container's boundary and the
+    ray cast is exact. Returns NULL when no face encloses area
+    (PostGIS returns NULL for area-less input)."""
+    if wkt is None:
+        return None
+    from ..kernel import noding as ND
+    from .spatial import _unary_union
+
+    segs = [((x1, y1), (x2, y2))
+            for x1, y1, x2, y2 in GT.segments_of(GT.strip_z(GT.parse_wkt(wkt)))]
+    polys = ND.polygonize(segs)
+    if not polys:
+        return None
+    comp_of = {}
+    for ci, comp in enumerate(
+            ND._components(ND._prune_cut_edges(
+                ND._prune_dangles(ND.node_segments(segs))))):
+        for a, b in comp:
+            comp_of[a] = ci
+    shells = [(p[0], comp_of[p[0][0]]) for p in polys]
+    by_comp: dict[int, list] = {}
+    for i, (poly, (shell, ci)) in enumerate(zip(polys, shells)):
+        depth = sum(
+            1 for j, (other, cj) in enumerate(shells)
+            if j != i and cj != ci
+            and ND._point_in_ring(shell[0][0], shell[0][1], other))
+        if depth % 2 == 0:
+            by_comp.setdefault(ci, []).append(poly)
+    if not by_comp:
+        return None
+    # interior-edge dissolve (the areal union) is needed only WITHIN a
+    # component — a square cut by a diagonal must come back as one
+    # square; faces kept from different components are disjoint by the
+    # even-odd filter, so unioning across them would only re-tile a
+    # holed polygon into the union kernel's banded canonical form
+    out_polys = []
+    for ci in sorted(by_comp):
+        group = by_comp[ci]
+        if len(group) == 1:
+            out_polys.append(group[0])
+            continue
+        merged = _unary_union(GT.to_wkt(
+            ("GEOMETRYCOLLECTION",
+             [("POLYGON", [p]) for p in group])))
+        out_polys.extend(G.parse_wkt(merged))
+    return G.to_wkt(sorted(out_polys, key=lambda p: p[0][0]))
+
+
+@pandas_udf(StringType())
+def st_buildarea(s: pd.Series) -> pd.Series:
+    return s.map(_build_area, na_action="ignore")
+
+
+REGISTRY_EXT.update({
+    "ST_BuildArea": st_buildarea,
+})

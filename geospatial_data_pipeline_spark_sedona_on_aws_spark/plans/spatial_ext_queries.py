@@ -403,6 +403,13 @@ def st_polygonize_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"ST_AsText(ST_GeometryN(ST_Polygonize({nested}), 0)) AS nest_wkt",
         f"CAST(ST_NumInteriorRings(ST_GeometryN(ST_Polygonize({nested}),"
         " 0)) AS BIGINT) AS nest_holes",
+        f"ST_AsText(ST_BuildArea({nested})) AS ba_nest_wkt",
+        f"ST_Area(ST_BuildArea({nested})) AS ba_nest_area",
+        "ST_AsText(ST_BuildArea(concat('GEOMETRYCOLLECTION ("
+        "LINESTRING (', x1, ' ', y1, ', ', x2, ' ', y1, ', ', x2, ' ',"
+        " y2, ', ', x1, ' ', y2, ', ', x1, ' ', y1, '), "
+        "LINESTRING (', x1, ' ', y1, ', ', x2, ' ', y2, '))')))"
+        " AS ba_diag_wkt",
     )
 
 
@@ -411,7 +418,7 @@ WITH {fixtures.LAND_USE_CTE.strip()},
 b AS (
     SELECT property_id,
            CAST(x2 - x1 AS DOUBLE) AS w, CAST(y2 - y1 AS DOUBLE) AS h,
-           x1, y1
+           x1, y1, x2, y2
     FROM land_use
     WHERE property_id % 20 = 3
 )
@@ -430,7 +437,19 @@ SELECT property_id,
               x1 + 2, ' ', y1 + 2, ', ', x1 + 2, ' ', y1 + 4, ', ',
               x1 + 4, ' ', y1 + 4, ', ', x1 + 4, ' ', y1 + 2, ', ',
               x1 + 2, ' ', y1 + 2, '))') AS nest_wkt,
-       CAST(1 AS BIGINT) AS nest_holes
+       CAST(1 AS BIGINT) AS nest_holes,
+       -- two nested rings build a DONUT: the inner face sits at odd
+       -- depth (even-odd rule) and is unfilled
+       concat('POLYGON ((', x1, ' ', y1, ', ', x1 + 8, ' ', y1,
+              ', ', x1 + 8, ' ', y1 + 8, ', ', x1, ' ', y1 + 8, ', ',
+              x1, ' ', y1, '), (',
+              x1 + 2, ' ', y1 + 2, ', ', x1 + 2, ' ', y1 + 4, ', ',
+              x1 + 4, ' ', y1 + 4, ', ', x1 + 4, ' ', y1 + 2, ', ',
+              x1 + 2, ' ', y1 + 2, '))') AS ba_nest_wkt,
+       CAST(60 AS DOUBLE) AS ba_nest_area,
+       concat('POLYGON ((', x1, ' ', y1, ', ', x2, ' ', y1, ', ', x2,
+              ' ', y2, ', ', x1, ' ', y2, ', ', x1, ' ', y1, '))')
+           AS ba_diag_wkt
 FROM b
 """
 

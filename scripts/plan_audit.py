@@ -98,16 +98,20 @@ def _bnl_unbounded(lines: list[str]) -> bool:
 def _unpushed_filters(plan: str, lines: list[str]) -> bool:
     """A Filter comparing a scan-output attribute to a literal while that
     attribute's scan pushed nothing: pushable predicate not pushed."""
-    # scan outputs with empty pushdown
-    unpushed_cols: set[str] = set()
+    # scan outputs with empty pushdown — keyed by the attribute's
+    # EXPRESSION ID (name#NN), not its name: two scans of the same table
+    # (a pushed query-batch scan and a legitimately-full candidate scan)
+    # share column NAMES, and name-matching flagged the pushed filter
+    # against the other scan (the r9 ann_recall_at_k false positive)
+    unpushed_ids: set[str] = set()
     for m in re.finditer(
             r"FileScan \w+ [^\n]*?\[([^\]]*)\][^\n]*PushedFilters: \[\]",
             plan):
         for col in m.group(1).split(","):
-            col = col.strip().split("#")[0]
-            if col:
-                unpushed_cols.add(col)
-    if not unpushed_cols:
+            col = col.strip().rstrip("L")
+            if "#" in col:
+                unpushed_ids.add(col)
+    if not unpushed_ids:
         return False
     for ln in lines:
         if not re.search(r"\bFilter\b", ln):
@@ -116,9 +120,9 @@ def _unpushed_filters(plan: str, lines: list[str]) -> bool:
         # (col#12 = some_literal); skip isnotnull (pushed implicitly by
         # parquet only when a real predicate exists) and derived exprs
         for m in re.finditer(
-                r"\((\w+)#\d+L? (?:=|>|<|>=|<=) "
+                r"\((\w+#\d+)L? (?:=|>|<|>=|<=) "
                 r"(?:-?\d|\d{4}-\d{2}-\d{2}|[A-Z]{2,})", ln):
-            if m.group(1) in unpushed_cols:
+            if m.group(1) in unpushed_ids:
                 return True
     return False
 

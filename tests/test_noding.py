@@ -117,3 +117,30 @@ def test_cut_edge_bridge_removed():
     for p in polys:
         for ring in p:
             assert len(ring) == len(set(ring))
+
+
+def test_build_area_even_odd():
+    """ST_BuildArea: donut (inner ring unfilled), diagonal dissolve (one
+    square back, not two triangles), triple nest (outer-with-hole plus
+    refilled center), disjoint rings, NULL for area-less input."""
+    assert SX._build_area(
+        "GEOMETRYCOLLECTION (LINESTRING (0 0, 10 0, 10 10, 0 10, 0 0),"
+        " LINESTRING (3 3, 6 3, 6 6, 3 6, 3 3))") == \
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0)," \
+        " (3 3, 3 6, 6 6, 6 3, 3 3))"
+    assert SX._build_area(
+        "GEOMETRYCOLLECTION (LINESTRING (0 0, 4 0, 4 4, 0 4, 0 0),"
+        " LINESTRING (0 0, 4 4))") == \
+        "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+    assert SX._build_area(
+        "GEOMETRYCOLLECTION (LINESTRING (0 0, 10 0, 10 10, 0 10, 0 0),"
+        " LINESTRING (2 2, 8 2, 8 8, 2 8, 2 2),"
+        " LINESTRING (4 4, 6 4, 6 6, 4 6, 4 4))") == \
+        "MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0)," \
+        " (2 2, 2 8, 8 8, 8 2, 2 2)), ((4 4, 6 4, 6 6, 4 6, 4 4)))"
+    assert SX._build_area(
+        "MULTILINESTRING ((0 0, 2 0, 2 2, 0 2, 0 0),"
+        " (5 0, 7 0, 7 2, 5 2, 5 0))") == \
+        "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0))," \
+        " ((5 0, 7 0, 7 2, 5 2, 5 0)))"
+    assert SX._build_area("LINESTRING (0 0, 5 5)") is None
