@@ -370,11 +370,12 @@ def st_polygonize_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercise hole assignment with an exact-WKT readback of the
     outer-with-hole polygon.
 
-    Runs on a 1-in-20 hash sample of the fixture (the
-    st_geomcollection_ops precedent): each row costs ~6 full
-    planar-arrangement builds, and the parity proof does not get
-    stronger by repeating them 600k times at sf0.1."""
-    lu = _lu(spark, sf_dir).where("property_id % 20 = 3")
+    Runs on a 1-in-50 hash sample of the fixture (the
+    st_geomcollection_ops precedent): each row costs ~9 full
+    planar-arrangement builds (BuildArea added three), and the parity
+    proof does not get stronger by repeating them 600k times at
+    sf0.1."""
+    lu = _lu(spark, sf_dir).where("property_id % 50 = 3")
     grid = ("concat('GEOMETRYCOLLECTION ("
             "LINESTRING (', x1, ' ', y1, ', ', x1, ' ', 2 * y2 - y1, '), "
             "LINESTRING (', x2, ' ', y1, ', ', x2, ' ', 2 * y2 - y1, '), "
@@ -420,7 +421,7 @@ b AS (
            CAST(x2 - x1 AS DOUBLE) AS w, CAST(y2 - y1 AS DOUBLE) AS h,
            x1, y1, x2, y2
     FROM land_use
-    WHERE property_id % 20 = 3
+    WHERE property_id % 50 = 3
 )
 SELECT property_id,
        CAST(4 AS BIGINT) AS n_cells,
