@@ -79,28 +79,80 @@ def node_segments(segments):
     segs = [((float(ax), float(ay)), (float(bx), float(by)))
             for (ax, ay), (bx, by) in segments
             if (ax, ay) != (bx, by)]
-    cuts = [{0.0, 1.0} for _ in segs]
+    # cuts[i]: param -> THE node point. Both segments of a crossing get
+    # the SAME point object (computed once on the first segment, or the
+    # exact endpoint when the param is 0/1): evaluating a1 + t*d1 and
+    # a3 + u*d2 separately can differ in the last ulp, which would emit
+    # two nearly-equal nodes for one crossing — an inconsistent
+    # arrangement no downstream walk can repair
+    cuts: list[dict] = [{} for _ in segs]
+
+    def at(seg, t):
+        (ax, ay), (bx, by) = seg
+        if t == 0.0:
+            return (ax, ay)
+        if t == 1.0:
+            return (bx, by)
+        return (ax + t * (bx - ax), ay + t * (by - ay))
+
+    for i, s in enumerate(segs):
+        cuts[i][0.0] = s[0]
+        cuts[i][1.0] = s[1]
     for i in range(len(segs)):
         for j in range(i + 1, len(segs)):
             for t, u in _cuts_for_pair(segs[i], segs[j]):
-                cuts[i].add(min(max(t, 0.0), 1.0))
-                cuts[j].add(min(max(u, 0.0), 1.0))
+                t = min(max(t, 0.0), 1.0)
+                u = min(max(u, 0.0), 1.0)
+                # endpoint params keep their exact endpoints; a proper
+                # interior-interior crossing shares one computed point
+                p = cuts[i].get(t)
+                if p is None:
+                    p = at(segs[i], t) if t in (0.0, 1.0) else None
+                q = cuts[j].get(u)
+                if q is None:
+                    q = at(segs[j], u) if u in (0.0, 1.0) else None
+                shared = p if p is not None else (
+                    q if q is not None else at(segs[i], t))
+                cuts[i].setdefault(t, shared)
+                cuts[j].setdefault(u, shared)
     pieces = set()
-    for ((ax, ay), (bx, by)), ts in zip(segs, cuts):
-        order = sorted(ts)
+    for seg, ts in zip(segs, cuts):
         pts = []
-        for t in order:
-            if t == 0.0:
-                p = (ax, ay)
-            elif t == 1.0:
-                p = (bx, by)
-            else:
-                p = (ax + t * (bx - ax), ay + t * (by - ay))
+        for t in sorted(ts):
+            p = ts[t]
             if not pts or pts[-1] != p:
                 pts.append(p)
         for a, b in zip(pts, pts[1:]):
             pieces.add((a, b) if a <= b else (b, a))
-    return sorted(pieces)
+    return _snap_nodes(sorted(pieces))
+
+
+def _snap_nodes(pieces):
+    """Merge node points that differ only by float rounding (THREE
+    concurrent lines: two different pairs compute the same crossing with
+    different last-ulp rounding — the shared-point rule above only
+    covers one pair). Greedy cluster over the sorted point set at a
+    ~1e-9 relative tolerance, every cluster snapped to its smallest
+    member; exact-arithmetic fixtures (integer/half-integer crossings)
+    produce exactly-equal nodes, so their points are singletons and pass
+    through bit-identically."""
+    nodes = sorted({p for seg in pieces for p in seg})
+    remap = {}
+    rep = None
+    for p in nodes:
+        if rep is not None:
+            eps = 1e-9 * (1.0 + max(abs(rep[0]), abs(rep[1])))
+            if abs(p[0] - rep[0]) <= eps and abs(p[1] - rep[1]) <= eps:
+                remap[p] = rep
+                continue
+        rep = p
+        remap[p] = p
+    out = set()
+    for a, b in pieces:
+        a2, b2 = remap[a], remap[b]
+        if a2 != b2:
+            out.add((a2, b2) if a2 <= b2 else (b2, a2))
+    return sorted(out)
 
 
 def _faces(pieces):

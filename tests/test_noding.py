@@ -144,3 +144,47 @@ def test_build_area_even_odd():
         "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0))," \
         " ((5 0, 7 0, 7 2, 5 2, 5 0)))"
     assert SX._build_area("LINESTRING (0 0, 5 5)") is None
+
+
+def test_noding_covers_every_crossing_random():
+    """Property: for random integer segment soups, every pairwise
+    crossing/touch point of the ORIGINAL segments appears as an endpoint
+    in the noded output, and noded pieces never cross in their interiors
+    (re-noding a noded set is the identity)."""
+    rng = random.Random(73)
+    for _ in range(25):
+        segs = []
+        for _k in range(rng.randint(3, 8)):
+            x1, y1 = rng.randint(0, 12), rng.randint(0, 12)
+            x2, y2 = rng.randint(0, 12), rng.randint(0, 12)
+            if (x1, y1) != (x2, y2):
+                segs.append(((x1, y1), (x2, y2)))
+        if not segs:
+            continue
+        pieces = N.node_segments(segs)
+        endpoints = {p for seg in pieces for p in seg}
+        for i in range(len(segs)):
+            for j in range(i + 1, len(segs)):
+                for t, u in N._cuts_for_pair(
+                        tuple(map(lambda p: (float(p[0]), float(p[1])),
+                                  segs[i])),
+                        tuple(map(lambda p: (float(p[0]), float(p[1])),
+                                  segs[j]))):
+                    (ax, ay), (bx, by) = segs[i]
+                    px = ax + t * (bx - ax)
+                    py = ay + t * (by - ay)
+                    assert (px, py) in endpoints, (segs, (px, py))
+        # STRUCTURAL idempotence: re-noding a noded set changes no
+        # structure — same piece count, every node within the snap
+        # tolerance of a first-pass node. (Strict == would require exact
+        # arithmetic: re-noding recomputes crossings from the snapped
+        # pieces and may pick the 1-ulp-sibling representative. Exact
+        # fixtures — integer/half crossings — ARE strictly idempotent,
+        # pinned by the grid/bowtie tests above.)
+        again = N.node_segments(pieces)
+        assert len(again) == len(pieces), (segs, again, pieces)
+        nodes1 = sorted({p for s in pieces for p in s})
+        nodes2 = sorted({p for s in again for p in s})
+        assert len(nodes1) == len(nodes2)
+        for p, q in zip(nodes1, nodes2):
+            assert abs(p[0] - q[0]) <= 1e-8 and abs(p[1] - q[1]) <= 1e-8
