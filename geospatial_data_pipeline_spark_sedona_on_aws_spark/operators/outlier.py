@@ -8,16 +8,17 @@ LOF — here), each as an oracle-checked DataFrame query.
 
 Algorithm, re-expressed in shapes that scale:
 
-1. **candidate pairs** on the 40-unit blob grid via the explode →
-   equi-join 3×3 probe (the dbscan/hotspot pattern). The point law
-   bounds every point's k-distance ball inside the 3×3 neighborhood
-   (worst-case 5-NN radius < 30 < cell edge 40 — see the law note), so
-   the candidate set provably contains every true neighbor: exact k-NN
-   without an all-pairs stage.
-2. **k-distance** (k = {K}) per point: one window over the candidate
-   pairs ordered by (dist², neighbor id) — a deterministic total order,
-   so both engines rank ties identically; the rank-{K} dist² value is
-   order-independent anyway (it is the {K}th smallest).
+1. **3×3 neighborhood groups** on the 40-unit blob grid: each point
+   explodes into the 9 cells whose neighborhood it belongs to, and the
+   whole computation runs as per-cell-group int64 numpy matrices
+   (applyInPandas) — the candidate PAIR SET never materializes. The
+   point law bounds every point's k-distance ball inside the 3×3
+   neighborhood (worst-case 5-NN radius < 30 < cell edge 40 — see the
+   law note), so the group provably contains every true neighbor:
+   exact k-NN without an all-pairs stage.
+2. **k-distance** (k = {K}) per point: the {K}-th smallest d² of the
+   group's distance row (np.partition; duplicates counted — the value
+   the oracle's (dist², neighbor id) ranking produces at rank {K}).
 3. **reachability / lrd / LOF** with the INTEGER-QUANTIZED arithmetic
    the engine uses wherever a float fold would cross a shuffle
    (pagerank_links, bm25): the metric is squared euclidean distance
@@ -47,14 +48,13 @@ K = 5
 SCALE = 10 ** 9
 #: blob-grid edge (the point-law spacing): one blob per cell
 GRID = 40
-#: candidate-prune bound: the same point law that makes the 3x3 probe
-#: exact (worst 5-NN radius < 30 — every point has >= K blob-mates
-#: within d2 <= 27^2 + 12^2 = 873, the corridor-outlier worst case)
-#: bounds every pair that can EVER matter (top-K member or N_k member,
-#: since N_k needs d2 <= kdist2 < 900) strictly under 30^2. Pruning
-#: cand at this bound changes nothing — pinned two ways: the all-pairs
-#: brute-force test (tests/test_outlier.py) and the direct
-#: max-kdist2 < PRUNE_D2 law assertion at the driver-gate sf.
+#: the point-law bound behind the 3x3-probe exactness claim: worst
+#: 5-NN radius < 30 (every point has >= K blob-mates within
+#: d2 <= 27^2 + 12^2 = 873, the corridor-outlier worst case), i.e.
+#: kdist2 < 900 < GRID^2 always. Asserted directly on the unpruned
+#: candidate set at the driver-gate sf (tests/test_outlier.py::
+#: test_prune_bound_law_at_gate_sf) and implied by the all-pairs
+#: brute-force parity test.
 PRUNE_D2 = 900
 
 def _lof_points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -70,74 +70,125 @@ def _lof_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 def local_outlier_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(id, n_k, kdist2, lof_q, is_outlier): integer-quantized LOF with
     k = 5 over the blob point law; lof_q ≈ LOF × 1e9, outliers flagged
-    at LOF > 1.5."""
-    pts = _lof_points(spark, sf_dir).localCheckpoint(eager=False)
-    cells = pts.selectExpr(
-        "id", "x", "y", f"x div {GRID} AS cx", f"y div {GRID} AS cy")
-    a = cells.select(F.col("id").alias("a"), F.col("x").alias("ax"),
-                     F.col("y").alias("ay"), "cx", "cy")
-    b = (
-        cells.select(F.col("id").alias("b"), F.col("x").alias("bx"),
-                     F.col("y").alias("by"),
-                     F.explode(F.expr("sequence(cx - 1, cx + 1)"))
-                     .alias("px"), "cy")
-        .select("b", "bx", "by", "px",
-                F.explode(F.expr("sequence(cy - 1, cy + 1)")).alias("py"))
+    at LOF > 1.5.
+
+    Execution shape (r9 s2 rewrite): the candidate PAIR SET never
+    materializes. Each point explodes into the 9 cells whose 3×3
+    neighborhood it belongs to (900k narrow rows at sf0.1, one shuffle)
+    and each cell group computes its OWN points' values against the
+    whole neighborhood as one int64 numpy distance matrix — three
+    applyInPandas passes (kdist → lrd → lof), each consuming the same
+    re-used exploded frame plus the previous pass's 100k-row output as
+    a BROADCAST join. The previous join-based plan materialized the
+    8.2M-pair candidate frame and shuffled it three times (measured:
+    ~5 s of its 9.8 s was building/holding the pair set). All
+    arithmetic is int64 (squared distances, SCALE-quantized divisions)
+    — bit-equal to the pairwise SQL oracle by construction; pinned by
+    the all-pairs brute-force test.
+
+    100 TB: groups are bounded by the densest 3×3 neighborhood (the
+    same bound the pair plan had per key); the broadcasts carry one
+    slim row per point — at a scale where that outgrows a broadcast,
+    swap the two broadcast joins for shuffle joins on id and the shape
+    is unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    pts = _lof_points(spark, sf_dir)
+    ex = (
+        pts.selectExpr("id", "x", "y",
+                       f"x div {GRID} AS cx", f"y div {GRID} AS cy")
+        .selectExpr("id", "x", "y", "cx", "cy",
+                    "explode(sequence(cx - 1, cx + 1)) AS px")
+        .selectExpr("id", "x", "y", "cx", "cy", "px",
+                    "explode(sequence(cy - 1, cy + 1)) AS py")
+        .selectExpr("id", "x", "y", "px", "py",
+                    "px = cx AND py = cy AS own")
+        .localCheckpoint(eager=False)  # reused by all three passes
     )
-    d2 = ((F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
-          + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by")))
-    cand = (
-        a.join(b, (a["cx"] == b["px"]) & (a["cy"] == b["py"]))
-        .where(F.col("a") != F.col("b"))
-        .select("a", "b", d2.alias("d2"))
-        # the PRUNE_D2 law (see the constant): no top-K or N_k pair can
-        # sit at d2 >= 900, so the 3x3 candidate fan (~225 pairs/point,
-        # 22M rows at sf0.1) collapses ~7x BEFORE anything is
-        # materialized or shuffled — measured 24.1 s -> single digits
-        .where(F.col("d2") < F.lit(PRUNE_D2))
-        .localCheckpoint(eager=False)  # kdist aggregate + N_k join below
-    )
-    # kdist2 = the K-th smallest d2 (duplicates counted): identical to
-    # max(d2) over the first K rows of the (d2, b) window — the tie
-    # order in b never changes the K-th VALUE — but as a hash aggregate
-    # with map-side partials instead of a full per-key sort window
+
+    def _matrix(pdf):
+        """Squared-distance matrix of one 3×3 cell group's OWN points
+        against the whole neighborhood; self-distances masked to the
+        int64 max sentinel (excluded from every <= comparison)."""
+        own = pdf[pdf["own"]]
+        ids = pdf["id"].to_numpy(np.int64)
+        X = pdf[["x", "y"]].to_numpy(np.int64)
+        oid = own["id"].to_numpy(np.int64)
+        O = own[["x", "y"]].to_numpy(np.int64)
+        d2 = ((O[:, 0, None] - X[None, :, 0]) ** 2
+              + (O[:, 1, None] - X[None, :, 1]) ** 2)
+        d2[oid[:, None] == ids[None, :]] = np.iinfo(np.int64).max
+        return oid, d2
+
+    def kd_fn(_key, pdf):
+        own = pdf[pdf["own"]]
+        if own.empty:
+            return pd.DataFrame({"id": [], "kdist2": []})
+        oid, d2 = _matrix(pdf)
+        # K-th smallest d2, duplicates counted — identical to the K-th
+        # row of the (d2, id)-ordered ranking (tie order never changes
+        # the K-th VALUE)
+        kdist2 = np.partition(d2, K - 1, axis=1)[:, K - 1]
+        return pd.DataFrame({"id": oid, "kdist2": kdist2})
+
     kd = (
-        cand.groupBy("a")
-        .agg(F.element_at(F.array_sort(F.collect_list("d2")), K)
-             .alias("kdist2"))
-        .localCheckpoint(eager=False)  # joined from BOTH pair sides
-    )
-    # N_k(p): every point within the k-distance (ties included)
-    nk = (
-        cand.join(kd, "a")
-        .where(F.col("d2") <= F.col("kdist2"))
-        .join(kd.select(F.col("a").alias("b"),
-                        F.col("kdist2").alias("kdist2_b")), "b")
-        .selectExpr("a", "b",
-                    "greatest(greatest(kdist2_b, d2), 1L) AS reach2")
-        # consumed by the lrd aggregate AND the neighbor-lrd lookup —
-        # truncate once or the 3-way join over the candidate set runs
-        # twice (measured: ~2x the query's wall at sf0.1)
+        ex.groupBy("px", "py")
+        .applyInPandas(kd_fn, "id long, kdist2 long")
         .localCheckpoint(eager=False)
     )
-    lrd = (
-        nk.groupBy("a").agg(F.count("*").alias("n_k"),
-                            F.sum("reach2").alias("sum_reach2"))
-        .selectExpr("a", "n_k", "sum_reach2",
-                    f"(n_k * {SCALE}L) div sum_reach2 AS lrd_q")
-        .localCheckpoint(eager=False)  # self-joined below
+
+    ex_kd = (
+        ex.join(F.broadcast(kd), "id")
+        .localCheckpoint(eager=False)  # reused by the lrd AND lof passes
     )
+
+    def lrd_fn(_key, pdf):
+        own = pdf[pdf["own"]]
+        if own.empty:
+            return pd.DataFrame({"id": [], "n_k": [], "sum_reach2": [],
+                                 "lrd_q": []})
+        oid, d2 = _matrix(pdf)
+        okd = own["kdist2"].to_numpy(np.int64)
+        nkd = pdf["kdist2"].to_numpy(np.int64)
+        in_nk = d2 <= okd[:, None]          # N_k(p): ties included
+        reach2 = np.maximum(np.maximum(nkd[None, :], d2), 1)
+        n_k = in_nk.sum(axis=1).astype(np.int64)
+        sum_reach2 = np.where(in_nk, reach2, 0).sum(axis=1,
+                                                    dtype=np.int64)
+        lrd_q = n_k * SCALE // sum_reach2
+        return pd.DataFrame({"id": oid, "n_k": n_k,
+                             "sum_reach2": sum_reach2, "lrd_q": lrd_q})
+
+    lrd = (
+        ex_kd.groupBy("px", "py")
+        .applyInPandas(lrd_fn,
+                       "id long, n_k long, sum_reach2 long, lrd_q long")
+        .localCheckpoint(eager=False)
+    )
+
+    def lof_fn(_key, pdf):
+        own = pdf[pdf["own"]]
+        if own.empty:
+            return pd.DataFrame({"id": [], "n_k": [], "kdist2": [],
+                                 "lof_q": []})
+        oid, d2 = _matrix(pdf)
+        okd = own["kdist2"].to_numpy(np.int64)
+        in_nk = d2 <= okd[:, None]
+        nlrd = pdf["lrd_q"].to_numpy(np.int64)
+        sum_lrd_o = np.where(in_nk, nlrd[None, :], 0).sum(axis=1,
+                                                          dtype=np.int64)
+        n_k = own["n_k"].to_numpy(np.int64)
+        sum_reach2 = own["sum_reach2"].to_numpy(np.int64)
+        lof_q = sum_lrd_o * sum_reach2 // (n_k * n_k)
+        return pd.DataFrame({"id": oid, "n_k": n_k,
+                             "kdist2": okd, "lof_q": lof_q})
+
     return (
-        nk.select("a", "b")
-        .join(lrd.select(F.col("a").alias("b"),
-                         F.col("lrd_q").alias("lrd_q_o")), "b")
-        .groupBy("a").agg(F.sum("lrd_q_o").alias("sum_lrd_o"))
-        .join(lrd, "a")
-        .join(kd, "a")
-        .selectExpr(
-            "a AS id", "n_k", "kdist2",
-            "(sum_lrd_o * sum_reach2) div (n_k * n_k) AS lof_q",
-        )
+        ex_kd.join(F.broadcast(lrd), "id")
+        .groupBy("px", "py")
+        .applyInPandas(lof_fn,
+                       "id long, n_k long, kdist2 long, lof_q long")
         .selectExpr("id", "n_k", "kdist2", "lof_q",
                     f"lof_q > {SCALE}L * 3L div 2L AS is_outlier")
     )
