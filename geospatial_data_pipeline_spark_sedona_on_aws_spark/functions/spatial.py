@@ -2879,7 +2879,11 @@ def _as_ewkt(s: str | None) -> str | None:
         semi = t.find(";")
         if semi == -1:
             raise G.GeomError("EWKT with SRID= but no ';'")
-        return f"SRID={int(t[5:semi])};" + _geom_from_wkt(t[semi + 1:])
+        try:
+            n = int(t[5:semi])
+        except ValueError:
+            raise G.GeomError(f"bad SRID {t[5:semi]!r}") from None
+        return f"SRID={n};" + _geom_from_wkt(t[semi + 1:])
     return _geom_from_wkt(s)
 
 

@@ -1050,12 +1050,14 @@ def _collect_array(wkts) -> str | None:
     if not members:
         return None
     kinds = {m[0] for m in members}
-    if kinds == {"POINT"}:
-        return GT.to_wkt(("MULTIPOINT", [m[1][0] for m in members]))
-    if kinds == {"LINESTRING"}:
-        return GT.to_wkt(("MULTILINESTRING", [m[1][0] for m in members]))
-    if kinds == {"POLYGON"}:
-        return GT.to_wkt(("MULTIPOLYGON", [m[1][0] for m in members]))
+    # homogeneous singular members (2D or Z, never mixed-dimension)
+    # collect into the matching MULTI* of the same dimensionality —
+    # PostGIS returns MULTIPOINT Z for all-'POINT Z' input (r10, closes
+    # the r9 ADVICE deviation where Z members fell to GEOMETRYCOLLECTION)
+    for single in ("POINT", "LINESTRING", "POLYGON",
+                   "POINT Z", "LINESTRING Z", "POLYGON Z"):
+        if kinds == {single}:
+            return GT.to_wkt((single, [m[1][0] for m in members]))
     return GT.to_wkt(("GEOMETRYCOLLECTION", members))
 
 

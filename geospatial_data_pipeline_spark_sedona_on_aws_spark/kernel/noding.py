@@ -138,15 +138,26 @@ def _snap_nodes(pieces):
     through bit-identically."""
     nodes = sorted({p for seg in pieces for p in seg})
     remap = {}
-    rep = None
+    # sliding window of representatives whose x is still within eps of
+    # the scan point — NOT just the single previous rep: an unrelated
+    # node (e.g. a vertical segment's endpoint sharing the smaller ulp-
+    # sibling's x) can sort lexicographically BETWEEN two ulp-sibling
+    # crossing nodes, and the one-back greedy would then fail to merge
+    # them (r10, closes the r9 ADVICE three-concurrent-lines gap). Each
+    # point snaps to the smallest in-window rep within its eps box.
+    window: list[tuple] = []
     for p in nodes:
-        if rep is not None:
+        window = [r for r in window
+                  if p[0] - r[0] <= 1e-9 * (1.0 + max(abs(r[0]),
+                                                      abs(r[1])))]
+        for rep in window:        # insertion order = sorted = smallest-first
             eps = 1e-9 * (1.0 + max(abs(rep[0]), abs(rep[1])))
             if abs(p[0] - rep[0]) <= eps and abs(p[1] - rep[1]) <= eps:
                 remap[p] = rep
-                continue
-        rep = p
-        remap[p] = p
+                break
+        else:
+            window.append(p)
+            remap[p] = p
     out = set()
     for a, b in pieces:
         a2, b2 = remap[a], remap[b]

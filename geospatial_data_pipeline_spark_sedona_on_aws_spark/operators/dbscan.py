@@ -63,18 +63,28 @@ MIN_PTS = 5
 #: points per blob — fixes per-component size at every SF.
 BLOB = 25
 
+#: sf_dir -> events row count (parquet footer metadata); memoized so the
+#: stats trio's repeated calls pay the count job once per directory.
+_N_CACHE: dict = {}
+
+
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic clustered point set from `events`: blob centers on a
     40-grid, ±10 jitter (shifted +10 so coordinates are non-negative —
     Spark's `div` truncates toward zero while DuckDB's `//` floors, so
-    the cell law is only cross-engine exact on non-negative ints)."""
+    the cell law is only cross-engine exact on non-negative ints).
+
+    r10: k derives from a driver-side memoized parquet row count (footer
+    metadata, exact — the same count(*) the oracle computes) instead of
+    a count-aggregate crossJoin, removing one job + broadcast exchange
+    from every stats-trio call."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id")
-    n = ev.agg(F.count("*").alias("n"))
+    if sf_dir not in _N_CACHE:
+        _N_CACHE[sf_dir] = ev.count()
     return (
-        ev.crossJoin(F.broadcast(n))
-        .selectExpr(
+        ev.selectExpr(
             "event_id AS id",
-            f"greatest(n div {BLOB}, 1L) AS k",
+            f"greatest({_N_CACHE[sf_dir]}L div {BLOB}, 1L) AS k",
         )
         .selectExpr(
             "id",
@@ -93,28 +103,39 @@ def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-def _neighbor_pairs(pts: DataFrame) -> DataFrame:
+def _neighbor_pairs(pts: DataFrame,
+                    _tasks_probe: list | None = None) -> DataFrame:
     """(a, b) ordered pairs with 0 < dist² <= EPS², via eps-grid cells:
     side A keyed by its own cell, side B exploded to the 3×3 probe
-    neighborhood — one equi-join shuffle on (cell_x, cell_y)."""
+    neighborhood, met through `spatial_join._cell_block_join`'s block
+    spine (r10, closing the r9 hot-cell exposure): a pathologically
+    dense eps-cell fans out into CELL_BLOCK-slice block-pair tasks
+    instead of landing its whole |A|×|B| candidate cross product on the
+    ONE task a plain hash equi-join would give that cell's key. The
+    candidate SET is identical to the plain join's — bounded and
+    spread, never sampled — so the SQL oracle is untouched."""
+    from .spatial_join import _cell_block_join
+
     cells = pts.selectExpr(
         "id", "x", "y", f"x div {EPS} AS cx", f"y div {EPS} AS cy")
     a = cells.select(
         F.col("id").alias("a"), F.col("x").alias("ax"),
-        F.col("y").alias("ay"), "cx", "cy")
+        F.col("y").alias("ay"), F.col("cx").alias("__cx"),
+        F.col("cy").alias("__cy"))
     b = (
         cells.select(
             F.col("id").alias("b"), F.col("x").alias("bx"),
             F.col("y").alias("by"),
-            F.explode(F.expr("sequence(cx - 1, cx + 1)")).alias("px"),
+            F.explode(F.expr("sequence(cx - 1, cx + 1)")).alias("__cx"),
             "cy")
-        .select("b", "bx", "by", "px",
-                F.explode(F.expr("sequence(cy - 1, cy + 1)")).alias("py"))
+        .select("b", "bx", "by", "__cx",
+                F.explode(F.expr("sequence(cy - 1, cy + 1)")).alias("__cy"))
     )
     d2 = ((F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
           + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by")))
     return (
-        a.join(b, (a["cx"] == b["px"]) & (a["cy"] == b["py"]))
+        _cell_block_join(a, ["a", "ax", "ay"], b, ["b", "bx", "by"],
+                         _tasks_probe=_tasks_probe)
         .where((F.col("a") != F.col("b")) & (d2 <= EPS * EPS))
         .select("a", "b")
     )
@@ -141,7 +162,10 @@ def spatial_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(core_b, "b", "left_semi")
         .where(F.col("a") < F.col("b"))
     )
-    comp = connected_components(core_edges, "a", "b")
+    # grid pairs are unique by construction (each candidate pair appears
+    # in exactly one owner/probe cell combination) and a < b keeps one
+    # direction — skip the CC symmetrize-distinct shuffle
+    comp = connected_components(core_edges, "a", "b", unique_edges=True)
     # isolated cores (no core neighbor) are their own cluster
     labels = (
         core.join(comp, core["id"] == comp["node"], "left")

@@ -37,13 +37,28 @@ from pyspark.sql import functions as F
 from ..operators import dedup as DD
 
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
-                         max_rounds: int = 64) -> DataFrame:
+                         max_rounds: int = 64,
+                         unique_edges: bool = False) -> DataFrame:
     """(node, component) with component = min node id reachable — exact
-    connected components via min-label propagation + pointer jumping.
+    connected components via star contraction + min-label propagation
+    with pointer jumping.
 
     edges: undirected edge list (each pair listed once, either direction).
     Output contains every node that appears in an edge; isolated nodes are
     the caller's union (they are their own component by definition).
+    `unique_edges=True` promises no duplicate pairs in either direction,
+    skipping a distinct shuffle over the full edge set (r10; DBSCAN's
+    grid pairs and the dedup pair generators all qualify).
+
+    Star contraction (r10): before the loop, every node adopts
+    l0(u) = min(u, its neighbors) — one aggregate — and the loop runs on
+    the CONTRACTED edge set {(l0(a), l0(b)) : (a,b) ∈ E, l0(a) ≠ l0(b)},
+    which is a fraction of |E| for any locally-dense graph (a clique
+    contracts to nothing). Correctness: u is connected to l0(u) by an
+    edge (or identity), and every original edge has its image in the
+    contracted set, so components pull back exactly through l0. The
+    final labels are min-ids because l0 and the loop's labels are both
+    min-over-reachable-subsets of original node ids.
 
     `max_rounds` is a safety valve, not a correctness knob: with pointer
     jumping the fixpoint arrives within ~log2(diameter) + 2 rounds, and
@@ -54,38 +69,140 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     both = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    )
+    if not unique_edges:
+        both = both.distinct()
+    both = both.localCheckpoint(eager=False)
+    # star contraction: l0(u) = min(u, neighbors(u)); both lists every
+    # node on its a-side, so one groupBy covers the whole vertex set
+    l0 = (
+        both.groupBy("a").agg(F.min("b").alias("mb"))
+        .select(F.col("a").alias("node"),
+                F.least("a", "mb").alias("lab"))
+        .localCheckpoint(eager=False)   # reused: two edge maps + pullback
+    )
+    la = l0.select(F.col("node").alias("a"), F.col("lab").alias("la"))
+    lb = l0.select(F.col("node").alias("b"), F.col("lab").alias("lb"))
+    cedges = (
+        both.join(la, "a").join(lb, "b")
+        .where(F.col("la") != F.col("lb"))
+        .select(F.col("la").alias("a"), F.col("lb").alias("b"))
         .distinct()
         .localCheckpoint(eager=False)
     )
+
+    # finish small contracted graphs on the driver (r10): one count
+    # action (materializing the checkpoint the loop would materialize
+    # anyway) gates a collect + union-find — a bounded artifact
+    # (<= LOCAL_CC_MAX_EDGES slim pairs, ~16 MB) that replaces ~6
+    # shuffle stages per loop round with milliseconds of driver work.
+    # Contraction shrinks any locally-dense graph by orders of
+    # magnitude (1.01M DBSCAN core edges -> 16.5k at sf0.1), so this is
+    # the common exit; a 100 TB graph whose contraction is still huge
+    # takes the distributed loop unchanged.
+    limit = int(edges.sparkSession.conf.get(LOCAL_CC_CONF,
+                                            str(LOCAL_CC_MAX_EDGES)))
+    if cedges.count() <= limit:
+        comp = _driver_union_find(cedges)
+    else:
+        comp = _min_label_loop(cedges, max_rounds)
+    # pull back through l0: comp(u) = comp'(l0(u)); labels absent from
+    # the loop (fully contracted stars) keep l0 itself
+    return (
+        l0.join(comp.withColumnRenamed("node", "lab"), "lab", "left")
+        .select("node", F.coalesce("comp", "lab").alias("comp"))
+    )
+
+
+#: contracted-edge budget for the driver-side union-find finish; above
+#: it the distributed min-label loop runs instead. ~500k slim pairs is
+#: ~16 MB collected — a bounded artifact, same class as the ANN
+#: codebook collects.
+LOCAL_CC_MAX_EDGES = 500_000
+LOCAL_CC_CONF = "spark.geoengine.cc.localMaxEdges"
+
+
+def _driver_union_find(cedges: DataFrame) -> DataFrame:
+    """(node, comp) for every node in the SMALL contracted edge list,
+    comp = min node id of the component: classic union-find with path
+    compression and union-by-min (the min-root invariant makes ranks
+    unnecessary and the result engine-independent)."""
+    rows = cedges.collect()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while x != r:                     # path compression
+            parent[x], x = r, parent.get(x, x)
+        return r
+
+    for row in rows:
+        ra, rb = find(row[0]), find(row[1])
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    nodes = {n for row in rows for n in (row[0], row[1])}
+    spark = cedges.sparkSession
+    node_type = cedges.schema[0].dataType.simpleString()
+    return spark.createDataFrame(
+        [(n, find(n)) for n in sorted(nodes)],
+        f"node {node_type}, comp {node_type}")
+
+
+def _min_label_loop(both: DataFrame, max_rounds: int) -> DataFrame:
+    """Min-label propagation + pointer jumping over an already-
+    SYMMETRIC (both directions present) edge list (a, b); see
+    connected_components, whose contracted edge set is symmetric by
+    construction (it maps a symmetrized set through l0)."""
     labels = both.select(F.col("a").alias("node")).distinct() \
                  .select("node", F.col("node").alias("comp"))
-    for _ in range(max_rounds):
+
+    def _round(lbl: DataFrame) -> DataFrame:
         # hop: candidate label per node = min over (own, neighbors' labels)
         nbr = (
-            both.join(labels, both["b"] == labels["node"], "inner")
+            both.join(lbl, both["b"] == lbl["node"], "inner")
             .select(F.col("a").alias("node"), "comp")
         )
         hopped = (
-            labels.select("node", "comp").union(nbr)
+            lbl.select("node", "comp").union(nbr)
             .groupBy("node").agg(F.min("comp").alias("comp"))
         )
         # jump: label(u) ← label(label(u)). Labels are always node ids
         # (min over node ids), so the label table itself is the mapping.
-        lookup = labels.select(F.col("node").alias("comp"),
-                               F.col("comp").alias("jumped"))
-        new_labels = (
+        lookup = lbl.select(F.col("node").alias("comp"),
+                            F.col("comp").alias("jumped"))
+        return (
             hopped.join(lookup, "comp", "left")
             .select("node",
                     F.least("comp", F.coalesce("jumped", "comp")).alias("comp"))
+        )
+
+    # two hop+jump rounds per convergence check (r10): the per-round
+    # driver latency — an eager materialization plus a convergence
+    # action — dominated the loop's wall clock, not the data volume;
+    # batching pairs of rounds into ONE materialization + ONE probe
+    # halves the action count. Extra rounds past the fixpoint are
+    # no-ops (labels are monotone and already minimal), so the detected
+    # fixpoint — and therefore the result — is unchanged. The probe is
+    # a decimal label sum, not a joined changed-count: labels only ever
+    # DECREASE, so the sum is unchanged iff no label changed — one
+    # aggregate on the just-checkpointed frame instead of a join
+    # (decimal(38,0) is exact; int64 could overflow at n*max_id).
+    def _label_sum(lbl: DataFrame):
+        return lbl.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
+
+    prev_sum = None
+    for _ in range(0, max_rounds, 2):
+        labels = (
+            _round(_round(labels).localCheckpoint(eager=False))
             .localCheckpoint(eager=True)  # truncate iterative lineage
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("comp", "old"), "node")
-            .where(F.col("comp") != F.col("old")).count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = _label_sum(labels)
+        if cur_sum == prev_sum:
             return labels.select("node", "comp")
+        prev_sum = cur_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} rounds — "
         f"impossible for any graph with < 2^{max_rounds} nodes; "

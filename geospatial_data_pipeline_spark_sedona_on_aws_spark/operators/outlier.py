@@ -56,6 +56,24 @@ GRID = 40
 #: test_prune_bound_law_at_gate_sf) and implied by the all-pairs
 #: brute-force parity test.
 PRUNE_D2 = 900
+#: neighborhood-matrix tile edge (r10): every distance-matrix pass runs
+#: over TILE x TILE int64 tiles with additive accumulators, so a dense
+#: real-world cell costs O(TILE^2) peak per task (~8 MB) instead of
+#: O(|cell|^2) — the group's narrow rows are still held once (the same
+#: bounded-hold contract as dedup._bucket_pairs / _cell_block_join).
+#: At the fixture's cell sizes a group is a single tile, so the tiled
+#: and whole-matrix arithmetic are literally the same numpy calls.
+TILE = 1024
+#: above this many points the two per-point frames (kdist, lrd) stop
+#: being broadcast and join as shuffle joins on id — the docstring's
+#: "swap the broadcasts at scale" remedy made real (r10). Override with
+#: the conf key for tests / tuning; 2M slim rows ~= 50 MB serialized,
+#: safely under a 1000-executor broadcast budget.
+BROADCAST_MAX_ROWS = 2_000_000
+BROADCAST_CONF = "spark.geoengine.lof.broadcastMaxRows"
+#: shared with dbscan._points: sf_dir -> point count, one footer-count
+#: job per directory across the whole stats trio.
+from .dbscan import _N_CACHE as _NPOINTS_CACHE  # noqa: E402
 
 def _lof_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stats point law with every 97th point pushed +15 in x: off
@@ -86,15 +104,27 @@ def local_outlier_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
     — bit-equal to the pairwise SQL oracle by construction; pinned by
     the all-pairs brute-force test.
 
-    100 TB: groups are bounded by the densest 3×3 neighborhood (the
-    same bound the pair plan had per key); the broadcasts carry one
-    slim row per point — at a scale where that outgrows a broadcast,
-    swap the two broadcast joins for shuffle joins on id and the shape
-    is unchanged."""
+    100 TB (r10 hardening): the per-point frames (kdist, lrd) broadcast
+    only while the point count stays under BROADCAST_MAX_ROWS (conf
+    `spark.geoengine.lof.broadcastMaxRows`); beyond it they join as
+    plain shuffle joins on id — same plan shape, no OOM cliff. The
+    neighborhood matrices run as TILE×TILE tiles with additive
+    accumulators, so a dense real-world cell (city-center points) costs
+    O(TILE²) peak per task, not O(|cell|²); a neighborhood with ≤ K
+    total points (a fixture-law drift) raises a descriptive error
+    instead of silently folding the self-distance sentinel into N_k."""
     import numpy as np
     import pandas as pd
 
     pts = _lof_points(spark, sf_dir)
+    # size gate for the two per-point joins below: parquet row count is
+    # footer metadata (no scan), one cheap driver action, memoized
+    if sf_dir not in _NPOINTS_CACHE:
+        _NPOINTS_CACHE[sf_dir] = \
+            spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    n_points = _NPOINTS_CACHE[sf_dir]
+    limit = int(spark.conf.get(BROADCAST_CONF, str(BROADCAST_MAX_ROWS)))
+    hint = F.broadcast if n_points <= limit else (lambda df: df)
     ex = (
         pts.selectExpr("id", "x", "y",
                        f"x div {GRID} AS cx", f"y div {GRID} AS cy")
@@ -107,29 +137,52 @@ def local_outlier_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)  # reused by all three passes
     )
 
-    def _matrix(pdf):
-        """Squared-distance matrix of one 3×3 cell group's OWN points
-        against the whole neighborhood; self-distances masked to the
-        int64 max sentinel (excluded from every <= comparison)."""
+    SENT = np.iinfo(np.int64).max
+
+    def _group(pdf):
+        """One 3×3 cell group unpacked to numpy: (own ids/coords, all
+        ids/coords). Raises when the whole neighborhood holds ≤ K
+        points — then no point in it has K real neighbors and the
+        self-distance sentinel would silently leak into kdist2/N_k
+        (the fixture point law guarantees > K; a drift fails loudly)."""
         own = pdf[pdf["own"]]
         ids = pdf["id"].to_numpy(np.int64)
         X = pdf[["x", "y"]].to_numpy(np.int64)
+        if len(ids) <= K:
+            raise ValueError(
+                f"LOF neighborhood with {len(ids)} point(s) <= K={K}: "
+                "the 3x3-probe point law is violated (every point must "
+                "have >= K neighbors inside its 3x3 cell neighborhood)")
         oid = own["id"].to_numpy(np.int64)
         O = own[["x", "y"]].to_numpy(np.int64)
-        d2 = ((O[:, 0, None] - X[None, :, 0]) ** 2
-              + (O[:, 1, None] - X[None, :, 1]) ** 2)
-        d2[oid[:, None] == ids[None, :]] = np.iinfo(np.int64).max
-        return oid, d2
+        return oid, O, ids, X
+
+    def _d2_tile(Or, oidr, Xc, idsc):
+        """Squared-distance tile of own-rows × neighborhood-cols;
+        self-distances masked to the int64 max sentinel (excluded from
+        every <= comparison and every k-smallest selection)."""
+        d2 = ((Or[:, 0, None] - Xc[None, :, 0]) ** 2
+              + (Or[:, 1, None] - Xc[None, :, 1]) ** 2)
+        d2[oidr[:, None] == idsc[None, :]] = SENT
+        return d2
 
     def kd_fn(_key, pdf):
-        own = pdf[pdf["own"]]
-        if own.empty:
+        if pdf[pdf["own"]].empty:
             return pd.DataFrame({"id": [], "kdist2": []})
-        oid, d2 = _matrix(pdf)
-        # K-th smallest d2, duplicates counted — identical to the K-th
-        # row of the (d2, id)-ordered ranking (tie order never changes
-        # the K-th VALUE)
-        kdist2 = np.partition(d2, K - 1, axis=1)[:, K - 1]
+        oid, O, ids, X = _group(pdf)
+        kdist2 = np.empty(len(oid), np.int64)
+        for r0 in range(0, len(oid), TILE):
+            Or, oidr = O[r0:r0 + TILE], oid[r0:r0 + TILE]
+            # running K smallest d2 per own row, merged tile by tile;
+            # K-th smallest counts duplicates — identical to the K-th
+            # row of the (d2, id)-ordered ranking (tie order never
+            # changes the K-th VALUE)
+            best = np.full((len(oidr), K), SENT, np.int64)
+            for c0 in range(0, len(ids), TILE):
+                d2 = _d2_tile(Or, oidr, X[c0:c0 + TILE], ids[c0:c0 + TILE])
+                cat = np.concatenate([best, d2], axis=1)
+                best = np.partition(cat, K - 1, axis=1)[:, :K]
+            kdist2[r0:r0 + len(oidr)] = best[:, K - 1]
         return pd.DataFrame({"id": oid, "kdist2": kdist2})
 
     kd = (
@@ -139,7 +192,7 @@ def local_outlier_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ex_kd = (
-        ex.join(F.broadcast(kd), "id")
+        ex.join(hint(kd), "id")
         .localCheckpoint(eager=False)  # reused by the lrd AND lof passes
     )
 
@@ -148,14 +201,22 @@ def local_outlier_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
         if own.empty:
             return pd.DataFrame({"id": [], "n_k": [], "sum_reach2": [],
                                  "lrd_q": []})
-        oid, d2 = _matrix(pdf)
+        oid, O, ids, X = _group(pdf)
         okd = own["kdist2"].to_numpy(np.int64)
         nkd = pdf["kdist2"].to_numpy(np.int64)
-        in_nk = d2 <= okd[:, None]          # N_k(p): ties included
-        reach2 = np.maximum(np.maximum(nkd[None, :], d2), 1)
-        n_k = in_nk.sum(axis=1).astype(np.int64)
-        sum_reach2 = np.where(in_nk, reach2, 0).sum(axis=1,
-                                                    dtype=np.int64)
+        n_k = np.zeros(len(oid), np.int64)
+        sum_reach2 = np.zeros(len(oid), np.int64)
+        for r0 in range(0, len(oid), TILE):
+            r1 = min(r0 + TILE, len(oid))
+            for c0 in range(0, len(ids), TILE):
+                d2 = _d2_tile(O[r0:r1], oid[r0:r1],
+                              X[c0:c0 + TILE], ids[c0:c0 + TILE])
+                in_nk = d2 <= okd[r0:r1, None]   # N_k(p): ties included
+                reach2 = np.maximum(
+                    np.maximum(nkd[c0:c0 + TILE][None, :], d2), 1)
+                n_k[r0:r1] += in_nk.sum(axis=1)
+                sum_reach2[r0:r1] += np.where(in_nk, reach2, 0).sum(
+                    axis=1, dtype=np.int64)
         lrd_q = n_k * SCALE // sum_reach2
         return pd.DataFrame({"id": oid, "n_k": n_k,
                              "sum_reach2": sum_reach2, "lrd_q": lrd_q})
@@ -172,12 +233,19 @@ def local_outlier_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
         if own.empty:
             return pd.DataFrame({"id": [], "n_k": [], "kdist2": [],
                                  "lof_q": []})
-        oid, d2 = _matrix(pdf)
+        oid, O, ids, X = _group(pdf)
         okd = own["kdist2"].to_numpy(np.int64)
-        in_nk = d2 <= okd[:, None]
         nlrd = pdf["lrd_q"].to_numpy(np.int64)
-        sum_lrd_o = np.where(in_nk, nlrd[None, :], 0).sum(axis=1,
-                                                          dtype=np.int64)
+        sum_lrd_o = np.zeros(len(oid), np.int64)
+        for r0 in range(0, len(oid), TILE):
+            r1 = min(r0 + TILE, len(oid))
+            for c0 in range(0, len(ids), TILE):
+                d2 = _d2_tile(O[r0:r1], oid[r0:r1],
+                              X[c0:c0 + TILE], ids[c0:c0 + TILE])
+                in_nk = d2 <= okd[r0:r1, None]
+                sum_lrd_o[r0:r1] += np.where(
+                    in_nk, nlrd[c0:c0 + TILE][None, :], 0).sum(
+                    axis=1, dtype=np.int64)
         n_k = own["n_k"].to_numpy(np.int64)
         sum_reach2 = own["sum_reach2"].to_numpy(np.int64)
         lof_q = sum_lrd_o * sum_reach2 // (n_k * n_k)
@@ -185,7 +253,7 @@ def local_outlier_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "kdist2": okd, "lof_q": lof_q})
 
     return (
-        ex_kd.join(F.broadcast(lrd), "id")
+        ex_kd.join(hint(lrd), "id")
         .groupBy("px", "py")
         .applyInPandas(lof_fn,
                        "id long, n_k long, kdist2 long, lof_q long")

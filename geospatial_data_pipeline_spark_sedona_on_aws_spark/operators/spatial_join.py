@@ -74,8 +74,31 @@ def _cell_block_join(a_cells: DataFrame, a_fields: list,
         F.collect_list(F.struct(*a_fields)).alias("__la"))
     gb = b_cells.groupBy(cx, cy).agg(
         F.collect_list(F.struct(*b_fields)).alias("__lb"))
-    j = ga.join(gb, [cx, cy])
+    j = ga.join(gb, [cx, cy]).localCheckpoint(eager=False)
     la, lb = F.col("__la"), F.col("__lb")
+
+    def _explode_pairs(df):
+        pairs = df.select(
+            cx, cy,
+            F.explode(F.flatten(F.transform(
+                F.col("__sa"),
+                lambda x: F.transform(
+                    F.col("__sb"),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            ))).alias("__p"),
+        )
+        return pairs.select(cx, cy, "__p.a.*", "__p.b.*")
+
+    # fast path (r10): a cell whose BOTH member lists fit one block is
+    # its own bounded task already (<= block^2 pairs) — explode it in
+    # place in the grouping task, skipping the spine explode and the
+    # spreading repartition exchange. Only oversized cells — the skew
+    # case the spine exists for — pay the extra shuffle.
+    fits = (F.size(la) <= block) & (F.size(lb) <= block)
+    small = j.where(fits).select(
+        cx, cy, la.alias("__sa"), lb.alias("__sb"))
+    hot = j.where(~fits)
     na = F.ceil(F.size(la) / F.lit(block)).cast("int")
     nb = F.ceil(F.size(lb) / F.lit(block)).cast("int")
     spine = F.flatten(F.transform(
@@ -86,7 +109,7 @@ def _cell_block_join(a_cells: DataFrame, a_fields: list,
         ),
     ))
     tasks = (
-        j.select(cx, cy, "__la", "__lb", F.explode(spine).alias("__t"))
+        hot.select(cx, cy, "__la", "__lb", F.explode(spine).alias("__t"))
         .select(
             cx, cy,
             F.slice(F.col("__la"), F.col("__t.bi") * block + 1, block)
@@ -98,17 +121,7 @@ def _cell_block_join(a_cells: DataFrame, a_fields: list,
     )
     if _tasks_probe is not None:           # test seam: the task spine
         _tasks_probe.append(tasks)
-    pairs = tasks.select(
-        cx, cy,
-        F.explode(F.flatten(F.transform(
-            F.col("__sa"),
-            lambda x: F.transform(
-                F.col("__sb"),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        ))).alias("__p"),
-    )
-    return pairs.select(cx, cy, "__p.a.*", "__p.b.*")
+    return _explode_pairs(small).unionByName(_explode_pairs(tasks))
 
 
 _NUM = r"-?[0-9.eE+]+"

@@ -104,3 +104,81 @@ def test_grid_pairs_equal_brute_force(spark, points):
               and (points[i][0] - points[j][0]) ** 2
               + (points[i][1] - points[j][1]) ** 2 <= eps2}
     assert pairs == expect
+
+
+def test_hot_cell_block_decomposition(spark):
+    """r10: all points in ONE eps-cell (the skew worst case) must fan
+    out across block-pair tasks with bounded slice sizes — never the
+    single |A|x|B| task a plain hash equi-join would produce — and the
+    pair set must equal brute force exactly."""
+    import functools
+
+    from pyspark.sql import functions as F
+
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.operators import spatial_join as SJ
+
+    n, block = 120, 8
+    # n points inside one eps-cell (coords 0..EPS-1): every pair is a
+    # candidate; d2 <= EPS^2 keeps most of them
+    pts = spark.range(n).selectExpr(
+        "id", f"CAST(id % {DB.EPS} AS BIGINT) AS x",
+        f"CAST((id * 7) % {DB.EPS} AS BIGINT) AS y")
+    probe: list = []
+    orig = SJ._cell_block_join
+    import unittest.mock as mock
+    with mock.patch.object(
+            SJ, "_cell_block_join",
+            functools.partial(orig, block=block)):
+        pairs_df = DB._neighbor_pairs(pts, _tasks_probe=probe)
+        pairs = {(r["a"], r["b"]) for r in pairs_df.collect()}
+    # bounded per-task volume: every shipped slice <= block elements
+    assert probe, "block spine was not engaged"
+    sizes = probe[0].select(
+        F.max(F.size("__sa")).alias("ma"),
+        F.max(F.size("__sb")).alias("mb")).first()
+    assert sizes["ma"] <= block and sizes["mb"] <= block
+    pl = {r["id"]: (r["x"], r["y"]) for r in pts.collect()}
+    eps2 = DB.EPS * DB.EPS
+    expect = {(i, j) for i in pl for j in pl if i != j
+              and (pl[i][0] - pl[j][0]) ** 2
+              + (pl[i][1] - pl[j][1]) ** 2 <= eps2}
+    assert pairs == expect
+
+
+def test_lof_hot_cell_bounded(spark, monkeypatch):
+    """r10: LOF's dense-cell exposure — GRID forced huge puts EVERY
+    point of the fixture in ONE 3x3 neighborhood group (the city-center
+    worst case) while TILE=16 keeps each distance-matrix tile at 16x16;
+    k-distances must still match the all-pairs brute-force ranking
+    exactly, proving the tiled accumulators are exact at any density."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.operators import outlier as O
+
+    monkeypatch.setattr(O, "TILE", 16)
+    monkeypatch.setattr(O, "GRID", 10 ** 9)
+    out = {r["id"]: r
+           for r in O.local_outlier_factor(spark, SF_DIR).collect()}
+    pts = {r["id"]: (r["x"], r["y"])
+           for r in O._lof_points(spark, SF_DIR).collect()}
+    assert len(out) == len(pts) > 0
+    for i, (xi, yi) in pts.items():
+        d2s = sorted((xi - x) ** 2 + (yi - y) ** 2
+                     for j, (x, y) in pts.items() if j != i)
+        assert out[i]["kdist2"] == d2s[O.K - 1], f"kdist2 differs at {i}"
+
+
+def test_cc_loop_path_equals_union_find(spark):
+    """r10: the two connected-components finishes — driver union-find
+    (small contracted graph) and the distributed min-label loop — must
+    produce identical labelings. Forcing localMaxEdges=0 routes the
+    same fixture through the loop."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.operators import graph as G
+
+    base = {(r["id"], r["cluster"])
+            for r in DB.spatial_dbscan(spark, SF_DIR).collect()}
+    spark.conf.set(G.LOCAL_CC_CONF, "0")
+    try:
+        looped = {(r["id"], r["cluster"])
+                  for r in DB.spatial_dbscan(spark, SF_DIR).collect()}
+    finally:
+        spark.conf.unset(G.LOCAL_CC_CONF)
+    assert base == looped

@@ -136,3 +136,52 @@ def test_prune_bound_law_at_gate_sf():
     """).fetchone()[0]
     assert worst < O.PRUNE_D2, (
         f"5-NN law violated: worst kdist2 {worst} >= {O.PRUNE_D2}")
+
+
+def test_tiled_matrices_bit_equal(spark, result, monkeypatch):
+    """r10: the TILE×TILE block decomposition of the neighborhood
+    matrices (the dense-cell memory cap) is bit-equal to the
+    whole-matrix arithmetic — TILE=7 forces every fixture group
+    through multi-tile accumulation on both axes."""
+    monkeypatch.setattr(O, "TILE", 7)
+    tiled = {r["id"]: r
+             for r in O.local_outlier_factor(spark, SF_DIR).collect()}
+    assert len(tiled) == len(result)
+    for i, r in result.items():
+        t = tiled[i]
+        assert (t["n_k"], t["kdist2"], t["lof_q"], t["is_outlier"]) \
+            == (r["n_k"], r["kdist2"], r["lof_q"], r["is_outlier"])
+
+
+def test_forced_shuffle_join_config(spark, result):
+    """r10: with the broadcast budget forced to 0 the two per-point
+    joins (kdist, lrd) must run as shuffle joins — no BroadcastHashJoin
+    anywhere in the plan — and produce the identical result. This is
+    the no-OOM-cliff path a 10^10-point run takes automatically."""
+    spark.conf.set(O.BROADCAST_CONF, "0")
+    try:
+        df = O.local_outlier_factor(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        shuffled = {r["id"]: r for r in df.collect()}
+    finally:
+        spark.conf.unset(O.BROADCAST_CONF)
+    assert len(shuffled) == len(result)
+    for i, r in result.items():
+        s = shuffled[i]
+        assert (s["n_k"], s["kdist2"], s["lof_q"]) \
+            == (r["n_k"], r["kdist2"], r["lof_q"])
+    # and the default (small-input) path does broadcast the slim frames
+    default_plan = (O.local_outlier_factor(spark, SF_DIR)
+                    ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in default_plan
+
+
+def test_small_neighborhood_raises_loudly(spark, monkeypatch):
+    """r10 (ADVICE r9): a neighborhood with <= K total points must fail
+    with the descriptive point-law error, not a numpy ValueError or a
+    silent sentinel kdist2. Forcing K above any fixture group size
+    exercises the guard through the real executor path."""
+    monkeypatch.setattr(O, "K", 10 ** 6)
+    with pytest.raises(Exception, match="point law is violated"):
+        O.local_outlier_factor(spark, SF_DIR).collect()
