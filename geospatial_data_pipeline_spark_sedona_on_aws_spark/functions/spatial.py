@@ -36,6 +36,7 @@ from pyspark.sql.types import (
 from ..kernel import boolean as B
 from ..kernel import geom as G
 from ..kernel import geomtypes as GT
+from . import lanes as LN
 from ..kernel import transform as T
 
 # ------------------------------------------------------------ scalar impls
@@ -3372,7 +3373,9 @@ def st_intersection(a: pd.Series, b: pd.Series) -> pd.Series:
 
 @pandas_udf(DoubleType())
 def st_area(s: pd.Series) -> pd.Series:
-    return s.map(_area, na_action="ignore").astype("float64")
+    # r10 lane: canonical small-int rect batches skip the parse; the
+    # anchored shoelace of such a rect is exactly (c-a)*(d-b)
+    return LN.area(s, _area).astype("float64")
 
 @pandas_udf(StringType())
 def st_transform(s: pd.Series, src: pd.Series, dst: pd.Series) -> pd.Series:
@@ -3499,7 +3502,7 @@ def st_convexhull(s: pd.Series) -> pd.Series:
 
 @pandas_udf(LongType())
 def st_npoints(s: pd.Series) -> pd.Series:
-    return s.map(_npoints, na_action="ignore").astype("Int64")
+    return LN.npoints(s, _npoints).astype("Int64")
 
 @pandas_udf(BinaryType())
 def st_asbinary(s: pd.Series) -> pd.Series:
@@ -3516,19 +3519,19 @@ def st_geomfromwkb(b: pd.Series) -> pd.Series:
 
 @pandas_udf(DoubleType())
 def st_length(s: pd.Series) -> pd.Series:
-    return s.map(_length, na_action="ignore").astype("float64")
+    return LN.length(s, _length).astype("float64")
 
 @pandas_udf(DoubleType())
 def st_x(s: pd.Series) -> pd.Series:
-    return s.map(lambda w: _st_xy(w, 0), na_action="ignore").astype("float64")
+    return LN.st_x(s, lambda w: _st_xy(w, 0)).astype("float64")
 
 @pandas_udf(DoubleType())
 def st_y(s: pd.Series) -> pd.Series:
-    return s.map(lambda w: _st_xy(w, 1), na_action="ignore").astype("float64")
+    return LN.st_y(s, lambda w: _st_xy(w, 1)).astype("float64")
 
 @pandas_udf(DoubleType())
 def st_z(s: pd.Series) -> pd.Series:
-    return s.map(lambda w: _st_xy(w, 2), na_action="ignore").astype("float64")
+    return LN._xy_accessor(s, 2, lambda w: _st_xy(w, 2)).astype("float64")
 
 @pandas_udf(StringType())
 def st_force2d(s: pd.Series) -> pd.Series:
@@ -3692,7 +3695,7 @@ def st_relate(a: pd.Series, b: pd.Series) -> pd.Series:
 
 @pandas_udf(LongType())
 def st_numgeometries(s: pd.Series) -> pd.Series:
-    return s.map(_num_geometries, na_action="ignore").astype("Int64")
+    return LN.num_geometries(s, _num_geometries).astype("Int64")
 
 @pandas_udf(StringType())
 def st_geometryn(s: pd.Series, n: pd.Series) -> pd.Series:
@@ -3899,7 +3902,7 @@ def st_isempty(s: pd.Series) -> pd.Series:
 
 @pandas_udf(LongType())
 def st_numinteriorrings(s: pd.Series) -> pd.Series:
-    return s.map(_num_interior_rings, na_action="ignore").astype("Int64")
+    return LN.num_interior_rings(s, _num_interior_rings).astype("Int64")
 
 @pandas_udf(StringType())
 def st_interiorringn(s: pd.Series, n: pd.Series) -> pd.Series:
@@ -4281,9 +4284,7 @@ def st_removerepeatedpoints(s: pd.Series) -> pd.Series:
 
 @pandas_udf(StringType())
 def st_force3d(s: pd.Series, z: pd.Series) -> pd.Series:
-    return pd.Series([None if g is None or pd.isna(v)
-                      else _force_3d(g, float(v))
-                      for g, v in zip(s, z)], index=s.index)
+    return LN.force_3dz(s, z, _force_3d)
 
 @pandas_udf(StringType())
 def st_project(s: pd.Series, d: pd.Series, az: pd.Series) -> pd.Series:

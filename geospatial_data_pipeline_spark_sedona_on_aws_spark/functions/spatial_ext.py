@@ -37,6 +37,7 @@ from pyspark.sql.types import (BooleanType, DoubleType, LongType,
 
 from ..kernel import geom as G
 from ..kernel import geomtypes as GT
+from . import lanes as LN
 
 # ----------------------------------------------------------- constructors
 
@@ -573,94 +574,92 @@ def _simplify_vw(wkt: str | None, tol) -> str | None:
 @pandas_udf(StringType())
 def st_polygonfromenvelope(x1: pd.Series, y1: pd.Series, x2: pd.Series,
                            y2: pd.Series) -> pd.Series:
-    return pd.Series([_polygon_from_envelope(a, b, c, d)
-                      for a, b, c, d in zip(x1, y1, x2, y2)],
-                     index=x1.index)
+    return LN.polygon_from_envelope(x1, y1, x2, y2, _polygon_from_envelope)
 
 @pandas_udf(StringType())
 def st_pointfromtext(s: pd.Series, d: pd.Series) -> pd.Series:
-    return pd.Series([None if t is None or dd is None
-                      else _point_from_text(t, dd)
-                      for t, dd in zip(s, d)], index=s.index)
+    return LN.point_from_text(s, d, _point_from_text)
 
 @pandas_udf(StringType())
 def st_linestringfromtext(s: pd.Series, d: pd.Series) -> pd.Series:
-    return pd.Series([None if t is None or dd is None
-                      else _linestring_from_text(t, dd)
-                      for t, dd in zip(s, d)], index=s.index)
+    return LN.linestring_from_text(s, d, _linestring_from_text)
 
 @pandas_udf(StringType())
 def st_linefromtext(s: pd.Series) -> pd.Series:
-    return s.map(lambda w: _typed_from_text(w, "LINESTRING"),
-                 na_action="ignore")
+    return LN.typed_from_text(
+        s, "LINESTRING", lambda w: _typed_from_text(w, "LINESTRING"))
 
 @pandas_udf(StringType())
 def st_mlinefromtext(s: pd.Series) -> pd.Series:
-    return s.map(lambda w: _typed_from_text(w, "MULTILINESTRING"),
-                 na_action="ignore")
+    return LN.typed_from_text(
+        s, "MULTILINESTRING",
+        lambda w: _typed_from_text(w, "MULTILINESTRING"))
 
 @pandas_udf(StringType())
 def st_mpolyfromtext(s: pd.Series) -> pd.Series:
-    return s.map(lambda w: _typed_from_text(w, "MULTIPOLYGON"),
-                 na_action="ignore")
+    return LN.typed_from_text(
+        s, "MULTIPOLYGON", lambda w: _typed_from_text(w, "MULTIPOLYGON"))
 
 @pandas_udf(StringType())
 def st_mpointfromtext(s: pd.Series) -> pd.Series:
-    return s.map(lambda w: _typed_from_text(w, "MULTIPOINT"),
-                 na_action="ignore")
+    return LN.typed_from_text(
+        s, "MULTIPOINT", lambda w: _typed_from_text(w, "MULTIPOINT"))
 
 @pandas_udf(StringType())
 def st_geomcollfromtext(s: pd.Series) -> pd.Series:
-    return s.map(lambda w: _typed_from_text(w, "GEOMETRYCOLLECTION"),
-                 na_action="ignore")
+    return LN.typed_from_text(
+        s, "GEOMETRYCOLLECTION",
+        lambda w: _typed_from_text(w, "GEOMETRYCOLLECTION"))
 
 @pandas_udf(StringType())
 def st_linefrommultipoint(s: pd.Series) -> pd.Series:
-    return s.map(_line_from_multipoint, na_action="ignore")
+    return LN.line_from_multipoint(s, _line_from_multipoint)
 
 @pandas_udf(StringType())
 def st_forcepolygoncw(s: pd.Series) -> pd.Series:
-    return s.map(lambda w: _force_orientation(w, exterior_ccw=False),
-                 na_action="ignore")
+    return LN.force_polygon_cw(
+        s, lambda w: _force_orientation(w, exterior_ccw=False))
 
 @pandas_udf(StringType())
 def st_forcepolygonccw(s: pd.Series) -> pd.Series:
-    return s.map(lambda w: _force_orientation(w, exterior_ccw=True),
-                 na_action="ignore")
+    return LN.force_polygon_ccw(
+        s, lambda w: _force_orientation(w, exterior_ccw=True))
 
 @pandas_udf(BooleanType())
 def st_ispolygoncw(s: pd.Series) -> pd.Series:
-    return s.map(lambda w: _is_polygon_oriented(w, exterior_ccw=False),
-                 na_action="ignore").astype("boolean")
+    return LN.is_polygon_cw(
+        s, lambda w: _is_polygon_oriented(w, exterior_ccw=False)
+    ).astype("boolean")
 
 @pandas_udf(BooleanType())
 def st_ispolygonccw(s: pd.Series) -> pd.Series:
-    return s.map(lambda w: _is_polygon_oriented(w, exterior_ccw=True),
-                 na_action="ignore").astype("boolean")
+    return LN.is_polygon_ccw(
+        s, lambda w: _is_polygon_oriented(w, exterior_ccw=True)
+    ).astype("boolean")
 
 @pandas_udf(BooleanType())
 def st_iscollection(s: pd.Series) -> pd.Series:
-    return s.map(_is_collection, na_action="ignore").astype("boolean")
+    return LN.is_collection(s, _is_collection).astype("boolean")
 
 @pandas_udf(LongType())
 def st_zmflag(s: pd.Series) -> pd.Series:
-    return s.map(_zmflag, na_action="ignore").astype("Int64")
+    return LN.zmflag(s, _zmflag).astype("Int64")
 
 @pandas_udf(StringType())
 def st_forcecollection(s: pd.Series) -> pd.Series:
-    return s.map(_force_collection, na_action="ignore")
+    return LN.force_collection(s, _force_collection)
 
 @pandas_udf(StringType())
 def st_isvalidreason(s: pd.Series) -> pd.Series:
-    return s.map(_is_valid_reason, na_action="ignore")
+    return LN.is_valid_reason(s, _is_valid_reason)
 
 @pandas_udf(DoubleType())
 def st_minimumclearance(s: pd.Series) -> pd.Series:
-    return s.map(_minimum_clearance, na_action="ignore").astype("float64")
+    return LN.minimum_clearance(s, _minimum_clearance).astype("float64")
 
 @pandas_udf(StringType())
 def st_minimumclearanceline(s: pd.Series) -> pd.Series:
-    return s.map(_minimum_clearance_line, na_action="ignore")
+    return LN.minimum_clearance_line(s, _minimum_clearance_line)
 
 _MIC_SCHEMA = StructType([
     StructField("center", StringType()),
@@ -670,25 +669,27 @@ _MIC_SCHEMA = StructType([
 
 @pandas_udf(_MIC_SCHEMA)
 def st_maximuminscribedcircle(s: pd.Series) -> pd.DataFrame:
-    rows = [(_maximum_inscribed_circle(w) or (None, None, None))
-            if w is not None else (None, None, None) for w in s]
-    return pd.DataFrame(rows, columns=["center", "nearest", "radius"],
-                        index=s.index)
+    def scalar_rows(sub: pd.Series) -> pd.DataFrame:
+        rows = [(_maximum_inscribed_circle(w) or (None, None, None))
+                if w is not None else (None, None, None) for w in sub]
+        return pd.DataFrame(rows, columns=["center", "nearest", "radius"],
+                            index=sub.index)
+
+    out = LN.maximum_inscribed_circle(s, scalar_rows)
+    out["radius"] = pd.to_numeric(out["radius"], errors="coerce")
+    return out
 
 @pandas_udf(DoubleType())
 def st_3ddistance(a: pd.Series, b: pd.Series) -> pd.Series:
-    return pd.Series([_distance3d(x, y) for x, y in zip(a, b)],
-                     index=a.index, dtype="float64")
+    return LN.distance_3d(a, b, _distance3d).astype("float64")
 
 @pandas_udf(StringType())
 def st_rotatex(s: pd.Series, t: pd.Series) -> pd.Series:
-    return pd.Series([_rotate_x(w, v) for w, v in zip(s, t)],
-                     index=s.index)
+    return LN.rotate_x(s, t, _rotate_x)
 
 @pandas_udf(StringType())
 def st_rotatey(s: pd.Series, t: pd.Series) -> pd.Series:
-    return pd.Series([_rotate_y(w, v) for w, v in zip(s, t)],
-                     index=s.index)
+    return LN.rotate_y(s, t, _rotate_y)
 
 def _srid(wkt: str | None) -> int | None:
     """PostGIS ST_SRID over the text carriage: the 'SRID=n;' EWKT prefix
@@ -736,12 +737,11 @@ def st_setsrid(s: pd.Series, n: pd.Series) -> pd.Series:
 
 @pandas_udf(StringType())
 def st_ashexewkb(s: pd.Series) -> pd.Series:
-    return s.map(_as_hexewkb, na_action="ignore")
+    return LN.as_hexewkb(s, _as_hexewkb)
 
 @pandas_udf(StringType())
 def st_simplifyvw(s: pd.Series, tol: pd.Series) -> pd.Series:
-    return pd.Series([_simplify_vw(w, v) for w, v in zip(s, tol)],
-                     index=s.index)
+    return LN.simplify_vw(s, tol, _simplify_vw)
 
 #: merged into functions/spatial.register_spatial_functions
 REGISTRY_EXT = {

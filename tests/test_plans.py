@@ -378,16 +378,26 @@ def test_spatial_range_join_forced_fallback(spark):
         out = SJ.spatial_range_join(spark, sf, broadcast_dim=False)
         got = sorted(map(tuple, out.collect()))
         plan = out._jdf.queryExecution().executedPlan().toString()
+        # the per-cell equi-join sits behind _cell_block_join's lazy
+        # checkpoint (r10) — read its plan from the pre-checkpoint seam
+        # while the broadcast budget is still floored
+        join_plan = SJ._LAST_CELL_JOIN._jdf.queryExecution() \
+            .executedPlan().toString()
     finally:
         if old is None:
             conf.unset("spark.sql.autoBroadcastJoinThreshold")
         else:
             conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert got == base and len(got) > 0
-    # plan shape: a shuffled equi-join keyed on the cell ids, no broadcast
-    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan), plan[:1200]
+    # plan shape: a shuffled equi-join keyed on the cell ids, no
+    # broadcast anywhere; the visible (post-checkpoint) plan carries the
+    # block machinery (member-array scan + slice spine)
     assert "BroadcastHashJoin" not in plan
-    join_line = next(ln for ln in plan.splitlines()
+    assert "__la" in plan and "__lb" in plan, plan[:1200]
+    assert ("SortMergeJoin" in join_plan
+            or "ShuffledHashJoin" in join_plan), join_plan[:1200]
+    assert "BroadcastHashJoin" not in join_plan
+    join_line = next(ln for ln in join_plan.splitlines()
                      if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln)
     assert "cx" in join_line and "cy" in join_line
 
