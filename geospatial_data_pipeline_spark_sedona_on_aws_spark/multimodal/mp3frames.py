@@ -281,13 +281,19 @@ def _payload_byte(seed: int, frame: int) -> int:
 def mp3_frames_encode(version: int, layer: int, bitrate_idx: int,
                       sr_idx: int, n_frames: int, channel_mode: int,
                       protection: bool, seed: int,
-                      id3v2_size: int = 0) -> bytes:
+                      id3v2_size: int = 0,
+                      structured_side: bool = False) -> bytes:
     """Build a spec-valid CBR frame stream with deterministic payload
     bytes (``_payload_byte``); protected Layer III frames get a CORRECT
     CRC-16 over header+side-info so the probe's validation path is
-    exercised for real. ``version`` is the ×10 key (10 / 20 / 25)."""
+    exercised for real. ``version`` is the ×10 key (10 / 20 / 25).
+    ``structured_side`` (r10): Layer III frames carry REAL spec-layout
+    side information following ``granule_field_law`` instead of constant
+    filler — the fixture behind the granule-probe oracle."""
     if protection and layer != 3:
         raise Mp3Error("fixture CRC only modeled for Layer III")
+    if structured_side and layer != 3:
+        raise Mp3Error("side information is a Layer III structure")
     vg = _vgroup(version)
     bitrate = BITRATE_KBPS[(vg, layer)][bitrate_idx - 1]
     sample_rate = SAMPLE_RATE_HZ[version][sr_idx]
@@ -305,6 +311,12 @@ def mp3_frames_encode(version: int, layer: int, bitrate_idx: int,
         frame = bytearray((0xFF, hdr1, hdr2, hdr3))
         body_len = flen - 4 - (2 if protection else 0)
         body = bytes([_payload_byte(seed, f)]) * body_len
+        if structured_side:
+            si = side_info_encode(version,
+                                  1 if channel_mode == 3 else 2, seed, f)
+            if len(si) > body_len:
+                raise Mp3Error("frame too short for structured side info")
+            body = si + body[len(si):]
         if protection:
             crc = crc16_mpeg(bytes((hdr2, hdr3)) + body[:side])
             frame += bytes((crc >> 8, crc & 0xFF))
@@ -313,3 +325,250 @@ def mp3_frames_encode(version: int, layer: int, bitrate_idx: int,
             raise Mp3Error("internal: frame length mismatch")
         out += frame
     return bytes(out)
+
+# ------------------------------------------- Layer III side information
+#
+# r10 (r9 verdict item 5): the layer BELOW the frame walk — the side-info
+# bitstream (ISO/IEC 11172-3 §2.4.1.7 for MPEG-1; ISO/IEC 13818-3
+# §2.4.1.7 LSF) that carries the per-granule quantizer state a
+# training-data pipeline can filter on WITHOUT decoding audio:
+# global_gain is the granule's energy proxy (the overall quantizer step),
+# part2_3_length its main-data bit budget, big_values its spectral line
+# count. Full PCM synthesis (Huffman, requantization, IMDCT, polyphase
+# synthesis) remains deliberately out of scope — it has no closed-form
+# oracle; non-Layer-III side-info requests raise deterministically.
+
+
+class _BitWriter:
+    def __init__(self):
+        self._bits: list = []
+
+    def put(self, val: int, n: int) -> None:
+        if val < 0 or val >= (1 << n):
+            raise Mp3Error(f"side-info field value {val} exceeds {n} bits")
+        for i in range(n - 1, -1, -1):
+            self._bits.append((val >> i) & 1)
+
+    def to_bytes(self, length: int) -> bytes:
+        if len(self._bits) > length * 8:
+            raise Mp3Error("side info overflows its fixed length")
+        bits = self._bits + [0] * (length * 8 - len(self._bits))
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            b = 0
+            for bit in bits[i:i + 8]:
+                b = (b << 1) | bit
+            out.append(b)
+        return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self._d = data
+        self._pos = 0
+
+    def get(self, n: int) -> int:
+        out = 0
+        for _ in range(n):
+            byte = self._d[self._pos >> 3]
+            out = (out << 1) | ((byte >> (7 - (self._pos & 7))) & 1)
+            self._pos += 1
+        return out
+
+
+def granule_field_law(seed: int, f: int, g: int, c: int,
+                      lsf: bool) -> dict:
+    """Deterministic per-(frame, granule, channel) side-info law, mirrored
+    in closed form by the SQL oracle. Every ~5th granule takes the
+    window-switching branch so BOTH bit layouts are exercised. Absent
+    fields (branch-dependent, or preflag under LSF) are -1 so every
+    column stays BIGINT end to end."""
+    wsf = 1 if (seed + f + g + c) % 5 == 0 else 0
+    out = {
+        "part2_3_length": (seed * 11 + f * 3 + g * 2 + c) % 4096,
+        "big_values": (seed * 5 + f * 2 + g + c * 7) % 288,
+        "global_gain": (seed * 13 + f * 7 + g * 5 + c * 3) % 256,
+        "scalefac_compress": (seed + f + g + c) % (512 if lsf else 16),
+        "window_switching": wsf,
+        "scalefac_scale": (f + c) % 2,
+        "count1table_select": (seed + f + g) % 2,
+        "preflag": -1 if lsf else (f + g) % 2,
+    }
+    if wsf:
+        out.update({
+            "block_type": 1 + (seed + f + g) % 3,
+            "mixed_block_flag": (f + c) % 2,
+            "table_select_0": (seed * 3 + f + g + c) % 32,
+            "table_select_1": (seed * 3 + f + g + c + 1) % 32,
+            "table_select_2": -1,
+            "subblock_gain_0": (seed + f + g + c) % 8,
+            "subblock_gain_1": (seed + f + g + c + 1) % 8,
+            "subblock_gain_2": (seed + f + g + c + 2) % 8,
+            "region0_count": -1,
+            "region1_count": -1,
+        })
+    else:
+        out.update({
+            "block_type": -1,
+            "mixed_block_flag": -1,
+            "table_select_0": (seed * 3 + f + g + c) % 32,
+            "table_select_1": (seed * 3 + f + g + c + 1) % 32,
+            "table_select_2": (seed * 3 + f + g + c + 2) % 32,
+            "subblock_gain_0": -1,
+            "subblock_gain_1": -1,
+            "subblock_gain_2": -1,
+            "region0_count": (seed + f) % 16,
+            "region1_count": (seed + c) % 8,
+        })
+    return out
+
+
+def _granule_write(w: _BitWriter, gf: dict, lsf: bool) -> None:
+    w.put(gf["part2_3_length"], 12)
+    w.put(gf["big_values"], 9)
+    w.put(gf["global_gain"], 8)
+    w.put(gf["scalefac_compress"], 9 if lsf else 4)
+    w.put(gf["window_switching"], 1)
+    if gf["window_switching"]:
+        w.put(gf["block_type"], 2)
+        w.put(gf["mixed_block_flag"], 1)
+        w.put(gf["table_select_0"], 5)
+        w.put(gf["table_select_1"], 5)
+        w.put(gf["subblock_gain_0"], 3)
+        w.put(gf["subblock_gain_1"], 3)
+        w.put(gf["subblock_gain_2"], 3)
+    else:
+        w.put(gf["table_select_0"], 5)
+        w.put(gf["table_select_1"], 5)
+        w.put(gf["table_select_2"], 5)
+        w.put(gf["region0_count"], 4)
+        w.put(gf["region1_count"], 3)
+    if not lsf:
+        w.put(gf["preflag"], 1)
+    w.put(gf["scalefac_scale"], 1)
+    w.put(gf["count1table_select"], 1)
+
+
+def _granule_read(r: _BitReader, lsf: bool) -> dict:
+    gf = {
+        "part2_3_length": r.get(12),
+        "big_values": r.get(9),
+        "global_gain": r.get(8),
+        "scalefac_compress": r.get(9 if lsf else 4),
+        "window_switching": r.get(1),
+    }
+    if gf["big_values"] > 288:
+        raise Mp3Error("big_values exceeds the spec maximum 288")
+    if gf["window_switching"]:
+        gf["block_type"] = r.get(2)
+        if gf["block_type"] == 0:
+            raise Mp3Error("reserved block_type 0 with window switching")
+        gf["mixed_block_flag"] = r.get(1)
+        gf["table_select_0"] = r.get(5)
+        gf["table_select_1"] = r.get(5)
+        gf["table_select_2"] = -1
+        gf["subblock_gain_0"] = r.get(3)
+        gf["subblock_gain_1"] = r.get(3)
+        gf["subblock_gain_2"] = r.get(3)
+        gf["region0_count"] = -1
+        gf["region1_count"] = -1
+    else:
+        gf["block_type"] = -1
+        gf["mixed_block_flag"] = -1
+        gf["table_select_0"] = r.get(5)
+        gf["table_select_1"] = r.get(5)
+        gf["table_select_2"] = r.get(5)
+        gf["subblock_gain_0"] = -1
+        gf["subblock_gain_1"] = -1
+        gf["subblock_gain_2"] = -1
+        gf["region0_count"] = r.get(4)
+        gf["region1_count"] = r.get(3)
+    gf["preflag"] = -1 if lsf else r.get(1)
+    gf["scalefac_scale"] = r.get(1)
+    gf["count1table_select"] = r.get(1)
+    return gf
+
+
+def side_info_encode(version: int, channels: int, seed: int,
+                     frame: int) -> bytes:
+    """Spec-layout Layer III side info whose fields follow
+    granule_field_law; main_data_begin is 0 (the fixture carries no bit
+    reservoir — every frame is self-contained, which is also what the
+    value means)."""
+    lsf = _vgroup(version) == 2
+    w = _BitWriter()
+    w.put(0, 8 if lsf else 9)                       # main_data_begin
+    if lsf:
+        w.put(0, 1 if channels == 1 else 2)         # private_bits
+    else:
+        w.put(0, 5 if channels == 1 else 3)
+        for c in range(channels):
+            w.put((seed + 3 * c) % 16, 4)           # scfsi
+    for g in range(1 if lsf else 2):
+        for c in range(channels):
+            _granule_write(w, granule_field_law(seed, frame, g, c, lsf),
+                           lsf)
+    return w.to_bytes(_SIDE_INFO_LEN[(_vgroup(version), channels == 1)])
+
+
+def side_info_parse(version: int, channels: int, data: bytes) -> dict:
+    """Decode one frame's Layer III side info: main_data_begin, per-
+    channel scfsi (MPEG-1; -1 under LSF), and the per-(granule, channel)
+    quantizer fields."""
+    lsf = _vgroup(version) == 2
+    need = _SIDE_INFO_LEN[(_vgroup(version), channels == 1)]
+    if len(data) < need:
+        raise Mp3Error("frame too short for side info")
+    r = _BitReader(data)
+    out = {"main_data_begin": r.get(8 if lsf else 9)}
+    if lsf:
+        r.get(1 if channels == 1 else 2)
+        out["scfsi"] = [-1] * channels
+    else:
+        r.get(5 if channels == 1 else 3)
+        out["scfsi"] = [r.get(4) for _ in range(channels)]
+    out["granules"] = [
+        [_granule_read(r, lsf) for _ in range(channels)]
+        for _ in range(1 if lsf else 2)]
+    return out
+
+
+def mp3_granules(payload: bytes) -> list:
+    """Strict frame walk + side-info decode: one dict per (frame,
+    granule, channel) with the quantizer fields plus main_data_begin and
+    the channel's scfsi. Layer I/II streams raise — side information is
+    a Layer III structure (deterministic boundary, like the codec gates
+    in multimodal/binary.py)."""
+    if not isinstance(payload, (bytes, bytearray)):
+        raise Mp3Error("payload must be bytes")
+    buf = bytes(payload)
+    pos = _skip_id3v2(buf)
+    end = len(buf)
+    if end >= pos + 128 and buf[end - 128:end - 125] == b"TAG":
+        end -= 128
+    if pos >= end:
+        raise Mp3Error("no audio frames in stream")
+    rows = []
+    f = 0
+    while pos < end:
+        h = _parse_header(buf[pos:pos + 4])
+        if h["layer"] != 3:
+            raise Mp3Error(
+                "side information is a Layer III structure; "
+                f"stream is Layer {h['layer']}")
+        flen = h["frame_len"]
+        if pos + flen > end:
+            raise Mp3Error("truncated final frame")
+        body = pos + 4 + (2 if h["protection"] else 0)
+        si = side_info_parse(h["version"], h["channels"],
+                             buf[body:pos + flen])
+        for g, chans in enumerate(si["granules"]):
+            for c, gf in enumerate(chans):
+                row = {"frame": f, "granule": g, "channel": c,
+                       "main_data_begin": si["main_data_begin"],
+                       "scfsi": si["scfsi"][c]}
+                row.update(gf)
+                rows.append(row)
+        f += 1
+        pos += flen
+    return rows

@@ -303,6 +303,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_audio_features": MM.multimodal_audio_features,  # r8: RMS/ZC/peak
     "multimodal_mp3_probe": MM.multimodal_mp3_probe,  # r9: MP3 frame stream
     "multimodal_vp9_probe": MM.multimodal_vp9_probe,  # r9: IVF/VP9 headers
+    "multimodal_mp3_granules": MM.multimodal_mp3_granules,  # r10: side info
     "multimodal_features": MM.multimodal_features,
     "pyds_sensor_hourly": PDS.sensor_hourly,
     "pyds_jsonl_commit_roundtrip": PDS.crop_jsonl_commit_roundtrip,
@@ -878,6 +879,7 @@ ORACLES: dict[str, str] = {
     "multimodal_audio_features": MM.MULTIMODAL_AUDIO_FEATURES_ORACLE,
     "multimodal_mp3_probe": MM.MULTIMODAL_MP3_PROBE_ORACLE,
     "multimodal_vp9_probe": MM.MULTIMODAL_VP9_PROBE_ORACLE,
+    "multimodal_mp3_granules": MM.MULTIMODAL_MP3_GRANULES_ORACLE,
     "multimodal_wav_decode": MM.MULTIMODAL_WAV_DECODE_ORACLE,
     "multimodal_y4m_decode": MM.MULTIMODAL_Y4M_DECODE_ORACLE,
     "crop_analytics_full": P.CROP_ANALYTICS_FULL_ORACLE,

@@ -136,3 +136,75 @@ class TestSegmentationAudit:
         per_frame = [(42 * 31 + 7 * f) % 251 for f in range(5)]
         assert plain["payload_sum"] - prot["payload_sum"] == \
             2 * sum(per_frame)
+
+
+# ------------------------------------------- r10: side-info layer
+
+def test_side_info_roundtrip_all_shapes():
+    """Encode→parse identity for every (version, mono/stereo, CRC)
+    combination: the law's fields — both window-switching branches,
+    MPEG-1 and LSF widths — must come back bit-exact, and the frame
+    probe's CRC validation must still pass over the structured bytes."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.multimodal import mp3frames as M
+
+    for version in (10, 20, 25):
+        for mode in (0, 1, 2, 3):
+            for prot in (False, True):
+                seed = version + mode * 5 + (7 if prot else 0)
+                p = M.mp3_frames_encode(
+                    version, 3, bitrate_idx=5, sr_idx=1, n_frames=5,
+                    channel_mode=mode, protection=prot, seed=seed,
+                    structured_side=True)
+                r = M.mp3_probe(p)
+                assert r["crc_ok"] == r["crc_frames"]
+                rows = M.mp3_granules(p)
+                lsf = version != 10
+                ch = 1 if mode == 3 else 2
+                assert len(rows) == 5 * (1 if lsf else 2) * ch
+                saw_wsf = False
+                for row in rows:
+                    law = M.granule_field_law(
+                        seed, row["frame"], row["granule"],
+                        row["channel"], lsf)
+                    for k, v in law.items():
+                        assert row[k] == v, (version, mode, k)
+                    assert row["main_data_begin"] == 0
+                    assert row["scfsi"] == (
+                        -1 if lsf else (seed + 3 * row["channel"]) % 16)
+                    saw_wsf |= row["window_switching"] == 1
+                assert saw_wsf, "fixture never took the switching branch"
+
+
+def test_side_info_layer_gate():
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.multimodal import mp3frames as M
+    import pytest
+
+    p = M.mp3_frames_encode(10, 2, 5, 1, 3, 0, False, 1)
+    with pytest.raises(M.Mp3Error, match="Layer III structure"):
+        M.mp3_granules(p)
+    with pytest.raises(M.Mp3Error, match="Layer III structure"):
+        M.mp3_frames_encode(10, 1, 5, 1, 3, 0, False, 1,
+                            structured_side=True)
+
+
+def test_side_info_reserved_block_type_raises():
+    """A window-switching granule with block_type 0 is reserved — the
+    parser must raise, not emit garbage fields."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.multimodal import mp3frames as M
+    import pytest
+
+    # MPEG-1 stereo: craft side info with wsf=1, block_type=0
+    w = M._BitWriter()
+    w.put(0, 9)               # main_data_begin
+    w.put(0, 3)               # private
+    w.put(0, 4)
+    w.put(0, 4)               # scfsi x2
+    w.put(100, 12)            # part2_3_length
+    w.put(10, 9)              # big_values
+    w.put(42, 8)              # global_gain
+    w.put(3, 4)               # scalefac_compress
+    w.put(1, 1)               # window_switching
+    w.put(0, 2)               # block_type 0 -> reserved
+    data = w.to_bytes(32)
+    with pytest.raises(M.Mp3Error, match="reserved block_type"):
+        M.side_info_parse(10, 2, data)
