@@ -130,6 +130,17 @@ SWEEP_QUERIES = [
     # round 9, second session: the codegen hex rollup — zero Python, so
     # its decade slope is the pure scan+agg floor
     "hex_density_rollup",
+    # round 10 (r9 verdict item 2): the r9 heavyweights get measured
+    # decades — the stats trio (grid-join + contracted components /
+    # tiled neighborhood matrices / two-shuffle Gi*), the ANN quality
+    # gate, and the three scalar batches now on the arrow lanes
+    "spatial_dbscan",
+    "local_outlier_factor",
+    "getis_ord_hotspots",
+    "ann_recall_at_k",
+    "st_orientation_ops",
+    "st_clearance_ops",
+    "st_from_text_ops",
 ]
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/root/repo/.bench_sf1")
 SWEEP_SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",

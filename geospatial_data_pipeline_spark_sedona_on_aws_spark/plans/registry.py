@@ -586,86 +586,71 @@ _R8_WINDOW = [
 # r8 plus crop_analytics / multimodal_png_decode / st_geometry_ops /
 # st_area_rect (driver-green r8, code untouched in r9; the hygiene mask
 # they share is seated via the crop chains + st_accessors).
-_R9_WINDOW = [
-    # --- r9 blast radius (21) ---
-    "st_point_line_ops",         # chain-rewritten reference spelling
-    "ann_recall_at_k",           # NEW: retrieval-quality oracle
-    "multimodal_jpeg_progressive",  # NEW: SOF2 multi-scan decode
-    "spatial_range_join_fallback",  # hot-cell block decomposition
-    "geo_range_join",            # hot-cell block decomposition (WKT door)
-    "spatial_range_join",        # same operator, broadcast door
-    "st_wkb_roundtrip",          # ragged vectorized encode/decode edge
-    "st_accessors",              # text hygiene fixed-point mask
-    "st_binary_carrier_ops",     # centroid/envelope batch emit, box lanes
-    "st_binary_predicates",      # box lanes (point x rect vectorized)
-    "st_name_parity_ops",        # name-parity batch over the mask
-    "st_union_aggr_salted",      # salted two-phase plan (SQL-name rewire)
-    "st_aggr_ops",               # UDAF family seat
-    "st_buffer_round",           # carrier + ragged emit
-    "crop_analytics_full_chain", # verbatim chain rides the hygiene mask
-    "crop_analytics_full",       # fused twin (standing equivalence proof)
-    "multimodal_jpeg_decode",    # marker walk restructured for multi-scan
-    "st_predicates",             # DE-9IM text twin of the box lanes
-    "st_transform_roundtrip",    # unpack_wkb now ragged-encodes
-    "st_transform_utm",          # same
-    "crop_analytics_utm",        # transform-fused flagship
-    # --- family representatives (pinned by
-    # test_gate_window_covers_every_family) ---
-    "streaming_geofence",        # streaming
-    "repetition_scores",         # text
-    "ngram_jaccard_verified",    # dedup
-    "embedding_topk_cosine",     # similarity (also ann_recall's baseline)
-    "histogram_quantile",        # sketches
-    "pyds_jsonl_commit_roundtrip",  # pydatasource
-    "q12_late_priority",         # round-2's only red row: stays visible
-    # --- rows the r8 rotation deferred by name (4) ---
-    "udtf_token_explode",
-    "window_zoo",
-    "minhash_lsh_candidates",
-    "embedding_lsh_ann",
-    # --- stalest tier-2 cohort: last driver-verified r5 or earlier (18) ---
-    "embedding_ivf_ann",         # also one of ann_recall's arms
-    # (dedup_clusters displaced for st_polygonize_ops below: dedup
-    # keeps ngram_jaccard_verified; the stale row stays in the full run)
-    # (q1_pricing_summary displaced for st_collect_ops below: relational
-    # keeps q12_late_priority and window_zoo)
-    # (stream_stream_join displaced for st_xml_ops below: streaming
-    # keeps streaming_geofence; the stale row stays in the full run)
-    # (pagerank_links displaced for streaming_hex_density below: graph
-    # rows grade relational, which keeps q12_late_priority + window_zoo)
-    "pyds_sensor_stream_totals",
-    "text_stats",
-    # (spatial_knn_join_grid displaced for st_srid_ops below: a stale
-    # spatial seat swapped for the brand-new spatial carriage query)
-    # (salted_agg_topk / triangle_count displaced for the two new grid
-    # queries below: both stale seats stay in the full oracle run, the
-    # sketches family keeps histogram_quantile and graph rows grade
-    # relational, which keeps q1/q12/window_zoo)
-    # --- NEW in-session r9 (displace multimodal_resize and
-    # multimodal_frame_sample: stale tier-2, but the multimodal family
-    # keeps 3 other seats in this window and both stay in the full
-    # oracle run) ---
-    "multimodal_mp3_probe",      # NEW: MP3 frame-stream parse + CRC
-    "multimodal_vp9_probe",      # NEW: IVF/VP9 uncompressed-header parse
-    # (and zorder_curve / simhash / hll_distinct / lang_detect /
-    # q21_waiting_suppliers / sessionize_events — stale tier-2 rows;
-    # every displaced family keeps at least one other seat and all six
-    # stay in the full oracle run)
-    "spatial_dbscan",            # NEW: Sedona-1.7-stats DBSCAN clustering
-    "getis_ord_hotspots",        # NEW: Gi* g_local hot-spot stats
-    "local_outlier_factor",      # NEW: LOF, completing the stats trio
-    "st_from_text_ops",          # NEW: r9 name batch (constructors)
-    "st_orientation_ops",        # NEW: r9 name batch (orientation/flags)
-    "st_clearance_ops",          # NEW: r9 name batch (clearance/3D/VW)
-    "st_grid_ops",               # NEW: ST_TileEnvelope/Square/Hexagon
-    "hex_density_rollup",        # NEW: pure-codegen hex density map
-    "st_srid_ops",               # NEW: SRID text carriage
-    "st_xml_ops",                # NEW: KML/GML serialization round trips
-    "st_polygonize_ops",         # NEW: ST_Node/ST_Polygonize faces
-    "st_collect_ops",            # NEW: Collect/CoordDim/Points/MemSize
-    "streaming_hex_density",     # NEW: the hex rollup under micro-batch
+_R10_WINDOW = [
+    # --- r10 blast radius (27): the stats-trio scale rewrite (tiled LOF
+    # matrices + size-gated broadcasts, block-spine DBSCAN pairs,
+    # star-contracted + union-find components), every consumer of
+    # connected_components and _cell_block_join, the arrow-laned scalar
+    # batches and the base accessors they front (Area / Length / NPoints
+    # / X / Y / Z / NumGeometries / NumInteriorRings), the new MP3
+    # side-info query, the BNL-audited rows, the standing
+    # q12_late_priority seat ---
+    "multimodal_mp3_granules",   # NEW: Layer III side-info quantizer law
+    "multimodal_mp3_probe",      # encoder grew structured_side
+    "spatial_dbscan",            # block-spine pairs + contracted CC
+    "local_outlier_factor",      # tiled matrices + broadcast gate
+    "getis_ord_hotspots",        # stats-trio seat (shares the point law)
+    "dedup_clusters",            # connected_components consumer
+    "embedding_cluster_dedup",   # connected_components consumer
+    "spatial_range_join",        # _cell_block_join small-cell fast path
+    "spatial_range_join_fallback",  # forced-shuffle door of the same
+    "geo_range_join",            # WKT door of the same
+    "spatial_knn_join",          # grid-join family seat
+    "st_from_text_ops",          # arrow lanes (constructors)
+    "st_orientation_ops",        # arrow lanes (orientation/flags)
+    "st_clearance_ops",          # arrow lanes (clearance/3D/VW)
+    "st_accessors",              # ST_X/Y/Z/NPoints lanes
+    "st_name_parity_ops",        # broad name surface over laned fns
+    "st_aggr_ops",               # ST_Area lane under the UDAFs
+    "st_collect_ops",            # NumGeometries/Points/Collect (+Z fix)
+    "st_point_line_ops",         # Length/NPoints lanes + chain rewrite
+    "crop_analytics_full",       # flagship; ST_Area on the hot path
+    "st_srid_ops",               # ST_AsEWKT bad-SRID contract fix
+    "ann_recall_at_k",           # BNL size-audited + sweep member
+    "histogram_quantile",        # BNL size-audited
+    "bm25_term_scores",          # BNL size-audited
+    "q12_late_priority",         # r2's one red row: stays visible
+    "trajectory_similarity_pairs",  # ST_Length-adjacent spatial seat
+    "st_buffer_round",           # carrier heavyweight, sweep member
+    # --- stalest tier-2 cohort (23, last driver-verified r3/r4; every
+    # displaced row stays in the committed full oracle run and each
+    # family keeps at least one seat) ---
+    "bloom_pruned_orders",
+    "cdc_merge",
+    "cms_heavy_hitters",
+    "contamination_check",
+    "embedding_quantized_topk",
+    "events_windowed_streaming",
+    "hll_distinct",
+    "kmeans_quantized",
+    "lang_detect",
+    "pii_redact",
+    "pyds_sensor_hourly",
+    "q1_pricing_summary",
+    "quality_scores",
+    "salted_agg_topk",
+    "sessionize_events",
+    "simhash",
+    "stream_stream_join",
+    "streaming_dedup",
+    "token_counts",
+    "zorder_curve",
+    "chunk_documents",
+    "cohort_retention",
+    "corpus_report",
 ]
-_WINDOW = _R9_WINDOW
+
+_WINDOW = _R10_WINDOW
 # a duplicated name would silently dedupe in the dict rebuild below,
 # shrinking the driver's tier-1 gate without any signal (ADVICE r6)
 assert len(_WINDOW) == len(set(_WINDOW)), "duplicate name in gate window"
