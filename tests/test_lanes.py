@@ -53,6 +53,8 @@ def _mixed_batch():
         "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))",
         "MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), ((9 9, 10 9, 10 10, 9 10, 9 9)))",
         "POINT (1.5 -2.25)",
+        "POINT (1e3 -2.5e-2)",      # float-accessor lane, exponent form
+        "POINT Z (0.25 1e2 -3.5)",
         None,
         None,
     ]
