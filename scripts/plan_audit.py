@@ -138,6 +138,11 @@ _COLLECT_ALLOWLIST = {
     "sketches.py": 1,
     "text_queries.py": 2,
     "catalog.py": 1,
+    # r10: _driver_union_find's finish of the star-contracted component
+    # graph — size-gated at spark.geoengine.cc.localMaxEdges (default
+    # 500k slim pairs ~ 16 MB); above the gate the distributed loop
+    # runs instead (operators/graph.py, path-equality config test)
+    "graph.py": 1,
 }
 
 
