@@ -170,6 +170,13 @@ def local_outlier_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
         if pdf[pdf["own"]].empty:
             return pd.DataFrame({"id": [], "kdist2": []})
         oid, O, ids, X = _group(pdf)
+        if len(oid) <= TILE and len(ids) <= TILE:
+            # single-tile group (every fixture group): partition the
+            # matrix directly — same values, no merge-buffer copy
+            d2 = _d2_tile(O, oid, X, ids)
+            return pd.DataFrame(
+                {"id": oid,
+                 "kdist2": np.partition(d2, K - 1, axis=1)[:, K - 1]})
         kdist2 = np.empty(len(oid), np.int64)
         for r0 in range(0, len(oid), TILE):
             Or, oidr = O[r0:r0 + TILE], oid[r0:r0 + TILE]
