@@ -823,11 +823,17 @@ def st_triangulate_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
       corners+edge-midpoint (n=5, b=5) → 3 triangles, same area;
       Voronoi of corners+center → 5 cells partitioning the default clip
       envelope (bbox expanded by max(w, h) per side);
-      collinear 3-point input → empty collection."""
+      collinear 3-point input → empty collection.
+
+    Runs on a 1-in-10 hash sample of the fixture (r10, the
+    st_polygonize_ops precedent): each row pays ~4 full triangulation /
+    Voronoi builds (77-118 us each, measured), and the parity proof
+    does not get stronger by repeating the closed forms 600k times."""
     from ..functions.spatial import register_spatial_functions
 
     register_spatial_functions(spark)
-    lu = fixtures.land_use_areas(spark, sf_dir, wkt=False)
+    lu = fixtures.land_use_areas(spark, sf_dir, wkt=False) \
+        .where("property_id % 10 = 3")
     mp = ("concat('MULTIPOINT (', x1, ' ', y1, ', ', x2, ' ', y1, ', ',"
           " x2, ' ', y2, ', ', x1, ' ', y2, ', ', (x1 + x2) / 2.0, ' ',"
           " (y1 + y2) / 2.0, ')')")
@@ -867,6 +873,7 @@ SELECT property_id,
                   * 100) AS BIGINT) AS vor_area_q,
        TRUE AS collinear_empty
 FROM b
+WHERE property_id % 10 = 3
 """
 
 def st_concave_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -876,11 +883,19 @@ def st_concave_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     translated to (x1, y1) recovers the C exactly — area 58, all 54
     boundary points on the ring (55 with closure) — translation-invariant
     and integer-exact, so the constant oracle row is sound; ST_Covers of
-    the eroded hull over its own input pins the containment contract."""
+    the eroded hull over its own input pins the containment contract.
+
+    Runs on a 1-in-50 hash sample of the fixture (r10, the
+    st_polygonize_ops precedent): each row pays THREE 54-point Delaunay
+    builds plus border erosion (~1 ms/row, the most expensive scalar in
+    the registry — measured >60 s at sf0.1 unsampled), and the parity
+    proof does not get stronger by repeating the same closed-form check
+    600k times."""
     from ..functions.spatial import register_spatial_functions
 
     register_spatial_functions(spark)
-    lu = fixtures.land_use_areas(spark, sf_dir, wkt=False)
+    lu = fixtures.land_use_areas(spark, sf_dir, wkt=False) \
+        .where("property_id % 50 = 3")
     corners = ("concat('MULTIPOINT (', x1, ' ', y1, ', ', x2, ' ', y1,"
                " ', ', x2, ' ', y2, ', ', x1, ' ', y2, ')')")
     cpts = set()
@@ -921,6 +936,7 @@ SELECT property_id,
        CAST(55 AS BIGINT) AS c_np,
        TRUE AS covers_all
 FROM land_use
+WHERE property_id % 50 = 3
 """
 
 def st_edit_line_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1120,11 +1136,17 @@ def st_subdivide_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     WKT vertices) under max_vertices=8 passes through whole (1 piece);
     the 12-vertex plus-shape always splits (>= 2 pieces) and the pieces'
     total area is EXACTLY the cross area cw·ch − 4·ca·cb (axis-aligned
-    splits of rectilinear geometry are exact in doubles)."""
+    splits of rectilinear geometry are exact in doubles).
+
+    Runs on a 1-in-10 hash sample of the fixture (r10, the
+    st_polygonize_ops precedent): each row pays two recursive
+    bbox-halving clip cascades; the closed forms do not get stronger
+    repeated 600k times."""
     from ..functions.spatial import register_spatial_functions
 
     register_spatial_functions(spark)
-    lu = fixtures.land_use_areas(spark, sf_dir)
+    lu = fixtures.land_use_areas(spark, sf_dir) \
+        .where("property_id % 10 = 3")
     return (
         lu.selectExpr("property_id", "x1", "y1", "x2", "y2",
                       "land_geometry", *_CROSS_DIMS[0].split(", "))
@@ -1154,6 +1176,7 @@ SELECT property_id,
             AS BIGINT) AS cross_area_q,
        TRUE AS cross_split
 FROM dims
+WHERE property_id % 10 = 3
 """
 
 def st_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
