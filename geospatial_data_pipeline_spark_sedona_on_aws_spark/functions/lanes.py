@@ -842,6 +842,41 @@ FPOINT2 = _named(rf"^POINT \({_F} {_F}\)$")
 FPOINTZ = _named(rf"^POINT Z \({_F} {_F} {_F}\)$")
 
 
+def fmt_f64(v: np.ndarray):
+    """Vectorized kernel `_fmt`: (strings pa.Array, ok ndarray[bool]).
+
+    Arrow's float64->string cast is bit-identical to kernel/geom._fmt
+    (str(int(v)) for integral values, shortest-repr otherwise) inside the
+    window |v| ∈ [1e-4, 1e10) ∪ {0}, finite — verified empirically on
+    1.7M samples including dense sweeps of both window edges (r11; the
+    boundary failures start exactly AT 1e10 — arrow switches to
+    scientific notation — and below 1e-4 — Python repr switches). -0.0
+    normalizes to +0.0 first (_fmt emits "0", arrow would emit "-0").
+    Rows outside the window get ok=False and a placeholder string; the
+    caller must AND `ok` into its claim mask."""
+    va = np.where(v == 0.0, 0.0, v)         # -0.0 -> +0.0
+    av = np.abs(va)
+    ok = np.isfinite(va) & (av < 1e10) & ((av >= 1e-4) | (va == 0.0))
+    sa = pc.cast(pa.array(np.where(ok, va, 0.0)), pa.string())
+    return sa, ok
+
+
+def fmt_f64_full(v: np.ndarray):
+    """fmt_f64 with the out-of-window finite values patched per row via
+    the kernel `_fmt` itself (bit-equal by construction) — so a lane's
+    claim never shrinks just because a transform produced a 1e-17 or a
+    1e12 coordinate. Only NaN/inf rows stay unclaimed."""
+    sa, ok = fmt_f64(v)
+    bad = ~ok & np.isfinite(v)
+    if bad.any():
+        arr = sa.to_pandas().to_numpy(dtype=object, copy=True)
+        for i in np.nonzero(bad)[0]:
+            arr[i] = _fmt(float(v[i]))
+        sa = pa.array(arr, type=pa.string())
+        ok = ok | bad
+    return sa, ok
+
+
 def _xy_accessor(s: pd.Series, axis: int, scalar_fn) -> pd.Series:
     f = _Fill(s)
     m, g = f.b.extract(FPOINT2)

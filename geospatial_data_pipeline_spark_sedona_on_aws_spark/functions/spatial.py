@@ -37,6 +37,7 @@ from ..kernel import boolean as B
 from ..kernel import geom as G
 from ..kernel import geomtypes as GT
 from . import lanes as LN
+from . import lanes_ops as LO
 from ..kernel import transform as T
 
 # ------------------------------------------------------------ scalar impls
@@ -3375,7 +3376,7 @@ def st_intersection(a: pd.Series, b: pd.Series) -> pd.Series:
 def st_area(s: pd.Series) -> pd.Series:
     # r10 lane: canonical small-int rect batches skip the parse; the
     # anchored shoelace of such a rect is exactly (c-a)*(d-b)
-    return LN.area(s, _area).astype("float64")
+    return LO.area(s, _area).astype("float64")
 
 @pandas_udf(StringType())
 def st_transform(s: pd.Series, src: pd.Series, dst: pd.Series) -> pd.Series:
@@ -3483,7 +3484,7 @@ def st_dwithin(a: pd.Series, b: pd.Series, d: pd.Series) -> pd.Series:
 
 @pandas_udf(StringType())
 def st_centroid(s: pd.Series) -> pd.Series:
-    return s.map(_centroid, na_action="ignore")
+    return LO.centroid(s, _centroid)
 
 @pandas_udf(StringType())
 def st_buffer_round(s: pd.Series, d: pd.Series, quadsegs: pd.Series) -> pd.Series:
@@ -3502,7 +3503,7 @@ def st_convexhull(s: pd.Series) -> pd.Series:
 
 @pandas_udf(LongType())
 def st_npoints(s: pd.Series) -> pd.Series:
-    return LN.npoints(s, _npoints).astype("Int64")
+    return LO.npoints(s, _npoints).astype("Int64")
 
 @pandas_udf(BinaryType())
 def st_asbinary(s: pd.Series) -> pd.Series:
@@ -3519,7 +3520,7 @@ def st_geomfromwkb(b: pd.Series) -> pd.Series:
 
 @pandas_udf(DoubleType())
 def st_length(s: pd.Series) -> pd.Series:
-    return LN.length(s, _length).astype("float64")
+    return LO.length(s, _length).astype("float64")
 
 @pandas_udf(DoubleType())
 def st_x(s: pd.Series) -> pd.Series:
@@ -3543,7 +3544,7 @@ def st_ndims(s: pd.Series) -> pd.Series:
 
 @pandas_udf(BooleanType())
 def st_hasz(s: pd.Series) -> pd.Series:
-    return s.map(lambda w: _ndims(w) == 3, na_action="ignore").astype("object")
+    return LO.hasz(s, lambda w: _ndims(w) == 3).astype("object")
 
 @pandas_udf(DoubleType())
 def st_zmin(s: pd.Series) -> pd.Series:
@@ -3695,13 +3696,11 @@ def st_relate(a: pd.Series, b: pd.Series) -> pd.Series:
 
 @pandas_udf(LongType())
 def st_numgeometries(s: pd.Series) -> pd.Series:
-    return LN.num_geometries(s, _num_geometries).astype("Int64")
+    return LO.num_geometries(s, _num_geometries).astype("Int64")
 
 @pandas_udf(StringType())
 def st_geometryn(s: pd.Series, n: pd.Series) -> pd.Series:
-    return pd.Series(
-        [None if g is None or pd.isna(i) else _geometry_n(g, int(i))
-         for g, i in zip(s, n)], index=s.index)
+    return LO.geometry_n(s, n, _geometry_n)
 
 @pandas_udf(StringType())
 def st_pointn(s: pd.Series, n: pd.Series) -> pd.Series:
@@ -3711,11 +3710,13 @@ def st_pointn(s: pd.Series, n: pd.Series) -> pd.Series:
 
 @pandas_udf(StringType())
 def st_startpoint(s: pd.Series) -> pd.Series:
-    return s.map(lambda g: _terminal_point(g, False), na_action="ignore")
+    return LO.terminal_point(s, False,
+                             lambda g: _terminal_point(g, False))
 
 @pandas_udf(StringType())
 def st_endpoint(s: pd.Series) -> pd.Series:
-    return s.map(lambda g: _terminal_point(g, True), na_action="ignore")
+    return LO.terminal_point(s, True,
+                             lambda g: _terminal_point(g, True))
 
 @pandas_udf(StringType())
 def st_exteriorring(s: pd.Series) -> pd.Series:
@@ -3890,7 +3891,7 @@ def st_pointfromgeohash(g: pd.Series) -> pd.Series:
 
 @pandas_udf(StringType())
 def st_geometrytype(s: pd.Series) -> pd.Series:
-    return s.map(_geometry_type, na_action="ignore")
+    return LO.geometry_type(s, _geometry_type)
 
 @pandas_udf(LongType())
 def st_dimension(s: pd.Series) -> pd.Series:
@@ -3981,104 +3982,80 @@ def st_collect_aggr(x: pd.Series, y: pd.Series) -> str:
 
 @pandas_udf(StringType())
 def st_rotate(s: pd.Series, t: pd.Series) -> pd.Series:
-    return pd.Series([None if g is None or pd.isna(v)
-                      else _rotate(g, float(v))
-                      for g, v in zip(s, t)], index=s.index)
+    return LO.rotate(s, t, _rotate)
 
 @pandas_udf(StringType())
 def st_scale(s: pd.Series, fx: pd.Series, fy: pd.Series) -> pd.Series:
-    return pd.Series([None if g is None or pd.isna(a) or pd.isna(b)
-                      else _scale(g, float(a), float(b))
-                      for g, a, b in zip(s, fx, fy)], index=s.index)
+    return LO.scale(s, fx, fy, _scale)
 
 @pandas_udf(StringType())
 def st_affine(s: pd.Series, a: pd.Series, b: pd.Series, d: pd.Series,
               e: pd.Series, xo: pd.Series, yo: pd.Series) -> pd.Series:
-    return pd.Series(
-        [None if g is None else _affine(g, float(va), float(vb), float(vd),
-                                        float(ve), float(vx), float(vy))
-         for g, va, vb, vd, ve, vx, vy in zip(s, a, b, d, e, xo, yo)],
-        index=s.index)
+    return LO.affine(s, a, b, d, e, xo, yo, _affine)
 
 @pandas_udf(StringType())
 def st_snaptogrid(s: pd.Series, size: pd.Series) -> pd.Series:
-    return pd.Series([None if g is None or pd.isna(v)
-                      else _snap_to_grid(g, float(v))
-                      for g, v in zip(s, size)], index=s.index)
+    return LO.snap_to_grid(s, size, _snap_to_grid)
 
 @pandas_udf(StringType())
 def st_reduceprecision(s: pd.Series, d: pd.Series) -> pd.Series:
-    return pd.Series([None if g is None or pd.isna(v)
-                      else _reduce_precision(g, int(v))
-                      for g, v in zip(s, d)], index=s.index)
+    return LO.reduce_precision(s, d, _reduce_precision)
 
 @pandas_udf(StringType())
 def st_expand(s: pd.Series, d: pd.Series) -> pd.Series:
-    return pd.Series([None if g is None or pd.isna(v)
-                      else _expand(g, float(v))
-                      for g, v in zip(s, d)], index=s.index)
+    return LO.expand(s, d, _expand)
 
 @pandas_udf(StringType())
 def st_multi(s: pd.Series) -> pd.Series:
-    return s.map(_multi, na_action="ignore")
+    return LO.multi(s, _multi)
 
 @pandas_udf(DoubleType())
 def st_perimeter(s: pd.Series) -> pd.Series:
-    return pd.Series([_perimeter(g) for g in s], index=s.index,
-                     dtype="float64")
+    return LO.perimeter(s, _perimeter).astype("float64")
 
 @pandas_udf(DoubleType())
 def st_angle(p1: pd.Series, p2: pd.Series, p3: pd.Series) -> pd.Series:
-    return pd.Series([_angle3(a, b, c) for a, b, c in zip(p1, p2, p3)],
-                     index=p1.index, dtype="float64")
+    return LO.angle3(p1, p2, p3, _angle3).astype("float64")
 
 @pandas_udf(StringType())
 def st_shortestline(a: pd.Series, b: pd.Series) -> pd.Series:
-    return pd.Series([_shortest_line(x, y) for x, y in zip(a, b)],
-                     index=a.index)
+    return LO.shortest_line(a, b, _shortest_line)
 
 @pandas_udf(DoubleType())
 def st_maxdistance(a: pd.Series, b: pd.Series) -> pd.Series:
-    return pd.Series([_max_distance(x, y) for x, y in zip(a, b)],
-                     index=a.index, dtype="float64")
+    return LO.max_distance(a, b, _max_distance).astype("float64")
 
 @pandas_udf(StringType())
 def st_longestline(a: pd.Series, b: pd.Series) -> pd.Series:
-    return pd.Series([_longest_line(x, y) for x, y in zip(a, b)],
-                     index=a.index)
+    return LO.longest_line(a, b, _longest_line)
 
 @pandas_udf(DoubleType())
 def st_hausdorffdistance(a: pd.Series, b: pd.Series) -> pd.Series:
-    return pd.Series([_hausdorff_distance(x, y) for x, y in zip(a, b)],
-                     index=a.index, dtype="float64")
+    return LO.hausdorff(a, b, _hausdorff_distance).astype("float64")
 
 @pandas_udf(DoubleType())
 def st_frechetdistance(a: pd.Series, b: pd.Series) -> pd.Series:
-    return pd.Series([_frechet_distance(x, y) for x, y in zip(a, b)],
-                     index=a.index, dtype="float64")
+    return LO.frechet(a, b, _frechet_distance).astype("float64")
 
 @pandas_udf(StringType())
 def st_boundingdiagonal(s: pd.Series) -> pd.Series:
-    return s.map(_bounding_diagonal, na_action="ignore")
+    return LO.bounding_diagonal(s, _bounding_diagonal)
 
 @pandas_udf(BooleanType())
 def st_isclosed(s: pd.Series) -> pd.Series:
-    return pd.Series([_is_closed(g) for g in s], index=s.index,
-                     dtype="object")
+    return LO.is_closed(s, _is_closed).astype("object")
 
 @pandas_udf(BooleanType())
 def st_issimple(s: pd.Series) -> pd.Series:
-    return pd.Series([_is_simple(g) for g in s], index=s.index,
-                     dtype="object")
+    return LO.is_simple(s, _is_simple).astype("object")
 
 @pandas_udf(BooleanType())
 def st_isring(s: pd.Series) -> pd.Series:
-    return pd.Series([_is_ring(g) for g in s], index=s.index,
-                     dtype="object")
+    return LO.is_ring(s, _is_ring).astype("object")
 
 @pandas_udf(StringType())
 def st_pointonsurface(s: pd.Series) -> pd.Series:
-    return s.map(_point_on_surface, na_action="ignore")
+    return LO.point_on_surface(s, _point_on_surface)
 
 @pandas_udf(StringType())
 def st_minimumboundingcircle(s: pd.Series) -> pd.Series:
@@ -4089,39 +4066,30 @@ def st_minimumboundingradius(s: pd.Series) -> pd.Series:
     """Radius of the minimum enclosing circle. Diverges from Sedona's
     struct(center, radius) return — the SQL surface keeps scalars; the
     center is ST_Centroid(ST_MinimumBoundingCircle(g))."""
-    return pd.Series(
-        [None if g is None else (_min_bounding_radius(g) or (None, None))[1]
-         for g in s], index=s.index, dtype="float64")
+    return LO.min_bounding_radius_val(
+        s, lambda g: (_min_bounding_radius(g) or (None, None))[1]
+    ).astype("float64")
 
 @pandas_udf(StringType())
 def st_geometricmedian(s: pd.Series) -> pd.Series:
-    return s.map(_geometric_median, na_action="ignore")
+    return LO.geometric_median(s, _geometric_median)
 
 @pandas_udf(StringType())
 def st_linesubstring(s: pd.Series, f1: pd.Series,
                      f2: pd.Series) -> pd.Series:
-    return pd.Series(
-        [None if g is None or pd.isna(a) or pd.isna(b)
-         else _line_substring(g, float(a), float(b))
-         for g, a, b in zip(s, f1, f2)], index=s.index)
+    return LO.line_substring(s, f1, f2, _line_substring)
 
 @pandas_udf(StringType())
 def st_segmentize(s: pd.Series, m: pd.Series) -> pd.Series:
-    return pd.Series([None if g is None or pd.isna(v)
-                      else _segmentize(g, float(v))
-                      for g, v in zip(s, m)], index=s.index)
+    return LO.segmentize(s, m, _segmentize)
 
 @pandas_udf(StringType())
 def st_collectionextract(s: pd.Series, d: pd.Series) -> pd.Series:
-    return pd.Series([None if g is None or pd.isna(v)
-                      else _collection_extract(g, int(v))
-                      for g, v in zip(s, d)], index=s.index)
+    return LO.collection_extract(s, d, _collection_extract)
 
 @pandas_udf(StringType())
 def st_simplify(s: pd.Series, tol: pd.Series) -> pd.Series:
-    return pd.Series([None if g is None or pd.isna(v)
-                      else _simplify_wkt(g, float(v))
-                      for g, v in zip(s, tol)], index=s.index)
+    return LO.simplify(s, tol, _simplify_wkt)
 
 @pandas_udf(StringType())
 def st_delaunaytriangles(s: pd.Series) -> pd.Series:
@@ -4243,44 +4211,36 @@ def st_degrees(x: pd.Series) -> pd.Series:
 @pandas_udf(StringType())
 def st_addpoint(line: pd.Series, pt: pd.Series,
                 pos: pd.Series) -> pd.Series:
-    return pd.Series([None if a is None or b is None or pd.isna(i)
-                      else _add_point(a, b, int(i))
-                      for a, b, i in zip(line, pt, pos)], index=line.index)
+    return LO.add_point(line, pt, pos, _add_point)
 
 @pandas_udf(StringType())
 def st_removepoint(line: pd.Series, pos: pd.Series) -> pd.Series:
-    return pd.Series([None if a is None or pd.isna(i)
-                      else _remove_point(a, int(i))
-                      for a, i in zip(line, pos)], index=line.index)
+    return LO.remove_point(line, pos, _remove_point)
 
 @pandas_udf(StringType())
 def st_setpoint(line: pd.Series, pos: pd.Series,
                 pt: pd.Series) -> pd.Series:
-    return pd.Series([None if a is None or b is None or pd.isna(i)
-                      else _set_point(a, int(i), b)
-                      for a, i, b in zip(line, pos, pt)], index=line.index)
+    return LO.set_point(line, pos, pt, _set_point)
 
 @pandas_udf(StringType())
 def st_snap(g: pd.Series, ref: pd.Series, tol: pd.Series) -> pd.Series:
-    return pd.Series([None if a is None or b is None or pd.isna(v)
-                      else _snap(a, b, float(v))
-                      for a, b, v in zip(g, ref, tol)], index=g.index)
+    return LO.snap(g, ref, tol, _snap)
 
 @pandas_udf(StringType())
 def st_split(a: pd.Series, b: pd.Series) -> pd.Series:
-    return pd.Series([_split(x, y) for x, y in zip(a, b)], index=a.index)
+    return LO.split(a, b, _split)
 
 @pandas_udf(StringType())
 def st_makepolygon(s: pd.Series) -> pd.Series:
-    return pd.Series([_make_polygon(g) for g in s], index=s.index)
+    return LO.make_polygon(s, _make_polygon)
 
 @pandas_udf(StringType())
 def st_linemerge(s: pd.Series) -> pd.Series:
-    return pd.Series([_line_merge(g) for g in s], index=s.index)
+    return LO.line_merge(s, _line_merge)
 
 @pandas_udf(StringType())
 def st_removerepeatedpoints(s: pd.Series) -> pd.Series:
-    return s.map(_remove_repeated_points, na_action="ignore")
+    return LO.remove_repeated_points(s, _remove_repeated_points)
 
 @pandas_udf(StringType())
 def st_force3d(s: pd.Series, z: pd.Series) -> pd.Series:
@@ -4288,34 +4248,31 @@ def st_force3d(s: pd.Series, z: pd.Series) -> pd.Series:
 
 @pandas_udf(StringType())
 def st_project(s: pd.Series, d: pd.Series, az: pd.Series) -> pd.Series:
-    return pd.Series([None if g is None or pd.isna(a) or pd.isna(b)
-                      else _project_point(g, float(a), float(b))
-                      for g, a, b in zip(s, d, az)], index=s.index)
+    return LO.project(s, d, az, _project_point)
 
 @pandas_udf(DoubleType())
 def st_xmin(s: pd.Series) -> pd.Series:
-    return pd.Series([_bound_of(g, "xmin") for g in s], index=s.index,
-                     dtype="float64")
+    return LO.bound_of(s, "xmin",
+                       lambda g: _bound_of(g, "xmin")).astype("float64")
 
 @pandas_udf(DoubleType())
 def st_xmax(s: pd.Series) -> pd.Series:
-    return pd.Series([_bound_of(g, "xmax") for g in s], index=s.index,
-                     dtype="float64")
+    return LO.bound_of(s, "xmax",
+                       lambda g: _bound_of(g, "xmax")).astype("float64")
 
 @pandas_udf(DoubleType())
 def st_ymin(s: pd.Series) -> pd.Series:
-    return pd.Series([_bound_of(g, "ymin") for g in s], index=s.index,
-                     dtype="float64")
+    return LO.bound_of(s, "ymin",
+                       lambda g: _bound_of(g, "ymin")).astype("float64")
 
 @pandas_udf(DoubleType())
 def st_ymax(s: pd.Series) -> pd.Series:
-    return pd.Series([_bound_of(g, "ymax") for g in s], index=s.index,
-                     dtype="float64")
+    return LO.bound_of(s, "ymax",
+                       lambda g: _bound_of(g, "ymax")).astype("float64")
 
 @pandas_udf(LongType())
 def st_numpoints(s: pd.Series) -> pd.Series:
-    return pd.Series([_num_points(g) for g in s], index=s.index,
-                     dtype="object")
+    return LO.num_points(s, _num_points).astype("object")
 
 @pandas_udf(StringType())
 def st_envelope_aggr(s: pd.Series) -> str:

@@ -63,9 +63,34 @@ MIN_PTS = 5
 #: points per blob — fixes per-component size at every SF.
 BLOB = 25
 
-#: sf_dir -> events row count (parquet footer metadata); memoized so the
-#: stats trio's repeated calls pay the count job once per directory.
+#: (sf_dir, mtime, size) -> events row count (parquet footer metadata);
+#: memoized so the stats trio's repeated calls pay the count job once per
+#: directory. Keyed on the file identity, not just the path, so a
+#: regenerated fixture in the same driver session invalidates naturally
+#: (r10 advice item 1).
 _N_CACHE: dict = {}
+
+
+def _events_cache_key(sf_dir: str) -> tuple:
+    import os
+
+    path = f"{sf_dir}/events.parquet"
+    try:
+        st = os.stat(path)
+        return (sf_dir, st.st_mtime_ns, st.st_size)
+    except OSError:
+        # directory-shaped parquet or remote path: fall back to the key
+        # that always works; regeneration then needs a new sf_dir
+        return (sf_dir, 0, 0)
+
+
+def events_count(spark: SparkSession, sf_dir: str) -> int:
+    """Memoized row count of events.parquet (footer metadata, exact)."""
+    key = _events_cache_key(sf_dir)
+    if key not in _N_CACHE:
+        _N_CACHE[key] = spark.read.parquet(
+            f"{sf_dir}/events.parquet").count()
+    return _N_CACHE[key]
 
 
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -79,12 +104,11 @@ def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
     a count-aggregate crossJoin, removing one job + broadcast exchange
     from every stats-trio call."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id")
-    if sf_dir not in _N_CACHE:
-        _N_CACHE[sf_dir] = ev.count()
+    n = events_count(spark, sf_dir)
     return (
         ev.selectExpr(
             "event_id AS id",
-            f"greatest({_N_CACHE[sf_dir]}L div {BLOB}, 1L) AS k",
+            f"greatest({n}L div {BLOB}, 1L) AS k",
         )
         .selectExpr(
             "id",

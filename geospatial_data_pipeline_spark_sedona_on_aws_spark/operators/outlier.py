@@ -71,9 +71,10 @@ TILE = 1024
 #: safely under a 1000-executor broadcast budget.
 BROADCAST_MAX_ROWS = 2_000_000
 BROADCAST_CONF = "spark.geoengine.lof.broadcastMaxRows"
-#: shared with dbscan._points: sf_dir -> point count, one footer-count
-#: job per directory across the whole stats trio.
-from .dbscan import _N_CACHE as _NPOINTS_CACHE  # noqa: E402
+#: shared with dbscan._points: one footer-count job per events fixture
+#: (keyed on file identity, r10 advice item 1) across the whole stats
+#: trio.
+from .dbscan import events_count  # noqa: E402
 
 def _lof_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stats point law with every 97th point pushed +15 in x: off
@@ -85,7 +86,8 @@ def _lof_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y",
     )
 
-def local_outlier_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+def local_outlier_factor(spark: SparkSession, sf_dir: str,
+                         _stage: str | None = None) -> DataFrame:
     """(id, n_k, kdist2, lof_q, is_outlier): integer-quantized LOF with
     k = 5 over the blob point law; lof_q ≈ LOF × 1e9, outliers flagged
     at LOF > 1.5.
@@ -94,15 +96,21 @@ def local_outlier_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializes. Each point explodes into the 9 cells whose 3×3
     neighborhood it belongs to (900k narrow rows at sf0.1, one shuffle)
     and each cell group computes its OWN points' values against the
-    whole neighborhood as one int64 numpy distance matrix — three
-    applyInPandas passes (kdist → lrd → lof), each consuming the same
-    re-used exploded frame plus the previous pass's 100k-row output as
-    a BROADCAST join. The previous join-based plan materialized the
-    8.2M-pair candidate frame and shuffled it three times (measured:
-    ~5 s of its 9.8 s was building/holding the pair set). All
-    arithmetic is int64 (squared distances, SCALE-quantized divisions)
-    — bit-equal to the pairwise SQL oracle by construction; pinned by
-    the all-pairs brute-force test.
+    whole neighborhood as one int64 numpy distance matrix — TWO
+    applyInPandas passes (kdist → lrd), each consuming the same re-used
+    exploded frame plus the previous pass's 100k-row output as a
+    BROADCAST join. The lrd pass also emits each point's N_k member-id
+    list (~K+ties longs), so the final LOF stage is a plain explode +
+    equi-join + int64 sum — NO third distance-matrix pass (r11: the old
+    third pass re-shuffled the 9× frame and recomputed every tile just
+    to sum neighbors' lrd values; measured 17.9 s of the 36 s sf1.0
+    total). Integer sums are order-free-exact, so the aggregation
+    commutes with any partitioning. The r9 join-based plan before that
+    materialized the 8.2M-pair candidate frame and shuffled it three
+    times (~5 s of its 9.8 s at sf0.1). All arithmetic is int64
+    (squared distances, SCALE-quantized divisions) — bit-equal to the
+    pairwise SQL oracle by construction; pinned by the all-pairs
+    brute-force test.
 
     100 TB (r10 hardening): the per-point frames (kdist, lrd) broadcast
     only while the point count stays under BROADCAST_MAX_ROWS (conf
@@ -119,10 +127,7 @@ def local_outlier_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _lof_points(spark, sf_dir)
     # size gate for the two per-point joins below: parquet row count is
     # footer metadata (no scan), one cheap driver action, memoized
-    if sf_dir not in _NPOINTS_CACHE:
-        _NPOINTS_CACHE[sf_dir] = \
-            spark.read.parquet(f"{sf_dir}/events.parquet").count()
-    n_points = _NPOINTS_CACHE[sf_dir]
+    n_points = events_count(spark, sf_dir)
     limit = int(spark.conf.get(BROADCAST_CONF, str(BROADCAST_MAX_ROWS)))
     hint = F.broadcast if n_points <= limit else (lambda df: df)
     ex = (
@@ -204,66 +209,72 @@ def local_outlier_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def lrd_fn(_key, pdf):
+        """lrd pass, r11-fused: besides (n_k, sum_reach2, lrd_q) it emits
+        each own point's N_k MEMBER LIST (neighbor ids, ties included) —
+        ~(K + ties) longs per point — so the LOF stage needs no third
+        distance-matrix pass: Σ_o lrd_q(o) is an explode + equi-join +
+        integer sum, which is order-free-exact in int64 (no overflow:
+        lrd_q <= SCALE, |N_k| is neighborhood-bounded)."""
         own = pdf[pdf["own"]]
         if own.empty:
-            return pd.DataFrame({"id": [], "n_k": [], "sum_reach2": [],
-                                 "lrd_q": []})
+            return pd.DataFrame({"id": [], "n_k": [], "kdist2": [],
+                                 "sum_reach2": [], "lrd_q": [],
+                                 "nbrs": pd.Series([], dtype=object)})
         oid, O, ids, X = _group(pdf)
         okd = own["kdist2"].to_numpy(np.int64)
         nkd = pdf["kdist2"].to_numpy(np.int64)
         n_k = np.zeros(len(oid), np.int64)
         sum_reach2 = np.zeros(len(oid), np.int64)
+        nbrs: list = [[] for _ in range(len(oid))]
         for r0 in range(0, len(oid), TILE):
             r1 = min(r0 + TILE, len(oid))
             for c0 in range(0, len(ids), TILE):
+                idsc = ids[c0:c0 + TILE]
                 d2 = _d2_tile(O[r0:r1], oid[r0:r1],
-                              X[c0:c0 + TILE], ids[c0:c0 + TILE])
+                              X[c0:c0 + TILE], idsc)
                 in_nk = d2 <= okd[r0:r1, None]   # N_k(p): ties included
                 reach2 = np.maximum(
                     np.maximum(nkd[c0:c0 + TILE][None, :], d2), 1)
                 n_k[r0:r1] += in_nk.sum(axis=1)
                 sum_reach2[r0:r1] += np.where(in_nk, reach2, 0).sum(
                     axis=1, dtype=np.int64)
+                for r in range(r1 - r0):
+                    row = in_nk[r]
+                    if row.any():
+                        nbrs[r0 + r].extend(idsc[row].tolist())
         lrd_q = n_k * SCALE // sum_reach2
-        return pd.DataFrame({"id": oid, "n_k": n_k,
-                             "sum_reach2": sum_reach2, "lrd_q": lrd_q})
+        return pd.DataFrame({"id": oid, "n_k": n_k, "kdist2": okd,
+                             "sum_reach2": sum_reach2, "lrd_q": lrd_q,
+                             "nbrs": nbrs})
 
     lrd = (
         ex_kd.groupBy("px", "py")
         .applyInPandas(lrd_fn,
-                       "id long, n_k long, sum_reach2 long, lrd_q long")
+                       "id long, n_k long, kdist2 long, sum_reach2 long,"
+                       " lrd_q long, nbrs array<long>")
         .localCheckpoint(eager=False)
     )
 
-    def lof_fn(_key, pdf):
-        own = pdf[pdf["own"]]
-        if own.empty:
-            return pd.DataFrame({"id": [], "n_k": [], "kdist2": [],
-                                 "lof_q": []})
-        oid, O, ids, X = _group(pdf)
-        okd = own["kdist2"].to_numpy(np.int64)
-        nlrd = pdf["lrd_q"].to_numpy(np.int64)
-        sum_lrd_o = np.zeros(len(oid), np.int64)
-        for r0 in range(0, len(oid), TILE):
-            r1 = min(r0 + TILE, len(oid))
-            for c0 in range(0, len(ids), TILE):
-                d2 = _d2_tile(O[r0:r1], oid[r0:r1],
-                              X[c0:c0 + TILE], ids[c0:c0 + TILE])
-                in_nk = d2 <= okd[r0:r1, None]
-                sum_lrd_o[r0:r1] += np.where(
-                    in_nk, nlrd[c0:c0 + TILE][None, :], 0).sum(
-                    axis=1, dtype=np.int64)
-        n_k = own["n_k"].to_numpy(np.int64)
-        sum_reach2 = own["sum_reach2"].to_numpy(np.int64)
-        lof_q = sum_lrd_o * sum_reach2 // (n_k * n_k)
-        return pd.DataFrame({"id": oid, "n_k": n_k,
-                             "kdist2": okd, "lof_q": lof_q})
-
+    if _stage == "ex":
+        return ex
+    if _stage == "kd":
+        return kd
+    if _stage == "lrd":
+        return lrd
+    # LOF: Σ_o∈N_k(p) lrd_q(o) via explode + join + sum — all int64, so
+    # any aggregation order is bit-exact; the lrd frame broadcasts under
+    # the same size gate as the kd join (shuffle join beyond it)
+    pairs = lrd.select("id", "n_k", "kdist2", "sum_reach2",
+                       F.explode("nbrs").alias("o"))
+    lrd_o = lrd.select(F.col("id").alias("o"),
+                       F.col("lrd_q").alias("lrd_q_o"))
     return (
-        ex_kd.join(hint(lrd), "id")
-        .groupBy("px", "py")
-        .applyInPandas(lof_fn,
-                       "id long, n_k long, kdist2 long, lof_q long")
+        pairs.join(hint(lrd_o), "o")
+        .groupBy("id", "n_k", "kdist2", "sum_reach2")
+        .agg(F.sum("lrd_q_o").alias("sum_lrd_o"))
+        .selectExpr(
+            "id", "n_k", "kdist2",
+            "sum_lrd_o * sum_reach2 div (n_k * n_k) AS lof_q")
         .selectExpr("id", "n_k", "kdist2", "lof_q",
                     f"lof_q > {SCALE}L * 3L div 2L AS is_outlier")
     )

@@ -51,8 +51,12 @@ def _cells(df: DataFrame, x1: str, y1: str, x2: str, y2: str) -> DataFrame:
 CELL_BLOCK = 1024
 
 #: test seam (plan-shape assertions): the most recent _cell_block_join's
-#: per-cell join frame BEFORE the lazy checkpoint truncates its lineage
+#: per-cell join frame BEFORE the lazy checkpoint truncates its lineage.
+#: OPT-IN — retained only while _KEEP_LAST_CELL_JOIN is set by a test,
+#: so production queries never pin a frame's lineage + session for the
+#: process lifetime (r10 advice item 3)
 _LAST_CELL_JOIN = None
+_KEEP_LAST_CELL_JOIN = False
 
 
 def _cell_block_join(a_cells: DataFrame, a_fields: list,
@@ -84,9 +88,11 @@ def _cell_block_join(a_cells: DataFrame, a_fields: list,
     # measured 41.7 s vs 2.3 s on geo_range_join at sf0.1 without it.
     # The checkpoint hides the join from downstream plan dumps, so the
     # pre-checkpoint frame is parked for plan-shape tests.
-    global _LAST_CELL_JOIN
-    _LAST_CELL_JOIN = ga.join(gb, [cx, cy])
-    j = _LAST_CELL_JOIN.localCheckpoint(eager=False)
+    cell_join = ga.join(gb, [cx, cy])
+    if _KEEP_LAST_CELL_JOIN:
+        global _LAST_CELL_JOIN
+        _LAST_CELL_JOIN = cell_join
+    j = cell_join.localCheckpoint(eager=False)
     la, lb = F.col("__la"), F.col("__lb")
 
     def _explode_pairs(df):

@@ -814,7 +814,8 @@ FROM cells GROUP BY region_id, season_id
 """
 
 
-def st_triangulate_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+def st_triangulate_ops(spark: SparkSession, sf_dir: str,
+        _sampled: bool = True) -> DataFrame:
     """ST_DelaunayTriangles / ST_VoronoiPolygons (r7: scan triangulation
     + Lawson flips; half-plane Voronoi cells — kernel/triangulate.py).
     Closed-form oracles via triangulation invariants, which hold for ANY
@@ -832,8 +833,9 @@ def st_triangulate_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.spatial import register_spatial_functions
 
     register_spatial_functions(spark)
-    lu = fixtures.land_use_areas(spark, sf_dir, wkt=False) \
-        .where("property_id % 10 = 3")
+    lu = fixtures.land_use_areas(spark, sf_dir, wkt=False)
+    if _sampled:
+        lu = lu.where("property_id % 10 = 3")
     mp = ("concat('MULTIPOINT (', x1, ' ', y1, ', ', x2, ' ', y1, ', ',"
           " x2, ' ', y2, ', ', x1, ' ', y2, ', ', (x1 + x2) / 2.0, ' ',"
           " (y1 + y2) / 2.0, ')')")
@@ -876,7 +878,8 @@ FROM b
 WHERE property_id % 10 = 3
 """
 
-def st_concave_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+def st_concave_hull(spark: SparkSession, sf_dir: str,
+        _sampled: bool = True) -> DataFrame:
     """ST_ConcaveHull (r7: Delaunay border erosion by length ratio).
     Oracles: pctConvex=1 over the rect corners IS the convex hull (area
     w·h, 5 vertices); pctConvex=0 over a 54-point unit-lattice C-shape
@@ -894,8 +897,9 @@ def st_concave_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.spatial import register_spatial_functions
 
     register_spatial_functions(spark)
-    lu = fixtures.land_use_areas(spark, sf_dir, wkt=False) \
-        .where("property_id % 50 = 3")
+    lu = fixtures.land_use_areas(spark, sf_dir, wkt=False)
+    if _sampled:
+        lu = lu.where("property_id % 50 = 3")
     corners = ("concat('MULTIPOINT (', x1, ' ', y1, ', ', x2, ' ', y1,"
                " ', ', x2, ' ', y2, ', ', x1, ' ', y2, ')')")
     cpts = set()
@@ -1130,7 +1134,8 @@ SELECT property_id,
 FROM dims
 """
 
-def st_subdivide_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+def st_subdivide_ops(spark: SparkSession, sf_dir: str,
+        _sampled: bool = True) -> DataFrame:
     """ST_Subdivide (r7: recursive bbox-halving through the convex-clip
     kernel — the PostGIS spatial-join optimization). Oracles: a rect (5
     WKT vertices) under max_vertices=8 passes through whole (1 piece);
@@ -1145,8 +1150,9 @@ def st_subdivide_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.spatial import register_spatial_functions
 
     register_spatial_functions(spark)
-    lu = fixtures.land_use_areas(spark, sf_dir) \
-        .where("property_id % 10 = 3")
+    lu = fixtures.land_use_areas(spark, sf_dir)
+    if _sampled:
+        lu = lu.where("property_id % 10 = 3")
     return (
         lu.selectExpr("property_id", "x1", "y1", "x2", "y2",
                       "land_geometry", *_CROSS_DIMS[0].split(", "))

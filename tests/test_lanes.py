@@ -45,6 +45,10 @@ def _mixed_batch():
             f"MULTIPOINT ({A} {B}, {C} {D})",
             f"MULTILINESTRING (({A} {B}, {C} {B}), ({C} {B}, {C} {D}))",
             f"GEOMETRYCOLLECTION (POINT ({A} {B}))",
+            # canonical single-member MULTIPOLYGON rect: exercises the
+            # MPOLY5 lane of typed_from_text (ST_MPolyFromText rewrites
+            # it to the POLYGON canon — r10 advice item 2)
+            f"MULTIPOLYGON ((({A} {B}, {C} {B}, {C} {D}, {A} {D}, {A} {B})))",
         ]
     # fallback classes
     rows += [

@@ -79,12 +79,13 @@ def test_whole_stage_codegen_covers_relational_plans(spark):
     buf = io.StringIO()
     # AQE's AdaptiveSparkPlan hides codegen subtrees until execution;
     # disable it for the inspection only
+    saved_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         with contextlib.redirect_stdout(buf):
             R.nation_revenue(spark, SF_SMOKE).explain(mode="codegen")
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
     m = re.search(r"Found (\d+) WholeStageCodegen subtrees", buf.getvalue())
     assert m and int(m.group(1)) >= 1, buf.getvalue()[:500]
 
@@ -375,6 +376,7 @@ def test_spatial_range_join_forced_fallback(spark):
     old = conf.get("spark.sql.autoBroadcastJoinThreshold", None)
     try:
         conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        SJ._KEEP_LAST_CELL_JOIN = True      # opt into the test seam
         out = SJ.spatial_range_join(spark, sf, broadcast_dim=False)
         got = sorted(map(tuple, out.collect()))
         plan = out._jdf.queryExecution().executedPlan().toString()
@@ -384,6 +386,8 @@ def test_spatial_range_join_forced_fallback(spark):
         join_plan = SJ._LAST_CELL_JOIN._jdf.queryExecution() \
             .executedPlan().toString()
     finally:
+        SJ._KEEP_LAST_CELL_JOIN = False
+        SJ._LAST_CELL_JOIN = None
         if old is None:
             conf.unset("spark.sql.autoBroadcastJoinThreshold")
         else:
@@ -469,7 +473,9 @@ def test_bnl_build_sides_stay_bounded(spark):
                "ReusedExchange")             # reuse of an already-checked one
     checked = 0
     # AQE's plan node exposes no children to walk; the audited property
-    # is static join structure, identical with AQE off
+    # is static join structure, identical with AQE off (restore the
+    # PRE-TEST value, not a hardcoded 'true' — r10 advice item 4)
+    saved_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         for qname in ("ann_recall_at_k", "getis_ord_hotspots",
@@ -488,5 +494,5 @@ def test_bnl_build_sides_stay_bounded(spark):
                 assert any(m in sub for m in bounded), \
                     f"{qname}: unbounded BNL build side:\n{sub[:800]}"
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
     assert checked >= 6, f"expected the audited BNL sites, saw {checked}"
