@@ -139,7 +139,13 @@ def local_outlier_factor(spark: SparkSession, sf_dir: str,
                     "explode(sequence(cy - 1, cy + 1)) AS py")
         .selectExpr("id", "x", "y", "px", "py",
                     "px = cx AND py = cy AS own")
-        .localCheckpoint(eager=False)  # reused by all three passes
+        # hash-partition by cell ONCE: localCheckpoint preserves
+        # outputPartitioning, the broadcast kd join preserves the
+        # streamed side's, so BOTH applyInPandas groupBys consume this
+        # single exchange instead of re-shuffling the 9x frame each
+        # (r11; plan-asserted by test_lof_single_cell_exchange)
+        .repartition(F.col("px"), F.col("py"))
+        .localCheckpoint(eager=False)  # reused by both matrix passes
     )
 
     SENT = np.iinfo(np.int64).max
@@ -203,10 +209,7 @@ def local_outlier_factor(spark: SparkSession, sf_dir: str,
         .localCheckpoint(eager=False)
     )
 
-    ex_kd = (
-        ex.join(hint(kd), "id")
-        .localCheckpoint(eager=False)  # reused by the lrd AND lof passes
-    )
+    ex_kd = ex.join(hint(kd), "id")
 
     def lrd_fn(_key, pdf):
         """lrd pass, r11-fused: besides (n_k, sum_reach2, lrd_q) it emits

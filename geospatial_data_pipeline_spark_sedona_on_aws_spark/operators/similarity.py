@@ -427,6 +427,22 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adc
 FROM ranked WHERE rank <= {PQ_TOPK}
 """
 
+#: multi-probe masks (r11, VERDICT r10 item 4): every Hamming-1 flip plus
+#: a fixed 16-mask Hamming-2 ring (adjacent pairs {p, p+1 mod 8} and skip
+#: pairs {p, p+2 mod 8}) — 25 distinct probes per query. On the
+#: near-orthogonal fixture each probe contributes recall roughly
+#: independently (the r4 directed-probing measurement), so the d2 ring
+#: lifts recall@5 from 0.098 toward ~0.2 for a bounded 2.8x fan-out —
+#: still an equi-join on the probe bucket, never all-pairs, and a pair
+#: still matches at most once (candidate bucket unique, probe list
+#: distinct).
+LSH_PROBE_MASKS = tuple(
+    [1 << p for p in range(LSH_PLANES)]
+    + [(1 << p) | (1 << ((p + 1) % LSH_PLANES)) for p in range(LSH_PLANES)]
+    + [(1 << p) | (1 << ((p + 2) % LSH_PLANES)) for p in range(LSH_PLANES)]
+)
+
+
 def _bucket(v: Column) -> Column:
     """Axis-projection LSH bucket: bit p = (v[p*8 + 1] >= 0)."""
     out = None
@@ -438,14 +454,19 @@ def _bucket(v: Column) -> Column:
 def lsh_ann(spark: SparkSession, sf_dir: str,
             max_query_id: int | None = None) -> DataFrame:
     """Approximate top-5 neighbors via MULTI-PROBE LSH: the query side
-    probes its own bucket plus every Hamming-distance-1 bucket (one sign
-    bit flipped — the buckets a near-neighbor most likely lands in), the
-    candidate side keeps its single bucket, exact cosine within matches.
+    probes its own bucket plus every Hamming-distance-1 bucket and a
+    fixed Hamming-2 ring (the buckets a near-neighbor most likely lands
+    in), the candidate side keeps its single bucket, exact cosine within
+    matches.
 
     Single-probe at 2^planes buckets collapses for recall once buckets are
     sparse (measured 3% recall@5 on the fixture); multi-probe lifts recall
-    by an order of magnitude for a bounded fan-out of (planes+1)× on the
-    QUERY side only — the standard trade (Lv et al., multi-probe LSH).
+    by an order of magnitude for a bounded fan-out on the QUERY side only
+    — the standard trade (Lv et al., multi-probe LSH). r11 widened the
+    probe set from Hamming-1 (9 probes, recall@5 0.098 — one bad
+    hyperplane draw above the old 0.08 floor) to LSH_PROBE_MASKS'
+    25 probes (own + 8 H1 + a fixed 16-mask H2 ring): measured recall@5
+    0.228 at sf0.1, floor raised to 0.15 (VERDICT r10 item 4).
     Scale shape is unchanged: equi-join on the probe bucket, never
     all-pairs; a pair can match at most once because the candidate's
     bucket is unique and the probe list is distinct.
@@ -481,7 +502,7 @@ def lsh_ann(spark: SparkSession, sf_dir: str,
     )
     probes = F.array(
         F.col("bucket"),
-        *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(LSH_PLANES)],
+        *[F.col("bucket").bitwiseXOR(F.lit(m)) for m in LSH_PROBE_MASKS],
     )
     # max_query_id restricts the PROBE side before the explode and the
     # self-join (ann_recall_at_k's arm): the predicate reaches the scan
@@ -514,7 +535,7 @@ _BUCKET_SQL = " + ".join(
 )
 
 _PROBES_SQL = "unnest([bucket, " + ", ".join(
-    f"xor(bucket, {1 << p})" for p in range(LSH_PLANES)
+    f"xor(bucket, {m})" for m in LSH_PROBE_MASKS
 ) + "])"
 
 LSH_ANN_ORACLE = f"""
@@ -979,7 +1000,7 @@ FROM embeddings
 # bucketing; clustered real corpora recall far higher). The gate catches
 # collapse back to random, not perfection.
 ANN_RECALL_K = 5
-ANN_RECALL_FLOORS_BP = (("ivf", 1500), ("lsh", 800), ("pq", 1000))
+ANN_RECALL_FLOORS_BP = (("ivf", 1500), ("lsh", 1500), ("pq", 1000))
 
 
 def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:

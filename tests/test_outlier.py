@@ -185,3 +185,18 @@ def test_small_neighborhood_raises_loudly(spark, monkeypatch):
     monkeypatch.setattr(O, "K", 10 ** 6)
     with pytest.raises(Exception, match="point law is violated"):
         O.local_outlier_factor(spark, SF_DIR).collect()
+
+
+def test_lof_single_cell_exchange(spark):
+    """r11 plan shape: the exploded 9x frame is hash-partitioned by cell
+    ONCE (inside the checkpoint) and both applyInPandas groupBys reuse
+    it — the live plan carries exactly one hash exchange (the final
+    pair-sum aggregation) plus the gated broadcast, never a re-shuffle
+    of the 9x frame per pass."""
+    import re
+
+    plan = (O.local_outlier_factor(spark, SF_DIR)
+            ._jdf.queryExecution().executedPlan().toString())
+    live_exchanges = re.findall(r"Exchange hashpartitioning", plan)
+    assert len(live_exchanges) == 1, plan[:1500]
+    assert "BroadcastHashJoin" in plan

@@ -107,7 +107,9 @@ def test_ann_recall_vs_exact_topk(spark):
     # with the init-only 16-entry codebook measured ~0.16. The gate
     # catches collapse back to random, not perfection — clustered real
     # corpora recall far higher
-    assert r_lsh >= 0.08, f"LSH recall@5 collapsed: {r_lsh:.3f}"
+    # r11: 25-probe multi-probe (H1 + fixed H2 ring) measures 0.228
+    # at sf0.1 and ~0.2 at the test sf; 0.15 leaves noise margin
+    assert r_lsh >= 0.15, f"LSH recall@5 collapsed: {r_lsh:.3f}"
     assert r_ivf >= 0.15, f"IVF recall@5 collapsed: {r_ivf:.3f}"
     assert r_pq >= 0.10, f"PQ recall@5 collapsed: {r_pq:.3f}"
 
