@@ -282,7 +282,8 @@ def mp3_frames_encode(version: int, layer: int, bitrate_idx: int,
                       sr_idx: int, n_frames: int, channel_mode: int,
                       protection: bool, seed: int,
                       id3v2_size: int = 0,
-                      structured_side: bool = False) -> bytes:
+                      structured_side: bool = False,
+                      structured_scalefactors: bool = False) -> bytes:
     """Build a spec-valid CBR frame stream with deterministic payload
     bytes (``_payload_byte``); protected Layer III frames get a CORRECT
     CRC-16 over header+side-info so the probe's validation path is
@@ -311,12 +312,25 @@ def mp3_frames_encode(version: int, layer: int, bitrate_idx: int,
         frame = bytearray((0xFF, hdr1, hdr2, hdr3))
         body_len = flen - 4 - (2 if protection else 0)
         body = bytes([_payload_byte(seed, f)]) * body_len
-        if structured_side:
-            si = side_info_encode(version,
-                                  1 if channel_mode == 3 else 2, seed, f)
+        if structured_side or structured_scalefactors:
+            nch = 1 if channel_mode == 3 else 2
+            si = side_info_encode(version, nch, seed, f)
             if len(si) > body_len:
                 raise Mp3Error("frame too short for structured side info")
-            body = si + body[len(si):]
+            extra = b""
+            if structured_scalefactors:
+                # part2 bits (r11): real MPEG-1 scalefactor bitstream
+                # right after the side info (main_data_begin is 0 —
+                # no bit reservoir in the fixture)
+                if _vgroup(version) == 2:
+                    raise Mp3Error(
+                        "LSF scalefactor partitions are a documented "
+                        "engine boundary (MPEG-1 layout only)")
+                sid = side_info_parse(version, nch, si)
+                extra = scalefactors_encode(sid, seed, f)
+                if len(si) + len(extra) > body_len:
+                    raise Mp3Error("frame too short for scalefactors")
+            body = si + extra + body[len(si) + len(extra):]
         if protection:
             crc = crc16_mpeg(bytes((hdr2, hdr3)) + body[:side])
             frame += bytes((crc >> 8, crc & 0xFF))
@@ -569,6 +583,179 @@ def mp3_granules(payload: bytes) -> list:
                        "scfsi": si["scfsi"][c]}
                 row.update(gf)
                 rows.append(row)
+        f += 1
+        pos += flen
+    return rows
+
+
+# ----------------------------------------- Layer III scalefactors (r11)
+#
+# The layer BELOW the side info (r10 verdict item 5): the part2 bits of
+# main_data — per-(granule, channel) scalefactors, the per-band gain a
+# corpus filter thresholds as "band energy" without Huffman/PCM work.
+# MPEG-1 layout only (ISO/IEC 11172-3 §2.4.1.7 / §2.4.2.7): slen1/slen2
+# from the 16-entry scalefac_compress table; long blocks carry sfb 0-10
+# (slen1) + 11-20 (slen2) with scfsi GROUP SHARING into granule 1;
+# short blocks (block_type 2) carry sfb 0-5 / 6-11 per window; mixed
+# blocks 8 long + sfb 3-11 short. LSF (MPEG-2/2.5) uses a different
+# partition scheme and raises deterministically — the same documented-
+# boundary convention as the codec gates in multimodal/binary.py.
+
+SLEN_TABLE = ((0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1), (1, 2),
+              (1, 3), (2, 1), (2, 2), (2, 3), (3, 1), (3, 2), (3, 3),
+              (4, 2), (4, 3))
+#: MPEG-1 scfsi band groups over the long layout (inclusive ranges)
+SCFSI_GROUPS = ((0, 5), (6, 10), (11, 15), (16, 20))
+
+
+def scalefac_value_law(seed: int, f: int, g: int, c: int, sfb: int,
+                       window: int, slen: int) -> int:
+    """Deterministic per-slot scalefactor, mirrored in closed form by
+    the SQL oracle; a 0-bit slot is always 0 (nothing transmitted)."""
+    return (seed * 7 + f * 5 + g * 3 + c * 11 + sfb * 2
+            + (window + 1)) % (1 << slen)
+
+
+def _scalefac_slots(gf: dict) -> list:
+    """Transmission slots for one (granule, channel) in spec order:
+    (sfb, window, slen_index) with window = -1 for long bands and
+    slen_index 0/1 selecting slen1/slen2."""
+    short = gf["window_switching"] == 1 and gf["block_type"] == 2
+    slots = []
+    if not short:
+        for sfb in range(11):
+            slots.append((sfb, -1, 0))
+        for sfb in range(11, 21):
+            slots.append((sfb, -1, 1))
+        return slots
+    mixed = gf["mixed_block_flag"] == 1
+    if mixed:
+        for sfb in range(8):
+            slots.append((sfb, -1, 0))
+        lo = 3
+    else:
+        lo = 0
+    for sfb in range(lo, 6):
+        for w in range(3):
+            slots.append((sfb, w, 0))
+    for sfb in range(6, 12):
+        for w in range(3):
+            slots.append((sfb, w, 1))
+    return slots
+
+
+def _is_short(gf: dict) -> bool:
+    return gf["window_switching"] == 1 and gf["block_type"] == 2
+
+
+def _scfsi_shared(si: dict, g: int, c: int, grp: int) -> bool:
+    """scfsi group bit for granule 1: honored only when BOTH granules of
+    the channel are long blocks (the libmad/minimp3 convention — the
+    spec marks scfsi invalid for short blocks)."""
+    if g != 1:
+        return False
+    g0, g1 = si["granules"][0][c], si["granules"][1][c]
+    if _is_short(g0) or _is_short(g1):
+        return False
+    return bool((si["scfsi"][c] >> (3 - grp)) & 1)
+
+
+def _long_group(sfb: int) -> int:
+    for i, (lo, hi) in enumerate(SCFSI_GROUPS):
+        if lo <= sfb <= hi:
+            return i
+    raise Mp3Error(f"sfb {sfb} outside the long layout")
+
+
+def scalefactors_encode(si: dict, seed: int, frame: int) -> bytes:
+    """The part2 bitstream for one frame's granules, MPEG-1 layout,
+    values from scalefac_value_law, scfsi sharing honored (shared
+    granule-1 groups transmit nothing)."""
+    w = _BitWriter()
+    for g, chans in enumerate(si["granules"]):
+        for c, gf in enumerate(chans):
+            s1, s2 = SLEN_TABLE[gf["scalefac_compress"]]
+            for (sfb, win, si_idx) in _scalefac_slots(gf):
+                if g == 1 and win == -1 and not _is_short(gf) \
+                        and _scfsi_shared(si, 1, c, _long_group(sfb)):
+                    continue
+                slen = (s1, s2)[si_idx]
+                if slen:
+                    w.put(scalefac_value_law(seed, frame, g, c, sfb,
+                                             win, slen), slen)
+    nbits = len(w._bits)
+    return w.to_bytes((nbits + 7) // 8)
+
+
+def mp3_scalefactors(payload: bytes) -> list:
+    """Frame walk + side-info decode + part2 scalefactor decode: one row
+    per (frame, granule, channel, sfb, window) slot with the decoded
+    scalefactor, its bit width, the scfsi `shared` flag (granule-1 long
+    groups reusing granule 0's values), and the granule's part2 bit
+    count + part2_ok (part2 fits inside part2_3_length — queryable
+    instead of fatal, since fixture streams carry no Huffman data).
+    MPEG-1 only; LSF streams raise deterministically (different
+    scalefactor partition scheme — documented boundary)."""
+    if not isinstance(payload, (bytes, bytearray)):
+        raise Mp3Error("payload must be bytes")
+    buf = bytes(payload)
+    pos = _skip_id3v2(buf)
+    end = len(buf)
+    if end >= pos + 128 and buf[end - 128:end - 125] == b"TAG":
+        end -= 128
+    if pos >= end:
+        raise Mp3Error("no audio frames in stream")
+    rows = []
+    f = 0
+    while pos < end:
+        h = _parse_header(buf[pos:pos + 4])
+        if h["layer"] != 3:
+            raise Mp3Error("scalefactors are a Layer III structure; "
+                           f"stream is Layer {h['layer']}")
+        if _vgroup(h["version"]) == 2:
+            raise Mp3Error("LSF scalefactor partitions are a documented "
+                           "engine boundary (MPEG-1 layout only)")
+        flen = h["frame_len"]
+        if pos + flen > end:
+            raise Mp3Error("truncated final frame")
+        body = pos + 4 + (2 if h["protection"] else 0)
+        si = side_info_parse(h["version"], h["channels"],
+                             buf[body:pos + flen])
+        side_len = _SIDE_INFO_LEN[(1, h["channels"] == 1)]
+        r = _BitReader(buf[body + side_len:pos + flen])
+        # granule 0 values kept per channel for scfsi sharing
+        g0_vals: dict = {}
+        for g, chans in enumerate(si["granules"]):
+            for c, gf in enumerate(chans):
+                s1, s2 = SLEN_TABLE[gf["scalefac_compress"]]
+                part2 = 0
+                out_slots = []
+                for (sfb, win, si_idx) in _scalefac_slots(gf):
+                    slen = (s1, s2)[si_idx]
+                    shared = (g == 1 and win == -1 and not _is_short(gf)
+                              and _scfsi_shared(si, 1, c,
+                                                _long_group(sfb)))
+                    if shared:
+                        # granule 0's VALUE is reused verbatim; the slot
+                        # transmits 0 bits, so slen reports 0 (part2 is
+                        # then exactly the sum of the slen column)
+                        val = g0_vals[(c, sfb, win)]
+                        slen = 0
+                    else:
+                        val = r.get(slen) if slen else 0
+                        part2 += slen
+                    if g == 0:
+                        g0_vals[(c, sfb, win)] = val
+                    out_slots.append((sfb, win, slen, val, shared))
+                for (sfb, win, slen, val, shared) in out_slots:
+                    rows.append({
+                        "frame": f, "granule": g, "channel": c,
+                        "sfb": sfb, "window": win, "slen": slen,
+                        "scalefac": val, "shared": 1 if shared else 0,
+                        "part2_bits": part2,
+                        "part2_ok": 1 if part2 <= gf["part2_3_length"]
+                        else 0,
+                    })
         f += 1
         pos += flen
     return rows

@@ -100,9 +100,8 @@ def _parse_frame_header(data: bytes) -> dict:
     show_frame = r.get(1)
     error_resilient = r.get(1)
     if frame_type != 0:
-        raise Vp9Error(
-            "inter-frame uncompressed headers are not supported (needs "
-            "reference-frame state); keyframe/show-existing streams only")
+        return _parse_inter_header(r, profile, show_frame,
+                                   error_resilient)
     if tuple(r.get(8) for _ in range(3)) != VP9_SYNC_CODE:
         raise Vp9Error("bad keyframe sync code")
     bit_depth = 8
@@ -132,6 +131,57 @@ def _parse_frame_header(data: bytes) -> dict:
             "height": height, "header_bytes": r.byte_len()}
 
 
+def _parse_inter_header(r: "_BitReader", profile: int, show_frame: int,
+                        error_resilient: int) -> dict:
+    """Inter-frame uncompressed header (spec §6.2, r11 — VERDICT r10
+    item 6): reset_frame_context, refresh_frame_flags, the three
+    reference slots (index + sign bias), frame_size_with_refs (sizes
+    inherited from the first found reference, or explicit 16+16 dims
+    when no ref matches), allow_high_precision_mv, and the
+    interpolation filter. The walk stops after the filter — the
+    remaining uncompressed-header fields (loop filter, quantization,
+    segmentation, tiles) follow in real streams; the fixture writes its
+    filler right here, so header_bytes audits exactly these bits.
+    intra_only (show_frame == 0) stays a deterministic boundary — its
+    color-config path needs no reference state but the fixture has no
+    use for a non-shown frame."""
+    if not show_frame:
+        raise Vp9Error("intra-only frames are not supported "
+                       "(non-shown frame; documented boundary)")
+    reset_frame_context = 0
+    if not error_resilient:
+        reset_frame_context = r.get(2)
+    refresh_frame_flags = r.get(8)
+    ref_idx = []
+    sign_bias = []
+    for _ in range(3):
+        ref_idx.append(r.get(3))
+        sign_bias.append(r.get(1))
+    found_slot = -1
+    width = height = -1
+    for i in range(3):
+        if r.get(1):                       # found_ref: size from ref i
+            found_slot = i
+            break
+    if found_slot < 0:
+        width = r.get(16) + 1
+        height = r.get(16) + 1
+        if r.get(1):                       # render != frame size
+            r.get(32)
+    allow_high_precision_mv = r.get(1)
+    is_filter_switchable = r.get(1)
+    interp_filter = -1 if is_filter_switchable else r.get(2)
+    return {"kind": "inter", "profile": profile,
+            "show_frame": show_frame, "error_resilient": error_resilient,
+            "reset_frame_context": reset_frame_context,
+            "refresh_frame_flags": refresh_frame_flags,
+            "ref_idx": ref_idx, "sign_bias": sign_bias,
+            "found_slot": found_slot, "width": width, "height": height,
+            "allow_high_precision_mv": allow_high_precision_mv,
+            "interp_filter": interp_filter,
+            "header_bytes": r.byte_len()}
+
+
 def ivf_vp9_probe(payload: bytes) -> dict:
     """Walk a complete IVF/VP9 stream: validate the container header,
     tile the byte stream with the 12-byte frame headers, parse every
@@ -149,8 +199,10 @@ def ivf_vp9_probe(payload: bytes) -> dict:
     if ver != 0 or hdr_sz != 32:
         raise Vp9Error("unsupported IVF version/header size")
     pos = 32
-    n_keys = n_show = 0
+    n_keys = n_show = n_inter = 0
     filler_sum = 0
+    inter_refresh_sum = inter_ref_sum = inter_found_sum = 0
+    inter_hp_mv = inter_filter_sum = 0
     first_key = None
     last_pts = -1
     seen = 0
@@ -172,6 +224,18 @@ def ivf_vp9_probe(payload: bytes) -> dict:
                 if (fh["width"], fh["height"]) != (w, h):
                     raise Vp9Error("IVF dims disagree with keyframe dims")
             filler_sum += sum(payload[pos + fh["header_bytes"]:pos + size])
+        elif fh["kind"] == "inter":
+            n_inter += 1
+            if n_keys == 0:
+                raise Vp9Error("inter frame before any keyframe")
+            # the inter-header bit audit (r11): any miscounted field
+            # shifts the filler boundary and changes the stream checksum
+            filler_sum += sum(payload[pos + fh["header_bytes"]:pos + size])
+            inter_refresh_sum += fh["refresh_frame_flags"]
+            inter_ref_sum += sum(fh["ref_idx"]) + sum(fh["sign_bias"])
+            inter_found_sum += fh["found_slot"] + 1
+            inter_hp_mv += fh["allow_high_precision_mv"]
+            inter_filter_sum += fh["interp_filter"] + 1
         else:
             n_show += 1
             if fh["header_bytes"] != size:
@@ -190,10 +254,16 @@ def ivf_vp9_probe(payload: bytes) -> dict:
         "color_range": first_key["color_range"],
         "sub_x": first_key["sub_x"], "sub_y": first_key["sub_y"],
         "n_frames": seen, "n_keyframes": n_keys,
-        "n_show_existing": n_show, "last_pts": last_pts,
+        "n_show_existing": n_show, "n_inter": n_inter,
+        "last_pts": last_pts,
         "timebase_den": den, "timebase_num": num,
         "duration_us": last_pts * num * 1_000_000 // den if den else 0,
         "filler_sum": filler_sum,
+        "inter_refresh_sum": inter_refresh_sum,
+        "inter_ref_sum": inter_ref_sum,
+        "inter_found_sum": inter_found_sum,
+        "inter_hp_mv": inter_hp_mv,
+        "inter_filter_sum": inter_filter_sum,
     }
 
 
@@ -246,6 +316,54 @@ def _show_existing_frame(profile: int, idx: int) -> bytes:
     return w.tobytes()
 
 
+def _inter_frame(profile: int, width: int, height: int, seed: int,
+                 f: int, filler: bytes) -> bytes:
+    """Deterministic inter frame following the r11 field law (mirrored
+    closed-form by the SQL oracle):
+      error_resilient = (seed + f) % 2
+      reset_frame_context = (seed + f) % 4        (only when resilient=0)
+      refresh_frame_flags = (seed * 3 + f) % 256
+      ref_idx[i] = (seed + f + i) % 8, sign_bias[i] = (seed + f + i) % 2
+      found slot fr = (seed + f) % 4: slots fr<3 inherit that ref's
+        size (fr+1 found bits); fr=3 writes explicit dims
+      allow_high_precision_mv = (seed + f) % 2
+      filter: switchable when f % 2 else raw (seed + f) % 3."""
+    w = _BitWriter()
+    w.put(0b10, 2)
+    w.put(profile & 1, 1)
+    w.put(profile >> 1, 1)
+    if profile == 3:
+        w.put(0, 1)
+    w.put(0, 1)                            # show_existing_frame
+    w.put(1, 1)                            # frame_type = NON_KEY
+    w.put(1, 1)                            # show_frame
+    er = (seed + f) % 2
+    w.put(er, 1)                           # error_resilient
+    if not er:
+        w.put((seed + f) % 4, 2)           # reset_frame_context
+    w.put((seed * 3 + f) % 256, 8)         # refresh_frame_flags
+    for i in range(3):
+        w.put((seed + f + i) % 8, 3)
+        w.put((seed + f + i) % 2, 1)
+    fr = (seed + f) % 4
+    if fr < 3:
+        for _ in range(fr):
+            w.put(0, 1)
+        w.put(1, 1)                        # found_ref at slot fr
+    else:
+        for _ in range(3):
+            w.put(0, 1)
+        w.put(width - 1, 16)
+        w.put(height - 1, 16)
+        w.put(0, 1)                        # render == frame size
+    w.put((seed + f) % 2, 1)               # allow_high_precision_mv
+    switchable = f % 2
+    w.put(switchable, 1)
+    if not switchable:
+        w.put((seed + f) % 3, 2)
+    return w.tobytes() + filler
+
+
 def key_header_bytes(profile: int) -> int:
     """Byte length of the fixture keyframe header (all fields above):
     69 base bits (marker 2 + profile 2 + show-existing 1 + type/show/
@@ -259,15 +377,23 @@ def key_header_bytes(profile: int) -> int:
 
 def ivf_vp9_encode(width: int, height: int, n_frames: int, profile: int,
                    bit_depth: int, color_range: int, sub_x: int,
-                   sub_y: int, seed: int, timebase=(1000, 1)) -> bytes:
+                   sub_y: int, seed: int, timebase=(1000, 1),
+                   inter_frames: bool = False) -> bytes:
     """Deterministic IVF/VP9 fixture: frame 0 is a keyframe; frame f > 0
     is a show-existing frame when (f + seed) % 3 == 0, else another
     keyframe. Keyframe f carries 16 + (seed*5 + f*11) % 50 filler bytes
-    of the per-frame-constant law; PTS = 1000·f."""
+    of the per-frame-constant law; PTS = 1000·f. With ``inter_frames``
+    (r11) the (f + seed) % 3 == 1 frames (f > 0) become INTER frames
+    following the _inter_frame field law, carrying
+    16 + (seed*7 + f*13) % 50 filler bytes."""
     frames = []
     for f in range(n_frames):
         if f > 0 and (f + seed) % 3 == 0:
             data = _show_existing_frame(profile, idx=f % 8)
+        elif inter_frames and f > 0 and (f + seed) % 3 == 1:
+            n_fill = 16 + (seed * 7 + f * 13) % 50
+            data = _inter_frame(profile, width, height, seed, f,
+                                bytes([_filler_byte(seed, f)]) * n_fill)
         else:
             n_fill = 16 + (seed * 5 + f * 11) % 50
             data = _key_frame(profile, width, height, bit_depth,

@@ -208,3 +208,76 @@ def test_side_info_reserved_block_type_raises():
     data = w.to_bytes(32)
     with pytest.raises(M.Mp3Error, match="reserved block_type"):
         M.side_info_parse(10, 2, data)
+
+
+def test_scalefactors_roundtrip_matches_law():
+    """r11 part2 layer: encode -> parse roundtrip reproduces
+    scalefac_value_law for every slot, shared granule-1 long groups
+    reuse granule 0's VALUE (encoded with g0's slen) and report slen 0,
+    and part2_bits equals the sum of the slen column per granule."""
+    for d in range(40):
+        payload = M.mp3_frames_encode(
+            10, 3, bitrate_idx=1 + d % 13, sr_idx=d % 3,
+            n_frames=2 + d % 3, channel_mode=d % 4,
+            protection=d % 2 == 0, seed=d,
+            structured_side=True, structured_scalefactors=True)
+        rows = M.mp3_scalefactors(payload)
+        assert rows
+        si = {(r["frame"], r["granule"], r["channel"]): r
+              for r in M.mp3_granules(payload)}
+        bits: dict = {}
+        for r in rows:
+            key = (r["frame"], r["granule"], r["channel"])
+            bits[key] = bits.get(key, 0) + r["slen"]
+            if r["shared"]:
+                g0 = si[(r["frame"], 0, r["channel"])]
+                s1, s2 = M.SLEN_TABLE[g0["scalefac_compress"]]
+                slen0 = s1 if r["sfb"] <= 10 else s2
+                assert r["slen"] == 0
+                assert r["scalefac"] == M.scalefac_value_law(
+                    d, r["frame"], 0, r["channel"], r["sfb"],
+                    r["window"], slen0)
+            else:
+                assert r["scalefac"] == M.scalefac_value_law(
+                    d, r["frame"], r["granule"], r["channel"], r["sfb"],
+                    r["window"], r["slen"])
+        for r in rows:
+            key = (r["frame"], r["granule"], r["channel"])
+            assert r["part2_bits"] == bits[key]
+
+
+def test_scalefactors_scfsi_only_when_both_granules_long():
+    """A short granule 1 (or 0) must transmit ALL its scalefactors even
+    when the scfsi nibble is nonzero — the sharing rule needs both
+    granules long."""
+    seen_blocked = False
+    for d in range(200):
+        payload = M.mp3_frames_encode(
+            10, 3, 3, 0, 3, d % 4, False, d,
+            structured_side=True, structured_scalefactors=True)
+        for r in M.mp3_scalefactors(payload):
+            if r["shared"]:
+                assert r["granule"] == 1 and r["window"] == -1
+        si = {(r["frame"], r["granule"], r["channel"]): r
+              for r in M.mp3_granules(payload)}
+        for (f, g, c), gf in si.items():
+            if g != 1:
+                continue
+            short1 = gf["window_switching"] == 1 and gf["block_type"] == 2
+            if short1 and gf["scfsi"] != 0:
+                seen_blocked = True
+                assert not any(
+                    r["shared"] for r in M.mp3_scalefactors(payload)
+                    if (r["frame"], r["granule"], r["channel"])
+                    == (f, 1, c))
+    assert seen_blocked, "fixture never exercised the blocked-scfsi case"
+
+
+def test_scalefactors_lsf_boundary():
+    with pytest.raises(M.Mp3Error, match="LSF scalefactor"):
+        M.mp3_frames_encode(20, 3, 1, 0, 2, 3, False, 1,
+                            structured_scalefactors=True)
+    payload = M.mp3_frames_encode(20, 3, 1, 0, 2, 3, False, 1,
+                                  structured_side=True)
+    with pytest.raises(M.Mp3Error, match="LSF scalefactor"):
+        M.mp3_scalefactors(payload)

@@ -122,16 +122,60 @@ class TestCorruptStreams:
         with pytest.raises(V.Vp9Error, match="dims"):
             V.ivf_vp9_probe(bytes(b))
 
-    def test_inter_frame_header_rejected(self):
-        # build a non-key frame header by flipping frame_type
+    def test_intra_only_frame_rejected(self):
+        # r11 parses inter headers; the remaining boundary is the
+        # non-shown (intra_only) frame
         w = V._BitWriter()
         w.put(0b10, 2); w.put(0, 1); w.put(0, 1)            # profile 0
         w.put(0, 1)                                         # not show-existing
         w.put(1, 1)                                         # INTER frame
-        w.put(1, 1); w.put(0, 1)
+        w.put(0, 1)                                         # show_frame = 0
+        w.put(0, 1)                                         # error_resilient
         data = w.tobytes() + bytes(8)
-        with pytest.raises(V.Vp9Error, match="inter-frame"):
+        with pytest.raises(V.Vp9Error, match="intra-only"):
             V._parse_frame_header(data)
+
+    def test_inter_frame_header_roundtrip(self):
+        """r11: every inter-header field law survives encode -> parse,
+        across both frame_size_with_refs branches and both filter
+        modes."""
+        for seed in range(40):
+            p = V.ivf_vp9_encode(96, 64, 3 + seed % 5, seed % 4,
+                                 8 if seed % 4 < 2 else 10, 0, 1, 1,
+                                 seed=seed, inter_frames=True)
+            r = V.ivf_vp9_probe(p)
+            n = 3 + seed % 5
+            want_inter = sum(1 for f in range(1, n)
+                             if (f + seed) % 3 == 1)
+            assert r["n_inter"] == want_inter
+            assert r["n_keyframes"] + r["n_show_existing"] \
+                + r["n_inter"] == n
+        # field-level check on one decoded header
+        fr = [f for f in range(1, 8) if (f + 5) % 3 == 1][0]
+        p = V.ivf_vp9_encode(96, 64, 8, 0, 8, 0, 1, 1, seed=5,
+                             inter_frames=True)
+        pos = 32
+        import struct as _s
+        got = None
+        k = 0
+        while pos < len(p):
+            size, _ = _s.unpack("<IQ", p[pos:pos + 12])
+            pos += 12
+            fh = V._parse_frame_header(p[pos:pos + size])
+            if fh["kind"] == "inter" and k == 0:
+                got = fh
+                k = 1
+            pos += size
+        assert got is not None
+        f, seed = fr, 5
+        assert got["error_resilient"] == (seed + f) % 2
+        assert got["refresh_frame_flags"] == (seed * 3 + f) % 256
+        assert got["ref_idx"] == [(seed + f + i) % 8 for i in range(3)]
+        assert got["sign_bias"] == [(seed + f + i) % 2 for i in range(3)]
+        frx = (seed + f) % 4
+        assert got["found_slot"] == (frx if frx < 3 else -1)
+        if frx == 3:
+            assert (got["width"], got["height"]) == (96, 64)
 
     def test_show_existing_trailing_bytes(self):
         payload = _enc(n_frames=1, seed=0)
