@@ -652,7 +652,71 @@ _R10_WINDOW = [
     "corpus_report",
 ]
 
-_WINDOW = _R10_WINDOW
+_R11_WINDOW = [
+    # --- r11 blast radius (28): the five newly-laned scalar batches and
+    # the wrapper hooks they share (st_area/length/npoints/
+    # num_geometries/centroid/bounds/terminal points now dispatch through
+    # lanes_ops for EVERY consumer), the three gates that grew the
+    # _sampled seam, the LOF pass fusion + single cell exchange, the
+    # LSH Hamming-2 probe widening, the two NEW codec-layer queries and
+    # the probes whose encoders grew flags, the standing
+    # q12_late_priority seat ---
+    "multimodal_mp3_scalefactors",  # NEW: part2 scalefactor law
+    "multimodal_vp9_inter",         # NEW: inter-frame headers
+    "multimodal_vp9_probe",         # encoder grew inter_frames flag
+    "multimodal_mp3_granules",      # encoder grew structured_scalefactors
+    "st_shape_edit_ops",            # laned (r10 verdict item 1)
+    "st_edit_line_ops",             # laned
+    "st_measure_ops",               # laned
+    "st_affine_ops",                # laned
+    "st_misc_ops",                  # laned
+    "st_accessors",                 # shared lane hooks (X/Y/Z/NPoints)
+    "st_orientation_ops",           # shared lane hooks (NumGeometries)
+    "st_point_line_ops",            # Length/NPoints hooks + chainrw
+    "st_aggr_ops",                  # ST_Area hook under the UDAFs
+    "st_collect_ops",               # NumGeometries/NPoints hooks
+    "st_name_parity_ops",           # broad name surface over laned fns
+    "st_clearance_ops",             # r10 lanes + new infra
+    "st_from_text_ops",             # r10 lanes + new infra
+    "crop_analytics_full",          # flagship; ST_Area/centroid hooks
+    "st_buffer_round",              # ST_Area hook, sweep member
+    "st_triangulate_ops",           # _sampled seam added
+    "st_subdivide_ops",             # _sampled seam added
+    "st_concave_hull",              # _sampled seam added
+    "local_outlier_factor",         # fused LOF + single cell exchange
+    "spatial_dbscan",               # events_count cache rekey
+    "getis_ord_hotspots",           # stats-trio seat (shared point law)
+    "embedding_lsh_ann",            # Hamming-2 probe ring
+    "ann_recall_at_k",              # raised lsh floor (800 -> 1500 bp)
+    "q12_late_priority",            # r2's one red row: stays visible
+    # --- stalest tier-2 cohort (22, last driver-verified r4; every
+    # displaced row stays in the committed full oracle run and each
+    # family keeps at least one seat) ---
+    "hilbert_curve",
+    "doc_shard_manifest",
+    "vocab_oov_rate",
+    "recursive_supplier_tree",
+    "lateral_topk_orders",
+    "unpivot_metrics",
+    "streaming_cdc_apply",
+    "gap_fill_interpolate",
+    "fuzzy_token_join",
+    "streaming_hll_distinct",
+    "token_packing",
+    "lm_bigram_score",
+    "phrase_search",
+    "dup_ngram_spans",
+    "pagerank_links",
+    "event_funnel",                 # text family seat (r5-stale)
+    "ngram_topk_corpus",            # text family seat (r5-stale)
+    "streaming_dedup_watermarked",
+    "ngram_jaccard_pairs",          # dedup family seat (r5-stale)
+    "triangle_count",
+    "reservoir_per_group",          # sketches family seat (r4-stale)
+    "pyds_jsonl_commit_roundtrip",  # pydatasource family seat (r9-stale)
+]
+
+_WINDOW = _R11_WINDOW
 # a duplicated name would silently dedupe in the dict rebuild below,
 # shrinking the driver's tier-1 gate without any signal (ADVICE r6)
 assert len(_WINDOW) == len(set(_WINDOW)), "duplicate name in gate window"
