@@ -141,6 +141,15 @@ SWEEP_QUERIES = [
     "st_orientation_ops",
     "st_clearance_ops",
     "st_from_text_ops",
+    # round 11 (r10 verdict item 1): the five newly-laned scalar batches
+    # get measured decades — row-local lanes, so the slopes must stay
+    # flat-linear like the r10 trio; plus the widened-probe LSH arm
+    "st_shape_edit_ops",
+    "st_edit_line_ops",
+    "st_measure_ops",
+    "st_affine_ops",
+    "st_misc_ops",
+    "embedding_lsh_ann",
 ]
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/root/repo/.bench_sf1")
 SWEEP_SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
