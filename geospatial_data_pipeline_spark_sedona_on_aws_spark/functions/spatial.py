@@ -1714,9 +1714,13 @@ def _geometric_median(s: str | None, tol: float = 1e-12,
                       max_iter: int = 200) -> str | None:
     """ST_GeometricMedian (Weiszfeld iteration over the vertices, PostGIS
     semantics for MULTIPOINT): the point minimizing the sum of distances.
-    Starts at the centroid; an iterate landing on an input point uses the
-    standard zero-weight guard. Deterministic: fixed start, fixed
-    iteration cap, relative tolerance."""
+    Starts at the centroid; an iterate landing on an input point takes
+    the Vardi-Zhang step (the zero-weight guard alone stalls there); when
+    the iteration exhausts its budget without meeting the step tolerance
+    (sublinear near-singular configurations, e.g. duplicated vertices) a
+    damped-Newton polish finishes the descent. Deterministic: fixed
+    start, fixed caps, relative tolerances; symmetric inputs whose start
+    IS the fixpoint break at iteration 1 and return it bit-exactly."""
     import math
 
     if s is None:
@@ -1729,34 +1733,106 @@ def _geometric_median(s: str | None, tol: float = 1e-12,
     cx = sum(p[0] for p in pts) / len(pts)
     cy = sum(p[1] for p in pts) / len(pts)
     scale = max(1.0, max(abs(p[0]) + abs(p[1]) for p in pts))
+    converged = False
     for _ in range(max_iter):
         num_x = num_y = den = 0.0
+        rx = ry = 0.0          # pull of the far points (for Vardi-Zhang)
+        eta = 0                # multiplicity of the iterate among pts
         for (x, y) in pts:
             d = math.hypot(x - cx, y - cy)
             if d < 1e-15 * scale:
+                eta += 1
                 continue
             w = 1.0 / d
             num_x += x * w
             num_y += y * w
             den += w
+            rx += (x - cx) * w
+            ry += (y - cy) * w
         if den == 0.0:
+            converged = True   # every point coincides with the iterate
             break
-        nx, ny = num_x / den, num_y / den
+        tx, ty = num_x / den, num_y / den
+        if eta:
+            # Vardi-Zhang: iterate sits ON a data point of multiplicity
+            # eta. If the pull of the far points ||R|| <= eta the data
+            # point IS the optimum; otherwise move a (1 - eta/||R||)
+            # fraction toward the Weiszfeld average of the far points.
+            rnorm = math.hypot(rx, ry)
+            if rnorm <= eta:
+                converged = True
+                break
+            frac = eta / rnorm
+            nx = (1.0 - frac) * tx + frac * cx
+            ny = (1.0 - frac) * ty + frac * cy
+        else:
+            nx, ny = tx, ty
         if math.hypot(nx - cx, ny - cy) <= tol * scale:
             # keep the PREVIOUS iterate: it is already within tolerance,
             # and when the start is the exact optimum (symmetric input)
             # this returns it bit-exactly instead of a 1-ULP drift
+            converged = True
             break
         cx, cy = nx, ny
+
+    def total(px, py):
+        return sum(math.hypot(px - x, py - y) for x, y in pts)
+
+    if not converged:
+        # Weiszfeld exhausted its budget still creeping sublinearly
+        # (near-singular configurations — duplicated vertices, optimum
+        # close to a data point). Damped Newton on f(p) = Σ‖p − x_i‖
+        # converges quadratically away from the data points; a step is
+        # accepted only when the cost strictly decreases (halved up to
+        # 20 times otherwise), so the polish can never leave the result
+        # worse than the Weiszfeld iterate it starts from.
+        cur = total(cx, cy)
+        for _ in range(60):
+            gx = gy = hxx = hxy = hyy = 0.0
+            singular = False
+            for (x, y) in pts:
+                dx, dy = cx - x, cy - y
+                d = math.hypot(dx, dy)
+                if d < 1e-15 * scale:
+                    singular = True
+                    break
+                gx += dx / d
+                gy += dy / d
+                d3 = d * d * d
+                hxx += (dy * dy) / d3
+                hyy += (dx * dx) / d3
+                hxy -= (dx * dy) / d3
+            if singular:
+                break          # landed on a data point: argmin decides
+            gnorm = math.hypot(gx, gy)
+            if gnorm <= 1e-12:
+                break
+            det = hxx * hyy - hxy * hxy
+            if det > 1e-300:
+                sx = -(hyy * gx - hxy * gy) / det
+                sy = -(hxx * gy - hxy * gx) / det
+            else:
+                sx, sy = -gx / gnorm, -gy / gnorm
+            step = 1.0
+            improved = False
+            for _ in range(20):
+                px, py = cx + step * sx, cy + step * sy
+                c = total(px, py)
+                if c < cur:
+                    cx, cy, cur = px, py, c
+                    improved = True
+                    break
+                step *= 0.5
+            if not improved:
+                break
+            if math.hypot(step * sx, step * sy) <= tol * scale:
+                break
 
     # Weiszfeld's known failure mode: when the optimum IS an input point
     # the iteration slows to sublinear and the zero-weight guard keeps it
     # from landing exactly — finish with the argmin over {iterate} ∪
     # input points (an input point is kept only when STRICTLY better, so
     # symmetric fixtures still return the exact interior optimum)
-    def total(px, py):
-        return sum(math.hypot(px - x, py - y) for x, y in pts)
-
     best_c, best_p = total(cx, cy), (cx, cy)
     for p in pts:
         c = total(p[0], p[1])

