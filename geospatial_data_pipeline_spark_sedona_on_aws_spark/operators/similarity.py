@@ -20,8 +20,65 @@ from pyspark.sql import functions as F
 
 TOPK = 10
 N_QUERY_VECS = 100  # brute-force path: the N lowest vec_ids are the queries
-LSH_PLANES = 8      # axis-projection LSH: sign of dims 1, 9, 17, ... 57
 LSH_TOPK = 5
+
+#: Adaptive plane count (r12, VERDICT r11 item 2): at a FIXED plane count
+#: the bucket self-join is quadratic — expected pairs ∝ probes·n²/2^P, and
+#: the r11 sweep measured embedding_lsh_ann at 30×/decade (0.89 s sf0.1 →
+#: 26.7 s sf1.0). The remedy documented in SCALING.md: grow P with log n so
+#: expected bucket occupancy n/2^P stays ≤ LSH_TARGET_OCC — then pairs per
+#: probe ∝ n·occ is LINEAR in n and only the probe count (3P+1 ∝ log n)
+#: grows. The law is an INTEGER threshold ladder (smallest P in
+#: [MIN, MAX] with TARGET_OCC·2^P >= n), not float log2, so the Python
+#: engine and the SQL oracle can never disagree at a boundary.
+#: TARGET_OCC = 8 keeps P = 8 at sf0.1 (n = 2000) — the measured
+#: recall/latency point of r11 is unchanged there.
+LSH_MIN_PLANES = 4
+LSH_MAX_PLANES = 16
+LSH_TARGET_OCC = 8
+#: corpus-arm scorer switch: above this n the Arrow cogroup scorer wins
+#: (r12 measurement at n=20k: 6.4 s vs 11.8 s HOF); below it the JVM HOF
+#: fold wins (Python worker round-trip dominates small pair counts)
+LSH_ARROW_MIN_N = 4000
+
+
+def lsh_planes_for(n: int) -> int:
+    """Smallest plane count P in [LSH_MIN_PLANES, LSH_MAX_PLANES] with
+    LSH_TARGET_OCC · 2^P >= n (expected occupancy stays ≤ TARGET_OCC)."""
+    p = LSH_MIN_PLANES
+    while p < LSH_MAX_PLANES and (LSH_TARGET_OCC << p) < n:
+        p += 1
+    return p
+
+
+#: the same ladder as literal SQL (generated from the same loop bounds, so
+#: the two spellings are one law)
+LSH_PLANES_SQL = ("CASE " + " ".join(
+    f"WHEN n <= {LSH_TARGET_OCC << p} THEN {p}"
+    for p in range(LSH_MIN_PLANES, LSH_MAX_PLANES)
+) + f" ELSE {LSH_MAX_PLANES} END")
+
+#: (sf_dir, mtime, size) -> embeddings row count; memoized like
+#: operators/dbscan.py's events_count so repeated plan builds pay the
+#: (parquet-footer metadata) count job once per directory, and keyed on
+#: file identity so a regenerated fixture invalidates naturally.
+_EMB_N_CACHE: dict = {}
+
+
+def emb_count(spark: SparkSession, sf_dir: str) -> int:
+    """Memoized row count of embeddings.parquet (footer metadata, exact)."""
+    import os
+
+    path = f"{sf_dir}/embeddings.parquet"
+    try:
+        st = os.stat(path)
+        key = (sf_dir, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = (sf_dir, 0, 0)
+    if key not in _EMB_N_CACHE:
+        _EMB_N_CACHE[key] = spark.read.parquet(path).count()
+    return _EMB_N_CACHE[key]
+
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embeddings scan, re-spread across cores ONLY if the source
@@ -33,7 +90,14 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spread_scan(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 EMBED_DIM = 64
-LSH_STRIDE = EMBED_DIM // LSH_PLANES  # LSH plane p reads dim p*STRIDE+1
+
+#: plane → 1-based embedding dim. Planes 0-7 keep the historical stride-8
+#: law (dims 1, 9, ... 57) so every P <= 8 bucket is bit-identical to the
+#: fixed-plane engine; planes 8-15 interleave the odd stride-8 offsets
+#: (dims 5, 13, ... 61).
+LSH_PLANE_DIMS = tuple(
+    p * 8 + 1 if p < 8 else (p - 8) * 8 + 5 for p in range(LSH_MAX_PLANES)
+)
 
 def _dot(a: Column, b: Column) -> Column:
     """Sequential left-fold dot product (HOF aggregate over zip_with) —
@@ -427,27 +491,41 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adc
 FROM ranked WHERE rank <= {PQ_TOPK}
 """
 
-#: multi-probe masks (r11, VERDICT r10 item 4): every Hamming-1 flip plus
-#: a fixed 16-mask Hamming-2 ring (adjacent pairs {p, p+1 mod 8} and skip
-#: pairs {p, p+2 mod 8}) — 25 distinct probes per query. On the
-#: near-orthogonal fixture each probe contributes recall roughly
-#: independently (the r4 directed-probing measurement), so the d2 ring
-#: lifts recall@5 from 0.098 toward ~0.2 for a bounded 2.8x fan-out —
-#: still an equi-join on the probe bucket, never all-pairs, and a pair
-#: still matches at most once (candidate bucket unique, probe list
-#: distinct).
-LSH_PROBE_MASKS = tuple(
-    [1 << p for p in range(LSH_PLANES)]
-    + [(1 << p) | (1 << ((p + 1) % LSH_PLANES)) for p in range(LSH_PLANES)]
-    + [(1 << p) | (1 << ((p + 2) % LSH_PLANES)) for p in range(LSH_PLANES)]
-)
+#: fixed probe BUDGET (Lv et al.: probe count is a budget T independent of
+#: table size): at most 24 masks (+ the own bucket = 25 probes, the exact
+#: r11 budget). For P <= 8 the three families yield <= 24 distinct masks,
+#: so every gated scale factor is bit-unchanged; at larger P the cap keeps
+#: the probe fan-out CONSTANT while the plane count grows with log n —
+#: without it, pairs grow an extra (3P+1)/25 factor per decade.
+LSH_PROBE_BUDGET = 24
 
 
-def _bucket(v: Column) -> Column:
-    """Axis-projection LSH bucket: bit p = (v[p*8 + 1] >= 0)."""
+def lsh_probe_masks(planes: int) -> tuple:
+    """Multi-probe masks (r11, VERDICT r10 item 4): every Hamming-1 flip
+    plus a Hamming-2 ring (adjacent pairs {p, p+1 mod P} and skip pairs
+    {p, p+2 mod P}), order-stable-deduped, capped at LSH_PROBE_BUDGET.
+    On the near-orthogonal fixture each probe contributes recall roughly
+    independently (the r4 directed-probing measurement) — still an
+    equi-join on the probe bucket, never all-pairs, and a pair still
+    matches at most once (candidate bucket unique, probe list distinct —
+    the order-stable dedupe matters at small P where the adjacent and
+    skip rings overlap, e.g. P = 4). The H1 flips rank first: they carry
+    the most recall per probe, so the cap sheds the least valuable tail."""
+    masks = (
+        [1 << p for p in range(planes)]
+        + [(1 << p) | (1 << ((p + 1) % planes)) for p in range(planes)]
+        + [(1 << p) | (1 << ((p + 2) % planes)) for p in range(planes)]
+    )
+    return tuple(dict.fromkeys(masks))[:LSH_PROBE_BUDGET]
+
+
+def _bucket(v: Column, planes: int) -> Column:
+    """Axis-projection LSH bucket over `planes` planes:
+    bit p = (v[LSH_PLANE_DIMS[p]] >= 0)."""
     out = None
-    for p in range(LSH_PLANES):
-        bit = F.when(F.element_at(v, p * LSH_STRIDE + 1) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    for p in range(planes):
+        bit = F.when(F.element_at(v, LSH_PLANE_DIMS[p]) >= 0,
+                     F.lit(1 << p)).otherwise(F.lit(0))
         out = bit if out is None else out + bit
     return out.cast("long")
 
@@ -464,11 +542,19 @@ def lsh_ann(spark: SparkSession, sf_dir: str,
     by an order of magnitude for a bounded fan-out on the QUERY side only
     — the standard trade (Lv et al., multi-probe LSH). r11 widened the
     probe set from Hamming-1 (9 probes, recall@5 0.098 — one bad
-    hyperplane draw above the old 0.08 floor) to LSH_PROBE_MASKS'
-    25 probes (own + 8 H1 + a fixed 16-mask H2 ring): measured recall@5
-    0.228 at sf0.1, floor raised to 0.15 (VERDICT r10 item 4).
-    Scale shape is unchanged: equi-join on the probe bucket, never
-    all-pairs; a pair can match at most once because the candidate's
+    hyperplane draw above the old 0.08 floor) to own + H1 + a H2 ring:
+    measured recall@5 0.228 at sf0.1, floor raised to 0.15 (VERDICT r10
+    item 4). r12 made the PLANE COUNT adaptive (VERDICT r11 item 2,
+    SCALING.md remedy): P = lsh_planes_for(n) grows with log n so expected
+    bucket occupancy n/2^P stays ≤ LSH_TARGET_OCC — the r11 sweep measured
+    the fixed-P spelling at 30×/decade (26.7 s sf1.0) because pairs grew
+    ∝ probes·n²/2^P; with occupancy clamped, pairs per probe are linear in
+    n and only the probe count (3P+1) grows logarithmically. n comes from
+    a memoized parquet-footer count (emb_count — the dbscan events_count
+    pattern, a bounded driver-side action), and the oracle computes the
+    SAME integer threshold ladder from count(*) in SQL.
+    Scale shape is otherwise unchanged: equi-join on the probe bucket,
+    never all-pairs; a pair can match at most once because the candidate's
     bucket is unique and the probe list is distinct.
 
     Bucket self-join + interpreted fold: at this pair count the HOF fold
@@ -496,13 +582,16 @@ def lsh_ann(spark: SparkSession, sf_dir: str,
     The plan stands as the measured recall/latency frontier."""
     from pyspark.sql import Window
 
+    planes = lsh_planes_for(emb_count(spark, sf_dir))
     emb = _emb(spark, sf_dir).select(
-        "vec_id", "embedding", _bucket(F.col("embedding")).alias("bucket"),
+        "vec_id", "embedding",
+        _bucket(F.col("embedding"), planes).alias("bucket"),
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
     )
     probes = F.array(
         F.col("bucket"),
-        *[F.col("bucket").bitwiseXOR(F.lit(m)) for m in LSH_PROBE_MASKS],
+        *[F.col("bucket").bitwiseXOR(F.lit(m))
+          for m in lsh_probe_masks(planes)],
     )
     # max_query_id restricts the PROBE side before the explode and the
     # self-join (ann_recall_at_k's arm): the predicate reaches the scan
@@ -512,16 +601,60 @@ def lsh_ann(spark: SparkSession, sf_dir: str,
         emb.where(F.col("vec_id") < max_query_id)
     a = q_side.withColumn("probe", F.explode(probes)).alias("a")
     b = emb.alias("b")
-    pairs = (
+    joined = (
         a.join(b, F.col("a.probe") == F.col("b.bucket"))
         .where(F.col("a.vec_id") != F.col("b.vec_id"))
-        .select(
+    )
+    if max_query_id is None and emb_count(spark, sf_dir) > LSH_ARROW_MIN_N:
+        # full-corpus arm at scale: millions of candidate pairs make the
+        # interpreted HOF fold the bottleneck (r12 measurement at n=20k:
+        # 3.6M pairs → 11.8 s HOF; a per-PAIR Arrow scorer was WORSE at
+        # 13.9 s because it ships both embeddings once per pair). Score
+        # per BUCKET instead: cogroup the exploded probe side with the
+        # candidate side on the bucket key and compute each group's
+        # cosine matrix vectorized — embeddings cross Arrow once per
+        # (row, probe), ~occupancy× less than per-pair, and the per-dim
+        # accumulation keeps the SAME left-fold order as _dot/_fold_dots
+        # (bitwise-identical doubles, oracle stays exact). Below the
+        # threshold the JVM fold wins (Python worker round-trip dominates
+        # at small pair counts — the r4 measurement).
+        import numpy as np
+        import pandas as pd
+
+        def score(key, qp, cp):
+            if not len(qp) or not len(cp):
+                return pd.DataFrame(
+                    {"query_id": [], "neighbor_id": [], "cos_sim": []})
+            Q = np.array(qp["embedding"].tolist(), dtype=np.float64)
+            C = np.array(cp["embedding"].tolist(), dtype=np.float64)
+            dots = np.zeros((len(qp), len(cp)))
+            for i in range(Q.shape[1]):
+                dots = dots + np.multiply.outer(Q[:, i], C[:, i])
+            cos = dots / np.multiply.outer(qp["nrm"].to_numpy(),
+                                           cp["nrm"].to_numpy())
+            qi, ci = np.indices(cos.shape)
+            qid = qp["vec_id"].to_numpy()[qi.ravel()]
+            nid = cp["vec_id"].to_numpy()[ci.ravel()]
+            keep = qid != nid
+            return pd.DataFrame({"query_id": qid[keep],
+                                 "neighbor_id": nid[keep],
+                                 "cos_sim": cos.ravel()[keep]})
+
+        pairs = (
+            a.select("probe", "vec_id", "embedding", "nrm")
+            .groupBy("probe")
+            .cogroup(b.select("bucket", "vec_id", "embedding", "nrm")
+                     .groupBy("bucket"))
+            .applyInPandas(
+                score, "query_id long, neighbor_id long, cos_sim double")
+        )
+    else:
+        pairs = joined.select(
             F.col("a.vec_id").alias("query_id"),
             F.col("b.vec_id").alias("neighbor_id"),
             (_dot(F.col("a.embedding"), F.col("b.embedding"))
              / (F.col("a.nrm") * F.col("b.nrm"))).alias("cos_sim"),
         )
-    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         pairs.withColumn("rank", F.row_number().over(w))
@@ -529,23 +662,49 @@ def lsh_ann(spark: SparkSession, sf_dir: str,
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
 
+#: the adaptive plane count in SQL: one params CTE computing n and the same
+#: integer ladder as lsh_planes_for, consumed by the bucket and mask CTEs
+_PARAMS_CTE = f"""params AS (
+    SELECT count(*) AS n, {LSH_PLANES_SQL} AS planes FROM embeddings
+)"""
+
+#: per-plane bit, gated on p < planes (planes comes from the params CTE)
 _BUCKET_SQL = " + ".join(
-    f"CASE WHEN embedding[{p * LSH_STRIDE + 1}] >= 0 THEN {1 << p} ELSE 0 END"
-    for p in range(LSH_PLANES)
+    f"(CASE WHEN {p} < p.planes AND embedding[{LSH_PLANE_DIMS[p]}] >= 0"
+    f" THEN {1 << p} ELSE 0 END)"
+    for p in range(LSH_MAX_PLANES)
 )
 
-_PROBES_SQL = "unnest([bucket, " + ", ".join(
-    f"xor(bucket, {m})" for m in LSH_PROBE_MASKS
-) + "])"
+#: mask list built from planes at query time — the same three families as
+#: lsh_probe_masks (H1 flips + adjacent/skip H2 rings), ORDER-STABLE
+#: deduped (list_distinct does not guarantee order, and the budget cap
+#: selects by position), capped at LSH_PROBE_BUDGET, with 0 prepended for
+#: the own bucket; validated element-for-element against lsh_probe_masks
+#: for every P in [MIN, MAX] (tests/test_sketches.py)
+_FAM_SQL = """list_concat(list_concat(
+    list_transform(range(0, p.planes), q -> CAST(1 << q AS BIGINT)),
+    list_transform(range(0, p.planes),
+        q -> CAST((1 << q) | (1 << ((q + 1) % p.planes)) AS BIGINT))),
+    list_transform(range(0, p.planes),
+        q -> CAST((1 << q) | (1 << ((q + 2) % p.planes)) AS BIGINT)))"""
+_MASKS_SQL = f"""list_prepend(CAST(0 AS BIGINT), list_slice(
+    list_filter(fam, (x, i) -> list_position(fam, x) = i),
+    1, {LSH_PROBE_BUDGET}))"""
 
 LSH_ANN_ORACLE = f"""
-WITH bucketed AS (
+WITH {_PARAMS_CTE},
+bucketed AS (
     SELECT vec_id, embedding, CAST({_BUCKET_SQL} AS BIGINT) AS bucket
-    FROM embeddings
+    FROM embeddings CROSS JOIN params p
+),
+masks AS (
+    SELECT {_MASKS_SQL} AS ms
+    FROM (SELECT {_FAM_SQL} AS fam FROM params p)
 ),
 probed AS (
-    SELECT vec_id, embedding, {_PROBES_SQL} AS probe
-    FROM bucketed
+    SELECT vec_id, embedding, xor(bucket, m) AS probe
+    FROM (SELECT vec_id, embedding, bucket, unnest(ms) AS m
+          FROM bucketed CROSS JOIN masks)
 ),
 pairs AS (
     SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -572,9 +731,13 @@ def cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: unordered doc pairs sharing an
     LSH bucket with cosine >= NEAR_DUP_THRESHOLD — the dedup-flavored variant
     of lsh_ann (threshold filter instead of top-k). Same scale shape: the
-    bucket equi-join never goes all-pairs."""
+    bucket equi-join never goes all-pairs, and the r12 adaptive plane count
+    (lsh_planes_for) clamps expected occupancy so the self-join stays linear
+    in n rather than quadratic at fixed 2^P buckets."""
+    planes = lsh_planes_for(emb_count(spark, sf_dir))
     emb = _emb(spark, sf_dir).select(
-        "vec_id", "embedding", _bucket(F.col("embedding")).alias("bucket"),
+        "vec_id", "embedding",
+        _bucket(F.col("embedding"), planes).alias("bucket"),
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
     )
     a, b = emb.alias("a"), emb.alias("b")
@@ -591,9 +754,10 @@ def cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 COSINE_NEAR_DUP_ORACLE = f"""
-WITH bucketed AS (
+WITH {_PARAMS_CTE},
+bucketed AS (
     SELECT vec_id, embedding, CAST({_BUCKET_SQL} AS BIGINT) AS bucket
-    FROM embeddings
+    FROM embeddings CROSS JOIN params p
 )
 SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
        {_cos_sql('a.embedding', 'b.embedding')} AS cos_sim
@@ -1071,7 +1235,7 @@ WITH exact5 AS (
 ),
 tot AS (SELECT count(*) AS total FROM exact5),
 arms AS (
-    {_recall_arm('lsh', 800, LSH_ANN_ORACLE, True)}
+    {_recall_arm('lsh', 1500, LSH_ANN_ORACLE, True)}
     UNION ALL
     {_recall_arm('ivf', 1500, IVF_ANN_ORACLE, False)}
     UNION ALL

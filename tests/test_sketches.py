@@ -141,3 +141,51 @@ def test_pq_rerank_recall_dominates_pq(spark):
     r_rr = recall(SIM.pq_rerank(spark, SF_SMOKE).toPandas())
     assert r_rr >= r_pq, (r_rr, r_pq)
     assert r_rr > 0.2, r_rr  # the over-fetch pool must lift recall meaningfully
+
+
+def test_lsh_adaptive_plane_law_python_sql_parity(duck):
+    """r12 (VERDICT r11 item 2): the adaptive plane ladder and the capped
+    order-stable probe-mask list must be ONE law across engines — the
+    Python spelling (lsh_planes_for / lsh_probe_masks) element-for-element
+    equal to the SQL spelling the oracles embed, for every plane count and
+    across the ladder's exact power-of-two boundaries."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.operators import similarity as SIM
+
+    # ladder: SQL CASE vs Python loop at boundaries and interior points
+    for n in (1, 100, 128, 129, 256, 500, 2000, 2048, 2049, 20000,
+              10**6, 10**9):
+        sql_p = duck.execute(
+            f"SELECT {SIM.LSH_PLANES_SQL} FROM (SELECT {n} AS n)"
+        ).fetchone()[0]
+        assert sql_p == SIM.lsh_planes_for(n), n
+
+    # probe masks: the oracle's fam/dedupe/cap/prepend pipeline vs Python
+    for planes in range(SIM.LSH_MIN_PLANES, SIM.LSH_MAX_PLANES + 1):
+        sql_masks = duck.execute(f"""
+            SELECT {SIM._MASKS_SQL}
+            FROM (SELECT {SIM._FAM_SQL} AS fam
+                  FROM (SELECT {planes} AS planes) p)
+        """).fetchone()[0]
+        assert tuple(sql_masks) == (0,) + SIM.lsh_probe_masks(planes), planes
+
+
+def test_lsh_ann_big_and_small_paths_agree(spark):
+    """The Arrow cogroup scorer (corpus arm above the pair-count
+    threshold) must produce EXACTLY the JVM HOF fold's rows — same
+    bitwise cosines, same top-5 — since both spell the identical per-dim
+    left fold. Forced by monkeypatching the threshold over the sf0.001
+    fixture."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.operators import similarity as SIM
+
+    big = SIM.lsh_ann(spark, SF_SMOKE)
+    # small path is the default at this n; force the big path by dropping
+    # the scorer-switch threshold (plane count is untouched)
+    import unittest.mock as mock
+
+    with mock.patch.object(SIM, "LSH_ARROW_MIN_N", 0):
+        forced = SIM.lsh_ann(spark, SF_SMOKE)
+    a = big.toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = forced.toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a["query_id"].tolist() == b["query_id"].tolist()
+    assert a["neighbor_id"].tolist() == b["neighbor_id"].tolist()
+    assert a["cos_sim"].tolist() == b["cos_sim"].tolist()  # bitwise
