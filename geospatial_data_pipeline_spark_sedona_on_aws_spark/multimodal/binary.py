@@ -1507,12 +1507,17 @@ _SLEN2_SQL = """CASE sfc WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2
     WHEN 11 THEN 1 WHEN 12 THEN 2 WHEN 13 THEN 3 WHEN 14 THEN 2
     ELSE 3 END"""
 
-MULTIMODAL_MP3_SCALEFACTORS_ORACLE = f"""
-WITH params AS (
+def _mp3_part2_ctes(doc_filter: str) -> str:
+    """The shared side-info + part2 slot CTE chain (granule_field_law,
+    slen tables, long/short/mixed slot layout, scfsi sharing) used by
+    BOTH the scalefactors oracle (r11) and the regions oracle (r12) —
+    parameterized only by the document filter so the two fixtures'
+    sampling can differ."""
+    return f"""params AS (
     SELECT doc_id,
            CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 2 END AS nch,
            2 + doc_id % 3 AS n_frames
-    FROM documents WHERE doc_id % 3 = 1
+    FROM documents {doc_filter}
 ),
 gc AS (
     SELECT p.doc_id AS d, p.nch, fr.f, gr.g, ch.c,
@@ -1521,7 +1526,15 @@ gc AS (
            (p.doc_id + fr.f + gr.g + ch.c) % 16 AS sfc,
            (p.doc_id * 11 + fr.f * 3 + gr.g * 2 + ch.c) % 4096
                AS part2_3_length,
-           (p.doc_id + 3 * ch.c) % 16 AS scfsi
+           (p.doc_id + 3 * ch.c) % 16 AS scfsi,
+           (p.doc_id * 5 + fr.f * 2 + gr.g + ch.c * 7) % 288
+               AS big_values,
+           (p.doc_id * 3 + fr.f + gr.g + ch.c) % 32 AS ts0,
+           (p.doc_id * 3 + fr.f + gr.g + ch.c + 1) % 32 AS ts1,
+           (p.doc_id * 3 + fr.f + gr.g + ch.c + 2) % 32 AS ts2_raw,
+           (p.doc_id + fr.f) % 16 AS r0c_tx,
+           (p.doc_id + ch.c) % 8 AS r1c_tx,
+           (p.doc_id + fr.f + gr.g) % 2 AS count1table
     FROM params p,
          (SELECT unnest(range(0, 5)) AS f) fr,
          (SELECT unnest(range(0, 2)) AS g) gr,
@@ -1542,7 +1555,11 @@ gshort AS (
            CASE WHEN wsf = 1 AND block_type = 2 THEN 1 ELSE 0 END
                AS short
     FROM gflags
-),
+)"""
+
+
+MULTIMODAL_MP3_SCALEFACTORS_ORACLE = f"""
+WITH {_mp3_part2_ctes('WHERE doc_id % 3 = 1')},
 slots AS (
     -- long layout (also window-switching with block_type 1/3)
     SELECT g.*, s.sfb, -1 AS win,
@@ -1611,6 +1628,149 @@ SELECT v.d AS doc_id,
 FROM valued v
 JOIN granule_bits b
   ON b.d = v.d AND b.f = v.f AND b.g = v.g AND b.c = v.c
+"""
+
+
+def multimodal_mp3_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The layer BELOW part2 (r11 verdict item 4): the big_values Huffman
+    REGION STRUCTURE per (frame, granule, channel) — region0/1/2
+    spectral-line widths from the transmitted (or window-switching
+    default) region counts indexed into the ISO long scalefactor-band
+    table, the Huffman table selected per region, the count1 quadruple
+    table, and the part2/part3 bit budget with the part2 + part3 <=
+    part2_3_length consistency flag (part3 = part2_3_length - part2;
+    a negative budget flags part23_ok = 0 instead of failing). Streams
+    are the same MPEG-1 CBR fixtures as multimodal_mp3_scalefactors;
+    rows are ~16x docs so NO document sampling is needed (unlike the
+    250x slot rows one layer up). Huffman SPECTRUM decode (codeword
+    tables, linbits) is the next documented boundary
+    (multimodal/mp3frames.py).
+
+    Scale: row-local mapInPandas, no shuffle."""
+    from .mp3frames import mp3_frames_encode, mp3_regions
+
+    docs = _docs(spark, sf_dir, "doc_id")
+
+    cols = ["doc_id", "frame", "granule", "channel", "big_values",
+            "bv_lines", "block_type", "r0_count", "r1_count",
+            "region0_lines", "region1_lines", "region2_lines",
+            "table_r0", "table_r1", "table_r2", "count1table",
+            "part2_bits", "part3_bits", "part23_ok"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                payload = mp3_frames_encode(
+                    10, 3, bitrate_idx=1 + d % 13, sr_idx=d % 3,
+                    n_frames=2 + d % 3, channel_mode=d % 4,
+                    protection=d % 2 == 0, seed=d,
+                    structured_side=True, structured_scalefactors=True)
+                for r in mp3_regions(payload):
+                    rows.append([d] + [r[k] for k in cols[1:]])
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.mapInPandas(
+        run, schema=", ".join(f"{c} long" for c in cols))
+
+
+#: ISO 11172-3 Table B.8 long boundaries as SQL list literals, indexed by
+#: the fixture's sr law (sr_idx = doc_id % 3 -> 44100/48000/32000)
+_SFB_L_SQL = """CASE d % 3
+    WHEN 0 THEN [0,4,8,12,16,20,24,30,36,44,52,62,74,90,110,134,162,196,
+                 238,288,342,418,576]
+    WHEN 1 THEN [0,4,8,12,16,20,24,30,36,42,50,60,72,88,106,128,156,190,
+                 230,276,330,384,576]
+    ELSE [0,4,8,12,16,20,24,30,36,44,54,66,82,102,126,156,194,240,296,
+          364,448,550,576] END"""
+
+MULTIMODAL_MP3_REGIONS_ORACLE = f"""
+WITH {_mp3_part2_ctes('')},
+slots AS (
+    SELECT g.*, s.sfb, -1 AS win,
+           CASE WHEN s.sfb <= 10 THEN slen1 ELSE slen2 END AS own_slen
+    FROM gshort g, (SELECT unnest(range(0, 21)) AS sfb) s
+    WHERE g.short = 0
+    UNION ALL
+    SELECT g.*, s.sfb, -1 AS win, slen1 AS own_slen
+    FROM gshort g, (SELECT unnest(range(0, 8)) AS sfb) s
+    WHERE g.short = 1 AND g.mixed = 1
+    UNION ALL
+    SELECT g.*, s.sfb, w.win,
+           CASE WHEN s.sfb <= 5 THEN slen1 ELSE slen2 END AS own_slen
+    FROM gshort g,
+         (SELECT unnest(range(0, 12)) AS sfb) s,
+         (SELECT unnest(range(0, 3)) AS win) w
+    WHERE g.short = 1
+      AND s.sfb >= CASE WHEN g.mixed = 1 THEN 3 ELSE 0 END
+),
+marked AS (
+    SELECT sl.*,
+           CASE WHEN sl.g = 1 AND sl.win = -1 AND sl.short = 0
+                     AND g0.short = 0
+                     AND ((sl.scfsi // CASE
+                           WHEN sl.sfb <= 5 THEN 8
+                           WHEN sl.sfb <= 10 THEN 4
+                           WHEN sl.sfb <= 15 THEN 2 ELSE 1 END) % 2) = 1
+                THEN 1 ELSE 0 END AS shared
+    FROM slots sl
+    JOIN gshort g0
+      ON g0.d = sl.d AND g0.f = sl.f AND g0.c = sl.c AND g0.g = 0
+),
+bits AS (
+    SELECT d, f, g, c,
+           SUM(CASE WHEN shared = 1 THEN 0 ELSE own_slen END)
+               AS part2_bits
+    FROM marked GROUP BY d, f, g, c
+),
+region AS (
+    SELECT gs.*,
+           CASE WHEN wsf = 1
+                THEN CASE WHEN block_type = 2 THEN 8 ELSE 7 END
+                ELSE r0c_tx END AS r0_count,
+           {_SFB_L_SQL} AS L
+    FROM gshort gs
+),
+region2 AS (
+    SELECT *,
+           CASE WHEN wsf = 1 THEN 20 - r0_count ELSE r1c_tx END
+               AS r1_count,
+           2 * big_values AS bv_lines
+    FROM region
+),
+region3 AS (
+    SELECT *,
+           L[least(r0_count + 1, 22) + 1] AS b0,
+           L[least(r0_count + r1_count + 2, 22) + 1] AS b1
+    FROM region2
+)
+SELECT r.d AS doc_id,
+       CAST(r.f AS BIGINT) AS frame,
+       CAST(r.g AS BIGINT) AS granule,
+       CAST(r.c AS BIGINT) AS channel,
+       CAST(r.big_values AS BIGINT) AS big_values,
+       CAST(r.bv_lines AS BIGINT) AS bv_lines,
+       CAST(r.block_type AS BIGINT) AS block_type,
+       CAST(r.r0_count AS BIGINT) AS r0_count,
+       CAST(r.r1_count AS BIGINT) AS r1_count,
+       CAST(least(r.b0, r.bv_lines) AS BIGINT) AS region0_lines,
+       CAST(least(r.b1, r.bv_lines) - least(r.b0, r.bv_lines) AS BIGINT)
+           AS region1_lines,
+       CAST(r.bv_lines - least(r.b1, r.bv_lines) AS BIGINT)
+           AS region2_lines,
+       CAST(r.ts0 AS BIGINT) AS table_r0,
+       CAST(r.ts1 AS BIGINT) AS table_r1,
+       CAST(CASE WHEN r.wsf = 1 THEN -1 ELSE r.ts2_raw END AS BIGINT)
+           AS table_r2,
+       CAST(r.count1table AS BIGINT) AS count1table,
+       CAST(b.part2_bits AS BIGINT) AS part2_bits,
+       CAST(r.part2_3_length - b.part2_bits AS BIGINT) AS part3_bits,
+       CAST(CASE WHEN b.part2_bits <= r.part2_3_length THEN 1 ELSE 0 END
+            AS BIGINT) AS part23_ok
+FROM region3 r
+JOIN bits b
+  ON b.d = r.d AND b.f = r.f AND b.g = r.g AND b.c = r.c
 """
 
 

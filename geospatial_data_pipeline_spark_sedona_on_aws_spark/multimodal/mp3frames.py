@@ -759,3 +759,111 @@ def mp3_scalefactors(payload: bytes) -> list:
         f += 1
         pos += flen
     return rows
+
+
+#: MPEG-1 long-block scalefactor-band boundaries in spectral LINES by
+#: sample rate (ISO 11172-3 Table B.8, 23 entries spanning 0..576): the
+#: big_values Huffman region boundaries index into this table.
+SFB_LONG_MPEG1 = {
+    44100: (0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 52, 62, 74, 90, 110,
+            134, 162, 196, 238, 288, 342, 418, 576),
+    48000: (0, 4, 8, 12, 16, 20, 24, 30, 36, 42, 50, 60, 72, 88, 106,
+            128, 156, 190, 230, 276, 330, 384, 576),
+    32000: (0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 82, 102, 126,
+            156, 194, 240, 296, 364, 448, 550, 576),
+}
+
+
+def granule_part2_bits(si: dict) -> dict:
+    """(granule, channel) -> part2 bit count: scalefactor bits actually
+    transmitted, with scfsi-shared granule-1 long groups counting 0 (the
+    same walk mp3_scalefactors performs, sans value decode)."""
+    out = {}
+    for g, chans in enumerate(si["granules"]):
+        for c, gf in enumerate(chans):
+            s1, s2 = SLEN_TABLE[gf["scalefac_compress"]]
+            bits = 0
+            for (sfb, win, si_idx) in _scalefac_slots(gf):
+                if g == 1 and win == -1 and not _is_short(gf) \
+                        and _scfsi_shared(si, 1, c, _long_group(sfb)):
+                    continue
+                bits += (s1, s2)[si_idx]
+            out[(g, c)] = bits
+    return out
+
+
+def mp3_regions(payload: bytes) -> list:
+    """The layer BELOW part2 (r11 verdict item 4): the big_values Huffman
+    REGION STRUCTURE — per (frame, granule, channel) the spectral-line
+    boundaries of region0/1/2, the Huffman table selected for each
+    region, the count1 quadruple table, and the part2/part3 bit budget
+    (part3 = part2_3_length - part2; the layer that would drive spectral
+    decode). Region law (ISO 11172-3 / the libmad convention): with
+    window_switching the counts are not transmitted and default to
+    region0_count = 8 for block_type 2 else 7, region1_count =
+    20 - region0_count (region2 empty); otherwise the transmitted counts
+    index the long scalefactor-band table SFB_LONG_MPEG1 and the three
+    regions partition the 2·big_values lines, each clamped to the
+    big_values boundary. MPEG-1 only (mp3_scalefactors' documented LSF
+    boundary applies one layer down too); Huffman SPECTRUM decode
+    (codeword tables, linbits) remains the next documented boundary."""
+    if not isinstance(payload, (bytes, bytearray)):
+        raise Mp3Error("payload must be bytes")
+    buf = bytes(payload)
+    pos = _skip_id3v2(buf)
+    end = len(buf)
+    if end >= pos + 128 and buf[end - 128:end - 125] == b"TAG":
+        end -= 128
+    if pos >= end:
+        raise Mp3Error("no audio frames in stream")
+    rows = []
+    f = 0
+    while pos < end:
+        h = _parse_header(buf[pos:pos + 4])
+        if h["layer"] != 3:
+            raise Mp3Error("Huffman regions are a Layer III structure; "
+                           f"stream is Layer {h['layer']}")
+        if _vgroup(h["version"]) == 2:
+            raise Mp3Error("LSF region partitions are a documented "
+                           "engine boundary (MPEG-1 layout only)")
+        flen = h["frame_len"]
+        if pos + flen > end:
+            raise Mp3Error("truncated final frame")
+        body = pos + 4 + (2 if h["protection"] else 0)
+        si = side_info_parse(h["version"], h["channels"],
+                             buf[body:pos + flen])
+        part2 = granule_part2_bits(si)
+        L = SFB_LONG_MPEG1[h["sample_rate"]]
+        for g, chans in enumerate(si["granules"]):
+            for c, gf in enumerate(chans):
+                if gf["window_switching"]:
+                    r0 = 8 if gf["block_type"] == 2 else 7
+                    r1 = 20 - r0
+                else:
+                    r0 = gf["region0_count"]
+                    r1 = gf["region1_count"]
+                b0 = L[min(r0 + 1, 22)]
+                b1 = L[min(r0 + r1 + 2, 22)]
+                bv2 = 2 * gf["big_values"]
+                reg0 = min(b0, bv2)
+                reg1 = min(b1, bv2) - reg0
+                reg2 = bv2 - min(b1, bv2)
+                p2 = part2[(g, c)]
+                p3 = gf["part2_3_length"] - p2
+                rows.append({
+                    "frame": f, "granule": g, "channel": c,
+                    "big_values": gf["big_values"], "bv_lines": bv2,
+                    "block_type": gf["block_type"],
+                    "r0_count": r0, "r1_count": r1,
+                    "region0_lines": reg0, "region1_lines": reg1,
+                    "region2_lines": reg2,
+                    "table_r0": gf["table_select_0"],
+                    "table_r1": gf["table_select_1"],
+                    "table_r2": gf["table_select_2"],
+                    "count1table": gf["count1table_select"],
+                    "part2_bits": p2, "part3_bits": p3,
+                    "part23_ok": 1 if p3 >= 0 else 0,
+                })
+        f += 1
+        pos += flen
+    return rows

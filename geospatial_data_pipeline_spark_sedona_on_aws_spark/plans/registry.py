@@ -305,6 +305,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_vp9_probe": MM.multimodal_vp9_probe,  # r9: IVF/VP9 headers
     "multimodal_mp3_granules": MM.multimodal_mp3_granules,  # r10: side info
     "multimodal_mp3_scalefactors": MM.multimodal_mp3_scalefactors,  # r11
+    "multimodal_mp3_regions": MM.multimodal_mp3_regions,  # r12: Huffman regions
     "multimodal_vp9_inter": MM.multimodal_vp9_inter,  # r11
     "multimodal_features": MM.multimodal_features,
     "pyds_sensor_hourly": PDS.sensor_hourly,
@@ -933,6 +934,7 @@ ORACLES: dict[str, str] = {
     "multimodal_mp3_granules": MM.MULTIMODAL_MP3_GRANULES_ORACLE,
     "multimodal_mp3_scalefactors":
         MM.MULTIMODAL_MP3_SCALEFACTORS_ORACLE,
+    "multimodal_mp3_regions": MM.MULTIMODAL_MP3_REGIONS_ORACLE,
     "multimodal_vp9_inter": MM.MULTIMODAL_VP9_INTER_ORACLE,
     "multimodal_wav_decode": MM.MULTIMODAL_WAV_DECODE_ORACLE,
     "multimodal_y4m_decode": MM.MULTIMODAL_Y4M_DECODE_ORACLE,

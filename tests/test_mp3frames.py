@@ -281,3 +281,72 @@ def test_scalefactors_lsf_boundary():
                                   structured_side=True)
     with pytest.raises(M.Mp3Error, match="LSF scalefactor"):
         M.mp3_scalefactors(payload)
+
+
+# --------------------------------------------------------- regions (r12)
+
+def _regenc(seed, **kw):
+    args = dict(version=10, layer=3, bitrate_idx=9, sr_idx=seed % 3,
+                n_frames=2 + seed % 3, channel_mode=seed % 4,
+                protection=seed % 2 == 0, seed=seed,
+                structured_side=True, structured_scalefactors=True)
+    args.update(kw)
+    return M.mp3_frames_encode(**args)
+
+
+def test_regions_partition_big_values_exactly():
+    """region0 + region1 + region2 always sum to 2*big_values, every
+    region is non-negative, and region2 is empty under window
+    switching (the libmad default counts end region1 at 576)."""
+    for seed in range(12):
+        for r in M.mp3_regions(_regenc(seed)):
+            assert r["region0_lines"] >= 0
+            assert r["region1_lines"] >= 0
+            assert r["region2_lines"] >= 0
+            assert (r["region0_lines"] + r["region1_lines"]
+                    + r["region2_lines"]) == r["bv_lines"] == \
+                2 * r["big_values"]
+            if r["block_type"] != -1:          # window switching
+                assert r["region2_lines"] == 0
+                assert r["table_r2"] == -1
+                assert r["r0_count"] == (8 if r["block_type"] == 2
+                                         else 7)
+                assert r["r1_count"] == 20 - r["r0_count"]
+
+
+def test_regions_boundary_law_long_blocks():
+    """For a transmitted-count granule the boundaries index the ISO
+    long table for the stream's sample rate, clamped at big_values."""
+    rows = M.mp3_regions(_regenc(1, sr_idx=0))   # 44100
+    L = M.SFB_LONG_MPEG1[44100]
+    for r in rows:
+        if r["block_type"] != -1:
+            continue
+        b0 = L[min(r["r0_count"] + 1, 22)]
+        b1 = L[min(r["r0_count"] + r["r1_count"] + 2, 22)]
+        assert r["region0_lines"] == min(b0, r["bv_lines"])
+        assert r["region1_lines"] == min(b1, r["bv_lines"]) - \
+            min(b0, r["bv_lines"])
+
+
+def test_regions_part3_budget_consistency():
+    """part3 = part2_3_length - part2, and part23_ok flags exactly the
+    non-negative budgets; part2 agrees with the scalefactor layer."""
+    payload = _regenc(5)
+    sf = M.mp3_scalefactors(payload)
+    p2 = {(r["frame"], r["granule"], r["channel"]): r["part2_bits"]
+          for r in sf}
+    for r in M.mp3_regions(payload):
+        key = (r["frame"], r["granule"], r["channel"])
+        assert r["part2_bits"] == p2[key]
+        assert r["part23_ok"] == (1 if r["part3_bits"] >= 0 else 0)
+
+
+def test_regions_lsf_and_layer_gates():
+    with pytest.raises(M.Mp3Error, match="LSF region"):
+        M.mp3_regions(_regenc(3, version=20, bitrate_idx=9,
+                              structured_scalefactors=False))
+    with pytest.raises(M.Mp3Error, match="Layer III"):
+        M.mp3_regions(M.mp3_frames_encode(
+            10, 2, bitrate_idx=9, sr_idx=0, n_frames=2,
+            channel_mode=0, protection=False, seed=1))
