@@ -1357,6 +1357,132 @@ def multimodal_vp9_inter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_vp9_superframes(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """VP9 superframe index walk (r11 verdict item 5): real streams pack
+    a hidden alt-ref frame plus shown frames into one IVF packet with a
+    trailing Annex-B index; this query builds such streams (the
+    (f + seed) % 3 == 2 packets become two-subframe superframes — a
+    non-shown inter frame with intra_only = 0 followed by a
+    show-existing frame) and emits one row per SUBFRAME: kind,
+    show_frame, header/frame/index/packet byte accounting (the parser
+    enforces Σ subframe sizes + index = packet size), and the filler
+    checksum that shifts if any header bit or index size field is
+    miscounted. The oracle recomputes every byte count closed-form from
+    the field law — including the per-branch inter header bit total and
+    the 1-or-2-byte index size field. intra_only == 1 frames stay the
+    documented boundary (multimodal/vp9frames.py).
+
+    Scale: row-local mapInPandas, no shuffle."""
+    from .vp9frames import ivf_vp9_encode, vp9_superframes
+
+    docs = _docs(spark, sf_dir, "doc_id")
+
+    cols = ["doc_id", "packet", "subframe", "n_sub", "kind",
+            "show_frame", "header_bytes", "frame_bytes", "index_bytes",
+            "packet_bytes", "filler_sum"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                profile = d % 4
+                payload = ivf_vp9_encode(
+                    width=64 + d % 640, height=64 + d % 360,
+                    n_frames=3 + d % 10, profile=profile,
+                    bit_depth=8 if profile < 2
+                    else (10 if (d // 4) % 2 == 0 else 12),
+                    color_range=d % 2,
+                    sub_x=(d // 2) % 2, sub_y=(d // 3) % 2, seed=d,
+                    inter_frames=True, superframes=True)
+                for r in vp9_superframes(payload):
+                    rows.append([d] + [r[k] for k in cols[1:]])
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.mapInPandas(
+        run, schema=", ".join(f"{c} long" for c in cols))
+
+
+#: closed-form inter-header BIT count for the fixture law: marker/profile/
+#: flags 8 + refresh 8 + refs 12 + hp_mv 1 + switchable flag 1 = 30 base,
+#: plus profile-3 reserved, the intra_only bit when hidden, the 2 reset
+#: bits when not error-resilient, the found-ref unary or explicit dims,
+#: and the 2 filter bits when not switchable
+_VP9_INTER_BITS = """(30
+    + CASE WHEN profile = 3 THEN 1 ELSE 0 END
+    + CASE WHEN {show} = 0 THEN 1 ELSE 0 END
+    + CASE WHEN er = 0 THEN 2 ELSE 0 END
+    + CASE WHEN fr_slot < 3 THEN fr_slot + 1 ELSE 36 END
+    + CASE WHEN switchable = 0 THEN 2 ELSE 0 END)"""
+
+MULTIMODAL_VP9_SUPERFRAMES_ORACLE = f"""
+WITH p AS (
+    SELECT doc_id AS d, doc_id % 4 AS profile, 3 + doc_id % 10 AS n_frames
+    FROM documents
+),
+fr AS (
+    SELECT p.d, p.profile, f.f,
+           CASE WHEN f.f > 0 AND (f.f + p.d) % 3 = 0 THEN 2
+                WHEN f.f > 0 AND (f.f + p.d) % 3 = 1 THEN 1
+                WHEN f.f > 0 AND (f.f + p.d) % 3 = 2 THEN 3
+                ELSE 0 END AS ptype,
+           (p.d * 13 + f.f * 7) % 251 AS fb,
+           (p.d + f.f) % 2 AS er,
+           (p.d + f.f) % 4 AS fr_slot,
+           f.f % 2 AS switchable,
+           1 + (p.d + f.f) % 2 AS szbytes,
+           16 + (p.d * 5 + f.f * 11) % 50 AS nfk,
+           16 + (p.d * 7 + f.f * 13) % 50 AS nfi,
+           CASE WHEN p.profile = 3 THEN 10 ELSE 9 END AS key_hb,
+           CASE WHEN p.profile = 3 THEN 2 ELSE 1 END AS show_hb
+    FROM p, (SELECT unnest(range(0, 13)) AS f) f
+    WHERE f.f < p.n_frames
+),
+hb AS (
+    SELECT *,
+           ({_VP9_INTER_BITS.format(show=1)} + 7) // 8 AS inter_hb_shown,
+           ({_VP9_INTER_BITS.format(show=0)} + 7) // 8 AS inter_hb_hidden
+    FROM fr
+),
+rows_ AS (
+    SELECT d, f AS packet, 0 AS subframe, 1 AS n_sub, 0 AS kind,
+           1 AS show_frame, key_hb AS header_bytes,
+           key_hb + nfk AS frame_bytes, 0 AS index_bytes,
+           key_hb + nfk AS packet_bytes, nfk * fb AS filler_sum
+    FROM hb WHERE ptype = 0
+    UNION ALL
+    SELECT d, f, 0, 1, 1, 1, inter_hb_shown,
+           inter_hb_shown + nfi, 0, inter_hb_shown + nfi, nfi * fb
+    FROM hb WHERE ptype = 1
+    UNION ALL
+    SELECT d, f, 0, 1, 2, -1, show_hb, show_hb, 0, show_hb, 0
+    FROM hb WHERE ptype = 2
+    UNION ALL
+    SELECT d, f, 0, 2, 1, 0, inter_hb_hidden,
+           inter_hb_hidden + nfi, 2 + 2 * szbytes,
+           inter_hb_hidden + nfi + show_hb + 2 + 2 * szbytes, nfi * fb
+    FROM hb WHERE ptype = 3
+    UNION ALL
+    SELECT d, f, 1, 2, 2, -1, show_hb, show_hb, 2 + 2 * szbytes,
+           inter_hb_hidden + nfi + show_hb + 2 + 2 * szbytes, 0
+    FROM hb WHERE ptype = 3
+)
+SELECT d AS doc_id,
+       CAST(packet AS BIGINT) AS packet,
+       CAST(subframe AS BIGINT) AS subframe,
+       CAST(n_sub AS BIGINT) AS n_sub,
+       CAST(kind AS BIGINT) AS kind,
+       CAST(show_frame AS BIGINT) AS show_frame,
+       CAST(header_bytes AS BIGINT) AS header_bytes,
+       CAST(frame_bytes AS BIGINT) AS frame_bytes,
+       CAST(index_bytes AS BIGINT) AS index_bytes,
+       CAST(packet_bytes AS BIGINT) AS packet_bytes,
+       CAST(filler_sum AS BIGINT) AS filler_sum
+FROM rows_
+"""
+
+
 MULTIMODAL_VP9_INTER_ORACLE = """
 WITH p AS (
     SELECT doc_id AS d, 3 + doc_id % 10 AS n_frames

@@ -142,12 +142,16 @@ def _parse_inter_header(r: "_BitReader", profile: int, show_frame: int,
     remaining uncompressed-header fields (loop filter, quantization,
     segmentation, tiles) follow in real streams; the fixture writes its
     filler right here, so header_bytes audits exactly these bits.
-    intra_only (show_frame == 0) stays a deterministic boundary — its
-    color-config path needs no reference state but the fixture has no
-    use for a non-shown frame."""
+    r12: non-shown inter frames (show_frame == 0, intra_only == 0 — the
+    alt-ref frames superframes hide) parse through the normal inter
+    path after the intra_only bit; intra_only == 1 (its own sync-code +
+    color-config layout) stays the documented boundary."""
+    intra_only = 0
     if not show_frame:
-        raise Vp9Error("intra-only frames are not supported "
-                       "(non-shown frame; documented boundary)")
+        intra_only = r.get(1)
+        if intra_only:
+            raise Vp9Error("intra-only frames are not supported "
+                           "(documented boundary)")
     reset_frame_context = 0
     if not error_resilient:
         reset_frame_context = r.get(2)
@@ -317,7 +321,7 @@ def _show_existing_frame(profile: int, idx: int) -> bytes:
 
 
 def _inter_frame(profile: int, width: int, height: int, seed: int,
-                 f: int, filler: bytes) -> bytes:
+                 f: int, filler: bytes, show: int = 1) -> bytes:
     """Deterministic inter frame following the r11 field law (mirrored
     closed-form by the SQL oracle):
       error_resilient = (seed + f) % 2
@@ -336,9 +340,12 @@ def _inter_frame(profile: int, width: int, height: int, seed: int,
         w.put(0, 1)
     w.put(0, 1)                            # show_existing_frame
     w.put(1, 1)                            # frame_type = NON_KEY
-    w.put(1, 1)                            # show_frame
+    w.put(show, 1)                         # show_frame (0 = alt-ref)
     er = (seed + f) % 2
     w.put(er, 1)                           # error_resilient
+    if not show:
+        w.put(0, 1)                        # intra_only = 0 (real inter;
+        #                                    spec order: after resilient)
     if not er:
         w.put((seed + f) % 4, 2)           # reset_frame_context
     w.put((seed * 3 + f) % 256, 8)         # refresh_frame_flags
@@ -375,17 +382,45 @@ def key_header_bytes(profile: int) -> int:
     return (bits + 7) // 8
 
 
+def superframe_pack(subframes: list, szbytes: int) -> bytes:
+    """Annex-B superframe: the subframe bytes followed by the index —
+    marker, n × szbytes little-endian sizes, marker again. Marker byte:
+    0b110 | (szbytes-1) << 3 | (n_subframes - 1)."""
+    n = len(subframes)
+    if not 1 <= n <= 8:
+        raise Vp9Error("superframe holds 1-8 subframes")
+    if not 1 <= szbytes <= 4:
+        raise Vp9Error("superframe size field is 1-4 bytes")
+    marker = 0xC0 | ((szbytes - 1) << 3) | (n - 1)
+    out = bytearray()
+    for sub in subframes:
+        if len(sub) >= (1 << (8 * szbytes)):
+            raise Vp9Error("subframe too large for the size field")
+        out += sub
+    out.append(marker)
+    for sub in subframes:
+        out += len(sub).to_bytes(szbytes, "little")
+    out.append(marker)
+    return bytes(out)
+
+
 def ivf_vp9_encode(width: int, height: int, n_frames: int, profile: int,
                    bit_depth: int, color_range: int, sub_x: int,
                    sub_y: int, seed: int, timebase=(1000, 1),
-                   inter_frames: bool = False) -> bytes:
+                   inter_frames: bool = False,
+                   superframes: bool = False) -> bytes:
     """Deterministic IVF/VP9 fixture: frame 0 is a keyframe; frame f > 0
     is a show-existing frame when (f + seed) % 3 == 0, else another
     keyframe. Keyframe f carries 16 + (seed*5 + f*11) % 50 filler bytes
     of the per-frame-constant law; PTS = 1000·f. With ``inter_frames``
     (r11) the (f + seed) % 3 == 1 frames (f > 0) become INTER frames
     following the _inter_frame field law, carrying
-    16 + (seed*7 + f*13) % 50 filler bytes."""
+    16 + (seed*7 + f*13) % 50 filler bytes. With ``superframes`` (r12)
+    the (f + seed) % 3 == 2 packets (f > 0) become two-subframe
+    SUPERFRAMES — a hidden alt-ref inter frame (show_frame = 0,
+    intra_only = 0, the same field/filler laws keyed by f) followed by
+    a show-existing frame, packed with an Annex-B index whose size
+    field is 1 + (seed + f) % 2 bytes wide."""
     frames = []
     for f in range(n_frames):
         if f > 0 and (f + seed) % 3 == 0:
@@ -394,6 +429,14 @@ def ivf_vp9_encode(width: int, height: int, n_frames: int, profile: int,
             n_fill = 16 + (seed * 7 + f * 13) % 50
             data = _inter_frame(profile, width, height, seed, f,
                                 bytes([_filler_byte(seed, f)]) * n_fill)
+        elif superframes and f > 0 and (f + seed) % 3 == 2:
+            n_fill = 16 + (seed * 7 + f * 13) % 50
+            hidden = _inter_frame(profile, width, height, seed, f,
+                                  bytes([_filler_byte(seed, f)]) * n_fill,
+                                  show=0)
+            shown = _show_existing_frame(profile, idx=f % 8)
+            data = superframe_pack([hidden, shown],
+                                   szbytes=1 + (seed + f) % 2)
         else:
             n_fill = 16 + (seed * 5 + f * 11) % 50
             data = _key_frame(profile, width, height, bit_depth,
@@ -406,3 +449,107 @@ def ivf_vp9_encode(width: int, height: int, n_frames: int, profile: int,
     for pts, data in frames:
         out += struct.pack("<IQ", len(data), pts) + data
     return bytes(out)
+
+
+def superframe_split(chunk: bytes) -> tuple:
+    """Annex-B superframe index walk on one IVF packet: returns
+    (subframe byte-ranges, index_bytes). A packet whose last byte is not
+    a superframe marker is a single frame ((0, len), 0). The marker
+    pattern 110xxyyy can occur by chance in ordinary frame payload (the
+    fixture's constant filler bytes land in [0xC0, 0xDF] for some
+    seeds), so a candidate index is VALIDATED exactly as libvpx does —
+    leading marker byte must match and the sizes must sum to the packet
+    — and an inconsistent candidate falls back to single-frame instead
+    of raising."""
+    if not chunk:
+        raise Vp9Error("empty IVF packet")
+    single = ((0, len(chunk)),), 0
+    marker = chunk[-1]
+    if (marker & 0xE0) != 0xC0:
+        return single
+    szbytes = ((marker >> 3) & 0b11) + 1
+    n_sub = (marker & 0b111) + 1
+    index_len = 2 + n_sub * szbytes
+    if len(chunk) < index_len or chunk[-index_len] != marker:
+        return single
+    sizes = []
+    pos = len(chunk) - index_len + 1
+    for _ in range(n_sub):
+        sizes.append(int.from_bytes(chunk[pos:pos + szbytes], "little"))
+        pos += szbytes
+    if sum(sizes) + index_len != len(chunk):
+        return single
+    spans = []
+    off = 0
+    for s in sizes:
+        spans.append((off, off + s))
+        off += s
+    return tuple(spans), index_len
+
+
+#: kind codes for the per-subframe rows (every column stays BIGINT)
+VP9_KIND_KEY, VP9_KIND_INTER, VP9_KIND_SHOW = 0, 1, 2
+
+
+def vp9_superframes(payload: bytes) -> list:
+    """Superframe-granular stream walk (r11 verdict item 5): IVF packets
+    are split on their trailing Annex-B index (hidden alt-ref + shown
+    frames packed per packet), every SUBFRAME's uncompressed header is
+    parsed, and each subframe row carries the byte audit — header bytes,
+    subframe bytes, index bytes, packet bytes (= Σ subframe + index,
+    enforced by superframe_split), and the filler checksum that shifts
+    if any header bit or index size field is miscounted."""
+    if len(payload) < 32:
+        raise Vp9Error("stream shorter than the IVF header")
+    magic, ver, hdr_sz, fourcc, w, h, den, num, n_frames = struct.unpack(
+        "<4sHH4sHHIII", payload[:28])
+    if magic != b"DKIF":
+        raise Vp9Error("bad IVF magic")
+    if fourcc != b"VP90":
+        raise Vp9Error(f"not a VP9 stream (fourcc {fourcc!r})")
+    if ver != 0 or hdr_sz != 32:
+        raise Vp9Error("unsupported IVF version/header size")
+    rows = []
+    pos = 32
+    f = 0
+    seen_key = False
+    while pos < len(payload):
+        if pos + 12 > len(payload):
+            raise Vp9Error("truncated IVF frame header")
+        size, _pts = struct.unpack("<IQ", payload[pos:pos + 12])
+        pos += 12
+        if pos + size > len(payload):
+            raise Vp9Error("IVF frame size overruns stream")
+        chunk = payload[pos:pos + size]
+        spans, index_bytes = superframe_split(chunk)
+        for si, (lo, hi) in enumerate(spans):
+            fh = _parse_frame_header(chunk[lo:hi])
+            if fh["kind"] == "key":
+                seen_key = True
+                kind, show = VP9_KIND_KEY, fh["show_frame"]
+            elif fh["kind"] == "inter":
+                if not seen_key:
+                    raise Vp9Error("inter frame before any keyframe")
+                kind, show = VP9_KIND_INTER, fh["show_frame"]
+            else:
+                kind, show = VP9_KIND_SHOW, -1
+                if fh["header_bytes"] != hi - lo:
+                    raise Vp9Error(
+                        "show-existing subframe has trailing bytes")
+            filler = chunk[lo + fh["header_bytes"]:hi]
+            rows.append({
+                "packet": f, "subframe": si, "n_sub": len(spans),
+                "kind": kind, "show_frame": show,
+                "header_bytes": fh["header_bytes"],
+                "frame_bytes": hi - lo,
+                "index_bytes": index_bytes,
+                "packet_bytes": size,
+                "filler_sum": sum(filler),
+            })
+        f += 1
+        pos += size
+    if f != n_frames:
+        raise Vp9Error("IVF frame-count field disagrees with stream")
+    if not seen_key:
+        raise Vp9Error("stream has no keyframe")
+    return rows

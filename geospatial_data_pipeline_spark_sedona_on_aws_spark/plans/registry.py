@@ -307,6 +307,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_mp3_scalefactors": MM.multimodal_mp3_scalefactors,  # r11
     "multimodal_mp3_regions": MM.multimodal_mp3_regions,  # r12: Huffman regions
     "multimodal_vp9_inter": MM.multimodal_vp9_inter,  # r11
+    "multimodal_vp9_superframes": MM.multimodal_vp9_superframes,  # r12
     "multimodal_features": MM.multimodal_features,
     "pyds_sensor_hourly": PDS.sensor_hourly,
     "pyds_jsonl_commit_roundtrip": PDS.crop_jsonl_commit_roundtrip,
@@ -936,6 +937,7 @@ ORACLES: dict[str, str] = {
         MM.MULTIMODAL_MP3_SCALEFACTORS_ORACLE,
     "multimodal_mp3_regions": MM.MULTIMODAL_MP3_REGIONS_ORACLE,
     "multimodal_vp9_inter": MM.MULTIMODAL_VP9_INTER_ORACLE,
+    "multimodal_vp9_superframes": MM.MULTIMODAL_VP9_SUPERFRAMES_ORACLE,
     "multimodal_wav_decode": MM.MULTIMODAL_WAV_DECODE_ORACLE,
     "multimodal_y4m_decode": MM.MULTIMODAL_Y4M_DECODE_ORACLE,
     "crop_analytics_full": P.CROP_ANALYTICS_FULL_ORACLE,

@@ -123,14 +123,16 @@ class TestCorruptStreams:
             V.ivf_vp9_probe(bytes(b))
 
     def test_intra_only_frame_rejected(self):
-        # r11 parses inter headers; the remaining boundary is the
-        # non-shown (intra_only) frame
+        # r12 parses non-shown inter frames (intra_only = 0, the alt-ref
+        # shape superframes hide); intra_only = 1 — its own sync-code +
+        # color-config layout — stays the boundary
         w = V._BitWriter()
         w.put(0b10, 2); w.put(0, 1); w.put(0, 1)            # profile 0
         w.put(0, 1)                                         # not show-existing
         w.put(1, 1)                                         # INTER frame
         w.put(0, 1)                                         # show_frame = 0
         w.put(0, 1)                                         # error_resilient
+        w.put(1, 1)                                         # intra_only = 1
         data = w.tobytes() + bytes(8)
         with pytest.raises(V.Vp9Error, match="intra-only"):
             V._parse_frame_header(data)
@@ -193,3 +195,79 @@ class TestCorruptStreams:
         b += struct.pack("<IQ", len(show), 0) + show
         with pytest.raises(V.Vp9Error, match="keyframe"):
             V.ivf_vp9_probe(bytes(b))
+
+
+# ----------------------------------------------------- superframes (r12)
+
+def _sfenc(seed, **kw):
+    args = dict(width=320, height=240, n_frames=9, profile=seed % 4,
+                bit_depth=8 if seed % 4 < 2 else 10, color_range=1,
+                sub_x=1, sub_y=1, seed=seed, inter_frames=True,
+                superframes=True)
+    args.update(kw)
+    return V.ivf_vp9_encode(**args)
+
+
+def test_superframe_rows_tile_packets_exactly():
+    """Per packet: subframe sizes + index bytes = packet bytes, kinds
+    follow the fixture law, and the hidden alt-ref is a real inter
+    frame (show_frame = 0) followed by a show-existing subframe."""
+    for seed in range(8):
+        rows = V.vp9_superframes(_sfenc(seed))
+        by_packet = {}
+        for r in rows:
+            by_packet.setdefault(r["packet"], []).append(r)
+        for f, rs in by_packet.items():
+            assert sum(x["frame_bytes"] for x in rs) + rs[0]["index_bytes"] \
+                == rs[0]["packet_bytes"]
+            if f > 0 and (f + seed) % 3 == 2:      # superframe packets
+                assert [x["kind"] for x in rs] == [1, 2]
+                assert rs[0]["show_frame"] == 0
+                assert rs[0]["n_sub"] == 2
+                szbytes = 1 + (seed + f) % 2
+                assert rs[0]["index_bytes"] == 2 + 2 * szbytes
+            else:
+                assert len(rs) == 1 and rs[0]["index_bytes"] == 0
+
+
+def test_superframe_marker_in_filler_falls_back_to_single_frame():
+    """A non-superframe packet whose constant filler byte lands in the
+    marker range [0xC0, 0xDF] must not be misread as a superframe: the
+    libvpx validation (leading marker + exact size sum) rejects it."""
+    # seed 303 puts keyframe filler at a marker-range byte (the r12
+    # fixture failure this fallback fixed)
+    rows = V.vp9_superframes(_sfenc(303, width=64 + 303 % 640,
+                                    height=64 + 303 % 360,
+                                    n_frames=3 + 303 % 10))
+    assert all(r["n_sub"] == 1 for r in rows if r["packet"] == 0)
+
+
+def test_superframe_split_validation():
+    good = V.superframe_pack([b"\x01\x02\x03", b"\x04"], szbytes=1)
+    spans, idx = V.superframe_split(good)
+    assert spans == ((0, 3), (3, 4)) and idx == 4
+    # corrupt the LEADING marker: falls back to single frame
+    bad = bytearray(good)
+    bad[-4] ^= 0xFF
+    spans, idx = V.superframe_split(bytes(bad))
+    assert spans == ((0, len(good)),) and idx == 0
+    # corrupt a size field: size sum mismatch, falls back
+    bad = bytearray(good)
+    bad[-3] = 200
+    spans, idx = V.superframe_split(bytes(bad))
+    assert spans == ((0, len(good)),) and idx == 0
+
+
+def test_hidden_inter_header_roundtrip():
+    """The non-shown inter frame (intra_only = 0) parses through the
+    normal inter path with one extra bit in header_bytes accounting."""
+    hidden = V._inter_frame(0, 320, 240, seed=6, f=2, filler=b"", show=0)
+    fh = V._parse_frame_header(hidden)
+    assert fh["kind"] == "inter" and fh["show_frame"] == 0
+    shown = V._inter_frame(0, 320, 240, seed=6, f=2, filler=b"", show=1)
+    fh2 = V._parse_frame_header(shown)
+    assert fh2["show_frame"] == 1
+    # same field law; the hidden variant carries exactly one more bit
+    for k in ("refresh_frame_flags", "ref_idx", "sign_bias",
+              "found_slot", "allow_high_precision_mv", "interp_filter"):
+        assert fh[k] == fh2[k]
