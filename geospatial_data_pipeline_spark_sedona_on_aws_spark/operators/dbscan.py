@@ -127,17 +127,38 @@ def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+#: point count above which _neighbor_pairs switches to HALF-neighborhood
+#: probing. Measured by same-process alternating A/B at sf1.0 (1M points:
+#: 14.7 -> 11.6 s, the candidate build dominates) and sf0.1 (100k points:
+#: 5.6 -> 6.2 s, the extra checkpoint write + union-swap overhead
+#: dominates) — the crossover sits between, and the two spellings emit
+#: the identical ordered pair set either way.
+DBSCAN_HALF_MIN_N = 500_000
+
+
 def _neighbor_pairs(pts: DataFrame,
-                    _tasks_probe: list | None = None) -> DataFrame:
-    """(a, b) ordered pairs with 0 < dist² <= EPS², via eps-grid cells:
-    side A keyed by its own cell, side B exploded to the 3×3 probe
-    neighborhood, met through `spatial_join._cell_block_join`'s block
-    spine (r10, closing the r9 hot-cell exposure): a pathologically
-    dense eps-cell fans out into CELL_BLOCK-slice block-pair tasks
-    instead of landing its whole |A|×|B| candidate cross product on the
-    ONE task a plain hash equi-join would give that cell's key. The
-    candidate SET is identical to the plain join's — bounded and
-    spread, never sampled — so the SQL oracle is untouched."""
+                    _tasks_probe: list | None = None,
+                    n_points: int = 0) -> DataFrame:
+    """(a, b) ordered pairs with 0 < dist² <= EPS², via eps-grid cells,
+    met through `spatial_join._cell_block_join`'s block spine (r10,
+    closing the r9 hot-cell exposure): a pathologically dense eps-cell
+    fans out into CELL_BLOCK-slice block-pair tasks instead of landing
+    its whole |A|×|B| candidate cross product on the ONE task a plain
+    hash equi-join would give that cell's key.
+
+    r12 (sf1.0 attribution): above DBSCAN_HALF_MIN_N points, side B
+    explodes to its own cell plus only the four DIRECTED offsets
+    E/NE/N/NW, so every unordered cell pair with Chebyshev distance <= 1
+    meets exactly once (the four offsets cover one of each antipodal
+    neighbor pair; same-cell pairs keep one direction via a < b), and
+    the ordered pair set is restored by a union-swap of the already-
+    FILTERED pairs. That runs the candidate build, the collect_list
+    shuffle, and the distance filter on 5/9 of the 3×3 spelling's volume
+    — the measured dominant stages at sf1.0 — while the emitted ordered
+    pair SET is identical, so the SQL oracle (which spells the plain 3×3
+    probe join) is untouched. Below the threshold the swap's extra
+    checkpoint write outweighs the saved candidates (measured) and the
+    3×3 spelling stays."""
     from .spatial_join import _cell_block_join
 
     cells = pts.selectExpr(
@@ -146,23 +167,53 @@ def _neighbor_pairs(pts: DataFrame,
         F.col("id").alias("a"), F.col("x").alias("ax"),
         F.col("y").alias("ay"), F.col("cx").alias("__cx"),
         F.col("cy").alias("__cy"))
+    d2 = ((F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+          + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by")))
+    if n_points < DBSCAN_HALF_MIN_N:
+        b = (
+            cells.select(
+                F.col("id").alias("b"), F.col("x").alias("bx"),
+                F.col("y").alias("by"),
+                F.explode(F.expr("sequence(cx - 1, cx + 1)"))
+                .alias("__cx"), "cy")
+            .select("b", "bx", "by", "__cx",
+                    F.explode(F.expr("sequence(cy - 1, cy + 1)"))
+                    .alias("__cy"))
+        )
+        return (
+            _cell_block_join(a, ["a", "ax", "ay"], b, ["b", "bx", "by"],
+                             _tasks_probe=_tasks_probe)
+            .where((F.col("a") != F.col("b")) & (d2 <= EPS * EPS))
+            .select("a", "b")
+        )
     b = (
         cells.select(
             F.col("id").alias("b"), F.col("x").alias("bx"),
-            F.col("y").alias("by"),
-            F.explode(F.expr("sequence(cx - 1, cx + 1)")).alias("__cx"),
-            "cy")
-        .select("b", "bx", "by", "__cx",
-                F.explode(F.expr("sequence(cy - 1, cy + 1)")).alias("__cy"))
+            F.col("y").alias("by"), "cx", "cy",
+            F.explode(F.expr(
+                "array(struct(0 AS dx, 0 AS dy),"
+                " struct(1 AS dx, 0 AS dy), struct(1 AS dx, 1 AS dy),"
+                " struct(0 AS dx, 1 AS dy), struct(-1 AS dx, 1 AS dy))"))
+            .alias("__o"))
+        .select("b", "bx", "by",
+                F.expr("cx + __o.dx").alias("__cx"),
+                F.expr("cy + __o.dy").alias("__cy"),
+                ((F.col("__o.dx") == 0)
+                 & (F.col("__o.dy") == 0)).alias("__own"))
     )
-    d2 = ((F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
-          + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by")))
-    return (
-        _cell_block_join(a, ["a", "ax", "ay"], b, ["b", "bx", "by"],
+    half = (
+        _cell_block_join(a, ["a", "ax", "ay"], b,
+                         ["b", "bx", "by", "__own"],
                          _tasks_probe=_tasks_probe)
-        .where((F.col("a") != F.col("b")) & (d2 <= EPS * EPS))
+        .where((~F.col("__own") | (F.col("a") < F.col("b")))
+               & (F.col("a") != F.col("b")) & (d2 <= EPS * EPS))
         .select("a", "b")
+        # both union branches read this subtree: truncate once so the
+        # candidate build + filter never evaluates twice
+        .localCheckpoint(eager=False)
     )
+    return half.unionByName(
+        half.select(F.col("b").alias("a"), F.col("a").alias("b")))
 
 def spatial_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-point DBSCAN labeling: (id, x, y, n_neighbors, is_core,
@@ -174,7 +225,9 @@ def spatial_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # truncate lineage once instead of replaying the count aggregate /
     # grid join per consumer (the triangle_count multi-consumer pattern)
     pts = _points(spark, sf_dir).localCheckpoint(eager=False)
-    nbr = _neighbor_pairs(pts).localCheckpoint(eager=False)
+    nbr = _neighbor_pairs(
+        pts, n_points=events_count(spark, sf_dir)
+    ).localCheckpoint(eager=False)
     deg = nbr.groupBy("a").agg(F.count("*").alias("nn")) \
              .localCheckpoint(eager=False)  # core filter + final readback
     core = deg.where(F.col("nn") >= MIN_PTS - 1) \

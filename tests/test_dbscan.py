@@ -182,3 +182,15 @@ def test_cc_loop_path_equals_union_find(spark):
     finally:
         spark.conf.unset(G.LOCAL_CC_CONF)
     assert base == looped
+
+
+def test_half_neighborhood_pairs_equal_three_by_three(spark, points):
+    """r12: the half-neighborhood spelling (B explodes to self + the four
+    directed offsets, union-swap after the filter) must emit EXACTLY the
+    3x3 spelling's ordered pair set — same cardinality, no duplicates."""
+    pts = DB._points(spark, SF_DIR)
+    base = DB._neighbor_pairs(pts).collect()
+    half = DB._neighbor_pairs(pts, n_points=DB.DBSCAN_HALF_MIN_N).collect()
+    assert len(half) == len(base)                       # no duplicates
+    assert {(r["a"], r["b"]) for r in half} == \
+        {(r["a"], r["b"]) for r in base}
