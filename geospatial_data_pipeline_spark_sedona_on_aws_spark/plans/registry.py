@@ -718,7 +718,79 @@ _R11_WINDOW = [
     "pyds_jsonl_commit_roundtrip",  # pydatasource family seat (r9-stale)
 ]
 
-_WINDOW = _R11_WINDOW
+_R12_WINDOW = [
+    # --- r12 blast radius (19): the two NEW codec-layer queries
+    # (multimodal_mp3_regions, multimodal_vp9_superframes) plus the
+    # siblings whose shared code moved (the mp3 part2 oracle CTEs are
+    # now factored and shared; the vp9 inter parser grew the intra_only
+    # path and the encoder the show/superframe args); the adaptive-plane
+    # LSH family (lsh_ann, cosine_near_dup share the new bucket law +
+    # probe budget + Arrow cogroup scorer; ann_recall's lsh arm + floor
+    # sync); the stats trio (DBSCAN's half-neighborhood pairs + the
+    # codegen _explode_pairs every _cell_block_join consumer now runs);
+    # st_shape_edit_ops (Vardi-Zhang/Newton geometric median); the broad
+    # name-parity batch (ST_GeometricMedian rides it); the flagship and
+    # the standing q12 seat ---
+    "multimodal_mp3_regions",       # NEW: Huffman region structure
+    "multimodal_vp9_superframes",   # NEW: superframe index walk
+    "multimodal_mp3_scalefactors",  # shared part2 CTE refactor
+    "multimodal_vp9_inter",         # intra_only parse path + encoder args
+    "multimodal_vp9_probe",         # shares _parse_frame_header
+    "embedding_lsh_ann",            # adaptive planes + budget + Arrow
+    "embedding_cosine_near_dup",    # adaptive bucket law (also r4-stale)
+    "ann_recall_at_k",              # lsh arm + floor sync (800 -> 1500)
+    "spatial_dbscan",               # half-neighborhood pairs + codegen
+    "local_outlier_factor",         # stats-trio seat (bounded-hold kin)
+    "getis_ord_hotspots",           # stats-trio seat (shared point law)
+    "spatial_range_join",           # _cell_block_join _explode_pairs
+    "spatial_range_join_fallback",  # forced-shuffle door of the same
+    "geo_range_join",               # WKT door of the same
+    "spatial_knn_join",             # grid-join family seat
+    "st_shape_edit_ops",            # geometric median + segmentize pins
+    "st_name_parity_ops",           # broad name surface (GeometricMedian)
+    "crop_analytics_full",          # flagship, standing seat
+    "q12_late_priority",            # r2's one red row: stays visible
+    # --- stalest tier-2 cohort (31): every r4-verified row left
+    # (dedup_apply .. user_type_totals_tws), the r5 cohort minus three
+    # rows whose family is already multiply seated (events_json_typed,
+    # spatial_knn_join_grid/lambda, multimodal_frame_sample), and the
+    # r6-era ST_ trio the r11 verdict named (st_dwithin_join,
+    # st_line_clip, st_geojson_roundtrip). Every displaced row stays in
+    # the committed full oracle run ---
+    "dedup_apply",
+    "embedding_pq_ann",
+    "llm_pipeline_report",
+    "sql_udf_chunk_plan",
+    "user_type_totals_tws",
+    "anomaly_zscore",
+    "arrow_quant_stats",
+    "bpe_merge_train",
+    "bpe_tokenize_apply",
+    "embedding_pq_rerank",
+    "events_json_extract",
+    "events_sliding_window",
+    "exact_dedup",                  # dedup family seat (r8-stale)
+    "hash_sample",
+    "interval_range_join",
+    "multimodal_features",
+    "multimodal_resize",
+    "training_mix",                 # text family seat (r8-stale)
+    "profile_table",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
+    "pyds_sensor_stream_totals",    # pydatasource family seat (r9-stale)
+    "salted_join_revenue",
+    "segment_dedup_rewrite",
+    "stratified_sample",
+    "stream_static_enrich",
+    "streaming_contamination",
+    "streaming_snapshot_publish",
+    "st_dwithin_join",
+    "st_line_clip",
+    "st_geojson_roundtrip",
+]
+
+_WINDOW = _R12_WINDOW
 # a duplicated name would silently dedupe in the dict rebuild below,
 # shrinking the driver's tier-1 gate without any signal (ADVICE r6)
 assert len(_WINDOW) == len(set(_WINDOW)), "duplicate name in gate window"
