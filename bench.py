@@ -150,6 +150,12 @@ SWEEP_QUERIES = [
     "st_affine_ops",
     "st_misc_ops",
     "embedding_lsh_ann",
+    # round 12 (r11 verdict item 2): the near-dup arm shares the new
+    # adaptive bucket law — its decade must flatten with lsh_ann's; the
+    # two new codec-layer queries are row-local, so flat-linear expected
+    "embedding_cosine_near_dup",
+    "multimodal_mp3_regions",
+    "multimodal_vp9_superframes",
 ]
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/root/repo/.bench_sf1")
 SWEEP_SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",

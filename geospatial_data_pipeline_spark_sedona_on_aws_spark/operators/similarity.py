@@ -601,10 +601,6 @@ def lsh_ann(spark: SparkSession, sf_dir: str,
         emb.where(F.col("vec_id") < max_query_id)
     a = q_side.withColumn("probe", F.explode(probes)).alias("a")
     b = emb.alias("b")
-    joined = (
-        a.join(b, F.col("a.probe") == F.col("b.bucket"))
-        .where(F.col("a.vec_id") != F.col("b.vec_id"))
-    )
     if max_query_id is None and emb_count(spark, sf_dir) > LSH_ARROW_MIN_N:
         # full-corpus arm at scale: millions of candidate pairs make the
         # interpreted HOF fold the bottleneck (r12 measurement at n=20k:
@@ -649,11 +645,15 @@ def lsh_ann(spark: SparkSession, sf_dir: str,
                 score, "query_id long, neighbor_id long, cos_sim double")
         )
     else:
-        pairs = joined.select(
-            F.col("a.vec_id").alias("query_id"),
-            F.col("b.vec_id").alias("neighbor_id"),
-            (_dot(F.col("a.embedding"), F.col("b.embedding"))
-             / (F.col("a.nrm") * F.col("b.nrm"))).alias("cos_sim"),
+        pairs = (
+            a.join(b, F.col("a.probe") == F.col("b.bucket"))
+            .where(F.col("a.vec_id") != F.col("b.vec_id"))
+            .select(
+                F.col("a.vec_id").alias("query_id"),
+                F.col("b.vec_id").alias("neighbor_id"),
+                (_dot(F.col("a.embedding"), F.col("b.embedding"))
+                 / (F.col("a.nrm") * F.col("b.nrm"))).alias("cos_sim"),
+            )
         )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
