@@ -1757,6 +1757,159 @@ JOIN granule_bits b
 """
 
 
+def multimodal_mp3_lsf_scalefactors(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """LSF (MPEG-2 / MPEG-2.5) part2 scalefactors (r12 — the partition
+    scheme the r11 layer documented as its boundary): the 9-bit
+    scalefac_compress decodes to four partition slen widths + a table id
+    (ISO 13818-3 §2.4.3.2), the LSF_NSFB band counts tile the
+    long/short/mixed slot layouts exactly, preflag is implicit
+    (sfc >= 500) and there is no scfsi. One row per (frame, channel,
+    sfb, window) slot with the decoded scalefactor, partition, slen,
+    table, preflag, and the granule's part2 budget flag. Streams are
+    MPEG-2/2.5 CBR (one granule per frame) whose side info follows
+    granule_field_law's LSF branch. Every 3rd document (residue 2 — the
+    MPEG-1 layer samples residue 1) keeps the oracle compare bounded.
+    Intensity-stereo partition tables 3-5 stay the documented boundary.
+
+    Scale: row-local mapInPandas, no shuffle."""
+    from .mp3frames import mp3_frames_encode, mp3_scalefactors_lsf
+
+    docs = _docs(spark, sf_dir, "doc_id").where("doc_id % 3 = 2")
+
+    cols = ["doc_id", "frame", "channel", "sfb", "window", "partition",
+            "slen", "scalefac", "sf_table", "preflag", "part2_bits",
+            "part2_ok"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                payload = mp3_frames_encode(
+                    (20, 25)[d % 2], 3, bitrate_idx=8 + d % 6,
+                    sr_idx=d % 3, n_frames=2 + d % 3,
+                    channel_mode=d % 4, protection=d % 2 == 0, seed=d,
+                    structured_side=True, structured_scalefactors=True)
+                for r in mp3_scalefactors_lsf(payload):
+                    rows.append([d] + [r[k] for k in cols[1:]])
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.mapInPandas(
+        run, schema=", ".join(f"{c} long" for c in cols))
+
+
+#: ISO 13818-3 partition widths from the 9-bit scalefac_compress, as SQL
+_LSF_TBL_SQL = "CASE WHEN sfc < 400 THEN 0 WHEN sfc < 500 THEN 1 ELSE 2 END"
+_LSF_SLEN_SQL = {
+    1: """CASE tbl WHEN 0 THEN (sfc // 16) // 5
+          WHEN 1 THEN ((sfc - 400) // 4) // 5 ELSE (sfc - 500) // 3 END""",
+    2: """CASE tbl WHEN 0 THEN (sfc // 16) % 5
+          WHEN 1 THEN ((sfc - 400) // 4) % 5 ELSE (sfc - 500) % 3 END""",
+    3: """CASE tbl WHEN 0 THEN (sfc % 16) // 4
+          WHEN 1 THEN (sfc - 400) % 4 ELSE 0 END""",
+    4: "CASE tbl WHEN 0 THEN sfc % 4 ELSE 0 END",
+}
+#: LSF_NSFB flattened over key = tbl*3 + cls (cls: 0 long 1 short 2 mixed)
+_LSF_NSFB_ROWS = [
+    (6, 5, 5, 5), (9, 9, 9, 9), (6, 9, 9, 9),
+    (6, 5, 7, 3), (9, 9, 12, 6), (6, 9, 12, 6),
+    (11, 10, 0, 0), (18, 18, 0, 0), (15, 18, 0, 0),
+]
+
+
+def _lsf_nsfb_sql(j: int) -> str:
+    return ("CASE tbl * 3 + cls " + " ".join(
+        f"WHEN {k} THEN {row[j]}" for k, row in enumerate(_LSF_NSFB_ROWS))
+        + " END")
+
+
+MULTIMODAL_MP3_LSF_SCALEFACTORS_ORACLE = f"""
+WITH params AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 2 END AS nch,
+           2 + doc_id % 3 AS n_frames
+    FROM documents WHERE doc_id % 3 = 2
+),
+gc AS (
+    SELECT p.doc_id AS d, fr.f, ch.c,
+           (p.doc_id + fr.f + ch.c) % 512 AS sfc,
+           (p.doc_id * 11 + fr.f * 3 + ch.c) % 4096 AS part2_3_length,
+           CASE WHEN (p.doc_id + fr.f + ch.c) % 5 = 0 THEN 1 ELSE 0 END
+               AS wsf
+    FROM params p,
+         (SELECT unnest(range(0, 5)) AS f) fr,
+         (SELECT unnest(range(0, 2)) AS c) ch
+    WHERE fr.f < p.n_frames AND ch.c < p.nch
+),
+gflags AS (
+    SELECT *,
+           CASE WHEN wsf = 1 THEN 1 + (d + f) % 3 ELSE -1 END
+               AS block_type,
+           CASE WHEN wsf = 1 THEN (f + c) % 2 ELSE -1 END AS mixed,
+           {_LSF_TBL_SQL} AS tbl
+    FROM gc
+),
+gcls AS (
+    SELECT *,
+           CASE WHEN wsf = 1 AND block_type = 2
+                THEN CASE WHEN mixed = 1 THEN 2 ELSE 1 END
+                ELSE 0 END AS cls,
+           {_LSF_SLEN_SQL[1]} AS s1, {_LSF_SLEN_SQL[2]} AS s2,
+           {_LSF_SLEN_SQL[3]} AS s3, {_LSF_SLEN_SQL[4]} AS s4,
+           CASE WHEN sfc >= 500 THEN 1 ELSE 0 END AS preflag
+    FROM gflags
+),
+gn AS (
+    SELECT *,
+           {_lsf_nsfb_sql(0)} AS n1, {_lsf_nsfb_sql(1)} AS n2,
+           {_lsf_nsfb_sql(2)} AS n3, {_lsf_nsfb_sql(3)} AS n4
+    FROM gcls
+),
+slots AS (
+    SELECT g.*, s.i,
+           CASE WHEN g.cls = 0 THEN s.i
+                WHEN g.cls = 1 THEN s.i // 3
+                WHEN s.i < 6 THEN s.i
+                ELSE 3 + (s.i - 6) // 3 END AS sfb,
+           CASE WHEN g.cls = 0 THEN -1
+                WHEN g.cls = 1 THEN s.i % 3
+                WHEN s.i < 6 THEN -1
+                ELSE (s.i - 6) % 3 END AS win,
+           CASE WHEN s.i < g.n1 THEN 0
+                WHEN s.i < g.n1 + g.n2 THEN 1
+                WHEN s.i < g.n1 + g.n2 + g.n3 THEN 2
+                ELSE 3 END AS part
+    FROM gn g, (SELECT unnest(range(0, 36)) AS i) s
+    WHERE (g.cls = 0 AND s.i < 21) OR (g.cls = 1 AND s.i < 36)
+       OR (g.cls = 2 AND s.i < 33)
+),
+valued AS (
+    SELECT *,
+           CASE part WHEN 0 THEN s1 WHEN 1 THEN s2 WHEN 2 THEN s3
+                ELSE s4 END AS slen,
+           n1 * s1 + n2 * s2 + n3 * s3 + n4 * s4 AS part2_bits
+    FROM slots
+)
+SELECT d AS doc_id,
+       CAST(f AS BIGINT) AS frame,
+       CAST(c AS BIGINT) AS channel,
+       CAST(sfb AS BIGINT) AS sfb,
+       CAST(win AS BIGINT) AS window,
+       CAST(part AS BIGINT) AS partition,
+       CAST(slen AS BIGINT) AS slen,
+       CAST(CASE WHEN slen = 0 THEN 0 ELSE
+            (d * 7 + f * 5 + c * 11 + sfb * 2 + (win + 1))
+            % (1 << slen) END AS BIGINT) AS scalefac,
+       CAST(tbl AS BIGINT) AS sf_table,
+       CAST(preflag AS BIGINT) AS preflag,
+       CAST(part2_bits AS BIGINT) AS part2_bits,
+       CAST(CASE WHEN part2_bits <= part2_3_length THEN 1 ELSE 0 END
+            AS BIGINT) AS part2_ok
+FROM valued
+"""
+
+
 def multimodal_mp3_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The layer BELOW part2 (r11 verdict item 4): the big_values Huffman
     REGION STRUCTURE per (frame, granule, channel) — region0/1/2

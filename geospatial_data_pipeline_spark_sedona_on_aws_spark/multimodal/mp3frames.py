@@ -319,15 +319,14 @@ def mp3_frames_encode(version: int, layer: int, bitrate_idx: int,
                 raise Mp3Error("frame too short for structured side info")
             extra = b""
             if structured_scalefactors:
-                # part2 bits (r11): real MPEG-1 scalefactor bitstream
-                # right after the side info (main_data_begin is 0 —
-                # no bit reservoir in the fixture)
-                if _vgroup(version) == 2:
-                    raise Mp3Error(
-                        "LSF scalefactor partitions are a documented "
-                        "engine boundary (MPEG-1 layout only)")
+                # part2 bits right after the side info (main_data_begin
+                # is 0 — no bit reservoir in the fixture): r11 the real
+                # MPEG-1 bitstream, r12 also the LSF partition scheme
                 sid = side_info_parse(version, nch, si)
-                extra = scalefactors_encode(sid, seed, f)
+                if _vgroup(version) == 2:
+                    extra = scalefactors_encode_lsf(sid, seed, f)
+                else:
+                    extra = scalefactors_encode(sid, seed, f)
                 if len(si) + len(extra) > body_len:
                     raise Mp3Error("frame too short for scalefactors")
             body = si + extra + body[len(si) + len(extra):]
@@ -863,6 +862,150 @@ def mp3_regions(payload: bytes) -> list:
                     "count1table": gf["count1table_select"],
                     "part2_bits": p2, "part3_bits": p3,
                     "part23_ok": 1 if p3 >= 0 else 0,
+                })
+        f += 1
+        pos += flen
+    return rows
+
+
+# ---------------------------------------------- LSF scalefactors (r12)
+
+#: ISO 13818-3 LSF scalefactor-band counts per partition, by
+#: (partition table, block class 0=long 1=short 2=mixed) — the
+#: non-intensity-channel tables (intensity stereo's tables 3-5 stay a
+#: documented boundary; the fixture never writes mode_extension).
+LSF_NSFB = {
+    0: ((6, 5, 5, 5), (9, 9, 9, 9), (6, 9, 9, 9)),
+    1: ((6, 5, 7, 3), (9, 9, 12, 6), (6, 9, 12, 6)),
+    2: ((11, 10, 0, 0), (18, 18, 0, 0), (15, 18, 0, 0)),
+}
+
+
+def lsf_scalefac_partitions(sfc: int) -> tuple:
+    """ISO 13818-3 §2.4.3.2: the 9-bit scalefac_compress decodes to four
+    partition slen widths, a partition table id, and the implicit
+    preflag. Returns ((slen1..slen4), table, preflag)."""
+    if not 0 <= sfc < 512:
+        raise Mp3Error("LSF scalefac_compress out of range")
+    if sfc < 400:
+        return ((sfc >> 4) // 5, (sfc >> 4) % 5, (sfc % 16) >> 2,
+                sfc % 4), 0, 0
+    if sfc < 500:
+        s = sfc - 400
+        return ((s >> 2) // 5, (s >> 2) % 5, s % 4, 0), 1, 0
+    s = sfc - 500
+    return (s // 3, s % 3, 0, 0), 2, 1
+
+
+def _lsf_block_class(gf: dict) -> int:
+    """0 = long, 1 = short, 2 = mixed (indexes LSF_NSFB's inner axis)."""
+    if not _is_short(gf):
+        return 0
+    return 2 if gf["mixed_block_flag"] == 1 else 1
+
+
+def _lsf_slots(gf: dict) -> list:
+    """Transmission slots for one LSF granule-channel in spec order:
+    (sfb, window) with window = -1 for long bands. Long: 21 bands;
+    short: 12 bands × 3 windows (36 slots); mixed: 6 long bands then
+    short bands 3..11 × 3 windows (33 slots). Slot COUNTS tile the
+    LSF_NSFB partition sums exactly (21 / 36 / 33 for every table)."""
+    cls = _lsf_block_class(gf)
+    if cls == 0:
+        return [(sfb, -1) for sfb in range(21)]
+    if cls == 1:
+        return [(sfb, w) for sfb in range(12) for w in range(3)]
+    return [(sfb, -1) for sfb in range(6)] + \
+        [(sfb, w) for sfb in range(3, 12) for w in range(3)]
+
+
+def _lsf_slot_slens(gf: dict) -> tuple:
+    """(slots, per-slot slen list, table, preflag) for one LSF
+    granule-channel: partition p covers the next LSF_NSFB[table][class][p]
+    slots, each transmitting slen[p] bits."""
+    slens, table, preflag = lsf_scalefac_partitions(
+        gf["scalefac_compress"])
+    cls = _lsf_block_class(gf)
+    slots = _lsf_slots(gf)
+    widths = []
+    part_of = []
+    i = 0
+    for p, n in enumerate(LSF_NSFB[table][cls]):
+        for _ in range(n):
+            widths.append(slens[p])
+            part_of.append(p)
+            i += 1
+    if i != len(slots):
+        raise Mp3Error("internal: LSF partition counts do not tile slots")
+    return slots, widths, part_of, table, preflag
+
+
+def scalefactors_encode_lsf(si: dict, seed: int, frame: int) -> bytes:
+    """The part2 bitstream for one LSF frame's single granule, values
+    from scalefac_value_law (g = 0; no scfsi in LSF)."""
+    w = _BitWriter()
+    for c, gf in enumerate(si["granules"][0]):
+        slots, widths, _parts, _t, _p = _lsf_slot_slens(gf)
+        for (sfb, win), slen in zip(slots, widths):
+            if slen:
+                w.put(scalefac_value_law(seed, frame, 0, c, sfb,
+                                         win, slen), slen)
+    nbits = len(w._bits)
+    return w.to_bytes((nbits + 7) // 8)
+
+
+def mp3_scalefactors_lsf(payload: bytes) -> list:
+    """LSF (MPEG-2 / MPEG-2.5) part2 scalefactor decode — the partition
+    scheme mp3_scalefactors documents as its boundary (r11 verdict
+    missing-item 1): the 9-bit scalefac_compress decodes to four slen
+    widths + a partition table (ISO 13818-3 §2.4.3.2), partitions tile
+    the long/short/mixed slot layouts, there is no scfsi and no
+    transmitted preflag (sfc >= 500 implies it). One row per (frame,
+    channel, sfb, window) slot with the decoded scalefactor, its
+    partition and bit width, the partition table id, the implicit
+    preflag, and the granule's part2 bit count + part2_ok flag.
+    MPEG-1 streams raise deterministically (mirror-image of
+    mp3_scalefactors' LSF gate); intensity-stereo partition tables 3-5
+    remain the documented boundary."""
+    if not isinstance(payload, (bytes, bytearray)):
+        raise Mp3Error("payload must be bytes")
+    buf = bytes(payload)
+    pos = _skip_id3v2(buf)
+    end = len(buf)
+    if end >= pos + 128 and buf[end - 128:end - 125] == b"TAG":
+        end -= 128
+    if pos >= end:
+        raise Mp3Error("no audio frames in stream")
+    rows = []
+    f = 0
+    while pos < end:
+        h = _parse_header(buf[pos:pos + 4])
+        if h["layer"] != 3:
+            raise Mp3Error("scalefactors are a Layer III structure; "
+                           f"stream is Layer {h['layer']}")
+        if _vgroup(h["version"]) != 2:
+            raise Mp3Error("MPEG-1 streams decode through "
+                           "mp3_scalefactors (this is the LSF path)")
+        flen = h["frame_len"]
+        if pos + flen > end:
+            raise Mp3Error("truncated final frame")
+        body = pos + 4 + (2 if h["protection"] else 0)
+        si = side_info_parse(h["version"], h["channels"],
+                             buf[body:pos + flen])
+        side_len = _SIDE_INFO_LEN[(2, h["channels"] == 1)]
+        r = _BitReader(buf[body + side_len:pos + flen])
+        for c, gf in enumerate(si["granules"][0]):
+            slots, widths, parts, table, preflag = _lsf_slot_slens(gf)
+            part2 = sum(widths)
+            for (sfb, win), slen, p in zip(slots, widths, parts):
+                val = r.get(slen) if slen else 0
+                rows.append({
+                    "frame": f, "channel": c, "sfb": sfb, "window": win,
+                    "partition": p, "slen": slen, "scalefac": val,
+                    "sf_table": table, "preflag": preflag,
+                    "part2_bits": part2,
+                    "part2_ok": 1 if part2 <= gf["part2_3_length"]
+                    else 0,
                 })
         f += 1
         pos += flen

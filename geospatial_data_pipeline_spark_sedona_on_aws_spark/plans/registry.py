@@ -306,6 +306,8 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_mp3_granules": MM.multimodal_mp3_granules,  # r10: side info
     "multimodal_mp3_scalefactors": MM.multimodal_mp3_scalefactors,  # r11
     "multimodal_mp3_regions": MM.multimodal_mp3_regions,  # r12: Huffman regions
+    "multimodal_mp3_lsf_scalefactors":
+        MM.multimodal_mp3_lsf_scalefactors,  # r12: LSF partitions
     "multimodal_vp9_inter": MM.multimodal_vp9_inter,  # r11
     "multimodal_vp9_superframes": MM.multimodal_vp9_superframes,  # r12
     "multimodal_features": MM.multimodal_features,
@@ -732,6 +734,7 @@ _R12_WINDOW = [
     # name-parity batch (ST_GeometricMedian rides it); the flagship and
     # the standing q12 seat ---
     "multimodal_mp3_regions",       # NEW: Huffman region structure
+    "multimodal_mp3_lsf_scalefactors",  # NEW: LSF partition scheme
     "multimodal_vp9_superframes",   # NEW: superframe index walk
     "multimodal_mp3_scalefactors",  # shared part2 CTE refactor
     "multimodal_vp9_inter",         # intra_only parse path + encoder args
@@ -779,7 +782,6 @@ _R12_WINDOW = [
     "q21_waiting_suppliers",
     "q22_dormant_customers",
     "pyds_sensor_stream_totals",    # pydatasource family seat (r9-stale)
-    "salted_join_revenue",
     "segment_dedup_rewrite",
     "stratified_sample",
     "stream_static_enrich",
@@ -1008,6 +1010,8 @@ ORACLES: dict[str, str] = {
     "multimodal_mp3_scalefactors":
         MM.MULTIMODAL_MP3_SCALEFACTORS_ORACLE,
     "multimodal_mp3_regions": MM.MULTIMODAL_MP3_REGIONS_ORACLE,
+    "multimodal_mp3_lsf_scalefactors":
+        MM.MULTIMODAL_MP3_LSF_SCALEFACTORS_ORACLE,
     "multimodal_vp9_inter": MM.MULTIMODAL_VP9_INTER_ORACLE,
     "multimodal_vp9_superframes": MM.MULTIMODAL_VP9_SUPERFRAMES_ORACLE,
     "multimodal_wav_decode": MM.MULTIMODAL_WAV_DECODE_ORACLE,

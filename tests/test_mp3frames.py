@@ -274,13 +274,59 @@ def test_scalefactors_scfsi_only_when_both_granules_long():
 
 
 def test_scalefactors_lsf_boundary():
-    with pytest.raises(M.Mp3Error, match="LSF scalefactor"):
-        M.mp3_frames_encode(20, 3, 1, 0, 2, 3, False, 1,
-                            structured_scalefactors=True)
+    # r12: the encoder writes LSF part2 bits now; the MPEG-1 PARSER
+    # still gates LSF streams to its mirror-image (mp3_scalefactors_lsf)
     payload = M.mp3_frames_encode(20, 3, 1, 0, 2, 3, False, 1,
                                   structured_side=True)
     with pytest.raises(M.Mp3Error, match="LSF scalefactor"):
         M.mp3_scalefactors(payload)
+    with pytest.raises(M.Mp3Error, match="LSF path"):
+        M.mp3_scalefactors_lsf(M.mp3_frames_encode(
+            10, 3, 9, 0, 2, 0, False, 1, structured_side=True,
+            structured_scalefactors=True))
+
+
+# ---------------------------------------------- LSF scalefactors (r12)
+
+def test_lsf_partition_law_closed_forms():
+    """ISO 13818-3 partition arithmetic at the table boundaries."""
+    assert M.lsf_scalefac_partitions(0) == ((0, 0, 0, 0), 0, 0)
+    assert M.lsf_scalefac_partitions(399) == ((4, 4, 3, 3), 0, 0)
+    assert M.lsf_scalefac_partitions(400) == ((0, 0, 0, 0), 1, 0)
+    assert M.lsf_scalefac_partitions(499) == ((4, 4, 3, 0), 1, 0)
+    assert M.lsf_scalefac_partitions(500) == ((0, 0, 0, 0), 2, 1)
+    assert M.lsf_scalefac_partitions(511) == ((3, 2, 0, 0), 2, 1)
+
+
+def test_lsf_nsfb_tiles_every_layout():
+    """Every (table, class) row's band counts sum to the slot count of
+    its layout: 21 long, 36 short, 33 mixed."""
+    for tbl, rows in M.LSF_NSFB.items():
+        assert sum(rows[0]) == 21, tbl
+        assert sum(rows[1]) == 36, tbl
+        assert sum(rows[2]) == 33, tbl
+
+
+def test_lsf_scalefactors_roundtrip_matches_law():
+    """Encode -> parse across MPEG-2 and 2.5, both channel modes, all
+    three partition tables (seeds chosen to hit sfc < 400, 400-499,
+    >= 500), values bit-equal to scalefac_value_law."""
+    tables_seen = set()
+    for seed in (*range(8), *range(396, 404), *range(496, 508)):
+        payload = M.mp3_frames_encode(
+            (20, 25)[seed % 2], 3, bitrate_idx=8 + seed % 6,
+            sr_idx=seed % 3, n_frames=2 + seed % 3,
+            channel_mode=seed % 4, protection=seed % 2 == 0, seed=seed,
+            structured_side=True, structured_scalefactors=True)
+        for r in M.mp3_scalefactors_lsf(payload):
+            tables_seen.add(r["sf_table"])
+            want = (M.scalefac_value_law(seed, r["frame"], 0,
+                                         r["channel"], r["sfb"],
+                                         r["window"], r["slen"])
+                    if r["slen"] else 0)
+            assert r["scalefac"] == want
+            assert r["preflag"] == (1 if r["sf_table"] == 2 else 0)
+    assert tables_seen == {0, 1, 2}
 
 
 # --------------------------------------------------------- regions (r12)
