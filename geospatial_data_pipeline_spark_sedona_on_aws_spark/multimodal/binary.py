@@ -1757,6 +1757,74 @@ JOIN granule_bits b
 """
 
 
+#: lossless-JPEG fixture dims (no 8-block alignment required — the point)
+JPEG_LL_W, JPEG_LL_H = 23, 14
+
+
+def multimodal_jpeg_lossless(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """REAL lossless-JPEG (SOF3, T.81 Annex H) round trip (r12 — the SOF
+    the r8 codec gated behind a typed error): per document, build a
+    NON-block-structured grayscale image from a per-pixel law (lossless
+    has no DCT, so the fixture need not be block-constant and the dims
+    need no 8-alignment), encode with predictor 1 + doc_id % 7 (all
+    seven H.1.2.1 predictors exercised across the corpus), decode the
+    bits back through the stdlib codec, and report dims plus the pixel
+    sum and a position-weighted checksum — lossless means BOTH must
+    equal the source law exactly, which is what makes the oracle a pure
+    closed form (no quantization round trip to model).
+
+    Scale: row-local mapInPandas, no shuffle."""
+    from .jpegcodec import jpeg_decode, jpeg_encode_gray_lossless
+
+    docs = _docs(spark, sf_dir, "doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                yy, xx = np.mgrid[0:JPEG_LL_H, 0:JPEG_LL_W]
+                img = ((d * 13 + xx * 7 + yy * 11 + (xx * yy) % 5)
+                       % 256).astype(np.uint8)
+                payload = jpeg_encode_gray_lossless(
+                    img, predictor=1 + d % 7)
+                out = jpeg_decode(bytes(payload))
+                px = np.asarray(out["pixels"], dtype=np.int64)
+                wsum = int((px * (1 + xx + 2 * yy)).sum())
+                rows.append((d, out["width"], out["height"],
+                             out["channels"], int(px.sum()), wsum))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "channels", "pixel_sum",
+                "weighted_sum"])
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, width long, height long, channels long, "
+               "pixel_sum long, weighted_sum long",
+    )
+
+
+MULTIMODAL_JPEG_LOSSLESS_ORACLE = f"""
+WITH px AS (
+    SELECT d.doc_id, x.x, y.y,
+           (d.doc_id * 13 + x.x * 7 + y.y * 11 + (x.x * y.y) % 5) % 256
+               AS p
+    FROM documents d,
+         (SELECT unnest(range(0, {JPEG_LL_W})) AS x) x,
+         (SELECT unnest(range(0, {JPEG_LL_H})) AS y) y
+)
+SELECT doc_id,
+       CAST({JPEG_LL_W} AS BIGINT) AS width,
+       CAST({JPEG_LL_H} AS BIGINT) AS height,
+       CAST(1 AS BIGINT) AS channels,
+       CAST(sum(p) AS BIGINT) AS pixel_sum,
+       CAST(sum(p * (1 + x + 2 * y)) AS BIGINT) AS weighted_sum
+FROM px
+GROUP BY doc_id
+"""
+
+
 def multimodal_mp3_lsf_scalefactors(spark: SparkSession,
                                     sf_dir: str) -> DataFrame:
     """LSF (MPEG-2 / MPEG-2.5) part2 scalefactors (r12 — the partition

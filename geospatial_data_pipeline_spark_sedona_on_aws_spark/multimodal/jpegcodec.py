@@ -8,8 +8,11 @@ and YCbCr→RGB for 3-component images — PLUS full progressive (SOF2)
 Huffman decode (r9): DC first/refinement, AC spectral-selection bands
 with EOB run-length coding and successive-approximation refinement,
 interleaved DC and per-component non-interleaved AC block grids
-(T.81 annex G.2; `_ProgState`). Lossless and arithmetic-coded SOFs
-raise a deterministic NotImplementedError.
+(T.81 annex G.2; `_ProgState`) — and r12 adds lossless (SOF3, T.81
+Annex H): all seven H.1.2.1 predictors, DC-category + EXTEND difference
+coding, modulo-2^16 reconstruction, single-component 8-bit (grayscale;
+multi-component/hi-precision lossless, hierarchical, and
+arithmetic-coded SOFs raise a deterministic NotImplementedError).
 
 Encoder: baseline sequential, 1-component grayscale or 3-component
 YCbCr (4:4:4, or 4:2:0 via luma sampling factors 2×2), standard Annex K
@@ -289,18 +292,49 @@ def _jpeg_decode(data: bytes) -> dict:
                      "progressive": marker == 0xC2}
             if frame["progressive"]:
                 prog = _ProgState(frame)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xC3:                    # SOF3 lossless (r12)
+            prec = body[0]
+            if prec != 8:
+                raise JpegError(
+                    f"{prec}-bit lossless precision not supported "
+                    "(8-bit only; T.81 allows 2-16)")
+            h, w = struct.unpack_from(">HH", body, 1)
+            ncomp = body[5]
+            if ncomp != 1:
+                raise NotImplementedError(
+                    "lossless decode is single-component (grayscale); "
+                    "interleaved multi-component lossless is a "
+                    "documented boundary")
+            if w == 0 or h == 0:
+                raise JpegError("zero image dimension")
+            cid = body[6]
+            frame = {"w": w, "h": h, "lossless": True,
+                     "comps": [{"id": cid, "h": 1, "v": 1, "tq": 0}],
+                     "progressive": False}
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential (SOF0/SOF1) and progressive "
-                "Huffman (SOF2) JPEG are supported; got SOF marker "
-                f"0xFF{marker:02X} (lossless/arithmetic)")
+                "only baseline sequential (SOF0/SOF1), progressive "
+                "Huffman (SOF2), and lossless Huffman (SOF3) JPEG are "
+                "supported; got SOF marker "
+                f"0xFF{marker:02X} (hierarchical/arithmetic)")
         elif marker == 0xDD:                    # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:                    # SOS
             if frame is None:
                 raise JpegError("SOS before SOF")
             ns = body[0]
+            if frame.get("lossless"):
+                if ns != 1:
+                    raise NotImplementedError(
+                        "lossless decode is single-component")
+                tt = body[2]
+                sb = 1 + 2 * ns
+                predictor = body[sb]            # Ss = predictor select
+                pt = body[sb + 2] & 0xF         # Al = point transform
+                return _decode_lossless_scan(
+                    data, seg_end, frame, huff_dc[tt >> 4], predictor,
+                    pt, restart_interval)
             if not frame["progressive"]:
                 scan = []
                 for c in range(ns):
@@ -1074,3 +1108,94 @@ def jpeg_encode_ycbcr420_progressive(y: np.ndarray, cb: np.ndarray,
                 out += wtr.buf
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# --------------------------------------------------------- lossless (r12)
+
+def _lossless_pred(out, x: int, y: int, predictor: int,
+                   default: int) -> int:
+    """T.81 H.1.2.1 prediction: the first sample predicts
+    2^(P-1-Pt), the rest of the first line uses Ra, the first column of
+    later lines uses Rb, elsewhere the scan's selected predictor 1-7."""
+    if y == 0:
+        return default if x == 0 else int(out[0, x - 1])
+    if x == 0:
+        return int(out[y - 1, 0])
+    ra = int(out[y, x - 1])
+    rb = int(out[y - 1, x])
+    rc = int(out[y - 1, x - 1])
+    if predictor == 1:
+        return ra
+    if predictor == 2:
+        return rb
+    if predictor == 3:
+        return rc
+    if predictor == 4:
+        return ra + rb - rc
+    if predictor == 5:
+        return ra + ((rb - rc) >> 1)
+    if predictor == 6:
+        return rb + ((ra - rc) >> 1)
+    if predictor == 7:
+        return (ra + rb) >> 1
+    raise JpegError(f"lossless predictor {predictor} invalid "
+                    "(1-7; 0 is hierarchical-only)")
+
+
+def _decode_lossless_scan(data, pos, frame, dtree, predictor, pt,
+                          restart_interval) -> dict:
+    """SOF3 single-component scan (T.81 Annex H, Huffman coding): each
+    sample is a DC-style category + EXTEND-coded difference from its
+    predictor; arithmetic is modulo 2^16. The fixture writes no DRI, so
+    restart markers in a lossless scan raise (a typed boundary, not a
+    silent mis-decode)."""
+    if restart_interval:
+        raise NotImplementedError(
+            "restart intervals in lossless scans are not supported")
+    w, h = frame["w"], frame["h"]
+    rd = _BitReader(data, pos)
+    out = np.zeros((h, w), dtype=np.int32)
+    default = 1 << (8 - 1 - pt)
+    for y in range(h):
+        for x in range(w):
+            t = rd.huff(dtree)
+            if t == 16:
+                diff = 32768
+            else:
+                diff = _extend(rd.bits(t), t) if t else 0
+            pred = _lossless_pred(out, x, y, predictor, default)
+            out[y, x] = (pred + diff) & 0xFFFF
+    pixels = (out & 0xFF).astype(np.uint8)
+    return {"width": w, "height": h, "channels": 1, "pixels": pixels}
+
+
+def jpeg_encode_gray_lossless(img: np.ndarray, predictor: int = 1,
+                              pt: int = 0) -> bytes:
+    """Lossless (SOF3) grayscale JPEG of a uint8 H×W image — no 8-block
+    alignment, no quantization: the decode reproduces the input EXACTLY.
+    Differences from the H.1.2.1 predictor are coded with the standard
+    Annex K DC-luminance Huffman table (categories up to 11 cover the
+    8-bit diff range of every predictor)."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape
+    if not 1 <= predictor <= 7:
+        raise JpegError("lossless predictor must be 1-7")
+    wtr = _BitWriter()
+    default = 1 << (8 - 1 - pt)
+    for y in range(h):
+        for x in range(w):
+            pred = _lossless_pred(img, x, y, predictor, default)
+            diff = int(img[y, x]) - pred
+            t = _csize(diff)
+            code, ln = _EDC_LUM[t]
+            wtr.put(code, ln)
+            if t:
+                wtr.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    wtr.flush()
+    head = (b"\xff\xd8"
+            + b"\xff\xc3" + struct.pack(">HBHHB", 11, 8, h, w, 1)
+            + bytes([1, 0x11, 0])
+            + _dht_seg(0, 0, *_DC_LUM)
+            + b"\xff\xda" + struct.pack(">HB", 8, 1)
+            + bytes([1, 0x00, predictor, 0, pt]))
+    return head + bytes(wtr.buf) + b"\xff\xd9"

@@ -300,6 +300,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_png_decode": MM.multimodal_png_decode,
     "multimodal_jpeg_decode": MM.multimodal_jpeg_decode,  # r8: stdlib baseline JPEG
     "multimodal_jpeg_progressive": MM.multimodal_jpeg_progressive,  # r9: SOF2
+    "multimodal_jpeg_lossless": MM.multimodal_jpeg_lossless,  # r12: SOF3
     "multimodal_audio_features": MM.multimodal_audio_features,  # r8: RMS/ZC/peak
     "multimodal_mp3_probe": MM.multimodal_mp3_probe,  # r9: MP3 frame stream
     "multimodal_vp9_probe": MM.multimodal_vp9_probe,  # r9: IVF/VP9 headers
@@ -735,6 +736,7 @@ _R12_WINDOW = [
     # the standing q12 seat ---
     "multimodal_mp3_regions",       # NEW: Huffman region structure
     "multimodal_mp3_lsf_scalefactors",  # NEW: LSF partition scheme
+    "multimodal_jpeg_lossless",     # NEW: SOF3 Annex H round trip
     "multimodal_vp9_superframes",   # NEW: superframe index walk
     "multimodal_mp3_scalefactors",  # shared part2 CTE refactor
     "multimodal_vp9_inter",         # intra_only parse path + encoder args
@@ -784,7 +786,6 @@ _R12_WINDOW = [
     "pyds_sensor_stream_totals",    # pydatasource family seat (r9-stale)
     "segment_dedup_rewrite",
     "stratified_sample",
-    "stream_static_enrich",
     "streaming_contamination",
     "streaming_snapshot_publish",
     "st_dwithin_join",
@@ -1003,6 +1004,7 @@ ORACLES: dict[str, str] = {
     "multimodal_png_decode": MM.MULTIMODAL_PNG_DECODE_ORACLE,
     "multimodal_jpeg_decode": MM.MULTIMODAL_JPEG_DECODE_ORACLE,
     "multimodal_jpeg_progressive": MM.MULTIMODAL_JPEG_PROGRESSIVE_ORACLE,
+    "multimodal_jpeg_lossless": MM.MULTIMODAL_JPEG_LOSSLESS_ORACLE,
     "multimodal_audio_features": MM.MULTIMODAL_AUDIO_FEATURES_ORACLE,
     "multimodal_mp3_probe": MM.MULTIMODAL_MP3_PROBE_ORACLE,
     "multimodal_vp9_probe": MM.MULTIMODAL_VP9_PROBE_ORACLE,

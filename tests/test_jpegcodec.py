@@ -88,16 +88,16 @@ def test_byte_stuffing_survives():
 
 
 def test_lossless_arithmetic_and_garbage_rejection():
-    # SOF3 (lossless) and SOF9 (arithmetic) stay deterministic
-    # NotImplementedError gaps; SOF2 (progressive) is SUPPORTED since r9
-    for sof in (b"\xc3", b"\xc9"):
-        bad = b"\xff\xd8\xff" + sof + struct.pack(">H", 11) + bytes(9)
-        with pytest.raises(NotImplementedError, match="baseline"):
-            J.jpeg_decode(bad)
-    # a zero-byte SOF2 body is corrupt (0-bit precision), not unsupported
-    bad2 = b"\xff\xd8\xff\xc2" + struct.pack(">H", 11) + bytes(9)
-    with pytest.raises(J.JpegError):
-        J.jpeg_decode(bad2)
+    # SOF9 (arithmetic) stays a deterministic NotImplementedError gap;
+    # SOF2 (progressive) is SUPPORTED since r9 and SOF3 (lossless) since
+    # r12 — a zero-dim SOF3 body is now corrupt input, not unsupported
+    bad = b"\xff\xd8\xff\xc9" + struct.pack(">H", 11) + bytes(9)
+    with pytest.raises(NotImplementedError, match="baseline"):
+        J.jpeg_decode(bad)
+    for sof in (b"\xc2", b"\xc3"):
+        bad2 = b"\xff\xd8\xff" + sof + struct.pack(">H", 11) + bytes(9)
+        with pytest.raises(J.JpegError):
+            J.jpeg_decode(bad2)
     with pytest.raises(J.JpegError):
         J.jpeg_decode(b"not a jpeg at all")
     with pytest.raises(J.JpegError):
@@ -261,3 +261,48 @@ def test_progressive_pil_cross_check():
     # IDCT/upsample/color implementations differ by a few LSBs
     diff = np.abs(got["pixels"].astype(int) - ref.astype(int))
     assert diff.max() <= 2 and diff.mean() < 0.7
+
+
+# ----------------------------------------------------- lossless (r12)
+
+@pytest.mark.parametrize("predictor", range(1, 8))
+def test_lossless_roundtrip_exact_every_predictor(predictor):
+    """SOF3 is LOSSLESS: decode must reproduce arbitrary (non-block,
+    non-8-aligned) pixels bit-exactly for every H.1.2.1 predictor."""
+    rng = np.random.default_rng(predictor)
+    img = rng.integers(0, 256, size=(13, 21), dtype=np.uint8)
+    out = J.jpeg_decode(J.jpeg_encode_gray_lossless(img, predictor))
+    assert out["channels"] == 1
+    assert (out["width"], out["height"]) == (21, 13)
+    assert np.array_equal(out["pixels"], img)
+
+
+def test_lossless_point_transform_default_prediction():
+    """Pt shifts the first sample's default prediction to 2^(7-Pt);
+    with a constant image every other diff is 0 via predictor 1."""
+    img = np.full((4, 4), 200, dtype=np.uint8)
+    for pt in (0, 1, 2):
+        out = J.jpeg_decode(J.jpeg_encode_gray_lossless(img, 1, pt=pt))
+        assert np.array_equal(out["pixels"], img)
+
+
+def test_lossless_boundaries_typed():
+    img = np.zeros((4, 4), dtype=np.uint8)
+    with pytest.raises(J.JpegError, match="predictor"):
+        J.jpeg_encode_gray_lossless(img, predictor=0)
+    # hierarchical/arithmetic SOFs still raise the typed gate
+    data = bytearray(J.jpeg_encode_gray_lossless(img, 1))
+    sof = data.find(b"\xff\xc3")
+    data[sof + 1] = 0xC7                      # hierarchical lossless
+    with pytest.raises(NotImplementedError, match="SOF marker"):
+        J.jpeg_decode(bytes(data))
+
+
+def test_lossless_modulo_wraparound():
+    """Predictor 4 (Ra + Rb - Rc) can leave the 8-bit range; the
+    modulo-2^16 reconstruction must still round-trip exactly."""
+    img = np.array([[255, 0, 255, 0],
+                    [0, 255, 0, 255],
+                    [255, 0, 255, 0]], dtype=np.uint8)
+    out = J.jpeg_decode(J.jpeg_encode_gray_lossless(img, 4))
+    assert np.array_equal(out["pixels"], img)
