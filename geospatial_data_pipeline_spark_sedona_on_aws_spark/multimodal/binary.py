@@ -1825,8 +1825,8 @@ GROUP BY doc_id
 """
 
 
-def multimodal_mp3_lsf_scalefactors(spark: SparkSession,
-                                    sf_dir: str) -> DataFrame:
+def multimodal_mp3_lsf_scalefactors(spark: SparkSession, sf_dir: str,
+                                    _sampled: bool = True) -> DataFrame:
     """LSF (MPEG-2 / MPEG-2.5) part2 scalefactors (r12 — the partition
     scheme the r11 layer documented as its boundary): the 9-bit
     scalefac_compress decodes to four partition slen widths + a table id
@@ -1837,13 +1837,17 @@ def multimodal_mp3_lsf_scalefactors(spark: SparkSession,
     table, preflag, and the granule's part2 budget flag. Streams are
     MPEG-2/2.5 CBR (one granule per frame) whose side info follows
     granule_field_law's LSF branch. Every 3rd document (residue 2 — the
-    MPEG-1 layer samples residue 1) keeps the oracle compare bounded.
+    MPEG-1 layer samples residue 1) keeps the oracle compare bounded;
+    ``_sampled=False`` is the unsampled-parity seam
+    (tests/test_unsampled_parity.py proves the full fixture at sf0.001).
     Intensity-stereo partition tables 3-5 stay the documented boundary.
 
     Scale: row-local mapInPandas, no shuffle."""
     from .mp3frames import mp3_frames_encode, mp3_scalefactors_lsf
 
-    docs = _docs(spark, sf_dir, "doc_id").where("doc_id % 3 = 2")
+    docs = _docs(spark, sf_dir, "doc_id")
+    if _sampled:
+        docs = docs.where("doc_id % 3 = 2")
 
     cols = ["doc_id", "frame", "channel", "sfb", "window", "partition",
             "slen", "scalefac", "sf_table", "preflag", "part2_bits",

@@ -11,6 +11,7 @@ import math
 
 import pytest
 
+from geospatial_data_pipeline_spark_sedona_on_aws_spark.multimodal import binary as MM
 from geospatial_data_pipeline_spark_sedona_on_aws_spark.plans import pipeline as P
 
 from tests.conftest import SF_SMOKE
@@ -22,6 +23,10 @@ CASES = [
      "WHERE property_id % 10 = 3"),
     ("st_concave_hull", P.st_concave_hull,
      "WHERE property_id % 50 = 3"),
+    # r12: the LSF scalefactor query samples docs (residue 2); prove the
+    # whole fixture once, unsampled
+    ("multimodal_mp3_lsf_scalefactors", MM.multimodal_mp3_lsf_scalefactors,
+     "WHERE doc_id % 3 = 2"),
 ]
 
 
