@@ -1483,6 +1483,145 @@ FROM rows_
 """
 
 
+def multimodal_vp9_headers_full(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The COMPLETE VP9 uncompressed header (r12 — the fields after the
+    r11 stopping point): frame-context flags, loop-filter level and
+    sharpness, base_q_idx plus the three signed delta_q values (the
+    quantizer state a video-corpus pipeline thresholds on), the
+    segmentation gate, tile geometry (column log2 bounds derived from
+    the frame width per spec §6.2.14), and header_size_in_bytes — one
+    row per key/inter frame with the byte audit (header_bytes plus the
+    filler checksum that shifts if any tail bit is miscounted). The
+    oracle recomputes every field AND the per-branch header bit total
+    closed-form from header_tail_law. The compressed header (bool
+    decoder) stays the documented boundary.
+
+    Scale: row-local mapInPandas, no shuffle."""
+    from .vp9frames import ivf_vp9_encode, vp9_headers_full
+
+    docs = _docs(spark, sf_dir, "doc_id")
+
+    cols = ["doc_id", "packet", "kind", "show_frame", "error_resilient",
+            "refresh_frame_context", "frame_parallel",
+            "frame_context_idx", "lf_level", "lf_sharpness",
+            "lf_delta_enabled", "base_q_idx", "dq_ydc", "dq_uvdc",
+            "dq_uvac", "tile_cols_log2", "tile_rows_log2",
+            "header_size", "header_bytes", "filler_sum"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                profile = d % 4
+                payload = ivf_vp9_encode(
+                    width=64 + d % 640, height=64 + d % 360,
+                    n_frames=3 + d % 10, profile=profile,
+                    bit_depth=8 if profile < 2
+                    else (10 if (d // 4) % 2 == 0 else 12),
+                    color_range=d % 2,
+                    sub_x=(d // 2) % 2, sub_y=(d // 3) % 2, seed=d,
+                    inter_frames=True, full_headers=True)
+                for r in vp9_headers_full(payload):
+                    rows.append([d] + [r[k] for k in cols[1:]])
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.mapInPandas(
+        run, schema=", ".join(f"{c} long" for c in cols))
+
+
+#: closed-form TAIL bit count (header_tail_law fields; seg gate is 1 bit)
+_VP9_TAIL_BITS = """(
+    CASE WHEN er = 0 THEN 2 ELSE 0 END + 2
+    + 10 + CASE WHEN (d + f) % 2 = 1 THEN 1 ELSE 0 END
+    + 8
+    + 3 + CASE WHEN (d + f) % 4 = 0 THEN 5 ELSE 0 END
+        + CASE WHEN (d + f + 1) % 4 = 0 THEN 5 ELSE 0 END
+        + CASE WHEN (d + f + 2) % 4 = 0 THEN 5 ELSE 0 END
+    + 1
+    + tl2 + CASE WHEN tl2 < maxl2 THEN 1 ELSE 0 END
+    + 1 + CASE WHEN (d + f) % 3 > 0 THEN 1 ELSE 0 END
+    + 16)"""
+
+MULTIMODAL_VP9_HEADERS_FULL_ORACLE = f"""
+WITH p AS (
+    SELECT doc_id AS d, doc_id % 4 AS profile, 3 + doc_id % 10 AS n_frames,
+           64 + doc_id % 640 AS w
+    FROM documents
+),
+fr AS (
+    SELECT p.d, p.profile, p.w, f.f,
+           CASE WHEN f.f > 0 AND (f.f + p.d) % 3 = 0 THEN 2
+                WHEN f.f > 0 AND (f.f + p.d) % 3 = 1 THEN 1
+                ELSE 0 END AS ptype,
+           (p.d * 13 + f.f * 7) % 251 AS fb,
+           (p.d + f.f) % 4 AS fr_slot,
+           f.f % 2 AS switchable,
+           16 + (p.d * 5 + f.f * 11) % 50 AS nfk,
+           16 + (p.d * 7 + f.f * 13) % 50 AS nfi
+    FROM p, (SELECT unnest(range(0, 13)) AS f) f
+    WHERE f.f < p.n_frames
+),
+tiles AS (
+    SELECT *,
+           CASE WHEN ptype = 1 THEN (d + f) % 2 ELSE 0 END AS er,
+           CASE WHEN ((((w + 7) // 8) + 7) // 8) >= 8 THEN 1 ELSE 0 END
+               AS maxl2
+    FROM fr WHERE ptype < 2
+),
+tl AS (
+    SELECT *, least((d + f) % 2, maxl2) AS tl2 FROM tiles
+),
+bits AS (
+    SELECT *,
+           CASE WHEN ptype = 0
+                THEN 69 + CASE WHEN profile = 3 THEN 1 ELSE 0 END
+                        + CASE WHEN profile >= 2 THEN 1 ELSE 0 END
+                        + CASE WHEN profile IN (1, 3) THEN 3 ELSE 0 END
+                ELSE 30 + CASE WHEN profile = 3 THEN 1 ELSE 0 END
+                        + CASE WHEN er = 0 THEN 2 ELSE 0 END
+                        + CASE WHEN fr_slot < 3 THEN fr_slot + 1
+                               ELSE 36 END
+                        + CASE WHEN switchable = 0 THEN 2 ELSE 0 END
+           END + {_VP9_TAIL_BITS} AS total_bits
+    FROM tl
+)
+SELECT d AS doc_id,
+       CAST(f AS BIGINT) AS packet,
+       CAST(ptype AS BIGINT) AS kind,
+       CAST(1 AS BIGINT) AS show_frame,
+       CAST(er AS BIGINT) AS error_resilient,
+       CAST(CASE WHEN er = 1 THEN 0 ELSE (d + f) % 2 END AS BIGINT)
+           AS refresh_frame_context,
+       CAST(CASE WHEN er = 1 THEN 1 ELSE (d + f + 1) % 2 END AS BIGINT)
+           AS frame_parallel,
+       CAST((d * 3 + f) % 4 AS BIGINT) AS frame_context_idx,
+       CAST((d * 7 + f * 5) % 64 AS BIGINT) AS lf_level,
+       CAST((d + f * 3) % 8 AS BIGINT) AS lf_sharpness,
+       CAST((d + f) % 2 AS BIGINT) AS lf_delta_enabled,
+       CAST((d * 5 + f * 3) % 256 AS BIGINT) AS base_q_idx,
+       CAST(CASE WHEN (d + f) % 4 = 0 THEN
+            CASE WHEN (d + f) % 2 = 1 THEN -((d + f) % 16)
+                 ELSE (d + f) % 16 END ELSE 0 END AS BIGINT) AS dq_ydc,
+       CAST(CASE WHEN (d + f + 1) % 4 = 0 THEN
+            CASE WHEN (d + f + 1) % 2 = 1 THEN -((d + f + 7) % 16)
+                 ELSE (d + f + 7) % 16 END ELSE 0 END AS BIGINT)
+           AS dq_uvdc,
+       CAST(CASE WHEN (d + f + 2) % 4 = 0 THEN
+            CASE WHEN (d + f + 2) % 2 = 1 THEN -((d + f + 14) % 16)
+                 ELSE (d + f + 14) % 16 END ELSE 0 END AS BIGINT)
+           AS dq_uvac,
+       CAST(tl2 AS BIGINT) AS tile_cols_log2,
+       CAST((d + f) % 3 AS BIGINT) AS tile_rows_log2,
+       CAST(1 + (d * 9 + f * 5) % 60000 AS BIGINT) AS header_size,
+       CAST((total_bits + 7) // 8 AS BIGINT) AS header_bytes,
+       CAST(CASE WHEN ptype = 0 THEN nfk ELSE nfi END * fb AS BIGINT)
+           AS filler_sum
+FROM bits
+"""
+
+
 MULTIMODAL_VP9_INTER_ORACLE = """
 WITH p AS (
     SELECT doc_id AS d, 3 + doc_id % 10 AS n_frames

@@ -87,7 +87,12 @@ class _BitReader:
 def _parse_frame_header(data: bytes) -> dict:
     """Parse one VP9 uncompressed header (spec §6.2). Returns the decoded
     fields plus the header's byte length within the frame payload."""
-    r = _BitReader(data)
+    return _parse_frame_header_r(_BitReader(data))
+
+
+def _parse_frame_header_r(r: "_BitReader") -> dict:
+    """Header parse on a caller-owned bit reader, so full-header walkers
+    (r12) can continue into the tail fields with the same reader."""
     if r.get(2) != 0b10:
         raise Vp9Error("bad VP9 frame marker")
     profile = r.get(1) | (r.get(1) << 1)   # low bit first, then high
@@ -281,7 +286,8 @@ def _filler_byte(seed: int, frame: int) -> int:
 
 def _key_frame(profile: int, width: int, height: int, bit_depth: int,
                color_range: int, sub_x: int, sub_y: int,
-               filler: bytes) -> bytes:
+               filler: bytes, tail_law: dict | None = None,
+               seed: int = 0, f: int = 0) -> bytes:
     w = _BitWriter()
     w.put(0b10, 2)
     w.put(profile & 1, 1)
@@ -305,6 +311,8 @@ def _key_frame(profile: int, width: int, height: int, bit_depth: int,
     w.put(width - 1, 16)
     w.put(height - 1, 16)
     w.put(0, 1)                            # render size == frame size
+    if tail_law is not None:
+        _write_header_tail(w, tail_law, 0, width)
     return w.tobytes() + filler
 
 
@@ -321,7 +329,8 @@ def _show_existing_frame(profile: int, idx: int) -> bytes:
 
 
 def _inter_frame(profile: int, width: int, height: int, seed: int,
-                 f: int, filler: bytes, show: int = 1) -> bytes:
+                 f: int, filler: bytes, show: int = 1,
+                 tail_law: dict | None = None) -> bytes:
     """Deterministic inter frame following the r11 field law (mirrored
     closed-form by the SQL oracle):
       error_resilient = (seed + f) % 2
@@ -368,6 +377,8 @@ def _inter_frame(profile: int, width: int, height: int, seed: int,
     w.put(switchable, 1)
     if not switchable:
         w.put((seed + f) % 3, 2)
+    if tail_law is not None:
+        _write_header_tail(w, tail_law, er, width)
     return w.tobytes() + filler
 
 
@@ -408,7 +419,8 @@ def ivf_vp9_encode(width: int, height: int, n_frames: int, profile: int,
                    bit_depth: int, color_range: int, sub_x: int,
                    sub_y: int, seed: int, timebase=(1000, 1),
                    inter_frames: bool = False,
-                   superframes: bool = False) -> bytes:
+                   superframes: bool = False,
+                   full_headers: bool = False) -> bytes:
     """Deterministic IVF/VP9 fixture: frame 0 is a keyframe; frame f > 0
     is a show-existing frame when (f + seed) % 3 == 0, else another
     keyframe. Keyframe f carries 16 + (seed*5 + f*11) % 50 filler bytes
@@ -420,20 +432,25 @@ def ivf_vp9_encode(width: int, height: int, n_frames: int, profile: int,
     SUPERFRAMES — a hidden alt-ref inter frame (show_frame = 0,
     intra_only = 0, the same field/filler laws keyed by f) followed by
     a show-existing frame, packed with an Annex-B index whose size
-    field is 1 + (seed + f) % 2 bytes wide."""
+    field is 1 + (seed + f) % 2 bytes wide. With ``full_headers`` (r12)
+    key and inter frames carry the COMPLETE uncompressed-header tail
+    (frame-context flags, loop filter, quantization, segmentation gate,
+    tile info, header_size — header_tail_law) before their filler."""
     frames = []
     for f in range(n_frames):
+        tail = header_tail_law(seed, f, width) if full_headers else None
         if f > 0 and (f + seed) % 3 == 0:
             data = _show_existing_frame(profile, idx=f % 8)
         elif inter_frames and f > 0 and (f + seed) % 3 == 1:
             n_fill = 16 + (seed * 7 + f * 13) % 50
             data = _inter_frame(profile, width, height, seed, f,
-                                bytes([_filler_byte(seed, f)]) * n_fill)
+                                bytes([_filler_byte(seed, f)]) * n_fill,
+                                tail_law=tail)
         elif superframes and f > 0 and (f + seed) % 3 == 2:
             n_fill = 16 + (seed * 7 + f * 13) % 50
             hidden = _inter_frame(profile, width, height, seed, f,
                                   bytes([_filler_byte(seed, f)]) * n_fill,
-                                  show=0)
+                                  show=0, tail_law=tail)
             shown = _show_existing_frame(profile, idx=f % 8)
             data = superframe_pack([hidden, shown],
                                    szbytes=1 + (seed + f) % 2)
@@ -441,7 +458,8 @@ def ivf_vp9_encode(width: int, height: int, n_frames: int, profile: int,
             n_fill = 16 + (seed * 5 + f * 11) % 50
             data = _key_frame(profile, width, height, bit_depth,
                               color_range, sub_x, sub_y,
-                              bytes([_filler_byte(seed, f)]) * n_fill)
+                              bytes([_filler_byte(seed, f)]) * n_fill,
+                              tail_law=tail)
         frames.append((f * 1000, data))
     out = bytearray(struct.pack(
         "<4sHH4sHHIII4x", b"DKIF", 0, 32, b"VP90", width, height,
@@ -552,4 +570,196 @@ def vp9_superframes(payload: bytes) -> list:
         raise Vp9Error("IVF frame-count field disagrees with stream")
     if not seen_key:
         raise Vp9Error("stream has no keyframe")
+    return rows
+
+
+# ------------------------------------------- full uncompressed header (r12)
+
+def _tile_log2_bounds(width: int) -> tuple:
+    """(min, max) log2 tile columns per spec §6.2.14: superblock columns
+    from the frame width (MI units of 8, SB64 units of 8 MIs),
+    min chosen so a tile is <= 4096 pixels wide (64 SBs), max so every
+    tile keeps >= 4 SB64 columns."""
+    mi_cols = (width + 7) >> 3
+    sb64_cols = (mi_cols + 7) >> 3
+    min_log2 = 0
+    while (64 << min_log2) < sb64_cols:
+        min_log2 += 1
+    max_log2 = 0
+    while (sb64_cols >> (max_log2 + 1)) >= 4:
+        max_log2 += 1
+    return min_log2, max(max_log2, min_log2)
+
+
+def header_tail_law(seed: int, f: int, width: int) -> dict:
+    """Deterministic field law for the uncompressed-header TAIL (the
+    fields after the r11 stopping point), mirrored closed-form by the
+    SQL oracle. Laws keep the fixture inside the implemented surface:
+    loop-filter delta updates and segmentation stay 0 (their enabled
+    flags still exercise both values)."""
+    min_l2, max_l2 = _tile_log2_bounds(width)
+    return {
+        "refresh_frame_context": (seed + f) % 2,
+        "frame_parallel": (seed + f + 1) % 2,
+        "frame_context_idx": (seed * 3 + f) % 4,
+        "lf_level": (seed * 7 + f * 5) % 64,
+        "lf_sharpness": (seed + f * 3) % 8,
+        "lf_delta_enabled": (seed + f) % 2,
+        "base_q_idx": (seed * 5 + f * 3) % 256,
+        "dq_flags": tuple((seed + f + i) % 4 == 0 for i in range(3)),
+        "dq_mags": tuple((seed + f + i * 7) % 16 for i in range(3)),
+        "dq_signs": tuple((seed + f + i) % 2 for i in range(3)),
+        "tile_cols_log2": min(min_l2 + (seed + f) % 2, max_l2),
+        "tile_rows_log2": (seed + f) % 3,
+        "header_size": 1 + (seed * 9 + f * 5) % 60000,
+        "min_log2": min_l2,
+    }
+
+
+def _write_header_tail(w: "_BitWriter", law: dict, error_resilient: int,
+                       width: int) -> None:
+    """Spec §6.2 field order after the r11 stopping point:
+    refresh_frame_context + frame_parallel (absent when resilient),
+    frame_context_idx, loop_filter_params, quantization_params,
+    segmentation_enabled (fixture: 0), tile_info, header_size. The
+    tile-column loop writes one 1-bit per increment and a terminating
+    0 only while below max_log2 (the spec's loop condition)."""
+    if not error_resilient:
+        w.put(law["refresh_frame_context"], 1)
+        w.put(law["frame_parallel"], 1)
+    w.put(law["frame_context_idx"], 2)
+    w.put(law["lf_level"], 6)
+    w.put(law["lf_sharpness"], 3)
+    w.put(law["lf_delta_enabled"], 1)
+    if law["lf_delta_enabled"]:
+        w.put(0, 1)                        # loop_filter_delta_update = 0
+    w.put(law["base_q_idx"], 8)
+    for flag, mag, sign in zip(law["dq_flags"], law["dq_mags"],
+                               law["dq_signs"]):
+        w.put(1 if flag else 0, 1)
+        if flag:
+            w.put(mag, 4)
+            w.put(sign, 1)
+    w.put(0, 1)                            # segmentation_enabled = 0
+    min_l2, max_l2 = _tile_log2_bounds(width)
+    tl2 = law["tile_cols_log2"]
+    for _ in range(tl2 - min_l2):
+        w.put(1, 1)                        # increment_tile_cols_log2
+    if tl2 < max_l2:
+        w.put(0, 1)                        # loop terminator
+    w.put(1 if law["tile_rows_log2"] > 0 else 0, 1)
+    if law["tile_rows_log2"] > 0:
+        w.put(1 if law["tile_rows_log2"] > 1 else 0, 1)
+    w.put(law["header_size"], 16)
+
+
+def _parse_header_tail(r: "_BitReader", error_resilient: int,
+                       width: int) -> dict:
+    min_l2, max_l2 = _tile_log2_bounds(width)
+    out = {"refresh_frame_context": 0, "frame_parallel": 1}
+    if not error_resilient:
+        out["refresh_frame_context"] = r.get(1)
+        out["frame_parallel"] = r.get(1)
+    out["frame_context_idx"] = r.get(2)
+    out["lf_level"] = r.get(6)
+    out["lf_sharpness"] = r.get(3)
+    out["lf_delta_enabled"] = r.get(1)
+    if out["lf_delta_enabled"] and r.get(1):
+        raise Vp9Error("loop-filter delta updates are not supported "
+                       "(documented boundary)")
+    out["base_q_idx"] = r.get(8)
+    for i, name in enumerate(("dq_ydc", "dq_uvdc", "dq_uvac")):
+        if r.get(1):
+            mag = r.get(4)
+            sign = r.get(1)
+            out[name] = -mag if sign else mag
+            out[name + "_coded"] = 1
+        else:
+            out[name] = 0
+            out[name + "_coded"] = 0
+    if r.get(1):
+        raise Vp9Error("segmentation parameters are not supported "
+                       "(documented boundary)")
+    tl2 = min_l2
+    while tl2 < max_l2:
+        if r.get(1):
+            tl2 += 1
+        else:
+            break
+    out["tile_cols_log2"] = tl2
+    trl = r.get(1)
+    if trl:
+        trl += r.get(1)
+    out["tile_rows_log2"] = trl
+    out["header_size"] = r.get(16)
+    return out
+
+
+def vp9_headers_full(payload: bytes) -> list:
+    """COMPLETE uncompressed-header walk (r12 — the fields after the r11
+    stopping point): per key/inter frame, parse the base header and
+    continue with _parse_header_tail through frame-context flags, loop
+    filter, quantization (base_q + the three delta_q), the segmentation
+    gate, tile geometry, and header_size_in_bytes — everything the spec
+    puts before the compressed header. One row per frame with the full
+    quantizer/filter state a video-corpus pipeline filters on, plus the
+    byte audit (header_bytes, filler checksum). Superframes are split
+    first; tile bounds derive from the IVF-declared width (all fixture
+    frames share it — size-from-ref inheritance needs reference state
+    this walker does not model). The compressed header itself (bool
+    decoder) remains the documented boundary."""
+    if len(payload) < 32:
+        raise Vp9Error("stream shorter than the IVF header")
+    magic, ver, hdr_sz, fourcc, w, h, den, num, n_frames = struct.unpack(
+        "<4sHH4sHHIII", payload[:28])
+    if magic != b"DKIF":
+        raise Vp9Error("bad IVF magic")
+    if fourcc != b"VP90":
+        raise Vp9Error(f"not a VP9 stream (fourcc {fourcc!r})")
+    if ver != 0 or hdr_sz != 32:
+        raise Vp9Error("unsupported IVF version/header size")
+    rows = []
+    pos = 32
+    f = 0
+    while pos < len(payload):
+        if pos + 12 > len(payload):
+            raise Vp9Error("truncated IVF frame header")
+        size, _pts = struct.unpack("<IQ", payload[pos:pos + 12])
+        pos += 12
+        if pos + size > len(payload):
+            raise Vp9Error("IVF frame size overruns stream")
+        chunk = payload[pos:pos + size]
+        spans, _idx = superframe_split(chunk)
+        for si, (lo, hi) in enumerate(spans):
+            r = _BitReader(chunk[lo:hi])
+            fh = _parse_frame_header_r(r)
+            if fh["kind"] == "show_existing":
+                continue                   # no tail on the short form
+            tail = _parse_header_tail(r, fh["error_resilient"], w)
+            hb = r.byte_len()
+            filler = chunk[lo + hb:hi]
+            rows.append({
+                "packet": f, "subframe": si,
+                "kind": 0 if fh["kind"] == "key" else 1,
+                "show_frame": fh["show_frame"],
+                "error_resilient": fh["error_resilient"],
+                "refresh_frame_context": tail["refresh_frame_context"],
+                "frame_parallel": tail["frame_parallel"],
+                "frame_context_idx": tail["frame_context_idx"],
+                "lf_level": tail["lf_level"],
+                "lf_sharpness": tail["lf_sharpness"],
+                "lf_delta_enabled": tail["lf_delta_enabled"],
+                "base_q_idx": tail["base_q_idx"],
+                "dq_ydc": tail["dq_ydc"], "dq_uvdc": tail["dq_uvdc"],
+                "dq_uvac": tail["dq_uvac"],
+                "tile_cols_log2": tail["tile_cols_log2"],
+                "tile_rows_log2": tail["tile_rows_log2"],
+                "header_size": tail["header_size"],
+                "header_bytes": hb,
+                "filler_sum": sum(filler),
+            })
+        f += 1
+        pos += size
+    if f != n_frames:
+        raise Vp9Error("IVF frame-count field disagrees with stream")
     return rows

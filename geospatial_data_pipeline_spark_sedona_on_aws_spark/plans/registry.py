@@ -311,6 +311,7 @@ QUERIES: dict[str, QueryFn] = {
         MM.multimodal_mp3_lsf_scalefactors,  # r12: LSF partitions
     "multimodal_vp9_inter": MM.multimodal_vp9_inter,  # r11
     "multimodal_vp9_superframes": MM.multimodal_vp9_superframes,  # r12
+    "multimodal_vp9_headers_full": MM.multimodal_vp9_headers_full,  # r12
     "multimodal_features": MM.multimodal_features,
     "pyds_sensor_hourly": PDS.sensor_hourly,
     "pyds_jsonl_commit_roundtrip": PDS.crop_jsonl_commit_roundtrip,
@@ -738,6 +739,7 @@ _R12_WINDOW = [
     "multimodal_mp3_lsf_scalefactors",  # NEW: LSF partition scheme
     "multimodal_jpeg_lossless",     # NEW: SOF3 Annex H round trip
     "multimodal_vp9_superframes",   # NEW: superframe index walk
+    "multimodal_vp9_headers_full",  # NEW: complete uncompressed header
     "multimodal_mp3_scalefactors",  # shared part2 CTE refactor
     "multimodal_vp9_inter",         # intra_only parse path + encoder args
     "multimodal_vp9_probe",         # shares _parse_frame_header
@@ -782,7 +784,6 @@ _R12_WINDOW = [
     "training_mix",                 # text family seat (r8-stale)
     "profile_table",
     "q21_waiting_suppliers",
-    "q22_dormant_customers",
     "pyds_sensor_stream_totals",    # pydatasource family seat (r9-stale)
     "segment_dedup_rewrite",
     "stratified_sample",
@@ -1016,6 +1017,7 @@ ORACLES: dict[str, str] = {
         MM.MULTIMODAL_MP3_LSF_SCALEFACTORS_ORACLE,
     "multimodal_vp9_inter": MM.MULTIMODAL_VP9_INTER_ORACLE,
     "multimodal_vp9_superframes": MM.MULTIMODAL_VP9_SUPERFRAMES_ORACLE,
+    "multimodal_vp9_headers_full": MM.MULTIMODAL_VP9_HEADERS_FULL_ORACLE,
     "multimodal_wav_decode": MM.MULTIMODAL_WAV_DECODE_ORACLE,
     "multimodal_y4m_decode": MM.MULTIMODAL_Y4M_DECODE_ORACLE,
     "crop_analytics_full": P.CROP_ANALYTICS_FULL_ORACLE,

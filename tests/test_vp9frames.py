@@ -271,3 +271,57 @@ def test_hidden_inter_header_roundtrip():
     for k in ("refresh_frame_flags", "ref_idx", "sign_bias",
               "found_slot", "allow_high_precision_mv", "interp_filter"):
         assert fh[k] == fh2[k]
+
+
+# --------------------------------------------- full header tail (r12)
+
+def test_header_tail_roundtrip_matches_law():
+    """Every tail field law survives encode -> parse across profiles,
+    error-resilient and plain frames, all three delta_q slots, both
+    tile-column configurations."""
+    for seed in range(24):
+        w = 64 + seed * 29 % 640
+        p = V.ivf_vp9_encode(width=w, height=120, n_frames=3 + seed % 6,
+                             profile=seed % 4,
+                             bit_depth=8 if seed % 4 < 2 else 10,
+                             color_range=0, sub_x=1, sub_y=1, seed=seed,
+                             inter_frames=True, full_headers=True)
+        for r in V.vp9_headers_full(p):
+            law = V.header_tail_law(seed, r["packet"], w)
+            assert r["frame_context_idx"] == law["frame_context_idx"]
+            assert r["lf_level"] == law["lf_level"]
+            assert r["base_q_idx"] == law["base_q_idx"]
+            assert r["tile_cols_log2"] == law["tile_cols_log2"]
+            assert r["tile_rows_log2"] == law["tile_rows_log2"]
+            assert r["header_size"] == law["header_size"]
+            if not r["error_resilient"]:
+                assert r["refresh_frame_context"] == \
+                    law["refresh_frame_context"]
+
+
+def test_tile_log2_bounds_spec_points():
+    """§6.2.14: min keeps tiles <= 64 SB64s, max keeps >= 4 SB64s."""
+    assert V._tile_log2_bounds(64) == (0, 0)       # 1 SB64 column
+    assert V._tile_log2_bounds(512) == (0, 1)      # 8 SB64 columns
+    assert V._tile_log2_bounds(4096) == (0, 4)     # 64 SB64 columns
+    assert V._tile_log2_bounds(8192) == (1, 5)     # 128 -> min 1
+
+
+def test_header_tail_boundaries_typed():
+    """Loop-filter delta updates and segmentation stay typed gates."""
+    law = V.header_tail_law(3, 0, 320)
+    w = V._BitWriter()
+    V._write_header_tail(w, law, 0, 320)
+    base = V._key_frame(0, 320, 240, 8, 0, 1, 1, b"", tail_law=law)
+    # flip the segmentation_enabled bit: find it by re-encoding with a
+    # crafted law is brittle; instead parse a tail whose seg bit is 1
+    w2 = V._BitWriter()
+    w2.put(0, 2)            # refresh_frame_context + frame_parallel
+    w2.put(0, 2)            # frame_context_idx
+    w2.put(0, 6); w2.put(0, 3); w2.put(0, 1)   # loop filter, no delta
+    w2.put(0, 8)            # base_q
+    w2.put(0, 1); w2.put(0, 1); w2.put(0, 1)   # three delta_q absent
+    w2.put(1, 1)            # segmentation_enabled = 1 -> boundary
+    data = w2.tobytes() + bytes(4)
+    with pytest.raises(V.Vp9Error, match="segmentation"):
+        V._parse_header_tail(V._BitReader(data), 0, 320)
