@@ -2217,7 +2217,8 @@ bits AS (
 region AS (
     SELECT gs.*,
            CASE WHEN wsf = 1
-                THEN CASE WHEN block_type = 2 THEN 8 ELSE 7 END
+                THEN CASE WHEN block_type = 2 AND mixed = 0
+                     THEN 8 ELSE 7 END
                 ELSE r0c_tx END AS r0_count,
            {_SFB_L_SQL} AS L
     FROM gshort gs

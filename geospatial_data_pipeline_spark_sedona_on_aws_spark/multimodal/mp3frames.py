@@ -799,7 +799,9 @@ def mp3_regions(payload: bytes) -> list:
     (part3 = part2_3_length - part2; the layer that would drive spectral
     decode). Region law (ISO 11172-3 / the libmad convention): with
     window_switching the counts are not transmitted and default to
-    region0_count = 8 for block_type 2 else 7, region1_count =
+    region0_count = 8 for PURE short blocks (block_type 2, mixed flag
+    clear) else 7 — libmad treats mixed short blocks like the other
+    window-switching shapes (ADVICE r12) — region1_count =
     20 - region0_count (region2 empty); otherwise the transmitted counts
     index the long scalefactor-band table SFB_LONG_MPEG1 and the three
     regions partition the 2·big_values lines, each clamped to the
@@ -836,7 +838,8 @@ def mp3_regions(payload: bytes) -> list:
         for g, chans in enumerate(si["granules"]):
             for c, gf in enumerate(chans):
                 if gf["window_switching"]:
-                    r0 = 8 if gf["block_type"] == 2 else 7
+                    r0 = 8 if (gf["block_type"] == 2
+                               and gf["mixed_block_flag"] != 1) else 7
                     r1 = 20 - r0
                 else:
                     r0 = gf["region0_count"]

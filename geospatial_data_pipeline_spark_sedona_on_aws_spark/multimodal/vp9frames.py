@@ -475,10 +475,14 @@ def superframe_split(chunk: bytes) -> tuple:
     a superframe marker is a single frame ((0, len), 0). The marker
     pattern 110xxyyy can occur by chance in ordinary frame payload (the
     fixture's constant filler bytes land in [0xC0, 0xDF] for some
-    seeds), so a candidate index is VALIDATED exactly as libvpx does —
-    leading marker byte must match and the sizes must sum to the packet
-    — and an inconsistent candidate falls back to single-frame instead
-    of raising."""
+    seeds), so a candidate index is validated before use: the leading
+    marker byte must match (the libvpx check) AND the sizes must sum to
+    the packet exactly — a check STRICTER than libvpx, which only
+    requires the index to fit (ADVICE r12); safe for the fixture, whose
+    filler bytes >= 0xC0 can never sum under the packet length, but a
+    real-world superframe with trailing slack would be read as a single
+    frame here rather than split. An inconsistent candidate falls back
+    to single-frame instead of raising."""
     if not chunk:
         raise Vp9Error("empty IVF packet")
     single = ((0, len(chunk)),), 0

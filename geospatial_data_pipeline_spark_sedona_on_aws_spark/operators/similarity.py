@@ -617,24 +617,39 @@ def lsh_ann(spark: SparkSession, sf_dir: str,
         import numpy as np
         import pandas as pd
 
+        # probe-side rows are scored in fixed-size blocks so one hot
+        # bucket (the probe side carries ~25x replication; a clustered
+        # corpus can concentrate it) cannot grow the dense score matrix
+        # beyond CHUNK x len(cp) — peak memory is bounded regardless of
+        # bucket skew (ADVICE r12). The per-dim left-fold order of each
+        # (query, candidate) pair is independent of row blocking, so
+        # cosines stay bitwise-identical to _dot / the DuckDB oracle.
+        CHUNK = 4096
+
         def score(key, qp, cp):
             if not len(qp) or not len(cp):
                 return pd.DataFrame(
                     {"query_id": [], "neighbor_id": [], "cos_sim": []})
-            Q = np.array(qp["embedding"].tolist(), dtype=np.float64)
             C = np.array(cp["embedding"].tolist(), dtype=np.float64)
-            dots = np.zeros((len(qp), len(cp)))
-            for i in range(Q.shape[1]):
-                dots = dots + np.multiply.outer(Q[:, i], C[:, i])
-            cos = dots / np.multiply.outer(qp["nrm"].to_numpy(),
-                                           cp["nrm"].to_numpy())
-            qi, ci = np.indices(cos.shape)
-            qid = qp["vec_id"].to_numpy()[qi.ravel()]
-            nid = cp["vec_id"].to_numpy()[ci.ravel()]
-            keep = qid != nid
-            return pd.DataFrame({"query_id": qid[keep],
-                                 "neighbor_id": nid[keep],
-                                 "cos_sim": cos.ravel()[keep]})
+            c_nrm = cp["nrm"].to_numpy()
+            c_ids = cp["vec_id"].to_numpy()
+            parts = []
+            for lo in range(0, len(qp), CHUNK):
+                qb = qp.iloc[lo:lo + CHUNK]
+                Q = np.array(qb["embedding"].tolist(), dtype=np.float64)
+                dots = np.zeros((len(qb), len(cp)))
+                for i in range(Q.shape[1]):
+                    dots = dots + np.multiply.outer(Q[:, i], C[:, i])
+                cos = dots / np.multiply.outer(qb["nrm"].to_numpy(),
+                                               c_nrm)
+                qi, ci = np.indices(cos.shape)
+                qid = qb["vec_id"].to_numpy()[qi.ravel()]
+                nid = c_ids[ci.ravel()]
+                keep = qid != nid
+                parts.append(pd.DataFrame(
+                    {"query_id": qid[keep], "neighbor_id": nid[keep],
+                     "cos_sim": cos.ravel()[keep]}))
+            return pd.concat(parts, ignore_index=True)
 
         pairs = (
             a.select("probe", "vec_id", "embedding", "nrm")

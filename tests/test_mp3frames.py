@@ -343,9 +343,15 @@ def _regenc(seed, **kw):
 def test_regions_partition_big_values_exactly():
     """region0 + region1 + region2 always sum to 2*big_values, every
     region is non-negative, and region2 is empty under window
-    switching (the libmad default counts end region1 at 576)."""
+    switching (the libmad default counts end region1 at 576).
+    Default law per libmad (ADVICE r12): r0 = 8 only for PURE short
+    blocks (block_type 2 with the mixed flag clear), else 7."""
     for seed in range(12):
-        for r in M.mp3_regions(_regenc(seed)):
+        payload = _regenc(seed)
+        mixed = {(g["frame"], g["granule"], g["channel"]):
+                 g["mixed_block_flag"]
+                 for g in M.mp3_granules(payload)}
+        for r in M.mp3_regions(payload):
             assert r["region0_lines"] >= 0
             assert r["region1_lines"] >= 0
             assert r["region2_lines"] >= 0
@@ -355,8 +361,10 @@ def test_regions_partition_big_values_exactly():
             if r["block_type"] != -1:          # window switching
                 assert r["region2_lines"] == 0
                 assert r["table_r2"] == -1
-                assert r["r0_count"] == (8 if r["block_type"] == 2
-                                         else 7)
+                pure_short = (r["block_type"] == 2 and
+                              mixed[(r["frame"], r["granule"],
+                                     r["channel"])] != 1)
+                assert r["r0_count"] == (8 if pure_short else 7)
                 assert r["r1_count"] == 20 - r["r0_count"]
 
 
