@@ -156,6 +156,15 @@ SWEEP_QUERIES = [
     "embedding_cosine_near_dup",
     "multimodal_mp3_regions",
     "multimodal_vp9_superframes",
+    # round 13 (r12 verdict item 1): the two bounded near-dup contracts.
+    # near_dup_topm caps the OUTPUT at n*m but still evaluates every
+    # in-bucket pair (quadratic compute on the clustered sf1 fixture —
+    # measured, documented in SCALING.md); rep_near_dup evaluates ONE
+    # cosine per member (linear compute AND output) and is the edge
+    # stream embedding_cluster_dedup now consumes — its decade must be
+    # flat
+    "embedding_near_dup_topm",
+    "embedding_rep_near_dup",
 ]
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/root/repo/.bench_sf1")
 SWEEP_SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",

@@ -227,17 +227,28 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 def embedding_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SEMANTIC dedup clusters over `embeddings`: cosine-near-dup pairs
-    (LSH-bucketed, never all-pairs) → transitive closure → per-vector
-    (vec_id, cluster_id, is_canonical). The embedding-space counterpart of
-    dedup_clusters' lexical shingle clustering — the two compose into the
-    standard near-dup stack (lexical catches edits, semantic catches
-    paraphrase). Same scale story: bucketed pair generation + O(log d)
-    pointer-jumping components; vectors with no semantic near-dup are
-    their own cluster."""
+    """SEMANTIC dedup clusters over `embeddings`: BOUNDED cosine-near-dup
+    edges (LSH-bucketed, per-doc top-m neighbor cap — r12 verdict item 1)
+    → transitive closure → per-vector (vec_id, cluster_id, is_canonical).
+    The embedding-space counterpart of dedup_clusters' lexical shingle
+    clustering — the two compose into the standard near-dup stack
+    (lexical catches edits, semantic catches paraphrase).
+
+    Scale story (r13, r12 verdict item 1): the edge stream feeding
+    connected components is similarity.rep_near_dup — each LSH bucket's
+    members connect through ONE representative, so CC sees at most one
+    edge per vector and the engine evaluates at most one cosine per
+    vector, O(n) compute AND output even when a near-dup cluster is
+    quadratically dense (previously this read the unbounded
+    cosine_near_dup pair stream and materialized Θ(cluster²) CC edges —
+    the r12 sweep's one superlinear row). The SemDeDup-style trade,
+    documented on rep_near_dup: members similar to each other but not
+    to their bucket's representative split off. O(log d) pointer-jumping
+    components; vectors with no semantic near-dup are their own
+    cluster."""
     from ..operators import similarity as SIM
 
-    pairs = SIM.cosine_near_dup(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = SIM.rep_near_dup(spark, sf_dir).select("doc_a", "doc_b")
     comp = connected_components(pairs, "doc_a", "doc_b")
     vecs = SIM._emb(spark, sf_dir).select("vec_id")
     return (
@@ -254,7 +265,7 @@ def _embedding_cluster_dedup_oracle() -> str:
 
     return f"""
 WITH RECURSIVE pairs AS (
-    {SIM.COSINE_NEAR_DUP_ORACLE.strip().rstrip(';')}
+    {SIM.REP_NEAR_DUP_ORACLE.strip().rstrip(';')}
 ),
 edges AS (
     SELECT doc_a AS a, doc_b AS b FROM pairs

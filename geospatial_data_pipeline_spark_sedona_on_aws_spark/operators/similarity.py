@@ -781,6 +781,140 @@ FROM bucketed a JOIN bucketed b
 WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {NEAR_DUP_THRESHOLD}
 """
 
+# ------------------------------------------- bounded near-dup (r13)
+
+NEAR_DUP_TOPM = 8   # per-doc neighbor cap: output <= n * m by contract
+
+def near_dup_topm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED near-duplicate contract (r12 verdict item 1): per document,
+    its top-m same-bucket neighbors with cosine >= NEAR_DUP_THRESHOLD,
+    ranked by (cosine desc, neighbor_id asc). Output is <= n·m rows BY
+    CONTRACT — unlike cosine_near_dup's emit-all-pairs semantics, whose
+    output is Θ(cluster²) on clustered corpora (the r12 sweep's one
+    superlinear row): a 1M-doc near-dup cluster at 100 TB implies ~5·10¹¹
+    unbounded pair rows, but caps at 8M here. The unbounded spelling
+    stays registered for parity; downstream consumers
+    (embedding_cluster_dedup's connected components) read THIS stream.
+
+    Scale shape: same adaptive-plane bucket equi-join as cosine_near_dup
+    (never all-pairs; JVM-side fold cosine), then a rank window that
+    Spark's InferWindowGroupLimit turns into a per-partition group-limit
+    BEFORE the exchange — window state and shuffle volume are both capped
+    at m rows per doc, so no stage materializes the quadratic pair set."""
+    from pyspark.sql import Window
+
+    planes = lsh_planes_for(emb_count(spark, sf_dir))
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", "embedding",
+        _bucket(F.col("embedding"), planes).alias("bucket"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    directed = (
+        a.join(b, "bucket")
+        .where(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("doc_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            (_dot(F.col("a.embedding"), F.col("b.embedding"))
+             / (F.col("a.nrm") * F.col("b.nrm"))).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= NEAR_DUP_THRESHOLD)
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        directed.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= NEAR_DUP_TOPM)
+        .select("doc_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+NEAR_DUP_TOPM_ORACLE = f"""
+WITH {_PARAMS_CTE},
+bucketed AS (
+    SELECT vec_id, embedding, CAST({_BUCKET_SQL} AS BIGINT) AS bucket
+    FROM embeddings CROSS JOIN params p
+),
+directed AS (
+    SELECT a.vec_id AS doc_id, b.vec_id AS neighbor_id,
+           {_cos_sql('a.embedding', 'b.embedding')} AS cos_sim
+    FROM bucketed a JOIN bucketed b
+      ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+    WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {NEAR_DUP_THRESHOLD}
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+    FROM directed
+)
+SELECT doc_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
+FROM ranked WHERE rank <= {NEAR_DUP_TOPM}
+"""
+
+
+def rep_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR-COMPUTE near-duplicate edges (r12 verdict item 1, the
+    SemDeDup-style spelling): each LSH bucket elects a representative
+    (its min vec_id) and emits one edge (rep, member, cos) per member
+    whose cosine against the representative clears NEAR_DUP_THRESHOLD.
+
+    Why this exists alongside near_dup_topm: the top-m cap bounds the
+    OUTPUT at n·m rows, but still evaluates every in-bucket pair — on a
+    clustered corpus hot buckets make that Θ(Σ bucket²) cosines (measured
+    r13: 0.55 s sf0.1 → 6.5 s sf1.0, ~12×/decade on the deliberately
+    clustered fixture). This spelling evaluates exactly ONE cosine per
+    member — O(n) compute and O(n) output no matter how dense the
+    clusters — so it is the designated 100 TB near-dup path, and the
+    edge stream embedding_cluster_dedup contracts into components. The
+    trade (documented): two members similar to each other but neither
+    similar to their bucket's representative do not get an edge.
+
+    Plan: one groupBy(bucket) min-agg (partial map-side), one join to
+    fetch the representative's embedding, one bucket equi-join to pair
+    members with their representative — three linear shuffles, cosine
+    JVM-side in the join projection, no window, no all-pairs stage."""
+    planes = lsh_planes_for(emb_count(spark, sf_dir))
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", "embedding",
+        _bucket(F.col("embedding"), planes).alias("bucket"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    reps = (
+        emb.groupBy("bucket").agg(F.min("vec_id").alias("rep_id"))
+        .join(emb.select(F.col("vec_id").alias("rep_id"),
+                         F.col("embedding").alias("rep_emb"),
+                         F.col("nrm").alias("rep_nrm")), "rep_id")
+    )
+    return (
+        emb.join(reps, "bucket")
+        .where(F.col("vec_id") != F.col("rep_id"))
+        .select(
+            F.col("rep_id").alias("doc_a"),
+            F.col("vec_id").alias("doc_b"),
+            (_dot(F.col("rep_emb"), F.col("embedding"))
+             / (F.col("rep_nrm") * F.col("nrm"))).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= NEAR_DUP_THRESHOLD)
+    )
+
+REP_NEAR_DUP_ORACLE = f"""
+WITH {_PARAMS_CTE},
+bucketed AS (
+    SELECT vec_id, embedding, CAST({_BUCKET_SQL} AS BIGINT) AS bucket
+    FROM embeddings CROSS JOIN params p
+),
+reps AS (
+    SELECT bucket, min(vec_id) AS rep_id FROM bucketed GROUP BY bucket
+)
+SELECT r.rep_id AS doc_a, m.vec_id AS doc_b,
+       {_cos_sql('rv.embedding', 'm.embedding')} AS cos_sim
+FROM bucketed m
+JOIN reps r ON m.bucket = r.bucket
+JOIN bucketed rv ON rv.vec_id = r.rep_id
+WHERE m.vec_id != r.rep_id
+  AND {_cos_sql('rv.embedding', 'm.embedding')} >= {NEAR_DUP_THRESHOLD}
+"""
+
 # ------------------------------------------------------------------ IVF ANN
 
 IVF_NLIST = 16   # coarse centroids = embeddings of the 16 lowest vec_ids

@@ -155,6 +155,8 @@ QUERIES: dict[str, QueryFn] = {
     # --- similarity rotation ---
     "embedding_pq_ann": SIM.pq_ann,
     "embedding_cosine_near_dup": SIM.cosine_near_dup,
+    "embedding_near_dup_topm": SIM.near_dup_topm,   # r13: bounded output
+    "embedding_rep_near_dup": SIM.rep_near_dup,     # r13: linear compute
     # --- sketches rotation ---
     "reservoir_per_group": SK.reservoir_per_group,
     # --- multimodal / Python DataSource rotation ---
@@ -982,6 +984,8 @@ ORACLES: dict[str, str] = {
     "embedding_topk_cosine": SIM.TOPK_COSINE_ORACLE,
     "embedding_lsh_ann": SIM.LSH_ANN_ORACLE,
     "embedding_cosine_near_dup": SIM.COSINE_NEAR_DUP_ORACLE,
+    "embedding_near_dup_topm": SIM.NEAR_DUP_TOPM_ORACLE,
+    "embedding_rep_near_dup": SIM.REP_NEAR_DUP_ORACLE,
     "embedding_ivf_ann": SIM.IVF_ANN_ORACLE,
     "ann_recall_at_k": SIM.ANN_RECALL_AT_K_ORACLE,
     "embedding_quantized_topk": SIM.QUANTIZED_TOPK_ORACLE,

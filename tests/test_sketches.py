@@ -5,6 +5,7 @@ actually approximate what they claim."""
 from __future__ import annotations
 
 import duckdb
+from pyspark.sql import functions as F
 
 from geospatial_data_pipeline_spark_sedona_on_aws_spark.plans import sketches as SK
 
@@ -189,3 +190,85 @@ def test_lsh_ann_big_and_small_paths_agree(spark):
     assert a["query_id"].tolist() == b["query_id"].tolist()
     assert a["neighbor_id"].tolist() == b["neighbor_id"].tolist()
     assert a["cos_sim"].tolist() == b["cos_sim"].tolist()  # bitwise
+
+
+# ------------------------------------------- bounded near-dup (r13)
+
+def test_near_dup_topm_output_contract(spark):
+    """Every doc carries at most NEAR_DUP_TOPM neighbors with contiguous
+    ranks starting at 1, every emitted pair clears the threshold, and
+    every emitted (a, b) pair exists in the unbounded cosine_near_dup
+    stream (the cap SELECTS from the unbounded answer, never invents)."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.operators import similarity as SIM
+
+    topm = SIM.near_dup_topm(spark, SF_SMOKE).toPandas()
+    assert (topm["cos_sim"] >= SIM.NEAR_DUP_THRESHOLD).all()
+    for _, grp in topm.groupby("doc_id"):
+        assert len(grp) <= SIM.NEAR_DUP_TOPM
+        assert sorted(grp["rank"]) == list(range(1, len(grp) + 1))
+    unbounded = SIM.cosine_near_dup(spark, SF_SMOKE).toPandas()
+    full = {(min(a, b), max(a, b))
+            for a, b in zip(unbounded["doc_a"], unbounded["doc_b"])}
+    for a, b in zip(topm["doc_id"], topm["neighbor_id"]):
+        assert (min(a, b), max(a, b)) in full
+
+
+def test_near_dup_topm_rank_order_is_cos_desc_id_asc(spark):
+    """Within a doc, ranks follow (cos desc, neighbor asc) exactly."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.operators import similarity as SIM
+
+    topm = SIM.near_dup_topm(spark, SF_SMOKE).toPandas()
+    for _, grp in topm.groupby("doc_id"):
+        got = grp.sort_values("rank")
+        want = grp.sort_values(["cos_sim", "neighbor_id"],
+                               ascending=[False, True])
+        assert got["neighbor_id"].tolist() == want["neighbor_id"].tolist()
+
+
+def test_rep_near_dup_linear_edge_contract(spark):
+    """rep_near_dup emits at most ONE edge per member (doc_b unique),
+    every edge's doc_a is its bucket's min vec_id, doc_a < doc_b always
+    (the representative is the bucket minimum), and every edge clears
+    the threshold. Edge count <= n by construction."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.operators import similarity as SIM
+
+    edges = SIM.rep_near_dup(spark, SF_SMOKE).toPandas()
+    assert edges["doc_b"].is_unique
+    assert (edges["doc_a"] < edges["doc_b"]).all()
+    assert (edges["cos_sim"] >= SIM.NEAR_DUP_THRESHOLD).all()
+    n = SIM.emb_count(spark, SF_SMOKE)
+    assert len(edges) <= n
+    # representative law: doc_a is the min vec_id of the member's bucket
+    planes = SIM.lsh_planes_for(n)
+    emb = SIM._emb(spark, SF_SMOKE).select(
+        "vec_id",
+        SIM._bucket(F.col("embedding"), planes).alias("bucket")).toPandas()
+    bucket_of = dict(zip(emb["vec_id"], emb["bucket"]))
+    rep_of = emb.groupby("bucket")["vec_id"].min().to_dict()
+    for a, b in zip(edges["doc_a"], edges["doc_b"]):
+        assert a == rep_of[bucket_of[b]]
+
+
+def test_cluster_dedup_consumes_rep_edges(spark):
+    """embedding_cluster_dedup's clusters are exactly the connected
+    components of the rep_near_dup edge stream: every edge's endpoints
+    share a cluster_id, the cluster_id is the min member, singletons are
+    their own canonical cluster, and every vector appears once."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.operators import graph as GR
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.operators import similarity as SIM
+
+    out = GR.embedding_cluster_dedup(spark, SF_SMOKE).toPandas()
+    n = SIM.emb_count(spark, SF_SMOKE)
+    assert len(out) == n and out["vec_id"].is_unique
+    cl = dict(zip(out["vec_id"], out["cluster_id"]))
+    edges = SIM.rep_near_dup(spark, SF_SMOKE).toPandas()
+    for a, b in zip(edges["doc_a"], edges["doc_b"]):
+        assert cl[a] == cl[b]
+    # cluster_id = min member; canonical iff id == cluster_id
+    import collections
+    members = collections.defaultdict(list)
+    for v, c in cl.items():
+        members[c].append(v)
+    for c, vs in members.items():
+        assert c == min(vs)
+    assert (out["is_canonical"] == (out["vec_id"] == out["cluster_id"])).all()
