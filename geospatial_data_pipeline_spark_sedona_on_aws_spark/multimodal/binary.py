@@ -2334,3 +2334,290 @@ SELECT doc_id,
        CAST((doc_id + f + g) % 2 AS BIGINT) AS count1table_select
 FROM g
 """
+
+
+# ---------------------------------------------- MP3 spectral lines (r13)
+
+def multimodal_mp3_spectrum(spark: SparkSession, sf_dir: str,
+                            _sampled: bool = True) -> DataFrame:
+    """The layer BELOW the region structure (r12 verdict item 2): decode
+    the part3 bitstream — big_values (x, y) Huffman pairs per region and
+    count1 quadruples — to actual SPECTRAL LINES. One row per line with
+    its signed value, magnitude, linbits-escape flag, region (3 =
+    count1), Huffman table (count1 rows carry the count1 table select),
+    the granule's part2 bit count (cross-checks the r11 scalefactor
+    layer in the same stream) and the part3_ok accounting flag — the
+    encoder writes part2_3_length as the ACTUAL bit count, so the
+    decoder's count1 loop ending exactly at the budget proves the bit
+    accounting end to end (part3_ok = 1 everywhere by construction; a
+    stream whose quadruple crosses the budget flags 0 instead of
+    failing). Streams are MPEG-1 CBR at 320 kbps with the REAL
+    interleaved main_data layout (per granule-channel part2+part3,
+    bit-aligned). Codebook provenance documented in
+    multimodal/mp3huffman.py: shapes/escape/sign/count1 semantics are
+    spec-true, codeword bit patterns are engine-canonical (ISO B.7's
+    literal listings remain the boundary). Every 3rd document (residue
+    0; the scalefactor layers sample residues 1 and 2); ``_sampled=
+    False`` is the unsampled-parity seam.
+
+    Scale: row-local mapInPandas, no shuffle."""
+    from .mp3frames import mp3_frames_encode, mp3_spectrum
+
+    docs = _docs(spark, sf_dir, "doc_id")
+    if _sampled:
+        docs = docs.where("doc_id % 3 = 0")
+
+    cols = ["doc_id", "frame", "granule", "channel", "line", "value",
+            "magnitude", "escape", "region", "htable", "is_count1",
+            "part2_bits", "part3_ok"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                payload = mp3_frames_encode(
+                    10, 3, bitrate_idx=14, sr_idx=d % 3,
+                    n_frames=2 + d % 3, channel_mode=d % 4,
+                    protection=d % 2 == 0, seed=d,
+                    structured_spectrum=True)
+                for r in mp3_spectrum(payload):
+                    rows.append([d] + [r[k] for k in cols[1:]])
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.mapInPandas(
+        run, schema=", ".join(f"{c} long" for c in cols))
+
+
+def multimodal_mp3_band_energy(spark: SparkSession, sf_dir: str,
+                               _sampled: bool = True) -> DataFrame:
+    """Per-scalefactor-band spectral ENERGY — the quantity the spectral
+    layer exists to expose (a corpus filter thresholds band energy
+    without PCM synthesis): decoded lines rolled up into the ISO
+    long-block band layout (22 bands per sample rate, SFB_LONG_MPEG1)
+    with sum of squared values, line count, and nonzero count per
+    (doc, frame, granule, channel, band). The decode is the same
+    row-local Arrow pass as multimodal_mp3_spectrum; the rollup is a
+    JVM-side hash aggregate on the (doc, frame, granule, channel, band)
+    key — map-side partials, one linear shuffle, no Python in the agg.
+
+    Note: energies are in QUANTIZED units (spec requantization — the
+    4/3-power curve scaled by global_gain/scalefactors — is the next
+    layer; these are the raw Huffman magnitudes)."""
+    from .mp3frames import SFB_LONG_MPEG1, mp3_frames_encode, mp3_spectrum
+
+    docs = _docs(spark, sf_dir, "doc_id")
+    if _sampled:
+        docs = docs.where("doc_id % 3 = 0")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                payload = mp3_frames_encode(
+                    10, 3, bitrate_idx=14, sr_idx=d % 3,
+                    n_frames=2 + d % 3, channel_mode=d % 4,
+                    protection=d % 2 == 0, seed=d,
+                    structured_spectrum=True)
+                L = np.array(SFB_LONG_MPEG1[(44100, 48000, 32000)[d % 3]])
+                for r in mp3_spectrum(payload):
+                    band = int(np.searchsorted(L, r["line"],
+                                               side="right")) - 1
+                    rows.append([d, r["frame"], r["granule"],
+                                 r["channel"], band, r["value"]])
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "frame", "granule", "channel", "band", "value"])
+
+    lines = docs.mapInPandas(
+        run, schema="doc_id long, frame long, granule long, "
+                    "channel long, band long, value long")
+    return (
+        lines.groupBy("doc_id", "frame", "granule", "channel", "band")
+        .agg(F.sum(F.col("value") * F.col("value")).alias("energy"),
+             F.count(F.lit(1)).alias("n_lines"),
+             F.sum((F.col("value") != 0).cast("long")).alias("n_nonzero"))
+    )
+
+
+def _mp3_spectrum_line_ctes() -> str:
+    """The shared spectrum-law CTE chain (region structure with the
+    bv % SPECTRUM_BV_MOD override, per-line magnitude/sign laws, vmax /
+    linbits per Huffman table, count1 quadruples) used by the spectrum
+    and band-energy oracles. Composes after _mp3_part2_ctes."""
+    from . import mp3huffman as HU
+    from .mp3frames import SPECTRUM_BV_MOD
+
+    vmax_sql = "CASE t " + " ".join(
+        f"WHEN {t} THEN {HU.table_vmax(t)}" for t in range(32)) \
+        + " ELSE 0 END"
+    linbits_sql = "CASE t " + " ".join(
+        f"WHEN {t} THEN {HU.TABLE_DIMS[t][2]}" for t in range(32)) \
+        + " ELSE 0 END"
+    return f"""region AS (
+    SELECT gs.*,
+           CASE WHEN wsf = 1
+                THEN CASE WHEN block_type = 2 AND mixed = 0
+                     THEN 8 ELSE 7 END
+                ELSE r0c_tx END AS r0_count,
+           big_values % {SPECTRUM_BV_MOD} AS bv,
+           {_SFB_L_SQL} AS L
+    FROM gshort gs
+),
+region2 AS (
+    SELECT *,
+           CASE WHEN wsf = 1 THEN 20 - r0_count ELSE r1c_tx END
+               AS r1_count,
+           2 * bv AS bv2
+    FROM region
+),
+region3 AS (
+    SELECT *,
+           least(L[least(r0_count + 1, 22) + 1], bv2) AS e0,
+           least(L[least(r0_count + r1_count + 2, 22) + 1], bv2) AS e1
+    FROM region2
+),
+bv_lines AS (
+    SELECT r.*, ln.ln,
+           CASE WHEN ln.ln < r.e0 THEN 0
+                WHEN ln.ln < r.e1 THEN 1 ELSE 2 END AS lregion
+    FROM region3 r, (SELECT unnest(range(0, 576)) AS ln) ln
+    WHERE ln.ln < r.bv2
+),
+bv_tabled AS (
+    SELECT *, CASE lregion WHEN 0 THEN ts0 WHEN 1 THEN ts1
+              ELSE ts2_raw END AS t
+    FROM bv_lines
+),
+bv_valued AS (
+    SELECT *,
+           CASE WHEN t IN (0, 4, 14) THEN 0
+                ELSE (d * 3 + f * 7 + g * 11 + c * 5 + ln * 13)
+                     % (({vmax_sql}) + 1) END AS mag,
+           {linbits_sql} AS linbits
+    FROM bv_tabled
+),
+bv_rows AS (
+    SELECT d, f, g, c, ln,
+           CASE WHEN mag = 0 THEN 0
+                WHEN (d + f + ln) % 2 = 1 THEN -mag ELSE mag END AS value,
+           mag AS magnitude,
+           CASE WHEN linbits > 0 AND mag >= 15 THEN 1 ELSE 0 END
+               AS escape,
+           lregion AS region, t AS htable, 0 AS is_count1
+    FROM bv_valued
+),
+c1_rows AS (
+    SELECT r.d, r.f, r.g, r.c,
+           r.bv2 + 4 * q.j + k.k AS ln,
+           CASE WHEN (r.d * 7 + r.f + r.g * 3 + r.c + q.j * 5 + k.k) % 2
+                     = 0 THEN 0
+                WHEN (r.d + q.j + k.k) % 2 = 1 THEN -1 ELSE 1 END
+               AS value,
+           (r.d * 7 + r.f + r.g * 3 + r.c + q.j * 5 + k.k) % 2
+               AS magnitude,
+           0 AS escape, 3 AS region, r.count1table AS htable,
+           1 AS is_count1
+    FROM region3 r,
+         (SELECT unnest(range(0, 5)) AS j) q,
+         (SELECT unnest(range(0, 4)) AS k) k
+    WHERE q.j < least((r.d + r.f + r.g + r.c) % 5,
+                      greatest(0, (576 - r.bv2) // 4))
+),
+all_lines AS (
+    SELECT * FROM bv_rows UNION ALL SELECT * FROM c1_rows
+)"""
+
+
+#: part2 bit CTEs (slots/marked/bits) shared by the regions oracle —
+#: repeated here because the spectrum fixture samples residue 0
+_MP3_SPECTRUM_BITS_CTES = """slots AS (
+    SELECT g.*, s.sfb, -1 AS win,
+           CASE WHEN s.sfb <= 10 THEN slen1 ELSE slen2 END AS own_slen
+    FROM gshort g, (SELECT unnest(range(0, 21)) AS sfb) s
+    WHERE g.short = 0
+    UNION ALL
+    SELECT g.*, s.sfb, -1 AS win, slen1 AS own_slen
+    FROM gshort g, (SELECT unnest(range(0, 8)) AS sfb) s
+    WHERE g.short = 1 AND g.mixed = 1
+    UNION ALL
+    SELECT g.*, s.sfb, w.win,
+           CASE WHEN s.sfb <= 5 THEN slen1 ELSE slen2 END AS own_slen
+    FROM gshort g,
+         (SELECT unnest(range(0, 12)) AS sfb) s,
+         (SELECT unnest(range(0, 3)) AS win) w
+    WHERE g.short = 1
+      AND s.sfb >= CASE WHEN g.mixed = 1 THEN 3 ELSE 0 END
+),
+marked AS (
+    SELECT sl.*,
+           CASE WHEN sl.g = 1 AND sl.win = -1 AND sl.short = 0
+                     AND g0.short = 0
+                     AND ((sl.scfsi // CASE
+                           WHEN sl.sfb <= 5 THEN 8
+                           WHEN sl.sfb <= 10 THEN 4
+                           WHEN sl.sfb <= 15 THEN 2 ELSE 1 END) % 2) = 1
+                THEN 1 ELSE 0 END AS shared
+    FROM slots sl
+    JOIN gshort g0
+      ON g0.d = sl.d AND g0.f = sl.f AND g0.c = sl.c AND g0.g = 0
+),
+bits AS (
+    SELECT d, f, g, c,
+           SUM(CASE WHEN shared = 1 THEN 0 ELSE own_slen END)
+               AS part2_bits
+    FROM marked GROUP BY d, f, g, c
+)"""
+
+
+def _mp3_spectrum_oracle() -> str:
+    return f"""
+WITH {_mp3_part2_ctes('WHERE doc_id % 3 = 0')},
+{_MP3_SPECTRUM_BITS_CTES},
+{_mp3_spectrum_line_ctes()}
+SELECT a.d AS doc_id,
+       CAST(a.f AS BIGINT) AS frame,
+       CAST(a.g AS BIGINT) AS granule,
+       CAST(a.c AS BIGINT) AS channel,
+       CAST(a.ln AS BIGINT) AS line,
+       CAST(a.value AS BIGINT) AS value,
+       CAST(a.magnitude AS BIGINT) AS magnitude,
+       CAST(a.escape AS BIGINT) AS escape,
+       CAST(a.region AS BIGINT) AS region,
+       CAST(a.htable AS BIGINT) AS htable,
+       CAST(a.is_count1 AS BIGINT) AS is_count1,
+       CAST(b.part2_bits AS BIGINT) AS part2_bits,
+       CAST(1 AS BIGINT) AS part3_ok
+FROM all_lines a
+JOIN bits b ON b.d = a.d AND b.f = a.f AND b.g = a.g AND b.c = a.c
+"""
+
+
+def _mp3_band_energy_oracle() -> str:
+    return f"""
+WITH {_mp3_part2_ctes('WHERE doc_id % 3 = 0')},
+{_mp3_spectrum_line_ctes()},
+banded AS (
+    SELECT al.*, bd.b AS band
+    FROM all_lines al
+    JOIN region3 r3
+      ON r3.d = al.d AND r3.f = al.f AND r3.g = al.g AND r3.c = al.c,
+         (SELECT unnest(range(0, 22)) AS b) bd
+    WHERE al.ln >= r3.L[bd.b + 1] AND al.ln < r3.L[bd.b + 2]
+)
+SELECT d AS doc_id,
+       CAST(f AS BIGINT) AS frame,
+       CAST(g AS BIGINT) AS granule,
+       CAST(c AS BIGINT) AS channel,
+       CAST(band AS BIGINT) AS band,
+       CAST(SUM(value * value) AS BIGINT) AS energy,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CASE WHEN value != 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_nonzero
+FROM banded
+GROUP BY d, f, g, c, band
+"""
+
+
+MULTIMODAL_MP3_SPECTRUM_ORACLE = _mp3_spectrum_oracle()
+MULTIMODAL_MP3_BAND_ENERGY_ORACLE = _mp3_band_energy_oracle()

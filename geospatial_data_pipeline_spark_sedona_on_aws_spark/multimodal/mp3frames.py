@@ -283,18 +283,28 @@ def mp3_frames_encode(version: int, layer: int, bitrate_idx: int,
                       protection: bool, seed: int,
                       id3v2_size: int = 0,
                       structured_side: bool = False,
-                      structured_scalefactors: bool = False) -> bytes:
+                      structured_scalefactors: bool = False,
+                      structured_spectrum: bool = False) -> bytes:
     """Build a spec-valid CBR frame stream with deterministic payload
     bytes (``_payload_byte``); protected Layer III frames get a CORRECT
     CRC-16 over header+side-info so the probe's validation path is
     exercised for real. ``version`` is the ×10 key (10 / 20 / 25).
     ``structured_side`` (r10): Layer III frames carry REAL spec-layout
     side information following ``granule_field_law`` instead of constant
-    filler — the fixture behind the granule-probe oracle."""
+    filler — the fixture behind the granule-probe oracle.
+    ``structured_spectrum`` (r13): the REAL interleaved main_data
+    layout — per (granule, channel) part2 scalefactors then part3
+    Huffman spectral data abutting bit-aligned — with big_values
+    overridden to % SPECTRUM_BV_MOD (so worst-case part3 fits the
+    frame) and part2_3_length written as the ACTUAL part2+part3 bit
+    count (unlike the part2-only fixtures, whose synthetic budget the
+    part23_ok flag audits). MPEG-1 only."""
     if protection and layer != 3:
         raise Mp3Error("fixture CRC only modeled for Layer III")
     if structured_side and layer != 3:
         raise Mp3Error("side information is a Layer III structure")
+    if structured_spectrum and (layer != 3 or _vgroup(version) == 2):
+        raise Mp3Error("spectrum fixture is MPEG-1 Layer III only")
     vg = _vgroup(version)
     bitrate = BITRATE_KBPS[(vg, layer)][bitrate_idx - 1]
     sample_rate = SAMPLE_RATE_HZ[version][sr_idx]
@@ -312,7 +322,30 @@ def mp3_frames_encode(version: int, layer: int, bitrate_idx: int,
         frame = bytearray((0xFF, hdr1, hdr2, hdr3))
         body_len = flen - 4 - (2 if protection else 0)
         body = bytes([_payload_byte(seed, f)]) * body_len
-        if structured_side or structured_scalefactors:
+        if structured_spectrum:
+            nch = 1 if channel_mode == 3 else 2
+            gfs = [[granule_field_law(seed, f, g, c, False)
+                    for c in range(nch)] for g in range(2)]
+            for chans in gfs:
+                for gf in chans:
+                    gf["big_values"] %= SPECTRUM_BV_MOD
+            si_dict = {"scfsi": [(seed + 3 * c) % 16 for c in range(nch)],
+                       "granules": gfs}
+            w = _BitWriter()
+            for g in range(2):
+                for c in range(nch):
+                    p2 = _scalefac_write_gc(w, si_dict, g, c, seed, f)
+                    p3 = _spectrum_encode_gc(w, gfs[g][c], sample_rate,
+                                             seed, f, g, c)
+                    if p2 + p3 >= 1 << 12:
+                        raise Mp3Error("part2_3_length exceeds 12 bits")
+                    gfs[g][c]["part2_3_length"] = p2 + p3
+            si = side_info_encode_fields(version, nch, seed, gfs)
+            main = w.to_bytes((len(w._bits) + 7) // 8)
+            if len(si) + len(main) > body_len:
+                raise Mp3Error("frame too short for spectral data")
+            body = si + main + body[len(si) + len(main):]
+        elif structured_side or structured_scalefactors:
             nch = 1 if channel_mode == 3 else 2
             si = side_info_encode(version, nch, seed, f)
             if len(si) > body_len:
@@ -502,12 +535,14 @@ def _granule_read(r: _BitReader, lsf: bool) -> dict:
     return gf
 
 
-def side_info_encode(version: int, channels: int, seed: int,
-                     frame: int) -> bytes:
-    """Spec-layout Layer III side info whose fields follow
-    granule_field_law; main_data_begin is 0 (the fixture carries no bit
-    reservoir — every frame is self-contained, which is also what the
-    value means)."""
+def side_info_encode_fields(version: int, channels: int, seed: int,
+                            gfs: list) -> bytes:
+    """Spec-layout Layer III side info from EXPLICIT per-(granule,
+    channel) field dicts (gfs[g][c]) — the door the r13 spectrum mode
+    uses to write a part2_3_length that equals the ACTUAL part2+part3
+    bits instead of granule_field_law's synthetic budget. scfsi stays
+    the (seed + 3c) % 16 law; main_data_begin stays 0 (self-contained
+    frames, no bit reservoir)."""
     lsf = _vgroup(version) == 2
     w = _BitWriter()
     w.put(0, 8 if lsf else 9)                       # main_data_begin
@@ -519,9 +554,21 @@ def side_info_encode(version: int, channels: int, seed: int,
             w.put((seed + 3 * c) % 16, 4)           # scfsi
     for g in range(1 if lsf else 2):
         for c in range(channels):
-            _granule_write(w, granule_field_law(seed, frame, g, c, lsf),
-                           lsf)
+            _granule_write(w, gfs[g][c], lsf)
     return w.to_bytes(_SIDE_INFO_LEN[(_vgroup(version), channels == 1)])
+
+
+def side_info_encode(version: int, channels: int, seed: int,
+                     frame: int) -> bytes:
+    """Spec-layout Layer III side info whose fields follow
+    granule_field_law; main_data_begin is 0 (the fixture carries no bit
+    reservoir — every frame is self-contained, which is also what the
+    value means)."""
+    lsf = _vgroup(version) == 2
+    gfs = [[granule_field_law(seed, frame, g, c, lsf)
+            for c in range(channels)]
+           for g in range(1 if lsf else 2)]
+    return side_info_encode_fields(version, channels, seed, gfs)
 
 
 def side_info_parse(version: int, channels: int, data: bytes) -> dict:
@@ -666,22 +713,35 @@ def _long_group(sfb: int) -> int:
     raise Mp3Error(f"sfb {sfb} outside the long layout")
 
 
+def _scalefac_write_gc(w: _BitWriter, si: dict, g: int, c: int,
+                       seed: int, frame: int) -> int:
+    """part2 bits for ONE (granule, channel) — the shared inner walk of
+    scalefactors_encode and the r13 spectrum layout (which interleaves
+    part2 and part3 per granule-channel, the real main_data order).
+    Returns bits written; scfsi-shared granule-1 groups write nothing."""
+    gf = si["granules"][g][c]
+    s1, s2 = SLEN_TABLE[gf["scalefac_compress"]]
+    bits = 0
+    for (sfb, win, si_idx) in _scalefac_slots(gf):
+        if g == 1 and win == -1 and not _is_short(gf) \
+                and _scfsi_shared(si, 1, c, _long_group(sfb)):
+            continue
+        slen = (s1, s2)[si_idx]
+        if slen:
+            w.put(scalefac_value_law(seed, frame, g, c, sfb, win, slen),
+                  slen)
+            bits += slen
+    return bits
+
+
 def scalefactors_encode(si: dict, seed: int, frame: int) -> bytes:
     """The part2 bitstream for one frame's granules, MPEG-1 layout,
     values from scalefac_value_law, scfsi sharing honored (shared
     granule-1 groups transmit nothing)."""
     w = _BitWriter()
-    for g, chans in enumerate(si["granules"]):
-        for c, gf in enumerate(chans):
-            s1, s2 = SLEN_TABLE[gf["scalefac_compress"]]
-            for (sfb, win, si_idx) in _scalefac_slots(gf):
-                if g == 1 and win == -1 and not _is_short(gf) \
-                        and _scfsi_shared(si, 1, c, _long_group(sfb)):
-                    continue
-                slen = (s1, s2)[si_idx]
-                if slen:
-                    w.put(scalefac_value_law(seed, frame, g, c, sfb,
-                                             win, slen), slen)
+    for g in range(len(si["granules"])):
+        for c in range(len(si["granules"][g])):
+            _scalefac_write_gc(w, si, g, c, seed, frame)
     nbits = len(w._bits)
     return w.to_bytes((nbits + 7) // 8)
 
@@ -791,6 +851,32 @@ def granule_part2_bits(si: dict) -> dict:
     return out
 
 
+def granule_regions(gf: dict, sample_rate: int) -> tuple:
+    """(r0_count, r1_count, region line widths, region tables) for one
+    granule-channel: the big_values Huffman region partition (the r12
+    law mp3_regions documents — libmad window-switching defaults, ISO
+    long-band boundaries, clamping at 2·big_values). Region tables are
+    the side info's table selects, -1 for the untransmitted region 2
+    under window switching (that region is always empty there)."""
+    L = SFB_LONG_MPEG1[sample_rate]
+    if gf["window_switching"]:
+        r0 = 8 if (gf["block_type"] == 2
+                   and gf["mixed_block_flag"] != 1) else 7
+        r1 = 20 - r0
+    else:
+        r0 = gf["region0_count"]
+        r1 = gf["region1_count"]
+    b0 = L[min(r0 + 1, 22)]
+    b1 = L[min(r0 + r1 + 2, 22)]
+    bv2 = 2 * gf["big_values"]
+    reg0 = min(b0, bv2)
+    reg1 = min(b1, bv2) - reg0
+    reg2 = bv2 - min(b1, bv2)
+    tables = (gf["table_select_0"], gf["table_select_1"],
+              -1 if gf["window_switching"] else gf["table_select_2"])
+    return r0, r1, (reg0, reg1, reg2), tables
+
+
 def mp3_regions(payload: bytes) -> list:
     """The layer BELOW part2 (r11 verdict item 4): the big_values Huffman
     REGION STRUCTURE — per (frame, granule, channel) the spectral-line
@@ -834,22 +920,11 @@ def mp3_regions(payload: bytes) -> list:
         si = side_info_parse(h["version"], h["channels"],
                              buf[body:pos + flen])
         part2 = granule_part2_bits(si)
-        L = SFB_LONG_MPEG1[h["sample_rate"]]
         for g, chans in enumerate(si["granules"]):
             for c, gf in enumerate(chans):
-                if gf["window_switching"]:
-                    r0 = 8 if (gf["block_type"] == 2
-                               and gf["mixed_block_flag"] != 1) else 7
-                    r1 = 20 - r0
-                else:
-                    r0 = gf["region0_count"]
-                    r1 = gf["region1_count"]
-                b0 = L[min(r0 + 1, 22)]
-                b1 = L[min(r0 + r1 + 2, 22)]
+                r0, r1, (reg0, reg1, reg2), _tabs = granule_regions(
+                    gf, h["sample_rate"])
                 bv2 = 2 * gf["big_values"]
-                reg0 = min(b0, bv2)
-                reg1 = min(b1, bv2) - reg0
-                reg2 = bv2 - min(b1, bv2)
                 p2 = part2[(g, c)]
                 p3 = gf["part2_3_length"] - p2
                 rows.append({
@@ -1010,6 +1085,217 @@ def mp3_scalefactors_lsf(payload: bytes) -> list:
                     "part2_ok": 1 if part2 <= gf["part2_3_length"]
                     else 0,
                 })
+        f += 1
+        pos += flen
+    return rows
+
+
+# ---------------------------------------------- spectral Huffman (r13)
+#
+# The layer BELOW the region structure (r12 verdict item 2): decode the
+# part3 bitstream — big_values (x, y) pairs per region plus count1
+# quadruples — to actual spectral lines. Codebook provenance is split
+# and documented in multimodal/mp3huffman.py: table shapes / escape /
+# sign / count1 semantics are spec-true; the codeword bit patterns are
+# engine-canonical (ISO B.7's literal listings are the remaining
+# boundary, alongside LSF spectrum and requantization/IMDCT/PCM).
+# The spectrum fixture mode writes the REAL main_data layout — part2
+# and part3 abut bit-aligned per (granule, channel), no byte padding
+# between granules — unlike the part2-only fixtures, which concatenate
+# all granules' scalefactors up front (their oracles pin that layout).
+
+#: spectrum-mode big_values override modulus: caps lines at 62 so the
+#: worst-case part3 always fits a 320 kbps frame (see the fit test)
+SPECTRUM_BV_MOD = 32
+
+
+def spectrum_value_law(seed: int, f: int, g: int, c: int, line: int,
+                       vmax: int) -> int:
+    """Deterministic per-line magnitude, mirrored in closed form by the
+    SQL oracle; capped at the region table's law maximum."""
+    return (seed * 3 + f * 7 + g * 11 + c * 5 + line * 13) % (vmax + 1)
+
+
+def spectrum_sign_law(seed: int, f: int, line: int) -> int:
+    """1 = negative (transmitted only for nonzero magnitudes)."""
+    return (seed + f + line) % 2
+
+
+def count1_bit_law(seed: int, f: int, g: int, c: int, j: int,
+                   k: int) -> int:
+    """Quadruple j, position k (0..3) -> the {0,1} count1 magnitude."""
+    return (seed * 7 + f + g * 3 + c + j * 5 + k) % 2
+
+
+def count1_sign_law(seed: int, j: int, k: int) -> int:
+    return (seed + j + k) % 2
+
+
+def n_count1_law(seed: int, f: int, g: int, c: int,
+                 bv_lines: int) -> int:
+    """Quadruple count for the fixture: 0..4, clamped so big_values and
+    count1 lines never pass the 576-line granule."""
+    return min((seed + f + g + c) % 5, max(0, (576 - bv_lines) // 4))
+
+
+def _spectrum_encode_gc(w: _BitWriter, gf: dict, sample_rate: int,
+                        seed: int, f: int, g: int, c: int) -> int:
+    """part3 bits for one (granule, channel): big_values pairs region by
+    region (no bits for the no-codebook tables 0/4/14 — their lines are
+    zero), then count1 quadruples. Returns bits written."""
+    from . import mp3huffman as HU
+
+    bits = 0
+    line = 0
+    _r0, _r1, widths, tables = granule_regions(gf, sample_rate)
+    for nlines, t in zip(widths, tables):
+        if t in (-1, 0, 4, 14) or HU.TABLE_DIMS[t][0] == 0:
+            line += nlines
+            continue
+        book = HU.pair_book(t)
+        ylen = HU.TABLE_DIMS[t][1]
+        vmax = HU.table_vmax(t)
+        for _p in range(nlines // 2):
+            mx = spectrum_value_law(seed, f, g, c, line, vmax)
+            my = spectrum_value_law(seed, f, g, c, line + 1, vmax)
+            sym = min(mx, 15) * ylen + min(my, 15)
+            bits += HU.write_symbol(w, book, sym)
+            bits += HU.encode_value(w, t, book, mx,
+                                    spectrum_sign_law(seed, f, line) == 1)
+            bits += HU.encode_value(
+                w, t, book, my, spectrum_sign_law(seed, f, line + 1) == 1)
+            line += 2
+    book1 = HU.count1_book(gf["count1table_select"])
+    for j in range(n_count1_law(seed, f, g, c, line)):
+        vals = [count1_bit_law(seed, f, g, c, j, k) for k in range(4)]
+        sym = (vals[0] << 3) | (vals[1] << 2) | (vals[2] << 1) | vals[3]
+        bits += HU.write_symbol(w, book1, sym)
+        for k, v in enumerate(vals):
+            if v:
+                w.put(count1_sign_law(seed, j, k), 1)
+                bits += 1
+    return bits
+
+
+def _spectrum_decode_gc(r: _BitReader, gf: dict, sample_rate: int,
+                        part3_budget: int, avail_bits: int) -> tuple:
+    """Decode one (granule, channel)'s part3: returns (rows, part3_bits,
+    part3_ok). Rows: (line, value, magnitude, escape, region, htable,
+    is_count1). count1 decoding stops exactly at the part3 budget (or at
+    line 576); a quadruple that would cross the budget is discarded and
+    flags part3_ok = 0 (real decoders rewind to the boundary)."""
+    from . import mp3huffman as HU
+
+    if part3_budget < 0:
+        raise Mp3Error("part2 bits exceed part2_3_length")
+    if r._pos + part3_budget > avail_bits:
+        raise Mp3Error("part2_3_length overruns the frame")
+    start = r._pos
+    rows = []
+    line = 0
+    _r0, _r1, widths, tables = granule_regions(gf, sample_rate)
+    for ri, (nlines, t) in enumerate(zip(widths, tables)):
+        if t in (-1, 0, 4, 14) or HU.TABLE_DIMS[t][0] == 0:
+            for _i in range(nlines):
+                rows.append((line, 0, 0, 0, ri, t, 0))
+                line += 1
+            continue
+        book = HU.pair_book(t)
+        ylen = HU.TABLE_DIMS[t][1]
+        for _p in range(nlines // 2):
+            sym = HU.read_symbol(r, book)
+            vx, ex = HU.decode_value(r, t, sym // ylen)
+            vy, ey = HU.decode_value(r, t, sym % ylen)
+            rows.append((line, vx, abs(vx), int(ex), ri, t, 0))
+            rows.append((line + 1, vy, abs(vy), int(ey), ri, t, 0))
+            line += 2
+    sel = gf["count1table_select"]
+    book1 = HU.count1_book(sel)
+    ok = 1
+    while r._pos - start < part3_budget and line + 4 <= 576:
+        mark = r._pos
+        sym = HU.read_symbol(r, book1)
+        vals = [(sym >> 3) & 1, (sym >> 2) & 1, (sym >> 1) & 1, sym & 1]
+        quad = []
+        for v in vals:
+            if v and r.get(1):
+                quad.append(-1)
+            else:
+                quad.append(v)
+        if r._pos - start > part3_budget:
+            # the quadruple crossed the budget: rewind and flag
+            r._pos = mark
+            ok = 0
+            break
+        for v in quad:
+            rows.append((line, v, abs(v), 0, 3, sel, 1))
+            line += 1
+    # stuffing: advance to the budget boundary (ancillary bits)
+    r._pos = start + part3_budget
+    return rows, part3_budget, ok
+
+
+def mp3_spectrum(payload: bytes) -> list:
+    """Strict frame walk + side info + part2 skip + part3 SPECTRAL
+    decode over the real interleaved main_data layout: one row per
+    decoded spectral line with (frame, granule, channel, line, value,
+    magnitude, escape, region, htable, is_count1) plus the granule's
+    part2/part3 bit accounting and the part3_ok consistency flag.
+    MPEG-1 Layer III only (LSF spectrum is the next boundary down, as
+    with mp3_scalefactors)."""
+    if not isinstance(payload, (bytes, bytearray)):
+        raise Mp3Error("payload must be bytes")
+    buf = bytes(payload)
+    pos = _skip_id3v2(buf)
+    end = len(buf)
+    if end >= pos + 128 and buf[end - 128:end - 125] == b"TAG":
+        end -= 128
+    if pos >= end:
+        raise Mp3Error("no audio frames in stream")
+    rows = []
+    f = 0
+    while pos < end:
+        h = _parse_header(buf[pos:pos + 4])
+        if h["layer"] != 3:
+            raise Mp3Error("spectral data is a Layer III structure; "
+                           f"stream is Layer {h['layer']}")
+        if _vgroup(h["version"]) == 2:
+            raise Mp3Error("LSF spectral decode is a documented engine "
+                           "boundary (MPEG-1 layout only)")
+        flen = h["frame_len"]
+        if pos + flen > end:
+            raise Mp3Error("truncated final frame")
+        body = pos + 4 + (2 if h["protection"] else 0)
+        si = side_info_parse(h["version"], h["channels"],
+                             buf[body:pos + flen])
+        side_len = _SIDE_INFO_LEN[(1, h["channels"] == 1)]
+        main = buf[body + side_len:pos + flen]
+        r = _BitReader(main)
+        avail = len(main) * 8
+        for g, chans in enumerate(si["granules"]):
+            for c, gf in enumerate(chans):
+                p2_start = r._pos
+                # part2 skip honoring scfsi sharing (shared slots read 0)
+                s1, s2 = SLEN_TABLE[gf["scalefac_compress"]]
+                for (sfb, win, si_idx) in _scalefac_slots(gf):
+                    if g == 1 and win == -1 and not _is_short(gf) \
+                            and _scfsi_shared(si, 1, c, _long_group(sfb)):
+                        continue
+                    slen = (s1, s2)[si_idx]
+                    if slen:
+                        r.get(slen)
+                part2 = r._pos - p2_start
+                lines, part3, ok = _spectrum_decode_gc(
+                    r, gf, h["sample_rate"],
+                    gf["part2_3_length"] - part2, avail)
+                for (line, val, mag, esc, reg, tbl, c1) in lines:
+                    rows.append({
+                        "frame": f, "granule": g, "channel": c,
+                        "line": line, "value": val, "magnitude": mag,
+                        "escape": esc, "region": reg, "htable": tbl,
+                        "is_count1": c1, "part2_bits": part2,
+                        "part3_bits": part3, "part3_ok": ok,
+                    })
         f += 1
         pos += flen
     return rows

@@ -309,6 +309,8 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_mp3_granules": MM.multimodal_mp3_granules,  # r10: side info
     "multimodal_mp3_scalefactors": MM.multimodal_mp3_scalefactors,  # r11
     "multimodal_mp3_regions": MM.multimodal_mp3_regions,  # r12: Huffman regions
+    "multimodal_mp3_spectrum": MM.multimodal_mp3_spectrum,  # r13: lines
+    "multimodal_mp3_band_energy": MM.multimodal_mp3_band_energy,  # r13
     "multimodal_mp3_lsf_scalefactors":
         MM.multimodal_mp3_lsf_scalefactors,  # r12: LSF partitions
     "multimodal_vp9_inter": MM.multimodal_vp9_inter,  # r11
@@ -1017,6 +1019,8 @@ ORACLES: dict[str, str] = {
     "multimodal_mp3_scalefactors":
         MM.MULTIMODAL_MP3_SCALEFACTORS_ORACLE,
     "multimodal_mp3_regions": MM.MULTIMODAL_MP3_REGIONS_ORACLE,
+    "multimodal_mp3_spectrum": MM.MULTIMODAL_MP3_SPECTRUM_ORACLE,
+    "multimodal_mp3_band_energy": MM.MULTIMODAL_MP3_BAND_ENERGY_ORACLE,
     "multimodal_mp3_lsf_scalefactors":
         MM.MULTIMODAL_MP3_LSF_SCALEFACTORS_ORACLE,
     "multimodal_vp9_inter": MM.MULTIMODAL_VP9_INTER_ORACLE,

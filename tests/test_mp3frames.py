@@ -404,3 +404,128 @@ def test_regions_lsf_and_layer_gates():
         M.mp3_regions(M.mp3_frames_encode(
             10, 2, bitrate_idx=9, sr_idx=0, n_frames=2,
             channel_mode=0, protection=False, seed=1))
+
+
+# ------------------------------------------------------ spectrum (r13)
+
+from geospatial_data_pipeline_spark_sedona_on_aws_spark.multimodal import mp3huffman as HU
+
+
+def _specenc(seed, **kw):
+    args = dict(version=10, layer=3, bitrate_idx=14, sr_idx=seed % 3,
+                n_frames=2 + seed % 3, channel_mode=seed % 4,
+                protection=seed % 2 == 0, seed=seed,
+                structured_spectrum=True)
+    args.update(kw)
+    return M.mp3_frames_encode(**args)
+
+
+def test_huffman_books_are_prefix_codes():
+    """Every engine-canonical codebook satisfies Kraft with equality and
+    no codeword prefixes another; count1 table B is the spec's literal
+    4-bit complement code."""
+    books = [HU.pair_book(t) for t in HU.TABLE_DIMS
+             if HU.TABLE_DIMS[t][0]] + [HU.count1_book(0)]
+    for book in books:
+        codes = sorted((ln, code) for code, ln in book.values())
+        assert sum(2.0 ** -ln for ln, _ in codes) == 1.0   # full tree
+        strs = sorted(format(code, f"0{ln}b") for ln, code in codes)
+        for a, b in zip(strs, strs[1:]):
+            assert not b.startswith(a), (a, b)
+    b1 = HU.count1_book(1)
+    assert b1 == {q: ((~q) & 0xF, 4) for q in range(16)}
+
+
+def test_spectrum_roundtrip_matches_value_laws():
+    """Decoded spectral lines reproduce the magnitude/sign laws exactly:
+    big_values lines per region table (zero for the no-codebook tables
+    0/4/14), count1 quadruples after them, lines contiguous, part3_ok
+    everywhere (the encoder writes the TRUE part2_3_length)."""
+    import collections
+    for seed in range(16):
+        rows = M.mp3_spectrum(_specenc(seed))
+        assert rows and all(r["part3_ok"] == 1 for r in rows)
+        bygc = collections.defaultdict(list)
+        for r in rows:
+            bygc[(r["frame"], r["granule"], r["channel"])].append(r)
+        for (f, g, c), rs in bygc.items():
+            assert sorted(r["line"] for r in rs) == list(range(len(rs)))
+            for r in rs:
+                if r["is_count1"]:
+                    continue
+                t = r["htable"]
+                vmax = HU.table_vmax(t)
+                mag = (M.spectrum_value_law(seed, f, g, c, r["line"],
+                                            vmax) if vmax else 0)
+                exp = 0 if mag == 0 else (
+                    -mag if M.spectrum_sign_law(seed, f, r["line"])
+                    else mag)
+                assert r["value"] == exp
+                assert r["magnitude"] == abs(exp)
+            bv = [r for r in rs if not r["is_count1"]]
+            c1 = [r for r in rs if r["is_count1"]]
+            assert len(c1) == 4 * M.n_count1_law(seed, f, g, c, len(bv))
+            for r in c1:
+                j = (r["line"] - len(bv)) // 4
+                k = (r["line"] - len(bv)) % 4
+                mag = M.count1_bit_law(seed, f, g, c, j, k)
+                exp = 0 if mag == 0 else (
+                    -1 if M.count1_sign_law(seed, j, k) else 1)
+                assert r["value"] == exp
+
+
+def test_spectrum_exercises_escape_and_signs():
+    """The fixture genuinely hits the linbits escape path (magnitudes
+    above 15 in ESC-table regions) and both signs."""
+    rows = [r for s in range(16) for r in M.mp3_spectrum(_specenc(s))]
+    escapes = [r for r in rows if r["escape"]]
+    assert escapes and all(r["magnitude"] >= 15 for r in escapes)
+    assert any(r["magnitude"] > 15 for r in escapes)   # linbits read
+    assert any(r["value"] < 0 for r in rows)
+    assert any(r["value"] > 0 for r in rows)
+
+
+def test_spectrum_part23_is_true_bit_count():
+    """In spectrum mode the side info's part2_3_length equals the actual
+    part2+part3 bits — unlike the part2-only fixtures' synthetic budget
+    — so mp3_regions' part23_ok is 1 on every granule of the stream."""
+    for seed in range(8):
+        payload = _specenc(seed)
+        assert all(r["part23_ok"] == 1 for r in M.mp3_regions(payload))
+
+
+def test_spectrum_budget_crossing_flags_not_raises():
+    """A count1 quadruple that would cross the part3 budget is discarded
+    and flags part3_ok = 0 (decoders rewind to the boundary)."""
+    gf = {"window_switching": 0, "block_type": -1, "mixed_block_flag": -1,
+          "big_values": 0, "region0_count": 3, "region1_count": 3,
+          "table_select_0": 1, "table_select_1": 1, "table_select_2": 1,
+          "count1table_select": 1, "part2_3_length": 0}
+    w = M._BitWriter()
+    book = HU.count1_book(1)
+    HU.write_symbol(w, book, 0b1111)           # 4-bit code
+    for _ in range(4):
+        w.put(1, 1)                            # 4 sign bits -> 8 total
+    r = M._BitReader(w.to_bytes(2))
+    rows, bits, ok = M._spectrum_decode_gc(r, gf, 44100, 5, 16)
+    assert ok == 0 and rows == [] and bits == 5
+
+
+def test_spectrum_gates():
+    """LSF streams and non-Layer-III streams raise deterministically;
+    the encoder refuses spectrum mode off MPEG-1 Layer III."""
+    with pytest.raises(M.Mp3Error):
+        M.mp3_frames_encode(20, 3, 8, 0, 1, 0, False, 1,
+                            structured_spectrum=True)
+    lsf = M.mp3_frames_encode(20, 3, 8, 0, 1, 0, False, 1,
+                              structured_side=True)
+    with pytest.raises(M.Mp3Error):
+        M.mp3_spectrum(lsf)
+
+
+def test_spectrum_fits_every_fixture_frame():
+    """The 320 kbps fixture frames always hold the worst-case part2 +
+    part3 (the SPECTRUM_BV_MOD cap exists for this) — proven by
+    encoding a wide seed range without the fit guard raising."""
+    for seed in range(200):
+        _specenc(seed)

@@ -27,6 +27,12 @@ CASES = [
     # whole fixture once, unsampled
     ("multimodal_mp3_lsf_scalefactors", MM.multimodal_mp3_lsf_scalefactors,
      "WHERE doc_id % 3 = 2"),
+    # r13: the spectral-line queries sample docs (residue 0); prove the
+    # whole fixture once, unsampled
+    ("multimodal_mp3_spectrum", MM.multimodal_mp3_spectrum,
+     "WHERE doc_id % 3 = 0"),
+    ("multimodal_mp3_band_energy", MM.multimodal_mp3_band_energy,
+     "WHERE doc_id % 3 = 0"),
 ]
 
 
