@@ -2621,3 +2621,100 @@ GROUP BY d, f, g, c, band
 
 MULTIMODAL_MP3_SPECTRUM_ORACLE = _mp3_spectrum_oracle()
 MULTIMODAL_MP3_BAND_ENERGY_ORACLE = _mp3_band_energy_oracle()
+
+
+# ------------------------------------ VP9 compressed header (r13)
+
+def multimodal_vp9_compressed(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """The layer BELOW header_size_in_bytes (r12 verdict item 3): the
+    bool-coded COMPRESSED header of every keyframe, decoded with the
+    RFC-exact range decoder (multimodal/vp9bool.py) — leading marker
+    bool, the spec lossless gate (base_q_idx == 0 and zero delta_q
+    forces ONLY_4X4 with no tx_mode bits), tx_mode with its ALLOW_32X32
+    / TX_MODE_SELECT extra bit, the 12 TX_MODE_SELECT tx-prob
+    diff-update flags at prob 252, the per-tx-size coef update
+    literals, and the three skip-prob diff-update flags. The fixture
+    encoder signals "no update" everywhere (a spec-valid choice);
+    header_size is the ACTUAL encoded byte count, and every row carries
+    a decode -> re-encode -> byte-equality round-trip flag plus the
+    closed-form bool count. Prob-update payloads (subexp deltas) and
+    inter-frame compressed headers remain the documented boundary.
+
+    Scale: row-local mapInPandas, no shuffle."""
+    from .vp9frames import ivf_vp9_encode, vp9_compressed_headers
+
+    docs = _docs(spark, sf_dir, "doc_id")
+
+    cols = ["doc_id", "packet", "subframe", "lossless", "tx_mode",
+            "tx_update_flags", "coef_update_bits", "skip_update_flags",
+            "bools_read", "roundtrip_ok", "filler_sum"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                profile = d % 4
+                payload = ivf_vp9_encode(
+                    width=64 + d % 640, height=64 + d % 360,
+                    n_frames=3 + d % 10, profile=profile,
+                    bit_depth=8 if profile < 2
+                    else (10 if (d // 4) % 2 == 0 else 12),
+                    color_range=d % 2,
+                    sub_x=(d // 2) % 2, sub_y=(d // 3) % 2, seed=d,
+                    compressed_headers=True)
+                for r in vp9_compressed_headers(payload):
+                    rows.append([d] + [r[k] for k in cols[1:]])
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.mapInPandas(
+        run, schema=", ".join(f"{c} long" for c in cols))
+
+
+MULTIMODAL_VP9_COMPRESSED_ORACLE = """
+WITH p AS (
+    SELECT doc_id AS d, 3 + doc_id % 10 AS n_frames FROM documents
+),
+fr AS (
+    SELECT p.d, f.f
+    FROM p, (SELECT unnest(range(0, 13)) AS f) f
+    WHERE f.f < p.n_frames
+      AND (f.f = 0 OR (f.f + p.d) % 3 != 0)   -- keyframes only
+),
+law AS (
+    SELECT d, f,
+           (d + 3 * f) % 5 AS txm,
+           CASE WHEN (d * 5 + f * 3) % 256 = 0
+                 AND NOT ((d + f) % 4 = 0 AND (d + f) % 16 != 0)
+                 AND NOT ((d + f + 1) % 4 = 0 AND (d + f + 7) % 16 != 0)
+                 AND NOT ((d + f + 2) % 4 = 0 AND (d + f + 14) % 16 != 0)
+                THEN 1 ELSE 0 END AS lossless
+    FROM fr
+),
+law2 AS (
+    SELECT *,
+           CASE WHEN lossless = 1 THEN 0 ELSE txm END AS tx_mode,
+           CASE WHEN lossless = 1 THEN 0
+                WHEN txm = 4 THEN 3
+                WHEN txm >= 3 THEN 3 ELSE txm END AS max_tx
+    FROM law
+)
+SELECT d AS doc_id,
+       CAST(f AS BIGINT) AS packet,
+       CAST(0 AS BIGINT) AS subframe,
+       CAST(lossless AS BIGINT) AS lossless,
+       CAST(tx_mode AS BIGINT) AS tx_mode,
+       CAST(CASE WHEN lossless = 0 AND txm = 4 THEN 12 ELSE 0 END
+            AS BIGINT) AS tx_update_flags,
+       CAST(max_tx + 1 AS BIGINT) AS coef_update_bits,
+       CAST(3 AS BIGINT) AS skip_update_flags,
+       CAST(CASE WHEN lossless = 1 THEN 5
+                 ELSE 1 + 2 + CASE WHEN txm >= 3 THEN 1 ELSE 0 END
+                      + CASE WHEN txm = 4 THEN 12 ELSE 0 END
+                      + max_tx + 1 + 3 END AS BIGINT) AS bools_read,
+       CAST(1 AS BIGINT) AS roundtrip_ok,
+       CAST((16 + (d * 5 + f * 11) % 50) * ((d * 13 + f * 7) % 251)
+            AS BIGINT) AS filler_sum
+FROM law2
+"""

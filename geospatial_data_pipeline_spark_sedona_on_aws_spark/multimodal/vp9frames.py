@@ -420,7 +420,8 @@ def ivf_vp9_encode(width: int, height: int, n_frames: int, profile: int,
                    sub_y: int, seed: int, timebase=(1000, 1),
                    inter_frames: bool = False,
                    superframes: bool = False,
-                   full_headers: bool = False) -> bytes:
+                   full_headers: bool = False,
+                   compressed_headers: bool = False) -> bytes:
     """Deterministic IVF/VP9 fixture: frame 0 is a keyframe; frame f > 0
     is a show-existing frame when (f + seed) % 3 == 0, else another
     keyframe. Keyframe f carries 16 + (seed*5 + f*11) % 50 filler bytes
@@ -435,7 +436,13 @@ def ivf_vp9_encode(width: int, height: int, n_frames: int, profile: int,
     field is 1 + (seed + f) % 2 bytes wide. With ``full_headers`` (r12)
     key and inter frames carry the COMPLETE uncompressed-header tail
     (frame-context flags, loop filter, quantization, segmentation gate,
-    tile info, header_size — header_tail_law) before their filler."""
+    tile info, header_size — header_tail_law) before their filler.
+    With ``compressed_headers`` (r13, implies full_headers) every
+    KEYFRAME carries a REAL bool-coded compressed header right after
+    its uncompressed header — header_size becomes the ACTUAL encoded
+    byte count instead of header_tail_law's synthetic value, and the
+    filler law bytes follow the compressed bytes."""
+    full_headers = full_headers or compressed_headers
     frames = []
     for f in range(n_frames):
         tail = header_tail_law(seed, f, width) if full_headers else None
@@ -456,9 +463,15 @@ def ivf_vp9_encode(width: int, height: int, n_frames: int, profile: int,
                                    szbytes=1 + (seed + f) % 2)
         else:
             n_fill = 16 + (seed * 5 + f * 11) % 50
+            fill = bytes([_filler_byte(seed, f)]) * n_fill
+            if compressed_headers:
+                cb = compressed_header_encode(
+                    is_lossless(tail),
+                    compressed_header_law(seed, f)["tx_mode"])
+                tail = dict(tail, header_size=len(cb))
+                fill = cb + fill
             data = _key_frame(profile, width, height, bit_depth,
-                              color_range, sub_x, sub_y,
-                              bytes([_filler_byte(seed, f)]) * n_fill,
+                              color_range, sub_x, sub_y, fill,
                               tail_law=tail)
         frames.append((f * 1000, data))
     out = bytearray(struct.pack(
@@ -760,6 +773,182 @@ def vp9_headers_full(payload: bytes) -> list:
                 "tile_rows_log2": tail["tile_rows_log2"],
                 "header_size": tail["header_size"],
                 "header_bytes": hb,
+                "filler_sum": sum(filler),
+            })
+        f += 1
+        pos += size
+    if f != n_frames:
+        raise Vp9Error("IVF frame-count field disagrees with stream")
+    return rows
+
+
+# ------------------------------------- compressed header (bool, r13)
+#
+# The layer BELOW header_size_in_bytes (r12 verdict item 3): the first
+# partition's bool-coded COMPRESSED header. The bool coder itself is
+# RFC-exact (multimodal/vp9bool.py); the parsed field surface is the
+# keyframe/intra path of the spec's compressed header — leading marker
+# bool(128) == 0 (libvpx's reader-init check), tx_mode (2-bit literal
+# plus one extra bit distinguishing ALLOW_32X32 from TX_MODE_SELECT;
+# absent entirely for lossless frames), the TX_MODE_SELECT tx-prob
+# diff-update flags (2+4+6 = 12 bool(252) reads), the per-tx-size coef
+# update literals, and the three skip-prob diff-update flags. The
+# fixture encoder always signals "no update" — a spec-valid encoder
+# choice — so an update flag of 1 raises the documented-boundary error
+# (the subexp-coded prob deltas are the next layer down). Inter-frame
+# compressed headers (inter modes, interp filter, ref/mv probs) remain
+# a documented boundary too.
+
+#: tx_mode -> biggest tx size (spec tx_mode_to_biggest_tx_size)
+_TX_MODE_MAX_TX = (0, 1, 2, 3, 3)
+DIFF_UPDATE_PROB = 252
+
+
+def compressed_header_law(seed: int, f: int) -> dict:
+    """Deterministic per-keyframe compressed-header field law, mirrored
+    closed-form by the SQL oracle."""
+    return {"tx_mode": (seed + 3 * f) % 5}
+
+
+def is_lossless(tail: dict) -> bool:
+    """Spec lossless gate: base_q_idx == 0 and all three delta_q == 0."""
+    dq_zero = all((not flag) or mag == 0
+                  for flag, mag in zip(tail["dq_flags"], tail["dq_mags"]))
+    return tail["base_q_idx"] == 0 and dq_zero
+
+
+def compressed_header_bools(lossless: bool, tx_mode: int) -> int:
+    """Closed-form bool count of the fixture compressed header."""
+    if lossless:
+        return 1 + 0 + 1 + 3            # marker + coef(4x4) + skip
+    return (1 + 2 + (1 if tx_mode >= 3 else 0)
+            + (12 if tx_mode == 4 else 0)
+            + (_TX_MODE_MAX_TX[tx_mode] + 1) + 3)
+
+
+def compressed_header_encode(lossless: bool, tx_mode: int) -> bytes:
+    """Bool-encode one keyframe compressed header: marker 0, tx_mode
+    (skipped when lossless — the spec forces ONLY_4X4), all-zero
+    tx/coef/skip update flags."""
+    from .vp9bool import BoolEncoder
+
+    e = BoolEncoder()
+    e.write_bool(128, 0)                       # marker
+    if lossless:
+        tx_mode = 0
+    else:
+        e.write_literal(min(tx_mode, 3), 2)
+        if tx_mode >= 3:
+            e.write_bool(128, tx_mode - 3)
+    if tx_mode == 4:                           # TX_MODE_SELECT tx probs
+        for _ in range(2 * 1 + 2 * 2 + 2 * 3):
+            e.write_bool(DIFF_UPDATE_PROB, 0)
+    for _ in range(_TX_MODE_MAX_TX[tx_mode] + 1):
+        e.write_bool(128, 0)                   # coef update literal
+    for _ in range(3):
+        e.write_bool(DIFF_UPDATE_PROB, 0)      # skip prob updates
+    return e.flush()
+
+
+def compressed_header_parse(data: bytes, lossless: bool) -> dict:
+    """Decode one keyframe compressed header (no-update fixture
+    surface). Returns tx_mode, the per-section flag counts, bools_read,
+    and the decoder's consumed byte position."""
+    from .vp9bool import BoolDecoder
+
+    d = BoolDecoder(data)
+    if d.read_bool(128) != 0:
+        raise Vp9Error("compressed-header marker bit is 1")
+    if lossless:
+        tx_mode = 0
+    else:
+        tx_mode = d.read_literal(2)
+        if tx_mode == 3:
+            tx_mode += d.read_bool(128)
+    tx_flags = 0
+    if tx_mode == 4:
+        for _ in range(12):
+            if d.read_bool(DIFF_UPDATE_PROB):
+                raise Vp9Error("tx prob updates are a documented "
+                               "engine boundary (no-update fixture)")
+            tx_flags += 1
+    coef_bits = 0
+    for _ in range(_TX_MODE_MAX_TX[tx_mode] + 1):
+        if d.read_bool(128):
+            raise Vp9Error("coef prob updates are a documented "
+                           "engine boundary (no-update fixture)")
+        coef_bits += 1
+    skip_flags = 0
+    for _ in range(3):
+        if d.read_bool(DIFF_UPDATE_PROB):
+            raise Vp9Error("skip prob updates are a documented "
+                           "engine boundary (no-update fixture)")
+        skip_flags += 1
+    return {"tx_mode": tx_mode, "tx_update_flags": tx_flags,
+            "coef_update_bits": coef_bits, "skip_update_flags": skip_flags,
+            "bools_read": d.bits_read, "consumed_bytes": d._pos}
+
+
+def vp9_compressed_headers(payload: bytes) -> list:
+    """IVF walk + uncompressed-header parse + COMPRESSED-header bool
+    decode for every keyframe of a compressed_headers fixture stream:
+    one row per keyframe with the lossless gate, decoded tx_mode, the
+    no-update flag counts, total bools read, a decode -> re-encode ->
+    byte-equality round-trip flag over the declared compressed bytes,
+    and the filler checksum AFTER the compressed bytes."""
+    if len(payload) < 32:
+        raise Vp9Error("stream shorter than the IVF header")
+    magic, ver, hdr_sz, fourcc, w, h, den, num, n_frames = struct.unpack(
+        "<4sHH4sHHIII", payload[:28])
+    if magic != b"DKIF":
+        raise Vp9Error("bad IVF magic")
+    if fourcc != b"VP90":
+        raise Vp9Error(f"not a VP9 stream (fourcc {fourcc!r})")
+    if ver != 0 or hdr_sz != 32:
+        raise Vp9Error("unsupported IVF version/header size")
+    rows = []
+    pos = 32
+    f = 0
+    while pos < len(payload):
+        if pos + 12 > len(payload):
+            raise Vp9Error("truncated IVF frame header")
+        size, _pts = struct.unpack("<IQ", payload[pos:pos + 12])
+        pos += 12
+        if pos + size > len(payload):
+            raise Vp9Error("IVF frame size overruns stream")
+        chunk = payload[pos:pos + size]
+        spans, _idx = superframe_split(chunk)
+        for si, (lo, hi) in enumerate(spans):
+            r = _BitReader(chunk[lo:hi])
+            fh = _parse_frame_header_r(r)
+            if fh["kind"] != "key":
+                continue
+            tail = _parse_header_tail(r, fh["error_resilient"], w)
+            hb = r.byte_len()
+            hsz = tail["header_size"]
+            if lo + hb + hsz > hi:
+                raise Vp9Error("compressed header overruns the frame")
+            lossless = (tail["base_q_idx"] == 0 and tail["dq_ydc"] == 0
+                        and tail["dq_uvdc"] == 0 and tail["dq_uvac"] == 0)
+            ch = compressed_header_parse(chunk[lo + hb:lo + hb + hsz],
+                                         lossless)
+            filler = chunk[lo + hb + hsz:hi]
+            rows.append({
+                "packet": f, "subframe": si,
+                "lossless": 1 if lossless else 0,
+                "tx_mode": ch["tx_mode"],
+                "tx_update_flags": ch["tx_update_flags"],
+                "coef_update_bits": ch["coef_update_bits"],
+                "skip_update_flags": ch["skip_update_flags"],
+                "bools_read": ch["bools_read"],
+                # decode -> re-encode -> byte equality: the strongest
+                # audit (the declared compressed bytes are exactly the
+                # canonical encoding of the decoded fields); a raw
+                # consumed-bytes check would false-flag the decoder's
+                # legitimate renormalization lookahead past the flush
+                "roundtrip_ok": 1 if compressed_header_encode(
+                    lossless, ch["tx_mode"]) ==
+                    chunk[lo + hb:lo + hb + hsz] else 0,
                 "filler_sum": sum(filler),
             })
         f += 1

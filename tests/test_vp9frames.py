@@ -325,3 +325,114 @@ def test_header_tail_boundaries_typed():
     data = w2.tobytes() + bytes(4)
     with pytest.raises(V.Vp9Error, match="segmentation"):
         V._parse_header_tail(V._BitReader(data), 0, 320)
+
+
+# ---------------------------------------- compressed header (r13)
+
+from geospatial_data_pipeline_spark_sedona_on_aws_spark.multimodal.vp9bool import (
+    BoolDecoder, BoolEncoder)
+
+
+def test_bool_coder_roundtrip_seeded_sweep():
+    """The arbitrary-precision encoder's output decodes bit-exactly
+    under the RFC 6386 decoder across 2000 random (prob, bit) sequences
+    including length-1 streams (the flush edge the r13 session fixed:
+    the 2-byte floor must pad on the RIGHT)."""
+    import random
+    rng = random.Random(20260816)
+    for _ in range(2000):
+        n = rng.randint(1, 120)
+        seq = [(rng.randint(1, 255), rng.randint(0, 1)) for _ in range(n)]
+        e = BoolEncoder()
+        for p, b in seq:
+            e.write_bool(p, b)
+        d = BoolDecoder(e.flush())
+        assert [d.read_bool(p) for p, _ in seq] == [b for _, b in seq]
+
+
+def test_bool_literal_msb_first():
+    e = BoolEncoder()
+    e.write_literal(0b101, 3)
+    e.write_literal(517, 10)
+    d = BoolDecoder(e.flush())
+    assert d.read_literal(3) == 0b101
+    assert d.read_literal(10) == 517
+
+
+def test_compressed_header_all_tx_modes_roundtrip():
+    """Every tx_mode branch (0..4, plus lossless) encodes and decodes
+    to itself with the exact closed-form bool count."""
+    for txm in range(5):
+        data = V.compressed_header_encode(False, txm)
+        ch = V.compressed_header_parse(data, False)
+        assert ch["tx_mode"] == txm
+        assert ch["bools_read"] == V.compressed_header_bools(False, txm)
+        assert V.compressed_header_encode(False, ch["tx_mode"]) == data
+    data = V.compressed_header_encode(True, 3)     # lossless ignores txm
+    ch = V.compressed_header_parse(data, True)
+    assert ch["tx_mode"] == 0
+    assert ch["bools_read"] == 5
+
+
+def test_compressed_header_boundaries():
+    """Marker bit 1 and any update flag 1 raise the documented-boundary
+    error instead of mis-decoding."""
+    e = BoolEncoder()
+    e.write_bool(128, 1)                           # bad marker
+    with pytest.raises(V.Vp9Error, match="marker"):
+        V.compressed_header_parse(e.flush(), False)
+    e = BoolEncoder()
+    e.write_bool(128, 0)
+    e.write_literal(0, 2)                          # tx_mode = 0
+    e.write_bool(128, 1)                           # coef update = 1
+    with pytest.raises(V.Vp9Error, match="coef"):
+        V.compressed_header_parse(e.flush(), False)
+    e = BoolEncoder()
+    e.write_bool(128, 0)
+    e.write_literal(0, 2)
+    e.write_bool(128, 0)                           # coef update = 0
+    e.write_bool(V.DIFF_UPDATE_PROB, 1)            # skip update = 1
+    with pytest.raises(V.Vp9Error, match="skip"):
+        V.compressed_header_parse(e.flush(), False)
+
+
+def test_vp9_compressed_walker_matches_laws():
+    """Stream-level walk: per keyframe the decoded fields reproduce
+    compressed_header_law / the lossless gate, header_size equals the
+    canonical encoding's byte count (roundtrip_ok), and the filler law
+    holds AFTER the compressed bytes."""
+    for d in (0, 3, 7, 13, 41):
+        profile = d % 4
+        payload = V.ivf_vp9_encode(
+            width=64 + d % 640, height=64 + d % 360,
+            n_frames=3 + d % 10, profile=profile,
+            bit_depth=8 if profile < 2
+            else (10 if (d // 4) % 2 == 0 else 12),
+            color_range=d % 2, sub_x=(d // 2) % 2, sub_y=(d // 3) % 2,
+            seed=d, compressed_headers=True)
+        rows = V.vp9_compressed_headers(payload)
+        assert rows
+        for r in rows:
+            f = r["packet"]
+            tail = V.header_tail_law(d, f, 64 + d % 640)
+            ll = V.is_lossless(tail)
+            txm = V.compressed_header_law(d, f)["tx_mode"]
+            assert r["lossless"] == int(ll)
+            assert r["tx_mode"] == (0 if ll else txm)
+            assert r["bools_read"] == V.compressed_header_bools(ll, txm)
+            assert r["roundtrip_ok"] == 1
+            assert r["filler_sum"] == \
+                (16 + (d * 5 + f * 11) % 50) * V._filler_byte(d, f)
+
+
+def test_lossless_gate_spec_semantics():
+    """is_lossless: base_q_idx == 0 AND all effective delta_q zero —
+    a set flag with magnitude 0 is still lossless (delta is 0)."""
+    base = {"base_q_idx": 0, "dq_flags": (False, False, False),
+            "dq_mags": (3, 5, 7)}
+    assert V.is_lossless(base)
+    assert V.is_lossless({**base, "dq_flags": (True, False, False),
+                          "dq_mags": (0, 1, 1)})
+    assert not V.is_lossless({**base, "dq_flags": (True, False, False),
+                              "dq_mags": (2, 0, 0)})
+    assert not V.is_lossless({**base, "base_q_idx": 1})
