@@ -2718,3 +2718,79 @@ SELECT d AS doc_id,
             AS BIGINT) AS filler_sum
 FROM law2
 """
+
+
+# ----------------------------------- JPEG lossless, interleaved (r13)
+
+def multimodal_jpeg_lossless_rgb(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """INTERLEAVED multi-component lossless JPEG round trip (r13 — the
+    boundary the r12 single-component layer documented): per document a
+    three-channel non-block-structured image from a per-pixel-per-
+    channel law, encoded fully interleaved (one sample of each
+    component per MCU, T.81 H.2 with 1×1 sampling — component 1 on the
+    DC-luminance table, 2-3 on DC-chrominance, each with its own
+    prediction plane), predictor 1 + doc_id % 7, decoded back through
+    the stdlib codec. Lossless means every sum equals the source law
+    exactly — the oracle is pure closed form (per-channel sums catch a
+    channel de-interleave swap the totals would miss).
+
+    Scale: row-local mapInPandas, no shuffle."""
+    from .jpegcodec import jpeg_decode, jpeg_encode_rgb_lossless
+
+    docs = _docs(spark, sf_dir, "doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                yy, xx = np.mgrid[0:JPEG_LL_H, 0:JPEG_LL_W]
+                img = np.stack(
+                    [((d * 13 + xx * 7 + yy * 11 + c * 17
+                       + (xx * yy) % 5) % 256) for c in range(3)],
+                    axis=-1).astype(np.uint8)
+                payload = jpeg_encode_rgb_lossless(
+                    img, predictor=1 + d % 7)
+                out = jpeg_decode(bytes(payload))
+                px = np.asarray(out["pixels"], dtype=np.int64)
+                wsum = int((px * (1 + xx + 2 * yy)[:, :, None]).sum())
+                rows.append((d, out["width"], out["height"],
+                             out["channels"], int(px.sum()), wsum,
+                             int(px[:, :, 0].sum()),
+                             int(px[:, :, 1].sum()),
+                             int(px[:, :, 2].sum())))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "channels", "pixel_sum",
+                "weighted_sum", "sum_c0", "sum_c1", "sum_c2"])
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, width long, height long, channels long, "
+               "pixel_sum long, weighted_sum long, sum_c0 long, "
+               "sum_c1 long, sum_c2 long",
+    )
+
+
+MULTIMODAL_JPEG_LOSSLESS_RGB_ORACLE = f"""
+WITH px AS (
+    SELECT d.doc_id, x.x, y.y, c.c,
+           (d.doc_id * 13 + x.x * 7 + y.y * 11 + c.c * 17
+            + (x.x * y.y) % 5) % 256 AS p
+    FROM documents d,
+         (SELECT unnest(range(0, {JPEG_LL_W})) AS x) x,
+         (SELECT unnest(range(0, {JPEG_LL_H})) AS y) y,
+         (SELECT unnest(range(0, 3)) AS c) c
+)
+SELECT doc_id,
+       CAST({JPEG_LL_W} AS BIGINT) AS width,
+       CAST({JPEG_LL_H} AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS channels,
+       CAST(sum(p) AS BIGINT) AS pixel_sum,
+       CAST(sum(p * (1 + x + 2 * y)) AS BIGINT) AS weighted_sum,
+       CAST(sum(CASE WHEN c = 0 THEN p ELSE 0 END) AS BIGINT) AS sum_c0,
+       CAST(sum(CASE WHEN c = 1 THEN p ELSE 0 END) AS BIGINT) AS sum_c1,
+       CAST(sum(CASE WHEN c = 2 THEN p ELSE 0 END) AS BIGINT) AS sum_c2
+FROM px
+GROUP BY doc_id
+"""

@@ -10,8 +10,10 @@ with EOB run-length coding and successive-approximation refinement,
 interleaved DC and per-component non-interleaved AC block grids
 (T.81 annex G.2; `_ProgState`) — and r12 adds lossless (SOF3, T.81
 Annex H): all seven H.1.2.1 predictors, DC-category + EXTEND difference
-coding, modulo-2^16 reconstruction, single-component 8-bit (grayscale;
-multi-component/hi-precision lossless, hierarchical, and
+coding, modulo-2^16 reconstruction, single-component 8-bit grayscale
+and (r13) fully interleaved multi-component 1×1 scans with per-
+component prediction planes and Huffman tables (T.81 H.2; subsampled
+lossless components, hi-precision lossless, hierarchical, and
 arithmetic-coded SOFs raise a deterministic NotImplementedError).
 
 Encoder: baseline sequential, 1-component grayscale or 3-component
@@ -300,16 +302,21 @@ def _jpeg_decode(data: bytes) -> dict:
                     "(8-bit only; T.81 allows 2-16)")
             h, w = struct.unpack_from(">HH", body, 1)
             ncomp = body[5]
-            if ncomp != 1:
-                raise NotImplementedError(
-                    "lossless decode is single-component (grayscale); "
-                    "interleaved multi-component lossless is a "
-                    "documented boundary")
+            if not 1 <= ncomp <= 4:
+                raise JpegError(f"SOF3 component count {ncomp} invalid")
             if w == 0 or h == 0:
                 raise JpegError("zero image dimension")
-            cid = body[6]
-            frame = {"w": w, "h": h, "lossless": True,
-                     "comps": [{"id": cid, "h": 1, "v": 1, "tq": 0}],
+            comps = []
+            for c in range(ncomp):
+                cid, hv, _tq = body[6 + 3 * c:9 + 3 * c]
+                if hv != 0x11:
+                    # r13 boundary: interleaved lossless MCUs with
+                    # subsampling need H×V sample groups per component
+                    raise NotImplementedError(
+                        "subsampled lossless components are a "
+                        "documented boundary (1x1 only)")
+                comps.append({"id": cid, "h": 1, "v": 1, "tq": 0})
+            frame = {"w": w, "h": h, "lossless": True, "comps": comps,
                      "progressive": False}
         elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
@@ -325,16 +332,29 @@ def _jpeg_decode(data: bytes) -> dict:
                 raise JpegError("SOS before SOF")
             ns = body[0]
             if frame.get("lossless"):
-                if ns != 1:
+                if ns != len(frame["comps"]):
                     raise NotImplementedError(
-                        "lossless decode is single-component")
-                tt = body[2]
+                        "lossless scans must cover every frame "
+                        "component (non-interleaved multi-scan "
+                        "lossless is a documented boundary)")
                 sb = 1 + 2 * ns
                 predictor = body[sb]            # Ss = predictor select
                 pt = body[sb + 2] & 0xF         # Al = point transform
-                return _decode_lossless_scan(
-                    data, seg_end, frame, huff_dc[tt >> 4], predictor,
-                    pt, restart_interval)
+                trees = []
+                for c in range(ns):
+                    cs, tt = body[1 + 2 * c], body[2 + 2 * c]
+                    if cs != frame["comps"][c]["id"]:
+                        raise JpegError(
+                            "lossless scan component order must match "
+                            "the frame header")
+                    trees.append(huff_dc[tt >> 4])
+                if ns == 1:
+                    return _decode_lossless_scan(
+                        data, seg_end, frame, trees[0], predictor,
+                        pt, restart_interval)
+                return _decode_lossless_scan_mc(
+                    data, seg_end, frame, trees, predictor, pt,
+                    restart_interval)
             if not frame["progressive"]:
                 scan = []
                 for c in range(ns):
@@ -1167,6 +1187,77 @@ def _decode_lossless_scan(data, pos, frame, dtree, predictor, pt,
             out[y, x] = (pred + diff) & 0xFFFF
     pixels = (out & 0xFF).astype(np.uint8)
     return {"width": w, "height": h, "channels": 1, "pixels": pixels}
+
+
+def _decode_lossless_scan_mc(data, pos, frame, trees, predictor, pt,
+                             restart_interval) -> dict:
+    """Interleaved multi-component SOF3 scan (r13 — the boundary the
+    r12 layer documented): with every component 1×1 the MCU is one
+    sample of each component in frame order (T.81 H.2), so the
+    bitstream interleaves per PIXEL; each component keeps its own
+    prediction plane and Huffman table. Arithmetic modulo 2^16 as in
+    the single-component path."""
+    if restart_interval:
+        raise NotImplementedError(
+            "restart intervals in lossless scans are not supported")
+    w, h = frame["w"], frame["h"]
+    n = len(frame["comps"])
+    rd = _BitReader(data, pos)
+    planes = [np.zeros((h, w), dtype=np.int32) for _ in range(n)]
+    default = 1 << (8 - 1 - pt)
+    for y in range(h):
+        for x in range(w):
+            for ci in range(n):
+                t = rd.huff(trees[ci])
+                if t == 16:
+                    diff = 32768
+                else:
+                    diff = _extend(rd.bits(t), t) if t else 0
+                pred = _lossless_pred(planes[ci], x, y, predictor,
+                                      default)
+                planes[ci][y, x] = (pred + diff) & 0xFFFF
+    pixels = np.stack([(p & 0xFF).astype(np.uint8) for p in planes],
+                      axis=-1)
+    return {"width": w, "height": h, "channels": n, "pixels": pixels}
+
+
+def jpeg_encode_rgb_lossless(img: np.ndarray, predictor: int = 1,
+                             pt: int = 0) -> bytes:
+    """Lossless (SOF3) three-component JPEG of a uint8 H×W×3 image,
+    fully interleaved (one sample of each component per MCU — T.81 H.2
+    with 1×1 sampling): component 1 codes with the Annex K DC-luminance
+    table, components 2-3 with the DC-chrominance table, each on its
+    own prediction plane. Decode reproduces the input exactly."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise JpegError("rgb lossless encoder expects an HxWx3 image")
+    h, w, _ = img.shape
+    if not 1 <= predictor <= 7:
+        raise JpegError("lossless predictor must be 1-7")
+    wtr = _BitWriter()
+    default = 1 << (8 - 1 - pt)
+    tables = (_EDC_LUM, _EDC_CHR, _EDC_CHR)
+    for y in range(h):
+        for x in range(w):
+            for ci in range(3):
+                pred = _lossless_pred(img[:, :, ci], x, y, predictor,
+                                      default)
+                diff = int(img[y, x, ci]) - pred
+                t = _csize(diff)
+                code, ln = tables[ci][t]
+                wtr.put(code, ln)
+                if t:
+                    wtr.put(diff if diff >= 0 else diff + (1 << t) - 1,
+                            t)
+    wtr.flush()
+    head = (b"\xff\xd8"
+            + b"\xff\xc3" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+            + bytes([1, 0x11, 0]) + bytes([2, 0x11, 0])
+            + bytes([3, 0x11, 0])
+            + _dht_seg(0, 0, *_DC_LUM) + _dht_seg(0, 1, *_DC_CHR)
+            + b"\xff\xda" + struct.pack(">HB", 12, 3)
+            + bytes([1, 0x00, 2, 0x10, 3, 0x10, predictor, 0, pt]))
+    return head + bytes(wtr.buf) + b"\xff\xd9"
 
 
 def jpeg_encode_gray_lossless(img: np.ndarray, predictor: int = 1,

@@ -311,6 +311,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_mp3_regions": MM.multimodal_mp3_regions,  # r12: Huffman regions
     "multimodal_mp3_spectrum": MM.multimodal_mp3_spectrum,  # r13: lines
     "multimodal_vp9_compressed": MM.multimodal_vp9_compressed,  # r13
+    "multimodal_jpeg_lossless_rgb": MM.multimodal_jpeg_lossless_rgb,
     "multimodal_mp3_band_energy": MM.multimodal_mp3_band_energy,  # r13
     "multimodal_mp3_lsf_scalefactors":
         MM.multimodal_mp3_lsf_scalefactors,  # r12: LSF partitions
@@ -1022,6 +1023,8 @@ ORACLES: dict[str, str] = {
     "multimodal_mp3_regions": MM.MULTIMODAL_MP3_REGIONS_ORACLE,
     "multimodal_mp3_spectrum": MM.MULTIMODAL_MP3_SPECTRUM_ORACLE,
     "multimodal_vp9_compressed": MM.MULTIMODAL_VP9_COMPRESSED_ORACLE,
+    "multimodal_jpeg_lossless_rgb":
+        MM.MULTIMODAL_JPEG_LOSSLESS_RGB_ORACLE,
     "multimodal_mp3_band_energy": MM.MULTIMODAL_MP3_BAND_ENERGY_ORACLE,
     "multimodal_mp3_lsf_scalefactors":
         MM.MULTIMODAL_MP3_LSF_SCALEFACTORS_ORACLE,

@@ -306,3 +306,51 @@ def test_lossless_modulo_wraparound():
                     [255, 0, 255, 0]], dtype=np.uint8)
     out = J.jpeg_decode(J.jpeg_encode_gray_lossless(img, 4))
     assert np.array_equal(out["pixels"], img)
+
+
+# ----------------------------- interleaved lossless (r13)
+
+def test_rgb_lossless_roundtrip_all_predictors():
+    """H×W×3 interleaved SOF3 round trip is exact for all 7 predictors
+    and a point transform."""
+    rng = np.random.RandomState(11)
+    for pred in range(1, 8):
+        img = rng.randint(0, 256, (9, 17, 3), dtype=np.uint8)
+        out = J.jpeg_decode(J.jpeg_encode_rgb_lossless(img, pred))
+        assert out["channels"] == 3
+        assert np.array_equal(out["pixels"], img)
+    img = rng.randint(0, 256, (5, 6, 3), dtype=np.uint8)
+    out = J.jpeg_decode(J.jpeg_encode_rgb_lossless(img, 4, pt=0))
+    assert np.array_equal(out["pixels"], img)
+
+
+def test_rgb_lossless_channels_keep_own_planes():
+    """Prediction planes are per-component: a constant channel next to
+    a varying one decodes exactly (a shared plane would corrupt it)."""
+    img = np.zeros((6, 7, 3), dtype=np.uint8)
+    img[:, :, 0] = 200
+    img[:, :, 1] = np.arange(42).reshape(6, 7) * 3 % 256
+    img[:, :, 2] = 10
+    out = J.jpeg_decode(J.jpeg_encode_rgb_lossless(img, 2))
+    assert np.array_equal(out["pixels"], img)
+
+
+def test_lossless_boundaries_r13():
+    """Subsampled lossless components and partial-component scans stay
+    typed boundaries; bad scan order is a JpegError."""
+    import struct
+    good = J.jpeg_encode_rgb_lossless(
+        np.zeros((3, 3, 3), dtype=np.uint8), 1)
+    # flip component 2's sampling to 2x1 inside SOF3
+    sof = good.index(b"\xff\xc3")
+    bad = bytearray(good)
+    bad[sof + 2 + 9] = 0x21        # comp 1's hv byte (id,hv,tq triplets)
+    with pytest.raises(NotImplementedError, match="subsampled"):
+        J._jpeg_decode(bytes(bad))
+    # scan covering only one of three components
+    sos = good.index(b"\xff\xda")
+    one = (good[:sos]
+           + b"\xff\xda" + struct.pack(">HB", 8, 1)
+           + bytes([1, 0x00, 1, 0, 0]) + good[-2:])
+    with pytest.raises(NotImplementedError, match="every frame"):
+        J._jpeg_decode(one)
