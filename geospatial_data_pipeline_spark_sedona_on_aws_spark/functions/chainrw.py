@@ -219,7 +219,25 @@ def _emit_b(call: _Call) -> str:
     return f"{b_name}({', '.join(parts)})"
 
 
+#: scalar-consumer fusions (r13): (outer, inner) -> fused text function.
+#: The fused kernel computes the outer scalar WITHOUT materializing the
+#: inner geometry (ST_NPoints∘ST_Segmentize is a pure vertex-count
+#: formula; the densified ring itself is never built). Applied before
+#: the carrier rewrite; fused == composition is parity-pinned
+#: (tests/test_chainrw.py).
+_FUSE = {
+    ("st_npoints", "st_segmentize"): "ST_SegmentizeNPoints",
+    ("st_numpoints", "st_segmentize"): "ST_SegmentizeNPoints",
+}
+
+
 def _emit_call(call: _Call) -> str:
+    fuse_inner = call.args[0].sole_call() if len(call.args) == 1 else None
+    if fuse_inner is not None:
+        fused = _FUSE.get((call.name.lower(), fuse_inner.name.lower()))
+        if fused is not None:
+            inner = ",".join(_emit_expr(a) for a in fuse_inner.args)
+            return f"{fused}({inner})"
     spec = _SPEC.get(call.name.lower())
     size, compute = _chain_stats(call) if spec is not None else (0, False)
     if spec is not None and size >= 2 and compute:

@@ -875,6 +875,43 @@ def segmentize(s: pd.Series, mlen: pd.Series, scalar_fn) -> pd.Series:
     return _fallback2(f.out, f.claimed, s, mlen, row)
 
 
+def segmentize_npoints(s: pd.Series, mlen: pd.Series,
+                       scalar_fn) -> pd.Series:
+    """Fused ST_NPoints(ST_Segmentize(g, m)) (r13, VERDICT r12 item 4):
+    the vertex COUNT of the densified ring is 1 + Σ_edges max(1,
+    ceil(len/m - 1e-12)) — pure numeric, so the lane never materializes
+    the (potentially thousands-of-vertices) densified text the separate
+    segmentize + npoints stages build and re-parse. Same POLY5 gate and
+    per-edge k law as the segmentize lane; everything else falls back to
+    the scalar composition."""
+    mn = _npnum(mlen)
+    f = _Fill(s)
+    g, ccw, cw, _ = L._poly5_walks(f.b)
+    with np.errstate(invalid="ignore"):
+        m = (ccw | cw) & (mn > 0)
+    if m.any():
+        xs = [_num(g, 0), _num(g, 2), _num(g, 4), _num(g, 6)]
+        ys = [_num(g, 1), _num(g, 3), _num(g, 5), _num(g, 7)]
+        total = np.ones(len(s), dtype=np.float64)
+        for j in range(4):
+            dx = xs[(j + 1) % 4] - xs[j]
+            dy = ys[(j + 1) % 4] - ys[j]
+            ln = np.hypot(dx, dy)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                k = np.maximum(1.0, np.ceil(ln / mn - 1e-12))
+            total = total + k
+        vals = np.full(len(s), None, dtype=object)
+        idx = np.nonzero(m)[0]
+        for i in idx:
+            vals[i] = int(total[i])
+        f.put(m, vals)
+
+    def row(g_, v):
+        return None if g_ is None or pd.isna(v) else scalar_fn(g_, float(v))
+
+    return _fallback2(f.out, f.claimed, s, mlen, row)
+
+
 def collection_extract(s: pd.Series, d: pd.Series, scalar_fn) -> pd.Series:
     dn = _npnum(d)
     f = _Fill(s)

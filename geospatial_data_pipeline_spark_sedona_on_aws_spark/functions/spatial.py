@@ -4159,6 +4159,19 @@ def st_linesubstring(s: pd.Series, f1: pd.Series,
 def st_segmentize(s: pd.Series, m: pd.Series) -> pd.Series:
     return LO.segmentize(s, m, _segmentize)
 
+def _segmentize_npoints(s: str, m: float) -> int | None:
+    """Scalar fallback of the fused counter: the literal composition."""
+    seg = _segmentize(s, m)
+    return None if seg is None else _npoints(seg)
+
+@pandas_udf(LongType())
+def st_segmentize_npoints(s: pd.Series, m: pd.Series) -> pd.Series:
+    """Fused ST_NPoints(ST_Segmentize(g, m)) — emitted by the chain
+    rewriter (functions/chainrw.py _FUSE) so the text spelling never
+    materializes the densified ring; also directly callable."""
+    return LO.segmentize_npoints(s, m, _segmentize_npoints) \
+        .astype("Int64")
+
 @pandas_udf(StringType())
 def st_collectionextract(s: pd.Series, d: pd.Series) -> pd.Series:
     return LO.collection_extract(s, d, _collection_extract)
@@ -4572,6 +4585,7 @@ _REGISTRY = {
     "ST_GeometricMedian": st_geometricmedian,
     "ST_LineSubstring": st_linesubstring,
     "ST_Segmentize": st_segmentize,
+    "ST_SegmentizeNPoints": st_segmentize_npoints,   # fused (chainrw)
     "ST_CollectionExtract": st_collectionextract,
     "ST_DelaunayTriangles": st_delaunaytriangles,
     "ST_VoronoiPolygons": st_voronoipolygons,

@@ -644,7 +644,15 @@ def st_shape_edit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     Weiszfeld start IS the fixpoint), ST_LineSubstring (quarter cuts of
     the bottom edge), ST_Segmentize (unit step: 2(w+h)+1 vertices),
     ST_CollectionExtract (member count), ST_Simplify (sub-tolerance bump
-    collapses to the 2-point segment)."""
+    collapses to the 2-point segment).
+
+    r13: the batch goes through the chain rewriter (chainrw.select_st),
+    whose _FUSE rule turns the seg_np spelling into the fused
+    ST_SegmentizeNPoints counter — the densified ring (up to thousands
+    of vertices per row at sf1.0) is never materialized; the r13
+    attribution run measured seg_np at 7.3 s of the 13.4 s sf1.0 batch
+    before the fusion (SCALING.md)."""
+    from ..functions import chainrw
     from ..functions.spatial import register_spatial_functions
 
     register_spatial_functions(spark)
@@ -663,7 +671,8 @@ def st_shape_edit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
           " x2, ' ', y2, '))')")
     corners = ("concat('MULTIPOINT (', x1, ' ', y1, ', ', x2, ' ', y1,"
                " ', ', x2, ' ', y2, ', ', x1, ' ', y2, ')')")
-    return lu.selectExpr(
+    return chainrw.select_st(
+        lu,
         "property_id",
         f"ST_IsClosed({ring}) AS ring_closed",
         f"ST_IsRing({ring}) AS ring_is_ring",

@@ -454,3 +454,58 @@ def test_nonareal_fixed_mask_is_identity(seed):
     got_mv = S.st_makevalid.func(ser)
     exp_mv = [None if w is None else S._make_valid(w) for w in rows]
     assert got_mv.tolist() == exp_mv
+
+
+# ------------------------------------------------ fused kernels (r13)
+
+def test_fuse_npoints_segmentize_rewrite():
+    """The _FUSE rule turns ST_NPoints(ST_Segmentize(g, m)) into the
+    fused counter — and leaves non-matching consumers alone."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions import chainrw as C
+
+    assert C.rewrite("ST_NPoints(ST_Segmentize(g, 1D))") == \
+        "ST_SegmentizeNPoints(g, 1D)"
+    assert C.rewrite("ST_NumPoints(ST_Segmentize(g, 2.5))") == \
+        "ST_SegmentizeNPoints(g, 2.5)"
+    # inner args that are themselves expressions survive verbatim
+    assert C.rewrite("ST_NPoints(ST_Segmentize(wkt, d + 1))") == \
+        "ST_SegmentizeNPoints(wkt, d + 1)"
+    # non-fusable consumers keep the plain spelling
+    assert "ST_SegmentizeNPoints" not in C.rewrite(
+        "ST_Length(ST_Segmentize(g, 1D))")
+    # the A/B kill switch disables the fusion too
+    import os
+    os.environ["SPARK_GRAFT_NO_CHAINRW"] = "1"
+    try:
+        assert C.rewrite("ST_NPoints(ST_Segmentize(g, 1D))") == \
+            "ST_NPoints(ST_Segmentize(g, 1D))"
+    finally:
+        del os.environ["SPARK_GRAFT_NO_CHAINRW"]
+
+
+def test_fused_segmentize_npoints_parity(spark):
+    """Fused == literal composition over mixed inputs: lane-eligible
+    int rects, float rects, an L-shape (scalar fallback), a linestring,
+    NULL geometry, and a non-positive max_len (both sides NULL)."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions.spatial import (
+        register_spatial_functions)
+
+    register_spatial_functions(spark)
+    rows = [
+        ("POLYGON ((0 0, 9 0, 9 4, 0 4, 0 0))", 1.0),
+        ("POLYGON ((0 0, 9 0, 9 4, 0 4, 0 0))", 2.5),
+        ("POLYGON ((0.5 0.5, 7.25 0.5, 7.25 3.5, 0.5 3.5, 0.5 0.5))",
+         1.0),
+        ("POLYGON ((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))", 1.0),
+        ("LINESTRING (0 0, 10 0)", 3.0),
+        (None, 1.0),
+        ("POLYGON ((0 0, 9 0, 9 4, 0 4, 0 0))", 0.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, m double")
+    both = df.selectExpr(
+        "ST_SegmentizeNPoints(g, m) AS fused",
+        "ST_NPoints(ST_Segmentize(g, m)) AS composed").collect()
+    for r in both:
+        assert r.fused == r.composed, r
+    # spot-check the closed form on the unit-step rect: 2(w+h)+1
+    assert both[0].fused == 2 * (9 + 4) + 1
