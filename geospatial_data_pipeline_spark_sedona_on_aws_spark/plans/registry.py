@@ -800,7 +800,79 @@ _R12_WINDOW = [
     "st_geojson_roundtrip",
 ]
 
-_WINDOW = _R12_WINDOW
+_R13_WINDOW = [
+    # --- r13 blast radius (24): the six NEW queries (bounded near-dup
+    # pair + SemDeDup representative edges, MP3 spectral lines + band
+    # energy, VP9 compressed header, interleaved RGB lossless JPEG);
+    # embedding_cluster_dedup rewired onto the rep edge stream; the LSH
+    # family sharing the chunked Arrow cogroup scorer; every MP3 query
+    # riding the refactored side-info/scalefactor writers and the
+    # libmad mixed-block region default; the VP9 siblings sharing the
+    # encoder's compressed_headers seam; the r12 lossless JPEG whose
+    # SOF3/SOS gates were restructured for multi-component; the
+    # shape-edit batch now routed through the chain rewriter's new
+    # _FUSE rule plus the two chainrw consumers and the name-parity
+    # surface that grew ST_SegmentizeNPoints; dedup_clusters as the
+    # standing connected-components seat; the flagship and the
+    # standing q12 seat ---
+    "embedding_near_dup_topm",      # NEW: bounded per-doc top-m
+    "embedding_rep_near_dup",       # NEW: linear representative edges
+    "embedding_cluster_dedup",      # rewired to rep edge stream
+    "embedding_cosine_near_dup",    # unbounded parity spelling
+    "embedding_lsh_ann",            # chunked cogroup scorer
+    "ann_recall_at_k",              # lsh arm seat
+    "multimodal_mp3_spectrum",      # NEW: spectral Huffman lines
+    "multimodal_mp3_band_energy",   # NEW: per-band energy rollup
+    "multimodal_mp3_regions",       # libmad mixed-block default
+    "multimodal_mp3_scalefactors",  # refactored per-gc writer
+    "multimodal_mp3_lsf_scalefactors",  # shared encoder path
+    "multimodal_mp3_granules",      # side_info_encode refactor
+    "multimodal_vp9_compressed",    # NEW: bool-coded header
+    "multimodal_vp9_headers_full",  # encoder compressed seam
+    "multimodal_vp9_superframes",   # shared superframe_split
+    "multimodal_jpeg_lossless_rgb", # NEW: interleaved lossless
+    "multimodal_jpeg_lossless",     # SOF3/SOS gate restructure
+    "st_shape_edit_ops",            # _FUSE + select_st routing
+    "st_name_parity_ops",           # registry grew SegmentizeNPoints
+    "crop_analytics_full_chain",    # chainrw _emit_call touched
+    "crop_analytics_full",          # flagship, standing seat
+    "q12_late_priority",            # r2's one red row: stays visible
+    "dedup_clusters",               # connected_components seat
+    "st_union_aggr_salted",         # chainrw sql_st door
+    # --- stalest tier-2 cohort (26): every row last driver-verified in
+    # r5 (the events/variant/knn-fallback/stream cohort) or r6 (the
+    # crop roundtrips, events windows, geohash pair, relate/linear-ref
+    # rows), computed as argmin over CORRECTNESS_r01..r12 green rows;
+    # every displaced row stays in the committed full oracle run ---
+    "events_json_typed",
+    "events_variant_extract",
+    "multimodal_frame_sample",
+    "observed_load_metrics",
+    "q22_dormant_customers",
+    "running_distinct_users",
+    "salted_join_revenue",
+    "spatial_knn_join_grid",
+    "spatial_knn_join_lambda",
+    "stream_static_enrich",
+    "asof_join",
+    "crop_analytics_csv_roundtrip",
+    "crop_analytics_jsonl_roundtrip",
+    "crop_analytics_orc_roundtrip",
+    "events_session_window",
+    "events_windowed",
+    "multimodal_y4m_decode",
+    "q18_large_orders",
+    "q3_shipping_priority",
+    "scd2_history",
+    "sessionize_events_stateful",
+    "snapshot_diff",
+    "st_geohash_agg",
+    "st_geohash_decode",
+    "st_intersects_join",
+    "st_line_clip_lshape",
+]
+
+_WINDOW = _R13_WINDOW
 # a duplicated name would silently dedupe in the dict rebuild below,
 # shrinking the driver's tier-1 gate without any signal (ADVICE r6)
 assert len(_WINDOW) == len(set(_WINDOW)), "duplicate name in gate window"
