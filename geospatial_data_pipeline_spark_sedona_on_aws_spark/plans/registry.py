@@ -867,9 +867,13 @@ _R13_WINDOW = [
     "sessionize_events_stateful",
     "snapshot_diff",
     "st_geohash_agg",
-    "st_geohash_decode",
-    "st_intersects_join",
-    "st_line_clip_lshape",
+    # one-seat-per-family floor (test_gate_window_covers_every_family):
+    # the stalest text / sketches / pydatasource rows take the last
+    # three seats (displacing three r6-verified spatial rows — the
+    # family already holds many seats above)
+    "repetition_scores",
+    "bloom_pruned_orders",
+    "pyds_sensor_hourly",
 ]
 
 _WINDOW = _R13_WINDOW
