@@ -272,3 +272,23 @@ def test_cluster_dedup_consumes_rep_edges(spark):
     for c, vs in members.items():
         assert c == min(vs)
     assert (out["is_canonical"] == (out["vec_id"] == out["cluster_id"])).all()
+
+
+def test_near_dup_topm_big_and_small_paths_agree(spark):
+    """The per-bucket Arrow top-m kernel (corpus arm above
+    LSH_ARROW_MIN_N) must produce EXACTLY the JVM join+window path's
+    rows — same bitwise cosines, same ranks — since both spell the
+    identical per-dim left fold and the (cos desc, id asc) order."""
+    import unittest.mock as mock
+
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.operators import similarity as SIM
+
+    small = SIM.near_dup_topm(spark, SF_SMOKE).toPandas()
+    with mock.patch.object(SIM, "LSH_ARROW_MIN_N", 0):
+        big = SIM.near_dup_topm(spark, SF_SMOKE).toPandas()
+    a = small.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    b = big.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert a["neighbor_id"].tolist() == b["neighbor_id"].tolist()
+    assert a["rank"].tolist() == b["rank"].tolist()
+    assert a["cos_sim"].tolist() == b["cos_sim"].tolist()  # bitwise
