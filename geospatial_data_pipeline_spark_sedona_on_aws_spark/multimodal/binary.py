@@ -2646,9 +2646,13 @@ def multimodal_vp9_compressed(spark: SparkSession,
 
     docs = _docs(spark, sf_dir, "doc_id")
 
-    cols = ["doc_id", "packet", "subframe", "lossless", "tx_mode",
-            "tx_update_flags", "coef_update_bits", "skip_update_flags",
-            "bools_read", "roundtrip_ok", "filler_sum"]
+    cols = ["doc_id", "packet", "subframe", "lossless",
+            "lf_delta_enabled", "lf_delta_update", "ref_update_mask",
+            "ref_delta_0", "ref_delta_1", "ref_delta_2", "ref_delta_3",
+            "mode_update_mask", "mode_delta_0", "mode_delta_1",
+            "tx_mode", "tx_update_flags", "coef_update_bits",
+            "skip_update_flags", "bools_read", "roundtrip_ok",
+            "filler_sum"]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2704,6 +2708,50 @@ SELECT d AS doc_id,
        CAST(f AS BIGINT) AS packet,
        CAST(0 AS BIGINT) AS subframe,
        CAST(lossless AS BIGINT) AS lossless,
+       CAST((d + f) % 2 AS BIGINT) AS lf_delta_enabled,
+       CAST(CASE WHEN (d + f) % 2 = 0 THEN -1
+                 ELSE (d * 3 + f * 2 + 1) % 2 END AS BIGINT)
+           AS lf_delta_update,
+       CAST(CASE WHEN (d + f) % 2 = 1 AND (d * 3 + f * 2 + 1) % 2 = 1 THEN
+            (CASE WHEN (d + f) % 3 = 0 THEN 1 ELSE 0 END)
+            + 2 * (CASE WHEN (d + f + 1) % 3 = 0 THEN 1 ELSE 0 END)
+            + 4 * (CASE WHEN (d + f + 2) % 3 = 0 THEN 1 ELSE 0 END)
+            + 8 * (CASE WHEN (d + f + 3) % 3 = 0 THEN 1 ELSE 0 END)
+            ELSE 0 END AS BIGINT) AS ref_update_mask,
+       CAST(CASE WHEN (d + f) % 2 = 1 AND (d * 3 + f * 2 + 1) % 2 = 1
+                  AND (d + f) % 3 = 0
+            THEN (CASE WHEN (d + f) % 2 = 1 THEN -1 ELSE 1 END)
+                 * ((d * 3 + f) % 64) ELSE 0 END AS BIGINT)
+           AS ref_delta_0,
+       CAST(CASE WHEN (d + f) % 2 = 1 AND (d * 3 + f * 2 + 1) % 2 = 1
+                  AND (d + f + 1) % 3 = 0
+            THEN (CASE WHEN (d + f + 1) % 2 = 1 THEN -1 ELSE 1 END)
+                 * ((d * 3 + f + 5) % 64) ELSE 0 END AS BIGINT)
+           AS ref_delta_1,
+       CAST(CASE WHEN (d + f) % 2 = 1 AND (d * 3 + f * 2 + 1) % 2 = 1
+                  AND (d + f + 2) % 3 = 0
+            THEN (CASE WHEN (d + f + 2) % 2 = 1 THEN -1 ELSE 1 END)
+                 * ((d * 3 + f + 10) % 64) ELSE 0 END AS BIGINT)
+           AS ref_delta_2,
+       CAST(CASE WHEN (d + f) % 2 = 1 AND (d * 3 + f * 2 + 1) % 2 = 1
+                  AND (d + f + 3) % 3 = 0
+            THEN (CASE WHEN (d + f + 3) % 2 = 1 THEN -1 ELSE 1 END)
+                 * ((d * 3 + f + 15) % 64) ELSE 0 END AS BIGINT)
+           AS ref_delta_3,
+       CAST(CASE WHEN (d + f) % 2 = 1 AND (d * 3 + f * 2 + 1) % 2 = 1 THEN
+            (CASE WHEN d % 2 = 0 THEN 1 ELSE 0 END)
+            + 2 * (CASE WHEN (d + 1) % 2 = 0 THEN 1 ELSE 0 END)
+            ELSE 0 END AS BIGINT) AS mode_update_mask,
+       CAST(CASE WHEN (d + f) % 2 = 1 AND (d * 3 + f * 2 + 1) % 2 = 1
+                  AND d % 2 = 0
+            THEN (CASE WHEN f % 2 = 1 THEN -1 ELSE 1 END)
+                 * ((d + f * 3) % 64) ELSE 0 END AS BIGINT)
+           AS mode_delta_0,
+       CAST(CASE WHEN (d + f) % 2 = 1 AND (d * 3 + f * 2 + 1) % 2 = 1
+                  AND (d + 1) % 2 = 0
+            THEN (CASE WHEN (f + 1) % 2 = 1 THEN -1 ELSE 1 END)
+                 * ((d + f * 3 + 7) % 64) ELSE 0 END AS BIGINT)
+           AS mode_delta_1,
        CAST(tx_mode AS BIGINT) AS tx_mode,
        CAST(CASE WHEN lossless = 0 AND txm = 4 THEN 12 ELSE 0 END
             AS BIGINT) AS tx_update_flags,

@@ -468,7 +468,9 @@ def ivf_vp9_encode(width: int, height: int, n_frames: int, profile: int,
                 cb = compressed_header_encode(
                     is_lossless(tail),
                     compressed_header_law(seed, f)["tx_mode"])
-                tail = dict(tail, header_size=len(cb))
+                # deep_lf: these streams also write the REAL loop-filter
+                # delta-update branch (r13 — the r12 parser's boundary)
+                tail = dict(tail, header_size=len(cb), deep_lf=1)
                 fill = cb + fill
             data = _key_frame(profile, width, height, bit_depth,
                               color_range, sub_x, sub_y, fill,
@@ -622,6 +624,20 @@ def header_tail_law(seed: int, f: int, width: int) -> dict:
         "lf_level": (seed * 7 + f * 5) % 64,
         "lf_sharpness": (seed + f * 3) % 8,
         "lf_delta_enabled": (seed + f) % 2,
+        # deep_lf fields (r13): written only when the law dict carries
+        # deep_lf = 1 (the compressed_headers fixture) — the r10-r12
+        # streams keep their update = 0 byte layout untouched
+        "lf_delta_update": (seed * 3 + f * 2 + 1) % 2,
+        "ref_delta_flags": tuple((seed + f + i) % 3 == 0
+                                 for i in range(4)),
+        "ref_delta_vals": tuple(
+            (-1 if (seed + f + i) % 2 else 1)
+            * ((seed * 3 + f + i * 5) % 64) for i in range(4)),
+        "mode_delta_flags": tuple((seed + 2 * f + i) % 2 == 0
+                                  for i in range(2)),
+        "mode_delta_vals": tuple(
+            (-1 if (f + i) % 2 else 1)
+            * ((seed + f * 3 + i * 7) % 64) for i in range(2)),
         "base_q_idx": (seed * 5 + f * 3) % 256,
         "dq_flags": tuple((seed + f + i) % 4 == 0 for i in range(3)),
         "dq_mags": tuple((seed + f + i * 7) % 16 for i in range(3)),
@@ -649,7 +665,24 @@ def _write_header_tail(w: "_BitWriter", law: dict, error_resilient: int,
     w.put(law["lf_sharpness"], 3)
     w.put(law["lf_delta_enabled"], 1)
     if law["lf_delta_enabled"]:
-        w.put(0, 1)                        # loop_filter_delta_update = 0
+        if law.get("deep_lf"):
+            upd = law["lf_delta_update"]
+            w.put(upd, 1)
+            if upd:
+                for flag, val in zip(law["ref_delta_flags"],
+                                     law["ref_delta_vals"]):
+                    w.put(1 if flag else 0, 1)
+                    if flag:               # su(6): magnitude then sign
+                        w.put(abs(val), 6)
+                        w.put(1 if val < 0 else 0, 1)
+                for flag, val in zip(law["mode_delta_flags"],
+                                     law["mode_delta_vals"]):
+                    w.put(1 if flag else 0, 1)
+                    if flag:
+                        w.put(abs(val), 6)
+                        w.put(1 if val < 0 else 0, 1)
+        else:
+            w.put(0, 1)                    # loop_filter_delta_update = 0
     w.put(law["base_q_idx"], 8)
     for flag, mag, sign in zip(law["dq_flags"], law["dq_mags"],
                                law["dq_signs"]):
@@ -681,9 +714,25 @@ def _parse_header_tail(r: "_BitReader", error_resilient: int,
     out["lf_level"] = r.get(6)
     out["lf_sharpness"] = r.get(3)
     out["lf_delta_enabled"] = r.get(1)
-    if out["lf_delta_enabled"] and r.get(1):
-        raise Vp9Error("loop-filter delta updates are not supported "
-                       "(documented boundary)")
+    out["lf_delta_update"] = -1
+    out["ref_update_mask"] = 0
+    out["mode_update_mask"] = 0
+    out["ref_deltas"] = [0, 0, 0, 0]
+    out["mode_deltas"] = [0, 0]
+    if out["lf_delta_enabled"]:
+        upd = r.get(1)
+        out["lf_delta_update"] = upd
+        if upd:                            # r13: real su(6) delta parse
+            for i in range(4):
+                if r.get(1):
+                    out["ref_update_mask"] |= 1 << i
+                    mag = r.get(6)
+                    out["ref_deltas"][i] = -mag if r.get(1) else mag
+            for i in range(2):
+                if r.get(1):
+                    out["mode_update_mask"] |= 1 << i
+                    mag = r.get(6)
+                    out["mode_deltas"][i] = -mag if r.get(1) else mag
     out["base_q_idx"] = r.get(8)
     for i, name in enumerate(("dq_ydc", "dq_uvdc", "dq_uvac")):
         if r.get(1):
@@ -936,6 +985,16 @@ def vp9_compressed_headers(payload: bytes) -> list:
             rows.append({
                 "packet": f, "subframe": si,
                 "lossless": 1 if lossless else 0,
+                "lf_delta_enabled": tail["lf_delta_enabled"],
+                "lf_delta_update": tail["lf_delta_update"],
+                "ref_update_mask": tail["ref_update_mask"],
+                "ref_delta_0": tail["ref_deltas"][0],
+                "ref_delta_1": tail["ref_deltas"][1],
+                "ref_delta_2": tail["ref_deltas"][2],
+                "ref_delta_3": tail["ref_deltas"][3],
+                "mode_update_mask": tail["mode_update_mask"],
+                "mode_delta_0": tail["mode_deltas"][0],
+                "mode_delta_1": tail["mode_deltas"][1],
                 "tx_mode": ch["tx_mode"],
                 "tx_update_flags": ch["tx_update_flags"],
                 "coef_update_bits": ch["coef_update_bits"],

@@ -436,3 +436,47 @@ def test_lossless_gate_spec_semantics():
     assert not V.is_lossless({**base, "dq_flags": (True, False, False),
                               "dq_mags": (2, 0, 0)})
     assert not V.is_lossless({**base, "base_q_idx": 1})
+
+
+def test_lf_ref_delta_update_parse():
+    """The loop-filter delta-update branch (r13 — the r12 parser raised
+    here) round-trips su(6) ref/mode deltas: flags, magnitudes, and
+    signs all reproduce header_tail_law on deep_lf streams, legacy
+    update=0 streams keep parsing, and the fixture genuinely exercises
+    the updated branch."""
+    deep = 0
+    for d in (2, 4, 7, 10, 13):
+        payload = V.ivf_vp9_encode(
+            width=64 + d % 640, height=64 + d % 360, n_frames=3 + d % 10,
+            profile=d % 4,
+            bit_depth=8 if d % 4 < 2 else 10,
+            color_range=d % 2, sub_x=0, sub_y=0, seed=d,
+            compressed_headers=True)
+        for r in V.vp9_compressed_headers(payload):
+            f = r["packet"]
+            law = V.header_tail_law(d, f, 64 + d % 640)
+            assert r["lf_delta_enabled"] == law["lf_delta_enabled"]
+            if not r["lf_delta_enabled"]:
+                assert r["lf_delta_update"] == -1
+                assert r["ref_update_mask"] == 0
+                continue
+            assert r["lf_delta_update"] == law["lf_delta_update"]
+            if r["lf_delta_update"]:
+                deep += 1
+                for i in range(4):
+                    exp = (law["ref_delta_vals"][i]
+                           if law["ref_delta_flags"][i] else 0)
+                    assert r[f"ref_delta_{i}"] == exp
+                    assert (r["ref_update_mask"] >> i & 1) == \
+                        int(law["ref_delta_flags"][i])
+                for i in range(2):
+                    exp = (law["mode_delta_vals"][i]
+                           if law["mode_delta_flags"][i] else 0)
+                    assert r[f"mode_delta_{i}"] == exp
+    assert deep > 0, "fixture never took the delta-update branch"
+    # legacy (update = 0) streams still parse unchanged
+    legacy = V.ivf_vp9_encode(width=320, height=180, n_frames=5,
+                              profile=0, bit_depth=8, color_range=0,
+                              sub_x=1, sub_y=1, seed=3,
+                              inter_frames=True, full_headers=True)
+    assert V.vp9_headers_full(legacy)
