@@ -135,11 +135,31 @@ def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the identical ordered pair set either way.
 DBSCAN_HALF_MIN_N = 500_000
 
+#: size gate for the per-point broadcast joins in spatial_dbscan (r13
+#: optimization round); defaults to outlier.BROADCAST_MAX_ROWS (2M slim
+#: rows ≈ 50 MB built) — the LOF gate this mirrors.
+DBSCAN_BROADCAST_CONF = "spark.geoengine.dbscan.broadcastMaxN"
+
 
 def _neighbor_pairs(pts: DataFrame,
                     _tasks_probe: list | None = None,
                     n_points: int = 0) -> DataFrame:
-    """(a, b) ordered pairs with 0 < dist² <= EPS², via eps-grid cells,
+    """r13 (optimization round) adds a THIRD spelling ahead of the two
+    spine spellings below: when the point count is known and fits the
+    broadcast gate (`spark.geoengine.dbscan.broadcastMaxN`, default 2M
+    slim rows), the cell equi-join runs as a BROADCAST hash join of the
+    un-exploded point side into the 9×-exploded probe side — no
+    collect_list, no per-cell arrays, no checkpoint, and the probe side
+    never shuffles at all (guide §2.4: a broadcast join replaces the
+    shuffle of the large side; §2.5: key skew cannot exist because
+    nothing is hash-partitioned by cell). Candidate pairs stream through
+    the codegen'd distance filter. The emitted ordered pair set is
+    identical to both spine spellings (parity-pinned in
+    tests/test_dbscan.py); above the gate the skew-proof block spine
+    below is unchanged — that is the 100 TB shape.
+
+    Spine spellings (pre-r13): (a, b) ordered pairs with
+    0 < dist² <= EPS², via eps-grid cells,
     met through `spatial_join._cell_block_join`'s block spine (r10,
     closing the r9 hot-cell exposure): a pathologically dense eps-cell
     fans out into CELL_BLOCK-slice block-pair tasks instead of landing
@@ -169,6 +189,35 @@ def _neighbor_pairs(pts: DataFrame,
         F.col("cy").alias("__cy"))
     d2 = ((F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
           + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by")))
+    from .outlier import BROADCAST_MAX_ROWS
+
+    bc_limit = int(pts.sparkSession.conf.get(
+        DBSCAN_BROADCAST_CONF, str(BROADCAST_MAX_ROWS)))
+    if 0 < n_points <= bc_limit:
+        # the broadcast join is narrow end-to-end, so without a shuffle
+        # the 9×-exploded probe + distance filter would inherit the
+        # parquet scan's split count (3 tasks at 1M points — measured
+        # 16.1 s vs the spine's 14.8 s at sf1.0). One round-robin
+        # exchange of the SLIM un-exploded rows (guide §2.3: shuffle
+        # before the explode, 9× fewer bytes) restores full parallelism;
+        # defaultParallelism keeps it core-count-adaptive rather than a
+        # local[32] constant.
+        par = pts.sparkSession.sparkContext.defaultParallelism
+        b = (
+            cells.repartition(par).select(
+                F.col("id").alias("b"), F.col("x").alias("bx"),
+                F.col("y").alias("by"),
+                F.explode(F.expr("sequence(cx - 1, cx + 1)"))
+                .alias("__cx"), "cy")
+            .select("b", "bx", "by", "__cx",
+                    F.explode(F.expr("sequence(cy - 1, cy + 1)"))
+                    .alias("__cy"))
+        )
+        return (
+            b.join(F.broadcast(a), ["__cx", "__cy"])
+            .where((F.col("a") != F.col("b")) & (d2 <= EPS * EPS))
+            .select("a", "b")
+        )
     if n_points < DBSCAN_HALF_MIN_N:
         b = (
             cells.select(
@@ -224,9 +273,23 @@ def spatial_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # degree count, the core-core edge filter, AND the border join —
     # truncate lineage once instead of replaying the count aggregate /
     # grid join per consumer (the triangle_count multi-consumer pattern)
+    n_points = events_count(spark, sf_dir)
+    # r13 (optimization round): every per-point frame below (deg, core,
+    # labels, border) has ≤ n_points slim rows, but they sit behind
+    # checkpointed RDDs with no stats, so Spark was joining them as
+    # SortMergeJoins — shuffling the (much larger) nbr pair frame and
+    # the point table per join. Under the LOF-style size gate they
+    # broadcast instead (guide §3.1); beyond it the shuffle joins stay
+    # (the 100 TB shape). Same gate family as
+    # spark.geoengine.lof.broadcastMaxRows.
+    from .outlier import BROADCAST_MAX_ROWS
+
+    limit = int(spark.conf.get(DBSCAN_BROADCAST_CONF,
+                               str(BROADCAST_MAX_ROWS)))
+    hint = F.broadcast if n_points <= limit else (lambda df: df)
     pts = _points(spark, sf_dir).localCheckpoint(eager=False)
     nbr = _neighbor_pairs(
-        pts, n_points=events_count(spark, sf_dir)
+        pts, n_points=n_points
     ).localCheckpoint(eager=False)
     deg = nbr.groupBy("a").agg(F.count("*").alias("nn")) \
              .localCheckpoint(eager=False)  # core filter + final readback
@@ -235,30 +298,36 @@ def spatial_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     core_a = core.select(F.col("id").alias("a"))
     core_b = core.select(F.col("id").alias("b"))
     core_edges = (
-        nbr.join(core_a, "a", "left_semi")
-        .join(core_b, "b", "left_semi")
-        .where(F.col("a") < F.col("b"))
+        nbr.join(hint(core_a), "a", "left_semi")
+        .join(hint(core_b), "b", "left_semi")
     )
     # grid pairs are unique by construction (each candidate pair appears
-    # in exactly one owner/probe cell combination) and a < b keeps one
-    # direction — skip the CC symmetrize-distinct shuffle
-    comp = connected_components(core_edges, "a", "b", unique_edges=True)
+    # in exactly one owner/probe cell combination) and BOTH directions of
+    # every pair are present (the probe is symmetric) — so CC can skip
+    # both the symmetrize union and the distinct (r13: symmetric=True
+    # replaces the old `a < b` one-direction filter + re-union, saving a
+    # second scan of nbr); the vertex count is bounded by the point
+    # count, which gates CC's internal label broadcasts without a count
+    # job
+    comp = connected_components(core_edges, "a", "b", unique_edges=True,
+                                symmetric=True, n_nodes_bound=n_points)
     # isolated cores (no core neighbor) are their own cluster
     labels = (
-        core.join(comp, core["id"] == comp["node"], "left")
+        core.join(hint(comp), core["id"] == comp["node"], "left")
         .select("id", F.coalesce("comp", "id").alias("comp"))
         .localCheckpoint(eager=False)  # consumed by core AND border joins
     )
     border = (
-        nbr.join(labels.withColumnRenamed("id", "b"), "b")
-        .join(core_a, "a", "left_anti")
+        nbr.join(hint(labels.withColumnRenamed("id", "b")), "b")
+        .join(hint(core_a), "a", "left_anti")
         .groupBy("a").agg(F.min("comp").alias("bcomp"))
     )
     return (
-        pts.join(deg.select(F.col("a").alias("id"),
-                            F.col("nn").alias("n_neighbors")), "id", "left")
-        .join(labels.withColumnRenamed("comp", "ccomp"), "id", "left")
-        .join(border.withColumnRenamed("a", "id"), "id", "left")
+        pts.join(hint(deg.select(F.col("a").alias("id"),
+                                 F.col("nn").alias("n_neighbors"))),
+                 "id", "left")
+        .join(hint(labels.withColumnRenamed("comp", "ccomp")), "id", "left")
+        .join(hint(border.withColumnRenamed("a", "id")), "id", "left")
         .select(
             "id", "x", "y",
             F.coalesce("n_neighbors", F.lit(0)).alias("n_neighbors"),

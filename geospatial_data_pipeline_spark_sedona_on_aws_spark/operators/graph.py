@@ -36,9 +36,23 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as DD
 
+#: label-side broadcast budget for connected_components' contraction
+#: joins (r13 optimization round): the l0 label frame has one slim
+#: (node, lab) row per vertex; under this row count it broadcasts into
+#: the two contraction joins and the pullback join, so the (much
+#: larger) symmetrized edge frame is never shuffled by the contraction.
+#: 2M rows of two longs ≈ 50 MB built — the same executor budget as
+#: LOF's BROADCAST_MAX_ROWS. Beyond it the joins stay shuffle joins on
+#: the edge frame (the 100 TB shape, unchanged).
+CC_BROADCAST_MAX_LABEL_ROWS = 2_000_000
+CC_BROADCAST_CONF = "spark.geoengine.cc.broadcastMaxLabelRows"
+
+
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
                          max_rounds: int = 64,
-                         unique_edges: bool = False) -> DataFrame:
+                         unique_edges: bool = False,
+                         symmetric: bool = False,
+                         n_nodes_bound: int | None = None) -> DataFrame:
     """(node, component) with component = min node id reachable — exact
     connected components via star contraction + min-label propagation
     with pointer jumping.
@@ -65,11 +79,21 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     diameter < 2^63 for long node ids, so the default 64 can only be hit
     by a logic bug — in which case we raise instead of returning a silently
     under-merged labeling (the failure mode the old capped loop had).
+
+    `symmetric=True` (r13 optimization round) promises the input already
+    lists BOTH directions of every edge (DBSCAN's grid pairs do, by
+    construction), skipping the union-with-swap that would otherwise
+    re-scan and double the edge frame. `n_nodes_bound` is an upper bound
+    on the vertex count when the caller knows one (DBSCAN: the point
+    count); under the broadcast budget it replaces the l0-count gate job.
     """
-    both = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-    )
+    if symmetric:
+        both = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    else:
+        both = (
+            edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+            .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        )
     if not unique_edges:
         both = both.distinct()
     both = both.localCheckpoint(eager=False)
@@ -81,10 +105,26 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
                 F.least("a", "mb").alias("lab"))
         .localCheckpoint(eager=False)   # reused: two edge maps + pullback
     )
+    # r13 (optimization round): l0 is one slim row per vertex while
+    # `both` is two rows per edge — on locally-dense graphs (DBSCAN's
+    # core-core cliques: 2M symmetric edge rows vs 66k labels at sf0.1)
+    # the two contraction joins were shuffling the EDGE frame twice as
+    # SortMergeJoins (checkpointed RDDs carry no stats, so Spark can't
+    # see that l0 is tiny). Counting l0 is nearly free — the count
+    # materializes the lazy checkpoint, work every downstream consumer
+    # needs anyway — and under the budget the label side broadcasts:
+    # zero exchanges on the edge frame until the (contracted, small)
+    # distinct. Guide §3.1: broadcast the side that fits, explicitly,
+    # when the planner's estimates can't.
+    limit = int(edges.sparkSession.conf.get(
+        CC_BROADCAST_CONF, str(CC_BROADCAST_MAX_LABEL_ROWS)))
+    n_labels = (n_nodes_bound if n_nodes_bound is not None
+                else l0.count())
+    hint = F.broadcast if n_labels <= limit else (lambda df: df)
     la = l0.select(F.col("node").alias("a"), F.col("lab").alias("la"))
     lb = l0.select(F.col("node").alias("b"), F.col("lab").alias("lb"))
     cedges = (
-        both.join(la, "a").join(lb, "b")
+        both.join(hint(la), "a").join(hint(lb), "b")
         .where(F.col("la") != F.col("lb"))
         .select(F.col("la").alias("a"), F.col("lb").alias("b"))
         .distinct()
@@ -107,9 +147,11 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     else:
         comp = _min_label_loop(cedges, max_rounds)
     # pull back through l0: comp(u) = comp'(l0(u)); labels absent from
-    # the loop (fully contracted stars) keep l0 itself
+    # the loop (fully contracted stars) keep l0 itself. comp has at most
+    # one row per contracted label (≤ |l0|), so the same size gate
+    # applies — broadcasting it leaves l0 unshuffled.
     return (
-        l0.join(comp.withColumnRenamed("node", "lab"), "lab", "left")
+        l0.join(hint(comp.withColumnRenamed("node", "lab")), "lab", "left")
         .select("node", F.coalesce("comp", "lab").alias("comp"))
     )
 

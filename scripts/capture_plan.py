@@ -1,0 +1,32 @@
+"""Capture .explain('formatted') for named registry queries into
+plans/r13/<query>_<tag>.txt. Usage:
+    python scripts/capture_plan.py <tag> <sf_dir> <query> [query ...]
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    tag, sf_dir = sys.argv[1], sys.argv[2]
+    names = sys.argv[3:]
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.plans.registry import QUERIES
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.session import get_spark
+    spark = get_spark("capture_plan")
+    spark.sparkContext.setLogLevel("ERROR")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "plans", "r13")
+    os.makedirs(out_dir, exist_ok=True)
+    for n in names:
+        df = QUERIES[n](spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted")
+        path = os.path.join(out_dir, f"{n}_{tag}.txt")
+        with open(path, "w") as f:
+            f.write(plan)
+        print(f"wrote {path} ({plan.count('Exchange')} Exchange refs)")
+
+
+if __name__ == "__main__":
+    main()

@@ -187,10 +187,38 @@ def test_cc_loop_path_equals_union_find(spark):
 def test_half_neighborhood_pairs_equal_three_by_three(spark, points):
     """r12: the half-neighborhood spelling (B explodes to self + the four
     directed offsets, union-swap after the filter) must emit EXACTLY the
-    3x3 spelling's ordered pair set — same cardinality, no duplicates."""
+    3x3 spelling's ordered pair set — same cardinality, no duplicates.
+    r13: broadcastMaxN=0 forces the spine spellings (the broadcast gate
+    would otherwise capture n_points <= 2M)."""
     pts = DB._points(spark, SF_DIR)
-    base = DB._neighbor_pairs(pts).collect()
-    half = DB._neighbor_pairs(pts, n_points=DB.DBSCAN_HALF_MIN_N).collect()
+    spark.conf.set(DB.DBSCAN_BROADCAST_CONF, "0")
+    try:
+        base = DB._neighbor_pairs(pts).collect()
+        half = DB._neighbor_pairs(
+            pts, n_points=DB.DBSCAN_HALF_MIN_N).collect()
+    finally:
+        spark.conf.unset(DB.DBSCAN_BROADCAST_CONF)
     assert len(half) == len(base)                       # no duplicates
     assert {(r["a"], r["b"]) for r in half} == \
+        {(r["a"], r["b"]) for r in base}
+
+
+def test_broadcast_pairs_equal_three_by_three(spark, points):
+    """r13 (optimization round): the size-gated broadcast spelling (the
+    un-exploded point side broadcast into the 9x-exploded probe side,
+    no block spine, no shuffle) must emit EXACTLY the 3x3 spine
+    spelling's ordered pair set — same cardinality, no duplicates — and
+    its plan must actually be a broadcast hash join."""
+    pts = DB._points(spark, SF_DIR)
+    bcast_df = DB._neighbor_pairs(pts, n_points=len(points))
+    plan = bcast_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    bcast = bcast_df.collect()
+    spark.conf.set(DB.DBSCAN_BROADCAST_CONF, "0")
+    try:
+        base = DB._neighbor_pairs(pts).collect()
+    finally:
+        spark.conf.unset(DB.DBSCAN_BROADCAST_CONF)
+    assert len(bcast) == len(base)                      # no duplicates
+    assert {(r["a"], r["b"]) for r in bcast} == \
         {(r["a"], r["b"]) for r in base}
