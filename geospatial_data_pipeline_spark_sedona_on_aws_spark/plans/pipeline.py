@@ -226,20 +226,24 @@ def st_buffer_round(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_spatial_functions(spark)
     lu = fixtures.land_use_areas(spark, sf_dir)
-    # buffer once, measure twice: ExtractPythonUDFs CSEs the identical
-    # nested call (same exprId feeds both measures — plan-asserted in
-    # tests), and staging the buffered WKB in its own select makes the
-    # sharing explicit in the query text
+    # r13 (optimization round): buffer once, measure ONCE — the old
+    # two-measure spelling had EvalPythonExec re-evaluating the shared
+    # __buf chain per measure (one chained pipeline per output UDF) and
+    # paid an extra ArrowEvalPython round trip; ST_AreaNPoints_B is the
+    # literal composition of the two measures as one struct (guide §4),
+    # so the FromWKT → BufferRound → measure chain is single-consumer:
+    # one Python node, every kernel evaluated once. Same values —
+    # oracle unchanged; fused == composed pinned in
+    # tests/test_binary_carrier.py.
     return lu.select(
         "property_id",
         F.expr("CAST((1 + property_id % 5) / 4.0 AS DOUBLE)").alias("d"),
-        F.expr("ST_BufferRound_B(ST_GeomFromWKT_B(land_geometry),"
-               " (1 + property_id % 5) / 4.0, 8)").alias("__buf"),
+        F.expr("ST_BufferRoundStats_B(land_geometry,"
+               " (1 + property_id % 5) / 4.0, 8)").alias("__m"),
     ).select(
         "property_id", "d",
-        F.expr("CAST(round(ST_Area_B(__buf) * 100) AS BIGINT)")
-        .alias("area_q"),
-        F.expr("ST_NPoints_B(__buf)").alias("n_vertices"),
+        F.expr("CAST(round(__m.area * 100) AS BIGINT)").alias("area_q"),
+        F.expr("__m.npts").alias("n_vertices"),
     )
 
 def st_name_parity_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1960,17 +1964,21 @@ def st_transform_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_spatial_functions(spark)
     lu = fixtures.land_use_areas(spark, sf_dir)
-    rt = ("ST_Transform_B(ST_Transform_B(ST_GeomFromWKT_B(land_geometry),"
-          " 'EPSG:3857', 'EPSG:5880'), 'EPSG:5880', 'EPSG:3857')")
-    # the double transform feeds both measures through one shared UDF
-    # evaluation (ExtractPythonUDFs CSE; see st_buffer_round)
+    # r13 (optimization round): ST_TransformRoundtrip_B fuses the double
+    # transform (one Python link instead of two frontiers) and
+    # ST_AreaNPoints_B fuses the two measures (the old spelling
+    # re-evaluated the shared __rt chain per measure); whole chain is
+    # single-consumer → ONE ArrowEvalPython node, every kernel once
+    # (guide §4). Both fused functions are literal compositions of the
+    # unfused kernels — same values, oracle unchanged.
     return lu.select(
-        "property_id", F.expr(rt).alias("__rt"),
+        "property_id",
+        F.expr("ST_TransformRoundtripStats_B(land_geometry,"
+               " 'EPSG:3857', 'EPSG:5880')").alias("__m"),
     ).select(
         "property_id",
-        F.expr("CAST(round(ST_Area_B(__rt) * 1000) AS BIGINT)")
-        .alias("area_q"),
-        F.expr("ST_NPoints_B(__rt)").alias("n_vertices"),
+        F.expr("CAST(round(__m.area * 1000) AS BIGINT)").alias("area_q"),
+        F.expr("__m.npts").alias("n_vertices"),
     )
 
 ST_TRANSFORM_ROUNDTRIP_ORACLE = f"""
@@ -2027,28 +2035,30 @@ def st_transform_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # r8: binary carrier — the degree-rect WKT parses once at the edge,
     # both projections and the coordinate extraction run off packed WKB
-    # (ST_Coords_B emits the same closed-ring number order the WKT-text
-    # split produced, so the try_element_at positions are unchanged)
+    # (the coords lane emits the same closed-ring number order the
+    # WKT-text split produced, so the try_element_at positions are
+    # unchanged). r13 (optimization round): the forward transform is
+    # consumed twice (its own coords AND the return leg), which split
+    # the chain into three ArrowEvalPython frontiers with the forward
+    # kernel evaluated once per consumer; ST_TransformFwdRtCoords_B is
+    # the literal composition of Transform/Coords for both legs as one
+    # struct — ONE Python node, every kernel once (guide §4). Same
+    # values, oracle unchanged.
     wkt = ("concat_ws('', 'POLYGON ((', lon1, ' ', lat1, ', ', lon2, ' ',"
            " lat1, ', ', lon2, ' ', lat2, ', ', lon1, ' ', lat2, '))')")
     out = deg.selectExpr(
-        "property_id", "lon1", "lat1",
-        f"ST_Transform_B(ST_GeomFromWKT_B({wkt}),"
-        " 'EPSG:4326', 'EPSG:32722') AS __utm",
-    ).selectExpr(
-        "property_id", "lon1", "lat1", "__utm",
-        "ST_Transform_B(__utm, 'EPSG:32722', 'EPSG:4326') AS __rt",
+        "property_id",
+        f"ST_TransformFwdRtCoords_B({wkt},"
+        " 'EPSG:4326', 'EPSG:32722') AS __m",
     )
-    arr_u = "ST_Coords_B(__utm)"
-    arr_r = "ST_Coords_B(__rt)"
     return out.selectExpr(
         "property_id",
-        f"CAST(round(try_element_at({arr_u}, 1) * 1000) AS BIGINT) AS e1_mm",
-        f"CAST(round(try_element_at({arr_u}, 2) * 1000) AS BIGINT) AS n1_mm",
-        f"CAST(round(try_element_at({arr_u}, 5) * 1000) AS BIGINT) AS e3_mm",
-        f"CAST(round(try_element_at({arr_u}, 6) * 1000) AS BIGINT) AS n3_mm",
-        f"CAST(round(try_element_at({arr_r}, 1) * 1000000) AS BIGINT) AS lon_rt_q",
-        f"CAST(round(try_element_at({arr_r}, 2) * 1000000) AS BIGINT) AS lat_rt_q",
+        "CAST(round(try_element_at(__m.fwd, 1) * 1000) AS BIGINT) AS e1_mm",
+        "CAST(round(try_element_at(__m.fwd, 2) * 1000) AS BIGINT) AS n1_mm",
+        "CAST(round(try_element_at(__m.fwd, 5) * 1000) AS BIGINT) AS e3_mm",
+        "CAST(round(try_element_at(__m.fwd, 6) * 1000) AS BIGINT) AS n3_mm",
+        "CAST(round(try_element_at(__m.rt, 1) * 1000000) AS BIGINT) AS lon_rt_q",
+        "CAST(round(try_element_at(__m.rt, 2) * 1000000) AS BIGINT) AS lat_rt_q",
     )
 
 

@@ -312,6 +312,61 @@ def test_binary_transform_chain_equals_text(spark):
         assert np.abs(ga - gb).max() < 1e-6, r["id"]
 
 
+def test_fused_struct_udfs_equal_composition(spark):
+    """r13 (optimization round): the fused struct UDFs
+    (ST_BufferRoundStats_B, ST_TransformRoundtripStats_B,
+    ST_TransformFwdRtCoords_B) must equal the unfused compositions
+    value-for-value on rects, a non-rect slow-path polygon, and NULL —
+    and each fused query plan must carry exactly ONE ArrowEvalPython
+    node (the whole point of the fusion)."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions.spatial import (
+        register_spatial_functions,
+    )
+
+    register_spatial_functions(spark)
+    rows = [
+        (0, "POLYGON ((10 10, 60 10, 60 40, 10 40))"),          # rect lane
+        (1, "POLYGON ((0 0, 40 0, 40 20, 20 20, 20 40, 0 40))"),  # L-shape
+        (2, None),                                              # NULL row
+        (3, "POLYGON ((5 5, 9 5, 9 9, 5 9, 5 5))"),             # closed rect
+    ]
+    df = spark.createDataFrame(rows, "id int, g string")
+    df.createOrReplaceTempView("fused_par")
+    fused = spark.sql("""
+      SELECT id,
+             ST_BufferRoundStats_B(g, 0.5, 8) AS bs,
+             ST_TransformRoundtripStats_B(g, 'EPSG:3857', 'EPSG:5880') AS ts,
+             ST_TransformFwdRtCoords_B(g, 'EPSG:3857', 'EPSG:5880') AS fc
+      FROM fused_par ORDER BY id""").collect()
+    comp = spark.sql("""
+      SELECT id,
+             ST_Area_B(ST_BufferRound_B(ST_GeomFromWKT_B(g), 0.5, 8)) AS b_area,
+             ST_NPoints_B(ST_BufferRound_B(ST_GeomFromWKT_B(g), 0.5, 8)) AS b_np,
+             ST_Area_B(ST_Transform_B(ST_Transform_B(ST_GeomFromWKT_B(g),
+                 'EPSG:3857', 'EPSG:5880'), 'EPSG:5880', 'EPSG:3857')) AS t_area,
+             ST_NPoints_B(ST_Transform_B(ST_Transform_B(ST_GeomFromWKT_B(g),
+                 'EPSG:3857', 'EPSG:5880'), 'EPSG:5880', 'EPSG:3857')) AS t_np,
+             ST_Coords_B(ST_Transform_B(ST_GeomFromWKT_B(g),
+                 'EPSG:3857', 'EPSG:5880')) AS fwd,
+             ST_Coords_B(ST_Transform_B(ST_Transform_B(ST_GeomFromWKT_B(g),
+                 'EPSG:3857', 'EPSG:5880'), 'EPSG:5880', 'EPSG:3857')) AS rt
+      FROM fused_par ORDER BY id""").collect()
+    for f, c in zip(fused, comp):
+        assert f["bs"]["area"] == c["b_area"], f["id"]
+        assert f["bs"]["npts"] == c["b_np"], f["id"]
+        assert f["ts"]["area"] == c["t_area"], f["id"]
+        assert f["ts"]["npts"] == c["t_np"], f["id"]
+        assert f["fc"]["fwd"] == c["fwd"], f["id"]
+        assert f["fc"]["rt"] == c["rt"], f["id"]
+    # plan shape: the three fused headline queries run ONE Python node
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.plans import pipeline as P
+    for fn in (P.st_buffer_round, P.st_transform_roundtrip,
+               P.st_transform_utm):
+        plan = fn(spark, "/root/testdata/sf0.001") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("ArrowEvalPython") == 1, (fn.__name__, plan[:800])
+
+
 @given(seed=st.integers(0, 100_000))
 @settings(max_examples=50, deadline=None)
 def test_prop_typed_parse_fast_path_equals_general(seed):
