@@ -61,7 +61,15 @@ def webmercator_inverse(x: float, y: float) -> tuple[float, float]:
 def polyconic_forward(lon: float, lat: float) -> tuple[float, float]:
     """(lon, lat) radians → EPSG:5880 easting/northing metres."""
     if abs(lat) < 1e-12:
-        return _FE + _A * (lon - _LON0), _FN  # M0 = 0 (lat0 = 0)
+        # sub-picoradian band: cot(lat) overflows, so evaluate the
+        # lat→0 LIMIT of the closed form instead of collapsing to the
+        # equator — x → n·Δlon·cos(lat) ≈ A·Δlon and y → M(lat) + 0 (the
+        # bulge term vanishes as O(lat)). Dropping M(lat) ≈ A·C0·lat
+        # (up to ~6e-6 m inside the guard) broke the sub-micrometre
+        # round-trip property at y ≈ 3.7e-6 m (r13 hypothesis find);
+        # M(0) = 0 exactly, so integer-coordinate fixtures are
+        # bit-unchanged.
+        return _FE + _A * (lon - _LON0), _FN + _meridian_arc(lat)
     n = _A / math.sqrt(1.0 - _E2 * math.sin(lat) ** 2)
     cot = 1.0 / math.tan(lat)
     e_ang = (lon - _LON0) * math.sin(lat)
@@ -368,7 +376,9 @@ def _resolve_crs_np(name: str):
             yv = _meridian_arc_np(np, lat_safe) \
                 + n * cot * 2.0 * np.sin(e_ang / 2.0) ** 2
             x = np.where(flat, _A * (lon - _LON0), x)
-            yv = np.where(flat, 0.0, yv)
+            # lat→0 limit keeps M(lat) — the scalar twin's guard fix
+            # (see polyconic_forward); M(0) = 0, fixtures bit-unchanged
+            yv = np.where(flat, _meridian_arc_np(np, lat), yv)
             return _FE + x, _FN + yv
 
         def pc_inv(x, y):

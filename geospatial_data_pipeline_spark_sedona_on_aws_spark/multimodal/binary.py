@@ -35,6 +35,8 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.io import read_parquet_cached as _rpc
 from pyspark.sql import functions as F
 
 MEDIA_SCHEMA = (
@@ -549,7 +551,7 @@ def _docs(spark: SparkSession, sf_dir: str, *cols: str) -> DataFrame:
     spread_scan returns the scan untouched (plan-asserted)."""
     from ..sources.io import spread_scan
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rpc(spark, f"{sf_dir}/documents.parquet")
     if cols:
         docs = docs.select(*cols)
     return spread_scan(docs)

@@ -53,6 +53,8 @@ per-component size.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.io import read_parquet_cached as _rpc
 from pyspark.sql import functions as F
 
 from .graph import connected_components
@@ -103,7 +105,7 @@ def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata, exact — the same count(*) the oracle computes) instead of
     a count-aggregate crossJoin, removing one job + broadcast exchange
     from every stats-trio call."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id")
+    ev = _rpc(spark, f"{sf_dir}/events.parquet").select("event_id")
     n = events_count(spark, sf_dir)
     return (
         ev.selectExpr(

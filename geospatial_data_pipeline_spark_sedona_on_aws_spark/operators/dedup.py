@@ -16,6 +16,8 @@ Scale design:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..sources.io import read_parquet_cached as _rpc
 from pyspark.sql import functions as F
 
 from ..functions import text as TXT
@@ -40,7 +42,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     window/groupBy then reuses this distribution, so the exchange moves the
     ~narrow doc rows ONCE instead of re-shuffling the ~300×-larger exploded
     shingle stream into the window."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _rpc(spark, f"{sf_dir}/documents.parquet")
     return d.repartition(d.sparkSession.sparkContext.defaultParallelism, "doc_id")
 
 def _doc_shingle_rows(spark: SparkSession, sf_dir: str,
@@ -133,12 +135,17 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = _doc_shingle_rows(spark, sf_dir, distinct=False).select(
         "doc_id", (TXT.portable_hash60(F.col("s")) % MINHASH_P).alias("h")
     )
+    # r13 (optimization round): each aggregate as ONE parsed SQL string —
+    # the operator-built Column form cost ~6 py4j round trips per perm
+    # (~0.3 s of driver time per query build); the parsed expressions are
+    # identical (int literal × bigint, same order, same mod)
     flat = h.groupBy("doc_id").agg(*[
-        F.min((F.lit(A[k]) * F.col("h") + F.lit(B[k])) % MINHASH_P).alias(f"m{k}")
+        F.expr(f"min(({A[k]} * h + {B[k]}) % {MINHASH_P}) AS m{k}")
         for k in range(MINHASH_K)
     ])
-    return flat.select(
-        "doc_id", F.array(*[F.col(f"m{k}") for k in range(MINHASH_K)]).alias("sig")
+    return flat.selectExpr(
+        "doc_id",
+        "array(" + ", ".join(f"m{k}" for k in range(MINHASH_K)) + ") AS sig",
     )
 
 # Oversized-bucket decomposition threshold: a bucket with more members
@@ -512,7 +519,7 @@ def streaming_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink_dir = tempfile.mkdtemp(prefix="streaming_contamination_")
     atexit.register(shutil.rmtree, sink_dir, ignore_errors=True)
 
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    schema = _rpc(spark, f"{sf_dir}/documents.parquet").schema
     reader = spark.readStream.schema(schema).format("parquet")
     mft = spark.conf.get("spark.geoengine.streaming.maxFilesPerTrigger", None)
     if mft:
@@ -767,7 +774,7 @@ def segment_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     The reference corpus is whitespace text, so segments are token
     windows; on real web text the same plan runs on sentence or line
     splits (the splitter is the only change)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rpc(spark, f"{sf_dir}/documents.parquet")
     segs = (
         docs.selectExpr(
             "doc_id",

@@ -16,6 +16,8 @@ never goes all-pairs.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
+
+from ..sources.io import read_parquet_cached as _rpc
 from pyspark.sql import functions as F
 
 TOPK = 10
@@ -87,7 +89,7 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     in many splits and spread_scan leaves it untouched)."""
     from ..sources.io import spread_scan
 
-    return spread_scan(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    return spread_scan(_rpc(spark, f"{sf_dir}/embeddings.parquet"))
 
 EMBED_DIM = 64
 
@@ -521,13 +523,18 @@ def lsh_probe_masks(planes: int) -> tuple:
 
 def _bucket(v: Column, planes: int) -> Column:
     """Axis-projection LSH bucket over `planes` planes:
-    bit p = (v[LSH_PLANE_DIMS[p]] >= 0)."""
-    out = None
-    for p in range(planes):
-        bit = F.when(F.element_at(v, LSH_PLANE_DIMS[p]) >= 0,
-                     F.lit(1 << p)).otherwise(F.lit(0))
-        out = bit if out is None else out + bit
-    return out.cast("long")
+    bit p = (v[LSH_PLANE_DIMS[p]] >= 0). Built as ONE parsed SQL string
+    (r13 optimization round): the operator-built Column form cost ~6 py4j
+    round trips per plane of pure driver time; CASE WHEN parses to the
+    same expressions in the same left-assoc sum order."""
+    # only used with v = F.col("embedding"); keep the Column signature
+    # for the one test that passes a column directly
+    name = "embedding"
+    expr = " + ".join(
+        f"(CASE WHEN element_at({name}, {LSH_PLANE_DIMS[p]}) >= 0"
+        f" THEN {1 << p} ELSE 0 END)"
+        for p in range(planes))
+    return F.expr(f"CAST({expr} AS BIGINT)")
 
 def lsh_ann(spark: SparkSession, sf_dir: str,
             max_query_id: int | None = None) -> DataFrame:
@@ -588,11 +595,10 @@ def lsh_ann(spark: SparkSession, sf_dir: str,
         _bucket(F.col("embedding"), planes).alias("bucket"),
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
     )
-    probes = F.array(
-        F.col("bucket"),
-        *[F.col("bucket").bitwiseXOR(F.lit(m))
-          for m in lsh_probe_masks(planes)],
-    )
+    # one parsed SQL string (r13 optimization round): the Column form cost
+    # ~3 py4j round trips per probe mask; `^` parses to the same bitwiseXOR
+    probes = F.expr("array(bucket, " + ", ".join(
+        f"bucket ^ {m}" for m in lsh_probe_masks(planes)) + ")")
     # max_query_id restricts the PROBE side before the explode and the
     # self-join (ann_recall_at_k's arm): the predicate reaches the scan
     # (plan-audited), instead of ranking every vector's neighbors and

@@ -16,6 +16,8 @@ fixture's 15-unit regions.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.io import read_parquet_cached as _rpc
 from pyspark.sql import functions as F
 
 from ..plans import fixtures
@@ -382,7 +384,7 @@ def st_dwithin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.spatial import register_spatial_functions
 
     register_spatial_functions(spark)
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = _rpc(spark, f"{sf_dir}/orders.parquet")
     pts = IO.spread_scan(o.selectExpr(
         "o_orderkey AS point_id",
         "o_custkey % 100 AS px",
@@ -476,7 +478,7 @@ def points_in_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 def _t_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return _rpc(spark, f"{sf_dir}/orders.parquet")
 
 POINTS_IN_REGIONS_ORACLE = f"""
 WITH {fixtures.REGIONS_CTE.strip()},
@@ -801,7 +803,7 @@ def trajectory_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     qualifying pair in ≥ 1 shared cell. Candidates never go all-pairs —
     the expensive O(len²) Hausdorff only runs inside cells, exactly the
     grid-prefilter contract of geo_range_join."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _rpc(spark, f"{sf_dir}/events.parquet")
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")

@@ -16,6 +16,8 @@ agree bit-for-bit. tests/test_fixtures.py asserts the equivalence directly.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.io import read_parquet_cached as _rpc
 from pyspark.sql import functions as F
 
 N_REGIONS = 50
@@ -65,7 +67,7 @@ def land_use_areas(spark: SparkSession, sf_dir: str, wkt: bool = True) -> DataFr
     # integer columns — the WKT strings are built *after* the exchange).
     # On a real multi-file table the scan splits natively and this exchange
     # is skipped.
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _rpc(spark, f"{sf_dir}/lineitem.parquet")
     df = li.selectExpr(
         f"cast(l_suppkey % {N_REGIONS} as bigint) AS region_id",
         "cast(CASE l_returnflag WHEN 'A' THEN 1 WHEN 'N' THEN 2"
@@ -100,7 +102,7 @@ def geographic_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dimension analog of core.geographic_regions: a 10×5 grid of
     overlapping 15×15 cells spaced 12 apart (id 0..49 from supplier keys).
     Mirrors the reference scan at spark_job/process_geodata.py:173."""
-    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    sup = _rpc(spark, f"{sf_dir}/supplier.parquet")
     out = sup.selectExpr(
         f"cast(s_suppkey % {N_REGIONS} as bigint) AS id"
     ).distinct().selectExpr(
@@ -128,7 +130,7 @@ def land_use_areas_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot-key shape that breaks single-task grouped aggregation at scale.
     Used by the dissolve skew proof (test + bench): the combiner-based
     dissolve must survive this where a naive grouped-map serializes."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _rpc(spark, f"{sf_dir}/lineitem.parquet")
     df = li.selectExpr(
         "cast(CASE WHEN l_orderkey % 2 = 0 THEN 0"
         f" ELSE l_suppkey % {N_REGIONS} END as bigint) AS region_id",

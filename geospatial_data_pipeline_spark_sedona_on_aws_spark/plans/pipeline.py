@@ -21,6 +21,8 @@ Two variants:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.io import read_parquet_cached as _rpc
 from pyspark.sql import functions as F
 
 from ..operators.dissolve import dissolve_clip_area, union_aggr
@@ -2240,7 +2242,7 @@ def _orders_line_base(spark: SparkSession, sf_dir: str,
     multi-split production table passes through untouched)."""
     from ..sources.io import spread_scan
 
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = _rpc(spark, f"{sf_dir}/orders.parquet")
     if modulus:
         o = o.where(f"o_orderkey % {modulus} = 0")
     base = spread_scan(o.selectExpr(
@@ -2750,7 +2752,7 @@ def st_geohash_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_spatial_functions(spark)
     from ..sources.io import spread_scan
 
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = _rpc(spark, f"{sf_dir}/orders.parquet")
     pts = spread_scan(o.selectExpr(
         "o_orderkey AS point_id",
         "(o_custkey % 100) * 3 - 150 AS lon",
@@ -3245,7 +3247,7 @@ def st_geohash_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.io import spread_scan
 
     register_spatial_functions(spark)
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = _rpc(spark, f"{sf_dir}/orders.parquet")
     pts = spread_scan(o.selectExpr(
         "o_orderkey AS point_id",
         "(o_custkey % 100) * 3 - 150 AS lon",

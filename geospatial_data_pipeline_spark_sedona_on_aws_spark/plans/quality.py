@@ -8,13 +8,15 @@ full expectation set as first-class queries).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.io import read_parquet_cached as _rpc
 from pyspark.sql import functions as F
 
 from ..streaming.events import _events
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _rpc(spark, f"{sf_dir}/{name}.parquet")
 
 
 # ------------------------------------------------- expectations check

@@ -18,10 +18,12 @@ Cross-engine determinism rules used throughout:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..sources.io import read_parquet_cached as _rpc
 from pyspark.sql import functions as F
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _rpc(spark, f"{sf_dir}/{name}.parquet")
 
 def _dec(c) -> F.Column:
     return F.col(c).cast("decimal(18,2)") if isinstance(c, str) else c.cast("decimal(18,2)")
@@ -738,7 +740,7 @@ def recursive_supplier_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     text and semantics in Spark SQL and DuckDB (avoiding the dialects'
     differing integer-division operators)."""
     for t in ("supplier",):
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+        _rpc(spark, f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
     return spark.sql("""
         WITH RECURSIVE walk AS (
             SELECT s_suppkey AS suppkey, s_suppkey AS cur,
@@ -792,7 +794,7 @@ def lateral_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is exactly why the lateral formulation is safe at 100 TB: the
     written query is per-row, the executed plan is set-at-a-time."""
     for t in ("customer", "orders"):
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+        _rpc(spark, f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
     return spark.sql("""
         SELECT c.c_custkey, l.o_orderkey,
                CAST(l.o_totalprice AS DOUBLE) AS o_totalprice
@@ -824,7 +826,7 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     the wide→long reshape (inverse of pivot_order_status). Row-local
     generation, no shuffle; output is 4× the input rows with 2 columns,
     which is why at scale you unpivot AFTER filtering, never before."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _rpc(spark, f"{sf_dir}/lineitem.parquet")
     return (
         li.select(
             "l_orderkey", "l_linenumber",
@@ -911,7 +913,7 @@ def running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     of flags ordered by time gives the exact distinct-so-far count. Two
     window passes over one event_type partitioning; no state store, no
     approximation."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _rpc(spark, f"{sf_dir}/events.parquet")
     first_w = Window.partitionBy("event_type", "user_id") \
         .orderBy("ts", "event_id")
     run_w = Window.partitionBy("event_type").orderBy("ts", "event_id") \

@@ -22,6 +22,8 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..sources.io import read_parquet_cached as _rpc
 from pyspark.sql import functions as F
 
 from ..functions import text as TXT
@@ -32,7 +34,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-row text work so it parallelizes (no-op on multi-split tables)
     from ..sources.io import spread_scan
 
-    return spread_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return spread_scan(_rpc(spark, f"{sf_dir}/documents.parquet"))
 
 # --------------------------------------------------------------- bigram LM
 

@@ -34,12 +34,14 @@ Scale notes per operator:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..sources.io import read_parquet_cached as _rpc
 from pyspark.sql import functions as F
 
 from ..functions.text import portable_hash60
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _rpc(spark, f"{sf_dir}/{name}.parquet")
 
 def _dec(c) -> F.Column:
     col = F.col(c) if isinstance(c, str) else c

@@ -6,6 +6,8 @@ native Column functions (functions/text.py) with an exact DuckDB oracle.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..sources.io import read_parquet_cached as _rpc
 from pyspark.sql import functions as F
 
 from ..functions import text as TXT
@@ -15,7 +17,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-row text work so it parallelizes (no-op on multi-split tables)
     from ..sources.io import spread_scan
 
-    return spread_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return spread_scan(_rpc(spark, f"{sf_dir}/documents.parquet"))
 
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)

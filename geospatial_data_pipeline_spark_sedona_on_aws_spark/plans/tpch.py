@@ -25,10 +25,12 @@ Scale notes applied throughout:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..sources.io import read_parquet_cached as _rpc
 from pyspark.sql import functions as F
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _rpc(spark, f"{sf_dir}/{name}.parquet")
 
 def _dec(c) -> F.Column:
     col = F.col(c) if isinstance(c, str) else c

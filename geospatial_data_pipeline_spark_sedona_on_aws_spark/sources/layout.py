@@ -126,20 +126,20 @@ def hilbert_value(df: DataFrame, x: str, y: str, out: str,
     CASE projections — still pure JVM column arithmetic inside one
     whole-stage-codegen span (Catalyst collapses the withColumn chain into
     a single Project)."""
-    df = df.withColumn("hx", F.col(x).cast("long")) \
-           .withColumn("hy", F.col(y).cast("long")) \
-           .withColumn(out, F.lit(0).cast("long"))
+    # r13 (optimization round): one selectExpr (one py4j round trip) per
+    # step instead of ~6 Column calls each — the parsed projections are
+    # identical, still one whole-stage-codegen span
+    df = df.selectExpr(
+        "*", f"CAST({x} AS LONG) AS hx", f"CAST({y} AS LONG) AS hy",
+        f"CAST(0 AS LONG) AS {out}")
     keep = [c for c in df.columns if c not in ("hx", "hy", out)]
     for lvl in range(bits - 1, -1, -1):
         d_add, nx, ny = _hilbert_level_exprs(lvl, bits)
         # one select per level: hx/hy/d must update SIMULTANEOUSLY against
         # the previous level's values — select makes that explicit
-        df = df.select(
-            *keep,
-            F.expr(nx).alias("hx"),
-            F.expr(ny).alias("hy"),
-            (F.col(out) + F.expr(d_add)).alias(out),
-        )
+        df = df.selectExpr(
+            *keep, f"{nx} AS hx", f"{ny} AS hy",
+            f"{out} + {d_add} AS {out}")
     return df.select(*keep, out)
 
 def hilbert_sql(base_subquery: str, cols: list[str], x: str, y: str,

@@ -16,6 +16,8 @@ from __future__ import annotations
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.io import read_parquet_cached as _rpc
 from pyspark.sql import functions as F
 
 SESSION_GAP_MIN = 30
@@ -60,14 +62,14 @@ def _norm_ts(df: DataFrame, col: str = "ts") -> DataFrame:
 def _events_schema(spark: SparkSession, sf_dir: str):
     """Schema of the raw events source, readable on any session."""
     _ensure_event_confs(spark)
-    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    return _rpc(spark, f"{sf_dir}/events.parquet").schema
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
     reader rejects; read nanos as long (spark.sql.legacy.parquet.nanosAsLong)
     and convert to a microsecond timestamp."""
     _ensure_event_confs(spark)
-    return _norm_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    return _norm_ts(_rpc(spark, f"{sf_dir}/events.parquet"))
 
 # engine knob: cap files per streaming micro-batch (availableNow then takes
 # several batches to drain a multi-file table — the real-cluster shape)
@@ -663,7 +665,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     (everything else).
     """
     stream = _events_stream(spark, sf_dir)
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+    cust = _rpc(spark, f"{sf_dir}/customer.parquet").select(
         F.col("c_custkey").alias("ck"), "c_mktsegment"
     )
     n_cust = cust.count()
@@ -1175,11 +1177,11 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..plans.relational import merge_upsert
 
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+    cust = _rpc(spark, f"{sf_dir}/customer.parquet").select(
         F.col("c_custkey").alias("custkey"),
         F.col("c_acctbal").alias("balance"),
     )
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = _rpc(spark, f"{sf_dir}/orders.parquet")
     from pyspark.sql import Window
     w = Window.partitionBy("o_custkey").orderBy(
         F.desc("o_orderdate"), F.desc("o_orderkey"))
