@@ -306,6 +306,7 @@ def dissolve_clip_area(df: DataFrame, group_cols: Sequence[str], geom_col: str,
                        clip_col: str, out_col: str = "area",
                        clip_bounds: Sequence[str] | None = None,
                        geom_bounds: Sequence[str] | None = None,
+                       geom_expr: str | None = None,
                        _partials_only: bool = False) -> DataFrame:
     """Fused area(clip ∩ union(geoms)) per group — the engine's hot path for
     the reference's flagship computation (spark_job/process_geodata.py:110-139).
@@ -373,10 +374,25 @@ def dissolve_clip_area(df: DataFrame, group_cols: Sequence[str], geom_col: str,
 
     g_ok, gx1, gy1, gx2, gy2 = _side(geom_col, geom_bounds)
     c_ok, cx1, cy1, cx2, cy2 = _side(clip_col, clip_bounds)
+    # geom_expr (r13 optimization round): the geometry TEXT as a SQL
+    # expression over df's columns, evaluated ONLY under the slow-path
+    # CASE. A caller that pre-builds the WKT with withColumn pays the
+    # string construction for every row even when geom_bounds answer the
+    # fast path — CollapseProject can't inline the alias into the CASE
+    # because the surrounding projection references other non-cheap
+    # aliases repeatedly. Passing the expression text lets codegen skip
+    # the concat for fast rows entirely; requires geom_bounds (the fast
+    # test can't read a column that doesn't exist).
+    if geom_expr is not None:
+        assert geom_bounds is not None, "geom_expr requires geom_bounds"
+        geom_slot = (f"CASE WHEN NOT coalesce({g_ok} AND {c_ok}, false)"
+                     f" THEN ({geom_expr}) END AS `{geom_col}`")
+    else:
+        geom_slot = f"`{geom_col}`"
     # coalesce: a NULL from three-valued logic (e.g. a cast failure) must
     # route to the slow path, not evaporate in the downstream ~fast filter
     parsed = df.selectExpr(
-        *[f"`{k}`" for k in keys], f"`{geom_col}`", f"`{clip_col}`",
+        *[f"`{k}`" for k in keys], geom_slot, f"`{clip_col}`",
         f"coalesce({g_ok} AND {c_ok}, false) AS __fast",
         f"{gx1} AS __gx1", f"{gy1} AS __gy1",
         f"{gx2} AS __gx2", f"{gy2} AS __gy2",
@@ -507,7 +523,8 @@ def dissolve_transform_area(df: DataFrame, group_cols: Sequence[str],
                             geom_bounds: Sequence[str] | None = None,
                             out_col: str = "area",
                             src_crs: str = "EPSG:3857",
-                            dst_crs: str = "EPSG:5880") -> DataFrame:
+                            dst_crs: str = "EPSG:5880",
+                            geom_expr: str | None = None) -> DataFrame:
     """Fused full-parity chain: per group
         area( transform( clip ∩ union( hygiene(geoms) ) ) )
     with hygiene = Buffer(MakeValid(GeomFromWKT(·)), 0), transform = the
@@ -579,6 +596,15 @@ def dissolve_transform_area(df: DataFrame, group_cols: Sequence[str],
         e = lambda i: f"try_element_at({arr}, {i})"  # noqa: E731
         g_ok = f"(`{geom_col}` IS NOT NULL AND {is_rect_sql(arr)})"
         gx = (e(1), e(2), e(3), e(6))
+    if geom_expr is not None:
+        # slow-path-only WKT construction — see dissolve_clip_area's
+        # geom_expr note (r13 optimization round)
+        assert geom_bounds is not None, "geom_expr requires geom_bounds"
+        gw_slot = (f"CASE WHEN NOT coalesce({g_ok}, false)"
+                   f" THEN ({geom_expr}) END AS __gw")
+    else:
+        gw_slot = (f"CASE WHEN NOT coalesce({g_ok}, false)"
+                   f" THEN `{geom_col}` END AS __gw")
     routed = df.selectExpr(
         *[f"`{k}`" for k in keys_all],
         f"coalesce({g_ok}, false) AS __fast",
@@ -586,7 +612,7 @@ def dissolve_transform_area(df: DataFrame, group_cols: Sequence[str],
         f"CASE WHEN coalesce({g_ok}, false) THEN {gx[1]} END AS __y1",
         f"CASE WHEN coalesce({g_ok}, false) THEN {gx[2]} END AS __x2",
         f"CASE WHEN coalesce({g_ok}, false) THEN {gx[3]} END AS __y2",
-        f"CASE WHEN NOT coalesce({g_ok}, false) THEN `{geom_col}` END AS __gw",
+        gw_slot,
     )
 
     def _hygiene_decompose(w: str):

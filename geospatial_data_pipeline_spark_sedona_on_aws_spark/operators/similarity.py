@@ -82,14 +82,34 @@ def emb_count(spark: SparkSession, sf_dir: str) -> int:
     return _EMB_N_CACHE[key]
 
 
+#: spread floor: at least this many embedding rows per task. A tiny
+#: corpus fanned to every core puts ~60 rows in each Python round trip —
+#: all fixed overhead (guide §4.2: keep batches big enough to amortize
+#: the crossing; §2.2: fewer, larger partitions). At n/256 ≥ cores the
+#: spread still reaches full parallelism, so the 100 TB shape is
+#: unchanged; only overhead-dominated small inputs get fewer, meatier
+#: tasks. r13 optimization round.
+EMB_ROWS_PER_TASK = 256
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embeddings scan, re-spread across cores ONLY if the source
     under-splits (the testdata is a single row group → one split, which
     would put every pairwise-dot stage on one core; a real table arrives
-    in many splits and spread_scan leaves it untouched)."""
+    in many splits and spread_scan leaves it untouched). The spread
+    width is row-aware: full parallelism once every task holds at least
+    EMB_ROWS_PER_TASK rows, fewer tasks below that."""
     from ..sources.io import spread_scan
 
-    return spread_scan(_rpc(spark, f"{sf_dir}/embeddings.parquet"))
+    n = emb_count(spark, sf_dir)
+    cores = spark.sparkContext.defaultParallelism
+    width = max(1, min(cores, -(-n // EMB_ROWS_PER_TASK)))
+    df = _rpc(spark, f"{sf_dir}/embeddings.parquet")
+    if width >= cores:
+        return spread_scan(df)
+    from ..sources.io import _scan_partitions
+
+    return df if _scan_partitions(df) >= width else df.repartition(width)
 
 EMBED_DIM = 64
 

@@ -44,12 +44,13 @@ def crop_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast inner equi-join, dimension side hinted — exactly the
     # reference join (spark_job/process_geodata.py:101)
     joined = lu.join(F.broadcast(regions), lu["region_id"] == regions["id"], "inner")
-    # geometry column added POST-join so the concat_ws inlines into the
-    # dissolve's slow-path conditional — fast-path (bbox) rows never build it
-    joined = joined.withColumn(
-        "land_geometry",
-        fixtures.rect_wkt("x1", "y1", "x2", "y2"),
-    )
+    # r13 (optimization round): the WKT is passed as an EXPRESSION, not a
+    # pre-built column — the old withColumn spelling materialized the
+    # ~90-char string for EVERY row before the dissolve nulled it for
+    # fast-path rows (CollapseProject can't inline an alias into the CASE
+    # when sibling aliases are referenced repeatedly); as geom_expr the
+    # concat_ws sits INSIDE the slow-path CASE and fast (bbox) rows never
+    # build it
     out = dissolve_clip_area(
         joined,
         group_cols=["region_id", "season_id", "land_type_id"],
@@ -58,9 +59,9 @@ def crop_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_col="area",
         clip_bounds=["__cb_x1", "__cb_y1", "__cb_x2", "__cb_y2"],
         # bbox covering columns ride next to the WKT (GeoParquet-style), so
-        # the rect fast path never builds or parses a geometry string;
-        # Catalyst prunes the WKT construction out of the fast branch
+        # the rect fast path never builds or parses a geometry string
         geom_bounds=["x1", "y1", "x2", "y2"],
+        geom_expr=fixtures.rect_wkt_sql("x1", "y1", "x2", "y2"),
     )
     # grain matches the loader's unique index (region, season, land_type)
     # (reference ecs_loader/load_to_postgres.py:134-136); empty clips drop
@@ -86,8 +87,8 @@ def crop_analytics_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
         rx2.alias("__cb_x2"), ry2.alias("__cb_y2"),
     )
     joined = lu.join(F.broadcast(regions), lu["region_id"] == regions["id"], "inner")
-    joined = joined.withColumn(
-        "land_geometry", fixtures.rect_wkt("x1", "y1", "x2", "y2"))
+    # WKT as geom_expr: built only under the slow-path CASE (r13, see
+    # crop_analytics)
     out = dissolve_clip_area(
         joined,
         group_cols=["region_id", "season_id", "land_type_id"],
@@ -96,6 +97,7 @@ def crop_analytics_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_col="area",
         clip_bounds=["__cb_x1", "__cb_y1", "__cb_x2", "__cb_y2"],
         geom_bounds=["x1", "y1", "x2", "y2"],
+        geom_expr=fixtures.rect_wkt_sql("x1", "y1", "x2", "y2"),
     )
     return out.filter(F.col("area") > 0).select(
         "region_id", "season_id", "land_type_id",
@@ -160,10 +162,8 @@ def crop_analytics_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     regions = fixtures.geographic_regions(spark, sf_dir)
     joined = lu.join(F.broadcast(regions), lu["region_id"] == regions["id"],
                      "inner")
-    # WKT built post-join: Catalyst prunes it out of the rect fast branch,
-    # so only slow-path rows ever materialize the string
-    joined = joined.withColumn(
-        "land_geometry", fixtures.rect_wkt("x1", "y1", "x2", "y2"))
+    # WKT as geom_expr: built only under the slow-path CASE (r13, see
+    # crop_analytics)
     out = dissolve_transform_area(
         joined,
         group_cols=["region_id", "season_id", "land_type_id"],
@@ -171,6 +171,7 @@ def crop_analytics_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         clip_bounds=["gx1", "gy1", "gx2", "gy2"],
         geom_bounds=["x1", "y1", "x2", "y2"],
         out_col="area",
+        geom_expr=fixtures.rect_wkt_sql("x1", "y1", "x2", "y2"),
     )
     return out.select(
         "region_id", "season_id", "land_type_id",
