@@ -3610,6 +3610,55 @@ def st_y(s: pd.Series) -> pd.Series:
 def st_z(s: pd.Series) -> pd.Series:
     return LN._xy_accessor(s, 2, lambda w: _st_xy(w, 2)).astype("float64")
 
+
+#: explicit type objects (DDL strings would need an active SparkContext
+#: at executor-side module import)
+_XY_T = StructType([StructField("x", DoubleType()),
+                    StructField("y", DoubleType())])
+_END_XY_LEN_T = StructType([StructField("x", DoubleType()),
+                            StructField("y", DoubleType()),
+                            StructField("len", DoubleType())])
+_NGEOMS_LEN_T = StructType([StructField("n", LongType()),
+                            StructField("len", DoubleType())])
+
+
+@pandas_udf(_XY_T)
+def st_xy(s: pd.Series) -> pd.DataFrame:
+    """Fused ST_X + ST_Y as one struct (r13 optimization round):
+    EvalPythonExec builds one chained pipeline per OUTPUT udf, so a
+    derived geometry consumed by both coordinates — ST_X(f(g)) AND
+    ST_Y(f(g)) — evaluates f twice; ST_XY(f(g)) is ONE top-level udf
+    (identical calls dedupe in ExtractPythonUDFs), so f runs once.
+    Literal composition of the st_x/st_y lanes — value-identical."""
+    return pd.DataFrame({
+        "x": LN.st_x(s, lambda w: _st_xy(w, 0)).astype("float64"),
+        "y": LN.st_y(s, lambda w: _st_xy(w, 1)).astype("float64"),
+    })
+
+
+@pandas_udf(_END_XY_LEN_T)
+def st_end_xy_len(s: pd.Series) -> pd.DataFrame:
+    """Fused ST_X/ST_Y(ST_EndPoint(line)) + ST_Length(line) — the
+    shortest/longest-line consumer pair (see st_xy); the line argument
+    is evaluated once instead of once per measure. Literal composition
+    of the endpoint / coordinate / length lanes."""
+    ep = LO.terminal_point(s, True, lambda g: _terminal_point(g, True))
+    return pd.DataFrame({
+        "x": LN.st_x(ep, lambda w: _st_xy(w, 0)).astype("float64"),
+        "y": LN.st_y(ep, lambda w: _st_xy(w, 1)).astype("float64"),
+        "len": LO.length(s, _length).astype("float64"),
+    })
+
+
+@pandas_udf(_NGEOMS_LEN_T)
+def st_numgeoms_length(s: pd.Series) -> pd.DataFrame:
+    """Fused ST_NumGeometries + ST_Length of the same geometry (the
+    ST_LineMerge consumer pair; see st_xy). Literal composition."""
+    return pd.DataFrame({
+        "n": LO.num_geometries(s, _num_geometries).astype("Int64"),
+        "len": LO.length(s, _length).astype("float64"),
+    })
+
 @pandas_udf(StringType())
 def st_force2d(s: pd.Series) -> pd.Series:
     return s.map(_force_2d, na_action="ignore")
@@ -4509,6 +4558,9 @@ _REGISTRY = {
     "ST_X": st_x,
     "ST_Y": st_y,
     "ST_Z": st_z,
+    "ST_XY": st_xy,                        # fused X+Y struct (r13)
+    "ST_EndXYLen": st_end_xy_len,          # fused endpoint-XY + length
+    "ST_NumGeomsLength": st_numgeoms_length,  # fused count + length
     "ST_DistanceSphere": st_distancesphere,
     "ST_DistanceSpheroid": st_distancespheroid,
     "ST_AreaSpheroid": st_areaspheroid,

@@ -595,6 +595,12 @@ def st_measure_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
                  " x2 + 2 + x2 - x1, ' ', y1, ')')")
     seg_rev = ("concat('LINESTRING (', x2, ' ', y1 + 3, ', ', x1, ' ',"
                " y1 + 3, ')')")
+    # r13 (optimization round): the ll_x/ll_y and sl_x/sl_len pairs each
+    # consumed the same derived line — EvalPythonExec evaluated
+    # LongestLine/ShortestLine (and the EndPoint behind them) once PER
+    # measure; ST_XY / ST_EndXYLen fuse each pair into one struct so the
+    # line kernels run once. Same values (literal compositions,
+    # oracle-pinned).
     return lu.selectExpr(
         "property_id",
         "ST_Perimeter(land_geometry) AS perim",
@@ -606,17 +612,17 @@ def st_measure_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS ang_q",
         "CAST(round(ST_MaxDistance(concat('POINT (', x1 - 1, ' ', y1 - 1,"
         " ')'), land_geometry) * 10000) AS BIGINT) AS md_q",
-        "ST_X(ST_EndPoint(ST_LongestLine(concat('POINT (', x1 - 1, ' ',"
-        " y1 - 1, ')'), land_geometry))) AS ll_x",
-        "ST_Y(ST_EndPoint(ST_LongestLine(concat('POINT (', x1 - 1, ' ',"
-        " y1 - 1, ')'), land_geometry))) AS ll_y",
+        "ST_XY(ST_EndPoint(ST_LongestLine(concat('POINT (', x1 - 1, ' ',"
+        " y1 - 1, ')'), land_geometry))) AS __ll",
         f"ST_HausdorffDistance({seg_a}, {seg_shift}) AS hd",
         f"CAST(round(ST_FrechetDistance({seg_a}, {seg_rev}) * 10000)"
         " AS BIGINT) AS fd_q",
-        "ST_X(ST_EndPoint(ST_ShortestLine(concat('POINT (', x1 - 3, ' ',"
-        " y1, ')'), land_geometry))) AS sl_x",
-        "ST_Length(ST_ShortestLine(concat('POINT (', x1 - 3, ' ', y1,"
-        " ')'), land_geometry)) AS sl_len",
+        "ST_EndXYLen(ST_ShortestLine(concat('POINT (', x1 - 3, ' ',"
+        " y1, ')'), land_geometry)) AS __sl",
+    ).selectExpr(
+        "property_id", "perim", "diag_q", "ang_q", "md_q",
+        "__ll.x AS ll_x", "__ll.y AS ll_y", "hd", "fd_q",
+        "__sl.x AS sl_x", "__sl.len AS sl_len",
     )
 
 ST_MEASURE_OPS_ORACLE = f"""
@@ -685,8 +691,10 @@ def st_shape_edit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"ST_IsRing({ring}) AS ring_is_ring",
         f"ST_IsSimple({diag}) AS diag_simple",
         f"ST_IsSimple({bow}) AS bow_simple",
-        "ST_X(ST_PointOnSurface(land_geometry)) AS pos_x",
-        "ST_Y(ST_PointOnSurface(land_geometry)) AS pos_y",
+        # fused X+Y struct: PointOnSurface runs once, not per coordinate
+        # (r13 optimization round; see st_measure_ops)
+        "ST_XY(ST_PointOnSurface(land_geometry)).x AS pos_x",
+        "ST_XY(ST_PointOnSurface(land_geometry)).y AS pos_y",
         "CAST(round(ST_MinimumBoundingRadius(land_geometry) * 10000)"
         " AS BIGINT) AS mbr_q",
         f"ST_X(ST_GeometricMedian({corners})) AS gm_x",
@@ -1032,26 +1040,34 @@ def st_misc_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup = ("concat('LINESTRING (', x1, ' ', y1, ', ', x1, ' ', y1, ', ',"
            " x2, ' ', y1, ', ', x2, ' ', y1, ')')")
     eqpt = "concat('POINT (', CAST(x1 % 90 AS DOUBLE), ' 0)')"
+    # r13 (optimization round): the LineMerge and Project pairs each
+    # consumed the same derived geometry once per measure — fused structs
+    # (ST_NumGeomsLength, ST_XY) run each kernel once; same values
+    # (literal compositions, oracle-pinned)
     return lu.selectExpr(
         "property_id",
         f"CAST(round(ST_Area(ST_MakePolygon({ring})) * 100) AS BIGINT)"
         " AS mkpoly_area_q",
-        f"ST_NumGeometries(ST_LineMerge({mls})) AS lm_n",
-        f"ST_Length(ST_LineMerge({mls})) AS lm_len",
+        f"ST_NumGeomsLength(ST_LineMerge({mls})) AS __lm",
         f"ST_NPoints(ST_RemoveRepeatedPoints({dup})) AS rrp_np",
         "ST_HasZ(ST_Force3D(concat('POINT (', x1, ' ', y1, ')'), 7D))"
         " AS f3d_hasz",
         "ST_Z(ST_Force3D(concat('POINT (', x1, ' ', y1, ')'), 7D))"
         " AS f3d_z",
-        f"CAST(round(ST_X(ST_Project({eqpt}, 111194.9266D,"
-        " 1.5707963267948966D)) * 1000000) AS BIGINT) AS proj_lon_q",
-        f"CAST(round(ST_Y(ST_Project({eqpt}, 111194.9266D,"
-        " 1.5707963267948966D)) * 1000000) AS BIGINT) AS proj_lat_q",
+        f"ST_XY(ST_Project({eqpt}, 111194.9266D,"
+        " 1.5707963267948966D)) AS __proj",
         "ST_XMin(land_geometry) AS bxmin",
         "ST_XMax(land_geometry) AS bxmax",
         "ST_YMin(land_geometry) AS bymin",
         "ST_YMax(land_geometry) AS bymax",
         f"ST_NumPoints({ring}) AS np_ring",
+    ).selectExpr(
+        "property_id", "mkpoly_area_q",
+        "__lm.n AS lm_n", "__lm.len AS lm_len",
+        "rrp_np", "f3d_hasz", "f3d_z",
+        "CAST(round(__proj.x * 1000000) AS BIGINT) AS proj_lon_q",
+        "CAST(round(__proj.y * 1000000) AS BIGINT) AS proj_lat_q",
+        "bxmin", "bxmax", "bymin", "bymax", "np_ring",
     )
 
 ST_MISC_OPS_ORACLE = f"""
