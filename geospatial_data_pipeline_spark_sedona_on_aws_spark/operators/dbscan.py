@@ -290,11 +290,22 @@ def spatial_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
                                str(BROADCAST_MAX_ROWS)))
     hint = F.broadcast if n_points <= limit else (lambda df: df)
     pts = _points(spark, sf_dir).localCheckpoint(eager=False)
+    # nbr is EAGER (r13 optimization round): its consumers (deg, the CC
+    # edge filter, border, the final labeling) reach it through
+    # broadcast-exchange jobs that Spark launches CONCURRENTLY — with a
+    # lazy checkpoint they race before it materializes and each replays
+    # the whole candidate build (stage attribution: four ~0.4 s stages
+    # each carrying the full pair-build CPU). Eager materializes the
+    # pair set exactly once, before any consumer job starts.
     nbr = _neighbor_pairs(
         pts, n_points=n_points
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
+    # deg is also eager: its consumers (core's semi-join broadcasts, the
+    # final labeling broadcast) launch as concurrent broadcast jobs that
+    # would otherwise race a lazy checkpoint and replay the nbr-scan +
+    # count aggregate each (same rationale as nbr above)
     deg = nbr.groupBy("a").agg(F.count("*").alias("nn")) \
-             .localCheckpoint(eager=False)  # core filter + final readback
+             .localCheckpoint(eager=True)  # core filter + final readback
     core = deg.where(F.col("nn") >= MIN_PTS - 1) \
               .select(F.col("a").alias("id")).localCheckpoint(eager=False)
     core_a = core.select(F.col("id").alias("a"))

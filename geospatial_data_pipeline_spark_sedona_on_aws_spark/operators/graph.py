@@ -103,7 +103,12 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
         both.groupBy("a").agg(F.min("b").alias("mb"))
         .select(F.col("a").alias("node"),
                 F.least("a", "mb").alias("lab"))
-        .localCheckpoint(eager=False)   # reused: two edge maps + pullback
+        # EAGER (r13 optimization round): under the broadcast gate la/lb
+        # are built by two CONCURRENT broadcast-exchange jobs — a lazy
+        # checkpoint races and each job replays the full edge groupBy
+        # (measured in the DBSCAN stage attribution); eager materializes
+        # it once before either launches. Reused: two edge maps + pullback.
+        .localCheckpoint(eager=True)
     )
     # r13 (optimization round): l0 is one slim row per vertex while
     # `both` is two rows per edge — on locally-dense graphs (DBSCAN's

@@ -119,12 +119,22 @@ def main():
                     continue
                 sub = si.get("Submission Time")
                 com = si.get("Completion Time")
+                scopes = []
+                for ri in si.get("RDD Info", []):
+                    sc = ri.get("Scope")
+                    if sc:
+                        try:
+                            import json as _j
+                            scopes.append(_j.loads(sc).get("name", ""))
+                        except Exception:
+                            pass
                 rows.append({
                     "query": measured_jobs[jid],
                     "stage": sid,
                     "tasks": si.get("Number of Tasks"),
                     "wall_s": (com - sub) / 1000.0 if sub and com else None,
                     "name": si.get("Stage Name", "")[:70],
+                    "scopes": ",".join(dict.fromkeys(scopes))[:110],
                     "detail": (si.get("Details", "") or "").split("\n")[0][:90],
                 })
     cur = None
@@ -139,6 +149,8 @@ def main():
                      f" maxRun={ts['max_run']/1000:.2f}s gc={ts['gc']/1000:.2f}s")
         print(f"stage {r['stage']:4d}  {r['wall_s']:7.3f}s  "
               f"{r['tasks']:4d} tasks  {r['name']}{extra}")
+        if r.get("scopes"):
+            print(f"           scopes: {r['scopes']}")
 
 
 if __name__ == "__main__":
