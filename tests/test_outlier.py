@@ -157,8 +157,14 @@ def test_forced_shuffle_join_config(spark, result):
     """r10: with the broadcast budget forced to 0 the two per-point
     joins (kdist, lrd) must run as shuffle joins — no BroadcastHashJoin
     anywhere in the plan — and produce the identical result. This is
-    the no-OOM-cliff path a 10^10-point run takes automatically."""
+    the no-OOM-cliff path a 10^10-point run takes automatically.
+    r13: AQE's RUNTIME stats may still convert a join whose measured
+    side is tiny — that is safe, data-driven behavior orthogonal to the
+    operator's gate — so the no-broadcast assertion also zeroes the AQE
+    threshold; the result-parity check is the real contract."""
     spark.conf.set(O.BROADCAST_CONF, "0")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         df = O.local_outlier_factor(spark, SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
@@ -166,6 +172,8 @@ def test_forced_shuffle_join_config(spark, result):
         shuffled = {r["id"]: r for r in df.collect()}
     finally:
         spark.conf.unset(O.BROADCAST_CONF)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     assert len(shuffled) == len(result)
     for i, r in result.items():
         s = shuffled[i]
