@@ -263,6 +263,18 @@ def local_outlier_factor(spark: SparkSession, sf_dir: str,
     )
 
     ex_kd = ex.join(hint(kd), "id")
+    if n_points > limit:
+        # r14 (ADVICE r13, high): on the non-broadcast path the kd join
+        # plans as a shuffle join keyed on id, which re-partitions and
+        # re-sorts the 9x frame by id — destroying the cell-contiguity
+        # contract the lrd _per_cell pass requires (a fragmented cell
+        # with > K rows per fragment would yield silently wrong
+        # n_k/lrd/LOF; <= K raises the point-law error). Restore the
+        # contract with one extra exchange + in-partition sort — only on
+        # the 10^10-point path, where one more slim-row shuffle is noise
+        # next to the matrix passes.
+        ex_kd = (ex_kd.repartition(F.col("px"), F.col("py"))
+                 .sortWithinPartitions("px", "py"))
 
     def lrd_fn(_key, pdf):
         """lrd pass, r11-fused: besides (n_k, sum_reach2, lrd_q) it emits

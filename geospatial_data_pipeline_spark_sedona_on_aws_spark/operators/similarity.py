@@ -541,15 +541,14 @@ def lsh_probe_masks(planes: int) -> tuple:
     return tuple(dict.fromkeys(masks))[:LSH_PROBE_BUDGET]
 
 
-def _bucket(v: Column, planes: int) -> Column:
-    """Axis-projection LSH bucket over `planes` planes:
-    bit p = (v[LSH_PLANE_DIMS[p]] >= 0). Built as ONE parsed SQL string
-    (r13 optimization round): the operator-built Column form cost ~6 py4j
-    round trips per plane of pure driver time; CASE WHEN parses to the
-    same expressions in the same left-assoc sum order."""
-    # only used with v = F.col("embedding"); keep the Column signature
-    # for the one test that passes a column directly
-    name = "embedding"
+def _bucket(name: str, planes: int) -> Column:
+    """Axis-projection LSH bucket over `planes` planes of the embedding
+    column named `name`: bit p = (col[LSH_PLANE_DIMS[p]] >= 0). Built as
+    ONE parsed SQL string (r13 optimization round): the operator-built
+    Column form cost ~6 py4j round trips per plane of pure driver time;
+    CASE WHEN parses to the same expressions in the same left-assoc sum
+    order. r14 (ADVICE r13): takes the column NAME — the old Column
+    parameter was dead (the body hardcoded 'embedding')."""
     expr = " + ".join(
         f"(CASE WHEN element_at({name}, {LSH_PLANE_DIMS[p]}) >= 0"
         f" THEN {1 << p} ELSE 0 END)"
@@ -612,7 +611,7 @@ def lsh_ann(spark: SparkSession, sf_dir: str,
     planes = lsh_planes_for(emb_count(spark, sf_dir))
     emb = _emb(spark, sf_dir).select(
         "vec_id", "embedding",
-        _bucket(F.col("embedding"), planes).alias("bucket"),
+        _bucket("embedding", planes).alias("bucket"),
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
     )
     # one parsed SQL string (r13 optimization round): the Column form cost
@@ -778,7 +777,7 @@ def cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes = lsh_planes_for(emb_count(spark, sf_dir))
     emb = _emb(spark, sf_dir).select(
         "vec_id", "embedding",
-        _bucket(F.col("embedding"), planes).alias("bucket"),
+        _bucket("embedding", planes).alias("bucket"),
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
     )
     a, b = emb.alias("a"), emb.alias("b")
@@ -842,7 +841,7 @@ def near_dup_topm(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes = lsh_planes_for(emb_count(spark, sf_dir))
     emb = _emb(spark, sf_dir).select(
         "vec_id", "embedding",
-        _bucket(F.col("embedding"), planes).alias("bucket"),
+        _bucket("embedding", planes).alias("bucket"),
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
     )
     if emb_count(spark, sf_dir) > LSH_ARROW_MIN_N:
@@ -957,7 +956,7 @@ def rep_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes = lsh_planes_for(emb_count(spark, sf_dir))
     emb = _emb(spark, sf_dir).select(
         "vec_id", "embedding",
-        _bucket(F.col("embedding"), planes).alias("bucket"),
+        _bucket("embedding", planes).alias("bucket"),
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
     )
     reps = (

@@ -23,22 +23,29 @@ from pyspark.sql import functions as F
 _SCAN_CACHE: dict = {}
 
 
-def _scan_key(spark: SparkSession, path: str) -> tuple:
+def _scan_key(spark: SparkSession, path: str) -> tuple | None:
     import os
 
     try:
         st = os.stat(path)
         ident = (st.st_mtime_ns, st.st_size)
     except OSError:
-        # directory-shaped parquet or remote path: identity falls back to
-        # the path only; regeneration then needs a new path
-        ident = (0, 0)
-    return (id(spark), path) + ident
+        # unstat-able (remote) path: no stable identity — don't memoize
+        # (r14, ADVICE r13: the old (0,0) fallback cached such paths
+        # forever across data changes)
+        return None
+    # r14 (ADVICE r13): id(spark) can be recycled by CPython after a
+    # stopped session is collected; applicationId is unique per
+    # SparkContext, so a new session never inherits a dead session's
+    # cached plans (one cheap py4j call vs the ~0.1 s handshake saved)
+    return (spark.sparkContext.applicationId, path) + ident
 
 
 def read_parquet_cached(spark: SparkSession, path: str) -> DataFrame:
     """`spark.read.parquet(path)` with the analyzed-plan memo above."""
     key = _scan_key(spark, path)
+    if key is None:
+        return spark.read.parquet(path)
     df = _SCAN_CACHE.get(key)
     if df is None:
         df = spark.read.parquet(path)
@@ -87,7 +94,7 @@ def _scan_partitions(df: DataFrame) -> int:
         files = tuple(sorted(df.inputFiles()))
     except Exception:
         return df.rdd.getNumPartitions()
-    key = (id(df.sparkSession), files)
+    key = (df.sparkSession.sparkContext.applicationId, files)
     n = _NPART_CACHE.get(key)
     if n is None:
         n = df.rdd.getNumPartitions()

@@ -165,6 +165,13 @@ def test_forced_shuffle_join_config(spark, result):
     spark.conf.set(O.BROADCAST_CONF, "0")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # r14 (ADVICE r13, medium): a tiny Arrow batch cap makes the lrd
+    # pass's cell groups straddle batch boundaries, so this exercises
+    # the multi-batch _per_cell path where a fragmented (id-sorted)
+    # input would actually fail — at sf0.001 the whole partition
+    # otherwise fits one batch and intra-batch groupby hides the
+    # fragmentation the shuffle join causes.
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "500")
     try:
         df = O.local_outlier_factor(spark, SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
@@ -174,6 +181,7 @@ def test_forced_shuffle_join_config(spark, result):
         spark.conf.unset(O.BROADCAST_CONF)
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
     assert len(shuffled) == len(result)
     for i, r in result.items():
         s = shuffled[i]

@@ -242,7 +242,7 @@ def test_rep_near_dup_linear_edge_contract(spark):
     planes = SIM.lsh_planes_for(n)
     emb = SIM._emb(spark, SF_SMOKE).select(
         "vec_id",
-        SIM._bucket(F.col("embedding"), planes).alias("bucket")).toPandas()
+        SIM._bucket("embedding", planes).alias("bucket")).toPandas()
     bucket_of = dict(zip(emb["vec_id"], emb["bucket"]))
     rep_of = emb.groupby("bucket")["vec_id"].min().to_dict()
     for a, b in zip(edges["doc_a"], edges["doc_b"]):
