@@ -1066,8 +1066,42 @@ def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos_sim": sims.ravel()[mask.ravel()],
         })
 
-    pairs = assigned.groupBy("list_id").applyInPandas(
-        list_sims, schema="query_id long, neighbor_id long, cos_sim double"
+    def _per_list(batches):
+        """Stream whole-partition batches, applying list_sims to each
+        contiguous list_id group (r14, VERDICT r13 item 4 — the LOF
+        _per_cell pattern): the old groupBy().applyInPandas shipped one
+        Arrow batch per inverted list through the per-group protocol and
+        planned a FlatMapGroupsInPandas (GrpPandas) stage; rows arrive
+        here hash-partitioned and sorted by list_id, so groups are
+        contiguous and only a batch-straddling tail group is carried.
+        Per-group math is byte-identical (list_sims builds its matrices
+        from the group's rows; cosines are per-pair folds, order-free)."""
+        tail = None
+        for pdf in batches:
+            if tail is not None:
+                pdf = pd.concat([tail, pdf], ignore_index=True)
+                tail = None
+            if not len(pdf):
+                continue
+            last = pdf["list_id"].iat[-1]
+            is_tail = pdf["list_id"] == last
+            body = pdf.loc[~is_tail]
+            tail = pdf.loc[is_tail]
+            outs = [out for _, g in body.groupby("list_id", sort=False)
+                    for out in (list_sims(None, g),) if len(out)]
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+        if tail is not None and len(tail):
+            out = list_sims(None, tail)
+            if len(out):
+                yield out
+
+    pairs = (
+        assigned.repartition(F.col("list_id"))
+        .sortWithinPartitions("list_id")
+        .mapInPandas(
+            _per_list,
+            schema="query_id long, neighbor_id long, cos_sim double")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (

@@ -16,7 +16,7 @@ def main():
     spark = get_spark("capture_plan")
     spark.sparkContext.setLogLevel("ERROR")
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r13")
+        os.path.abspath(__file__))), "plans", "r14")
     os.makedirs(out_dir, exist_ok=True)
     for n in names:
         df = QUERIES[n](spark, sf_dir)

@@ -292,3 +292,46 @@ def test_near_dup_topm_big_and_small_paths_agree(spark):
     assert a["neighbor_id"].tolist() == b["neighbor_id"].tolist()
     assert a["rank"].tolist() == b["rank"].tolist()
     assert a["cos_sim"].tolist() == b["cos_sim"].tolist()  # bitwise
+
+
+def test_ivf_streams_lists_without_grppandas(spark):
+    """r14 (VERDICT r13 item 4): the in-list scorer streams cell-sorted
+    partitions through mapInPandas — the per-group Arrow protocol
+    (FlatMapGroupsInPandas) must be gone from the plan, and the scored
+    pair set must be identical to a reference per-group recomputation."""
+    import numpy as np
+
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.operators import similarity as SIM
+
+    df = SIM.ivf_ann(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "MapInPandas" in plan
+    got = df.toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    # reference: exact top-5 within each vector's assigned list, computed
+    # from the same deterministic assignment law (argmax of fold-ordered
+    # cosines against the 16 lowest-id centroids)
+    emb = SIM._emb(spark, SF_SMOKE).toPandas()
+    V = np.array(emb["embedding"].tolist(), dtype=np.float64)
+    ids = emb["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    V, ids = V[order], ids[order]
+    C = V[ids < SIM.IVF_NLIST]
+    dots = np.zeros((len(V), len(C)))
+    for i in range(V.shape[1]):
+        dots = dots + np.multiply.outer(V[:, i], C[:, i])
+    sims = dots / np.multiply.outer(np.sqrt((V * V).sum(1)),
+                                    np.sqrt((C * C).sum(1)))
+    lists = sims.argmax(axis=1)
+    rows = []
+    for q in np.flatnonzero(ids < SIM.N_QUERY_VECS):
+        mates = np.flatnonzero(lists == lists[q])
+        cand = [(float(np.dot(V[m], V[q])
+                       / (np.linalg.norm(V[m]) * np.linalg.norm(V[q]))),
+                 int(ids[m])) for m in mates if m != q]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        for r, (c, n) in enumerate(cand[:SIM.IVF_TOPK], 1):
+            rows.append((int(ids[q]), n, r))
+    ref = sorted(rows)
+    got_rows = sorted(zip(got["query_id"], got["neighbor_id"], got["rank"]))
+    assert [(a, b, c) for a, b, c in got_rows] == ref
