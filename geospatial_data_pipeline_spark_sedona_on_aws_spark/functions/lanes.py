@@ -118,6 +118,31 @@ class _Batch:
         return self.extract(pattern)[0]
 
 
+#: most-recent _Batch per input-Series identity (r14, guide §4.2): one
+#: EvalPythonExec node evaluates EVERY lane-hooked UDF column of a
+#: projection against the same materialized batch series, so without
+#: sharing, each hook re-ran the arrow conversion and its regex extracts
+#: over identical data — profiled at ~1-2 s of pyarrow `extract_regex`
+#: per UDF column per 600k rows in st_clearance_ops (16 columns). The
+#: memo holds a strong ref to the keyed Series, so its id() cannot be
+#: recycled while the entry lives (`b.s is s` is then conclusive); the
+#: small LRU bounds worker memory at a few batches of strings.
+_BATCH_MEMO: dict = {}
+_BATCH_MEMO_MAX = 16
+
+
+def batch_of(s: pd.Series) -> _Batch:
+    key = id(s)
+    b = _BATCH_MEMO.get(key)
+    if b is not None and b.s is s:
+        return b
+    b = _Batch(s)
+    _BATCH_MEMO[key] = b
+    while len(_BATCH_MEMO) > _BATCH_MEMO_MAX:
+        _BATCH_MEMO.pop(next(iter(_BATCH_MEMO)))
+    return b
+
+
 def _eq(g, i, j) -> np.ndarray:
     return pc.fill_null(pc.equal(g[i], g[j]), False).to_numpy(
         zero_copy_only=False)
@@ -170,7 +195,7 @@ class _Fill:
 
     def __init__(self, s: pd.Series):
         self.s = s
-        self.b = _Batch(s)
+        self.b = batch_of(s)
         self.out = np.full(len(s), None, dtype=object)
         self.claimed = np.zeros(len(s), bool)
 
@@ -198,10 +223,16 @@ class _Fill:
 
 
 def _fmt_np(v: np.ndarray, mask: np.ndarray) -> np.ndarray:
-    """kernel _fmt over the masked positions of a float array (per-row,
-    but trivially cheap next to a parse)."""
+    """kernel _fmt over the masked positions of a float array. r14: one
+    vectorized arrow cast (fmt_f64_full — bit-equal to _fmt for every
+    finite value, out-of-window rows patched through _fmt itself)
+    replaces the per-row repr loop, which profiled at ~2.3 s/600k in
+    the MIC lane alone."""
     out = np.full(len(v), None, dtype=object)
-    out[mask] = [_fmt(x) for x in v[mask]]
+    if mask.any():
+        sa, _ = fmt_f64_full(np.where(mask, v, 0.0))
+        vals = sa.to_pandas().to_numpy(dtype=object)
+        out[mask] = vals[mask]
     return out
 
 
@@ -342,7 +373,7 @@ def maximum_inscribed_circle(s: pd.Series, scalar_rows_fn) -> pd.DataFrame:
     center = np.full(n, None, dtype=object)
     nearest = np.full(n, None, dtype=object)
     radius = np.full(n, None, dtype=object)
-    b = _Batch(s)
+    b = batch_of(s)
     g, ccw, _, _ = _poly5_walks(b)
     if ccw.any():
         a = _num(g, 0)
@@ -383,7 +414,7 @@ def distance_3d(a: pd.Series, b: pd.Series, scalar_fn) -> pd.Series:
     n = len(a)
     out = np.full(n, None, dtype=object)
     claimed = np.zeros(n, bool)
-    ba, bb = _Batch(a), _Batch(b)
+    ba, bb = batch_of(a), batch_of(b)
     mpz_b, gb = bb.extract(POINTZ)
 
     mpz_a, ga = ba.extract(POINTZ)
@@ -425,22 +456,22 @@ def distance_3d(a: pd.Series, b: pd.Series, scalar_fn) -> pd.Series:
 
 
 def _trig(t: pd.Series):
-    """cos/sin per row via math.* on the DISTINCT angles (one or two per
-    batch in practice) — numpy's vector cos/sin may differ from libm in
-    the last ulp, and the lane must be bit-equal to the scalar."""
-    uniq = {v: (math.cos(float(v)), math.sin(float(v)))
-            for v in t.dropna().unique()}
-    cs = t.map(lambda v: uniq[v][0] if pd.notna(v) else np.nan)
-    sn = t.map(lambda v: uniq[v][1] if pd.notna(v) else np.nan)
-    return (pd.to_numeric(cs).to_numpy(dtype=float),
-            pd.to_numeric(sn).to_numpy(dtype=float))
+    """cos/sin per DISTINCT angle via math.* (numpy's vector cos/sin may
+    differ from libm in the last ulp, and the lane must be bit-equal to
+    the scalar), gathered back with one factorize — r14: the old per-row
+    t.map pair profiled at ~3 s/600k per rotation UDF."""
+    codes, uniques = pd.factorize(t)
+    cu = np.array([math.cos(float(v)) for v in uniques] + [np.nan])
+    su = np.array([math.sin(float(v)) for v in uniques] + [np.nan])
+    codes = np.where(codes < 0, len(uniques), codes)
+    return cu[codes], su[codes]
 
 
 def _rot_lane(s, t, scalar_fn, emit):
     n = len(s)
     out = np.full(n, None, dtype=object)
     claimed = np.zeros(n, bool)
-    b = _Batch(s)
+    b = batch_of(s)
     tn = pd.to_numeric(t, errors="coerce")
     tmask = tn.notna().to_numpy()
     c = sn = None

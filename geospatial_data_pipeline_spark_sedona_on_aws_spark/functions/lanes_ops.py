@@ -45,8 +45,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from . import lanes as L
-from .lanes import (_Batch, _Fill, _named, _num, _join, fmt_f64_full
-                    as fmt_f64, FPOINT2, FPOINTZ, POLY5)
+from .lanes import (_Batch, _Fill, _named, _num, _join, batch_of,
+                    fmt_f64_full as fmt_f64, FPOINT2, FPOINTZ, POLY5)
 
 _F = L._F
 _FN = r"(?:-?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?)"     # non-capturing float
@@ -350,7 +350,7 @@ def perimeter(s: pd.Series, scalar_fn) -> pd.Series:
 def angle3(p1: pd.Series, p2: pd.Series, p3: pd.Series,
            scalar_fn) -> pd.Series:
     n = len(p1)
-    b1, b2, b3 = _Batch(p1), _Batch(p2), _Batch(p3)
+    b1, b2, b3 = batch_of(p1), batch_of(p2), batch_of(p3)
     m1, g1 = b1.extract(FPOINT2)
     m2, g2 = b2.extract(FPOINT2)
     m3, g3 = b3.extract(FPOINT2)
@@ -395,7 +395,7 @@ def _rect_corners(b: _Batch):
 
 def max_distance(a: pd.Series, b: pd.Series, scalar_fn) -> pd.Series:
     n = len(a)
-    ba, bb = _Batch(a), _Batch(b)
+    ba, bb = batch_of(a), batch_of(b)
     mp, gp = ba.extract(FPOINT2)
     mr, corners = _rect_corners(bb)
     m = mp & mr
@@ -412,7 +412,7 @@ def max_distance(a: pd.Series, b: pd.Series, scalar_fn) -> pd.Series:
 
 def longest_line(a: pd.Series, b: pd.Series, scalar_fn) -> pd.Series:
     n = len(a)
-    ba, bb = _Batch(a), _Batch(b)
+    ba, bb = batch_of(a), batch_of(b)
     mp, gp = ba.extract(FPOINT2)
     mr, corners = _rect_corners(bb)
     m = mp & mr
@@ -443,7 +443,7 @@ def longest_line(a: pd.Series, b: pd.Series, scalar_fn) -> pd.Series:
 
 def shortest_line(a: pd.Series, b: pd.Series, scalar_fn) -> pd.Series:
     n = len(a)
-    ba, bb = _Batch(a), _Batch(b)
+    ba, bb = batch_of(a), batch_of(b)
     mp, gp = ba.extract(FPOINT2)
     mr, corners = _rect_corners(bb)
     px, py = _num(gp, 0), _num(gp, 1)
@@ -491,7 +491,7 @@ def shortest_line(a: pd.Series, b: pd.Series, scalar_fn) -> pd.Series:
 
 def hausdorff(a: pd.Series, b: pd.Series, scalar_fn) -> pd.Series:
     n = len(a)
-    ba, bb = _Batch(a), _Batch(b)
+    ba, bb = batch_of(a), batch_of(b)
     ma, ga = ba.extract(FLINE2)
     mb, gb = bb.extract(FLINE2)
     m = ma & mb
@@ -523,7 +523,7 @@ def hausdorff(a: pd.Series, b: pd.Series, scalar_fn) -> pd.Series:
 
 def frechet(a: pd.Series, b: pd.Series, scalar_fn) -> pd.Series:
     n = len(a)
-    ba, bb = _Batch(a), _Batch(b)
+    ba, bb = batch_of(a), batch_of(b)
     ma, ga = ba.extract(FLINE2)
     mb, gb = bb.extract(FLINE2)
     m = ma & mb
@@ -984,7 +984,7 @@ def add_point(line: pd.Series, pt: pd.Series, pos: pd.Series,
               scalar_fn) -> pd.Series:
     pn = _npnum(pos)
     n = len(line)
-    bl, bp = _Batch(line), _Batch(pt)
+    bl, bp = batch_of(line), batch_of(pt)
     ml, gl = bl.extract(FLINE2)
     mp, gp = bp.extract(FPOINT2)
     m = ml & mp & ~np.isnan(pn)
@@ -1066,7 +1066,7 @@ def set_point(line: pd.Series, pos: pd.Series, pt: pd.Series,
               scalar_fn) -> pd.Series:
     pn = _npnum(pos)
     n = len(line)
-    bl, bp = _Batch(line), _Batch(pt)
+    bl, bp = batch_of(line), batch_of(pt)
     ml, gl = bl.extract(FLINE2)
     mp, gp = bp.extract(FPOINT2)
     idx = np.where(pn < 0, pn + 2, pn)      # 2-point path
@@ -1108,7 +1108,7 @@ def snap(g: pd.Series, ref: pd.Series, tol: pd.Series,
          scalar_fn) -> pd.Series:
     tn = _npnum(tol)
     n = len(g)
-    bg, br = _Batch(g), _Batch(ref)
+    bg, br = batch_of(g), batch_of(ref)
     ml, gl = bg.extract(FLINE2)
     mp, gp = br.extract(FPOINT2)
     m = ml & mp & ~np.isnan(tn)
@@ -1176,7 +1176,7 @@ def snap(g: pd.Series, ref: pd.Series, tol: pd.Series,
 
 def split(a: pd.Series, b: pd.Series, scalar_fn) -> pd.Series:
     n = len(a)
-    ba, bb = _Batch(a), _Batch(b)
+    ba, bb = batch_of(a), batch_of(b)
     ml, gl = ba.extract(FLINE2)
     mp, gp = bb.extract(FPOINT2)
     m = ml & mp
@@ -1520,21 +1520,38 @@ def num_geometries(s: pd.Series, scalar_fn) -> pd.Series:
 
 def length(s: pd.Series, scalar_fn) -> pd.Series:
     """Float generalization of lanes.length: any canonical 2D LINESTRING
-    — per-row math.hypot fold over the pre-parsed pairs (the scalar's
-    exact sum order), skipping only the WKT parse."""
+    — per-row math.hypot fold (the scalar's exact sum order) over pairs
+    parsed in ONE bulk pass. r14: the old per-row replace/split/float
+    loop profiled at ~5 s/600k (the hottest line of st_clearance_ops);
+    now the matched bodies join into one string, split once, and convert
+    through one numpy float64 parse (the _typed_lane_wkb precedent —
+    same parser, bit-identical floats); only the hypot fold itself stays
+    per row, preserving the scalar's left-to-right sum order."""
+    import pyarrow.compute as pc
+
     f = _Fill(s)
     m, g = f.b.extract(FLINE_ANY)
     if m.any():
+        rows = np.flatnonzero(m)
         body = g[0].to_pandas().to_numpy()
-        vals = np.full(len(s), None, dtype=object)
-        hyp = math.hypot
-        for i in np.nonzero(m)[0]:
-            nums = body[i].replace(",", " ").split()
-            it = iter(nums)
-            pts = [(float(a), float(b)) for a, b in zip(it, it)]
-            vals[i] = sum(hyp(q[0] - p[0], q[1] - p[1])
-                          for p, q in zip(pts, pts[1:]))
-        f.put(m, vals)
+        npts = pc.count_substring(g[0], pattern=",").to_numpy(
+            zero_copy_only=False).astype(np.int64)[rows] + 1
+        joined = ",".join(body[i] for i in rows)
+        nums = np.array(joined.replace(",", " ").split(),
+                        dtype=np.float64)
+        if len(nums) == 2 * int(npts.sum()):
+            xs, ys = nums[0::2], nums[1::2]
+            off = np.zeros(len(rows) + 1, dtype=np.int64)
+            np.cumsum(npts, out=off[1:])
+            vals = np.full(len(s), None, dtype=object)
+            hyp = math.hypot
+            for j, i in enumerate(rows):
+                lo, hi = off[j], off[j + 1]
+                tot = 0
+                for k in range(lo, hi - 1):
+                    tot = tot + hyp(xs[k + 1] - xs[k], ys[k + 1] - ys[k])
+                vals[i] = tot
+            f.put(m, vals)
     f.put(f.b.match(FPOINT2), 0.0)
     return f.finish(scalar_fn)
 

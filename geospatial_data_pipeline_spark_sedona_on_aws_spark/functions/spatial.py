@@ -3659,6 +3659,41 @@ def st_numgeoms_length(s: pd.Series) -> pd.DataFrame:
         "len": LO.length(s, _length).astype("float64"),
     })
 
+
+_XYZ_T = StructType([StructField("x", DoubleType()),
+                     StructField("y", DoubleType()),
+                     StructField("z", DoubleType())])
+_NP_LEN_T = StructType([StructField("np", LongType()),
+                        StructField("len", DoubleType())])
+
+
+@pandas_udf(_XYZ_T)
+def st_xyz(s: pd.Series) -> pd.DataFrame:
+    """Fused ST_X + ST_Y + ST_Z as one struct (r14, the st_xy
+    rationale): a derived geometry consumed by several coordinate
+    accessors — e.g. ST_Y(ST_RotateX(g, θ)) AND ST_Z(ST_RotateX(g, θ))
+    — re-evaluates the rotation once per accessor chain; one struct
+    consumer evaluates it once. Literal composition of the three
+    accessor lanes."""
+    return pd.DataFrame({
+        "x": LN.st_x(s, lambda w: _st_xy(w, 0)).astype("float64"),
+        "y": LN.st_y(s, lambda w: _st_xy(w, 1)).astype("float64"),
+        "z": LN._xy_accessor(s, 2, lambda w: _st_xy(w, 2)).astype("float64"),
+    })
+
+
+@pandas_udf(_NP_LEN_T)
+def st_npoints_length(s: pd.Series) -> pd.DataFrame:
+    """Fused ST_NPoints + ST_Length of the same geometry (r14): the
+    SimplifyVW / AddPoint / RemovePoint consumers each read both
+    measures of one derived line — fusing keeps the derivation chain
+    single-consumer, evaluated once. Literal composition of the
+    st_npoints / st_length lanes."""
+    return pd.DataFrame({
+        "np": LO.npoints(s, _npoints).astype("Int64"),
+        "len": LO.length(s, _length).astype("float64"),
+    })
+
 @pandas_udf(StringType())
 def st_force2d(s: pd.Series) -> pd.Series:
     return s.map(_force_2d, na_action="ignore")
@@ -4561,6 +4596,8 @@ _REGISTRY = {
     "ST_XY": st_xy,                        # fused X+Y struct (r13)
     "ST_EndXYLen": st_end_xy_len,          # fused endpoint-XY + length
     "ST_NumGeomsLength": st_numgeoms_length,  # fused count + length
+    "ST_XYZ": st_xyz,                      # fused X+Y+Z struct (r14)
+    "ST_NPointsLength": st_npoints_length,  # fused count + length (r14)
     "ST_DistanceSphere": st_distancesphere,
     "ST_DistanceSpheroid": st_distancespheroid,
     "ST_AreaSpheroid": st_areaspheroid,

@@ -667,17 +667,75 @@ _MIC_SCHEMA = StructType([
     StructField("radius", DoubleType()),
 ])
 
+
+def _mic_rows(sub: pd.Series) -> pd.DataFrame:
+    rows = [(_maximum_inscribed_circle(w) or (None, None, None))
+            if w is not None else (None, None, None) for w in sub]
+    return pd.DataFrame(rows, columns=["center", "nearest", "radius"],
+                        index=sub.index)
+
+
 @pandas_udf(_MIC_SCHEMA)
 def st_maximuminscribedcircle(s: pd.Series) -> pd.DataFrame:
-    def scalar_rows(sub: pd.Series) -> pd.DataFrame:
-        rows = [(_maximum_inscribed_circle(w) or (None, None, None))
-                if w is not None else (None, None, None) for w in sub]
-        return pd.DataFrame(rows, columns=["center", "nearest", "radius"],
-                            index=sub.index)
-
-    out = LN.maximum_inscribed_circle(s, scalar_rows)
+    out = LN.maximum_inscribed_circle(s, _mic_rows)
     out["radius"] = pd.to_numeric(out["radius"], errors="coerce")
     return out
+
+
+_MICS_T = StructType([
+    StructField("radius", DoubleType()),
+    StructField("cx", DoubleType()),
+    StructField("cy", DoubleType()),
+    StructField("nx", DoubleType()),
+    StructField("ny", DoubleType()),
+])
+
+
+@pandas_udf(_MICS_T)
+def st_micstats(s: pd.Series) -> pd.DataFrame:
+    """Fused ST_MaximumInscribedCircle + the four coordinate reads of
+    its center/nearest points (r14, the st_xy rationale): the
+    clearance batch consumed the MIC struct through FIVE separate
+    chains, re-evaluating the solver per output column. Literal
+    composition: the same MIC lane/scalar rows, then the same st_x/st_y
+    accessor lanes over the emitted POINT text."""
+    from .spatial import _st_xy
+
+    mic = LN.maximum_inscribed_circle(s, _mic_rows)
+    center, nearest = mic["center"], mic["nearest"]
+    return pd.DataFrame({
+        "radius": pd.to_numeric(mic["radius"], errors="coerce"),
+        "cx": LN.st_x(center, lambda w: _st_xy(w, 0)).astype("float64"),
+        "cy": LN.st_y(center, lambda w: _st_xy(w, 1)).astype("float64"),
+        "nx": LN.st_x(nearest, lambda w: _st_xy(w, 0)).astype("float64"),
+        "ny": LN.st_y(nearest, lambda w: _st_xy(w, 1)).astype("float64"),
+    })
+
+
+_MCLS_T = StructType([
+    StructField("clear", DoubleType()),
+    StructField("len", DoubleType()),
+    StructField("wkt", StringType()),
+])
+
+
+@pandas_udf(_MCLS_T)
+def st_minclearstats(s: pd.Series) -> pd.DataFrame:
+    """Fused ST_MinimumClearance + ST_MinimumClearanceLine +
+    ST_Length(line) (r14): the three consumers each re-ran the
+    clearance pair scan per output chain (the lru memo amortized the
+    scan, not the parse/serialize per chain). Literal composition of
+    the clearance lanes and the length lane over the emitted line."""
+    from . import lanes_ops as LO
+    from .spatial import _length
+
+    wkt = LN.minimum_clearance_line(s, _minimum_clearance_line)
+    return pd.DataFrame({
+        "clear": LN.minimum_clearance(s, _minimum_clearance)
+        .astype("float64"),
+        "len": LO.length(wkt, _length).astype("float64"),
+        "wkt": wkt,
+    })
 
 @pandas_udf(DoubleType())
 def st_3ddistance(a: pd.Series, b: pd.Series) -> pd.Series:
@@ -766,6 +824,8 @@ REGISTRY_EXT = {
     "ST_MinimumClearance": st_minimumclearance,
     "ST_MinimumClearanceLine": st_minimumclearanceline,
     "ST_MaximumInscribedCircle": st_maximuminscribedcircle,
+    "ST_MICStats": st_micstats,            # fused MIC + coords (r14)
+    "ST_MinClearStats": st_minclearstats,  # fused clearance trio (r14)
     "ST_3DDistance": st_3ddistance,
     "ST_RotateX": st_rotatex,
     "ST_RotateY": st_rotatey,

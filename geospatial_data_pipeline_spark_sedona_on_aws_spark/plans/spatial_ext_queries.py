@@ -187,42 +187,54 @@ def st_clearance_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
            "', ', x1 + 4 * s, ' ', y1,"
            "', ', x1 + 6 * s, ' ', y1 + 5 * s,"
            "', ', x1 + 8 * s, ' ', y1, ')')")
+    # r14 (VERDICT r13 item 2): the multi-consumer inner UDFs are FUSED
+    # into single struct-returning consumers — EvalPythonExec builds one
+    # chained pipeline per OUTPUT udf column, so the old spelling
+    # re-evaluated ST_MaximumInscribedCircle five times and
+    # ST_MinimumClearanceLine / ST_SimplifyVW / ST_RotateX / ST_RotateY
+    # twice each (select-layer hoisting does NOT help: the planner
+    # inlines the aliases back into per-output chains — measured with
+    # the UDF profiler). ST_MICStats / ST_MinClearStats / ST_XYZ /
+    # ST_NPointsLength are literal compositions of the same lanes, so
+    # every derived geometry is now evaluated exactly once; values and
+    # the oracle are unchanged.
     return lu.selectExpr(
         "property_id", "x1", "y1", "x2", "y2",
         "1 + property_id % 3 AS s",
     ).selectExpr(
         "property_id",
-        f"ST_MinimumClearance({rect}) AS min_clear",
-        f"ST_Length(ST_MinimumClearanceLine({rect})) AS mcl_len",
-        f"ST_AsText(ST_MinimumClearanceLine({rect})) AS mcl_wkt",
-        f"ST_MaximumInscribedCircle({rect}).radius AS mic_radius",
-        f"CAST(round(ST_X(ST_MaximumInscribedCircle({rect}).center)"
-        " * 100) AS BIGINT) AS mic_cx_q",
-        f"CAST(round(ST_Y(ST_MaximumInscribedCircle({rect}).center)"
-        " * 100) AS BIGINT) AS mic_cy_q",
-        f"CAST(round(ST_X(ST_MaximumInscribedCircle({rect}).nearest)"
-        " * 100) AS BIGINT) AS mic_nx_q",
-        f"CAST(round(ST_Y(ST_MaximumInscribedCircle({rect}).nearest)"
-        " * 100) AS BIGINT) AS mic_ny_q",
+        f"ST_MinClearStats({rect}) AS __mcs",
+        f"ST_MICStats({rect}) AS __mic",
         "ST_3DDistance(concat('POINT Z (', x1, ' ', y1, ' 0)'),"
         " concat('POINT Z (', x2, ' ', y2, ' ', x2 - x1, ')')) AS d3_pp",
         "ST_3DDistance(concat('LINESTRING Z (', x1, ' ', y1, ' 0, ',"
         " x2, ' ', y1, ' 0)'),"
         " concat('POINT Z (', x1, ' ', y2, ' ', x2 - x1, ')')) AS d3_sp",
-        "CAST(round(ST_Y(ST_RotateX(concat('POINT Z (', x1, ' ', y1,"
-        " ' ', x2 - x1, ')'), pi())) * 1000000) AS BIGINT) AS rx_y_q",
-        "CAST(round(ST_Z(ST_RotateX(concat('POINT Z (', x1, ' ', y1,"
-        " ' ', x2 - x1, ')'), pi())) * 1000000) AS BIGINT) AS rx_z_q",
-        "CAST(round(ST_X(ST_RotateY(concat('POINT Z (', x1, ' ', y1,"
-        " ' ', x2 - x1, ')'), pi())) * 1000000) AS BIGINT) AS ry_x_q",
-        "CAST(round(ST_Z(ST_RotateY(concat('POINT Z (', x1, ' ', y1,"
-        " ' ', x2 - x1, ')'), pi())) * 1000000) AS BIGINT) AS ry_z_q",
-        f"ST_NPoints(ST_SimplifyVW({zig}, CAST(3 * s * s AS DOUBLE)))"
-        " AS vw_np",
+        "ST_XYZ(ST_RotateX(concat('POINT Z (', x1, ' ', y1,"
+        " ' ', x2 - x1, ')'), pi())) AS __rx",
+        "ST_XYZ(ST_RotateY(concat('POINT Z (', x1, ' ', y1,"
+        " ' ', x2 - x1, ')'), pi())) AS __ry",
+        f"ST_NPointsLength(ST_SimplifyVW({zig},"
+        " CAST(3 * s * s AS DOUBLE))) AS __vw",
+    ).selectExpr(
+        "property_id",
+        "__mcs.clear AS min_clear",
+        "__mcs.len AS mcl_len",
+        "__mcs.wkt AS mcl_wkt",
+        "__mic.radius AS mic_radius",
+        "CAST(round(__mic.cx * 100) AS BIGINT) AS mic_cx_q",
+        "CAST(round(__mic.cy * 100) AS BIGINT) AS mic_cy_q",
+        "CAST(round(__mic.nx * 100) AS BIGINT) AS mic_nx_q",
+        "CAST(round(__mic.ny * 100) AS BIGINT) AS mic_ny_q",
+        "d3_pp", "d3_sp",
+        "CAST(round(__rx.y * 1000000) AS BIGINT) AS rx_y_q",
+        "CAST(round(__rx.z * 1000000) AS BIGINT) AS rx_z_q",
+        "CAST(round(__ry.x * 1000000) AS BIGINT) AS ry_x_q",
+        "CAST(round(__ry.z * 1000000) AS BIGINT) AS ry_z_q",
+        "__vw.np AS vw_np",
         # quantized: the engine folds per-segment hypots in path order,
         # the oracle factors s*(4 + 2*sqrt(29)) — ulp-different doubles
-        f"CAST(round(ST_Length(ST_SimplifyVW({zig},"
-        " CAST(3 * s * s AS DOUBLE))) * 1000000) AS BIGINT) AS vw_len_q",
+        "CAST(round(__vw.len * 1000000) AS BIGINT) AS vw_len_q",
     )
 
 ST_CLEARANCE_OPS_ORACLE = f"""

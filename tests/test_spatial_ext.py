@@ -324,3 +324,68 @@ def test_xml_and_srid_error_edges():
         "<LineString><coordinates>1,2,3 4,5,6</coordinates>"
         "</LineString>") == "LINESTRING Z (1 2 3, 4 5 6)"
     assert SX._srid("srid=31983;POINT (1 2)") == 31983
+
+
+def test_r14_fused_struct_udfs_equal_composition(spark):
+    """r14 (optimization round 2): the fused struct UDFs added for the
+    ST_ sweep heavies — ST_MICStats, ST_MinClearStats, ST_XYZ,
+    ST_NPointsLength — must equal the unfused compositions
+    value-for-value on the rect lane, a slow-path L-shape, a POINT Z
+    rotation input, and NULL rows."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions.spatial import (
+        register_spatial_functions,
+    )
+
+    register_spatial_functions(spark)
+    rows = [
+        (0, "POLYGON ((10 10, 60 10, 60 40, 10 40))",           # rect lane
+         "POINT Z (3 4 5)",
+         "LINESTRING (0 0, 2 0, 2 1, 4 1, 4 0, 6 5, 8 0)"),
+        (1, "POLYGON ((0 0, 40 0, 40 20, 20 20, 20 40, 0 40))",  # L-shape
+         "POINT Z (-7 2.5 0)",
+         "LINESTRING (0 0, 1 1)"),
+        (2, None, None, None),                                  # NULL row
+        (3, "POLYGON ((5 5, 9 5, 9 9, 5 9, 5 5))",              # closed rect
+         "POINT (1 2)",                                         # 2D: z null
+         "LINESTRING (0 0, 3 0, 3 3)"),
+    ]
+    df = spark.createDataFrame(rows, "id int, g string, p string, l string")
+    df.createOrReplaceTempView("fused_r14")
+    fused = spark.sql("""
+      SELECT id,
+             ST_MICStats(g) AS mic,
+             ST_MinClearStats(g) AS mcs,
+             ST_XYZ(ST_RotateX(p, pi())) AS xyz,
+             ST_NPointsLength(ST_SimplifyVW(l, 2.0d)) AS npl
+      FROM fused_r14 ORDER BY id""").collect()
+    comp = spark.sql("""
+      SELECT id,
+             ST_MaximumInscribedCircle(g).radius AS mic_r,
+             ST_X(ST_MaximumInscribedCircle(g).center) AS mic_cx,
+             ST_Y(ST_MaximumInscribedCircle(g).center) AS mic_cy,
+             ST_X(ST_MaximumInscribedCircle(g).nearest) AS mic_nx,
+             ST_Y(ST_MaximumInscribedCircle(g).nearest) AS mic_ny,
+             ST_MinimumClearance(g) AS mc,
+             ST_Length(ST_MinimumClearanceLine(g)) AS mcl_len,
+             ST_AsText(ST_MinimumClearanceLine(g)) AS mcl_wkt,
+             ST_X(ST_RotateX(p, pi())) AS rx,
+             ST_Y(ST_RotateX(p, pi())) AS ry,
+             ST_Z(ST_RotateX(p, pi())) AS rz,
+             ST_NPoints(ST_SimplifyVW(l, 2.0d)) AS np,
+             ST_Length(ST_SimplifyVW(l, 2.0d)) AS len
+      FROM fused_r14 ORDER BY id""").collect()
+    for f, c in zip(fused, comp):
+        i = f["id"]
+        assert f["mic"]["radius"] == c["mic_r"], i
+        assert f["mic"]["cx"] == c["mic_cx"], i
+        assert f["mic"]["cy"] == c["mic_cy"], i
+        assert f["mic"]["nx"] == c["mic_nx"], i
+        assert f["mic"]["ny"] == c["mic_ny"], i
+        assert f["mcs"]["clear"] == c["mc"], i
+        assert f["mcs"]["len"] == c["mcl_len"], i
+        assert f["mcs"]["wkt"] == c["mcl_wkt"], i
+        assert f["xyz"]["x"] == c["rx"], i
+        assert f["xyz"]["y"] == c["ry"], i
+        assert f["xyz"]["z"] == c["rz"], i
+        assert f["npl"]["np"] == c["np"], i
+        assert f["npl"]["len"] == c["len"], i
