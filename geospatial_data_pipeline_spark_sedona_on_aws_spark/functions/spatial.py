@@ -3694,6 +3694,47 @@ def st_npoints_length(s: pd.Series) -> pd.DataFrame:
         "len": LO.length(s, _length).astype("float64"),
     })
 
+_APRM_T = StructType([StructField("ap_np", LongType()),
+                      StructField("ap_len", DoubleType()),
+                      StructField("rp_np", LongType()),
+                      StructField("rp_len", DoubleType())])
+_SPLIT_T = StructType([StructField("n", LongType()),
+                       StructField("len0", DoubleType())])
+
+
+@pandas_udf(_APRM_T)
+def st_addrm_stats(line: pd.Series, pt: pd.Series,
+                   pos: pd.Series) -> pd.DataFrame:
+    """Fused vertex-surgery round trip (r14, the st_xy rationale):
+    NPoints + Length of ST_AddPoint(line, pt, pos) AND of
+    ST_RemovePoint(that, pos) — the four separate consumer chains
+    re-ran AddPoint four times and RemovePoint twice per row. Literal
+    composition of the add/remove/npoints/length lanes; AddPoint and
+    RemovePoint each run exactly once."""
+    ap = LO.add_point(line, pt, pos, _add_point)
+    rp = LO.remove_point(ap, pos, _remove_point)
+    return pd.DataFrame({
+        "ap_np": LO.npoints(ap, _npoints).astype("Int64"),
+        "ap_len": LO.length(ap, _length).astype("float64"),
+        "rp_np": LO.npoints(rp, _npoints).astype("Int64"),
+        "rp_len": LO.length(rp, _length).astype("float64"),
+    })
+
+
+@pandas_udf(_SPLIT_T)
+def st_splitstats(a: pd.Series, b: pd.Series) -> pd.DataFrame:
+    """Fused ST_NumGeometries(ST_Split(a, b)) + ST_Length(ST_GeometryN(
+    ST_Split(a, b), 0)) (r14): the two consumer chains re-ran the split
+    per output column. Literal composition of the split / geometry_n /
+    num_geometries / length lanes."""
+    sp = LO.split(a, b, _split)
+    g0 = LO.geometry_n(sp, pd.Series(0, index=sp.index), _geometry_n)
+    return pd.DataFrame({
+        "n": LO.num_geometries(sp, _num_geometries).astype("Int64"),
+        "len0": LO.length(g0, _length).astype("float64"),
+    })
+
+
 @pandas_udf(StringType())
 def st_force2d(s: pd.Series) -> pd.Series:
     return s.map(_force_2d, na_action="ignore")
@@ -4598,6 +4639,8 @@ _REGISTRY = {
     "ST_NumGeomsLength": st_numgeoms_length,  # fused count + length
     "ST_XYZ": st_xyz,                      # fused X+Y+Z struct (r14)
     "ST_NPointsLength": st_npoints_length,  # fused count + length (r14)
+    "ST_AddRmStats": st_addrm_stats,       # fused vertex surgery (r14)
+    "ST_SplitStats": st_splitstats,        # fused split measures (r14)
     "ST_DistanceSphere": st_distancesphere,
     "ST_DistanceSpheroid": st_distancespheroid,
     "ST_AreaSpheroid": st_areaspheroid,

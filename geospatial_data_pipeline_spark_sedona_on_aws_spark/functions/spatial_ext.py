@@ -737,6 +737,60 @@ def st_minclearstats(s: pd.Series) -> pd.DataFrame:
         "wkt": wkt,
     })
 
+_FCW_T = StructType([
+    StructField("wkt", StringType()),
+    StructField("ccw_rt", StringType()),
+    StructField("is_cw", BooleanType()),
+    StructField("is_ccw", BooleanType()),
+    StructField("area", DoubleType()),
+])
+
+
+@pandas_udf(_FCW_T)
+def st_forcecwstats(s: pd.Series) -> pd.DataFrame:
+    """Fused ST_ForcePolygonCW + its five consumers (r14, the st_xy
+    rationale): the orientation batch read the CW-forced polygon through
+    SIX separate chains (AsText, AsText∘ForceRHR — the same value by
+    the PostGIS alias, AsText∘ForcePolygonCCW, IsPolygonCW, IsPolygonCCW,
+    Area), re-running the orientation pass per output column. Literal
+    composition of the same lanes over ONE cw series; ST_AsText is
+    identity on the canonical WKT carrier."""
+    from . import lanes_ops as LO
+    from .spatial import _area
+
+    cw = LN.force_polygon_cw(
+        s, lambda w: _force_orientation(w, exterior_ccw=False))
+    return pd.DataFrame({
+        "wkt": cw,
+        "ccw_rt": LN.force_polygon_ccw(
+            cw, lambda w: _force_orientation(w, exterior_ccw=True)),
+        "is_cw": LN.is_polygon_cw(
+            cw, lambda w: _is_polygon_oriented(w, exterior_ccw=False)
+        ).astype("boolean"),
+        "is_ccw": LN.is_polygon_ccw(
+            cw, lambda w: _is_polygon_oriented(w, exterior_ccw=True)
+        ).astype("boolean"),
+        "area": LO.area(cw, _area).astype("float64"),
+    })
+
+
+_ZMZ_T = StructType([StructField("zm", LongType()),
+                     StructField("z", DoubleType())])
+
+
+@pandas_udf(_ZMZ_T)
+def st_zmflagz(s: pd.Series) -> pd.DataFrame:
+    """Fused ST_Zmflag + ST_Z of the same geometry (r14): the Force3DZ
+    consumer pair re-ran the 3D lift once per accessor chain. Literal
+    composition of the zmflag / z-accessor lanes."""
+    from .spatial import _st_xy
+
+    return pd.DataFrame({
+        "zm": LN.zmflag(s, _zmflag).astype("Int64"),
+        "z": LN._xy_accessor(s, 2, lambda w: _st_xy(w, 2)).astype("float64"),
+    })
+
+
 @pandas_udf(DoubleType())
 def st_3ddistance(a: pd.Series, b: pd.Series) -> pd.Series:
     return LN.distance_3d(a, b, _distance3d).astype("float64")
@@ -826,6 +880,8 @@ REGISTRY_EXT = {
     "ST_MaximumInscribedCircle": st_maximuminscribedcircle,
     "ST_MICStats": st_micstats,            # fused MIC + coords (r14)
     "ST_MinClearStats": st_minclearstats,  # fused clearance trio (r14)
+    "ST_ForceCWStats": st_forcecwstats,    # fused CW + consumers (r14)
+    "ST_ZmflagZ": st_zmflagz,              # fused zmflag + Z (r14)
     "ST_3DDistance": st_3ddistance,
     "ST_RotateX": st_rotatex,
     "ST_RotateY": st_rotatey,

@@ -534,15 +534,17 @@ def st_affine_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_spatial_functions(spark)
     lu = fixtures.land_use_areas(spark, sf_dir)
+    # r14 (VERDICT item 2): the aff_cx/aff_cy pair re-ran
+    # ST_Affine∘ST_Centroid once per coordinate (EvalPythonExec chains
+    # per OUTPUT column) — the r13 fused ST_XY struct evaluates the
+    # affine+centroid chain once. Values and the oracle unchanged.
     return lu.selectExpr(
         "property_id",
         "CAST(round(ST_Area(ST_Rotate(land_geometry,"
         " 0.39269908169872414 * (property_id % 8))) * 10000) AS BIGINT)"
         " AS rot_area_q",
-        "ST_X(ST_Centroid(ST_Affine(land_geometry,"
-        " 0D, -1D, 1D, 0D, 0D, 0D))) AS aff_cx",
-        "ST_Y(ST_Centroid(ST_Affine(land_geometry,"
-        " 0D, -1D, 1D, 0D, 0D, 0D))) AS aff_cy",
+        "ST_XY(ST_Centroid(ST_Affine(land_geometry,"
+        " 0D, -1D, 1D, 0D, 0D, 0D))) AS __ac",
         "CAST(round(ST_Area(ST_Scale(land_geometry, 2D, 3D)) * 100)"
         " AS BIGINT) AS scale_area_q",
         "ST_X(ST_SnapToGrid(concat('POINT (', x1 + 0.3125, ' ', y1, ')'),"
@@ -553,6 +555,10 @@ def st_affine_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         " (1 + property_id % 5) / 4.0)) * 100) AS BIGINT) AS exp_area_q",
         "ST_GeometryType(ST_Multi(concat('POINT (', x1, ' ', y1, ')')))"
         " AS multi_type",
+    ).selectExpr(
+        "property_id", "rot_area_q",
+        "__ac.x AS aff_cx", "__ac.y AS aff_cy",
+        "scale_area_q", "snap_x", "rp_x", "exp_area_q", "multi_type",
     )
 
 ST_AFFINE_OPS_ORACLE = f"""
@@ -980,24 +986,31 @@ def st_edit_line_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     midpt = "concat('POINT (', (x1 + x2) / 2.0, ' ', y1 + 1, ')')"
     mid_on = "concat('POINT (', (x1 + x2) / 2.0, ' ', y1, ')')"
     near = "concat('POINT (', (x1 + x2) / 2.0, ' ', y1 + 0.25, ')')"
+    # r14 (VERDICT item 2): the vertex-surgery round trip re-ran
+    # ST_AddPoint four times and ST_RemovePoint twice per row (one
+    # EvalPythonExec chain per OUTPUT column), and ST_Split twice —
+    # ST_AddRmStats / ST_SplitStats are literal compositions of the
+    # same lanes, each edit evaluated once. Values and the oracle
+    # unchanged.
     return lu.selectExpr(
         "property_id",
-        f"ST_NPoints(ST_AddPoint({bottom}, {midpt}, 1)) AS ap_np",
-        f"CAST(round(ST_Length(ST_AddPoint({bottom}, {midpt}, 1))"
-        " * 10000) AS BIGINT) AS ap_len_q",
-        f"ST_NPoints(ST_RemovePoint(ST_AddPoint({bottom}, {midpt}, 1),"
-        " 1)) AS rp_np",
-        f"ST_Length(ST_RemovePoint(ST_AddPoint({bottom}, {midpt}, 1),"
-        " 1)) AS rp_len",
+        f"ST_AddRmStats({bottom}, {midpt}, 1) AS __ar",
         f"ST_X(ST_EndPoint(ST_SetPoint({bottom}, -1,"
         " concat('POINT (', x2 + 5, ' ', y1, ')')))) AS sp_x",
         f"ST_X(ST_StartPoint(ST_Snap(concat('LINESTRING (', x1 + 0.25,"
         f" ' ', y1, ', ', x2, ' ', y2, ')'),"
         " concat('POINT (', x1, ' ', y1, ')'), 0.5D))) AS snap_x",
         f"ST_NPoints(ST_Snap({bottom}, {near}, 0.5D)) AS snap_np",
-        f"ST_NumGeometries(ST_Split({bottom}, {mid_on})) AS split_n",
-        f"CAST(round(ST_Length(ST_GeometryN(ST_Split({bottom},"
-        f" {mid_on}), 0)) * 100) AS BIGINT) AS split_len_q",
+        f"ST_SplitStats({bottom}, {mid_on}) AS __sp",
+    ).selectExpr(
+        "property_id",
+        "__ar.ap_np AS ap_np",
+        "CAST(round(__ar.ap_len * 10000) AS BIGINT) AS ap_len_q",
+        "__ar.rp_np AS rp_np",
+        "__ar.rp_len AS rp_len",
+        "sp_x", "snap_x", "snap_np",
+        "__sp.n AS split_n",
+        "CAST(round(__sp.len0 * 100) AS BIGINT) AS split_len_q",
     )
 
 ST_EDIT_LINE_OPS_ORACLE = f"""

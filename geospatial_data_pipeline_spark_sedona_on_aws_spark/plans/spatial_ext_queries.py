@@ -40,19 +40,20 @@ def st_from_text_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     mpt = "concat('MULTIPOINT (', x1, ' ', y1, ', ', x2, ' ', y2, ')')"
     lfmp_src = ("concat('MULTIPOINT (', x1, ' ', y1, ', ', x2, ' ', y1,"
                 " ', ', x2, ' ', y2, ')')")
+    # r14 (VERDICT item 2): the PointFromText pair (X+Y) and the
+    # LineStringFromText pair (Length+NPoints) each re-parsed the same
+    # constructed geometry once per output column — the r13 fused
+    # structs ST_XY / ST_NPointsLength evaluate each constructor once.
+    # Values and the oracle unchanged (literal compositions).
     return lu.selectExpr(
         "property_id",
         "ST_Area(ST_PolygonFromEnvelope(CAST(x1 AS DOUBLE),"
         " CAST(y1 AS DOUBLE), CAST(x2 AS DOUBLE), CAST(y2 AS DOUBLE)))"
         " AS env_area",
-        "ST_X(ST_PointFromText(concat(x1, ',', y1), ',')) AS pft_x",
-        "ST_Y(ST_PointFromText(concat(x1, ',', y1), ',')) AS pft_y",
-        "ST_Length(ST_LineStringFromText("
+        "ST_XY(ST_PointFromText(concat(x1, ',', y1), ',')) AS __pft",
+        "ST_NPointsLength(ST_LineStringFromText("
         "concat(x1, ',', y1, ',', x2, ',', y1, ',', x2, ',', y2), ','))"
-        " AS lsft_len",
-        "ST_NPoints(ST_LineStringFromText("
-        "concat(x1, ',', y1, ',', x2, ',', y1, ',', x2, ',', y2), ','))"
-        " AS lsft_np",
+        " AS __lsft",
         f"ST_LineFromText({rect}) IS NULL AS lft_mismatch_null",
         "ST_Length(ST_LineFromText(concat('LINESTRING (', x1, ' ', y1,"
         "', ', x2, ' ', y1, ')'))) AS lft_len",
@@ -65,6 +66,15 @@ def st_from_text_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"ST_Length(ST_LineFromMultiPoint({lfmp_src})) AS lfmp_len",
         "ST_AsHEXEWKB('POINT (1 2)') AS hex_pt",
         f"CAST(length(ST_AsHEXEWKB({rect})) AS BIGINT) AS hex_rect_len",
+    ).selectExpr(
+        "property_id", "env_area",
+        "__pft.x AS pft_x",
+        "__pft.y AS pft_y",
+        "__lsft.len AS lsft_len",
+        "__lsft.np AS lsft_np",
+        "lft_mismatch_null", "lft_len", "mpoly_area",
+        "mpoly_mismatch_null", "mpt_np", "mpt_mismatch_null", "gc_n",
+        "lfmp_len", "hex_pt", "hex_rect_len",
     )
 
 ST_FROM_TEXT_OPS_ORACLE = f"""
@@ -110,30 +120,42 @@ def st_orientation_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
               " x2, ' ', y1, ', ', x1, ' ', y2, ', ', x1, ' ', y1, '))')")
     mls = ("concat('MULTILINESTRING ((', x1, ' ', y1, ', ', x2, ' ', y1,"
            " '), (', x2, ' ', y1, ', ', x2, ' ', y2, '))')")
+    # r14 (VERDICT item 2): ST_ForcePolygonCW fed SIX chains (AsText,
+    # AsText∘ForceRHR — the PostGIS alias of the same function, so the
+    # same value, AsText∘ForcePolygonCCW, IsPolygonCW, IsPolygonCCW,
+    # Area) and ST_Force3DZ fed two; EvalPythonExec re-evaluates the
+    # inner UDF once per OUTPUT column, so the orientation pass ran six
+    # times per row. ST_ForceCWStats / ST_ZmflagZ are literal
+    # compositions of the same lanes — values and the oracle unchanged.
     return lu.selectExpr(
         "property_id",
-        f"ST_AsText(ST_ForcePolygonCW({rect})) AS cw_wkt",
-        f"ST_AsText(ST_ForceRHR({rect})) AS rhr_wkt",
-        f"ST_AsText(ST_ForcePolygonCCW(ST_ForcePolygonCW({rect})))"
-        " AS ccw_roundtrip",
+        f"ST_ForceCWStats({rect}) AS __f",
         f"ST_IsPolygonCW({rect}) AS raw_is_cw",
         f"ST_IsPolygonCCW({rect}) AS raw_is_ccw",
-        f"ST_IsPolygonCW(ST_ForcePolygonCW({rect})) AS forced_is_cw",
-        f"ST_IsPolygonCCW(ST_ForcePolygonCW({rect})) AS forced_is_ccw",
-        f"ST_Area(ST_ForcePolygonCW({rect})) AS cw_area",
         f"ST_IsCollection({rect}) AS rect_is_coll",
         f"ST_IsCollection({mls}) AS mls_is_coll",
         f"ST_Zmflag({rect}) AS zm_2d",
-        "ST_Zmflag(ST_Force3DZ(concat('POINT (', x1, ' ', y1, ')'),"
-        " 7D)) AS zm_z",
-        "ST_Z(ST_Force3DZ(concat('POINT (', x1, ' ', y1, ')'), 7D))"
-        " AS f3dz_z",
+        "ST_ZmflagZ(ST_Force3DZ(concat('POINT (', x1, ' ', y1, ')'),"
+        " 7D)) AS __z",
         f"ST_NumGeometries(ST_ForceCollection({mls})) AS fcoll_n",
         "ST_NumGeometries(ST_ForceCollection(concat('POINT (', x1, ' ',"
         " y1, ')'))) AS fcoll_pt_n",
         f"ST_IsValidReason({rect}) AS ivr_rect",
         f"ST_IsValidReason({bowtie}) AS ivr_bowtie",
         f"ST_NumInteriorRing({rect}) AS nir",
+    ).selectExpr(
+        "property_id",
+        "__f.wkt AS cw_wkt",
+        "__f.wkt AS rhr_wkt",
+        "__f.ccw_rt AS ccw_roundtrip",
+        "raw_is_cw", "raw_is_ccw",
+        "__f.is_cw AS forced_is_cw",
+        "__f.is_ccw AS forced_is_ccw",
+        "__f.area AS cw_area",
+        "rect_is_coll", "mls_is_coll", "zm_2d",
+        "__z.zm AS zm_z",
+        "__z.z AS f3dz_z",
+        "fcoll_n", "fcoll_pt_n", "ivr_rect", "ivr_bowtie", "nir",
     )
 
 ST_ORIENTATION_OPS_ORACLE = f"""

@@ -389,3 +389,76 @@ def test_r14_fused_struct_udfs_equal_composition(spark):
         assert f["xyz"]["z"] == c["rz"], i
         assert f["npl"]["np"] == c["np"], i
         assert f["npl"]["len"] == c["len"], i
+
+
+def test_r14_fused_batch_structs_equal_composition(spark):
+    """r14 round 2: ST_ForceCWStats, ST_ZmflagZ, ST_AddRmStats,
+    ST_SplitStats must equal the unfused compositions value-for-value —
+    rect lane, already-CW ring, holed polygon, non-areal passthrough,
+    Z points, off-line split points, and NULLs."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.functions.spatial import (
+        register_spatial_functions,
+    )
+
+    register_spatial_functions(spark)
+    rows = [
+        (0, "POLYGON ((10 10, 60 10, 60 40, 10 40, 10 10))",  # CCW rect
+         "POINT Z (3 4 5)",
+         "LINESTRING (0 0, 8 0)", "POINT (4 1)", "POINT (4 0)", 1),
+        (1, "POLYGON ((0 0, 0 4, 4 4, 4 0, 0 0))",            # already CW
+         "POINT (1 2)",                                        # 2D
+         "LINESTRING (0 0, 6 0)", "POINT (2 2)", "POINT (2 0)", 1),
+        (2, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0),"         # holed
+         " (4 4, 6 4, 6 6, 4 6, 4 4))",
+         "POINT Z (0 0 0)",
+         "LINESTRING (0 0, 2 2, 5 5)", "POINT (1 0)", "POINT (2 2)", -1),
+        (3, "LINESTRING (0 0, 1 1)",                          # non-areal
+         None, None, None, None, None),
+        (4, None, None, None, None, None, None),              # NULL row
+    ]
+    df = spark.createDataFrame(
+        rows, "id int, g string, p string, l string, pt string,"
+        " spt string, pos int")
+    df.createOrReplaceTempView("fused_r14b")
+    fused = spark.sql("""
+      SELECT id,
+             ST_ForceCWStats(g) AS f,
+             ST_ZmflagZ(p) AS z,
+             ST_AddRmStats(l, pt, pos) AS ar,
+             ST_SplitStats(l, spt) AS sp
+      FROM fused_r14b ORDER BY id""").collect()
+    comp = spark.sql("""
+      SELECT id,
+             ST_AsText(ST_ForcePolygonCW(g)) AS cw_wkt,
+             ST_AsText(ST_ForceRHR(g)) AS rhr_wkt,
+             ST_AsText(ST_ForcePolygonCCW(ST_ForcePolygonCW(g)))
+                 AS ccw_rt,
+             ST_IsPolygonCW(ST_ForcePolygonCW(g)) AS is_cw,
+             ST_IsPolygonCCW(ST_ForcePolygonCW(g)) AS is_ccw,
+             ST_Area(ST_ForcePolygonCW(g)) AS cw_area,
+             ST_Zmflag(p) AS zm,
+             ST_Z(p) AS zz,
+             ST_NPoints(ST_AddPoint(l, pt, pos)) AS ap_np,
+             ST_Length(ST_AddPoint(l, pt, pos)) AS ap_len,
+             ST_NPoints(ST_RemovePoint(ST_AddPoint(l, pt, pos), pos))
+                 AS rp_np,
+             ST_Length(ST_RemovePoint(ST_AddPoint(l, pt, pos), pos))
+                 AS rp_len,
+             ST_NumGeometries(ST_Split(l, spt)) AS sp_n,
+             ST_Length(ST_GeometryN(ST_Split(l, spt), 0)) AS sp_len0
+      FROM fused_r14b ORDER BY id""").collect()
+    for f, c in zip(fused, comp):
+        i = f["id"]
+        assert f["f"]["wkt"] == c["cw_wkt"] == c["rhr_wkt"], i
+        assert f["f"]["ccw_rt"] == c["ccw_rt"], i
+        assert f["f"]["is_cw"] == c["is_cw"], i
+        assert f["f"]["is_ccw"] == c["is_ccw"], i
+        assert f["f"]["area"] == c["cw_area"], i
+        assert f["z"]["zm"] == c["zm"], i
+        assert f["z"]["z"] == c["zz"], i
+        assert f["ar"]["ap_np"] == c["ap_np"], i
+        assert f["ar"]["ap_len"] == c["ap_len"], i
+        assert f["ar"]["rp_np"] == c["rp_np"], i
+        assert f["ar"]["rp_len"] == c["rp_len"], i
+        assert f["sp"]["n"] == c["sp_n"], i
+        assert f["sp"]["len0"] == c["sp_len0"], i
