@@ -600,10 +600,13 @@ def test_trajectory_blocking_prunes_but_loses_nothing(spark):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     # r6 shape: no pair-level join at all — trajectories group by cell id
-    # (one hash exchange) and pairs are enumerated inside the cell task
-    assert "FlatMapGroupsInPandas" in plan
+    # (one hash exchange) and pairs are enumerated inside the cell task.
+    # r14: the per-group applyInPandas protocol is gone — cells stream
+    # through mapInPandas over cell-sorted partitions (LOF _per_cell).
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "MapInPandas" in plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
-    assert plan.count("Exchange") <= 3  # traj window + groupBy + cell group
+    assert plan.count("Exchange") <= 3  # traj window + groupBy + cell part
     rows = out.collect()
     assert 0 < len(rows) < all_pairs
     # symmetric distances: every reported pair is within the threshold
@@ -639,6 +642,27 @@ def test_trajectory_hausdorff_known_pairs(spark, tmp_path):
     # steps) but different dy ((eid//5) % 5 differs with uid) — compute law:
     # both pair only if within threshold; user 2 never pairs with anyone
     assert all(2 not in pair for pair in got)
+
+
+def test_trajectory_cells_straddling_arrow_batches(spark):
+    """r14: the verify pass streams cell groups through mapInPandas over
+    cell-sorted partitions — with tiny Arrow batches (50 rows) cell
+    groups straddle batch boundaries, exercising the tail-carry path.
+    The pair set must be byte-identical to the default-batch run."""
+    from geospatial_data_pipeline_spark_sedona_on_aws_spark.operators import spatial_join as SJ
+
+    sf = "/root/testdata/sf0.01"
+    base = sorted(map(tuple,
+                      SJ.trajectory_similarity_pairs(spark, sf).collect()))
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "50")
+        tiny = sorted(map(
+            tuple, SJ.trajectory_similarity_pairs(spark, sf).collect()))
+    finally:
+        spark.conf.set(key, old)
+    assert tiny == base and len(base) == 244
 
 
 # ------------------------------------------------ r6: typed WKT surface
