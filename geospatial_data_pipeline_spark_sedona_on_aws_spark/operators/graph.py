@@ -147,8 +147,15 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     # takes the distributed loop unchanged.
     limit = int(edges.sparkSession.conf.get(LOCAL_CC_CONF,
                                             str(LOCAL_CC_MAX_EDGES)))
-    if cedges.count() <= limit:
-        comp = _driver_union_find(cedges)
+    # r14 (optimization round 2): ONE bounded action gates AND feeds the
+    # driver finish — limit(limit+1).collect() is the same ≤16 MB
+    # artifact the union-find collected anyway, so the separate count
+    # job (a full second scan of the checkpointed contracted set) is
+    # gone. Oversized graphs surface as limit+1 rows and take the
+    # distributed loop exactly as before.
+    head = cedges.limit(limit + 1).collect()
+    if len(head) <= limit:
+        comp = _driver_union_find(cedges, rows=head)
     else:
         comp = _min_label_loop(cedges, max_rounds)
     # pull back through l0: comp(u) = comp'(l0(u)); labels absent from
@@ -169,12 +176,15 @@ LOCAL_CC_MAX_EDGES = 500_000
 LOCAL_CC_CONF = "spark.geoengine.cc.localMaxEdges"
 
 
-def _driver_union_find(cedges: DataFrame) -> DataFrame:
+def _driver_union_find(cedges: DataFrame, rows=None) -> DataFrame:
     """(node, comp) for every node in the SMALL contracted edge list,
     comp = min node id of the component: classic union-find with path
     compression and union-by-min (the min-root invariant makes ranks
-    unnecessary and the result engine-independent)."""
-    rows = cedges.collect()
+    unnecessary and the result engine-independent). `rows` lets the
+    caller pass an already-collected edge list (r14: the size gate's
+    bounded collect doubles as the input, saving one scan)."""
+    if rows is None:
+        rows = cedges.collect()
     parent: dict = {}
 
     def find(x):
