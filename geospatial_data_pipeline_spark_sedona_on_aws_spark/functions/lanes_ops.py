@@ -1535,7 +1535,7 @@ def length(s: pd.Series, scalar_fn) -> pd.Series:
         rows = np.flatnonzero(m)
         body = g[0].to_pandas().to_numpy()
         npts = pc.count_substring(g[0], pattern=",").to_numpy(
-            zero_copy_only=False).astype(np.int64)[rows] + 1
+            zero_copy_only=False)[rows].astype(np.int64) + 1
         joined = ",".join(body[i] for i in rows)
         nums = np.array(joined.replace(",", " ").split(),
                         dtype=np.float64)

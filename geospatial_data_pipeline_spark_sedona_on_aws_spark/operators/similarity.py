@@ -689,14 +689,47 @@ def lsh_ann(spark: SparkSession, sf_dir: str,
                      "cos_sim": cos.ravel()[keep]}))
             return pd.concat(parts, ignore_index=True)
 
-        pairs = (
-            a.select("probe", "vec_id", "embedding", "nrm")
-            .groupBy("probe")
-            .cogroup(b.select("bucket", "vec_id", "embedding", "nrm")
-                     .groupBy("bucket"))
-            .applyInPandas(
-                score, "query_id long, neighbor_id long, cos_sim double")
-        )
+        # r14 (optimization round 2, the LOF _per_cell pattern): the
+        # cogroup protocol shipped one Arrow batch PER BUCKET KEY on
+        # each side (~2^P keys — 16k round trips at sf1.0, the same
+        # protocol class LOF/IVF had); both sides now union with a side
+        # tag, hash-partition and sort by bucket once, and mapInPandas
+        # streams the contiguous groups, splitting each into its
+        # query/candidate halves for the identical score() body. Only
+        # the batch-straddling tail group is carried.
+        qa = a.select(F.col("probe").alias("k"), F.lit(0).alias("side"),
+                      "vec_id", "embedding", "nrm")
+        cb = b.select(F.col("bucket").alias("k"), F.lit(1).alias("side"),
+                      "vec_id", "embedding", "nrm")
+        rep = (qa.unionByName(cb).repartition(F.col("k"))
+               .sortWithinPartitions("k", "side"))
+
+        def _stream(batches):
+            tail = None
+            for pdf in batches:
+                if tail is not None:
+                    pdf = pd.concat([tail, pdf], ignore_index=True)
+                    tail = None
+                if not len(pdf):
+                    continue
+                lk = pdf["k"].iat[-1]
+                is_tail = pdf["k"] == lk
+                tail = pdf.loc[is_tail]
+                body = pdf.loc[~is_tail]
+                outs = [out for _, g in body.groupby("k", sort=False)
+                        for out in (score(None, g.loc[g["side"] == 0],
+                                          g.loc[g["side"] == 1]),)
+                        if len(out)]
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+            if tail is not None and len(tail):
+                out = score(None, tail.loc[tail["side"] == 0],
+                            tail.loc[tail["side"] == 1])
+                if len(out):
+                    yield out
+
+        pairs = rep.mapInPandas(
+            _stream, "query_id long, neighbor_id long, cos_sim double")
     else:
         pairs = (
             a.join(b, F.col("a.probe") == F.col("b.bucket"))
@@ -897,11 +930,38 @@ def near_dup_topm(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "rank": np.array(out_r, dtype=np.int32),
                 "cos_sim": np.array(out_c, dtype=np.float64)})
 
-        return (
-            emb.groupBy("bucket").applyInPandas(
-                topm,
-                "doc_id long, neighbor_id long, rank int, cos_sim double")
-        )
+        # r14 (the LOF _per_cell pattern): stream bucket groups through
+        # mapInPandas over bucket-sorted partitions instead of one Arrow
+        # batch per bucket key; identical topm body per group.
+        rep = (emb.repartition(F.col("bucket"))
+               .sortWithinPartitions("bucket"))
+
+        def _stream_topm(batches):
+            tail = None
+            for pdf in batches:
+                if tail is not None:
+                    pdf = pd.concat([tail, pdf], ignore_index=True)
+                    tail = None
+                if not len(pdf):
+                    continue
+                lk = pdf["bucket"].iat[-1]
+                is_tail = pdf["bucket"] == lk
+                tail = pdf.loc[is_tail]
+                body = pdf.loc[~is_tail]
+                outs = [out
+                        for _, g in body.groupby("bucket", sort=False)
+                        for out in (topm(g.reset_index(drop=True)),)
+                        if len(out)]
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+            if tail is not None and len(tail):
+                out = topm(tail.reset_index(drop=True))
+                if len(out):
+                    yield out
+
+        return rep.mapInPandas(
+            _stream_topm,
+            "doc_id long, neighbor_id long, rank int, cos_sim double")
     a, b = emb.alias("a"), emb.alias("b")
     directed = (
         a.join(b, "bucket")

@@ -183,10 +183,20 @@ def test_lsh_ann_big_and_small_paths_agree(spark):
     # the scorer-switch threshold (plane count is untouched)
     import unittest.mock as mock
 
-    with mock.patch.object(SIM, "LSH_ARROW_MIN_N", 0):
-        forced = SIM.lsh_ann(spark, SF_SMOKE)
+    # r14: 50-row Arrow batches so bucket groups straddle batch
+    # boundaries — the streamed scorer's tail-carry path must reunite
+    # them (the ADVICE r13 fragmentation lesson)
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "50")
+        with mock.patch.object(SIM, "LSH_ARROW_MIN_N", 0):
+            forced = SIM.lsh_ann(spark, SF_SMOKE)
+        b = forced.toPandas().sort_values(
+            ["query_id", "rank"]).reset_index(drop=True)
+    finally:
+        spark.conf.set(key, old)
     a = big.toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
-    b = forced.toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
     assert a["query_id"].tolist() == b["query_id"].tolist()
     assert a["neighbor_id"].tolist() == b["neighbor_id"].tolist()
     assert a["cos_sim"].tolist() == b["cos_sim"].tolist()  # bitwise
@@ -284,8 +294,16 @@ def test_near_dup_topm_big_and_small_paths_agree(spark):
     from geospatial_data_pipeline_spark_sedona_on_aws_spark.operators import similarity as SIM
 
     small = SIM.near_dup_topm(spark, SF_SMOKE).toPandas()
-    with mock.patch.object(SIM, "LSH_ARROW_MIN_N", 0):
-        big = SIM.near_dup_topm(spark, SF_SMOKE).toPandas()
+    # r14: tiny Arrow batches so bucket groups straddle batch boundaries
+    # (exercises the streamed kernel's tail-carry path)
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "50")
+        with mock.patch.object(SIM, "LSH_ARROW_MIN_N", 0):
+            big = SIM.near_dup_topm(spark, SF_SMOKE).toPandas()
+    finally:
+        spark.conf.set(key, old)
     a = small.sort_values(["doc_id", "rank"]).reset_index(drop=True)
     b = big.sort_values(["doc_id", "rank"]).reset_index(drop=True)
     assert a["doc_id"].tolist() == b["doc_id"].tolist()
